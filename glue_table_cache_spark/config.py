@@ -1,0 +1,50 @@
+"""Engine configuration.
+
+Mirrors the reference's ``GlueTableCacheConfig``
+(/root/reference/src/types.ts:42-49): cache sizing/TTLs and the optional
+S3-proxy address rewrite (/root/reference/src/glue-table-cache.ts:54-65),
+plus Spark-specific knobs the reference delegates to DuckDB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    #: max entries per LRU cache (reference default 100,
+    #: /root/reference/src/glue-table-cache.ts:26-32)
+    max_entries: int = 100
+    #: table-metadata TTL, ms (reference default 3600000)
+    table_metadata_ttl_ms: int = 3_600_000
+    #: file-listing TTL, ms (reference default 3600000; its README
+    #: documents 5 min but code wins — SURVEY.md §6)
+    s3_listing_ttl_ms: int = 3_600_000
+    #: optional ``scheme://host:port/`` prefix replacing ``s3://`` in
+    #: materialized file lists (local HTTP block cache,
+    #: /root/reference/src/glue-table-cache.ts:54-65, 235-238)
+    proxy_address: str | None = None
+    #: when True, always scan via an explicit pre-listed (and pruned)
+    #: file list, mirroring the reference's design.  When False (default)
+    #: HIVE/UNPARTITIONED tables scan their directory natively so
+    #: Catalyst's PruneFileSourcePartitions does the pruning — the
+    #: Spark-idiomatic, 100 TB-scale path.  GLUE_PROJECTED tables always
+    #: use explicit file lists (Spark has no projection support).
+    explicit_file_lists: bool = False
+    #: retry attempts for metadata APIs (reference: async-retry 3×,
+    #: /root/reference/src/glue-table-cache.ts:178-196)
+    retry_attempts: int = 3
+    #: backoff bounds in seconds (reference: 200–500 ms)
+    retry_min_backoff_s: float = 0.2
+    retry_max_backoff_s: float = 0.5
+
+    def __post_init__(self) -> None:
+        if self.proxy_address is not None:
+            addr = self.proxy_address
+            if "://" not in addr:
+                raise ValueError(f"Invalid proxyAddress: {addr!r}")
+            if not addr.endswith("/"):
+                # normalize trailing slash like the reference
+                # (/root/reference/src/glue-table-cache.ts:58-61)
+                object.__setattr__(self, "proxy_address", addr + "/")

@@ -1,0 +1,249 @@
+"""GlueSparkEngine — resolve → fetch metadata (cached) → list files
+(cached) → prune → register views → run the query on Spark.
+
+This is the Spark-first re-expression of the reference's main path
+``convertGlueTableQuery`` (/root/reference/src/glue-table-cache.ts:242-251;
+lifecycle table in SURVEY.md §3).  Where the reference emits DuckDB SQL
+(listing tables, ART indexes, SET VARIABLE file lists, views) for the
+caller to execute, we register temp views over DataFrames and hand the
+rewritten query to Catalyst:
+
+* HIVE / UNPARTITIONED tables (default mode) scan their directory
+  natively — Spark's ``InMemoryFileIndex`` + ``PruneFileSourcePartitions``
+  give listing + partition pruning with zero driver-side work, the plan
+  that survives a 100 TB / 1000-executor scale-up.
+* GLUE_PROJECTED tables (and all tables in ``explicit_file_lists`` mode)
+  go through the reference-style path: driver-side listing (LRU+TTL
+  cached), partition-value extraction by regex, conservative pruning
+  (fixing the reference's OR→AND hazard, SURVEY.md §2.D.1), then
+  ``spark.read.parquet(*pruned_paths)``.
+* ICEBERG tables resolve the current snapshot's data files via the
+  manifest walk in :mod:`glue_table_cache_spark.sources.iceberg`.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glue_table_cache_spark.cache import (
+    LruTtlCache,
+    listing_cache_key,
+    table_cache_key,
+)
+from glue_table_cache_spark.catalog import CatalogTable, ETableType, MetadataStore
+from glue_table_cache_spark.config import EngineConfig
+from glue_table_cache_spark.errors import (
+    GlueSparkError,
+    NoStorageLocationError,
+)
+from glue_table_cache_spark.listing import (
+    FileInfo,
+    FileSystem,
+    filesystem_for,
+    list_table_files,
+)
+from glue_table_cache_spark.projection import extractors_for
+from glue_table_cache_spark.pruning import (
+    extract_partition_predicate,
+    prune_files,
+)
+from glue_table_cache_spark.transformer import (
+    TableReference,
+    get_query_glue_table_refs,
+    rewrite_query,
+)
+
+
+class GlueSparkEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        metadata_store: MetadataStore,
+        config: EngineConfig | None = None,
+        filesystem: FileSystem | None = None,
+    ) -> None:
+        self.spark = spark
+        self.store = metadata_store
+        self.config = config or EngineConfig()
+        self._fs = filesystem
+        cfg = self.config
+        retry = dict(
+            retry_attempts=cfg.retry_attempts,
+            retry_min_backoff_s=cfg.retry_min_backoff_s,
+            retry_max_backoff_s=cfg.retry_max_backoff_s,
+        )
+        # two caches, same split as the reference
+        # (/root/reference/src/glue-table-cache.ts:75-84)
+        self._metadata_cache: LruTtlCache[CatalogTable] = LruTtlCache(
+            max_entries=cfg.max_entries,
+            ttl_ms=cfg.table_metadata_ttl_ms,
+            **retry,
+        )
+        self._listing_cache: LruTtlCache[list[FileInfo]] = LruTtlCache(
+            max_entries=cfg.max_entries,
+            ttl_ms=cfg.s3_listing_ttl_ms,
+            **retry,
+        )
+
+    # -- public API (parity with the reference's, SURVEY.md §3) -------------
+
+    def sql(self, query: str) -> DataFrame:
+        """``convertGlueTableQuery`` + execute: resolve glue refs, set up
+        views, rewrite, run through Spark SQL."""
+        refs = self.setup_views(query)
+        return self.spark.sql(rewrite_query(query, refs))
+
+    def setup_views(self, query: str) -> list[TableReference]:
+        """Register one temp view per glue table referenced by ``query``
+        (= ``getGlueTableViewSetupSql``,
+        /root/reference/src/glue-table-cache.ts:253-347).  Per-table work
+        runs in a thread pool like the reference's ``Promise.all``."""
+        refs = get_query_glue_table_refs(query)
+        if not refs:
+            return refs
+        if len(refs) == 1:
+            self._setup_view(refs[0], query)
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(refs))) as pool:
+                list(pool.map(lambda r: self._setup_view(r, query), refs))
+        return refs
+
+    def get_table_metadata_cached(self, database: str, table: str) -> CatalogTable:
+        return self._metadata_cache.get_or_load(
+            table_cache_key(database, table),
+            lambda: self.store.get_table(database, table),
+        )
+
+    def list_table_files_cached(self, table: CatalogTable) -> list[FileInfo]:
+        if not table.location:
+            raise NoStorageLocationError(table.database, table.name)
+        keys = [k.name for k in table.partition_keys]
+        return self._listing_cache.get_or_load(
+            listing_cache_key(table.location, keys),
+            lambda: self._list_files(table),
+        )
+
+    def invalidate_table(self, database: str, table: str) -> None:
+        """Reference ``invalidateTable``
+        (/root/reference/src/glue-table-cache.ts:206-215): drop the
+        metadata key and any listing key containing ``db_tbl``; refresh
+        any registered view."""
+        self._metadata_cache.invalidate(table_cache_key(database, table))
+        self._listing_cache.invalidate_matching(table_cache_key(database, table))
+
+    def clear_cache(self) -> None:
+        self._metadata_cache.clear()
+        self._listing_cache.clear()
+
+    # -- view construction ---------------------------------------------------
+
+    def table_dataframe(
+        self, database: str, table: str, query: str | None = None
+    ) -> DataFrame:
+        """DataFrame over one glue table, with pruning hints from
+        ``query`` when given."""
+        tbl = self.get_table_metadata_cached(database, table)
+        return self._dataframe_for(tbl, query)
+
+    def _setup_view(self, ref: TableReference, query: str) -> None:
+        tbl = self.get_table_metadata_cached(ref.database, ref.table)
+        df = self._dataframe_for(tbl, query)
+        df.createOrReplaceTempView(ref.view_name)
+
+    def _dataframe_for(self, tbl: CatalogTable, query: str | None) -> DataFrame:
+        if not tbl.location:
+            raise NoStorageLocationError(tbl.database, tbl.name)
+        ttype = tbl.table_type
+        if ttype in (ETableType.HUDI, ETableType.DELTA):
+            # enumerated-but-unhandled in the reference too
+            # (/root/reference/src/types.ts:4-11)
+            raise GlueSparkError(f"Table type {ttype.value} not supported")
+        if ttype == ETableType.ICEBERG:
+            from glue_table_cache_spark.sources.iceberg import (
+                iceberg_data_files,
+            )
+
+            paths = self._proxy(iceberg_data_files(tbl.location))
+            return self._read_paths(paths, base_path=None)
+        if (
+            ttype in (ETableType.HIVE, ETableType.UNPARTITIONED)
+            and not self.config.explicit_file_lists
+        ):
+            # native path: let Spark list + partition-prune
+            reader = self.spark.read
+            if ttype == ETableType.HIVE:
+                reader = reader.option("basePath", tbl.location)
+            try:
+                return reader.parquet(tbl.location)
+            except Exception:
+                # empty/unreadable location: fall through to the explicit
+                # path, which emits the reference's empty-relation view
+                return self._explicit_list_dataframe(tbl, query)
+        return self._explicit_list_dataframe(tbl, query)
+
+    def _explicit_list_dataframe(
+        self, tbl: CatalogTable, query: str | None
+    ) -> DataFrame:
+        """Reference-style scan: pre-listed, pruned explicit file list."""
+        files = self.list_table_files_cached(tbl)
+        if not files:
+            # view over an empty relation, as the reference emits
+            # ``SELECT NULL LIMIT 0``
+            # (/root/reference/src/sql-transformer.ts:320-322)
+            return self.spark.range(0).select(F.lit(None).alias("null"))
+        keys = [k.name for k in tbl.partition_keys]
+        pruned = files
+        if query and keys:
+            predicate = extract_partition_predicate(
+                query, keys, {tbl.name, tbl.qualified_name}
+            )
+            pruned = prune_files(files, predicate)
+        if not pruned:
+            # pruned-to-zero: empty relation with the real schema
+            df = self.spark.read.parquet(files[0].path).limit(0)
+            return self._attach_partition_columns(df, tbl)
+        paths = self._proxy([f.path for f in pruned])
+        hive_layout = tbl.table_type == ETableType.HIVE and not tbl.projection
+        df = self._read_paths(
+            paths, base_path=tbl.location if hive_layout else None
+        )
+        if not hive_layout:
+            df = self._attach_partition_columns(df, tbl)
+        return df
+
+    def _read_paths(self, paths: list[str], base_path: str | None) -> DataFrame:
+        reader = self.spark.read
+        if base_path:
+            # explicit leaf files + basePath: Spark still derives hive
+            # partition columns and prunes them at planning time
+            reader = reader.option("basePath", base_path)
+        return reader.parquet(*paths)
+
+    def _attach_partition_columns(
+        self, df: DataFrame, tbl: CatalogTable
+    ) -> DataFrame:
+        """For non-hive layouts (partition projection) attach partition
+        columns by regex over the file path — distributed, no driver loop
+        (extractors ported from /root/reference/src/util/glue.ts:136-175)."""
+        path_col = F.col("_metadata.file_path")
+        for ex in extractors_for(tbl.partition_keys, tbl.projection):
+            if ex.column not in df.columns:
+                df = df.withColumn(ex.column, ex.spark_column(path_col))
+        return df
+
+    def _proxy(self, paths: list[str]) -> list[str]:
+        """``s3://`` → proxy-address rewrite
+        (/root/reference/src/glue-table-cache.ts:235-238)."""
+        proxy = self.config.proxy_address
+        if not proxy:
+            return paths
+        return [p.replace("s3://", proxy, 1) for p in paths]
+
+    def _list_files(self, tbl: CatalogTable) -> list[FileInfo]:
+        fs = self._fs or filesystem_for(tbl.location)
+        extractors = extractors_for(tbl.partition_keys, tbl.projection)
+        return list_table_files(tbl.location, extractors, fs)

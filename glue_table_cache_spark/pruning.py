@@ -1,0 +1,364 @@
+"""Conservative partition-filter extraction and pruning.
+
+Role parity with the reference's ``extractPartitionFilters`` +
+``createGlueTableFilesVarSql`` (/root/reference/src/sql-transformer.ts:173-281,
+/root/reference/src/glue-table-cache.ts:217-240,323-333): harvest
+partition-key predicates from the query's WHERE clause and use them to
+shrink the file list before the scan.
+
+Two deliberate fixes over the reference (SURVEY.md §2.D):
+
+1. **Boolean structure is preserved.**  The reference flattens OR
+   branches and re-joins all harvested filters with AND
+   (`src/glue-table-cache.ts:330`), so ``year='2024' OR year='2023'``
+   would prune to zero files.  Here predicates form a tree, and any
+   subtree we cannot evaluate exactly degrades to *keep-the-file*
+   (``TruePredicate``) — pruning is an optimization, never a filter of
+   record; the full WHERE still executes over the scanned data.
+2. Extraction still reads only the top-level WHERE (like the reference,
+   `src/sql-transformer.ts:187-190`) because in the native path Catalyst
+   already prunes at any depth; this layer only matters for explicit
+   file-list scans and projection tables.
+
+Parsing uses DuckDB's ``json_serialize_sql`` — the very parser/AST the
+reference builds on (`src/sql-transformer.ts:13-25`) — imported lazily;
+when unavailable, extraction returns "no pruning" and correctness is
+unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+from glue_table_cache_spark.listing import FileInfo
+
+# --------------------------------------------------------------------------
+# Predicate tree
+# --------------------------------------------------------------------------
+
+
+class Predicate:
+    """Evaluates against one file's partition values.  ``exact`` means
+    the node is a faithful translation of the SQL (safe to negate);
+    inexact nodes are conservative over-approximations (always True)."""
+
+    exact: bool = True
+
+    def evaluate(self, values: dict[str, str]) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class TruePredicate(Predicate):
+    """Keep the file — used for anything we can't evaluate safely."""
+
+    exact: bool = False
+
+    def evaluate(self, values: dict[str, str]) -> bool:
+        return True
+
+
+_OPS = {
+    "COMPARE_EQUAL": lambda a, b: a == b,
+    "COMPARE_NOTEQUAL": lambda a, b: a != b,
+    "COMPARE_GREATERTHAN": lambda a, b: a > b,
+    "COMPARE_LESSTHAN": lambda a, b: a < b,
+    "COMPARE_GREATERTHANOREQUALTO": lambda a, b: a >= b,
+    "COMPARE_LESSTHANOREQUALTO": lambda a, b: a <= b,
+}
+
+
+def _coerce(value: str | None, const: Any) -> Any | None:
+    """Partition values are path-extracted strings
+    (/root/reference/src/util/s3.ts:15-25).  Compare numerically when the
+    SQL constant is numeric, else as strings.  ``None`` → not comparable
+    (missing value or bad cast) → caller keeps the file."""
+    if value is None:
+        return None
+    if isinstance(const, bool):
+        return None
+    if isinstance(const, (int, float)):
+        try:
+            return float(value)
+        except ValueError:
+            return None
+    if isinstance(const, str):
+        return value
+    return None
+
+
+@dataclass(frozen=True)
+class Comparison(Predicate):
+    column: str
+    op: str  # key into _OPS
+    const: Any
+
+    def evaluate(self, values: dict[str, str]) -> bool:
+        v = _coerce(values.get(self.column), self.const)
+        if v is None:
+            return True  # conservative: keep
+        c = float(self.const) if isinstance(self.const, (int, float)) else self.const
+        return _OPS[self.op](v, c)
+
+
+@dataclass(frozen=True)
+class InList(Predicate):
+    column: str
+    consts: tuple
+    negated: bool = False
+
+    def evaluate(self, values: dict[str, str]) -> bool:
+        raw = values.get(self.column)
+        if raw is None:
+            return True
+        hit = False
+        for c in self.consts:
+            v = _coerce(raw, c)
+            if v is None:
+                return True
+            cc = float(c) if isinstance(c, (int, float)) else c
+            if v == cc:
+                hit = True
+                break
+        return (not hit) if self.negated else hit
+
+
+@dataclass(frozen=True)
+class And(Predicate):
+    children: tuple
+
+    @property
+    def exact(self) -> bool:  # type: ignore[override]
+        return all(c.exact for c in self.children)
+
+    def evaluate(self, values: dict[str, str]) -> bool:
+        return all(c.evaluate(values) for c in self.children)
+
+
+@dataclass(frozen=True)
+class Or(Predicate):
+    children: tuple
+
+    @property
+    def exact(self) -> bool:  # type: ignore[override]
+        return all(c.exact for c in self.children)
+
+    def evaluate(self, values: dict[str, str]) -> bool:
+        return any(c.evaluate(values) for c in self.children)
+
+
+@dataclass(frozen=True)
+class Not(Predicate):
+    child: Predicate
+
+    def evaluate(self, values: dict[str, str]) -> bool:
+        return not self.child.evaluate(values)
+
+
+# --------------------------------------------------------------------------
+# Extraction from the DuckDB JSON AST
+# --------------------------------------------------------------------------
+
+
+def parse_where_clause(sql: str) -> dict | None:
+    """Top-level WHERE node of statement 0, via DuckDB's
+    ``json_serialize_sql`` (the reference's parser,
+    /root/reference/src/sql-transformer.ts:13-25).  Returns None when
+    duckdb is unavailable, the SQL fails to parse, or there is no WHERE."""
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover
+        return None
+    try:
+        raw = duckdb.sql(
+            "select json_serialize_sql(?::varchar)", params=[sql]
+        ).fetchone()[0]
+        doc = json.loads(raw)
+    except Exception:
+        return None
+    if doc.get("error"):
+        return None
+    stmts = doc.get("statements") or []
+    if not stmts:
+        return None
+    node = stmts[0].get("node") or {}
+    # CTEs keep the WHERE on the outer SELECT node itself
+    return node.get("where_clause")
+
+
+def _constant(node: dict) -> tuple[Any, bool]:
+    """(value, ok) for a CONSTANT node; only VARCHAR/integer/decimal
+    constants are extractable (matching the reference's comparison
+    surface, /root/reference/src/sql-transformer.ts:264-281)."""
+    if node.get("class") != "CONSTANT":
+        return None, False
+    val = node.get("value") or {}
+    if val.get("is_null"):
+        return None, False
+    type_id = ((val.get("type") or {}).get("id") or "").upper()
+    v = val.get("value")
+    if type_id == "VARCHAR" and isinstance(v, str):
+        return v, True
+    if type_id in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                   "USMALLINT", "UINTEGER", "UBIGINT"):
+        return int(v), True
+    if type_id in ("FLOAT", "DOUBLE"):
+        return float(v), True
+    if type_id == "DECIMAL":
+        try:
+            return float(v), True
+        except (TypeError, ValueError):
+            return None, False
+    return None, False
+
+
+def _column_ref(node: dict) -> tuple[str | None, str | None]:
+    """(column, qualifier) for a COLUMN_REF node."""
+    if node.get("class") != "COLUMN_REF":
+        return None, None
+    names = node.get("column_names") or []
+    if len(names) == 1:
+        return names[0], None
+    if len(names) >= 2:
+        return names[-1], names[-2]
+    return None, None
+
+
+def _qualifier_ok(qualifier: str | None, table_idents: set[str]) -> bool:
+    """Unqualified columns are assumed to belong to the target table,
+    exactly as the reference assumes (it matches by key name only,
+    /root/reference/src/sql-transformer.ts:218-243); qualified columns
+    must name the table or its alias."""
+    return qualifier is None or qualifier.lower() in table_idents
+
+
+def build_predicate(
+    node: dict | None,
+    partition_keys: set[str],
+    table_idents: set[str],
+) -> Predicate:
+    """AST → conservative predicate over ``partition_keys``.  Anything
+    unrecognized degrades to TruePredicate."""
+    if not node:
+        return TruePredicate()
+    cls, typ = node.get("class"), node.get("type")
+
+    if cls == "CONJUNCTION":
+        kids = tuple(
+            build_predicate(c, partition_keys, table_idents)
+            for c in node.get("children") or []
+        )
+        if typ == "CONJUNCTION_AND":
+            kept = tuple(k for k in kids if not isinstance(k, TruePredicate))
+            return And(kept) if kept else TruePredicate()
+        if typ == "CONJUNCTION_OR":
+            # an OR is only usable when EVERY branch is exact —
+            # the fix for the reference's OR→AND hazard (SURVEY §2.D.1)
+            if kids and all(k.exact for k in kids):
+                return Or(kids)
+            return TruePredicate()
+        return TruePredicate()
+
+    if cls == "COMPARISON" and typ in _OPS:
+        left, right = node.get("left") or {}, node.get("right") or {}
+        col, qual = _column_ref(left)
+        const, ok = _constant(right)
+        if col is None and ok is False:
+            # try the flipped form: const <op> col
+            col, qual = _column_ref(right)
+            const, ok = _constant(left)
+            typ = _flip(typ)
+        if (
+            col
+            and ok
+            and col.lower() in partition_keys
+            and _qualifier_ok(qual, table_idents)
+        ):
+            return Comparison(column=col.lower(), op=typ, const=const)
+        return TruePredicate()
+
+    if cls == "OPERATOR" and typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+        children = node.get("children") or []
+        if not children:
+            return TruePredicate()
+        col, qual = _column_ref(children[0])
+        consts = []
+        for c in children[1:]:
+            v, ok = _constant(c)
+            if not ok:
+                return TruePredicate()
+            consts.append(v)
+        if (
+            col
+            and consts
+            and col.lower() in partition_keys
+            and _qualifier_ok(qual, table_idents)
+        ):
+            return InList(
+                column=col.lower(),
+                consts=tuple(consts),
+                negated=(typ == "COMPARE_NOT_IN"),
+            )
+        return TruePredicate()
+
+    if cls == "OPERATOR" and typ == "OPERATOR_NOT":
+        children = node.get("children") or []
+        if len(children) == 1:
+            child = build_predicate(children[0], partition_keys, table_idents)
+            if child.exact:
+                return Not(child)
+        return TruePredicate()
+
+    if cls == "BETWEEN":
+        col, qual = _column_ref(node.get("input") or {})
+        lo, ok1 = _constant(node.get("lower") or {})
+        hi, ok2 = _constant(node.get("upper") or {})
+        if (
+            col
+            and ok1
+            and ok2
+            and col.lower() in partition_keys
+            and _qualifier_ok(qual, table_idents)
+        ):
+            return And(
+                (
+                    Comparison(col.lower(), "COMPARE_GREATERTHANOREQUALTO", lo),
+                    Comparison(col.lower(), "COMPARE_LESSTHANOREQUALTO", hi),
+                )
+            )
+        return TruePredicate()
+
+    return TruePredicate()
+
+
+def _flip(op: str) -> str:
+    return {
+        "COMPARE_GREATERTHAN": "COMPARE_LESSTHAN",
+        "COMPARE_LESSTHAN": "COMPARE_GREATERTHAN",
+        "COMPARE_GREATERTHANOREQUALTO": "COMPARE_LESSTHANOREQUALTO",
+        "COMPARE_LESSTHANOREQUALTO": "COMPARE_GREATERTHANOREQUALTO",
+    }.get(op, op)
+
+
+def extract_partition_predicate(
+    sql: str,
+    partition_keys: list[str],
+    table_idents: set[str],
+) -> Predicate:
+    """End-to-end: SQL text → conservative predicate for one table."""
+    where = parse_where_clause(sql)
+    return build_predicate(
+        where, {k.lower() for k in partition_keys},
+        {t.lower() for t in table_idents},
+    )
+
+
+def prune_files(files: list[FileInfo], predicate: Predicate) -> list[FileInfo]:
+    """Apply the predicate to a listing (reference executes the same idea
+    as ``SET VARIABLE … = (SELECT list(path) FROM listing WHERE …)``,
+    /root/reference/src/glue-table-cache.ts:323-333)."""
+    if isinstance(predicate, TruePredicate):
+        return files
+    return [f for f in files if predicate.evaluate(f.partition_values)]

@@ -1,0 +1,167 @@
+"""Resolve ``glue.<db>.<table>`` references in a SQL string and rewrite
+them to engine-managed temp-view names.
+
+Role parity with the reference's ``SqlTransformer``
+(/root/reference/src/sql-transformer.ts:56-171): it finds ``BASE_TABLE``
+AST nodes whose catalog is ``glue``/``GLUE`` and mutates them into
+``parquet_scan(...)`` calls.  We instead rewrite each reference to the
+name of a temp view the engine registers over the (pruned) file scan —
+Catalyst then resolves the view, so no AST surgery or unparse step is
+needed, and the rest of the query text (comments included) passes
+through byte-identical.
+
+Reference discovery uses DuckDB's parser (the reference's own,
+``json_serialize_sql``) when available, falling back to a regex scan;
+the textual *rewrite* is always regex-based on the exact matched span so
+we never round-trip the query through another dialect's unparser.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from glue_table_cache_spark.errors import InvalidQueryError
+
+#: default schema when the reference is 2-part (``glue.tbl``), matching
+#: /root/reference/src/sql-transformer.ts:69-78
+DEFAULT_DATABASE = "default"
+
+_IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)'
+_GLUE_REF = re.compile(
+    rf'(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
+    rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})(?!\s*\.)",
+)
+
+
+@dataclass(frozen=True)
+class TableReference:
+    """= reference ``TableReference`` (/root/reference/src/types.ts)."""
+
+    database: str
+    table: str
+
+    @property
+    def view_name(self) -> str:
+        return mangle_view_name(self.database, self.table)
+
+
+def mangle_view_name(database: str, table: str) -> str:
+    """``glue__<db>_<tbl>`` with dashes stripped and other specials
+    underscored — same hygiene as the reference's variable-name mangling
+    (/root/reference/src/sql-transformer.ts:283-293; dash test
+    /root/reference/test/sql-transformer.test.ts:780-787)."""
+
+    def clean(s: str) -> str:
+        s = s.replace("-", "")
+        return re.sub(r"[^A-Za-z0-9_]", "_", s)
+
+    return f"glue__{clean(database)}_{clean(table)}".lower()
+
+
+def _unquote(ident: str) -> str:
+    if ident and ident[0] in '"`' and ident[-1] == ident[0]:
+        return ident[1:-1]
+    return ident
+
+
+def _ast_refs(sql: str) -> list[TableReference] | None:
+    """BASE_TABLE nodes with glue catalog, via DuckDB's AST (mirrors the
+    JSONPath walk at /root/reference/src/sql-transformer.ts:69-78).
+    None when the parse fails or duckdb is missing."""
+    try:
+        import duckdb
+
+        doc = json.loads(
+            duckdb.sql(
+                "select json_serialize_sql(?::varchar)", params=[sql]
+            ).fetchone()[0]
+        )
+    except Exception:
+        return None
+    if doc.get("error"):
+        raise InvalidQueryError(doc.get("error_message") or "parse error")
+    refs: list[TableReference] = []
+
+    def walk(node) -> None:
+        if isinstance(node, dict):
+            if node.get("type") == "BASE_TABLE":
+                cat = (node.get("catalog_name") or "").lower()
+                schema = (node.get("schema_name") or "").lower()
+                tbl = node.get("table_name") or ""
+                if cat == "glue":
+                    if not schema:
+                        raise InvalidQueryError(
+                            f"Missing database in glue reference: glue..{tbl}"
+                        )
+                    refs.append(TableReference(schema, tbl.lower()))
+                elif schema == "glue" and not cat:
+                    # 2-part ``glue.tbl`` → default database
+                    refs.append(TableReference(DEFAULT_DATABASE, tbl.lower()))
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(doc.get("statements") or [])
+    return refs
+
+
+def _regex_refs(sql: str) -> list[TableReference]:
+    refs = []
+    for m in _GLUE_REF.finditer(sql):
+        db = _unquote(m.group("db")) if m.group("db") else DEFAULT_DATABASE
+        refs.append(TableReference(db.lower(), _unquote(m.group("tbl")).lower()))
+    return refs
+
+
+def get_query_glue_table_refs(sql: str) -> list[TableReference]:
+    """All distinct glue table references in the query (first-seen order).
+
+    Raises :class:`InvalidQueryError` on empty input or an unparseable
+    query, matching the reference's error surface
+    (/root/reference/test/sql-transformer.test.ts:151-181)."""
+    if not sql or not sql.strip():
+        raise InvalidQueryError("Empty query")
+    refs = _ast_refs(sql)
+    if refs is None:
+        refs = _regex_refs(sql)
+    seen: set[tuple[str, str]] = set()
+    out = []
+    for r in refs:
+        key = (r.database, r.table)
+        if key not in seen:
+            seen.add(key)
+            out.append(r)
+    return out
+
+
+def rewrite_query(sql: str, refs: list[TableReference]) -> str:
+    """Replace each glue reference's text span with its view name.
+
+    When the reference appears bare (no alias following), we alias the
+    view back to the original table name so qualified column references
+    like ``tbl.col`` keep resolving."""
+    wanted = {(r.database, r.table): r for r in refs}
+
+    def sub(m: re.Match) -> str:
+        db = _unquote(m.group("db")) if m.group("db") else DEFAULT_DATABASE
+        tbl = _unquote(m.group("tbl"))
+        ref = wanted.get((db.lower(), tbl.lower()))
+        if ref is None:
+            return m.group(0)
+        tail = sql[m.end() :]
+        has_alias = re.match(r"\s+(?:AS\s+)?[A-Za-z_\"`]", tail, re.IGNORECASE)
+        keyword_next = re.match(
+            r"\s+(?:WHERE|GROUP|ORDER|LIMIT|OFFSET|JOIN|LEFT|RIGHT|FULL|INNER"
+            r"|CROSS|ON|UNION|INTERSECT|EXCEPT|HAVING|QUALIFY|WINDOW|USING)\b",
+            tail,
+            re.IGNORECASE,
+        )
+        if has_alias and not keyword_next:
+            return ref.view_name
+        return f"{ref.view_name} AS {tbl.lower()}"
+
+    return _GLUE_REF.sub(sub, sql)

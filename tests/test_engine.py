@@ -1,0 +1,158 @@
+"""End-to-end engine tests over the driver testdata (sf0.001), mirroring
+the reference's integration suite (/root/reference/test/integration-test.ts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_table_cache_spark.catalog import CatalogTable, PartitionKey
+from glue_table_cache_spark.config import EngineConfig
+from glue_table_cache_spark.engine import GlueSparkEngine
+from glue_table_cache_spark.errors import (
+    NoStorageLocationError,
+    TableNotFoundError,
+)
+
+
+@pytest.fixture()
+def engine(spark, store):
+    return GlueSparkEngine(spark, store)
+
+
+def test_simple_scan(engine):
+    df = engine.sql("SELECT * FROM glue.tpch.region")
+    assert df.count() == 5
+
+
+def test_filter_and_projection(engine):
+    df = engine.sql(
+        "SELECT n_name FROM glue.tpch.nation WHERE n_regionkey = 0"
+    )
+    assert df.columns == ["n_name"]
+    assert df.count() > 0
+
+
+def test_join_two_glue_tables(engine):
+    df = engine.sql(
+        """
+        SELECT r.r_name, count(*) AS nations
+        FROM glue.tpch.nation n JOIN glue.tpch.region r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert sum(r.nations for r in rows) == 25
+
+
+def test_cte_flagship(engine):
+    """The reference's flagship shape: 2 CTEs → join → derived % →
+    ORDER BY → LIMIT (integration-test.ts:136-168)."""
+    df = engine.sql(
+        """
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+                   count(*) AS cnt, sum(o_totalprice) AS total
+            FROM glue.tpch.orders GROUP BY 1, 2
+        ),
+        yearly AS (
+            SELECT yr, sum(cnt) AS year_cnt FROM monthly GROUP BY yr
+        )
+        SELECT m.yr, m.mon, m.cnt,
+               round(100.0 * m.cnt / y.year_cnt, 2) AS pct_of_year
+        FROM monthly m JOIN yearly y ON m.yr = y.yr
+        ORDER BY m.yr DESC, m.mon ASC LIMIT 5
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(0 < r.pct_of_year <= 100 for r in rows)
+
+
+def test_table_not_found(engine):
+    with pytest.raises(TableNotFoundError):
+        engine.sql("SELECT * FROM glue.tpch.nope")
+
+
+def test_no_storage_location(engine, store):
+    store.register_table(
+        CatalogTable(database="tpch", name="homeless", location=None)
+    )
+    with pytest.raises(NoStorageLocationError):
+        engine.sql("SELECT * FROM glue.tpch.homeless")
+
+
+def test_empty_location_gives_empty_relation(spark, store, tmp_path):
+    empty = tmp_path / "empty_tbl"
+    empty.mkdir()
+    store.register_parquet_dir("tpch", "empty_tbl", str(empty))
+    engine = GlueSparkEngine(spark, store)
+    df = engine.sql("SELECT * FROM glue.tpch.empty_tbl")
+    assert df.count() == 0  # reference: SELECT NULL LIMIT 0 view
+
+
+class TestHivePartitioned:
+    def test_native_scan_partition_pruning(self, spark, hive_store):
+        from glue_table_cache_spark.plans.explain import partition_filters
+
+        engine = GlueSparkEngine(spark, hive_store)
+        df = engine.sql(
+            "SELECT * FROM glue.tpch.orders_part WHERE year = '1995'"
+        )
+        # Catalyst must prune at the scan (PruneFileSourcePartitions)
+        assert "1995" in partition_filters(df)
+        assert df.count() > 0
+
+    def test_explicit_list_mode_prunes(self, spark, hive_store):
+        engine = GlueSparkEngine(
+            spark, hive_store, EngineConfig(explicit_file_lists=True)
+        )
+        all_df = engine.sql("SELECT * FROM glue.tpch.orders_part")
+        pruned_df = engine.sql(
+            "SELECT * FROM glue.tpch.orders_part "
+            "WHERE year = '1995' AND month IN ('01','02')"
+        )
+        assert len(pruned_df.inputFiles()) < len(all_df.inputFiles())
+        assert all(
+            "year=1995" in f and ("month=01" in f or "month=02" in f)
+            for f in pruned_df.inputFiles()
+        )
+        # values must match the native path
+        native = GlueSparkEngine(spark, hive_store).sql(
+            "SELECT count(*) AS c FROM glue.tpch.orders_part "
+            "WHERE year = '1995' AND month IN ('01','02')"
+        )
+        assert pruned_df.count() == native.collect()[0].c
+
+    def test_explicit_list_or_filter_not_overpruned(self, spark, hive_store):
+        """The reference's OR→AND hazard must not reproduce here."""
+        engine = GlueSparkEngine(
+            spark, hive_store, EngineConfig(explicit_file_lists=True)
+        )
+        df = engine.sql(
+            "SELECT count(*) AS c FROM glue.tpch.orders_part "
+            "WHERE year = '1995' OR year = '1996'"
+        )
+        native = GlueSparkEngine(spark, hive_store).sql(
+            "SELECT count(*) AS c FROM glue.tpch.orders_part "
+            "WHERE year = '1995' OR year = '1996'"
+        )
+        assert df.collect()[0].c == native.collect()[0].c > 0
+
+
+def test_cache_hits_metadata_store_once(spark, store):
+    calls = {"n": 0}
+
+    class CountingStore:
+        def get_table(self, db, tbl):
+            calls["n"] += 1
+            return store.get_table(db, tbl)
+
+    engine = GlueSparkEngine(spark, CountingStore())
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    engine.sql("SELECT * FROM glue.tpch.region WHERE r_regionkey=1").count()
+    assert calls["n"] == 1
+    engine.invalidate_table("tpch", "region")
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    assert calls["n"] == 2

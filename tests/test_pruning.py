@@ -1,0 +1,94 @@
+"""Conservative pruning semantics — including the two reference quirks
+we deliberately fix (SURVEY.md §2.D)."""
+
+from __future__ import annotations
+
+from glue_table_cache_spark.listing import FileInfo
+from glue_table_cache_spark.pruning import (
+    TruePredicate,
+    extract_partition_predicate,
+    prune_files,
+)
+
+FILES = [
+    FileInfo("s3://b/t/year=2023/month=01/a.parquet", {"year": "2023", "month": "01"}),
+    FileInfo("s3://b/t/year=2023/month=02/b.parquet", {"year": "2023", "month": "02"}),
+    FileInfo("s3://b/t/year=2024/month=01/c.parquet", {"year": "2024", "month": "01"}),
+    FileInfo("s3://b/t/year=2024/month=02/d.parquet", {"year": "2024", "month": "02"}),
+]
+KEYS = ["year", "month"]
+IDENTS = {"tbl", "db.tbl"}
+
+
+def _prune(sql: str) -> list[str]:
+    pred = extract_partition_predicate(sql, KEYS, IDENTS)
+    return [f.path for f in prune_files(FILES, pred)]
+
+
+def test_equality_prunes():
+    out = _prune("SELECT * FROM glue.db.tbl WHERE year = '2024'")
+    assert out == [f.path for f in FILES[2:]]
+
+
+def test_numeric_comparison_on_string_values():
+    out = _prune("SELECT * FROM glue.db.tbl WHERE year >= 2024")
+    assert out == [f.path for f in FILES[2:]]
+
+
+def test_in_list():
+    out = _prune("SELECT * FROM glue.db.tbl WHERE month IN ('02')")
+    assert out == [FILES[1].path, FILES[3].path]
+
+
+def test_or_preserves_boolean_structure():
+    # the reference would AND these and prune to zero (SURVEY §2.D.1)
+    out = _prune(
+        "SELECT * FROM glue.db.tbl WHERE year = '2023' OR year = '2024'"
+    )
+    assert len(out) == 4
+
+
+def test_or_with_non_partition_branch_keeps_all():
+    # one branch not evaluable over partition values → entire OR is True
+    out = _prune(
+        "SELECT * FROM glue.db.tbl WHERE year = '2024' OR amount > 10"
+    )
+    assert len(out) == 4
+
+
+def test_and_mixes_partition_and_data_predicates():
+    out = _prune(
+        "SELECT * FROM glue.db.tbl WHERE year = '2024' AND amount > 10 AND month='01'"
+    )
+    assert out == [FILES[2].path]
+
+
+def test_not_in():
+    out = _prune("SELECT * FROM glue.db.tbl WHERE month NOT IN ('01')")
+    assert out == [FILES[1].path, FILES[3].path]
+
+
+def test_between():
+    out = _prune("SELECT * FROM glue.db.tbl WHERE year BETWEEN '2023' AND '2023'")
+    assert out == [FILES[0].path, FILES[1].path]
+
+
+def test_qualified_column_other_table_ignored():
+    out = _prune("SELECT * FROM glue.db.tbl t WHERE other.year = '2024'")
+    assert len(out) == 4
+
+
+def test_unparseable_or_missing_where_keeps_all():
+    pred = extract_partition_predicate("not sql at all (", KEYS, IDENTS)
+    assert isinstance(pred, TruePredicate)
+    pred = extract_partition_predicate("SELECT * FROM glue.db.tbl", KEYS, IDENTS)
+    assert isinstance(pred, TruePredicate)
+
+
+def test_missing_partition_value_is_kept():
+    files = FILES + [FileInfo("s3://b/t/misc/e.parquet", {})]
+    pred = extract_partition_predicate(
+        "SELECT * FROM glue.db.tbl WHERE year='2024'", KEYS, IDENTS
+    )
+    out = prune_files(files, pred)
+    assert files[-1] in out  # conservative: unknown value → keep

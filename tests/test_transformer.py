@@ -1,0 +1,89 @@
+"""Resolution + rewrite unit tests, mirroring the reference's
+sql-transformer suite (/root/reference/test/sql-transformer.test.ts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_table_cache_spark.errors import InvalidQueryError
+from glue_table_cache_spark.transformer import (
+    TableReference,
+    get_query_glue_table_refs,
+    mangle_view_name,
+    rewrite_query,
+)
+
+
+def test_simple_ref():
+    refs = get_query_glue_table_refs("SELECT * FROM glue.db1.tbl1")
+    assert refs == [TableReference("db1", "tbl1")]
+
+
+def test_two_part_ref_defaults_database():
+    # schema defaults to "default" (src/sql-transformer.ts:69-78)
+    refs = get_query_glue_table_refs("SELECT * FROM glue.tbl1 WHERE x=1")
+    assert refs == [TableReference("default", "tbl1")]
+
+
+def test_quoted_case_sensitive_ref():
+    # test/sql-transformer.test.ts:222-232
+    refs = get_query_glue_table_refs('SELECT * FROM "GLUE"."MYDB"."MYTABLE"')
+    assert refs == [TableReference("mydb", "mytable")]
+
+
+def test_multiple_refs_dedup_and_join():
+    sql = (
+        "SELECT * FROM glue.db.t1 a JOIN glue.db.t2 b ON a.id=b.id "
+        "JOIN glue.db.t1 c ON c.id=a.id JOIN plain p ON p.id=a.id"
+    )
+    refs = get_query_glue_table_refs(sql)
+    assert refs == [TableReference("db", "t1"), TableReference("db", "t2")]
+
+
+def test_cte_and_subquery_refs():
+    sql = """WITH x AS (SELECT * FROM glue.d.a WHERE y=1)
+             SELECT * FROM x, (SELECT * FROM glue.d.b) s"""
+    assert get_query_glue_table_refs(sql) == [
+        TableReference("d", "a"),
+        TableReference("d", "b"),
+    ]
+
+
+def test_empty_query_raises():
+    # test/sql-transformer.test.ts:156-165
+    with pytest.raises(InvalidQueryError):
+        get_query_glue_table_refs("")
+    with pytest.raises(InvalidQueryError):
+        get_query_glue_table_refs("   ")
+
+
+def test_invalid_sql_raises():
+    # test/sql-transformer.test.ts:151-154
+    with pytest.raises(InvalidQueryError):
+        get_query_glue_table_refs("SELECT FROM WHERE")
+
+
+def test_mangling_strips_dashes():
+    # test/sql-transformer.test.ts:780-787
+    assert mangle_view_name("my-db", "my-table") == "glue__mydb_mytable"
+
+
+def test_rewrite_bare_ref_gets_alias():
+    sql = "SELECT tbl1.a FROM glue.db1.tbl1 WHERE tbl1.b = 2"
+    refs = get_query_glue_table_refs(sql)
+    out = rewrite_query(sql, refs)
+    assert "glue__db1_tbl1 AS tbl1" in out
+    assert "glue." not in out
+
+
+def test_rewrite_preserves_alias_and_comments():
+    sql = "-- keep me\nSELECT t.a FROM glue.db1.tbl1 t WHERE t.b=2"
+    out = rewrite_query(sql, get_query_glue_table_refs(sql))
+    assert out.startswith("-- keep me")
+    assert "glue__db1_tbl1 t" in out
+
+
+def test_rewrite_ref_followed_by_keyword():
+    sql = "SELECT * FROM glue.db1.tbl1 WHERE x=1"
+    out = rewrite_query(sql, get_query_glue_table_refs(sql))
+    assert "glue__db1_tbl1 AS tbl1 WHERE x=1" in out
