@@ -1,0 +1,167 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Beyond-reference extension (SURVEY.md §7 P4; the reference at
+/root/reference has no text operators — its surface ends at SQL
+pass-through).  Everything here is built from `pyspark.sql.functions`
+column expressions so the work stays inside WholeStageCodegen on the
+JVM — no Python UDFs in the hot path, which is what survives a 100 TB
+scan.  Each function returns a Column (composable) or a DataFrame
+transformer.
+
+Design notes for scale:
+
+* tokenization / shingling are per-row array ops — embarrassingly
+  parallel, no shuffle;
+* stopword / marker lists are tiny `array(lit(...))` literals folded
+  into the plan (no broadcast join needed);
+* fingerprints use md5 (JVM intrinsic) so downstream dedup can
+  hash-partition on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: word-token pattern: runs of letters, runs of digits, or a single
+#: non-space symbol ("BPE-ish": splits punctuation off words).  Kept to
+#: syntax valid in both Java regex (Spark) and RE2 (DuckDB oracle).
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+#: small per-language stopword/marker lists for the n-gram-free
+#: heuristic language id.  Deliberately tiny and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "no"),
+    "zh": ("的", "是", "了", "不", "我", "在", "有", "人"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + (
+    "it", "for", "on", "with", "as", "are", "was", "be", "this", "an",
+)
+
+
+def tokens(col: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """Lowercased token array (group-0 regex extraction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word ``k``-grams (space-joined) — the unit for
+    MinHash / Jaccard dedup.  Documents shorter than ``k`` tokens get
+    their full token sequence as a single shingle so they still
+    participate in dedup."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(col) if isinstance(col, str) else col),
+        F.lit("[a-z0-9]+"),
+        0,
+    )
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, "[^.,;:!?'\"()-]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c)
+    )
+
+
+def stopword_ratio(
+    col: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS
+) -> Column:
+    """Fraction of tokens that are stopwords (0.0 when no tokens)."""
+    toks = tokens(col, "[a-z0-9]+")
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic heuristic quality score in [0, 1]: rewards
+    mid-length documents and prose-like punctuation/stopword rates.
+    Weights are arbitrary but fixed; the point is a reproducible,
+    oracle-checkable scalar per document."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_part = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_part = F.lit(1.0) - F.least(
+        punct_ratio(c) * F.lit(5.0), F.lit(1.0)
+    )
+    sw_part = F.least(stopword_ratio(c) * F.lit(4.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.3) * punct_part + F.lit(0.3) * sw_part,
+        6,
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language id: count marker-word hits per language and
+    take the argmax; ties resolve in the fixed LANG_MARKERS order (en
+    first).  Documents with zero hits in every language → 'und'."""
+    toks = tokens(col, "[a-z0-9]+|[\\u4e00-\\u9fff]")
+
+    def hits(lang: str) -> Column:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    langs = list(LANG_MARKERS)
+    scores = {lang: hits(lang) for lang in langs}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties (last when() wins in
+    # a chained otherwise — build from the end)
+    for lang in reversed(langs):
+        expr = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the
+    lowercase/whitespace-collapsed text.  Stable across engines — the
+    DuckDB oracle computes the identical value."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats frame: chars, tokens, avg token length,
+    punctuation + stopword ratios, quality score, fingerprint."""
+    t = F.col(text_col)
+    toks = tokens(t, "[a-z0-9]+")
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.length(t).alias("n_chars_actual"),
+        token_count(t).alias("n_tokens"),
+        F.round(
+            F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    F.transform(toks, lambda x: F.length(x).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size(toks)
+            ),
+            6,
+        ).alias("avg_token_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,311 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference extension (SURVEY.md §7 P4).  Four families:
+
+* **exact** — hash-groupBy on a canonical fingerprint; one shuffle on
+  the fingerprint, the plan that scales linearly to 100 TB.
+* **MinHash + LSH** — shingle → 64 minhashes → banded bucket keys →
+  candidate pairs via *bucket join* (never an all-pairs cross join),
+  then exact Jaccard verification on the candidates only.
+* **SimHash** — 64-bit signature from token hashes; near-dup candidates
+  via 16-bit band buckets + popcount(xor) Hamming verification.
+* **exact n-gram Jaccard** — inverted-index self-join on shingles;
+  cost ∝ Σ posting-list², bounded by dropping ultra-frequent shingles.
+
+Everything is DataFrame-native (`explode`/`groupBy`/`join`); hashes are
+`xxhash64` (JVM intrinsic).  No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from glue_table_cache_spark.functions.text import fingerprint, shingles, tokens
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row per canonical text (lowest id wins).
+
+    Implemented as a window ``row_number`` over the md5 fingerprint —
+    a single hash-partitioned shuffle; deterministic keep-lowest-id
+    semantics so results are oracle-checkable."""
+    fp = fingerprint(text_col)
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _family_hash(i: int):
+    # closure factory: a *unary* lambda (PySpark infers lambda arity from
+    # the Python signature, so a default-arg capture like ``lambda s, i=i``
+    # would silently become the binary (element, index) form)
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """Array of ``num_hashes`` minhashes: for hash family i,
+    min over shingles of xxhash64(i, shingle)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, _family_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig) per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, shingle_k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) that share ≥1 LSH band bucket.
+
+    Scale shape: explode to one row per (doc, band), bucket key =
+    hash(band, sig-slice); self-join on the bucket key is a
+    hash-partitioned equi-join over buckets — cost ∝ Σ bucket², never
+    n².  With 16 bands × 4 rows the S-curve threshold is ≈ 0.5 Jaccard.
+    """
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("sig")[i] for i in range(b * rows_per_band,
+                                                 (b + 1) * rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig_df.select(
+        F.col("id"), F.posexplode(band_keys).alias("band", "bucket")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sig_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only → (id_a, id_b,
+    jaccard) with jaccard ≥ threshold."""
+    sh = sig_df.select("id", "shingles")
+    joined = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}),
+                   "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs, exact-verified."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    candidates = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    return jaccard_verify(candidates, sig, threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """Drop every document that near-duplicates a lower-id document
+    (greedy pairwise policy — deterministic, no iterative
+    connected-components pass; at cluster scale swap in a CC step if
+    transitive closure is required)."""
+    dup_ids = (
+        minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dup_ids, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted index)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, computed exactly
+    via an inverted-index self-join (explode shingles → equi-join on
+    shingle → per-pair overlap count).  ``max_shingle_df`` drops
+    shingles appearing in more than that many documents — the standard
+    posting-list skew guard at scale."""
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
+    )
+    sizes = docs.select("id", F.size("sh").alias("n"))
+    postings = docs.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            postings.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        postings = postings.join(rare, "shingle")
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash) — classic Charikar simhash: per token-hash bit,
+    vote +1/−1 weighted by term frequency; signature bit = sign of the
+    vote.  Explode + one groupBy (single shuffle keyed on the doc id).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col, "[a-z0-9]+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast(
+                    "long"
+                ),
+                j,
+            )
+        )
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation uses the pigeonhole principle: split the
+    64-bit signature into ``max_hamming + 1`` bands — any pair within
+    the distance budget must agree exactly on ≥1 band, so a bucket
+    equi-join on (band, band_bits) finds all of them without an
+    all-pairs comparison; popcount(xor) then verifies exactly."""
+    sigs = simhash(df, text_col, id_col)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.shiftright("simhash", b * width).bitwiseAND(
+                F.lit((1 << width) - 1).cast("long")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(
+        "id", "simhash", F.posexplode(bands).alias("band", "bits")
+    )
+    left, right = buckets.alias("l"), buckets.alias("r")
+    return (
+        left.join(right, ["band", "bits"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

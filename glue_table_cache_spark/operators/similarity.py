@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (`array<double>`).
+
+Beyond-reference extension (SURVEY.md §7 P4).  Two paths:
+
+* **brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set, score every corpus vector map-side with
+  `zip_with`/`aggregate` (JVM, no Python), then one shuffle keyed on
+  the query id for the per-query top-k window.  Cost O(|corpus|·|Q|·d)
+  with zero candidate loss — correct at any scale where Q is small.
+* **LSH-bucketed ANN** — sign-random-projection buckets (Rademacher
+  hyperplanes derived deterministically from xxhash64 parities, so no
+  driver-side random state); queries multi-probe neighboring buckets
+  (Hamming ≤ 1) and only candidates sharing a probed bucket are scored.
+  This is the 100 TB path: the corpus is hash-partitioned by bucket and
+  each query touches ~(planes+1)/2^planes of it.
+
+Both return (query_id, vec_id, cosine, rank) with cosine rounded to 6
+decimals *before* ranking so ordering is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic element order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def embedding_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, dim, l2_norm, mean) per vector — sanity/profiling frame."""
+    v = F.col(vec_col)
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("dim"),
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v), 6
+        ).alias("mean"),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (self-matches by id
+    equality are excluded when query ids live in the corpus id space)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH (sign random projection)
+# --------------------------------------------------------------------------
+
+
+def srp_bucket(vec_col: Column, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id in [0, 2^planes).  Hyperplane p
+    has Rademacher weights w[p][d] = ±1 from the parity of
+    xxhash64(p, d) — deterministic, identical on every executor, no
+    broadcast of random matrices needed."""
+    def signed(p: int):
+        # closure factory keeps the zip_with lambda binary (PySpark infers
+        # lambda arity from the Python signature)
+        return lambda x, d: F.when(
+            F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x
+        ).otherwise(-x)
+
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                signed(p),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in range(planes)
+    ]
+    bucket = F.lit(0).cast("long")
+    for p, pr in enumerate(proj):
+        bucket = bucket.bitwiseOR(
+            F.shiftleft(F.when(pr > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), p)
+        )
+    return bucket
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose SRP bucket is
+    within Hamming distance 1 of the query's bucket (multi-probe).
+    Recall is tunable via ``planes`` (fewer planes → bigger buckets →
+    higher recall, more compute)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qbucket", srp_bucket(F.col("qv"), planes))
+    # multi-probe: the query's own bucket plus every 1-bit flip
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(planes)
+        ],
+    )
+    q = F.broadcast(
+        qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP bucket join for
+    candidates (same bucket ⇒ likely small angle), exact cosine verify.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", srp_bucket(F.col("v"), planes))
+    left, right = v.alias("l"), v.alias("r")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

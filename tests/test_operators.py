@@ -1,0 +1,279 @@
+"""Tests for the LLM-pipeline operator modules (dedup / similarity /
+text / multimodal / streaming) over the driver testdata at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA
+
+from glue_table_cache_spark.functions import text as T
+from glue_table_cache_spark.operators import dedup as D
+from glue_table_cache_spark.operators import multimodal as M
+from glue_table_cache_spark.operators import similarity as S
+from glue_table_cache_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(str(TESTDATA / "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(str(TESTDATA / "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from glue_table_cache_spark.io import read_table
+
+    return read_table(spark, str(TESTDATA), "events")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, documents):
+    """documents ∪ near-copies: doc_id+10000 duplicates doc_id exactly,
+    doc_id+20000 with one appended word (near-dup)."""
+    base = documents.limit(20)
+    exact = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return documents.unionByName(exact).unionByName(near)
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_text_stats_shape(documents):
+    stats = T.text_stats(documents)
+    row = stats.where(F.col("doc_id") == 0).collect()[0]
+    assert row.n_tokens > 0
+    assert 0.0 <= row.stopword_ratio <= 1.0
+    assert 0.0 <= row.quality <= 1.0
+    assert len(row.fingerprint) == 32
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a  b\tc",), ("A b C",)], "text string"
+    ).select(T.fingerprint("text").alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1]
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund ist nicht ein katze und",),
+            ("xyzzy qwerty",),
+        ],
+        "text string",
+    ).select(T.language_id("text").alias("lang"))
+    assert [r.lang for r in df.collect()] == ["en", "de", "und"]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string").select(
+        T.shingles("text", 3).alias("sh")
+    )
+    assert df.collect()[0].sh == ["one two"]
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def test_exact_dedup_removes_exact_copies(docs_with_dups):
+    deduped = D.exact_dedup(docs_with_dups)
+    assert deduped.count() == docs_with_dups.count() - 20
+    # lowest id kept
+    kept = {r.doc_id for r in deduped.select("doc_id").collect()}
+    assert all(i in kept for i in range(20))
+    assert all(i + 10000 not in kept for i in range(20))
+
+
+def test_minhash_finds_exact_and_near_dups(docs_with_dups):
+    pairs = D.minhash_dedup_pairs(docs_with_dups, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every exact copy must surface (jaccard 1.0)
+    assert all((i, i + 10000) in got for i in range(20))
+    # near-dups (1 appended word on ≥5-token docs) share most shingles
+    near_hits = sum((i, i + 20000) in got for i in range(20))
+    assert near_hits >= 15
+
+
+def test_minhash_dedup_drops_higher_ids(docs_with_dups):
+    deduped = D.minhash_dedup(docs_with_dups, threshold=0.9)
+    kept = {r.doc_id for r in deduped.select("doc_id").collect()}
+    # docs 8 and 12 are *natural* near-dups in the testdata (3-gram
+    # shingle jaccard 0.973684), so 12 is legitimately dropped too
+    assert all(i in kept for i in range(20) if i != 12)
+    assert 12 not in kept
+    assert all(i + 10000 not in kept for i in range(20))
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs_with_dups):
+    """Inverted-index join must equal the definitional all-pairs
+    Jaccard on a small sample."""
+    sample = docs_with_dups.where(
+        (F.col("doc_id") < 10) | (F.col("doc_id") >= 10000)
+    )
+    pairs = D.ngram_jaccard_pairs(sample, threshold=0.4)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    docs = sample.select(
+        "doc_id", T.shingles("text", 3).alias("sh")
+    ).collect()
+    expect = {}
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            lo, hi = sorted((a.doc_id, b.doc_id))
+            sa, sb = set(a.sh), set(b.sh)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.4:
+                expect[(lo, hi)] = round(j, 6)
+    assert got == expect
+
+
+def test_simhash_near_pairs_find_near_dups(docs_with_dups):
+    pairs = D.simhash_near_pairs(docs_with_dups, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((i, i + 10000) in got for i in range(20))  # exact: dist 0
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def test_cosine_topk_matches_bruteforce_python(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = S.cosine_topk(embeddings, queries, k=5)
+    rows = topk.collect()
+    assert len(rows) == 15
+    # python oracle for query 0
+    import math
+
+    data = {r.vec_id: r.embedding for r in embeddings.collect()}
+    q = data[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    expect = sorted(
+        ((round(cos(q, v), 6), vid) for vid, v in data.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = sorted(
+        [(r.cosine, r.vec_id) for r in rows if r.query_id == 0],
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert got == expect
+
+
+def test_ann_lsh_recall_against_exact(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(embeddings, queries, k=5)
+    approx = S.ann_topk_lsh(embeddings, queries, k=5, planes=4)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # 4-plane multiprobe on random vectors
+
+
+def test_embedding_stats(embeddings):
+    stats = S.embedding_stats(embeddings)
+    row = stats.where(F.col("vec_id") == 0).collect()[0]
+    assert row.dim == 64
+    assert row.l2_norm > 0
+
+
+def test_embedding_near_pairs_self_duplicates(spark, embeddings):
+    dup = embeddings.limit(5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    both = embeddings.unionByName(dup)
+    pairs = S.embedding_near_pairs(both, threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((i, i + 1000) in got for i in range(5))
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_decode_plumbing(documents):
+    media = M.binary_media_df(
+        documents.limit(50), "doc_id", "text", source_col="source"
+    )
+    # names+types must match the canonical schema (nullability flags vary
+    # with how columns are derived — lit() is non-nullable, casts aren't)
+    assert [(f.name, f.dataType) for f in media.schema] == [
+        (f.name, f.dataType) for f in M.MEDIA_SCHEMA
+    ]
+    meta = M.decode_media_meta(media)
+    assert meta.schema == M.DECODED_META_SCHEMA
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r.n_bytes > 0 and r.width >= 16 and r.sha_prefix for r in rows)
+    # deterministic: same payload → same fake decode
+    again = {r.media_id: (r.width, r.height, r.sha_prefix)
+             for r in M.decode_media_meta(media).collect()}
+    assert all(again[r.media_id] == (r.width, r.height, r.sha_prefix)
+               for r in rows)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(documents):
+    media = M.binary_media_df(documents.limit(3), "doc_id", "text")
+    plan = M.frame_sample_plan(media, every_n=1)
+    assert plan.columns == ["media_id", "frame_index"]
+    assert plan.count() >= 3
+
+
+# -- streaming --------------------------------------------------------------
+
+
+def test_tumbling_stream_equals_batch(spark, events):
+    batch = W.tumbling_counts_batch(events)
+    stream_df = W.tumbling_counts_stream(
+        spark, str(TESTDATA / "events.parquet")
+    )
+    W.run_stream_to_memory(stream_df, "tumbling_test")
+    streamed = spark.sql("select * from tumbling_test")
+    b = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in batch.collect()
+    }
+    s = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum)
+        for r in streamed.collect()
+    }
+    assert b == s and len(b) > 0
+
+
+def test_sessionize_batch(events):
+    sessions = W.sessionize_batch(events, gap_minutes=30)
+    agg = sessions.agg(
+        F.sum("n_events").alias("total"), F.count("*").alias("n_sessions")
+    ).collect()[0]
+    assert agg.total == events.count()
+    assert 0 < agg.n_sessions <= events.count()
+    assert sessions.where(
+        F.col("session_end") < F.col("session_start")
+    ).count() == 0
