@@ -32,6 +32,9 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table by name from ``sf_dir``."""
+    # pin the session TZ so timestamp-derived results (year(), window
+    # buckets) are stable regardless of how the caller built the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -26,9 +26,15 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product — deterministic element order."""
+    """Sequential left-fold dot product — deterministic element order.
+
+    Inputs are widened to double *before* multiplying: float32 × float32
+    in float32 loses bits relative to a double-precision product, and
+    cross-engine oracles (DuckDB computes lists in double) would drift."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -36,7 +42,9 @@ def dot(a: Column, b: Column) -> Column:
 
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(
+            a.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
     )
 
 
@@ -54,7 +62,11 @@ def embedding_stats(
         F.size(v).alias("dim"),
         F.round(l2_norm(v), 6).alias("l2_norm"),
         F.round(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v), 6
+            F.aggregate(
+                v.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.size(v),
+            6,
         ).alias("mean"),
     )
 

@@ -115,12 +115,16 @@ def sessionize_batch(
     on user) and identical semantics in any SQL engine — the streaming
     twin is an ``applyInPandasWithState`` keyed-state op."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+    # integer microseconds: unix_timestamp() truncates to whole seconds,
+    # which would misclassify gaps within one second of the boundary
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
         F.lag(ts_col).over(w)
     )
     flagged = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+        ).otherwise(0),
     )
     sessioned = flagged.withColumn(
         "session_seq", F.sum("new_session").over(w)
