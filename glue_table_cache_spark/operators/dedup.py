@@ -51,19 +51,38 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's shuffle parallelism when the
+    source has fewer partitions (e.g. one small parquet file → one
+    input split): the tokenize/shingle/hash map work is CPU-bound and
+    would otherwise run on a single core.  At real scale the input
+    already has enough splits and this is a no-op."""
+    target = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _family_hash(i: int):
-    # closure factory: a *unary* lambda (PySpark infers lambda arity from
-    # the Python signature, so a default-arg capture like ``lambda s, i=i``
-    # would silently become the binary (element, index) form)
-    return lambda s: F.xxhash64(F.lit(i), s)
+    """Hash family ``i`` over a base shingle hash: re-hash the 64-bit
+    base with the family index as seed material.  ``xxhash64`` over a
+    long is a JVM intrinsic and cannot overflow (affine ``h*a+b``
+    families would trip Spark 4's default ANSI overflow checks)."""
+    return lambda h: F.xxhash64(F.lit(i), h)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """Array of ``num_hashes`` minhashes: for hash family i,
-    min over shingles of xxhash64(i, shingle)."""
+    """Array of ``num_hashes`` minhashes over a shingle array column.
+
+    Expression form (used when the shingles are already materialized as
+    a column); the DataFrame-level :func:`minhash_signatures` uses the
+    faster explode→aggregate shape."""
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, _family_hash(i)))
+            F.array_min(F.transform(base, _family_hash(i)))
             for i in range(num_hashes)
         ]
     )
@@ -76,11 +95,29 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig) per document."""
-    return df.select(
+    """(id, shingles, sig) per document.
+
+    Scale shape: explode shingles → hash each shingle ONCE with
+    ``xxhash64`` → ``num_hashes`` plain ``min()`` aggregates over
+    re-seeded long hashes in a single hash-partitioned shuffle keyed on
+    the document id.  This keeps the expensive tokenize/shingle
+    expression evaluated once per row (the nested
+    ``array_min(transform(...))×64`` form re-evaluates it per family
+    after Catalyst's project collapsing) and turns signature computation
+    into vectorized aggregate machinery."""
+    postings = _widen(df).select(
         F.col(id_col).alias("id"),
-        shingles(text_col, shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        F.explode(shingles(text_col, shingle_k)).alias("shingle"),
+    ).withColumn("h", F.xxhash64("shingle"))
+    aggs = [F.collect_list("shingle").alias("shingles")]
+    for i in range(num_hashes):
+        aggs.append(F.min(_family_hash(i)(F.col("h"))).alias(f"_m{i}"))
+    agged = postings.groupBy("id").agg(*aggs)
+    return agged.select(
+        "id",
+        "shingles",
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -148,7 +185,14 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs, exact-verified."""
+    """End-to-end MinHash-LSH near-dup pairs, exact-verified.
+
+    The signature frame feeds four plan branches (both sides of the
+    bucket self-join, both sides of the verify join); the expensive
+    tokenize→hash map side sits just before the groupBy shuffle, so
+    Spark's ReusedExchange executes it once and all branches read the
+    shuffle output — no explicit persist() needed (measured slower: it
+    materializes the wide shingle arrays to storage)."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     candidates = lsh_candidate_pairs(sig, bands, num_hashes // bands)
     return jaccard_verify(candidates, sig, threshold)
@@ -191,7 +235,7 @@ def ngram_jaccard_pairs(
     shingle → per-pair overlap count).  ``max_shingle_df`` drops
     shingles appearing in more than that many documents — the standard
     posting-list skew guard at scale."""
-    docs = df.select(
+    docs = _widen(df).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
     )
     sizes = docs.select("id", F.size("sh").alias("n"))
@@ -242,7 +286,7 @@ def simhash(
     vote +1/−1 weighted by term frequency; signature bit = sign of the
     vote.  Explode + one groupBy (single shuffle keyed on the doc id).
     """
-    toks = df.select(
+    toks = _widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col, "[a-z0-9]+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
