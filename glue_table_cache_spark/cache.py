@@ -78,6 +78,11 @@ class LruTtlCache(Generic[T]):
                     self._entries.popitem(last=False)
             return data
 
+    def peek(self, key: str) -> T | None:
+        """Cached value without loading, TTL-checked; None on miss."""
+        hit = self._fresh(key)
+        return hit.data if hit is not None else None
+
     def invalidate(self, key: str) -> None:
         with self._lock:
             self._entries.pop(key, None)

@@ -23,6 +23,7 @@ rewritten query to Catalyst:
 
 from __future__ import annotations
 
+import itertools
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
@@ -70,6 +71,7 @@ class GlueSparkEngine:
         self.store = metadata_store
         self.config = config or EngineConfig()
         self._fs = filesystem
+        self._view_seq = itertools.count()  # per-query view-name tokens
         cfg = self.config
         retry = dict(
             retry_attempts=cfg.retry_attempts,
@@ -93,24 +95,56 @@ class GlueSparkEngine:
 
     def sql(self, query: str) -> DataFrame:
         """``convertGlueTableQuery`` + execute: resolve glue refs, set up
-        views, rewrite, run through Spark SQL."""
-        refs = self.setup_views(query)
-        return self.spark.sql(rewrite_query(query, refs))
+        views, rewrite, run through Spark SQL.
+
+        Views are registered under per-query-unique names (a monotonic
+        token + per-ref index): two concurrent ``sql()`` calls touching
+        the same table with different WHERE clauses would otherwise race
+        on ``createOrReplaceTempView`` and read each other's pruned
+        DataFrames, and distinct databases that mangle to the same view
+        name (``a-b`` vs ``ab``) can no longer collide."""
+        refs = get_query_glue_table_refs(query, strict=False)
+        token = next(self._view_seq)
+        names = {
+            ref: f"{ref.view_name}__q{token}_{i}"
+            for i, ref in enumerate(refs)
+        }
+        self._register_views(refs, names, query)
+        df = self.spark.sql(rewrite_query(query, refs, names))
+        # analysis has resolved the views into the plan; drop them so the
+        # catalog doesn't accumulate one view per query
+        for name in names.values():
+            self.spark.catalog.dropTempView(name)
+        return df
 
     def setup_views(self, query: str) -> list[TableReference]:
-        """Register one temp view per glue table referenced by ``query``
-        (= ``getGlueTableViewSetupSql``,
-        /root/reference/src/glue-table-cache.ts:253-347).  Per-table work
-        runs in a thread pool like the reference's ``Promise.all``."""
-        refs = get_query_glue_table_refs(query)
+        """Register one *stable-named* temp view per glue table referenced
+        by ``query`` (= ``getGlueTableViewSetupSql``,
+        /root/reference/src/glue-table-cache.ts:253-347) for callers that
+        want to query ``glue__db_tbl`` views directly."""
+        refs = get_query_glue_table_refs(query, strict=False)
+        self._register_views(refs, {r: r.view_name for r in refs}, query)
+        return refs
+
+    def _register_views(
+        self,
+        refs: list[TableReference],
+        names: dict[TableReference, str],
+        query: str,
+    ) -> None:
+        """Per-table work runs in a thread pool like the reference's
+        ``Promise.all`` (/root/reference/src/glue-table-cache.ts:265)."""
         if not refs:
-            return refs
+            return
         if len(refs) == 1:
-            self._setup_view(refs[0], query)
+            self._setup_view(refs[0], names[refs[0]], query)
         else:
             with ThreadPoolExecutor(max_workers=min(8, len(refs))) as pool:
-                list(pool.map(lambda r: self._setup_view(r, query), refs))
-        return refs
+                list(
+                    pool.map(
+                        lambda r: self._setup_view(r, names[r], query), refs
+                    )
+                )
 
     def get_table_metadata_cached(self, database: str, table: str) -> CatalogTable:
         return self._metadata_cache.get_or_load(
@@ -130,10 +164,23 @@ class GlueSparkEngine:
     def invalidate_table(self, database: str, table: str) -> None:
         """Reference ``invalidateTable``
         (/root/reference/src/glue-table-cache.ts:206-215): drop the
-        metadata key and any listing key containing ``db_tbl``; refresh
-        any registered view."""
-        self._metadata_cache.invalidate(table_cache_key(database, table))
-        self._listing_cache.invalidate_matching(table_cache_key(database, table))
+        metadata entry and the table's file listing.
+
+        The reference sweeps listing keys by the ``db_tbl`` substring,
+        but listing keys are ``location:keys`` and rarely contain it —
+        stale listings survive invalidation there.  We resolve the
+        cached metadata to its exact listing key first (plus the
+        substring sweep for parity with any location that does embed the
+        table name)."""
+        meta_key = table_cache_key(database, table)
+        cached = self._metadata_cache.peek(meta_key)
+        if cached is not None and cached.location:
+            keys = [k.name for k in cached.partition_keys]
+            self._listing_cache.invalidate(
+                listing_cache_key(cached.location, keys)
+            )
+        self._metadata_cache.invalidate(meta_key)
+        self._listing_cache.invalidate_matching(meta_key)
 
     def clear_cache(self) -> None:
         self._metadata_cache.clear()
@@ -149,10 +196,12 @@ class GlueSparkEngine:
         tbl = self.get_table_metadata_cached(database, table)
         return self._dataframe_for(tbl, query)
 
-    def _setup_view(self, ref: TableReference, query: str) -> None:
+    def _setup_view(
+        self, ref: TableReference, view_name: str, query: str
+    ) -> None:
         tbl = self.get_table_metadata_cached(ref.database, ref.table)
         df = self._dataframe_for(tbl, query)
-        df.createOrReplaceTempView(ref.view_name)
+        df.createOrReplaceTempView(view_name)
 
     def _dataframe_for(self, tbl: CatalogTable, query: str | None) -> DataFrame:
         if not tbl.location:
@@ -174,14 +223,19 @@ class GlueSparkEngine:
             and not self.config.explicit_file_lists
         ):
             # native path: let Spark list + partition-prune
+            from pyspark.errors import AnalysisException
+
             reader = self.spark.read
             if ttype == ETableType.HIVE:
                 reader = reader.option("basePath", tbl.location)
             try:
                 return reader.parquet(tbl.location)
-            except Exception:
-                # empty/unreadable location: fall through to the explicit
-                # path, which emits the reference's empty-relation view
+            except AnalysisException:
+                # empty or missing location (UNABLE_TO_INFER_SCHEMA /
+                # PATH_NOT_FOUND): fall through to the explicit path,
+                # which emits the reference's empty-relation view.  Real
+                # read failures (permissions, corrupt footers) are NOT
+                # caught — silently returning 0 rows would hide them.
                 return self._explicit_list_dataframe(tbl, query)
         return self._explicit_list_dataframe(tbl, query)
 
@@ -207,7 +261,19 @@ class GlueSparkEngine:
             df = self.spark.read.parquet(files[0].path).limit(0)
             return self._attach_partition_columns(df, tbl)
         paths = self._proxy([f.path for f in pruned])
-        hive_layout = tbl.table_type == ETableType.HIVE and not tbl.projection
+        # basePath-driven partition discovery only works when EVERY file
+        # sits under key=value dirs; a mixed layout (stray files missing
+        # the key) makes Spark raise CONFLICTING_DIRECTORY_STRUCTURES.
+        # Those tables fall back to regex attachment (missing → NULL),
+        # matching the reference's extract-from-path posture.
+        hive_layout = (
+            tbl.table_type == ETableType.HIVE
+            and not tbl.projection
+            and all(
+                all(k.name in f.partition_values for k in tbl.partition_keys)
+                for f in pruned
+            )
+        )
         df = self._read_paths(
             paths, base_path=tbl.location if hive_layout else None
         )

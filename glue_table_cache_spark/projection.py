@@ -57,14 +57,24 @@ class PartitionExtractor:
 
     def spark_column(self, path_col: Column) -> Column:
         col = F.regexp_extract(path_col, self.pattern, 1)
+        # regexp_extract yields '' on no match; partition semantics want
+        # NULL for a file that lacks the key (mixed layouts)
+        col = F.when(col != "", col)
         return col.cast(self.cast) if self.cast else col
 
 
 def hive_extractor(key: str) -> PartitionExtractor:
     """Hive-style ``key=value`` component
     (/root/reference/src/util/s3.ts:15-25; SQL form emitted at
-    /root/reference/src/glue-table-cache.ts:298-306)."""
-    return PartitionExtractor(column=key, pattern=rf"{re.escape(key)}=([^/]+)")
+    /root/reference/src/glue-table-cache.ts:298-306).
+
+    Anchored to a path-component boundary: the reference's unanchored
+    ``key=([^/]+)`` matches *inside* a longer sibling key (extracting
+    ``year`` from ``.../fiscalyear=5/...`` yields ``5``), and a wrong
+    exact value feeds prune predicates that drop valid files."""
+    return PartitionExtractor(
+        column=key, pattern=rf"(?:^|/){re.escape(key)}=([^/]+)"
+    )
 
 
 def projection_extractor(pattern: ProjectionPattern) -> PartitionExtractor:

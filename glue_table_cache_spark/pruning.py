@@ -40,13 +40,19 @@ from glue_table_cache_spark.listing import FileInfo
 
 
 class Predicate:
-    """Evaluates against one file's partition values.  ``exact`` means
-    the node is a faithful translation of the SQL (safe to negate);
-    inexact nodes are conservative over-approximations (always True)."""
+    """Evaluates against one file's partition values with THREE-VALUED
+    logic: ``True`` / ``False`` / ``None`` (Unknown — the value is
+    missing or uncoercible).  Pruning keeps every file that does not
+    evaluate to a definite ``False``, and crucially ``Not(Unknown)``
+    stays Unknown, so negation can never flip a conservative keep into
+    a drop.  ``exact`` means the node is a faithful translation of the
+    SQL (safe to negate); inexact nodes over-approximate to True."""
 
     exact: bool = True
 
-    def evaluate(self, values: dict[str, str]) -> bool:  # pragma: no cover
+    def evaluate(
+        self, values: dict[str, str]
+    ) -> bool | None:  # pragma: no cover
         raise NotImplementedError
 
 
@@ -56,7 +62,7 @@ class TruePredicate(Predicate):
 
     exact: bool = False
 
-    def evaluate(self, values: dict[str, str]) -> bool:
+    def evaluate(self, values: dict[str, str]) -> bool | None:
         return True
 
 
@@ -95,10 +101,10 @@ class Comparison(Predicate):
     op: str  # key into _OPS
     const: Any
 
-    def evaluate(self, values: dict[str, str]) -> bool:
+    def evaluate(self, values: dict[str, str]) -> bool | None:
         v = _coerce(values.get(self.column), self.const)
         if v is None:
-            return True  # conservative: keep
+            return None  # Unknown: missing or uncoercible value
         c = float(self.const) if isinstance(self.const, (int, float)) else self.const
         return _OPS[self.op](v, c)
 
@@ -109,15 +115,15 @@ class InList(Predicate):
     consts: tuple
     negated: bool = False
 
-    def evaluate(self, values: dict[str, str]) -> bool:
+    def evaluate(self, values: dict[str, str]) -> bool | None:
         raw = values.get(self.column)
         if raw is None:
-            return True
+            return None
         hit = False
         for c in self.consts:
             v = _coerce(raw, c)
             if v is None:
-                return True
+                return None
             cc = float(c) if isinstance(c, (int, float)) else c
             if v == cc:
                 hit = True
@@ -133,8 +139,16 @@ class And(Predicate):
     def exact(self) -> bool:  # type: ignore[override]
         return all(c.exact for c in self.children)
 
-    def evaluate(self, values: dict[str, str]) -> bool:
-        return all(c.evaluate(values) for c in self.children)
+    def evaluate(self, values: dict[str, str]) -> bool | None:
+        # Kleene AND: any False → False; else any Unknown → Unknown
+        unknown = False
+        for c in self.children:
+            r = c.evaluate(values)
+            if r is False:
+                return False
+            if r is None:
+                unknown = True
+        return None if unknown else True
 
 
 @dataclass(frozen=True)
@@ -145,16 +159,25 @@ class Or(Predicate):
     def exact(self) -> bool:  # type: ignore[override]
         return all(c.exact for c in self.children)
 
-    def evaluate(self, values: dict[str, str]) -> bool:
-        return any(c.evaluate(values) for c in self.children)
+    def evaluate(self, values: dict[str, str]) -> bool | None:
+        # Kleene OR: any True → True; else any Unknown → Unknown
+        unknown = False
+        for c in self.children:
+            r = c.evaluate(values)
+            if r is True:
+                return True
+            if r is None:
+                unknown = True
+        return None if unknown else False
 
 
 @dataclass(frozen=True)
 class Not(Predicate):
     child: Predicate
 
-    def evaluate(self, values: dict[str, str]) -> bool:
-        return not self.child.evaluate(values)
+    def evaluate(self, values: dict[str, str]) -> bool | None:
+        r = self.child.evaluate(values)
+        return None if r is None else not r
 
 
 # --------------------------------------------------------------------------
@@ -361,4 +384,7 @@ def prune_files(files: list[FileInfo], predicate: Predicate) -> list[FileInfo]:
     /root/reference/src/glue-table-cache.ts:323-333)."""
     if isinstance(predicate, TruePredicate):
         return files
-    return [f for f in files if predicate.evaluate(f.partition_values)]
+    # keep on True AND on Unknown — only a definite False drops a file
+    return [
+        f for f in files if predicate.evaluate(f.partition_values) is not False
+    ]

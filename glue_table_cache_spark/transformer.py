@@ -29,10 +29,27 @@ from glue_table_cache_spark.errors import InvalidQueryError
 DEFAULT_DATABASE = "default"
 
 _IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)'
+#: the left boundary (?<![A-Za-z0-9_".`]) keeps ``someglue.db.tbl`` (a
+#: different catalog) from matching on its ``glue.db.tbl`` suffix
 _GLUE_REF = re.compile(
-    rf'(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
+    rf'(?<![A-Za-z0-9_".`])(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
     rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})(?!\s*\.)",
 )
+
+#: spans that must never be rewritten: single-quoted string literals
+#: (with '' escapes), line comments, block comments
+_MASKED_SPAN = re.compile(
+    r"'(?:[^']|'')*'" r"|--[^\n]*" r"|/\*.*?\*/",
+    re.DOTALL,
+)
+
+
+def _masked_spans(sql: str) -> list[tuple[int, int]]:
+    return [m.span() for m in _MASKED_SPAN.finditer(sql)]
+
+
+def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a <= pos < b for a, b in spans)
 
 
 @dataclass(frozen=True)
@@ -110,22 +127,35 @@ def _ast_refs(sql: str) -> list[TableReference] | None:
 
 
 def _regex_refs(sql: str) -> list[TableReference]:
+    spans = _masked_spans(sql)
     refs = []
     for m in _GLUE_REF.finditer(sql):
+        if _in_spans(m.start(), spans):
+            continue  # inside a string literal or comment
         db = _unquote(m.group("db")) if m.group("db") else DEFAULT_DATABASE
         refs.append(TableReference(db.lower(), _unquote(m.group("tbl")).lower()))
     return refs
 
 
-def get_query_glue_table_refs(sql: str) -> list[TableReference]:
+def get_query_glue_table_refs(
+    sql: str, strict: bool = True
+) -> list[TableReference]:
     """All distinct glue table references in the query (first-seen order).
 
-    Raises :class:`InvalidQueryError` on empty input or an unparseable
-    query, matching the reference's error surface
-    (/root/reference/test/sql-transformer.test.ts:151-181)."""
+    Raises :class:`InvalidQueryError` on empty input; with
+    ``strict=True`` (default) also on SQL DuckDB's parser rejects,
+    matching the reference's error surface
+    (/root/reference/test/sql-transformer.test.ts:151-181).  The engine
+    passes ``strict=False``: Spark is the executor there, its dialect is
+    wider than DuckDB's, and Spark's own parser surfaces real errors."""
     if not sql or not sql.strip():
         raise InvalidQueryError("Empty query")
-    refs = _ast_refs(sql)
+    try:
+        refs = _ast_refs(sql)
+    except InvalidQueryError:
+        if strict:
+            raise
+        refs = None
     if refs is None:
         refs = _regex_refs(sql)
     seen: set[tuple[str, str]] = set()
@@ -138,15 +168,29 @@ def get_query_glue_table_refs(sql: str) -> list[TableReference]:
     return out
 
 
-def rewrite_query(sql: str, refs: list[TableReference]) -> str:
+def rewrite_query(
+    sql: str,
+    refs: list[TableReference],
+    view_names: dict[TableReference, str] | None = None,
+) -> str:
     """Replace each glue reference's text span with its view name.
+
+    String literals and comments are never rewritten (the reference
+    avoids this by mutating the AST, /root/reference/src/sql-transformer.ts:80-158;
+    we mask those spans instead).  ``view_names`` overrides the default
+    stable view name per reference — the engine passes per-query-unique
+    names so concurrent queries can't swap each other's views.
 
     When the reference appears bare (no alias following), we alias the
     view back to the original table name so qualified column references
     like ``tbl.col`` keep resolving."""
     wanted = {(r.database, r.table): r for r in refs}
+    names = view_names or {}
+    spans = _masked_spans(sql)
 
     def sub(m: re.Match) -> str:
+        if _in_spans(m.start(), spans):
+            return m.group(0)  # inside a string literal or comment
         db = _unquote(m.group("db")) if m.group("db") else DEFAULT_DATABASE
         tbl = _unquote(m.group("tbl"))
         ref = wanted.get((db.lower(), tbl.lower()))
@@ -160,8 +204,9 @@ def rewrite_query(sql: str, refs: list[TableReference]) -> str:
             tail,
             re.IGNORECASE,
         )
+        view = names.get(ref, ref.view_name)
         if has_alias and not keyword_next:
-            return ref.view_name
-        return f"{ref.view_name} AS {tbl.lower()}"
+            return view
+        return f"{view} AS {tbl.lower()}"
 
     return _GLUE_REF.sub(sub, sql)

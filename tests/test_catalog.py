@@ -110,3 +110,13 @@ def test_catalog_table_projection_property():
     )
     assert t.table_type == ETableType.GLUE_PROJECTED
     assert t.projection["day"].type == "integer"
+
+
+def test_hive_extractor_anchored_to_path_component():
+    """ADVICE r1: 'year=' must not match inside '.../fiscalyear=5/...'."""
+    from glue_table_cache_spark.projection import hive_extractor
+
+    ex = hive_extractor("year")
+    assert ex.extract("s3://b/t/fiscalyear=5/year=2024/f.parquet") == "2024"
+    assert ex.extract("s3://b/t/fiscalyear=5/f.parquet") is None
+    assert ex.extract("year=1999/f.parquet") == "1999"

@@ -156,3 +156,104 @@ def test_cache_hits_metadata_store_once(spark, store):
     engine.invalidate_table("tpch", "region")
     engine.sql("SELECT * FROM glue.tpch.region").count()
     assert calls["n"] == 2
+
+
+def test_concurrent_sql_different_filters(spark, hive_store):
+    """ADVICE r1: two concurrent queries on the same table with
+    different WHERE clauses must not swap each other's views."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine = GlueSparkEngine(
+        spark, hive_store, EngineConfig(explicit_file_lists=True)
+    )
+
+    def run(year: str) -> int:
+        return (
+            engine.sql(
+                "SELECT count(*) AS c FROM glue.tpch.orders_part "
+                f"WHERE year = '{year}'"
+            ).collect()[0].c
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        seq = ["1995", "1996"] * 8
+        counts = list(pool.map(run, seq))
+    c95, c96 = run("1995"), run("1996")
+    assert c95 != c96  # the two filters are distinguishable
+    assert counts == [c95, c96] * 8
+
+
+def test_invalidate_table_drops_listing(spark, store):
+    listing_calls = {"n": 0}
+
+    class CountingFS:
+        def list_files(self, location):
+            listing_calls["n"] += 1
+            from glue_table_cache_spark.listing import LocalFileSystem
+
+            return LocalFileSystem().list_files(location)
+
+    engine = GlueSparkEngine(
+        spark, store, EngineConfig(explicit_file_lists=True),
+        filesystem=CountingFS(),
+    )
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    assert listing_calls["n"] == 1  # cached
+    engine.invalidate_table("tpch", "region")
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    # ADVICE r1: the listing key is location-based; invalidate_table
+    # must resolve it and actually drop the listing
+    assert listing_calls["n"] == 2
+
+
+def test_sql_does_not_leak_temp_views(spark, store):
+    engine = GlueSparkEngine(spark, store)
+
+    def glue_views() -> set[str]:
+        return {
+            r.viewName
+            for r in spark.sql("SHOW VIEWS").collect()
+            if r.viewName.startswith("glue__")
+        }
+
+    before = glue_views()
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    engine.sql("SELECT * FROM glue.tpch.nation WHERE n_regionkey=1").count()
+    assert glue_views() == before
+
+
+def test_mixed_layout_not_prune(spark, store, tmp_path):
+    """A table mixing hive dirs with a stray non-hive dir: pruning must
+    keep the keyless file (Unknown), basePath discovery must not crash
+    (CONFLICTING_DIRECTORY_STRUCTURES), and row-level semantics rule."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import TESTDATA
+
+    base = tmp_path / "mixed"
+    od = spark.read.parquet(str(TESTDATA / "orders.parquet"))
+    (
+        od.withColumn("year", F.date_format("o_orderdate", "yyyy"))
+        .where(F.col("year").isin("1995", "1996"))
+        .write.partitionBy("year")
+        .parquet(str(base))
+    )
+    od.where(F.year("o_orderdate") == 1997).write.parquet(
+        str(base / "no_year_dir")
+    )
+    store.register_parquet_dir(
+        "tpch", "mixed_tbl", str(base), partition_keys=[PartitionKey("year")]
+    )
+    engine = GlueSparkEngine(
+        spark, store, EngineConfig(explicit_file_lists=True)
+    )
+    df = engine.sql(
+        "SELECT * FROM glue.tpch.mixed_tbl WHERE NOT (year = '1995')"
+    )
+    # stray file survives pruning; year=1995 files are pruned
+    assert any("no_year" in f for f in df.inputFiles())
+    assert not any("year=1995" in f for f in df.inputFiles())
+    # row-level: only 1996 rows qualify (1997 rows have NULL year)
+    expected = od.where(F.year("o_orderdate") == 1996).count()
+    assert df.count() == expected

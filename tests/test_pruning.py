@@ -92,3 +92,32 @@ def test_missing_partition_value_is_kept():
     )
     out = prune_files(files, pred)
     assert files[-1] in out  # conservative: unknown value → keep
+
+
+def test_not_with_missing_value_is_kept():
+    """ADVICE r1: NOT over an Unknown must stay Unknown (keep), never
+    flip the conservative keep into a drop."""
+    files = FILES + [FileInfo("s3://b/t/misc/e.parquet", {})]
+    pred = extract_partition_predicate(
+        "SELECT * FROM glue.db.tbl WHERE NOT (year = '2023')", KEYS, IDENTS
+    )
+    out = prune_files(files, pred)
+    assert files[-1] in out  # missing year → Unknown → keep
+    assert [f.path for f in out[:2]] == [FILES[2].path, FILES[3].path]
+
+
+def test_not_between_with_uncoercible_value_is_kept():
+    """ADVICE r1 verified case: NOT (year BETWEEN 2020 AND 2023) must
+    keep files whose extracted year is non-numeric."""
+    files = [
+        FileInfo("s3://b/t/year=2021/a.parquet", {"year": "2021"}),
+        FileInfo("s3://b/t/year=2024/b.parquet", {"year": "2024"}),
+        FileInfo("s3://b/t/year=unknown/c.parquet", {"year": "unknown"}),
+    ]
+    pred = extract_partition_predicate(
+        "SELECT * FROM glue.db.tbl WHERE NOT (year BETWEEN 2020 AND 2023)",
+        KEYS,
+        IDENTS,
+    )
+    out = [f.path for f in prune_files(files, pred)]
+    assert out == [files[1].path, files[2].path]

@@ -87,3 +87,48 @@ def test_rewrite_ref_followed_by_keyword():
     sql = "SELECT * FROM glue.db1.tbl1 WHERE x=1"
     out = rewrite_query(sql, get_query_glue_table_refs(sql))
     assert "glue__db1_tbl1 AS tbl1 WHERE x=1" in out
+
+
+def test_string_literal_not_rewritten():
+    """ADVICE r1: a literal 'glue.db.tbl' must pass through untouched."""
+    sql = "SELECT 'glue.db1.tbl1' AS s FROM glue.db1.tbl1"
+    refs = get_query_glue_table_refs(sql)
+    assert refs == [TableReference("db1", "tbl1")]
+    out = rewrite_query(sql, refs)
+    assert out.startswith("SELECT 'glue.db1.tbl1' AS s FROM ")
+    assert "glue__db1_tbl1" in out
+
+
+def test_comment_with_glue_ref_not_rewritten():
+    sql = "-- glue.db1.tbl1 is scanned here\nSELECT * FROM glue.db1.tbl1"
+    out = rewrite_query(sql, get_query_glue_table_refs(sql))
+    assert out.startswith("-- glue.db1.tbl1 is scanned here\n")
+    assert out.count("glue__db1_tbl1") == 1
+
+
+def test_other_catalog_suffix_not_corrupted():
+    """ADVICE r1: someglue.db.tbl is a different catalog and must not
+    match on its glue.db.tbl suffix."""
+    sql = (
+        "SELECT * FROM someglue.db1.tbl1 a JOIN glue.db1.tbl1 b "
+        "ON a.id = b.id"
+    )
+    refs = get_query_glue_table_refs(sql)
+    assert refs == [TableReference("db1", "tbl1")]
+    out = rewrite_query(sql, refs)
+    assert "someglue.db1.tbl1" in out
+    assert "someglue__db1_tbl1" not in out
+
+
+def test_nonstrict_falls_back_on_spark_only_syntax():
+    # Spark-valid, DuckDB-unparseable: must not raise in engine mode
+    sql = "SELECT x FROM VALUES (1), (2) AS t(x) JOIN glue.db1.tbl1 ON true"
+    refs = get_query_glue_table_refs(sql, strict=False)
+    assert TableReference("db1", "tbl1") in refs
+
+
+def test_per_query_view_name_override():
+    sql = "SELECT * FROM glue.db1.tbl1 WHERE x = 1"
+    refs = get_query_glue_table_refs(sql)
+    out = rewrite_query(sql, refs, {refs[0]: "glue__db1_tbl1__q7_0"})
+    assert "glue__db1_tbl1__q7_0 AS tbl1" in out
