@@ -71,6 +71,20 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             .parquet(str(op))
         )
         (op / "_BUILT").touch()
+    ice = base / "orders_iceberg"
+    if not (ice / "_BUILT").exists():
+        from glue_table_cache_spark.sources.iceberg_fixture import (
+            build_iceberg_table,
+        )
+
+        shutil.rmtree(ice, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        even = orders.where(F.col("o_orderkey") % 2 == 0)
+        odd = orders.where(F.col("o_orderkey") % 2 == 1)
+        # snapshot 1 = even keys, snapshot 2 = +odd keys; the orphan
+        # duplicates snapshot 1 and must never be scanned
+        build_iceberg_table(ice, [even, odd], orphan=even)
+        (ice / "_BUILT").touch()
     dp = base / "docs_proj"
     if not (dp / "_BUILT").exists():
         shutil.rmtree(dp, ignore_errors=True)
@@ -108,6 +122,12 @@ def _engine(
             "orders_part",
             str(base / "orders_part"),
             partition_keys=[PartitionKey("year"), PartitionKey("month")],
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_iceberg",
+            str(base / "orders_iceberg"),
+            parameters={"table_type": "ICEBERG"},
         )
         store.register_parquet_dir(
             "tpch",
@@ -660,6 +680,18 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders WHERE year(o_orderdate) IN (1996, 1998) GROUP BY 1""",
     ),
     (
+        # the orphan data file in the fixture makes this a real check:
+        # a directory listing would double-count even-keyed orders
+        "iceberg_scan",
+        "engine",
+        """SELECT o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_iceberg GROUP BY o_orderstatus""",
+        """SELECT o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY o_orderstatus""",
+    ),
+    (
         "projection_enum_scan",
         "engine",
         """SELECT source, count(*) AS n_docs,
@@ -958,6 +990,18 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return W.sessionize_batch(_events(spark, sf), gap_minutes=30)
 
 
+def _q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """version_offset=1 steps back to snapshot 1 (even order keys) —
+    the reference's time-travel parameter (iceberg.ts:23)."""
+    from glue_table_cache_spark.sources.iceberg import iceberg_data_files
+
+    base = _ensure_fixtures(spark, sf) / "orders_iceberg"
+    paths = iceberg_data_files(str(base), version_offset=1)
+    return spark.read.parquet(*paths).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     from glue_table_cache_spark.operators import multimodal as M
 
@@ -986,6 +1030,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_cosine_topk": _q_cosine_topk,
     "similarity_ann_lsh": _q_ann_lsh,
     "similarity_embedding_stats": _q_embedding_stats,
+    "iceberg_time_travel": _q_iceberg_time_travel,
     "events_tumbling_window": _q_tumbling,
     "events_tumbling_stream": _q_tumbling_stream,
     "events_sessionize": _q_sessionize,
@@ -1000,6 +1045,10 @@ _EXTRA_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "similarity_cosine_topk": _COSINE_TOPK_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,
+    "iceberg_time_travel": (
+        "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price "
+        "FROM orders WHERE o_orderkey % 2 = 0"
+    ),
     "events_tumbling_window": _TUMBLING_ORACLE,
     "events_tumbling_stream": _TUMBLING_ORACLE,
     "events_sessionize": _SESSIONIZE_ORACLE,

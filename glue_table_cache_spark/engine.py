@@ -217,6 +217,11 @@ class GlueSparkEngine:
             )
 
             paths = self._proxy(iceberg_data_files(tbl.location))
+            if not paths:
+                # zero snapshots / no data files: empty-relation view
+                # (reference emits SELECT NULL LIMIT 0,
+                # /root/reference/src/sql-transformer.ts:320-322)
+                return self.spark.range(0).select(F.lit(None).alias("null"))
             return self._read_paths(paths, base_path=None)
         if (
             ttype in (ETableType.HIVE, ETableType.UNPARTITIONED)

@@ -1,0 +1,271 @@
+"""Minimal Avro object-container reader/writer (pure Python).
+
+The environment ships neither ``fastavro`` nor the ``spark-avro``
+datasource module, but Iceberg manifests are Avro files — and they are
+*metadata-scale* (KBs), so a small driver-side codec is the right tool
+(the reference likewise reads them on its single node via DuckDB's avro
+reader, /root/reference/src/util/iceberg.ts:29-33).
+
+Implements the Avro 1.x object container file format per the public
+specification (https://avro.apache.org/docs/current/specification/):
+magic ``Obj\\x01``, file-metadata map carrying ``avro.schema``, 16-byte
+sync marker, blocks of zigzag-varint-encoded records.  Supported schema
+subset: null/boolean/int/long/float/double/bytes/string primitives,
+records, arrays, maps, unions, fixed — enough for Iceberg manifest
+lists and manifest files (and then some).  Codec: ``null`` only.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+from typing import Any, BinaryIO
+
+_MAGIC = b"Obj\x01"
+_SYNC = bytes(range(16))  # deterministic sync marker for written files
+
+
+# --------------------------------------------------------------------------
+# primitive codecs
+# --------------------------------------------------------------------------
+
+
+def _encode_long(n: int) -> bytes:
+    """zigzag + varint."""
+    n = (n << 1) ^ (n >> 63) if n >= 0 else ((-n - 1) << 1 | 1)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _decode_long(buf: BinaryIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("unexpected end of avro data")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _encode_bytes(b: bytes) -> bytes:
+    return _encode_long(len(b)) + b
+
+
+def _encode_str(s: str) -> bytes:
+    return _encode_bytes(s.encode("utf-8"))
+
+
+# --------------------------------------------------------------------------
+# schema-driven encode / decode
+# --------------------------------------------------------------------------
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def encode_value(schema: Any, value: Any) -> bytes:
+    t = _type_name(schema)
+    if t == "union":
+        for idx, branch in enumerate(schema):
+            if _matches(branch, value):
+                return _encode_long(idx) + encode_value(branch, value)
+        raise ValueError(f"value {value!r} matches no union branch {schema}")
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return _encode_long(int(value))
+    if t == "float":
+        return struct.pack("<f", float(value))
+    if t == "double":
+        return struct.pack("<d", float(value))
+    if t == "bytes":
+        return _encode_bytes(value)
+    if t == "string":
+        return _encode_str(value)
+    if t == "fixed":
+        return bytes(value)
+    if t == "record":
+        return b"".join(
+            encode_value(f["type"], value[f["name"]])
+            for f in schema["fields"]
+        )
+    if t == "array":
+        if not value:
+            return _encode_long(0)
+        body = b"".join(encode_value(schema["items"], v) for v in value)
+        return _encode_long(len(value)) + body + _encode_long(0)
+    if t == "map":
+        if not value:
+            return _encode_long(0)
+        body = b"".join(
+            _encode_str(k) + encode_value(schema["values"], v)
+            for k, v in value.items()
+        )
+        return _encode_long(len(value)) + body + _encode_long(0)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _matches(branch: Any, value: Any) -> bool:
+    t = _type_name(branch)
+    if t == "null":
+        return value is None
+    if value is None:
+        return False
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t == "string":
+        return isinstance(value, str)
+    if t == "bytes":
+        return isinstance(value, (bytes, bytearray))
+    if t == "record":
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, list)
+    if t == "map":
+        return isinstance(value, dict)
+    return True
+
+
+def decode_value(schema: Any, buf: BinaryIO) -> Any:
+    t = _type_name(schema)
+    if t == "union":
+        idx = _decode_long(buf)
+        return decode_value(schema[idx], buf)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _decode_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return buf.read(_decode_long(buf))
+    if t == "string":
+        return buf.read(_decode_long(buf)).decode("utf-8")
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "record":
+        return {
+            f["name"]: decode_value(f["type"], buf)
+            for f in schema["fields"]
+        }
+    if t == "array":
+        out = []
+        while True:
+            count = _decode_long(buf)
+            if count == 0:
+                return out
+            if count < 0:  # block with byte-size prefix
+                _decode_long(buf)
+                count = -count
+            for _ in range(count):
+                out.append(decode_value(schema["items"], buf))
+    if t == "map":
+        out = {}
+        while True:
+            count = _decode_long(buf)
+            if count == 0:
+                return out
+            if count < 0:
+                _decode_long(buf)
+                count = -count
+            for _ in range(count):
+                k = buf.read(_decode_long(buf)).decode("utf-8")
+                out[k] = decode_value(schema["values"], buf)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# object container files
+# --------------------------------------------------------------------------
+
+
+def write_avro(path: str | Path, schema: dict, records: list[dict]) -> None:
+    """Write an Avro object container file (codec: null)."""
+    body = b"".join(encode_value(schema, r) for r in records)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": b"null",
+    }
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_encode_long(len(meta)))
+        for k, v in meta.items():
+            f.write(_encode_str(k))
+            f.write(_encode_bytes(v))
+        f.write(_encode_long(0))
+        f.write(_SYNC)
+        if records:
+            f.write(_encode_long(len(records)))
+            f.write(_encode_long(len(body)))
+            f.write(body)
+            f.write(_SYNC)
+
+
+def read_avro(path: str | Path) -> list[dict]:
+    """Read every record of an Avro object container file."""
+    import io
+
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = io.BytesIO(data)
+    if buf.read(4) != _MAGIC:
+        raise ValueError(f"{path}: not an avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = _decode_long(buf)
+        if count == 0:
+            break
+        if count < 0:
+            _decode_long(buf)
+            count = -count
+        for _ in range(count):
+            k = buf.read(_decode_long(buf)).decode("utf-8")
+            meta[k] = buf.read(_decode_long(buf))
+    codec = meta.get("avro.codec", b"null")
+    schema = json.loads(meta["avro.schema"])
+    sync = buf.read(16)
+    records: list[dict] = []
+    while buf.tell() < len(data):
+        count = _decode_long(buf)
+        size = _decode_long(buf)
+        block = buf.read(size)
+        if codec == b"deflate":
+            import zlib
+
+            block = zlib.decompress(block, -15)
+        elif codec != b"null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        bbuf = io.BytesIO(block)
+        for _ in range(count):
+            records.append(decode_value(schema, bbuf))
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch")
+    return records

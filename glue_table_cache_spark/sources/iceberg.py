@@ -1,13 +1,100 @@
 """Iceberg current-snapshot data-file resolution (manifest walk).
 
-Placeholder for the P3 milestone; parity target is the 4-step pipeline
-at /root/reference/src/util/iceberg.ts:11-36 (newest metadata JSON by
-last-sequence-number -> last snapshot's manifest-list Avro ->
-manifest_path list -> data_file.file_path list).
+Implements the reference's 4-step pipeline
+(/root/reference/src/util/iceberg.ts:11-36, executed at
+glue-table-cache.ts:369-387; verified against
+test/integration-test.ts:185-211 and the golden SQL strings in
+test/util.iceberg.test.ts:4-15):
+
+1. read every ``<location>/metadata/*.metadata.json`` (the reference's
+   ``read_json_auto`` glob) and pick the newest by
+   ``last-sequence-number``; ``version_offset`` steps back N versions
+   for time travel (``iceberg.ts:23``, ``ORDER BY ... DESC OFFSET k``);
+2. take the **last** snapshot's ``manifest-list`` (the reference's
+   1-based ``snapshots[len(snapshots)]``, ``iceberg.ts:26``);
+3. read the manifest-list Avro → ``manifest_path`` per row
+   (``iceberg.ts:29``);
+4. read each manifest Avro → ``data_file.file_path``
+   (``iceberg.ts:31-33``).
+
+Only files the current snapshot's manifests name are scanned — orphan
+files sitting in the data directory are invisible, the hygiene property
+the reference's integration test asserts.
+
+All four steps are metadata-scale and run on the driver; the returned
+path list feeds the distributed parquet scan.  Avro decoding uses
+:mod:`glue_table_cache_spark.sources.avro_lite` (neither fastavro nor
+the spark-avro module ship in this environment).
 """
 
 from __future__ import annotations
 
+import json
+import posixpath
+from pathlib import Path
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sources.avro_lite import read_avro
+
+
+def _read_json(path: str) -> dict:
+    if path.startswith("s3://"):  # pragma: no cover - no AWS in harness
+        import boto3
+
+        from glue_table_cache_spark.listing import parse_s3_path
+
+        bucket, key = parse_s3_path(path)
+        body = boto3.client("s3").get_object(Bucket=bucket, Key=key.rstrip("/"))
+        return json.loads(body["Body"].read())
+    return json.loads(Path(path).read_text())
+
+
+def _list_metadata_jsons(location: str) -> list[str]:
+    from glue_table_cache_spark.listing import filesystem_for
+
+    meta_dir = posixpath.join(location.rstrip("/"), "metadata")
+    fs = filesystem_for(meta_dir)
+    return [p for p in fs.list_files(meta_dir) if p.endswith(".json")]
+
+
+def _resolve_path(location: str, path: str) -> str:
+    """Manifest paths may be absolute URIs or table-relative."""
+    if "://" in path or path.startswith("/"):
+        return path
+    return posixpath.join(location.rstrip("/"), path)
+
 
 def iceberg_data_files(location: str, version_offset: int = 0) -> list[str]:
-    raise NotImplementedError("Iceberg manifest walk lands in P3")
+    """Data-file paths of the (``version_offset``-stepped-back) current
+    snapshot of the Iceberg table at ``location``."""
+    jsons = _list_metadata_jsons(location)
+    if not jsons:
+        raise GlueSparkError(
+            f"No Iceberg metadata JSON found under {location!r}"
+        )
+    metas = sorted(
+        (_read_json(p) for p in jsons),
+        key=lambda m: m.get("last-sequence-number", 0),
+    )
+    idx = len(metas) - 1 - version_offset
+    if idx < 0:
+        raise GlueSparkError(
+            f"version_offset={version_offset} exceeds available versions "
+            f"({len(metas)}) for {location!r}"
+        )
+    meta = metas[idx]
+    snapshots = meta.get("snapshots") or []
+    if not snapshots:
+        return []
+    manifest_list = _resolve_path(location, snapshots[-1]["manifest-list"])
+    manifests = [
+        _resolve_path(location, r["manifest_path"])
+        for r in read_avro(manifest_list)
+    ]
+    files: list[str] = []
+    for m in manifests:
+        for entry in read_avro(m):
+            files.append(
+                _resolve_path(location, entry["data_file"]["file_path"])
+            )
+    return files

@@ -1,0 +1,147 @@
+"""Synthetic local Iceberg table builder (test/fixture support).
+
+Builds a minimal-but-spec-shaped Iceberg table from a DataFrame:
+
+* ``data/part-*.parquet`` — one file per snapshot increment, plus an
+  ``orphan.parquet`` that no manifest references (the scan-hygiene
+  trap from /root/reference/test/integration-test.ts:185-211: a
+  directory listing would double-count, a manifest walk must not);
+* ``metadata/v<N>.metadata.json`` — one per snapshot, with
+  ``last-sequence-number`` and the cumulative ``snapshots`` array;
+* ``metadata/snap-<N>.avro`` manifest lists → ``manifest_path`` rows;
+* ``metadata/manifest-<N>.avro`` manifests → ``data_file.file_path``.
+
+Field names and nesting match what the reference's walk consumes
+(``manifest-list``, ``manifest_path``, ``data_file['file_path']`` —
+/root/reference/src/util/iceberg.ts:26-33).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from glue_table_cache_spark.sources.avro_lite import write_avro
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def build_iceberg_table(
+    base: str | Path, snapshots: list[DataFrame], orphan: DataFrame | None = None
+) -> Path:
+    """Write ``snapshots[i]`` as the data files added by snapshot i+1;
+    each snapshot's manifest list references ALL manifests so far (an
+    append-only table).  ``orphan`` lands in data/ unreferenced."""
+    base = Path(base)
+    data_dir = base / "data"
+    meta_dir = base / "metadata"
+    data_dir.mkdir(parents=True, exist_ok=True)
+    meta_dir.mkdir(parents=True, exist_ok=True)
+
+    manifest_paths: list[str] = []
+    snapshot_records: list[dict] = []
+    for i, df in enumerate(snapshots, start=1):
+        part_dir = base / f"_stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part_dir))
+        part_file = next(part_dir.glob("part-*.parquet"))
+        data_file = data_dir / f"part-{i}.parquet"
+        part_file.rename(data_file)
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+        manifest = meta_dir / f"manifest-{i}.avro"
+        write_avro(
+            manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 1000 + i,
+                    "data_file": {
+                        "file_path": str(data_file),
+                        "file_format": "PARQUET",
+                        "record_count": 0,
+                        "file_size_in_bytes": data_file.stat().st_size,
+                    },
+                }
+            ],
+        )
+        manifest_paths.append(str(manifest))
+
+        manifest_list = meta_dir / f"snap-{i}.avro"
+        write_avro(
+            manifest_list,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": p,
+                    "manifest_length": Path(p).stat().st_size,
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": 1000 + i,
+                }
+                for p in manifest_paths
+            ],
+        )
+        snapshot_records.append(
+            {
+                "snapshot-id": 1000 + i,
+                "sequence-number": i,
+                "timestamp-ms": 1700000000000 + i,
+                "manifest-list": str(manifest_list),
+            }
+        )
+        (meta_dir / f"v{i}.metadata.json").write_text(
+            json.dumps(
+                {
+                    "format-version": 2,
+                    "table-uuid": "00000000-0000-0000-0000-000000000000",
+                    "location": str(base),
+                    "last-sequence-number": i,
+                    "current-snapshot-id": 1000 + i,
+                    "snapshots": list(snapshot_records),
+                }
+            )
+        )
+
+    if orphan is not None:
+        stage = base / "_stage_orphan"
+        orphan.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(data_dir / "orphan.parquet")
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    return base
