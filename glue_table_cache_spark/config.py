@@ -32,6 +32,17 @@ class EngineConfig:
     #: Spark-idiomatic, 100 TB-scale path.  GLUE_PROJECTED tables always
     #: use explicit file lists (Spark has no projection support).
     explicit_file_lists: bool = False
+    #: listings with at least this many files prune via a Spark
+    #: DataFrame filter instead of a driver-side Python loop.  Measured
+    #: locally the loop wins up to ~200k files (0.4s vs 2.1s DF
+    #: overhead); the DF path is about bounding driver CPU at 10⁶⁺
+    #: files, so the crossover default is high
+    listing_df_threshold: int = 500_000
+    #: hard cap on how many explicit file paths may be handed to one
+    #: ``spark.read.parquet(*paths)`` call; beyond it HIVE/UNPARTITIONED
+    #: tables reroute to the native directory scan and projection tables
+    #: (which have no native equivalent) raise
+    max_explicit_files: int = 100_000
     #: retry attempts for metadata APIs (reference: async-retry 3×,
     #: /root/reference/src/glue-table-cache.ts:178-196)
     retry_attempts: int = 3

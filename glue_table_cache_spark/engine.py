@@ -50,6 +50,7 @@ from glue_table_cache_spark.listing import (
 from glue_table_cache_spark.projection import extractors_for
 from glue_table_cache_spark.pruning import (
     extract_partition_predicate,
+    predicate_to_column,
     prune_files,
 )
 from glue_table_cache_spark.transformer import (
@@ -260,7 +261,25 @@ class GlueSparkEngine:
             predicate = extract_partition_predicate(
                 query, keys, {tbl.name, tbl.qualified_name}
             )
-            pruned = prune_files(files, predicate)
+            if len(files) >= self.config.listing_df_threshold:
+                pruned = self._prune_distributed(files, keys, predicate)
+            else:
+                pruned = prune_files(files, predicate)
+        if len(pruned) > self.config.max_explicit_files:
+            if tbl.table_type in (ETableType.HIVE, ETableType.UNPARTITIONED):
+                # too many paths for one reader call: the native
+                # directory scan is equivalent for these layouts and
+                # scales via InMemoryFileIndex
+                reader = self.spark.read
+                if tbl.table_type == ETableType.HIVE:
+                    reader = reader.option("basePath", tbl.location)
+                return reader.parquet(tbl.location)
+            raise GlueSparkError(
+                f"Pruned file list for {tbl.qualified_name} has "
+                f"{len(pruned)} files, over max_explicit_files="
+                f"{self.config.max_explicit_files}; repartition the "
+                "table or raise the limit"
+            )
         if not pruned:
             # pruned-to-zero: empty relation with the real schema
             df = self.spark.read.parquet(files[0].path).limit(0)
@@ -285,6 +304,54 @@ class GlueSparkEngine:
         if not hive_layout:
             df = self._attach_partition_columns(df, tbl)
         return df
+
+    def listing_dataframe(self, database: str, table: str) -> DataFrame:
+        """The table's file listing as a DataFrame ``(path, <keys...>)``
+        — the reference's ``<db>_<tbl>_s3_listing`` table
+        (/root/reference/src/glue-table-cache.ts:292-306) as a
+        first-class queryable frame."""
+        tbl = self.get_table_metadata_cached(database, table)
+        files = self.list_table_files_cached(tbl)
+        keys = [k.name for k in tbl.partition_keys]
+        return self._listing_df(files, keys)
+
+    def _listing_df(self, files: list[FileInfo], keys: list[str]) -> DataFrame:
+        schema = ", ".join(
+            ["path string"] + [f"`{k}` string" for k in keys]
+        )
+        rows = [
+            tuple([f.path] + [f.partition_values.get(k) for k in keys])
+            for f in files
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _prune_distributed(
+        self, files: list[FileInfo], keys: list[str], predicate
+    ) -> list[FileInfo]:
+        """Prune a large listing with a DataFrame filter instead of a
+        per-file Python loop.  Same keep-on-Unknown semantics:
+        ``coalesce(pred, TRUE)``."""
+        df = self._listing_df(files, keys)
+        keep = df.filter(
+            F.coalesce(predicate_to_column(predicate), F.lit(True))
+        )
+        kept_paths = {r.path for r in keep.select("path").collect()}
+        return [f for f in files if f.path in kept_paths]
+
+    def read_batches(self, df: DataFrame, batch_size: int = 10):
+        """Iterate a result in client-side batches of ``batch_size``
+        rows — the reference's incremental ``streamAndRead``/``readUntil``
+        consumption (/root/reference/example.ts:22-27, SURVEY §2.A17).
+        Backed by ``toLocalIterator`` so only one partition is resident
+        on the driver at a time."""
+        batch: list = []
+        for row in df.toLocalIterator():
+            batch.append(row)
+            if len(batch) >= batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
 
     def _read_paths(self, paths: list[str], base_path: str | None) -> DataFrame:
         reader = self.spark.read

@@ -257,3 +257,115 @@ def test_mixed_layout_not_prune(spark, store, tmp_path):
     # row-level: only 1996 rows qualify (1997 rows have NULL year)
     expected = od.where(F.year("o_orderdate") == 1996).count()
     assert df.count() == expected
+
+
+def test_distributed_pruning_matches_python_loop(spark, hive_store):
+    """DataFrame-filter pruning (large-listing path) must keep exactly
+    the same files as the Python three-valued loop."""
+    from glue_table_cache_spark.listing import FileInfo
+    from glue_table_cache_spark.pruning import (
+        extract_partition_predicate,
+        prune_files,
+    )
+
+    files = [
+        FileInfo("s3://b/t/year=2023/month=01/a.parquet",
+                 {"year": "2023", "month": "01"}),
+        FileInfo("s3://b/t/year=2024/month=02/b.parquet",
+                 {"year": "2024", "month": "02"}),
+        FileInfo("s3://b/t/year=weird/month=03/c.parquet",
+                 {"year": "weird", "month": "03"}),
+        FileInfo("s3://b/t/misc/d.parquet", {}),
+    ]
+    engine = GlueSparkEngine(spark, hive_store)
+    queries = [
+        "SELECT * FROM glue.db.t WHERE year = '2024'",
+        "SELECT * FROM glue.db.t WHERE year >= 2024",
+        "SELECT * FROM glue.db.t WHERE NOT (year BETWEEN 2020 AND 2023)",
+        "SELECT * FROM glue.db.t WHERE month IN ('01', '03') OR year = '2024'",
+        "SELECT * FROM glue.db.t WHERE month NOT IN ('01')",
+    ]
+    for q in queries:
+        pred = extract_partition_predicate(q, ["year", "month"], {"t", "db.t"})
+        loop = {f.path for f in prune_files(files, pred)}
+        dist = {
+            f.path
+            for f in engine._prune_distributed(files, ["year", "month"], pred)
+        }
+        assert dist == loop, q
+
+
+def test_max_explicit_files_reroutes_to_native(spark, hive_store):
+    engine = GlueSparkEngine(
+        spark,
+        hive_store,
+        EngineConfig(explicit_file_lists=True, max_explicit_files=1),
+    )
+    df = engine.sql(
+        "SELECT count(*) AS c FROM glue.tpch.orders_part WHERE year = '1995'"
+    )
+    native = GlueSparkEngine(spark, hive_store).sql(
+        "SELECT count(*) AS c FROM glue.tpch.orders_part WHERE year = '1995'"
+    )
+    assert df.collect()[0].c == native.collect()[0].c > 0
+
+
+def test_max_explicit_files_raises_for_projection(spark, store, tmp_path):
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    base = tmp_path / "proj"
+    (base / "s1").mkdir(parents=True)
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df.write.mode("overwrite").parquet(str(base / "s1"))
+    store.register_parquet_dir(
+        "tpch", "tiny_proj", str(base),
+        partition_keys=[PartitionKey("src")],
+        parameters={
+            "projection.enabled": "true",
+            "projection.src.type": "enum",
+            "projection.src.values": "s1",
+        },
+    )
+    engine = GlueSparkEngine(
+        spark, store, EngineConfig(max_explicit_files=0)
+    )
+    with pytest.raises(GlueSparkError, match="max_explicit_files"):
+        engine.sql("SELECT * FROM glue.tpch.tiny_proj").count()
+
+
+def test_read_batches(spark, store):
+    engine = GlueSparkEngine(spark, store)
+    df = engine.sql("SELECT n_nationkey FROM glue.tpch.nation")
+    batches = list(engine.read_batches(df, batch_size=10))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    assert {r.n_nationkey for b in batches for r in b} == set(range(25))
+
+
+def test_listing_dataframe(spark, hive_store):
+    engine = GlueSparkEngine(spark, hive_store)
+    ldf = engine.listing_dataframe("tpch", "orders_part")
+    assert ldf.columns == ["path", "year", "month"]
+    years = {r.year for r in ldf.select("year").distinct().collect()}
+    assert "1995" in years
+    assert ldf.count() == len(
+        engine.list_table_files_cached(
+            engine.get_table_metadata_cached("tpch", "orders_part")
+        )
+    )
+
+
+def test_join_against_empty_glue_table(spark, store, tmp_path):
+    """Reference parity: a query *joining* an empty glue table must run
+    and produce the outer side (src/sql-transformer.ts:320-322)."""
+    empty = tmp_path / "empty_join_tbl"
+    empty.mkdir()
+    store.register_parquet_dir("tpch", "empty_join", str(empty))
+    engine = GlueSparkEngine(spark, store)
+    df = engine.sql(
+        """SELECT r.r_name, e.null AS nothing
+           FROM glue.tpch.region r LEFT JOIN glue.tpch.empty_join e
+             ON true"""
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.nothing is None for r in rows)
