@@ -28,6 +28,8 @@ from glue_table_cache_spark.catalog import (
 )
 from glue_table_cache_spark.config import EngineConfig
 from glue_table_cache_spark.engine import GlueSparkEngine
+from glue_table_cache_spark.io import read_table
+from glue_table_cache_spark.session import build_session
 
 __all__ = [
     "CatalogTable",
@@ -36,6 +38,8 @@ __all__ = [
     "GlueSparkEngine",
     "LocalMetadataStore",
     "PartitionKey",
+    "build_session",
+    "read_table",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -36,6 +36,19 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_string(df, "simple")
 
 
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (the ``*(n)`` markers).  Under
+    AQE the markers only appear once the final plan exists — execute the
+    frame first."""
+    return len(re.findall(r"\*\(\d+\)", explain_string(df, "simple")))
+
+
+def uses_partial_aggregation(df: DataFrame) -> bool:
+    """Two HashAggregate nodes (map-side partial + final) around the
+    exchange — the shape that scales a groupBy."""
+    return len(re.findall(r"HashAggregate", explain_string(df, "simple"))) >= 2
+
+
 def scan_read_schema(df: DataFrame) -> str:
     m = re.search(r"ReadSchema: (struct<[^\n]*)", explain_string(df))
     return m.group(1) if m else ""

@@ -132,3 +132,20 @@ def test_per_query_view_name_override():
     refs = get_query_glue_table_refs(sql)
     out = rewrite_query(sql, refs, {refs[0]: "glue__db1_tbl1__q7_0"})
     assert "glue__db1_tbl1__q7_0 AS tbl1" in out
+
+
+def test_missing_database_raises():
+    # glue..table → throw (test/sql-transformer.test.ts:178-181)
+    with pytest.raises(InvalidQueryError):
+        get_query_glue_table_refs("SELECT * FROM glue..tbl")
+
+
+def test_four_part_name_not_treated_as_glue_ref():
+    """cat.glue.db.tbl is not a glue reference (4-part names are
+    rejected by the reference, test/sql-transformer.test.ts:217-220);
+    the left boundary keeps the glue.db.tbl suffix from matching."""
+    refs = get_query_glue_table_refs(
+        "SELECT * FROM other.db1.tbl1 x JOIN glue.db2.tbl2 y ON x.a=y.b",
+        strict=False,
+    )
+    assert refs == [TableReference("db2", "tbl2")]
