@@ -878,6 +878,45 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM s GROUP BY user_id, s.session_seq
 """
 
+_SLIDING_ORACLE = """
+SELECT window_start, event_type, count(*) AS n_events
+FROM (
+    SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes'
+           ]) AS window_start,
+           event_type
+    FROM events
+)
+GROUP BY 1, 2
+"""
+
+_SESSIONIZE_STREAM_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS session_seq
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, s.session_seq
+)
+SELECT user_id, n_events, session_start, session_end
+FROM (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS mx FROM agg)
+WHERE session_seq < mx
+"""
+
 _MULTIMODAL_META_ORACLE = """
 SELECT doc_id AS media_id, 'image' AS modality,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -990,6 +1029,24 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return W.sessionize_batch(_events(spark, sf), gap_minutes=30)
 
 
+def _q_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from glue_table_cache_spark.streaming import windows as W
+
+    return W.sliding_counts_batch(_events(spark, sf), "1 hour", "30 minutes")
+
+
+def _q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    emitted rows = every *closed* session; the oracle is the batch
+    sessionization minus each user's final (still-open) session."""
+    from glue_table_cache_spark.streaming import windows as W
+
+    name = "gtc_entry_sessionize_stream"
+    sdf = W.sessionize_stream(spark, f"{sf}/events.parquet", gap_minutes=30)
+    W.run_stream_to_memory(sdf, name, output_mode="append")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def _q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """version_offset=1 steps back to snapshot 1 (even order keys) —
     the reference's time-travel parameter (iceberg.ts:23)."""
@@ -1033,7 +1090,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_time_travel": _q_iceberg_time_travel,
     "events_tumbling_window": _q_tumbling,
     "events_tumbling_stream": _q_tumbling_stream,
+    "events_sliding_window": _q_sliding,
     "events_sessionize": _q_sessionize,
+    "events_sessionize_stream": _q_sessionize_stream,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode": _q_multimodal_decode,
 }
@@ -1051,7 +1110,9 @@ _EXTRA_ORACLES: dict[str, str] = {
     ),
     "events_tumbling_window": _TUMBLING_ORACLE,
     "events_tumbling_stream": _TUMBLING_ORACLE,
+    "events_sliding_window": _SLIDING_ORACLE,
     "events_sessionize": _SESSIONIZE_ORACLE,
+    "events_sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "multimodal_meta": _MULTIMODAL_META_ORACLE,
     # no oracle (xxhash64-based, not expressible in DuckDB):
     #   dedup_minhash_pairs, dedup_simhash_pairs, similarity_ann_lsh,

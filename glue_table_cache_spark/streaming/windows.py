@@ -56,19 +56,17 @@ def tumbling_counts_stream(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming form: file source → watermark → windowed agg.  Caller
     attaches the sink (tests use format("memory") + trigger
-    availableNow for a bounded run)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema)
-    path = Path(events_path)
-    if path.is_file():
-        # the streaming file source only accepts directories
-        reader = reader.option("pathGlobFilter", path.name)
-        events_path = str(path.parent)
-    stream = normalize_event_ts(reader.parquet(events_path), ts_col)
+    availableNow for a bounded run).  ``max_files_per_trigger`` splits
+    a bounded run into multiple micro-batches so the watermark actually
+    advances between them (late-data semantics are observable)."""
+    options = {}
+    if max_files_per_trigger:
+        options["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    stream = _stream_reader(spark, events_path, **options)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
@@ -90,17 +88,118 @@ def tumbling_counts_stream(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_s: int = 120
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_s: int = 120,
+    output_mode: str = "complete",
 ) -> None:
     """Drive a bounded streaming query to completion (availableNow)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def sliding_counts_batch(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in
+    ``duration / slide`` overlapping windows (epoch-aligned, exactly
+    Spark's ``F.window`` bucketing)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration, slide).alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def _stream_reader(spark: SparkSession, events_path: str, **options):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    path = Path(events_path)
+    if path.is_file():
+        reader = reader.option("pathGlobFilter", path.name)
+        events_path = str(path.parent)
+    return normalize_event_ts(reader.parquet(events_path))
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming gap-sessionization via ``applyInPandasWithState`` —
+    the custom-stateful-operator twin of :func:`sessionize_batch`.
+
+    Keeps one open session per user in state; when an incoming event's
+    gap from the open session exceeds the threshold, the closed session
+    is emitted (append mode) and a new one opens.  The final open
+    session per user stays in state — inherent to an unbounded stream —
+    so a bounded comparison checks emitted sessions against the batch
+    twin's *closed* (non-final) sessions."""
+    import pandas as pd
+
+    gap_s = gap_minutes * 60.0
+    out_schema = (
+        "user_id long, n_events long, "
+        "session_start timestamp, session_end timestamp"
+    )
+    state_schema = (
+        "session_start timestamp, session_end timestamp, n_events long"
+    )
+
+    def fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            start, end, n = state.get
+            start, end = pd.Timestamp(start), pd.Timestamp(end)
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for ts in rows["ts"]:
+            if start is None:
+                start = end = ts
+                n = 1
+            elif (ts - end).total_seconds() > gap_s:
+                closed.append((key[0], n, start, end))
+                start = end = ts
+                n = 1
+            else:
+                end = ts
+                n += 1
+        state.update((start.to_pydatetime(), end.to_pydatetime(), n))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "n_events", "session_start", "session_end"],
+        )
+
+    options = {}
+    if max_files_per_trigger:
+        options["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    stream = _stream_reader(spark, events_path, **options)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
 
 
 def sessionize_batch(

@@ -277,3 +277,141 @@ def test_sessionize_batch(events):
     assert sessions.where(
         F.col("session_end") < F.col("session_start")
     ).count() == 0
+
+
+def test_sliding_window_each_event_in_two_windows(events):
+    sliding = W.sliding_counts_batch(events, "1 hour", "30 minutes")
+    total = sliding.agg(F.sum("n_events").alias("s")).collect()[0].s
+    assert total == 2 * events.count()
+
+
+def test_watermark_drops_late_events(spark, events, tmp_path):
+    """Three micro-batches: day-1 events, then day-3 events (advancing
+    the watermark), then day-1 events again (late, beyond the 2h
+    watermark → dropped).  Finalized day-1 windows must count only the
+    first batch."""
+    import os
+    import time as _time
+
+    from pyspark.sql.types import LongType
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    raw = spark.read.parquet(str(TESTDATA / "events.parquet"))
+    # raw ts is nanos-long here (nanosAsLong); slice by percentile
+    lo, hi = [
+        r for r in raw.selectExpr(
+            "min(ts) AS lo", "max(ts) AS hi"
+        ).collect()
+    ][0].lo, raw.selectExpr("max(ts) AS hi").collect()[0].hi
+    assert isinstance(raw.schema["ts"].dataType, LongType)
+    day = 24 * 3600 * 10**9
+    early = raw.where(F.col("ts") < lo + day)
+    late_day = raw.where(F.col("ts") >= lo + 2 * day).where(
+        F.col("ts") < lo + 3 * day
+    )
+    early.coalesce(1).write.parquet(str(d / "b1"))
+    late_day.coalesce(1).write.parquet(str(d / "b2"))
+    early.coalesce(1).write.parquet(str(d / "b3"))
+    files = []
+    for sub in ["b1", "b2", "b3"]:
+        f = next((d / sub).glob("part-*.parquet"))
+        target = d / f"{sub}.parquet"
+        f.rename(target)
+        files.append(target)
+        import shutil
+
+        shutil.rmtree(d / sub)
+    now = _time.time()
+    for i, f in enumerate(files):  # file source orders by mtime
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    sdf = W.tumbling_counts_stream(
+        spark, str(d), watermark="2 hours", max_files_per_trigger=1
+    )
+    W.run_stream_to_memory(sdf, "wm_test", output_mode="append")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM wm_test").collect()
+    }
+    # Batch 3 re-sent day-1 events.  Events within the allowed lateness
+    # of the *operative* watermark may legitimately be re-aggregated
+    # (the watermark used in batch N is computed from an earlier batch),
+    # so the guarantee to assert is: every window that closed before the
+    # most conservative possible watermark (day-1 max - 2h, from batch 1
+    # alone) counts batch-1 events exactly once.
+    import datetime
+
+    from glue_table_cache_spark.io import normalize_event_ts
+
+    expected_early = {
+        (r.window_start, r.event_type): r.n_events
+        for r in W.tumbling_counts_batch(
+            normalize_event_ts(early)
+        ).collect()
+    }
+    day1_max = datetime.datetime.utcfromtimestamp(
+        early.selectExpr("max(ts) AS m").collect()[0].m / 1e9
+    )
+    cutoff = day1_max - datetime.timedelta(hours=2)
+    safe = [
+        k for k in got
+        if k[0].day == 1
+        and k[0] + datetime.timedelta(hours=1) <= cutoff
+    ]
+    assert len(safe) >= 10  # plenty of finalized day-1 windows
+    assert all(got[k] == expected_early[k] for k in safe)
+    # and the late duplicates beyond allowed lateness never re-emitted a
+    # closed window with inflated counts
+    dup = [k for k in safe if got[k] != expected_early[k]]
+    assert dup == []
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState twin: emitted (closed) sessions must equal
+    the batch twin's non-final sessions per user."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    d = tmp_path / "sess_src"
+    d.mkdir()
+    raw = spark.read.parquet(str(TESTDATA / "events.parquet"))
+    mid = raw.approxQuantile("ts", [0.5], 0.0)[0]
+    for name, df in [
+        ("b1", raw.where(F.col("ts") <= mid)),
+        ("b2", raw.where(F.col("ts") > mid)),
+    ]:
+        df.coalesce(1).write.parquet(str(d / name))
+        f = next((d / name).glob("part-*.parquet"))
+        f.rename(d / f"{name}.parquet")
+        import shutil
+
+        shutil.rmtree(d / name)
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(d / "b1.parquet", (now, now))
+    os.utime(d / "b2.parquet", (now + 10, now + 10))
+
+    sdf = W.sessionize_stream(
+        spark, str(d), gap_minutes=30, max_files_per_trigger=1
+    )
+    W.run_stream_to_memory(sdf, "sess_stream", output_mode="append")
+    streamed = {
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+
+    from glue_table_cache_spark.io import normalize_event_ts
+
+    batch = W.sessionize_batch(normalize_event_ts(raw), gap_minutes=30)
+    w = SqlWindow.partitionBy("user_id")
+    closed = (
+        batch.withColumn("max_seq", F.max("session_seq").over(w))
+        .where(F.col("session_seq") < F.col("max_seq"))
+    )
+    expected = {
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in closed.collect()
+    }
+    assert streamed == expected and len(expected) > 0
