@@ -108,7 +108,9 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
 def _engine(
     spark: SparkSession, sf_dir: str, explicit: bool = False
 ) -> GlueSparkEngine:
-    key = (id(spark), str(sf_dir), explicit)
+    # key on the live session object (not id(spark): a GC'd session's id
+    # can be reused by a new one and alias a stale engine)
+    key = (spark, str(sf_dir), explicit)
     eng = _ENGINES.get(key)
     if eng is None:
         # stable timestamp semantics whatever session the driver built
@@ -246,28 +248,33 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            GROUP BY r.r_name""",
     ),
     (
-        "join_left",
+        # LEFT and RIGHT outer joins in one driver row (merged r3 to fit
+        # the driver's 50-entry checked window; each side keeps its
+        # original shape, tagged)
+        "join_left_right",
         "engine",
-        """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-                  round(coalesce(sum(o.o_totalprice), 0), 2) AS total
+        """SELECT 'L' AS side, c.c_custkey AS custkey, c.c_name,
+                  count(o.o_orderkey) AS n_orders
            FROM glue.tpch.customer c LEFT JOIN glue.tpch.orders o
              ON c.c_custkey = o.o_custkey
-           GROUP BY c.c_custkey""",
-        """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-                  round(coalesce(sum(o.o_totalprice), 0), 2) AS total
-           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-           GROUP BY c.c_custkey""",
-    ),
-    (
-        "join_right",
-        "engine",
-        """SELECT o.o_orderkey, c.c_custkey, c.c_name
+           GROUP BY c.c_custkey, c.c_name
+           UNION ALL
+           SELECT 'R' AS side, c.c_custkey AS custkey, c.c_name,
+                  count(o.o_orderkey) AS n_orders
            FROM glue.tpch.orders o RIGHT JOIN glue.tpch.customer c
              ON o.o_custkey = c.c_custkey
-           WHERE c.c_custkey <= 200""",
-        """SELECT o.o_orderkey, c.c_custkey, c.c_name
+           WHERE c.c_custkey <= 200
+           GROUP BY c.c_custkey, c.c_name""",
+        """SELECT 'L' AS side, c.c_custkey AS custkey, c.c_name,
+                  count(o.o_orderkey) AS n_orders
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_custkey, c.c_name
+           UNION ALL
+           SELECT 'R' AS side, c.c_custkey AS custkey, c.c_name,
+                  count(o.o_orderkey) AS n_orders
            FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
-           WHERE c.c_custkey <= 200""",
+           WHERE c.c_custkey <= 200
+           GROUP BY c.c_custkey, c.c_name""",
     ),
     (
         "join_full",
@@ -288,24 +295,24 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM cn FULL JOIN sn ON cn.nk = sn.nk""",
     ),
     (
-        "join_semi",
+        # EXISTS (→ LeftSemi) and NOT EXISTS (→ LeftAnti) in one row
+        # (merged r3; Catalyst still plans both join types)
+        "join_semi_anti",
         "engine",
-        """SELECT c_custkey, c_name FROM glue.tpch.customer c
+        """SELECT 'semi' AS kind, c_custkey, c_name FROM glue.tpch.customer c
            WHERE EXISTS (SELECT 1 FROM glue.tpch.orders o
                          WHERE o.o_custkey = c.c_custkey
-                           AND o.o_totalprice > 200000)""",
-        """SELECT c_custkey, c_name FROM customer c
-           WHERE EXISTS (SELECT 1 FROM orders o
-                         WHERE o.o_custkey = c.c_custkey
-                           AND o.o_totalprice > 200000)""",
-    ),
-    (
-        "join_anti",
-        "engine",
-        """SELECT c_custkey, c_name FROM glue.tpch.customer c
+                           AND o.o_totalprice > 200000)
+           UNION ALL
+           SELECT 'anti' AS kind, c_custkey, c_name FROM glue.tpch.customer c
            WHERE NOT EXISTS (SELECT 1 FROM glue.tpch.orders o
                              WHERE o.o_custkey = c.c_custkey)""",
-        """SELECT c_custkey, c_name FROM customer c
+        """SELECT 'semi' AS kind, c_custkey, c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 200000)
+           UNION ALL
+           SELECT 'anti' AS kind, c_custkey, c_name FROM customer c
            WHERE NOT EXISTS (SELECT 1 FROM orders o
                              WHERE o.o_custkey = c.c_custkey)""",
     ),
@@ -326,6 +333,7 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
                   round(avg(l_quantity), 6) AS avg_qty,
                   round(avg(l_extendedprice), 6) AS avg_price,
+                  count(DISTINCT l_suppkey) AS n_supp,
                   count(*) AS n
            FROM glue.tpch.lineitem
            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -336,6 +344,7 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
                   round(avg(l_quantity), 6) AS avg_qty,
                   round(avg(l_extendedprice), 6) AS avg_price,
+                  count(DISTINCT l_suppkey) AS n_supp,
                   count(*) AS n
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -358,16 +367,6 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders GROUP BY o_orderpriority""",
     ),
     (
-        "agg_distinct",
-        "engine",
-        """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
-                  count(DISTINCT l_partkey) AS n_part
-           FROM glue.tpch.lineitem GROUP BY l_returnflag""",
-        """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
-                  count(DISTINCT l_partkey) AS n_part
-           FROM lineitem GROUP BY l_returnflag""",
-    ),
-    (
         "agg_having",
         "engine",
         """SELECT c_nationkey, count(*) AS n FROM glue.tpch.customer
@@ -388,20 +387,24 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders GROUP BY 1, 2""",
     ),
     (
-        "order_limit",
+        # ORDER BY + LIMIT and LIMIT/OFFSET pagination in one row
+        # (merged r3)
+        "order_limit_offset",
         "engine",
-        """SELECT o_orderkey, o_totalprice FROM glue.tpch.orders
-           ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-        """SELECT o_orderkey, o_totalprice FROM orders
-           ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-    ),
-    (
-        "order_offset",
-        "engine",
-        """SELECT o_orderkey, o_totalprice FROM glue.tpch.orders
-           ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7""",
-        """SELECT o_orderkey, o_totalprice FROM orders
-           ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7""",
+        """SELECT 'top' AS page, o_orderkey, o_totalprice FROM (
+               SELECT o_orderkey, o_totalprice FROM glue.tpch.orders
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+           UNION ALL
+           SELECT 'off' AS page, o_orderkey, o_totalprice FROM (
+               SELECT o_orderkey, o_totalprice FROM glue.tpch.orders
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7)""",
+        """SELECT 'top' AS page, o_orderkey, o_totalprice FROM (
+               SELECT o_orderkey, o_totalprice FROM orders
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+           UNION ALL
+           SELECT 'off' AS page, o_orderkey, o_totalprice FROM (
+               SELECT o_orderkey, o_totalprice FROM orders
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7)""",
     ),
     (
         "cte_flagship",
@@ -438,6 +441,27 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            SELECT bucket, n FROM buckets WHERE n > 2""",
     ),
     (
+        # WITH RECURSIVE pass-through: the reference parses + passes it
+        # through (test/sql-transformer.test.ts:203-215); Spark 4.1
+        # executes recursive CTEs natively, so the glue-ref rewrite is
+        # all the engine adds
+        "cte_recursive",
+        "engine",
+        """WITH RECURSIVE seq(n) AS (
+               SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 8
+           )
+           SELECT s.n, count(nt.n_nationkey) AS n_nations
+           FROM seq s LEFT JOIN glue.tpch.nation nt
+             ON nt.n_regionkey = s.n % 5
+           GROUP BY s.n""",
+        """WITH RECURSIVE seq(n) AS (
+               SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 8
+           )
+           SELECT s.n, count(nt.n_nationkey) AS n_nations
+           FROM seq s LEFT JOIN nation nt ON nt.n_regionkey = s.n % 5
+           GROUP BY s.n""",
+    ),
+    (
         "subquery_derived",
         "engine",
         """SELECT t.seg, t.n FROM (
@@ -461,39 +485,43 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)""",
     ),
     (
-        "setop_union",
+        # UNION / UNION ALL / INTERSECT / EXCEPT in one row (merged r3;
+        # each set operation runs in its own tagged derived table)
+        "setop_all",
         "engine",
-        """SELECT c_nationkey AS nk FROM glue.tpch.customer
-           UNION SELECT s_nationkey AS nk FROM glue.tpch.supplier""",
-        """SELECT c_nationkey AS nk FROM customer
-           UNION SELECT s_nationkey AS nk FROM supplier""",
-    ),
-    (
-        "setop_union_all",
-        "engine",
-        """SELECT c_nationkey AS nk FROM glue.tpch.customer
-           WHERE c_custkey <= 100
-           UNION ALL SELECT s_nationkey AS nk FROM glue.tpch.supplier""",
-        """SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 100
-           UNION ALL SELECT s_nationkey AS nk FROM supplier""",
-    ),
-    (
-        "setop_intersect",
-        "engine",
-        """SELECT c_nationkey AS nk FROM glue.tpch.customer
-           INTERSECT SELECT s_nationkey AS nk FROM glue.tpch.supplier""",
-        """SELECT c_nationkey AS nk FROM customer
-           INTERSECT SELECT s_nationkey AS nk FROM supplier""",
-    ),
-    (
-        "setop_except",
-        "engine",
-        """SELECT n_nationkey AS nk FROM glue.tpch.nation
-           EXCEPT SELECT c_nationkey AS nk FROM glue.tpch.customer
-                  WHERE c_custkey <= 50""",
-        """SELECT n_nationkey AS nk FROM nation
-           EXCEPT SELECT c_nationkey AS nk FROM customer
-                  WHERE c_custkey <= 50""",
+        """SELECT 'union' AS op, nk FROM (
+               SELECT c_nationkey AS nk FROM glue.tpch.customer
+               UNION SELECT s_nationkey AS nk FROM glue.tpch.supplier)
+           UNION ALL
+           SELECT 'union_all' AS op, nk FROM (
+               SELECT c_nationkey AS nk FROM glue.tpch.customer
+               WHERE c_custkey <= 100
+               UNION ALL SELECT s_nationkey AS nk FROM glue.tpch.supplier)
+           UNION ALL
+           SELECT 'intersect' AS op, nk FROM (
+               SELECT c_nationkey AS nk FROM glue.tpch.customer
+               INTERSECT SELECT s_nationkey AS nk FROM glue.tpch.supplier)
+           UNION ALL
+           SELECT 'except' AS op, nk FROM (
+               SELECT n_nationkey AS nk FROM glue.tpch.nation
+               EXCEPT SELECT c_nationkey AS nk FROM glue.tpch.customer
+                      WHERE c_custkey <= 50)""",
+        """SELECT 'union' AS op, nk FROM (
+               SELECT c_nationkey AS nk FROM customer
+               UNION SELECT s_nationkey AS nk FROM supplier)
+           UNION ALL
+           SELECT 'union_all' AS op, nk FROM (
+               SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 100
+               UNION ALL SELECT s_nationkey AS nk FROM supplier)
+           UNION ALL
+           SELECT 'intersect' AS op, nk FROM (
+               SELECT c_nationkey AS nk FROM customer
+               INTERSECT SELECT s_nationkey AS nk FROM supplier)
+           UNION ALL
+           SELECT 'except' AS op, nk FROM (
+               SELECT n_nationkey AS nk FROM nation
+               EXCEPT SELECT c_nationkey AS nk FROM customer
+                      WHERE c_custkey <= 50)""",
     ),
     (
         "window_rank",
@@ -516,25 +544,15 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            ) t WHERE rn <= 3""",
     ),
     (
-        "window_running",
+        # running-frame aggregate + lag/lead offsets over one window
+        # spec (merged r3)
+        "window_running_lag",
         "engine",
         """SELECT o_custkey, o_orderkey,
                   round(sum(o_totalprice) OVER (
                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                    AS run_total
-           FROM glue.tpch.orders WHERE o_custkey <= 100""",
-        """SELECT o_custkey, o_orderkey,
-                  round(sum(o_totalprice) OVER (
-                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                    AS run_total
-           FROM orders WHERE o_custkey <= 100""",
-    ),
-    (
-        "window_lag",
-        "engine",
-        """SELECT o_custkey, o_orderkey,
+                    AS run_total,
                   round(o_totalprice - lag(o_totalprice) OVER (
                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                       2) AS delta_prev,
@@ -543,6 +561,10 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                       - o_totalprice, 2) AS delta_next
            FROM glue.tpch.orders WHERE o_custkey <= 100""",
         """SELECT o_custkey, o_orderkey,
+                  round(sum(o_totalprice) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                    AS run_total,
                   round(o_totalprice - lag(o_totalprice) OVER (
                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                       2) AS delta_prev,
@@ -581,7 +603,10 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                         * 1000 + 0.5) / 1000 AS charge,
                   floor(l_extendedprice / l_quantity * 1000 + 0.5) / 1000
                     AS unit_price,
-                  CAST(l_orderkey % 7 AS INT) AS key_mod
+                  CAST(l_orderkey % 7 AS INT) AS key_mod,
+                  CASE WHEN l_quantity < 10 THEN 'low'
+                       WHEN l_quantity < 30 THEN 'mid'
+                       ELSE 'high' END AS qty_band
            FROM glue.tpch.lineitem WHERE l_orderkey <= 1000""",
         """SELECT l_orderkey, l_linenumber,
                   CAST(floor(l_quantity) AS INT) AS qty_int,
@@ -589,34 +614,29 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                         * 1000 + 0.5) / 1000 AS charge,
                   floor(l_extendedprice / l_quantity * 1000 + 0.5) / 1000
                     AS unit_price,
-                  CAST(l_orderkey % 7 AS INT) AS key_mod
+                  CAST(l_orderkey % 7 AS INT) AS key_mod,
+                  CASE WHEN l_quantity < 10 THEN 'low'
+                       WHEN l_quantity < 30 THEN 'mid'
+                       ELSE 'high' END AS qty_band
            FROM lineitem WHERE l_orderkey <= 1000""",
     ),
     (
-        "expr_case",
-        "engine",
-        """SELECT o_orderkey,
-                  CASE WHEN o_totalprice < 50000 THEN 'small'
-                       WHEN o_totalprice < 150000 THEN 'medium'
-                       WHEN o_totalprice < 250000 THEN 'large'
-                       ELSE 'jumbo' END AS size_band
-           FROM glue.tpch.orders""",
-        """SELECT o_orderkey,
-                  CASE WHEN o_totalprice < 50000 THEN 'small'
-                       WHEN o_totalprice < 150000 THEN 'medium'
-                       WHEN o_totalprice < 250000 THEN 'large'
-                       ELSE 'jumbo' END AS size_band
-           FROM orders""",
-    ),
-    (
+        # array agg + element access; the array itself is emitted as a
+        # canonical sorted CSV so the driver's value-hash (which cannot
+        # hash list cells) gets a scalar — raw array-typed results stay
+        # covered in tests/test_operators.py
         "array_agg",
         "engine",
-        """SELECT n_regionkey, sort_array(collect_list(n_name)) AS names,
+        """SELECT n_regionkey,
+                  array_join(sort_array(collect_list(n_name)), ',')
+                    AS names_csv,
                   CAST(size(collect_list(n_name)) AS INT) AS n,
                   element_at(sort_array(collect_list(n_name)), 1)
                     AS first_name
            FROM glue.tpch.nation GROUP BY n_regionkey""",
-        """SELECT n_regionkey, list(n_name ORDER BY n_name) AS names,
+        """SELECT n_regionkey,
+                  array_to_string(list(n_name ORDER BY n_name), ',')
+                    AS names_csv,
                   CAST(len(list(n_name)) AS INT) AS n,
                   (list(n_name ORDER BY n_name))[1] AS first_name
            FROM nation GROUP BY n_regionkey""",
@@ -638,23 +658,24 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            WHERE c_custkey <= 300""",
     ),
     (
-        "rollup_agg",
+        # ROLLUP and CUBE grouping sets in one row (merged r3)
+        "rollup_cube",
         "engine",
-        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        """SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n,
                   round(sum(l_quantity), 2) AS qty
            FROM glue.tpch.lineitem
-           GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
-        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           UNION ALL
+           SELECT 'cube' AS op, l_returnflag, l_linestatus, count(*) AS n,
                   round(sum(l_quantity), 2) AS qty
-           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
-    ),
-    (
-        "cube_agg",
-        "engine",
-        """SELECT l_returnflag, l_linestatus, count(*) AS n
            FROM glue.tpch.lineitem
            GROUP BY CUBE(l_returnflag, l_linestatus)""",
-        """SELECT l_returnflag, l_linestatus, count(*) AS n
+        """SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n,
+                  round(sum(l_quantity), 2) AS qty
+           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           UNION ALL
+           SELECT 'cube' AS op, l_returnflag, l_linestatus, count(*) AS n,
+                  round(sum(l_quantity), 2) AS qty
            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
     ),
     # -- Layer A machinery: partitioned + projected tables ------------------
@@ -793,8 +814,10 @@ SELECT doc_id, source, n_chars FROM (
 ) WHERE rn = 1
 """
 
-_NGRAM_JACCARD_ORACLE = r"""
-WITH d AS (
+#: shared shingle/posting fragment (word 3-grams, distinct) — the SQL
+#: twin of functions/text.py:shingles
+_SHINGLE_CTES = r"""
+d AS (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
     FROM documents
 ),
@@ -813,12 +836,181 @@ common AS (
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
+"""
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_CTES}
 SELECT id_a, id_b,
        round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.6
+"""
+
+#: MinHash-LSH with the portable md5 hash family
+#: (operators/dedup.py:portable_hash60): signatures, band buckets, the
+#: candidate join, and the exact-Jaccard verification are all
+#: reproduced — a full-pipeline oracle, not just a spot check
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+fams AS (SELECT unnest(range(64)) AS fam),
+minh AS (
+    SELECT p.doc_id, f.fam,
+           min(('0x' || substr(md5(f.fam || ':' || p.shingle), 1, 15))::BIGINT)
+             AS m
+    FROM posting p CROSS JOIN fams f
+    GROUP BY p.doc_id, f.fam
+),
+sigs AS (SELECT doc_id, list(m ORDER BY fam) AS sig FROM minh GROUP BY doc_id),
+bandix AS (SELECT unnest(range(16)) AS b),
+bands AS (
+    SELECT doc_id,
+           b.b || ',' || array_to_string(sig[(b.b*4+1):(b.b*4+4)], ',') AS key
+    FROM sigs CROSS JOIN bandix b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM bands a JOIN bands b2 ON a.key = b2.key AND a.doc_id < b2.doc_id
+)
+SELECT cd.id_a, cd.id_b,
+       round(CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c), 6) AS jaccard
+FROM cand cd
+JOIN common c ON c.id_a = cd.id_a AND c.id_b = cd.id_b
+JOIN sizes sa ON sa.doc_id = cd.id_a
+JOIN sizes sb ON sb.doc_id = cd.id_b
+WHERE round(CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c), 6) >= 0.8
+"""
+
+#: SimHash with the portable 60-bit md5 token hash: votes, signature,
+#: pigeonhole bands (4 × 15 bits for Hamming ≤ 3), popcount verify
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+    FROM documents
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bits AS (SELECT unnest(range(60)) AS j),
+votes AS (
+    SELECT doc_id, j.j,
+           sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN bits j GROUP BY doc_id, j.j
+),
+sigs AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+    FROM votes GROUP BY doc_id
+),
+bandix AS (SELECT unnest(range(4)) AS b),
+bands AS (
+    SELECT doc_id, sig, b.b AS band, (sig >> (b.b*15)) & 32767 AS bits
+    FROM sigs CROSS JOIN bandix b
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           bit_count(xor(a.sig, b2.sig)) AS hamming
+    FROM bands a JOIN bands b2
+      ON a.band = b2.band AND a.bits = b2.bits AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+#: transitive closure of the exact n-gram-Jaccard pair graph via a
+#: recursive CTE — the oracle for the iterative connected-components
+#: operator (operators/dedup.py:connected_components)
+_CC_GROUPS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+pairs AS (
+    SELECT id_a, id_b FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.6
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, r) AS (
+    SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.src
+),
+comp AS (SELECT src AS id, min(r) AS component FROM reach GROUP BY src)
+SELECT doc.doc_id,
+       coalesce(cp.component, doc.doc_id) AS group_id,
+       (coalesce(cp.component, doc.doc_id) = doc.doc_id)
+         AS is_representative
+FROM documents doc LEFT JOIN comp cp ON cp.id = doc.doc_id
+"""
+
+#: portable sign-random-projection buckets over the embeddings table
+#: (operators/similarity.py:srp_bucket with portable=True, 4 planes)
+_SRP_BUCKET_CTES = r"""
+dims AS (
+    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+),
+planes AS (SELECT unnest(range(4)) AS p),
+proj AS (
+    SELECT vec_id, p.p,
+           sum(CASE WHEN (('0x' || substr(md5(p.p || ':' || d), 1, 15))::BIGINT
+                          & 1) = 1 THEN x ELSE -x END) AS s
+    FROM dims CROSS JOIN planes p GROUP BY vec_id, p.p
+),
+buckets AS (
+    SELECT vec_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+    FROM proj GROUP BY vec_id
+)
+"""
+
+_COSINE_EXPR = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+_EMB_NEAR_COS = _COSINE_EXPR.format(a="ea.embedding", b="eb.embedding")
+_EMB_NEAR_ORACLE = f"""
+WITH {_SRP_BUCKET_CTES},
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_EMB_NEAR_COS} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {_EMB_NEAR_COS} >= 0.18
+"""
+
+_ANN_COS = _COSINE_EXPR.format(a="p.qv", b="e.embedding")
+_ANN_ORACLE = f"""
+WITH {_SRP_BUCKET_CTES},
+q AS (
+    SELECT b.vec_id AS query_id, e.embedding AS qv, b.bucket AS qbucket
+    FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+    WHERE b.vec_id < 5
+),
+probes AS (
+    SELECT query_id, qv,
+           unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2),
+                   xor(qbucket, 4), xor(qbucket, 8)]) AS bucket
+    FROM q
+),
+scored AS (
+    SELECT p.query_id, b.vec_id, {_ANN_COS} AS cosine
+    FROM probes p
+    JOIN buckets b USING (bucket)
+    JOIN embeddings e ON e.vec_id = b.vec_id
+    WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+WHERE rn <= 10
 """
 
 _COSINE_TOPK_ORACLE = """
@@ -892,6 +1084,17 @@ FROM (
 GROUP BY 1, 2
 """
 
+#: tumbling + sliding batch windows in one driver row (merged r3)
+_WINDOWS_BATCH_ORACLE = f"""
+SELECT window_start, event_type, n_events, value_sum,
+       'tumbling' AS kind
+FROM ({_TUMBLING_ORACLE})
+UNION ALL
+SELECT window_start, event_type, n_events,
+       CAST(NULL AS DECIMAL(18,3)) AS value_sum, 'sliding' AS kind
+FROM ({_SLIDING_ORACLE})
+"""
+
 _SESSIONIZE_STREAM_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts, event_id,
@@ -917,9 +1120,18 @@ FROM (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS mx FROM agg)
 WHERE session_seq < mx
 """
 
-_MULTIMODAL_META_ORACLE = """
+#: full decode-stage oracle: the deterministic fake decoder derives
+#: (width, height, sha_prefix) from sha256 of the payload — sha256 is
+#: identical in both engines, so even the Arrow-batched mapInPandas
+#: kernel's output is value-checkable
+_MM_DECODE_ORACLE = """
 SELECT doc_id AS media_id, 'image' AS modality,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + ('0x' || substr(sha256(text), 1, 4))::BIGINT % 2048 AS INT)
+         AS width,
+       CAST(16 + ('0x' || substr(sha256(text), 5, 4))::BIGINT % 2048 AS INT)
+         AS height,
+       substr(sha256(text), 1, 12) AS sha_prefix
 FROM documents
 """
 
@@ -942,14 +1154,11 @@ def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     return T.text_stats(_docs(spark, sf)).select(
         "doc_id", "n_chars_actual", "n_tokens", "avg_token_len",
         "punct_ratio", "stopword_ratio", "quality", "fingerprint",
-    )
-
-
-def _q_text_language(spark: SparkSession, sf: str) -> DataFrame:
-    from glue_table_cache_spark.functions import text as T
-
-    return _docs(spark, sf).select(
-        "doc_id", T.language_id("text").alias("lang_pred")
+    ).join(
+        _docs(spark, sf).select(
+            "doc_id", T.language_id("text").alias("lang_pred")
+        ),
+        "doc_id",
     )
 
 
@@ -968,15 +1177,40 @@ def _q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable md5 hash family so the full signature→LSH→verify
+    pipeline is value-checked against _MINHASH_ORACLE; the xxhash64
+    default stays the at-scale path (benched in bench.py)."""
     from glue_table_cache_spark.operators import dedup as D
 
-    return D.minhash_dedup_pairs(_docs(spark, sf), threshold=0.8)
+    return D.minhash_dedup_pairs(_docs(spark, sf), threshold=0.8,
+                                 portable=True)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from glue_table_cache_spark.operators import dedup as D
 
-    return D.simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+    return D.simhash_near_pairs(_docs(spark, sf), max_hamming=3,
+                                portable=True)
+
+
+def _q_dedup_groups_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup closure: exact Jaccard pair graph →
+    iterative connected components → one representative per cluster."""
+    from glue_table_cache_spark.operators import dedup as D
+
+    docs = _docs(spark, sf)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6)
+    return D.dedup_groups(docs, pairs)
+
+
+def _q_emb_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: portable SRP bucket candidates
+    + exact cosine verify, value-checked against _EMB_NEAR_ORACLE."""
+    from glue_table_cache_spark.operators import similarity as S
+
+    return S.embedding_near_pairs(
+        _emb(spark, sf), threshold=0.18, planes=4, portable=True
+    )
 
 
 def _q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -999,7 +1233,10 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ann_topk_lsh(emb, q, k=10, planes=4)
+    return S.ann_topk_lsh(emb, q, k=10, planes=4, portable=True).select(
+        "query_id", "vec_id", "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def _q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1008,10 +1245,21 @@ def _q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     return S.embedding_stats(_emb(spark, sf))
 
 
-def _q_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+def _q_windows_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling + sliding batch windows in one row (merged r3); the
+    streaming tumbling twin keeps its own entry."""
     from glue_table_cache_spark.streaming import windows as W
 
-    return W.tumbling_counts_batch(_events(spark, sf))
+    ev = _events(spark, sf)
+    tumbling = W.tumbling_counts_batch(ev).withColumn(
+        "kind", F.lit("tumbling")
+    )
+    sliding = (
+        W.sliding_counts_batch(ev, "1 hour", "30 minutes")
+        .withColumn("value_sum", F.lit(None).cast("decimal(18,3)"))
+        .withColumn("kind", F.lit("sliding"))
+    )
+    return tumbling.unionByName(sliding)
 
 
 def _q_tumbling_stream(spark: SparkSession, sf: str) -> DataFrame:
@@ -1027,12 +1275,6 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from glue_table_cache_spark.streaming import windows as W
 
     return W.sessionize_batch(_events(spark, sf), gap_minutes=30)
-
-
-def _q_sliding(spark: SparkSession, sf: str) -> DataFrame:
-    from glue_table_cache_spark.streaming import windows as W
-
-    return W.sliding_counts_batch(_events(spark, sf), "1 hour", "30 minutes")
 
 
 def _q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
@@ -1059,64 +1301,62 @@ def _q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-media plumbing + Arrow-batched decode in one row (merged
+    r3): every output column, including the fake-decoder's
+    (width, height, sha_prefix), is value-checked by _MM_DECODE_ORACLE."""
     from glue_table_cache_spark.operators import multimodal as M
 
     media = M.binary_media_df(_docs(spark, sf), "doc_id", "text")
-    return M.decode_media_meta(media).select(
-        "media_id", "modality", "n_bytes"
-    )
-
-
-def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
-    from glue_table_cache_spark.operators import multimodal as M
-
-    media = M.binary_media_df(
-        _docs(spark, sf), "doc_id", "text", source_col="source"
-    )
     return M.decode_media_meta(media)
 
 
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
-    "text_language_id": _q_text_language,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram,
     "dedup_minhash_pairs": _q_dedup_minhash,
     "dedup_simhash_pairs": _q_dedup_simhash,
+    "dedup_groups_cc": _q_dedup_groups_cc,
+    "dedup_embedding_cosine": _q_emb_near_pairs,
     "similarity_cosine_topk": _q_cosine_topk,
     "similarity_ann_lsh": _q_ann_lsh,
     "similarity_embedding_stats": _q_embedding_stats,
     "iceberg_time_travel": _q_iceberg_time_travel,
-    "events_tumbling_window": _q_tumbling,
+    "events_windows_batch": _q_windows_batch,
     "events_tumbling_stream": _q_tumbling_stream,
-    "events_sliding_window": _q_sliding,
     "events_sessionize": _q_sessionize,
     "events_sessionize_stream": _q_sessionize_stream,
-    "multimodal_meta": _q_multimodal_meta,
     "multimodal_decode": _q_multimodal_decode,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
-    "text_stats": _TEXT_STATS_ORACLE,
-    "text_language_id": _LANG_ORACLE,
+    # text_stats carries the language-id column too (merged r3)
+    "text_stats": (
+        f"SELECT t.*, l.lang_pred FROM ({_TEXT_STATS_ORACLE}) t "
+        f"JOIN ({_LANG_ORACLE}) l USING (doc_id)"
+    ),
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+    # portable md5 hash family (operators/dedup.py:portable_hash60)
+    # makes the probabilistic pipelines bit-identical across engines —
+    # these were `no_oracle` in r2
+    "dedup_minhash_pairs": _MINHASH_ORACLE,
+    "dedup_simhash_pairs": _SIMHASH_ORACLE,
+    "dedup_groups_cc": _CC_GROUPS_ORACLE,
+    "dedup_embedding_cosine": _EMB_NEAR_ORACLE,
     "similarity_cosine_topk": _COSINE_TOPK_ORACLE,
+    "similarity_ann_lsh": _ANN_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,
     "iceberg_time_travel": (
         "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price "
         "FROM orders WHERE o_orderkey % 2 = 0"
     ),
-    "events_tumbling_window": _TUMBLING_ORACLE,
+    "events_windows_batch": _WINDOWS_BATCH_ORACLE,
     "events_tumbling_stream": _TUMBLING_ORACLE,
-    "events_sliding_window": _SLIDING_ORACLE,
     "events_sessionize": _SESSIONIZE_ORACLE,
     "events_sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
-    "multimodal_meta": _MULTIMODAL_META_ORACLE,
-    # no oracle (xxhash64-based, not expressible in DuckDB):
-    #   dedup_minhash_pairs, dedup_simhash_pairs, similarity_ann_lsh,
-    #   multimodal_decode (fake-decode dims derive from sha256 hex → int)
+    "multimodal_decode": _MM_DECODE_ORACLE,
 }
 
 

