@@ -91,6 +91,11 @@ class GlueSparkEngine:
             ttl_ms=cfg.s3_listing_ttl_ms,
             **retry,
         )
+        # table key → listing key, recorded whenever a listing is
+        # cached: invalidate_table must find the listing even after the
+        # metadata entry was LRU-evicted or TTL-expired (peek() would
+        # miss and the stale listing would keep serving)
+        self._listing_keys: dict[str, str] = {}
 
     # -- public API (parity with the reference's, SURVEY.md §3) -------------
 
@@ -157,9 +162,10 @@ class GlueSparkEngine:
         if not table.location:
             raise NoStorageLocationError(table.database, table.name)
         keys = [k.name for k in table.partition_keys]
+        lkey = listing_cache_key(table.location, keys)
+        self._listing_keys[table_cache_key(table.database, table.name)] = lkey
         return self._listing_cache.get_or_load(
-            listing_cache_key(table.location, keys),
-            lambda: self._list_files(table),
+            lkey, lambda: self._list_files(table)
         )
 
     def invalidate_table(self, database: str, table: str) -> None:
@@ -170,10 +176,16 @@ class GlueSparkEngine:
         The reference sweeps listing keys by the ``db_tbl`` substring,
         but listing keys are ``location:keys`` and rarely contain it —
         stale listings survive invalidation there.  We resolve the
-        cached metadata to its exact listing key first (plus the
-        substring sweep for parity with any location that does embed the
-        table name)."""
+        exact listing key via the ``_listing_keys`` side-map (recorded
+        when the listing was cached, so it works even after the
+        metadata entry was LRU-evicted or TTL-expired — peek() alone
+        would miss and leave the stale listing serving), falling back
+        to the cached metadata's location, plus the substring sweep for
+        parity with any location that does embed the table name."""
         meta_key = table_cache_key(database, table)
+        lkey = self._listing_keys.pop(meta_key, None)
+        if lkey is not None:
+            self._listing_cache.invalidate(lkey)
         cached = self._metadata_cache.peek(meta_key)
         if cached is not None and cached.location:
             keys = [k.name for k in cached.partition_keys]
@@ -186,6 +198,7 @@ class GlueSparkEngine:
     def clear_cache(self) -> None:
         self._metadata_cache.clear()
         self._listing_cache.clear()
+        self._listing_keys.clear()
 
     # -- view construction ---------------------------------------------------
 

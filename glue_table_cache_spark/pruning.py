@@ -418,16 +418,31 @@ def predicate_to_column(pred: Predicate):
         return F.lit(None).cast("boolean")
     if isinstance(pred, InList):
         col = F.col(pred.column)
-        numeric = any(
-            isinstance(c, (int, float)) and not isinstance(c, bool)
-            for c in pred.consts
-        )
-        if numeric:
-            hit = col.try_cast("double").isin(
-                [float(c) for c in pred.consts]
+
+        def cmp_const(c):
+            """Per-constant comparison with _coerce's semantics: numeric
+            const → numeric compare (NULL on bad cast), string const →
+            string compare, anything else (bool) → Unknown."""
+            if isinstance(c, bool):
+                return F.lit(None).cast("boolean")
+            if isinstance(c, (int, float)):
+                return col.try_cast("double") == F.lit(float(c))
+            if isinstance(c, str):
+                return col == F.lit(c)
+            return F.lit(None).cast("boolean")
+
+        # mirror InList.evaluate's in-order scan exactly (it returns
+        # Unknown at the FIRST uncoercible constant unless an earlier
+        # constant already matched — e.g. mixed ``key IN (1, 'a')``):
+        # right-fold CASE WHEN cmp IS NULL → NULL / cmp → TRUE / ELSE rest
+        hit = F.lit(False)
+        for c in reversed(pred.consts):
+            cmp_c = cmp_const(c)
+            hit = (
+                F.when(cmp_c.isNull(), F.lit(None).cast("boolean"))
+                .when(cmp_c, F.lit(True))
+                .otherwise(hit)
             )
-        else:
-            hit = col.isin(list(pred.consts))
         return ~hit if pred.negated else hit
     if isinstance(pred, And):
         out = F.lit(True)

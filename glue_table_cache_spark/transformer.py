@@ -29,10 +29,12 @@ from glue_table_cache_spark.errors import InvalidQueryError
 DEFAULT_DATABASE = "default"
 
 _IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)'
-#: the left boundary (?<![A-Za-z0-9_".`]) keeps ``someglue.db.tbl`` (a
-#: different catalog) from matching on its ``glue.db.tbl`` suffix
+#: the left boundary (?<![A-Za-z0-9_".`.]) keeps ``someglue.db.tbl`` (a
+#: different catalog) from matching on its ``glue.db.tbl`` suffix, and
+#: the ``.`` keeps a dot-qualified ``othercat.glue.tbl`` from matching
+#: on its trailing two parts
 _GLUE_REF = re.compile(
-    rf'(?<![A-Za-z0-9_".`])(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
+    rf'(?<![A-Za-z0-9_".`.])(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
     rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})(?!\s*\.)",
 )
 
@@ -207,6 +209,8 @@ def rewrite_query(
         view = names.get(ref, ref.view_name)
         if has_alias and not keyword_next:
             return view
-        return f"{view} AS {tbl.lower()}"
+        # backtick-quote the generated alias: bare table names may hold
+        # characters Spark's parser rejects unquoted (glue.db."order-items")
+        return f"{view} AS `{tbl.lower()}`"
 
     return _GLUE_REF.sub(sub, sql)

@@ -369,3 +369,36 @@ def test_join_against_empty_glue_table(spark, store, tmp_path):
     rows = df.collect()
     assert len(rows) == 5
     assert all(r.nothing is None for r in rows)
+
+
+def test_invalidate_after_metadata_expiry_still_drops_listing(spark, store):
+    """ADVICE r2: if the metadata entry TTL-expired while the listing
+    survives, invalidate_table must still resolve and drop the
+    listing (peek() alone would miss → stale listing keeps serving)."""
+    import time
+
+    listing_calls = {"n": 0}
+
+    class CountingFS:
+        def list_files(self, location):
+            listing_calls["n"] += 1
+            from glue_table_cache_spark.listing import LocalFileSystem
+
+            return LocalFileSystem().list_files(location)
+
+    engine = GlueSparkEngine(
+        spark,
+        store,
+        EngineConfig(
+            explicit_file_lists=True,
+            table_metadata_ttl_ms=30,       # metadata expires quickly...
+            s3_listing_ttl_ms=3_600_000,    # ...the listing does not
+        ),
+        filesystem=CountingFS(),
+    )
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    assert listing_calls["n"] == 1
+    time.sleep(0.05)  # metadata entry is now expired
+    engine.invalidate_table("tpch", "region")
+    engine.sql("SELECT * FROM glue.tpch.region").count()
+    assert listing_calls["n"] == 2  # listing was really invalidated

@@ -415,3 +415,58 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
         for r in closed.collect()
     }
     assert streamed == expected and len(expected) > 0
+
+
+# -- connected components / portable hash family ----------------------------
+
+
+def test_connected_components_chain(spark):
+    """A≈B≈C where A,C are not directly similar must still collapse to
+    one component (transitive closure the greedy pairwise policy
+    misses)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    comp = {
+        (r.id, r.component)
+        for r in D.connected_components(pairs).collect()
+    }
+    assert comp == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_dedup_groups_keeps_one_representative(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    rows = {
+        (r.doc_id, r.group_id, r.is_representative)
+        for r in D.dedup_groups(docs, pairs).collect()
+    }
+    assert rows == {
+        (1, 1, True), (2, 1, False), (3, 1, False), (4, 4, True)
+    }
+
+
+def test_portable_minhash_finds_planted_dups(docs_with_dups):
+    """The md5-derived portable family (oracle-checkable in DuckDB)
+    must find the same planted dups as the xxhash64 default."""
+    pairs = D.minhash_dedup_pairs(docs_with_dups, threshold=0.5,
+                                  portable=True)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((i, i + 10000) in got for i in range(20))
+    assert sum((i, i + 20000) in got for i in range(20)) >= 15
+
+
+def test_portable_simhash_finds_planted_dups(docs_with_dups):
+    pairs = D.simhash_near_pairs(docs_with_dups, max_hamming=3,
+                                 portable=True)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((i, i + 10000) in got for i in range(20))
+
+
+def test_portable_simhash_rejects_wide_signature(documents):
+    with pytest.raises(ValueError, match="60 bits"):
+        D.simhash(documents, bits=64, portable=True)

@@ -121,3 +121,45 @@ def test_not_between_with_uncoercible_value_is_kept():
     )
     out = [f.path for f in prune_files(files, pred)]
     assert out == [files[1].path, files[2].path]
+
+
+def test_in_list_mixed_constants_python_path():
+    """ADVICE r2: mixed numeric/string IN lists must not blow up and
+    must stay conservative (Unknown keeps the file)."""
+    out = _prune("SELECT * FROM glue.db.tbl WHERE year IN (2024, 'x')")
+    assert out == [f.path for f in FILES[2:]]
+
+
+def test_in_list_mixed_constants_column_path_matches(spark):
+    """The DataFrame pruning path (used over listing_df_threshold) must
+    keep exactly the files the Python loop keeps — including mixed
+    IN lists and uncoercible partition values."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.pruning import predicate_to_column
+
+    files = FILES + [
+        FileInfo("s3://b/t/year=weird/month=01/e.parquet",
+                 {"year": "weird", "month": "01"}),
+    ]
+    for sql in [
+        "SELECT * FROM glue.db.tbl WHERE year IN (2024, 'x')",
+        "SELECT * FROM glue.db.tbl WHERE year IN ('2023', 'weird')",
+        "SELECT * FROM glue.db.tbl WHERE year NOT IN (2024, 'x')",
+        "SELECT * FROM glue.db.tbl WHERE year NOT IN ('2024')",
+        "SELECT * FROM glue.db.tbl WHERE year IN (2023, 2024)",
+    ]:
+        pred = extract_partition_predicate(sql, KEYS, IDENTS)
+        py_kept = [f.path for f in prune_files(files, pred)]
+        df = spark.createDataFrame(
+            [(f.path, f.partition_values.get("year"),
+              f.partition_values.get("month")) for f in files],
+            "path string, year string, month string",
+        )
+        col_kept = [
+            r.path
+            for r in df.filter(
+                F.coalesce(predicate_to_column(pred), F.lit(True))
+            ).select("path").collect()
+        ]
+        assert col_kept == py_kept, sql

@@ -72,7 +72,7 @@ def test_rewrite_bare_ref_gets_alias():
     sql = "SELECT tbl1.a FROM glue.db1.tbl1 WHERE tbl1.b = 2"
     refs = get_query_glue_table_refs(sql)
     out = rewrite_query(sql, refs)
-    assert "glue__db1_tbl1 AS tbl1" in out
+    assert "glue__db1_tbl1 AS `tbl1`" in out
     assert "glue." not in out
 
 
@@ -86,7 +86,7 @@ def test_rewrite_preserves_alias_and_comments():
 def test_rewrite_ref_followed_by_keyword():
     sql = "SELECT * FROM glue.db1.tbl1 WHERE x=1"
     out = rewrite_query(sql, get_query_glue_table_refs(sql))
-    assert "glue__db1_tbl1 AS tbl1 WHERE x=1" in out
+    assert "glue__db1_tbl1 AS `tbl1` WHERE x=1" in out
 
 
 def test_string_literal_not_rewritten():
@@ -131,7 +131,7 @@ def test_per_query_view_name_override():
     sql = "SELECT * FROM glue.db1.tbl1 WHERE x = 1"
     refs = get_query_glue_table_refs(sql)
     out = rewrite_query(sql, refs, {refs[0]: "glue__db1_tbl1__q7_0"})
-    assert "glue__db1_tbl1__q7_0 AS tbl1" in out
+    assert "glue__db1_tbl1__q7_0 AS `tbl1`" in out
 
 
 def test_missing_database_raises():
@@ -149,3 +149,28 @@ def test_four_part_name_not_treated_as_glue_ref():
         strict=False,
     )
     assert refs == [TableReference("db2", "tbl2")]
+
+
+def test_dot_qualified_catalog_not_rewritten():
+    """ADVICE r2: othercat.glue.tbl names a table in another catalog
+    whose schema is literally 'glue' — its glue.tbl suffix must not be
+    rewritten."""
+    sql = (
+        "SELECT * FROM othercat.glue.tbl1 a JOIN glue.db1.tbl1 b "
+        "ON a.id = b.id"
+    )
+    refs = get_query_glue_table_refs(sql)
+    assert refs == [TableReference("db1", "tbl1")]
+    out = rewrite_query(sql, refs)
+    assert "othercat.glue.tbl1" in out
+
+
+def test_generated_alias_is_backquoted():
+    """ADVICE r2: a bare quoted reference like glue.db."order-items"
+    aliases back to its table name, which must be backtick-quoted or
+    Spark's parser rejects the hyphen."""
+    sql = 'SELECT * FROM glue.db1."order-items" WHERE x = 1'
+    refs = get_query_glue_table_refs(sql, strict=False)
+    assert refs == [TableReference("db1", "order-items")]
+    out = rewrite_query(sql, refs)
+    assert "AS `order-items`" in out
