@@ -24,22 +24,27 @@ from glue_table_cache_spark.catalog import (
     CatalogTable,
     ETableType,
     LocalMetadataStore,
+    PartitionEntry,
     PartitionKey,
+    PartitionListing,
 )
-from glue_table_cache_spark.config import EngineConfig
+from glue_table_cache_spark.config import Credentials, EngineConfig
 from glue_table_cache_spark.engine import GlueSparkEngine
 from glue_table_cache_spark.io import read_table
 from glue_table_cache_spark.session import build_session
 
 __all__ = [
     "CatalogTable",
+    "Credentials",
     "ETableType",
     "EngineConfig",
     "GlueSparkEngine",
     "LocalMetadataStore",
+    "PartitionEntry",
     "PartitionKey",
+    "PartitionListing",
     "build_session",
     "read_table",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

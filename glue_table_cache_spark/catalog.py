@@ -44,6 +44,27 @@ class PartitionKey:
 
 
 @dataclass(frozen=True)
+class PartitionEntry:
+    """One catalog partition: its key values and (optional) storage
+    location (= the per-partition shape at
+    /root/reference/src/util/glue.ts:123-128)."""
+
+    values: tuple[str, ...] = ()
+    location: str | None = None
+
+
+@dataclass(frozen=True)
+class PartitionListing:
+    """Partition metadata (= reference ``partitionMetadata``,
+    /root/reference/src/types.ts:22-28).  Informational: the engine
+    prunes from partition *keys* + path extraction, same as the
+    reference (SURVEY.md §2.D.3)."""
+
+    keys: tuple[str, ...] = ()
+    values: tuple[PartitionEntry, ...] = ()
+
+
+@dataclass(frozen=True)
 class ProjectionPattern:
     """One column's partition-projection config
     (/root/reference/src/types.ts:35-40)."""
@@ -152,9 +173,15 @@ def parse_projection_patterns(
 
 class MetadataStore(Protocol):
     """What the engine needs from a catalog backend.  AWS Glue, a Hive
-    metastore, or a local dict can all satisfy it."""
+    metastore, or a local dict can all satisfy it.  ``get_partitions``
+    may raise; the engine degrades to an empty listing with a warning
+    (reference posture, /root/reference/src/util/glue.ts:130-133)."""
 
     def get_table(self, database: str, table: str) -> CatalogTable: ...
+
+    def get_partitions(
+        self, database: str, table: str
+    ) -> PartitionListing: ...
 
 
 class LocalMetadataStore:
@@ -168,9 +195,24 @@ class LocalMetadataStore:
 
     def __init__(self) -> None:
         self._tables: dict[str, CatalogTable] = {}
+        self._partitions: dict[str, PartitionListing] = {}
 
     def register_table(self, table: CatalogTable) -> None:
         self._tables[table.qualified_name.lower()] = table
+
+    def register_partitions(
+        self, database: str, table: str, listing: PartitionListing
+    ) -> None:
+        self._partitions[f"{database}.{table}".lower()] = listing
+
+    def get_partitions(self, database: str, table: str) -> PartitionListing:
+        """Registered partitions, or an empty listing (the reference's
+        GetPartitions returns ``{keys: [], values: []}`` when the API
+        yields nothing, /root/reference/src/util/glue.ts:118-121)."""
+        self.get_table(database, table)  # TableNotFoundError if unknown
+        return self._partitions.get(
+            f"{database}.{table}".lower(), PartitionListing()
+        )
 
     def register_parquet_dir(
         self,

@@ -12,6 +12,23 @@ from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
+class Credentials:
+    """Static AWS credentials — the reference's ``setCredentials``
+    payload (/root/reference/src/glue-table-cache.ts:87-95).  The
+    reference validates only that the secret is non-empty and throws
+    ``No secretAccessKey``; we keep the same single check and error
+    text."""
+
+    access_key_id: str
+    secret_access_key: str
+    session_token: str | None = None
+
+    def __post_init__(self) -> None:
+        if len(self.secret_access_key) <= 0:
+            raise ValueError("No secretAccessKey")
+
+
+@dataclass(frozen=True)
 class EngineConfig:
     #: max entries per LRU cache (reference default 100,
     #: /root/reference/src/glue-table-cache.ts:26-32)
@@ -43,6 +60,14 @@ class EngineConfig:
     #: tables reroute to the native directory scan and projection tables
     #: (which have no native equivalent) raise
     max_explicit_files: int = 100_000
+    #: static AWS credentials (reference ``config.credentials``,
+    #: /root/reference/src/types.ts:46).  The engine maps them to
+    #: ``fs.s3a.*`` Hadoop conf at session wiring; ``None`` = default
+    #: provider chain (the reference's ``PROVIDER CREDENTIAL_CHAIN``
+    #: secret, /root/reference/src/glue-table-cache.ts:114-117)
+    credentials: Credentials | None = None
+    #: AWS region for the S3 endpoint (reference ``config.region``)
+    region: str | None = None
     #: retry attempts for metadata APIs (reference: async-retry 3×,
     #: /root/reference/src/glue-table-cache.ts:178-196)
     retry_attempts: int = 3

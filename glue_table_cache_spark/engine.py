@@ -30,13 +30,20 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import logging
+
 from glue_table_cache_spark.cache import (
     LruTtlCache,
     listing_cache_key,
     table_cache_key,
 )
-from glue_table_cache_spark.catalog import CatalogTable, ETableType, MetadataStore
-from glue_table_cache_spark.config import EngineConfig
+from glue_table_cache_spark.catalog import (
+    CatalogTable,
+    ETableType,
+    MetadataStore,
+    PartitionListing,
+)
+from glue_table_cache_spark.config import Credentials, EngineConfig
 from glue_table_cache_spark.errors import (
     GlueSparkError,
     NoStorageLocationError,
@@ -96,6 +103,8 @@ class GlueSparkEngine:
         # metadata entry was LRU-evicted or TTL-expired (peek() would
         # miss and the stale listing would keep serving)
         self._listing_keys: dict[str, str] = {}
+        if cfg.credentials is not None or cfg.region is not None:
+            self._apply_credentials(cfg.credentials, cfg.region)
 
     # -- public API (parity with the reference's, SURVEY.md §3) -------------
 
@@ -151,6 +160,56 @@ class GlueSparkEngine:
                         lambda r: self._setup_view(r, names[r], query), refs
                     )
                 )
+
+    def set_credentials(self, credentials: Credentials) -> None:
+        """Reference ``setCredentials``
+        (/root/reference/src/glue-table-cache.ts:87-95): swap static
+        AWS credentials at runtime.  Validation (empty secret →
+        ``No secretAccessKey``) lives in :class:`Credentials` itself —
+        construct one to trigger it, exactly like the reference throws
+        before storing."""
+        self._apply_credentials(credentials, self.config.region)
+
+    def _apply_credentials(
+        self, creds: Credentials | None, region: str | None
+    ) -> None:
+        """Map credentials onto ``fs.s3a.*`` Hadoop conf — the
+        Spark-side equivalent of the reference's
+        ``CREATE SECRET (TYPE S3, KEY_ID …, SECRET …, REGION …)``
+        (/root/reference/src/glue-table-cache.ts:100-113).  With no
+        credentials the s3a default provider chain applies, which is
+        the reference's ``PROVIDER CREDENTIAL_CHAIN`` branch
+        (glue-table-cache.ts:114-117)."""
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if creds is not None:
+            hconf.set("fs.s3a.access.key", creds.access_key_id)
+            hconf.set("fs.s3a.secret.key", creds.secret_access_key)
+            if creds.session_token:
+                hconf.set("fs.s3a.session.token", creds.session_token)
+                hconf.set(
+                    "fs.s3a.aws.credentials.provider",
+                    "org.apache.hadoop.fs.s3a."
+                    "TemporaryAWSCredentialsProvider",
+                )
+        if region:
+            hconf.set("fs.s3a.endpoint.region", region)
+
+    def get_table_partitions(
+        self, database: str, table: str
+    ) -> PartitionListing:
+        """Partition metadata with the reference's degrade-gracefully
+        posture (/root/reference/src/util/glue.ts:130-133): a failing
+        partitions API warns and yields an empty listing instead of
+        failing the query — the field is informational, pruning works
+        from partition *keys* + path extraction."""
+        try:
+            return self.store.get_partitions(database, table)
+        except Exception as exc:  # noqa: BLE001 - parity: warn-and-continue
+            logging.getLogger(__name__).warning(
+                "Failed to load partitions for %s_%s: %s",
+                database, table, exc,
+            )
+            return PartitionListing()
 
     def get_table_metadata_cached(self, database: str, table: str) -> CatalogTable:
         return self._metadata_cache.get_or_load(
@@ -230,7 +289,7 @@ class GlueSparkEngine:
                 iceberg_data_files,
             )
 
-            paths = self._proxy(iceberg_data_files(tbl.location))
+            paths = self._proxy(iceberg_data_files(tbl.location, fs=self._fs))
             if not paths:
                 # zero snapshots / no data files: empty-relation view
                 # (reference emits SELECT NULL LIMIT 0,

@@ -231,13 +231,19 @@ def write_avro(path: str | Path, schema: dict, records: list[dict]) -> None:
 
 def read_avro(path: str | Path) -> list[dict]:
     """Read every record of an Avro object container file."""
-    import io
-
     with open(path, "rb") as f:
         data = f.read()
+    return read_avro_bytes(data, name=str(path))
+
+
+def read_avro_bytes(data: bytes, name: str = "<bytes>") -> list[dict]:
+    """Decode an Avro object container from in-memory bytes (the shape
+    an S3 GetObject body arrives in — no temp file round-trip)."""
+    import io
+
     buf = io.BytesIO(data)
     if buf.read(4) != _MAGIC:
-        raise ValueError(f"{path}: not an avro object container file")
+        raise ValueError(f"{name}: not an avro object container file")
     meta: dict[str, bytes] = {}
     while True:
         count = _decode_long(buf)
@@ -267,5 +273,5 @@ def read_avro(path: str | Path) -> list[dict]:
         for _ in range(count):
             records.append(decode_value(schema, bbuf))
         if buf.read(16) != sync:
-            raise ValueError(f"{path}: sync marker mismatch")
+            raise ValueError(f"{name}: sync marker mismatch")
     return records

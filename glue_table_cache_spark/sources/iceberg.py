@@ -34,26 +34,35 @@ import posixpath
 from pathlib import Path
 
 from glue_table_cache_spark.errors import GlueSparkError
-from glue_table_cache_spark.sources.avro_lite import read_avro
+from glue_table_cache_spark.sources.avro_lite import read_avro_bytes
 
 
-def _read_json(path: str) -> dict:
-    if path.startswith("s3://"):  # pragma: no cover - no AWS in harness
-        import boto3
-
+def _read_bytes(path: str, s3_client=None) -> bytes:
+    """Read a metadata object (JSON or Avro) from local disk or S3.
+    ``s3_client`` is injectable for tests, like the reference's
+    aws-sdk-client-mock posture (test/util.s3.test.ts)."""
+    if path.startswith("s3://"):
         from glue_table_cache_spark.listing import parse_s3_path
 
+        if s3_client is None:  # pragma: no cover - no AWS in harness
+            import boto3
+
+            s3_client = boto3.client("s3")
         bucket, key = parse_s3_path(path)
-        body = boto3.client("s3").get_object(Bucket=bucket, Key=key.rstrip("/"))
-        return json.loads(body["Body"].read())
-    return json.loads(Path(path).read_text())
+        body = s3_client.get_object(Bucket=bucket, Key=key.rstrip("/"))
+        return body["Body"].read()
+    return Path(path).read_bytes()
 
 
-def _list_metadata_jsons(location: str) -> list[str]:
+def _read_json(path: str, s3_client=None) -> dict:
+    return json.loads(_read_bytes(path, s3_client))
+
+
+def _list_metadata_jsons(location: str, fs=None) -> list[str]:
     from glue_table_cache_spark.listing import filesystem_for
 
     meta_dir = posixpath.join(location.rstrip("/"), "metadata")
-    fs = filesystem_for(meta_dir)
+    fs = fs or filesystem_for(meta_dir)
     return [p for p in fs.list_files(meta_dir) if p.endswith(".json")]
 
 
@@ -64,16 +73,24 @@ def _resolve_path(location: str, path: str) -> str:
     return posixpath.join(location.rstrip("/"), path)
 
 
-def iceberg_data_files(location: str, version_offset: int = 0) -> list[str]:
+def iceberg_data_files(
+    location: str,
+    version_offset: int = 0,
+    s3_client=None,
+    fs=None,
+) -> list[str]:
     """Data-file paths of the (``version_offset``-stepped-back) current
-    snapshot of the Iceberg table at ``location``."""
-    jsons = _list_metadata_jsons(location)
+    snapshot of the Iceberg table at ``location``.
+
+    ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
+    testable without AWS (stub client + stub lister)."""
+    jsons = _list_metadata_jsons(location, fs=fs)
     if not jsons:
         raise GlueSparkError(
             f"No Iceberg metadata JSON found under {location!r}"
         )
     metas = sorted(
-        (_read_json(p) for p in jsons),
+        (_read_json(p, s3_client) for p in jsons),
         key=lambda m: m.get("last-sequence-number", 0),
     )
     idx = len(metas) - 1 - version_offset
@@ -86,14 +103,18 @@ def iceberg_data_files(location: str, version_offset: int = 0) -> list[str]:
     snapshots = meta.get("snapshots") or []
     if not snapshots:
         return []
+
+    def avro(path: str) -> list[dict]:
+        return read_avro_bytes(_read_bytes(path, s3_client), name=path)
+
     manifest_list = _resolve_path(location, snapshots[-1]["manifest-list"])
     manifests = [
         _resolve_path(location, r["manifest_path"])
-        for r in read_avro(manifest_list)
+        for r in avro(manifest_list)
     ]
     files: list[str] = []
     for m in manifests:
-        for entry in read_avro(m):
+        for entry in avro(m):
             files.append(
                 _resolve_path(location, entry["data_file"]["file_path"])
             )
