@@ -108,3 +108,56 @@ def test_cosine_topk_broadcasts_queries(spark):
     # the query side is explicitly broadcast: corpus never shuffles for
     # the scoring stage
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_embedding_near_pairs_no_cartesian(spark):
+    """Candidate generation is a bucket equi-join — an all-pairs
+    cross join would be the 100 TB scale-killer."""
+    from glue_table_cache_spark.io import read_table
+    from glue_table_cache_spark.operators import similarity as S
+    from tests.conftest import TESTDATA
+
+    emb = read_table(spark, str(TESTDATA), "embeddings")
+    pairs = S.embedding_near_pairs(emb, threshold=0.5, planes=4)
+    plan = explain_string(pairs, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    from glue_table_cache_spark.io import read_table
+    from glue_table_cache_spark.operators import dedup as D
+    from tests.conftest import TESTDATA
+
+    docs = read_table(spark, str(TESTDATA), "documents")
+    pairs = D.simhash_near_pairs(docs, max_hamming=3)
+    plan = explain_string(pairs, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_portable_minhash_plan_shape(spark):
+    """The portable (oracle-checkable) hash family must keep the same
+    bucket-join shape — portability must not cost the plan."""
+    from glue_table_cache_spark.io import read_table
+    from glue_table_cache_spark.operators import dedup as D
+    from tests.conftest import TESTDATA
+
+    docs = read_table(spark, str(TESTDATA), "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.8, portable=True)
+    plan = explain_string(pairs, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_joins_stay_keyed(spark):
+    """Every CC round is a keyed equi-join + keyed aggregate; no
+    cross joins, no driver-side edge materialization."""
+    from glue_table_cache_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    comp = D.connected_components(pairs)
+    plan = explain_string(comp, "simple")
+    assert "CartesianProduct" not in plan
