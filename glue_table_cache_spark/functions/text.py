@@ -140,6 +140,75 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) as a posting frame
+    ``(id, fingerprint)``: hash every character ``k``-gram of the
+    normalized text, then keep the minimum hash of each sliding window
+    of ``window`` consecutive k-gram hashes.  Guarantees any shared
+    substring of length ≥ ``k + window - 1`` contributes at least one
+    shared fingerprint, so locally-edited near-duplicates keep most
+    fingerprints in common.
+
+    Shape: one ``posexplode`` over gram positions (the normalized text
+    is computed once per document and carried through the Generate, so
+    per-gram work is an O(k) substring + one xxhash64 — NOT a nested
+    array expression, which would re-evaluate the whole hash array per
+    window and go O(n³)), then the per-window minimum as a frame-bounded
+    window function — one shuffle keyed on the document id."""
+    from pyspark.sql.window import Window as W
+
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("__norm"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    ).select(
+        "id",
+        "pos",
+        F.xxhash64(F.col("__norm").substr(F.col("pos"), F.lit(k))).alias("h"),
+        (F.greatest(
+            F.length("__norm") - (k - 1), F.lit(1)
+        ) - (window - 1)).alias("__max_start"),
+    )
+    frame = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        grams.withColumn("fingerprint", F.min("h").over(frame))
+        .where(F.col("pos") <= F.greatest(F.col("__max_start"), F.lit(1)))
+        .select("id", "fingerprint")
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprints array) per document — collected form of
+    :func:`winnow_postings` for callers that want the sketch as a
+    column."""
+    return (
+        winnow_postings(df, text_col, id_col, k, window)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("fingerprint")).alias("fingerprints"))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats frame: chars, tokens, avg token length,
     punctuation + stopword ratios, quality score, fingerprint."""

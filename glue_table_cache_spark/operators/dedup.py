@@ -442,6 +442,71 @@ def simhash_near_pairs(
 
 
 # --------------------------------------------------------------------------
+# Winnowing (rolling-hash fingerprint overlap)
+# --------------------------------------------------------------------------
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_overlap: float = 0.5,
+    max_fingerprint_df: int | None = None,
+) -> DataFrame:
+    """Near-dup/containment pairs by winnowing-fingerprint overlap
+    (character-level rolling-hash sketch — catches edits that
+    word-shingle Jaccard misses, e.g. whitespace/punctuation rewrites).
+
+    Score = MOSS-style containment: shared fingerprints / the smaller
+    document's sketch size, so a short document pasted into a long one
+    still scores near 1.0.  Measured on the synthetic corpus, char
+    8-grams separate cleanly (true near-dups ≥0.8, unrelated docs
+    <0.2); 5-grams collide heavily on same-vocabulary text.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`: explode
+    fingerprints → equi-join → per-pair overlap count;
+    ``max_fingerprint_df`` drops ultra-common fingerprints (boilerplate)
+    — the posting-list skew guard at scale."""
+    from glue_table_cache_spark.functions.text import winnow_postings
+
+    postings = winnow_postings(
+        _widen(df), text_col, id_col, k, window
+    ).withColumnRenamed("fingerprint", "f")
+    if max_fingerprint_df is not None:
+        rare = (
+            postings.groupBy("f")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_fingerprint_df)
+            .select("f")
+        )
+        postings = postings.join(rare, "f")
+    sizes = postings.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(b, "f")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}),
+                    "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.least("n_a", "n_b"), 6
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= min_overlap)
+    )
+
+
+# --------------------------------------------------------------------------
 # Connected components (transitive near-dup closure)
 # --------------------------------------------------------------------------
 

@@ -204,6 +204,153 @@ def ann_topk_lsh(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file index, coarse k-means quantizer)
+# --------------------------------------------------------------------------
+
+
+def _centroid_rows(centroids: list[tuple[int, list[float]]]):
+    return [(int(c), [float(x) for x in v]) for c, v in centroids]
+
+
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer: ``nlist`` centroids via Lloyd
+    iterations expressed as DataFrame ops.
+
+    Seeds are the ``nlist`` lowest-id vectors (deterministic — no
+    driver random state, same posture as the SRP hyperplanes).  Each
+    iteration is one broadcast-join assignment pass + one
+    explode→groupBy mean pass over the corpus; only the k×d centroid
+    matrix ever reaches the driver.  At 100 TB train on a sample
+    (``sample_fraction``) — the quantizer needs representative
+    centroids, not every row."""
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if sample_fraction:
+        v = v.sample(fraction=sample_fraction, seed=7)
+    cents = [
+        (i, list(r.v))
+        for i, r in enumerate(v.orderBy("id").limit(nlist).collect())
+    ]
+    for _ in range(iters):
+        assigned = _ivf_assign(v, cents)
+        # new centroid = per-dimension mean of the assigned vectors
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("d", "x")
+        )
+        means = (
+            dims.groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("d", "m"))
+            ).alias("dm"))
+            .select(
+                "cluster",
+                F.transform("dm", lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        trained = {r.cluster: list(r.centroid) for r in means.collect()}
+        # empty clusters keep their previous centroid
+        cents = [(c, trained.get(c, prev)) for c, prev in cents]
+    return cents
+
+
+def _ivf_assign(
+    v: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(id, v, cluster): nearest centroid by cosine, via a broadcast
+    join against the k×d centroid table — the corpus never shuffles."""
+    spark = v.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            _centroid_rows(centroids), "cluster int, centroid array<double>"
+        )
+    )
+    scored = v.crossJoin(cent_df).select(
+        "id", "v", "cluster",
+        cosine(F.col("v"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "v", "cluster")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to ``nlist`` coarse
+    cells, probe each query's ``nprobe`` nearest cells, score only the
+    vectors in probed cells.  ``nprobe == nlist`` degenerates to the
+    exact search.  The cell assignment is the partition key at scale:
+    the corpus is hash-partitioned by cell and each query touches
+    ~``nprobe/nlist`` of it.  Pass ``centroids`` to reuse a trained
+    quantizer across queries/batches."""
+    if centroids is None:
+        centroids = ivf_train(corpus, nlist, iters, vec_col, id_col)
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assigned = _ivf_assign(
+        v.withColumnsRenamed({"vec_id": "id", "cv": "v"}), centroids
+    ).withColumnsRenamed({"id": "vec_id", "v": "cv"})
+    spark = corpus.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            _centroid_rows(centroids), "cluster int, centroid array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qscore = q.crossJoin(cent_df).select(
+        "query_id", "qv", "cluster",
+        cosine(F.col("qv"), F.col("centroid")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cluster"))
+    probes = F.broadcast(
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    scored = (
+        assigned.join(probes, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     threshold: float = 0.95,

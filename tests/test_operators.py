@@ -470,3 +470,103 @@ def test_portable_simhash_finds_planted_dups(docs_with_dups):
 def test_portable_simhash_rejects_wide_signature(documents):
     with pytest.raises(ValueError, match="60 bits"):
         D.simhash(documents, bits=64, portable=True)
+
+
+# -- IVF ---------------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_exact(embeddings):
+    """nprobe == nlist scans every cell → must equal the exact top-k."""
+    q = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in S.cosine_topk(embeddings, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in S.ivf_topk(
+            embeddings, q, k=5, nlist=8, nprobe=8, iters=1
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(embeddings):
+    """Probing half the cells must still recover a good share of the
+    exact neighbors (cell-local search)."""
+    q = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(embeddings, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(
+            embeddings, q, k=10, nlist=8, nprobe=4, iters=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4
+    # every returned neighbor's cosine must be exact (verified scoring)
+    assert len(approx) == len(exact)
+
+
+def test_ivf_trained_centroids_reusable(embeddings):
+    cents = S.ivf_train(embeddings, nlist=4, iters=1)
+    assert len(cents) == 4
+    q = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_topk(
+        embeddings, q, k=3, nlist=4, nprobe=4, centroids=cents
+    )
+    assert out.count() == 6
+
+
+# -- winnowing ---------------------------------------------------------------
+
+
+def test_winnow_fingerprints_deterministic_and_shared(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox JUMPED over the lazy dog!"),
+            (4, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.id: set(r.fingerprints)
+        for r in T.winnow_fingerprints(df).collect()
+    }
+    assert fps[1] == fps[2]  # identical docs → identical sketch
+    # one local edit keeps most fingerprints (winnowing guarantee)
+    shared = len(fps[1] & fps[3]) / len(fps[1])
+    assert shared >= 0.5
+    assert len(fps[1] & fps[4]) <= 2  # unrelated docs share ~nothing
+
+
+def test_winnow_pairs_finds_near_dups(docs_with_dups):
+    pairs = D.winnow_pairs(docs_with_dups, min_overlap=0.8)
+    got = {(r.id_a, r.id_b): r.overlap for r in pairs.collect()}
+    # exact copies share every fingerprint (overlap 1.0)
+    assert all(got.get((i, i + 10000)) == 1.0 for i in range(20))
+    # near-copies (1 appended word) keep most of the sketch
+    assert sum((i, i + 20000) in got for i in range(20)) >= 15
+
+
+def test_winnow_pairs_separates_unrelated_docs(documents):
+    """On the natural corpus the containment score must separate: only
+    genuine near-dups survive min_overlap=0.8 (docs 8/12 et al.), not
+    the same-vocabulary background pairs."""
+    n_docs = documents.count()
+    pairs = D.winnow_pairs(documents, min_overlap=0.8)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < n_docs  # far below the ~n²/2 all-pairs blowup
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (8, 12) in got  # the known natural near-dup pair
