@@ -49,6 +49,16 @@ def uses_partial_aggregation(df: DataFrame) -> bool:
     return len(re.findall(r"HashAggregate", explain_string(df, "simple"))) >= 2
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the plan (broadcast
+    exchanges excluded) — 0 on both sides of a join means the layout is
+    co-located (bucketed) and no data moves."""
+    plan = explain_string(df, "simple")
+    return len(re.findall(r"Exchange hashpartitioning", plan)) + len(
+        re.findall(r"Exchange rangepartitioning", plan)
+    )
+
+
 def scan_read_schema(df: DataFrame) -> str:
     m = re.search(r"ReadSchema: (struct<[^\n]*)", explain_string(df))
     return m.group(1) if m else ""

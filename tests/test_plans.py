@@ -161,3 +161,73 @@ def test_connected_components_joins_stay_keyed(spark):
     comp = D.connected_components(pairs)
     plan = explain_string(comp, "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting rewrites the physical key but must be result-equivalent
+    — including a hot key holding most of the rows."""
+    from glue_table_cache_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, f"l{i}") for i in range(1000)],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(0, 200)], "k long, rv string"
+    )
+    for how in ("inner", "left"):
+        plain = {
+            tuple(r)
+            for r in left.join(right, "k", how).select("k", "lv", "rv").collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(left, right, "k", how, salt=8)
+            .select("k", "lv", "rv")
+            .collect()
+        }
+        assert salted == plain, how
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must plan a
+    sort-merge join with ZERO shuffle exchanges — the co-located
+    layout for repeated fact joins at scale."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators.joins import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from glue_table_cache_spark.plans.explain import exchange_count
+    from tests.conftest import TESTDATA
+
+    orders = spark.read.parquet(str(TESTDATA / "orders.parquet"))
+    customer = spark.read.parquet(str(TESTDATA / "customer.parquet"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast plan so the bucket co-location is what
+        # eliminates the shuffle, not a broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            "bkt_orders", "o_custkey", num_buckets=8,
+        )
+        write_bucketed(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_name"
+            ),
+            "bkt_customer", "o_custkey", num_buckets=8,
+        )
+        joined = read_bucketed(spark, "bkt_orders").join(
+            read_bucketed(spark, "bkt_customer"), "o_custkey"
+        )
+        assert exchange_count(joined) == 0
+        # sanity: same row count as the unbucketed join
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
