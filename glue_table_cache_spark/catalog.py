@@ -136,6 +136,22 @@ def _coerce_range(raw: str) -> tuple:
     return tuple(part.strip() for part in raw.split(","))
 
 
+def _coerce_values(raw: str) -> tuple:
+    """Enum value lists accept a JSON array (the reference's only
+    format — ``JSON.parse``, /root/reference/src/util/glue.ts:65-66,
+    throwing on malformed JSON per test/util.glue.test.ts:331-339) or
+    the AWS-documented comma-separated string."""
+    raw_s = raw.strip()
+    if raw_s.startswith(("[", "{")):
+        parsed = json.loads(raw_s)  # malformed JSON raises, as JSON.parse
+        if not isinstance(parsed, list):
+            raise ValueError(
+                f"projection values must be a JSON array, got {raw_s!r}"
+            )
+        return tuple(str(x) for x in parsed)
+    return tuple(v.strip() for v in raw_s.split(","))
+
+
 def parse_projection_patterns(
     parameters: dict[str, str],
 ) -> dict[str, ProjectionPattern]:
@@ -163,9 +179,7 @@ def parse_projection_patterns(
             format=props.get("format"),
             range=_coerce_range(props["range"]) if "range" in props else None,
             values=(
-                tuple(v.strip() for v in props["values"].split(","))
-                if "values" in props
-                else None
+                _coerce_values(props["values"]) if "values" in props else None
             ),
         )
     return patterns

@@ -120,3 +120,34 @@ def test_hive_extractor_anchored_to_path_component():
     assert ex.extract("s3://b/t/fiscalyear=5/year=2024/f.parquet") == "2024"
     assert ex.extract("s3://b/t/fiscalyear=5/f.parquet") is None
     assert ex.extract("year=1999/f.parquet") == "1999"
+
+
+def test_projection_values_json_array_format():
+    """The reference JSON-parses projection values
+    (src/util/glue.ts:65-66); the AWS-documented comma format must
+    also keep working."""
+    patterns = parse_projection_patterns(
+        {
+            "projection.enabled": "true",
+            "projection.env.type": "enum",
+            "projection.env.values": '["dev", "staging", "prod"]',
+        }
+    )
+    assert patterns["env"].values == ("dev", "staging", "prod")
+
+
+def test_projection_values_malformed_json_raises():
+    """Parity with the reference's JSON.parse throw on malformed JSON
+    (test/util.glue.test.ts:331-339)."""
+    import json
+
+    import pytest
+
+    with pytest.raises((json.JSONDecodeError, ValueError)):
+        parse_projection_patterns(
+            {
+                "projection.enabled": "true",
+                "projection.dt.type": "date",
+                "projection.dt.values": "{malformed json}",
+            }
+        )

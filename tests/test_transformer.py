@@ -174,3 +174,24 @@ def test_generated_alias_is_backquoted():
     assert refs == [TableReference("db1", "order-items")]
     out = rewrite_query(sql, refs)
     assert "AS `order-items`" in out
+
+
+def test_deeply_nested_recursive_cte_ref_found():
+    """Reference: a glue ref nested in derived tables inside a
+    recursive CTE is still discovered and rewritten
+    (test/sql-transformer.test.ts:202-215)."""
+    sql = """
+        WITH RECURSIVE cte AS (
+          SELECT * FROM (
+            SELECT * FROM (
+              SELECT * FROM glue.mydb.mytable
+            ) t1
+          ) t2
+        )
+        SELECT * FROM cte
+    """
+    refs = get_query_glue_table_refs(sql, strict=False)
+    assert refs == [TableReference("mydb", "mytable")]
+    out = rewrite_query(sql, refs)
+    assert "glue__mydb_mytable" in out
+    assert "glue.mydb.mytable" not in out
