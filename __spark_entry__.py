@@ -1145,6 +1145,10 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf: str) -> DataFrame:
+    # timestamp rendering is session-timezone-dependent; the DuckDB
+    # oracle compares naive timestamps, so pin UTC whatever session the
+    # driver built (same insurance _engine applies)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_table(spark, sf, "events")
 
 
@@ -1265,6 +1269,7 @@ def _q_windows_batch(spark: SparkSession, sf: str) -> DataFrame:
 def _q_tumbling_stream(spark: SparkSession, sf: str) -> DataFrame:
     from glue_table_cache_spark.streaming import windows as W
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     name = "gtc_entry_tumbling"
     sdf = W.tumbling_counts_stream(spark, f"{sf}/events.parquet")
     W.run_stream_to_memory(sdf, name)
@@ -1283,6 +1288,7 @@ def _q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     sessionization minus each user's final (still-open) session."""
     from glue_table_cache_spark.streaming import windows as W
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     name = "gtc_entry_sessionize_stream"
     sdf = W.sessionize_stream(spark, f"{sf}/events.parquet", gap_minutes=30)
     W.run_stream_to_memory(sdf, name, output_mode="append")
