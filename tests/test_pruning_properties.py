@@ -120,6 +120,7 @@ def listing_df(spark):
 @settings(
     max_examples=60,
     deadline=None,
+    derandomize=True,  # stable example set — no fresh-failure flakes in CI
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pred=_trees)
