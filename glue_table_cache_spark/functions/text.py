@@ -140,6 +140,92 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 —
+    "Scaling Language Models", the standard quality-filter family for
+    web-scale training corpora): documents dominated by repeated lines
+    or n-grams are boilerplate/spam and get filtered before training.
+
+    Per document:
+
+    * ``n_lines``, ``dup_line_frac`` — fraction of lines that are
+      duplicates of an earlier line (pure per-row array expressions);
+    * ``dup_trigram_frac`` — fraction of word-trigram occurrences that
+      are repeats (per-row);
+    * ``top_bigram_frac`` — fraction of all bigram occurrences taken by
+      the single most frequent bigram (explode → per-doc count → max,
+      one shuffle keyed on the doc id).
+
+    All thresholds are the caller's; this just computes the signals."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    toks = tokens(t, "[a-z0-9]+")
+
+    def grams(n: int) -> Column:
+        # documents shorter than n tokens have no n-grams (unlike
+        # dedup's shingles(), which deliberately keeps a whole-doc
+        # shingle so short docs still participate in dedup)
+        return F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+
+    tri = grams(3)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.when(F.size(lines) == 0, 0.0)
+        .otherwise(
+            1.0
+            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines)
+        )
+        .alias("dup_line_frac"),
+        F.when(F.size(tri) == 0, 0.0)
+        .otherwise(
+            1.0 - F.size(F.array_distinct(tri)).cast("double") / F.size(tri)
+        )
+        .alias("dup_trigram_frac"),
+        grams(2).alias("__bigrams"),
+    )
+    big = base.select("id", F.explode("__bigrams").alias("g"))
+    top = (
+        big.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total_c"),
+        )
+        .select(
+            "id",
+            F.round(F.col("top_c") / F.col("total_c"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return (
+        base.drop("__bigrams")
+        .join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
 def winnow_postings(
     df: DataFrame,
     text_col: str = "text",

@@ -570,3 +570,38 @@ def test_winnow_pairs_separates_unrelated_docs(documents):
     assert 0 < n_pairs < n_docs  # far below the ~n²/2 all-pairs blowup
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (8, 12) in got  # the known natural near-dup pair
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nbuy now"),
+            (2, "a varied document with several distinct lines\n"
+                "another unique line here\nand a third one"),
+            (3, "spam spam spam spam spam spam spam spam"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+    assert rows[1].dup_line_frac == 0.75       # 4 lines, 1 distinct
+    # "buy now"×4 out of 7 sliding bigrams ("now buy" interleaves)
+    assert rows[1].top_bigram_frac == round(4 / 7, 6)
+    assert rows[2].dup_line_frac == 0.0
+    assert rows[2].dup_trigram_frac == 0.0
+    assert rows[3].dup_trigram_frac > 0.8      # one token repeated
+    assert rows[3].top_bigram_frac == 1.0
+    assert rows[4].n_lines == 0                # empty doc → all zeros
+    assert rows[4].dup_line_frac == 0.0
+    assert rows[4].top_bigram_frac == 0.0
+
+
+def test_repetition_stats_on_corpus(documents):
+    """Synthetic corpus docs are generated prose — none should look
+    like pure boilerplate, and every signal must be in [0, 1]."""
+    rows = T.repetition_stats(documents).collect()
+    assert len(rows) == documents.count()
+    for r in rows:
+        assert 0.0 <= r.dup_line_frac <= 1.0
+        assert 0.0 <= r.dup_trigram_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
