@@ -145,16 +145,25 @@ def sessionize_stream(
     events_path: str,
     gap_minutes: int = 30,
     max_files_per_trigger: int | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming gap-sessionization via ``applyInPandasWithState`` —
     the custom-stateful-operator twin of :func:`sessionize_batch`.
 
     Keeps one open session per user in state; when an incoming event's
     gap from the open session exceeds the threshold, the closed session
-    is emitted (append mode) and a new one opens.  The final open
-    session per user stays in state — inherent to an unbounded stream —
-    so a bounded comparison checks emitted sessions against the batch
-    twin's *closed* (non-final) sessions."""
+    is emitted (append mode) and a new one opens.
+
+    With ``watermark`` set, the operator also registers an
+    **event-time timeout** at ``session_end + gap`` per key: once the
+    watermark passes it (no event could legally extend the session any
+    more), the open session is emitted and its state dropped — so
+    sessions flush with bounded latency AND state size stays bounded by
+    the number of *live* users, the property an unbounded 100 TB/day
+    stream needs.  Without a watermark the final open session per user
+    stays in state (pure ``NoTimeout`` mode; a bounded comparison then
+    checks emitted sessions against the batch twin's *closed*
+    sessions)."""
     import pandas as pd
 
     gap_s = gap_minutes * 60.0
@@ -167,6 +176,22 @@ def sessionize_stream(
     )
 
     def fn(key, pdfs, state):
+        if watermark is not None and state.hasTimedOut:
+            # watermark passed session_end + gap: nothing can extend
+            # this session — flush it and drop the key's state
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(key[0], n, start, end)],
+                    columns=[
+                        "user_id", "n_events",
+                        "session_start", "session_end",
+                    ],
+                )
+            else:  # pragma: no cover - defensive
+                state.remove()
+            return
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
         if state.exists:
@@ -188,6 +213,11 @@ def sessionize_stream(
                 end = ts
                 n += 1
         state.update((start.to_pydatetime(), end.to_pydatetime(), n))
+        if watermark is not None:
+            state.setTimeoutTimestamp(
+                int(pd.Timestamp(end).timestamp() * 1000)
+                + int(gap_s * 1000)
+            )
         yield pd.DataFrame(
             closed,
             columns=["user_id", "n_events", "session_start", "session_end"],
@@ -197,8 +227,14 @@ def sessionize_stream(
     if max_files_per_trigger:
         options["maxFilesPerTrigger"] = str(max_files_per_trigger)
     stream = _stream_reader(spark, events_path, **options)
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
     return stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "NoTimeout"
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        "EventTimeTimeout" if watermark is not None else "NoTimeout",
     )
 
 

@@ -605,3 +605,66 @@ def test_repetition_stats_on_corpus(documents):
         assert 0.0 <= r.dup_line_frac <= 1.0
         assert 0.0 <= r.dup_trigram_frac <= 1.0
         assert 0.0 <= r.top_bigram_frac <= 1.0
+
+
+def test_sessionize_stream_event_time_timeout_flushes_open_sessions(
+    spark, tmp_path
+):
+    """With a watermark, an open session whose (end + gap) falls behind
+    the watermark must be emitted via event-time timeout and its state
+    dropped — sessions flush with bounded latency instead of living in
+    state forever.  Three micro-batches: user 1's burst, then user 2
+    far in the future (advances the watermark past user 1's gap), then
+    more user 2 (the batch in which user 1's timeout fires)."""
+    import datetime
+    import os
+    import shutil
+    import time as _time
+
+    d = tmp_path / "sess_to_src"
+    d.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(name, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        )
+        df.coalesce(1).write.parquet(str(d / name))
+        f = next((d / name).glob("part-*.parquet"))
+        target = d / f"{name}.parquet"
+        f.rename(target)
+        shutil.rmtree(d / name)
+        return target
+
+    mins = datetime.timedelta(minutes=1)
+    files = [
+        mk("b1", [(1, i, t0 + i * mins) for i in range(5)]),
+        mk("b2", [(2, 100, t0 + 120 * mins)]),
+        mk("b3", [(2, 101, t0 + 180 * mins)]),
+    ]
+    now = _time.time()
+    for i, f in enumerate(files):  # file source orders by mtime
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    sdf = W.sessionize_stream(
+        spark, str(d), gap_minutes=30, max_files_per_trigger=1,
+        watermark="10 minutes",
+    )
+    W.run_stream_to_memory(sdf, "sess_timeout_test", output_mode="append")
+    rows = spark.sql("SELECT * FROM sess_timeout_test").collect()
+    by_user = {(r.user_id): r for r in rows}
+    # user 1's only session closed via timeout: 5 events, 4-minute span
+    assert 1 in by_user
+    r1 = by_user[1]
+    assert r1.n_events == 5
+    assert r1.session_start == t0
+    assert r1.session_end == t0 + 4 * mins
+    # user 2's first session closed by the ordinary gap rule when its
+    # second event arrived; the session opened at t0+180min is still in
+    # state (the watermark never passed its gap) and must NOT be emitted
+    r2 = by_user[2]
+    assert r2.n_events == 1
+    assert r2.session_start == t0 + 120 * mins
+    assert not any(
+        r.user_id == 2 and r.session_start == t0 + 180 * mins for r in rows
+    )
