@@ -133,6 +133,102 @@ def decode_media_meta(df: DataFrame, use_real_decoder: bool = False) -> DataFram
     return df.mapInPandas(decode_batches, schema=DECODED_META_SCHEMA)
 
 
+RESIZED_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("modality", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Arrow-batched resize stage: aspect-fit each decoded image into
+    (target_w, target_h).  The geometry (what a real resampler needs to
+    compute output dims) is real; the pixel resampling itself would
+    need PIL/opencv, so the payload passes through unchanged — same
+    stub posture as :func:`decode_image`."""
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs = [], []
+            for p in pdf["payload"]:
+                w, h, _ = fake_decode_meta(p)
+                if w <= 0 or h <= 0:
+                    ws.append(0)
+                    hs.append(0)
+                    continue
+                scale = min(target_w / w, target_h / h)
+                ws.append(max(1, int(w * scale)))
+                hs.append(max(1, int(h * scale)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"],
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_META_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched feature-extraction stage: one ``array<float>`` per
+    media item.  A real encoder (CLIP/ViT) is not available in this
+    environment; the deterministic stand-in derives ``dim`` floats in
+    [-1, 1) from the payload's sha256 — stable across runs and
+    executors, so downstream similarity plumbing is fully testable."""
+    import hashlib
+    import struct
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("modality", StringType(), True),
+            StructField("features", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        def feats(payload: bytes | None) -> list[float]:
+            if payload is None:
+                return [0.0] * dim
+            out: list[float] = []
+            counter = 0
+            while len(out) < dim:
+                block = hashlib.sha256(
+                    payload + counter.to_bytes(4, "big")
+                ).digest()
+                for i in range(0, 32, 4):
+                    (u,) = struct.unpack(">I", block[i : i + 4])
+                    out.append(u / 2**31 - 1.0)
+                counter += 1
+            return out[:dim]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "features": [feats(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(feature_batches, schema=schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* plumbing: one output row per sampled
     frame index (real frame extraction would decode at these indices).

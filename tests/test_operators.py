@@ -668,3 +668,27 @@ def test_sessionize_stream_event_time_timeout_flushes_open_sessions(
     assert not any(
         r.user_id == 2 and r.session_start == t0 + 180 * mins for r in rows
     )
+
+
+def test_resize_media_aspect_fit(documents):
+    media = M.binary_media_df(documents.limit(20), "doc_id", "text")
+    out = M.resize_media(media, target_w=100, target_h=50).collect()
+    assert len(out) == 20
+    for r in out:
+        w, h, _ = M.fake_decode_meta(bytes(r.payload))
+        assert 1 <= r.width <= 100 and 1 <= r.height <= 50
+        # exact aspect-fit formula
+        scale = min(100 / w, 50 / h)
+        assert r.width == max(1, int(w * scale))
+        assert r.height == max(1, int(h * scale))
+
+
+def test_extract_features_deterministic(documents):
+    media = M.binary_media_df(documents.limit(10), "doc_id", "text")
+    a = {r.media_id: r.features for r in M.extract_features(media, dim=16).collect()}
+    b = {r.media_id: r.features for r in M.extract_features(media, dim=16).collect()}
+    assert a == b  # stable across runs
+    assert all(len(v) == 16 for v in a.values())
+    assert all(-1.0 <= x < 1.0 for v in a.values() for x in v)
+    # different payloads → different features
+    assert len({tuple(v) for v in a.values()}) == len(a)
