@@ -275,17 +275,26 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    transitive: bool = False,
     **kw,
 ) -> DataFrame:
-    """Drop every document that near-duplicates a lower-id document
-    (greedy pairwise policy — deterministic, no iterative
-    connected-components pass; at cluster scale swap in a CC step if
-    transitive closure is required)."""
-    dup_ids = (
-        minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    """Drop near-duplicate documents, keeping one representative.
+
+    ``transitive=False`` (default): greedy pairwise policy — drop every
+    document that directly near-duplicates a lower-id one.  Cheap
+    (no iteration) but a chain A≈B≈C with A,C dissimilar keeps A *and*
+    C.  ``transitive=True`` runs :func:`connected_components` over the
+    pair graph first, keeping exactly the minimum id per near-dup
+    cluster — the policy a training corpus wants."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
+    if transitive:
+        comp = connected_components(pairs)
+        dup_ids = (
+            comp.where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dup_ids, id_col, "left_anti")
 
 

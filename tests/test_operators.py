@@ -692,3 +692,37 @@ def test_extract_features_deterministic(documents):
     assert all(-1.0 <= x < 1.0 for v in a.values() for x in v)
     # different payloads → different features
     assert len({tuple(v) for v in a.values()}) == len(a)
+
+
+def test_minhash_dedup_transitive_collapses_chains(spark):
+    """A≈B≈C chain where A,C are not directly similar: greedy keeps A
+    and C; transitive keeps only A."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    # B = A with 2 words changed; C = B with 2 MORE changed → A vs C
+    # differ by 4 words (below threshold), A≈B and B≈C above it
+    a = " ".join(toks)
+    b = " ".join(["x1", "x2"] + toks[2:])
+    c = " ".join(["x1", "x2", "y3", "y4"] + toks[4:])
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(
+            df, threshold=0.5, shingle_k=2
+        ).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    greedy = {
+        r.doc_id
+        for r in D.minhash_dedup(df, threshold=0.5, shingle_k=2).collect()
+    }
+    transitive = {
+        r.doc_id
+        for r in D.minhash_dedup(
+            df, threshold=0.5, transitive=True, shingle_k=2
+        ).collect()
+    }
+    assert greedy in ({1}, {1, 3})  # greedy may keep C
+    assert transitive == {1}
