@@ -231,3 +231,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_every_driver_entry_plan_is_cartesian_free(spark):
+    """Sweep all driver-contract entries: no accidental cartesian
+    product may creep into any plan.  Allowlisted: join_cross (an
+    explicit CROSS JOIN over two 5-row tables) and
+    similarity_cosine_topk (brute-force exact baseline — broadcast
+    cross join BY DESIGN; the scale path is similarity_ann_lsh).
+    Streaming entries are skipped (building them runs the stream)."""
+    import __spark_entry__ as entrymod
+
+    allowed_cartesian = {"join_cross", "similarity_cosine_topk"}
+    skip = {"events_tumbling_stream", "events_sessionize_stream"}
+    sf = "/root/testdata/sf0.001"
+    for name, fn in entrymod.queries().items():
+        if name in skip or name in allowed_cartesian:
+            continue
+        plan = explain_string(fn(spark, sf), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
