@@ -726,3 +726,65 @@ def test_minhash_dedup_transitive_collapses_chains(spark):
     }
     assert greedy in ({1}, {1, 3})  # greedy may keep C
     assert transitive == {1}
+
+
+# -- sampling ----------------------------------------------------------------
+
+
+def test_deterministic_sample_reproducible(documents):
+    from glue_table_cache_spark.operators import sampling as SM
+
+    a = {r.doc_id for r in SM.deterministic_sample(documents, 0.3).collect()}
+    b = {r.doc_id for r in SM.deterministic_sample(documents, 0.3).collect()}
+    assert a == b  # same rows every run
+    n = documents.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # ≈30%
+    # a larger fraction strictly extends the sample (nested samples)
+    bigger = {
+        r.doc_id for r in SM.deterministic_sample(documents, 0.6).collect()
+    }
+    assert a < bigger
+    # different salt decorrelates
+    other = {
+        r.doc_id
+        for r in SM.deterministic_sample(documents, 0.3, salt="val").collect()
+    }
+    assert other != a
+
+
+def test_stratified_sample_per_stratum_fractions(documents):
+    from glue_table_cache_spark.operators import sampling as SM
+
+    base = {
+        r.source: r.n
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    s0, s1 = sorted(base)[:2]
+    out = SM.stratified_sample(
+        documents, {s0: 1.0, s1: 0.5}, default_fraction=0.0
+    )
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got[s0] == base[s0]          # fraction 1.0 keeps everything
+    assert 0 < got.get(s1, 0) < base[s1]  # ≈half
+    assert set(got) == {s0, s1}         # others defaulted to 0
+
+
+def test_stratified_head_exact_counts(documents):
+    from glue_table_cache_spark.operators import sampling as SM
+
+    out = SM.stratified_head(documents, 3, strata_col="source")
+    counts = [
+        r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    ]
+    assert all(c == 3 for c in counts)
+    # deterministic
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in SM.stratified_head(documents, 3, strata_col="source").collect()
+    }
+    assert a == b
