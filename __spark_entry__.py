@@ -466,25 +466,31 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            GROUP BY s.n""",
     ),
     (
-        "subquery_derived",
+        # derived-table and scalar subqueries in one row (merged r3 to
+        # free a checked-window slot; both original shapes kept, tagged)
+        "subquery_derived_scalar",
         "engine",
-        """SELECT t.seg, t.n FROM (
+        """SELECT 'derived' AS kind, CAST(t.seg AS STRING) AS k,
+                  CAST(t.n AS DOUBLE) AS v
+           FROM (
                SELECT c_mktsegment AS seg, count(*) AS n
                FROM glue.tpch.customer GROUP BY c_mktsegment
-           ) t WHERE t.n >= 100""",
-        """SELECT t.seg, t.n FROM (
-               SELECT c_mktsegment AS seg, count(*) AS n
-               FROM customer GROUP BY c_mktsegment
-           ) t WHERE t.n >= 100""",
-    ),
-    (
-        "subquery_scalar",
-        "engine",
-        """SELECT o_orderkey, round(o_totalprice, 2) AS price
+           ) t WHERE t.n >= 100
+           UNION ALL
+           SELECT 'scalar' AS kind, CAST(o_orderkey AS STRING) AS k,
+                  round(o_totalprice, 2) AS v
            FROM glue.tpch.orders
            WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice)
                                        FROM glue.tpch.orders)""",
-        """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        """SELECT 'derived' AS kind, CAST(t.seg AS VARCHAR) AS k,
+                  CAST(t.n AS DOUBLE) AS v
+           FROM (
+               SELECT c_mktsegment AS seg, count(*) AS n
+               FROM customer GROUP BY c_mktsegment
+           ) t WHERE t.n >= 100
+           UNION ALL
+           SELECT 'scalar' AS kind, CAST(o_orderkey AS VARCHAR) AS k,
+                  round(o_totalprice, 2) AS v
            FROM orders
            WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)""",
     ),
@@ -1211,6 +1217,31 @@ def _q_dedup_groups_cc(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_groups(docs, pairs)
 
 
+def _q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus mixing: an 80% salted base sample composed
+    with per-source stratified fractions — both selections are pure
+    functions of the key hash (operators/sampling.py), so the oracle
+    reproduces the exact row set via the portable md5 family."""
+    from glue_table_cache_spark.operators import sampling as SM
+
+    docs = _docs(spark, sf)
+    base = SM.deterministic_sample(docs, 0.8, salt="train", portable=True)
+    return SM.stratified_sample(
+        base, {"src0": 1.0, "src3": 0.75}, default_fraction=0.4,
+        portable=True,
+    ).select("doc_id", "source", "n_chars")
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE ('0x' || substr(md5('train:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000 < 800000
+  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < CASE source WHEN 'src0' THEN 1000000 WHEN 'src3' THEN 750000
+                    ELSE 400000 END
+"""
+
+
 def _q_emb_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: portable SRP bucket candidates
     + exact cosine verify, value-checked against _EMB_NEAR_ORACLE."""
@@ -1329,6 +1360,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": _q_dedup_simhash,
     "dedup_groups_cc": _q_dedup_groups_cc,
     "dedup_embedding_cosine": _q_emb_near_pairs,
+    "sample_stratified": _q_sample_stratified,
     "similarity_cosine_topk": _q_cosine_topk,
     "similarity_ann_lsh": _q_ann_lsh,
     "similarity_embedding_stats": _q_embedding_stats,
@@ -1355,6 +1387,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": _SIMHASH_ORACLE,
     "dedup_groups_cc": _CC_GROUPS_ORACLE,
     "dedup_embedding_cosine": _EMB_NEAR_ORACLE,
+    "sample_stratified": _SAMPLE_ORACLE,
     "similarity_cosine_topk": _COSINE_TOPK_ORACLE,
     "similarity_ann_lsh": _ANN_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,

@@ -25,8 +25,18 @@ from pyspark.sql.window import Window
 _BUCKETS = 1_000_000
 
 
-def _bucket(key_col: str | Column, salt: str = "") -> Column:
+def _bucket(
+    key_col: str | Column, salt: str = "", portable: bool = False
+) -> Column:
     c = F.col(key_col) if isinstance(key_col, str) else key_col
+    if portable:
+        # md5-derived 60-bit hash, bit-identical in DuckDB (see
+        # dedup.portable_hash60) — lets a SQL oracle reproduce the
+        # exact sample; xxhash64 stays the at-scale default
+        from glue_table_cache_spark.operators.dedup import portable_hash60
+
+        h = portable_hash60(c.cast("string"), seed=salt or None)
+        return F.pmod(h, F.lit(_BUCKETS))
     return F.pmod(F.xxhash64(F.lit(salt), c), F.lit(_BUCKETS))
 
 
@@ -35,6 +45,7 @@ def deterministic_sample(
     fraction: float,
     key_col: str = "doc_id",
     salt: str = "",
+    portable: bool = False,
 ) -> DataFrame:
     """Keep rows whose key hashes into the first ``fraction`` of hash
     buckets — a reproducible Bernoulli(fraction) sample.  ``salt``
@@ -43,7 +54,9 @@ def deterministic_sample(
     fractions)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.where(_bucket(key_col, salt) < int(fraction * _BUCKETS))
+    return df.where(
+        _bucket(key_col, salt, portable) < int(fraction * _BUCKETS)
+    )
 
 
 def stratified_sample(
@@ -53,6 +66,7 @@ def stratified_sample(
     key_col: str = "doc_id",
     default_fraction: float = 0.0,
     salt: str = "",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-stratum deterministic sampling in one map-only pass: stratum
     ``s`` keeps ≈``fractions[s]`` of its rows (strata not listed keep
@@ -66,7 +80,7 @@ def stratified_sample(
         thresh = F.when(
             F.col(strata_col) == s, F.lit(int(f_ * _BUCKETS))
         ).otherwise(thresh)
-    return df.where(_bucket(key_col, salt) < thresh)
+    return df.where(_bucket(key_col, salt, portable) < thresh)
 
 
 def stratified_head(
@@ -75,6 +89,7 @@ def stratified_head(
     strata_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "",
+    portable: bool = False,
 ) -> DataFrame:
     """EXACTLY ``min(n, |stratum|)`` rows per stratum: the n
     smallest-hash keys — a deterministic uniform-without-replacement
@@ -82,7 +97,7 @@ def stratified_head(
     bounded per-source quotas (caps the head stratum instead of
     proportionally shrinking everything)."""
     w = Window.partitionBy(strata_col).orderBy(
-        _bucket(key_col, salt), F.col(key_col)
+        _bucket(key_col, salt, portable), F.col(key_col)
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

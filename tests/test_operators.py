@@ -788,3 +788,29 @@ def test_stratified_head_exact_counts(documents):
         for r in SM.stratified_head(documents, 3, strata_col="source").collect()
     }
     assert a == b
+
+
+def test_portable_sample_matches_duckdb(documents):
+    """The portable sampling predicate is bit-identical in DuckDB —
+    the property the driver oracle (_SAMPLE_ORACLE) relies on."""
+    import duckdb
+
+    from glue_table_cache_spark.operators import sampling as SM
+
+    got = sorted(
+        r.doc_id
+        for r in SM.deterministic_sample(
+            documents, 0.3, salt="train", portable=True
+        ).collect()
+    )
+    path = f"{TESTDATA}/documents.parquet"
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT doc_id FROM read_parquet($p) WHERE "
+            "('0x' || substr(md5('train:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::BIGINT % 1000000 < 300000 ORDER BY doc_id",
+            params={"p": path},
+        ).fetchall()
+    ]
+    assert got == want
