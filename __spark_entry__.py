@@ -211,23 +211,29 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   AND (o_totalprice < 2000 OR o_totalprice > 300000))""",
     ),
     (
-        "filter_in",
+        # IN-list and NULL-handling predicates in one row (merged r3 to
+        # free a checked-window slot; both original shapes kept, tagged)
+        "filter_in_null",
         "engine",
-        """SELECT c_custkey, c_mktsegment, c_nationkey FROM glue.tpch.customer
+        """SELECT 'in' AS kind, CAST(c_custkey AS STRING) AS k,
+                  c_mktsegment AS s, CAST(c_nationkey AS STRING) AS b
+           FROM glue.tpch.customer
            WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
-             AND c_nationkey IN (1, 3, 5, 7)""",
-        """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
-           WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
-             AND c_nationkey IN (1, 3, 5, 7)""",
-    ),
-    (
-        "filter_null",
-        "engine",
-        """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st,
-                  (nullif(o_orderstatus, 'O') IS NOT NULL) AS has_st
+             AND c_nationkey IN (1, 3, 5, 7)
+           UNION ALL
+           SELECT 'null' AS kind, CAST(o_orderkey AS STRING) AS k,
+                  nullif(o_orderstatus, 'O') AS s,
+                  CAST((nullif(o_orderstatus, 'O') IS NOT NULL) AS STRING) AS b
            FROM glue.tpch.orders WHERE o_orderkey <= 2000""",
-        """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st,
-                  (nullif(o_orderstatus, 'O') IS NOT NULL) AS has_st
+        """SELECT 'in' AS kind, CAST(c_custkey AS VARCHAR) AS k,
+                  c_mktsegment AS s, CAST(c_nationkey AS VARCHAR) AS b
+           FROM customer
+           WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
+             AND c_nationkey IN (1, 3, 5, 7)
+           UNION ALL
+           SELECT 'null' AS kind, CAST(o_orderkey AS VARCHAR) AS k,
+                  nullif(o_orderstatus, 'O') AS s,
+                  CAST((nullif(o_orderstatus, 'O') IS NOT NULL) AS VARCHAR) AS b
            FROM orders WHERE o_orderkey <= 2000""",
     ),
     (
@@ -417,9 +423,14 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
         _FLAGSHIP_SQL.replace("glue.tpch.orders", "orders"),
     ),
     (
-        "cte_chained",
+        # chained CTEs and WITH RECURSIVE pass-through in one row
+        # (merged r3 to free a checked-window slot).  The reference
+        # parses + passes recursive CTEs through
+        # (test/sql-transformer.test.ts:203-215); Spark 4.1 executes
+        # them natively, so the glue-ref rewrite is all the engine adds.
+        "cte_chained_recursive",
         "engine",
-        """WITH big AS (
+        """WITH RECURSIVE big AS (
                SELECT l_orderkey,
                       round(sum(l_extendedprice * (1 - l_discount)), 2)
                         AS revenue
@@ -429,9 +440,19 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                SELECT CAST(floor(revenue / 50000) AS INT) AS bucket,
                       count(*) AS n
                FROM big GROUP BY 1
+           ),
+           seq(n) AS (
+               SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 8
            )
-           SELECT bucket, n FROM buckets WHERE n > 2""",
-        """WITH big AS (
+           SELECT 'chained' AS kind, bucket AS k, n AS v
+           FROM buckets WHERE n > 2
+           UNION ALL
+           SELECT 'recursive' AS kind, s.n AS k,
+                  count(nt.n_nationkey) AS v
+           FROM seq s LEFT JOIN glue.tpch.nation nt
+             ON nt.n_regionkey = s.n % 5
+           GROUP BY s.n""",
+        """WITH RECURSIVE big AS (
                SELECT l_orderkey,
                       round(sum(l_extendedprice * (1 - l_discount)), 2)
                         AS revenue
@@ -441,27 +462,15 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                SELECT CAST(floor(revenue / 50000) AS INT) AS bucket,
                       count(*) AS n
                FROM big GROUP BY 1
-           )
-           SELECT bucket, n FROM buckets WHERE n > 2""",
-    ),
-    (
-        # WITH RECURSIVE pass-through: the reference parses + passes it
-        # through (test/sql-transformer.test.ts:203-215); Spark 4.1
-        # executes recursive CTEs natively, so the glue-ref rewrite is
-        # all the engine adds
-        "cte_recursive",
-        "engine",
-        """WITH RECURSIVE seq(n) AS (
+           ),
+           seq(n) AS (
                SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 8
            )
-           SELECT s.n, count(nt.n_nationkey) AS n_nations
-           FROM seq s LEFT JOIN glue.tpch.nation nt
-             ON nt.n_regionkey = s.n % 5
-           GROUP BY s.n""",
-        """WITH RECURSIVE seq(n) AS (
-               SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 8
-           )
-           SELECT s.n, count(nt.n_nationkey) AS n_nations
+           SELECT 'chained' AS kind, bucket AS k, n AS v
+           FROM buckets WHERE n > 2
+           UNION ALL
+           SELECT 'recursive' AS kind, s.n AS k,
+                  count(nt.n_nationkey) AS v
            FROM seq s LEFT JOIN nation nt ON nt.n_regionkey = s.n % 5
            GROUP BY s.n""",
     ),
@@ -1242,6 +1251,85 @@ WHERE ('0x' || substr(md5('train:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 """
 
 
+def _q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-overlap screen: docs with doc_id % 17 = 0 stand in for
+    a held-out eval set; the inverted-index containment join flags
+    every corpus doc covering ≥60% of a benchmark item's 3-gram set
+    (operators/decontamination.py — benchmark side broadcast)."""
+    from glue_table_cache_spark.operators import decontamination as DC
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return DC.contamination_pairs(
+        docs, bench, shingle_k=3, threshold=0.6
+    )
+
+
+_DECONTAMINATION_ORACLE = """
+WITH d AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM d
+),
+post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bsh AS (SELECT doc_id AS bench_id, shingles FROM sh WHERE doc_id % 17 = 0),
+bsizes AS (SELECT bench_id, len(shingles) AS n_bench FROM bsh),
+bpost AS (SELECT bench_id, unnest(shingles) AS shingle FROM bsh),
+common AS (
+    SELECT p.doc_id, b.bench_id, count(*) AS overlap
+    FROM post p JOIN bpost b USING (shingle)
+    GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, overlap,
+       round(CAST(overlap AS DOUBLE) / n_bench, 6) AS containment
+FROM common JOIN bsizes USING (bench_id)
+WHERE round(CAST(overlap AS DOUBLE) / n_bench, 6) >= 0.6
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per source stream: running
+    token sum → pack id / offset, pure window arithmetic
+    (operators/packing.py)."""
+    from glue_table_cache_spark.functions.text import tokens
+    from glue_table_cache_spark.operators import packing as P
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return P.pack_sequences(docs, budget=256)
+
+
+_PACKING_ORACLE = """
+WITH t AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS before
+    FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(before / 256) AS BIGINT) AS pack_id,
+       CAST(before % 256 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 def _q_emb_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: portable SRP bucket candidates
     + exact cosine verify, value-checked against _EMB_NEAR_ORACLE."""
@@ -1361,6 +1449,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups_cc": _q_dedup_groups_cc,
     "dedup_embedding_cosine": _q_emb_near_pairs,
     "sample_stratified": _q_sample_stratified,
+    "text_decontamination": _q_decontamination,
+    "pack_sequences": _q_pack_sequences,
     "similarity_cosine_topk": _q_cosine_topk,
     "similarity_ann_lsh": _q_ann_lsh,
     "similarity_embedding_stats": _q_embedding_stats,
@@ -1388,6 +1478,8 @@ _EXTRA_ORACLES: dict[str, str] = {
     "dedup_groups_cc": _CC_GROUPS_ORACLE,
     "dedup_embedding_cosine": _EMB_NEAR_ORACLE,
     "sample_stratified": _SAMPLE_ORACLE,
+    "text_decontamination": _DECONTAMINATION_ORACLE,
+    "pack_sequences": _PACKING_ORACLE,
     "similarity_cosine_topk": _COSINE_TOPK_ORACLE,
     "similarity_ann_lsh": _ANN_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,

@@ -814,3 +814,106 @@ def test_portable_sample_matches_duckdb(documents):
         ).fetchall()
     ]
     assert got == want
+
+
+# -- decontamination ---------------------------------------------------------
+
+
+def test_contamination_finds_verbatim_and_quoting_docs(spark, documents):
+    from glue_table_cache_spark.operators import decontamination as DC
+
+    # benchmark = 3 doc texts; corpus = all docs plus one synthetic page
+    # quoting benchmark item 0 inside unrelated filler
+    bench = (
+        documents.where(F.col("doc_id").isin(1, 2, 3))
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    b0 = bench.where(F.col("bench_id") == 1).first().text
+    quoting = spark.createDataFrame(
+        [(90001, "totally unrelated preamble words here " + b0 + " trailing commentary")],
+        "doc_id long, text string",
+    )
+    corpus = documents.select("doc_id", "text").unionByName(quoting)
+    pairs = DC.contamination_pairs(
+        corpus, bench, shingle_k=3, threshold=0.9
+    )
+    got = {(r.doc_id, r.bench_id) for r in pairs.collect()}
+    # each benchmark item is contained in its own source doc...
+    assert {(1, 1), (2, 2), (3, 3)} <= got
+    # ...and the quoting page covers item 1 despite low Jaccard
+    assert (90001, 1) in got
+    # containment for the verbatim self-match is exactly 1.0
+    self_row = pairs.where(
+        (F.col("doc_id") == 1) & (F.col("bench_id") == 1)
+    ).first()
+    assert self_row.containment == 1.0
+
+
+def test_decontaminate_drops_only_contaminated(spark, documents):
+    from glue_table_cache_spark.operators import decontamination as DC
+
+    bench = (
+        documents.where(F.col("doc_id").isin(5,))
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    clean = DC.decontaminate(
+        documents, bench, shingle_k=3, threshold=0.9
+    )
+    ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert 5 not in ids
+    assert len(ids) >= documents.count() - 3  # only near-copies of 5 also drop
+
+
+def test_contamination_plan_broadcasts_benchmark(documents):
+    from glue_table_cache_spark.operators import decontamination as DC
+
+    bench = documents.limit(3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = DC.contamination_pairs(documents, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    from glue_table_cache_spark.operators import packing as P
+
+    rows = [(i, "s", t) for i, t in enumerate([100, 100, 100, 50, 300, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in P.pack_sequences(df, budget=256).collect()
+    }
+    # stream: 0@0, 100@p0, 200@p0, 300→p1 off 44, 350→p1, 650→p2
+    assert out == {
+        0: (0, 0), 1: (0, 100), 2: (0, 200),
+        3: (1, 44), 4: (1, 94), 5: (2, 138),
+    }
+
+
+def test_pack_sequences_streams_independent(spark):
+    from glue_table_cache_spark.operators import packing as P
+
+    rows = [(1, "a", 200), (2, "b", 200), (3, "a", 200), (4, "b", 200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {
+        r.doc_id: r.pack_id
+        for r in P.pack_sequences(df, budget=256).collect()
+    }
+    # each stream restarts at pack 0
+    assert out == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_pack_stats_fill_ratio(spark):
+    from glue_table_cache_spark.operators import packing as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 100)], "doc_id long, source string, n_tokens long"
+    )
+    packed = P.pack_sequences(df, budget=256)
+    st = P.pack_stats(packed, budget=256).first()
+    assert st.n_packs == 2 and st.total_tokens == 400
+    assert abs(st.fill_ratio - 400 / 512) < 1e-9
