@@ -101,6 +101,41 @@ def _events_window(spark, sf):
     return W.tumbling_counts_batch(read_table(spark, sf, "events"))
 
 
+def _decontamination(spark, sf):
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import decontamination as DC
+
+    docs = read_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return DC.contamination_pairs(docs, bench, shingle_k=3, threshold=0.6)
+
+
+def _sample_stratified(spark, sf):
+    from glue_table_cache_spark.operators import sampling as SM
+
+    return SM.stratified_sample(
+        read_table(spark, sf, "documents"),
+        {"src0": 1.0, "src3": 0.75},
+        default_fraction=0.4,
+    )
+
+
+def _pack_sequences(spark, sf):
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.functions.text import tokens
+    from glue_table_cache_spark.operators import packing as P
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return P.pack_sequences(docs, budget=2048)
+
+
 def _entry(name: str):
     return lambda spark, sf: entrymod.queries()[name](spark, sf)
 
@@ -117,6 +152,9 @@ BENCH_QUERIES = [
     ("ann_lsh", _ann_lsh),
     ("events_window", _events_window),
     ("events_sessionize", _entry("events_sessionize")),
+    ("decontamination", _decontamination),
+    ("sample_stratified", _sample_stratified),
+    ("pack_sequences", _pack_sequences),
 ]
 
 

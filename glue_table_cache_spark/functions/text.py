@@ -70,6 +70,36 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(ngrams)
 
 
+#: PII span patterns — deliberately simple, deterministic regexes that
+#: parse identically under Java regex (Spark) and RE2 (DuckDB), so the
+#: counts are oracle-checkable.  Real scrubbing pipelines layer ML
+#: detectors on top; these are the cheap always-on screen.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: redaction order matters: emails first (their local parts can look
+#: number-ish), phones before ipv4 (both are dotted digit runs)
+_REDACTION_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of ``kind`` PII spans (a :data:`PII_PATTERNS` key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII span with its ``[KIND]`` placeholder — the
+    map-only scrub pass (pure column expressions, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in _REDACTION_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Punctuation chars / total chars (0.0 for empty strings)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -319,4 +349,11 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
+        pii_count(t, "email").alias("n_emails"),
+        pii_count(t, "phone").alias("n_phones"),
+        pii_count(t, "ipv4").alias("n_ipv4"),
+        (
+            pii_count(t, "email") + pii_count(t, "phone")
+            + pii_count(t, "ipv4") > 0
+        ).alias("has_pii"),
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from glue_table_cache_spark.functions.text import shingles
+from glue_table_cache_spark.operators.dedup import _widen
 
 
 def contamination_pairs(
@@ -42,26 +43,39 @@ def contamination_pairs(
 
     ``broadcast_benchmark=False`` falls back to a shuffle join for the
     rare huge-benchmark case."""
-    corpus = docs.select(
+    # widen few-file inputs first: the shingle regex is the hot loop
+    # and must run on every core, not one partition per input file.
+    # explode_outer (not explode) everywhere below: a plain explode
+    # makes Catalyst infer `size(shingles(...)) > 0` and push it below
+    # the widening exchange, re-running the whole shingle expression
+    # on the narrow side; shingles() is never empty, so outer is
+    # identical given the cheap isNotNull scan filter.
+    corpus = _widen(docs.where(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc_id"),
         shingles(text_col, shingle_k).alias("sh"),
     )
-    bench = benchmark.select(
+    # one pass over the benchmark: each posting row carries its item's
+    # shingle count, so no second sizes branch / join is needed
+    bpost = _widen(
+        benchmark.where(F.col(bench_text_col).isNotNull())
+    ).select(
         F.col(bench_id_col).alias("bench_id"),
         shingles(bench_text_col, shingle_k).alias("sh"),
+    ).select(
+        "bench_id",
+        F.size("sh").alias("n_bench"),
+        F.explode_outer("sh").alias("shingle"),
     )
-    bsizes = bench.select("bench_id", F.size("sh").alias("n_bench"))
-    bpost = bench.select("bench_id", F.explode("sh").alias("shingle"))
     if broadcast_benchmark:
-        bpost, bsizes = F.broadcast(bpost), F.broadcast(bsizes)
-    post = corpus.select("doc_id", F.explode("sh").alias("shingle"))
-    common = (
+        bpost = F.broadcast(bpost)
+    post = corpus.select("doc_id", F.explode_outer("sh").alias("shingle"))
+    return (
         post.join(bpost, "shingle")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("overlap"))
-    )
-    return (
-        common.join(bsizes, "bench_id")
+        .agg(
+            F.count("*").alias("overlap"),
+            F.min("n_bench").alias("n_bench"),
+        )
         .select(
             "doc_id",
             "bench_id",

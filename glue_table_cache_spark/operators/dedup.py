@@ -144,9 +144,16 @@ def minhash_signatures(
     (``md5(i + ':' + shingle)``) so a DuckDB oracle reproduces the
     signatures bit-for-bit — one md5 per (shingle, family) instead of
     one long mix, so keep the default off in the hot path."""
-    postings = _widen(df).select(
+    # explode_outer, NOT explode: a plain explode makes Catalyst infer a
+    # `size(shingles(...)) > 0` filter and push it below the widening
+    # exchange — re-evaluating the whole shingle expression per row on
+    # the narrow pre-shuffle side.  shingles() is never empty (short
+    # docs get one catch-all shingle), so outer is semantically
+    # identical; the cheap isNotNull guard (pushed to the scan) covers
+    # the one case where the array itself is null.
+    postings = _widen(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, shingle_k)).alias("shingle"),
+        F.explode_outer(shingles(text_col, shingle_k)).alias("shingle"),
     )
     if portable:
         def fam(i: int) -> Column:
@@ -316,11 +323,13 @@ def ngram_jaccard_pairs(
     shingle → per-pair overlap count).  ``max_shingle_df`` drops
     shingles appearing in more than that many documents — the standard
     posting-list skew guard at scale."""
-    docs = _widen(df).select(
+    docs = _widen(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
     )
     sizes = docs.select("id", F.size("sh").alias("n"))
-    postings = docs.select("id", F.explode("sh").alias("shingle"))
+    # explode_outer: see minhash_signatures — avoids the inferred
+    # size()>0 filter re-running the shingle expression pre-shuffle
+    postings = docs.select("id", F.explode_outer("sh").alias("shingle"))
     if max_shingle_df is not None:
         rare = (
             postings.groupBy("shingle")
@@ -379,9 +388,13 @@ def simhash(
         if portable
         else F.xxhash64("tok")
     )
-    toks = _widen(df).select(
+    # rlike prefilter = "has at least one token" (pushed to the scan),
+    # so explode_outer is exactly the old explode semantics without the
+    # inferred size()>0 filter re-running the tokenizer pre-shuffle
+    has_tok = F.lower(F.col(text_col)).rlike("[a-z0-9]")
+    toks = _widen(df.where(has_tok)).select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(text_col, "[a-z0-9]+")).alias("tok"),
+        F.explode_outer(tokens(text_col, "[a-z0-9]+")).alias("tok"),
     ).withColumn("h", tok_hash)
     votes = toks.groupBy("id").agg(
         *[
