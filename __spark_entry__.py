@@ -781,7 +781,15 @@ r AS (
                      / len(toks_w)
            END AS sraw,
            CAST(nc AS DOUBLE) AS chars_d,
-           {_FP_SQL} AS fingerprint
+           {_FP_SQL} AS fingerprint,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}'))
+             AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+             AS INT) AS n_ipv4
     FROM t
 )
 SELECT doc_id, n_chars_actual, n_tokens,
@@ -791,7 +799,8 @@ SELECT doc_id, n_chars_actual, n_tokens,
        round(0.4 * least(chars_d / 500.0, 1.0)
            + 0.3 * (1.0 - least(praw * 5.0, 1.0))
            + 0.3 * least(sraw * 4.0, 1.0), 6) AS quality,
-       fingerprint
+       fingerprint, n_emails, n_phones, n_ipv4,
+       (n_emails + n_phones + n_ipv4 > 0) AS has_pii
 FROM r
 """
 
@@ -1177,6 +1186,7 @@ def _q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     return T.text_stats(_docs(spark, sf)).select(
         "doc_id", "n_chars_actual", "n_tokens", "avg_token_len",
         "punct_ratio", "stopword_ratio", "quality", "fingerprint",
+        "n_emails", "n_phones", "n_ipv4", "has_pii",
     ).join(
         _docs(spark, sf).select(
             "doc_id", T.language_id("text").alias("lang_pred")
