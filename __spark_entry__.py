@@ -89,6 +89,16 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         # duplicates snapshot 1 and must never be scanned
         build_iceberg_table(ice, [even, odd], orphan=even)
         (ice / "_BUILT").touch()
+    dj = base / "docs_json"
+    if not (dj / "_BUILT").exists():
+        shutil.rmtree(dj, ignore_errors=True)
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "n_chars")
+            .write.mode("overwrite")
+            .json(str(dj))
+        )
+        (dj / "_BUILT").touch()
     dp = base / "docs_proj"
     if not (dp / "_BUILT").exists():
         shutil.rmtree(dp, ignore_errors=True)
@@ -147,6 +157,12 @@ def _engine(
                     f"src{i}" for i in range(20)
                 ),
             },
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "docs_json",
+            str(base / "docs_json"),
+            parameters={"classification": "json"},
         )
         eng = GlueSparkEngine(
             spark, store, EngineConfig(explicit_file_lists=explicit)
@@ -335,45 +351,58 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM region r1 CROSS JOIN region r2""",
     ),
     (
-        "agg_pricing_summary",
+        # pricing-summary aggregates (incl. COUNT DISTINCT) and
+        # CASE-WHEN conditional counts in one row (merged r3 to free a
+        # checked-window slot; both original shapes kept, tagged)
+        "agg_pricing_case",
         "engine",
-        """SELECT l_returnflag, l_linestatus,
-                  round(sum(l_quantity), 2) AS sum_qty,
-                  round(sum(l_extendedprice), 2) AS sum_base,
-                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-                  round(avg(l_quantity), 6) AS avg_qty,
-                  round(avg(l_extendedprice), 6) AS avg_price,
-                  count(DISTINCT l_suppkey) AS n_supp,
-                  count(*) AS n
+        """SELECT 'pricing' AS kind,
+                  concat(l_returnflag, '/', l_linestatus) AS k,
+                  round(sum(l_quantity), 2) AS v1,
+                  round(sum(l_extendedprice), 2) AS v2,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS v3,
+                  round(avg(l_quantity), 6) AS v4,
+                  round(avg(l_extendedprice), 6) AS v5,
+                  CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS v6,
+                  CAST(count(*) AS DOUBLE) AS v7
            FROM glue.tpch.lineitem
            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-           GROUP BY l_returnflag, l_linestatus""",
-        """SELECT l_returnflag, l_linestatus,
-                  round(sum(l_quantity), 2) AS sum_qty,
-                  round(sum(l_extendedprice), 2) AS sum_base,
-                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-                  round(avg(l_quantity), 6) AS avg_qty,
-                  round(avg(l_extendedprice), 6) AS avg_price,
-                  count(DISTINCT l_suppkey) AS n_supp,
-                  count(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+           UNION ALL
+           SELECT 'case' AS kind, o_orderpriority AS k,
+                  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                       AS DOUBLE) AS v1,
+                  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                       AS DOUBLE) AS v2,
+                  CAST(count(CASE WHEN o_totalprice > 150000 THEN 1 END)
+                       AS DOUBLE) AS v3,
+                  CAST(count(*) AS DOUBLE) AS v4,
+                  CAST(NULL AS DOUBLE) AS v5, CAST(NULL AS DOUBLE) AS v6,
+                  CAST(NULL AS DOUBLE) AS v7
+           FROM glue.tpch.orders GROUP BY o_orderpriority""",
+        """SELECT 'pricing' AS kind,
+                  concat(l_returnflag, '/', l_linestatus) AS k,
+                  round(sum(l_quantity), 2) AS v1,
+                  round(sum(l_extendedprice), 2) AS v2,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS v3,
+                  round(avg(l_quantity), 6) AS v4,
+                  round(avg(l_extendedprice), 6) AS v5,
+                  CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS v6,
+                  CAST(count(*) AS DOUBLE) AS v7
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-           GROUP BY l_returnflag, l_linestatus""",
-    ),
-    (
-        "agg_case_count",
-        "engine",
-        """SELECT o_orderpriority,
-                  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
-                  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
-                  count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big,
-                  count(*) AS n
-           FROM glue.tpch.orders GROUP BY o_orderpriority""",
-        """SELECT o_orderpriority,
-                  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
-                  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
-                  count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big,
-                  count(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+           UNION ALL
+           SELECT 'case' AS kind, o_orderpriority AS k,
+                  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                       AS DOUBLE) AS v1,
+                  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                       AS DOUBLE) AS v2,
+                  CAST(count(CASE WHEN o_totalprice > 150000 THEN 1 END)
+                       AS DOUBLE) AS v3,
+                  CAST(count(*) AS DOUBLE) AS v4,
+                  CAST(NULL AS DOUBLE) AS v5, CAST(NULL AS DOUBLE) AS v6,
+                  CAST(NULL AS DOUBLE) AS v7
            FROM orders GROUP BY o_orderpriority""",
     ),
     (
@@ -730,6 +759,20 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
         """SELECT o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
            FROM orders GROUP BY o_orderstatus""",
+    ),
+    (
+        # JSON-classified table (our extension past the reference's
+        # parquet-only scanner — its README lists JSON as future work);
+        # the engine dispatches the scan on the catalog's
+        # ``classification`` parameter
+        "source_json_scan",
+        "engine",
+        """SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM glue.tpch.docs_json GROUP BY source""",
+        """SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents GROUP BY source""",
     ),
     (
         "projection_enum_scan",

@@ -103,6 +103,15 @@ class CatalogTable:
         return parse_projection_patterns(self.parameters)
 
     @property
+    def data_format(self) -> str:
+        """Data-file format from Glue's ``classification`` parameter:
+        ``parquet`` (default), ``csv``, or ``json``.  The reference is
+        parquet-only and lists CSV/JSON as future work
+        (/root/reference/README.md:7,22-23); we dispatch on the same
+        catalog parameter AWS crawlers populate."""
+        return (self.parameters.get("classification") or "parquet").lower()
+
+    @property
     def qualified_name(self) -> str:
         return f"{self.database}.{self.name}"
 

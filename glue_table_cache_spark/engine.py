@@ -307,7 +307,7 @@ class GlueSparkEngine:
             if ttype == ETableType.HIVE:
                 reader = reader.option("basePath", tbl.location)
             try:
-                return reader.parquet(tbl.location)
+                return self._format_read(reader, tbl, tbl.location)
             except AnalysisException:
                 # empty or missing location (UNABLE_TO_INFER_SCHEMA /
                 # PATH_NOT_FOUND): fall through to the explicit path,
@@ -345,7 +345,7 @@ class GlueSparkEngine:
                 reader = self.spark.read
                 if tbl.table_type == ETableType.HIVE:
                     reader = reader.option("basePath", tbl.location)
-                return reader.parquet(tbl.location)
+                return self._format_read(reader, tbl, tbl.location)
             raise GlueSparkError(
                 f"Pruned file list for {tbl.qualified_name} has "
                 f"{len(pruned)} files, over max_explicit_files="
@@ -354,7 +354,9 @@ class GlueSparkEngine:
             )
         if not pruned:
             # pruned-to-zero: empty relation with the real schema
-            df = self.spark.read.parquet(files[0].path).limit(0)
+            df = self._format_read(
+                self.spark.read, tbl, files[0].path
+            ).limit(0)
             return self._attach_partition_columns(df, tbl)
         paths = self._proxy([f.path for f in pruned])
         # basePath-driven partition discovery only works when EVERY file
@@ -371,7 +373,7 @@ class GlueSparkEngine:
             )
         )
         df = self._read_paths(
-            paths, base_path=tbl.location if hive_layout else None
+            paths, base_path=tbl.location if hive_layout else None, tbl=tbl
         )
         if not hive_layout:
             df = self._attach_partition_columns(df, tbl)
@@ -425,12 +427,39 @@ class GlueSparkEngine:
         if batch:
             yield batch
 
-    def _read_paths(self, paths: list[str], base_path: str | None) -> DataFrame:
+    def _read_paths(
+        self,
+        paths: list[str],
+        base_path: str | None,
+        tbl: CatalogTable | None = None,
+    ) -> DataFrame:
         reader = self.spark.read
         if base_path:
             # explicit leaf files + basePath: Spark still derives hive
             # partition columns and prunes them at planning time
             reader = reader.option("basePath", base_path)
+        return self._format_read(reader, tbl, *paths)
+
+    def _format_read(self, reader, tbl: CatalogTable | None, *paths) -> DataFrame:
+        """Dispatch the scan on the table's ``classification`` catalog
+        parameter — parquet (default, the reference's only format),
+        csv, or json (our extension past the reference's future-work
+        list, /root/reference/README.md:22-23).  CSV honors the Glue
+        crawler's ``delimiter`` / ``skip.header.line.count``
+        parameters; its schema is inferred (an extra pass — at real
+        scale convert to parquet or cache the inferred schema)."""
+        fmt = tbl.data_format if tbl is not None else "parquet"
+        if fmt == "csv":
+            params = tbl.parameters
+            header = params.get("skip.header.line.count") == "1"
+            return (
+                reader.option("header", "true" if header else "false")
+                .option("sep", params.get("delimiter", ","))
+                .option("inferSchema", "true")
+                .csv(list(paths))
+            )
+        if fmt == "json":
+            return reader.json(list(paths))
         return reader.parquet(*paths)
 
     def _attach_partition_columns(

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from glue_table_cache_spark.catalog import CatalogTable, PartitionKey
+from glue_table_cache_spark.catalog import (
+    CatalogTable,
+    LocalMetadataStore,
+    PartitionKey,
+)
 from glue_table_cache_spark.config import EngineConfig
 from glue_table_cache_spark.engine import GlueSparkEngine
 from glue_table_cache_spark.errors import (
@@ -402,3 +406,70 @@ def test_invalidate_after_metadata_expiry_still_drops_listing(spark, store):
     engine.invalidate_table("tpch", "region")
     engine.sql("SELECT * FROM glue.tpch.region").count()
     assert listing_calls["n"] == 2  # listing was really invalidated
+
+
+# -- format dispatch (classification parameter) ------------------------------
+
+
+def test_json_classified_table_scan(spark, tmp_path):
+    """classification=json dispatches the scan to spark.read.json —
+    format support past the reference's parquet-only scanner."""
+    data = tmp_path / "jtbl"
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "id long, grp string, v long",
+    ).write.json(str(data))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "jtbl", str(data), parameters={"classification": "json"}
+    )
+    out = (
+        GlueSparkEngine(spark, store)
+        .sql("SELECT grp, CAST(sum(v) AS BIGINT) AS s FROM glue.db.jtbl GROUP BY grp")
+        .collect()
+    )
+    assert {(r.grp, r.s) for r in out} == {("a", 40), ("b", 20)}
+
+
+def test_csv_classified_table_scan(spark, tmp_path):
+    """classification=csv honors the crawler's delimiter and
+    skip.header.line.count parameters."""
+    data = tmp_path / "ctbl"
+    data.mkdir()
+    (data / "part-0.csv").write_text("id|grp|v\n1|a|10\n2|b|20\n3|a|30\n")
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db",
+        "ctbl",
+        str(data),
+        parameters={
+            "classification": "csv",
+            "delimiter": "|",
+            "skip.header.line.count": "1",
+        },
+    )
+    out = (
+        GlueSparkEngine(spark, store)
+        .sql("SELECT grp, CAST(sum(v) AS BIGINT) AS s FROM glue.db.ctbl GROUP BY grp")
+        .collect()
+    )
+    assert {(r.grp, r.s) for r in out} == {("a", 40), ("b", 20)}
+
+
+def test_explicit_mode_json_table(spark, tmp_path):
+    """The explicit-file-list path also dispatches on classification."""
+    data = tmp_path / "jex"
+    spark.createDataFrame(
+        [(1, 5), (2, 7)], "id long, v long"
+    ).write.json(str(data))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "jex", str(data), parameters={"classification": "json"}
+    )
+    eng = GlueSparkEngine(
+        spark, store, EngineConfig(explicit_file_lists=True)
+    )
+    out = eng.sql(
+        "SELECT CAST(sum(v) AS BIGINT) AS s FROM glue.db.jex"
+    ).collect()
+    assert out[0].s == 12
