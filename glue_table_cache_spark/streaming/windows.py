@@ -127,6 +127,24 @@ def sliding_counts_batch(
     )
 
 
+def dedup_events_stream(
+    spark: SparkSession,
+    events_path: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once streaming dedup: ``dropDuplicatesWithinWatermark``
+    keyed on ``key_cols``.  The watermark bounds the dedup state to the
+    late-data horizon — the plain ``dropDuplicates`` would keep every
+    key ever seen and grow state without bound on an unbounded stream.
+    Batch twin: ``SELECT DISTINCT ON (key)`` / row_number = 1."""
+    sdf = _stream_reader(spark, events_path)
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def _stream_reader(spark: SparkSession, events_path: str, **options):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema

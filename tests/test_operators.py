@@ -917,3 +917,17 @@ def test_pack_stats_fill_ratio(spark):
     st = P.pack_stats(packed, budget=256).first()
     assert st.n_packs == 2 and st.total_tokens == 400
     assert abs(st.fill_ratio - 400 / 512) < 1e-9
+
+
+def test_dedup_events_stream_exactly_once(spark, events, tmp_path):
+    """Duplicated input events come out exactly once; clean events are
+    untouched (streaming twin of exact dedup, state bounded by the
+    watermark)."""
+    dup_dir = tmp_path / "dup_events"
+    doubled = events.unionByName(events)  # every event twice
+    doubled.write.parquet(str(dup_dir))
+    sdf = W.dedup_events_stream(spark, str(dup_dir))
+    W.run_stream_to_memory(sdf, "dedup_stream_test", output_mode="append")
+    out = spark.sql("SELECT * FROM dedup_stream_test")
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()

@@ -251,3 +251,17 @@ def test_every_driver_entry_plan_is_cartesian_free(spark):
         plan = explain_string(fn(spark, sf), "simple")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_driver_window_and_oracle_coverage():
+    """The driver's correctness gate checks only the FIRST 50 entries
+    of queries() in iteration order: exceeding 50 silently drops
+    entries out of the checked window, and every entry must carry an
+    oracle so none degrade to the weaker rows-only check."""
+    import __spark_entry__ as entrymod
+
+    qs = list(entrymod.queries())
+    assert len(qs) <= 50, f"{len(qs)} entries overflow the checked window"
+    oracles = entrymod.oracle_sql()
+    missing = [k for k in qs if k not in oracles]
+    assert not missing, f"entries without oracle SQL: {missing}"
