@@ -1,0 +1,112 @@
+"""End-to-end corpus curation: the canonical training-data pipeline.
+
+Beyond-reference extension.  Composes the operator families into the
+standard curation flow — every stage optional, every stage a
+declarative DataFrame transform (one logical plan end-to-end, so
+Catalyst sees through stage boundaries: column pruning and filter
+pushdown cross stages for free):
+
+    quality/language filter      functions/text
+    → benchmark decontamination  operators/decontamination
+    → near-dup removal           operators/dedup (MinHash-LSH + CC)
+    → deterministic sampling     operators/sampling
+    → sequence packing           operators/packing
+
+The terminal write (``sinks/shards.py``) stays separate: it is an
+action, not a transform.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from glue_table_cache_spark.functions import text as T
+from glue_table_cache_spark.operators import dedup as D
+from glue_table_cache_spark.operators import decontamination as DC
+from glue_table_cache_spark.operators import packing as P
+from glue_table_cache_spark.operators import sampling as SM
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate`.  ``None`` disables a stage."""
+
+    min_quality: float | None = 0.3
+    languages: tuple[str, ...] | None = None  # e.g. ("en",)
+    drop_pii: bool = False  # drop docs with any PII span
+    benchmark: DataFrame | None = None  # decontamination reference set
+    decontamination_threshold: float = 0.8
+    decontamination_k: int = 8
+    dedup_threshold: float | None = 0.8  # None → skip near-dup removal
+    dedup_transitive: bool = True
+    sample_fraction: float | None = None
+    sample_salt: str = ""
+    pack_budget: int | None = None  # tokens per pack
+    stratify: dict[str, float] = field(default_factory=dict)
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    strata_col: str = "source"
+
+
+def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
+    """Run the curation flow; returns the kept documents, augmented
+    with ``quality`` / ``lang_pred`` (always) and ``n_tokens`` /
+    ``pack_id`` / ``pack_offset`` when packing is on."""
+    cfg = config or CurationConfig()
+    t = F.col(cfg.text_col)
+
+    out = docs.withColumn("quality", T.quality_score(t)).withColumn(
+        "lang_pred", T.language_id(t)
+    )
+    if cfg.min_quality is not None:
+        out = out.where(F.col("quality") >= cfg.min_quality)
+    if cfg.languages is not None:
+        out = out.where(F.col("lang_pred").isin(*cfg.languages))
+    if cfg.drop_pii:
+        out = out.where(
+            T.pii_count(t, "email") + T.pii_count(t, "phone")
+            + T.pii_count(t, "ipv4") == 0
+        )
+    if cfg.benchmark is not None:
+        out = DC.decontaminate(
+            out,
+            cfg.benchmark,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            shingle_k=cfg.decontamination_k,
+            threshold=cfg.decontamination_threshold,
+        )
+    if cfg.dedup_threshold is not None:
+        out = D.minhash_dedup(
+            out,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+            threshold=cfg.dedup_threshold,
+            transitive=cfg.dedup_transitive,
+        )
+    if cfg.stratify:
+        out = SM.stratified_sample(
+            out,
+            cfg.stratify,
+            strata_col=cfg.strata_col,
+            key_col=cfg.id_col,
+            default_fraction=cfg.sample_fraction or 0.0,
+            salt=cfg.sample_salt,
+        )
+    elif cfg.sample_fraction is not None:
+        out = SM.deterministic_sample(
+            out, cfg.sample_fraction, key_col=cfg.id_col, salt=cfg.sample_salt
+        )
+    if cfg.pack_budget is not None:
+        out = P.pack_sequences(
+            out.withColumn(
+                "n_tokens", F.size(T.tokens(t, "[a-z0-9]+")).cast("long")
+            ),
+            budget=cfg.pack_budget,
+            part_col=cfg.strata_col,
+            order_col=cfg.id_col,
+        )
+    return out

@@ -931,3 +931,63 @@ def test_dedup_events_stream_exactly_once(spark, events, tmp_path):
     out = spark.sql("SELECT * FROM dedup_stream_test")
     assert out.count() == events.count()
     assert out.select("event_id").distinct().count() == events.count()
+
+
+# -- curation pipeline -------------------------------------------------------
+
+
+def test_curate_default_flow(documents):
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    out = PL.curate(documents)
+    n_in, n_out = documents.count(), out.count()
+    assert 0 < n_out <= n_in
+    # every survivor meets the quality bar; annotations present
+    assert out.where(F.col("quality") < 0.3).count() == 0
+    assert {"quality", "lang_pred"} <= set(out.columns)
+    # near-dups removed: docs 8 and 12 are natural near-dups in the
+    # fixture — at most one survives
+    assert out.where(F.col("doc_id").isin(8, 12)).count() <= 1
+
+
+def test_curate_full_flow_stages_compose(spark, documents):
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    bench = documents.where(F.col("doc_id").isin(3,)).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cfg = PL.CurationConfig(
+        min_quality=0.0,
+        benchmark=bench,
+        decontamination_k=3,
+        decontamination_threshold=0.9,
+        dedup_threshold=0.8,
+        sample_fraction=0.5,
+        pack_budget=128,
+    )
+    out = PL.curate(documents, cfg)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 3 not in ids  # decontaminated
+    assert {"pack_id", "pack_offset", "n_tokens"} <= set(out.columns)
+    # deterministic end-to-end
+    ids2 = {r.doc_id for r in PL.curate(documents, cfg).select("doc_id").collect()}
+    assert ids == ids2
+
+
+def test_curate_language_and_pii_filters(spark):
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house is that", "s"),
+            (2, "der hund und die katze ist nicht ein zu", "s"),
+            (3, "the mail is bob@example.com and that is the end of it", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cfg = PL.CurationConfig(
+        min_quality=None, languages=("en",), drop_pii=True,
+        dedup_threshold=None,
+    )
+    ids = {r.doc_id for r in PL.curate(df, cfg).collect()}
+    assert ids == {1}  # 2 is German, 3 has PII
