@@ -991,3 +991,37 @@ def test_curate_language_and_pii_filters(spark):
     )
     ids = {r.doc_id for r in PL.curate(df, cfg).collect()}
     assert ids == {1}  # 2 is German, 3 has PII
+
+
+def test_portable_hash60_parity_diverse_inputs(spark):
+    """portable_hash60 must be bit-identical in DuckDB over the full
+    input space the oracles feed it: ascii, unicode, quotes, empties."""
+    import duckdb
+
+    vals = [
+        "", " ", "plain", "with 'quotes'", 'double "q"', "tab\tsep",
+        "newline\nin text", "unicode: 的是了 ñé ü", "123456", "a,b,c",
+        "trailing space ", r"back\slash", "percent%sign", "@#$%^&*",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    from glue_table_cache_spark.operators.dedup import portable_hash60
+
+    got = {
+        r.s: (r.h0, r.h7)
+        for r in df.select(
+            "s",
+            portable_hash60(F.col("s")).alias("h0"),
+            portable_hash60(F.col("s"), seed=7).alias("h7"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT s, ('0x' || substr(md5(s), 1, 15))::BIGINT, "
+            "('0x' || substr(md5('7:' || s), 1, 15))::BIGINT FROM t"
+        ).fetchall()
+    }
+    assert got == want
