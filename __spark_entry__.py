@@ -343,12 +343,22 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                              WHERE o.o_custkey = c.c_custkey)""",
     ),
     (
-        "join_cross",
+        # explicit CROSS JOIN and inline VALUES in one row (merged r3
+        # to free a checked-window slot)
+        "join_cross_values",
         "engine",
-        """SELECT r1.r_name AS name_a, r2.r_name AS name_b
-           FROM glue.tpch.region r1 CROSS JOIN glue.tpch.region r2""",
-        """SELECT r1.r_name AS name_a, r2.r_name AS name_b
-           FROM region r1 CROSS JOIN region r2""",
+        """SELECT 'cross' AS kind, r1.r_name AS a, r2.r_name AS b,
+                  CAST(NULL AS INT) AS v
+           FROM glue.tpch.region r1 CROSS JOIN glue.tpch.region r2
+           UNION ALL
+           SELECT 'values' AS kind, y AS a, y AS b, x * 2 AS v
+           FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(x, y)""",
+        """SELECT 'cross' AS kind, r1.r_name AS a, r2.r_name AS b,
+                  CAST(NULL AS INT) AS v
+           FROM region r1 CROSS JOIN region r2
+           UNION ALL
+           SELECT 'values' AS kind, y AS a, y AS b, x * 2 AS v
+           FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(x, y)""",
     ),
     (
         # pricing-summary aggregates (incl. COUNT DISTINCT) and
@@ -688,14 +698,6 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   CAST(len(list(n_name)) AS INT) AS n,
                   (list(n_name ORDER BY n_name))[1] AS first_name
            FROM nation GROUP BY n_regionkey""",
-    ),
-    (
-        "values_inline",
-        "spark",
-        """SELECT x, y, x * 2 AS x2
-           FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(x, y)""",
-        """SELECT x, y, x * 2 AS x2
-           FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(x, y)""",
     ),
     (
         "distinct_rows",
@@ -1304,6 +1306,35 @@ WHERE ('0x' || substr(md5('train:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 """
 
 
+def _q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/joins.py:asof_join — single keyed window
+    shuffle, no nested-loop join): every event picks up the user's most
+    recent purchase value at-or-before its timestamp; oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from glue_table_cache_spark.operators import joins as J
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts")
+    px = (
+        _events(spark, sf)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 3).alias("last_purchase"))
+    )
+    out = J.asof_join(ev, px, on="ts", by="user_id",
+                      value_cols=["last_purchase"])
+    return out.select("event_id", "user_id", "last_purchase")
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, p.last_purchase
+FROM events e ASOF LEFT JOIN (
+    SELECT user_id, ts, round(max(value), 3) AS last_purchase
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def _q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark-overlap screen: docs with doc_id % 17 = 0 stand in for
     a held-out eval set; the inverted-index containment join flags
@@ -1504,6 +1535,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": _q_sample_stratified,
     "text_decontamination": _q_decontamination,
     "pack_sequences": _q_pack_sequences,
+    "join_asof": _q_join_asof,
     "similarity_cosine_topk": _q_cosine_topk,
     "similarity_ann_lsh": _q_ann_lsh,
     "similarity_embedding_stats": _q_embedding_stats,
@@ -1533,6 +1565,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     "sample_stratified": _SAMPLE_ORACLE,
     "text_decontamination": _DECONTAMINATION_ORACLE,
     "pack_sequences": _PACKING_ORACLE,
+    "join_asof": _ASOF_ORACLE,
     "similarity_cosine_topk": _COSINE_TOPK_ORACLE,
     "similarity_ann_lsh": _ANN_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,

@@ -89,3 +89,113 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact (a plain
     ``spark.read.parquet`` of the files would lose it)."""
     return spark.table(table_name)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for every left row, attach the most recent right row
+    with ``right.on <= left.on`` (inclusive) within the same ``by``
+    keys — the time-series primitive Spark lacks natively (DuckDB:
+    ``ASOF JOIN``; pandas: ``merge_asof``).
+
+    Spark-first shape: tag + union both sides, then one
+    ``last(value, ignorenulls=True)`` running window per key — a single
+    shuffle keyed on ``by``, no range/theta join (whose
+    BroadcastNestedLoop plan explodes at scale).  Left rows with no
+    prior right row keep NULL values (left-join semantics).  At equal
+    timestamps the right row sorts first, so it is visible to left rows
+    at the same instant (DuckDB ``ASOF JOIN``'s inclusive ``>=``).
+
+    ``direction="forward"`` flips the match to the nearest right row at
+    or after the left row."""
+    from pyspark.sql.window import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in by_cols and c != on
+        ]
+    l_tag = left.withColumn("__src", F.lit(1))
+    r_tag = right.select(
+        *by_cols,
+        on,
+        F.lit(0).alias("__src"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(order, F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned.withColumns(
+        {
+            c: F.last(f"__v_{c}", ignorenulls=True).over(w)
+            for c in value_cols
+        }
+    )
+    return out.where(F.col("__src") == 1).select(*left.columns, *value_cols)
+
+
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(spec: str) -> int:
+    """``"30 minutes"`` → 1800 (second resolution is enough for
+    bucketing: the exact containment predicate filters afterwards)."""
+    n, _, unit = spec.strip().partition(" ")
+    try:
+        return int(n) * _DURATION_UNITS[unit.strip().lower()]
+    except (ValueError, KeyError):
+        raise ValueError(f"cannot parse duration {spec!r}") from None
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: str | list[str] | None = None,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval join — left rows matched to right intervals containing
+    them (``start <= ts < end``) — via *bucketing*, not a theta join.
+
+    Both sides map to coarse time buckets (the right side explodes to
+    every bucket its interval overlaps), the join is a plain equi-join
+    on (keys, bucket), and the exact containment predicate filters the
+    bucket-level candidates.  Cost is ∝ candidates per bucket instead
+    of |left|×|right| — the shape a 100 TB interval join needs; pick
+    ``bucket`` near the typical interval length."""
+    by_cols = ([by] if isinstance(by, str) else list(by)) if by else []
+    step = _duration_seconds(bucket)
+    lb = left.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / step)
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(right_start)) / step),
+                F.floor(F.unix_timestamp(F.col(right_end)) / step),
+            )
+        ),
+    )
+    joined = lb.join(rb, by_cols + ["__bucket"])
+    return joined.where(
+        (F.col(right_start) <= F.col(left_ts))
+        & (F.col(left_ts) < F.col(right_end))
+    ).drop("__bucket")

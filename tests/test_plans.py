@@ -242,7 +242,7 @@ def test_every_driver_entry_plan_is_cartesian_free(spark):
     Streaming entries are skipped (building them runs the stream)."""
     import __spark_entry__ as entrymod
 
-    allowed_cartesian = {"join_cross", "similarity_cosine_topk"}
+    allowed_cartesian = {"join_cross_values", "similarity_cosine_topk"}
     skip = {"events_tumbling_stream", "events_sessionize_stream"}
     sf = "/root/testdata/sf0.001"
     for name, fn in entrymod.queries().items():
