@@ -719,14 +719,24 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            SELECT 'cube' AS op, l_returnflag, l_linestatus, count(*) AS n,
                   round(sum(l_quantity), 2) AS qty
            FROM glue.tpch.lineitem
-           GROUP BY CUBE(l_returnflag, l_linestatus)""",
+           GROUP BY CUBE(l_returnflag, l_linestatus)
+           UNION ALL
+           SELECT 'gsets' AS op, l_returnflag, l_linestatus, count(*) AS n,
+                  round(sum(l_quantity), 2) AS qty
+           FROM glue.tpch.lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
         """SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n,
                   round(sum(l_quantity), 2) AS qty
            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            UNION ALL
            SELECT 'cube' AS op, l_returnflag, l_linestatus, count(*) AS n,
                   round(sum(l_quantity), 2) AS qty
-           FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+           FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           UNION ALL
+           SELECT 'gsets' AS op, l_returnflag, l_linestatus, count(*) AS n,
+                  round(sum(l_quantity), 2) AS qty
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     ),
     # -- Layer A machinery: partitioned + projected tables ------------------
     (

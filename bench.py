@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     ("decontamination", _decontamination),
     ("sample_stratified", _sample_stratified),
     ("pack_sequences", _pack_sequences),
+    ("join_asof", _entry("join_asof")),
 ]
 
 

@@ -1126,3 +1126,47 @@ def test_range_join_matches_naive(spark, events):
     assert got.exceptAll(naive).count() == 0
     assert naive.exceptAll(got).count() == 0
     assert naive.count() > 0  # the comparison is non-vacuous
+
+
+def test_asof_join_randomized_parity_with_duckdb(spark):
+    """200 random trades × 80 random quotes across 8 keys, fixed seed —
+    one-shot cross-engine check of the window-based as-of shape."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    trades = [
+        (rng.randrange(8), rng.randrange(10_000), i)
+        for i in range(200)
+    ]
+    quotes = [
+        (rng.randrange(8), rng.randrange(10_000), round(rng.random(), 6))
+        for _ in range(80)
+    ]
+    # unique (key, t) on the right: collapse to max like the entry does
+    from collections import defaultdict
+
+    qmap: dict = defaultdict(float)
+    for k, t, v in quotes:
+        qmap[(k, t)] = max(qmap[(k, t)], v)
+    quotes = [(k, t, v) for (k, t), v in qmap.items()]
+
+    from glue_table_cache_spark.operators import joins as J
+
+    lt = spark.createDataFrame(trades, "k long, t long, tid long")
+    rt = spark.createDataFrame(quotes, "k long, t long, v double")
+    got = {r.tid: r.v for r in J.asof_join(lt, rt, on="t", by="k").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, t BIGINT, tid BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, t BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", trades)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", quotes)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT l.tid, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    }
+    assert got == want
