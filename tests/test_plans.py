@@ -265,3 +265,23 @@ def test_driver_window_and_oracle_coverage():
     oracles = entrymod.oracle_sql()
     missing = [k for k in qs if k not in oracles]
     assert not missing, f"entries without oracle SQL: {missing}"
+
+
+def test_curate_plan_is_cartesian_free(spark):
+    """The composed curation pipeline stays nested-loop-free end to
+    end (single logical plan across all stages)."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cfg = PL.CurationConfig(
+        benchmark=bench, decontamination_k=3, sample_fraction=0.9,
+        pack_budget=512,
+    )
+    plan = explain_string(PL.curate(docs, cfg), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
