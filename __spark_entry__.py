@@ -584,20 +584,32 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
     (
         "window_rank",
         "engine",
-        """SELECT c_custkey, c_nationkey, rn, rk FROM (
+        """SELECT c_custkey, c_nationkey, rn, rk, drk, qtile, prk FROM (
                SELECT c_custkey, c_nationkey,
                       CAST(row_number() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
                       CAST(rank() OVER (PARTITION BY c_nationkey
-                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk,
+                      CAST(dense_rank() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS drk,
+                      CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS qtile,
+                      round(percent_rank() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey), 6) AS prk
                FROM glue.tpch.customer
            ) t WHERE rn <= 3""",
-        """SELECT c_custkey, c_nationkey, rn, rk FROM (
+        """SELECT c_custkey, c_nationkey, rn, rk, drk, qtile, prk FROM (
                SELECT c_custkey, c_nationkey,
                       CAST(row_number() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
                       CAST(rank() OVER (PARTITION BY c_nationkey
-                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk,
+                      CAST(dense_rank() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS drk,
+                      CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS qtile,
+                      round(percent_rank() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey), 6) AS prk
                FROM customer
            ) t WHERE rn <= 3""",
     ),

@@ -126,6 +126,20 @@ def classify_table_type(
     UNPARTITIONED."""
     if parameters.get("table_type", "").upper() == "ICEBERG":
         return ETableType.ICEBERG
+    # Delta/Hudi detection beyond the reference (which enumerates but
+    # never classifies them): without this a Delta location would be
+    # scanned as a raw parquet directory — reading every version's
+    # files, deleted rows included.  The engine raises instead.
+    provider = parameters.get("spark.sql.sources.provider", "").lower()
+    classification = parameters.get("classification", "").lower()
+    if provider == "delta" or classification == "delta":
+        return ETableType.DELTA
+    if (
+        provider == "hudi"
+        or classification == "hudi"
+        or "hoodie.table.name" in parameters
+    ):
+        return ETableType.HUDI
     if parameters.get("projection.enabled", "").lower() == "true":
         return ETableType.GLUE_PROJECTED
     if partition_keys:

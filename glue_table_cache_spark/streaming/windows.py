@@ -145,6 +145,51 @@ def dedup_events_stream(
     )
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each ``left_type`` event
+    pairs with the same user's ``right_type`` events in the trailing
+    ``within`` interval (``l_ts - within <= r_ts <= l_ts``).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — the two requirements that let Spark expire
+    join state instead of buffering each stream forever.  Batch twin:
+    the identical equi+range join on the static frame."""
+    base = _stream_reader(spark, events_path)
+    left = (
+        base.where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            "user_id",
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        _stream_reader(spark, events_path)
+        .where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}")),
+    ).select("l_id", "user_id", "l_ts", "r_id", "r_ts", "r_value")
+
+
 def _stream_reader(spark: SparkSession, events_path: str, **options):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema

@@ -151,3 +151,42 @@ def test_projection_values_malformed_json_raises():
                 "projection.dt.values": "{malformed json}",
             }
         )
+
+
+def test_delta_and_hudi_classified_not_silently_scanned():
+    from glue_table_cache_spark.catalog import (
+        ETableType,
+        classify_table_type,
+    )
+
+    assert classify_table_type(
+        {"spark.sql.sources.provider": "delta"}, []
+    ) == ETableType.DELTA
+    assert classify_table_type({"classification": "delta"}, []) == (
+        ETableType.DELTA
+    )
+    assert classify_table_type(
+        {"hoodie.table.name": "t"}, []
+    ) == ETableType.HUDI
+    # iceberg wins the decision order, as in the reference classifier
+    assert classify_table_type(
+        {"table_type": "ICEBERG", "classification": "delta"}, []
+    ) == ETableType.ICEBERG
+
+
+def test_engine_raises_for_delta_table(spark, tmp_path):
+    import pytest as _pytest
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dtable", str(tmp_path),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    with _pytest.raises(GlueSparkError, match="DELTA"):
+        GlueSparkEngine(spark, store).sql(
+            "SELECT * FROM glue.db.dtable"
+        ).collect()

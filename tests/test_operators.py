@@ -1170,3 +1170,46 @@ def test_asof_join_randomized_parity_with_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events):
+    """Watermarked stream-stream join emits exactly the batch join's
+    pairs on bounded input (availableNow)."""
+    sdf = W.stream_stream_join(
+        spark, str(TESTDATA / "events.parquet"), within="1 hour"
+    )
+    W.run_stream_to_memory(sdf, "ss_join_test", output_mode="append")
+    got = {
+        (r.l_id, r.r_id)
+        for r in spark.sql("SELECT l_id, r_id FROM ss_join_test").collect()
+    }
+    l = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("l_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    r = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = {
+        (x.l_id, x.r_id)
+        for x in l.join(
+            r,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # non-vacuous
+
+
+def test_approx_count_distinct_accuracy(spark, events):
+    """Spark's HLL++ sketch stays within its rsd bound on the events
+    stream — the cardinality primitive for 100 TB profiling where exact
+    COUNT(DISTINCT) would shuffle every value."""
+    exact = events.select("user_id").distinct().count()
+    approx = events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a")
+    ).first().a
+    assert abs(approx - exact) / exact < 0.06  # 3x the 2% rsd
