@@ -418,9 +418,19 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
     (
         "agg_having",
         "engine",
-        """SELECT c_nationkey, count(*) AS n FROM glue.tpch.customer
+        """SELECT c_nationkey, count(*) AS n,
+                  round(stddev_samp(c_acctbal), 4) AS sd,
+                  round(var_samp(c_acctbal), 3) AS vr,
+                  round(min(c_acctbal), 2) AS lo,
+                  round(max(c_acctbal), 2) AS hi
+           FROM glue.tpch.customer
            GROUP BY c_nationkey HAVING count(*) > 60""",
-        """SELECT c_nationkey, count(*) AS n FROM customer
+        """SELECT c_nationkey, count(*) AS n,
+                  round(stddev_samp(c_acctbal), 4) AS sd,
+                  round(var_samp(c_acctbal), 3) AS vr,
+                  round(min(c_acctbal), 2) AS lo,
+                  round(max(c_acctbal), 2) AS hi
+           FROM customer
            GROUP BY c_nationkey HAVING count(*) > 60""",
     ),
     (
@@ -651,14 +661,24 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   replace(p_brand, 'Brand#', 'B') AS brand_short,
                   concat(p_type, ':', p_brand) AS tb,
                   CAST(length(p_name) AS INT) AS name_len,
-                  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+                  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+                  lpad(p_brand, 12, '*') AS brand_pad,
+                  trim(concat('  ', p_type, ' ')) AS type_trim,
+                  split_part(p_brand, '#', 2) AS brand_part,
+                  reverse(p_brand) AS brand_rev,
+                  left(p_name, 5) AS name5
            FROM glue.tpch.part""",
         """SELECT p_partkey, upper(p_name) AS uname,
                   substring(p_name, 1, 4) AS pfx,
                   replace(p_brand, 'Brand#', 'B') AS brand_short,
                   concat(p_type, ':', p_brand) AS tb,
                   CAST(length(p_name) AS INT) AS name_len,
-                  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+                  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+                  lpad(p_brand, 12, '*') AS brand_pad,
+                  trim(concat('  ', p_type, ' ')) AS type_trim,
+                  split_part(p_brand, '#', 2) AS brand_part,
+                  reverse(p_brand) AS brand_rev,
+                  left(p_name, 5) AS name5
            FROM part""",
     ),
     (
@@ -676,7 +696,11 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   CAST(l_orderkey % 7 AS INT) AS key_mod,
                   CASE WHEN l_quantity < 10 THEN 'low'
                        WHEN l_quantity < 30 THEN 'mid'
-                       ELSE 'high' END AS qty_band
+                       ELSE 'high' END AS qty_band,
+                  CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+                  CAST(datediff(CAST(l_shipdate AS DATE),
+                                DATE '1995-01-01') AS INT) AS ship_dd,
+                  date_add(CAST(l_shipdate AS DATE), 30) AS ship_plus30
            FROM glue.tpch.lineitem WHERE l_orderkey <= 1000""",
         """SELECT l_orderkey, l_linenumber,
                   CAST(floor(l_quantity) AS INT) AS qty_int,
@@ -687,7 +711,11 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   CAST(l_orderkey % 7 AS INT) AS key_mod,
                   CASE WHEN l_quantity < 10 THEN 'low'
                        WHEN l_quantity < 30 THEN 'mid'
-                       ELSE 'high' END AS qty_band
+                       ELSE 'high' END AS qty_band,
+                  CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+                  CAST(date_diff('day', DATE '1995-01-01',
+                                 CAST(l_shipdate AS DATE)) AS INT) AS ship_dd,
+                  CAST(l_shipdate AS DATE) + 30 AS ship_plus30
            FROM lineitem WHERE l_orderkey <= 1000""",
     ),
     (
