@@ -1213,3 +1213,25 @@ def test_approx_count_distinct_accuracy(spark, events):
         F.approx_count_distinct("user_id", rsd=0.02).alias("a")
     ).first().a
     assert abs(approx - exact) / exact < 0.06  # 3x the 2% rsd
+
+
+def test_json_extraction_matches_duckdb(spark, events):
+    """get_json_object over the events props column agrees with
+    DuckDB's JSON path extraction — semi-structured column support."""
+    import duckdb
+
+    got = {
+        r.event_id: r.k
+        for r in events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) "
+            f"FROM read_parquet('{TESTDATA}/events.parquet')"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0

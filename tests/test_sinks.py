@@ -64,3 +64,29 @@ def test_max_records_per_file_bounds_parts(spark, tmp_path):
             ).fetchone()[0]
             assert n <= 50
         assert len(parts) >= n_rows_dir // 50
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from glue_table_cache_spark.sinks import compact as C
+
+    src, dst = str(tmp_path / "many"), str(tmp_path / "few")
+    docs = spark.read.parquet(str(TESTDATA / "documents.parquet"))
+    docs.repartition(40).write.parquet(src)  # simulate tiny-file ingest
+    n_in = len(spark.read.parquet(src).inputFiles())
+    assert n_in >= 40
+    n_out = C.compact_parquet_dir(spark, src, dst, target_file_mb=64)
+    assert n_out == 1  # tiny dataset fits one target file
+    assert len(spark.read.parquet(dst).inputFiles()) == 1
+    # content preserved exactly
+    a = spark.read.parquet(src).orderBy("doc_id").collect()
+    b = spark.read.parquet(dst).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_compact_refuses_in_place(spark, tmp_path):
+    import pytest as _pytest
+
+    from glue_table_cache_spark.sinks import compact as C
+
+    with _pytest.raises(ValueError):
+        C.compact_parquet_dir(spark, str(tmp_path), str(tmp_path))
