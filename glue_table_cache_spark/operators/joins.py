@@ -113,7 +113,13 @@ def asof_join(
     at the same instant (DuckDB ``ASOF JOIN``'s inclusive ``>=``).
 
     ``direction="forward"`` flips the match to the nearest right row at
-    or after the left row."""
+    or after the left row.
+
+    Skew note: one reducer sees each ``by`` key's full merged history.
+    For a hot key, add a coarse time-bucket column to ``by`` on both
+    sides (as-of matches then stay within a bucket; carry the previous
+    bucket's closing value forward with a second pass) — same
+    bucketing idea as :func:`range_join`."""
     from pyspark.sql.window import Window
 
     if direction not in ("backward", "forward"):

@@ -95,7 +95,12 @@ def stratified_head(
     smallest-hash keys — a deterministic uniform-without-replacement
     choice.  One hash-partitioned shuffle keyed on the stratum; use for
     bounded per-source quotas (caps the head stratum instead of
-    proportionally shrinking everything)."""
+    proportionally shrinking everything).
+
+    Skew note: a hot stratum lands on one reducer.  At scale,
+    pre-thin it first with :func:`deterministic_sample` at a fraction
+    comfortably above ``n / |stratum|`` — the hash-threshold pass is
+    map-only, and the exact window then ranks a bounded remnant."""
     w = Window.partitionBy(strata_col).orderBy(
         _bucket(key_col, salt, portable), F.col(key_col)
     )
