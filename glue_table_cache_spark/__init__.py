@@ -31,11 +31,13 @@ from glue_table_cache_spark.catalog import (
 from glue_table_cache_spark.config import Credentials, EngineConfig
 from glue_table_cache_spark.engine import GlueSparkEngine
 from glue_table_cache_spark.io import read_table
+from glue_table_cache_spark.operators.pipeline import CurationConfig, curate
 from glue_table_cache_spark.session import build_session
 
 __all__ = [
     "CatalogTable",
     "Credentials",
+    "CurationConfig",
     "ETableType",
     "EngineConfig",
     "GlueSparkEngine",
@@ -44,6 +46,7 @@ __all__ = [
     "PartitionKey",
     "PartitionListing",
     "build_session",
+    "curate",
     "read_table",
 ]
 
