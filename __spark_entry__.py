@@ -952,7 +952,8 @@ sh AS (
     FROM d
 ),
 sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            WHERE shingles <> ['']),
 common AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
     FROM posting a JOIN posting b
@@ -1413,10 +1414,12 @@ sh AS (
                i -> array_to_string(toks[i:i+2], ' '))) AS shingles
     FROM d
 ),
-post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         WHERE shingles <> ['']),
 bsh AS (SELECT doc_id AS bench_id, shingles FROM sh WHERE doc_id % 17 = 0),
 bsizes AS (SELECT bench_id, len(shingles) AS n_bench FROM bsh),
-bpost AS (SELECT bench_id, unnest(shingles) AS shingle FROM bsh),
+bpost AS (SELECT bench_id, unnest(shingles) AS shingle FROM bsh
+          WHERE shingles <> ['']),
 common AS (
     SELECT p.doc_id, b.bench_id, count(*) AS overlap
     FROM post p JOIN bpost b USING (shingle)

@@ -125,11 +125,13 @@ class GlueSparkEngine:
             for i, ref in enumerate(refs)
         }
         self._register_views(refs, names, query)
-        df = self.spark.sql(rewrite_query(query, refs, names))
-        # analysis has resolved the views into the plan; drop them so the
-        # catalog doesn't accumulate one view per query
-        for name in names.values():
-            self.spark.catalog.dropTempView(name)
+        # drop views in finally: analysis failures (e.g. a typo'd
+        # column) must not leak one per-query-unique view per call
+        try:
+            df = self.spark.sql(rewrite_query(query, refs, names))
+        finally:
+            for name in names.values():
+                self.spark.catalog.dropTempView(name)
         return df
 
     def setup_views(self, query: str) -> list[TableReference]:
@@ -191,6 +193,12 @@ class GlueSparkEngine:
                     "org.apache.hadoop.fs.s3a."
                     "TemporaryAWSCredentialsProvider",
                 )
+            else:
+                # rotating from temporary to static credentials must
+                # clear the stale token and the pinned Temporary
+                # provider, or s3a keeps signing with the expired token
+                hconf.unset("fs.s3a.session.token")
+                hconf.unset("fs.s3a.aws.credentials.provider")
         if region:
             hconf.set("fs.s3a.endpoint.region", region)
 

@@ -65,10 +65,12 @@ def contamination_pairs(
         "bench_id",
         F.size("sh").alias("n_bench"),
         F.explode_outer("sh").alias("shingle"),
-    )
+    ).where(F.col("shingle") != "")
     if broadcast_benchmark:
         bpost = F.broadcast(bpost)
-    post = corpus.select("doc_id", F.explode_outer("sh").alias("shingle"))
+    post = corpus.select(
+        "doc_id", F.explode_outer("sh").alias("shingle")
+    ).where(F.col("shingle") != "")  # zero-token docs have no content
     return (
         post.join(bpost, "shingle")
         .groupBy("doc_id", "bench_id")

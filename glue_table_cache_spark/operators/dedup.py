@@ -155,6 +155,12 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode_outer(shingles(text_col, shingle_k)).alias("shingle"),
     )
+    # a zero-token document's catch-all shingle is '' — identical for
+    # every such doc, which would make all token-less docs mutual
+    # jaccard-1.0 "duplicates"; they carry no comparable content, so
+    # they take no part in near-dup detection (exact_dedup still
+    # catches byte-identical text)
+    postings = postings.where(F.col("shingle") != "")
     if portable:
         def fam(i: int) -> Column:
             return portable_hash60(F.col("shingle"), seed=i)
@@ -329,7 +335,9 @@ def ngram_jaccard_pairs(
     sizes = docs.select("id", F.size("sh").alias("n"))
     # explode_outer: see minhash_signatures — avoids the inferred
     # size()>0 filter re-running the shingle expression pre-shuffle
-    postings = docs.select("id", F.explode_outer("sh").alias("shingle"))
+    postings = docs.select("id", F.explode_outer("sh").alias("shingle")).where(
+        F.col("shingle") != ""  # see minhash_signatures: zero-token docs
+    )
     if max_shingle_df is not None:
         rare = (
             postings.groupBy("shingle")
@@ -600,6 +608,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the budget without a stable round means the labels
+        # are NOT component minima — returning them silently would keep
+        # extra "representatives" per cluster with no signal to the
+        # caller.  Near-dup graphs converge in a handful of rounds; a
+        # diameter > max_iterations chain is a pathology worth raising.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; raise max_iterations for "
+            f"very-high-diameter graphs"
+        )
     return labels.select(F.col("src").alias("id"), "component")
 
 

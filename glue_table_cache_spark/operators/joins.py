@@ -129,6 +129,18 @@ def asof_join(
         value_cols = [
             c for c in right.columns if c not in by_cols and c != on
         ]
+    # a value column shadowing a left column would silently overwrite
+    # the left data AND duplicate the output name — suffix it instead
+    # (pandas merge_asof posture)
+    out_names = {
+        c: f"{c}_right" if c in left.columns else c for c in value_cols
+    }
+    clash = [n for n in out_names.values() if n in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision even after _right suffix: "
+            f"{clash}; alias the columns explicitly"
+        )
     l_tag = left.withColumn("__src", F.lit(1))
     r_tag = right.select(
         *by_cols,
@@ -145,11 +157,13 @@ def asof_join(
     )
     out = unioned.withColumns(
         {
-            c: F.last(f"__v_{c}", ignorenulls=True).over(w)
+            out_names[c]: F.last(f"__v_{c}", ignorenulls=True).over(w)
             for c in value_cols
         }
     )
-    return out.where(F.col("__src") == 1).select(*left.columns, *value_cols)
+    return out.where(F.col("__src") == 1).select(
+        *left.columns, *[out_names[c] for c in value_cols]
+    )
 
 
 _DURATION_UNITS = {

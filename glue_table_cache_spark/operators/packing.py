@@ -26,18 +26,24 @@ def pack_sequences(
     df: DataFrame,
     budget: int,
     token_col: str = "n_tokens",
-    part_col: str = "source",
+    part_col: str | None = "source",
     order_col: str = "doc_id",
 ) -> DataFrame:
     """Adds ``pack_id`` (the pack this document *starts* in, scoped to
     its ``part_col`` stream) and ``pack_offset`` (token offset within
     that pack).  A document longer than the residual budget straddles
     into the next pack — concat-and-chunk semantics, the document is
-    split at training time, never dropped."""
+    split at training time, never dropped.
+
+    ``part_col=None`` packs one global stream — fine for small frames,
+    but it funnels everything through a single window partition; at
+    scale always pass a stream column (source, shard, or a hash
+    bucket)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    part = F.lit(0) if part_col is None else F.col(part_col)
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(part)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )

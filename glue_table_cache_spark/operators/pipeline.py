@@ -106,7 +106,9 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
                 "n_tokens", F.size(T.tokens(t, "[a-z0-9]+")).cast("long")
             ),
             budget=cfg.pack_budget,
-            part_col=cfg.strata_col,
+            # frames without the strata column pack as one global
+            # stream rather than crashing on an unresolved column
+            part_col=cfg.strata_col if cfg.strata_col in out.columns else None,
             order_col=cfg.id_col,
         )
     return out

@@ -101,7 +101,13 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # returning with the query still running would hand the caller
+        # a partially-filled sink as if it were complete
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not finish in {timeout_s}s"
+        )
 
 
 def sliding_counts_batch(
@@ -273,7 +279,12 @@ def sessionize_stream(
                 start = end = ts
                 n = 1
             else:
-                end = ts
+                # a late-but-watermark-legal event (ts <= end) must
+                # never move the session end BACKWARDS — that would
+                # make the next on-time event look like a gap and
+                # split a session the batch twin keeps whole
+                end = max(end, ts)
+                start = min(start, ts)
                 n += 1
         state.update((start.to_pydatetime(), end.to_pydatetime(), n))
         if watermark is not None:
@@ -306,13 +317,20 @@ def sessionize_batch(
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap
     from the previous event exceeds ``gap_minutes``.  Classic
     lag → boundary flag → running sum chain; two shuffles (both keyed
     on user) and identical semantics in any SQL engine — the streaming
-    twin is an ``applyInPandasWithState`` keyed-state op."""
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    twin is an ``applyInPandasWithState`` keyed-state op.
+
+    ``id_col`` (skipped when ``None`` or absent) breaks timestamp ties
+    deterministically."""
+    order = [F.col(ts_col)]
+    if id_col and id_col in events.columns:
+        order.append(F.col(id_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
     # integer microseconds: unix_timestamp() truncates to whole seconds,
     # which would misclassify gaps within one second of the boundary
     gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(

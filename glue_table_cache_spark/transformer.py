@@ -29,12 +29,13 @@ from glue_table_cache_spark.errors import InvalidQueryError
 DEFAULT_DATABASE = "default"
 
 _IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)'
-#: the left boundary (?<![A-Za-z0-9_".`.]) keeps ``someglue.db.tbl`` (a
-#: different catalog) from matching on its ``glue.db.tbl`` suffix, and
-#: the ``.`` keeps a dot-qualified ``othercat.glue.tbl`` from matching
-#: on its trailing two parts
+#: the left boundary keeps ``someglue.db.tbl`` (a different catalog)
+#: from matching on its ``glue.db.tbl`` suffix; it must exclude every
+#: character _IDENT allows inside a bare identifier ($ and - included,
+#: so ``my-glue.db.tbl`` is not split mid-identifier) plus ``.`` so a
+#: dot-qualified ``othercat.glue.tbl`` never matches its trailing parts
 _GLUE_REF = re.compile(
-    rf'(?<![A-Za-z0-9_".`.])(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
+    rf'(?<![A-Za-z0-9_$\-".`.])(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
     rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})(?!\s*\.)",
 )
 

@@ -473,3 +473,15 @@ def test_explicit_mode_json_table(spark, tmp_path):
         "SELECT CAST(sum(v) AS BIGINT) AS s FROM glue.db.jex"
     ).collect()
     assert out[0].s == 12
+
+
+def test_failed_query_does_not_leak_temp_views(spark, store):
+    """Analysis failures must still drop the per-query-unique views."""
+    import pyspark.errors
+
+    eng = GlueSparkEngine(spark, store)
+    before = {v.name for v in spark.catalog.listTables()}
+    with pytest.raises(pyspark.errors.AnalysisException):
+        eng.sql("SELECT no_such_column FROM glue.tpch.region").collect()
+    after = {v.name for v in spark.catalog.listTables()}
+    assert after == before

@@ -1235,3 +1235,75 @@ def test_json_extraction_matches_duckdb(spark, events):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_asof_join_suffixes_colliding_value_columns(spark):
+    from glue_table_cache_spark.operators import joins as J
+
+    lt = spark.createDataFrame(
+        [(1, 5, 10.0)], "k long, t long, value double"
+    )
+    rt = spark.createDataFrame(
+        [(1, 4, 99.0)], "k long, t long, value double"
+    )
+    out = J.asof_join(lt, rt, on="t", by="k")
+    assert out.columns == ["k", "t", "value", "value_right"]
+    row = out.first()
+    assert row.value == 10.0 and row.value_right == 99.0
+
+
+def test_zero_token_docs_are_not_near_duplicates(spark):
+    """Docs with no [a-z0-9] tokens share the catch-all '' shingle but
+    must NOT be reported as jaccard-1.0 duplicates of each other."""
+    df = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, "real words here"),
+         (4, "real words here")],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(3, 4)}
+    mh = {(r.id_a, r.id_b)
+          for r in D.minhash_dedup_pairs(df, threshold=0.5).collect()}
+    assert mh == {(3, 4)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iterations=2).collect()
+    # ...and converges fine with enough rounds
+    comp = D.connected_components(chain, max_iterations=10)
+    assert {r.component for r in comp.collect()} == {0}
+
+
+def test_pack_sequences_global_stream(spark):
+    from glue_table_cache_spark.operators import packing as P
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "four five")], "doc_id long, text string"
+    )
+    out = PL.curate(
+        df,
+        PL.CurationConfig(min_quality=None, dedup_threshold=None,
+                          pack_budget=4),
+    )
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in out.collect()}
+    assert got == {1: (0, 0), 2: (0, 3)}
+    df2 = df.withColumn("n_tokens", F.lit(3))
+    packed = P.pack_sequences(df2, budget=4, part_col=None)
+    assert {r.doc_id: r.pack_id for r in packed.collect()} == {1: 0, 2: 0}
+
+
+def test_sessionize_batch_custom_columns(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00"), ("u", "2024-01-01 11:00:00")],
+        "who string, at string",
+    ).withColumn("at", F.to_timestamp("at"))
+    out = W.sessionize_batch(
+        df, gap_minutes=30, user_col="who", ts_col="at"
+    ).collect()
+    assert len(out) == 2  # two sessions, no event_id column needed

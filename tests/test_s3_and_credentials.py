@@ -317,3 +317,20 @@ def test_engine_partitions_failure_warns_and_degrades(spark, caplog):
         out = engine.get_table_partitions("db", "t")
     assert out == PartitionListing()
     assert "Failed to load partitions for db_t" in caplog.text
+
+
+def test_credential_rotation_clears_stale_session_token(spark):
+    """Rotating from temporary to static credentials must unset the
+    stale session token and the pinned Temporary provider."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.config import Credentials
+    from glue_table_cache_spark.engine import GlueSparkEngine
+
+    eng = GlueSparkEngine(spark, LocalMetadataStore())
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    eng.set_credentials(Credentials("k1", "s1", session_token="tok"))
+    assert hconf.get("fs.s3a.session.token") == "tok"
+    eng.set_credentials(Credentials("k2", "s2"))
+    assert hconf.get("fs.s3a.access.key") == "k2"
+    assert hconf.get("fs.s3a.session.token") is None
+    assert hconf.get("fs.s3a.aws.credentials.provider") is None

@@ -195,3 +195,19 @@ def test_deeply_nested_recursive_cte_ref_found():
     out = rewrite_query(sql, refs)
     assert "glue__mydb_mytable" in out
     assert "glue.mydb.mytable" not in out
+
+
+def test_hyphenated_catalog_name_not_split():
+    """``my-glue.db.tbl`` is one bare identifier (our _IDENT allows
+    '-'); its 'glue' suffix must not be rewritten as a glue ref."""
+    from glue_table_cache_spark.transformer import get_query_glue_table_refs
+
+    assert get_query_glue_table_refs(
+        "SELECT * FROM my-glue.sales.orders", strict=False
+    ) == []
+    assert get_query_glue_table_refs(
+        "SELECT * FROM my$glue.sales.orders", strict=False
+    ) == []
+    # a real ref still matches
+    refs = get_query_glue_table_refs("SELECT * FROM glue.sales.orders")
+    assert len(refs) == 1
