@@ -332,12 +332,15 @@ def ngram_jaccard_pairs(
     docs = _widen(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
     )
-    sizes = docs.select("id", F.size("sh").alias("n"))
-    # explode_outer: see minhash_signatures — avoids the inferred
-    # size()>0 filter re-running the shingle expression pre-shuffle
-    postings = docs.select("id", F.explode_outer("sh").alias("shingle")).where(
-        F.col("shingle") != ""  # see minhash_signatures: zero-token docs
-    )
+    # each posting row carries its doc's full shingle-set size, so no
+    # separate sizes branch (which would re-run the shingle expression)
+    # and no post-aggregation size joins.  explode_outer: see
+    # minhash_signatures — avoids the inferred size()>0 filter
+    # re-running the shingle expression pre-shuffle.  The '' filter
+    # drops zero-token docs (see minhash_signatures).
+    postings = docs.select(
+        "id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    ).where(F.col("shingle") != "")
     if max_shingle_df is not None:
         rare = (
             postings.groupBy("shingle")
@@ -351,22 +354,21 @@ def ngram_jaccard_pairs(
         a.join(b, "shingle")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("common")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("common"),
+            F.min("a.n").alias("n_a"),
+            F.min("b.n").alias("n_b"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
+    return common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+            6,
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
