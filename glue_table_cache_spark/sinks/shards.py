@@ -46,10 +46,11 @@ def write_shards(
 ) -> None:
     """Write ``df`` as ``path/shard=<k>/part-*.parquet``.
 
-    The ``repartition(n, shard)`` keeps shard writing one-task-per-
-    shard (no tiny-file explosion from every task holding every
-    shard); ``partitionBy`` makes the layout self-describing for any
-    parquet reader."""
+    The ``repartition(n, shard)`` clusters each shard's rows into few
+    tasks (hash collisions can co-locate two shards in one task — that
+    yields one file per shard either way, never a tiny-file explosion
+    from every task holding every shard); ``partitionBy`` makes the
+    layout self-describing for any parquet reader."""
     sharded = assign_shards(df, n_shards, key_col).repartition(
         n_shards, F.col("shard")
     )
