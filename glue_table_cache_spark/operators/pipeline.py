@@ -44,6 +44,10 @@ class CurationConfig:
     dedup_transitive: bool = True
     sample_fraction: float | None = None
     sample_salt: str = ""
+    # token-budget mixing (alternative to stratify/sample_fraction):
+    # relative domain weights + a total token budget
+    mixture_weights: dict[str, float] = field(default_factory=dict)
+    mixture_total_tokens: int | None = None
     pack_budget: int | None = None  # tokens per pack
     stratify: dict[str, float] = field(default_factory=dict)
     text_col: str = "text"
@@ -87,7 +91,16 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
             threshold=cfg.dedup_threshold,
             transitive=cfg.dedup_transitive,
         )
-    if cfg.stratify:
+    if cfg.mixture_weights and cfg.mixture_total_tokens is not None:
+        out = SM.mixture_sample(
+            out.withColumn("n_tokens", T.token_count(t).cast("long")),
+            cfg.mixture_weights,
+            cfg.mixture_total_tokens,
+            strata_col=cfg.strata_col,
+            key_col=cfg.id_col,
+            salt=cfg.sample_salt,
+        )
+    elif cfg.stratify:
         out = SM.stratified_sample(
             out,
             cfg.stratify,

@@ -13,6 +13,11 @@ draw depends on task partitioning).  Selection hinges on
 * :func:`stratified_head` — EXACTLY ``n`` rows per stratum (the
   smallest-hash n — a deterministic uniform choice), one shuffle keyed
   on the stratum.
+* :func:`mixture_sample` — token-budget corpus mixing: turn target
+  domain *weights* (shares of a total token budget) into per-stratum
+  keep-fractions, then sample.
+* :func:`quantile_filter` — keep the top ``fraction`` of rows by a
+  score column, optionally per stratum (quality-threshold selection).
 """
 
 from __future__ import annotations
@@ -108,4 +113,129 @@ def stratified_head(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    strata_col: str = "source",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "",
+    portable: bool = False,
+) -> DataFrame:
+    """Token-budget corpus mixing: sample each stratum so its surviving
+    token mass ≈ its share of ``total_tokens``.
+
+    ``weights`` are relative domain weights (normalised internally, so
+    ``{"web": 6, "books": 3, "code": 1}`` works as-is); stratum ``s``
+    targets ``weights[s]/Σweights × total_tokens`` tokens and keeps a
+    ``min(1, target/actual)`` hash-fraction of its rows.  Strata not in
+    ``weights`` are dropped.  An underweight stratum (fewer tokens than
+    its target) keeps everything — the budget is a cap, not a quota fill.
+
+    Stays one lazy plan: the per-stratum token totals are a tiny
+    aggregate (one row per domain) broadcast-joined back, and the
+    selection itself is the same hash-threshold predicate as
+    :func:`stratified_sample` — reproducible and skew-immune (the only
+    shuffle is the one-row-per-domain aggregate; the kept rows never
+    move).  At 100 TB, substitute a pre-computed corpus-stats table for
+    the aggregate input if re-scanning for totals is too dear.
+    """
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    for s, w_ in weights.items():
+        if w_ < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    weight_map = F.create_map(
+        *[F.lit(x) for s, w_ in weights.items() for x in (s, w_)]
+    )
+    # target token mass for this stratum vs what it actually has;
+    # stratum totals of 0 null out the division → row filtered (the
+    # three-valued WHERE treats Unknown as drop), matching fraction 0
+    thresholds = (
+        df.where(F.col(strata_col).isin(*weights))
+        .groupBy(strata_col)
+        .agg(F.sum(F.col(token_col)).alias("__toks"))
+        .select(
+            strata_col,
+            (
+                F.least(
+                    F.lit(1.0),
+                    weight_map[F.col(strata_col)]
+                    / wsum
+                    * total_tokens
+                    / F.nullif(F.col("__toks"), F.lit(0)),
+                )
+                * _BUCKETS
+            )
+            .cast("long")
+            .alias("__thresh"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=strata_col, how="inner")
+        .where(_bucket(key_col, salt, portable) < F.col("__thresh"))
+        .select(*df.columns)
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    top_fraction: float,
+    score_col: str = "quality",
+    strata_col: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Keep the top ``top_fraction`` of rows by ``score_col`` —
+    quality-threshold selection, globally or per stratum.
+
+    Default (``exact=False``) is the 100 TB shape: one tiny
+    ``approx_percentile`` aggregate (one row per stratum, or one row
+    total) broadcast-joined back, then a map-only ``score >= cutoff``
+    filter — no full-data shuffle or sort.  The approximate cutoff can
+    drift the kept share by the sketch's rank error (~1e-4 here), and
+    rows tied AT the cutoff are all kept.
+
+    ``exact=True`` ranks every row (``percent_rank`` window) for an
+    exact share; per-stratum that shuffles on the stratum key, global
+    it single-partitions the sort — use only when the data (or each
+    stratum) is small enough to rank.
+    """
+    if not 0.0 <= top_fraction <= 1.0:
+        raise ValueError(
+            f"top_fraction must be in [0, 1], got {top_fraction}"
+        )
+    score = F.col(score_col)
+    if exact:
+        part = [strata_col] if strata_col else []
+        w = Window.partitionBy(*part).orderBy(score.desc())
+        return (
+            df.withColumn("__pr", F.percent_rank().over(w))
+            .where(F.col("__pr") <= F.lit(top_fraction))
+            .drop("__pr")
+        )
+    cutoff_expr = F.expr(
+        f"approx_percentile({score_col}, {1.0 - top_fraction}, 10000)"
+    ).alias("__cutoff")
+    if strata_col:
+        cutoffs = df.groupBy(strata_col).agg(cutoff_expr)
+        return (
+            df.join(F.broadcast(cutoffs), on=strata_col, how="inner")
+            .where(score >= F.col("__cutoff"))
+            .drop("__cutoff")
+        )
+    cutoff = df.agg(cutoff_expr)
+    return (
+        df.join(F.broadcast(cutoff))
+        .where(score >= F.col("__cutoff"))
+        .drop("__cutoff")
     )

@@ -790,6 +790,71 @@ def test_stratified_head_exact_counts(documents):
     assert a == b
 
 
+def test_mixture_sample_hits_token_targets(spark):
+    from glue_table_cache_spark.operators import sampling as SM
+
+    # 3 domains, 100-token docs: web 60k, books 20k, code 10k tokens
+    rows = [
+        (i, src, 100)
+        for src, n in (("web", 600), ("books", 200), ("code", 100))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(hash((s, i)) % 10**9 * 10 + j, s, t) for j, (i, s, t) in enumerate(rows)],
+        "doc_id long, source string, n_tokens int",
+    )
+    # budget 30k tokens at web:books:code = 1:1:1 → 10k each; code has
+    # exactly 10k → keeps all; web keeps ≈1/6; books ≈1/2
+    out = SM.mixture_sample(
+        df, {"web": 1, "books": 1, "code": 1}, total_tokens=30_000
+    )
+    got = {
+        r.source: r.toks
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    assert got["code"] == 10_000  # underweight stratum keeps everything
+    assert 7_000 < got["web"] < 13_000
+    assert 7_000 < got["books"] < 13_000
+    # reproducible
+    again = {r.doc_id for r in SM.mixture_sample(
+        df, {"web": 1, "books": 1, "code": 1}, total_tokens=30_000
+    ).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+    # unnormalised weights work; unlisted strata are dropped
+    out2 = SM.mixture_sample(df, {"web": 6}, total_tokens=6_000)
+    assert {r.source for r in out2.collect()} == {"web"}
+
+
+def test_quantile_filter_global_and_stratified(spark):
+    from glue_table_cache_spark.operators import sampling as SM
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 800 else "b", float(i)) for i in range(1000)],
+        "doc_id long, source string, score double",
+    )
+    # exact global top 10% = scores 900..999
+    top = SM.quantile_filter(df, 0.1, score_col="score", exact=True)
+    got = sorted(r.score for r in top.collect())
+    assert got[0] >= 899.0 and len(got) in (100, 101)
+    # approx global path lands within sketch error of the same cutoff
+    approx = SM.quantile_filter(df, 0.1, score_col="score")
+    n = approx.count()
+    assert 95 <= n <= 105
+    assert set(approx.columns) == set(df.columns)
+    # per-stratum: top 50% of each stratum, not of the global pool
+    per = SM.quantile_filter(
+        df, 0.5, score_col="score", strata_col="source", exact=True
+    )
+    counts = {
+        r.source: r.n
+        for r in per.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] in (400, 401)
+    assert counts["b"] in (100, 101)  # stratum b would vanish globally
+
+
 def test_portable_sample_matches_duckdb(documents):
     """The portable sampling predicate is bit-identical in DuckDB —
     the property the driver oracle (_SAMPLE_ORACLE) relies on."""
@@ -991,6 +1056,23 @@ def test_curate_language_and_pii_filters(spark):
     )
     ids = {r.doc_id for r in PL.curate(df, cfg).collect()}
     assert ids == {1}  # 2 is German, 3 has PII
+
+
+def test_curate_mixture_stage(spark, documents):
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    sources = [r.source for r in documents.select("source").distinct().collect()]
+    s0 = sorted(sources)[0]
+    cfg = PL.CurationConfig(
+        min_quality=None, dedup_threshold=None,
+        mixture_weights={s0: 1.0}, mixture_total_tokens=10**9,
+    )
+    out = PL.curate(documents, cfg)
+    got = {r.source for r in out.collect()}
+    assert got == {s0}  # unlisted strata dropped
+    # budget far above the stratum's mass → the whole stratum survives
+    assert out.count() == documents.where(F.col("source") == s0).count()
+    assert "n_tokens" in out.columns
 
 
 def test_portable_hash60_parity_diverse_inputs(spark):
