@@ -274,36 +274,11 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            GROUP BY r.r_name""",
     ),
     (
-        # LEFT and RIGHT outer joins in one driver row (merged r3 to fit
-        # the driver's 50-entry checked window; each side keeps its
-        # original shape, tagged)
-        "join_left_right",
-        "engine",
-        """SELECT 'L' AS side, c.c_custkey AS custkey, c.c_name,
-                  count(o.o_orderkey) AS n_orders
-           FROM glue.tpch.customer c LEFT JOIN glue.tpch.orders o
-             ON c.c_custkey = o.o_custkey
-           GROUP BY c.c_custkey, c.c_name
-           UNION ALL
-           SELECT 'R' AS side, c.c_custkey AS custkey, c.c_name,
-                  count(o.o_orderkey) AS n_orders
-           FROM glue.tpch.orders o RIGHT JOIN glue.tpch.customer c
-             ON o.o_custkey = c.c_custkey
-           WHERE c.c_custkey <= 200
-           GROUP BY c.c_custkey, c.c_name""",
-        """SELECT 'L' AS side, c.c_custkey AS custkey, c.c_name,
-                  count(o.o_orderkey) AS n_orders
-           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-           GROUP BY c.c_custkey, c.c_name
-           UNION ALL
-           SELECT 'R' AS side, c.c_custkey AS custkey, c.c_name,
-                  count(o.o_orderkey) AS n_orders
-           FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
-           WHERE c.c_custkey <= 200
-           GROUP BY c.c_custkey, c.c_name""",
-    ),
-    (
-        "join_full",
+        # left/right/full outer joins in one row (merged r3 to free a
+        # window slot for text_line_dedup; Catalyst still plans all
+        # three outer-join types).  Columns harmonised across arms:
+        # L/R arms fill (a=n_orders, b=NULL), F arm (a=n_cust, b=n_supp)
+        "join_outer",
         "engine",
         """WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                        FROM glue.tpch.customer WHERE c_nationkey < 15
@@ -311,13 +286,45 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                 sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp
                        FROM glue.tpch.supplier WHERE s_nationkey >= 5
                        GROUP BY 1)
-           SELECT coalesce(cn.nk, sn.nk) AS nk, cn.n_cust, sn.n_supp
+           SELECT 'L' AS side, CAST(c.c_custkey AS BIGINT) AS k,
+                  c.c_name AS name, count(o.o_orderkey) AS a,
+                  CAST(NULL AS BIGINT) AS b
+           FROM glue.tpch.customer c LEFT JOIN glue.tpch.orders o
+             ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_custkey, c.c_name
+           UNION ALL
+           SELECT 'R' AS side, CAST(c.c_custkey AS BIGINT) AS k,
+                  c.c_name AS name, count(o.o_orderkey) AS a,
+                  CAST(NULL AS BIGINT) AS b
+           FROM glue.tpch.orders o RIGHT JOIN glue.tpch.customer c
+             ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 200
+           GROUP BY c.c_custkey, c.c_name
+           UNION ALL
+           SELECT 'F' AS side, CAST(coalesce(cn.nk, sn.nk) AS BIGINT) AS k,
+                  CAST(NULL AS STRING) AS name, cn.n_cust AS a,
+                  sn.n_supp AS b
            FROM cn FULL JOIN sn ON cn.nk = sn.nk""",
         """WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                        FROM customer WHERE c_nationkey < 15 GROUP BY 1),
                 sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp
                        FROM supplier WHERE s_nationkey >= 5 GROUP BY 1)
-           SELECT coalesce(cn.nk, sn.nk) AS nk, cn.n_cust, sn.n_supp
+           SELECT 'L' AS side, CAST(c.c_custkey AS BIGINT) AS k,
+                  c.c_name AS name, count(o.o_orderkey) AS a,
+                  CAST(NULL AS BIGINT) AS b
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_custkey, c.c_name
+           UNION ALL
+           SELECT 'R' AS side, CAST(c.c_custkey AS BIGINT) AS k,
+                  c.c_name AS name, count(o.o_orderkey) AS a,
+                  CAST(NULL AS BIGINT) AS b
+           FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey <= 200
+           GROUP BY c.c_custkey, c.c_name
+           UNION ALL
+           SELECT 'F' AS side, CAST(coalesce(cn.nk, sn.nk) AS BIGINT) AS k,
+                  CAST(NULL AS VARCHAR) AS name, cn.n_cust AS a,
+                  sn.n_supp AS b
            FROM cn FULL JOIN sn ON cn.nk = sn.nk""",
     ),
     (
@@ -937,6 +944,35 @@ SELECT doc_id, source, n_chars FROM (
 ) WHERE rn = 1
 """
 
+#: SQL twin of operators/dedup.py:line_dedup (sep=' ', min_len=4):
+#: first occurrence (lowest doc_id, pos) of each 4+-char unit wins
+#: corpus-wide; documents reassembled from surviving units in order
+_LINE_DEDUP_ORACLE = r"""
+WITH lines AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS line,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               CASE WHEN length(line) >= 4
+                    THEN row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, pos)
+                    ELSE 1 END AS rn
+        FROM lines)
+    WHERE rn = 1
+),
+nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+SELECT nl.doc_id,
+       coalesce(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text,
+       nl.n_lines,
+       count(k.line) AS n_kept
+FROM nl LEFT JOIN kept k USING (doc_id)
+GROUP BY nl.doc_id, nl.n_lines
+"""
+
 #: shared shingle/posting fragment (word 3-grams, distinct) — the SQL
 #: twin of functions/text.py:shingles
 _SHINGLE_CTES = r"""
@@ -1332,6 +1368,21 @@ def _q_dedup_groups_cc(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_groups(docs, pairs)
 
 
+def _q_text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level corpus dedup: each unit of
+    ``min_len``+ chars survives only at its first (doc_id, position)
+    occurrence corpus-wide; documents are reassembled in order.  The
+    fixture text is single-line, so the entry splits on spaces
+    (``sep`` is a parameter — the machinery is identical)."""
+    from glue_table_cache_spark.operators import dedup as D
+
+    out = D.line_dedup(_docs(spark, sf), sep=" ", min_len=4)
+    return out.select(
+        "doc_id", "text", F.col("n_lines").cast("long").alias("n_lines"),
+        "n_kept",
+    )
+
+
 def _q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic corpus mixing: an 80% salted base sample composed
     with per-source stratified fractions — both selections are pure
@@ -1584,6 +1635,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": _q_dedup_minhash,
     "dedup_simhash_pairs": _q_dedup_simhash,
     "dedup_groups_cc": _q_dedup_groups_cc,
+    "text_line_dedup": _q_text_line_dedup,
     "dedup_embedding_cosine": _q_emb_near_pairs,
     "sample_stratified": _q_sample_stratified,
     "text_decontamination": _q_decontamination,
@@ -1608,6 +1660,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     ),
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+    "text_line_dedup": _LINE_DEDUP_ORACLE,
     # portable md5 hash family (operators/dedup.py:portable_hash60)
     # makes the probabilistic pipelines bit-identical across engines —
     # these were `no_oracle` in r2

@@ -26,6 +26,8 @@ the default at scale (cheaper: one 64-bit mix vs an md5 per family).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -643,4 +645,80 @@ def dedup_groups(
         .withColumn(
             "is_representative", F.col(id_col) == F.col("group_id")
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Line-level corpus dedup (C4 / RefinedWeb style)
+# --------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_len: int = 30,
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup: every line of ``min_len``+
+    characters is kept only at its FIRST occurrence (lowest
+    ``(id, position)``) across the whole corpus; shorter lines (menu
+    items, headers) always survive.  Documents are reassembled from
+    their surviving lines in original order — the C4/RefinedWeb
+    boilerplate-removal pass, complementing document-level
+    :func:`exact_dedup` / :func:`minhash_dedup`.
+
+    Scale shape: ``posexplode`` lines → first occurrence per line via
+    ``groupBy(line).agg(min(struct(id, pos)))`` — a *partial-combining*
+    aggregate, so a boilerplate line repeated 10⁹ times collapses
+    map-side instead of flooding one reducer (why this is an agg+join,
+    not a window) → join back on the line (AQE splits residual hot
+    keys) → one ``groupBy(id)`` to reassemble.  No Python UDFs.
+
+    Returns the input columns (``text_col`` replaced by its deduped
+    text) plus ``n_lines, n_kept``; a document whose every line was
+    dropped comes back with empty text, not dropped.  ``sep`` is a
+    literal separator (split and rejoin).
+    """
+    lid = F.col("__ld_id")
+    lines = df.select(
+        F.col(id_col).alias("__ld_id"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("__pos", "__line"),
+    )
+    dedupable = F.length("__line") >= min_len
+    firsts = (
+        lines.where(dedupable)
+        .groupBy("__line")
+        .agg(F.min(F.struct("__ld_id", "__pos")).alias("__first"))
+    )
+    kept = lines.join(firsts, on="__line", how="left").where(
+        (~dedupable)
+        | (F.col("__first") == F.struct(lid.alias("__ld_id"), F.col("__pos")))
+    )
+    rebuilt = kept.groupBy("__ld_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.withColumn(
+        "n_lines", F.size(F.split(F.col(text_col), re.escape(sep), -1))
+    )
+    return base.join(
+        rebuilt, base[id_col] == rebuilt["__ld_id"], "left"
+    ).select(
+        *[
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col)
+            if c == text_col
+            else base[c]
+            for c in df.columns
+        ],
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )

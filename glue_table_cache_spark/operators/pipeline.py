@@ -34,6 +34,10 @@ from glue_table_cache_spark.operators import sampling as SM
 class CurationConfig:
     """Knobs for :func:`curate`.  ``None`` disables a stage."""
 
+    # C4-style line-level first-occurrence dedup, run BEFORE quality
+    # scoring (boilerplate removal changes the quality signal)
+    line_dedup_min_len: int | None = None
+    line_dedup_sep: str = "\n"
     min_quality: float | None = 0.3
     languages: tuple[str, ...] | None = None  # e.g. ("en",)
     drop_pii: bool = False  # drop docs with any PII span
@@ -62,6 +66,14 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
     cfg = config or CurationConfig()
     t = F.col(cfg.text_col)
 
+    if cfg.line_dedup_min_len is not None:
+        docs = D.line_dedup(
+            docs,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+            sep=cfg.line_dedup_sep,
+            min_len=cfg.line_dedup_min_len,
+        ).drop("n_lines", "n_kept")
     out = docs.withColumn("quality", T.quality_score(t)).withColumn(
         "lang_pred", T.language_id(t)
     )

@@ -790,6 +790,36 @@ def test_stratified_head_exact_counts(documents):
     assert a == b
 
 
+def test_line_dedup_keeps_first_occurrence(spark):
+    from glue_table_cache_spark.operators import dedup as D
+
+    boiler = "subscribe to our newsletter for the latest updates"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening line of the first document\n{boiler}\nok"),
+            (2, f"{boiler}\nsecond doc keeps its own original content here"),
+            (3, f"third doc body stays fully intact as written\n{boiler}"),
+            (4, boiler),  # nothing survives → empty text, row kept
+            (5, "short\nok"),  # short lines never deduped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.line_dedup(docs, min_len=30).collect()}
+    assert out[1].text == (
+        f"unique opening line of the first document\n{boiler}\nok"
+    )  # first occurrence survives in place
+    assert out[2].text == "second doc keeps its own original content here"
+    assert out[3].text == "third doc body stays fully intact as written"
+    assert out[4].text == "" and out[4].n_lines == 1 and out[4].n_kept == 0
+    assert out[5].text == "short\nok" and out[5].n_kept == 2
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    # deterministic + plan has no cartesian product
+    again = {r.doc_id: r.text for r in D.line_dedup(docs, min_len=30).collect()}
+    assert again == {k: v.text for k, v in out.items()}
+    plan = D.line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_mixture_sample_hits_token_targets(spark):
     from glue_table_cache_spark.operators import sampling as SM
 
