@@ -215,6 +215,9 @@ def quantile_filter(
             f"top_fraction must be in [0, 1], got {top_fraction}"
         )
     score = F.col(score_col)
+    if top_fraction == 0.0:
+        # percent_rank()=0 / cutoff=max would both leak the top row(s)
+        return df.where(F.lit(False))
     if exact:
         part = [strata_col] if strata_col else []
         w = Window.partitionBy(*part).orderBy(score.desc())
@@ -223,8 +226,8 @@ def quantile_filter(
             .where(F.col("__pr") <= F.lit(top_fraction))
             .drop("__pr")
         )
-    cutoff_expr = F.expr(
-        f"approx_percentile({score_col}, {1.0 - top_fraction}, 10000)"
+    cutoff_expr = F.percentile_approx(
+        score, F.lit(1.0 - top_fraction), F.lit(10000)
     ).alias("__cutoff")
     if strata_col:
         cutoffs = df.groupBy(strata_col).agg(cutoff_expr)
@@ -233,9 +236,13 @@ def quantile_filter(
             .where(score >= F.col("__cutoff"))
             .drop("__cutoff")
         )
-    cutoff = df.agg(cutoff_expr)
+    # constant-key equi-join so the one-row cutoff broadcasts as a
+    # BroadcastHashJoin (a conditionless join would plan the
+    # BroadcastNestedLoopJoin the repo's plan gates ban)
+    cutoff = df.agg(cutoff_expr).withColumn("__one", F.lit(1))
     return (
-        df.join(F.broadcast(cutoff))
+        df.withColumn("__one", F.lit(1))
+        .join(F.broadcast(cutoff), on="__one", how="inner")
         .where(score >= F.col("__cutoff"))
-        .drop("__cutoff")
+        .drop("__cutoff", "__one")
     )
