@@ -1205,7 +1205,8 @@ FROM embeddings
 _TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS value_sum
+       round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE), 3)
+           AS value_sum
 FROM events GROUP BY 1, 2
 """
 
@@ -1251,7 +1252,7 @@ SELECT window_start, event_type, n_events, value_sum,
 FROM ({_TUMBLING_ORACLE})
 UNION ALL
 SELECT window_start, event_type, n_events,
-       CAST(NULL AS DECIMAL(18,3)) AS value_sum, 'sliding' AS kind
+       CAST(NULL AS DOUBLE) AS value_sum, 'sliding' AS kind
 FROM ({_SLIDING_ORACLE})
 """
 
@@ -1571,7 +1572,7 @@ def _q_windows_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
     sliding = (
         W.sliding_counts_batch(ev, "1 hour", "30 minutes")
-        .withColumn("value_sum", F.lit(None).cast("decimal(18,3)"))
+        .withColumn("value_sum", F.lit(None).cast("double"))
         .withColumn("kind", F.lit("sliding"))
     )
     return tumbling.unionByName(sliding)

@@ -199,6 +199,16 @@ class GlueSparkEngine:
                 # provider, or s3a keeps signing with the expired token
                 hconf.unset("fs.s3a.session.token")
                 hconf.unset("fs.s3a.aws.credentials.provider")
+            # Hadoop caches S3AFileSystem per (scheme, authority, UGI)
+            # with the provider chain captured at FS creation — conf
+            # edits alone never reach already-visited buckets.  Close
+            # cached instances so the next read builds a fresh FS with
+            # the new chain.
+            try:
+                jvm = self.spark.sparkContext._jvm
+                jvm.org.apache.hadoop.fs.FileSystem.closeAll()
+            except Exception:  # pragma: no cover - py4j-less test stub
+                pass
         if region:
             hconf.set("fs.s3a.endpoint.region", region)
 
@@ -459,9 +469,21 @@ class GlueSparkEngine:
         fmt = tbl.data_format if tbl is not None else "parquet"
         if fmt == "csv":
             params = tbl.parameters
-            header = params.get("skip.header.line.count") == "1"
+            try:
+                skip = int(params.get("skip.header.line.count", "0"))
+            except ValueError:
+                skip = 0
+            if skip > 1:
+                # Spark's csv header option can only drop ONE line per
+                # file; silently ingesting the extra header lines as
+                # data would corrupt every downstream result
+                raise GlueSparkError(
+                    f"skip.header.line.count={skip} not supported "
+                    "(only 0 or 1); preprocess the files or use a "
+                    "different classification"
+                )
             return (
-                reader.option("header", "true" if header else "false")
+                reader.option("header", "true" if skip >= 1 else "false")
                 .option("sep", params.get("delimiter", ","))
                 .option("inferSchema", "true")
                 .csv(list(paths))

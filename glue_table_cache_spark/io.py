@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -22,11 +22,20 @@ TABLES = (
 
 
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """nanosecond-long ``ts`` → timestamp (floor to micros)."""
-    if isinstance(df.schema[ts_col].dataType, LongType):
+    """``ts`` → session-TZ timestamp, whatever parquet stored.
+
+    Handles both generations of the driver testdata: TIMESTAMP(NANOS)
+    read as nanosecond longs (via ``nanosAsLong``) and plain
+    ``timestamp[us]`` read as TIMESTAMP_NTZ.  The NTZ→TIMESTAMP cast
+    keeps wall-clock values (session TZ is pinned to UTC by the
+    readers), and streaming watermarks require TIMESTAMP."""
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
         )
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

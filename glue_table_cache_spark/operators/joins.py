@@ -190,6 +190,7 @@ def range_join(
     right_end: str = "end",
     by: str | list[str] | None = None,
     bucket: str = "1 hour",
+    max_buckets_per_interval: int = 1024,
 ) -> DataFrame:
     """Interval join — left rows matched to right intervals containing
     them (``start <= ts < end``) — via *bucketing*, not a theta join.
@@ -199,19 +200,38 @@ def range_join(
     on (keys, bucket), and the exact containment predicate filters the
     bucket-level candidates.  Cost is ∝ candidates per bucket instead
     of |left|×|right| — the shape a 100 TB interval join needs; pick
-    ``bucket`` near the typical interval length."""
+    ``bucket`` near the typical interval length.
+
+    ``max_buckets_per_interval`` guards the explode: one malformed
+    year-long interval at a 1-hour bucket would fan out ~10⁴ rows and
+    every such interval lands in every bucket's candidate set.  An
+    interval overlapping more buckets than the cap raises at execution
+    time — widen ``bucket`` (or raise the cap) deliberately instead."""
     by_cols = ([by] if isinstance(by, str) else list(by)) if by else []
     step = _duration_seconds(bucket)
     lb = left.withColumn(
         "__bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / step)
     )
+    b_start = F.floor(F.unix_timestamp(F.col(right_start)) / step)
+    b_end = F.floor(F.unix_timestamp(F.col(right_end)) / step)
+    n_buckets = b_end - b_start + 1
     rb = right.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(right_start)) / step),
-                F.floor(F.unix_timestamp(F.col(right_end)) / step),
-            )
+            F.when(
+                n_buckets <= F.lit(max_buckets_per_interval),
+                F.sequence(b_start, b_end),
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "range_join: interval spans %s buckets of "
+                        + f"'{bucket}' (cap {max_buckets_per_interval}); "
+                        + "widen `bucket` or raise "
+                        + "`max_buckets_per_interval`",
+                        n_buckets,
+                    )
+                )
+            ),
         ),
     )
     joined = lb.join(rb, by_cols + ["__bucket"])

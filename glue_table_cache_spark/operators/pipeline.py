@@ -103,9 +103,16 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
             threshold=cfg.dedup_threshold,
             transitive=cfg.dedup_transitive,
         )
+    # one tokenizer for every token-denominated stage: mixture budgets
+    # and pack sizes must be measured in the same units
+    def _with_tokens(df: DataFrame) -> DataFrame:
+        if "n_tokens" in df.columns:
+            return df
+        return df.withColumn("n_tokens", T.token_count(t).cast("long"))
+
     if cfg.mixture_weights and cfg.mixture_total_tokens is not None:
         out = SM.mixture_sample(
-            out.withColumn("n_tokens", T.token_count(t).cast("long")),
+            _with_tokens(out),
             cfg.mixture_weights,
             cfg.mixture_total_tokens,
             strata_col=cfg.strata_col,
@@ -127,9 +134,7 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
         )
     if cfg.pack_budget is not None:
         out = P.pack_sequences(
-            out.withColumn(
-                "n_tokens", F.size(T.tokens(t, "[a-z0-9]+")).cast("long")
-            ),
+            _with_tokens(out),
             budget=cfg.pack_budget,
             # frames without the strata column pack as one global
             # stream rather than crashing on an unresolved column

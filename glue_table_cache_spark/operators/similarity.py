@@ -298,6 +298,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to ``nlist`` coarse
     cells, probe each query's ``nprobe`` nearest cells, score only the
@@ -305,7 +306,12 @@ def ivf_topk(
     exact search.  The cell assignment is the partition key at scale:
     the corpus is hash-partitioned by cell and each query touches
     ~``nprobe/nlist`` of it.  Pass ``centroids`` to reuse a trained
-    quantizer across queries/batches."""
+    quantizer across queries/batches.
+
+    ``exclude_self`` drops corpus rows whose id equals the query id —
+    correct for self-search (queries drawn from the corpus); set it
+    False when the query set has its own id space, where an id
+    collision is NOT the same vector."""
     if centroids is None:
         centroids = ivf_train(corpus, nlist, iters, vec_col, id_col)
     v = corpus.select(
@@ -335,9 +341,11 @@ def ivf_topk(
         .where(F.col("__rn") <= nprobe)
         .select("query_id", "qv", "cluster")
     )
+    candidates = assigned.join(probes, "cluster")
+    if exclude_self:
+        candidates = candidates.where(F.col("vec_id") != F.col("query_id"))
     scored = (
-        assigned.join(probes, "cluster")
-        .where(F.col("vec_id") != F.col("query_id"))
+        candidates
         .select(
             "query_id",
             "vec_id",

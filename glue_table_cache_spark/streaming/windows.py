@@ -37,9 +37,12 @@ def tumbling_counts_batch(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3)
-            .cast("decimal(18,3)")
-            .alias("value_sum"),
+            # sum in DECIMAL (exact, order-independent), then surface as
+            # rounded DOUBLE — decimal-typed outputs render differently
+            # across engines' pandas paths (Decimal('0.260') vs 0.26)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,3)")).cast("double"), 3
+            ).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -74,9 +77,10 @@ def tumbling_counts_stream(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,3)")), 3)
-            .cast("decimal(18,3)")
-            .alias("value_sum"),
+            # exact decimal sum → rounded DOUBLE (see batch twin)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,3)")).cast("double"), 3
+            ).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -198,6 +202,9 @@ def stream_stream_join(
 
 def _stream_reader(spark: SparkSession, events_path: str, **options):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP in normalize_event_ts interprets wall-clock in the
+    # session TZ — pin it so stream and batch twins agree
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema)
     for k, v in options.items():

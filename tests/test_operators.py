@@ -293,23 +293,20 @@ def test_watermark_drops_late_events(spark, events, tmp_path):
     import os
     import time as _time
 
-    from pyspark.sql.types import LongType
+    from glue_table_cache_spark.io import read_table
 
     d = tmp_path / "stream_src"
     d.mkdir()
-    raw = spark.read.parquet(str(TESTDATA / "events.parquet"))
-    # raw ts is nanos-long here (nanosAsLong); slice by percentile
-    lo, hi = [
-        r for r in raw.selectExpr(
-            "min(ts) AS lo", "max(ts) AS hi"
-        ).collect()
-    ][0].lo, raw.selectExpr("max(ts) AS hi").collect()[0].hi
-    assert isinstance(raw.schema["ts"].dataType, LongType)
-    day = 24 * 3600 * 10**9
-    early = raw.where(F.col("ts") < lo + day)
-    late_day = raw.where(F.col("ts") >= lo + 2 * day).where(
-        F.col("ts") < lo + 3 * day
+    # read_table normalizes ts to TimestampType whichever generation of
+    # the testdata (nanos-long or timestamp[us]) is on disk
+    raw = read_table(spark, str(TESTDATA), "events")
+    lo = raw.selectExpr("min(ts) AS lo").collect()[0].lo
+    early = raw.where(
+        F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 DAY")
     )
+    late_day = raw.where(
+        F.col("ts") >= F.lit(lo) + F.expr("INTERVAL 2 DAY")
+    ).where(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 3 DAY"))
     early.coalesce(1).write.parquet(str(d / "b1"))
     late_day.coalesce(1).write.parquet(str(d / "b2"))
     early.coalesce(1).write.parquet(str(d / "b3"))
@@ -342,17 +339,11 @@ def test_watermark_drops_late_events(spark, events, tmp_path):
     # alone) counts batch-1 events exactly once.
     import datetime
 
-    from glue_table_cache_spark.io import normalize_event_ts
-
     expected_early = {
         (r.window_start, r.event_type): r.n_events
-        for r in W.tumbling_counts_batch(
-            normalize_event_ts(early)
-        ).collect()
+        for r in W.tumbling_counts_batch(early).collect()
     }
-    day1_max = datetime.datetime.utcfromtimestamp(
-        early.selectExpr("max(ts) AS m").collect()[0].m / 1e9
-    )
+    day1_max = early.selectExpr("max(ts) AS m").collect()[0].m
     cutoff = day1_max - datetime.timedelta(hours=2)
     safe = [
         k for k in got
@@ -372,13 +363,17 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     the batch twin's non-final sessions per user."""
     from pyspark.sql.window import Window as SqlWindow
 
+    from glue_table_cache_spark.io import read_table
+
     d = tmp_path / "sess_src"
     d.mkdir()
-    raw = spark.read.parquet(str(TESTDATA / "events.parquet"))
-    mid = raw.approxQuantile("ts", [0.5], 0.0)[0]
+    raw = read_table(spark, str(TESTDATA), "events")
+    mid = raw.selectExpr(
+        "approx_percentile(unix_micros(ts), 0.5) AS m"
+    ).collect()[0].m
     for name, df in [
-        ("b1", raw.where(F.col("ts") <= mid)),
-        ("b2", raw.where(F.col("ts") > mid)),
+        ("b1", raw.where(F.unix_micros("ts") <= mid)),
+        ("b2", raw.where(F.unix_micros("ts") > mid)),
     ]:
         df.coalesce(1).write.parquet(str(d / name))
         f = next((d / name).glob("part-*.parquet"))
@@ -402,9 +397,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_stream").collect()
     }
 
-    from glue_table_cache_spark.io import normalize_event_ts
-
-    batch = W.sessionize_batch(normalize_event_ts(raw), gap_minutes=30)
+    batch = W.sessionize_batch(raw, gap_minutes=30)
     w = SqlWindow.partitionBy("user_id")
     closed = (
         batch.withColumn("max_seq", F.max("session_seq").over(w))
@@ -1238,6 +1231,36 @@ def test_range_join_matches_naive(spark, events):
     assert got.exceptAll(naive).count() == 0
     assert naive.exceptAll(got).count() == 0
     assert naive.count() > 0  # the comparison is non-vacuous
+
+
+def test_range_join_bucket_explosion_guard(spark):
+    """An interval overlapping more buckets than the cap raises at
+    execution time instead of silently fanning out 10⁴ rows."""
+    import pytest
+    from glue_table_cache_spark.operators import joins as J
+
+    lt = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # a year-long interval at 1-hour buckets: ~8760 buckets
+    rt = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2025-01-01 00:00:00")],
+        "k long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    out = J.range_join(
+        lt, rt, left_ts="ts", right_start="start", right_end="end",
+        by="k", bucket="1 hour", max_buckets_per_interval=100,
+    )
+    with pytest.raises(Exception, match="range_join"):
+        out.collect()
+    # within the cap the same join runs fine
+    ok = J.range_join(
+        lt, rt, left_ts="ts", right_start="start", right_end="end",
+        by="k", bucket="1 hour", max_buckets_per_interval=10_000,
+    )
+    assert ok.count() == 1
 
 
 def test_asof_join_randomized_parity_with_duckdb(spark):

@@ -2,9 +2,15 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and, where an
 ``oracle_sql()`` entry exists, the oracle on DuckDB over the same
-parquet tables — then compares row count, sorted column names, and the
-order-insensitive multiset of row values (stricter than a hash: it
-reports the first differing rows).
+parquet tables — then compares BOTH ways the driver might see them:
+
+* multiset mode — ``collect()`` vs ``fetchall()``, order-insensitive
+  row-value comparison (stricter than a hash: reports first diffs);
+* pandas mode — ``toPandas()`` vs ``fetchdf()``, repr-compared.  This
+  is the path the driver's value hash takes, and it surfaces type-
+  rendering mismatches the multiset mode is blind to (r3 shipped two
+  red rows because DECIMAL came back as ``Decimal('0.260')`` from
+  Spark but float64 ``0.26`` from DuckDB — both gates must agree).
 
 Usage:
     python tools/check_correctness.py [sf_dir] [name_filter ...]
@@ -12,6 +18,8 @@ Usage:
 
 from __future__ import annotations
 
+import datetime
+import math
 import sys
 import time
 from decimal import Decimal
@@ -42,6 +50,43 @@ def _rows_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
         (repr(tuple(_norm(r[i]) for i in order)) for r in rows)
+    )
+
+
+def _pd_norm(v):
+    """Normalize a pandas cell ONLY where both engines agree by
+    construction (NaN identity, numpy scalar unboxing, timestamp
+    rendering) — deliberately NOT across types: Decimal vs float or
+    None-in-object-column vs NaN must stay unequal, because they hash
+    differently in the driver."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # Spark DATE → datetime.date; DuckDB fetchdf → midnight
+        # Timestamp.  The driver hash accepts this pairing (r3's
+        # expr_cast_arith, DATE-typed, passed) — align to midnight.
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.datetime):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_pd_norm(x) for x in v)
+    if v is pd.NaT:
+        return "NaT"
+    return v
+
+
+def _pdf_key(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(
+        repr(tuple(_pd_norm(v) for v in row))
+        for row in pdf.itertuples(index=False, name=None)
     )
 
 
@@ -99,6 +144,22 @@ def main() -> int:
                 problems.append(
                     f"values differ; spark-only={diff_s} oracle-only={diff_o}"
                 )
+        if not problems:
+            # pandas mode — the driver's actual hash path
+            try:
+                pk_s = _pdf_key(df.toPandas())
+                pk_o = _pdf_key(con.execute(oracles[name]).fetchdf())
+            except Exception as exc:  # noqa: BLE001
+                problems.append(f"pandas-mode error: {exc}")
+            else:
+                if pk_s != pk_o:
+                    diff_s = [r for r in pk_s if r not in set(pk_o)][:3]
+                    diff_o = [r for r in pk_o if r not in set(pk_s)][:3]
+                    problems.append(
+                        "pandas-mode values differ (driver hash would"
+                        f" mismatch); spark-only={diff_s}"
+                        f" oracle-only={diff_o}"
+                    )
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
