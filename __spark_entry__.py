@@ -116,6 +116,54 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
                 d.rename(dp / d.name.split("=", 1)[1])
         shutil.rmtree(staging, ignore_errors=True)
         (dp / "_BUILT").touch()
+    # date + integer partition-projection layouts (bare value path
+    # components, no key= prefix).  _BUILT markers live OUTSIDE the
+    # table dirs: the date/integer extractors yield NULL for a marker
+    # path and conservative pruning would then scan it as data.
+    for tbl, col, derive in (
+        (
+            "docs_proj_date",
+            "dt",
+            F.date_format(
+                F.date_add(
+                    F.to_date(F.lit("2024-01-01")),
+                    (F.col("doc_id") % 5).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ),
+        ),
+        ("docs_proj_int", "bucket", (F.col("doc_id") % 4).cast("string")),
+    ):
+        out = base / tbl
+        if not (base / f"{tbl}._BUILT").exists():
+            shutil.rmtree(out, ignore_errors=True)
+            staging = base / f"_{tbl}_staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .withColumn(col, derive)
+                .write.partitionBy(col)
+                .mode("overwrite")
+                .parquet(str(staging))
+            )
+            out.mkdir(parents=True, exist_ok=True)
+            for d in Path(staging).iterdir():
+                if d.is_dir() and d.name.startswith(f"{col}="):
+                    d.rename(out / d.name.split("=", 1)[1])
+            shutil.rmtree(staging, ignore_errors=True)
+            (base / f"{tbl}._BUILT").touch()
+    dc = base / "docs_csv"
+    if not (base / "docs_csv._BUILT").exists():
+        shutil.rmtree(dc, ignore_errors=True)
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "n_chars")
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("sep", "|")
+            .csv(str(dc))
+        )
+        (base / "docs_csv._BUILT").touch()
     return base
 
 
@@ -160,9 +208,42 @@ def _engine(
         )
         store.register_parquet_dir(
             "tpch",
+            "docs_proj_date",
+            str(base / "docs_proj_date"),
+            partition_keys=[PartitionKey("dt")],
+            parameters={
+                "projection.enabled": "true",
+                "projection.dt.type": "date",
+                "projection.dt.format": "yyyy-MM-dd",
+                "projection.dt.range": "2024-01-01,2024-01-05",
+            },
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "docs_proj_int",
+            str(base / "docs_proj_int"),
+            partition_keys=[PartitionKey("bucket")],
+            parameters={
+                "projection.enabled": "true",
+                "projection.bucket.type": "integer",
+                "projection.bucket.range": "[0, 3]",
+            },
+        )
+        store.register_parquet_dir(
+            "tpch",
             "docs_json",
             str(base / "docs_json"),
             parameters={"classification": "json"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "docs_csv",
+            str(base / "docs_csv"),
+            parameters={
+                "classification": "csv",
+                "delimiter": "|",
+                "skip.header.line.count": "1",
+            },
         )
         eng = GlueSparkEngine(
             spark, store, EngineConfig(explicit_file_lists=explicit)
@@ -203,16 +284,39 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
         "SELECT r_regionkey, r_name FROM region",
     ),
     (
-        "filter_compare",
+        # comparison operators (=,>,<,>=,<=,<>) and BETWEEN/LIKE
+        # predicates in one row (merged r4 to free a checked-window
+        # slot for the new operator entries)
+        "filter_predicates",
         "engine",
-        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        """SELECT 'cmp' AS kind, l_orderkey AS k1,
+                  CAST(l_linenumber AS BIGINT) AS k2,
+                  CAST(NULL AS STRING) AS s1, CAST(NULL AS STRING) AS s2,
+                  l_quantity AS d1, l_extendedprice AS d2
            FROM glue.tpch.lineitem
            WHERE l_quantity >= 45 AND l_discount < 0.04 AND l_linenumber <> 1
-             AND l_tax <= 0.05 AND l_returnflag = 'R' AND l_orderkey > 100""",
-        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             AND l_tax <= 0.05 AND l_returnflag = 'R' AND l_orderkey > 100
+           UNION ALL
+           SELECT 'btw' AS kind, p_partkey AS k1, CAST(NULL AS BIGINT) AS k2,
+                  p_name AS s1, p_brand AS s2,
+                  CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2
+           FROM glue.tpch.part
+           WHERE p_size BETWEEN 10 AND 20 AND p_brand LIKE 'Brand#1_'
+             AND p_name LIKE '%e%'""",
+        """SELECT 'cmp' AS kind, l_orderkey AS k1,
+                  CAST(l_linenumber AS BIGINT) AS k2,
+                  CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+                  l_quantity AS d1, l_extendedprice AS d2
            FROM lineitem
            WHERE l_quantity >= 45 AND l_discount < 0.04 AND l_linenumber <> 1
-             AND l_tax <= 0.05 AND l_returnflag = 'R' AND l_orderkey > 100""",
+             AND l_tax <= 0.05 AND l_returnflag = 'R' AND l_orderkey > 100
+           UNION ALL
+           SELECT 'btw' AS kind, p_partkey AS k1, CAST(NULL AS BIGINT) AS k2,
+                  p_name AS s1, p_brand AS s2,
+                  CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2
+           FROM part
+           WHERE p_size BETWEEN 10 AND 20 AND p_brand LIKE 'Brand#1_'
+             AND p_name LIKE '%e%'""",
     ),
     (
         "filter_and_or",
@@ -251,16 +355,6 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                   nullif(o_orderstatus, 'O') AS s,
                   CAST((nullif(o_orderstatus, 'O') IS NOT NULL) AS VARCHAR) AS b
            FROM orders WHERE o_orderkey <= 2000""",
-    ),
-    (
-        "filter_between_like",
-        "engine",
-        """SELECT p_partkey, p_name, p_brand FROM glue.tpch.part
-           WHERE p_size BETWEEN 10 AND 20 AND p_brand LIKE 'Brand#1_'
-             AND p_name LIKE '%e%'""",
-        """SELECT p_partkey, p_name, p_brand FROM part
-           WHERE p_size BETWEEN 10 AND 20 AND p_brand LIKE 'Brand#1_'
-             AND p_name LIKE '%e%'""",
     ),
     (
         "join_inner",
@@ -453,24 +547,36 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders GROUP BY 1, 2""",
     ),
     (
-        # ORDER BY + LIMIT and LIMIT/OFFSET pagination in one row
-        # (merged r3)
-        "order_limit_offset",
+        # ORDER BY + LIMIT, LIMIT/OFFSET pagination (merged r3) and
+        # DISTINCT projection (merged r4) in one row
+        "order_limit_distinct",
         "engine",
-        """SELECT 'top' AS page, o_orderkey, o_totalprice FROM (
+        """SELECT 'top' AS page, o_orderkey AS k, o_totalprice AS v FROM (
                SELECT o_orderkey, o_totalprice FROM glue.tpch.orders
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
            UNION ALL
-           SELECT 'off' AS page, o_orderkey, o_totalprice FROM (
+           SELECT 'off' AS page, o_orderkey AS k, o_totalprice AS v FROM (
                SELECT o_orderkey, o_totalprice FROM glue.tpch.orders
-               ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7)""",
-        """SELECT 'top' AS page, o_orderkey, o_totalprice FROM (
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7)
+           UNION ALL
+           SELECT concat('d:', c_mktsegment) AS page,
+                  CAST(c_nationkey AS BIGINT) AS k,
+                  CAST(NULL AS DOUBLE) AS v
+           FROM (SELECT DISTINCT c_mktsegment, c_nationkey
+                 FROM glue.tpch.customer WHERE c_custkey <= 300)""",
+        """SELECT 'top' AS page, o_orderkey AS k, o_totalprice AS v FROM (
                SELECT o_orderkey, o_totalprice FROM orders
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
            UNION ALL
-           SELECT 'off' AS page, o_orderkey, o_totalprice FROM (
+           SELECT 'off' AS page, o_orderkey AS k, o_totalprice AS v FROM (
                SELECT o_orderkey, o_totalprice FROM orders
-               ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7)""",
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 7)
+           UNION ALL
+           SELECT concat('d:', c_mktsegment) AS page,
+                  CAST(c_nationkey AS BIGINT) AS k,
+                  CAST(NULL AS DOUBLE) AS v
+           FROM (SELECT DISTINCT c_mktsegment, c_nationkey
+                 FROM customer WHERE c_custkey <= 300)""",
     ),
     (
         "cte_flagship",
@@ -560,48 +666,83 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)""",
     ),
     (
-        # UNION / UNION ALL / INTERSECT / EXCEPT in one row (merged r3;
-        # each set operation runs in its own tagged derived table)
-        "setop_all",
+        # UNION / UNION ALL / INTERSECT / EXCEPT (merged r3) and
+        # array agg + element access (merged r4) in one row.  The
+        # aggregated array is emitted as a canonical sorted CSV so the
+        # driver's value hash (which cannot hash list cells) gets a
+        # scalar — raw array-typed results stay covered in
+        # tests/test_operators.py
+        "setop_array_agg",
         "engine",
-        """SELECT 'union' AS op, nk FROM (
+        """SELECT 'union' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS STRING) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT c_nationkey AS nk FROM glue.tpch.customer
                UNION SELECT s_nationkey AS nk FROM glue.tpch.supplier)
            UNION ALL
-           SELECT 'union_all' AS op, nk FROM (
+           SELECT 'union_all' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS STRING) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT c_nationkey AS nk FROM glue.tpch.customer
                WHERE c_custkey <= 100
                UNION ALL SELECT s_nationkey AS nk FROM glue.tpch.supplier)
            UNION ALL
-           SELECT 'intersect' AS op, nk FROM (
+           SELECT 'intersect' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS STRING) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT c_nationkey AS nk FROM glue.tpch.customer
                INTERSECT SELECT s_nationkey AS nk FROM glue.tpch.supplier)
            UNION ALL
-           SELECT 'except' AS op, nk FROM (
+           SELECT 'except' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS STRING) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT n_nationkey AS nk FROM glue.tpch.nation
                EXCEPT SELECT c_nationkey AS nk FROM glue.tpch.customer
-                      WHERE c_custkey <= 50)""",
-        """SELECT 'union' AS op, nk FROM (
+                      WHERE c_custkey <= 50)
+           UNION ALL
+           SELECT 'array' AS op, CAST(n_regionkey AS BIGINT) AS k,
+                  concat(array_join(sort_array(collect_list(n_name)), ','),
+                         '|',
+                         element_at(sort_array(collect_list(n_name)), 1))
+                    AS s,
+                  CAST(size(collect_list(n_name)) AS INT) AS n
+           FROM glue.tpch.nation GROUP BY n_regionkey""",
+        """SELECT 'union' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS VARCHAR) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT c_nationkey AS nk FROM customer
                UNION SELECT s_nationkey AS nk FROM supplier)
            UNION ALL
-           SELECT 'union_all' AS op, nk FROM (
+           SELECT 'union_all' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS VARCHAR) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 100
                UNION ALL SELECT s_nationkey AS nk FROM supplier)
            UNION ALL
-           SELECT 'intersect' AS op, nk FROM (
+           SELECT 'intersect' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS VARCHAR) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT c_nationkey AS nk FROM customer
                INTERSECT SELECT s_nationkey AS nk FROM supplier)
            UNION ALL
-           SELECT 'except' AS op, nk FROM (
+           SELECT 'except' AS op, CAST(nk AS BIGINT) AS k,
+                  CAST(NULL AS VARCHAR) AS s, CAST(NULL AS INT) AS n FROM (
                SELECT n_nationkey AS nk FROM nation
                EXCEPT SELECT c_nationkey AS nk FROM customer
-                      WHERE c_custkey <= 50)""",
+                      WHERE c_custkey <= 50)
+           UNION ALL
+           SELECT 'array' AS op, CAST(n_regionkey AS BIGINT) AS k,
+                  concat(array_to_string(list(n_name ORDER BY n_name), ','),
+                         '|', (list(n_name ORDER BY n_name))[1]) AS s,
+                  CAST(len(list(n_name)) AS INT) AS n
+           FROM nation GROUP BY n_regionkey""",
     ),
     (
-        "window_rank",
+        # ranking functions (row_number/rank/dense_rank/ntile/
+        # percent_rank) AND running-frame aggregate + lag/lead offsets
+        # in one row (merged r4)
+        "window_functions",
         "engine",
-        """SELECT c_custkey, c_nationkey, rn, rk, drk, qtile, prk FROM (
+        """SELECT 'rank' AS kind, c_custkey AS k1,
+                  CAST(c_nationkey AS BIGINT) AS k2,
+                  rn, rk, drk, qtile, prk,
+                  CAST(NULL AS DOUBLE) AS run_total,
+                  CAST(NULL AS DOUBLE) AS delta_prev,
+                  CAST(NULL AS DOUBLE) AS delta_next
+           FROM (
                SELECT c_custkey, c_nationkey,
                       CAST(row_number() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
@@ -614,8 +755,30 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                       round(percent_rank() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey), 6) AS prk
                FROM glue.tpch.customer
-           ) t WHERE rn <= 3""",
-        """SELECT c_custkey, c_nationkey, rn, rk, drk, qtile, prk FROM (
+           ) t WHERE rn <= 3
+           UNION ALL
+           SELECT 'run' AS kind, o_custkey AS k1, o_orderkey AS k2,
+                  CAST(NULL AS INT) AS rn, CAST(NULL AS INT) AS rk,
+                  CAST(NULL AS INT) AS drk, CAST(NULL AS INT) AS qtile,
+                  CAST(NULL AS DOUBLE) AS prk,
+                  round(sum(o_totalprice) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                    AS run_total,
+                  round(o_totalprice - lag(o_totalprice) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                      2) AS delta_prev,
+                  round(lead(o_totalprice) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                      - o_totalprice, 2) AS delta_next
+           FROM glue.tpch.orders WHERE o_custkey <= 100""",
+        """SELECT 'rank' AS kind, c_custkey AS k1,
+                  CAST(c_nationkey AS BIGINT) AS k2,
+                  rn, rk, drk, qtile, prk,
+                  CAST(NULL AS DOUBLE) AS run_total,
+                  CAST(NULL AS DOUBLE) AS delta_prev,
+                  CAST(NULL AS DOUBLE) AS delta_next
+           FROM (
                SELECT c_custkey, c_nationkey,
                       CAST(row_number() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
@@ -628,26 +791,12 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
                       round(percent_rank() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal DESC, c_custkey), 6) AS prk
                FROM customer
-           ) t WHERE rn <= 3""",
-    ),
-    (
-        # running-frame aggregate + lag/lead offsets over one window
-        # spec (merged r3)
-        "window_running_lag",
-        "engine",
-        """SELECT o_custkey, o_orderkey,
-                  round(sum(o_totalprice) OVER (
-                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                    AS run_total,
-                  round(o_totalprice - lag(o_totalprice) OVER (
-                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                      2) AS delta_prev,
-                  round(lead(o_totalprice) OVER (
-                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-                      - o_totalprice, 2) AS delta_next
-           FROM glue.tpch.orders WHERE o_custkey <= 100""",
-        """SELECT o_custkey, o_orderkey,
+           ) t WHERE rn <= 3
+           UNION ALL
+           SELECT 'run' AS kind, o_custkey AS k1, o_orderkey AS k2,
+                  CAST(NULL AS INT) AS rn, CAST(NULL AS INT) AS rk,
+                  CAST(NULL AS INT) AS drk, CAST(NULL AS INT) AS qtile,
+                  CAST(NULL AS DOUBLE) AS prk,
                   round(sum(o_totalprice) OVER (
                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
@@ -726,35 +875,6 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM lineitem WHERE l_orderkey <= 1000""",
     ),
     (
-        # array agg + element access; the array itself is emitted as a
-        # canonical sorted CSV so the driver's value-hash (which cannot
-        # hash list cells) gets a scalar — raw array-typed results stay
-        # covered in tests/test_operators.py
-        "array_agg",
-        "engine",
-        """SELECT n_regionkey,
-                  array_join(sort_array(collect_list(n_name)), ',')
-                    AS names_csv,
-                  CAST(size(collect_list(n_name)) AS INT) AS n,
-                  element_at(sort_array(collect_list(n_name)), 1)
-                    AS first_name
-           FROM glue.tpch.nation GROUP BY n_regionkey""",
-        """SELECT n_regionkey,
-                  array_to_string(list(n_name ORDER BY n_name), ',')
-                    AS names_csv,
-                  CAST(len(list(n_name)) AS INT) AS n,
-                  (list(n_name ORDER BY n_name))[1] AS first_name
-           FROM nation GROUP BY n_regionkey""",
-    ),
-    (
-        "distinct_rows",
-        "engine",
-        """SELECT DISTINCT c_mktsegment, c_nationkey FROM glue.tpch.customer
-           WHERE c_custkey <= 300""",
-        """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
-           WHERE c_custkey <= 300""",
-    ),
-    (
         # ROLLUP and CUBE grouping sets in one row (merged r3)
         "rollup_cube",
         "engine",
@@ -820,30 +940,72 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders GROUP BY o_orderstatus""",
     ),
     (
-        # JSON-classified table (our extension past the reference's
-        # parquet-only scanner — its README lists JSON as future work);
-        # the engine dispatches the scan on the catalog's
-        # ``classification`` parameter
-        "source_json_scan",
+        # JSON- and CSV-classified tables in one row (CSV arm added
+        # r4; both our extension past the reference's parquet-only
+        # scanner — its README lists them as future work).  The engine
+        # dispatches the scan on the catalog's ``classification``
+        # parameter; the CSV fixture carries a '|' delimiter and a
+        # header line, exercising the Glue crawler parameters.
+        "source_json_csv_scan",
         "engine",
-        """SELECT source, count(*) AS n_docs,
+        """SELECT 'json' AS kind, source, count(*) AS n_docs,
                   CAST(sum(n_chars) AS BIGINT) AS total_chars
-           FROM glue.tpch.docs_json GROUP BY source""",
-        """SELECT source, count(*) AS n_docs,
+           FROM glue.tpch.docs_json GROUP BY source
+           UNION ALL
+           SELECT 'csv' AS kind, source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM glue.tpch.docs_csv GROUP BY source""",
+        """SELECT 'json' AS kind, source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents GROUP BY source
+           UNION ALL
+           SELECT 'csv' AS kind, source, count(*) AS n_docs,
                   CAST(sum(n_chars) AS BIGINT) AS total_chars
            FROM documents GROUP BY source""",
     ),
     (
-        "projection_enum_scan",
+        # all three projection extractor types in one row (date +
+        # integer arms added r4; reference
+        # /root/reference/src/util/glue.ts:136-193): enum = last path
+        # component, date = format-derived regex, integer = bare digit
+        # component cast to int.  Each arm filters on the projected
+        # column, so partition pruning over extracted values is what
+        # produces the counts.
+        "projection_scan",
         "engine",
-        """SELECT source, count(*) AS n_docs,
+        """SELECT 'enum' AS kind, source AS k, count(*) AS n_docs,
                   CAST(sum(n_chars) AS BIGINT) AS total_chars
            FROM glue.tpch.docs_proj
-           WHERE source IN ('src3', 'src7', 'src11') GROUP BY source""",
-        """SELECT source, count(*) AS n_docs,
+           WHERE source IN ('src3', 'src7', 'src11') GROUP BY source
+           UNION ALL
+           SELECT 'date' AS kind, dt AS k, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM glue.tpch.docs_proj_date
+           WHERE dt IN ('2024-01-02', '2024-01-04') GROUP BY dt
+           UNION ALL
+           SELECT 'int' AS kind, CAST(bucket AS STRING) AS k,
+                  count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM glue.tpch.docs_proj_int
+           WHERE bucket IN (1, 3) GROUP BY bucket""",
+        """SELECT 'enum' AS kind, source AS k, count(*) AS n_docs,
                   CAST(sum(n_chars) AS BIGINT) AS total_chars
            FROM documents
-           WHERE source IN ('src3', 'src7', 'src11') GROUP BY source""",
+           WHERE source IN ('src3', 'src7', 'src11') GROUP BY source
+           UNION ALL
+           SELECT 'date' AS kind, k, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM (SELECT n_chars,
+                        CAST(DATE '2024-01-01'
+                             + CAST(doc_id % 5 AS INT) AS VARCHAR) AS k
+                 FROM documents)
+           WHERE k IN ('2024-01-02', '2024-01-04') GROUP BY k
+           UNION ALL
+           SELECT 'int' AS kind, k, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM (SELECT n_chars, CAST(doc_id % 4 AS VARCHAR) AS k
+                 FROM documents)
+           WHERE k IN ('1', '3') GROUP BY k""",
     ),
 ]
 
@@ -1438,6 +1600,184 @@ FROM events e ASOF LEFT JOIN (
 """
 
 
+def _q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed interval join (operators/joins.py:range_join — equi-join
+    on coarse time buckets + exact containment filter, never a theta
+    join): events matched to the 45-minute window opened by each of the
+    same user's purchases.  Oracle is the naive DuckDB theta join."""
+    from glue_table_cache_spark.operators import joins as J
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts")
+    iv = (
+        _events(spark, sf)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("iv_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end"),
+        )
+    )
+    out = J.range_join(
+        ev, iv, left_ts="ts", right_start="start", right_end="end",
+        by="user_id", bucket="30 minutes",
+    )
+    return out.select("event_id", "iv_id")
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT e.event_id, p.iv_id
+FROM events e JOIN (
+    SELECT event_id AS iv_id, user_id, ts AS s,
+           ts + INTERVAL 45 MINUTE AS en
+    FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND p.s <= e.ts AND e.ts < p.en
+"""
+
+
+def _q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (functions/text.py:
+    winnow_postings + operators/dedup.py:winnow_pairs — the MOSS
+    rolling-hash sketch).  The portable md5 gram hash makes every
+    fingerprint, the candidate join, and the containment score
+    value-checkable in DuckDB."""
+    from glue_table_cache_spark.operators import dedup as D
+
+    return D.winnow_pairs(
+        _docs(spark, sf), k=8, window=4, min_overlap=0.5, portable=True
+    )
+
+
+#: SQL twin of the winnowing pipeline: same normalization, same
+#: md5-derived gram hash (seed 'w'), same window-min fingerprint
+#: selection, same containment score
+_WINNOW_ORACLE = r"""
+WITH norm AS (
+    SELECT doc_id AS id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+    FROM documents
+),
+pos_ AS (
+    SELECT id, t, greatest(length(t) - 7, 1) AS n_grams,
+           unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS pos
+    FROM norm
+),
+grams AS (
+    SELECT id, pos,
+           ('0x' || substr(md5('w:' || substr(t, pos, 8)), 1, 15))::BIGINT
+             AS h,
+           greatest(n_grams - 3, 1) AS keep_until
+    FROM pos_
+),
+fp0 AS (
+    SELECT id, pos, keep_until,
+           min(h) OVER (PARTITION BY id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+    FROM grams
+),
+fps AS (SELECT DISTINCT id, fingerprint FROM fp0 WHERE pos <= keep_until),
+sizes AS (SELECT id, count(*) AS n FROM fps GROUP BY id),
+common AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+    FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.5
+"""
+
+
+def _q_mixture_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture sampling + exact quality-quantile filter in
+    one tagged row (operators/sampling.py).  The mixture arm keeps a
+    hash-fraction of each weighted domain sized to its token-budget
+    share (portable md5 buckets — the exact row set is reproducible);
+    the quantile arm keeps the top 30% of each source by quality via
+    percent_rank (exact mode, identical in any SQL engine)."""
+    from glue_table_cache_spark.functions import text as T
+    from glue_table_cache_spark.operators import sampling as SM
+
+    docs = _docs(spark, sf)
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(T.tokens("text", "[a-z0-9]+")).cast("long").alias("n_tokens"),
+    )
+    mix = SM.mixture_sample(
+        toks, {"src0": 3.0, "src1": 1.0}, total_tokens=30_000,
+        salt="mix", portable=True,
+    ).select(
+        F.lit("mix").alias("kind"), "doc_id", "source",
+        F.col("n_tokens").cast("double").alias("v"),
+    )
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("q")
+    )
+    qf = SM.quantile_filter(
+        scored, 0.3, score_col="q", strata_col="source", exact=True
+    ).select(
+        F.lit("qf").alias("kind"), "doc_id", "source",
+        F.round("q", 6).alias("v"),
+    )
+    return mix.unionByName(qf)
+
+
+_MIXTURE_QUANTILE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+),
+mixsrc AS (SELECT * FROM t WHERE source IN ('src0', 'src1')),
+tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS toks
+        FROM mixsrc GROUP BY source),
+th AS (
+    SELECT source,
+           CAST(floor(least(1.0,
+               (CASE source WHEN 'src0' THEN 3.0 ELSE 1.0 END) / 4.0
+               * 30000 / nullif(toks, 0)) * 1000000) AS BIGINT) AS thresh
+    FROM tot
+),
+q AS (
+    SELECT s.doc_id, d.source, s.quality AS q
+    FROM ({_TEXT_STATS_ORACLE}) s JOIN documents d USING (doc_id)
+)
+SELECT 'mix' AS kind, doc_id, source, CAST(n_tokens AS DOUBLE) AS v
+FROM mixsrc JOIN th USING (source)
+WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000 < thresh
+UNION ALL
+SELECT 'qf' AS kind, doc_id, source, q AS v FROM (
+    SELECT *, percent_rank() OVER (
+        PARTITION BY source ORDER BY q DESC) AS pr
+    FROM q
+) WHERE pr <= 0.3
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py:ivf_topk) run at
+    ``nprobe == nlist`` — every coarse cell probed, so the result is
+    exactly the brute-force cosine top-k whatever the trained centroids
+    are, and the plain top-k oracle gives a hard value check on the
+    whole assign→probe→score pipeline.  Partial-probe recall is bounded
+    separately in tests/test_operators.py."""
+    from glue_table_cache_spark.operators import similarity as S
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, q, k=10, nlist=8, nprobe=8, iters=1).select(
+        "query_id", "vec_id", "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark-overlap screen: docs with doc_id % 17 = 0 stand in for
     a held-out eval set; the inverted-index containment join flags
@@ -1638,12 +1978,16 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups_cc": _q_dedup_groups_cc,
     "text_line_dedup": _q_text_line_dedup,
     "dedup_embedding_cosine": _q_emb_near_pairs,
+    "text_winnow_pairs": _q_winnow_pairs,
     "sample_stratified": _q_sample_stratified,
+    "sample_mixture_quantile": _q_mixture_quantile,
     "text_decontamination": _q_decontamination,
     "pack_sequences": _q_pack_sequences,
     "join_asof": _q_join_asof,
+    "join_range": _q_join_range,
     "similarity_cosine_topk": _q_cosine_topk,
     "similarity_ann_lsh": _q_ann_lsh,
+    "similarity_ivf_topk": _q_ivf_topk,
     "similarity_embedding_stats": _q_embedding_stats,
     "iceberg_time_travel": _q_iceberg_time_travel,
     "events_windows_batch": _q_windows_batch,
@@ -1669,12 +2013,18 @@ _EXTRA_ORACLES: dict[str, str] = {
     "dedup_simhash_pairs": _SIMHASH_ORACLE,
     "dedup_groups_cc": _CC_GROUPS_ORACLE,
     "dedup_embedding_cosine": _EMB_NEAR_ORACLE,
+    "text_winnow_pairs": _WINNOW_ORACLE,
     "sample_stratified": _SAMPLE_ORACLE,
+    "sample_mixture_quantile": _MIXTURE_QUANTILE_ORACLE,
     "text_decontamination": _DECONTAMINATION_ORACLE,
     "pack_sequences": _PACKING_ORACLE,
     "join_asof": _ASOF_ORACLE,
+    "join_range": _RANGE_JOIN_ORACLE,
     "similarity_cosine_topk": _COSINE_TOPK_ORACLE,
     "similarity_ann_lsh": _ANN_ORACLE,
+    # nprobe=nlist degenerates to exact search → the brute-force top-k
+    # oracle value-checks the IVF pipeline end-to-end
+    "similarity_ivf_topk": _COSINE_TOPK_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,
     "iceberg_time_travel": (
         "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price "

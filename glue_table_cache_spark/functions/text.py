@@ -262,6 +262,7 @@ def winnow_postings(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm) as a posting frame
@@ -277,12 +278,24 @@ def winnow_postings(
     per-gram work is an O(k) substring + one xxhash64 — NOT a nested
     array expression, which would re-evaluate the whole hash array per
     window and go O(n³)), then the per-window minimum as a frame-bounded
-    window function — one shuffle keyed on the document id."""
+    window function — one shuffle keyed on the document id.
+
+    ``portable=True`` swaps the gram hash to the md5-derived
+    :func:`~glue_table_cache_spark.operators.dedup.portable_hash60`
+    (seed ``"w"``) so a DuckDB oracle reproduces the fingerprints
+    bit-for-bit; xxhash64 stays the at-scale default."""
     from pyspark.sql.window import Window as W
 
     c = F.col(text_col)
     norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    gram = F.col("__norm").substr(F.col("pos"), F.lit(k))
+    if portable:
+        from glue_table_cache_spark.operators.dedup import portable_hash60
+
+        gram_hash = portable_hash60(gram, seed="w")
+    else:
+        gram_hash = F.xxhash64(gram)
     grams = df.select(
         F.col(id_col).alias("id"),
         norm.alias("__norm"),
@@ -290,7 +303,7 @@ def winnow_postings(
     ).select(
         "id",
         "pos",
-        F.xxhash64(F.col("__norm").substr(F.col("pos"), F.lit(k))).alias("h"),
+        gram_hash.alias("h"),
         (F.greatest(
             F.length("__norm") - (k - 1), F.lit(1)
         ) - (window - 1)).alias("__max_start"),

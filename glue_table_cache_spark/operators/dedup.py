@@ -488,6 +488,7 @@ def winnow_pairs(
     window: int = 4,
     min_overlap: float = 0.5,
     max_fingerprint_df: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup/containment pairs by winnowing-fingerprint overlap
     (character-level rolling-hash sketch — catches edits that
@@ -506,7 +507,7 @@ def winnow_pairs(
     from glue_table_cache_spark.functions.text import winnow_postings
 
     postings = winnow_postings(
-        _widen(df), text_col, id_col, k, window
+        _widen(df), text_col, id_col, k, window, portable=portable
     ).withColumnRenamed("fingerprint", "f")
     if max_fingerprint_df is not None:
         rare = (

@@ -236,13 +236,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 def test_every_driver_entry_plan_is_cartesian_free(spark):
     """Sweep all driver-contract entries: no accidental cartesian
     product may creep into any plan.  Allowlisted: join_cross (an
-    explicit CROSS JOIN over two 5-row tables) and
-    similarity_cosine_topk (brute-force exact baseline — broadcast
-    cross join BY DESIGN; the scale path is similarity_ann_lsh).
+    explicit CROSS JOIN over two 5-row tables), similarity_cosine_topk
+    (brute-force exact baseline — broadcast cross join BY DESIGN; the
+    scale path is similarity_ann_lsh), and similarity_ivf_topk (the
+    corpus/query × k-row-centroid assignment is a broadcast cross join
+    against a table bounded by nlist — never data × data).
     Streaming entries are skipped (building them runs the stream)."""
     import __spark_entry__ as entrymod
 
-    allowed_cartesian = {"join_cross_values", "similarity_cosine_topk"}
+    allowed_cartesian = {
+        "join_cross_values",
+        "similarity_cosine_topk",
+        "similarity_ivf_topk",
+    }
     skip = {"events_tumbling_stream", "events_sessionize_stream"}
     sf = "/root/testdata/sf0.001"
     for name, fn in entrymod.queries().items():
