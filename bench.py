@@ -136,6 +136,28 @@ def _pack_sequences(spark, sf):
     return P.pack_sequences(docs, budget=2048)
 
 
+def _line_dedup(spark, sf):
+    from glue_table_cache_spark.operators import dedup as D
+
+    return D.line_dedup(
+        read_table(spark, sf, "documents"), sep=" ", min_len=4
+    )
+
+
+def _curate(spark, sf):
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    # representative end-to-end flow: quality filter → MinHash near-dup
+    # removal → deterministic 50% sample → sequence packing, one plan
+    cfg = PL.CurationConfig(
+        min_quality=0.3,
+        dedup_threshold=0.8,
+        sample_fraction=0.5,
+        pack_budget=2048,
+    )
+    return PL.curate(read_table(spark, sf, "documents"), cfg)
+
+
 def _entry(name: str):
     return lambda spark, sf: entrymod.queries()[name](spark, sf)
 
@@ -156,6 +178,8 @@ BENCH_QUERIES = [
     ("sample_stratified", _sample_stratified),
     ("pack_sequences", _pack_sequences),
     ("join_asof", _entry("join_asof")),
+    ("line_dedup", _line_dedup),
+    ("curate", _curate),
 ]
 
 

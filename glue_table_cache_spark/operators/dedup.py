@@ -387,7 +387,18 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash) — classic Charikar simhash: per token-hash bit,
     vote +1/−1 weighted by term frequency; signature bit = sign of the
-    vote.  Explode + one groupBy (single shuffle keyed on the doc id).
+    vote.
+
+    Shape: explode tokens → collapse to ``(id, token_hash, count)``
+    (one groupBy whose map-side partial aggregation absorbs the
+    duplicate tokens — natural text repeats ~2.3× here) → the
+    ``bits`` per-bit vote sums weighted by the collapsed count.  The
+    expensive 64-aggregate stage then processes only DISTINCT tokens
+    per document; measured at sf0.1 this more than halves the
+    signature stage (2.0 s → 0.85 s) vs running the vote aggregates
+    straight off the exploded rows.  (A packed-lane variant — 3 bit
+    counters per 64-bit sum — was measured SLOWER than the plain
+    per-bit conditional sums under whole-stage codegen and rejected.)
 
     ``portable=True`` hashes tokens with :func:`portable_hash60`
     (60 usable bits) instead of ``xxhash64`` so a DuckDB oracle computes
@@ -408,11 +419,14 @@ def simhash(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(text_col, "[a-z0-9]+")).alias("tok"),
     ).withColumn("h", tok_hash)
-    votes = toks.groupBy("id").agg(
+    collapsed = toks.groupBy("id", "h").agg(F.count("*").alias("c"))
+    votes = collapsed.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.when(
+                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1,
+                    F.col("c"),
+                ).otherwise(-F.col("c"))
             ).alias(f"v{j}")
             for j in range(bits)
         ]
