@@ -456,6 +456,33 @@ def test_csv_classified_table_scan(spark, tmp_path):
     assert {(r.grp, r.s) for r in out} == {("a", 40), ("b", 20)}
 
 
+def test_csv_multi_line_header_rejected(spark, tmp_path):
+    """skip.header.line.count > 1 must raise (Spark's csv header option
+    can only drop one line per file) — silently ingesting the extra
+    header lines as data would corrupt every downstream result."""
+    import pytest
+
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    data = tmp_path / "ctbl2"
+    data.mkdir()
+    (data / "part-0.csv").write_text("x\ny\n1\n2\n")
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db",
+        "ctbl2",
+        str(data),
+        parameters={
+            "classification": "csv",
+            "skip.header.line.count": "2",
+        },
+    )
+    with pytest.raises(GlueSparkError, match="skip.header.line.count"):
+        GlueSparkEngine(spark, store).sql(
+            "SELECT * FROM glue.db.ctbl2"
+        ).collect()
+
+
 def test_explicit_mode_json_table(spark, tmp_path):
     """The explicit-file-list path also dispatches on classification."""
     data = tmp_path / "jex"

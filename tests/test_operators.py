@@ -508,6 +508,24 @@ def test_ivf_partial_probe_recall(embeddings):
     assert len(approx) == len(exact)
 
 
+def test_ivf_exclude_self_flag(embeddings):
+    """With exclude_self=False an external query whose id collides with
+    a corpus id still sees that corpus vector (id equality is not
+    identity across id spaces)."""
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with_self = S.ivf_topk(
+        embeddings, q, k=3, nlist=4, nprobe=4, iters=1, exclude_self=False
+    ).collect()
+    # the identical vector is its own nearest neighbor at cosine 1.0
+    assert any(r.vec_id == 0 and r.rank == 1 for r in with_self)
+    without = S.ivf_topk(
+        embeddings, q, k=3, nlist=4, nprobe=4, iters=1
+    ).collect()
+    assert all(r.vec_id != 0 for r in without)
+
+
 def test_ivf_trained_centroids_reusable(embeddings):
     cents = S.ivf_train(embeddings, nlist=4, iters=1)
     assert len(cents) == 4
@@ -1096,6 +1114,33 @@ def test_curate_mixture_stage(spark, documents):
     # budget far above the stratum's mass → the whole stratum survives
     assert out.count() == documents.where(F.col("source") == s0).count()
     assert "n_tokens" in out.columns
+
+
+def test_curate_single_tokenizer_for_mixture_and_packing(spark, documents):
+    """When both token-denominated stages run, n_tokens is computed
+    once with token_count — the mixture budget and the pack sizes must
+    be measured in the same units."""
+    from glue_table_cache_spark.functions.text import token_count
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    sources = sorted(
+        r.source for r in documents.select("source").distinct().collect()
+    )
+    cfg = PL.CurationConfig(
+        min_quality=None, dedup_threshold=None,
+        mixture_weights={s: 1.0 for s in sources},
+        mixture_total_tokens=10**9,
+        pack_budget=128,
+    )
+    out = PL.curate(documents, cfg)
+    expected = {
+        r.doc_id: r.n
+        for r in documents.select(
+            "doc_id", token_count("text").cast("long").alias("n")
+        ).collect()
+    }
+    for r in out.select("doc_id", "n_tokens").collect():
+        assert r.n_tokens == expected[r.doc_id], r.doc_id
 
 
 def test_portable_hash60_parity_diverse_inputs(spark):
