@@ -319,6 +319,42 @@ def sessionize_stream(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window`` —
+    the most idiomatic form: one groupBy aggregate, no window-function
+    chain, and the SAME call works on a streaming frame (with a
+    watermark, in which case Spark manages the merging session state).
+
+    Session-boundary semantics match :func:`sessionize_batch` exactly,
+    including at the boundary: Spark merges a session window that
+    starts precisely at the previous window's end, which equals the
+    lag/cumsum twin's ``> gap`` rule (pinned by the boundary test).
+
+    Output matches :func:`sessionize_batch`'s shape minus the per-user
+    session_seq (session identity is the window struct itself):
+    (user_id, session_start, session_end, n_events) where session_end
+    is the max event time (NOT the window's gap-padded end)."""
+    return (
+        events.groupBy(
+            F.session_window(
+                F.col(ts_col), f"{gap_minutes} minutes"
+            ).alias("w"),
+            F.col(user_col).alias("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_minutes: int = 30,

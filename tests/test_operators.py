@@ -279,6 +279,37 @@ def test_sessionize_batch(events):
     ).count() == 0
 
 
+def test_sessionize_native_matches_batch(events):
+    """Spark's built-in session_window must produce the same sessions
+    as the lag/cumsum chain."""
+    native = {
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in W.sessionize_native(events, gap_minutes=30).collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in W.sessionize_batch(events, gap_minutes=30).collect()
+    }
+    assert native == batch and len(native) > 0
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """An event exactly `gap` after the previous one still EXTENDS the
+    session in both forms (session_window merges a window starting at
+    the previous window's end; the lag/cumsum twin uses `> gap`) —
+    pinned so neither silently drifts to half-open semantics."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly the 30-min gap
+            (1, "2024-01-01 01:00:01"),  # 1s past the gap -> new session
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert W.sessionize_native(ev, gap_minutes=30).count() == 2
+    assert W.sessionize_batch(ev, gap_minutes=30, id_col=None).count() == 2
+
+
 def test_sliding_window_each_event_in_two_windows(events):
     sliding = W.sliding_counts_batch(events, "1 hour", "30 minutes")
     total = sliding.agg(F.sum("n_events").alias("s")).collect()[0].s
@@ -1487,3 +1518,71 @@ def test_sessionize_batch_custom_columns(spark):
         df, gap_minutes=30, user_col="who", ts_col="at"
     ).collect()
     assert len(out) == 2  # two sessions, no event_id column needed
+
+
+# -- corpus stats -------------------------------------------------------------
+
+
+def test_corpus_stats_per_stratum(spark):
+    from glue_table_cache_spark.operators import stats as ST
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "a"),
+            (2, "one two", "a"),
+            (3, "four", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in ST.corpus_stats(df).collect()}
+    assert got["a"].n_docs == 2 and got["b"].n_docs == 1
+    assert got["a"].total_tokens == 5 and got["b"].total_tokens == 1
+    assert got["a"].total_chars == len("one two three") + len("one two")
+    # 3 distinct tokens in stratum a; HLL is exact at this cardinality
+    assert got["a"].approx_distinct_tokens == 3
+    assert 0.0 <= got["a"].avg_quality <= 1.0
+
+
+def test_corpus_stats_global(spark):
+    from glue_table_cache_spark.operators import stats as ST
+
+    df = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "y z", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = ST.corpus_stats(df, strata_col=None).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2 and rows[0].total_tokens == 4
+    assert rows[0].approx_distinct_tokens == 3
+
+
+def test_vocab_top_tokens(spark):
+    from glue_table_cache_spark.operators import stats as ST
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b")], "doc_id long, text string"
+    )
+    got = [(r.tok, r.n) for r in ST.vocab_top_tokens(df, k=2).collect()]
+    assert got == [("b", 4), ("a", 3)]
+    # min_count filters the tail; ties break on the token string
+    got_all = [
+        (r.tok, r.n)
+        for r in ST.vocab_top_tokens(df, k=10, min_count=2).collect()
+    ]
+    assert got_all == [("b", 4), ("a", 3)]
+
+
+def test_length_histogram(spark):
+    from glue_table_cache_spark.operators import stats as ST
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),            # 0 tokens -> bucket -1
+            (2, "a"),           # 1 token  -> bucket 0
+            (3, "a b c"),       # 3 tokens -> bucket 1 (2 <= n < 4)
+            (4, "a b c d e"),   # 5 tokens -> bucket 2 (4 <= n < 8)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.bucket: r.n_docs for r in ST.length_histogram(df).collect()}
+    assert got == {-1: 1, 0: 1, 1: 1, 2: 1}
