@@ -89,6 +89,27 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         # duplicates snapshot 1 and must never be scanned
         build_iceberg_table(ice, [even, odd], orphan=even)
         (ice / "_BUILT").touch()
+    dl = base / "orders_delta"
+    if not (base / "orders_delta._BUILT").exists():
+        from glue_table_cache_spark.sources.delta_fixture import (
+            build_delta_table,
+        )
+
+        shutil.rmtree(dl, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        even = orders.where(F.col("o_orderkey") % 2 == 0)
+        odd = orders.where(F.col("o_orderkey") % 2 == 1)
+        # v0 adds evens + a duplicate file; v1 removes the duplicate
+        # and adds odds — the log-walk must yield exactly orders, while
+        # a directory scan would double-count evens twice over (the
+        # removed dupe AND the orphan)
+        build_delta_table(
+            dl,
+            [{"add": [even, even]}, {"add": [odd],
+                                     "remove": ["part-0-1.parquet"]}],
+            orphan=even,
+        )
+        (base / "orders_delta._BUILT").touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -192,6 +213,12 @@ def _engine(
             "orders_iceberg",
             str(base / "orders_iceberg"),
             parameters={"table_type": "ICEBERG"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta",
+            str(base / "orders_delta"),
+            parameters={"spark.sql.sources.provider": "delta"},
         )
         store.register_parquet_dir(
             "tpch",
@@ -928,14 +955,25 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders WHERE year(o_orderdate) IN (1996, 1998) GROUP BY 1""",
     ),
     (
-        # the orphan data file in the fixture makes this a real check:
-        # a directory listing would double-count even-keyed orders
-        "iceberg_scan",
+        # Iceberg manifest walk + Delta log walk in one row (delta arm
+        # added r4).  Both fixtures carry orphan data files (and the
+        # delta one a removed file) — a directory listing would
+        # double-count even-keyed orders; the metadata walks must
+        # reproduce plain `orders` exactly.
+        "iceberg_delta_scan",
         "engine",
-        """SELECT o_orderstatus, count(*) AS n,
+        """SELECT 'iceberg' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_iceberg GROUP BY o_orderstatus""",
-        """SELECT o_orderstatus, count(*) AS n,
+           FROM glue.tpch.orders_iceberg GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'delta' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta GROUP BY o_orderstatus""",
+        """SELECT 'iceberg' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'delta' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
            FROM orders GROUP BY o_orderstatus""",
     ),

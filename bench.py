@@ -205,6 +205,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for label, fn in BENCH_QUERIES:
+        # NOTE: a forced System.gc() between labels was tried and made
+        # the suite NET SLOWER (22.0s -> 24.9s total; the full-GC pause
+        # bleeds into the next label's first run) — don't re-add it
         # best of 3: steady-state throughput. The first run of the
         # heavy dedup pipelines pays ~7s of whole-stage-codegen
         # compilation (measured: 10.6s, 3.6s, 3.1s, 2.8s consecutively)

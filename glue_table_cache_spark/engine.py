@@ -298,10 +298,22 @@ class GlueSparkEngine:
         if not tbl.location:
             raise NoStorageLocationError(tbl.database, tbl.name)
         ttype = tbl.table_type
-        if ttype in (ETableType.HUDI, ETableType.DELTA):
+        if ttype == ETableType.HUDI:
             # enumerated-but-unhandled in the reference too
             # (/root/reference/src/types.ts:4-11)
             raise GlueSparkError(f"Table type {ttype.value} not supported")
+        if ttype == ETableType.DELTA:
+            # beyond the reference (which never handles DELTA): resolve
+            # the ACTIVE file set from the transaction log — a raw
+            # directory scan would read removed/orphan files
+            from glue_table_cache_spark.sources.delta import (
+                delta_data_files,
+            )
+
+            paths = self._proxy(delta_data_files(tbl.location, fs=self._fs))
+            if not paths:
+                return self.spark.range(0).select(F.lit(None).alias("null"))
+            return self._format_read(self.spark.read, tbl, *paths)
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
                 iceberg_data_files,

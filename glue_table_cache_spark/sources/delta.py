@@ -1,0 +1,144 @@
+"""Delta Lake data-file resolution from the transaction log.
+
+Beyond-reference extension: the reference *enumerates* DELTA in its
+table taxonomy but never handles it (/root/reference/src/types.ts:4-11)
+— a Delta location scanned as a raw parquet directory would read every
+historical file, deleted rows included.  This module reconstructs the
+table's ACTIVE file set from the public Delta Lake log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md), the same
+metadata-walk posture as :mod:`glue_table_cache_spark.sources.iceberg`:
+
+1. list ``<location>/_delta_log/`` — ``<version>.json`` commits
+   (JSON-lines of ``add`` / ``remove`` / ``metaData`` / ``protocol``
+   actions) and ``<version>.checkpoint[.part.of].parquet`` snapshots;
+2. start from the newest checkpoint at or below the target version
+   (read driver-side with pyarrow — one metadata-scale parquet), which
+   carries the full action state at that version, so vacuumed/cleaned
+   older commits are never needed;
+3. replay the JSON commits after the checkpoint up to the target:
+   ``add`` inserts a path into the active set, ``remove`` deletes it
+   (paths are URL-encoded table-relative names per the protocol);
+4. ``version_offset`` steps the target back N commits for time travel
+   (mirrors the Iceberg reader's parameter).
+
+Only files the log names as live are scanned — orphan files sitting in
+the data directory (failed writes, un-vacuumed deletes) are invisible,
+the same hygiene property the Iceberg fixture asserts.
+
+All steps are metadata-scale and run on the driver; the returned path
+list feeds the distributed parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+from urllib.parse import unquote
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sources.iceberg import _read_bytes, _resolve_path
+
+_COMMIT_RE = re.compile(r"(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(
+    r"(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet$"
+)
+
+
+def _log_files(location: str, fs=None) -> list[str]:
+    from glue_table_cache_spark.listing import filesystem_for
+
+    log_dir = posixpath.join(location.rstrip("/"), "_delta_log")
+    fs = fs or filesystem_for(log_dir)
+    return fs.list_files(log_dir)
+
+
+def _apply_action(active: dict, action: dict) -> None:
+    if "add" in action and action["add"]:
+        a = action["add"]
+        active[unquote(a["path"])] = a.get("partitionValues") or {}
+    elif "remove" in action and action["remove"]:
+        active.pop(unquote(action["remove"]["path"]), None)
+
+
+def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
+    """Active adds from a (possibly multi-part) checkpoint parquet.
+    A checkpoint row holds at most one action; only ``add`` rows carry
+    live files (``remove`` rows are expired-tombstone bookkeeping)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    active: dict = {}
+    for p in paths:
+        table = pq.read_table(
+            io.BytesIO(_read_bytes(p, s3_client)), columns=["add"]
+        )
+        for a in table.column("add").to_pylist():
+            if a and a.get("path"):
+                pv = a.get("partitionValues") or {}
+                if isinstance(pv, list):  # pyarrow map -> list of pairs
+                    pv = dict(pv)
+                active[unquote(a["path"])] = pv
+    return active
+
+
+def delta_data_files(
+    location: str,
+    version_offset: int = 0,
+    s3_client=None,
+    fs=None,
+    with_partition_values: bool = False,
+) -> list[str] | list[tuple[str, dict]]:
+    """Data-file paths of the (``version_offset``-stepped-back) current
+    version of the Delta table at ``location``.
+
+    ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
+    testable without AWS (stub client + stub lister), exactly like the
+    Iceberg reader."""
+    names = _log_files(location, fs=fs)
+    commits: dict[int, str] = {}
+    checkpoints: dict[int, list[str]] = {}
+    for p in names:
+        m = _COMMIT_RE.search(p)
+        if m:
+            commits[int(m.group(1))] = p
+            continue
+        m = _CHECKPOINT_RE.search(p)
+        if m:
+            checkpoints.setdefault(int(m.group(1)), []).append(p)
+    if not commits and not checkpoints:
+        raise GlueSparkError(
+            f"No Delta log found under {location!r}/_delta_log"
+        )
+    latest = max([*commits, *checkpoints])
+    target = latest - version_offset
+    if target < 0:
+        raise GlueSparkError(
+            f"version_offset={version_offset} exceeds available versions "
+            f"({latest + 1}) for {location!r}"
+        )
+
+    active: dict = {}
+    start = 0
+    cp_versions = [v for v in checkpoints if v <= target]
+    if cp_versions:
+        cp = max(cp_versions)
+        active = _read_checkpoint(sorted(checkpoints[cp]), s3_client)
+        start = cp + 1
+    for v in range(start, target + 1):
+        if v not in commits:
+            raise GlueSparkError(
+                f"Delta log for {location!r} is missing commit {v} "
+                f"(target version {target}, no covering checkpoint)"
+            )
+        for line in _read_bytes(commits[v], s3_client).splitlines():
+            line = line.strip()
+            if line:
+                _apply_action(active, json.loads(line))
+    paths = sorted(active)
+    if with_partition_values:
+        return [
+            (_resolve_path(location, p), active[p]) for p in paths
+        ]
+    return [_resolve_path(location, p) for p in paths]

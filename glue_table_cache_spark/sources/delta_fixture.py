@@ -1,0 +1,135 @@
+"""Synthetic local Delta Lake table builder (test/fixture support).
+
+Builds a minimal-but-protocol-shaped Delta table from DataFrames:
+
+* ``part-<N>.parquet`` data files at the table root (plus an
+  ``orphan.parquet`` no commit references — the scan-hygiene trap: a
+  directory listing double-counts, a log walk must not);
+* ``_delta_log/<version>.json`` commits (JSON-lines ``metaData`` /
+  ``add`` / ``remove`` actions per the public Delta protocol);
+* optionally a ``<version>.checkpoint.parquet`` snapshot (written with
+  pyarrow, ``add`` struct column) so readers can start past cleaned-up
+  commits — ``drop_precheckpoint_commits`` simulates that log cleanup.
+
+Action field names match what
+:mod:`glue_table_cache_spark.sources.delta` consumes
+(``add.path``, ``add.partitionValues``, ``remove.path``).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def _write_data_file(base: Path, df: DataFrame, name: str) -> Path:
+    stage = base / f"_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    out = base / name
+    next(stage.glob("part-*.parquet")).rename(out)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _commit_path(log_dir: Path, version: int) -> Path:
+    return log_dir / f"{version:020d}.json"
+
+
+def build_delta_table(
+    base: str | Path,
+    commits: list[dict],
+    orphan: DataFrame | None = None,
+    checkpoint_at: int | None = None,
+    drop_precheckpoint_commits: bool = False,
+) -> Path:
+    """Write a Delta table whose version ``i`` applies ``commits[i]``:
+    ``{"add": [df, ...], "remove": ["part-N.parquet", ...]}`` (either
+    key optional).  Data files are named ``part-<version>-<j>.parquet``.
+
+    ``checkpoint_at=v`` also writes ``v.checkpoint.parquet`` capturing
+    the active set at version ``v``; with
+    ``drop_precheckpoint_commits`` the ``<=v`` commit JSONs are deleted
+    afterwards (Delta's retention cleanup), so a reader MUST use the
+    checkpoint."""
+    base = Path(base)
+    log_dir = base / "_delta_log"
+    log_dir.mkdir(parents=True, exist_ok=True)
+
+    active: dict[str, dict] = {}
+    for version, commit in enumerate(commits):
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": "00000000-0000-0000-0000-000000000000",
+                        "format": {"provider": "parquet", "options": {}},
+                        "partitionColumns": [],
+                    }
+                }
+            )
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        for j, df in enumerate(commit.get("add", [])):
+            name = f"part-{version}-{j}.parquet"
+            data_file = _write_data_file(base, df, name)
+            add = {
+                "path": name,
+                "partitionValues": {},
+                "size": data_file.stat().st_size,
+                "modificationTime": 1700000000000 + version,
+                "dataChange": True,
+            }
+            actions.append({"add": add})
+            active[name] = {}
+        for name in commit.get("remove", []):
+            actions.append(
+                {
+                    "remove": {
+                        "path": name,
+                        "deletionTimestamp": 1700000000000 + version,
+                        "dataChange": True,
+                    }
+                }
+            )
+            active.pop(name, None)
+        _commit_path(log_dir, version).write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+        if checkpoint_at == version:
+            _write_checkpoint(log_dir, version, active)
+
+    if drop_precheckpoint_commits and checkpoint_at is not None:
+        for v in range(checkpoint_at + 1):
+            _commit_path(log_dir, v).unlink(missing_ok=True)
+
+    if orphan is not None:
+        _write_data_file(base, orphan, "orphan.parquet")
+    return base
+
+
+def _write_checkpoint(
+    log_dir: Path, version: int, active: dict[str, dict]
+) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+        ]
+    )
+    rows = [
+        {"path": p, "partitionValues": list(pv.items()), "size": 0}
+        for p, pv in sorted(active.items())
+    ]
+    # one action per checkpoint row: the remove/metaData columns are
+    # not needed by our reader (it only projects `add`)
+    table = pa.table({"add": pa.array(rows, type=add_type)})
+    pq.write_table(table, log_dir / f"{version:020d}.checkpoint.parquet")

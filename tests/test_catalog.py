@@ -174,7 +174,11 @@ def test_delta_and_hudi_classified_not_silently_scanned():
     ) == ETableType.ICEBERG
 
 
-def test_engine_raises_for_delta_table(spark, tmp_path):
+def test_engine_delta_without_log_raises(spark, tmp_path):
+    """DELTA tables are handled via the log walk (r4, sources/delta.py
+    — tests/test_delta.py); a delta-classified location WITHOUT a
+    transaction log must still fail loudly, never fall back to a raw
+    directory scan."""
     import pytest as _pytest
 
     from glue_table_cache_spark.catalog import LocalMetadataStore
@@ -186,7 +190,7 @@ def test_engine_raises_for_delta_table(spark, tmp_path):
         "db", "dtable", str(tmp_path),
         parameters={"spark.sql.sources.provider": "delta"},
     )
-    with _pytest.raises(GlueSparkError, match="DELTA"):
+    with _pytest.raises(GlueSparkError, match="No Delta log"):
         GlueSparkEngine(spark, store).sql(
             "SELECT * FROM glue.db.dtable"
         ).collect()

@@ -1,0 +1,144 @@
+"""Delta Lake log-walk tests: active-set reconstruction, removes,
+orphan hygiene, checkpoints, time travel, and the engine scan path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_table_cache_spark.catalog import LocalMetadataStore
+from glue_table_cache_spark.engine import GlueSparkEngine
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sources.delta import delta_data_files
+from glue_table_cache_spark.sources.delta_fixture import build_delta_table
+
+
+@pytest.fixture()
+def frames(spark):
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    c = spark.createDataFrame([(4, "d"), (5, "e")], "id long, v string")
+    return a, b, c
+
+
+def test_active_set_add_then_remove(spark, tmp_path, frames):
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a, b]},                              # v0
+            {"add": [c], "remove": ["part-0-1.parquet"]}  # v1 drops b
+        ],
+        orphan=a,
+    )
+    paths = delta_data_files(str(base))
+    names = {p.rsplit("/", 1)[1] for p in paths}
+    assert names == {"part-0-0.parquet", "part-1-0.parquet"}
+    # orphan.parquet sits in the directory but is invisible to the walk
+    rows = {r.id for r in spark.read.parquet(*paths).collect()}
+    assert rows == {1, 2, 4, 5}
+
+
+def test_time_travel_version_offset(tmp_path, frames, spark):
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b]}, {"remove": ["part-0-0.parquet"]}],
+    )
+    latest = {p.rsplit("/", 1)[1] for p in delta_data_files(str(base))}
+    assert latest == {"part-1-0.parquet"}
+    v1 = {
+        p.rsplit("/", 1)[1]
+        for p in delta_data_files(str(base), version_offset=1)
+    }
+    assert v1 == {"part-0-0.parquet", "part-1-0.parquet"}
+    v0 = {
+        p.rsplit("/", 1)[1]
+        for p in delta_data_files(str(base), version_offset=2)
+    }
+    assert v0 == {"part-0-0.parquet"}
+    with pytest.raises(GlueSparkError, match="version_offset"):
+        delta_data_files(str(base), version_offset=3)
+
+
+def test_checkpoint_replaces_cleaned_commits(tmp_path, frames):
+    """With commits <= checkpoint version deleted (Delta log cleanup),
+    reconstruction MUST come from the checkpoint parquet."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a, b]},
+            {"remove": ["part-0-1.parquet"]},
+            {"add": [c]},
+        ],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+    )
+    names = {p.rsplit("/", 1)[1] for p in delta_data_files(str(base))}
+    assert names == {"part-0-0.parquet", "part-2-0.parquet"}
+
+
+def test_missing_commit_without_checkpoint_raises(tmp_path, frames):
+    a, b, c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}, {"add": [b]}])
+    (base / "_delta_log" / f"{0:020d}.json").unlink()
+    with pytest.raises(GlueSparkError, match="missing commit 0"):
+        delta_data_files(str(base))
+
+
+def test_partition_values_surface(tmp_path, frames):
+    a, b, c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
+    out = delta_data_files(str(base), with_partition_values=True)
+    assert len(out) == 1 and out[0][1] == {}
+
+
+def test_engine_delta_scan(spark, tmp_path, frames):
+    """classification=delta routes through the log walk: removed and
+    orphan files never reach the parquet scan."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a, b]}, {"remove": ["part-0-0.parquet"]}],
+        orphan=c,
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dtable", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id FROM glue.db.dtable ORDER BY id"
+    )
+    assert [r.id for r in out.collect()] == [3]
+
+
+def test_engine_hudi_still_raises(spark, tmp_path):
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "htable", str(tmp_path),
+        parameters={"hoodie.table.name": "htable"},
+    )
+    with pytest.raises(GlueSparkError, match="HUDI"):
+        GlueSparkEngine(spark, store).sql(
+            "SELECT * FROM glue.db.htable"
+        ).collect()
+
+
+def test_url_encoded_paths_decoded(tmp_path, frames, spark):
+    """Protocol: add.path is URL-encoded — a remove for the same file
+    must cancel the add whichever encoding each side used."""
+    import json
+
+    a, b, c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a, b]}])
+    log = base / "_delta_log"
+    (log / f"{1:020d}.json").write_text(
+        json.dumps(
+            {"remove": {"path": "part-0%2D1.parquet", "dataChange": True}}
+        )
+        + "\n"
+    )
+    names = {p.rsplit("/", 1)[1] for p in delta_data_files(str(base))}
+    assert names == {"part-0-0.parquet"}
