@@ -110,6 +110,27 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             orphan=even,
         )
         (base / "orders_delta._BUILT").touch()
+    hu = base / "orders_hudi"
+    if not (base / "orders_hudi._BUILT").exists():
+        from glue_table_cache_spark.sources.hudi_fixture import (
+            build_hudi_table,
+        )
+
+        shutil.rmtree(hu, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        even = orders.where(F.col("o_orderkey") % 2 == 0)
+        odd = orders.where(F.col("o_orderkey") % 2 == 1)
+        # instant 0 writes fg1=even and fg2=even (a stale-to-be slice);
+        # instant 1 REWRITES fg2 with the odds — latest slice per file
+        # group must win, so the walk yields exactly `orders`, while a
+        # directory scan would triple-count evens (stale slice + orphan)
+        build_hudi_table(
+            hu,
+            [{"write": {"fg1": even, "fg2": even}},
+             {"write": {"fg2": odd}}],
+            orphan=even,
+        )
+        (base / "orders_hudi._BUILT").touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -219,6 +240,12 @@ def _engine(
             "orders_delta",
             str(base / "orders_delta"),
             parameters={"spark.sql.sources.provider": "delta"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_hudi",
+            str(base / "orders_hudi"),
+            parameters={"hoodie.table.name": "orders_hudi"},
         )
         store.register_parquet_dir(
             "tpch",
@@ -955,12 +982,13 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders WHERE year(o_orderdate) IN (1996, 1998) GROUP BY 1""",
     ),
     (
-        # Iceberg manifest walk + Delta log walk in one row (delta arm
-        # added r4).  Both fixtures carry orphan data files (and the
-        # delta one a removed file) — a directory listing would
-        # double-count even-keyed orders; the metadata walks must
+        # Iceberg manifest walk + Delta log walk + Hudi timeline walk
+        # in one row (delta + hudi arms added r4).  Every fixture
+        # carries orphan data files (delta a removed file, hudi a
+        # stale rewritten slice) — a directory listing would
+        # double-count even-keyed orders; each metadata walk must
         # reproduce plain `orders` exactly.
-        "iceberg_delta_scan",
+        "table_format_scan",
         "engine",
         """SELECT 'iceberg' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
@@ -968,14 +996,16 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            UNION ALL
            SELECT 'delta' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_delta GROUP BY o_orderstatus""",
-        """SELECT 'iceberg' AS fmt, o_orderstatus, count(*) AS n,
-                  round(sum(o_totalprice), 2) AS total
-           FROM orders GROUP BY o_orderstatus
+           FROM glue.tpch.orders_delta GROUP BY o_orderstatus
            UNION ALL
-           SELECT 'delta' AS fmt, o_orderstatus, count(*) AS n,
+           SELECT 'hudi' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
-           FROM orders GROUP BY o_orderstatus""",
+           FROM glue.tpch.orders_hudi GROUP BY o_orderstatus""",
+        """SELECT fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders
+           CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi']) AS fmt)
+           GROUP BY fmt, o_orderstatus""",
     ),
     (
         # JSON- and CSV-classified tables in one row (CSV arm added

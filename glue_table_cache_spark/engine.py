@@ -299,9 +299,17 @@ class GlueSparkEngine:
             raise NoStorageLocationError(tbl.database, tbl.name)
         ttype = tbl.table_type
         if ttype == ETableType.HUDI:
-            # enumerated-but-unhandled in the reference too
-            # (/root/reference/src/types.ts:4-11)
-            raise GlueSparkError(f"Table type {ttype.value} not supported")
+            # beyond the reference (which enumerates HUDI but never
+            # reads it): COPY_ON_WRITE timeline walk — latest file
+            # slice per live file group; MERGE_ON_READ raises inside
+            from glue_table_cache_spark.sources.hudi import (
+                hudi_data_files,
+            )
+
+            paths = self._proxy(hudi_data_files(tbl.location, fs=self._fs))
+            if not paths:
+                return self.spark.range(0).select(F.lit(None).alias("null"))
+            return self._format_read(self.spark.read, tbl, *paths)
         if ttype == ETableType.DELTA:
             # beyond the reference (which never handles DELTA): resolve
             # the ACTIVE file set from the transaction log — a raw

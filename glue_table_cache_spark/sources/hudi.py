@@ -1,0 +1,117 @@
+"""Hudi copy-on-write data-file resolution from the commit timeline.
+
+Beyond-reference extension: the reference enumerates HUDI in its table
+taxonomy but never handles it (/root/reference/src/types.ts:4-11).
+This module reconstructs a COPY_ON_WRITE table's active file set from
+the public Hudi timeline layout
+(https://hudi.apache.org/docs/timeline — ``.hoodie/<instant>.commit``
+JSON per completed write), the same metadata-walk posture as the
+Iceberg and Delta readers:
+
+1. list ``<location>/.hoodie/`` and keep COMPLETED instants only —
+   ``<instant>.commit`` and ``<instant>.replacecommit`` (the
+   ``.inflight`` / ``.requested`` phases of an uncommitted write must
+   be invisible, that is the whole point of the timeline);
+2. replay instants in timestamp order: each commit's
+   ``partitionToWriteStats`` names the files written per partition;
+   copy-on-write REWRITES a file group, so the newest instant's file
+   wins per ``fileId`` (older slices stay on disk until cleaned);
+3. a ``replacecommit`` (clustering / insert_overwrite) first retires
+   the file groups in ``partitionToReplaceFileIds``, then adds its own
+   written files.
+
+Only the latest file slice per live file group is scanned — stale
+slices, failed-write leftovers, and orphan files are invisible.
+
+MERGE_ON_READ tables (log files needing compaction-aware merging) are
+out of scope and rejected loudly: silently reading only their base
+files would drop un-compacted updates.
+
+All steps are metadata-scale and run on the driver; the returned path
+list feeds the distributed parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sources.iceberg import _read_bytes, _resolve_path
+
+_COMPLETED_RE = re.compile(r"/(\d+)\.(commit|replacecommit)$")
+
+#: base-file name: <fileId>_<writeToken>_<instantTime>.parquet
+_BASE_FILE_RE = re.compile(r"([^/_]+(?:-[^/_]+)*)_[^/_]+_(\d+)\.parquet$")
+
+
+def _timeline_files(location: str, fs=None) -> list[str]:
+    from glue_table_cache_spark.listing import filesystem_for
+
+    hoodie = posixpath.join(location.rstrip("/"), ".hoodie")
+    fs = fs or filesystem_for(hoodie)
+    return fs.list_files(hoodie)
+
+
+def _file_id(stat: dict, path: str) -> str:
+    fid = stat.get("fileId")
+    if fid:
+        return fid
+    m = _BASE_FILE_RE.search(path)
+    if m:
+        return m.group(1)
+    return path  # fall back to path identity (never merges slices)
+
+
+def hudi_data_files(
+    location: str,
+    s3_client=None,
+    fs=None,
+) -> list[str]:
+    """Active base-file paths of the COPY_ON_WRITE Hudi table at
+    ``location``: one file per live file group, from its newest
+    completed instant.
+
+    ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
+    testable without AWS, exactly like the Iceberg/Delta readers."""
+    names = _timeline_files(location, fs=fs)
+    props = [p for p in names if p.endswith("hoodie.properties")]
+    if props:
+        text = _read_bytes(props[0], s3_client).decode()
+        m = re.search(r"hoodie\.table\.type\s*=\s*(\S+)", text)
+        if m and m.group(1).upper() == "MERGE_ON_READ":
+            raise GlueSparkError(
+                "Hudi MERGE_ON_READ tables are not supported (base-file"
+                "-only reads would drop un-compacted updates); compact "
+                "to COPY_ON_WRITE or read through a Hudi runtime"
+            )
+    instants: list[tuple[int, str, str]] = []
+    for p in names:
+        m = _COMPLETED_RE.search(p)
+        if m:
+            instants.append((int(m.group(1)), m.group(2), p))
+    if not instants:
+        raise GlueSparkError(
+            f"No completed Hudi commits under {location!r}/.hoodie"
+        )
+    # (instant, path) per file group; newest instant wins (COW rewrite)
+    slices: dict[str, tuple[int, str]] = {}
+    for ts, kind, p in sorted(instants):
+        data = json.loads(_read_bytes(p, s3_client))
+        if kind == "replacecommit":
+            for ids in (data.get("partitionToReplaceFileIds") or {}).values():
+                for fid in ids:
+                    slices.pop(fid, None)
+        for stats in (data.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                path = st.get("path")
+                if not path:
+                    continue
+                fid = _file_id(st, path)
+                have = slices.get(fid)
+                if have is None or ts >= have[0]:
+                    slices[fid] = (ts, path)
+    return sorted(
+        _resolve_path(location, path) for _ts, path in slices.values()
+    )

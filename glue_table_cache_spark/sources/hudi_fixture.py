@@ -1,0 +1,78 @@
+"""Synthetic local Hudi COPY_ON_WRITE table builder (test support).
+
+Builds a minimal-but-layout-shaped Hudi table from DataFrames:
+
+* ``<partition>/<fileId>_<token>_<instant>.parquet`` base files (an
+  updated file group gets a NEW file at a later instant — the stale
+  slice stays on disk, as before cleaning);
+* ``.hoodie/<instant>.commit`` JSON with ``partitionToWriteStats``;
+  ``.hoodie/<instant>.replacecommit`` with
+  ``partitionToReplaceFileIds`` + its own write stats;
+* optionally an ``.inflight`` instant whose files must stay invisible,
+  and an ``orphan.parquet`` no commit references;
+* ``.hoodie/hoodie.properties`` with the table type.
+
+Field names match what :mod:`glue_table_cache_spark.sources.hudi`
+consumes (``partitionToWriteStats[].{fileId,path}``,
+``partitionToReplaceFileIds``).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def _write_data_file(base: Path, df: DataFrame, rel: str) -> Path:
+    stage = base / ("_stage_" + rel.replace("/", "_"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    out = base / rel
+    out.parent.mkdir(parents=True, exist_ok=True)
+    next(stage.glob("part-*.parquet")).rename(out)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def build_hudi_table(
+    base: str | Path,
+    commits: list[dict],
+    orphan: DataFrame | None = None,
+    table_type: str = "COPY_ON_WRITE",
+) -> Path:
+    """Write a Hudi table whose i-th COMPLETED instant applies
+    ``commits[i]``:
+
+    ``{"write": {fileId: df, ...}, "partition": "p", "replace":
+    [fileId, ...], "inflight": bool}`` — ``write`` maps file groups to
+    their (re)written content at this instant; ``replace`` retires
+    file groups (emitted as a replacecommit); ``inflight`` leaves the
+    instant uncommitted (its files must never be scanned)."""
+    base = Path(base)
+    hoodie = base / ".hoodie"
+    hoodie.mkdir(parents=True, exist_ok=True)
+    (hoodie / "hoodie.properties").write_text(
+        f"hoodie.table.name=fixture\nhoodie.table.type={table_type}\n"
+    )
+    for i, commit in enumerate(commits):
+        instant = 20240101000000 + i
+        partition = commit.get("partition", "p0")
+        stats = []
+        for file_id, df in commit.get("write", {}).items():
+            rel = f"{partition}/{file_id}_0-0-0_{instant}.parquet"
+            _write_data_file(base, df, rel)
+            stats.append({"fileId": file_id, "path": rel})
+        payload: dict = {"partitionToWriteStats": {partition: stats}}
+        kind = "commit"
+        if commit.get("replace"):
+            kind = "replacecommit"
+            payload["partitionToReplaceFileIds"] = {
+                partition: list(commit["replace"])
+            }
+        suffix = f"{kind}.inflight" if commit.get("inflight") else kind
+        (hoodie / f"{instant}.{suffix}").write_text(json.dumps(payload))
+    if orphan is not None:
+        _write_data_file(base, orphan, "p0/orphan.parquet")
+    return base

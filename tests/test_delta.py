@@ -114,13 +114,16 @@ def test_engine_delta_scan(spark, tmp_path, frames):
     assert [r.id for r in out.collect()] == [3]
 
 
-def test_engine_hudi_still_raises(spark, tmp_path):
+def test_engine_hudi_without_timeline_raises(spark, tmp_path):
+    """HUDI is handled via the timeline walk (tests/test_hudi.py); a
+    hudi-classified location WITHOUT a timeline must fail loudly,
+    never fall back to a raw directory scan."""
     store = LocalMetadataStore()
     store.register_parquet_dir(
         "db", "htable", str(tmp_path),
         parameters={"hoodie.table.name": "htable"},
     )
-    with pytest.raises(GlueSparkError, match="HUDI"):
+    with pytest.raises(GlueSparkError, match="No completed Hudi"):
         GlueSparkEngine(spark, store).sql(
             "SELECT * FROM glue.db.htable"
         ).collect()

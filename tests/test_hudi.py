@@ -1,0 +1,105 @@
+"""Hudi COPY_ON_WRITE timeline-walk tests: latest-slice-wins,
+inflight/orphan hygiene, replacecommit, MOR rejection, engine scan."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_table_cache_spark.catalog import LocalMetadataStore
+from glue_table_cache_spark.engine import GlueSparkEngine
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sources.hudi import hudi_data_files
+from glue_table_cache_spark.sources.hudi_fixture import build_hudi_table
+
+
+@pytest.fixture()
+def frames(spark):
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    a2 = spark.createDataFrame([(1, "A"), (2, "B")], "id long, v string")
+    return a, b, a2
+
+
+def test_latest_file_slice_wins(spark, tmp_path, frames):
+    """A COW update rewrites the file group at a later instant; the
+    stale slice stays on disk but must not be scanned."""
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [
+            {"write": {"fg1": a, "fg2": b}},
+            {"write": {"fg1": a2}},  # rewrite of fg1
+        ],
+        orphan=a,
+    )
+    paths = hudi_data_files(str(base))
+    names = {p.rsplit("/", 1)[1] for p in paths}
+    assert names == {
+        "fg1_0-0-0_20240101000001.parquet",
+        "fg2_0-0-0_20240101000000.parquet",
+    }
+    rows = {(r.id, r.v) for r in spark.read.parquet(*paths).collect()}
+    assert rows == {(1, "A"), (2, "B"), (3, "c")}  # updated values
+
+
+def test_inflight_instant_invisible(tmp_path, frames):
+    a, b, _ = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [{"write": {"fg1": a}}, {"write": {"fg9": b}, "inflight": True}],
+    )
+    names = {p.rsplit("/", 1)[1] for p in hudi_data_files(str(base))}
+    assert names == {"fg1_0-0-0_20240101000000.parquet"}
+
+
+def test_replacecommit_retires_file_groups(tmp_path, frames):
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [
+            {"write": {"fg1": a, "fg2": b}},
+            # clustering: fg1+fg2 replaced by one new group
+            {"write": {"fg3": a2}, "replace": ["fg1", "fg2"]},
+        ],
+    )
+    names = {p.rsplit("/", 1)[1] for p in hudi_data_files(str(base))}
+    assert names == {"fg3_0-0-0_20240101000001.parquet"}
+
+
+def test_merge_on_read_rejected(tmp_path, frames):
+    a, _, _ = frames
+    base = build_hudi_table(
+        tmp_path / "ht", [{"write": {"fg1": a}}],
+        table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(GlueSparkError, match="MERGE_ON_READ"):
+        hudi_data_files(str(base))
+
+
+def test_no_completed_commits_raises(tmp_path, frames):
+    a, _, _ = frames
+    base = build_hudi_table(
+        tmp_path / "ht", [{"write": {"fg1": a}, "inflight": True}]
+    )
+    with pytest.raises(GlueSparkError, match="No completed Hudi"):
+        hudi_data_files(str(base))
+
+
+def test_engine_hudi_scan(spark, tmp_path, frames):
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [{"write": {"fg1": a, "fg2": b}}, {"write": {"fg1": a2}}],
+        orphan=b,
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "htable", str(base),
+        parameters={"hoodie.table.name": "htable"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id, v FROM glue.db.htable ORDER BY id"
+    )
+    assert [(r.id, r.v) for r in out.collect()] == [
+        (1, "A"), (2, "B"), (3, "c")
+    ]
