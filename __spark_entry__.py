@@ -2016,15 +2016,26 @@ def _q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
-    """version_offset=1 steps back to snapshot 1 (even order keys) —
-    the reference's time-travel parameter (iceberg.ts:23)."""
+    """version_offset=1 time travel on BOTH formats (delta arm r4):
+    Iceberg steps back to snapshot 1 (even order keys — reference
+    parameter, iceberg.ts:23); Delta steps back to version 0, whose
+    active set is the evens TWICE (the duplicate file that version 1
+    removes — time travel must resurrect it)."""
+    from glue_table_cache_spark.sources.delta import delta_data_files
     from glue_table_cache_spark.sources.iceberg import iceberg_data_files
 
-    base = _ensure_fixtures(spark, sf) / "orders_iceberg"
-    paths = iceberg_data_files(str(base), version_offset=1)
-    return spark.read.parquet(*paths).select(
-        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
-    )
+    base = _ensure_fixtures(spark, sf)
+    cols = [
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    ]
+    ice = spark.read.parquet(
+        *iceberg_data_files(str(base / "orders_iceberg"), version_offset=1)
+    ).select(F.lit("iceberg").alias("fmt"), *cols)
+    dl = spark.read.parquet(
+        *delta_data_files(str(base / "orders_delta"), version_offset=1)
+    ).select(F.lit("delta").alias("fmt"), *cols)
+    return ice.unionByName(dl)
 
 
 def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
@@ -2094,9 +2105,17 @@ _EXTRA_ORACLES: dict[str, str] = {
     # oracle value-checks the IVF pipeline end-to-end
     "similarity_ivf_topk": _COSINE_TOPK_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,
+    # iceberg@offset1 = snapshot 1 (evens once); delta@offset1 =
+    # version 0 (evens twice — the later-removed duplicate file)
     "iceberg_time_travel": (
-        "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price "
-        "FROM orders WHERE o_orderkey % 2 = 0"
+        "SELECT 'iceberg' AS fmt, o_orderkey, o_orderstatus, "
+        "round(o_totalprice, 2) AS price "
+        "FROM orders WHERE o_orderkey % 2 = 0 "
+        "UNION ALL "
+        "SELECT 'delta' AS fmt, o_orderkey, o_orderstatus, "
+        "round(o_totalprice, 2) AS price "
+        "FROM orders, (SELECT unnest([1, 2])) "
+        "WHERE o_orderkey % 2 = 0"
     ),
     "events_windows_batch": _WINDOWS_BATCH_ORACLE,
     "events_tumbling_stream": _TUMBLING_ORACLE,
