@@ -26,7 +26,12 @@ the data directory (failed writes, un-vacuumed deletes) are invisible,
 the same hygiene property the Iceberg fixture asserts.
 
 All steps are metadata-scale and run on the driver; the returned path
-list feeds the distributed parquet scan.
+list feeds the distributed parquet scan.  At extreme file counts
+(multi-GB checkpoints) the checkpoint read is the piece to distribute
+— ``spark.read.parquet`` over the checkpoint parts with the same
+``add``-projection, keeping the commit-replay tail driver-side; the
+JSON tail is bounded by the checkpoint interval (10 commits by
+default), so it never grows with table size.
 """
 
 from __future__ import annotations
