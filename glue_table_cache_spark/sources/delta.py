@@ -61,9 +61,34 @@ def _log_files(location: str, fs=None) -> list[str]:
 def _apply_action(active: dict, action: dict) -> None:
     if "add" in action and action["add"]:
         a = action["add"]
+        _check_no_deletion_vector(a)
         active[unquote(a["path"])] = a.get("partitionValues") or {}
     elif "remove" in action and action["remove"]:
         active.pop(unquote(action["remove"]["path"]), None)
+    elif "metaData" in action and action["metaData"]:
+        mode = (action["metaData"].get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("", "none"):
+            # with id/name column mapping the parquet files carry
+            # physical column names — a raw read would surface
+            # col-<uuid> columns instead of the logical schema
+            raise GlueSparkError(
+                f"Delta column mapping mode {mode!r} is not supported "
+                "by the raw-parquet read path"
+            )
+
+
+def _check_no_deletion_vector(add: dict) -> None:
+    """Reader-version-3 deletion vectors mark rows WITHIN a live file
+    as deleted; scanning the file raw would resurrect them — refuse
+    loudly rather than return wrong rows."""
+    if add.get("deletionVector"):
+        raise GlueSparkError(
+            f"Delta file {add.get('path')!r} carries a deletion vector; "
+            "purge deletion vectors (REORG TABLE ... APPLY (PURGE)) or "
+            "read through a Delta runtime"
+        )
 
 
 def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
@@ -81,6 +106,7 @@ def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
         )
         for a in table.column("add").to_pylist():
             if a and a.get("path"):
+                _check_no_deletion_vector(a)
                 pv = a.get("partitionValues") or {}
                 if isinstance(pv, list):  # pyarrow map -> list of pairs
                     pv = dict(pv)

@@ -108,13 +108,29 @@ def iceberg_data_files(
         return read_avro_bytes(_read_bytes(path, s3_client), name=path)
 
     manifest_list = _resolve_path(location, snapshots[-1]["manifest-list"])
-    manifests = [
-        _resolve_path(location, r["manifest_path"])
-        for r in avro(manifest_list)
-    ]
+    manifests = []
+    for r in avro(manifest_list):
+        # content=1 marks a DELETE manifest (format v2 row-level
+        # deletes): its position/equality delete files would have to be
+        # anti-joined against every data file — silently ignoring them
+        # would resurrect deleted rows, so refuse loudly instead
+        if r.get("content", 0) == 1:
+            raise GlueSparkError(
+                f"Iceberg table {location!r} carries row-level delete "
+                "manifests (format v2 merge-on-read); compact/rewrite "
+                "the table or read it through an Iceberg runtime"
+            )
+        manifests.append(_resolve_path(location, r["manifest_path"]))
     files: list[str] = []
     for m in manifests:
         for entry in avro(m):
+            # status=2 is a DELETED entry: the file left the table in
+            # this snapshot and must not be scanned (the reference's
+            # walk reads data_file paths unconditionally — a bug its
+            # own fixtures never trip; /root/reference/src/util/
+            # iceberg.ts:31-33)
+            if entry.get("status") == 2:
+                continue
             files.append(
                 _resolve_path(location, entry["data_file"]["file_path"])
             )

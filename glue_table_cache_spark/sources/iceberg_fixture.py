@@ -32,6 +32,7 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
     ],
 }
@@ -60,47 +61,78 @@ MANIFEST_ENTRY_SCHEMA = {
 
 
 def build_iceberg_table(
-    base: str | Path, snapshots: list[DataFrame], orphan: DataFrame | None = None
+    base: str | Path,
+    snapshots: list,
+    orphan: DataFrame | None = None,
 ) -> Path:
-    """Write ``snapshots[i]`` as the data files added by snapshot i+1;
-    each snapshot's manifest list references ALL manifests so far (an
-    append-only table).  ``orphan`` lands in data/ unreferenced."""
+    """Write ``snapshots[i]`` as the change applied by snapshot i+1.
+
+    Each element is a DataFrame (append — the classic fixture shape)
+    or a dict ``{"add": DataFrame | None, "delete": ["part-N.parquet"],
+    "delete_manifest": bool}``.  A snapshot with ``delete`` writes a
+    REWRITTEN manifest: every still-live file as status=1 plus the
+    deleted files as status=2 (the DELETED entries a correct reader
+    must skip); ``delete_manifest`` marks the snapshot's manifest-list
+    row ``content=1`` (a format-v2 row-level delete manifest a reader
+    without merge-on-read support must refuse).  ``orphan`` lands in
+    data/ unreferenced."""
+    import shutil
+
     base = Path(base)
     data_dir = base / "data"
     meta_dir = base / "metadata"
     data_dir.mkdir(parents=True, exist_ok=True)
     meta_dir.mkdir(parents=True, exist_ok=True)
 
-    manifest_paths: list[str] = []
-    snapshot_records: list[dict] = []
-    for i, df in enumerate(snapshots, start=1):
-        part_dir = base / f"_stage{i}"
-        df.coalesce(1).write.mode("overwrite").parquet(str(part_dir))
-        part_file = next(part_dir.glob("part-*.parquet"))
-        data_file = data_dir / f"part-{i}.parquet"
-        part_file.rename(data_file)
-        import shutil
+    def entry(path: Path, status: int, snap: int) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snap,
+            "data_file": {
+                "file_path": str(path),
+                "file_format": "PARQUET",
+                "record_count": 0,
+                "file_size_in_bytes": (
+                    path.stat().st_size if path.exists() else 0
+                ),
+            },
+        }
 
-        shutil.rmtree(part_dir, ignore_errors=True)
+    manifest_paths: list[str] = []
+    live: dict[str, Path] = {}
+    snapshot_records: list[dict] = []
+    for i, change in enumerate(snapshots, start=1):
+        if not isinstance(change, dict):
+            change = {"add": change}
+        added: Path | None = None
+        if change.get("add") is not None:
+            part_dir = base / f"_stage{i}"
+            change["add"].coalesce(1).write.mode("overwrite").parquet(
+                str(part_dir)
+            )
+            part_file = next(part_dir.glob("part-*.parquet"))
+            added = data_dir / f"part-{i}.parquet"
+            part_file.rename(added)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            live[added.name] = added
 
         manifest = meta_dir / f"manifest-{i}.avro"
-        write_avro(
-            manifest,
-            MANIFEST_ENTRY_SCHEMA,
-            [
-                {
-                    "status": 1,
-                    "snapshot_id": 1000 + i,
-                    "data_file": {
-                        "file_path": str(data_file),
-                        "file_format": "PARQUET",
-                        "record_count": 0,
-                        "file_size_in_bytes": data_file.stat().st_size,
-                    },
-                }
-            ],
-        )
-        manifest_paths.append(str(manifest))
+        deletes = change.get("delete") or []
+        if deletes:
+            # rewritten manifest: all live files + DELETED tombstones
+            removed = {n: live.pop(n) for n in deletes if n in live}
+            rows = [entry(p, 1, 1000 + i) for p in live.values()] + [
+                entry(p, 2, 1000 + i) for p in removed.values()
+            ]
+            write_avro(manifest, MANIFEST_ENTRY_SCHEMA, rows)
+            manifest_paths = [str(manifest)]
+        else:
+            write_avro(
+                manifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [entry(added, 1, 1000 + i)] if added is not None else [],
+            )
+            manifest_paths.append(str(manifest))
 
         manifest_list = meta_dir / f"snap-{i}.avro"
         write_avro(
@@ -111,6 +143,9 @@ def build_iceberg_table(
                     "manifest_path": p,
                     "manifest_length": Path(p).stat().st_size,
                     "partition_spec_id": 0,
+                    "content": (
+                        1 if change.get("delete_manifest") else 0
+                    ),
                     "added_snapshot_id": 1000 + i,
                 }
                 for p in manifest_paths

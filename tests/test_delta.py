@@ -145,3 +145,53 @@ def test_url_encoded_paths_decoded(tmp_path, frames, spark):
     )
     names = {p.rsplit("/", 1)[1] for p in delta_data_files(str(base))}
     assert names == {"part-0-0.parquet"}
+
+
+def test_deletion_vector_refused(tmp_path, frames):
+    """An add action carrying a deletionVector marks rows inside the
+    file as deleted; a raw scan would resurrect them — refuse."""
+    import json
+
+    a, b, c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
+    (base / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "add": {
+                    "path": "part-9.parquet",
+                    "partitionValues": {},
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u", "pathOrInlineDv": "x",
+                        "offset": 1, "sizeInBytes": 36, "cardinality": 2,
+                    },
+                }
+            }
+        )
+        + "\n"
+    )
+    with pytest.raises(GlueSparkError, match="deletion vector"):
+        delta_data_files(str(base))
+
+
+def test_column_mapping_refused(tmp_path, frames):
+    """metaData with delta.columnMapping.mode=name means parquet files
+    carry physical col-<uuid> names — a raw read would surface the
+    wrong schema."""
+    import json
+
+    a, b, c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
+    (base / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "metaData": {
+                    "id": "m2",
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            }
+        )
+        + "\n"
+    )
+    with pytest.raises(GlueSparkError, match="column mapping"):
+        delta_data_files(str(base))

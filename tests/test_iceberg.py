@@ -132,3 +132,37 @@ def test_empty_iceberg_table_gives_empty_relation(spark, tmp_path):
     )
     engine = GlueSparkEngine(spark, store)
     assert engine.sql("SELECT * FROM glue.tpch.ice_empty").count() == 0
+
+
+def test_deleted_manifest_entries_skipped(spark, tmp_path):
+    """A rewritten manifest's status=2 (DELETED) entries left the table
+    in that snapshot and must not be scanned — the reference's walk
+    reads data_file paths unconditionally (iceberg.ts:31-33), a bug its
+    own fixtures never trip."""
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(2,)], "id long")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [a, b, {"add": None, "delete": ["part-1.parquet"]}],
+    )
+    names = {p.rsplit("/", 1)[1] for p in iceberg_data_files(str(base))}
+    assert names == {"part-2.parquet"}
+    # time travel to before the delete still sees both
+    prev = {
+        p.rsplit("/", 1)[1]
+        for p in iceberg_data_files(str(base), version_offset=1)
+    }
+    assert prev == {"part-1.parquet", "part-2.parquet"}
+
+
+def test_row_level_delete_manifest_refused(spark, tmp_path):
+    """content=1 manifests (format-v2 merge-on-read deletes) would
+    require anti-joining delete files — refusing loudly beats
+    resurrecting deleted rows."""
+    a = spark.createDataFrame([(1,)], "id long")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [a, {"add": None, "delete": ["zzz"], "delete_manifest": True}],
+    )
+    with pytest.raises(GlueSparkError, match="row-level delete"):
+        iceberg_data_files(str(base))
