@@ -309,7 +309,10 @@ class GlueSparkEngine:
             paths = self._proxy(hudi_data_files(tbl.location, fs=self._fs))
             if not paths:
                 return self.spark.range(0).select(F.lit(None).alias("null"))
-            return self._format_read(self.spark.read, tbl, *paths)
+            # same basePath treatment as DELTA: hudi partition paths
+            # are usually hive-style <k>=<v> directories
+            reader = self.spark.read.option("basePath", tbl.location)
+            return self._format_read(reader, tbl, *paths)
         if ttype == ETableType.DELTA:
             # beyond the reference (which never handles DELTA): resolve
             # the ACTIVE file set from the transaction log — a raw
@@ -321,7 +324,11 @@ class GlueSparkEngine:
             paths = self._proxy(delta_data_files(tbl.location, fs=self._fs))
             if not paths:
                 return self.spark.range(0).select(F.lit(None).alias("null"))
-            return self._format_read(self.spark.read, tbl, *paths)
+            # basePath keeps hive-style partition dirs (k=v in the
+            # add paths) surfacing as partition columns under the
+            # explicit file list; a no-op for unpartitioned layouts
+            reader = self.spark.read.option("basePath", tbl.location)
+            return self._format_read(reader, tbl, *paths)
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
                 iceberg_data_files,

@@ -195,3 +195,43 @@ def test_column_mapping_refused(tmp_path, frames):
     )
     with pytest.raises(GlueSparkError, match="column mapping"):
         delta_data_files(str(base))
+
+
+def test_partitioned_delta_surfaces_partition_columns(spark, tmp_path):
+    """Hive-style k=v dirs in add paths + basePath: the partition
+    column must surface and filter correctly through the engine."""
+    import json
+    import shutil
+
+    base = tmp_path / "dtp"
+    log = base / "_delta_log"
+    log.mkdir(parents=True)
+    actions = [
+        {"metaData": {"id": "m", "partitionColumns": ["p"]}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+    ]
+    for pval, rows in (("1", [(1, "a")]), ("2", [(2, "b")])):
+        df = spark.createDataFrame(rows, "id long, v string")
+        stage = base / f"_stage{pval}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        rel = f"p={pval}/part-{pval}.parquet"
+        (base / f"p={pval}").mkdir(exist_ok=True)
+        next(stage.glob("part-*.parquet")).rename(base / rel)
+        shutil.rmtree(stage)
+        actions.append(
+            {"add": {"path": rel, "partitionValues": {"p": pval},
+                     "dataChange": True}}
+        )
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dtp", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id, CAST(p AS STRING) AS p FROM glue.db.dtp "
+        "WHERE p = '2'"
+    ).collect()
+    assert [(r.id, r.p) for r in out] == [(2, "2")]
