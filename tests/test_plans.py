@@ -291,3 +291,37 @@ def test_curate_plan_is_cartesian_free(spark):
     plan = explain_string(PL.curate(docs, cfg), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_hive_join(spark, tmp_path):
+    """Joining a hive-partitioned table to a filtered dim on the
+    partition column must plan a dynamicpruning expression in the
+    scan's partition filters — at 100 TB this is the difference
+    between scanning one year and scanning the table."""
+    import __spark_entry__ as entrymod
+    from glue_table_cache_spark.catalog import (
+        LocalMetadataStore,
+        PartitionKey,
+    )
+
+    base = entrymod._ensure_fixtures(spark, "/root/testdata/sf0.001")
+    dim_path = tmp_path / "dim"
+    spark.createDataFrame(
+        [("1997", "keep"), ("1998", "drop")], "year string, tag string"
+    ).write.mode("overwrite").parquet(str(dim_path))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "orders_part", str(base / "orders_part"),
+        partition_keys=[PartitionKey("year"), PartitionKey("month")],
+    )
+    store.register_parquet_dir("db", "dim", str(dim_path))
+    df = GlueSparkEngine(spark, store).sql(
+        """SELECT o.year, count(*) AS n
+           FROM glue.db.orders_part o JOIN glue.db.dim d
+             ON o.year = d.year
+           WHERE d.tag = 'keep' GROUP BY o.year"""
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # partition type inference may surface year as int or string
+    assert [str(r.year) for r in df.collect()] == ["1997"]
