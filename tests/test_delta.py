@@ -235,3 +235,68 @@ def test_partitioned_delta_surfaces_partition_columns(spark, tmp_path):
         "WHERE p = '2'"
     ).collect()
     assert [(r.id, r.p) for r in out] == [(2, "2")]
+
+
+def test_delta_log_reconstruction_property(tmp_path):
+    """Property: for ANY action sequence, the walk's active set equals
+    a straightforward model replay — with and without a checkpoint at
+    an arbitrary version, at every version_offset.  The log walk only
+    reads _delta_log, so no data files (or Spark) are needed."""
+    import json
+
+    from hypothesis import given, settings, strategies as st
+
+    names = [f"f{i}.parquet" for i in range(6)]
+    action = st.one_of(
+        st.tuples(st.just("add"), st.sampled_from(names)),
+        st.tuples(st.just("remove"), st.sampled_from(names)),
+    )
+    counter = iter(range(10**6))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        commits=st.lists(
+            st.lists(action, min_size=1, max_size=4),
+            min_size=1, max_size=6,
+        ),
+        data=st.data(),
+    )
+    def run(commits, data):
+        base = tmp_path / f"p{next(counter)}"
+        log = base / "_delta_log"
+        log.mkdir(parents=True)
+        model_states = []
+        model: dict = {}
+        for v, acts in enumerate(commits):
+            lines = []
+            for kind, name in acts:
+                if kind == "add":
+                    lines.append(json.dumps(
+                        {"add": {"path": name, "partitionValues": {},
+                                 "dataChange": True}}))
+                    model[name] = {}
+                else:
+                    lines.append(json.dumps(
+                        {"remove": {"path": name, "dataChange": True}}))
+                    model.pop(name, None)
+            (log / f"{v:020d}.json").write_text("\n".join(lines) + "\n")
+            model_states.append(dict(model))
+        cp = data.draw(
+            st.one_of(st.none(), st.integers(0, len(commits) - 1)),
+            label="checkpoint_at",
+        )
+        if cp is not None:
+            from glue_table_cache_spark.sources.delta_fixture import (
+                _write_checkpoint,
+            )
+
+            _write_checkpoint(log, cp, model_states[cp])
+        for off in range(len(commits)):
+            got = {
+                p.rsplit("/", 1)[1]
+                for p in delta_data_files(str(base), version_offset=off)
+            }
+            want = set(model_states[len(commits) - 1 - off])
+            assert got == want, (off, cp, commits)
+
+    run()
