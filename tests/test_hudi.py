@@ -103,3 +103,67 @@ def test_engine_hudi_scan(spark, tmp_path, frames):
     assert [(r.id, r.v) for r in out.collect()] == [
         (1, "A"), (2, "B"), (3, "c")
     ]
+
+
+def test_hudi_timeline_reconstruction_property(tmp_path):
+    """Property: for ANY sequence of write/replace/inflight instants,
+    the walk's file set equals a latest-slice-per-group model replay.
+    Driver-only — the walk never touches data files."""
+    import json
+
+    from hypothesis import given, settings, strategies as st
+
+    groups = [f"fg{i}" for i in range(4)]
+    instant_strategy = st.fixed_dictionaries(
+        {
+            "write": st.sets(st.sampled_from(groups), max_size=3),
+            "replace": st.sets(st.sampled_from(groups), max_size=2),
+            "inflight": st.booleans(),
+        }
+    )
+    counter = iter(range(10**6))
+
+    @settings(max_examples=40, deadline=None)
+    @given(instants=st.lists(instant_strategy, min_size=1, max_size=6))
+    def run(instants):
+        base = tmp_path / f"p{next(counter)}"
+        hoodie = base / ".hoodie"
+        hoodie.mkdir(parents=True)
+        (hoodie / "hoodie.properties").write_text(
+            "hoodie.table.type=COPY_ON_WRITE\n"
+        )
+        model: dict[str, str] = {}
+        any_completed = False
+        for i, spec in enumerate(instants):
+            ts = 20240101000000 + i
+            stats = [
+                {"fileId": g, "path": f"p0/{g}_0-0-0_{ts}.parquet"}
+                for g in sorted(spec["write"])
+            ]
+            payload: dict = {"partitionToWriteStats": {"p0": stats}}
+            kind = "commit"
+            if spec["replace"]:
+                kind = "replacecommit"
+                payload["partitionToReplaceFileIds"] = {
+                    "p0": sorted(spec["replace"])
+                }
+            suffix = f"{kind}.inflight" if spec["inflight"] else kind
+            (hoodie / f"{ts}.{suffix}").write_text(json.dumps(payload))
+            if spec["inflight"]:
+                continue
+            any_completed = True
+            if spec["replace"]:
+                for g in spec["replace"]:
+                    model.pop(g, None)
+            for g in sorted(spec["write"]):
+                model[g] = f"p0/{g}_0-0-0_{ts}.parquet"
+        if not any_completed:
+            with pytest.raises(GlueSparkError, match="No completed"):
+                hudi_data_files(str(base))
+            return
+        got = {
+            p.split("/p0/", 1)[1] for p in hudi_data_files(str(base))
+        }
+        assert got == {v.split("/", 1)[1] for v in model.values()}, instants
+
+    run()
