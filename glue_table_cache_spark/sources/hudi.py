@@ -115,3 +115,42 @@ def hudi_data_files(
     return sorted(
         _resolve_path(location, path) for _ts, path in slices.values()
     )
+
+
+def hudi_changes(
+    location: str,
+    since_instant: int = 0,
+    s3_client=None,
+    fs=None,
+) -> tuple[int, list[str]]:
+    """File-level incremental feed: ``(latest_instant, written)`` —
+    paths written by completed instants strictly after
+    ``since_instant`` (Hudi's incremental-query idea at file
+    granularity).  A consumer remembers ``latest_instant`` and feeds
+    only ``written`` to the next pipeline run.
+
+    Copy-on-write caveat: a rewritten file group's new file contains
+    the group's FULL content (old rows + updates), so an incremental
+    consumer sees those rows again — dedup downstream by record key,
+    exactly as Hudi's own incremental readers do."""
+    names = _timeline_files(location, fs=fs)
+    instants: list[tuple[int, str, str]] = []
+    for p in names:
+        m = _COMPLETED_RE.search(p)
+        if m:
+            instants.append((int(m.group(1)), m.group(2), p))
+    if not instants:
+        raise GlueSparkError(
+            f"No completed Hudi commits under {location!r}/.hoodie"
+        )
+    latest = max(ts for ts, _k, _p in instants)
+    written: list[str] = []
+    for ts, _kind, p in sorted(instants):
+        if ts <= since_instant:
+            continue
+        data = json.loads(_read_bytes(p, s3_client))
+        for stats in (data.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                if st.get("path"):
+                    written.append(_resolve_path(location, st["path"]))
+    return latest, sorted(set(written))

@@ -135,3 +135,19 @@ def iceberg_data_files(
                 _resolve_path(location, entry["data_file"]["file_path"])
             )
     return files
+
+
+def iceberg_changes(
+    location: str,
+    versions_back: int = 1,
+    s3_client=None,
+    fs=None,
+) -> tuple[list[str], list[str]]:
+    """File-level incremental feed: ``(added, removed)`` data files
+    between the snapshot ``versions_back`` versions ago and the current
+    one — the "process only new data" primitive for incremental
+    training-data ingestion, computed as a set difference of two
+    manifest walks (both metadata-scale)."""
+    cur = set(iceberg_data_files(location, 0, s3_client, fs))
+    prev = set(iceberg_data_files(location, versions_back, s3_client, fs))
+    return sorted(cur - prev), sorted(prev - cur)

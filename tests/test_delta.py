@@ -300,3 +300,39 @@ def test_delta_log_reconstruction_property(tmp_path):
             assert got == want, (off, cp, commits)
 
     run()
+
+
+def test_delta_changes_incremental_feed(tmp_path, frames):
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a]},                                  # v0
+            {"add": [b]},                                  # v1
+            {"add": [c], "remove": ["part-0-0.parquet"]},  # v2
+        ],
+    )
+    from glue_table_cache_spark.sources.delta import delta_changes
+
+    latest, added, removed = delta_changes(str(base), since_version=0)
+    assert latest == 2
+    assert {p.rsplit("/", 1)[1] for p in added} == {
+        "part-1-0.parquet", "part-2-0.parquet"
+    }
+    assert {p.rsplit("/", 1)[1] for p in removed} == {"part-0-0.parquet"}
+    # empty window
+    latest2, added2, removed2 = delta_changes(str(base), since_version=2)
+    assert (latest2, added2, removed2) == (2, [], [])
+    # add+remove inside the window cancels
+    import json
+
+    (base / "_delta_log" / f"{3:020d}.json").write_text(
+        json.dumps({"add": {"path": "x.parquet", "partitionValues": {},
+                            "dataChange": True}}) + "\n"
+        + json.dumps({"remove": {"path": "x.parquet",
+                                 "dataChange": True}}) + "\n"
+    )
+    _, added3, removed3 = delta_changes(str(base), since_version=2)
+    assert added3 == [] and removed3 == []
+    with pytest.raises(GlueSparkError, match="ahead of the log"):
+        delta_changes(str(base), since_version=99)

@@ -167,3 +167,25 @@ def test_hudi_timeline_reconstruction_property(tmp_path):
         assert got == {v.split("/", 1)[1] for v in model.values()}, instants
 
     run()
+
+
+def test_hudi_changes_incremental_feed(tmp_path, frames):
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [{"write": {"fg1": a}}, {"write": {"fg2": b}},
+         {"write": {"fg1": a2}}],
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_changes
+
+    latest, written = hudi_changes(str(base), since_instant=0)
+    assert latest == 20240101000002
+    assert len(written) == 3  # all instants after 0
+    latest2, written2 = hudi_changes(
+        str(base), since_instant=20240101000000
+    )
+    assert {p.rsplit("/", 1)[1] for p in written2} == {
+        "fg2_0-0-0_20240101000001.parquet",
+        "fg1_0-0-0_20240101000002.parquet",
+    }
+    assert hudi_changes(str(base), since_instant=latest)[1] == []

@@ -166,3 +166,20 @@ def test_row_level_delete_manifest_refused(spark, tmp_path):
     )
     with pytest.raises(GlueSparkError, match="row-level delete"):
         iceberg_data_files(str(base))
+
+
+def test_iceberg_changes_incremental_feed(spark, tmp_path):
+    from glue_table_cache_spark.sources.iceberg import iceberg_changes
+
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(2,)], "id long")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [a, b, {"add": None, "delete": ["part-1.parquet"]}],
+    )
+    added, removed = iceberg_changes(str(base), versions_back=1)
+    assert [p.rsplit("/", 1)[1] for p in added] == []
+    assert [p.rsplit("/", 1)[1] for p in removed] == ["part-1.parquet"]
+    added2, removed2 = iceberg_changes(str(base), versions_back=2)
+    assert [p.rsplit("/", 1)[1] for p in added2] == ["part-2.parquet"]
+    assert [p.rsplit("/", 1)[1] for p in removed2] == ["part-1.parquet"]
