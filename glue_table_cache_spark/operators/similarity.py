@@ -385,3 +385,66 @@ def embedding_near_pairs(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding storage utilities (normalize / quantize)
+# --------------------------------------------------------------------------
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Unit-L2-normalize an embedding column (map-only, pure column
+    expressions).  After normalization cosine similarity reduces to a
+    plain dot product — the usual pre-step before ANN indexing.  A
+    zero vector stays zero (NULL-safe division would silently corrupt
+    downstream dot products; zeros keep scoring zero everywhere)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = l2_norm(F.col(vec_col))
+    normed = F.when(n == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / n)
+    )
+    return df.withColumn(out_col or vec_col, normed)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q",
+    scale_col: str = "embedding_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` stored as ``array<tinyint>`` — a 4-8×
+    storage/shuffle shrink for embedding corpora, with the per-vector
+    scale kept alongside for dequantization.  Map-only column
+    expressions; max round-trip error is ``scale/2`` per element
+    (≤ 0.4% of the vector's max magnitude).  Zero vectors get scale 0
+    and all-zero codes."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = amax / F.lit(127.0)
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(
+        out_col, q.cast("array<tinyint>")
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "embedding_q",
+    scale_col: str = "embedding_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x_i ≈ q_i · scale``."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col).cast("array<double>"), lambda x: x * s
+        ),
+    )

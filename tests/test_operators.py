@@ -1586,3 +1586,59 @@ def test_length_histogram(spark):
     )
     got = {r.bucket: r.n_docs for r in ST.length_histogram(df).collect()}
     assert got == {-1: 1, 0: 1, 1: 1, 2: 1}
+
+
+# -- embedding storage utilities ---------------------------------------------
+
+
+def test_normalize_embeddings(embeddings):
+    out = S.normalize_embeddings(embeddings.limit(50))
+    norms = out.select(
+        F.round(S.l2_norm(F.col("embedding")), 6).alias("n")
+    ).collect()
+    assert all(abs(r.n - 1.0) < 1e-6 for r in norms)
+
+
+def test_normalize_zero_vector_stays_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = S.normalize_embeddings(df).collect()[0].embedding
+    assert out == [0.0, 0.0, 0.0]
+
+
+def test_quantize_roundtrip_error_bound(embeddings):
+    """Round-trip error per element must be <= scale/2; cosine of the
+    reconstructed vector vs the original must stay ~1."""
+    base = embeddings.limit(100)
+    q = S.quantize_embeddings(base)
+    # tinyint storage: codes are within [-127, 127]
+    rng = q.select(
+        F.array_max(F.col("embedding_q").cast("array<int>")).alias("hi"),
+        F.array_min(F.col("embedding_q").cast("array<int>")).alias("lo"),
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).collect()[0]
+    assert rng.hi <= 127 and rng.lo >= -127
+    back = S.dequantize_embeddings(q, out_col="emb_back")
+    chk = back.select(
+        S.cosine(F.col("embedding"), F.col("emb_back")).alias("cos"),
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("emb_back"),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        (F.col("embedding_scale") / 2 + 1e-12).alias("bound"),
+    ).collect()
+    assert all(r.cos > 0.999 for r in chk)
+    assert all(r.max_err <= r.bound for r in chk)
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = S.quantize_embeddings(df).collect()[0]
+    assert row.embedding_scale == 0.0 and list(row.embedding_q) == [0, 0]
