@@ -46,8 +46,20 @@ from glue_table_cache_spark.sources.iceberg import _read_bytes, _resolve_path
 
 _COMMIT_RE = re.compile(r"(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
-    r"(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.parquet$"
+    r"(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
 )
+
+#: Reader features (Delta protocol table-features, minReaderVersion 3)
+#: this raw-parquet read path can honor.  ``columnMapping`` is refused
+#: via the metaData gate; ``deletionVectors`` is accepted here because
+#: per-file DVs are either materialized by the DV read path or refused
+#: loudly at the ``add`` action; ``v2Checkpoint`` is refused because v2
+#: checkpoints move actions into sidecar files this reader never lists.
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+}
 
 
 def _log_files(location: str, fs=None) -> list[str]:
@@ -66,16 +78,48 @@ def _apply_action(active: dict, action: dict) -> None:
     elif "remove" in action and action["remove"]:
         active.pop(unquote(action["remove"]["path"]), None)
     elif "metaData" in action and action["metaData"]:
-        mode = (action["metaData"].get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
+        _check_metadata(action["metaData"])
+    elif "protocol" in action and action["protocol"]:
+        _check_protocol(action["protocol"])
+
+
+def _check_metadata(meta: dict) -> None:
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):  # pyarrow map -> list of pairs
+        conf = dict(conf)
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("", "none"):
+        # with id/name column mapping the parquet files carry
+        # physical column names — a raw read would surface
+        # col-<uuid> columns instead of the logical schema
+        raise GlueSparkError(
+            f"Delta column mapping mode {mode!r} is not supported "
+            "by the raw-parquet read path"
         )
-        if mode not in ("", "none"):
-            # with id/name column mapping the parquet files carry
-            # physical column names — a raw read would surface
-            # col-<uuid> columns instead of the logical schema
+
+
+def _check_protocol(protocol: dict) -> None:
+    """Refuse tables whose reader protocol this path cannot honor —
+    silently scanning past an unknown reader requirement is exactly the
+    wrong-rows hazard the protocol field exists to prevent."""
+    version = protocol.get("minReaderVersion", 1)
+    if version is None:
+        return
+    if version > 3:
+        raise GlueSparkError(
+            f"Delta minReaderVersion {version} is newer than this "
+            "reader understands (max 3)"
+        )
+    if version == 3:
+        unsupported = (
+            set(protocol.get("readerFeatures") or [])
+            - _SUPPORTED_READER_FEATURES
+        )
+        if unsupported:
             raise GlueSparkError(
-                f"Delta column mapping mode {mode!r} is not supported "
-                "by the raw-parquet read path"
+                "Delta table requires reader features "
+                f"{sorted(unsupported)} not supported by the "
+                "raw-parquet read path"
             )
 
 
@@ -91,19 +135,69 @@ def _check_no_deletion_vector(add: dict) -> None:
         )
 
 
+def _verify_checkpoint_parts(version: int, paths: list[str]) -> list[str]:
+    """A multi-part checkpoint filename encodes ``<part>.<numParts>``;
+    trusting whatever parts the listing happened to return would
+    silently drop every live file recorded in a missing part (silent
+    data loss, not a loud error).  Verify the set is exactly
+    ``1..numParts`` before reading."""
+    parts: dict[int, int] = {}
+    for p in paths:
+        m = _CHECKPOINT_RE.search(p)
+        if m and m.group(2) is not None:
+            parts[int(m.group(2))] = int(m.group(3))
+    if not parts:  # single-file checkpoint
+        if len(paths) != 1:
+            raise GlueSparkError(
+                f"Conflicting checkpoint files for Delta version "
+                f"{version}: {sorted(paths)}"
+            )
+        return paths
+    num_parts = set(parts.values())
+    if len(num_parts) != 1 or set(parts) != set(
+        range(1, next(iter(num_parts)) + 1)
+    ):
+        raise GlueSparkError(
+            f"Incomplete multi-part checkpoint for Delta version "
+            f"{version}: have parts {sorted(parts)} of "
+            f"{sorted(num_parts)} — refusing to read a partial "
+            "active-file set"
+        )
+    return sorted(paths)
+
+
 def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
     """Active adds from a (possibly multi-part) checkpoint parquet.
     A checkpoint row holds at most one action; only ``add`` rows carry
-    live files (``remove`` rows are expired-tombstone bookkeeping)."""
+    live files (``remove`` rows are expired-tombstone bookkeeping) —
+    but ``metaData`` / ``protocol`` rows carry the SAME reader gates
+    the JSON replay enforces, and after log cleanup the checkpoint may
+    be the only place they live, so they are read and checked too."""
     import io
 
     import pyarrow.parquet as pq
 
     active: dict = {}
     for p in paths:
-        table = pq.read_table(
-            io.BytesIO(_read_bytes(p, s3_client)), columns=["add"]
-        )
+        pf = pq.ParquetFile(io.BytesIO(_read_bytes(p, s3_client)))
+        want = [
+            c
+            for c in ("add", "metaData", "protocol")
+            if c in pf.schema_arrow.names
+        ]
+        table = pf.read(columns=want)
+        if "protocol" in want:
+            for proto in table.column("protocol").to_pylist():
+                if proto and proto.get("minReaderVersion") is not None:
+                    _check_protocol(proto)
+        if "metaData" in want:
+            for meta in table.column("metaData").to_pylist():
+                if meta and (
+                    meta.get("configuration") or meta.get("id")
+                ):
+                    _check_metadata(meta)
+        if "add" not in want:
+            continue
         for a in table.column("add").to_pylist():
             if a and a.get("path"):
                 _check_no_deletion_vector(a)
@@ -155,7 +249,9 @@ def delta_data_files(
     cp_versions = [v for v in checkpoints if v <= target]
     if cp_versions:
         cp = max(cp_versions)
-        active = _read_checkpoint(sorted(checkpoints[cp]), s3_client)
+        active = _read_checkpoint(
+            _verify_checkpoint_parts(cp, checkpoints[cp]), s3_client
+        )
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:

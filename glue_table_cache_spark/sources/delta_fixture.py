@@ -44,6 +44,7 @@ def build_delta_table(
     orphan: DataFrame | None = None,
     checkpoint_at: int | None = None,
     drop_precheckpoint_commits: bool = False,
+    checkpoint_kwargs: dict | None = None,
 ) -> Path:
     """Write a Delta table whose version ``i`` applies ``commits[i]``:
     ``{"add": [df, ...], "remove": ["part-N.parquet", ...]}`` (either
@@ -101,7 +102,9 @@ def build_delta_table(
             "\n".join(json.dumps(a) for a in actions) + "\n"
         )
         if checkpoint_at == version:
-            _write_checkpoint(log_dir, version, active)
+            _write_checkpoint(
+                log_dir, version, active, **(checkpoint_kwargs or {})
+            )
 
     if drop_precheckpoint_commits and checkpoint_at is not None:
         for v in range(checkpoint_at + 1):
@@ -113,8 +116,22 @@ def build_delta_table(
 
 
 def _write_checkpoint(
-    log_dir: Path, version: int, active: dict[str, dict]
+    log_dir: Path,
+    version: int,
+    active: dict[str, dict],
+    metadata_configuration: dict[str, str] | None = None,
+    protocol: dict | None = None,
+    num_parts: int | None = None,
+    drop_parts: set[int] | None = None,
 ) -> None:
+    """Write a ``<version>.checkpoint.parquet`` (or, with ``num_parts``,
+    the multi-part ``<version>.checkpoint.<part>.<numParts>.parquet``
+    set).  One action per row, per the protocol: ``add`` rows carry the
+    active set, and one row each carries ``metaData`` / ``protocol`` —
+    after log cleanup the checkpoint is the ONLY place those gates
+    live, which is exactly what the reader tests exercise.
+    ``drop_parts`` simulates a lost/unlisted part (reader must refuse,
+    not silently drop that part's files)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -125,11 +142,53 @@ def _write_checkpoint(
             ("size", pa.int64()),
         ]
     )
-    rows = [
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_type = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    add_rows: list[dict | None] = [
         {"path": p, "partitionValues": list(pv.items()), "size": 0}
         for p, pv in sorted(active.items())
     ]
-    # one action per checkpoint row: the remove/metaData columns are
-    # not needed by our reader (it only projects `add`)
-    table = pa.table({"add": pa.array(rows, type=add_type)})
-    pq.write_table(table, log_dir / f"{version:020d}.checkpoint.parquet")
+    meta_row = {
+        "id": "00000000-0000-0000-0000-000000000000",
+        "configuration": list((metadata_configuration or {}).items()),
+    }
+    proto_row = protocol or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+        "readerFeatures": None,
+    }
+    n_rows = len(add_rows) + 2
+    adds = pa.array(add_rows + [None, None], type=add_type)
+    metas = pa.array(
+        [None] * len(add_rows) + [meta_row, None], type=meta_type
+    )
+    protos = pa.array(
+        [None] * (len(add_rows) + 1) + [proto_row], type=proto_type
+    )
+    table = pa.table({"add": adds, "metaData": metas, "protocol": protos})
+    if num_parts is None:
+        pq.write_table(
+            table, log_dir / f"{version:020d}.checkpoint.parquet"
+        )
+        return
+    for part in range(1, num_parts + 1):
+        if drop_parts and part in drop_parts:
+            continue
+        # round-robin rows across parts so every part carries data
+        idx = [i for i in range(n_rows) if i % num_parts == part - 1]
+        pq.write_table(
+            table.take(idx),
+            log_dir
+            / f"{version:020d}.checkpoint.{part:010d}.{num_parts:010d}.parquet",
+        )

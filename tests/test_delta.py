@@ -79,6 +79,110 @@ def test_checkpoint_replaces_cleaned_commits(tmp_path, frames):
     assert names == {"part-0-0.parquet", "part-2-0.parquet"}
 
 
+def test_checkpoint_only_column_mapping_refused(tmp_path, frames):
+    """After log cleanup the checkpoint can be the ONLY carrier of the
+    metaData gate: a column-mapped table bootstrapped from a checkpoint
+    must refuse, not silently surface physical col-<uuid> names."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={
+            "metadata_configuration": {"delta.columnMapping.mode": "name"}
+        },
+    )
+    with pytest.raises(GlueSparkError, match="column mapping"):
+        delta_data_files(str(base))
+
+
+def test_checkpoint_only_reader_features_refused(tmp_path, frames):
+    """protocol rows in the checkpoint are enforced like JSON-replayed
+    ones: unknown minReaderVersion-3 readerFeatures refuse loudly."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+            }
+        },
+    )
+    with pytest.raises(GlueSparkError, match="reader features"):
+        delta_data_files(str(base))
+
+
+def test_json_protocol_reader_version_refused(tmp_path, frames):
+    """A protocol action in the JSON replay with an unknown reader
+    version refuses (previously protocol was never checked at all)."""
+    import json as _json
+
+    a, b, c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
+    with (base / "_delta_log" / f"{1:020d}.json").open("w") as f:
+        f.write(
+            _json.dumps(
+                {"protocol": {"minReaderVersion": 4, "minWriterVersion": 8}}
+            )
+            + "\n"
+        )
+    with pytest.raises(GlueSparkError, match="minReaderVersion 4"):
+        delta_data_files(str(base))
+    # supported feature set on v3 passes
+    with (base / "_delta_log" / f"{1:020d}.json").open("w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["timestampNtz"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert len(delta_data_files(str(base))) == 1
+
+
+def test_multipart_checkpoint_reads_all_parts(tmp_path, frames):
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a, b]}, {"add": [c]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={"num_parts": 3},
+    )
+    names = {p.rsplit("/", 1)[1] for p in delta_data_files(str(base))}
+    assert names == {
+        "part-0-0.parquet",
+        "part-0-1.parquet",
+        "part-1-0.parquet",
+    }
+
+
+def test_multipart_checkpoint_missing_part_raises(tmp_path, frames):
+    """A missing/unlisted checkpoint part must raise loudly — reading
+    the surviving parts would silently drop live files."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a, b]}, {"add": [c]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={"num_parts": 3, "drop_parts": {2}},
+    )
+    with pytest.raises(GlueSparkError, match="Incomplete multi-part"):
+        delta_data_files(str(base))
+
+
 def test_missing_commit_without_checkpoint_raises(tmp_path, frames):
     a, b, c = frames
     base = build_delta_table(tmp_path / "dt", [{"add": [a]}, {"add": [b]}])
