@@ -203,10 +203,26 @@ class GlueSparkEngine:
             # with the provider chain captured at FS creation — conf
             # edits alone never reach already-visited buckets.  Close
             # cached instances so the next read builds a fresh FS with
-            # the new chain.
+            # the new chain.  Scope the close to the current UGI
+            # (closeAllForUGI) rather than FileSystem.closeAll(), which
+            # would tear down every cached filesystem JVM-wide.
+            # CONCURRENCY HAZARD: even UGI-scoped, closing yanks
+            # filesystems out from under in-flight tasks and streaming
+            # checkpoints of THIS user ("Filesystem closed" failures).
+            # Rotate credentials at a quiet point, or pre-set
+            # fs.s3a.impl.disable.cache=true for sessions that must
+            # rotate under concurrent load (per-access FS construction
+            # cost, but no shared instance to invalidate).
             try:
                 jvm = self.spark.sparkContext._jvm
-                jvm.org.apache.hadoop.fs.FileSystem.closeAll()
+                if hconf.get("fs.s3a.impl.disable.cache") == "true":
+                    pass  # nothing cached; new conf applies per access
+                else:
+                    ugi = (
+                        jvm.org.apache.hadoop.security.UserGroupInformation
+                        .getCurrentUser()
+                    )
+                    jvm.org.apache.hadoop.fs.FileSystem.closeAllForUGI(ugi)
             except Exception:  # pragma: no cover - py4j-less test stub
                 pass
         if region:

@@ -191,6 +191,7 @@ def range_join(
     by: str | list[str] | None = None,
     bucket: str = "1 hour",
     max_buckets_per_interval: int = 1024,
+    on_null_bounds: str = "drop",
 ) -> DataFrame:
     """Interval join — left rows matched to right intervals containing
     them (``start <= ts < end``) — via *bucketing*, not a theta join.
@@ -206,7 +207,18 @@ def range_join(
     year-long interval at a 1-hour bucket would fan out ~10⁴ rows and
     every such interval lands in every bucket's candidate set.  An
     interval overlapping more buckets than the cap raises at execution
-    time — widen ``bucket`` (or raise the cap) deliberately instead."""
+    time — widen ``bucket`` (or raise the cap) deliberately instead.
+
+    An interval with a NULL start or end can contain no timestamp;
+    ``on_null_bounds`` picks the posture: ``"drop"`` (default) drops
+    such right rows before the explode, ``"error"`` raises with a
+    message naming the problem (instead of the cap-exceeded message a
+    NULL would otherwise confusingly hit)."""
+    if on_null_bounds not in ("drop", "error"):
+        raise ValueError(
+            f"on_null_bounds must be 'drop' or 'error', "
+            f"got {on_null_bounds!r}"
+        )
     by_cols = ([by] if isinstance(by, str) else list(by)) if by else []
     step = _duration_seconds(bucket)
     lb = left.withColumn(
@@ -215,10 +227,24 @@ def range_join(
     b_start = F.floor(F.unix_timestamp(F.col(right_start)) / step)
     b_end = F.floor(F.unix_timestamp(F.col(right_end)) / step)
     n_buckets = b_end - b_start + 1
+    null_bounds = F.col(right_start).isNull() | F.col(right_end).isNull()
+    null_arm = (
+        # explode(NULL) yields zero rows — the documented drop
+        F.lit(None).cast("array<bigint>")
+        if on_null_bounds == "drop"
+        else F.raise_error(
+            F.lit(
+                "range_join: NULL interval bound in "
+                f"{right_start!r}/{right_end!r} "
+                "(on_null_bounds='error'; pass 'drop' to skip such rows)"
+            )
+        )
+    )
     rb = right.withColumn(
         "__bucket",
         F.explode(
-            F.when(
+            F.when(null_bounds, null_arm)
+            .when(
                 n_buckets <= F.lit(max_buckets_per_interval),
                 F.sequence(b_start, b_end),
             ).otherwise(
@@ -235,7 +261,14 @@ def range_join(
         ),
     )
     joined = lb.join(rb, by_cols + ["__bucket"])
-    return joined.where(
-        (F.col(right_start) <= F.col(left_ts))
-        & (F.col(left_ts) < F.col(right_end))
-    ).drop("__bucket")
+    containment = (F.col(right_start) <= F.col(left_ts)) & (
+        F.col(left_ts) < F.col(right_end)
+    )
+    if on_null_bounds == "error":
+        # A bare containment filter lets Catalyst infer
+        # isnotnull(start/end) and push it below the explode, which
+        # would silently drop the NULL rows the raise arm exists to
+        # report.  coalesce(pred, false) keeps the same filter
+        # semantics without implying the bounds are non-null.
+        containment = F.coalesce(containment, F.lit(False))
+    return joined.where(containment).drop("__bucket")

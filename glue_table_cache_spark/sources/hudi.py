@@ -40,7 +40,11 @@ import re
 from glue_table_cache_spark.errors import GlueSparkError
 from glue_table_cache_spark.sources.iceberg import _read_bytes, _resolve_path
 
-_COMPLETED_RE = re.compile(r"/(\d+)\.(commit|replacecommit)$")
+#: Completed-instant names: legacy ``<ts>.commit`` and the Hudi 1.x
+#: form ``<requestTs>_<completionTs>.commit``.  Keying is always on
+#: the REQUEST timestamp (first field) — that is the instant identity
+#: Hudi uses in write stats and replace maps.
+_COMPLETED_RE = re.compile(r"/(\d+)(?:_(\d+))?\.(commit|replacecommit)$")
 
 #: base-file name: <fileId>_<writeToken>_<instantTime>.parquet
 _BASE_FILE_RE = re.compile(r"([^/_]+(?:-[^/_]+)*)_[^/_]+_(\d+)\.parquet$")
@@ -52,6 +56,33 @@ def _timeline_files(location: str, fs=None) -> list[str]:
     hoodie = posixpath.join(location.rstrip("/"), ".hoodie")
     fs = fs or filesystem_for(hoodie)
     return fs.list_files(hoodie)
+
+
+def _completed_instants(
+    names: list[str], location: str
+) -> list[tuple[int, str, str]]:
+    """Completed instants as ``(request_ts, kind, path)`` in explicit
+    replay order: ascending request timestamp, then completion
+    timestamp (Hudi 1.x names only), then kind with ``commit`` BEFORE
+    ``replacecommit`` — so a clustering replacecommit that replaces
+    file groups written at the same request instant applies after the
+    write and the replacement wins.  Previously this tie-break was an
+    accident of lexicographic tuple sort; now it is the contract."""
+    found: list[tuple[int, int, int, str, str]] = []
+    for p in names:
+        m = _COMPLETED_RE.search(p)
+        if m:
+            req = int(m.group(1))
+            completion = int(m.group(2)) if m.group(2) else req
+            kind = m.group(3)
+            found.append(
+                (req, completion, 0 if kind == "commit" else 1, kind, p)
+            )
+    if not found:
+        raise GlueSparkError(
+            f"No completed Hudi commits under {location!r}/.hoodie"
+        )
+    return [(req, kind, p) for req, _c, _k, kind, p in sorted(found)]
 
 
 def _file_id(stat: dict, path: str) -> str:
@@ -86,18 +117,10 @@ def hudi_data_files(
                 "-only reads would drop un-compacted updates); compact "
                 "to COPY_ON_WRITE or read through a Hudi runtime"
             )
-    instants: list[tuple[int, str, str]] = []
-    for p in names:
-        m = _COMPLETED_RE.search(p)
-        if m:
-            instants.append((int(m.group(1)), m.group(2), p))
-    if not instants:
-        raise GlueSparkError(
-            f"No completed Hudi commits under {location!r}/.hoodie"
-        )
+    instants = _completed_instants(names, location)
     # (instant, path) per file group; newest instant wins (COW rewrite)
     slices: dict[str, tuple[int, str]] = {}
-    for ts, kind, p in sorted(instants):
+    for ts, kind, p in instants:
         data = json.loads(_read_bytes(p, s3_client))
         if kind == "replacecommit":
             for ids in (data.get("partitionToReplaceFileIds") or {}).values():
@@ -134,18 +157,10 @@ def hudi_changes(
     consumer sees those rows again — dedup downstream by record key,
     exactly as Hudi's own incremental readers do."""
     names = _timeline_files(location, fs=fs)
-    instants: list[tuple[int, str, str]] = []
-    for p in names:
-        m = _COMPLETED_RE.search(p)
-        if m:
-            instants.append((int(m.group(1)), m.group(2), p))
-    if not instants:
-        raise GlueSparkError(
-            f"No completed Hudi commits under {location!r}/.hoodie"
-        )
+    instants = _completed_instants(names, location)
     latest = max(ts for ts, _k, _p in instants)
     written: list[str] = []
-    for ts, _kind, p in sorted(instants):
+    for ts, _kind, p in instants:
         if ts <= since_instant:
             continue
         data = json.loads(_read_bytes(p, s3_client))

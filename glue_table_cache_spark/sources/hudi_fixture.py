@@ -41,6 +41,7 @@ def build_hudi_table(
     commits: list[dict],
     orphan: DataFrame | None = None,
     table_type: str = "COPY_ON_WRITE",
+    hudi_1x_names: bool = False,
 ) -> Path:
     """Write a Hudi table whose i-th COMPLETED instant applies
     ``commits[i]``:
@@ -72,7 +73,13 @@ def build_hudi_table(
                 partition: list(commit["replace"])
             }
         suffix = f"{kind}.inflight" if commit.get("inflight") else kind
-        (hoodie / f"{instant}.{suffix}").write_text(json.dumps(payload))
+        # Hudi 1.x names completed instants <requestTs>_<completionTs>
+        stem = (
+            f"{instant}_{instant + 500}"
+            if hudi_1x_names and not commit.get("inflight")
+            else str(instant)
+        )
+        (hoodie / f"{stem}.{suffix}").write_text(json.dumps(payload))
     if orphan is not None:
         _write_data_file(base, orphan, "p0/orphan.parquet")
     return base

@@ -42,6 +42,32 @@ def test_latest_file_slice_wins(spark, tmp_path, frames):
     assert rows == {(1, "A"), (2, "B"), (3, "c")}  # updated values
 
 
+def test_hudi_1x_completed_instant_names(spark, tmp_path, frames):
+    """Hudi 1.x names completed instants <requestTs>_<completionTs>;
+    the walk must accept them, keyed on the request timestamp."""
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [{"write": {"fg1": a, "fg2": b}}, {"write": {"fg1": a2}}],
+        orphan=a,
+        hudi_1x_names=True,
+    )
+    names = {p.rsplit("/", 1)[1] for p in hudi_data_files(str(base))}
+    assert names == {
+        "fg1_0-0-0_20240101000001.parquet",
+        "fg2_0-0-0_20240101000000.parquet",
+    }
+    from glue_table_cache_spark.sources.hudi import hudi_changes
+
+    latest, written = hudi_changes(
+        str(base), since_instant=20240101000000
+    )
+    assert latest == 20240101000001
+    assert {p.rsplit("/", 1)[1] for p in written} == {
+        "fg1_0-0-0_20240101000001.parquet"
+    }
+
+
 def test_inflight_instant_invisible(tmp_path, frames):
     a, b, _ = frames
     base = build_hudi_table(

@@ -1339,6 +1339,44 @@ def test_range_join_bucket_explosion_guard(spark):
     assert ok.count() == 1
 
 
+def test_range_join_null_bounds(spark):
+    """NULL-bounded intervals can contain no ts: default posture drops
+    the row; on_null_bounds='error' raises with a naming message
+    (not the confusing bucket-cap message a NULL used to hit)."""
+    import pytest
+    from glue_table_cache_spark.operators import joins as J
+
+    lt = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rt = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+            (1, "2024-01-01 00:00:00", None),
+            (1, None, "2024-01-01 01:00:00"),
+        ],
+        "k long, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    out = J.range_join(
+        lt, rt, left_ts="ts", right_start="start", right_end="end",
+        by="k", bucket="1 hour",
+    )
+    assert out.count() == 1  # null-bounded intervals silently dropped
+    err = J.range_join(
+        lt, rt, left_ts="ts", right_start="start", right_end="end",
+        by="k", bucket="1 hour", on_null_bounds="error",
+    )
+    with pytest.raises(Exception, match="NULL interval bound"):
+        err.collect()
+    with pytest.raises(ValueError, match="on_null_bounds"):
+        J.range_join(
+            lt, rt, left_ts="ts", right_start="start",
+            right_end="end", by="k", on_null_bounds="ignore",
+        )
+
+
 def test_asof_join_randomized_parity_with_duckdb(spark):
     """200 random trades × 80 random quotes across 8 keys, fixed seed —
     one-shot cross-engine check of the window-based as-of shape."""
