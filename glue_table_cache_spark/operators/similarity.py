@@ -366,13 +366,67 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     portable: bool = False,
+    max_bucket_size: int | None = 1000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP bucket join for
     candidates (same bucket ⇒ likely small angle), exact cosine verify.
-    """
+
+    Scale guidance — the bucket self-join costs ∝ Σ bucket², so size
+    ``planes`` for the corpus: expected bucket size is N/2^planes;
+    pick ``planes ≥ log2(N / target_bucket)`` (e.g. ≥14 for 100 M
+    vectors at ~10 k per bucket).  The default ``planes=6`` suits
+    ~10⁴-vector corpora only.
+
+    SRP degenerates on skewed inputs — identical, near-constant, or
+    zero embeddings all land in ONE bucket and the join goes quadratic
+    regardless of ``planes``.  ``max_bucket_size`` guards that (the
+    ``max_shingle_df`` posture in :mod:`dedup`): any bucket holding
+    more vectors fails the job at execution time with
+    ``on_hot_bucket="raise"`` (default — a hot bucket usually means
+    degenerate embeddings or too-few planes, and silently skipping it
+    would silently miss exactly the duplicates the caller asked for),
+    or is silently excluded with ``on_hot_bucket="skip"`` (documented
+    loss: no pairs are reported WITHIN a skipped bucket; use when hot
+    buckets are known degenerate mass, e.g. all-zero rows).
+    ``max_bucket_size=None`` disables the guard.  The count check is
+    one map-side-combinable aggregation to ≤2^planes rows, broadcast
+    back — negligible next to the self-join it protects."""
+    if on_hot_bucket not in ("raise", "skip"):
+        raise ValueError(
+            f"on_hot_bucket must be 'raise' or 'skip', "
+            f"got {on_hot_bucket!r}"
+        )
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("bucket", srp_bucket(F.col("v"), planes, portable))
+    if max_bucket_size is not None:
+        counts = v.groupBy("bucket").agg(F.count("*").alias("__bn"))
+        if on_hot_bucket == "raise":
+            # the raise lives in a FILTER (not a projected column that
+            # pruning could drop): every bucket row passes through it,
+            # so one hot bucket fails the job with a naming message
+            counts = counts.where(
+                F.when(
+                    F.col("__bn") > max_bucket_size,
+                    F.raise_error(
+                        F.format_string(
+                            "embedding_near_pairs: SRP bucket %s holds "
+                            "%s vectors (max_bucket_size "
+                            f"{max_bucket_size}); embeddings are "
+                            "degenerate (identical/constant/zero) or "
+                            "`planes` is too low for the corpus — "
+                            "raise `planes`, fix the vectors, or pass "
+                            "on_hot_bucket='skip'",
+                            F.col("bucket"),
+                            F.col("__bn"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+        else:
+            counts = counts.where(F.col("__bn") <= max_bucket_size)
+        v = v.join(F.broadcast(counts.drop("__bn")), "bucket")
     left, right = v.alias("l"), v.alias("r")
     return (
         left.join(right, "bucket")

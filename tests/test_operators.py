@@ -210,6 +210,39 @@ def test_embedding_near_pairs_self_duplicates(spark, embeddings):
     assert all((i, i + 1000) in got for i in range(5))
 
 
+def test_embedding_near_pairs_hot_bucket_guard(spark, embeddings):
+    """1.2k identical vectors collapse into ONE SRP bucket — the guard
+    must raise (not run a 1.4M-pair quadratic join); 'skip' silently
+    excludes the bucket; the guard leaves honest corpora untouched."""
+    import pytest
+
+    ident = spark.range(1200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i % 7 + 1)) for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(Exception, match="embedding_near_pairs"):
+        S.embedding_near_pairs(ident, threshold=0.5).count()
+    # skip posture: the hot bucket is excluded, so no pairs at all
+    assert (
+        S.embedding_near_pairs(
+            ident, threshold=0.5, on_hot_bucket="skip"
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="on_hot_bucket"):
+        S.embedding_near_pairs(ident, on_hot_bucket="warn")
+    # guard on vs off parity on a non-degenerate corpus
+    guarded = S.embedding_near_pairs(embeddings, threshold=0.9)
+    unguarded = S.embedding_near_pairs(
+        embeddings, threshold=0.9, max_bucket_size=None
+    )
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )
+
+
 # -- multimodal -------------------------------------------------------------
 
 
