@@ -332,18 +332,19 @@ _FLAGSHIP_SQL = """
 
 _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
     (
-        "scan_base",
-        "engine",
-        "SELECT r_regionkey, r_name FROM glue.tpch.region",
-        "SELECT r_regionkey, r_name FROM region",
-    ),
-    (
+        # base glue.db.tbl scan (merged r5 from the former scan_base
+        # row to free a checked-window slot for pipeline_curate) +
         # comparison operators (=,>,<,>=,<=,<>) and BETWEEN/LIKE
-        # predicates in one row (merged r4 to free a checked-window
-        # slot for the new operator entries)
+        # predicates in one row
         "filter_predicates",
         "engine",
-        """SELECT 'cmp' AS kind, l_orderkey AS k1,
+        """SELECT 'scan' AS kind, r_regionkey AS k1,
+                  CAST(NULL AS BIGINT) AS k2,
+                  r_name AS s1, CAST(NULL AS STRING) AS s2,
+                  CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2
+           FROM glue.tpch.region
+           UNION ALL
+           SELECT 'cmp' AS kind, l_orderkey AS k1,
                   CAST(l_linenumber AS BIGINT) AS k2,
                   CAST(NULL AS STRING) AS s1, CAST(NULL AS STRING) AS s2,
                   l_quantity AS d1, l_extendedprice AS d2
@@ -357,7 +358,13 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM glue.tpch.part
            WHERE p_size BETWEEN 10 AND 20 AND p_brand LIKE 'Brand#1_'
              AND p_name LIKE '%e%'""",
-        """SELECT 'cmp' AS kind, l_orderkey AS k1,
+        """SELECT 'scan' AS kind, r_regionkey AS k1,
+                  CAST(NULL AS BIGINT) AS k2,
+                  r_name AS s1, CAST(NULL AS VARCHAR) AS s2,
+                  CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2
+           FROM region
+           UNION ALL
+           SELECT 'cmp' AS kind, l_orderkey AS k1,
                   CAST(l_linenumber AS BIGINT) AS k2,
                   CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
                   l_quantity AS d1, l_extendedprice AS d2
@@ -2038,6 +2045,150 @@ def _q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     return ice.unionByName(dl)
 
 
+def _q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship curate() pipeline end-to-end as ONE driver row —
+    quality filter → benchmark decontamination → transitive MinHash
+    near-dup removal → deterministic 50% sample → sequence packing,
+    all five stages in one logical plan (operators/pipeline.py),
+    value-checked stage-by-stage by the composed _CURATE_ORACLE.
+    ``portable=True`` runs the dedup + sampling hashes in the md5
+    family so DuckDB reproduces the EXACT kept set.  End-to-end
+    exactness posture mirrors the reference's integration suite
+    (/root/reference/test/integration-test.ts:136-183)."""
+    from glue_table_cache_spark.operators import pipeline as PL
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cfg = PL.CurationConfig(
+        min_quality=0.3,
+        benchmark=bench,
+        decontamination_threshold=0.6,
+        decontamination_k=3,
+        dedup_threshold=0.8,
+        dedup_transitive=True,
+        sample_fraction=0.5,
+        sample_salt="cur",
+        pack_budget=256,
+        portable=True,
+    )
+    out = PL.curate(docs, cfg)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("quality").cast("double").alias("quality"),
+        "lang_pred",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+    )
+
+
+#: Composed five-stage SQL twin of _q_pipeline_curate.  Each stage's
+#: fragment is the SAME oracle the per-stage rows use (quality from
+#: _TEXT_STATS_ORACLE's expressions, decontamination via
+#: _DECONTAMINATION_ORACLE verbatim, MinHash-LSH + recursive-CTE CC
+#: from _MINHASH_ORACLE/_CC_GROUPS_ORACLE rebased onto the surviving
+#: set, the portable md5 sample bucket, _PACKING_ORACLE's running
+#: sum) — chained so every stage consumes the previous stage's kept
+#: set, exactly like the one-plan Spark pipeline.
+_CURATE_ORACLE = f"""
+WITH RECURSIVE
+base AS (
+    SELECT doc_id, source, text,
+           length(text) AS nc,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks_w,
+           length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS np
+    FROM documents
+),
+curq AS (
+    SELECT doc_id, source, text,
+           round(0.4 * least(CAST(nc AS DOUBLE) / 500.0, 1.0)
+               + 0.3 * (1.0 - least((CASE WHEN nc = 0 THEN 0.0
+                     ELSE CAST(np AS DOUBLE) / nc END) * 5.0, 1.0))
+               + 0.3 * least((CASE WHEN len(toks_w) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(toks_w,
+                              x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                          / len(toks_w) END) * 4.0, 1.0), 6) AS quality
+    FROM base
+),
+kept1 AS (SELECT * FROM curq WHERE quality >= 0.3),
+contaminated AS (
+    SELECT DISTINCT doc_id FROM ({_DECONTAMINATION_ORACLE})
+),
+kept2 AS (
+    SELECT * FROM kept1
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+{_SHINGLE_CTES.replace("FROM documents", "FROM kept2")},
+fams AS (SELECT unnest(range(64)) AS fam),
+minh AS (
+    SELECT p.doc_id, f.fam,
+           min(('0x' || substr(md5(f.fam || ':' || p.shingle), 1, 15))::BIGINT)
+             AS m
+    FROM posting p CROSS JOIN fams f
+    GROUP BY p.doc_id, f.fam
+),
+sigs AS (SELECT doc_id, list(m ORDER BY fam) AS sig FROM minh GROUP BY doc_id),
+bandix AS (SELECT unnest(range(16)) AS b),
+bands AS (
+    SELECT doc_id,
+           b.b || ',' || array_to_string(sig[(b.b*4+1):(b.b*4+4)], ',') AS key
+    FROM sigs CROSS JOIN bandix b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM bands a JOIN bands b2 ON a.key = b2.key AND a.doc_id < b2.doc_id
+),
+mpairs AS (
+    SELECT cd.id_a, cd.id_b
+    FROM cand cd
+    JOIN common c ON c.id_a = cd.id_a AND c.id_b = cd.id_b
+    JOIN sizes sa ON sa.doc_id = cd.id_a
+    JOIN sizes sb ON sb.doc_id = cd.id_b
+    WHERE round(CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c), 6) >= 0.8
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM mpairs
+    UNION SELECT id_b, id_a FROM mpairs
+),
+reach(src, r) AS (
+    SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.src
+),
+comp AS (SELECT src AS id, min(r) AS component FROM reach GROUP BY src),
+kept3 AS (
+    SELECT * FROM kept2
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+),
+sampled AS (
+    SELECT * FROM kept3
+    WHERE ('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 1000000 < 500000
+),
+toks AS (
+    SELECT doc_id, source, quality,
+           CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+    FROM sampled
+),
+packed AS (
+    SELECT doc_id, source, quality, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS before
+    FROM toks
+)
+SELECT p.doc_id, p.source, p.quality, l.lang_pred, p.n_tokens,
+       CAST(floor(before / 256) AS BIGINT) AS pack_id,
+       CAST(before % 256 AS BIGINT) AS pack_offset
+FROM packed p JOIN ({_LANG_ORACLE}) l USING (doc_id)
+"""
+
+
 def _q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-media plumbing + Arrow-batched decode in one row (merged
     r3): every output column, including the fake-decoder's
@@ -2074,6 +2225,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": _q_sessionize,
     "events_sessionize_stream": _q_sessionize_stream,
     "multimodal_decode": _q_multimodal_decode,
+    "pipeline_curate": _q_pipeline_curate,
 }
 
 _EXTRA_ORACLES: dict[str, str] = {
@@ -2122,6 +2274,7 @@ _EXTRA_ORACLES: dict[str, str] = {
     "events_sessionize": _SESSIONIZE_ORACLE,
     "events_sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
     "multimodal_decode": _MM_DECODE_ORACLE,
+    "pipeline_curate": _CURATE_ORACLE,
 }
 
 

@@ -57,6 +57,11 @@ class CurationConfig:
     text_col: str = "text"
     id_col: str = "doc_id"
     strata_col: str = "source"
+    # portable md5 hash family for the dedup + sampling stages: bit-
+    # identical in DuckDB (dedup.portable_hash60), so an external SQL
+    # oracle can reproduce the EXACT kept set.  xxhash64 stays the
+    # at-scale default (faster, JVM-codegen).
+    portable: bool = False
 
 
 def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
@@ -102,6 +107,7 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
             id_col=cfg.id_col,
             threshold=cfg.dedup_threshold,
             transitive=cfg.dedup_transitive,
+            portable=cfg.portable,
         )
     # one tokenizer for every token-denominated stage: mixture budgets
     # and pack sizes must be measured in the same units
@@ -118,6 +124,7 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
             strata_col=cfg.strata_col,
             key_col=cfg.id_col,
             salt=cfg.sample_salt,
+            portable=cfg.portable,
         )
     elif cfg.stratify:
         out = SM.stratified_sample(
@@ -127,10 +134,12 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
             key_col=cfg.id_col,
             default_fraction=cfg.sample_fraction or 0.0,
             salt=cfg.sample_salt,
+            portable=cfg.portable,
         )
     elif cfg.sample_fraction is not None:
         out = SM.deterministic_sample(
-            out, cfg.sample_fraction, key_col=cfg.id_col, salt=cfg.sample_salt
+            out, cfg.sample_fraction, key_col=cfg.id_col,
+            salt=cfg.sample_salt, portable=cfg.portable,
         )
     if cfg.pack_budget is not None:
         out = P.pack_sequences(
