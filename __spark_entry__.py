@@ -989,32 +989,6 @@ _SQL_ENTRIES: list[tuple[str, str, str, str | None]] = [
            FROM orders WHERE year(o_orderdate) IN (1996, 1998) GROUP BY 1""",
     ),
     (
-        # Iceberg manifest walk + Delta log walk + Hudi timeline walk
-        # in one row (delta + hudi arms added r4).  Every fixture
-        # carries orphan data files (delta a removed file, hudi a
-        # stale rewritten slice) — a directory listing would
-        # double-count even-keyed orders; each metadata walk must
-        # reproduce plain `orders` exactly.
-        "table_format_scan",
-        "engine",
-        """SELECT 'iceberg' AS fmt, o_orderstatus, count(*) AS n,
-                  round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_iceberg GROUP BY o_orderstatus
-           UNION ALL
-           SELECT 'delta' AS fmt, o_orderstatus, count(*) AS n,
-                  round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_delta GROUP BY o_orderstatus
-           UNION ALL
-           SELECT 'hudi' AS fmt, o_orderstatus, count(*) AS n,
-                  round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_hudi GROUP BY o_orderstatus""",
-        """SELECT fmt, o_orderstatus, count(*) AS n,
-                  round(sum(o_totalprice), 2) AS total
-           FROM orders
-           CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi']) AS fmt)
-           GROUP BY fmt, o_orderstatus""",
-    ),
-    (
         # JSON- and CSV-classified tables in one row (CSV arm added
         # r4; both our extension past the reference's parquet-only
         # scanner — its README lists them as future work).  The engine
@@ -2022,27 +1996,88 @@ def _q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def _q_iceberg_time_travel(spark: SparkSession, sf: str) -> DataFrame:
-    """version_offset=1 time travel on BOTH formats (delta arm r4):
-    Iceberg steps back to snapshot 1 (even order keys — reference
-    parameter, iceberg.ts:23); Delta steps back to version 0, whose
+def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """All three table-format metadata walks + time travel in one row
+    (merged r5 from the former SQL-mode table_format_scan and the
+    iceberg_time_travel rows, freeing a window slot for
+    table_format_changes).  Current-version arms go through the ENGINE
+    scan path on fixtures that carry orphan files (delta a removed
+    file, hudi a stale rewritten slice) — each walk must reproduce
+    plain `orders` exactly.  Time-travel arms step version_offset=1:
+    Iceberg back to snapshot 1 (even order keys — reference parameter,
+    /root/reference/src/iceberg.ts:23); Delta back to version 0, whose
     active set is the evens TWICE (the duplicate file that version 1
     removes — time travel must resurrect it)."""
     from glue_table_cache_spark.sources.delta import delta_data_files
     from glue_table_cache_spark.sources.iceberg import iceberg_data_files
 
     base = _ensure_fixtures(spark, sf)
-    cols = [
-        "o_orderkey", "o_orderstatus",
-        F.round("o_totalprice", 2).alias("price"),
-    ]
-    ice = spark.read.parquet(
-        *iceberg_data_files(str(base / "orders_iceberg"), version_offset=1)
-    ).select(F.lit("iceberg").alias("fmt"), *cols)
-    dl = spark.read.parquet(
-        *delta_data_files(str(base / "orders_delta"), version_offset=1)
-    ).select(F.lit("delta").alias("fmt"), *cols)
-    return ice.unionByName(dl)
+    current = _engine(spark, sf).sql(
+        """SELECT 'iceberg' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_iceberg GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'delta' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'hudi' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_hudi GROUP BY o_orderstatus"""
+    )
+
+    def _agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(fmt).alias("fmt"), "o_orderstatus", "n", "total")
+
+    ice_tt = _agg(
+        spark.read.parquet(*iceberg_data_files(
+            str(base / "orders_iceberg"), version_offset=1
+        )),
+        "iceberg_tt",
+    )
+    dl_tt = _agg(
+        spark.read.parquet(*delta_data_files(
+            str(base / "orders_delta"), version_offset=1
+        )),
+        "delta_tt",
+    )
+    return current.unionByName(ice_tt).unionByName(dl_tt)
+
+
+def _q_table_format_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level incremental change feeds for all three formats in one
+    row (sources/delta.py:delta_changes, hudi.py:hudi_changes,
+    iceberg.py:iceberg_changes): the added/removed/written file sets
+    after each fixture's FIRST commit, checked against the literal
+    path sets the fixtures are built to produce.  The feeds are
+    metadata-scale (driver walks the logs; no data read), so the
+    result is built from the returned path lists directly."""
+    from glue_table_cache_spark.sources.delta import delta_changes
+    from glue_table_cache_spark.sources.hudi import hudi_changes
+    from glue_table_cache_spark.sources.iceberg import iceberg_changes
+
+    base = _ensure_fixtures(spark, sf)
+    rows: list[tuple[str, str, str]] = []
+    _v, d_add, d_rem = delta_changes(
+        str(base / "orders_delta"), since_version=0
+    )
+    rows += [("delta", "added", p.rsplit("/", 1)[1]) for p in d_add]
+    rows += [("delta", "removed", p.rsplit("/", 1)[1]) for p in d_rem]
+    _i, h_written = hudi_changes(
+        str(base / "orders_hudi"), since_instant=20240101000000
+    )
+    rows += [("hudi", "written", p.rsplit("/", 1)[1]) for p in h_written]
+    i_add, i_rem = iceberg_changes(
+        str(base / "orders_iceberg"), versions_back=1
+    )
+    rows += [("iceberg", "added", p.rsplit("/", 1)[1]) for p in i_add]
+    rows += [("iceberg", "removed", p.rsplit("/", 1)[1]) for p in i_rem]
+    return spark.createDataFrame(
+        rows, "fmt string, change string, file string"
+    )
 
 
 def _q_pipeline_curate(spark: SparkSession, sf: str) -> DataFrame:
@@ -2219,7 +2254,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_lsh": _q_ann_lsh,
     "similarity_ivf_topk": _q_ivf_topk,
     "similarity_embedding_stats": _q_embedding_stats,
-    "iceberg_time_travel": _q_iceberg_time_travel,
+    "table_format_scan": _q_table_format_scan,
+    "table_format_changes": _q_table_format_changes,
     "events_windows_batch": _q_windows_batch,
     "events_tumbling_stream": _q_tumbling_stream,
     "events_sessionize": _q_sessionize,
@@ -2257,17 +2293,36 @@ _EXTRA_ORACLES: dict[str, str] = {
     # oracle value-checks the IVF pipeline end-to-end
     "similarity_ivf_topk": _COSINE_TOPK_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,
-    # iceberg@offset1 = snapshot 1 (evens once); delta@offset1 =
-    # version 0 (evens twice — the later-removed duplicate file)
-    "iceberg_time_travel": (
-        "SELECT 'iceberg' AS fmt, o_orderkey, o_orderstatus, "
-        "round(o_totalprice, 2) AS price "
-        "FROM orders WHERE o_orderkey % 2 = 0 "
+    # current arms: every walk reproduces plain `orders`.  Time
+    # travel: iceberg@offset1 = snapshot 1 (evens once); delta@offset1
+    # = version 0 (evens twice — the later-removed duplicate file)
+    "table_format_scan": (
+        "SELECT fmt, o_orderstatus, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders "
+        "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi']) AS fmt) "
+        "GROUP BY fmt, o_orderstatus "
         "UNION ALL "
-        "SELECT 'delta' AS fmt, o_orderkey, o_orderstatus, "
-        "round(o_totalprice, 2) AS price "
+        "SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus "
+        "UNION ALL "
+        "SELECT 'delta_tt' AS fmt, o_orderstatus, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total "
         "FROM orders, (SELECT unnest([1, 2])) "
-        "WHERE o_orderkey % 2 = 0"
+        "WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus"
+    ),
+    # the literal file sets the fixtures are BUILT to produce: delta v1
+    # adds the odds file and removes the duplicate-evens file; hudi
+    # instant 1 rewrites file group fg2; iceberg snapshot 2 appends
+    # the odds file (append-only: nothing removed)
+    "table_format_changes": (
+        "SELECT * FROM (VALUES "
+        "('delta', 'added', 'part-1-0.parquet'), "
+        "('delta', 'removed', 'part-0-1.parquet'), "
+        "('hudi', 'written', 'fg2_0-0-0_20240101000001.parquet'), "
+        "('iceberg', 'added', 'part-2.parquet')"
+        ") AS t(fmt, change, file)"
     ),
     "events_windows_batch": _WINDOWS_BATCH_ORACLE,
     "events_tumbling_stream": _TUMBLING_ORACLE,
