@@ -45,7 +45,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Engine + fixture plumbing
 # --------------------------------------------------------------------------
 
-_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures")
+# versioned so a fixture-definition change busts stale _BUILT markers
+_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v2")
 _BASE_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings",
@@ -99,14 +100,25 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         even = orders.where(F.col("o_orderkey") % 2 == 0)
         odd = orders.where(F.col("o_orderkey") % 2 == 1)
-        # v0 adds evens + a duplicate file; v1 removes the duplicate
-        # and adds odds — the log-walk must yield exactly orders, while
-        # a directory scan would double-count evens twice over (the
-        # removed dupe AND the orphan)
+        # v0 adds ALL orders (part-0-0) + a duplicate evens file; v1
+        # removes the duplicate, adds the odds file, and attaches a
+        # DELETION VECTOR to part-0-0 masking its odd-key rows — so
+        # the active state is evens (DV-masked part-0-0) + odds =
+        # exactly `orders`, but only if the scan honors the DV, skips
+        # the removed file AND the orphan.
         build_delta_table(
             dl,
-            [{"add": [even, even]}, {"add": [odd],
-                                     "remove": ["part-0-1.parquet"]}],
+            [
+                {"add": [orders, even]},
+                {
+                    "add": [odd],
+                    "remove": ["part-0-1.parquet"],
+                    "dv": {
+                        "part-0-0.parquet":
+                            lambda pdf: pdf["o_orderkey"] % 2 == 1
+                    },
+                },
+            ],
             orphan=even,
         )
         (base / "orders_delta._BUILT").touch()
@@ -2293,9 +2305,11 @@ _EXTRA_ORACLES: dict[str, str] = {
     # oracle value-checks the IVF pipeline end-to-end
     "similarity_ivf_topk": _COSINE_TOPK_ORACLE,
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,
-    # current arms: every walk reproduces plain `orders`.  Time
-    # travel: iceberg@offset1 = snapshot 1 (evens once); delta@offset1
-    # = version 0 (evens twice — the later-removed duplicate file)
+    # current arms: every walk reproduces plain `orders` (the delta
+    # arm only if the deletion vector on part-0-0 masks its odd-key
+    # rows).  Time travel: iceberg@offset1 = snapshot 1 (evens once);
+    # delta@offset1 = version 0 (all orders + the later-removed
+    # duplicate-evens file, pre-DV)
     "table_format_scan": (
         "SELECT fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "
@@ -2309,15 +2323,18 @@ _EXTRA_ORACLES: dict[str, str] = {
         "UNION ALL "
         "SELECT 'delta_tt' AS fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "
-        "FROM orders, (SELECT unnest([1, 2])) "
-        "WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus"
+        "FROM (SELECT * FROM orders UNION ALL "
+        "      SELECT * FROM orders WHERE o_orderkey % 2 = 0) "
+        "GROUP BY o_orderstatus"
     ),
     # the literal file sets the fixtures are BUILT to produce: delta v1
-    # adds the odds file and removes the duplicate-evens file; hudi
-    # instant 1 rewrites file group fg2; iceberg snapshot 2 appends
-    # the odds file (append-only: nothing removed)
+    # adds the odds file, removes the duplicate-evens file, and
+    # re-adds part-0-0 with a deletion vector (re-processing signal);
+    # hudi instant 1 rewrites file group fg2; iceberg snapshot 2
+    # appends the odds file (append-only: nothing removed)
     "table_format_changes": (
         "SELECT * FROM (VALUES "
+        "('delta', 'added', 'part-0-0.parquet'), "
         "('delta', 'added', 'part-1-0.parquet'), "
         "('delta', 'removed', 'part-0-1.parquet'), "
         "('hudi', 'written', 'fg2_0-0-0_20240101000001.parquet'), "

@@ -332,19 +332,32 @@ class GlueSparkEngine:
         if ttype == ETableType.DELTA:
             # beyond the reference (which never handles DELTA): resolve
             # the ACTIVE file set from the transaction log — a raw
-            # directory scan would read removed/orphan files
+            # directory scan would read removed/orphan files — and mask
+            # DV-deleted rows via the row_index anti-join
             from glue_table_cache_spark.sources.delta import (
+                apply_deletion_vectors,
                 delta_data_files,
             )
 
-            paths = self._proxy(delta_data_files(tbl.location, fs=self._fs))
+            entries = delta_data_files(
+                tbl.location, fs=self._fs, with_deletion_vectors=True
+            )
+            raw_paths = [p for p, _pv, _dv in entries]
+            paths = self._proxy(raw_paths)
             if not paths:
                 return self.spark.range(0).select(F.lit(None).alias("null"))
             # basePath keeps hive-style partition dirs (k=v in the
             # add paths) surfacing as partition columns under the
             # explicit file list; a no-op for unpartitioned layouts
             reader = self.spark.read.option("basePath", tbl.location)
-            return self._format_read(reader, tbl, *paths)
+            df = self._format_read(reader, tbl, *paths)
+            # keyed on the PROXIED path — the one _metadata.file_path
+            # will report for the scan Spark actually performed
+            proxied = [
+                (pp, pv, dv)
+                for pp, (_p, pv, dv) in zip(paths, entries)
+            ]
+            return apply_deletion_vectors(df, proxied, tbl.location)
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
                 iceberg_data_files,

@@ -73,8 +73,11 @@ def _log_files(location: str, fs=None) -> list[str]:
 def _apply_action(active: dict, action: dict) -> None:
     if "add" in action and action["add"]:
         a = action["add"]
-        _check_no_deletion_vector(a)
-        active[unquote(a["path"])] = a.get("partitionValues") or {}
+        _check_dv_supported(a)
+        active[unquote(a["path"])] = (
+            a.get("partitionValues") or {},
+            a.get("deletionVector"),
+        )
     elif "remove" in action and action["remove"]:
         active.pop(unquote(action["remove"]["path"]), None)
     elif "metaData" in action and action["metaData"]:
@@ -123,14 +126,16 @@ def _check_protocol(protocol: dict) -> None:
             )
 
 
-def _check_no_deletion_vector(add: dict) -> None:
-    """Reader-version-3 deletion vectors mark rows WITHIN a live file
-    as deleted; scanning the file raw would resurrect them — refuse
-    loudly rather than return wrong rows."""
-    if add.get("deletionVector"):
+def _check_dv_supported(add: dict) -> None:
+    """Deletion vectors mark rows WITHIN a live file as deleted; they
+    are honored by :func:`apply_deletion_vectors` (anti-join on
+    ``_metadata.row_index``) for the known storage types — an UNKNOWN
+    storage type still refuses loudly rather than resurrect rows."""
+    dv = add.get("deletionVector")
+    if dv and dv.get("storageType") not in ("u", "p", "i"):
         raise GlueSparkError(
-            f"Delta file {add.get('path')!r} carries a deletion vector; "
-            "purge deletion vectors (REORG TABLE ... APPLY (PURGE)) or "
+            f"Delta file {add.get('path')!r} carries a deletion vector "
+            f"with unknown storageType {dv.get('storageType')!r}; "
             "read through a Delta runtime"
         )
 
@@ -200,11 +205,11 @@ def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
             continue
         for a in table.column("add").to_pylist():
             if a and a.get("path"):
-                _check_no_deletion_vector(a)
+                _check_dv_supported(a)
                 pv = a.get("partitionValues") or {}
                 if isinstance(pv, list):  # pyarrow map -> list of pairs
                     pv = dict(pv)
-                active[unquote(a["path"])] = pv
+                active[unquote(a["path"])] = (pv, a.get("deletionVector"))
     return active
 
 
@@ -214,9 +219,17 @@ def delta_data_files(
     s3_client=None,
     fs=None,
     with_partition_values: bool = False,
-) -> list[str] | list[tuple[str, dict]]:
+    with_deletion_vectors: bool = False,
+) -> list[str] | list[tuple[str, dict]] | list[tuple[str, dict, dict]]:
     """Data-file paths of the (``version_offset``-stepped-back) current
     version of the Delta table at ``location``.
+
+    ``with_deletion_vectors=True`` returns ``(path, partition_values,
+    deletion_vector_or_None)`` triples — callers that scan raw parquet
+    MUST either request this and pass the triples through
+    :func:`apply_deletion_vectors`, or tolerate resurrected rows; the
+    default modes raise if any live file carries a DV, so no caller
+    silently reads deleted rows back.
 
     ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
     testable without AWS (stub client + stub lister), exactly like the
@@ -264,9 +277,23 @@ def delta_data_files(
             if line:
                 _apply_action(active, json.loads(line))
     paths = sorted(active)
+    if with_deletion_vectors:
+        return [
+            (_resolve_path(location, p), active[p][0], active[p][1])
+            for p in paths
+        ]
+    carrying = [p for p in paths if active[p][1]]
+    if carrying:
+        raise GlueSparkError(
+            f"{len(carrying)} live Delta file(s) carry deletion "
+            f"vectors (e.g. {carrying[0]!r}); call with "
+            "with_deletion_vectors=True and apply_deletion_vectors(), "
+            "or purge them (REORG TABLE ... APPLY (PURGE)) — a raw "
+            "path scan would resurrect deleted rows"
+        )
     if with_partition_values:
         return [
-            (_resolve_path(location, p), active[p]) for p in paths
+            (_resolve_path(location, p), active[p][0]) for p in paths
         ]
     return [_resolve_path(location, p) for p in paths]
 
@@ -321,7 +348,9 @@ def delta_changes(
             action = json.loads(line)
             if action.get("add"):
                 a = action["add"]
-                _check_no_deletion_vector(a)
+                # a DV'd re-add reports the file as "added": its
+                # effective content changed, consumers must re-process
+                _check_dv_supported(a)
                 path = unquote(a["path"])
                 added[path] = a.get("partitionValues") or {}
                 removed.discard(path)
@@ -335,4 +364,63 @@ def delta_changes(
         latest,
         [_resolve_path(location, p) for p in sorted(added)],
         [_resolve_path(location, p) for p in sorted(removed)],
+    )
+
+
+def _path_uri(path: str) -> str:
+    """The URI form Spark's ``_metadata.file_path`` reports for a scan
+    path: local absolute paths gain the Hadoop-style single-slash
+    ``file:`` scheme (``file:/a/b``), real URIs pass through."""
+    return path if "://" in path else "file:" + path
+
+
+def apply_deletion_vectors(
+    df,
+    entries: list[tuple[str, dict, dict | None]],
+    location: str,
+    s3_client=None,
+    max_deleted_rows: int = 10_000_000,
+):
+    """Mask DV-deleted rows out of a raw parquet scan: anti-join on
+    ``(_metadata.file_path, _metadata.row_index)`` against the decoded
+    deletion sets.
+
+    The DV blobs are metadata-scale and decoded driver-side; the
+    resulting (file, position) frame is broadcast, so the scan itself
+    neither shuffles nor re-reads.  ``max_deleted_rows`` bounds the
+    driver-side materialization: a table carrying more deleted rows
+    than that (cardinality summed from the descriptors, no decode
+    needed) raises with a purge suggestion — at that scale the DV
+    decode belongs in a distributed mapInPandas over the DV files,
+    and rewriting (purging) the table is usually cheaper than
+    carrying the mask.
+    """
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.dv import dv_deleted_positions
+
+    dvs = [(p, dv) for p, _pv, dv in entries if dv]
+    if not dvs:
+        return df
+    total = sum(int(dv.get("cardinality") or 0) for _, dv in dvs)
+    if total > max_deleted_rows:
+        raise GlueSparkError(
+            f"Delta table at {location!r} carries {total} DV-deleted "
+            f"rows (cap {max_deleted_rows}); purge deletion vectors "
+            "(REORG TABLE ... APPLY (PURGE)) or raise max_deleted_rows"
+        )
+    pairs = [
+        (_path_uri(path), int(pos))
+        for path, dv in dvs
+        for pos in dv_deleted_positions(dv, location, s3_client)
+    ]
+    spark = df.sparkSession
+    deleted = spark.createDataFrame(
+        pairs, "__dv_file string, __dv_pos long"
+    )
+    return (
+        df.withColumn("__dv_file", F.col("_metadata.file_path"))
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(deleted), ["__dv_file", "__dv_pos"], "left_anti")
+        .drop("__dv_file", "__dv_pos")
     )

@@ -47,8 +47,18 @@ def build_delta_table(
     checkpoint_kwargs: dict | None = None,
 ) -> Path:
     """Write a Delta table whose version ``i`` applies ``commits[i]``:
-    ``{"add": [df, ...], "remove": ["part-N.parquet", ...]}`` (either
-    key optional).  Data files are named ``part-<version>-<j>.parquet``.
+    ``{"add": [df, ...], "remove": ["part-N.parquet", ...],
+    "dv": {"part-N.parquet": mask_fn}}`` (every key optional).  Data
+    files are named ``part-<version>-<j>.parquet``.
+
+    ``dv`` attaches a deletion vector to an already-written file:
+    ``mask_fn`` takes the file's pandas frame and returns a boolean
+    mask of rows to DELETE; positions are taken from the file as
+    written (no row-order assumptions), the bitmap goes to a
+    UUID-named sidecar (storageType ``u``), and the commit re-adds
+    the file with the descriptor plus a protocol upgrade to
+    minReaderVersion 3 + deletionVectors on first use — exactly the
+    action sequence delta-spark emits for a DELETE.
 
     ``checkpoint_at=v`` also writes ``v.checkpoint.parquet`` capturing
     the active set at version ``v``; with
@@ -60,6 +70,8 @@ def build_delta_table(
     log_dir.mkdir(parents=True, exist_ok=True)
 
     active: dict[str, dict] = {}
+    active_dv: dict[str, dict] = {}
+    protocol_upgraded = False
     for version, commit in enumerate(commits):
         actions: list[dict] = []
         if version == 0:
@@ -87,6 +99,24 @@ def build_delta_table(
             }
             actions.append({"add": add})
             active[name] = {}
+        for name, mask_fn in commit.get("dv", {}).items():
+            if not protocol_upgraded:
+                actions.insert(
+                    0,
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["deletionVectors"],
+                            "writerFeatures": ["deletionVectors"],
+                        }
+                    },
+                )
+                protocol_upgraded = True
+            readd = _dv_readd(base, name, mask_fn, version)
+            actions.append({"add": readd})
+            active[name] = {}
+            active_dv[name] = readd["deletionVector"]
         for name in commit.get("remove", []):
             actions.append(
                 {
@@ -103,7 +133,11 @@ def build_delta_table(
         )
         if checkpoint_at == version:
             _write_checkpoint(
-                log_dir, version, active, **(checkpoint_kwargs or {})
+                log_dir,
+                version,
+                active,
+                active_dv=active_dv,
+                **(checkpoint_kwargs or {}),
             )
 
     if drop_precheckpoint_commits and checkpoint_at is not None:
@@ -115,6 +149,41 @@ def build_delta_table(
     return base
 
 
+def _dv_readd(
+    base: Path, name: str, mask_fn, version: int
+) -> dict:
+    """Attach a UUID-named deletion vector to data file ``name``:
+    positions come from applying ``mask_fn`` to the file AS WRITTEN
+    (pandas read-back — no row-order assumptions), so the fixture is
+    deterministic whatever order Spark serialized the rows in."""
+    import base64
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from glue_table_cache_spark.sources.dv import write_dv_file
+
+    pdf = pq.read_table(base / name).to_pandas()
+    mask = mask_fn(pdf)
+    positions = [int(i) for i, hit in enumerate(list(mask)) if hit]
+    u = uuid.uuid4()
+    desc_fields = write_dv_file(
+        base / f"deletion_vector_{u}.bin", positions
+    )
+    return {
+        "path": name,
+        "partitionValues": {},
+        "size": (base / name).stat().st_size,
+        "modificationTime": 1700000000000 + version,
+        "dataChange": False,
+        "deletionVector": {
+            "storageType": "u",
+            "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+            **desc_fields,
+        },
+    }
+
+
 def _write_checkpoint(
     log_dir: Path,
     version: int,
@@ -123,6 +192,7 @@ def _write_checkpoint(
     protocol: dict | None = None,
     num_parts: int | None = None,
     drop_parts: set[int] | None = None,
+    active_dv: dict[str, dict] | None = None,
 ) -> None:
     """Write a ``<version>.checkpoint.parquet`` (or, with ``num_parts``,
     the multi-part ``<version>.checkpoint.<part>.<numParts>.parquet``
@@ -135,11 +205,21 @@ def _write_checkpoint(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_type = pa.struct(
         [
             ("path", pa.string()),
             ("partitionValues", pa.map_(pa.string(), pa.string())),
             ("size", pa.int64()),
+            ("deletionVector", dv_type),
         ]
     )
     meta_type = pa.struct(
@@ -156,7 +236,12 @@ def _write_checkpoint(
         ]
     )
     add_rows: list[dict | None] = [
-        {"path": p, "partitionValues": list(pv.items()), "size": 0}
+        {
+            "path": p,
+            "partitionValues": list(pv.items()),
+            "size": 0,
+            "deletionVector": (active_dv or {}).get(p),
+        }
         for p, pv in sorted(active.items())
     ]
     meta_row = {

@@ -191,6 +191,120 @@ def test_missing_commit_without_checkpoint_raises(tmp_path, frames):
         delta_data_files(str(base))
 
 
+def test_deletion_vector_masks_rows(spark, tmp_path, frames):
+    """A DV'd file contributes only its surviving rows: the engine
+    scan anti-joins decoded positions on _metadata.row_index.  The
+    default path-only mode refuses so no caller reads raw."""
+    from glue_table_cache_spark.sources.delta import (
+        apply_deletion_vectors,
+    )
+
+    a, b, c = frames  # a: ids 1,2 / c: ids 4,5
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a, c]},
+            # delete id 2 from file 0 and id 5 from file 1
+            {"dv": {
+                "part-0-0.parquet": lambda pdf: pdf["id"] == 2,
+                "part-0-1.parquet": lambda pdf: pdf["id"] == 5,
+            }},
+        ],
+    )
+    with pytest.raises(GlueSparkError, match="deletion vector"):
+        delta_data_files(str(base))
+    entries = delta_data_files(str(base), with_deletion_vectors=True)
+    assert sum(1 for _p, _pv, dv in entries if dv) == 2
+    df = spark.read.parquet(*[p for p, _pv, _dv in entries])
+    out = apply_deletion_vectors(df, entries, str(base))
+    assert sorted(r.id for r in out.collect()) == [1, 4]
+    # time travel to v0 sees the pre-delete rows
+    v0 = delta_data_files(str(base), version_offset=1)
+    assert sorted(
+        r.id for r in spark.read.parquet(*v0).collect()
+    ) == [1, 2, 4, 5]
+
+
+def test_deletion_vector_engine_scan_and_checkpoint(spark, tmp_path, frames):
+    """classification=delta masks DV rows through the engine, and a
+    checkpoint carrying the DV descriptor round-trips it."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a, c]},
+            {"dv": {"part-0-0.parquet": lambda pdf: pdf["id"] == 1}},
+            {"add": [b]},
+        ],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dvt", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id FROM glue.db.dvt ORDER BY id"
+    )
+    assert [r.id for r in out.collect()] == [2, 3, 4, 5]
+
+
+def test_deletion_vector_unknown_storage_type_refused(tmp_path, frames):
+    import json as _json
+
+    a, b, c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
+    with (base / "_delta_log" / f"{1:020d}.json").open("w") as f:
+        f.write(_json.dumps({"add": {
+            "path": "part-0-0.parquet", "partitionValues": {},
+            "deletionVector": {"storageType": "x",
+                               "pathOrInlineDv": "?", "sizeInBytes": 1,
+                               "cardinality": 1},
+        }}) + "\n")
+    with pytest.raises(GlueSparkError, match="storageType"):
+        delta_data_files(str(base), with_deletion_vectors=True)
+
+
+def test_dv_roaring_roundtrip_all_container_kinds(tmp_path):
+    """Reader handles array, bitmap, and run containers + multi-key
+    and >32-bit positions; writer round-trips its array form."""
+    import struct as _struct
+
+    from glue_table_cache_spark.sources import dv as DV
+
+    # writer round-trip: sparse positions across two 16-bit keys and
+    # a >2^32 high bitmap
+    pos = [0, 1, 5, 70000, (1 << 32) + 3]
+    assert DV.decode_rbm_array(DV.encode_rbm_array(pos)) == sorted(pos)
+    # writer crosses the mandatory array→bitmap cutover at card 4097
+    big = list(range(0, 13000, 2))  # 6500 > 4096 in one container
+    assert DV.decode_rbm_array(DV.encode_rbm_array(big)) == big
+    # hand-built run container: cookie 12347, one container, runs
+    run_blob = (
+        _struct.pack("<IQ", DV.MAGIC, 1)
+        + _struct.pack("<I", (0 << 16) | 12347)  # size-1=0, cookie
+        + b"\x01"  # run flag bitset: container 0 is a run
+        + _struct.pack("<HH", 0, 9)  # key 0, cardinality-1
+        + _struct.pack("<H", 1)  # 1 run
+        + _struct.pack("<HH", 10, 9)  # start 10, length 9 -> 10..19
+    )
+    assert DV.decode_rbm_array(run_blob) == list(range(10, 20))
+    # bitmap container: cardinality > 4096 forces the 8 KiB form
+    dense = list(range(5000))
+    words = [0] * 1024
+    for v in dense:
+        words[v // 64] |= 1 << (v % 64)
+    bm_blob = (
+        _struct.pack("<IQ", DV.MAGIC, 1)
+        + _struct.pack("<II", 12346, 1)
+        + _struct.pack("<HH", 0, len(dense) - 1)
+        + _struct.pack("<I", 0)  # offset header (ignored)
+        + _struct.pack("<1024Q", *words)
+    )
+    assert DV.decode_rbm_array(bm_blob) == dense
+
+
 def test_partition_values_surface(tmp_path, frames):
     a, b, c = frames
     base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
