@@ -44,7 +44,9 @@ from glue_table_cache_spark.sources.iceberg import _read_bytes, _resolve_path
 #: form ``<requestTs>_<completionTs>.commit``.  Keying is always on
 #: the REQUEST timestamp (first field) — that is the instant identity
 #: Hudi uses in write stats and replace maps.
-_COMPLETED_RE = re.compile(r"/(\d+)(?:_(\d+))?\.(commit|replacecommit)$")
+_COMPLETED_RE = re.compile(
+    r"/(\d+)(?:_(\d+))?\.(commit|replacecommit|deltacommit)$"
+)
 
 #: base-file name: <fileId>_<writeToken>_<instantTime>.parquet
 _BASE_FILE_RE = re.compile(r"([^/_]+(?:-[^/_]+)*)_[^/_]+_(\d+)\.parquet$")
@@ -99,10 +101,23 @@ def hudi_data_files(
     location: str,
     s3_client=None,
     fs=None,
+    base_files_only: bool = False,
 ) -> list[str]:
-    """Active base-file paths of the COPY_ON_WRITE Hudi table at
-    ``location``: one file per live file group, from its newest
-    completed instant.
+    """Active base-file paths of the Hudi table at ``location``: one
+    file per live file group, from its newest completed instant.
+
+    COPY_ON_WRITE tables are fully supported.  MERGE_ON_READ tables
+    refuse by default: their un-compacted ``.log`` files carry
+    updates/deletes a base-file read would miss, so a silent base-only
+    scan returns stale or resurrected rows.  ``base_files_only=True``
+    is the documented escape hatch with an explicit STALENESS
+    CONTRACT: every file group is returned as of its last base-file
+    write (ingest/compaction); row updates and deletes sitting in log
+    files since then are INVISIBLE — acceptable for approximately-
+    fresh analytics right after compaction, wrong for anything that
+    needs read-time correctness.  Log-file write stats (deltacommits)
+    still advance the timeline walk, they just contribute no readable
+    paths.
 
     ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
     testable without AWS, exactly like the Iceberg/Delta readers."""
@@ -112,11 +127,20 @@ def hudi_data_files(
         text = _read_bytes(props[0], s3_client).decode()
         m = re.search(r"hoodie\.table\.type\s*=\s*(\S+)", text)
         if m and m.group(1).upper() == "MERGE_ON_READ":
-            raise GlueSparkError(
-                "Hudi MERGE_ON_READ tables are not supported (base-file"
-                "-only reads would drop un-compacted updates); compact "
-                "to COPY_ON_WRITE or read through a Hudi runtime"
-            )
+            if not base_files_only:
+                n_delta = sum(
+                    1 for p in names if p.endswith(".deltacommit")
+                )
+                raise GlueSparkError(
+                    "Hudi MERGE_ON_READ tables are not supported for "
+                    f"exact reads ({n_delta} completed deltacommit(s) "
+                    "whose log updates/deletes would be dropped); "
+                    "compact to COPY_ON_WRITE, read through a Hudi "
+                    "runtime, or pass base_files_only=True to accept "
+                    "the documented staleness (file groups as of "
+                    "their last base write; log updates/deletes "
+                    "invisible)"
+                )
     instants = _completed_instants(names, location)
     # (instant, path) per file group; newest instant wins (COW rewrite)
     slices: dict[str, tuple[int, str]] = {}
@@ -130,6 +154,12 @@ def hudi_data_files(
             for st in stats:
                 path = st.get("path")
                 if not path:
+                    continue
+                if ".log." in path.rsplit("/", 1)[-1]:
+                    # MOR log file (base_files_only contract): it
+                    # advances the timeline but contributes no
+                    # readable path — its file group stays at the
+                    # last BASE write
                     continue
                 fid = _file_id(st, path)
                 have = slices.get(fid)

@@ -47,10 +47,15 @@ def build_hudi_table(
     ``commits[i]``:
 
     ``{"write": {fileId: df, ...}, "partition": "p", "replace":
-    [fileId, ...], "inflight": bool}`` — ``write`` maps file groups to
-    their (re)written content at this instant; ``replace`` retires
-    file groups (emitted as a replacecommit); ``inflight`` leaves the
-    instant uncommitted (its files must never be scanned)."""
+    [fileId, ...], "inflight": bool, "log": {fileId: bytes}}`` —
+    ``write`` maps file groups to their (re)written content at this
+    instant; ``replace`` retires file groups (emitted as a
+    replacecommit); ``inflight`` leaves the instant uncommitted (its
+    files must never be scanned); ``log`` emits a MERGE_ON_READ
+    deltacommit whose write stats reference ``.{fileId}_{instant}.log
+    .1_0-0-0`` files with the given (opaque) content — the
+    un-compacted update/delete stream a base-file read must either
+    refuse on or explicitly accept as staleness."""
     base = Path(base)
     hoodie = base / ".hoodie"
     hoodie.mkdir(parents=True, exist_ok=True)
@@ -65,8 +70,15 @@ def build_hudi_table(
             rel = f"{partition}/{file_id}_0-0-0_{instant}.parquet"
             _write_data_file(base, df, rel)
             stats.append({"fileId": file_id, "path": rel})
-        payload: dict = {"partitionToWriteStats": {partition: stats}}
         kind = "commit"
+        for file_id, content in commit.get("log", {}).items():
+            kind = "deltacommit"
+            rel = f"{partition}/.{file_id}_{instant}.log.1_0-0-0"
+            out = base / rel
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(content)
+            stats.append({"fileId": file_id, "path": rel})
+        payload: dict = {"partitionToWriteStats": {partition: stats}}
         if commit.get("replace"):
             kind = "replacecommit"
             payload["partitionToReplaceFileIds"] = {

@@ -102,6 +102,51 @@ def test_merge_on_read_rejected(tmp_path, frames):
         hudi_data_files(str(base))
 
 
+def test_merge_on_read_base_files_only_contract(spark, tmp_path, frames):
+    """A log-bearing MOR table: the exact read refuses (naming the
+    escape hatch and the deltacommit count), and base_files_only=True
+    returns the file groups AS OF their last base write — the log's
+    updates stay invisible, per the documented staleness contract."""
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [
+            {"write": {"fg1": a, "fg2": b}},
+            # un-compacted update stream against fg1
+            {"log": {"fg1": b"\x00opaque-log-block\x00"}},
+        ],
+        table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(
+        GlueSparkError, match="1 completed deltacommit"
+    ) as exc:
+        hudi_data_files(str(base))
+    assert "base_files_only" in str(exc.value)
+    paths = hudi_data_files(str(base), base_files_only=True)
+    names = {p.rsplit("/", 1)[1] for p in paths}
+    # base slices only — the .log file never reaches the scan
+    assert names == {
+        "fg1_0-0-0_20240101000000.parquet",
+        "fg2_0-0-0_20240101000000.parquet",
+    }
+    rows = {(r.id, r.v) for r in spark.read.parquet(*paths).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}  # pre-log values
+    # a later COMPACTION (base rewrite via commit) advances the slice
+    build_hudi_table(
+        tmp_path / "ht2",
+        [
+            {"write": {"fg1": a}},
+            {"log": {"fg1": b"\x00log\x00"}},
+            {"write": {"fg1": a2}},  # compaction rewrites the base
+        ],
+        table_type="MERGE_ON_READ",
+    )
+    paths2 = hudi_data_files(str(tmp_path / "ht2"), base_files_only=True)
+    assert {p.rsplit("/", 1)[1] for p in paths2} == {
+        "fg1_0-0-0_20240101000002.parquet"
+    }
+
+
 def test_no_completed_commits_raises(tmp_path, frames):
     a, _, _ = frames
     base = build_hudi_table(
