@@ -1962,9 +1962,12 @@ def _q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     return S.embedding_stats(_emb(spark, sf))
 
 
-def _q_windows_batch(spark: SparkSession, sf: str) -> DataFrame:
-    """Tumbling + sliding batch windows in one row (merged r3); the
-    streaming tumbling twin keeps its own entry."""
+def _q_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling + sliding batch windows AND the streaming tumbling
+    twin in one row (stream arm folded in r5 to free a window slot):
+    the structured-streaming pipeline (file source → watermark →
+    windowed agg → memory sink) must land on exactly the batch
+    numbers."""
     from glue_table_cache_spark.streaming import windows as W
 
     ev = _events(spark, sf)
@@ -1976,36 +1979,103 @@ def _q_windows_batch(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("value_sum", F.lit(None).cast("double"))
         .withColumn("kind", F.lit("sliding"))
     )
-    return tumbling.unionByName(sliding)
-
-
-def _q_tumbling_stream(spark: SparkSession, sf: str) -> DataFrame:
-    from glue_table_cache_spark.streaming import windows as W
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     name = "gtc_entry_tumbling"
     sdf = W.tumbling_counts_stream(spark, f"{sf}/events.parquet")
     W.run_stream_to_memory(sdf, name)
-    return spark.sql(f"SELECT * FROM {name}")
+    stream = spark.sql(f"SELECT * FROM {name}").withColumn(
+        "kind", F.lit("stream")
+    )
+    return tumbling.unionByName(sliding).unionByName(stream)
 
 
 def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    from glue_table_cache_spark.streaming import windows as W
-
-    return W.sessionize_batch(_events(spark, sf), gap_minutes=30)
-
-
-def _q_sessionize_stream(spark: SparkSession, sf: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState):
-    emitted rows = every *closed* session; the oracle is the batch
-    sessionization minus each user's final (still-open) session."""
+    """Batch sessionization AND its custom stateful streaming twin
+    (applyInPandasWithState) in one row (merged r5): the stream arm
+    emits every *closed* session — the batch result minus each user's
+    final (still-open) session — with session_seq NULL (a stream
+    cannot number sessions it has not finished observing)."""
     from glue_table_cache_spark.streaming import windows as W
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = W.sessionize_batch(
+        _events(spark, sf), gap_minutes=30
+    ).withColumn("kind", F.lit("batch"))
     name = "gtc_entry_sessionize_stream"
     sdf = W.sessionize_stream(spark, f"{sf}/events.parquet", gap_minutes=30)
     W.run_stream_to_memory(sdf, name, output_mode="append")
-    return spark.sql(f"SELECT * FROM {name}")
+    stream = (
+        spark.sql(f"SELECT * FROM {name}")
+        .withColumn("session_seq", F.lit(None).cast("long"))
+        .withColumn("kind", F.lit("stream"))
+    )
+    return batch.unionByName(stream)
+
+
+def _q_events_dedup_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once streaming dedup (dropDuplicatesWithinWatermark)
+    keyed on (user_id, event_type); the whole file arrives in one
+    micro-batch, so the kept set is exactly the distinct keys — the
+    SQL twin.  Only the keys are projected: WHICH duplicate survives
+    is the stream's arbitrary choice, the KEY SET is not."""
+    from glue_table_cache_spark.streaming import windows as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = "gtc_entry_dedup_stream"
+    sdf = W.dedup_events_stream(
+        spark, f"{sf}/events.parquet",
+        key_cols=("user_id", "event_type"),
+    )
+    W.run_stream_to_memory(sdf, name, output_mode="append")
+    return spark.sql(
+        f"SELECT user_id, event_type FROM {name}"
+    )
+
+
+def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum corpus masses (operators/stats.py:corpus_stats):
+    doc counts, token/char totals, mean quality.  The operator's
+    sketch columns (HyperLogLog distinct-token estimate, approximate
+    quantiles) are engine-specific by construction and are excluded
+    from the value check; the exact mass columns are the oracle
+    surface."""
+    from glue_table_cache_spark.operators import stats as ST
+
+    return ST.corpus_stats(_docs(spark, sf)).select(
+        "source",
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "avg_quality",
+    )
+
+
+_CORPUS_STATS_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, source, text,
+           length(text) AS nc,
+           CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+           regexp_extract_all(lower(text), '[a-z0-9]+') AS toks_w,
+           length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS np
+    FROM documents
+),
+q AS (
+    SELECT source, n_tokens, nc,
+           round(0.4 * least(CAST(nc AS DOUBLE) / 500.0, 1.0)
+               + 0.3 * (1.0 - least((CASE WHEN nc = 0 THEN 0.0
+                     ELSE CAST(np AS DOUBLE) / nc END) * 5.0, 1.0))
+               + 0.3 * least((CASE WHEN len(toks_w) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(toks_w,
+                              x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                          / len(toks_w) END) * 4.0, 1.0), 6) AS quality
+    FROM base
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       round(avg(quality), 6) AS avg_quality
+FROM q GROUP BY source
+"""
 
 
 def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
@@ -2268,10 +2338,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_embedding_stats": _q_embedding_stats,
     "table_format_scan": _q_table_format_scan,
     "table_format_changes": _q_table_format_changes,
-    "events_windows_batch": _q_windows_batch,
-    "events_tumbling_stream": _q_tumbling_stream,
+    "events_windows": _q_windows,
     "events_sessionize": _q_sessionize,
-    "events_sessionize_stream": _q_sessionize_stream,
+    "events_dedup_stream": _q_events_dedup_stream,
+    "corpus_stats": _q_corpus_stats,
     "multimodal_decode": _q_multimodal_decode,
     "pipeline_curate": _q_pipeline_curate,
 }
@@ -2341,10 +2411,22 @@ _EXTRA_ORACLES: dict[str, str] = {
         "('iceberg', 'added', 'part-2.parquet')"
         ") AS t(fmt, change, file)"
     ),
-    "events_windows_batch": _WINDOWS_BATCH_ORACLE,
-    "events_tumbling_stream": _TUMBLING_ORACLE,
-    "events_sessionize": _SESSIONIZE_ORACLE,
-    "events_sessionize_stream": _SESSIONIZE_STREAM_ORACLE,
+    "events_windows": (
+        f"{_WINDOWS_BATCH_ORACLE} UNION ALL "
+        f"SELECT window_start, event_type, n_events, value_sum, "
+        f"'stream' AS kind FROM ({_TUMBLING_ORACLE})"
+    ),
+    "events_sessionize": (
+        f"SELECT *, 'batch' AS kind FROM ({_SESSIONIZE_ORACLE}) "
+        f"UNION ALL "
+        f"SELECT user_id, CAST(NULL AS BIGINT) AS session_seq, "
+        f"n_events, session_start, session_end, 'stream' AS kind "
+        f"FROM ({_SESSIONIZE_STREAM_ORACLE})"
+    ),
+    "events_dedup_stream": (
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ),
+    "corpus_stats": _CORPUS_STATS_ORACLE,
     "multimodal_decode": _MM_DECODE_ORACLE,
     "pipeline_curate": _CURATE_ORACLE,
 }
