@@ -299,6 +299,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to ``nlist`` coarse
     cells, probe each query's ``nprobe`` nearest cells, score only the
@@ -307,6 +308,21 @@ def ivf_topk(
     the corpus is hash-partitioned by cell and each query touches
     ~``nprobe/nlist`` of it.  Pass ``centroids`` to reuse a trained
     quantizer across queries/batches.
+
+    BROADCAST-QUERIES CONTRACT (``broadcast_queries=True``, default):
+    the probe frame — ``|Q| × nprobe`` rows, each carrying a full
+    query vector — is broadcast to every executor, so the corpus
+    never shuffles (it is scored in place, cell-partitioned).  That
+    is the right shape for the common regime |Q| ≪ corpus (ad-hoc
+    search, eval batches), and the plan's BroadcastNestedLoop/
+    BroadcastHashJoin over probes is deliberate, NOT a cartesian
+    hazard: its size is bounded by |Q| × nprobe × dim.  It is the
+    WRONG shape when the query side is itself corpus-scale (e.g.
+    all-pairs kNN): broadcasting gigabytes of query vectors OOMs the
+    executors.  Pass ``broadcast_queries=False`` there — probes and
+    corpus then hash-partition on the cell id and the join is a
+    shuffle equi-join on ``cluster``, trading one corpus shuffle for
+    no broadcast; results are identical (pytest-asserted both paths).
 
     ``exclude_self`` drops corpus rows whose id equals the query id —
     correct for self-search (queries drawn from the corpus); set it
@@ -336,11 +352,18 @@ def ivf_topk(
         cosine(F.col("qv"), F.col("centroid")).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cluster"))
-    probes = F.broadcast(
+    probes = (
         qscore.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= nprobe)
         .select("query_id", "qv", "cluster")
     )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    else:
+        # corpus-scale query side: co-partition both sides on the
+        # cell id so the join is a plain shuffle equi-join
+        probes = probes.repartition("cluster")
+        assigned = assigned.repartition("cluster")
     candidates = assigned.join(probes, "cluster")
     if exclude_self:
         candidates = candidates.where(F.col("vec_id") != F.col("query_id"))

@@ -550,6 +550,35 @@ def test_ivf_full_probe_equals_exact(embeddings):
     assert ivf == exact
 
 
+def test_ivf_broadcast_opt_out_identical(embeddings):
+    """broadcast_queries=False swaps the broadcast probe join for a
+    cell-copartitioned shuffle equi-join (the corpus-scale-queries
+    shape) — results must be identical, and the plan must actually
+    drop the broadcast."""
+    q = embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.ivf_train(embeddings, nlist=8, iters=1)
+    bc = S.ivf_topk(
+        embeddings, q, k=5, nlist=8, nprobe=3, centroids=cents
+    )
+    sh = S.ivf_topk(
+        embeddings, q, k=5, nlist=8, nprobe=3, centroids=cents,
+        broadcast_queries=False,
+    )
+    assert sorted(map(tuple, bc.collect())) == sorted(
+        map(tuple, sh.collect())
+    )
+    # the probe join must be requested as a cluster-copartitioned
+    # shuffle (the query×CENTROID scoring join stays broadcast — that
+    # one is bounded by |Q|×nlist and is not the opt-out's subject;
+    # AQE may still locally re-broadcast a tiny side at runtime)
+    plan = sh._jdf.queryExecution().optimizedPlan().toString()
+    assert "hashpartitioning(cluster" in plan.replace(
+        "RepartitionByExpression [cluster", "hashpartitioning(cluster"
+    )
+
+
 def test_ivf_partial_probe_recall(embeddings):
     """Probing half the cells must still recover a good share of the
     exact neighbors (cell-local search)."""
