@@ -170,6 +170,97 @@ def _entry(name: str):
     return lambda spark, sf: entrymod.queries()[name](spark, sf)
 
 
+# --------------------------------------------------------------------------
+# sf1.0 scale probe: one measured decade of scaling for the heaviest
+# labels.  /root/testdata stops at sf0.1, so a synthetic sf1.0 is built
+# once under /tmp by replicating sf0.1 ten times with shifted ids —
+# documents get a per-replica text prefix (so replicas are not exact
+# dups and the dedup pair structure stays ~10× the natural one, not
+# quadratic), events get disjoint user/event id ranges per replica (so
+# per-user session structure is preserved and the user count scales).
+# --------------------------------------------------------------------------
+
+_SF1_DIR = "/tmp/gtc_sf1_synth"
+_SF1_LABELS = (
+    "curate", "dedup_simhash", "dedup_minhash",
+    "decontamination", "events_sessionize",
+)
+
+
+def _ensure_sf1(spark, sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    marker = Path(_SF1_DIR) / "_BUILT"
+    if marker.exists():
+        return _SF1_DIR
+    docs = read_table(spark, sf_dir, "documents")
+    events = read_table(spark, sf_dir, "events")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_usr = events.agg(F.max("user_id")).collect()[0][0] + 1
+    n_ev = events.agg(F.max("event_id")).collect()[0][0] + 1
+    d_parts = [
+        docs.select(
+            (F.col("doc_id") + i * n_doc).alias("doc_id"),
+            "source",
+            F.concat(F.lit(f"replica{i} "), F.col("text")).alias("text"),
+            *[c for c in docs.columns
+              if c not in ("doc_id", "source", "text")],
+        )
+        for i in range(10)
+    ]
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    d.write.mode("overwrite").parquet(f"{_SF1_DIR}/documents.parquet")
+    e_parts = [
+        events.select(
+            (F.col("event_id") + i * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * n_usr).alias("user_id"),
+            *[c for c in events.columns
+              if c not in ("event_id", "ts", "user_id")],
+        )
+        for i in range(10)
+    ]
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    e.write.mode("overwrite").parquet(f"{_SF1_DIR}/events.parquet")
+    marker.touch()
+    return _SF1_DIR
+
+
+def _sf1_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
+    """Run the heaviest labels once at the synthetic sf1.0 and report
+    time ratios vs their (best-of-3) sf0.1 timings.  10× data on the
+    same 32 cores: a shuffle-linear label should land near ~10×;
+    ratios well above that flag super-linear behavior (quadratic
+    candidate growth, spill)."""
+    sf1 = _ensure_sf1(spark, sf_dir)
+    fns = dict(BENCH_QUERIES)
+    labels = {}
+    flagged = []
+    for label in _SF1_LABELS:
+        t0 = time.time()
+        n = len(fns[label](spark, sf1).collect())
+        dt = round(time.time() - t0, 3)
+        ratio = round(dt / timings[label], 2) if timings.get(label) else None
+        labels[label] = {"sf1_sec": dt, "sf01_sec": timings.get(label),
+                         "ratio": ratio, "rows": n}
+        if ratio is not None and ratio > 12.0:
+            flagged.append(f"{label} ({ratio}x)")
+        print(f"# sf1_probe {label}: {dt}s ({n} rows, {ratio}x)",
+              file=sys.stderr)
+    note = (
+        "all probed labels scale at or below ~10x for 10x data "
+        "(shuffle-linear)"
+        if not flagged
+        else "super-linear labels (>12x for 10x data): "
+        + ", ".join(flagged)
+    )
+    return {"data_ratio": 10.0, "labels": labels, "note": note}
+
+
 BENCH_QUERIES = [
     ("flagship_cte", _entry("cte_flagship")),
     ("lineitem_agg", _sql(_LINEITEM_SQL)),
@@ -206,7 +297,7 @@ def main() -> None:
     # warm-up: JVM/codegen, engine fixture/cache setup, and the first
     # cold read of each input table (OS page cache) stay out of the
     # per-query timings (the driver compares steady-state throughput)
-    qs["scan_base"](spark, sf_dir).collect()
+    qs["filter_predicates"](spark, sf_dir).collect()
     for t in ("documents", "embeddings", "events"):
         read_table(spark, sf_dir, t).count()
 
@@ -231,17 +322,22 @@ def main() -> None:
         total += dt
         print(f"# {label}: {dt}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # one measured decade of scaling (sf0.1 → synthetic sf1.0) for the
+    # heaviest labels; skip with SPARK_GRAFT_SF1_PROBE=0 or when the
+    # bench itself runs at a different scale factor
+    if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0" and sf == 0.1:
+        try:
+            out["sf1_probe"] = _sf1_probe(spark, sf_dir, timings)
+        except Exception as exc:  # noqa: BLE001 - probe must not kill bench
+            out["sf1_probe"] = {"error": str(exc)[:200]}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

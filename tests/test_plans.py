@@ -249,7 +249,9 @@ def test_every_driver_entry_plan_is_cartesian_free(spark):
         "similarity_cosine_topk",
         "similarity_ivf_topk",
     }
-    skip = {"events_tumbling_stream", "events_sessionize_stream"}
+    # entries that RUN a structured stream while being built (r5
+    # merges folded the stream twins into the batch entries)
+    skip = {"events_windows", "events_sessionize", "events_dedup_stream"}
     sf = "/root/testdata/sf0.001"
     for name, fn in entrymod.queries().items():
         if name in skip or name in allowed_cartesian:
