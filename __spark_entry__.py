@@ -46,7 +46,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # --------------------------------------------------------------------------
 
 # versioned so a fixture-definition change busts stale _BUILT markers
-_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v2")
+_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v3")
 _BASE_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings",
@@ -86,9 +86,25 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         even = orders.where(F.col("o_orderkey") % 2 == 0)
         odd = orders.where(F.col("o_orderkey") % 2 == 1)
-        # snapshot 1 = even keys, snapshot 2 = +odd keys; the orphan
-        # duplicates snapshot 1 and must never be scanned
-        build_iceberg_table(ice, [even, odd], orphan=even)
+        # snapshot 1 = ALL orders; snapshot 2 adds the odds file AND a
+        # format-v2 POSITION delete masking part-1's odd-key rows —
+        # the active state is evens (masked part-1) + odds = exactly
+        # `orders`, but only if the scan applies the position deletes,
+        # skips nothing else, and never reads the orphan
+        build_iceberg_table(
+            ice,
+            [
+                orders,
+                {
+                    "add": odd,
+                    "pos_delete": {
+                        "part-1.parquet":
+                            lambda pdf: pdf["o_orderkey"] % 2 == 1
+                    },
+                },
+            ],
+            orphan=even,
+        )
         (ice / "_BUILT").touch()
     dl = base / "orders_delta"
     if not (base / "orders_delta._BUILT").exists():
@@ -2389,7 +2405,7 @@ _EXTRA_ORACLES: dict[str, str] = {
         "UNION ALL "
         "SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "
-        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus "
+        "FROM orders GROUP BY o_orderstatus "
         "UNION ALL "
         "SELECT 'delta_tt' AS fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "
@@ -2401,14 +2417,16 @@ _EXTRA_ORACLES: dict[str, str] = {
     # adds the odds file, removes the duplicate-evens file, and
     # re-adds part-0-0 with a deletion vector (re-processing signal);
     # hudi instant 1 rewrites file group fg2; iceberg snapshot 2
-    # appends the odds file (append-only: nothing removed)
+    # appends the odds file AND a position-delete file (a consumer
+    # must re-apply deletes, so the feed reports it as added)
     "table_format_changes": (
         "SELECT * FROM (VALUES "
         "('delta', 'added', 'part-0-0.parquet'), "
         "('delta', 'added', 'part-1-0.parquet'), "
         "('delta', 'removed', 'part-0-1.parquet'), "
         "('hudi', 'written', 'fg2_0-0-0_20240101000001.parquet'), "
-        "('iceberg', 'added', 'part-2.parquet')"
+        "('iceberg', 'added', 'part-2.parquet'), "
+        "('iceberg', 'added', 'pos-delete-2-0.parquet')"
         ") AS t(fmt, change, file)"
     ),
     "events_windows": (

@@ -360,16 +360,21 @@ class GlueSparkEngine:
             return apply_deletion_vectors(df, proxied, tbl.location)
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
+                apply_position_deletes,
                 iceberg_data_files,
             )
 
-            paths = self._proxy(iceberg_data_files(tbl.location, fs=self._fs))
+            data, dels = iceberg_data_files(
+                tbl.location, fs=self._fs, with_deletes=True
+            )
+            paths = self._proxy(data)
             if not paths:
                 # zero snapshots / no data files: empty-relation view
                 # (reference emits SELECT NULL LIMIT 0,
                 # /root/reference/src/sql-transformer.ts:320-322)
                 return self.spark.range(0).select(F.lit(None).alias("null"))
-            return self._read_paths(paths, base_path=None)
+            df = self._read_paths(paths, base_path=None)
+            return apply_position_deletes(df, self._proxy(dels))
         if (
             ttype in (ETableType.HIVE, ETableType.UNPARTITIONED)
             and not self.config.explicit_file_lists

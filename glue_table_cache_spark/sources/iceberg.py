@@ -78,9 +78,25 @@ def iceberg_data_files(
     version_offset: int = 0,
     s3_client=None,
     fs=None,
-) -> list[str]:
+    with_deletes: bool = False,
+) -> list[str] | tuple[list[str], list[str]]:
     """Data-file paths of the (``version_offset``-stepped-back) current
     snapshot of the Iceberg table at ``location``.
+
+    Format-v2 row-level deletes: POSITION delete files (delete-manifest
+    entries whose ``data_file.content == 1``) are supported — pass
+    ``with_deletes=True`` to get ``(data_files, position_delete_files)``
+    and run the scan through :func:`apply_position_deletes`; the
+    default mode refuses when any are present, so no caller silently
+    resurrects deleted rows.  EQUALITY delete files
+    (``content == 2``) always refuse: applying them needs the delete
+    schema's column semantics, which belongs to an Iceberg runtime.
+
+    A position delete row names its target ``(file_path, pos)``
+    exactly, so applying every delete file in the current snapshot to
+    the whole scan is exact without sequence-number scoping — a delete
+    aimed at a compacted-away file matches nothing (Iceberg data files
+    are write-once under unique names).
 
     ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
     testable without AWS (stub client + stub lister)."""
@@ -102,27 +118,25 @@ def iceberg_data_files(
     meta = metas[idx]
     snapshots = meta.get("snapshots") or []
     if not snapshots:
-        return []
+        return ([], []) if with_deletes else []
 
     def avro(path: str) -> list[dict]:
         return read_avro_bytes(_read_bytes(path, s3_client), name=path)
 
     manifest_list = _resolve_path(location, snapshots[-1]["manifest-list"])
-    manifests = []
+    manifests: list[tuple[str, bool]] = []
     for r in avro(manifest_list):
-        # content=1 marks a DELETE manifest (format v2 row-level
-        # deletes): its position/equality delete files would have to be
-        # anti-joined against every data file — silently ignoring them
-        # would resurrect deleted rows, so refuse loudly instead
-        if r.get("content", 0) == 1:
-            raise GlueSparkError(
-                f"Iceberg table {location!r} carries row-level delete "
-                "manifests (format v2 merge-on-read); compact/rewrite "
-                "the table or read it through an Iceberg runtime"
+        # content=1 marks a DELETE manifest: its entries are delete
+        # FILES, not data files
+        manifests.append(
+            (
+                _resolve_path(location, r["manifest_path"]),
+                r.get("content", 0) == 1,
             )
-        manifests.append(_resolve_path(location, r["manifest_path"]))
+        )
     files: list[str] = []
-    for m in manifests:
+    delete_files: list[str] = []
+    for m, is_delete in manifests:
         for entry in avro(m):
             # status=2 is a DELETED entry: the file left the table in
             # this snapshot and must not be scanned (the reference's
@@ -131,10 +145,77 @@ def iceberg_data_files(
             # iceberg.ts:31-33)
             if entry.get("status") == 2:
                 continue
-            files.append(
-                _resolve_path(location, entry["data_file"]["file_path"])
-            )
+            df_rec = entry["data_file"]
+            path = _resolve_path(location, df_rec["file_path"])
+            if not is_delete:
+                files.append(path)
+                continue
+            content = df_rec.get("content", 0)
+            if content == 1:
+                delete_files.append(path)
+            elif content == 2:
+                raise GlueSparkError(
+                    f"Iceberg table {location!r} carries EQUALITY "
+                    "delete files (format v2); read through an "
+                    "Iceberg runtime or compact/rewrite the table"
+                )
+            else:
+                raise GlueSparkError(
+                    f"Iceberg delete manifest {m!r} entry {path!r} has "
+                    f"unknown delete content {content!r}; refusing — "
+                    "ignoring it could resurrect deleted rows"
+                )
+    if delete_files and not with_deletes:
+        raise GlueSparkError(
+            f"Iceberg table {location!r} carries {len(delete_files)} "
+            "position delete file(s); call with with_deletes=True and "
+            "apply_position_deletes(), or compact/rewrite — a raw "
+            "path scan would resurrect deleted rows"
+        )
+    if with_deletes:
+        return files, delete_files
     return files
+
+
+def _strip_scheme(col):
+    """Scheme-insensitive path form for matching delete-file
+    ``file_path`` values against ``_metadata.file_path`` (writers may
+    record ``s3://`` where the scan reports ``s3a://``, or a bare
+    absolute path where the scan reports ``file:/``)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^[a-zA-Z0-9+.-]+:/+", "/")
+
+
+def apply_position_deletes(df, delete_paths: list[str]):
+    """Mask position-deleted rows out of a raw parquet scan: the
+    delete files are THEMSELVES parquet read distributed (no
+    driver-side materialization, unlike the Delta DV blobs which are
+    opaque bitmaps), then anti-joined on scheme-normalized
+    ``(_metadata.file_path, _metadata.row_index)``.  Delete sets are
+    usually tiny next to the data, so the anti-join's build side
+    broadcasts under AQE; at pathological delete volumes it degrades
+    to a shuffle join, still scale-safe."""
+    from pyspark.sql import functions as F
+
+    if not delete_paths:
+        return df
+    spark = df.sparkSession
+    deletes = (
+        spark.read.parquet(*delete_paths)
+        .select(
+            _strip_scheme(F.col("file_path")).alias("__del_file"),
+            F.col("pos").cast("long").alias("__del_pos"),
+        )
+    )
+    return (
+        df.withColumn(
+            "__del_file", _strip_scheme(F.col("_metadata.file_path"))
+        )
+        .withColumn("__del_pos", F.col("_metadata.row_index"))
+        .join(deletes, ["__del_file", "__del_pos"], "left_anti")
+        .drop("__del_file", "__del_pos")
+    )
 
 
 def iceberg_changes(
@@ -147,7 +228,18 @@ def iceberg_changes(
     between the snapshot ``versions_back`` versions ago and the current
     one — the "process only new data" primitive for incremental
     training-data ingestion, computed as a set difference of two
-    manifest walks (both metadata-scale)."""
-    cur = set(iceberg_data_files(location, 0, s3_client, fs))
-    prev = set(iceberg_data_files(location, versions_back, s3_client, fs))
+    manifest walks (both metadata-scale).
+
+    Position delete files participate like data files: a NEW delete
+    file shows up in ``added`` (the rows it masks changed — consumers
+    must re-apply deletes via :func:`apply_position_deletes`), a
+    compacted-away one in ``removed``."""
+    cur_d, cur_del = iceberg_data_files(
+        location, 0, s3_client, fs, with_deletes=True
+    )
+    prev_d, prev_del = iceberg_data_files(
+        location, versions_back, s3_client, fs, with_deletes=True
+    )
+    cur = set(cur_d) | set(cur_del)
+    prev = set(prev_d) | set(prev_del)
     return sorted(cur - prev), sorted(prev - cur)

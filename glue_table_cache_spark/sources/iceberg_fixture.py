@@ -49,6 +49,9 @@ MANIFEST_ENTRY_SCHEMA = {
                 "type": "record",
                 "name": "data_file",
                 "fields": [
+                    # 0 = data, 1 = position deletes, 2 = equality
+                    # deletes (Iceberg spec data_file.content)
+                    {"name": "content", "type": "int"},
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
@@ -69,13 +72,19 @@ def build_iceberg_table(
 
     Each element is a DataFrame (append — the classic fixture shape)
     or a dict ``{"add": DataFrame | None, "delete": ["part-N.parquet"],
-    "delete_manifest": bool}``.  A snapshot with ``delete`` writes a
+    "delete_manifest": bool, "pos_delete": {"part-N.parquet": mask_fn},
+    "eq_delete": bool}``.  A snapshot with ``delete`` writes a
     REWRITTEN manifest: every still-live file as status=1 plus the
     deleted files as status=2 (the DELETED entries a correct reader
-    must skip); ``delete_manifest`` marks the snapshot's manifest-list
-    row ``content=1`` (a format-v2 row-level delete manifest a reader
-    without merge-on-read support must refuse).  ``orphan`` lands in
-    data/ unreferenced."""
+    must skip).  ``pos_delete`` writes a format-v2 POSITION delete
+    parquet (``file_path``/``pos`` columns; positions from applying
+    ``mask_fn`` to the file as written) referenced by a content=1
+    delete manifest — the supported merge-on-read shape.
+    ``eq_delete`` emits a content=2 EQUALITY delete entry (must
+    refuse); ``delete_manifest`` marks the snapshot's data manifest
+    content=1 while its entries stay content=0 — a malformed delete
+    manifest a reader must refuse rather than scan or ignore.
+    ``orphan`` lands in data/ unreferenced."""
     import shutil
 
     base = Path(base)
@@ -84,11 +93,12 @@ def build_iceberg_table(
     data_dir.mkdir(parents=True, exist_ok=True)
     meta_dir.mkdir(parents=True, exist_ok=True)
 
-    def entry(path: Path, status: int, snap: int) -> dict:
+    def entry(path: Path, status: int, snap: int, content: int = 0) -> dict:
         return {
             "status": status,
             "snapshot_id": snap,
             "data_file": {
+                "content": content,
                 "file_path": str(path),
                 "file_format": "PARQUET",
                 "record_count": 0,
@@ -98,7 +108,7 @@ def build_iceberg_table(
             },
         }
 
-    manifest_paths: list[str] = []
+    manifest_rows: list[tuple[str, int]] = []  # (path, content)
     live: dict[str, Path] = {}
     snapshot_records: list[dict] = []
     for i, change in enumerate(snapshots, start=1):
@@ -125,14 +135,59 @@ def build_iceberg_table(
                 entry(p, 2, 1000 + i) for p in removed.values()
             ]
             write_avro(manifest, MANIFEST_ENTRY_SCHEMA, rows)
-            manifest_paths = [str(manifest)]
+            manifest_rows = [
+                (str(manifest), 1 if change.get("delete_manifest") else 0)
+            ]
         else:
             write_avro(
                 manifest,
                 MANIFEST_ENTRY_SCHEMA,
                 [entry(added, 1, 1000 + i)] if added is not None else [],
             )
-            manifest_paths.append(str(manifest))
+            manifest_rows.append(
+                (str(manifest), 1 if change.get("delete_manifest") else 0)
+            )
+
+        for j, (name, mask_fn) in enumerate(
+            (change.get("pos_delete") or {}).items()
+        ):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            target = data_dir / name
+            pdf = pq.read_table(target).to_pandas()
+            mask = mask_fn(pdf)
+            positions = [
+                int(k) for k, hit in enumerate(list(mask)) if hit
+            ]
+            del_file = data_dir / f"pos-delete-{i}-{j}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array(
+                            [str(target)] * len(positions)
+                        ),
+                        "pos": pa.array(positions, type=pa.int64()),
+                    }
+                ),
+                del_file,
+            )
+            del_manifest = meta_dir / f"delete-manifest-{i}-{j}.avro"
+            write_avro(
+                del_manifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [entry(del_file, 1, 1000 + i, content=1)],
+            )
+            manifest_rows.append((str(del_manifest), 1))
+        if change.get("eq_delete"):
+            eq_manifest = meta_dir / f"eq-manifest-{i}.avro"
+            write_avro(
+                eq_manifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [entry(data_dir / f"eq-delete-{i}.parquet", 1,
+                       1000 + i, content=2)],
+            )
+            manifest_rows.append((str(eq_manifest), 1))
 
         manifest_list = meta_dir / f"snap-{i}.avro"
         write_avro(
@@ -143,12 +198,10 @@ def build_iceberg_table(
                     "manifest_path": p,
                     "manifest_length": Path(p).stat().st_size,
                     "partition_spec_id": 0,
-                    "content": (
-                        1 if change.get("delete_manifest") else 0
-                    ),
+                    "content": c,
                     "added_snapshot_id": 1000 + i,
                 }
-                for p in manifest_paths
+                for p, c in manifest_rows
             ],
         )
         snapshot_records.append(

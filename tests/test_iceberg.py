@@ -156,16 +156,73 @@ def test_deleted_manifest_entries_skipped(spark, tmp_path):
 
 
 def test_row_level_delete_manifest_refused(spark, tmp_path):
-    """content=1 manifests (format-v2 merge-on-read deletes) would
-    require anti-joining delete files — refusing loudly beats
-    resurrecting deleted rows."""
+    """A content=1 (delete) manifest whose entries are NOT marked as
+    position/equality delete files is malformed — refusing loudly
+    beats scanning it as data or ignoring it (either resurrects or
+    invents rows).  Position deletes have their own supported path
+    (test_position_deletes_*); equality deletes always refuse."""
     a = spark.createDataFrame([(1,)], "id long")
     base = build_iceberg_table(
         tmp_path / "it",
         [a, {"add": None, "delete": ["zzz"], "delete_manifest": True}],
     )
-    with pytest.raises(GlueSparkError, match="row-level delete"):
+    with pytest.raises(GlueSparkError, match="unknown delete content"):
         iceberg_data_files(str(base))
+
+
+def test_equality_deletes_refused(spark, tmp_path):
+    a = spark.createDataFrame([(1,)], "id long")
+    base = build_iceberg_table(
+        tmp_path / "it", [a, {"add": None, "eq_delete": True}]
+    )
+    with pytest.raises(GlueSparkError, match="EQUALITY delete"):
+        iceberg_data_files(str(base), with_deletes=True)
+
+
+def test_position_deletes_masked(spark, tmp_path):
+    """Format-v2 position deletes: default mode refuses; with_deletes
+    returns the delete files and apply_position_deletes masks exactly
+    the named (file, pos) rows via the distributed anti-join."""
+    from glue_table_cache_spark.sources.iceberg import (
+        apply_position_deletes,
+    )
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    b = spark.createDataFrame([(4,), (5,)], "id long")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [
+            a,
+            b,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"].isin([2, 3]),
+                    "part-2.parquet": lambda pdf: pdf["id"] == 5,
+                },
+            },
+        ],
+    )
+    with pytest.raises(GlueSparkError, match="position delete"):
+        iceberg_data_files(str(base))
+    data, dels = iceberg_data_files(str(base), with_deletes=True)
+    assert len(data) == 2 and len(dels) == 2
+    out = apply_position_deletes(spark.read.parquet(*data), dels)
+    assert sorted(r.id for r in out.collect()) == [1, 4]
+    # time travel to before the deletes sees everything
+    prev = iceberg_data_files(str(base), version_offset=1)
+    assert sorted(
+        r.id for r in spark.read.parquet(*prev).collect()
+    ) == [1, 2, 3, 4, 5]
+    # the incremental feed reports the new delete files as added
+    from glue_table_cache_spark.sources.iceberg import iceberg_changes
+
+    added, removed = iceberg_changes(str(base), versions_back=1)
+    assert {p.rsplit("/", 1)[1] for p in added} == {
+        "pos-delete-3-0.parquet",
+        "pos-delete-3-1.parquet",
+    }
+    assert removed == []
 
 
 def test_iceberg_changes_incremental_feed(spark, tmp_path):
