@@ -335,13 +335,12 @@ class GlueSparkEngine:
             # directory scan would read removed/orphan files — and mask
             # DV-deleted rows via the row_index anti-join
             from glue_table_cache_spark.sources.delta import (
+                apply_column_mapping,
                 apply_deletion_vectors,
-                delta_data_files,
+                delta_scan_info,
             )
 
-            entries = delta_data_files(
-                tbl.location, fs=self._fs, with_deletion_vectors=True
-            )
+            entries, renames = delta_scan_info(tbl.location, fs=self._fs)
             raw_paths = [p for p, _pv, _dv in entries]
             paths = self._proxy(raw_paths)
             if not paths:
@@ -352,12 +351,14 @@ class GlueSparkEngine:
             reader = self.spark.read.option("basePath", tbl.location)
             df = self._format_read(reader, tbl, *paths)
             # keyed on the PROXIED path — the one _metadata.file_path
-            # will report for the scan Spark actually performed
+            # will report for the scan Spark actually performed.
+            # DVs first (they need _metadata), then the logical rename
             proxied = [
                 (pp, pv, dv)
                 for pp, (_p, pv, dv) in zip(paths, entries)
             ]
-            return apply_deletion_vectors(df, proxied, tbl.location)
+            df = apply_deletion_vectors(df, proxied, tbl.location)
+            return apply_column_mapping(df, renames)
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
                 apply_position_deletes,

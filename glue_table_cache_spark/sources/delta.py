@@ -70,7 +70,7 @@ def _log_files(location: str, fs=None) -> list[str]:
     return fs.list_files(log_dir)
 
 
-def _apply_action(active: dict, action: dict) -> None:
+def _apply_action(active: dict, action: dict, state: dict) -> None:
     if "add" in action and action["add"]:
         a = action["add"]
         _check_dv_supported(a)
@@ -81,24 +81,62 @@ def _apply_action(active: dict, action: dict) -> None:
     elif "remove" in action and action["remove"]:
         active.pop(unquote(action["remove"]["path"]), None)
     elif "metaData" in action and action["metaData"]:
-        _check_metadata(action["metaData"])
+        state["metaData"] = action["metaData"]
     elif "protocol" in action and action["protocol"]:
         _check_protocol(action["protocol"])
 
 
-def _check_metadata(meta: dict) -> None:
-    conf = meta.get("configuration") or {}
+def _mapping_mode(meta: dict | None) -> str:
+    conf = (meta or {}).get("configuration") or {}
     if isinstance(conf, list):  # pyarrow map -> list of pairs
         conf = dict(conf)
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("", "none"):
-        # with id/name column mapping the parquet files carry
-        # physical column names — a raw read would surface
-        # col-<uuid> columns instead of the logical schema
-        raise GlueSparkError(
-            f"Delta column mapping mode {mode!r} is not supported "
-            "by the raw-parquet read path"
+    return "none" if mode in ("", "none") else mode
+
+
+def column_mapping_renames(meta: dict | None) -> dict[str, str] | None:
+    """``{physical_name: logical_name}`` for a column-mapped table
+    (modes ``name``/``id`` — with both, the parquet files carry the
+    physical names recorded in the schema's field metadata), or
+    ``None`` when the table is unmapped.  Only FLAT schemas are
+    supported: with a struct anywhere, the files also map the nested
+    field names and a top-level rename would silently mis-label them
+    — refuse instead."""
+    if _mapping_mode(meta) == "none":
+        return None
+    schema = json.loads(meta["schemaString"])
+
+    def has_struct(t) -> bool:
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return True
+            return any(
+                has_struct(v)
+                for k, v in t.items()
+                if k in ("elementType", "valueType", "keyType", "type")
+            )
+        return False
+
+    renames: dict[str, str] = {}
+    for field in schema.get("fields", []):
+        if has_struct(field.get("type")):
+            raise GlueSparkError(
+                f"Delta column mapping on nested field "
+                f"{field.get('name')!r} is not supported by the "
+                "raw-parquet read path (only flat schemas); read "
+                "through a Delta runtime"
+            )
+        physical = (field.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
         )
+        if not physical:
+            raise GlueSparkError(
+                f"Delta column-mapped field {field.get('name')!r} "
+                "carries no physicalName metadata — schemaString is "
+                "inconsistent with delta.columnMapping.mode"
+            )
+        renames[physical] = field["name"]
+    return renames
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -171,17 +209,20 @@ def _verify_checkpoint_parts(version: int, paths: list[str]) -> list[str]:
     return sorted(paths)
 
 
-def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
+def _read_checkpoint(
+    paths: list[str], s3_client=None, state: dict | None = None
+) -> dict:
     """Active adds from a (possibly multi-part) checkpoint parquet.
     A checkpoint row holds at most one action; only ``add`` rows carry
     live files (``remove`` rows are expired-tombstone bookkeeping) —
     but ``metaData`` / ``protocol`` rows carry the SAME reader gates
     the JSON replay enforces, and after log cleanup the checkpoint may
-    be the only place they live, so they are read and checked too."""
+    be the only place they live, so they are read and tracked too."""
     import io
 
     import pyarrow.parquet as pq
 
+    state = state if state is not None else {}
     active: dict = {}
     for p in paths:
         pf = pq.ParquetFile(io.BytesIO(_read_bytes(p, s3_client)))
@@ -200,7 +241,7 @@ def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
                 if meta and (
                     meta.get("configuration") or meta.get("id")
                 ):
-                    _check_metadata(meta)
+                    state["metaData"] = meta
         if "add" not in want:
             continue
         for a in table.column("add").to_pylist():
@@ -213,27 +254,16 @@ def _read_checkpoint(paths: list[str], s3_client=None) -> dict:
     return active
 
 
-def delta_data_files(
+def _replay(
     location: str,
     version_offset: int = 0,
     s3_client=None,
     fs=None,
-    with_partition_values: bool = False,
-    with_deletion_vectors: bool = False,
-) -> list[str] | list[tuple[str, dict]] | list[tuple[str, dict, dict]]:
-    """Data-file paths of the (``version_offset``-stepped-back) current
-    version of the Delta table at ``location``.
-
-    ``with_deletion_vectors=True`` returns ``(path, partition_values,
-    deletion_vector_or_None)`` triples — callers that scan raw parquet
-    MUST either request this and pass the triples through
-    :func:`apply_deletion_vectors`, or tolerate resurrected rows; the
-    default modes raise if any live file carries a DV, so no caller
-    silently reads deleted rows back.
-
-    ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
-    testable without AWS (stub client + stub lister), exactly like the
-    Iceberg reader."""
+) -> tuple[dict, dict]:
+    """Reconstruct ``(active_files, table_state)`` at the target
+    version: checkpoint bootstrap + JSON commit tail.  ``table_state``
+    carries the latest ``metaData`` action (schema, configuration);
+    protocol gates are enforced during the walk."""
     names = _log_files(location, fs=fs)
     commits: dict[int, str] = {}
     checkpoints: dict[int, list[str]] = {}
@@ -258,12 +288,14 @@ def delta_data_files(
         )
 
     active: dict = {}
+    state: dict = {}
     start = 0
     cp_versions = [v for v in checkpoints if v <= target]
     if cp_versions:
         cp = max(cp_versions)
         active = _read_checkpoint(
-            _verify_checkpoint_parts(cp, checkpoints[cp]), s3_client
+            _verify_checkpoint_parts(cp, checkpoints[cp]), s3_client,
+            state,
         )
         start = cp + 1
     for v in range(start, target + 1):
@@ -275,7 +307,82 @@ def delta_data_files(
         for line in _read_bytes(commits[v], s3_client).splitlines():
             line = line.strip()
             if line:
-                _apply_action(active, json.loads(line))
+                _apply_action(active, json.loads(line), state)
+    return active, state
+
+
+def delta_scan_info(
+    location: str,
+    version_offset: int = 0,
+    s3_client=None,
+    fs=None,
+) -> tuple[list[tuple[str, dict, dict | None]], dict[str, str] | None]:
+    """Everything a correct raw-parquet scan needs:
+    ``(entries, renames)`` where ``entries`` are ``(path,
+    partition_values, deletion_vector_or_None)`` triples and
+    ``renames`` is the physical→logical column map for column-mapped
+    tables (``None`` when unmapped).  Feed the scan through
+    :func:`apply_deletion_vectors` first (it needs ``_metadata``,
+    which a rename projection drops), then
+    :func:`apply_column_mapping`."""
+    active, state = _replay(location, version_offset, s3_client, fs)
+    renames = column_mapping_renames(state.get("metaData"))
+    entries = [
+        (_resolve_path(location, p), active[p][0], active[p][1])
+        for p in sorted(active)
+    ]
+    return entries, renames
+
+
+def apply_column_mapping(df, renames: dict[str, str] | None):
+    """Project a column-mapped scan back to its logical schema.
+    Partition columns surfaced from ``basePath`` parsing keep their
+    directory names and pass through unmapped."""
+    from pyspark.sql import functions as F
+
+    if not renames:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(renames.get(c, c))
+            for c in df.columns
+        ]
+    )
+
+
+def delta_data_files(
+    location: str,
+    version_offset: int = 0,
+    s3_client=None,
+    fs=None,
+    with_partition_values: bool = False,
+    with_deletion_vectors: bool = False,
+) -> list[str] | list[tuple[str, dict]] | list[tuple[str, dict, dict]]:
+    """Data-file paths of the (``version_offset``-stepped-back) current
+    version of the Delta table at ``location``.
+
+    ``with_deletion_vectors=True`` returns ``(path, partition_values,
+    deletion_vector_or_None)`` triples — callers that scan raw parquet
+    MUST either request this and pass the triples through
+    :func:`apply_deletion_vectors`, or tolerate resurrected rows; the
+    default modes raise if any live file carries a DV, so no caller
+    silently reads deleted rows back.
+
+    ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
+    testable without AWS (stub client + stub lister), exactly like the
+    Iceberg reader."""
+    active, state = _replay(location, version_offset, s3_client, fs)
+    if _mapping_mode(state.get("metaData")) != "none":
+        # with id/name column mapping the parquet files carry physical
+        # column names — a raw read would surface col-<uuid> columns
+        # instead of the logical schema.  delta_scan_info() +
+        # apply_column_mapping() is the supported path.
+        raise GlueSparkError(
+            "Delta column mapping mode "
+            f"{_mapping_mode(state.get('metaData'))!r} needs the "
+            "rename map — use delta_scan_info() + "
+            "apply_column_mapping() instead of the raw path list"
+        )
     paths = sorted(active)
     if with_deletion_vectors:
         return [

@@ -45,6 +45,7 @@ def build_delta_table(
     checkpoint_at: int | None = None,
     drop_precheckpoint_commits: bool = False,
     checkpoint_kwargs: dict | None = None,
+    column_mapping: bool = False,
 ) -> Path:
     """Write a Delta table whose version ``i`` applies ``commits[i]``:
     ``{"add": [df, ...], "remove": ["part-N.parquet", ...],
@@ -72,23 +73,48 @@ def build_delta_table(
     active: dict[str, dict] = {}
     active_dv: dict[str, dict] = {}
     protocol_upgraded = False
+    physical: dict[str, str] = {}  # logical -> physical (column_mapping)
     for version, commit in enumerate(commits):
         actions: list[dict] = []
         if version == 0:
+            meta: dict = {
+                "id": "00000000-0000-0000-0000-000000000000",
+                "format": {"provider": "parquet", "options": {}},
+                "partitionColumns": [],
+            }
+            if column_mapping:
+                # physical names from the first add's columns; the
+                # data files are written UNDER these names, exactly
+                # like a name-mapped delta-spark table
+                first = next(
+                    (d for c in commits for d in c.get("add", [])), None
+                )
+                schema = first.schema.jsonValue()
+                for k, field in enumerate(schema["fields"]):
+                    phys = f"col-{k}a{field['name']}"
+                    physical[field["name"]] = phys
+                    field.setdefault("metadata", {})[
+                        "delta.columnMapping.physicalName"
+                    ] = phys
+                    field["metadata"]["delta.columnMapping.id"] = k + 1
+                meta["schemaString"] = json.dumps(schema)
+                meta["configuration"] = {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(len(physical)),
+                }
+            actions.append({"metaData": meta})
             actions.append(
                 {
-                    "metaData": {
-                        "id": "00000000-0000-0000-0000-000000000000",
-                        "format": {"provider": "parquet", "options": {}},
-                        "partitionColumns": [],
+                    "protocol": {
+                        "minReaderVersion": 2 if column_mapping else 1,
+                        "minWriterVersion": 5 if column_mapping else 2,
                     }
                 }
             )
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
         for j, df in enumerate(commit.get("add", [])):
             name = f"part-{version}-{j}.parquet"
+            if physical:
+                df = df.withColumnsRenamed(physical)
             data_file = _write_data_file(base, df, name)
             add = {
                 "path": name,

@@ -305,6 +305,55 @@ def test_dv_roaring_roundtrip_all_container_kinds(tmp_path):
     assert DV.decode_rbm_array(bm_blob) == dense
 
 
+def test_column_mapping_read(spark, tmp_path, frames):
+    """A name-mapped table's files carry physical col-<n> names; the
+    scan must surface the LOGICAL schema — via delta_scan_info +
+    apply_column_mapping, and end-to-end through the engine.  The
+    path-only mode refuses with a pointer."""
+    from glue_table_cache_spark.sources.delta import (
+        apply_column_mapping,
+        delta_scan_info,
+    )
+
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b], "remove": ["part-0-0.parquet"]}],
+        column_mapping=True,
+    )
+    with pytest.raises(GlueSparkError, match="column mapping"):
+        delta_data_files(str(base))
+    entries, renames = delta_scan_info(str(base))
+    assert renames and set(renames.values()) == {"id", "v"}
+    raw = spark.read.parquet(*[p for p, _pv, _dv in entries])
+    assert set(raw.columns) == set(renames)  # physical on disk
+    out = apply_column_mapping(raw, renames)
+    assert [(r.id, r.v) for r in out.orderBy("id").collect()] == [(3, "c")]
+    # engine end-to-end: logical names usable in SQL
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "cmt", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    got = GlueSparkEngine(spark, store).sql(
+        "SELECT id, v FROM glue.db.cmt WHERE id = 3"
+    )
+    assert [(r.id, r.v) for r in got.collect()] == [(3, "c")]
+
+
+def test_column_mapping_nested_refused(spark, tmp_path):
+    nested = spark.createDataFrame(
+        [(1, ("x", 2))], "id long, s struct<p: string, q: long>"
+    )
+    base = build_delta_table(
+        tmp_path / "dt", [{"add": [nested]}], column_mapping=True
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    with pytest.raises(GlueSparkError, match="nested"):
+        delta_scan_info(str(base))
+
+
 def test_partition_values_surface(tmp_path, frames):
     a, b, c = frames
     base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
