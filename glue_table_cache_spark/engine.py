@@ -341,6 +341,28 @@ class GlueSparkEngine:
             )
 
             entries, renames = delta_scan_info(tbl.location, fs=self._fs)
+            # LOG-METADATA partition pruning: the transaction log
+            # already records partitionValues per file, so partition
+            # predicates drop files BEFORE the reader ever sees their
+            # paths — at large file counts this is the difference
+            # between handing Spark 10k paths and 1M (driver memory,
+            # file-index build, task planning), on top of whatever
+            # partition pruning Catalyst repeats later.  Skipped for
+            # column-mapped tables (the log keys partitionValues by
+            # PHYSICAL name; Catalyst still prunes from the k=v dirs).
+            keys = [k.name for k in tbl.partition_keys]
+            if query and keys and renames is None and entries:
+                predicate = extract_partition_predicate(
+                    query, keys, {tbl.name, tbl.qualified_name}
+                )
+                kept = {
+                    f.path
+                    for f in prune_files(
+                        [FileInfo(p, pv) for p, pv, _dv in entries],
+                        predicate,
+                    )
+                }
+                entries = [e for e in entries if e[0] in kept]
             raw_paths = [p for p, _pv, _dv in entries]
             paths = self._proxy(raw_paths)
             if not paths:

@@ -26,9 +26,10 @@ from pyspark.sql import DataFrame
 
 
 def _write_data_file(base: Path, df: DataFrame, name: str) -> Path:
-    stage = base / f"_stage_{name}"
+    stage = base / ("_stage_" + name.replace("/", "_"))
     df.coalesce(1).write.mode("overwrite").parquet(str(stage))
     out = base / name
+    out.parent.mkdir(parents=True, exist_ok=True)
     next(stage.glob("part-*.parquet")).rename(out)
     shutil.rmtree(stage, ignore_errors=True)
     return out
@@ -111,20 +112,24 @@ def build_delta_table(
                     }
                 }
             )
+        pv = commit.get("partition") or {}
+        part_dir = "/".join(f"{k}={v}" for k, v in pv.items())
         for j, df in enumerate(commit.get("add", [])):
             name = f"part-{version}-{j}.parquet"
+            if part_dir:
+                name = f"{part_dir}/{name}"
             if physical:
                 df = df.withColumnsRenamed(physical)
             data_file = _write_data_file(base, df, name)
             add = {
                 "path": name,
-                "partitionValues": {},
+                "partitionValues": dict(pv),
                 "size": data_file.stat().st_size,
                 "modificationTime": 1700000000000 + version,
                 "dataChange": True,
             }
             actions.append({"add": add})
-            active[name] = {}
+            active[name] = dict(pv)
         for name, mask_fn in commit.get("dv", {}).items():
             if not protocol_upgraded:
                 actions.insert(

@@ -305,6 +305,47 @@ def test_dv_roaring_roundtrip_all_container_kinds(tmp_path):
     assert DV.decode_rbm_array(bm_blob) == dense
 
 
+def test_log_metadata_partition_pruning(spark, tmp_path, frames):
+    """Partition predicates prune files from the LOG's partitionValues
+    before the reader sees their paths: the pruned file's rows never
+    appear, and the scan's input file list shrinks to the match."""
+    from glue_table_cache_spark.catalog import PartitionKey
+
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a], "partition": {"year": "1996"}},
+            {"add": [b], "partition": {"year": "1997"}},
+            {"add": [c], "partition": {"year": "1998"}},
+        ],
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "pt", str(base),
+        partition_keys=[PartitionKey("year", "string")],
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "SELECT id, year FROM glue.db.pt WHERE year = '1997'"
+    )
+    # Spark's partition discovery infers year as int from the k=v dirs
+    assert [(r.id, int(r.year)) for r in out.collect()] == [(3, 1997)]
+    # the physical scan read ONE file, not three: log-level pruning,
+    # not just Catalyst's post-hoc partition filter
+    scan_files = [
+        f for f in out.inputFiles() if f.endswith(".parquet")
+    ]
+    assert len(scan_files) == 1 and "year=1997" in scan_files[0]
+    # OR across partitions keeps both matching files
+    both = eng.sql(
+        "SELECT id FROM glue.db.pt "
+        "WHERE year = '1996' OR year = '1998' ORDER BY id"
+    )
+    assert [r.id for r in both.collect()] == [1, 2, 4, 5]
+
+
 def test_column_mapping_read(spark, tmp_path, frames):
     """A name-mapped table's files carry physical col-<n> names; the
     scan must surface the LOGICAL schema — via delta_scan_info +
