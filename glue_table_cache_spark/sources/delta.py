@@ -279,6 +279,36 @@ def _replay(
         raise GlueSparkError(
             f"No Delta log found under {location!r}/_delta_log"
         )
+    # cross-check the writer's _last_checkpoint pointer (listed
+    # nowhere: it is `_`-prefixed, which data listers rightly hide —
+    # read it directly; absence is normal): an advertised checkpoint
+    # the listing missed, or a parts count the listed files
+    # contradict, means the listing cannot be trusted for
+    # reconstruction — raise rather than silently fall back to an
+    # older/partial state
+    lc_path = posixpath.join(
+        location.rstrip("/"), "_delta_log", "_last_checkpoint"
+    )
+    try:
+        raw = _read_bytes(lc_path, s3_client)
+    except Exception:  # noqa: BLE001 - absent pointer is the normal case
+        raw = None
+    if raw:
+        info = json.loads(raw)
+        v = info.get("version")
+        if v is not None:
+            if v not in checkpoints:
+                raise GlueSparkError(
+                    f"_last_checkpoint advertises checkpoint version "
+                    f"{v} for {location!r} but the listing has no "
+                    "checkpoint files for it — inconsistent listing"
+                )
+            if info.get("parts") and len(checkpoints[v]) != info["parts"]:
+                raise GlueSparkError(
+                    f"_last_checkpoint says checkpoint {v} has "
+                    f"{info['parts']} part(s) but the listing found "
+                    f"{len(checkpoints[v])} for {location!r}"
+                )
     latest = max([*commits, *checkpoints])
     target = latest - version_offset
     if target < 0:

@@ -163,13 +163,14 @@ def build_delta_table(
             "\n".join(json.dumps(a) for a in actions) + "\n"
         )
         if checkpoint_at == version:
+            ckw = checkpoint_kwargs or {}
             _write_checkpoint(
-                log_dir,
-                version,
-                active,
-                active_dv=active_dv,
-                **(checkpoint_kwargs or {}),
+                log_dir, version, active, active_dv=active_dv, **ckw
             )
+            lc = {"version": version, "size": len(active) + 2}
+            if ckw.get("num_parts"):
+                lc["parts"] = ckw["num_parts"]
+            (log_dir / "_last_checkpoint").write_text(json.dumps(lc))
 
     if drop_precheckpoint_commits and checkpoint_at is not None:
         for v in range(checkpoint_at + 1):

@@ -170,7 +170,10 @@ def test_multipart_checkpoint_reads_all_parts(tmp_path, frames):
 
 def test_multipart_checkpoint_missing_part_raises(tmp_path, frames):
     """A missing/unlisted checkpoint part must raise loudly — reading
-    the surviving parts would silently drop live files."""
+    the surviving parts would silently drop live files.  Both layers
+    catch it: _last_checkpoint's parts count against the listing, and
+    (with _last_checkpoint gone) the <part>.<numParts> filename
+    encoding itself."""
     a, b, c = frames
     base = build_delta_table(
         tmp_path / "dt",
@@ -179,8 +182,31 @@ def test_multipart_checkpoint_missing_part_raises(tmp_path, frames):
         drop_precheckpoint_commits=True,
         checkpoint_kwargs={"num_parts": 3, "drop_parts": {2}},
     )
+    with pytest.raises(GlueSparkError, match="part"):
+        delta_data_files(str(base))
+    # without the pointer file the filename check still refuses
+    (base / "_delta_log" / "_last_checkpoint").unlink()
     with pytest.raises(GlueSparkError, match="Incomplete multi-part"):
         delta_data_files(str(base))
+
+
+def test_last_checkpoint_advertises_unlisted_version(tmp_path, frames):
+    """_last_checkpoint naming a checkpoint the listing has no files
+    for means the listing cannot be trusted — raise, do not silently
+    reconstruct from an older state."""
+    import json as _json
+
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt", [{"add": [a]}, {"add": [b]}], checkpoint_at=1
+    )
+    for f in (base / "_delta_log").glob("*.checkpoint.parquet"):
+        f.unlink()  # the advertised checkpoint vanishes from listing
+    with pytest.raises(GlueSparkError, match="inconsistent listing"):
+        delta_data_files(str(base))
+    # a CONSISTENT log (pointer removed) replays fine from commits
+    (base / "_delta_log" / "_last_checkpoint").unlink()
+    assert len(delta_data_files(str(base))) == 2
 
 
 def test_missing_commit_without_checkpoint_raises(tmp_path, frames):
@@ -393,6 +419,41 @@ def test_column_mapping_nested_refused(spark, tmp_path):
 
     with pytest.raises(GlueSparkError, match="nested"):
         delta_scan_info(str(base))
+
+
+def test_dv_roundtrip_property(tmp_path):
+    """Hypothesis: any position set round-trips through the writer —
+    across container-kind cutovers (array↔bitmap at 4096), 16-bit key
+    boundaries, and the 32-bit bitmap-array split — and the DV file
+    layer (version byte, BE size, CRC32) preserves it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from glue_table_cache_spark.sources import dv as DV
+
+    positions = st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=200_000),
+            # straddle the 16-bit container boundary
+            st.integers(min_value=65_400, max_value=65_700),
+            # >32-bit rows (second bitmap in the array)
+            st.integers(min_value=(1 << 32), max_value=(1 << 32) + 1000),
+        ),
+        max_size=300,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(pos=positions)
+    def check(pos):
+        expect = sorted(set(pos))
+        assert DV.decode_rbm_array(DV.encode_rbm_array(pos)) == expect
+        f = tmp_path / "dv.bin"
+        desc = DV.write_dv_file(f, pos)
+        desc["storageType"] = "p"
+        desc["pathOrInlineDv"] = str(f)
+        assert DV.dv_deleted_positions(desc, str(tmp_path)) == expect
+
+    check()
 
 
 def test_partition_values_surface(tmp_path, frames):
