@@ -384,13 +384,28 @@ class GlueSparkEngine:
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
                 apply_position_deletes,
-                iceberg_data_files,
+                iceberg_scan_info,
             )
 
-            data, dels = iceberg_data_files(
-                tbl.location, fs=self._fs, with_deletes=True
-            )
-            paths = self._proxy(data)
+            entries, dels = iceberg_scan_info(tbl.location, fs=self._fs)
+            # MANIFEST-METADATA partition pruning — same shape as the
+            # DELTA branch: the manifests record each file's partition
+            # tuple, so partition predicates drop files before the
+            # reader sees their paths
+            keys = [k.name for k in tbl.partition_keys]
+            if query and keys and entries:
+                predicate = extract_partition_predicate(
+                    query, keys, {tbl.name, tbl.qualified_name}
+                )
+                kept = {
+                    f.path
+                    for f in prune_files(
+                        [FileInfo(p, pv) for p, pv in entries],
+                        predicate,
+                    )
+                }
+                entries = [e for e in entries if e[0] in kept]
+            paths = self._proxy([p for p, _pv in entries])
             if not paths:
                 # zero snapshots / no data files: empty-relation view
                 # (reference emits SELECT NULL LIMIT 0,

@@ -100,6 +100,40 @@ def iceberg_data_files(
 
     ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
     testable without AWS (stub client + stub lister)."""
+    entries, delete_files = iceberg_scan_info(
+        location, version_offset, s3_client, fs
+    )
+    files = [p for p, _pv in entries]
+    if with_deletes:
+        return files, delete_files
+    if delete_files:
+        raise GlueSparkError(
+            f"Iceberg table {location!r} carries {len(delete_files)} "
+            "position delete file(s); call with with_deletes=True and "
+            "apply_position_deletes(), or compact/rewrite — a raw "
+            "path scan would resurrect deleted rows"
+        )
+    return files
+
+
+def iceberg_scan_info(
+    location: str,
+    version_offset: int = 0,
+    s3_client=None,
+    fs=None,
+) -> tuple[list[tuple[str, dict]], list[str]]:
+    """``(entries, position_delete_files)`` where entries are
+    ``(path, partition_values)`` — the manifest records each data
+    file's partition tuple, so partition predicates can prune files
+    BEFORE the reader sees their paths (the engine feeds these into
+    the same three-valued predicate tree as the hive listing path).
+    Values are stringified: the pruning layer compares against the
+    string forms partition predicates carry.
+
+    EQUALITY delete files (``data_file.content == 2``) and unknown
+    delete contents refuse: applying equality deletes needs the
+    delete schema's column semantics (an Iceberg runtime's job), and
+    ignoring either would resurrect deleted rows."""
     jsons = _list_metadata_jsons(location, fs=fs)
     if not jsons:
         raise GlueSparkError(
@@ -115,28 +149,21 @@ def iceberg_data_files(
             f"version_offset={version_offset} exceeds available versions "
             f"({len(metas)}) for {location!r}"
         )
-    meta = metas[idx]
-    snapshots = meta.get("snapshots") or []
+    snapshots = metas[idx].get("snapshots") or []
     if not snapshots:
-        return ([], []) if with_deletes else []
+        return [], []
 
     def avro(path: str) -> list[dict]:
         return read_avro_bytes(_read_bytes(path, s3_client), name=path)
 
     manifest_list = _resolve_path(location, snapshots[-1]["manifest-list"])
-    manifests: list[tuple[str, bool]] = []
+    entries: list[tuple[str, dict]] = []
+    delete_files: list[str] = []
     for r in avro(manifest_list):
         # content=1 marks a DELETE manifest: its entries are delete
         # FILES, not data files
-        manifests.append(
-            (
-                _resolve_path(location, r["manifest_path"]),
-                r.get("content", 0) == 1,
-            )
-        )
-    files: list[str] = []
-    delete_files: list[str] = []
-    for m, is_delete in manifests:
+        is_delete = r.get("content", 0) == 1
+        m = _resolve_path(location, r["manifest_path"])
         for entry in avro(m):
             # status=2 is a DELETED entry: the file left the table in
             # this snapshot and must not be scanned (the reference's
@@ -148,7 +175,10 @@ def iceberg_data_files(
             df_rec = entry["data_file"]
             path = _resolve_path(location, df_rec["file_path"])
             if not is_delete:
-                files.append(path)
+                pv = df_rec.get("partition") or {}
+                entries.append(
+                    (path, {k: str(v) for k, v in pv.items()})
+                )
                 continue
             content = df_rec.get("content", 0)
             if content == 1:
@@ -165,16 +195,7 @@ def iceberg_data_files(
                     f"unknown delete content {content!r}; refusing — "
                     "ignoring it could resurrect deleted rows"
                 )
-    if delete_files and not with_deletes:
-        raise GlueSparkError(
-            f"Iceberg table {location!r} carries {len(delete_files)} "
-            "position delete file(s); call with with_deletes=True and "
-            "apply_position_deletes(), or compact/rewrite — a raw "
-            "path scan would resurrect deleted rows"
-        )
-    if with_deletes:
-        return files, delete_files
-    return files
+    return entries, delete_files
 
 
 def _strip_scheme(col):

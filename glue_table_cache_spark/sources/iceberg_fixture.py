@@ -54,6 +54,14 @@ MANIFEST_ENTRY_SCHEMA = {
                     {"name": "content", "type": "int"},
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
+                    # the spec encodes this as the r102 struct typed
+                    # by the partition spec; the fixture simplifies to
+                    # a string map — the reader stringifies either
+                    # decoded form into the same pruning dict
+                    {
+                        "name": "partition",
+                        "type": ["null", {"type": "map", "values": "string"}],
+                    },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
                 ],
@@ -93,7 +101,13 @@ def build_iceberg_table(
     data_dir.mkdir(parents=True, exist_ok=True)
     meta_dir.mkdir(parents=True, exist_ok=True)
 
-    def entry(path: Path, status: int, snap: int, content: int = 0) -> dict:
+    def entry(
+        path: Path,
+        status: int,
+        snap: int,
+        content: int = 0,
+        partition: dict | None = None,
+    ) -> dict:
         return {
             "status": status,
             "snapshot_id": snap,
@@ -101,6 +115,7 @@ def build_iceberg_table(
                 "content": content,
                 "file_path": str(path),
                 "file_format": "PARQUET",
+                "partition": partition,
                 "record_count": 0,
                 "file_size_in_bytes": (
                     path.stat().st_size if path.exists() else 0
@@ -109,7 +124,7 @@ def build_iceberg_table(
         }
 
     manifest_rows: list[tuple[str, int]] = []  # (path, content)
-    live: dict[str, Path] = {}
+    live: dict[str, tuple[Path, dict | None]] = {}
     snapshot_records: list[dict] = []
     for i, change in enumerate(snapshots, start=1):
         if not isinstance(change, dict):
@@ -124,15 +139,19 @@ def build_iceberg_table(
             added = data_dir / f"part-{i}.parquet"
             part_file.rename(added)
             shutil.rmtree(part_dir, ignore_errors=True)
-            live[added.name] = added
+            live[added.name] = (added, change.get("partition"))
 
         manifest = meta_dir / f"manifest-{i}.avro"
         deletes = change.get("delete") or []
         if deletes:
             # rewritten manifest: all live files + DELETED tombstones
             removed = {n: live.pop(n) for n in deletes if n in live}
-            rows = [entry(p, 1, 1000 + i) for p in live.values()] + [
-                entry(p, 2, 1000 + i) for p in removed.values()
+            rows = [
+                entry(p, 1, 1000 + i, partition=pv)
+                for p, pv in live.values()
+            ] + [
+                entry(p, 2, 1000 + i, partition=pv)
+                for p, pv in removed.values()
             ]
             write_avro(manifest, MANIFEST_ENTRY_SCHEMA, rows)
             manifest_rows = [
@@ -142,7 +161,10 @@ def build_iceberg_table(
             write_avro(
                 manifest,
                 MANIFEST_ENTRY_SCHEMA,
-                [entry(added, 1, 1000 + i)] if added is not None else [],
+                [entry(added, 1, 1000 + i,
+                       partition=change.get("partition"))]
+                if added is not None
+                else [],
             )
             manifest_rows.append(
                 (str(manifest), 1 if change.get("delete_manifest") else 0)

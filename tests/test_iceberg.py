@@ -116,6 +116,52 @@ def test_engine_scans_iceberg_current_snapshot(spark, iceberg_table):
     assert got == expected
 
 
+def test_manifest_partition_pruning(spark, tmp_path):
+    """Partition predicates prune data files from the MANIFEST's
+    partition tuples before the reader sees their paths."""
+    from glue_table_cache_spark.catalog import PartitionKey
+    from glue_table_cache_spark.sources.iceberg import iceberg_scan_info
+
+    # identity partitioning: the partition column also lives in the
+    # data files, the manifest records its value per file
+    a = spark.createDataFrame(
+        [(1, "1996"), (2, "1996")], "id long, year string"
+    )
+    b = spark.createDataFrame([(3, "1997")], "id long, year string")
+    c = spark.createDataFrame(
+        [(4, "1998"), (5, "1998")], "id long, year string"
+    )
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [
+            {"add": a, "partition": {"year": "1996"}},
+            {"add": b, "partition": {"year": "1997"}},
+            {"add": c, "partition": {"year": "1998"}},
+        ],
+    )
+    entries, dels = iceberg_scan_info(str(base))
+    assert {pv["year"] for _p, pv in entries} == {"1996", "1997", "1998"}
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "pice", str(base),
+        partition_keys=[PartitionKey("year", "string")],
+        parameters={"table_type": "ICEBERG"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql("SELECT id FROM glue.db.pice WHERE year = '1997'")
+    # NOTE: iceberg data paths carry no k=v dirs, so the partition
+    # column itself is not a scan column — the predicate's ONLY
+    # effect is manifest-level file pruning
+    files = [f for f in out.inputFiles() if f.endswith(".parquet")]
+    assert len(files) == 1 and files[0].endswith("part-2.parquet")
+    assert sorted(r.id for r in out.collect()) == [3]
+    both = eng.sql(
+        "SELECT id FROM glue.db.pice "
+        "WHERE year = '1996' OR year = '1998' ORDER BY id"
+    )
+    assert [r.id for r in both.collect()] == [1, 2, 4, 5]
+
+
 def test_empty_iceberg_table_gives_empty_relation(spark, tmp_path):
     """Zero snapshots → the reference's SELECT NULL LIMIT 0 view, not an
     UNABLE_TO_INFER_SCHEMA crash."""
