@@ -319,10 +319,27 @@ class GlueSparkEngine:
             # reads it): COPY_ON_WRITE timeline walk — latest file
             # slice per live file group; MERGE_ON_READ raises inside
             from glue_table_cache_spark.sources.hudi import (
-                hudi_data_files,
+                hudi_scan_info,
             )
 
-            paths = self._proxy(hudi_data_files(tbl.location, fs=self._fs))
+            entries = hudi_scan_info(tbl.location, fs=self._fs)
+            # TIMELINE-METADATA partition pruning — same shape as the
+            # DELTA/ICEBERG branches, from the write stats' partition
+            # paths (hive-style layouts only; others carry no values)
+            keys = [k.name for k in tbl.partition_keys]
+            if query and keys and entries:
+                predicate = extract_partition_predicate(
+                    query, keys, {tbl.name, tbl.qualified_name}
+                )
+                kept = {
+                    f.path
+                    for f in prune_files(
+                        [FileInfo(p, pv) for p, pv in entries],
+                        predicate,
+                    )
+                }
+                entries = [e for e in entries if e[0] in kept]
+            paths = self._proxy([p for p, _pv in entries])
             if not paths:
                 return self.spark.range(0).select(F.lit(None).alias("null"))
             # same basePath treatment as DELTA: hudi partition paths

@@ -121,6 +121,38 @@ def hudi_data_files(
 
     ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
     testable without AWS, exactly like the Iceberg/Delta readers."""
+    return [
+        p
+        for p, _pv in hudi_scan_info(
+            location, s3_client, fs, base_files_only
+        )
+    ]
+
+
+def _pv_from_partition_path(part: str) -> dict[str, str]:
+    """Partition values from a hive-style partition path
+    (``year=1996/month=01`` → two keys).  Non-hive layouts ("p0",
+    date-only paths) yield no values — pruning simply does not apply."""
+    pv: dict[str, str] = {}
+    for seg in part.strip("/").split("/"):
+        k, eq, v = seg.partition("=")
+        if not eq or not k:
+            return {}
+        pv[k] = v
+    return pv
+
+
+def hudi_scan_info(
+    location: str,
+    s3_client=None,
+    fs=None,
+    base_files_only: bool = False,
+) -> list[tuple[str, dict]]:
+    """``(path, partition_values)`` per active base file — the
+    timeline's write stats are keyed by partition path, so hive-style
+    layouts surface values for manifest-level pruning (the engine
+    feeds them into the same three-valued predicate tree as the
+    Delta/Iceberg/hive paths)."""
     names = _timeline_files(location, fs=fs)
     props = [p for p in names if p.endswith("hoodie.properties")]
     if props:
@@ -142,15 +174,17 @@ def hudi_data_files(
                     "invisible)"
                 )
     instants = _completed_instants(names, location)
-    # (instant, path) per file group; newest instant wins (COW rewrite)
-    slices: dict[str, tuple[int, str]] = {}
+    # (instant, path, partition) per file group; newest instant wins
+    slices: dict[str, tuple[int, str, str]] = {}
     for ts, kind, p in instants:
         data = json.loads(_read_bytes(p, s3_client))
         if kind == "replacecommit":
             for ids in (data.get("partitionToReplaceFileIds") or {}).values():
                 for fid in ids:
                     slices.pop(fid, None)
-        for stats in (data.get("partitionToWriteStats") or {}).values():
+        for part, stats in (
+            data.get("partitionToWriteStats") or {}
+        ).items():
             for st in stats:
                 path = st.get("path")
                 if not path:
@@ -164,9 +198,13 @@ def hudi_data_files(
                 fid = _file_id(st, path)
                 have = slices.get(fid)
                 if have is None or ts >= have[0]:
-                    slices[fid] = (ts, path)
+                    slices[fid] = (ts, path, st.get("partitionPath", part))
     return sorted(
-        _resolve_path(location, path) for _ts, path in slices.values()
+        (
+            _resolve_path(location, path),
+            _pv_from_partition_path(part),
+        )
+        for _ts, path, part in slices.values()
     )
 
 

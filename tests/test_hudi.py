@@ -147,6 +147,39 @@ def test_merge_on_read_base_files_only_contract(spark, tmp_path, frames):
     }
 
 
+def test_timeline_partition_pruning(spark, tmp_path, frames):
+    """Hive-style partition paths in the write stats prune base files
+    before the reader sees them; non-hive layouts surface no values."""
+    from glue_table_cache_spark.catalog import PartitionKey
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [
+            {"write": {"fg1": a}, "partition": "year=1996"},
+            {"write": {"fg2": b}, "partition": "year=1997"},
+        ],
+    )
+    entries = hudi_scan_info(str(base))
+    assert {pv.get("year") for _p, pv in entries} == {"1996", "1997"}
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "pht", str(base),
+        partition_keys=[PartitionKey("year", "string")],
+        parameters={"spark.sql.sources.provider": "hudi"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id FROM glue.db.pht WHERE year = '1997'"
+    )
+    files = [f for f in out.inputFiles() if f.endswith(".parquet")]
+    assert len(files) == 1 and "year=1997" in files[0]
+    assert sorted(r.id for r in out.collect()) == [3]
+    # non-hive partition path ("p0" default) → no values, no pruning
+    plain = build_hudi_table(tmp_path / "ht2", [{"write": {"fg1": a}}])
+    assert hudi_scan_info(str(plain))[0][1] == {}
+
+
 def test_no_completed_commits_raises(tmp_path, frames):
     a, _, _ = frames
     base = build_hudi_table(
