@@ -317,11 +317,55 @@ class GlueSparkEngine:
         if ttype == ETableType.HUDI:
             # beyond the reference (which enumerates HUDI but never
             # reads it): COPY_ON_WRITE timeline walk — latest file
-            # slice per live file group; MERGE_ON_READ raises inside
+            # slice per live file group; MERGE_ON_READ merges the
+            # un-compacted log blocks over the base rows
             from glue_table_cache_spark.sources.hudi import (
+                _table_type,
+                _timeline_files,
+                hudi_mor_scan_info,
                 hudi_scan_info,
             )
 
+            timeline = _timeline_files(tbl.location, fs=self._fs)
+            if _table_type(timeline) == "MERGE_ON_READ":
+                from glue_table_cache_spark.sources.hudi_mor import (
+                    DEFAULT_RECORD_KEY,
+                    hudi_mor_read,
+                )
+
+                base_entries, log_entries = hudi_mor_scan_info(
+                    tbl.location, fs=self._fs
+                )
+                # no metadata-level partition pruning here: a log
+                # file can carry records for any partition of its
+                # file group, so path-level pruning of bases alone
+                # could orphan log records; Catalyst still prunes
+                # the merged frame's partition columns post-merge
+                return hudi_mor_read(
+                    self.spark,
+                    [
+                        (pp, pv, ts)
+                        for pp, (_p, pv, ts) in zip(
+                            self._proxy(
+                                [p for p, _pv, _t in base_entries]
+                            ),
+                            base_entries,
+                        )
+                    ],
+                    list(
+                        zip(
+                            self._proxy(
+                                [p for p, _t in log_entries]
+                            ),
+                            [t for _p, t in log_entries],
+                        )
+                    ),
+                    record_key_field=tbl.parameters.get(
+                        "hoodie.table.recordkey.fields",
+                        DEFAULT_RECORD_KEY,
+                    ),
+                    base_path=tbl.location,
+                )
             entries = hudi_scan_info(tbl.location, fs=self._fs)
             # TIMELINE-METADATA partition pruning — same shape as the
             # DELTA/ICEBERG branches, from the write stats' partition
@@ -400,15 +444,20 @@ class GlueSparkEngine:
             return apply_column_mapping(df, renames)
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
+                apply_equality_deletes,
                 apply_position_deletes,
-                iceberg_scan_info,
+                iceberg_scan_details,
             )
 
-            entries, dels = iceberg_scan_info(tbl.location, fs=self._fs)
+            entries, dels, eq_dels = iceberg_scan_details(
+                tbl.location, fs=self._fs
+            )
             # MANIFEST-METADATA partition pruning — same shape as the
             # DELTA branch: the manifests record each file's partition
             # tuple, so partition predicates drop files before the
-            # reader sees their paths
+            # reader sees their paths.  Safe with row-level deletes:
+            # deletes only ever REMOVE rows from the surviving files,
+            # so pruning first cannot change the result.
             keys = [k.name for k in tbl.partition_keys]
             if query and keys and entries:
                 predicate = extract_partition_predicate(
@@ -417,19 +466,31 @@ class GlueSparkEngine:
                 kept = {
                     f.path
                     for f in prune_files(
-                        [FileInfo(p, pv) for p, pv in entries],
+                        [FileInfo(p, pv) for p, pv, _seq in entries],
                         predicate,
                     )
                 }
                 entries = [e for e in entries if e[0] in kept]
-            paths = self._proxy([p for p, _pv in entries])
+            paths = self._proxy([p for p, _pv, _seq in entries])
             if not paths:
                 # zero snapshots / no data files: empty-relation view
                 # (reference emits SELECT NULL LIMIT 0,
                 # /root/reference/src/sql-transformer.ts:320-322)
                 return self.spark.range(0).select(F.lit(None).alias("null"))
             df = self._read_paths(paths, base_path=None)
-            return apply_position_deletes(df, self._proxy(dels))
+            df = apply_position_deletes(df, self._proxy(dels))
+            # keyed on the PROXIED path — what _metadata.file_path
+            # reports for the scan Spark actually performed
+            proxied_entries = [
+                (pp, pv, seq)
+                for pp, (_p, pv, seq) in zip(paths, entries)
+            ]
+            if eq_dels:
+                eq_dels = [
+                    {**d, "path": self._proxy([d["path"]])[0]}
+                    for d in eq_dels
+                ]
+            return apply_equality_deletes(df, proxied_entries, eq_dels)
         if (
             ttype in (ETableType.HIVE, ETableType.UNPARTITIONED)
             and not self.config.explicit_file_lists

@@ -142,6 +142,54 @@ def _pv_from_partition_path(part: str) -> dict[str, str]:
     return pv
 
 
+def _table_type(names: list[str], s3_client=None) -> str:
+    props = [p for p in names if p.endswith("hoodie.properties")]
+    if props:
+        text = _read_bytes(props[0], s3_client).decode()
+        m = re.search(r"hoodie\.table\.type\s*=\s*(\S+)", text)
+        if m:
+            return m.group(1).upper()
+    return "COPY_ON_WRITE"
+
+
+def _walk_timeline(
+    location: str, names: list[str], s3_client=None
+) -> tuple[dict, list]:
+    """Replay the completed timeline: ``(slices, logs)`` where
+    ``slices`` maps fileId → ``(instant, base_path, partition)`` for
+    the newest base slice per live file group and ``logs`` collects
+    ``(instant, log_path, fileId, partition)`` write stats.  A
+    replacecommit retires a file group's base slice AND its pending
+    logs (clustering rewrote the group's full content)."""
+    instants = _completed_instants(names, location)
+    slices: dict[str, tuple[int, str, str]] = {}
+    logs: list[tuple[int, str, str, str]] = []
+    for ts, kind, p in instants:
+        data = json.loads(_read_bytes(p, s3_client))
+        if kind == "replacecommit":
+            for ids in (data.get("partitionToReplaceFileIds") or {}).values():
+                for fid in ids:
+                    slices.pop(fid, None)
+                    logs = [x for x in logs if x[2] != fid]
+        for part, stats in (
+            data.get("partitionToWriteStats") or {}
+        ).items():
+            for st in stats:
+                path = st.get("path")
+                if not path:
+                    continue
+                fid = _file_id(st, path)
+                if ".log." in path.rsplit("/", 1)[-1]:
+                    logs.append(
+                        (ts, path, fid, st.get("partitionPath", part))
+                    )
+                    continue
+                have = slices.get(fid)
+                if have is None or ts >= have[0]:
+                    slices[fid] = (ts, path, st.get("partitionPath", part))
+    return slices, logs
+
+
 def hudi_scan_info(
     location: str,
     s3_client=None,
@@ -152,53 +200,30 @@ def hudi_scan_info(
     timeline's write stats are keyed by partition path, so hive-style
     layouts surface values for manifest-level pruning (the engine
     feeds them into the same three-valued predicate tree as the
-    Delta/Iceberg/hive paths)."""
+    Delta/Iceberg/hive paths).
+
+    MERGE_ON_READ tables refuse here (this shape cannot convey log
+    files): use :func:`hudi_mor_scan_info` +
+    :func:`~glue_table_cache_spark.sources.hudi_mor.hudi_mor_read`
+    for the exact snapshot view, or ``base_files_only=True`` for the
+    documented-staleness base-only scan."""
     names = _timeline_files(location, fs=fs)
-    props = [p for p in names if p.endswith("hoodie.properties")]
-    if props:
-        text = _read_bytes(props[0], s3_client).decode()
-        m = re.search(r"hoodie\.table\.type\s*=\s*(\S+)", text)
-        if m and m.group(1).upper() == "MERGE_ON_READ":
-            if not base_files_only:
-                n_delta = sum(
-                    1 for p in names if p.endswith(".deltacommit")
-                )
-                raise GlueSparkError(
-                    "Hudi MERGE_ON_READ tables are not supported for "
-                    f"exact reads ({n_delta} completed deltacommit(s) "
-                    "whose log updates/deletes would be dropped); "
-                    "compact to COPY_ON_WRITE, read through a Hudi "
-                    "runtime, or pass base_files_only=True to accept "
-                    "the documented staleness (file groups as of "
-                    "their last base write; log updates/deletes "
-                    "invisible)"
-                )
-    instants = _completed_instants(names, location)
-    # (instant, path, partition) per file group; newest instant wins
-    slices: dict[str, tuple[int, str, str]] = {}
-    for ts, kind, p in instants:
-        data = json.loads(_read_bytes(p, s3_client))
-        if kind == "replacecommit":
-            for ids in (data.get("partitionToReplaceFileIds") or {}).values():
-                for fid in ids:
-                    slices.pop(fid, None)
-        for part, stats in (
-            data.get("partitionToWriteStats") or {}
-        ).items():
-            for st in stats:
-                path = st.get("path")
-                if not path:
-                    continue
-                if ".log." in path.rsplit("/", 1)[-1]:
-                    # MOR log file (base_files_only contract): it
-                    # advances the timeline but contributes no
-                    # readable path — its file group stays at the
-                    # last BASE write
-                    continue
-                fid = _file_id(st, path)
-                have = slices.get(fid)
-                if have is None or ts >= have[0]:
-                    slices[fid] = (ts, path, st.get("partitionPath", part))
+    if _table_type(names, s3_client) == "MERGE_ON_READ":
+        if not base_files_only:
+            n_delta = sum(
+                1 for p in names if p.endswith(".deltacommit")
+            )
+            raise GlueSparkError(
+                "Hudi MERGE_ON_READ tables need log-aware merging "
+                f"({n_delta} completed deltacommit(s) whose log "
+                "updates/deletes a base-only scan would drop); use "
+                "hudi_mor_scan_info() + hudi_mor_read() for the "
+                "exact snapshot view, or pass base_files_only=True "
+                "to accept the documented staleness (file groups as "
+                "of their last base write; log updates/deletes "
+                "invisible)"
+            )
+    slices, _logs = _walk_timeline(location, names, s3_client)
     return sorted(
         (
             _resolve_path(location, path),
@@ -206,6 +231,37 @@ def hudi_scan_info(
         )
         for _ts, path, part in slices.values()
     )
+
+
+def hudi_mor_scan_info(
+    location: str,
+    s3_client=None,
+    fs=None,
+) -> tuple[list[tuple[str, dict, int]], list[tuple[str, int]]]:
+    """MOR snapshot scan state: ``(base_entries, log_entries)`` —
+    ``base_entries`` are ``(path, partition_values, instant)`` per
+    active base slice, ``log_entries`` ``(path, instant)`` per
+    un-compacted log file.  A log is live only while it is NEWER than
+    its file group's base slice — compaction writes a fresh base at
+    the compaction instant, folding older logs in; a log whose file
+    group was replaced (clustering) is gone entirely.  Works for COW
+    tables too (``log_entries`` comes back empty)."""
+    names = _timeline_files(location, fs=fs)
+    slices, logs = _walk_timeline(location, names, s3_client)
+    base_entries = sorted(
+        (
+            _resolve_path(location, path),
+            _pv_from_partition_path(part),
+            ts,
+        )
+        for ts, path, part in slices.values()
+    )
+    log_entries = sorted(
+        (_resolve_path(location, path), ts)
+        for ts, path, fid, _part in logs
+        if fid not in slices or ts > slices[fid][0]
+    )
+    return base_entries, log_entries
 
 
 def hudi_changes(

@@ -1,0 +1,221 @@
+"""Hudi MERGE_ON_READ read path: base files + log-block replay.
+
+Beyond-reference extension (the reference never handles HUDI at all,
+/root/reference/src/types.ts:4-11).  A MOR table routes updates and
+deletes into ``.log.*`` files per file group; the snapshot view is
+"base rows, overridden/removed by log records, newest instant wins".
+
+Spark-first shape — the merge is ONE window over the record key:
+
+1. the timeline walk (driver, metadata-scale) yields the active base
+   slices with their write instants and the un-compacted log files
+   (:func:`glue_table_cache_spark.sources.hudi.hudi_mor_scan_info`);
+2. base files are read as a normal distributed parquet scan; each
+   row's write instant is attached via a broadcast
+   ``file → instant`` map on ``_metadata.file_path`` (metadata-scale,
+   no shuffle);
+3. log files are decoded DISTRIBUTED: a paths DataFrame is
+   repartitioned and ``mapInPandas`` runs the pure-Python block codec
+   (:mod:`glue_table_cache_spark.sources.hudi_log`) per file —
+   deliberately NOT ``spark.read.format("binaryFile")``, which
+   silently drops Hudi's dot-prefixed log names as hidden files;
+   upsert payloads come back as JSON and are projected to the base
+   schema with ``from_json`` (JVM-side);
+4. one ``row_number`` window per record key ordered by
+   ``(instant, source file, block index, record index)`` picks the
+   newest version; rows whose newest version is a delete drop out.
+
+The single shuffle is the key window — the minimum any per-key
+merge needs.  Rollback command blocks are honored file-locally
+during decode (blocks whose instant a later command block targets
+are skipped), matching the log-reader posture of Hudi itself.
+
+Payload limitation (documented): log records travel as JSON between
+the Python decoder and ``from_json``, so binary columns in MOR log
+payloads are not supported — refuse rather than corrupt.
+"""
+
+from __future__ import annotations
+
+import json
+
+from glue_table_cache_spark.errors import GlueSparkError
+
+#: Hudi's record-key meta column, present in every real Hudi table
+DEFAULT_RECORD_KEY = "_hoodie_record_key"
+
+
+def _decode_logs_fn(record_key_field: str):
+    """Worker-side decoder: one input row per log file → one output
+    row per surviving log record.  Reads the file bytes itself (local
+    or s3://) so hidden-file filters never apply."""
+
+    def decode(iterator):
+        import pandas as pd
+
+        from glue_table_cache_spark.sources.hudi_log import (
+            read_log_blocks,
+        )
+        from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+        for pdf in iterator:
+            keys, commits, srcs, blks, recs, ops, payloads = (
+                [], [], [], [], [], [], []
+            )
+            for path, commit in zip(pdf["path"], pdf["commit"]):
+                blocks = read_log_blocks(_read_bytes(path), name=path)
+                rolled = {
+                    b["target_instant"]
+                    for b in blocks
+                    if b["type"] == "command" and b.get("target_instant")
+                }
+                for bi, b in enumerate(blocks):
+                    if b["instant"] in rolled:
+                        continue
+                    for ri, rec in enumerate(b["records"]):
+                        if record_key_field not in rec:
+                            raise ValueError(
+                                f"log record in {path} lacks record "
+                                f"key field {record_key_field!r}"
+                            )
+                        keys.append(str(rec[record_key_field]))
+                        commits.append(b["instant"] or commit)
+                        srcs.append(path)
+                        blks.append(bi)
+                        recs.append(ri)
+                        ops.append("U")
+                        payloads.append(json.dumps(rec))
+                    for ri, (k, _part) in enumerate(b["deletes"]):
+                        keys.append(str(k))
+                        commits.append(b["instant"] or commit)
+                        srcs.append(path)
+                        blks.append(bi)
+                        recs.append(ri)
+                        ops.append("D")
+                        payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    "__key": keys,
+                    "__commit": commits,
+                    "__src": srcs,
+                    "__blk": blks,
+                    "__rec": recs,
+                    "__op": ops,
+                    "__payload": payloads,
+                }
+            )
+
+    return decode
+
+
+def hudi_mor_read(
+    spark,
+    base_entries: list[tuple[str, dict, int]],
+    log_entries: list[tuple[str, int]],
+    record_key_field: str = DEFAULT_RECORD_KEY,
+    base_path: str | None = None,
+):
+    """Snapshot view of a MOR table as a DataFrame.
+
+    ``base_entries`` are ``(path, partition_values, instant)`` triples
+    and ``log_entries`` ``(path, instant)`` pairs, both from
+    :func:`~glue_table_cache_spark.sources.hudi.hudi_mor_scan_info`.
+    ``record_key_field`` must exist in the base schema AND in every
+    log record (Hudi's ``_hoodie_record_key`` meta column by
+    default)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_path,
+        _strip_scheme,
+    )
+
+    if not base_entries and not log_entries:
+        return spark.range(0).select(F.lit(None).alias("null"))
+
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    base = reader.parquet(*[p for p, _pv, _ts in base_entries])
+    if record_key_field not in base.columns:
+        raise GlueSparkError(
+            f"record key field {record_key_field!r} is not in the "
+            f"Hudi base schema {base.columns} — pass the table's key "
+            "field explicitly"
+        )
+    for f in base.schema.fields:
+        if "binary" in f.dataType.simpleString():
+            raise GlueSparkError(
+                f"MOR merge over binary column {f.name!r} is not "
+                "supported (log payloads travel as JSON); compact to "
+                "COPY_ON_WRITE or read through a Hudi runtime"
+            )
+    data_cols = base.columns
+
+    instant_map = spark.createDataFrame(
+        [(_strip_path(p), str(ts)) for p, _pv, ts in base_entries],
+        "__file string, __commit string",
+    )
+    base_tagged = (
+        base.withColumn(
+            "__file", _strip_scheme(F.col("_metadata.file_path"))
+        )
+        .join(F.broadcast(instant_map), "__file", "left")
+        .drop("__file")
+        .withColumn("__key", F.col(record_key_field).cast("string"))
+        .withColumn("__src", F.lit(""))  # sorts before any log path
+        .withColumn("__blk", F.lit(-1))
+        .withColumn("__rec", F.lit(-1))
+        .withColumn("__op", F.lit("U"))
+    )
+
+    if log_entries:
+        paths_df = spark.createDataFrame(
+            [(p, str(ts)) for p, ts in log_entries],
+            "path string, commit string",
+        ).repartition(min(len(log_entries), 64))
+        raw = paths_df.mapInPandas(
+            _decode_logs_fn(record_key_field),
+            schema=(
+                "__key string, __commit string, __src string, "
+                "__blk int, __rec int, __op string, __payload string"
+            ),
+        )
+        payload_schema = base.schema
+        upserts = (
+            raw.where(F.col("__op") == "U")
+            .withColumn(
+                "__r", F.from_json(F.col("__payload"), payload_schema)
+            )
+            .select(
+                *[F.col(f"__r.{c}").alias(c) for c in data_cols],
+                "__key", "__commit", "__src", "__blk", "__rec", "__op",
+            )
+        )
+        deletes = raw.where(F.col("__op") == "D").select(
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in base.schema.fields],
+            "__key", "__commit", "__src", "__blk", "__rec", "__op",
+        )
+        merged = base_tagged.select(
+            *data_cols, "__key", "__commit", "__src", "__blk", "__rec",
+            "__op",
+        ).unionByName(upserts).unionByName(deletes)
+    else:
+        merged = base_tagged.select(
+            *data_cols, "__key", "__commit", "__src", "__blk", "__rec",
+            "__op",
+        )
+
+    w = Window.partitionBy("__key").orderBy(
+        F.col("__commit").desc(),
+        F.col("__src").desc(),
+        F.col("__blk").desc(),
+        F.col("__rec").desc(),
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("__op") == "U"))
+        .select(*data_cols)
+    )

@@ -88,9 +88,10 @@ def iceberg_data_files(
     ``with_deletes=True`` to get ``(data_files, position_delete_files)``
     and run the scan through :func:`apply_position_deletes`; the
     default mode refuses when any are present, so no caller silently
-    resurrects deleted rows.  EQUALITY delete files
-    (``content == 2``) always refuse: applying them needs the delete
-    schema's column semantics, which belongs to an Iceberg runtime.
+    resurrects deleted rows.  EQUALITY delete files (``content == 2``)
+    refuse in BOTH modes here — their sequence-number scoping needs
+    the per-entry seq this return shape drops; use
+    :func:`iceberg_scan_details` + :func:`apply_equality_deletes`.
 
     A position delete row names its target ``(file_path, pos)``
     exactly, so applying every delete file in the current snapshot to
@@ -116,6 +117,33 @@ def iceberg_data_files(
     return files
 
 
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    """Field-id → column-name map from the metadata's current schema.
+    Equality delete files name their columns by FIELD ID
+    (``equality_ids``); resolving them against the current schema is
+    what makes the delete survive column renames — exactly why the
+    spec keys on ids, not names."""
+    schema = None
+    schemas = meta.get("schemas")
+    if schemas:
+        current = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == current:
+                schema = s
+                break
+        if schema is None:
+            schema = schemas[-1]
+    else:
+        schema = meta.get("schema")
+    if not schema:
+        return {}
+    return {
+        f["id"]: f["name"]
+        for f in schema.get("fields", [])
+        if "id" in f and "name" in f
+    }
+
+
 def iceberg_scan_info(
     location: str,
     version_offset: int = 0,
@@ -130,10 +158,49 @@ def iceberg_scan_info(
     Values are stringified: the pruning layer compares against the
     string forms partition predicates carry.
 
-    EQUALITY delete files (``data_file.content == 2``) and unknown
-    delete contents refuse: applying equality deletes needs the
-    delete schema's column semantics (an Iceberg runtime's job), and
-    ignoring either would resurrect deleted rows."""
+    This shape cannot convey EQUALITY delete files (``content == 2``)
+    — their sequence-number scoping needs the per-entry seq this
+    return drops — so it refuses when any are present; use
+    :func:`iceberg_scan_details` + :func:`apply_equality_deletes`
+    for those tables.  Unknown delete contents always refuse:
+    ignoring them would resurrect deleted rows."""
+    entries, pos_deletes, eq_deletes = iceberg_scan_details(
+        location, version_offset, s3_client, fs
+    )
+    if eq_deletes:
+        raise GlueSparkError(
+            f"Iceberg table {location!r} carries "
+            f"{len(eq_deletes)} EQUALITY delete file(s) (format v2), "
+            "which need sequence-number scoping — use "
+            "iceberg_scan_details() + apply_equality_deletes()"
+        )
+    return [(p, pv) for p, pv, _seq in entries], pos_deletes
+
+
+def iceberg_scan_details(
+    location: str,
+    version_offset: int = 0,
+    s3_client=None,
+    fs=None,
+) -> tuple[list[tuple[str, dict, int]], list[str], list[dict]]:
+    """Full current-snapshot scan state:
+    ``(entries, position_delete_files, equality_deletes)`` where
+
+    * ``entries`` are ``(path, partition_values, data_sequence_number)``
+      — the v2 sequence number per data file, from the explicit
+      manifest-entry field when present, else inherited from the
+      manifest-list row (the spec's inheritance rule for ADDED
+      entries), else the snapshot's own sequence number;
+    * ``position_delete_files`` are parquet paths for
+      :func:`apply_position_deletes` (no seq scoping needed — a
+      position delete names its target ``(file_path, pos)`` exactly
+      and data files are write-once under unique names);
+    * ``equality_deletes`` are ``{"path", "seq", "columns"}`` dicts
+      for :func:`apply_equality_deletes` — ``columns`` resolved from
+      ``equality_ids`` against the current schema's field ids; a
+      content=2 entry with no resolvable equality ids refuses
+      (malformed — applying it is impossible, skipping it would
+      resurrect rows)."""
     jsons = _list_metadata_jsons(location, fs=fs)
     if not jsons:
         raise GlueSparkError(
@@ -149,20 +216,26 @@ def iceberg_scan_info(
             f"version_offset={version_offset} exceeds available versions "
             f"({len(metas)}) for {location!r}"
         )
-    snapshots = metas[idx].get("snapshots") or []
+    meta = metas[idx]
+    snapshots = meta.get("snapshots") or []
     if not snapshots:
-        return [], []
+        return [], [], []
+    names_by_id = _field_names_by_id(meta)
 
     def avro(path: str) -> list[dict]:
         return read_avro_bytes(_read_bytes(path, s3_client), name=path)
 
-    manifest_list = _resolve_path(location, snapshots[-1]["manifest-list"])
-    entries: list[tuple[str, dict]] = []
-    delete_files: list[str] = []
+    snap = snapshots[-1]
+    snap_seq = snap.get("sequence-number", 0)
+    manifest_list = _resolve_path(location, snap["manifest-list"])
+    entries: list[tuple[str, dict, int]] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[dict] = []
     for r in avro(manifest_list):
         # content=1 marks a DELETE manifest: its entries are delete
         # FILES, not data files
         is_delete = r.get("content", 0) == 1
+        manifest_seq = r.get("sequence_number", snap_seq)
         m = _resolve_path(location, r["manifest_path"])
         for entry in avro(m):
             # status=2 is a DELETED entry: the file left the table in
@@ -172,22 +245,35 @@ def iceberg_scan_info(
             # iceberg.ts:31-33)
             if entry.get("status") == 2:
                 continue
+            # v2 inheritance: a null sequence_number on an ADDED entry
+            # means "this manifest's sequence number"
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = manifest_seq
             df_rec = entry["data_file"]
             path = _resolve_path(location, df_rec["file_path"])
             if not is_delete:
                 pv = df_rec.get("partition") or {}
                 entries.append(
-                    (path, {k: str(v) for k, v in pv.items()})
+                    (path, {k: str(v) for k, v in pv.items()}, seq)
                 )
                 continue
             content = df_rec.get("content", 0)
             if content == 1:
-                delete_files.append(path)
+                pos_deletes.append(path)
             elif content == 2:
-                raise GlueSparkError(
-                    f"Iceberg table {location!r} carries EQUALITY "
-                    "delete files (format v2); read through an "
-                    "Iceberg runtime or compact/rewrite the table"
+                ids = df_rec.get("equality_ids") or []
+                cols = [names_by_id[i] for i in ids if i in names_by_id]
+                if not ids or len(cols) != len(ids):
+                    raise GlueSparkError(
+                        f"Iceberg EQUALITY delete file {path!r} names "
+                        f"equality_ids {ids!r} not resolvable against "
+                        "the current schema — malformed manifest; "
+                        "refusing (applying it is impossible, "
+                        "skipping it would resurrect deleted rows)"
+                    )
+                eq_deletes.append(
+                    {"path": path, "seq": seq, "columns": cols}
                 )
             else:
                 raise GlueSparkError(
@@ -195,7 +281,7 @@ def iceberg_scan_info(
                     f"unknown delete content {content!r}; refusing — "
                     "ignoring it could resurrect deleted rows"
                 )
-    return entries, delete_files
+    return entries, pos_deletes, eq_deletes
 
 
 def _strip_scheme(col):
@@ -239,6 +325,79 @@ def apply_position_deletes(df, delete_paths: list[str]):
     )
 
 
+def apply_equality_deletes(df, entries, eq_deletes):
+    """Mask equality-deleted rows out of a raw parquet scan.
+
+    Per the Iceberg v2 spec, an equality delete file removes every row
+    whose delete-column values ALL match one of its rows (null equals
+    null), but only from data files whose data sequence number is
+    STRICTLY LESS than the delete file's — rows written at or after
+    the delete are untouched, which is what makes delete-then-reinsert
+    round-trips correct.
+
+    Plan shape: the per-file sequence numbers (metadata-scale) are
+    broadcast and attached to the scan via ``_metadata.file_path``;
+    the delete files themselves are parquet read DISTRIBUTED and
+    anti-joined per distinct column set — the null-safe equality
+    (``<=>``) keys hash-join, the seq comparison rides along as a
+    join condition, and delete sets are usually tiny next to the data
+    so the build side broadcasts under AQE.
+
+    ``entries`` is the :func:`iceberg_scan_details` entry list
+    (``(path, partition_values, seq)``), ``eq_deletes`` its third
+    result."""
+    from pyspark.sql import functions as F
+
+    if not eq_deletes:
+        return df
+    spark = df.sparkSession
+    seq_rows = [
+        (_strip_path(path), int(seq)) for path, _pv, seq in entries
+    ]
+    seq_df = spark.createDataFrame(
+        seq_rows, "__eq_file string, __data_seq long"
+    )
+    out = (
+        df.withColumn(
+            "__eq_file", _strip_scheme(F.col("_metadata.file_path"))
+        )
+        .join(F.broadcast(seq_df), "__eq_file", "left")
+        .drop("__eq_file")
+    )
+    by_cols: dict[tuple[str, ...], list[dict]] = {}
+    for d in eq_deletes:
+        by_cols.setdefault(tuple(d["columns"]), []).append(d)
+    for cols, dels in by_cols.items():
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise GlueSparkError(
+                f"Iceberg equality delete columns {missing} are not "
+                "in the scan schema — cannot apply the delete"
+            )
+        parts = []
+        for d in dels:
+            parts.append(
+                spark.read.parquet(d["path"])
+                .select(*[F.col(c).alias(f"__del_{c}") for c in cols])
+                .withColumn("__del_seq", F.lit(int(d["seq"])))
+            )
+        deletes = parts[0]
+        for p in parts[1:]:
+            deletes = deletes.unionByName(p)
+        cond = F.col("__data_seq") < F.col("__del_seq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+        out = out.join(deletes, cond, "left_anti")
+    return out.drop("__data_seq")
+
+
+def _strip_path(path: str) -> str:
+    """Driver-side twin of :func:`_strip_scheme` for plain strings."""
+    import re as _re
+
+    return _re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", path)
+
+
 def iceberg_changes(
     location: str,
     versions_back: int = 1,
@@ -251,16 +410,21 @@ def iceberg_changes(
     training-data ingestion, computed as a set difference of two
     manifest walks (both metadata-scale).
 
-    Position delete files participate like data files: a NEW delete
-    file shows up in ``added`` (the rows it masks changed — consumers
-    must re-apply deletes via :func:`apply_position_deletes`), a
-    compacted-away one in ``removed``."""
-    cur_d, cur_del = iceberg_data_files(
-        location, 0, s3_client, fs, with_deletes=True
-    )
-    prev_d, prev_del = iceberg_data_files(
-        location, versions_back, s3_client, fs, with_deletes=True
-    )
-    cur = set(cur_d) | set(cur_del)
-    prev = set(prev_d) | set(prev_del)
+    Delete files (position AND equality) participate like data files:
+    a NEW delete file shows up in ``added`` (the rows it masks changed
+    — consumers must re-apply deletes), a compacted-away one in
+    ``removed``."""
+
+    def files_at(offset: int) -> set[str]:
+        entries, pos, eq = iceberg_scan_details(
+            location, offset, s3_client, fs
+        )
+        return (
+            {p for p, _pv, _seq in entries}
+            | set(pos)
+            | {d["path"] for d in eq}
+        )
+
+    cur = files_at(0)
+    prev = files_at(versions_back)
     return sorted(cur - prev), sorted(prev - cur)

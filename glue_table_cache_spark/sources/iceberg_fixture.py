@@ -33,6 +33,9 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        # v2: the sequence number manifest entries inherit when theirs
+        # is null
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
     ],
 }
@@ -43,6 +46,10 @@ MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        # v2 data sequence number: null on ADDED entries (inherited
+        # from the manifest list), explicit on carried-over entries in
+        # rewritten manifests (they keep their ORIGINAL write seq)
+        {"name": "sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": {
@@ -64,6 +71,12 @@ MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # field ids of the columns an EQUALITY delete file
+                    # (content=2) matches on
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -88,8 +101,11 @@ def build_iceberg_table(
     parquet (``file_path``/``pos`` columns; positions from applying
     ``mask_fn`` to the file as written) referenced by a content=1
     delete manifest — the supported merge-on-read shape.
-    ``eq_delete`` emits a content=2 EQUALITY delete entry (must
-    refuse); ``delete_manifest`` marks the snapshot's data manifest
+    ``eq_delete`` emits a content=2 EQUALITY delete entry — as
+    ``{"columns": [...], "rows": [{...}]}`` it writes a real delete
+    parquet with resolved ``equality_ids`` (the supported
+    merge-on-read shape), as ``True`` a malformed id-less entry a
+    reader must refuse; ``delete_manifest`` marks the snapshot's data manifest
     content=1 while its entries stay content=0 — a malformed delete
     manifest a reader must refuse rather than scan or ignore.
     ``orphan`` lands in data/ unreferenced."""
@@ -107,10 +123,13 @@ def build_iceberg_table(
         snap: int,
         content: int = 0,
         partition: dict | None = None,
+        seq: int | None = None,
+        equality_ids: list[int] | None = None,
     ) -> dict:
         return {
             "status": status,
             "snapshot_id": snap,
+            "sequence_number": seq,
             "data_file": {
                 "content": content,
                 "file_path": str(path),
@@ -120,12 +139,15 @@ def build_iceberg_table(
                 "file_size_in_bytes": (
                     path.stat().st_size if path.exists() else 0
                 ),
+                "equality_ids": equality_ids,
             },
         }
 
-    manifest_rows: list[tuple[str, int]] = []  # (path, content)
-    live: dict[str, tuple[Path, dict | None]] = {}
+    manifest_rows: list[tuple[str, int, int]] = []  # (path, content, seq)
+    # name -> (path, partition_values, original write seq)
+    live: dict[str, tuple[Path, dict | None, int]] = {}
     snapshot_records: list[dict] = []
+    field_ids: dict[str, int] = {}  # column name -> schema field id
     for i, change in enumerate(snapshots, start=1):
         if not isinstance(change, dict):
             change = {"add": change}
@@ -135,27 +157,34 @@ def build_iceberg_table(
             change["add"].coalesce(1).write.mode("overwrite").parquet(
                 str(part_dir)
             )
+            for col in change["add"].columns:
+                field_ids.setdefault(col, len(field_ids) + 1)
             part_file = next(part_dir.glob("part-*.parquet"))
             added = data_dir / f"part-{i}.parquet"
             part_file.rename(added)
             shutil.rmtree(part_dir, ignore_errors=True)
-            live[added.name] = (added, change.get("partition"))
+            live[added.name] = (added, change.get("partition"), i)
 
         manifest = meta_dir / f"manifest-{i}.avro"
         deletes = change.get("delete") or []
         if deletes:
-            # rewritten manifest: all live files + DELETED tombstones
+            # rewritten manifest: all live files + DELETED tombstones;
+            # carried-over entries keep their ORIGINAL write seq (the
+            # spec forbids inheriting a rewrite's newer seq — an
+            # equality delete between the write and the rewrite must
+            # still apply)
             removed = {n: live.pop(n) for n in deletes if n in live}
             rows = [
-                entry(p, 1, 1000 + i, partition=pv)
-                for p, pv in live.values()
+                entry(p, 1, 1000 + i, partition=pv, seq=s)
+                for p, pv, s in live.values()
             ] + [
-                entry(p, 2, 1000 + i, partition=pv)
-                for p, pv in removed.values()
+                entry(p, 2, 1000 + i, partition=pv, seq=s)
+                for p, pv, s in removed.values()
             ]
             write_avro(manifest, MANIFEST_ENTRY_SCHEMA, rows)
             manifest_rows = [
-                (str(manifest), 1 if change.get("delete_manifest") else 0)
+                (str(manifest),
+                 1 if change.get("delete_manifest") else 0, i)
             ]
         else:
             write_avro(
@@ -167,7 +196,8 @@ def build_iceberg_table(
                 else [],
             )
             manifest_rows.append(
-                (str(manifest), 1 if change.get("delete_manifest") else 0)
+                (str(manifest),
+                 1 if change.get("delete_manifest") else 0, i)
             )
 
         for j, (name, mask_fn) in enumerate(
@@ -200,16 +230,47 @@ def build_iceberg_table(
                 MANIFEST_ENTRY_SCHEMA,
                 [entry(del_file, 1, 1000 + i, content=1)],
             )
-            manifest_rows.append((str(del_manifest), 1))
+            manifest_rows.append((str(del_manifest), 1, i))
         if change.get("eq_delete"):
+            spec = change["eq_delete"]
+            eq_file = data_dir / f"eq-delete-{i}.parquet"
+            ids: list[int] | None = None
+            if isinstance(spec, dict):
+                # real equality delete: a parquet of the delete-column
+                # values + equality_ids resolved against the schema.
+                # Column types come from a live data file (an all-null
+                # delete column would otherwise infer the null type
+                # and type-mismatch the scan side)
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                cols = spec["columns"]
+                ids = [field_ids[c] for c in cols]
+                data_schema = pq.read_schema(
+                    next(iter(live.values()))[0]
+                )
+                pq.write_table(
+                    pa.table(
+                        {
+                            c: pa.array(
+                                [r[c] for r in spec["rows"]],
+                                type=data_schema.field(c).type,
+                            )
+                            for c in cols
+                        }
+                    ),
+                    eq_file,
+                )
+            # spec=True → MALFORMED: content=2 with no equality_ids
+            # (a reader must refuse, not guess)
             eq_manifest = meta_dir / f"eq-manifest-{i}.avro"
             write_avro(
                 eq_manifest,
                 MANIFEST_ENTRY_SCHEMA,
-                [entry(data_dir / f"eq-delete-{i}.parquet", 1,
-                       1000 + i, content=2)],
+                [entry(eq_file, 1, 1000 + i, content=2,
+                       equality_ids=ids)],
             )
-            manifest_rows.append((str(eq_manifest), 1))
+            manifest_rows.append((str(eq_manifest), 1, i))
 
         manifest_list = meta_dir / f"snap-{i}.avro"
         write_avro(
@@ -221,9 +282,10 @@ def build_iceberg_table(
                     "manifest_length": Path(p).stat().st_size,
                     "partition_spec_id": 0,
                     "content": c,
-                    "added_snapshot_id": 1000 + i,
+                    "sequence_number": sq,
+                    "added_snapshot_id": 1000 + sq,
                 }
-                for p, c in manifest_rows
+                for p, c, sq in manifest_rows
             ],
         )
         snapshot_records.append(
@@ -242,6 +304,18 @@ def build_iceberg_table(
                     "location": str(base),
                     "last-sequence-number": i,
                     "current-snapshot-id": 1000 + i,
+                    "current-schema-id": 0,
+                    "schemas": [
+                        {
+                            "schema-id": 0,
+                            "type": "struct",
+                            "fields": [
+                                {"id": fid, "name": name,
+                                 "required": False, "type": "long"}
+                                for name, fid in field_ids.items()
+                            ],
+                        }
+                    ],
                     "snapshots": list(snapshot_records),
                 }
             )

@@ -293,3 +293,242 @@ def test_hudi_changes_incremental_feed(tmp_path, frames):
         "fg1_0-0-0_20240101000002.parquet",
     }
     assert hudi_changes(str(base), since_instant=latest)[1] == []
+
+
+# ---------------------------------------------------------------------------
+# MERGE_ON_READ: log codec + merge
+# ---------------------------------------------------------------------------
+
+
+def test_log_codec_roundtrip():
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        delete_block,
+        read_log_blocks,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    blocks = [
+        data_block("20240101000001", schema,
+                   [{"id": 1, "v": "x"}, {"id": 2, "v": None}]),
+        delete_block("20240101000002", [("2", "p0")]),
+    ]
+    out = read_log_blocks(b"".join(blocks))
+    assert [b["type"] for b in out] == ["data", "delete"]
+    assert out[0]["instant"] == "20240101000001"
+    assert out[0]["records"] == [
+        {"id": 1, "v": "x"}, {"id": 2, "v": None},
+    ]
+    assert out[1]["deletes"] == [("2", "p0")]
+
+
+def test_log_codec_torn_tail_and_bad_magic():
+    """A torn append (truncated last block) stops at the last complete
+    block; a file that never starts with the magic refuses."""
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        read_log_blocks,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+    good = data_block("1", schema, [{"id": 1}])
+    torn = data_block("2", schema, [{"id": 2}])[:-9]
+    out = read_log_blocks(good + torn)
+    assert len(out) == 1 and out[0]["records"] == [{"id": 1}]
+    with pytest.raises(ValueError, match="not a Hudi log"):
+        read_log_blocks(b"garbage-not-magic")
+
+
+def test_log_codec_rollback_command_block():
+    """A command block targeting an instant invalidates that
+    instant's earlier blocks (the merge layer drops them)."""
+    from glue_table_cache_spark.sources.hudi_log import (
+        _frame_block,
+        COMMAND_BLOCK,
+        H_INSTANT_TIME,
+        H_TARGET_INSTANT_TIME,
+        data_block,
+        read_log_blocks,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+    rollback = _frame_block(
+        COMMAND_BLOCK,
+        {H_INSTANT_TIME: "3", H_TARGET_INSTANT_TIME: "2"},
+        b"",
+    )
+    blocks = (
+        data_block("1", schema, [{"id": 1}])
+        + data_block("2", schema, [{"id": 99}])
+        + rollback
+    )
+    out = read_log_blocks(blocks)
+    assert [b["type"] for b in out] == ["data", "data", "command"]
+    assert out[2]["target_instant"] == "2"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_log_codec_property_roundtrip(seed):
+    """Random block sequences survive the writer→reader round trip
+    byte-exactly (the no-Hudi-runtime substitute for cross-engine
+    validation, same posture as the DV codec property test)."""
+    import random
+
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        delete_block,
+        read_log_blocks,
+    )
+
+    rng = random.Random(seed)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    want = []
+    raw = b""
+    for _ in range(rng.randint(1, 6)):
+        if rng.random() < 0.6:
+            recs = [
+                {
+                    "id": rng.randint(-(2**40), 2**40),
+                    "s": "".join(
+                        rng.choice("abc åß") for _ in range(rng.randint(0, 9))
+                    ),
+                    "d": rng.uniform(-1e6, 1e6),
+                }
+                for _ in range(rng.randint(0, 5))
+            ]
+            want.append(("data", recs))
+            raw += data_block(str(rng.randint(1, 9)), schema, recs)
+        else:
+            keys = [
+                (str(rng.randint(0, 99)), "p")
+                for _ in range(rng.randint(1, 4))
+            ]
+            want.append(("delete", keys))
+            raw += delete_block(str(rng.randint(1, 9)), keys)
+    got = read_log_blocks(raw)
+    assert len(got) == len(want)
+    for g, (kind, payload) in zip(got, want):
+        assert g["type"] == kind
+        if kind == "data":
+            assert g["records"] == payload
+        else:
+            assert g["deletes"] == payload
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    """MOR table: 2 base groups, then a deltacommit upserting id=2,
+    deleting id=3 and inserting id=9; then another update of id=2."""
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        delete_block,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string")
+    log1 = data_block(
+        "20240101000001", schema, [{"id": 2, "v": "B1"}]
+    ) + delete_block("20240101000001", [("3", "p0")])
+    log2 = data_block(
+        "20240101000002", schema,
+        [{"id": 2, "v": "B2"}, {"id": 9, "v": "new"}],
+    )
+    return build_hudi_table(
+        tmp_path / "mor",
+        [
+            {"write": {"fg1": a, "fg2": b}},
+            {"log": {"fg1": log1}},
+            {"log": {"fg1": log2}},
+        ],
+        table_type="MERGE_ON_READ",
+    )
+
+
+def test_mor_merge_snapshot_view(spark, mor_table):
+    """Latest-instant-wins merge: update applied twice (newest wins),
+    delete applied, new key inserted, untouched group intact."""
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_mor import hudi_mor_read
+
+    base_entries, log_entries = hudi_mor_scan_info(str(mor_table))
+    assert len(base_entries) == 2 and len(log_entries) == 2
+    out = hudi_mor_read(
+        spark, base_entries, log_entries, record_key_field="id"
+    )
+    got = sorted((r.id, r.v) for r in out.collect())
+    assert got == [(1, "a"), (2, "B2"), (4, "d"), (9, "new")]
+
+
+def test_mor_compaction_folds_logs(spark, tmp_path, frames):
+    """After a compaction commit rewrites the base, older logs are
+    folded in and must not replay again."""
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_log import data_block
+
+    a, _b, a2 = frames
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    base = build_hudi_table(
+        tmp_path / "mor2",
+        [
+            {"write": {"fg1": a}},
+            {"log": {"fg1": data_block(
+                "20240101000001", schema, [{"id": 1, "v": "stale"}]
+            )}},
+            {"write": {"fg1": a2}},  # compaction
+        ],
+        table_type="MERGE_ON_READ",
+    )
+    base_entries, log_entries = hudi_mor_scan_info(str(base))
+    assert log_entries == []  # folded by the compaction
+    assert [p.rsplit("/", 1)[1] for p, _pv, _t in base_entries] == [
+        "fg1_0-0-0_20240101000002.parquet"
+    ]
+
+
+def test_engine_scans_mor_snapshot(spark, mor_table):
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "mor", str(mor_table),
+        parameters={
+            "spark.sql.sources.provider": "hudi",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id, v FROM glue.db.mor ORDER BY id"
+    )
+    assert [(r.id, r.v) for r in out.collect()] == [
+        (1, "a"), (2, "B2"), (4, "d"), (9, "new"),
+    ]

@@ -216,13 +216,136 @@ def test_row_level_delete_manifest_refused(spark, tmp_path):
         iceberg_data_files(str(base))
 
 
-def test_equality_deletes_refused(spark, tmp_path):
+def test_equality_deletes_refused_when_malformed(spark, tmp_path):
+    """content=2 with no equality_ids is unapplyable — refuse, never
+    guess or skip (both resurrect or invent deletions)."""
     a = spark.createDataFrame([(1,)], "id long")
     base = build_iceberg_table(
         tmp_path / "it", [a, {"add": None, "eq_delete": True}]
     )
     with pytest.raises(GlueSparkError, match="EQUALITY delete"):
         iceberg_data_files(str(base), with_deletes=True)
+
+
+def test_equality_deletes_refused_by_path_api(spark, tmp_path):
+    """A WELL-FORMED equality delete still refuses through the
+    path-list APIs: their return shape drops the per-file sequence
+    numbers the delete's scoping needs."""
+    a = spark.createDataFrame([(1, "x")], "id long, k string")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 1}]},
+            },
+        ],
+    )
+    with pytest.raises(GlueSparkError, match="EQUALITY delete"):
+        iceberg_data_files(str(base), with_deletes=True)
+
+
+def test_equality_deletes_applied_with_seq_scoping(spark, tmp_path):
+    """The v2 contract end-to-end: an equality delete removes matching
+    rows ONLY from data files with a strictly smaller data sequence
+    number — a matching row re-inserted AFTER the delete survives."""
+    from glue_table_cache_spark.sources.iceberg import (
+        apply_equality_deletes,
+        iceberg_scan_details,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    b = spark.createDataFrame([(4, "d")], "id long, v string")
+    # snapshot 3: delete id in (2, 4); snapshot 4 re-inserts id=2
+    reinsert = spark.createDataFrame([(2, "b2")], "id long, v string")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [
+            a,
+            b,
+            {
+                "add": None,
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 2}, {"id": 4}],
+                },
+            },
+            reinsert,
+        ],
+    )
+    entries, pos, eq = iceberg_scan_details(str(base))
+    assert pos == [] and len(eq) == 1
+    assert eq[0]["columns"] == ["id"] and eq[0]["seq"] == 3
+    seqs = {p.rsplit("/", 1)[1]: s for p, _pv, s in entries}
+    assert seqs == {
+        "part-1.parquet": 1, "part-2.parquet": 2, "part-4.parquet": 4,
+    }
+    df = spark.read.parquet(*[p for p, _pv, _s in entries])
+    out = apply_equality_deletes(df, entries, eq)
+    got = sorted((r.id, r.v) for r in out.collect())
+    # ids 2 and 4 deleted from the older files; the post-delete
+    # re-insert of id=2 survives
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
+    assert "__data_seq" not in out.columns
+
+
+def test_equality_deletes_null_matches_null(spark, tmp_path):
+    """Per spec, equality deletes match null to null."""
+    from glue_table_cache_spark.sources.iceberg import (
+        apply_equality_deletes,
+        iceberg_scan_details,
+    )
+
+    a = spark.createDataFrame(
+        [(1, None), (2, "b")], "id long, v string"
+    )
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {"columns": ["v"], "rows": [{"v": None}]},
+            },
+        ],
+    )
+    entries, _pos, eq = iceberg_scan_details(str(base))
+    df = spark.read.parquet(*[p for p, _pv, _s in entries])
+    out = apply_equality_deletes(df, entries, eq)
+    assert sorted(r.id for r in out.collect()) == [2]
+
+
+def test_engine_scans_iceberg_with_equality_deletes(spark, tmp_path):
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {
+                    "columns": ["id", "v"],
+                    "rows": [{"id": 2, "v": "b"}, {"id": 3, "v": "X"}],
+                },
+            },
+        ],
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "eqice", str(base), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql("SELECT id, v FROM glue.db.eqice ORDER BY id")
+    # (2,'b') matches both columns → deleted; (3,'X') matches no row
+    # (v differs) → id=3 survives: ALL delete columns must match
+    assert [(r.id, r.v) for r in out.collect()] == [
+        (1, "a"), (3, "c"),
+    ]
 
 
 def test_position_deletes_masked(spark, tmp_path):
