@@ -48,17 +48,25 @@ _COMMIT_RE = re.compile(r"(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
 )
+#: v2 (uuid-named) checkpoint manifests: <version>.checkpoint.<uuid>.
+#: {json,parquet}; the uuid form is distinguished from the classic
+#: multi-part <part>.<numParts> numeric pair by field count
+_CHECKPOINT_V2_RE = re.compile(
+    r"(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(json|parquet)$"
+)
 
 #: Reader features (Delta protocol table-features, minReaderVersion 3)
 #: this raw-parquet read path can honor.  ``columnMapping`` is refused
 #: via the metaData gate; ``deletionVectors`` is accepted here because
 #: per-file DVs are either materialized by the DV read path or refused
-#: loudly at the ``add`` action; ``v2Checkpoint`` is refused because v2
-#: checkpoints move actions into sidecar files this reader never lists.
+#: loudly at the ``add`` action; ``v2Checkpoint`` manifests (uuid-named,
+#: actions split into ``_sidecars/`` parquet files) are read by
+#: :func:`_read_checkpoint_v2`.
 _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "timestampNtz",
     "vacuumProtocolCheck",
+    "v2Checkpoint",
 }
 
 
@@ -254,6 +262,92 @@ def _read_checkpoint(
     return active
 
 
+def _read_checkpoint_v2(
+    manifest_path: str,
+    location: str,
+    s3_client=None,
+    state: dict | None = None,
+) -> dict:
+    """Active adds from a v2 (uuid-named) checkpoint: the manifest
+    (JSON-lines or parquet) carries ``metaData`` / ``protocol`` /
+    ``checkpointMetadata`` plus ``sidecar`` actions pointing at
+    ``_delta_log/_sidecars/*.parquet`` files that hold the file
+    actions.  ``remove`` rows are expired-tombstone bookkeeping, same
+    as v1.  A sidecar named by the manifest but unreadable raises —
+    silently skipping it would drop live files."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    state = state if state is not None else {}
+    active: dict = {}
+    sidecars: list[str] = []
+
+    def handle(action: dict) -> None:
+        if action.get("sidecar"):
+            sidecars.append(action["sidecar"]["path"])
+        elif action.get("protocol"):
+            _check_protocol(action["protocol"])
+        elif action.get("metaData"):
+            state["metaData"] = action["metaData"]
+        elif action.get("add"):
+            a = action["add"]
+            _check_dv_supported(a)
+            pv = a.get("partitionValues") or {}
+            if isinstance(pv, list):
+                pv = dict(pv)
+            active[unquote(a["path"])] = (pv, a.get("deletionVector"))
+
+    if manifest_path.endswith(".json"):
+        for line in _read_bytes(manifest_path, s3_client).splitlines():
+            line = line.strip()
+            if line:
+                handle(json.loads(line))
+    else:
+        pf = pq.ParquetFile(
+            io.BytesIO(_read_bytes(manifest_path, s3_client))
+        )
+        want = [
+            c
+            for c in ("add", "metaData", "protocol", "sidecar")
+            if c in pf.schema_arrow.names
+        ]
+        table = pf.read(columns=want)
+        for c in want:
+            for rec in table.column(c).to_pylist():
+                if rec and (
+                    rec.get("path")
+                    or rec.get("minReaderVersion") is not None
+                    or rec.get("configuration")
+                    or rec.get("id")
+                ):
+                    handle({c: rec})
+    sidecar_dir = posixpath.join(
+        location.rstrip("/"), "_delta_log", "_sidecars"
+    )
+    for name in sidecars:
+        path = (
+            name
+            if "://" in name or name.startswith("/")
+            else posixpath.join(sidecar_dir, name)
+        )
+        try:
+            raw = _read_bytes(path, s3_client)
+        except Exception as exc:  # noqa: BLE001
+            raise GlueSparkError(
+                f"Delta v2 checkpoint {manifest_path!r} names sidecar "
+                f"{name!r} which cannot be read ({exc}) — refusing to "
+                "reconstruct a partial active-file set"
+            ) from exc
+        pf = pq.ParquetFile(io.BytesIO(raw))
+        if "add" not in pf.schema_arrow.names:
+            continue
+        for a in pf.read(columns=["add"]).column("add").to_pylist():
+            if a and a.get("path"):
+                handle({"add": a})
+    return active
+
+
 def _replay(
     location: str,
     version_offset: int = 0,
@@ -267,6 +361,7 @@ def _replay(
     names = _log_files(location, fs=fs)
     commits: dict[int, str] = {}
     checkpoints: dict[int, list[str]] = {}
+    v2cps: dict[int, list[str]] = {}
     for p in names:
         m = _COMMIT_RE.search(p)
         if m:
@@ -275,7 +370,11 @@ def _replay(
         m = _CHECKPOINT_RE.search(p)
         if m:
             checkpoints.setdefault(int(m.group(1)), []).append(p)
-    if not commits and not checkpoints:
+            continue
+        m = _CHECKPOINT_V2_RE.search(p)
+        if m:
+            v2cps.setdefault(int(m.group(1)), []).append(p)
+    if not commits and not checkpoints and not v2cps:
         raise GlueSparkError(
             f"No Delta log found under {location!r}/_delta_log"
         )
@@ -297,19 +396,23 @@ def _replay(
         info = json.loads(raw)
         v = info.get("version")
         if v is not None:
-            if v not in checkpoints:
+            if v not in checkpoints and v not in v2cps:
                 raise GlueSparkError(
                     f"_last_checkpoint advertises checkpoint version "
                     f"{v} for {location!r} but the listing has no "
                     "checkpoint files for it — inconsistent listing"
                 )
-            if info.get("parts") and len(checkpoints[v]) != info["parts"]:
+            if (
+                info.get("parts")
+                and v in checkpoints
+                and len(checkpoints[v]) != info["parts"]
+            ):
                 raise GlueSparkError(
                     f"_last_checkpoint says checkpoint {v} has "
                     f"{info['parts']} part(s) but the listing found "
                     f"{len(checkpoints[v])} for {location!r}"
                 )
-    latest = max([*commits, *checkpoints])
+    latest = max([*commits, *checkpoints, *v2cps])
     target = latest - version_offset
     if target < 0:
         raise GlueSparkError(
@@ -320,13 +423,26 @@ def _replay(
     active: dict = {}
     state: dict = {}
     start = 0
-    cp_versions = [v for v in checkpoints if v <= target]
+    cp_versions = [
+        v for v in {*checkpoints, *v2cps} if v <= target
+    ]
     if cp_versions:
         cp = max(cp_versions)
-        active = _read_checkpoint(
-            _verify_checkpoint_parts(cp, checkpoints[cp]), s3_client,
-            state,
-        )
+        if cp in v2cps:
+            # prefer the v2 manifest when both forms exist at the same
+            # version (either is complete; v2 is what newer writers
+            # treat as authoritative).  Multiple uuid manifests at one
+            # version are equivalent per the protocol — read one
+            # deterministically.
+            active = _read_checkpoint_v2(
+                sorted(v2cps[cp])[-1], location, s3_client, state
+            )
+        else:
+            active = _read_checkpoint(
+                _verify_checkpoint_parts(cp, checkpoints[cp]),
+                s3_client,
+                state,
+            )
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:

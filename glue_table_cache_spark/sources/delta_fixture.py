@@ -163,13 +163,20 @@ def build_delta_table(
             "\n".join(json.dumps(a) for a in actions) + "\n"
         )
         if checkpoint_at == version:
-            ckw = checkpoint_kwargs or {}
-            _write_checkpoint(
-                log_dir, version, active, active_dv=active_dv, **ckw
-            )
+            ckw = dict(checkpoint_kwargs or {})
             lc = {"version": version, "size": len(active) + 2}
-            if ckw.get("num_parts"):
-                lc["parts"] = ckw["num_parts"]
+            if ckw.pop("v2", False):
+                _write_checkpoint_v2(
+                    log_dir, version, active, active_dv=active_dv,
+                    **ckw,
+                )
+            else:
+                _write_checkpoint(
+                    log_dir, version, active, active_dv=active_dv,
+                    **ckw,
+                )
+                if ckw.get("num_parts"):
+                    lc["parts"] = ckw["num_parts"]
             (log_dir / "_last_checkpoint").write_text(json.dumps(lc))
 
     if drop_precheckpoint_commits and checkpoint_at is not None:
@@ -309,3 +316,160 @@ def _write_checkpoint(
             log_dir
             / f"{version:020d}.checkpoint.{part:010d}.{num_parts:010d}.parquet",
         )
+
+
+def _write_checkpoint_v2(
+    log_dir: Path,
+    version: int,
+    active: dict[str, dict],
+    active_dv: dict[str, dict] | None = None,
+    v2_format: str = "parquet",
+    n_sidecars: int = 2,
+    drop_sidecar: bool = False,
+    protocol: dict | None = None,
+    metadata_configuration: dict[str, str] | None = None,
+) -> None:
+    """Write a v2 (uuid-named) checkpoint: the manifest
+    ``<version>.checkpoint.<uuid>.{json,parquet}`` carries
+    ``metaData`` / ``protocol`` / ``checkpointMetadata`` plus
+    ``sidecar`` actions; the ``add`` file actions round-robin across
+    ``n_sidecars`` parquet files under ``_delta_log/_sidecars/``.
+    ``drop_sidecar`` deletes the first sidecar after writing (a reader
+    must refuse, not silently lose its files)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sidecar_dir = log_dir / "_sidecars"
+    sidecar_dir.mkdir(parents=True, exist_ok=True)
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("deletionVector", dv_type),
+        ]
+    )
+    add_rows = [
+        {
+            "path": p,
+            "partitionValues": list(pv.items()),
+            "size": 0,
+            "deletionVector": (active_dv or {}).get(p),
+        }
+        for p, pv in sorted(active.items())
+    ]
+    sidecar_names = []
+    for s in range(n_sidecars):
+        rows = [r for i, r in enumerate(add_rows) if i % n_sidecars == s]
+        name = f"{uuid.uuid4()}.parquet"
+        pq.write_table(
+            pa.table({"add": pa.array(rows, type=add_type)}),
+            sidecar_dir / name,
+        )
+        sidecar_names.append(name)
+    if drop_sidecar:
+        (sidecar_dir / sidecar_names[0]).unlink()
+
+    proto = protocol or {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta = {
+        "id": "00000000-0000-0000-0000-000000000000",
+        "format": {"provider": "parquet", "options": {}},
+        "partitionColumns": [],
+        "configuration": metadata_configuration or {},
+    }
+    manifest_uuid = uuid.uuid4()
+    if v2_format == "json":
+        lines = [
+            {"checkpointMetadata": {"version": version}},
+            {"protocol": proto},
+            {"metaData": meta},
+        ] + [
+            {
+                "sidecar": {
+                    "path": n,
+                    "sizeInBytes": (sidecar_dir / n).stat().st_size
+                    if (sidecar_dir / n).exists()
+                    else 0,
+                }
+            }
+            for n in sidecar_names
+        ]
+        (
+            log_dir
+            / f"{version:020d}.checkpoint.{manifest_uuid}.json"
+        ).write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+        return
+    proto_type = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    sidecar_type = pa.struct(
+        [("path", pa.string()), ("sizeInBytes", pa.int64())]
+    )
+    n = 2 + len(sidecar_names)
+    protos = pa.array(
+        [
+            {
+                "minReaderVersion": proto["minReaderVersion"],
+                "minWriterVersion": proto["minWriterVersion"],
+                "readerFeatures": proto.get("readerFeatures"),
+            }
+        ]
+        + [None] * (n - 1),
+        type=proto_type,
+    )
+    metas = pa.array(
+        [None]
+        + [
+            {
+                "id": meta["id"],
+                "configuration": list(meta["configuration"].items()),
+            }
+        ]
+        + [None] * (n - 2),
+        type=meta_type,
+    )
+    sidecars = pa.array(
+        [None, None]
+        + [
+            {
+                "path": s,
+                "sizeInBytes": (sidecar_dir / s).stat().st_size
+                if (sidecar_dir / s).exists()
+                else 0,
+            }
+            for s in sidecar_names
+        ],
+        type=sidecar_type,
+    )
+    pq.write_table(
+        pa.table(
+            {"protocol": protos, "metaData": metas, "sidecar": sidecars}
+        ),
+        log_dir / f"{version:020d}.checkpoint.{manifest_uuid}.parquet",
+    )

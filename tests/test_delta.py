@@ -705,3 +705,101 @@ def test_delta_changes_incremental_feed(tmp_path, frames):
     assert added3 == [] and removed3 == []
     with pytest.raises(GlueSparkError, match="ahead of the log"):
         delta_changes(str(base), since_version=99)
+
+
+# ---------------------------------------------------------------------------
+# v2 (uuid-named) checkpoints with sidecars
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_v2_checkpoint_reads_sidecars(tmp_path, frames, fmt):
+    """A v2 checkpoint manifest (parquet AND json forms) bootstraps
+    the active set from its _sidecars parquet files after log
+    cleanup, including removes applied before the checkpoint."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a, b]},
+            {"remove": ["part-0-1.parquet"]},
+            {"add": [c]},
+        ],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={"v2": True, "v2_format": fmt},
+    )
+    names = {p.rsplit("/", 1)[1] for p in delta_data_files(str(base))}
+    assert names == {"part-0-0.parquet", "part-2-0.parquet"}
+
+
+def test_v2_checkpoint_missing_sidecar_refuses(tmp_path, frames):
+    a, b, _c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={"v2": True, "drop_sidecar": True},
+    )
+    with pytest.raises(GlueSparkError, match="sidecar"):
+        delta_data_files(str(base))
+
+
+def test_v2_checkpoint_enforces_protocol_and_metadata_gates(
+    tmp_path, frames
+):
+    """The v2 manifest's protocol/metaData rows gate exactly like the
+    classic checkpoint's: unknown reader features and column mapping
+    both refuse when the checkpoint is the only carrier."""
+    a, b, _c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={
+            "v2": True,
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint", "columnMapping"],
+            },
+        },
+    )
+    with pytest.raises(GlueSparkError, match="reader features"):
+        delta_data_files(str(base))
+    base2 = build_delta_table(
+        tmp_path / "dt2",
+        [{"add": [a]}, {"add": [b]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={
+            "v2": True,
+            "metadata_configuration": {
+                "delta.columnMapping.mode": "name"
+            },
+        },
+    )
+    with pytest.raises(GlueSparkError, match="column mapping"):
+        delta_data_files(str(base2))
+
+
+def test_v2_checkpoint_engine_scan(spark, tmp_path, frames):
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b]}, {"add": [c]}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={"v2": True, "n_sidecars": 3},
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "v2dt", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id FROM glue.db.v2dt ORDER BY id"
+    )
+    assert [r.id for r in out.collect()] == [1, 2, 3, 4, 5]
