@@ -348,16 +348,37 @@ def _read_checkpoint_v2(
     return active
 
 
+def _commit_timestamp(path: str, s3_client=None) -> int | None:
+    """The commit's ``commitInfo.timestamp`` (ms), or None when the
+    writer emitted no commitInfo action."""
+    for line in _read_bytes(path, s3_client).splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        action = json.loads(line)
+        if action.get("commitInfo"):
+            ts = action["commitInfo"].get("timestamp")
+            return int(ts) if ts is not None else None
+    return None
+
+
 def _replay(
     location: str,
     version_offset: int = 0,
     s3_client=None,
     fs=None,
+    as_of_timestamp_ms: int | None = None,
 ) -> tuple[dict, dict]:
     """Reconstruct ``(active_files, table_state)`` at the target
     version: checkpoint bootstrap + JSON commit tail.  ``table_state``
     carries the latest ``metaData`` action (schema, configuration);
-    protocol gates are enforced during the walk."""
+    protocol gates are enforced during the walk.
+
+    ``as_of_timestamp_ms`` picks the newest version whose
+    ``commitInfo.timestamp`` is at or before the instant (timestamp
+    travel) — mutually exclusive with ``version_offset``; commits
+    lacking commitInfo, or an instant predating the retained log,
+    refuse rather than guess."""
     names = _log_files(location, fs=fs)
     commits: dict[int, str] = {}
     checkpoints: dict[int, list[str]] = {}
@@ -413,7 +434,33 @@ def _replay(
                     f"{len(checkpoints[v])} for {location!r}"
                 )
     latest = max([*commits, *checkpoints, *v2cps])
-    target = latest - version_offset
+    if as_of_timestamp_ms is not None:
+        if version_offset:
+            raise GlueSparkError(
+                "version_offset and as_of_timestamp_ms are mutually "
+                "exclusive"
+            )
+        target = None
+        for v in sorted(commits):
+            ts = _commit_timestamp(commits[v], s3_client)
+            if ts is None:
+                raise GlueSparkError(
+                    f"Delta commit {v} of {location!r} carries no "
+                    "commitInfo timestamp — timestamp travel needs "
+                    "the writer's commitInfo actions"
+                )
+            if ts <= as_of_timestamp_ms:
+                target = v
+            else:
+                break
+        if target is None:
+            raise GlueSparkError(
+                f"No Delta version of {location!r} exists at or "
+                f"before timestamp {as_of_timestamp_ms} in the "
+                "retained log"
+            )
+    else:
+        target = latest - version_offset
     if target < 0:
         raise GlueSparkError(
             f"version_offset={version_offset} exceeds available versions "
@@ -462,6 +509,7 @@ def delta_scan_info(
     version_offset: int = 0,
     s3_client=None,
     fs=None,
+    as_of_timestamp_ms: int | None = None,
 ) -> tuple[list[tuple[str, dict, dict | None]], dict[str, str] | None]:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
@@ -471,7 +519,9 @@ def delta_scan_info(
     :func:`apply_deletion_vectors` first (it needs ``_metadata``,
     which a rename projection drops), then
     :func:`apply_column_mapping`."""
-    active, state = _replay(location, version_offset, s3_client, fs)
+    active, state = _replay(
+        location, version_offset, s3_client, fs, as_of_timestamp_ms
+    )
     renames = column_mapping_renames(state.get("metaData"))
     entries = [
         (_resolve_path(location, p), active[p][0], active[p][1])
@@ -503,6 +553,7 @@ def delta_data_files(
     fs=None,
     with_partition_values: bool = False,
     with_deletion_vectors: bool = False,
+    as_of_timestamp_ms: int | None = None,
 ) -> list[str] | list[tuple[str, dict]] | list[tuple[str, dict, dict]]:
     """Data-file paths of the (``version_offset``-stepped-back) current
     version of the Delta table at ``location``.
@@ -517,7 +568,9 @@ def delta_data_files(
     ``s3_client`` / ``fs`` are injectable so the S3 metadata path is
     testable without AWS (stub client + stub lister), exactly like the
     Iceberg reader."""
-    active, state = _replay(location, version_offset, s3_client, fs)
+    active, state = _replay(
+        location, version_offset, s3_client, fs, as_of_timestamp_ms
+    )
     if _mapping_mode(state.get("metaData")) != "none":
         # with id/name column mapping the parquet files carry physical
         # column names — a raw read would surface col-<uuid> columns
@@ -618,6 +671,129 @@ def delta_changes(
         [_resolve_path(location, p) for p in sorted(added)],
         [_resolve_path(location, p) for p in sorted(removed)],
     )
+
+
+def delta_cdf(
+    spark,
+    location: str,
+    since_version: int,
+    s3_client=None,
+    fs=None,
+):
+    """Row-level Change Data Feed over commits ``(since_version,
+    latest]``: a DataFrame of the table's data columns plus
+    ``_change_type`` (insert / delete / update_preimage /
+    update_postimage) and ``_commit_version`` — the row-granular
+    "process only what changed" primitive (the file-level
+    :func:`delta_changes` tells you WHICH files, this tells you WHICH
+    ROWS).
+
+    Per the public CDF protocol: a commit that wrote ``cdc`` actions
+    (writers with ``delta.enableChangeDataFeed=true`` route
+    updates/deletes through ``_change_data/`` files carrying
+    ``_change_type``) is represented by EXACTLY those files — its
+    add/remove actions are storage bookkeeping for the same rows.  A
+    commit without ``cdc`` actions synthesizes: ``add`` files with
+    ``dataChange`` are inserts, ``remove`` files with ``dataChange``
+    are deletes (their content is still on disk until vacuum; a
+    vacuumed remove fails loudly at read, never silently).  A
+    no-``cdc`` commit that attaches deletion vectors refuses — the
+    changed-row set is the DV delta, which only the writer's CDC
+    output represents faithfully.
+
+    All reads are distributed parquet scans; the driver touches only
+    the commit JSONs (metadata-scale)."""
+    from pyspark.sql import functions as F
+
+    names = _log_files(location, fs=fs)
+    commits: dict[int, str] = {}
+    for p in names:
+        m = _COMMIT_RE.search(p)
+        if m:
+            commits[int(m.group(1))] = p
+    if not commits:
+        raise GlueSparkError(
+            f"No Delta log found under {location!r}/_delta_log"
+        )
+    latest = max(commits)
+    if since_version > latest:
+        raise GlueSparkError(
+            f"since_version={since_version} is ahead of the log "
+            f"(latest {latest}) for {location!r}"
+        )
+    pieces = []
+    for v in range(since_version + 1, latest + 1):
+        if v not in commits:
+            raise GlueSparkError(
+                f"Delta log for {location!r} is missing commit {v}; "
+                "the change window is not reconstructible"
+            )
+        cdc_paths: list[str] = []
+        adds: list[str] = []
+        removes: list[str] = []
+        dv_attached = False
+        for line in _read_bytes(commits[v], s3_client).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if action.get("cdc"):
+                cdc_paths.append(
+                    _resolve_path(
+                        location, unquote(action["cdc"]["path"])
+                    )
+                )
+            elif action.get("add"):
+                a = action["add"]
+                # a DV (re-)add changes rows whatever its dataChange
+                # flag says — only the writer's CDC output represents
+                # that delta faithfully
+                if a.get("deletionVector"):
+                    dv_attached = True
+                if a.get("dataChange", True):
+                    adds.append(_resolve_path(
+                        location, unquote(a["path"])
+                    ))
+            elif action.get("remove"):
+                r = action["remove"]
+                if r.get("dataChange", True):
+                    removes.append(
+                        _resolve_path(location, unquote(r["path"]))
+                    )
+        if cdc_paths:
+            pieces.append(
+                spark.read.parquet(*cdc_paths)
+                .withColumn("_commit_version", F.lit(v))
+            )
+            continue
+        if dv_attached:
+            raise GlueSparkError(
+                f"Delta commit {v} of {location!r} attaches deletion "
+                "vectors without cdc actions — the changed-row set is "
+                "not reconstructible from the log alone; enable "
+                "delta.enableChangeDataFeed on the writer"
+            )
+        if adds:
+            pieces.append(
+                spark.read.parquet(*adds)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+        if removes:
+            pieces.append(
+                spark.read.parquet(*removes)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+    if not pieces:
+        return spark.range(0).select(
+            F.lit("").alias("_change_type"),
+            F.lit(0).alias("_commit_version"),
+        ).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _path_uri(path: str) -> str:

@@ -76,7 +76,14 @@ def build_delta_table(
     protocol_upgraded = False
     physical: dict[str, str] = {}  # logical -> physical (column_mapping)
     for version, commit in enumerate(commits):
-        actions: list[dict] = []
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": 1700000000000 + version * 1000,
+                    "operation": "WRITE",
+                }
+            }
+        ]
         if version == 0:
             meta: dict = {
                 "id": "00000000-0000-0000-0000-000000000000",
@@ -148,6 +155,23 @@ def build_delta_table(
             actions.append({"add": readd})
             active[name] = {}
             active_dv[name] = readd["deletionVector"]
+        for j, cdf in enumerate(commit.get("cdc", [])):
+            # a CDF writer routes change rows (data cols +
+            # _change_type) through _change_data/ files referenced by
+            # cdc actions; the same commit's add/remove bookkeeping is
+            # then NOT part of the change feed
+            name = f"_change_data/cdc-{version}-{j}.parquet"
+            _write_data_file(base, cdf, name)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": name,
+                        "partitionValues": {},
+                        "size": (base / name).stat().st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
         for name in commit.get("remove", []):
             actions.append(
                 {

@@ -182,6 +182,7 @@ def iceberg_scan_details(
     version_offset: int = 0,
     s3_client=None,
     fs=None,
+    as_of_timestamp_ms: int | None = None,
 ) -> tuple[list[tuple[str, dict, int]], list[str], list[dict]]:
     """Full current-snapshot scan state:
     ``(entries, position_delete_files, equality_deletes)`` where
@@ -218,6 +219,20 @@ def iceberg_scan_details(
         )
     meta = metas[idx]
     snapshots = meta.get("snapshots") or []
+    if as_of_timestamp_ms is not None:
+        # timestamp travel: the newest snapshot at or before the
+        # instant, from the snapshot log the metadata already carries
+        # (``timestamp-ms`` per snapshot) — no extra IO
+        snapshots = [
+            s
+            for s in snapshots
+            if s.get("timestamp-ms", 0) <= as_of_timestamp_ms
+        ]
+        if not snapshots:
+            raise GlueSparkError(
+                f"No Iceberg snapshot of {location!r} exists at or "
+                f"before timestamp {as_of_timestamp_ms}"
+            )
     if not snapshots:
         return [], [], []
     names_by_id = _field_names_by_id(meta)

@@ -803,3 +803,128 @@ def test_v2_checkpoint_engine_scan(spark, tmp_path, frames):
         "SELECT id FROM glue.db.v2dt ORDER BY id"
     )
     assert [r.id for r in out.collect()] == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# row-level Change Data Feed
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_synthesizes_inserts_and_deletes(spark, tmp_path, frames):
+    """Commits without cdc actions synthesize: dataChange adds are
+    inserts, dataChange removes are deletes (rows read back from the
+    not-yet-vacuumed file)."""
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    a, b, _c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a]},                        # v0: 2 inserts
+            {"add": [b]},                        # v1: 1 insert
+            {"remove": ["part-0-0.parquet"]},    # v2: 2 deletes
+        ],
+    )
+    out = delta_cdf(spark, str(base), since_version=0)
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "delete", 2), (2, "delete", 2), (3, "insert", 1),
+    ]
+    # full window from the table's creation
+    all_changes = delta_cdf(spark, str(base), since_version=-1)
+    assert all_changes.count() == 5
+
+
+def test_cdf_prefers_cdc_actions(spark, tmp_path, frames):
+    """A commit carrying cdc actions is represented by exactly those
+    rows; its add/remove bookkeeping does not double-count."""
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    a, b, _c = frames
+    cdf_rows = spark.createDataFrame(
+        [
+            (2, "b", "update_preimage"),
+            (2, "B!", "update_postimage"),
+        ],
+        "id long, v string, _change_type string",
+    )
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a]},
+            # v1: an UPDATE — rewrites the file AND writes cdc rows
+            {"add": [b], "remove": ["part-0-0.parquet"],
+             "cdc": [cdf_rows]},
+        ],
+    )
+    out = delta_cdf(spark, str(base), since_version=0)
+    got = sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in out.collect()
+    )
+    assert got == [
+        (2, "B!", "update_postimage", 1),
+        (2, "b", "update_preimage", 1),
+    ]
+
+
+def test_cdf_window_validation(spark, tmp_path, frames):
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    a, _b, _c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}])
+    with pytest.raises(GlueSparkError, match="ahead of the log"):
+        delta_cdf(spark, str(base), since_version=5)
+    assert delta_cdf(spark, str(base), since_version=0).count() == 0
+
+
+def test_cdf_dv_without_cdc_refuses(spark, tmp_path, frames):
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    a, _b, _c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a]},
+            {"dv": {"part-0-0.parquet": lambda pdf: pdf["id"] == 1}},
+        ],
+    )
+    with pytest.raises(GlueSparkError, match="deletion vectors"):
+        delta_cdf(spark, str(base), since_version=0)
+
+
+def test_timestamp_time_travel(spark, tmp_path, frames):
+    """as_of_timestamp_ms picks the newest version whose commitInfo
+    timestamp is at or before the instant (fixture stamps version v
+    at 1700000000000 + v*1000)."""
+    from glue_table_cache_spark.sources.delta import delta_data_files
+
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dt",
+        [{"add": [a]}, {"add": [b]}, {"add": [c]}],
+    )
+    t0 = 1700000000000
+
+    def names(ms):
+        return {
+            p.rsplit("/", 1)[1]
+            for p in delta_data_files(
+                str(base), as_of_timestamp_ms=ms
+            )
+        }
+
+    assert names(t0) == {"part-0-0.parquet"}
+    assert names(t0 + 1500) == {"part-0-0.parquet", "part-1-0.parquet"}
+    assert names(t0 + 99_000) == {
+        "part-0-0.parquet", "part-1-0.parquet", "part-2-0.parquet",
+    }
+    with pytest.raises(GlueSparkError, match="at or before"):
+        delta_data_files(str(base), as_of_timestamp_ms=t0 - 1)
+    with pytest.raises(GlueSparkError, match="mutually exclusive"):
+        delta_data_files(
+            str(base), version_offset=1, as_of_timestamp_ms=t0
+        )

@@ -409,3 +409,27 @@ def test_iceberg_changes_incremental_feed(spark, tmp_path):
     added2, removed2 = iceberg_changes(str(base), versions_back=2)
     assert [p.rsplit("/", 1)[1] for p in added2] == ["part-2.parquet"]
     assert [p.rsplit("/", 1)[1] for p in removed2] == ["part-1.parquet"]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """as_of_timestamp_ms picks the newest snapshot at or before the
+    instant (fixture stamps snapshot i at 1700000000000 + i)."""
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(2,)], "id long")
+    base = build_iceberg_table(tmp_path / "it", [a, b])
+    t0 = 1700000000000
+
+    def names(ms):
+        entries, _p, _e = iceberg_scan_details(
+            str(base), as_of_timestamp_ms=ms
+        )
+        return {p.rsplit("/", 1)[1] for p, _pv, _s in entries}
+
+    assert names(t0 + 1) == {"part-1.parquet"}
+    assert names(t0 + 2) == {"part-1.parquet", "part-2.parquet"}
+    with pytest.raises(GlueSparkError, match="at or before"):
+        names(t0)
