@@ -853,3 +853,38 @@ def apply_deletion_vectors(
         .join(F.broadcast(deleted), ["__dv_file", "__dv_pos"], "left_anti")
         .drop("__dv_file", "__dv_pos")
     )
+
+
+def delta_history(spark, location: str, s3_client=None, fs=None):
+    """The retained commit history as a small DataFrame — the
+    ``DESCRIBE HISTORY`` introspection surface (version, commitInfo
+    timestamp/operation where present).  Only commits still in the
+    log appear; checkpoint-covered cleaned versions are gone by
+    definition of retention."""
+    names = _log_files(location, fs=fs)
+    rows = []
+    for p in names:
+        m = _COMMIT_RE.search(p)
+        if not m:
+            continue
+        v = int(m.group(1))
+        ts, op = None, None
+        for line in _read_bytes(p, s3_client).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if action.get("commitInfo"):
+                ci = action["commitInfo"]
+                ts = ci.get("timestamp")
+                op = ci.get("operation")
+                break
+        rows.append((v, ts, op))
+    if not rows:
+        raise GlueSparkError(
+            f"No Delta log found under {location!r}/_delta_log"
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "version long, timestamp long, operation string",
+    )

@@ -293,3 +293,26 @@ def hudi_changes(
                 if st.get("path"):
                     written.append(_resolve_path(location, st["path"]))
     return latest, sorted(set(written))
+
+
+def hudi_timeline(spark, location: str, s3_client=None, fs=None):
+    """The completed timeline as a small DataFrame — Hudi's
+    ``show_commits`` introspection surface (request instant, action
+    kind, file count per instant)."""
+    import json as _json
+
+    names = _timeline_files(location, fs=fs)
+    instants = _completed_instants(names, location)
+    rows = []
+    for ts, kind, p in instants:
+        data = _json.loads(_read_bytes(p, s3_client))
+        n_files = sum(
+            1
+            for stats in (data.get("partitionToWriteStats") or {}).values()
+            for st in stats
+            if st.get("path")
+        )
+        rows.append((ts, kind, n_files))
+    return spark.createDataFrame(
+        rows, "instant long, action string, files_written int"
+    )

@@ -443,3 +443,33 @@ def iceberg_changes(
     cur = files_at(0)
     prev = files_at(versions_back)
     return sorted(cur - prev), sorted(prev - cur)
+
+
+def iceberg_snapshots(spark, location: str, s3_client=None, fs=None):
+    """The table's snapshot log as a small DataFrame — the
+    ``table$snapshots`` / ``DESCRIBE HISTORY`` introspection surface
+    (snapshot id, sequence number, commit timestamp, manifest list).
+    Driver reads one metadata JSON; the result is metadata-scale."""
+    jsons = _list_metadata_jsons(location, fs=fs)
+    if not jsons:
+        raise GlueSparkError(
+            f"No Iceberg metadata JSON found under {location!r}"
+        )
+    meta = max(
+        (_read_json(p, s3_client) for p in jsons),
+        key=lambda m: m.get("last-sequence-number", 0),
+    )
+    rows = [
+        (
+            int(s.get("snapshot-id", 0)),
+            int(s.get("sequence-number", 0)),
+            int(s.get("timestamp-ms", 0)),
+            str(s.get("manifest-list", "")),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, sequence_number long, timestamp_ms long, "
+        "manifest_list string",
+    )

@@ -928,3 +928,15 @@ def test_timestamp_time_travel(spark, tmp_path, frames):
         delta_data_files(
             str(base), version_offset=1, as_of_timestamp_ms=t0
         )
+
+
+def test_delta_history(spark, tmp_path, frames):
+    from glue_table_cache_spark.sources.delta import delta_history
+
+    a, b, _c = frames
+    base = build_delta_table(tmp_path / "dt", [{"add": [a]}, {"add": [b]}])
+    rows = delta_history(spark, str(base)).collect()
+    assert [(r.version, r.operation) for r in rows] == [
+        (0, "WRITE"), (1, "WRITE"),
+    ]
+    assert rows[1].timestamp - rows[0].timestamp == 1000

@@ -532,3 +532,17 @@ def test_engine_scans_mor_snapshot(spark, mor_table):
     assert [(r.id, r.v) for r in out.collect()] == [
         (1, "a"), (2, "B2"), (4, "d"), (9, "new"),
     ]
+
+
+def test_hudi_timeline(spark, tmp_path, frames):
+    from glue_table_cache_spark.sources.hudi import hudi_timeline
+
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "ht",
+        [{"write": {"fg1": a, "fg2": b}}, {"write": {"fg1": a2}}],
+    )
+    rows = hudi_timeline(spark, str(base)).collect()
+    assert [(r.instant, r.action, r.files_written) for r in rows] == [
+        (20240101000000, "commit", 2), (20240101000001, "commit", 1),
+    ]

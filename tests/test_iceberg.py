@@ -433,3 +433,16 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert names(t0 + 2) == {"part-1.parquet", "part-2.parquet"}
     with pytest.raises(GlueSparkError, match="at or before"):
         names(t0)
+
+
+def test_iceberg_snapshots(spark, tmp_path):
+    from glue_table_cache_spark.sources.iceberg import iceberg_snapshots
+
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(2,)], "id long")
+    base = build_iceberg_table(tmp_path / "it", [a, b])
+    rows = iceberg_snapshots(spark, str(base)).collect()
+    assert [(r.snapshot_id, r.sequence_number) for r in rows] == [
+        (1001, 1), (1002, 2),
+    ]
+    assert all(r.manifest_list.endswith(".avro") for r in rows)
