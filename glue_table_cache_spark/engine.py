@@ -401,7 +401,9 @@ class GlueSparkEngine:
                 delta_scan_info,
             )
 
-            entries, renames = delta_scan_info(tbl.location, fs=self._fs)
+            entries, renames, log_schema = delta_scan_info(
+                tbl.location, fs=self._fs, with_schema=True
+            )
             # LOG-METADATA partition pruning: the transaction log
             # already records partitionValues per file, so partition
             # predicates drop files BEFORE the reader ever sees their
@@ -432,6 +434,13 @@ class GlueSparkEngine:
             # add paths) surfacing as partition columns under the
             # explicit file list; a no-op for unpartitioned layouts
             reader = self.spark.read.option("basePath", tbl.location)
+            # the log's schemaString is the authoritative scan schema
+            # for EVOLVED tables (pre-evolution files surface nulls
+            # for added columns, independent of scan order); not
+            # applied for column-mapped tables, whose files carry
+            # physical names the rename projection handles
+            if renames is None and log_schema is not None:
+                reader = reader.schema(log_schema)
             df = self._format_read(reader, tbl, *paths)
             # keyed on the PROXIED path — the one _metadata.file_path
             # will report for the scan Spark actually performed.

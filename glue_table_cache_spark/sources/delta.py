@@ -504,13 +504,31 @@ def _replay(
     return active, state
 
 
+def logical_schema(meta: dict | None):
+    """The table's logical schema as a Spark ``StructType`` from the
+    metaData action's ``schemaString`` (``None`` when absent).  This
+    is the AUTHORITATIVE scan schema for an evolved table: a file
+    written before a column was added simply lacks it, and reading
+    with the log schema surfaces nulls there — reading with
+    whatever-the-first-file-has drops or misorders evolved columns
+    depending on scan order, which is exactly the nondeterminism the
+    log schema exists to prevent."""
+    ss = (meta or {}).get("schemaString")
+    if not ss:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(ss))
+
+
 def delta_scan_info(
     location: str,
     version_offset: int = 0,
     s3_client=None,
     fs=None,
     as_of_timestamp_ms: int | None = None,
-) -> tuple[list[tuple[str, dict, dict | None]], dict[str, str] | None]:
+    with_schema: bool = False,
+) -> tuple:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
     partition_values, deletion_vector_or_None)`` triples and
@@ -518,7 +536,14 @@ def delta_scan_info(
     tables (``None`` when unmapped).  Feed the scan through
     :func:`apply_deletion_vectors` first (it needs ``_metadata``,
     which a rename projection drops), then
-    :func:`apply_column_mapping`."""
+    :func:`apply_column_mapping`.
+
+    ``with_schema=True`` appends the log's logical schema
+    (:func:`logical_schema`) as a third element — pass it to the
+    reader for evolved tables (only when ``renames`` is None: a
+    column-mapped table's files carry PHYSICAL names, so the logical
+    schema must be applied after the rename projection, not at the
+    scan)."""
     active, state = _replay(
         location, version_offset, s3_client, fs, as_of_timestamp_ms
     )
@@ -527,6 +552,8 @@ def delta_scan_info(
         (_resolve_path(location, p), active[p][0], active[p][1])
         for p in sorted(active)
     ]
+    if with_schema:
+        return entries, renames, logical_schema(state.get("metaData"))
     return entries, renames
 
 

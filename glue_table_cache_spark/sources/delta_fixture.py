@@ -119,6 +119,27 @@ def build_delta_table(
                     }
                 }
             )
+        if commit.get("metadata_schema") is not None:
+            # schema evolution: a new metaData action whose
+            # schemaString is the given DataFrame's schema (include
+            # partition columns in it, as real writers do)
+            actions.append(
+                {
+                    "metaData": {
+                        "id": "00000000-0000-0000-0000-000000000000",
+                        "format": {
+                            "provider": "parquet", "options": {},
+                        },
+                        "partitionColumns": list(
+                            (commit.get("partition") or {})
+                        ),
+                        "schemaString": json.dumps(
+                            commit["metadata_schema"].schema.jsonValue()
+                        ),
+                        "configuration": {},
+                    }
+                }
+            )
         pv = commit.get("partition") or {}
         part_dir = "/".join(f"{k}={v}" for k, v in pv.items())
         for j, df in enumerate(commit.get("add", [])):

@@ -940,3 +940,32 @@ def test_delta_history(spark, tmp_path, frames):
         (0, "WRITE"), (1, "WRITE"),
     ]
     assert rows[1].timestamp - rows[0].timestamp == 1000
+
+
+def test_schema_evolution_uses_log_schema(spark, tmp_path, frames):
+    """An evolved table reads with the LOG's schemaString: files
+    written before the column was added surface nulls for it, instead
+    of the scan schema depending on which file Spark sampled first."""
+    a, _b, _c = frames
+    evolved = spark.createDataFrame(
+        [(10, "x", 7.5)], "id long, v string, score double"
+    )
+    base = build_delta_table(
+        tmp_path / "dt",
+        [
+            {"add": [a]},
+            {"add": [evolved], "metadata_schema": evolved},
+        ],
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "ev", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id, v, score FROM glue.db.ev ORDER BY id"
+    )
+    assert [f.name for f in out.schema.fields] == ["id", "v", "score"]
+    assert [(r.id, r.v, r.score) for r in out.collect()] == [
+        (1, "a", None), (2, "b", None), (10, "x", 7.5),
+    ]
