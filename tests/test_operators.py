@@ -1742,3 +1742,79 @@ def test_quantize_zero_vector(spark):
     )
     row = S.quantize_embeddings(df).collect()[0]
     assert row.embedding_scale == 0.0 and list(row.embedding_q) == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# incremental ingestion (operators/incremental.py)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from glue_table_cache_spark.operators.incremental import (
+        append_fingerprints,
+        incremental_dedup,
+    )
+
+    store = str(tmp_path / "fps")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha  text")],
+        "doc_id long, text string",
+    )
+    # in-batch: doc 3 is a whitespace-variant dup of doc 1 → dropped
+    fresh1 = incremental_dedup(b1, store)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+    append_fingerprints(fresh1, store)
+    # next batch: doc 4 repeats doc 2's text → dropped vs the STORE;
+    # doc 5 is new
+    b2 = spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text")],
+        "doc_id long, text string",
+    )
+    fresh2 = incremental_dedup(b2, store)
+    assert sorted(r.doc_id for r in fresh2.collect()) == [5]
+    append_fingerprints(fresh2, store)
+    # re-presenting an already-accepted batch is idempotent
+    assert incremental_dedup(b1, store).count() == 0
+
+
+def test_incremental_ingest_loop(spark, tmp_path):
+    """Two turns of the Delta-backed loop: only newly added files are
+    read, cross-batch dups drop, state advances, third turn no-ops."""
+    from glue_table_cache_spark.operators.incremental import (
+        incremental_ingest,
+    )
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+
+    docs_v0 = spark.createDataFrame(
+        [(1, "s0", "first document text here"),
+         (2, "s0", "second document text here")],
+        "doc_id long, source string, text string",
+    )
+    lake = build_delta_table(tmp_path / "lake", [{"add": [docs_v0]}])
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    r1 = incremental_ingest(spark, str(lake), state, output_dir=out)
+    assert (r1.docs_in, r1.docs_fresh, r1.docs_kept) == (2, 2, 2)
+    assert r1.last_version == 0
+
+    # second commit: one dup of doc 1's text + one new doc
+    docs_v1 = spark.createDataFrame(
+        [(3, "s1", "first document text here"),
+         (4, "s1", "third document text here")],
+        "doc_id long, source string, text string",
+    )
+    build_delta_table(tmp_path / "lake", [{"add": [docs_v0]},
+                                          {"add": [docs_v1]}])
+    r2 = incremental_ingest(spark, str(lake), state, output_dir=out)
+    assert (r2.docs_in, r2.docs_fresh, r2.docs_kept) == (2, 1, 1)
+    assert [p.rsplit("/", 1)[1] for p in r2.new_files] == [
+        "part-1-0.parquet"
+    ]
+    assert r2.last_version == 1
+    # accumulated output = 3 unique docs
+    assert spark.read.parquet(out).count() == 3
+    # nothing new → no-op turn
+    r3 = incremental_ingest(spark, str(lake), state, output_dir=out)
+    assert r3.new_files == [] and r3.last_version == 1
