@@ -336,11 +336,36 @@ class GlueSparkEngine:
                 base_entries, log_entries = hudi_mor_scan_info(
                     tbl.location, fs=self._fs
                 )
-                # no metadata-level partition pruning here: a log
-                # file can carry records for any partition of its
-                # file group, so path-level pruning of bases alone
-                # could orphan log records; Catalyst still prunes
-                # the merged frame's partition columns post-merge
+                # TIMELINE-METADATA partition pruning, BOTH sides: a
+                # Hudi file group and its log files live in exactly
+                # one partition (the write stats record it), so
+                # pruning bases and logs with the same predicate
+                # cannot orphan log records
+                keys = [k.name for k in tbl.partition_keys]
+                if query and keys and (base_entries or log_entries):
+                    predicate = extract_partition_predicate(
+                        query, keys, {tbl.name, tbl.qualified_name}
+                    )
+                    kept = {
+                        f.path
+                        for f in prune_files(
+                            [
+                                FileInfo(p, pv)
+                                for p, pv, _t in base_entries
+                            ]
+                            + [
+                                FileInfo(p, pv)
+                                for p, _t, pv in log_entries
+                            ],
+                            predicate,
+                        )
+                    }
+                    base_entries = [
+                        e for e in base_entries if e[0] in kept
+                    ]
+                    log_entries = [
+                        e for e in log_entries if e[0] in kept
+                    ]
                 return hudi_mor_read(
                     self.spark,
                     [
@@ -352,14 +377,15 @@ class GlueSparkEngine:
                             base_entries,
                         )
                     ],
-                    list(
-                        zip(
+                    [
+                        (pp, t, pv)
+                        for pp, (_p, t, pv) in zip(
                             self._proxy(
-                                [p for p, _t in log_entries]
+                                [p for p, _t, _pv in log_entries]
                             ),
-                            [t for _p, t in log_entries],
+                            log_entries,
                         )
-                    ),
+                    ],
                     record_key_field=tbl.parameters.get(
                         "hoodie.table.recordkey.fields",
                         DEFAULT_RECORD_KEY,

@@ -237,15 +237,19 @@ def hudi_mor_scan_info(
     location: str,
     s3_client=None,
     fs=None,
-) -> tuple[list[tuple[str, dict, int]], list[tuple[str, int]]]:
+) -> tuple[
+    list[tuple[str, dict, int]], list[tuple[str, int, dict]]
+]:
     """MOR snapshot scan state: ``(base_entries, log_entries)`` —
     ``base_entries`` are ``(path, partition_values, instant)`` per
-    active base slice, ``log_entries`` ``(path, instant)`` per
-    un-compacted log file.  A log is live only while it is NEWER than
-    its file group's base slice — compaction writes a fresh base at
-    the compaction instant, folding older logs in; a log whose file
-    group was replaced (clustering) is gone entirely.  Works for COW
-    tables too (``log_entries`` comes back empty)."""
+    active base slice, ``log_entries`` ``(path, instant,
+    partition_values)`` per un-compacted log file (a file group and
+    its logs live in ONE partition, so both sides prune on the same
+    values).  A log is live only while it is NEWER than its file
+    group's base slice — compaction writes a fresh base at the
+    compaction instant, folding older logs in; a log whose file group
+    was replaced (clustering) is gone entirely.  Works for COW tables
+    too (``log_entries`` comes back empty)."""
     names = _timeline_files(location, fs=fs)
     slices, logs = _walk_timeline(location, names, s3_client)
     base_entries = sorted(
@@ -257,8 +261,12 @@ def hudi_mor_scan_info(
         for ts, path, part in slices.values()
     )
     log_entries = sorted(
-        (_resolve_path(location, path), ts)
-        for ts, path, fid, _part in logs
+        (
+            _resolve_path(location, path),
+            ts,
+            _pv_from_partition_path(part),
+        )
+        for ts, path, fid, part in logs
         if fid not in slices or ts > slices[fid][0]
     )
     return base_entries, log_entries

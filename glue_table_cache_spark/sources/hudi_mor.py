@@ -118,11 +118,23 @@ def hudi_mor_read(
     """Snapshot view of a MOR table as a DataFrame.
 
     ``base_entries`` are ``(path, partition_values, instant)`` triples
-    and ``log_entries`` ``(path, instant)`` pairs, both from
+    and ``log_entries`` ``(path, instant)`` pairs or ``(path,
+    instant, partition_values)`` triples, both from
     :func:`~glue_table_cache_spark.sources.hudi.hudi_mor_scan_info`.
     ``record_key_field`` must exist in the base schema AND in every
     log record (Hudi's ``_hoodie_record_key`` meta column by
-    default)."""
+    default).
+
+    Partition columns: log payloads carry only the record fields —
+    the partition value lives in the file's directory.  When
+    ``log_entries`` are triples, each log row's partition columns are
+    filled from its file's write-stat partition values (broadcast map
+    on the source path), so a post-merge partition filter sees the
+    right values on log-derived rows too."""
+    log_pv = {
+        e[0]: e[2] for e in log_entries if len(e) > 2 and e[2]
+    }
+    log_entries = [(e[0], e[1]) for e in log_entries]
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -193,6 +205,38 @@ def hudi_mor_read(
                 "__key", "__commit", "__src", "__blk", "__rec", "__op",
             )
         )
+        pv_cols = sorted(
+            {k for pv in log_pv.values() for k in pv}
+            & set(data_cols)
+        )
+        if pv_cols:
+            types = {f.name: f.dataType for f in base.schema.fields}
+            pv_df = spark.createDataFrame(
+                [
+                    (p, *[log_pv.get(p, {}).get(c) for c in pv_cols])
+                    for p, _ts in log_entries
+                ],
+                "__src string, " + ", ".join(
+                    f"__pv_{c} string" for c in pv_cols
+                ),
+            )
+            upserts = upserts.join(
+                F.broadcast(pv_df), "__src", "left"
+            )
+            for c in pv_cols:
+                upserts = upserts.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c),
+                        F.col(f"__pv_{c}").cast(types[c]),
+                    ),
+                )
+            upserts = upserts.drop(
+                *[f"__pv_{c}" for c in pv_cols]
+            ).select(
+                *data_cols,
+                "__key", "__commit", "__src", "__blk", "__rec", "__op",
+            )
         deletes = raw.where(F.col("__op") == "D").select(
             *[F.lit(None).cast(f.dataType).alias(f.name)
               for f in base.schema.fields],

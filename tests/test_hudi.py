@@ -546,3 +546,57 @@ def test_hudi_timeline(spark, tmp_path, frames):
     assert [(r.instant, r.action, r.files_written) for r in rows] == [
         (20240101000000, "commit", 2), (20240101000001, "commit", 1),
     ]
+
+
+def test_mor_partition_pruning(spark, tmp_path):
+    """Partitioned MOR: the predicate prunes base AND log files from
+    the timeline metadata; kept partitions still merge their logs."""
+    from glue_table_cache_spark.catalog import PartitionKey
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_log import data_block
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    b = spark.createDataFrame([(2, "b")], "id long, v string")
+    base = build_hudi_table(
+        tmp_path / "morp",
+        [
+            {"write": {"fg1": a}, "partition": "year=1996"},
+            {"write": {"fg2": b}, "partition": "year=1997"},
+            {"log": {"fg1": data_block(
+                "20240101000002", schema, [{"id": 1, "v": "A2"}]
+            )}, "partition": "year=1996"},
+        ],
+        table_type="MERGE_ON_READ",
+    )
+    bases, logs = hudi_mor_scan_info(str(base))
+    assert [pv for _p, _t, pv in logs] == [{"year": "1996"}]
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "morp", str(base),
+        partition_keys=[PartitionKey("year", "string")],
+        parameters={
+            "spark.sql.sources.provider": "hudi",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    eng = GlueSparkEngine(spark, store)
+    # kept partition: the log upsert applies
+    out = eng.sql(
+        "SELECT id, v FROM glue.db.morp WHERE year = '1996'"
+    )
+    assert [(r.id, r.v) for r in out.collect()] == [(1, "A2")]
+    # pruned partition: only fg2's base file is scanned
+    other = eng.sql(
+        "SELECT id, v FROM glue.db.morp WHERE year = '1997'"
+    )
+    files = [f for f in other.inputFiles() if f.endswith(".parquet")]
+    assert len(files) == 1 and "year=1997" in files[0]
+    assert [(r.id, r.v) for r in other.collect()] == [(2, "b")]
