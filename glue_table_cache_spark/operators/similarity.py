@@ -525,3 +525,315 @@ def dequantize_embeddings(
             F.col(q_col).cast("array<double>"), lambda x: x * s
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN at corpus scale
+# --------------------------------------------------------------------------
+#
+# Public algorithm: Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011).  Split each d-dim vector into
+# ``m`` subvectors; quantize each subspace with its own 2^nbits-entry
+# codebook; a vector is then ``m`` small integer codes (e.g. 4 bytes
+# instead of 32 float64s — a 64× memory/shuffle shrink).  Search is
+# ASYMMETRIC (ADC): the query stays exact, and its dot product against
+# any corpus vector is approximated by m table lookups.
+
+
+def _subvectors(df: DataFrame, vec: str, dim: int, m: int) -> DataFrame:
+    """Explode (id, v) into (id, sub, sv) — ``m`` rows per vector."""
+    dsub = dim // m
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(F.col(vec), s * dsub + 1, dsub).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    return df.select("id", F.explode(subs).alias("x")).select(
+        "id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    nbits: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+) -> list[tuple[int, int, list[float]]]:
+    """Train the ``m`` subspace codebooks (``2^nbits`` centroids each)
+    with Lloyd iterations expressed as DataFrame ops over ALL
+    subspaces at once — each iteration is one broadcast-join
+    assignment pass and one explode→groupBy mean pass; only the
+    ``m × 2^nbits × d/m`` codebook ever reaches the driver.  Returns
+    ``(sub, code, centroid)`` rows.  At corpus scale train on a
+    sample: the codebooks need representative cell geometry, not
+    every row."""
+    ksub = 1 << nbits
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if sample_fraction:
+        v = v.sample(fraction=sample_fraction, seed=7)
+    dim = len(v.select("v").first().v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subs = _subvectors(v, "v", dim, m)
+    # deterministic seeds: the ksub lowest-id vectors' subvectors
+    seed_rows = (
+        subs.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("sub").orderBy("id")
+            ),
+        )
+        .where(F.col("__rn") <= ksub)
+        .collect()
+    )
+    books = {
+        (r.sub, r["__rn"] - 1): list(r.sv) for r in seed_rows
+    }
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        book_df = F.broadcast(
+            spark.createDataFrame(
+                [(s, c, cent) for (s, c), cent in sorted(books.items())],
+                "sub int, code int, cent array<double>",
+            )
+        )
+        assigned = (
+            subs.join(book_df, "sub")
+            .select(
+                "id", "sub", "sv", "code",
+                _l2sq(F.col("sv"), F.col("cent")).alias("d2"),
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("id", "sub").orderBy(
+                        F.asc("d2"), F.asc("code")
+                    )
+                ),
+            )
+            .where(F.col("__rn") == 1)
+        )
+        means = (
+            assigned.select(
+                "sub", "code", F.posexplode("sv").alias("d", "x")
+            )
+            .groupBy("sub", "code", "d")
+            .agg(F.avg("x").alias("mn"))
+            .groupBy("sub", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "mn"))
+                ).alias("dm")
+            )
+            .select(
+                "sub", "code",
+                F.transform("dm", lambda s: s["mn"]).alias("cent"),
+            )
+        )
+        trained = {
+            (r.sub, r.code): list(r.cent) for r in means.collect()
+        }
+        books = {
+            key: trained.get(key, prev) for key, prev in books.items()
+        }
+    return [(s, c, cent) for (s, c), cent in sorted(books.items())]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(vec_id, codes)`` per corpus vector — ``codes`` is the
+    ``array<int>`` of nearest-centroid indices per subspace, the
+    compressed representation the ADC search scans.  One broadcast
+    join + one per-(id, sub) argmin + one collect_list; the corpus
+    shuffles once on id."""
+    m = max(s for s, _c, _v in codebooks) + 1
+    dim = m * len(codebooks[0][2])
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    subs = _subvectors(v, "v", dim, m)
+    spark = corpus.sparkSession
+    book_df = F.broadcast(
+        spark.createDataFrame(
+            codebooks, "sub int, code int, cent array<double>"
+        )
+    )
+    best = (
+        subs.join(book_df, "sub")
+        .select(
+            "id", "sub", "code",
+            _l2sq(F.col("sv"), F.col("cent")).alias("d2"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("id", "sub").orderBy(
+                    F.asc("d2"), F.asc("code")
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+    )
+    return (
+        best.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ).alias("sc")
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform("sc", lambda s: s["code"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    nbits: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    exclude_self: bool = True,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by inner product (≈ cosine when inputs
+    are L2-normalized): the corpus is scanned as ``m``-byte codes and
+    each query's score per vector is ``m`` table lookups — a
+    whole-stage-codegen ``zip_with``/``aggregate`` expression, no
+    Python in the scan.
+
+    ``rerank=k'`` (k' ≥ k) is the standard recall lever: ADC selects
+    the k' best candidates per query from the CODES (cheap scan),
+    then only those k'·|Q| rows join back to their raw vectors for an
+    exact cosine re-rank to k — recall@k becomes ADC's recall@k',
+    while the expensive exact math touches a vanishing fraction of
+    the corpus.  ``rerank=3*k`` is a good default at production
+    scale.
+
+    BROADCAST-QUERIES CONTRACT (same as :func:`ivf_topk`): the
+    per-query lookup tables (|Q| × m × 2^nbits doubles) are built
+    driver-side from a collected query set and broadcast — sized for
+    |Q| ≪ corpus; the corpus side only ever moves integer codes.
+    Pass pre-trained ``codebooks``/pre-encoded ``codes`` to amortize
+    across batches (the production shape: train+encode once, search
+    many).
+
+    Approximation caveat: scores are ADC estimates — rank fidelity
+    degrades with small ``m``; raise ``m``/``nbits`` for recall, at
+    linear code-size cost.  Exact re-ranking of the PQ top-k' (k'>k)
+    against raw vectors composes with :func:`cosine_topk` when needed.
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m, nbits, iters, vec_col, id_col
+        )
+    m = max(s for s, _c, _v in codebooks) + 1
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, vec_col, id_col)
+    books = {(s, c): v for s, c, v in codebooks}
+    ksub = 1 + max(c for _s, c, _v in codebooks)
+    spark = corpus.sparkSession
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    dsub = len(codebooks[0][2])
+
+    def table(qv: list[float]) -> list[list[float]]:
+        return [
+            [
+                sum(
+                    qv[s * dsub + i] * books[(s, c)][i]
+                    for i in range(dsub)
+                )
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
+
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(r.query_id, table(list(r.qv))) for r in q_rows],
+            "query_id long, qt array<array<double>>",
+        )
+    )
+    scored = codes.crossJoin(qdf)
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "codes", "qt",
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank or k))
+    )
+    if rerank is None:
+        return top
+    # exact re-rank: only k'·|Q| candidate rows join raw vectors
+    raw = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    qraw = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(r.query_id, list(r.qv)) for r in q_rows],
+            "query_id long, qv array<double>",
+        )
+    )
+    rescored = (
+        top.select("query_id", "vec_id")
+        .join(raw, "vec_id")
+        .join(qraw, "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                cosine(F.col("qv"), F.col("cv")), 6
+            ).alias("score"),
+        )
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

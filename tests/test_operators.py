@@ -1818,3 +1818,104 @@ def test_incremental_ingest_loop(spark, tmp_path):
     # nothing new → no-op turn
     r3 = incremental_ingest(spark, str(lake), state, output_dir=out)
     assert r3.new_files == [] and r3.last_version == 1
+
+
+# ---------------------------------------------------------------------------
+# product quantization (similarity.pq_*)
+# ---------------------------------------------------------------------------
+
+
+def _pq_cluster_fixture(spark):
+    """4 well-separated axis clusters in 8 dims, 10 vectors each,
+    L2-normalized; id // 10 is the cluster."""
+    import math
+
+    rows = []
+    for cluster in range(4):
+        for j in range(10):
+            vec = [0.0] * 8
+            vec[cluster * 2] = 1.0
+            vec[cluster * 2 + 1] = 0.1 + 0.01 * j  # small in-cluster spread
+            n = math.sqrt(sum(x * x for x in vec))
+            rows.append((cluster * 10 + j, [x / n for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_roundtrip_and_topk_recall(spark):
+    from glue_table_cache_spark.operators import similarity as S
+
+    corpus = _pq_cluster_fixture(spark)
+    books = S.pq_train(corpus, m=4, nbits=2, iters=3)
+    # m subspaces × 2^nbits codes, every centroid d/m-dimensional
+    assert {s for s, _c, _v in books} == {0, 1, 2, 3}
+    assert all(len(v) == 2 for _s, _c, v in books)
+    codes = S.pq_encode(corpus, books)
+    assert codes.count() == 40
+    row = codes.where("vec_id = 0").first()
+    assert len(row.codes) == 4
+    # same-cluster vectors agree on their CONSTANT subspaces (subs
+    # 1..3 are identically zero for cluster 0) — the varying sub may
+    # legitimately split codes
+    c0 = {
+        tuple(r.codes[1:]) for r in codes.where("vec_id < 10").collect()
+    }
+    assert len(c0) == 1
+    # top-k: every query's neighbors come from its own cluster
+    from pyspark.sql import functions as F
+
+    queries = corpus.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = S.pq_topk(
+        corpus, queries, k=5, codebooks=books, codes=codes
+    ).collect()
+    assert len(top) == 20
+    for r in top:
+        assert r.vec_id // 10 == r.query_id // 10, (
+            f"query {r.query_id} retrieved {r.vec_id}"
+        )
+
+
+def test_pq_topk_deterministic_and_amortizable(spark):
+    """Re-running with the same pre-trained codebooks/codes gives the
+    identical ranking (no driver random state anywhere)."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import similarity as S
+
+    corpus = _pq_cluster_fixture(spark)
+    books = S.pq_train(corpus, m=2, nbits=3, iters=2)
+    codes = S.pq_encode(corpus, books)
+    queries = corpus.where(F.col("vec_id").isin(3, 17)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = S.pq_topk(corpus, queries, k=4, codebooks=books, codes=codes)
+    b = S.pq_topk(corpus, queries, k=4, codebooks=books, codes=codes)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    books2 = S.pq_train(corpus, m=2, nbits=3, iters=2)
+    assert books == books2
+
+
+def test_pq_topk_rerank_recovers_exact(spark):
+    """With rerank covering the whole corpus, PQ top-k equals the
+    exact cosine top-k (the ADC stage only selects, the re-rank
+    scores exactly)."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import similarity as S
+
+    corpus = _pq_cluster_fixture(spark)
+    books = S.pq_train(corpus, m=4, nbits=2, iters=3)
+    codes = S.pq_encode(corpus, books)
+    queries = corpus.where(F.col("vec_id").isin(0, 25)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = S.pq_topk(
+        corpus, queries, k=5, codebooks=books, codes=codes, rerank=40
+    )
+    exact = S.cosine_topk(corpus, queries, k=5)
+    assert sorted(
+        (r.query_id, r.vec_id, r.rank) for r in pq.collect()
+    ) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in exact.collect()
+    )
