@@ -1,0 +1,157 @@
+"""Append-only Delta Lake writer: publish pipeline output atomically.
+
+Beyond-reference extension.  A training-data pipeline's output wants
+ATOMIC visibility — a reader must see a whole ingest or none of it,
+never a half-written directory.  The Delta transaction log provides
+exactly that, and this writer emits it per the public protocol
+(PROTOCOL.md): data files are staged invisibly, then ONE commit JSON
+names them all; readers (this repo's log walk, delta-spark, DuckDB
+delta) flip to the new version atomically.
+
+Commit sequence:
+
+1. write the batch with Spark into a staging directory UNDER the
+   table root (same filesystem → rename is cheap and atomic);
+2. move each part file to its final name (partition dirs preserved);
+3. create ``_delta_log/<next-version>.json`` with ``O_EXCL`` — the
+   put-if-absent that makes two concurrent writers serialize: the
+   loser's create fails, it re-reads the log and retries with the
+   next version (its staged files are already in place and named
+   uniquely, so a retry re-commits the same adds, never re-writes
+   data).
+
+``O_EXCL`` is atomic on local/NFS/HDFS-style filesystems; plain S3
+has no put-if-absent, so there this writer needs an external commit
+coordinator (documented, refused is wrong — S3 writers in the wild
+use DynamoDB/conditional-put for the same step).
+
+First commit also writes ``metaData`` (schemaString from the
+DataFrame, partition columns) and ``protocol`` — so evolved readers
+(:func:`~glue_table_cache_spark.sources.delta.logical_schema`) see
+the authoritative schema from version 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from glue_table_cache_spark.errors import GlueSparkError
+
+
+def _next_version(log_dir: Path) -> int:
+    vs = [
+        int(p.name[:20])
+        for p in log_dir.glob("*.json")
+        if p.name[:20].isdigit()
+    ]
+    return max(vs) + 1 if vs else 0
+
+
+def write_delta_append(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    max_commit_retries: int = 10,
+) -> int:
+    """Append ``df`` to the Delta table at ``location`` (created on
+    first write); returns the committed version.  Readers see the
+    whole batch or none of it."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "write_delta_append commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    log_dir = base / "_delta_log"
+    log_dir.mkdir(parents=True, exist_ok=True)
+    batch = uuid.uuid4().hex[:12]
+    stage = base / f"_staging_{batch}"
+
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(stage))
+
+    # move parts into place under unique batch-tagged names
+    adds: list[dict] = []
+    now = int(time.time() * 1000)
+    for p in sorted(stage.rglob("part-*.parquet")):
+        rel_dir = p.parent.relative_to(stage)
+        pv: dict[str, str] = {}
+        for seg in rel_dir.parts:
+            k, eq, v = seg.partition("=")
+            if eq:
+                pv[k] = v
+        name = f"part-{batch}-{len(adds):05d}.parquet"
+        rel = str(rel_dir / name) if rel_dir.parts else name
+        dest = base / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        p.rename(dest)
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": pv,
+                "size": dest.stat().st_size,
+                "modificationTime": now,
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+
+    schema_fields = df.schema.jsonValue()
+    for _ in range(max_commit_retries):
+        version = _next_version(log_dir)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Append"},
+                }
+            }
+        ]
+        if version == 0:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {
+                            "provider": "parquet", "options": {},
+                        },
+                        "schemaString": json.dumps(schema_fields),
+                        "partitionColumns": list(partition_by or []),
+                        "configuration": {},
+                        "createdTime": now,
+                    }
+                }
+            )
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 2,
+                    }
+                }
+            )
+        actions += [{"add": a} for a in adds]
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(
+                commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            continue  # lost the race: re-read the log, retry
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        return version
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )

@@ -446,3 +446,44 @@ def test_iceberg_snapshots(spark, tmp_path):
         (1001, 1), (1002, 2),
     ]
     assert all(r.manifest_list.endswith(".avro") for r in rows)
+
+
+def test_iceberg_cdf_rows(spark, tmp_path):
+    from glue_table_cache_spark.sources.iceberg import iceberg_cdf
+
+    a = spark.createDataFrame([(1,), (2,)], "id long")
+    b = spark.createDataFrame([(3,)], "id long")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [a, b, {"add": None, "delete": ["part-1.parquet"]}],
+    )
+    # window: last snapshot only — part-1 removed
+    out = iceberg_cdf(spark, str(base), versions_back=1)
+    assert sorted((r.id, r._change_type) for r in out.collect()) == [
+        (1, "delete"), (2, "delete"),
+    ]
+    # window: both changes — b inserted, a's file removed
+    out2 = iceberg_cdf(spark, str(base), versions_back=2)
+    assert sorted((r.id, r._change_type) for r in out2.collect()) == [
+        (1, "delete"), (2, "delete"), (3, "insert"),
+    ]
+
+
+def test_iceberg_cdf_refuses_rowlevel_delete_windows(spark, tmp_path):
+    from glue_table_cache_spark.sources.iceberg import iceberg_cdf
+
+    a = spark.createDataFrame([(1,), (2,)], "id long")
+    base = build_iceberg_table(
+        tmp_path / "it",
+        [
+            a,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+            },
+        ],
+    )
+    with pytest.raises(GlueSparkError, match="row-level delete"):
+        iceberg_cdf(spark, str(base), versions_back=1)

@@ -90,3 +90,87 @@ def test_compact_refuses_in_place(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         C.compact_parquet_dir(spark, str(tmp_path), str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Delta append writer (sinks/delta_write.py)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_append_roundtrip(spark, tmp_path):
+    """Two appended batches read back exactly through the log walk
+    (and the engine); the staging dir is gone; history shows both."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        delta_data_files,
+        delta_history,
+    )
+
+    loc = str(tmp_path / "out_delta")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert write_delta_append(a, loc) == 0
+    assert write_delta_append(b, loc) == 1
+    assert not list((tmp_path / "out_delta").glob("_staging_*"))
+    files = delta_data_files(loc)
+    got = sorted(
+        (r.id, r.v) for r in spark.read.parquet(*files).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "outd", loc,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id, v FROM glue.db.outd ORDER BY id"
+    )
+    assert [(r.id, r.v) for r in out.collect()] == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    hist = delta_history(spark, loc).collect()
+    assert [(r.version, r.operation) for r in hist] == [
+        (0, "WRITE"), (1, "WRITE"),
+    ]
+
+
+def test_delta_append_partitioned(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_data_files
+
+    loc = str(tmp_path / "outp")
+    df = spark.createDataFrame(
+        [(1, "1996"), (2, "1997")], "id long, year string"
+    )
+    write_delta_append(df, loc, partition_by=["year"])
+    entries = delta_data_files(loc, with_partition_values=True)
+    assert sorted(pv["year"] for _p, pv in entries) == ["1996", "1997"]
+    assert all("year=" in p for p, _pv in entries)
+
+
+def test_delta_append_concurrent_version_race(spark, tmp_path):
+    """A commit file created by 'someone else' between staging and
+    commit bumps the writer to the next version instead of clobbering."""
+    import json as _json
+    from pathlib import Path
+
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = tmp_path / "outr"
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_delta_append(a, str(loc))
+    # simulate a concurrent writer landing version 1
+    (loc / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps({"commitInfo": {"timestamp": 0}}) + "\n"
+    )
+    v = write_delta_append(a, str(loc))
+    assert v == 2
+    assert (loc / "_delta_log" / f"{2:020d}.json").exists()
