@@ -159,6 +159,75 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             orphan=even,
         )
         (base / "orders_hudi._BUILT").touch()
+    hm = base / "orders_hudi_mor"
+    if not (base / "orders_hudi_mor._BUILT").exists():
+        from glue_table_cache_spark.sources.hudi_fixture import (
+            build_hudi_table,
+        )
+        from glue_table_cache_spark.sources.hudi_log import delete_block
+
+        shutil.rmtree(hm, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        even = orders.where(F.col("o_orderkey") % 2 == 0)
+        odd = orders.where(F.col("o_orderkey") % 2 == 1)
+        # junk rows under NEGATIVE keys land in fg2's base slice; the
+        # deltacommit's DELETE log block removes exactly those keys —
+        # the merged snapshot view equals plain `orders` only if the
+        # log replay is honored (a base-only read resurrects the junk)
+        junk = odd.where(F.col("o_orderkey") % 11 == 1).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+        junk_keys = [
+            str(r.o_orderkey)
+            for r in junk.select("o_orderkey").collect()
+        ]
+        build_hudi_table(
+            hm,
+            [
+                {"write": {"fg1": even, "fg2": odd.unionByName(junk)}},
+                {"log": {"fg2": delete_block(
+                    "20240101000001",
+                    [(k, "p0") for k in junk_keys],
+                )}},
+            ],
+            table_type="MERGE_ON_READ",
+        )
+        (base / "orders_hudi_mor._BUILT").touch()
+    ie = base / "orders_ice_eq"
+    if not (base / "orders_ice_eq._BUILT").exists():
+        from glue_table_cache_spark.sources.iceberg_fixture import (
+            build_iceberg_table,
+        )
+
+        shutil.rmtree(ie, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        junk = orders.where(F.col("o_orderkey") % 13 == 5).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+        junk_keys = [
+            int(r.o_orderkey)
+            for r in junk.select("o_orderkey").collect()
+        ]
+        # snapshot 2's EQUALITY delete (equality_ids → o_orderkey)
+        # removes exactly the junk keys from the seq-1 data file; the
+        # scan equals plain `orders` only if the delete applies with
+        # its sequence-number scoping
+        build_iceberg_table(
+            ie,
+            [
+                orders.unionByName(junk),
+                {
+                    "add": None,
+                    "eq_delete": {
+                        "columns": ["o_orderkey"],
+                        "rows": [
+                            {"o_orderkey": k} for k in junk_keys
+                        ],
+                    },
+                },
+            ],
+        )
+        (base / "orders_ice_eq._BUILT").touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -274,6 +343,21 @@ def _engine(
             "orders_hudi",
             str(base / "orders_hudi"),
             parameters={"hoodie.table.name": "orders_hudi"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_hudi_mor",
+            str(base / "orders_hudi_mor"),
+            parameters={
+                "hoodie.table.name": "orders_hudi_mor",
+                "hoodie.table.recordkey.fields": "o_orderkey",
+            },
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_ice_eq",
+            str(base / "orders_ice_eq"),
+            parameters={"table_type": "ICEBERG"},
         )
         store.register_parquet_dir(
             "tpch",
@@ -2095,17 +2179,26 @@ FROM q GROUP BY source
 
 
 def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
-    """All three table-format metadata walks + time travel in one row
-    (merged r5 from the former SQL-mode table_format_scan and the
+    """All table-format read paths + time travel in one row (merged
+    r5 from the former SQL-mode table_format_scan and the
     iceberg_time_travel rows, freeing a window slot for
     table_format_changes).  Current-version arms go through the ENGINE
-    scan path on fixtures that carry orphan files (delta a removed
-    file, hudi a stale rewritten slice) — each walk must reproduce
-    plain `orders` exactly.  Time-travel arms step version_offset=1:
-    Iceberg back to snapshot 1 (even order keys — reference parameter,
-    /root/reference/src/iceberg.ts:23); Delta back to version 0, whose
-    active set is the evens TWICE (the duplicate file that version 1
-    removes — time travel must resurrect it)."""
+    scan path on adversarial fixtures — each must reproduce plain
+    `orders` exactly:
+
+    * iceberg/delta/hudi — orphan files, a removed file, a stale
+      rewritten slice (and the delta file carries a deletion vector);
+    * hudi_mor — a MERGE_ON_READ table whose base slice holds junk
+      rows under negative keys that only the deltacommit's DELETE log
+      block removes (base-only reads resurrect them);
+    * iceberg_eq — a v2 EQUALITY delete (equality_ids resolved
+      against the schema, sequence-number scoped) masks the junk.
+
+    Time-travel arms step version_offset=1: Iceberg back to snapshot
+    1 (even order keys — reference parameter,
+    /root/reference/src/iceberg.ts:23); Delta back to version 0,
+    whose active set is the evens TWICE (the duplicate file that
+    version 1 removes — time travel must resurrect it)."""
     from glue_table_cache_spark.sources.delta import delta_data_files
     from glue_table_cache_spark.sources.iceberg import iceberg_data_files
 
@@ -2121,7 +2214,15 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
            UNION ALL
            SELECT 'hudi' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_hudi GROUP BY o_orderstatus"""
+           FROM glue.tpch.orders_hudi GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'hudi_mor' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_hudi_mor GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'iceberg_eq' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_ice_eq GROUP BY o_orderstatus"""
     )
 
     def _agg(df: DataFrame, fmt: str) -> DataFrame:
@@ -2400,7 +2501,8 @@ _EXTRA_ORACLES: dict[str, str] = {
         "SELECT fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "
         "FROM orders "
-        "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi']) AS fmt) "
+        "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi', "
+        "'hudi_mor', 'iceberg_eq']) AS fmt) "
         "GROUP BY fmt, o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n, "
