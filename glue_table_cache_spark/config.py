@@ -55,6 +55,22 @@ class EngineConfig:
     #: overhead); the DF path is about bounding driver CPU at 10⁶⁺
     #: files, so the crossover default is high
     listing_df_threshold: int = 500_000
+    #: zone-map file skipping from table-format metadata (Delta
+    #: ``add.stats``, Iceberg manifest bounds): data-column predicates
+    #: drop whole files whose min/max ranges provably cannot match.
+    #: The stats are already in hand from the log/manifest walk, so
+    #: this costs nothing and is on by default; it is an optimization,
+    #: never a filter of record (conservative three-valued logic, see
+    #: glue_table_cache_spark/skipping.py)
+    stats_skipping: bool = True
+    #: zone-map skipping for plain HIVE/UNPARTITIONED *explicit* file
+    #: lists by reading parquet FOOTERS (row-group statistics).  Costs
+    #: one footer read per surviving file at planning time, so it is
+    #: opt-in — worth it for highly selective predicates over sorted /
+    #: clustered data, wasted work for full scans.  Native-mode scans
+    #: don't need it: Spark pushes the filters into the parquet reader
+    #: and row groups are skipped executor-side
+    footer_stats_skipping: bool = False
     #: hard cap on how many explicit file paths may be handed to one
     #: ``spark.read.parquet(*paths)`` call; beyond it HIVE/UNPARTITIONED
     #: tables reroute to the native directory scan and projection tables

@@ -310,6 +310,37 @@ class GlueSparkEngine:
         df = self._dataframe_for(tbl, query)
         df.createOrReplaceTempView(view_name)
 
+    def _stats_keep_set(
+        self,
+        query: str,
+        tbl: CatalogTable,
+        stats_by_path: dict,
+    ) -> set[str] | None:
+        """Zone-map file skipping: paths whose stats say a row MAY
+        match the query's WHERE clause, or ``None`` when no skipping is
+        possible (no usable stats, or no extractable data-column
+        predicate).  Predicates are extracted over the union of
+        stats-bearing columns with the same conservative three-valued
+        machinery as partition pruning — a file is dropped only when
+        its min/max/null-count PROVE it cannot contribute."""
+        from glue_table_cache_spark.pruning import TruePredicate
+        from glue_table_cache_spark.skipping import skip_files
+
+        cols: set[str] = set()
+        for st in stats_by_path.values():
+            if st is not None:
+                cols.update(st.min_values)
+                cols.update(st.max_values)
+                cols.update(st.null_counts)
+        if not cols:
+            return None
+        pred = extract_partition_predicate(
+            query, sorted(cols), {tbl.name, tbl.qualified_name}
+        )
+        if isinstance(pred, TruePredicate):
+            return None
+        return skip_files(list(stats_by_path.items()), pred)
+
     def _dataframe_for(self, tbl: CatalogTable, query: str | None) -> DataFrame:
         if not tbl.location:
             raise NoStorageLocationError(tbl.database, tbl.name)
@@ -428,8 +459,11 @@ class GlueSparkEngine:
             )
 
             entries, renames, log_schema = delta_scan_info(
-                tbl.location, fs=self._fs, with_schema=True
+                tbl.location, fs=self._fs, with_schema=True,
+                with_stats=True,
             )
+            stats_by_path = {p: s for p, _pv, _dv, s in entries}
+            entries = [(p, pv, dv) for p, pv, dv, _s in entries]
             # LOG-METADATA partition pruning: the transaction log
             # already records partitionValues per file, so partition
             # predicates drop files BEFORE the reader ever sees their
@@ -452,6 +486,27 @@ class GlueSparkEngine:
                     )
                 }
                 entries = [e for e in entries if e[0] in kept]
+            # LOG-STATS zone-map skipping: the add actions' stats JSON
+            # (numRecords/minValues/maxValues/nullCount) is already in
+            # hand, so data-column predicates drop whole files for
+            # free.  For column-mapped tables stats carry PHYSICAL
+            # names, the query logical ones — extraction then finds no
+            # usable predicate and skipping is a no-op (safe).
+            if query and entries and self.config.stats_skipping:
+                from glue_table_cache_spark.skipping import (
+                    delta_file_stats,
+                )
+
+                keep = self._stats_keep_set(
+                    query,
+                    tbl,
+                    {
+                        p: delta_file_stats(stats_by_path.get(p))
+                        for p, _pv, _dv in entries
+                    },
+                )
+                if keep is not None:
+                    entries = [e for e in entries if e[0] in keep]
             raw_paths = [p for p, _pv, _dv in entries]
             paths = self._proxy(raw_paths)
             if not paths:
@@ -485,8 +540,10 @@ class GlueSparkEngine:
             )
 
             entries, dels, eq_dels = iceberg_scan_details(
-                tbl.location, fs=self._fs
+                tbl.location, fs=self._fs, with_stats=True
             )
+            iceberg_stats = {p: s for p, _pv, _seq, s in entries}
+            entries = [(p, pv, seq) for p, pv, seq, _s in entries]
             # MANIFEST-METADATA partition pruning — same shape as the
             # DELTA branch: the manifests record each file's partition
             # tuple, so partition predicates drop files before the
@@ -506,6 +563,19 @@ class GlueSparkEngine:
                     )
                 }
                 entries = [e for e in entries if e[0] in kept]
+            # MANIFEST-BOUNDS zone-map skipping: lower/upper bounds per
+            # data file are already decoded from the manifests.  Safe
+            # under row-level deletes — deletes only ever REMOVE rows,
+            # so a file provably without matching rows stays without
+            # them after masking.
+            if query and entries and self.config.stats_skipping:
+                keep = self._stats_keep_set(
+                    query,
+                    tbl,
+                    {p: iceberg_stats.get(p) for p, _pv, _seq in entries},
+                )
+                if keep is not None:
+                    entries = [e for e in entries if e[0] in keep]
             paths = self._proxy([p for p, _pv, _seq in entries])
             if not paths:
                 # zero snapshots / no data files: empty-relation view
@@ -582,6 +652,36 @@ class GlueSparkEngine:
                 f"{self.config.max_explicit_files}; repartition the "
                 "table or raise the limit"
             )
+        if (
+            query
+            and pruned
+            and self.config.footer_stats_skipping
+            and (tbl.parameters.get("classification", "parquet"))
+            == "parquet"
+        ):
+            # FOOTER zone-map skipping (opt-in): read each surviving
+            # file's parquet footer and drop files whose row-group
+            # min/max ranges provably cannot match the WHERE clause.
+            # Footer reads are metadata-sized and parallelized; the
+            # file count is already bounded by max_explicit_files
+            from glue_table_cache_spark.skipping import (
+                parquet_footer_stats,
+            )
+
+            with ThreadPoolExecutor(max_workers=32) as pool:
+                stats = list(
+                    pool.map(
+                        lambda f: parquet_footer_stats(f.path),
+                        pruned,
+                    )
+                )
+            keep = self._stats_keep_set(
+                query,
+                tbl,
+                {f.path: s for f, s in zip(pruned, stats)},
+            )
+            if keep is not None:
+                pruned = [f for f in pruned if f.path in keep]
         if not pruned:
             # pruned-to-zero: empty relation with the real schema
             df = self._format_read(

@@ -85,6 +85,7 @@ def _apply_action(active: dict, action: dict, state: dict) -> None:
         active[unquote(a["path"])] = (
             a.get("partitionValues") or {},
             a.get("deletionVector"),
+            a.get("stats"),
         )
     elif "remove" in action and action["remove"]:
         active.pop(unquote(action["remove"]["path"]), None)
@@ -239,6 +240,7 @@ def _read_checkpoint(
             for c in ("add", "metaData", "protocol")
             if c in pf.schema_arrow.names
         ]
+        # `stats` rides inside the add struct; nothing extra to project
         table = pf.read(columns=want)
         if "protocol" in want:
             for proto in table.column("protocol").to_pylist():
@@ -258,7 +260,11 @@ def _read_checkpoint(
                 pv = a.get("partitionValues") or {}
                 if isinstance(pv, list):  # pyarrow map -> list of pairs
                     pv = dict(pv)
-                active[unquote(a["path"])] = (pv, a.get("deletionVector"))
+                active[unquote(a["path"])] = (
+                    pv,
+                    a.get("deletionVector"),
+                    a.get("stats"),
+                )
     return active
 
 
@@ -296,7 +302,11 @@ def _read_checkpoint_v2(
             pv = a.get("partitionValues") or {}
             if isinstance(pv, list):
                 pv = dict(pv)
-            active[unquote(a["path"])] = (pv, a.get("deletionVector"))
+            active[unquote(a["path"])] = (
+                pv,
+                a.get("deletionVector"),
+                a.get("stats"),
+            )
 
     if manifest_path.endswith(".json"):
         for line in _read_bytes(manifest_path, s3_client).splitlines():
@@ -528,10 +538,15 @@ def delta_scan_info(
     fs=None,
     as_of_timestamp_ms: int | None = None,
     with_schema: bool = False,
+    with_stats: bool = False,
 ) -> tuple:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
-    partition_values, deletion_vector_or_None)`` triples and
+    partition_values, deletion_vector_or_None)`` triples (with
+    ``with_stats=True``, 4-tuples whose last element is the add
+    action's raw ``stats`` JSON string or ``None`` — feed it to
+    :func:`glue_table_cache_spark.skipping.delta_file_stats` for
+    zone-map file skipping) and
     ``renames`` is the physical→logical column map for column-mapped
     tables (``None`` when unmapped).  Feed the scan through
     :func:`apply_deletion_vectors` first (it needs ``_metadata``,
@@ -548,10 +563,21 @@ def delta_scan_info(
         location, version_offset, s3_client, fs, as_of_timestamp_ms
     )
     renames = column_mapping_renames(state.get("metaData"))
-    entries = [
-        (_resolve_path(location, p), active[p][0], active[p][1])
-        for p in sorted(active)
-    ]
+    if with_stats:
+        entries = [
+            (
+                _resolve_path(location, p),
+                active[p][0],
+                active[p][1],
+                active[p][2],
+            )
+            for p in sorted(active)
+        ]
+    else:
+        entries = [
+            (_resolve_path(location, p), active[p][0], active[p][1])
+            for p in sorted(active)
+        ]
     if with_schema:
         return entries, renames, logical_schema(state.get("metaData"))
     return entries, renames

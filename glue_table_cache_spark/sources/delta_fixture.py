@@ -39,6 +39,35 @@ def _commit_path(log_dir: Path, version: int) -> Path:
     return log_dir / f"{version:020d}.json"
 
 
+def _stats_json(df: DataFrame) -> str:
+    """``add.stats`` JSON the way Delta writers emit it: numRecords +
+    per-scalar-column minValues/maxValues/nullCount, temporals as ISO
+    strings.  Driver-side collect — fixture frames are tiny."""
+    import datetime
+
+    rows = df.collect()
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for c in df.columns:
+        vals = [r[c] for r in rows if r[c] is not None]
+        nulls[c] = len(rows) - len(vals)
+        if not vals or isinstance(vals[0], (list, dict, bytes, bytearray)):
+            continue
+        lo, hi = min(vals), max(vals)
+        if isinstance(lo, (datetime.date, datetime.datetime)):
+            lo, hi = lo.isoformat(), hi.isoformat()
+        mins[c], maxs[c] = lo, hi
+    return json.dumps(
+        {
+            "numRecords": len(rows),
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def build_delta_table(
     base: str | Path,
     commits: list[dict],
@@ -156,6 +185,12 @@ def build_delta_table(
                 "modificationTime": 1700000000000 + version,
                 "dataChange": True,
             }
+            if not physical:
+                # real writers key stats by the parquet (physical)
+                # column names under column mapping; the scan path
+                # skips zone maps for mapped tables, so the fixture
+                # simply omits stats there
+                add["stats"] = _stats_json(df)
             actions.append({"add": add})
             active[name] = dict(pv)
         for name, mask_fn in commit.get("dv", {}).items():

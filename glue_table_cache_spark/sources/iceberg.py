@@ -177,13 +177,42 @@ def iceberg_scan_info(
     return [(p, pv) for p, pv, _seq in entries], pos_deletes
 
 
+def _field_types_by_id(meta: dict) -> dict[int, tuple[str, str]]:
+    """Field-id → ``(name, primitive_type)`` from the current schema —
+    what decoding ``lower_bounds``/``upper_bounds`` needs (the maps key
+    on field ids; values are the spec's binary single-value
+    serialization, typed by the schema).  Nested (non-string ``type``)
+    fields are omitted: their bounds are not addressable by our flat
+    predicates."""
+    schema = None
+    schemas = meta.get("schemas")
+    if schemas:
+        current = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == current:
+                schema = s
+                break
+        if schema is None:
+            schema = schemas[-1]
+    else:
+        schema = meta.get("schema")
+    if not schema:
+        return {}
+    return {
+        f["id"]: (f["name"].lower(), f["type"])
+        for f in schema.get("fields", [])
+        if "id" in f and "name" in f and isinstance(f.get("type"), str)
+    }
+
+
 def iceberg_scan_details(
     location: str,
     version_offset: int = 0,
     s3_client=None,
     fs=None,
     as_of_timestamp_ms: int | None = None,
-) -> tuple[list[tuple[str, dict, int]], list[str], list[dict]]:
+    with_stats: bool = False,
+) -> tuple[list, list[str], list[dict]]:
     """Full current-snapshot scan state:
     ``(entries, position_delete_files, equality_deletes)`` where
 
@@ -201,7 +230,13 @@ def iceberg_scan_details(
       ``equality_ids`` against the current schema's field ids; a
       content=2 entry with no resolvable equality ids refuses
       (malformed — applying it is impossible, skipping it would
-      resurrect rows)."""
+      resurrect rows).
+
+    ``with_stats=True`` widens data entries to 4-tuples whose last
+    element is a :class:`glue_table_cache_spark.skipping.FileStats`
+    decoded from the manifest's ``lower_bounds``/``upper_bounds``/
+    ``null_value_counts``/``record_count`` (``None`` when the writer
+    recorded none) — the zone-map input for file skipping."""
     jsons = _list_metadata_jsons(location, fs=fs)
     if not jsons:
         raise GlueSparkError(
@@ -236,6 +271,7 @@ def iceberg_scan_details(
     if not snapshots:
         return [], [], []
     names_by_id = _field_names_by_id(meta)
+    types_by_id = _field_types_by_id(meta) if with_stats else {}
 
     def avro(path: str) -> list[dict]:
         return read_avro_bytes(_read_bytes(path, s3_client), name=path)
@@ -243,7 +279,7 @@ def iceberg_scan_details(
     snap = snapshots[-1]
     snap_seq = snap.get("sequence-number", 0)
     manifest_list = _resolve_path(location, snap["manifest-list"])
-    entries: list[tuple[str, dict, int]] = []
+    entries: list = []
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
     for r in avro(manifest_list):
@@ -269,9 +305,16 @@ def iceberg_scan_details(
             path = _resolve_path(location, df_rec["file_path"])
             if not is_delete:
                 pv = df_rec.get("partition") or {}
-                entries.append(
-                    (path, {k: str(v) for k, v in pv.items()}, seq)
-                )
+                row = (path, {k: str(v) for k, v in pv.items()}, seq)
+                if with_stats:
+                    from glue_table_cache_spark.skipping import (
+                        iceberg_entry_stats,
+                    )
+
+                    row = row + (
+                        iceberg_entry_stats(df_rec, types_by_id),
+                    )
+                entries.append(row)
                 continue
             content = df_rec.get("content", 0)
             if content == 1:

@@ -71,6 +71,23 @@ MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # zone maps: field-id keyed bounds in the spec's
+                    # single-value binary serialization.  Real writers
+                    # emit these as array<record{key,value}> (Avro map
+                    # keys must be strings); the fixture uses a
+                    # string-keyed Avro map — the reader accepts both
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", {"type": "map", "values": "bytes"}],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", {"type": "map", "values": "bytes"}],
+                    },
+                    {
+                        "name": "null_value_counts",
+                        "type": ["null", {"type": "map", "values": "long"}],
+                    },
                     # field ids of the columns an EQUALITY delete file
                     # (content=2) matches on
                     {
@@ -82,6 +99,33 @@ MANIFEST_ENTRY_SCHEMA = {
         },
     ],
 }
+
+
+def _iceberg_type(dt) -> str:
+    """Spark type → Iceberg primitive type string (for the schema JSON
+    and the bounds' binary serialization).  Unmapped types degrade to
+    ``"unknown"`` — names/ids still resolve, bounds just don't decode."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    return "unknown"
 
 
 def build_iceberg_table(
@@ -117,6 +161,11 @@ def build_iceberg_table(
     data_dir.mkdir(parents=True, exist_ok=True)
     meta_dir.mkdir(parents=True, exist_ok=True)
 
+    # name -> {"record_count", "lower_bounds", "upper_bounds",
+    # "null_value_counts"} — survives manifest rewrites, like real
+    # carried-over entries keep their stats
+    file_stats: dict[str, dict] = {}
+
     def entry(
         path: Path,
         status: int,
@@ -126,6 +175,7 @@ def build_iceberg_table(
         seq: int | None = None,
         equality_ids: list[int] | None = None,
     ) -> dict:
+        stats = file_stats.get(path.name, {})
         return {
             "status": status,
             "snapshot_id": snap,
@@ -135,12 +185,42 @@ def build_iceberg_table(
                 "file_path": str(path),
                 "file_format": "PARQUET",
                 "partition": partition,
-                "record_count": 0,
+                "record_count": stats.get("record_count", 0),
                 "file_size_in_bytes": (
                     path.stat().st_size if path.exists() else 0
                 ),
                 "equality_ids": equality_ids,
+                "lower_bounds": stats.get("lower_bounds"),
+                "upper_bounds": stats.get("upper_bounds"),
+                "null_value_counts": stats.get("null_value_counts"),
             },
+        }
+
+    def compute_stats(df: DataFrame) -> dict:
+        """Per-file zone maps the way real writers record them:
+        field-id keyed bounds in the spec's binary serialization."""
+        from glue_table_cache_spark.skipping import encode_iceberg_bound
+
+        rows = df.collect()
+        lower: dict[str, bytes] = {}
+        upper: dict[str, bytes] = {}
+        nulls: dict[str, int] = {}
+        for c in df.columns:
+            fid = str(field_ids[c])
+            vals = [r[c] for r in rows if r[c] is not None]
+            nulls[fid] = len(rows) - len(vals)
+            if not vals:
+                continue
+            lo = encode_iceberg_bound(field_types[c], min(vals))
+            hi = encode_iceberg_bound(field_types[c], max(vals))
+            if lo is not None and hi is not None:
+                lower[fid] = lo
+                upper[fid] = hi
+        return {
+            "record_count": len(rows),
+            "lower_bounds": lower or None,
+            "upper_bounds": upper or None,
+            "null_value_counts": nulls or None,
         }
 
     manifest_rows: list[tuple[str, int, int]] = []  # (path, content, seq)
@@ -148,6 +228,7 @@ def build_iceberg_table(
     live: dict[str, tuple[Path, dict | None, int]] = {}
     snapshot_records: list[dict] = []
     field_ids: dict[str, int] = {}  # column name -> schema field id
+    field_types: dict[str, str] = {}  # column name -> iceberg type
     for i, change in enumerate(snapshots, start=1):
         if not isinstance(change, dict):
             change = {"add": change}
@@ -157,13 +238,17 @@ def build_iceberg_table(
             change["add"].coalesce(1).write.mode("overwrite").parquet(
                 str(part_dir)
             )
-            for col in change["add"].columns:
+            for col, f in zip(
+                change["add"].columns, change["add"].schema.fields
+            ):
                 field_ids.setdefault(col, len(field_ids) + 1)
+                field_types.setdefault(col, _iceberg_type(f.dataType))
             part_file = next(part_dir.glob("part-*.parquet"))
             added = data_dir / f"part-{i}.parquet"
             part_file.rename(added)
             shutil.rmtree(part_dir, ignore_errors=True)
             live[added.name] = (added, change.get("partition"), i)
+            file_stats[added.name] = compute_stats(change["add"])
 
         manifest = meta_dir / f"manifest-{i}.avro"
         deletes = change.get("delete") or []
@@ -311,7 +396,8 @@ def build_iceberg_table(
                             "type": "struct",
                             "fields": [
                                 {"id": fid, "name": name,
-                                 "required": False, "type": "long"}
+                                 "required": False,
+                                 "type": field_types.get(name, "long")}
                                 for name, fid in field_ids.items()
                             ],
                         }
