@@ -1,0 +1,188 @@
+"""N-gram language-model scoring — CCNet-style perplexity filtering.
+
+A public, standard corpus-quality signal (Wenzek et al. 2020, CCNet,
+arXiv:1911.00359): score each document by its cross-entropy under a
+language model trained on a trusted reference corpus (CCNet uses
+KenLM over Wikipedia); low perplexity ≈ natural text, high ≈ gibberish,
+boilerplate, or the wrong language.  KenLM is not in this environment
+— and a 100 TB pipeline wants the model training itself distributed —
+so this module implements the classic add-α-smoothed bigram LM as pure
+DataFrame algebra:
+
+* **Training** is two token explodes + two groupBys over the reference
+  corpus (map-side-combinable counts), producing a ``(prev, w, c)``
+  model table and a ``(prev, c)`` context table.  Unigram probabilities
+  use the empty-string context ``""`` (impossible as a real token —
+  the tokenizer only emits non-empty matches).
+* **Scoring** explodes each document into (context, token) transitions
+  and joins them against the model: for token :math:`t_i`,
+
+  .. math:: p(t_i \\mid t_{i-1}) =
+     \\frac{c(t_{i-1} t_i) + α}{c(t_{i-1}) + α (V + 1)}
+
+  with :math:`V` the reference vocabulary size; the first token is
+  scored against the unigram distribution the same way.  A document's
+  ``cross_entropy`` is the mean of :math:`-\\log_2 p` over its tokens
+  and ``perplexity`` is ``2^cross_entropy``, both rounded to 6
+  decimals so the DuckDB oracle replays them exactly.
+
+Scale shape: the model is broadcast when small (the common case — a
+bigram table over a curated reference), else the transition join
+shuffles on ``(prev, w)``.  Popular contexts ("the", "of") make that
+join key skewed; AQE's skew-join split handles it, and the token
+explode itself never shuffles.  No Python runs per row — everything is
+column algebra and joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from glue_table_cache_spark.functions.text import TOKEN_PATTERN, tokens
+
+#: context key used for unigram (document-initial) transitions —
+#: impossible as a real token (the tokenizer only emits non-empty
+#: matches)
+UNIGRAM_CONTEXT = ""
+
+
+def _transitions(text: Column) -> Column:
+    """Array of ``(prev, w)`` transition structs for one document:
+    ``("", t1), (t1, t2), …`` — the unit both training and scoring
+    explode."""
+    toks = tokens(text)
+    trans = F.transform(
+        # sequence(1, 0) DESCENDS in Spark — the when() below keeps
+        # zero-token documents off this branch entirely
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.struct(
+            F.when(i == 1, F.lit(UNIGRAM_CONTEXT))
+            .otherwise(F.element_at(toks, i - 1))
+            .alias("prev"),
+            F.element_at(toks, i).alias("w"),
+        ),
+    )
+    empty = F.array().cast("array<struct<prev:string,w:string>>")
+    return F.when(F.size(toks) >= 1, trans).otherwise(empty)
+
+
+def train_ngram_lm(
+    reference: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the bigram LM on a reference corpus: returns
+    ``(model, contexts, vocab_size)`` where ``model`` has rows
+    ``(prev, w, c)`` (bigram counts, plus unigram counts under the
+    ``""`` context) and ``contexts`` has ``(prev, cc)`` (context
+    totals; ``""`` row carries the corpus token count).  Both are
+    unevaluated DataFrames — persist them when scoring many corpora
+    against one model.  ``vocab_size`` is the reference's distinct
+    token count (a driver-side scalar; one job)."""
+    trans = reference.select(
+        F.explode(_transitions(F.col(text_col))).alias("t")
+    ).select("t.prev", "t.w")
+    model = trans.groupBy("prev", "w").agg(F.count("*").alias("c"))
+    contexts = trans.groupBy("prev").agg(F.count("*").alias("cc"))
+    vocab = (
+        trans.select("w").distinct().count()
+    )
+    return model, contexts, vocab
+
+
+def ngram_lm_score(
+    corpus: DataFrame,
+    model: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document LM score: ``(id, n_tokens, cross_entropy,
+    perplexity)``.  Empty documents (zero tokens) get NULL entropy /
+    perplexity rather than a fake score.
+
+    ``broadcast_model=True`` (default) broadcasts the model and
+    context tables — right for curated references (≤ tens of millions
+    of bigrams).  Pass ``False`` for a reference at corpus scale: the
+    transition join then shuffle-joins on ``(prev, w)`` and the
+    context join on ``prev``; results are identical."""
+    maybe_b = F.broadcast if broadcast_model else (lambda df: df)
+    trans = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_transitions(F.col(text_col))).alias("t"),
+    ).select("__id", "t.prev", "t.w")
+    joined = (
+        trans.join(maybe_b(model), ["prev", "w"], "left")
+        .join(maybe_b(contexts), ["prev"], "left")
+        .select(
+            "__id",
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("cc"), F.lit(0))
+                        + F.lit(alpha) * F.lit(float(vocab_size + 1))
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    scored = joined.groupBy("__id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("cross_entropy"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("__id"))
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "cross_entropy",
+            F.round(
+                F.pow(F.lit(2.0), F.col("cross_entropy")), 6
+            ).alias("perplexity"),
+        )
+    )
+
+
+def perplexity_filter(
+    corpus: DataFrame,
+    reference: DataFrame | None = None,
+    max_perplexity: float | None = None,
+    quantile: float | None = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """End-to-end CCNet-style filter: train on ``reference`` (default:
+    the corpus itself — self-perplexity, which still flags outlier
+    gibberish), score, and keep documents under the cutoff —
+    ``max_perplexity`` if given, else the ``quantile`` of the corpus's
+    perplexity distribution (one ``approx_percentile`` pass, broadcast
+    back as a literal).  Returns the corpus columns plus
+    ``perplexity``."""
+    model, contexts, vocab = train_ngram_lm(
+        reference if reference is not None else corpus, text_col
+    )
+    scored = ngram_lm_score(
+        corpus, model, contexts, vocab,
+        text_col=text_col, id_col=id_col, alpha=alpha,
+    ).select(id_col, "perplexity")
+    out = corpus.join(scored, id_col)
+    if max_perplexity is None:
+        if quantile is None:
+            raise ValueError(
+                "pass max_perplexity or quantile (got neither)"
+            )
+        cutoff = out.select(
+            F.percentile_approx("perplexity", quantile).alias("q")
+        ).collect()[0].q
+        if cutoff is None:
+            return out  # all-empty corpus: nothing to cut
+        max_perplexity = float(cutoff)
+    return out.where(
+        F.col("perplexity").isNull()
+        | (F.col("perplexity") <= F.lit(max_perplexity))
+    )

@@ -464,6 +464,152 @@ def embedding_near_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    max_cluster_size: int | None = 10_000,
+    on_hot_cluster: str = "raise",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space with
+    the IVF coarse quantizer, then mark, within each cluster, documents
+    whose cosine similarity to a more-central document reaches
+    ``threshold``.  Near-identical paraphrases/boilerplate land in the
+    same cluster and collapse to their most central representative;
+    cross-cluster pairs are never compared (the approximation that
+    makes the cost Σ cluster² instead of N²).
+
+    Semantics (deterministic, declaratively expressed — no greedy
+    chain): cluster members are ordered by (centroid similarity DESC,
+    id ASC); a member is a duplicate iff ANY earlier member (kept or
+    not) is ≥ ``threshold`` similar to it, and ``dup_of`` reports the
+    smallest such earlier id.  This pair-dominance rule is one
+    self-join + one aggregate — a single plan Catalyst can reason
+    about, unlike the paper's sequential scan — and both engines of
+    the test oracle can replay it exactly (similarities rounded to 6
+    decimals before any comparison, so float association order cannot
+    flip a rank between engines).
+
+    Returns one row per input: ``(id, cluster, centroid_sim,
+    is_duplicate, dup_of)``.  Filter ``~is_duplicate`` to keep the
+    deduplicated corpus.
+
+    Scale shape: the k×d centroid table is broadcast (the corpus never
+    shuffles for assignment), ranking shuffles once on the vector id,
+    the pair join shuffles once on the cluster id.  ``nlist`` sizes
+    the clusters — pick ``nlist ≈ N / target_cluster`` and train on a
+    ``sample_fraction`` at corpus scale.  ``max_cluster_size`` guards
+    the Σ cluster² pair join against degenerate clusters (identical /
+    zero embeddings all assigned to one cell), same posture as
+    :func:`embedding_near_pairs`'s hot-bucket guard: ``"raise"`` fails
+    the job naming the cluster, ``"skip"`` excludes such clusters from
+    pair generation (documented loss: their members are all kept).
+    Pass pre-trained ``centroids`` to reuse a quantizer across runs —
+    also what makes the result reproducible across corpus growth."""
+    if on_hot_cluster not in ("raise", "skip"):
+        raise ValueError(
+            f"on_hot_cluster must be 'raise' or 'skip', "
+            f"got {on_hot_cluster!r}"
+        )
+    cents = centroids or ivf_train(
+        df, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col,
+        sample_fraction=sample_fraction,
+    )
+    spark = df.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            _centroid_rows(cents), "cluster int, centroid array<double>"
+        )
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = v.crossJoin(cent_df).select(
+        "id", "v", "cluster",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias(
+            "centroid_sim"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("centroid_sim"), F.asc("cluster")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    members = assigned
+    if max_cluster_size is not None:
+        counts = assigned.groupBy("cluster").agg(
+            F.count("*").alias("__cn")
+        )
+        if on_hot_cluster == "raise":
+            counts = counts.where(
+                F.when(
+                    F.col("__cn") > max_cluster_size,
+                    F.raise_error(
+                        F.format_string(
+                            "semantic_dedup: cluster %s holds %s "
+                            "vectors (max_cluster_size "
+                            f"{max_cluster_size}); raise `nlist`, fix "
+                            "degenerate embeddings, or pass "
+                            "on_hot_cluster='skip'",
+                            F.col("cluster"),
+                            F.col("__cn"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+        else:
+            counts = counts.where(F.col("__cn") <= max_cluster_size)
+        members = assigned.join(
+            F.broadcast(counts.drop("__cn")), "cluster"
+        )
+    left = members.select(
+        F.col("cluster"),
+        F.col("id").alias("l_id"),
+        F.col("v").alias("l_v"),
+        F.col("centroid_sim").alias("l_sim"),
+    )
+    right = members.select(
+        F.col("cluster"),
+        F.col("id").alias("r_id"),
+        F.col("v").alias("r_v"),
+        F.col("centroid_sim").alias("r_sim"),
+    )
+    precedes = (F.col("l_sim") > F.col("r_sim")) | (
+        (F.col("l_sim") == F.col("r_sim"))
+        & (F.col("l_id") < F.col("r_id"))
+    )
+    dups = (
+        left.join(right, "cluster")
+        .where(precedes)
+        .where(
+            F.round(cosine(F.col("l_v"), F.col("r_v")), 6)
+            >= F.lit(threshold)
+        )
+        .groupBy("r_id")
+        .agg(F.min("l_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, assigned["id"] == dups["r_id"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding storage utilities (normalize / quantize)
 # --------------------------------------------------------------------------

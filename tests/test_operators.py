@@ -1919,3 +1919,168 @@ def test_pq_topk_rerank_recovers_exact(spark):
     ) == sorted(
         (r.query_id, r.vec_id, r.rank) for r in exact.collect()
     )
+
+
+# -- semantic dedup ---------------------------------------------------------
+
+
+def test_semantic_dedup_marks_within_cluster_copies(spark, embeddings):
+    """Exact copies of corpus vectors are marked duplicate-of their
+    original; the most central member of each cluster is never a
+    duplicate."""
+    base = embeddings.limit(60).select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    out = S.semantic_dedup(
+        base.unionByName(copies), nlist=4, threshold=0.999
+    ).cache()
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 70
+    for i in range(10):
+        a, b = rows[i], rows[i + 10000]
+        assert a.cluster == b.cluster
+        # exact copies: identical centroid_sim, smaller id precedes
+        assert b.is_duplicate and b.dup_of == i
+        assert not a.is_duplicate or a.dup_of != i + 10000
+    # per cluster, the top-(sim, id) member is never a duplicate
+    import itertools
+
+    for _, grp in itertools.groupby(
+        sorted(
+            rows.values(),
+            key=lambda r: (r.cluster, -r.centroid_sim, r.vec_id),
+        ),
+        key=lambda r: r.cluster,
+    ):
+        head = next(grp)
+        assert not head.is_duplicate
+    # dup_of always references a same-cluster member with precedence
+    for r in rows.values():
+        if r.is_duplicate:
+            o = rows[r.dup_of]
+            assert o.cluster == r.cluster
+            assert (o.centroid_sim, o.vec_id) != (
+                r.centroid_sim,
+                r.vec_id,
+            )
+            assert o.centroid_sim > r.centroid_sim or (
+                o.centroid_sim == r.centroid_sim
+                and o.vec_id < r.vec_id
+            )
+    out.unpersist()
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    ident = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="semantic_dedup"):
+        # .collect(), not .count(): a count references no dup-side
+        # columns, so Catalyst rightly eliminates the (unique-keyed)
+        # left join — and with it the guarded pair join
+        S.semantic_dedup(
+            ident, nlist=2, max_cluster_size=10
+        ).collect()
+    # skip mode: hot clusters produce no pairs; everything is kept
+    kept = S.semantic_dedup(
+        ident, nlist=2, max_cluster_size=10, on_hot_cluster="skip"
+    )
+    assert kept.where("is_duplicate").count() == 0
+    assert kept.count() == 50
+    with pytest.raises(ValueError, match="on_hot_cluster"):
+        S.semantic_dedup(ident, on_hot_cluster="warn")
+
+
+def test_semantic_dedup_reuses_centroids_deterministically(
+    spark, embeddings
+):
+    base = embeddings.limit(40)
+    cents = S.ivf_train(base, nlist=3)
+    a = sorted(
+        map(tuple, S.semantic_dedup(base, centroids=cents).collect())
+    )
+    b = sorted(
+        map(tuple, S.semantic_dedup(base, centroids=cents).collect())
+    )
+    assert a == b
+
+
+# -- n-gram LM perplexity ---------------------------------------------------
+
+
+def test_ngram_lm_hand_computed(spark):
+    import math
+
+    from glue_table_cache_spark.operators import lm as L
+
+    ref = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    model, contexts, vocab = L.train_ngram_lm(ref)
+    assert vocab == 2
+    got = {(r.prev, r.w): r.c for r in model.collect()}
+    assert got == {("", "a"): 1, ("a", "b"): 1, ("b", "a"): 1}
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "z z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in L.ngram_lm_score(
+            corpus, model, contexts, vocab
+        ).collect()
+    }
+    # p("",a) = p(a,b) = (1+.1)/(1+.1*3); H = log2(1.3/1.1)
+    h = round(math.log2(1.3 / 1.1), 6)
+    assert out[1].n_tokens == 2
+    assert out[1].cross_entropy == h
+    assert out[1].perplexity == round(2**h, 6)
+    # empty doc: zero tokens, NULL scores
+    assert out[2].n_tokens == 0 and out[2].perplexity is None
+    # unseen tokens: unigram "z" against the "" context (cc=1) then
+    # (z,z) against the unseen z context (cc=0)
+    h3 = round(
+        (-math.log2(0.1 / 1.3) - math.log2(0.1 / 0.3)) / 2, 6
+    )
+    assert out[3].cross_entropy == h3
+    assert out[3].perplexity > out[1].perplexity
+
+
+def test_ngram_lm_gibberish_scores_worse(documents):
+    from glue_table_cache_spark.operators import lm as L
+
+    base = documents.select("doc_id", "text").limit(200)
+    model, contexts, vocab = L.train_ngram_lm(base)
+    natural = base.limit(5)
+    gib = natural.sparkSession.createDataFrame(
+        [
+            (90001, "xq zvw qqj kxr vvz wqx jzx qkv"),
+            (90002, "zz yy xx ww vv uu tt ss rr qq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = L.ngram_lm_score(
+        natural.unionByName(gib), model, contexts, vocab
+    ).collect()
+    nat_ppl = [r.perplexity for r in out if r.doc_id < 90000]
+    gib_ppl = [r.perplexity for r in out if r.doc_id >= 90000]
+    assert max(nat_ppl) < min(gib_ppl)
+    # shuffle-join path gives identical scores
+    out2 = L.ngram_lm_score(
+        natural.unionByName(gib), model, contexts, vocab,
+        broadcast_model=False,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_perplexity_filter_quantile_and_cutoff(documents):
+    from glue_table_cache_spark.operators import lm as L
+
+    base = documents.select("doc_id", "text").limit(100)
+    kept = L.perplexity_filter(base, quantile=0.8)
+    n = kept.count()
+    assert 60 <= n <= 95  # ~80% kept, approx_percentile slack
+    assert set(kept.columns) == {"doc_id", "text", "perplexity"}
+    # explicit cutoff keeps exactly the under-cutoff docs
+    allrows = L.perplexity_filter(base, max_perplexity=float("inf"))
+    assert allrows.count() == 100
