@@ -2062,6 +2062,135 @@ def _q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     return S.embedding_stats(_emb(spark, sf))
 
 
+def _q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """All three top-k search strategies in one row (merged r5 to free
+    driver slots): exact brute-force cosine, SRP-LSH with multi-probe,
+    and IVF at nprobe == nlist (degenerates to exact, so the
+    brute-force oracle value-checks the whole assign→probe→score
+    pipeline).  Each arm is tagged by ``method``."""
+    exact = _q_cosine_topk(spark, sf).select(
+        F.lit("exact").alias("method"), "*"
+    )
+    lsh = _q_ann_lsh(spark, sf).select(
+        F.lit("lsh").alias("method"), "*"
+    )
+    ivf = _q_ivf_topk(spark, sf).select(
+        F.lit("ivf").alias("method"), "*"
+    )
+    return exact.unionByName(lsh).unionByName(ivf)
+
+
+def _q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup
+    (operators/similarity.py:semantic_dedup) with FIXED centroids (the
+    8 lowest-id embeddings) so assignment involves no trained floats —
+    the DuckDB oracle replays cluster assignment, the pair-dominance
+    rule, and dup_of attribution exactly (all similarities rounded to
+    6 decimals before any comparison)."""
+    from glue_table_cache_spark.operators import similarity as S
+
+    emb = _emb(spark, sf)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return S.semantic_dedup(
+        emb.select("vec_id", "embedding"),
+        centroids=cents,
+        threshold=0.25,
+    )
+
+
+_SEMANTIC_COS = _COSINE_EXPR.format(a="lv.vv", b="rv.vv")
+_SEMANTIC_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cent AS (
+    SELECT CAST(vec_id AS INT) AS cluster, vv AS cv FROM v
+    WHERE vec_id < 8
+),
+scored AS (
+    SELECT v.vec_id, cent.cluster,
+           {_COSINE_EXPR.format(a="v.vv", b="cent.cv")} AS sim
+    FROM v CROSS JOIN cent
+),
+assigned AS (
+    SELECT vec_id, cluster, sim AS centroid_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+        FROM scored) WHERE rn = 1
+),
+pairs AS (
+    SELECT l.vec_id AS l_id, r.vec_id AS r_id
+    FROM assigned l JOIN assigned r ON l.cluster = r.cluster
+     AND (l.centroid_sim > r.centroid_sim
+          OR (l.centroid_sim = r.centroid_sim AND l.vec_id < r.vec_id))
+    JOIN v lv ON lv.vec_id = l.vec_id
+    JOIN v rv ON rv.vec_id = r.vec_id
+    WHERE {_SEMANTIC_COS} >= 0.25
+),
+dups AS (SELECT r_id, min(l_id) AS dup_of FROM pairs GROUP BY r_id)
+SELECT a.vec_id, a.cluster, a.centroid_sim,
+       dup_of IS NOT NULL AS is_duplicate, dup_of
+FROM assigned a LEFT JOIN dups ON a.vec_id = dups.r_id
+"""
+
+
+def _q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style n-gram LM scoring (operators/lm.py): add-0.1-
+    smoothed bigram self-perplexity of the documents corpus — train
+    and score are both pure DataFrame algebra, so DuckDB replays the
+    exact counts, the smoothing formula, and the rounded entropy."""
+    from glue_table_cache_spark.operators import lm as L
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    model, ctx, vocab = L.train_ngram_lm(docs)
+    return L.ngram_lm_score(docs, model, ctx, vocab)
+
+
+_LM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+    FROM documents
+),
+trans AS (
+    SELECT doc_id, s.prev AS prev, s.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                   i -> struct_pack(
+                       prev := CASE WHEN i = 1 THEN ''
+                               ELSE t[CAST(i - 1 AS INT)] END,
+                       w := t[CAST(i AS INT)]))) AS s
+        FROM toks)
+),
+model AS (SELECT prev, w, count(*) AS c FROM trans GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS cc FROM trans GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM trans),
+tok_nll AS (
+    SELECT tr.doc_id,
+           -log2((coalesce(m.c, 0) + 0.1)
+                 / (coalesce(x.cc, 0) + 0.1 * (v + 1))) AS nll
+    FROM trans tr
+    LEFT JOIN model m ON m.prev = tr.prev AND m.w = tr.w
+    LEFT JOIN ctx x ON x.prev = tr.prev
+    CROSS JOIN vocab
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(nll), 6) AS cross_entropy
+    FROM tok_nll GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       cross_entropy,
+       round(pow(2, cross_entropy), 6) AS perplexity
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _q_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling + sliding batch windows AND the streaming tumbling
     twin in one row (stream arm folded in r5 to free a window slot):
@@ -2449,10 +2578,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": _q_pack_sequences,
     "join_asof": _q_join_asof,
     "join_range": _q_join_range,
-    "similarity_cosine_topk": _q_cosine_topk,
-    "similarity_ann_lsh": _q_ann_lsh,
-    "similarity_ivf_topk": _q_ivf_topk,
+    "similarity_topk": _q_similarity_topk,
     "similarity_embedding_stats": _q_embedding_stats,
+    "dedup_semantic": _q_dedup_semantic,
+    "text_lm_perplexity": _q_lm_perplexity,
     "table_format_scan": _q_table_format_scan,
     "table_format_changes": _q_table_format_changes,
     "events_windows": _q_windows,
@@ -2486,12 +2615,17 @@ _EXTRA_ORACLES: dict[str, str] = {
     "pack_sequences": _PACKING_ORACLE,
     "join_asof": _ASOF_ORACLE,
     "join_range": _RANGE_JOIN_ORACLE,
-    "similarity_cosine_topk": _COSINE_TOPK_ORACLE,
-    "similarity_ann_lsh": _ANN_ORACLE,
-    # nprobe=nlist degenerates to exact search → the brute-force top-k
-    # oracle value-checks the IVF pipeline end-to-end
-    "similarity_ivf_topk": _COSINE_TOPK_ORACLE,
+    # one row, three search strategies; IVF runs nprobe=nlist so the
+    # brute-force top-k oracle value-checks it end-to-end
+    "similarity_topk": (
+        f"SELECT 'exact' AS method, * FROM ({_COSINE_TOPK_ORACLE}) "
+        f"UNION ALL SELECT 'lsh' AS method, * FROM ({_ANN_ORACLE}) "
+        f"UNION ALL SELECT 'ivf' AS method, * "
+        f"FROM ({_COSINE_TOPK_ORACLE})"
+    ),
     "similarity_embedding_stats": _EMBEDDING_STATS_ORACLE,
+    "dedup_semantic": _SEMANTIC_ORACLE,
+    "text_lm_perplexity": _LM_ORACLE,
     # current arms: every walk reproduces plain `orders` (the delta
     # arm only if the deletion vector on part-0-0 masks its odd-key
     # rows).  Time travel: iceberg@offset1 = snapshot 1 (evens once);

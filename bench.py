@@ -95,6 +95,39 @@ def _ann_lsh(spark, sf):
     return S.ann_topk_lsh(emb, q, k=10, planes=4)
 
 
+def _cosine_topk(spark, sf):
+    # pre-merge r2 query text (the driver entry folded exact/lsh/ivf
+    # into one similarity_topk row r5; the bench label keeps its shape
+    # so times compare across rounds)
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import similarity as S
+
+    emb = read_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(emb, q, k=10)
+
+
+def _semantic_dedup(spark, sf):
+    from glue_table_cache_spark.operators import similarity as S
+
+    return S.semantic_dedup(
+        read_table(spark, sf, "embeddings").select("vec_id", "embedding"),
+        nlist=16,
+        threshold=0.3,
+    )
+
+
+def _lm_perplexity(spark, sf):
+    from glue_table_cache_spark.operators import lm as L
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    model, ctx, vocab = L.train_ngram_lm(docs)
+    return L.ngram_lm_score(docs, model, ctx, vocab)
+
+
 def _events_window(spark, sf):
     from glue_table_cache_spark.streaming import windows as W
 
@@ -269,8 +302,10 @@ BENCH_QUERIES = [
     ("dedup_exact", _entry("dedup_exact")),
     ("dedup_minhash", _dedup_minhash),
     ("dedup_simhash", _dedup_simhash),
-    ("cosine_topk", _entry("similarity_cosine_topk")),
+    ("cosine_topk", _cosine_topk),
     ("ann_lsh", _ann_lsh),
+    ("semantic_dedup", _semantic_dedup),
+    ("lm_perplexity", _lm_perplexity),
     ("events_window", _events_window),
     ("events_sessionize", _events_sessionize),
     ("decontamination", _decontamination),

@@ -464,6 +464,46 @@ def embedding_near_pairs(
     )
 
 
+def assign_embedding_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment for :func:`semantic_dedup`:
+    ``(id_col, vec_col, cluster, centroid_sim)`` with the similarity
+    rounded to 6 decimals (ties broken by lowest cluster id).  The k×d
+    centroid table is broadcast; the corpus never shuffles here — the
+    only wide stage is the per-id argmax window.  Persist/checkpoint
+    the result when feeding ``semantic_dedup(assigned=...)`` so the
+    cross join runs once instead of once per plan reference."""
+    spark = df.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            _centroid_rows(centroids),
+            "cluster int, centroid array<double>",
+        )
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    scored = v.crossJoin(cent_df).select(
+        id_col, vec_col, "cluster",
+        F.round(
+            cosine(F.col(vec_col), F.col("centroid")), 6
+        ).alias("centroid_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("centroid_sim"), F.asc("cluster")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     nlist: int = 16,
@@ -475,6 +515,7 @@ def semantic_dedup(
     max_cluster_size: int | None = 10_000,
     on_hot_cluster: str = "raise",
     sample_fraction: float | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): cluster the embedding space with
@@ -511,39 +552,32 @@ def semantic_dedup(
     the job naming the cluster, ``"skip"`` excludes such clusters from
     pair generation (documented loss: their members are all kept).
     Pass pre-trained ``centroids`` to reuse a quantizer across runs —
-    also what makes the result reproducible across corpus growth."""
+    also what makes the result reproducible across corpus growth.
+
+    The assignment subtree is referenced three times (both pair sides
+    and the output), and Catalyst recomputes rather than reuses it —
+    at corpus scale, compute it once with
+    :func:`assign_embedding_clusters`, persist/checkpoint it, and pass
+    it as ``assigned`` (its ``centroid_sim`` must be the rounded sim
+    that function emits); the cross-join assignment then runs once."""
     if on_hot_cluster not in ("raise", "skip"):
         raise ValueError(
             f"on_hot_cluster must be 'raise' or 'skip', "
             f"got {on_hot_cluster!r}"
         )
-    cents = centroids or ivf_train(
-        df, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col,
-        sample_fraction=sample_fraction,
-    )
-    spark = df.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            _centroid_rows(cents), "cluster int, centroid array<double>"
+    if assigned is None:
+        cents = centroids or ivf_train(
+            df, nlist=nlist, iters=iters, vec_col=vec_col,
+            id_col=id_col, sample_fraction=sample_fraction,
         )
-    )
-    v = df.select(
+        assigned = assign_embedding_clusters(
+            df, cents, vec_col=vec_col, id_col=id_col
+        )
+    assigned = assigned.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    scored = v.crossJoin(cent_df).select(
-        "id", "v", "cluster",
-        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias(
-            "centroid_sim"
-        ),
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.desc("centroid_sim"), F.asc("cluster")
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        "cluster",
+        "centroid_sim",
     )
     members = assigned
     if max_cluster_size is not None:

@@ -2084,3 +2084,16 @@ def test_perplexity_filter_quantile_and_cutoff(documents):
     # explicit cutoff keeps exactly the under-cutoff docs
     allrows = L.perplexity_filter(base, max_perplexity=float("inf"))
     assert allrows.count() == 100
+
+
+def test_semantic_dedup_precomputed_assignment_path(spark, embeddings):
+    base = embeddings.limit(40).select("vec_id", "embedding")
+    cents = S.ivf_train(base, nlist=3)
+    direct = sorted(
+        map(tuple, S.semantic_dedup(base, centroids=cents).collect())
+    )
+    assigned = S.assign_embedding_clusters(base, cents).localCheckpoint()
+    via = sorted(
+        map(tuple, S.semantic_dedup(base, assigned=assigned).collect())
+    )
+    assert direct == via

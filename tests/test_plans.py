@@ -236,18 +236,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 def test_every_driver_entry_plan_is_cartesian_free(spark):
     """Sweep all driver-contract entries: no accidental cartesian
     product may creep into any plan.  Allowlisted: join_cross (an
-    explicit CROSS JOIN over two 5-row tables), similarity_cosine_topk
-    (brute-force exact baseline — broadcast cross join BY DESIGN; the
-    scale path is similarity_ann_lsh), and similarity_ivf_topk (the
-    corpus/query × k-row-centroid assignment is a broadcast cross join
-    against a table bounded by nlist — never data × data).
-    Streaming entries are skipped (building them runs the stream)."""
+    explicit CROSS JOIN over two 5-row tables), similarity_topk (its
+    exact arm is the brute-force baseline — broadcast cross join BY
+    DESIGN — and its IVF arm's corpus/query × k-row-centroid
+    assignment is a broadcast cross join against a table bounded by
+    nlist, never data × data), and dedup_semantic (same k-row centroid
+    assignment shape).  Streaming entries are skipped (building them
+    runs the stream)."""
     import __spark_entry__ as entrymod
 
     allowed_cartesian = {
         "join_cross_values",
-        "similarity_cosine_topk",
-        "similarity_ivf_topk",
+        "similarity_topk",
+        "dedup_semantic",
     }
     # entries that RUN a structured stream while being built (r5
     # merges folded the stream twins into the batch entries)
