@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import TESTDATA
@@ -174,3 +175,95 @@ def test_delta_append_concurrent_version_race(spark, tmp_path):
     v = write_delta_append(a, str(loc))
     assert v == 2
     assert (loc / "_delta_log" / f"{2:020d}.json").exists()
+
+
+# -- Z-order clustering -----------------------------------------------------
+
+
+def test_zorder_key_single_column_is_monotone(spark):
+    from glue_table_cache_spark.sinks.compact import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(64)], "id long, x double"
+    )
+    out = df.select("x", zorder_key(df, ["x"], bits_per_col=4).alias("z"))
+    rows = sorted((r.x, r.z) for r in out.collect())
+    zs = [z for _x, z in rows]
+    assert zs == sorted(zs)  # one column: key == bucket id, monotone
+    assert 0 <= min(zs) and max(zs) < 16
+
+
+def test_zorder_key_validates(spark):
+    from glue_table_cache_spark.sinks.compact import zorder_key
+
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    with pytest.raises(ValueError, match="unsupported type"):
+        zorder_key(df, ["s"])
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_key(df, ["x"], bits_per_col=64)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
+
+
+def test_zorder_compaction_bounds_every_clustering_column(
+    spark, tmp_path
+):
+    """The point of Z-order: after the rewrite, EVERY output file
+    covers a narrow slice of EACH clustering column — a linear sort
+    only bounds the leading column."""
+    from glue_table_cache_spark.sinks.compact import compact_parquet_dir
+    from glue_table_cache_spark.skipping import parquet_footer_stats
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df.repartition(8).write.parquet(src)
+
+    n = compact_parquet_dir(
+        spark, src, dst, zorder_by=["x", "y"], n_files=4
+    )
+    assert n == 4
+    import glob
+
+    spans = []
+    for p in glob.glob(dst + "/part-*.parquet"):
+        st = parquet_footer_stats(p)
+        spans.append(
+            (
+                st.max_values["x"] - st.min_values["x"],
+                st.max_values["y"] - st.min_values["y"],
+            )
+        )
+    assert len(spans) == n
+    # every file bounds BOTH columns well below the full 0..31 domain
+    assert all(sx <= 20 and sy <= 20 for sx, sy in spans), spans
+    # content survives the rewrite
+    assert spark.read.parquet(dst).count() == 1024
+
+
+def test_zorder_enables_skipping_on_every_column(spark, tmp_path):
+    from glue_table_cache_spark import GlueSparkEngine
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.config import EngineConfig
+    from glue_table_cache_spark.sinks.compact import compact_parquet_dir
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df.repartition(8).write.parquet(src)
+    n = compact_parquet_dir(
+        spark, src, dst, zorder_by=["x", "y"], n_files=4
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir("db", "z", dst)
+    eng = GlueSparkEngine(
+        spark,
+        store,
+        config=EngineConfig(
+            explicit_file_lists=True, footer_stats_skipping=True
+        ),
+    )
+    for col in ("x", "y"):
+        probe = eng.sql(f"SELECT x, y FROM glue.db.z WHERE {col} < 4")
+        assert len(probe.inputFiles()) < n, col
+        assert probe.count() == 4 * 32
