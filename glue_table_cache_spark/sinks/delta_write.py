@@ -45,6 +45,37 @@ from pyspark.sql import DataFrame
 from glue_table_cache_spark.errors import GlueSparkError
 
 
+def _footer_stats_json(path: Path) -> str | None:
+    """``add.stats`` JSON derived from the written file's parquet
+    footer (metadata-scale; the data is never re-read): numRecords /
+    minValues / maxValues / nullCount with temporals as ISO strings —
+    what the zone-map skipping layer consumes at scan time."""
+    import datetime
+
+    from glue_table_cache_spark.skipping import parquet_footer_stats
+
+    st = parquet_footer_stats(str(path))
+    if st is None:
+        return None
+
+    def render(m: dict) -> dict:
+        out = {}
+        for k, v in m.items():
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                v = v.isoformat()
+            out[k] = v
+        return out
+
+    return json.dumps(
+        {
+            "numRecords": st.num_records,
+            "minValues": render(dict(st.min_values)),
+            "maxValues": render(dict(st.max_values)),
+            "nullCount": dict(st.null_counts),
+        }
+    )
+
+
 def _next_version(log_dir: Path) -> int:
     vs = [
         int(p.name[:20])
@@ -94,15 +125,17 @@ def write_delta_append(
         dest = base / rel
         dest.parent.mkdir(parents=True, exist_ok=True)
         p.rename(dest)
-        adds.append(
-            {
-                "path": rel,
-                "partitionValues": pv,
-                "size": dest.stat().st_size,
-                "modificationTime": now,
-                "dataChange": True,
-            }
-        )
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": dest.stat().st_size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        stats = _footer_stats_json(dest)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append(add)
     shutil.rmtree(stage, ignore_errors=True)
 
     schema_fields = df.schema.jsonValue()

@@ -1,0 +1,287 @@
+"""Append-only Iceberg writer: publish pipeline output atomically.
+
+Beyond-reference extension, the Iceberg sibling of
+:mod:`glue_table_cache_spark.sinks.delta_write`: data files are staged
+invisibly, a new Avro manifest + manifest list name them, and ONE
+``O_EXCL`` create of the next ``metadata/v<N>.metadata.json`` flips
+readers to the new snapshot atomically (two concurrent writers
+serialize on the create; the loser re-reads and retries with the next
+version — its staged files are uniquely named, so the retry re-commits
+the same adds).
+
+Dialect honesty: manifests are real Avro object-container files with
+v2 sequence-number inheritance and **binary single-value bounds**
+(``lower_bounds``/``upper_bounds``/``null_value_counts``/
+``record_count``, derived from the written files' parquet FOOTERS —
+metadata-scale, the data is never re-read), but the ``partition``
+field uses this repo's simplified string-map encoding rather than the
+spec's r102 struct typed by the partition spec.  That makes the output
+a faithful subset the in-repo manifest walk (and its zone-map
+skipping) consumes end-to-end; cross-engine readers that require the
+full r102 encoding are out of scope and this is documented, not
+hidden.
+
+Schema evolution is out of scope for the appender: a batch whose
+columns differ from the table's recorded schema refuses loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sources.avro_lite import read_avro, write_avro
+from glue_table_cache_spark.sources.iceberg_fixture import (
+    MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_LIST_SCHEMA,
+    _iceberg_type,
+)
+
+
+def _latest_metadata(meta_dir: Path) -> dict | None:
+    metas = []
+    for p in meta_dir.glob("*.json"):
+        try:
+            metas.append(json.loads(p.read_text()))
+        except ValueError:
+            continue
+    if not metas:
+        return None
+    return max(metas, key=lambda m: m.get("last-sequence-number", 0))
+
+
+def _footer_bounds(
+    path: Path, ids: dict[str, int], types: dict[str, str]
+) -> dict:
+    """Manifest stats for one written file, from its parquet footer:
+    field-id keyed binary bounds + null counts + record count."""
+    from glue_table_cache_spark.skipping import (
+        encode_iceberg_bound,
+        parquet_footer_stats,
+    )
+
+    st = parquet_footer_stats(str(path))
+    lower: dict[str, bytes] = {}
+    upper: dict[str, bytes] = {}
+    nulls: dict[str, int] = {}
+    if st is not None:
+        for col, fid in ids.items():
+            key = col.lower()
+            nc = st.null_counts.get(key)
+            if nc is not None:
+                nulls[str(fid)] = int(nc)
+            lo, hi = st.min_values.get(key), st.max_values.get(key)
+            if lo is None or hi is None:
+                continue
+            lo_b = encode_iceberg_bound(types[col], lo)
+            hi_b = encode_iceberg_bound(types[col], hi)
+            if lo_b is not None and hi_b is not None:
+                lower[str(fid)] = lo_b
+                upper[str(fid)] = hi_b
+    return {
+        "record_count": st.num_records if st else 0,
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+        "null_value_counts": nulls or None,
+    }
+
+
+def write_iceberg_append(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    max_commit_retries: int = 10,
+) -> int:
+    """Append ``df`` to the Iceberg table at ``location`` (created on
+    first write); returns the committed sequence number.  Readers see
+    the whole batch or none of it."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "write_iceberg_append commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    data_dir = base / "data"
+    meta_dir = base / "metadata"
+    data_dir.mkdir(parents=True, exist_ok=True)
+    meta_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- schema: reuse the table's recorded field ids, or mint them
+    prev = _latest_metadata(meta_dir)
+    df_types = {
+        f.name: _iceberg_type(f.dataType) for f in df.schema.fields
+    }
+    if prev is not None:
+        schemas = prev.get("schemas") or []
+        current = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id") == prev.get("current-schema-id")
+            ),
+            schemas[-1] if schemas else None,
+        )
+        if current is None:
+            raise GlueSparkError(
+                f"Iceberg table at {location!r} has metadata but no "
+                "schema — refusing to guess field ids"
+            )
+        ids = {f["name"]: f["id"] for f in current.get("fields", [])}
+        types = {
+            f["name"]: f["type"]
+            for f in current.get("fields", [])
+            if isinstance(f.get("type"), str)
+        }
+        if set(df.columns) != set(ids):
+            raise GlueSparkError(
+                "append schema mismatch: batch columns "
+                f"{sorted(df.columns)} vs table schema {sorted(ids)} "
+                "— the appender does not evolve schemas"
+            )
+        schema_fields = current.get("fields", [])
+    else:
+        ids = {c: i + 1 for i, c in enumerate(df.columns)}
+        types = df_types
+        schema_fields = [
+            {
+                "id": ids[c],
+                "name": c,
+                "required": False,
+                "type": df_types[c],
+            }
+            for c in df.columns
+        ]
+
+    # --- stage data files, then move under unique batch names
+    batch = uuid.uuid4().hex[:12]
+    stage = base / f"_staging_{batch}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(stage))
+    files: list[tuple[Path, dict]] = []  # (dest, partition values)
+    for p in sorted(stage.rglob("part-*.parquet")):
+        rel_dir = p.parent.relative_to(stage)
+        pv: dict[str, str] = {}
+        for seg in rel_dir.parts:
+            k, eq, v = seg.partition("=")
+            if eq:
+                pv[k] = v
+        name = f"part-{batch}-{len(files):05d}.parquet"
+        rel = rel_dir / name if rel_dir.parts else Path(name)
+        dest = data_dir / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        p.rename(dest)
+        files.append((dest, pv))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # --- one ADDED manifest for the batch (seq None → inherited from
+    # the manifest-list row, the v2 rule the reader implements)
+    entries = []
+    for dest, pv in files:
+        stats = _footer_bounds(dest, ids, types)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": str(
+                        Path("data")
+                        / dest.relative_to(data_dir)
+                    ),
+                    "file_format": "PARQUET",
+                    "partition": pv or None,
+                    "record_count": stats["record_count"],
+                    "file_size_in_bytes": dest.stat().st_size,
+                    "equality_ids": None,
+                    "lower_bounds": stats["lower_bounds"],
+                    "upper_bounds": stats["upper_bounds"],
+                    "null_value_counts": stats["null_value_counts"],
+                },
+            }
+        )
+    manifest = meta_dir / f"manifest-{batch}.avro"
+    write_avro(manifest, MANIFEST_ENTRY_SCHEMA, entries)
+
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        last_seq = prev.get("last-sequence-number", 0) if prev else 0
+        seq = last_seq + 1
+        snap_id = 1000 + seq
+        prior_rows: list[dict] = []
+        prior_snaps: list[dict] = []
+        if prev is not None:
+            prior_snaps = list(prev.get("snapshots") or [])
+            if prior_snaps:
+                prior_list = prior_snaps[-1]["manifest-list"]
+                prior_rows = read_avro(
+                    prior_list
+                    if prior_list.startswith("/")
+                    else str(base / prior_list)
+                )
+        new_row = {
+            "manifest_path": str(Path("metadata") / manifest.name),
+            "manifest_length": manifest.stat().st_size,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+        }
+        manifest_list = meta_dir / f"snap-{seq}-{batch}.avro"
+        write_avro(
+            manifest_list,
+            MANIFEST_LIST_SCHEMA,
+            prior_rows + [new_row],
+        )
+        import time
+
+        meta = {
+            "format-version": 2,
+            "table-uuid": (
+                prev.get("table-uuid") if prev else str(uuid.uuid4())
+            ),
+            "location": str(base),
+            "last-sequence-number": seq,
+            "current-snapshot-id": snap_id,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": schema_fields,
+                }
+            ],
+            "snapshots": prior_snaps
+            + [
+                {
+                    "snapshot-id": snap_id,
+                    "sequence-number": seq,
+                    "timestamp-ms": int(time.time() * 1000),
+                    "manifest-list": str(
+                        Path("metadata") / manifest_list.name
+                    ),
+                }
+            ],
+        }
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            manifest_list.unlink(missing_ok=True)
+            continue  # lost the race: re-read the log, retry
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )

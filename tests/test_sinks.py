@@ -267,3 +267,164 @@ def test_zorder_enables_skipping_on_every_column(spark, tmp_path):
         probe = eng.sql(f"SELECT x, y FROM glue.db.z WHERE {col} < 4")
         assert len(probe.inputFiles()) < n, col
         assert probe.count() == 4 * 32
+
+
+# ---------------------------------------------------------------------------
+# Iceberg append writer (sinks/iceberg_write.py)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_append_roundtrip_and_time_travel(spark, tmp_path):
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_info,
+        iceberg_snapshots,
+    )
+
+    loc = str(tmp_path / "out_ice")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert write_iceberg_append(a, loc) == 1
+    assert write_iceberg_append(b, loc) == 2
+    assert not list((tmp_path / "out_ice").glob("_staging_*"))
+    files, dels = iceberg_scan_info(loc)
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(
+            *[p for p, _pv in files]
+        ).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")] and not dels
+    # snapshot 1 alone = first batch (time travel)
+    files1, _ = iceberg_scan_info(loc, version_offset=1)
+    got1 = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(
+            *[p for p, _pv in files1]
+        ).collect()
+    )
+    assert got1 == [(1, "a"), (2, "b")]
+    assert iceberg_snapshots(spark, loc).count() == 2
+    # engine end-to-end
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "oice", loc, parameters={"table_type": "ICEBERG"}
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id, v FROM glue.db.oice ORDER BY id"
+    )
+    assert [(r.id, r.v) for r in out.collect()] == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_iceberg_append_bounds_feed_zone_map_skipping(spark, tmp_path):
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "zice")
+    lo = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "id long, v string"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(1000, 1100)], "id long, v string"
+    ).coalesce(1)
+    write_iceberg_append(lo, loc)
+    write_iceberg_append(hi, loc)
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "zice", loc, parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    probe = eng.sql("SELECT id FROM glue.db.zice WHERE id >= 1000")
+    assert probe.count() == 100
+    assert len(probe.inputFiles()) == 1  # manifest bounds skip batch 1
+
+
+def test_iceberg_append_refuses_schema_drift(spark, tmp_path):
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "drift")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    with pytest.raises(GlueSparkError, match="schema mismatch"):
+        write_iceberg_append(
+            spark.createDataFrame([(1,)], "id long"), loc
+        )
+
+
+def test_iceberg_append_partitioned(spark, tmp_path):
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import iceberg_scan_info
+
+    loc = str(tmp_path / "pice")
+    df = spark.createDataFrame(
+        [(1, "1996"), (2, "1997")], "id long, year string"
+    )
+    write_iceberg_append(df, loc, partition_by=["year"])
+    files, _ = iceberg_scan_info(loc)
+    assert sorted(pv.get("year") for _p, pv in files) == ["1996", "1997"]
+
+
+def test_iceberg_append_concurrent_version_race(spark, tmp_path):
+    import json as _json
+
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "race_ice"
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_iceberg_append(a, str(loc))
+    # simulate a concurrent writer landing sequence 2
+    v1 = _json.loads((loc / "metadata" / "v1.metadata.json").read_text())
+    v1["last-sequence-number"] = 2
+    (loc / "metadata" / "v2.metadata.json").write_text(_json.dumps(v1))
+    seq = write_iceberg_append(a, str(loc))
+    assert seq == 3
+    assert (loc / "metadata" / "v3.metadata.json").exists()
+
+
+def test_delta_append_emits_stats_for_skipping(spark, tmp_path):
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = str(tmp_path / "dstats")
+    lo = spark.createDataFrame(
+        [(i,) for i in range(100)], "id long"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i,) for i in range(1000, 1100)], "id long"
+    ).coalesce(1)
+    write_delta_append(lo, loc)
+    write_delta_append(hi, loc)
+    entries, _ren = delta_scan_info(loc, with_stats=True)
+    stats = [s for _p, _pv, _dv, s in entries]
+    assert all(s for s in stats)  # every add carries stats JSON
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dstats", loc,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    probe = GlueSparkEngine(spark, store).sql(
+        "SELECT id FROM glue.db.dstats WHERE id < 50"
+    )
+    assert probe.count() == 50
+    assert len(probe.inputFiles()) == 1
