@@ -90,10 +90,24 @@ def write_delta_append(
     location: str,
     partition_by: list[str] | None = None,
     max_commit_retries: int = 10,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Append ``df`` to the Delta table at ``location`` (created on
     first write); returns the committed version.  Readers see the
-    whole batch or none of it."""
+    whole batch or none of it.
+
+    ``txn_app_id`` + ``txn_version`` make the append IDEMPOTENT (the
+    protocol's SetTransaction action): if the log already records a
+    ``txn`` for this app at ≥ this version, the call is a no-op
+    returning -1 — nothing is staged, nothing commits.  This is what
+    lets a restarted streaming writer replay a micro-batch after a
+    crash without double-publishing it
+    (:func:`glue_table_cache_spark.streaming.delta_sink.stream_to_delta`)."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise GlueSparkError(
+            "txn_app_id and txn_version must be passed together"
+        )
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -102,6 +116,19 @@ def write_delta_append(
         )
     log_dir = base / "_delta_log"
     log_dir.mkdir(parents=True, exist_ok=True)
+
+    def _already_committed() -> bool:
+        if txn_app_id is None or not any(log_dir.glob("*.json")):
+            return False
+        from glue_table_cache_spark.sources.delta import (
+            delta_last_txn_version,
+        )
+
+        last = delta_last_txn_version(location, txn_app_id)
+        return last is not None and last >= txn_version
+
+    if _already_committed():
+        return -1
     batch = uuid.uuid4().hex[:12]
     stage = base / f"_staging_{batch}"
 
@@ -139,7 +166,14 @@ def write_delta_append(
     shutil.rmtree(stage, ignore_errors=True)
 
     schema_fields = df.schema.jsonValue()
-    for _ in range(max_commit_retries):
+    for attempt in range(max_commit_retries):
+        if attempt and _already_committed():
+            # a concurrent replica of the same stream committed this
+            # batch while we were racing: drop our staged (still
+            # uncommitted, hence invisible) files and bow out
+            for a in adds:
+                (base / a["path"]).unlink(missing_ok=True)
+            return -1
         version = _next_version(log_dir)
         actions: list[dict] = [
             {
@@ -150,6 +184,16 @@ def write_delta_append(
                 }
             }
         ]
+        if txn_app_id is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": txn_version,
+                        "lastUpdated": now,
+                    }
+                }
+            )
         if version == 0:
             actions.append(
                 {

@@ -93,6 +93,12 @@ def _apply_action(active: dict, action: dict, state: dict) -> None:
         state["metaData"] = action["metaData"]
     elif "protocol" in action and action["protocol"]:
         _check_protocol(action["protocol"])
+    elif "txn" in action and action["txn"]:
+        # streaming-writer idempotence marker: latest version per appId
+        # wins (the protocol's SetTransaction semantics)
+        t = action["txn"]
+        if t.get("appId") is not None:
+            state.setdefault("txns", {})[t["appId"]] = t.get("version")
 
 
 def _mapping_mode(meta: dict | None) -> str:
@@ -237,10 +243,18 @@ def _read_checkpoint(
         pf = pq.ParquetFile(io.BytesIO(_read_bytes(p, s3_client)))
         want = [
             c
-            for c in ("add", "metaData", "protocol")
+            for c in ("add", "metaData", "protocol", "txn")
             if c in pf.schema_arrow.names
         ]
         # `stats` rides inside the add struct; nothing extra to project
+        if "txn" in want:
+            table_txn = pf.read(columns=["txn"])
+            for t in table_txn.column("txn").to_pylist():
+                if t and t.get("appId") is not None:
+                    state.setdefault("txns", {})[t["appId"]] = t.get(
+                        "version"
+                    )
+            want.remove("txn")
         table = pf.read(columns=want)
         if "protocol" in want:
             for proto in table.column("protocol").to_pylist():
@@ -296,6 +310,12 @@ def _read_checkpoint_v2(
             _check_protocol(action["protocol"])
         elif action.get("metaData"):
             state["metaData"] = action["metaData"]
+        elif action.get("txn"):
+            t = action["txn"]
+            if t.get("appId") is not None:
+                state.setdefault("txns", {})[t["appId"]] = t.get(
+                    "version"
+                )
         elif action.get("add"):
             a = action["add"]
             _check_dv_supported(a)
@@ -319,7 +339,7 @@ def _read_checkpoint_v2(
         )
         want = [
             c
-            for c in ("add", "metaData", "protocol", "sidecar")
+            for c in ("add", "metaData", "protocol", "sidecar", "txn")
             if c in pf.schema_arrow.names
         ]
         table = pf.read(columns=want)
@@ -330,6 +350,7 @@ def _read_checkpoint_v2(
                     or rec.get("minReaderVersion") is not None
                     or rec.get("configuration")
                     or rec.get("id")
+                    or rec.get("appId") is not None
                 ):
                     handle({c: rec})
     sidecar_dir = posixpath.join(
@@ -906,6 +927,17 @@ def apply_deletion_vectors(
         .join(F.broadcast(deleted), ["__dv_file", "__dv_pos"], "left_anti")
         .drop("__dv_file", "__dv_pos")
     )
+
+
+def delta_last_txn_version(
+    location: str, app_id: str, s3_client=None, fs=None
+) -> int | None:
+    """Latest committed ``txn`` (SetTransaction) version for
+    ``app_id``, or ``None`` if the app never committed — the protocol's
+    idempotence primitive for streaming writers: a batch whose version
+    is ≤ this has already been published and must not commit again."""
+    _active, state = _replay(location, s3_client=s3_client, fs=fs)
+    return (state.get("txns") or {}).get(app_id)
 
 
 def delta_history(spark, location: str, s3_client=None, fs=None):

@@ -312,6 +312,7 @@ def _write_checkpoint(
     num_parts: int | None = None,
     drop_parts: set[int] | None = None,
     active_dv: dict[str, dict] | None = None,
+    txns: dict[str, int] | None = None,
 ) -> None:
     """Write a ``<version>.checkpoint.parquet`` (or, with ``num_parts``,
     the multi-part ``<version>.checkpoint.<part>.<numParts>.parquet``
@@ -372,15 +373,33 @@ def _write_checkpoint(
         "minWriterVersion": 2,
         "readerFeatures": None,
     }
-    n_rows = len(add_rows) + 2
-    adds = pa.array(add_rows + [None, None], type=add_type)
+    txn_rows = [
+        {"appId": a, "version": v, "lastUpdated": 0}
+        for a, v in sorted((txns or {}).items())
+    ]
+    n_rows = len(add_rows) + 2 + len(txn_rows)
+    pad = [None] * len(txn_rows)
+    adds = pa.array(add_rows + [None, None] + pad, type=add_type)
     metas = pa.array(
-        [None] * len(add_rows) + [meta_row, None], type=meta_type
+        [None] * len(add_rows) + [meta_row, None] + pad, type=meta_type
     )
     protos = pa.array(
-        [None] * (len(add_rows) + 1) + [proto_row], type=proto_type
+        [None] * (len(add_rows) + 1) + [proto_row] + pad,
+        type=proto_type,
     )
-    table = pa.table({"add": adds, "metaData": metas, "protocol": protos})
+    cols = {"add": adds, "metaData": metas, "protocol": protos}
+    if txn_rows:
+        txn_type = pa.struct(
+            [
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+                ("lastUpdated", pa.int64()),
+            ]
+        )
+        cols["txn"] = pa.array(
+            [None] * (len(add_rows) + 2) + txn_rows, type=txn_type
+        )
+    table = pa.table(cols)
     if num_parts is None:
         pq.write_table(
             table, log_dir / f"{version:020d}.checkpoint.parquet"

@@ -428,3 +428,124 @@ def test_delta_append_emits_stats_for_skipping(spark, tmp_path):
     )
     assert probe.count() == 50
     assert len(probe.inputFiles()) == 1
+
+
+# ---------------------------------------------------------------------------
+# txn idempotence + streaming Delta sink
+# ---------------------------------------------------------------------------
+
+
+def test_delta_append_txn_idempotent(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        delta_data_files,
+        delta_last_txn_version,
+    )
+
+    loc = str(tmp_path / "txn")
+    df = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    assert write_delta_append(
+        df, loc, txn_app_id="app", txn_version=0
+    ) == 0
+    # replay of the same batch: no-op, no new files, no new version
+    assert write_delta_append(
+        df, loc, txn_app_id="app", txn_version=0
+    ) == -1
+    assert len(delta_data_files(loc)) == 1
+    # next batch commits; another app's versions are independent
+    assert write_delta_append(
+        df, loc, txn_app_id="app", txn_version=1
+    ) == 1
+    assert write_delta_append(
+        df, loc, txn_app_id="other", txn_version=0
+    ) == 2
+    assert delta_last_txn_version(loc, "app") == 1
+    assert delta_last_txn_version(loc, "other") == 0
+    assert delta_last_txn_version(loc, "nobody") is None
+    with pytest.raises(Exception, match="together"):
+        write_delta_append(df, loc, txn_app_id="app")
+
+
+def test_delta_txn_survives_checkpoint(spark, tmp_path, frames=None):
+    """After log cleanup the checkpoint is the only carrier of the
+    txn markers — the reader must recover them from it."""
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        delta_last_txn_version,
+    )
+
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    base = build_delta_table(
+        tmp_path / "ctxn",
+        [{"add": [a]}, {"add": []}],
+        checkpoint_at=1,
+        drop_precheckpoint_commits=True,
+        checkpoint_kwargs={"txns": {"app": 5}},
+    )
+    assert delta_last_txn_version(str(base), "app") == 5
+    assert delta_last_txn_version(str(base), "x") is None
+
+
+def test_stream_to_delta_exactly_once(spark, tmp_path):
+    """File-source stream -> Delta: contents equal the input after
+    processAllAvailable; a restarted query with the same checkpoint
+    appends only NEW input; and a forced replay of an already-
+    committed batch id no-ops via the txn marker."""
+    import json as _json
+
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        delta_data_files,
+        delta_last_txn_version,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps({"id": i}) for i in range(5)) + "\n"
+    )
+    loc = str(tmp_path / "out_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("id long")
+            .json(str(src))
+        )
+        return stream_to_delta(stream, loc, ckpt, app_id="q1")
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    files = delta_data_files(loc)
+    got = sorted(r.id for r in spark.read.parquet(*files).collect())
+    assert got == [0, 1, 2, 3, 4]
+    assert delta_last_txn_version(loc, "q1") == 0
+
+    # restart with the same checkpoint + one new input file
+    (src / "b1.json").write_text(_json.dumps({"id": 99}) + "\n")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    files = delta_data_files(loc)
+    got = sorted(r.id for r in spark.read.parquet(*files).collect())
+    assert got == [0, 1, 2, 3, 4, 99]
+    assert delta_last_txn_version(loc, "q1") == 1
+
+    # simulate the crash-replay: re-deliver batch 1 by hand
+    replay = spark.createDataFrame([(99,)], "id long")
+    assert write_delta_append(
+        replay, loc, txn_app_id="q1", txn_version=1
+    ) == -1
+    files = delta_data_files(loc)
+    got = sorted(r.id for r in spark.read.parquet(*files).collect())
+    assert got == [0, 1, 2, 3, 4, 99]
