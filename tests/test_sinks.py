@@ -549,3 +549,232 @@ def test_stream_to_delta_exactly_once(spark, tmp_path):
     files = delta_data_files(loc)
     got = sorted(r.id for r in spark.read.parquet(*files).collect())
     assert got == [0, 1, 2, 3, 4, 99]
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE + VACUUM (sinks/delta_optimize.py)
+# ---------------------------------------------------------------------------
+
+
+def _mk_many_files_delta(spark, tmp_path, name="opt"):
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+
+    parts = [
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(5)], "id long"
+        ).coalesce(1)
+        for i in range(4)
+    ]
+    return build_delta_table(
+        tmp_path / name, [{"add": parts}]
+    )
+
+
+def test_optimize_delta_compacts_and_preserves_rows(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        delta_data_files,
+        delta_history,
+    )
+
+    base = _mk_many_files_delta(spark, tmp_path)
+    before = delta_data_files(str(base))
+    assert len(before) == 4
+    rows_before = sorted(
+        r.id for r in spark.read.parquet(*before).collect()
+    )
+    v = optimize_delta(spark, str(base), target_file_mb=1024)
+    assert v == 1
+    after = delta_data_files(str(base))
+    assert len(after) == 1
+    rows_after = sorted(
+        r.id for r in spark.read.parquet(*after).collect()
+    )
+    assert rows_after == rows_before
+    # OPTIMIZE is dataChange=false bookkeeping and shows in history;
+    # pre-optimize files remain on disk for time travel
+    assert delta_history(spark, str(base)).where(
+        "operation = 'OPTIMIZE'"
+    ).count() == 1
+    travel = delta_data_files(str(base), version_offset=1)
+    assert sorted(travel) == sorted(before)
+    # new add carries stats for zone-map skipping
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    entries, _ = delta_scan_info(str(base), with_stats=True)
+    assert all(s for _p, _pv, _dv, s in entries)
+    # idempotence of the need-check: nothing left to do
+    assert optimize_delta(spark, str(base)) is None
+
+
+def test_optimize_delta_purges_deletion_vectors(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        delta_data_files,
+        delta_scan_info,
+    )
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    base = build_delta_table(
+        tmp_path / "dvp",
+        [
+            {"add": [df.coalesce(1)]},
+            {"dv": {"part-0-0.parquet": lambda pdf: pdf["id"] % 2 == 1}},
+        ],
+    )
+    v = optimize_delta(spark, str(base), min_files_per_partition=2)
+    assert v == 2
+    entries, _ = delta_scan_info(str(base))
+    assert all(dv is None for _p, _pv, dv in entries)
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *delta_data_files(str(base))
+        ).collect()
+    )
+    assert got == [0, 2, 4, 6, 8]
+
+
+def test_optimize_delta_partitioned_zorder(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+    )
+    from glue_table_cache_spark.sources.delta import delta_data_files
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+
+    y96 = [
+        spark.createDataFrame([(i,) for i in range(k, 50, 2)], "id long")
+        for k in (0, 1)
+    ]
+    base = build_delta_table(
+        tmp_path / "pz",
+        [
+            {"add": y96, "partition": {"year": "1996"}},
+            {"add": [y96[0]], "partition": {"year": "1997"}},
+        ],
+    )
+    v = optimize_delta(
+        spark, str(base), zorder_by=["id"], min_files_per_partition=2
+    )
+    assert v is not None
+    files = delta_data_files(str(base), with_partition_values=True)
+    years = {pv["year"] for _p, pv in files}
+    assert years == {"1996", "1997"}
+    # per-partition rewrite: 1996's two files became one
+    n96 = sum(1 for _p, pv in files if pv["year"] == "1996")
+    assert n96 == 1
+    rows = spark.read.option("basePath", str(base)).parquet(
+        *[p for p, _pv in files]
+    )
+    assert rows.where("year = '1996'").count() == 50
+
+
+def test_optimize_delta_aborts_on_conflicting_race(
+    spark, tmp_path, monkeypatch
+):
+    """If the O_EXCL loss reveals that a replaced file is gone from
+    the active set, OPTIMIZE must abort and leave the table clean."""
+    import json as _json
+    import os as _os
+
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks import delta_optimize as DO
+    from glue_table_cache_spark.sources.delta import delta_data_files
+
+    base = _mk_many_files_delta(spark, tmp_path, "race_opt")
+    real_open = _os.open
+    state = {"fired": False}
+
+    def racing_open(path, flags, *a, **kw):
+        p = str(path)
+        if (
+            not state["fired"]
+            and p.endswith(".json")
+            and "_delta_log" in p
+            and flags & _os.O_EXCL
+        ):
+            state["fired"] = True
+            # interloper removes one of the files being rewritten
+            Path(p).parent.joinpath(
+                f"{1:020d}.json"
+            ).write_text(
+                _json.dumps(
+                    {
+                        "remove": {
+                            "path": "part-0-0.parquet",
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+            raise FileExistsError(p)
+        return real_open(path, flags, *a, **kw)
+
+    monkeypatch.setattr(DO.os, "open", racing_open)
+    before = set(delta_data_files(str(base)))
+    with pytest.raises(GlueSparkError, match="conflicting race"):
+        DO.optimize_delta(spark, str(base), target_file_mb=1024)
+    # table untouched minus the interloper's own remove
+    after = set(delta_data_files(str(base)))
+    assert after == {p for p in before if "part-0-0" not in p}
+
+
+def test_vacuum_delta_lists_then_deletes_only_unreferenced(
+    spark, tmp_path
+):
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+        vacuum_delta,
+    )
+    from glue_table_cache_spark.sources.delta import delta_data_files
+
+    base = _mk_many_files_delta(spark, tmp_path, "vac")
+    orig = delta_data_files(str(base))
+    optimize_delta(spark, str(base), target_file_mb=1024)
+    # default 7-day retention: nothing is old enough yet
+    assert vacuum_delta(str(base)) == []
+    victims = vacuum_delta(str(base), retention_hours=0)
+    assert sorted(victims) == sorted(orig)  # the rewritten originals
+    # dry run deleted nothing
+    assert all(Path(v).exists() for v in victims)
+    gone = vacuum_delta(str(base), retention_hours=0, dry_run=False)
+    assert gone == victims
+    assert not any(Path(v).exists() for v in victims)
+    # table still reads fine from the compacted file
+    files = delta_data_files(str(base))
+    assert len(files) == 1
+    assert spark.read.parquet(*files).count() == 20
+    with pytest.raises(Exception, match="retention"):
+        vacuum_delta(str(base), retention_hours=-1)
+
+
+def test_vacuum_delta_protects_active_dv_sidecars(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_optimize import vacuum_delta
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    base = build_delta_table(
+        tmp_path / "dvvac",
+        [
+            {"add": [df.coalesce(1)]},
+            {"dv": {"part-0-0.parquet": lambda pdf: pdf["id"] % 2 == 1}},
+        ],
+        orphan=df.coalesce(1),
+    )
+    victims = vacuum_delta(str(base), retention_hours=0)
+    assert any("orphan" in v for v in victims)
+    assert not any("deletion_vector" in v for v in victims)
