@@ -310,6 +310,22 @@ class GlueSparkEngine:
         df = self._dataframe_for(tbl, query)
         df.createOrReplaceTempView(view_name)
 
+    def _format_scan_cached(self, tbl: CatalogTable, load: Callable):
+        """Table-format metadata walks (Delta log replay, Iceberg
+        manifest walk, Hudi timeline walk) through the LISTING cache —
+        the same LRU+TTL+single-flight treatment the reference gives
+        its S3 listings (/root/reference/src/glue-table-cache.ts:349-466),
+        because that is exactly what these walks are: the format's own
+        file listing.  ``s3_listing_ttl_ms`` bounds staleness; a new
+        commit/snapshot is visible after TTL expiry or an explicit
+        ``invalidate_table``.  Cached values are treated as immutable
+        — every consumer rebuilds its own filtered lists."""
+        key = f"format-scan:{tbl.location}"
+        self._listing_keys[
+            table_cache_key(tbl.database, tbl.name)
+        ] = key
+        return self._listing_cache.get_or_load(key, load)
+
     def _stats_keep_set(
         self,
         query: str,
@@ -357,16 +373,22 @@ class GlueSparkEngine:
                 hudi_scan_info,
             )
 
-            timeline = _timeline_files(tbl.location, fs=self._fs)
-            if _table_type(timeline) == "MERGE_ON_READ":
+            def _walk_hudi():
+                timeline = _timeline_files(tbl.location, fs=self._fs)
+                if _table_type(timeline) == "MERGE_ON_READ":
+                    return ("MOR",) + hudi_mor_scan_info(
+                        tbl.location, fs=self._fs
+                    )
+                return ("COW", hudi_scan_info(tbl.location, fs=self._fs))
+
+            walk = self._format_scan_cached(tbl, _walk_hudi)
+            if walk[0] == "MOR":
                 from glue_table_cache_spark.sources.hudi_mor import (
                     DEFAULT_RECORD_KEY,
                     hudi_mor_read,
                 )
 
-                base_entries, log_entries = hudi_mor_scan_info(
-                    tbl.location, fs=self._fs
-                )
+                base_entries, log_entries = walk[1], walk[2]
                 # TIMELINE-METADATA partition pruning, BOTH sides: a
                 # Hudi file group and its log files live in exactly
                 # one partition (the write stats record it), so
@@ -423,7 +445,7 @@ class GlueSparkEngine:
                     ),
                     base_path=tbl.location,
                 )
-            entries = hudi_scan_info(tbl.location, fs=self._fs)
+            entries = walk[1]
             # TIMELINE-METADATA partition pruning — same shape as the
             # DELTA/ICEBERG branches, from the write stats' partition
             # paths (hive-style layouts only; others carry no values)
@@ -458,9 +480,12 @@ class GlueSparkEngine:
                 delta_scan_info,
             )
 
-            entries, renames, log_schema = delta_scan_info(
-                tbl.location, fs=self._fs, with_schema=True,
-                with_stats=True,
+            entries, renames, log_schema = self._format_scan_cached(
+                tbl,
+                lambda: delta_scan_info(
+                    tbl.location, fs=self._fs, with_schema=True,
+                    with_stats=True,
+                ),
             )
             stats_by_path = {p: s for p, _pv, _dv, s in entries}
             entries = [(p, pv, dv) for p, pv, dv, _s in entries]
@@ -539,8 +564,11 @@ class GlueSparkEngine:
                 iceberg_scan_details,
             )
 
-            entries, dels, eq_dels = iceberg_scan_details(
-                tbl.location, fs=self._fs, with_stats=True
+            entries, dels, eq_dels = self._format_scan_cached(
+                tbl,
+                lambda: iceberg_scan_details(
+                    tbl.location, fs=self._fs, with_stats=True
+                ),
             )
             iceberg_stats = {p: s for p, _pv, _seq, s in entries}
             entries = [(p, pv, seq) for p, pv, seq, _s in entries]

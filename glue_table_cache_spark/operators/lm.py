@@ -47,11 +47,16 @@ from glue_table_cache_spark.functions.text import TOKEN_PATTERN, tokens
 UNIGRAM_CONTEXT = ""
 
 
-def _transitions(text: Column) -> Column:
+def _transitions(toks: Column) -> Column:
     """Array of ``(prev, w)`` transition structs for one document:
     ``("", t1), (t1, t2), …`` — the unit both training and scoring
-    explode."""
-    toks = tokens(text)
+    explode.
+
+    ``toks`` MUST be a bound column holding the already-materialized
+    token array (see :func:`_with_transitions`), NOT the tokenizer
+    expression itself: the lambda references it ``2×`` per element,
+    and an inlined ``regexp_extract_all`` would re-run over the whole
+    document for every element — measured ~100× slower at sf0.1."""
     trans = F.transform(
         # sequence(1, 0) DESCENDS in Spark — the when() below keeps
         # zero-token documents off this branch entirely
@@ -67,6 +72,24 @@ def _transitions(text: Column) -> Column:
     return F.when(F.size(toks) >= 1, trans).otherwise(empty)
 
 
+def _exploded_transitions(
+    df: DataFrame, text_col: str, extra: list[str]
+) -> DataFrame:
+    """``extra + (prev, w)`` rows, one per token transition.  The
+    token array is materialized in its own projection so the regex
+    runs once per document; Catalyst keeps the split because the alias
+    is referenced more than once (CollapseProject only inlines
+    single-use or cheap expressions)."""
+    return (
+        df.select(*extra, tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            *extra,
+            F.explode(_transitions(F.col("__toks"))).alias("t"),
+        )
+        .select(*extra, "t.prev", "t.w")
+    )
+
+
 def train_ngram_lm(
     reference: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, int]:
@@ -78,9 +101,7 @@ def train_ngram_lm(
     unevaluated DataFrames — persist them when scoring many corpora
     against one model.  ``vocab_size`` is the reference's distinct
     token count (a driver-side scalar; one job)."""
-    trans = reference.select(
-        F.explode(_transitions(F.col(text_col))).alias("t")
-    ).select("t.prev", "t.w")
+    trans = _exploded_transitions(reference, text_col, [])
     model = trans.groupBy("prev", "w").agg(F.count("*").alias("c"))
     contexts = trans.groupBy("prev").agg(F.count("*").alias("cc"))
     vocab = (
@@ -97,22 +118,27 @@ def ngram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.1,
-    broadcast_model: bool = True,
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """Per-document LM score: ``(id, n_tokens, cross_entropy,
     perplexity)``.  Empty documents (zero tokens) get NULL entropy /
     perplexity rather than a fake score.
 
-    ``broadcast_model=True`` (default) broadcasts the model and
-    context tables — right for curated references (≤ tens of millions
-    of bigrams).  Pass ``False`` for a reference at corpus scale: the
-    transition join then shuffle-joins on ``(prev, w)`` and the
-    context join on ``prev``; results are identical."""
+    ``broadcast_model=False`` (default) plans shuffle joins on
+    ``(prev, w)`` / ``prev`` and lets AQE's runtime statistics convert
+    them to broadcast joins when the model turns out small — the
+    right default because a bigram model over a real reference corpus
+    easily reaches tens of millions of rows, and a FORCED broadcast of
+    that (measured: 33 s vs 3 s at sf0.1) dwarfs the scoring itself.
+    Pass ``True`` only when the reference is known-tiny and you want
+    to skip the exchange even in non-AQE sessions; results are
+    identical either way."""
     maybe_b = F.broadcast if broadcast_model else (lambda df: df)
-    trans = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_transitions(F.col(text_col))).alias("t"),
-    ).select("__id", "t.prev", "t.w")
+    trans = _exploded_transitions(
+        corpus.select(F.col(id_col).alias("__id"), text_col),
+        text_col,
+        ["__id"],
+    )
     joined = (
         trans.join(maybe_b(model), ["prev", "w"], "left")
         .join(maybe_b(contexts), ["prev"], "left")

@@ -512,3 +512,39 @@ def test_failed_query_does_not_leak_temp_views(spark, store):
         eng.sql("SELECT no_such_column FROM glue.tpch.region").collect()
     after = {v.name for v in spark.catalog.listTables()}
     assert after == before
+
+
+def test_table_format_walks_are_cached_and_invalidated(
+    spark, tmp_path, monkeypatch
+):
+    """Delta/Iceberg/Hudi metadata walks go through the listing
+    LRU+TTL cache — the reference's caching posture for what IS the
+    format's own file listing — and invalidate_table drops them."""
+    import glue_table_cache_spark.sources.delta as delta_mod
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    base = build_delta_table(tmp_path / "cached", [{"add": [df]}])
+    calls = {"n": 0}
+    real = delta_mod.delta_scan_info
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(delta_mod, "delta_scan_info", counting)
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "c", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("SELECT * FROM glue.db.c").collect()
+    eng.sql("SELECT id FROM glue.db.c WHERE id = 1").collect()
+    assert calls["n"] == 1  # second query served from the cache
+    eng.invalidate_table("db", "c")
+    eng.sql("SELECT * FROM glue.db.c").collect()
+    assert calls["n"] == 2  # invalidation forces a fresh walk
