@@ -279,12 +279,16 @@ def _ivf_assign(
         "id", "v", "cluster",
         cosine(F.col("v"), F.col("centroid")).alias("sim"),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cluster"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("id", "v", "cluster")
-    )
+    # per-id argmax as a HASH AGGREGATE, not a row_number window: a
+    # window means a sort shuffle of corpus×k rows; max_by folds
+    # map-side.  Tie-break matches the former (sim DESC, cluster ASC)
+    # ordering via lexicographic struct comparison on (sim, -cluster).
+    return scored.groupBy("id").agg(
+        F.max_by(
+            F.struct("cluster", "v"),
+            F.struct(F.col("sim"), -F.col("cluster")),
+        ).alias("__best")
+    ).select("id", "__best.v", "__best.cluster")
 
 
 def ivf_topk(
@@ -494,13 +498,20 @@ def assign_embedding_clusters(
             cosine(F.col(vec_col), F.col("centroid")), 6
         ).alias("centroid_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("centroid_sim"), F.asc("cluster")
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    # per-id argmax via max_by (hash aggregate, map-side partials)
+    # instead of a row_number window (sort shuffle); the struct
+    # tie-break reproduces (centroid_sim DESC, cluster ASC) exactly —
+    # including on the ROUNDED sims the oracle compares
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct("cluster", vec_col, "centroid_sim"),
+            F.struct(F.col("centroid_sim"), -F.col("cluster")),
+        ).alias("__best")
+    ).select(
+        id_col,
+        f"__best.{vec_col}",
+        "__best.cluster",
+        "__best.centroid_sim",
     )
 
 
