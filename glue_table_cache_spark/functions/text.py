@@ -53,45 +53,58 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def word_ngrams(
+    toks: Column, n: int, keep_short: bool = False
+) -> Column:
+    """Space-joined word ``n``-grams over a token-array column.
+
+    Built from ``arrays_zip`` over ``n`` shifted slices instead of an
+    index-``transform`` with ``slice(toks, i, n)`` in the lambda: a
+    higher-order-function lambda re-evaluates every expression it
+    closes over PER ELEMENT, so anything expensive inside ``toks``
+    (the tokenizer regex) would re-run over the whole document for
+    each gram position (measured ~7× slower end-to-end at sf0.1).
+    Here the token array is referenced only at row level, where
+    whole-stage codegen's subexpression elimination evaluates it once.
+
+    ``keep_short=True`` keeps one catch-all entry joining all tokens
+    for documents with 1..n-1 tokens (dedup wants short docs to still
+    participate); ``False`` yields no grams for them.  Zero-token
+    inputs always yield an empty array."""
+    shifted = [
+        F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1))
+        )
+        for j in range(n)
+    ]
+    zipped = F.arrays_zip(*shifted)
+    short = (
+        F.least(F.size(toks), F.lit(1)) if keep_short else F.lit(0)
+    )
+    # full n-grams only (+ the optional catch-all for short docs —
+    # concat_ws skips the zip padding nulls there)
+    kept = F.slice(
+        zipped, 1, F.greatest(F.size(toks) - (n - 1), short)
+    )
+    return F.transform(
+        kept,
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
+    )
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word ``k``-grams (space-joined) — the unit for
     MinHash / Jaccard dedup.  Documents with fewer than ``k`` (but at
     least one) tokens get their full token sequence as a single
     shingle so they still participate in dedup; zero-token documents
-    yield an empty array.
-
-    Built from ``arrays_zip`` over ``k`` shifted slices instead of an
-    index-``transform`` with ``slice(toks, i, k)`` in the lambda: a
-    higher-order-function lambda re-evaluates every expression it
-    closes over PER ELEMENT, so the tokenizer regex would re-run over
-    the whole document for each shingle position (measured ~7× slower
-    end-to-end at sf0.1).  Here the token array is referenced only at
-    row level, where whole-stage codegen's subexpression elimination
-    evaluates the regex once."""
+    yield an empty array.  See :func:`word_ngrams` for why this is an
+    ``arrays_zip``, not an index ``transform``."""
     toks = F.regexp_extract_all(
         F.lower(F.col(col) if isinstance(col, str) else col),
         F.lit("[a-z0-9]+"),
         0,
     )
-    shifted = [
-        F.slice(
-            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1))
-        )
-        for j in range(k)
-    ]
-    zipped = F.arrays_zip(*shifted)
-    # keep full k-grams only — plus the single catch-all entry for
-    # 1..k-1-token docs (concat_ws skips the zip padding nulls there)
-    kept = F.slice(
-        zipped,
-        1,
-        F.greatest(F.size(toks) - (k - 1), F.least(F.size(toks), F.lit(1))),
-    )
-    ngrams = F.transform(
-        kept,
-        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]),
-    )
-    return F.array_distinct(ngrams)
+    return F.array_distinct(word_ngrams(toks, k, keep_short=True))
 
 
 #: PII span patterns — deliberately simple, deterministic regexes that
@@ -214,27 +227,29 @@ def repetition_stats(
 
     All thresholds are the caller's; this just computes the signals."""
     t = F.col(text_col)
-    lines = F.filter(
-        F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+    # bind the token array before building grams from it: word_ngrams
+    # references it only at row level, and the projection split keeps
+    # the tokenizer regex evaluated once per document
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("__t"),
+        tokens(t, "[a-z0-9]+").alias("__toks"),
     )
-    toks = tokens(t, "[a-z0-9]+")
+    toks = F.col("__toks")
 
     def grams(n: int) -> Column:
         # documents shorter than n tokens have no n-grams (unlike
         # dedup's shingles(), which deliberately keeps a whole-doc
         # shingle so short docs still participate in dedup)
-        return F.when(
-            F.size(toks) < n, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        )
+        return word_ngrams(toks, n, keep_short=False)
 
     tri = grams(3)
-    base = df.select(
-        F.col(id_col).alias("id"),
+    lines = F.filter(
+        F.split(F.col("__t"), "\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    base = bound.select(
+        F.col("id"),
         F.size(lines).alias("n_lines"),
         F.when(F.size(lines) == 0, 0.0)
         .otherwise(
