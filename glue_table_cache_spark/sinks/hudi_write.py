@@ -1,0 +1,134 @@
+"""Append-only Hudi COPY_ON_WRITE writer: atomic instant publishing.
+
+Completes the three-format writer suite
+(:mod:`glue_table_cache_spark.sinks.delta_write`,
+:mod:`glue_table_cache_spark.sinks.iceberg_write`): data files are
+staged invisibly, then ONE ``O_EXCL`` create of
+``.hoodie/<instant>.commit`` publishes them — an uncommitted instant's
+files are never scanned (the timeline walk reads completed instants
+only), so readers flip atomically; two concurrent writers serialize on
+the instant file and the loser retries with the next instant.
+
+Appends write NEW file groups (one fresh ``fileId`` per part file) —
+the insert path.  Upserts/deletes need record-key indexing and file-
+group rewrite (or MOR logs) and are out of scope; the commit's write
+stats carry ``fileId``/``path``/``partitionPath`` exactly as the
+in-repo timeline walk, MOR merge, and ``hudi_changes`` incremental
+feed consume them.  Instants use the Hudi ``yyyyMMddHHmmss`` form and
+are forced strictly increasing past the existing timeline (a wall
+clock that collides or runs backwards bumps forward instead of
+colliding)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from glue_table_cache_spark.errors import GlueSparkError
+
+_INSTANT_RE = re.compile(r"/(\d+)(?:_\d+)?\.\w+(?:\.\w+)?$")
+
+
+def _latest_instant(hoodie: Path) -> int:
+    latest = 0
+    for p in hoodie.iterdir():
+        m = _INSTANT_RE.search("/" + p.name)
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return latest
+
+
+def write_hudi_append(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    max_commit_retries: int = 10,
+) -> str:
+    """Append ``df`` to the Hudi COW table at ``location`` (created on
+    first write); returns the committed instant timestamp string.
+    Readers see the whole batch or none of it."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "write_hudi_append commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    hoodie = base / ".hoodie"
+    hoodie.mkdir(parents=True, exist_ok=True)
+    props = hoodie / "hoodie.properties"
+    if props.exists():
+        text = props.read_text()
+        m = re.search(r"hoodie\.table\.type\s*=\s*(\S+)", text)
+        if m and m.group(1).upper() != "COPY_ON_WRITE":
+            raise GlueSparkError(
+                f"table at {location!r} is {m.group(1)}; this appender "
+                "writes COPY_ON_WRITE instants only"
+            )
+    else:
+        props.write_text(
+            f"hoodie.table.name={base.name}\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+        )
+
+    instant = max(
+        int(time.strftime("%Y%m%d%H%M%S", time.gmtime())),
+        _latest_instant(hoodie) + 1,
+    )
+
+    batch = uuid.uuid4().hex[:8]
+    stage = base / f"_staging_{batch}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(stage))
+
+    # move parts into <partition>/<fileId>_<writeToken>_<instant>.parquet
+    stats_by_part: dict[str, list[dict]] = {}
+    moved: list[Path] = []
+    for p in sorted(stage.rglob("part-*.parquet")):
+        rel_dir = p.parent.relative_to(stage)
+        part = "/".join(rel_dir.parts)
+        file_id = f"{batch}-{len(moved):04d}"
+        name = f"{file_id}_0-0-0_{instant}.parquet"
+        rel = f"{part}/{name}" if part else name
+        dest = base / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        p.rename(dest)
+        moved.append(dest)
+        stats_by_part.setdefault(part, []).append(
+            {
+                "fileId": file_id,
+                "path": rel,
+                "partitionPath": part,
+                "numWrites": None,
+                "fileSizeInBytes": dest.stat().st_size,
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+
+    payload = json.dumps({"partitionToWriteStats": stats_by_part})
+    for _ in range(max_commit_retries):
+        commit = hoodie / f"{instant}.commit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # lost the race: claim the next free instant.  The data
+            # file NAMES keep the original instant — harmless, the
+            # walk keys on the commit's write stats, not on filename
+            # parsing (fileId comes from the stats row)
+            instant = max(instant + 1, _latest_instant(hoodie) + 1)
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return str(instant)
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )

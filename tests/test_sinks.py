@@ -778,3 +778,104 @@ def test_vacuum_delta_protects_active_dv_sidecars(spark, tmp_path):
     victims = vacuum_delta(str(base), retention_hours=0)
     assert any("orphan" in v for v in victims)
     assert not any("deletion_vector" in v for v in victims)
+
+
+# ---------------------------------------------------------------------------
+# Hudi COW append writer (sinks/hudi_write.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hudi_append_roundtrip_engine_and_changes(spark, tmp_path):
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sources.hudi import (
+        hudi_changes,
+        hudi_data_files,
+    )
+
+    loc = str(tmp_path / "out_hudi")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    i1 = int(write_hudi_append(a, loc))
+    i2 = int(write_hudi_append(b, loc))
+    assert i2 > i1
+    assert not list((tmp_path / "out_hudi").glob("_staging_*"))
+    files = hudi_data_files(loc)
+    got = sorted(
+        (r.id, r.v) for r in spark.read.parquet(*files).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "oh", loc, parameters={"hoodie.table.name": "oh"}
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id, v FROM glue.db.oh ORDER BY id"
+    )
+    assert [(r.id, r.v) for r in out.collect()] == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # incremental feed sees only the second append after i1
+    latest, written = hudi_changes(loc, since_instant=i1)
+    assert latest == i2
+    rows = sorted(
+        r.id for r in spark.read.parquet(*written).collect()
+    )
+    assert rows == [3]
+
+
+def test_hudi_append_partitioned_prunes(spark, tmp_path):
+    from glue_table_cache_spark.catalog import (
+        LocalMetadataStore,
+        PartitionKey,
+    )
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "ph")
+    df = spark.createDataFrame(
+        [(1, "1996"), (2, "1997")], "id long, year string"
+    )
+    write_hudi_append(df, loc, partition_by=["year"])
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "ph", loc,
+        parameters={"hoodie.table.name": "ph"},
+        partition_keys=[PartitionKey("year", "string")],
+    )
+    eng = GlueSparkEngine(spark, store)
+    probe = eng.sql("SELECT id FROM glue.db.ph WHERE year = '1996'")
+    assert [r.id for r in probe.collect()] == [1]
+    assert len(probe.inputFiles()) == 1  # timeline-metadata pruning
+
+
+def test_hudi_append_concurrent_instant_race(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sources.hudi import hudi_data_files
+
+    loc = tmp_path / "rh"
+    a = spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1)
+    i1 = int(write_hudi_append(a, str(loc)))
+    # interloper claims the next instant the wall clock would pick
+    (loc / ".hoodie" / f"{i1 + 1}.commit").write_text(
+        '{"partitionToWriteStats": {}}'
+    )
+    i2 = int(write_hudi_append(a, str(loc)))
+    assert i2 > i1 + 1
+    assert len(hudi_data_files(str(loc))) == 2
+
+
+def test_hudi_append_refuses_mor_tables(spark, tmp_path):
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = tmp_path / "mor"
+    (loc / ".hoodie").mkdir(parents=True)
+    (loc / ".hoodie" / "hoodie.properties").write_text(
+        "hoodie.table.type=MERGE_ON_READ\n"
+    )
+    with pytest.raises(GlueSparkError, match="COPY_ON_WRITE"):
+        write_hudi_append(
+            spark.createDataFrame([(1,)], "id long"), str(loc)
+        )
