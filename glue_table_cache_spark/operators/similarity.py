@@ -20,6 +20,8 @@ decimals *before* ranking so ordering is reproducible across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1009,6 +1011,216 @@ def pq_topk(
     )
     qraw = F.broadcast(
         corpus.sparkSession.createDataFrame(
+            [(r.query_id, list(r.qv)) for r in q_rows],
+            "query_id long, qv array<double>",
+        )
+    )
+    rescored = (
+        top.select("query_id", "vec_id")
+        .join(raw, "vec_id")
+        .join(qraw, "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                cosine(F.col("qv"), F.col("cv")), 6
+            ).alias("score"),
+        )
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse cells + residual product codes
+# --------------------------------------------------------------------------
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+    m: int = 4,
+    nbits: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, int, list[float]]]]:
+    """``(codes, codebooks)`` for IVF-PQ: each vector is assigned to
+    its nearest coarse cell and its RESIDUAL (vector − cell centroid)
+    is product-quantized — the IVFADC layout of Jégou et al. (TPAMI
+    2011, §IV): residuals are much smaller than raw vectors, so the
+    same code budget quantizes them far more accurately.  ``codes``
+    rows are ``(vec_id, cluster, codes)``; persist them (and pass them
+    back) for the train-once / search-many production shape."""
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            _centroid_rows(centroids),
+            "cluster int, centroid array<double>",
+        )
+    )
+    assigned = _ivf_assign(v, centroids)
+    residuals = assigned.join(cent_df, "cluster").select(
+        "id",
+        "cluster",
+        F.zip_with(
+            "v", "centroid", lambda x, c: x - c
+        ).alias("r"),
+    )
+    if codebooks is None:
+        codebooks = pq_train(
+            residuals, m, nbits, iters, vec_col="r", id_col="id"
+        )
+    codes = pq_encode(
+        residuals, codebooks, vec_col="r", id_col="id"
+    ).join(
+        residuals.select(F.col("id").alias("vec_id"), "cluster"),
+        "vec_id",
+    )
+    return codes, codebooks
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    nbits: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    exclude_self: bool = True,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k by inner product — the billion-scale
+    composition: the IVF cells prune which codes are scanned
+    (~``nprobe/nlist`` of the corpus per query) and the PQ codes make
+    each scanned row ``m`` bytes + ``m`` table lookups.
+
+    Scoring uses the residual decomposition
+    ``ip(q, v) = ip(q, centroid_cell) + ip(q, residual)``: the
+    ADC lookup tables depend only on the query and the SHARED residual
+    codebooks (one table per query, not per probed cell), and each
+    probed cell contributes a scalar ``ip(q, centroid)`` bias.  Like
+    :func:`pq_topk`, scores rank by inner product — L2-normalize the
+    inputs when cosine ranking is wanted — and ``rerank=k'`` re-scores
+    the k' ADC candidates exactly against raw vectors.
+
+    Scale shape: codes are hash-partitioned by cell and never move;
+    the probe frame (|Q| × nprobe biases + |Q| tables of
+    ``m × 2^nbits`` doubles) broadcasts; candidate generation is a
+    broadcast equi-join on ``cluster``.  Pass persisted
+    ``centroids``/``codebooks``/``codes`` from :func:`ivf_train` +
+    :func:`ivfpq_encode` to amortize (train once, search many)."""
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, nlist=nlist, iters=iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    if codes is None or codebooks is None:
+        codes, codebooks = ivfpq_encode(
+            corpus, centroids, codebooks, m, nbits, iters,
+            vec_col, id_col,
+        )
+    m = max(s for s, _c, _v in codebooks) + 1
+    ksub = 1 + max(c for _s, c, _v in codebooks)
+    dsub = len(codebooks[0][2])
+    books = {(s, c): v for s, c, v in codebooks}
+    cents = {c: v for c, v in centroids}
+    spark = corpus.sparkSession
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+
+    def ip(a: list[float], b: list[float]) -> float:
+        return sum(x * y for x, y in zip(a, b))
+
+    def table(qv: list[float]) -> list[list[float]]:
+        return [
+            [
+                sum(
+                    qv[s * dsub + i] * books[(s, c)][i]
+                    for i in range(dsub)
+                )
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
+
+    # per query: the nprobe nearest cells (by the same cosine order
+    # ivf_topk probes) with their ip(q, centroid) biases + one table
+    probe_rows = []
+    for r in q_rows:
+        qv = list(r.qv)
+        qn = math.sqrt(ip(qv, qv))
+        ranked = sorted(
+            (
+                (
+                    -(
+                        ip(qv, cv)
+                        / (qn * math.sqrt(ip(cv, cv)) or 1.0)
+                    ),
+                    c,
+                )
+                for c, cv in cents.items()
+            ),
+        )[:nprobe]
+        for _negsim, c in ranked:
+            probe_rows.append(
+                (r.query_id, c, ip(qv, cents[c]), table(qv))
+            )
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows,
+            "query_id long, cluster int, bias double, "
+            "qt array<array<double>>",
+        )
+    )
+    scored = codes.join(probes, "cluster")
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "vec_id",
+        F.round(
+            F.col("bias")
+            + F.aggregate(
+                F.zip_with(
+                    "codes", "qt",
+                    lambda c, row: F.element_at(row, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank or k))
+    )
+    if rerank is None:
+        return top
+    raw = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    qraw = F.broadcast(
+        spark.createDataFrame(
             [(r.query_id, list(r.qv)) for r in q_rows],
             "query_id long, qv array<double>",
         )

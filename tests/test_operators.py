@@ -2097,3 +2097,55 @@ def test_semantic_dedup_precomputed_assignment_path(spark, embeddings):
         map(tuple, S.semantic_dedup(base, assigned=assigned).collect())
     )
     assert direct == via
+
+
+# -- IVF-PQ -----------------------------------------------------------------
+
+
+def test_ivfpq_full_probe_rerank_recovers_exact_topk(spark, embeddings):
+    base = S.normalize_embeddings(
+        embeddings.limit(120).select("vec_id", "embedding")
+    )
+    q = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.cosine_topk(base, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.ivfpq_topk(
+            base, q, k=5, nlist=4, nprobe=4, m=4, nbits=4,
+            rerank=120,
+        ).collect()
+    }
+    assert got == exact  # all cells probed + full exact re-rank
+
+
+def test_ivfpq_partial_probe_recall_and_determinism(spark, embeddings):
+    base = S.normalize_embeddings(
+        embeddings.limit(200).select("vec_id", "embedding")
+    )
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r.query_id: set()
+        for r in q.collect()
+    }
+    for r in S.cosine_topk(base, q, k=10).collect():
+        exact[r.query_id].add(r.vec_id)
+    cents = S.ivf_train(base, nlist=8, iters=2)
+    codes, books = S.ivfpq_encode(base, cents, m=4, nbits=4)
+    codes = codes.localCheckpoint()
+    run = lambda: S.ivfpq_topk(
+        base, q, k=10, nprobe=4, centroids=cents,
+        codebooks=books, codes=codes, rerank=30,
+    ).collect()
+    a = sorted(map(tuple, run()))
+    assert a == sorted(map(tuple, run()))  # deterministic
+    hits = sum(
+        1 for r in run() if r.vec_id in exact[r.query_id]
+    )
+    assert hits / (len(exact) * 10) >= 0.5  # partial-probe recall bound
