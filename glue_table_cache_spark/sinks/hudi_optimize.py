@@ -1,0 +1,175 @@
+"""Clustering rewrite for Hudi COPY_ON_WRITE tables.
+
+The Hudi sibling of :mod:`glue_table_cache_spark.sinks.delta_optimize`
+/ :mod:`...iceberg_optimize` — Hudi's own maintenance vocabulary for
+"rewrite these file groups into a better layout" is CLUSTERING,
+published as a ``replacecommit``: the instant's
+``partitionToReplaceFileIds`` retires the old file groups and its
+``partitionToWriteStats`` introduces the rewritten ones, atomically
+(the timeline walk applies both sides of one completed instant
+together; an uncommitted replacecommit is invisible).  That is exactly
+the shape the in-repo timeline walk already replays for
+fixture-written clustering instants, so the output is readable by the
+same reader, the MOR merge, and ``hudi_changes``.
+
+MERGE_ON_READ tables refuse: clustering there must also fold log
+files, which is compaction, not this rewrite.
+
+Concurrency follows the other optimizers: ``O_EXCL`` on the instant
+file; a lost race triggers re-validation and the operation aborts
+cleanly if any replaced file group is no longer active.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.hudi_write import _latest_instant
+from glue_table_cache_spark.sources.hudi import (
+    _BASE_FILE_RE,
+    _table_type,
+    _timeline_files,
+    hudi_scan_info,
+)
+
+
+def _fid(path: str) -> str:
+    m = _BASE_FILE_RE.search(path)
+    return m.group(1) if m else path
+
+
+def optimize_hudi(
+    spark: SparkSession,
+    location: str,
+    target_file_mb: int = 256,
+    zorder_by: list[str] | None = None,
+    bits_per_col: int = 8,
+    min_files_per_partition: int = 2,
+    max_commit_retries: int = 10,
+) -> str | None:
+    """Cluster the Hudi COW table at ``location``; returns the
+    committed replacecommit instant, or ``None`` when no partition
+    qualifies (≥ ``min_files_per_partition`` active file groups, or
+    any ``zorder_by``)."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "optimize_hudi commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    names = _timeline_files(location)
+    if _table_type(names) != "COPY_ON_WRITE":
+        raise GlueSparkError(
+            "optimize_hudi rewrites COPY_ON_WRITE base files only; "
+            "MERGE_ON_READ needs compaction (log folding), not "
+            "clustering"
+        )
+    active = hudi_scan_info(location)
+    groups: dict[str, list[tuple[str, dict]]] = {}
+    for p, pv in active:
+        part = str(Path(p).parent.relative_to(base))
+        part = "" if part == "." else part
+        groups.setdefault(part, []).append((p, pv))
+    todo = {
+        part: files
+        for part, files in groups.items()
+        if len(files) >= min_files_per_partition or zorder_by
+    }
+    if not todo:
+        return None
+
+    batch = uuid.uuid4().hex[:8]
+    replaced_by_part: dict[str, list[str]] = {}
+    replaced_paths: set[str] = set()
+    stats_by_part: dict[str, list[dict]] = {}
+    n_new = 0
+    for part, files in todo.items():
+        paths = [p for p, _pv in files]
+        df = spark.read.parquet(*paths)
+        total = sum(Path(p).stat().st_size for p in paths)
+        n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        if zorder_by:
+            from glue_table_cache_spark.sinks.compact import zorder_key
+
+            zcols = [c for c in zorder_by if c in df.columns]
+            if zcols:
+                df = (
+                    df.withColumn(
+                        "__zkey",
+                        zorder_key(
+                            df, zcols, bits_per_col=bits_per_col
+                        ),
+                    )
+                    .repartitionByRange(n, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            else:
+                df = df.repartition(n)
+        else:
+            df = df.repartition(n)
+        stage = base / f"_staging_{batch}" / (part or "root").replace(
+            "/", "_"
+        )
+        df.write.mode("overwrite").parquet(str(stage))
+        instant_tag = _latest_instant(base / ".hoodie") + 1
+        for p in sorted(stage.rglob("part-*.parquet")):
+            file_id = f"cl{batch}-{n_new:04d}"
+            n_new += 1
+            name = f"{file_id}_0-0-0_{instant_tag}.parquet"
+            rel = f"{part}/{name}" if part else name
+            dest = base / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            p.rename(dest)
+            stats_by_part.setdefault(part, []).append(
+                {
+                    "fileId": file_id,
+                    "path": rel,
+                    "partitionPath": part,
+                    "fileSizeInBytes": dest.stat().st_size,
+                }
+            )
+        replaced_by_part[part] = [_fid(p) for p in paths]
+        replaced_paths.update(paths)
+    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+
+    payload = json.dumps(
+        {
+            "partitionToWriteStats": stats_by_part,
+            "partitionToReplaceFileIds": replaced_by_part,
+        }
+    )
+    hoodie = base / ".hoodie"
+    instant = _latest_instant(hoodie) + 1
+    for attempt in range(max_commit_retries):
+        if attempt:
+            fresh = {p for p, _pv in hudi_scan_info(location)}
+            if not replaced_paths <= fresh:
+                for stats in stats_by_part.values():
+                    for st in stats:
+                        (base / st["path"]).unlink(missing_ok=True)
+                raise GlueSparkError(
+                    "optimize_hudi lost a conflicting race: file "
+                    "groups it rewrote are no longer active; table "
+                    "left untouched — re-run"
+                )
+        commit = hoodie / f"{instant}.replacecommit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            instant = max(instant + 1, _latest_instant(hoodie) + 1)
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return str(instant)
+    raise GlueSparkError(
+        f"could not commit clustering to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

@@ -1,0 +1,336 @@
+"""OPTIMIZE for Iceberg tables: compact the active file set atomically.
+
+The Iceberg sibling of
+:mod:`glue_table_cache_spark.sinks.delta_optimize` — rewrite-data-files
+(optionally Z-ordered) re-expressed over this repo's manifest walk and
+writer primitives:
+
+1. resolve the current snapshot's data files, position deletes, and
+   equality deletes (:func:`iceberg_scan_details`);
+2. rewrite qualifying partitions into ``~target_file_mb`` outputs,
+   APPLYING row-level deletes during the read — the rewritten files
+   simply lack the deleted rows, so the op doubles as the
+   delete-purging ``rewrite_data_files`` maintenance action;
+3. publish ONE new snapshot whose rewritten manifest carries the
+   untouched files (keeping their ORIGINAL data sequence numbers — the
+   spec's carried-entry rule, already enforced by the fixture/reader)
+   plus the new files, with the replaced files as status=2 DELETED
+   tombstones; new adds carry footer-derived binary bounds so
+   manifest-bounds skipping keeps working.
+
+Row-level-delete policy: equality deletes scope by sequence number and
+position deletes name exact file paths, so a PARTIAL rewrite that kept
+any delete manifests alive would need per-file delete bookkeeping.
+This implementation takes the simple, provably-correct posture real
+maintenance jobs use: when ANY row-level deletes exist, every
+partition is rewritten (all deletes applied) and the new snapshot
+carries no delete manifests; without deletes, partitions compact
+independently and untouched entries are carried over.
+
+Concurrency: same ``O_EXCL``-on-metadata commit as the writer, with
+RE-VALIDATION on a lost race — if a concurrent snapshot removed or
+rewrote any file this rewrite replaces (or added new deletes),
+committing would resurrect rows, so the operation aborts cleanly and
+the caller re-runs.  Concurrent pure appends are fine: their files are
+carried into the new manifest on retry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.iceberg_write import (
+    _footer_bounds,
+    _latest_metadata,
+)
+from glue_table_cache_spark.sources.avro_lite import write_avro
+from glue_table_cache_spark.sources.iceberg import iceberg_scan_details
+from glue_table_cache_spark.sources.iceberg_fixture import (
+    MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_LIST_SCHEMA,
+)
+
+
+def _scan_state(location: str):
+    entries, pos_dels, eq_dels = iceberg_scan_details(
+        location, with_stats=True
+    )
+    return entries, pos_dels, eq_dels
+
+
+def _reencode_bounds(
+    st, ids: dict[str, int], types: dict[str, str]
+) -> dict | None:
+    """Carried-over entries keep their zone maps: re-encode the
+    decoded :class:`FileStats` back into the manifest's binary form —
+    no data or footer reads for untouched files."""
+    if st is None:
+        return None
+    from glue_table_cache_spark.skipping import encode_iceberg_bound
+
+    lower: dict[str, bytes] = {}
+    upper: dict[str, bytes] = {}
+    nulls: dict[str, int] = {}
+    for name, fid in ids.items():
+        key = name.lower()
+        nc = st.null_counts.get(key)
+        if nc is not None:
+            nulls[str(fid)] = int(nc)
+        lo, hi = st.min_values.get(key), st.max_values.get(key)
+        t = types.get(name)
+        if lo is None or hi is None or t is None:
+            continue
+        lo_b = encode_iceberg_bound(t, lo)
+        hi_b = encode_iceberg_bound(t, hi)
+        if lo_b is not None and hi_b is not None:
+            lower[str(fid)] = lo_b
+            upper[str(fid)] = hi_b
+    return {
+        "record_count": st.num_records or 0,
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+        "null_value_counts": nulls or None,
+    }
+
+
+def optimize_iceberg(
+    spark: SparkSession,
+    location: str,
+    target_file_mb: int = 256,
+    zorder_by: list[str] | None = None,
+    bits_per_col: int = 8,
+    min_files_per_partition: int = 2,
+    max_commit_retries: int = 10,
+) -> int | None:
+    """Compact the Iceberg table at ``location``; returns the committed
+    sequence number, or ``None`` when nothing needed rewriting.  A
+    partition rewrites when it holds ≥ ``min_files_per_partition``
+    active files; any row-level deletes, or ``zorder_by``, force a full
+    rewrite (see module docstring)."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "optimize_iceberg commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    meta_dir = base / "metadata"
+    data_dir = base / "data"
+    prev = _latest_metadata(meta_dir)
+    if prev is None:
+        raise GlueSparkError(f"no Iceberg metadata under {location!r}")
+    entries, pos_dels, eq_dels = _scan_state(location)
+    has_deletes = bool(pos_dels or eq_dels)
+
+    groups: dict[tuple, list] = {}
+    for path, pv, seq, st in entries:
+        groups.setdefault(tuple(sorted(pv.items())), []).append(
+            (path, pv, seq, st)
+        )
+    todo = {
+        key: files
+        for key, files in groups.items()
+        if len(files) >= min_files_per_partition
+        or has_deletes
+        or zorder_by
+    }
+    if not todo:
+        return None
+
+    # schema bookkeeping for bounds on the new files
+    schemas = prev.get("schemas") or []
+    current = next(
+        (
+            s
+            for s in schemas
+            if s.get("schema-id") == prev.get("current-schema-id")
+        ),
+        schemas[-1] if schemas else None,
+    )
+    ids = {
+        f["name"]: f["id"] for f in (current or {}).get("fields", [])
+    }
+    types = {
+        f["name"]: f["type"]
+        for f in (current or {}).get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+
+    batch = uuid.uuid4().hex[:12]
+    new_files: list[tuple[Path, dict]] = []
+    replaced: set[str] = set()
+    for key, files in todo.items():
+        pv = dict(key)
+        paths = [p for p, _pv, _seq, _st in files]
+        df = spark.read.parquet(*paths)
+        if pos_dels:
+            from glue_table_cache_spark.sources.iceberg import (
+                apply_position_deletes,
+            )
+
+            df = apply_position_deletes(df, pos_dels)
+        if eq_dels:
+            from glue_table_cache_spark.sources.iceberg import (
+                apply_equality_deletes,
+            )
+
+            df = apply_equality_deletes(
+                df, [(p, v, s) for p, v, s, _st in files], eq_dels
+            )
+        total = sum(Path(p).stat().st_size for p in paths)
+        n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        if zorder_by:
+            from glue_table_cache_spark.sinks.compact import zorder_key
+
+            zcols = [c for c in zorder_by if c in df.columns]
+            if zcols:
+                df = (
+                    df.withColumn(
+                        "__zkey",
+                        zorder_key(
+                            df, zcols, bits_per_col=bits_per_col
+                        ),
+                    )
+                    .repartitionByRange(n, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            else:
+                df = df.repartition(n)
+        else:
+            df = df.repartition(n)
+        stage = base / f"_staging_{batch}" / (
+            "-".join(f"{k}={v}" for k, v in key) or "root"
+        )
+        df.write.mode("overwrite").parquet(str(stage))
+        for p in sorted(stage.rglob("part-*.parquet")):
+            name = f"part-{batch}-{len(new_files):05d}.parquet"
+            dest = data_dir / name
+            p.rename(dest)
+            new_files.append((dest, pv))
+        replaced.update(paths)
+    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+
+    def entry_row(
+        path: str,
+        status: int,
+        pv: dict | None,
+        seq: int | None,
+        stats: dict | None = None,
+    ) -> dict:
+        stats = stats or {}
+        return {
+            "status": status,
+            "snapshot_id": None,
+            "sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": pv or None,
+                "record_count": stats.get("record_count", 0),
+                "file_size_in_bytes": Path(path).stat().st_size
+                if Path(path).exists()
+                else 0,
+                "equality_ids": None,
+                "lower_bounds": stats.get("lower_bounds"),
+                "upper_bounds": stats.get("upper_bounds"),
+                "null_value_counts": stats.get("null_value_counts"),
+            },
+        }
+
+    for attempt in range(max_commit_retries):
+        fresh_prev = _latest_metadata(meta_dir)
+        if attempt:
+            fresh_entries, f_pos, f_eq = _scan_state(location)
+            fresh_active = {p for p, _pv, _seq, _st in fresh_entries}
+            new_deletes = (set(f_pos) != set(pos_dels)) or (
+                {d["path"] for d in f_eq}
+                != {d["path"] for d in eq_dels}
+            )
+            if not replaced <= fresh_active or new_deletes:
+                for dest, _pv in new_files:
+                    dest.unlink(missing_ok=True)
+                raise GlueSparkError(
+                    "optimize_iceberg lost a conflicting race: "
+                    "replaced files left the active set or new "
+                    "row-level deletes landed; table left untouched "
+                    "— re-run"
+                )
+            entries = fresh_entries
+        last_seq = fresh_prev.get("last-sequence-number", 0)
+        seq = last_seq + 1
+        snap_id = 1000 + seq
+        carried = [
+            entry_row(p, 1, pv, s, _reencode_bounds(st, ids, types))
+            for p, pv, s, st in entries
+            if p not in replaced
+        ]
+        tombstones = [
+            entry_row(p, 2, pv, s)
+            for p, pv, s, _st in entries
+            if p in replaced
+        ]
+        adds = [
+            entry_row(
+                str(dest),
+                1,
+                pv,
+                None,  # inherit the new snapshot's sequence number
+                _footer_bounds(dest, ids, types),
+            )
+            for dest, pv in new_files
+        ]
+        manifest = meta_dir / f"manifest-opt-{seq}-{batch}.avro"
+        write_avro(
+            manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            carried + adds + tombstones,
+        )
+        manifest_list = meta_dir / f"snap-opt-{seq}-{batch}.avro"
+        write_avro(
+            manifest_list,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": str(manifest),
+                    "manifest_length": manifest.stat().st_size,
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            ],
+        )
+        meta = dict(fresh_prev)
+        meta["last-sequence-number"] = seq
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshots"] = list(fresh_prev.get("snapshots") or []) + [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": str(manifest_list),
+            }
+        ]
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            manifest.unlink(missing_ok=True)
+            manifest_list.unlink(missing_ok=True)
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit OPTIMIZE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

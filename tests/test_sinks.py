@@ -879,3 +879,212 @@ def test_hudi_append_refuses_mor_tables(spark, tmp_path):
         write_hudi_append(
             spark.createDataFrame([(1,)], "id long"), str(loc)
         )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg OPTIMIZE (sinks/iceberg_optimize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_iceberg_compacts_preserves_and_time_travels(
+    spark, tmp_path
+):
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+        iceberg_scan_info,
+    )
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        build_iceberg_table,
+    )
+
+    parts = [
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(5)], "id long"
+        )
+        for i in range(3)
+    ]
+    base = build_iceberg_table(tmp_path / "oi", parts)
+    before, _ = iceberg_scan_info(str(base))
+    rows_before = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[p for p, _pv in before]
+        ).collect()
+    )
+    seq = optimize_iceberg(spark, str(base), target_file_mb=1024)
+    assert seq == 4
+    after, _ = iceberg_scan_info(str(base))
+    assert len(after) == 1
+    rows_after = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[p for p, _pv in after]
+        ).collect()
+    )
+    assert rows_after == rows_before
+    # previous snapshot still reads the pre-optimize layout
+    travel, _ = iceberg_scan_info(str(base), version_offset=1)
+    assert sorted(p for p, _pv in travel) == sorted(
+        p for p, _pv in before
+    )
+    # the new file carries re-derived bounds
+    entries, _d, _e = iceberg_scan_details(str(base), with_stats=True)
+    assert all(st is not None for _p, _pv, _s, st in entries)
+    assert optimize_iceberg(spark, str(base)) is None  # nothing left
+
+
+def test_optimize_iceberg_purges_row_level_deletes(spark, tmp_path):
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        build_iceberg_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)], "id long"
+    ).coalesce(1)
+    base = build_iceberg_table(
+        tmp_path / "oidel",
+        [
+            df,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] % 2 == 1
+                },
+            },
+        ],
+    )
+    seq = optimize_iceberg(
+        spark, str(base), min_files_per_partition=99
+    )  # deletes force the rewrite even below the file-count bar
+    assert seq is not None
+    entries, pos_dels, eq_dels = iceberg_scan_details(str(base))
+    assert not pos_dels and not eq_dels
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[p for p, _pv, _s in entries]
+        ).collect()
+    )
+    assert got == [0, 2, 4, 6, 8]
+
+
+def test_optimize_iceberg_carries_untouched_partition(spark, tmp_path):
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sources.iceberg import iceberg_scan_info
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        build_iceberg_table,
+    )
+
+    a = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    base = build_iceberg_table(
+        tmp_path / "oic",
+        [
+            {"add": a, "partition": {"year": "1996"}},
+            {"add": a, "partition": {"year": "1996"}},
+            {"add": a, "partition": {"year": "1997"}},
+        ],
+    )
+    before = dict(iceberg_scan_info(str(base))[0])
+    seq = optimize_iceberg(
+        spark, str(base), min_files_per_partition=2
+    )
+    assert seq is not None
+    after, _ = iceberg_scan_info(str(base))
+    by_year = {}
+    for p, pv in after:
+        by_year.setdefault(pv.get("year"), []).append(p)
+    assert len(by_year["1996"]) == 1  # compacted
+    # 1997's single file is carried verbatim
+    assert by_year["1997"] == [
+        p for p, pv in before.items() if pv.get("year") == "1997"
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Hudi clustering (sinks/hudi_optimize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_hudi_clusters_and_preserves_rows(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_optimize import optimize_hudi
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sources.hudi import hudi_data_files
+
+    loc = str(tmp_path / "oh")
+    for i in range(4):
+        write_hudi_append(
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(5)], "id long"
+            ).coalesce(1),
+            loc,
+        )
+    before = hudi_data_files(loc)
+    assert len(before) == 4
+    rows_before = sorted(
+        r.id for r in spark.read.parquet(*before).collect()
+    )
+    inst = optimize_hudi(spark, loc, target_file_mb=1024)
+    assert inst is not None
+    after = hudi_data_files(loc)
+    assert len(after) == 1
+    rows_after = sorted(
+        r.id for r in spark.read.parquet(*after).collect()
+    )
+    assert rows_after == rows_before
+    # nothing left to do afterwards
+    assert optimize_hudi(spark, loc) is None
+
+
+def test_optimize_hudi_partitioned_and_fixture_tables(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_optimize import optimize_hudi
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        build_hudi_table,
+    )
+
+    a = spark.createDataFrame([(1,)], "id long")
+    base = build_hudi_table(
+        tmp_path / "ohf",
+        [
+            {"write": {"f1": a, "f2": a}, "partition": "year=1996"},
+            {"write": {"f3": a}, "partition": "year=1997"},
+        ],
+    )
+    inst = optimize_hudi(
+        spark, str(base), min_files_per_partition=2
+    )
+    assert inst is not None
+    after = hudi_scan_info(str(base))
+    by_year = {}
+    for p, pv in after:
+        by_year.setdefault(pv.get("year"), []).append(p)
+    assert len(by_year["1996"]) == 1  # clustered into one group
+    assert len(by_year["1997"]) == 1  # untouched single group
+    assert "f3" in by_year["1997"][0]
+
+
+def test_optimize_hudi_refuses_mor(spark, tmp_path):
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_optimize import optimize_hudi
+
+    loc = tmp_path / "ohm"
+    (loc / ".hoodie").mkdir(parents=True)
+    (loc / ".hoodie" / "hoodie.properties").write_text(
+        "hoodie.table.type=MERGE_ON_READ\n"
+    )
+    (loc / ".hoodie" / "20240101000000.commit").write_text(
+        '{"partitionToWriteStats": {}}'
+    )
+    with pytest.raises(GlueSparkError, match="COPY_ON_WRITE"):
+        optimize_hudi(spark, str(loc))
