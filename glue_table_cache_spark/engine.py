@@ -514,10 +514,17 @@ class GlueSparkEngine:
             # LOG-STATS zone-map skipping: the add actions' stats JSON
             # (numRecords/minValues/maxValues/nullCount) is already in
             # hand, so data-column predicates drop whole files for
-            # free.  For column-mapped tables stats carry PHYSICAL
-            # names, the query logical ones — extraction then finds no
-            # usable predicate and skipping is a no-op (safe).
-            if query and entries and self.config.stats_skipping:
+            # free.  Skipped for column-mapped tables (same guard as
+            # partition pruning above): stats keys are PHYSICAL column
+            # names, and after renames/swaps a physical name can equal
+            # a DIFFERENT column's logical name — matching it would
+            # skip files on the wrong column's min/max.
+            if (
+                query
+                and entries
+                and renames is None
+                and self.config.stats_skipping
+            ):
                 from glue_table_cache_spark.skipping import (
                     delta_file_stats,
                 )

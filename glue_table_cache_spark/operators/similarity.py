@@ -568,11 +568,15 @@ def semantic_dedup(
     also what makes the result reproducible across corpus growth.
 
     The assignment subtree is referenced three times (both pair sides
-    and the output), and Catalyst recomputes rather than reuses it —
-    at corpus scale, compute it once with
-    :func:`assign_embedding_clusters`, persist/checkpoint it, and pass
-    it as ``assigned`` (its ``centroid_sim`` must be the rounded sim
-    that function emits); the cross-join assignment then runs once."""
+    and the output), and Catalyst recomputes rather than reuses a
+    repeated subtree — so when ``assigned`` is not supplied, the
+    default path MATERIALIZES the assignment once via an eager
+    ``localCheckpoint`` (the :func:`connected_components` posture)
+    before the pair join: one corpus×centroid pass instead of three.
+    Pass a persisted ``assigned`` (built with
+    :func:`assign_embedding_clusters`; its ``centroid_sim`` must be
+    the rounded sim that function emits) to reuse one assignment
+    across runs — it is consumed as-is, never re-checkpointed."""
     if on_hot_cluster not in ("raise", "skip"):
         raise ValueError(
             f"on_hot_cluster must be 'raise' or 'skip', "
@@ -585,7 +589,7 @@ def semantic_dedup(
         )
         assigned = assign_embedding_clusters(
             df, cents, vec_col=vec_col, id_col=id_col
-        )
+        ).localCheckpoint()
     assigned = assigned.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -176,23 +176,29 @@ def optimize_delta(
 
     log_dir = base / "_delta_log"
     for attempt in range(max_commit_retries):
-        if attempt:
-            # the log moved under us: every replaced file must still
-            # be active, else this commit would resurrect rewritten
-            # history — abort and leave the table untouched
-            fresh, _r = delta_scan_info(location)
-            active_rel = {
-                str(Path(p).relative_to(base)) for p, _pv, _dv in fresh
-            }
-            if not replaced_rel <= active_rel:
-                for a in adds:
-                    (base / a["path"]).unlink(missing_ok=True)
-                raise GlueSparkError(
-                    "optimize_delta lost a conflicting race: files it "
-                    "rewrote are no longer active; table left "
-                    "untouched — re-run"
-                )
+        # Pin the commit version BEFORE validating, then validate on
+        # EVERY attempt (including the first): the rewrite phase above
+        # is long, so a conflicting commit can land while it runs —
+        # not just after an O_EXCL collision.  Because the version is
+        # pinned before the validation scan, any commit that lands
+        # after the scan takes this version and our O_EXCL collides,
+        # forcing the next attempt to re-validate against it.  Every
+        # replaced file must still be active, else this commit would
+        # resurrect rewritten history — abort, leave the table
+        # untouched.
         version = _next_version(log_dir)
+        fresh, _r = delta_scan_info(location)
+        active_rel = {
+            str(Path(p).relative_to(base)) for p, _pv, _dv in fresh
+        }
+        if not replaced_rel <= active_rel:
+            for a in adds:
+                (base / a["path"]).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "optimize_delta lost a conflicting race: files it "
+                "rewrote are no longer active; table left "
+                "untouched — re-run"
+            )
         actions = [
             {
                 "commitInfo": {

@@ -167,14 +167,21 @@ def write_delta_append(
 
     schema_fields = df.schema.jsonValue()
     for attempt in range(max_commit_retries):
-        if attempt and _already_committed():
+        # Pin the version BEFORE the idempotence check, and run the
+        # check on EVERY attempt: a zombie replica committing this
+        # (appId, version) during the distributed write above must be
+        # caught even when its commit would not collide with ours.
+        # With the version pinned first, any commit landing after the
+        # check takes this version and our O_EXCL collides — the next
+        # attempt then re-runs the check and sees the zombie's txn.
+        version = _next_version(log_dir)
+        if _already_committed():
             # a concurrent replica of the same stream committed this
             # batch while we were racing: drop our staged (still
             # uncommitted, hence invisible) files and bow out
             for a in adds:
                 (base / a["path"]).unlink(missing_ok=True)
             return -1
-        version = _next_version(log_dir)
         actions: list[dict] = [
             {
                 "commitInfo": {

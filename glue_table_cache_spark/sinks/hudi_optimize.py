@@ -147,24 +147,29 @@ def optimize_hudi(
         }
     )
     hoodie = base / ".hoodie"
-    instant = _latest_instant(hoodie) + 1
     for attempt in range(max_commit_retries):
-        if attempt:
-            fresh = {p for p, _pv in hudi_scan_info(location)}
-            if not replaced_paths <= fresh:
-                for stats in stats_by_part.values():
-                    for st in stats:
-                        (base / st["path"]).unlink(missing_ok=True)
-                raise GlueSparkError(
-                    "optimize_hudi lost a conflicting race: file "
-                    "groups it rewrote are no longer active; table "
-                    "left untouched — re-run"
-                )
+        # Pin the instant BEFORE validating, and validate on EVERY
+        # attempt (including the first): a conflicting instant can
+        # complete during the long rewrite phase above, not just after
+        # an O_EXCL collision.  With the instant pinned first, any
+        # instant completed after the validation scan takes this name
+        # and our O_EXCL collides, forcing the next attempt to
+        # re-validate against it.
+        instant = _latest_instant(hoodie) + 1
+        fresh = {p for p, _pv in hudi_scan_info(location)}
+        if not replaced_paths <= fresh:
+            for stats in stats_by_part.values():
+                for st in stats:
+                    (base / st["path"]).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "optimize_hudi lost a conflicting race: file "
+                "groups it rewrote are no longer active; table "
+                "left untouched — re-run"
+            )
         commit = hoodie / f"{instant}.replacecommit"
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            instant = max(instant + 1, _latest_instant(hoodie) + 1)
             continue
         with os.fdopen(fd, "w") as f:
             f.write(payload)

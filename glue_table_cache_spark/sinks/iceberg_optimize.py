@@ -218,6 +218,15 @@ def optimize_iceberg(
         replaced.update(paths)
     shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
 
+    def _rel(path: str) -> str:
+        # emit table-relative paths (the appender's convention) so an
+        # optimized table stays relocatable and one metadata history
+        # never mixes path styles; the reader resolves either form
+        try:
+            return str(Path(path).relative_to(base))
+        except ValueError:
+            return path
+
     def entry_row(
         path: str,
         status: int,
@@ -232,7 +241,7 @@ def optimize_iceberg(
             "sequence_number": seq,
             "data_file": {
                 "content": 0,
-                "file_path": path,
+                "file_path": _rel(path),
                 "file_format": "PARQUET",
                 "partition": pv or None,
                 "record_count": stats.get("record_count", 0),
@@ -247,24 +256,30 @@ def optimize_iceberg(
         }
 
     for attempt in range(max_commit_retries):
+        # Pin the sequence number BEFORE validating, and validate on
+        # EVERY attempt (including the first): the rewrite phase is
+        # long, so a conflicting snapshot can land while it runs, not
+        # just after an O_EXCL collision.  With the version pinned
+        # first, any snapshot committed after the validation scan
+        # takes v{seq} and our O_EXCL collides, forcing the next
+        # attempt to re-validate against it.
         fresh_prev = _latest_metadata(meta_dir)
-        if attempt:
-            fresh_entries, f_pos, f_eq = _scan_state(location)
-            fresh_active = {p for p, _pv, _seq, _st in fresh_entries}
-            new_deletes = (set(f_pos) != set(pos_dels)) or (
-                {d["path"] for d in f_eq}
-                != {d["path"] for d in eq_dels}
+        fresh_entries, f_pos, f_eq = _scan_state(location)
+        fresh_active = {p for p, _pv, _seq, _st in fresh_entries}
+        new_deletes = (set(f_pos) != set(pos_dels)) or (
+            {d["path"] for d in f_eq}
+            != {d["path"] for d in eq_dels}
+        )
+        if not replaced <= fresh_active or new_deletes:
+            for dest, _pv in new_files:
+                dest.unlink(missing_ok=True)
+            raise GlueSparkError(
+                "optimize_iceberg lost a conflicting race: "
+                "replaced files left the active set or new "
+                "row-level deletes landed; table left untouched "
+                "— re-run"
             )
-            if not replaced <= fresh_active or new_deletes:
-                for dest, _pv in new_files:
-                    dest.unlink(missing_ok=True)
-                raise GlueSparkError(
-                    "optimize_iceberg lost a conflicting race: "
-                    "replaced files left the active set or new "
-                    "row-level deletes landed; table left untouched "
-                    "— re-run"
-                )
-            entries = fresh_entries
+        entries = fresh_entries
         last_seq = fresh_prev.get("last-sequence-number", 0)
         seq = last_seq + 1
         snap_id = 1000 + seq
@@ -300,7 +315,9 @@ def optimize_iceberg(
             MANIFEST_LIST_SCHEMA,
             [
                 {
-                    "manifest_path": str(manifest),
+                    "manifest_path": str(
+                        Path("metadata") / manifest.name
+                    ),
                     "manifest_length": manifest.stat().st_size,
                     "partition_spec_id": 0,
                     "content": 0,
@@ -317,7 +334,9 @@ def optimize_iceberg(
                 "snapshot-id": snap_id,
                 "sequence-number": seq,
                 "timestamp-ms": int(time.time() * 1000),
-                "manifest-list": str(manifest_list),
+                "manifest-list": str(
+                    Path("metadata") / manifest_list.name
+                ),
             }
         ]
         commit = meta_dir / f"v{seq}.metadata.json"

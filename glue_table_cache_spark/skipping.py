@@ -148,7 +148,12 @@ def _cmp_pair(stat: Any, const: Any) -> tuple[Any, Any] | None:
         return None
     if isinstance(const, (int, float)):
         if isinstance(stat, (int, float, Decimal)):
-            return (float(stat), float(const))
+            # no float() coercion: Python's mixed-type numeric
+            # comparisons (int/float/Decimal) are EXACT, while
+            # float(10**16 + 1) == float(10**16) would collapse a
+            # strict inequality at the boundary and unsoundly drop a
+            # file containing matching rows
+            return (stat, const)
         return None
     if isinstance(const, str):
         if isinstance(stat, str):
