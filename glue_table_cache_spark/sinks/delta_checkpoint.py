@@ -1,0 +1,460 @@
+"""Delta checkpoint writer: snapshot the log so it stops growing.
+
+Beyond-reference maintenance primitive.  Every reader of a Delta table
+replays the JSON commit tail since the newest checkpoint; a table that
+is only ever appended to (the ingestion loop, the streaming sink)
+therefore gets slower to open with every commit until somebody writes
+a checkpoint.  Real writers checkpoint every ~10 commits per the
+public protocol (PROTOCOL.md, "Checkpoints"); this module is that half
+— the repo's reader half (:func:`..sources.delta._read_checkpoint`,
+``_last_checkpoint`` validation, multi-part completeness) has existed
+since round 4/5 and consumes this output unchanged.
+
+What a classic single-file checkpoint holds, one action per row:
+
+* every ACTIVE ``add`` (full fidelity: partitionValues, size,
+  modificationTime, ``stats`` JSON for zone-map skipping, and the
+  ``deletionVector`` descriptor — a checkpoint must not drop DVs or
+  deleted rows resurrect);
+* the latest ``metaData`` and ``protocol`` (after log cleanup the
+  checkpoint is the only place the schema and reader gates live);
+* one ``txn`` row per streaming ``appId`` (SetTransaction recovery —
+  a restarted exactly-once writer must still see its high-water mark
+  when the JSON commits are gone).
+
+Deviation, documented: expired ``remove`` tombstones are NOT carried.
+The protocol keeps them so VACUUM implementations that diff
+checkpoints can find stale files; this repo's
+:func:`..sinks.delta_optimize.vacuum_delta` works by listing minus
+the active set, so tombstone bookkeeping is dead weight here.
+
+Atomicity: the checkpoint parquet is staged and ``rename``d into
+place (same-directory rename; readers never see a partial file), then
+``_last_checkpoint`` is swapped the same way.  Checkpointing is
+IDEMPOTENT — two writers racing to checkpoint the same version produce
+byte-equivalent state, so an already-present checkpoint file is
+success, not an error.
+
+``clean_delta_log`` is the retention half: JSON commits at or below a
+checkpoint, older than ``retention_hours``, can be deleted — after
+which time travel to them refuses loudly (by definition of retention)
+while the current version, skipping stats, and txn recovery all keep
+working from the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sources.delta import (
+    _CHECKPOINT_RE,
+    _CHECKPOINT_V2_RE,
+    _COMMIT_RE,
+    _log_files,
+    _verify_checkpoint_parts,
+)
+from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+#: map and struct layouts of the classic checkpoint columns; the
+#: reader projects ("add", "metaData", "protocol", "txn") and
+#: tolerates pyarrow's map-as-pair-list decoding
+_DV_FIELDS = (
+    "storageType",
+    "pathOrInlineDv",
+    "offset",
+    "sizeInBytes",
+    "cardinality",
+)
+
+
+def _checkpoint_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    dv = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    return pa.schema(
+        [
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("deletionVector", dv),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("name", pa.string()),
+                        ("description", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    ("options", str_map),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _as_dict(v) -> dict:
+    """pyarrow decodes maps as pair lists; normalize back to dicts."""
+    if isinstance(v, list):
+        return dict(v)
+    return dict(v or {})
+
+
+def _full_replay(location: str, target: int) -> tuple[dict, dict]:
+    """Replay to exactly ``target``, keeping FULL ``add`` dicts (the
+    reader's :func:`.._replay` projects them down to (pv, dv, stats) —
+    a checkpoint must re-emit size/modificationTime/stats untouched).
+    Returns ``(adds_by_path, state)`` with ``state`` carrying
+    ``metaData`` / ``protocol`` / ``txns``."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    names = _log_files(location)
+    commits: dict[int, str] = {}
+    checkpoints: dict[int, list[str]] = {}
+    for p in names:
+        m = _COMMIT_RE.search(p)
+        if m:
+            commits[int(m.group(1))] = p
+            continue
+        m = _CHECKPOINT_RE.search(p)
+        if m:
+            checkpoints.setdefault(int(m.group(1)), []).append(p)
+            continue
+        if _CHECKPOINT_V2_RE.search(p):
+            raise GlueSparkError(
+                "write_delta_checkpoint emits classic checkpoints and "
+                f"will not mix forms: {location!r} already carries a "
+                "v2 (uuid-named) checkpoint — keep using its writer"
+            )
+    if target not in commits and target not in checkpoints:
+        raise GlueSparkError(
+            f"Delta version {target} of {location!r} does not exist"
+        )
+
+    adds: dict[str, dict] = {}
+    state: dict = {}
+    start = 0
+    cp_versions = [v for v in checkpoints if v <= target]
+    if cp_versions:
+        cp = max(cp_versions)
+        for p in _verify_checkpoint_parts(cp, checkpoints[cp]):
+            pf = pq.ParquetFile(io.BytesIO(_read_bytes(p)))
+            present = set(pf.schema_arrow.names)
+            want = [
+                c
+                for c in ("add", "metaData", "protocol", "txn")
+                if c in present
+            ]
+            table = pf.read(columns=want)
+            for c in want:
+                for rec in table.column(c).to_pylist():
+                    if not rec:
+                        continue
+                    if c == "add" and rec.get("path"):
+                        rec["partitionValues"] = _as_dict(
+                            rec.get("partitionValues")
+                        )
+                        adds[rec["path"]] = rec
+                    elif c == "metaData" and (
+                        rec.get("id") or rec.get("schemaString")
+                    ):
+                        state["metaData"] = rec
+                    elif (
+                        c == "protocol"
+                        and rec.get("minReaderVersion") is not None
+                    ):
+                        state["protocol"] = rec
+                    elif c == "txn" and rec.get("appId") is not None:
+                        state.setdefault("txns", {})[rec["appId"]] = (
+                            rec.get("version")
+                        )
+        start = cp + 1
+    for v in range(start, target + 1):
+        if v not in commits:
+            raise GlueSparkError(
+                f"Delta log for {location!r} is missing commit {v} "
+                f"(checkpoint target {target})"
+            )
+        for line in _read_bytes(commits[v]).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if action.get("add"):
+                a = action["add"]
+                adds[a["path"]] = a
+            elif action.get("remove"):
+                adds.pop(action["remove"]["path"], None)
+            elif action.get("metaData"):
+                state["metaData"] = action["metaData"]
+            elif action.get("protocol"):
+                state["protocol"] = action["protocol"]
+            elif action.get("txn"):
+                t = action["txn"]
+                if t.get("appId") is not None:
+                    state.setdefault("txns", {})[t["appId"]] = t.get(
+                        "version"
+                    )
+    return adds, state
+
+
+def _norm_dv(dv) -> dict | None:
+    if not dv:
+        return None
+    out = {k: dv.get(k) for k in _DV_FIELDS}
+    for k in ("offset", "sizeInBytes", "cardinality"):
+        if out.get(k) is not None:
+            out[k] = int(out[k])
+    return out
+
+
+def write_delta_checkpoint(
+    location: str, version: int | None = None
+) -> int:
+    """Write a classic single-file checkpoint for the Delta table at
+    ``location`` at ``version`` (default: the latest committed) plus
+    the ``_last_checkpoint`` pointer; returns the checkpointed
+    version.  Idempotent: an existing checkpoint at that version is
+    success."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "write_delta_checkpoint writes via the local filesystem; "
+            "object stores need the scheme-specific rename path"
+        )
+    log_dir = base / "_delta_log"
+    if version is None:
+        vs = [
+            int(p.name[:20])
+            for p in log_dir.glob("*.json")
+            if p.name[:20].isdigit()
+        ]
+        if not vs:
+            raise GlueSparkError(
+                f"No Delta log found under {location!r}/_delta_log"
+            )
+        version = max(vs)
+    adds, state = _full_replay(location, version)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now = int(time.time() * 1000)
+    txn_rows = [
+        {"appId": app, "version": v, "lastUpdated": None}
+        for app, v in sorted((state.get("txns") or {}).items())
+    ]
+    add_rows = []
+    for path in sorted(adds):
+        a = adds[path]
+        size = a.get("size")
+        if size is None:
+            f = base / path
+            size = f.stat().st_size if f.exists() else 0
+        add_rows.append(
+            {
+                "path": path,
+                "partitionValues": _as_dict(a.get("partitionValues")),
+                "size": int(size),
+                "modificationTime": int(
+                    a.get("modificationTime") or now
+                ),
+                # rearranged bookkeeping, not new rows — readers of
+                # the checkpoint must not see phantom inserts
+                "dataChange": False,
+                "stats": a.get("stats"),
+                "deletionVector": _norm_dv(a.get("deletionVector")),
+            }
+        )
+    meta = state.get("metaData")
+    meta_row = None
+    if meta:
+        fmt = meta.get("format") or {}
+        meta_row = {
+            "id": meta.get("id"),
+            "name": meta.get("name"),
+            "description": meta.get("description"),
+            "format": {
+                "provider": fmt.get("provider", "parquet"),
+                "options": _as_dict(fmt.get("options")),
+            },
+            "schemaString": meta.get("schemaString"),
+            "partitionColumns": list(
+                meta.get("partitionColumns") or []
+            ),
+            "configuration": _as_dict(meta.get("configuration")),
+            "createdTime": meta.get("createdTime"),
+        }
+    proto = state.get("protocol")
+    proto_row = None
+    if proto:
+        proto_row = {
+            "minReaderVersion": proto.get("minReaderVersion"),
+            "minWriterVersion": proto.get("minWriterVersion"),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        }
+    if meta_row is None or proto_row is None:
+        raise GlueSparkError(
+            f"Delta log for {location!r} carries no "
+            f"{'metaData' if meta_row is None else 'protocol'} action "
+            "— a checkpoint without it would strand readers after log "
+            "cleanup; write through write_delta_append first"
+        )
+
+    n = len(txn_rows) + len(add_rows) + 2
+    col = {
+        "txn": txn_rows + [None] * (n - len(txn_rows)),
+        "add": [None] * len(txn_rows)
+        + add_rows
+        + [None, None],
+        "metaData": [None] * (n - 2) + [meta_row, None],
+        "protocol": [None] * (n - 1) + [proto_row],
+    }
+    schema = _checkpoint_schema()
+    table = pa.table(
+        {
+            name: pa.array(col[name], type=schema.field(name).type)
+            for name in schema.names
+        },
+        schema=schema,
+    )
+
+    dest = log_dir / f"{version:020d}.checkpoint.parquet"
+    if not dest.exists():
+        tmp = log_dir / f".{dest.name}.{uuid.uuid4().hex[:8]}.tmp"
+        pq.write_table(table, tmp)
+        try:
+            os.rename(tmp, dest)  # same-dir rename: atomic flip
+        except OSError:
+            tmp.unlink(missing_ok=True)
+            if not dest.exists():
+                raise
+    # the pointer is a hint readers cross-validate; swap, never append
+    lc = log_dir / "_last_checkpoint"
+    current = None
+    if lc.exists():
+        try:
+            current = json.loads(lc.read_text()).get("version")
+        except ValueError:
+            current = None
+    if current is None or current < version:
+        tmp = log_dir / f"._last_checkpoint.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(
+            json.dumps({"version": version, "size": n, "parts": None})
+        )
+        os.rename(tmp, lc)
+    return version
+
+
+def clean_delta_log(
+    location: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = True,
+) -> list[str]:
+    """Delete (or with ``dry_run=True``, list) JSON commits strictly
+    below the newest checkpoint and older than ``retention_hours`` —
+    the log-retention half of table maintenance (the data-file half is
+    :func:`..sinks.delta_optimize.vacuum_delta`).  Commits at or above
+    the newest checkpoint are never candidates: the checkpoint covers
+    everything below it, nothing covers them.  Time travel to cleaned
+    versions refuses loudly afterwards — that is what retention
+    means."""
+    if retention_hours < 0:
+        raise GlueSparkError("retention_hours must be >= 0")
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "clean_delta_log deletes via the local filesystem"
+        )
+    log_dir = base / "_delta_log"
+    cps = [
+        int(m.group(1))
+        for p in log_dir.iterdir()
+        if (m := _CHECKPOINT_RE.search(p.name))
+    ]
+    if not cps:
+        return []
+    horizon = max(cps)
+    cutoff = time.time() - retention_hours * 3600.0
+    victims: list[str] = []
+    for p in log_dir.glob("*.json"):
+        m = _COMMIT_RE.search(p.name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v >= horizon:
+            continue
+        if p.stat().st_mtime > cutoff:
+            continue
+        victims.append(str(p))
+    # superseded checkpoints below the horizon age out the same way
+    for p in log_dir.iterdir():
+        m = _CHECKPOINT_RE.search(p.name)
+        if not m or int(m.group(1)) >= horizon:
+            continue
+        if p.stat().st_mtime > cutoff:
+            continue
+        victims.append(str(p))
+    if not dry_run:
+        for v in victims:
+            Path(v).unlink(missing_ok=True)
+    return sorted(victims)

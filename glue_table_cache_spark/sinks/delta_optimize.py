@@ -59,6 +59,7 @@ def optimize_delta(
     bits_per_col: int = 8,
     min_files_per_partition: int = 2,
     max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
 ) -> int | None:
     """Compact the Delta table at ``location``; returns the committed
     version, or ``None`` when nothing needed rewriting.  A partition
@@ -228,6 +229,11 @@ def optimize_delta(
             continue
         with os.fdopen(fd, "w") as f:
             f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        from glue_table_cache_spark.sinks.delta_write import (
+            _maybe_checkpoint,
+        )
+
+        _maybe_checkpoint(location, version, checkpoint_interval)
         return version
     raise GlueSparkError(
         f"could not commit OPTIMIZE to {location!r} after "

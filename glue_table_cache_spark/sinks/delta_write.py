@@ -92,10 +92,19 @@ def write_delta_append(
     max_commit_retries: int = 10,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    checkpoint_interval: int | None = 10,
 ) -> int:
     """Append ``df`` to the Delta table at ``location`` (created on
     first write); returns the committed version.  Readers see the
     whole batch or none of it.
+
+    Every ``checkpoint_interval``-th version is snapshotted into a
+    classic checkpoint parquet
+    (:func:`glue_table_cache_spark.sinks.delta_checkpoint.write_delta_checkpoint`)
+    so readers replay a bounded JSON tail instead of the whole log —
+    without this, a long-lived ingestion loop's table gets slower to
+    open with every commit.  ``None`` disables (an external
+    maintenance job owns checkpointing).
 
     ``txn_app_id`` + ``txn_version`` make the append IDEMPOTENT (the
     protocol's SetTransaction action): if the log already records a
@@ -234,8 +243,25 @@ def write_delta_append(
             continue  # lost the race: re-read the log, retry
         with os.fdopen(fd, "w") as f:
             f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        _maybe_checkpoint(location, version, checkpoint_interval)
         return version
     raise GlueSparkError(
         f"could not commit to {location!r} after "
         f"{max_commit_retries} attempts (concurrent writers)"
     )
+
+
+def _maybe_checkpoint(
+    location: str, version: int, interval: int | None
+) -> None:
+    """Checkpoint after every ``interval``-th committed version.  The
+    commit has already succeeded; checkpointing is idempotent repo
+    maintenance, so a race with another writer's checkpoint of the
+    same version is benign (first rename wins, identical state)."""
+    if not interval or version <= 0 or version % interval:
+        return
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        write_delta_checkpoint,
+    )
+
+    write_delta_checkpoint(location, version)

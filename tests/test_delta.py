@@ -609,7 +609,8 @@ def test_partitioned_delta_surfaces_partition_columns(spark, tmp_path):
 def test_delta_log_reconstruction_property(tmp_path):
     """Property: for ANY action sequence, the walk's active set equals
     a straightforward model replay — with and without a checkpoint at
-    an arbitrary version, at every version_offset.  The log walk only
+    an arbitrary version (written by the FIXTURE or by the repo's own
+    checkpoint writer), at every version_offset.  The log walk only
     reads _delta_log, so no data files (or Spark) are needed."""
     import json
 
@@ -638,6 +639,17 @@ def test_delta_log_reconstruction_property(tmp_path):
         model: dict = {}
         for v, acts in enumerate(commits):
             lines = []
+            if v == 0:
+                # a real log's first commit carries metaData+protocol;
+                # the repo checkpoint writer (rightly) requires them
+                lines.append(json.dumps({"metaData": {
+                    "id": "t", "format": {"provider": "parquet",
+                                          "options": {}},
+                    "schemaString": json.dumps({
+                        "type": "struct", "fields": []}),
+                    "partitionColumns": [], "configuration": {}}}))
+                lines.append(json.dumps({"protocol": {
+                    "minReaderVersion": 1, "minWriterVersion": 2}}))
             for kind, name in acts:
                 if kind == "add":
                     lines.append(json.dumps(
@@ -655,11 +667,18 @@ def test_delta_log_reconstruction_property(tmp_path):
             label="checkpoint_at",
         )
         if cp is not None:
-            from glue_table_cache_spark.sources.delta_fixture import (
-                _write_checkpoint,
-            )
+            if data.draw(st.booleans(), label="repo_writer"):
+                from glue_table_cache_spark.sinks.delta_checkpoint import (
+                    write_delta_checkpoint,
+                )
 
-            _write_checkpoint(log, cp, model_states[cp])
+                write_delta_checkpoint(str(base), version=cp)
+            else:
+                from glue_table_cache_spark.sources.delta_fixture import (
+                    _write_checkpoint,
+                )
+
+                _write_checkpoint(log, cp, model_states[cp])
         for off in range(len(commits)):
             got = {
                 p.rsplit("/", 1)[1]

@@ -1088,3 +1088,170 @@ def test_optimize_hudi_refuses_mor(spark, tmp_path):
     )
     with pytest.raises(GlueSparkError, match="COPY_ON_WRITE"):
         optimize_hudi(spark, str(loc))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint writer + log retention (sinks/delta_checkpoint.py)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_checkpoint_interval_and_log_cleanup(spark, tmp_path):
+    """Appends checkpoint every Nth version; after the pre-checkpoint
+    JSON commits are deleted, the engine scan, zone-map stats, and
+    SetTransaction recovery all still reconstruct from the
+    checkpoint."""
+    import json
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        delta_last_txn_version,
+        delta_scan_info,
+    )
+
+    base = tmp_path / "ckpt"
+    for i in range(12):
+        df = spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "cast(id * 2 as double) as v"
+        ).coalesce(1)
+        write_delta_append(
+            df, str(base), checkpoint_interval=5,
+            txn_app_id="app", txn_version=i,
+        )
+    log = base / "_delta_log"
+    cps = sorted(p.name for p in log.glob("*.checkpoint.parquet"))
+    assert cps == [
+        "00000000000000000005.checkpoint.parquet",
+        "00000000000000000010.checkpoint.parquet",
+    ]
+    assert json.loads(
+        (log / "_last_checkpoint").read_text()
+    )["version"] == 10
+
+    removed = clean_delta_log(str(base), retention_hours=0,
+                              dry_run=False)
+    # commits 0..9 plus the superseded checkpoint at 5
+    assert len(removed) == 11
+    assert not (log / f"{0:020d}.json").exists()
+
+    entries, renames, schema = delta_scan_info(
+        str(base), with_schema=True, with_stats=True
+    )
+    assert renames is None
+    assert [f.name for f in schema.fields] == ["id", "v"]
+    assert all(s for _p, _pv, _dv, s in entries)  # stats survive
+    assert delta_last_txn_version(str(base), "app") == 11
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "ck", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM glue.db.ck"
+    ).collect()[0].n == 120
+    # zone-map skipping still prunes from checkpoint-carried stats
+    narrow = eng.sql("SELECT id FROM glue.db.ck WHERE id >= 110")
+    assert sorted(r.id for r in narrow.collect()) == list(
+        range(110, 120)
+    )
+    assert len(narrow.inputFiles()) < len(entries)
+
+
+def test_delta_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+    from glue_table_cache_spark.sources.delta_fixture import (
+        build_delta_table,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    base = build_delta_table(
+        tmp_path / "ckdv",
+        [
+            {"add": [df.coalesce(1)]},
+            {"dv": {"part-0-0.parquet": lambda pdf: pdf["id"] % 2 == 1}},
+        ],
+    )
+    assert write_delta_checkpoint(str(base)) == 1
+    assert clean_delta_log(
+        str(base), retention_hours=0, dry_run=False
+    )  # all JSON commits covered by the checkpoint
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "ckdv", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    out = GlueSparkEngine(spark, store).sql(
+        "SELECT id FROM glue.db.ckdv ORDER BY id"
+    )
+    assert [r.id for r in out.collect()] == [0, 2, 4, 6, 8]
+
+
+def test_delta_checkpoint_idempotent_pointer_monotone(spark, tmp_path):
+    import json
+
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        write_delta_checkpoint,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    base = tmp_path / "cki"
+    for i in range(3):
+        write_delta_append(
+            spark.range(5).coalesce(1), str(base),
+            checkpoint_interval=None,
+        )
+    assert write_delta_checkpoint(str(base)) == 2
+    # idempotent: same version twice is success, not an error
+    assert write_delta_checkpoint(str(base), version=2) == 2
+    # an older-version checkpoint never regresses the pointer
+    assert write_delta_checkpoint(str(base), version=1) == 1
+    lc = base / "_delta_log" / "_last_checkpoint"
+    assert json.loads(lc.read_text())["version"] == 2
+
+
+def test_delta_checkpoint_refuses_without_metadata(tmp_path):
+    import json
+
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        write_delta_checkpoint,
+    )
+
+    log = tmp_path / "nm" / "_delta_log"
+    log.mkdir(parents=True)
+    (log / f"{0:020d}.json").write_text(
+        json.dumps({"add": {"path": "f.parquet",
+                            "partitionValues": {}}}) + "\n"
+    )
+    with pytest.raises(GlueSparkError, match="metaData"):
+        write_delta_checkpoint(str(tmp_path / "nm"))
+
+
+def test_optimize_delta_writes_checkpoint(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+    )
+
+    base = _mk_many_files_delta(spark, tmp_path, name="optck")
+    v = optimize_delta(
+        spark, str(base), target_file_mb=1024, checkpoint_interval=1
+    )
+    assert v == 1
+    assert (
+        base / "_delta_log" / f"{v:020d}.checkpoint.parquet"
+    ).exists()
