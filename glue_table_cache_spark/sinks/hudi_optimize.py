@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -178,3 +179,62 @@ def optimize_hudi(
         f"could not commit clustering to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def clean_hudi(
+    location: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = True,
+) -> list[str]:
+    """Delete (or with ``dry_run=True``, just list) data files under
+    the table directory that the timeline no longer serves — replaced
+    file groups from clustering, superseded base slices from COW
+    updates, logs folded by compaction, aborted writes.  Hudi's CLEAN
+    table service with
+    :func:`..delta_optimize.vacuum_delta`'s exact safety posture:
+
+    * the ACTIVE set is never touched — every live base slice AND
+      every live log file (:func:`..sources.hudi.hudi_mor_scan_info`
+      computes both, for COW and MOR alike);
+    * a non-active file is eligible only once older than
+      ``retention_hours`` (mtime) — a too-short retention breaks
+      concurrent readers of recent slices and in-flight writers'
+      staged files, hence the 7-day default and the >= 0 gate;
+    * ``.hoodie/`` (the timeline) and staging directories are never
+      candidates — instants are metadata-scale, and incremental
+      consumers (:func:`..sources.hudi.hudi_changes`) replay them.
+
+    Reading a cleaned older slice stops working by definition — that
+    is what retention means."""
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+
+    if retention_hours < 0:
+        raise GlueSparkError("retention_hours must be >= 0")
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "clean_hudi deletes via the local filesystem"
+        )
+    base_entries, log_entries = hudi_mor_scan_info(location)
+    active = {str(Path(p)) for p, _pv, _ts in base_entries}
+    active |= {str(Path(p)) for p, _ts, _pv in log_entries}
+    cutoff = time.time() - retention_hours * 3600.0
+    victims: list[str] = []
+    for p in base.rglob("*"):
+        if not p.is_file():
+            continue
+        rel_parts = p.relative_to(base).parts
+        if rel_parts and (
+            rel_parts[0] == ".hoodie"
+            or rel_parts[0].startswith("_staging_")
+        ):
+            continue
+        if str(p) in active:
+            continue
+        if p.stat().st_mtime > cutoff:
+            continue
+        victims.append(str(p))
+    if not dry_run:
+        for v in victims:
+            Path(v).unlink(missing_ok=True)
+    return sorted(victims)

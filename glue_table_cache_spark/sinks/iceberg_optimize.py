@@ -353,3 +353,190 @@ def optimize_iceberg(
         f"could not commit OPTIMIZE to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def expire_iceberg_snapshots(
+    location: str,
+    retention_hours: float = 168.0,
+    keep_last: int = 1,
+    max_commit_retries: int = 10,
+) -> int | None:
+    """Prune expired snapshots from the table metadata — the Iceberg
+    ``expire_snapshots`` maintenance action, the snapshot-history
+    sibling of :func:`..delta_optimize.vacuum_delta`'s retention gate.
+
+    A snapshot is expired when it is older than ``retention_hours``
+    (its ``timestamp-ms``), is not among the ``keep_last`` newest, and
+    is not the current snapshot — the CURRENT snapshot is never
+    expirable, whatever the retention, so the active scan is always
+    protected.  Expiry commits a NEW metadata version (same
+    ``O_EXCL`` put-if-absent as every other commit in this repo) whose
+    ``snapshots`` list holds only the retained ones; the data/manifest
+    files of expired snapshots stay on disk until
+    :func:`remove_iceberg_orphans` collects them.  Returns the new
+    sequence number, or ``None`` when nothing expired."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "expire_iceberg_snapshots commits via filesystem "
+            "put-if-absent"
+        )
+    if retention_hours < 0:
+        raise GlueSparkError("retention_hours must be >= 0")
+    if keep_last < 1:
+        raise GlueSparkError("keep_last must be >= 1")
+    meta_dir = base / "metadata"
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+    for _attempt in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata under {location!r}"
+            )
+        snaps = list(prev.get("snapshots") or [])
+        if not snaps:
+            return None
+        newest = sorted(
+            snaps, key=lambda s: s.get("timestamp-ms", 0)
+        )[-keep_last:]
+        keep_ids = {s["snapshot-id"] for s in newest}
+        keep_ids.add(prev.get("current-snapshot-id"))
+        retained = [
+            s
+            for s in snaps
+            if s["snapshot-id"] in keep_ids
+            or s.get("timestamp-ms", 0) >= cutoff_ms
+        ]
+        if len(retained) == len(snaps):
+            return None
+        seq = prev.get("last-sequence-number", 0) + 1
+        meta = dict(prev)
+        meta["last-sequence-number"] = seq
+        meta["snapshots"] = retained
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # a commit raced us: re-read and re-prune
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit snapshot expiry to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )
+
+
+def remove_iceberg_orphans(
+    location: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = True,
+) -> list[str]:
+    """Delete (or with ``dry_run=True``, just list) files under
+    ``data/`` and ``metadata/`` that no surviving metadata version
+    references — expired-snapshot manifests and data files, rewrite
+    leftovers, aborted writes.  The Iceberg ``remove_orphan_files``
+    action with :func:`..delta_optimize.vacuum_delta`'s exact safety
+    posture:
+
+    * the reachable set of every SURVIVING metadata version is never
+      touched: the newest version always survives; an older version
+      survives while it is younger than ``retention_hours`` (so time
+      travel inside the retention window keeps working — and refuses
+      loudly beyond it, which is what deleting history means);
+    * reachability walks every retained snapshot's manifest list →
+      manifests → every live file path (data AND delete files;
+      ``status=2`` tombstone entries are bookkeeping for files that
+      already left the table, so they do NOT pin — otherwise an
+      OPTIMIZE's replaced files would be protected forever);
+    * a non-reachable file is eligible only once older than
+      ``retention_hours`` (mtime) — in-flight writers' staged-but-
+      uncommitted files never race the clock;
+    * an unreadable manifest referenced by a surviving version aborts
+      the whole operation — a partial reachable set deletes live data.
+    """
+    from glue_table_cache_spark.sources.avro_lite import read_avro
+    from glue_table_cache_spark.sources.iceberg import _resolve_path
+
+    if retention_hours < 0:
+        raise GlueSparkError("retention_hours must be >= 0")
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "remove_iceberg_orphans deletes via the local filesystem"
+        )
+    meta_dir = base / "metadata"
+    metas: list[tuple[int, Path, dict]] = []
+    for p in meta_dir.glob("*.json"):
+        try:
+            m = json.loads(p.read_text())
+        except ValueError:
+            continue
+        metas.append((m.get("last-sequence-number", 0), p, m))
+    if not metas:
+        raise GlueSparkError(f"no Iceberg metadata under {location!r}")
+    metas.sort(key=lambda t: t[0])
+    cutoff = time.time() - retention_hours * 3600.0
+    survivors = [
+        (p, m)
+        for i, (_seq, p, m) in enumerate(metas)
+        if i == len(metas) - 1 or p.stat().st_mtime > cutoff
+    ]
+    reachable: set[str] = {str(p) for p, _m in survivors}
+    seen_manifests: set[str] = set()
+    for mp, m in survivors:
+        for snap in m.get("snapshots") or []:
+            ml = _resolve_path(location, snap["manifest-list"])
+            reachable.add(str(Path(ml)))
+            try:
+                rows = read_avro(ml)
+            except Exception as exc:  # noqa: BLE001
+                raise GlueSparkError(
+                    f"surviving metadata {mp.name!r} references "
+                    f"unreadable manifest list {ml!r} ({exc}) — "
+                    "refusing to compute a partial reachable set"
+                ) from exc
+            for r in rows:
+                man = _resolve_path(location, r["manifest_path"])
+                reachable.add(str(Path(man)))
+                if man in seen_manifests:
+                    continue
+                seen_manifests.add(man)
+                try:
+                    entries = read_avro(man)
+                except Exception as exc:  # noqa: BLE001
+                    raise GlueSparkError(
+                        f"surviving snapshot references unreadable "
+                        f"manifest {man!r} ({exc}) — refusing to "
+                        "compute a partial reachable set"
+                    ) from exc
+                for entry in entries:
+                    if entry.get("status") == 2:
+                        continue
+                    reachable.add(
+                        str(
+                            Path(
+                                _resolve_path(
+                                    location,
+                                    entry["data_file"]["file_path"],
+                                )
+                            )
+                        )
+                    )
+    victims: list[str] = []
+    for sub in ("data", "metadata"):
+        root = base / sub
+        if not root.is_dir():
+            continue
+        for p in root.rglob("*"):
+            if not p.is_file():
+                continue
+            if str(p) in reachable:
+                continue
+            if p.stat().st_mtime > cutoff:
+                continue
+            victims.append(str(p))
+    if not dry_run:
+        for v in victims:
+            Path(v).unlink(missing_ok=True)
+    return sorted(victims)

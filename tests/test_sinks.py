@@ -1255,3 +1255,172 @@ def test_optimize_delta_writes_checkpoint(spark, tmp_path):
     assert (
         base / "_delta_log" / f"{v:020d}.checkpoint.parquet"
     ).exists()
+
+
+# ---------------------------------------------------------------------------
+# Retention maintenance: Iceberg expire+orphans, Hudi clean
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_expire_and_orphan_removal(spark, tmp_path):
+    """expire-snapshots prunes history (current always protected);
+    orphan removal deletes replaced files + stale metadata after
+    retention while the active scan stays byte-identical; expired
+    time travel refuses loudly."""
+    from pathlib import Path
+
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        expire_iceberg_snapshots,
+        optimize_iceberg,
+        remove_iceberg_orphans,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_data_files,
+        iceberg_scan_details,
+    )
+
+    base = tmp_path / "iret"
+    for i in range(3):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(5)], "id long"
+            ).coalesce(1),
+            str(base),
+        )
+    assert optimize_iceberg(
+        spark, str(base), min_files_per_partition=2
+    ) is not None
+    active_before = sorted(iceberg_data_files(str(base)))
+    rows_before = sorted(
+        r.id for r in spark.read.parquet(*active_before).collect()
+    )
+
+    assert expire_iceberg_snapshots(
+        str(base), retention_hours=0
+    ) is not None
+    # idempotent: nothing further to expire
+    assert expire_iceberg_snapshots(
+        str(base), retention_hours=0
+    ) is None
+
+    victims = remove_iceberg_orphans(
+        str(base), retention_hours=0, dry_run=True
+    )
+    assert victims
+    # active-file protection: no live file is ever a victim
+    assert not set(victims) & {str(Path(p)) for p in active_before}
+    remove_iceberg_orphans(str(base), retention_hours=0, dry_run=False)
+
+    after = sorted(iceberg_data_files(str(base)))
+    assert after == active_before
+    assert sorted(
+        r.id for r in spark.read.parquet(*after).collect()
+    ) == rows_before
+    # replaced data files are GONE from disk
+    remaining = {str(p) for p in (base / "data").rglob("*.parquet")}
+    assert remaining == {str(Path(p)) for p in after}
+    # expired time travel refuses loudly
+    with pytest.raises(GlueSparkError, match="version_offset"):
+        iceberg_scan_details(str(base), version_offset=1)
+
+
+def test_iceberg_orphans_respect_retention_clock(spark, tmp_path):
+    """A non-reachable file younger than the retention window is NOT
+    collected (in-flight writers never race the clock)."""
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        remove_iceberg_orphans,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    base = tmp_path / "irc"
+    write_iceberg_append(
+        spark.createDataFrame([(1,)], "id long").coalesce(1), str(base)
+    )
+    stray = base / "data" / "stray-uncommitted.parquet"
+    stray.write_bytes(b"xx")
+    assert remove_iceberg_orphans(
+        str(base), retention_hours=1, dry_run=True
+    ) == []
+    assert remove_iceberg_orphans(
+        str(base), retention_hours=0, dry_run=True
+    ) == [str(stray)]
+
+
+def test_hudi_clean_removes_replaced_groups(spark, tmp_path):
+    from pathlib import Path
+
+    from glue_table_cache_spark.sinks.hudi_optimize import (
+        clean_hudi,
+        optimize_hudi,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+
+    base = tmp_path / "hret"
+    for i in range(2):
+        write_hudi_append(
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(5)], "id long"
+            ).coalesce(1),
+            str(base),
+        )
+    assert optimize_hudi(
+        spark, str(base), min_files_per_partition=2
+    ) is not None
+    active = [p for p, _pv in hudi_scan_info(str(base))]
+    rows_before = sorted(
+        r.id for r in spark.read.parquet(*active).collect()
+    )
+    victims = clean_hudi(str(base), retention_hours=0, dry_run=True)
+    assert victims
+    assert not set(victims) & {str(Path(p)) for p in active}
+    clean_hudi(str(base), retention_hours=0, dry_run=False)
+    active_after = [p for p, _pv in hudi_scan_info(str(base))]
+    assert active_after == active
+    assert sorted(
+        r.id for r in spark.read.parquet(*active_after).collect()
+    ) == rows_before
+    # only the active base files remain on disk
+    left = {
+        str(p)
+        for p in base.rglob("*.parquet")
+        if ".hoodie" not in p.parts
+    }
+    assert left == {str(Path(p)) for p in active}
+
+
+def test_hudi_clean_protects_live_mor_logs(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_optimize import clean_hudi
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        build_hudi_table,
+    )
+    from glue_table_cache_spark.sources.hudi_log import data_block
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    a = spark.createDataFrame([(1,), (2,)], "id long")
+    base = build_hudi_table(
+        tmp_path / "hml",
+        [
+            {"write": {"fg1": a}},
+            {"log": {"fg1": data_block(
+                "20240101000001", schema, [{"id": 2}]
+            )}},
+        ],
+        table_type="MERGE_ON_READ",
+    )
+    base_entries, log_entries = hudi_mor_scan_info(str(base))
+    assert log_entries  # the live log is there...
+    assert clean_hudi(str(base), retention_hours=0, dry_run=True) == []
