@@ -228,6 +228,74 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             ],
         )
         (base / "orders_ice_eq._BUILT").touch()
+    # Maintained tables: the repo's OWN writers -> OPTIMIZE ->
+    # checkpoint/retention round-trip, then scanned through the engine
+    # under the DuckDB oracle — the full lakehouse maintenance path
+    # (sinks/delta_write.py, delta_checkpoint.py, delta_optimize.py,
+    # iceberg_write.py, iceberg_optimize.py, hudi_write.py,
+    # hudi_optimize.py) as a driver row, not pytest alone.  Each table
+    # must still scan as exactly plain `orders` afterwards.
+    for fmt in ("delta", "iceberg", "hudi"):
+        loc = base / f"orders_{fmt}_m"
+        marker = base / f"orders_{fmt}_m._BUILT"
+        if marker.exists():
+            continue
+        shutil.rmtree(loc, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        even = orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1)
+        odd = orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1)
+        if fmt == "delta":
+            from glue_table_cache_spark.sinks.delta_checkpoint import (
+                clean_delta_log,
+            )
+            from glue_table_cache_spark.sinks.delta_optimize import (
+                optimize_delta,
+                vacuum_delta,
+            )
+            from glue_table_cache_spark.sinks.delta_write import (
+                write_delta_append,
+            )
+
+            write_delta_append(even, str(loc))
+            write_delta_append(odd, str(loc))
+            # OPTIMIZE (v2) also writes the classic checkpoint;
+            # cleaning the pre-checkpoint commits and vacuuming the
+            # replaced files forces the engine scan to reconstruct
+            # PURELY from checkpoint + compacted files
+            optimize_delta(spark, str(loc), checkpoint_interval=1)
+            clean_delta_log(str(loc), retention_hours=0, dry_run=False)
+            vacuum_delta(str(loc), retention_hours=0, dry_run=False)
+        elif fmt == "iceberg":
+            from glue_table_cache_spark.sinks.iceberg_optimize import (
+                expire_iceberg_snapshots,
+                optimize_iceberg,
+                remove_iceberg_orphans,
+            )
+            from glue_table_cache_spark.sinks.iceberg_write import (
+                write_iceberg_append,
+            )
+
+            write_iceberg_append(even, str(loc))
+            write_iceberg_append(odd, str(loc))
+            optimize_iceberg(spark, str(loc))
+            expire_iceberg_snapshots(str(loc), retention_hours=0)
+            remove_iceberg_orphans(
+                str(loc), retention_hours=0, dry_run=False
+            )
+        else:
+            from glue_table_cache_spark.sinks.hudi_optimize import (
+                clean_hudi,
+                optimize_hudi,
+            )
+            from glue_table_cache_spark.sinks.hudi_write import (
+                write_hudi_append,
+            )
+
+            write_hudi_append(even, str(loc))
+            write_hudi_append(odd, str(loc))
+            optimize_hudi(spark, str(loc))
+            clean_hudi(str(loc), retention_hours=0, dry_run=False)
+        marker.touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -358,6 +426,24 @@ def _engine(
             "orders_ice_eq",
             str(base / "orders_ice_eq"),
             parameters={"table_type": "ICEBERG"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_m",
+            str(base / "orders_delta_m"),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_iceberg_m",
+            str(base / "orders_iceberg_m"),
+            parameters={"table_type": "ICEBERG"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_hudi_m",
+            str(base / "orders_hudi_m"),
+            parameters={"hoodie.table.name": "orders_hudi_m"},
         )
         store.register_parquet_dir(
             "tpch",
@@ -2321,7 +2407,13 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
       rows under negative keys that only the deltacommit's DELETE log
       block removes (base-only reads resurrect them);
     * iceberg_eq — a v2 EQUALITY delete (equality_ids resolved
-      against the schema, sequence-number scoped) masks the junk.
+      against the schema, sequence-number scoped) masks the junk;
+    * delta_m / iceberg_m / hudi_m — MAINTAINED tables the repo's own
+      writers built: two appends → OPTIMIZE → full retention (Delta:
+      checkpoint + log cleanup + VACUUM, so the scan reconstructs
+      purely from the checkpoint; Iceberg: expire-snapshots + orphan
+      removal; Hudi: clean) — the whole lakehouse maintenance loop
+      under the DuckDB oracle.
 
     Time-travel arms step version_offset=1: Iceberg back to snapshot
     1 (even order keys — reference parameter,
@@ -2351,7 +2443,19 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
            UNION ALL
            SELECT 'iceberg_eq' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_ice_eq GROUP BY o_orderstatus"""
+           FROM glue.tpch.orders_ice_eq GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'delta_m' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta_m GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'iceberg_m' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_iceberg_m GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'hudi_m' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_hudi_m GROUP BY o_orderstatus"""
     )
 
     def _agg(df: DataFrame, fmt: str) -> DataFrame:
@@ -2628,15 +2732,17 @@ _EXTRA_ORACLES: dict[str, str] = {
     "text_lm_perplexity": _LM_ORACLE,
     # current arms: every walk reproduces plain `orders` (the delta
     # arm only if the deletion vector on part-0-0 masks its odd-key
-    # rows).  Time travel: iceberg@offset1 = snapshot 1 (evens once);
-    # delta@offset1 = version 0 (all orders + the later-removed
-    # duplicate-evens file, pre-DV)
+    # rows; the *_m arms only if the writer->OPTIMIZE->retention
+    # round-trip preserved every row).  Time travel: iceberg@offset1 =
+    # snapshot 1 (evens once); delta@offset1 = version 0 (all orders +
+    # the later-removed duplicate-evens file, pre-DV)
     "table_format_scan": (
         "SELECT fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "
         "FROM orders "
         "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi', "
-        "'hudi_mor', 'iceberg_eq']) AS fmt) "
+        "'hudi_mor', 'iceberg_eq', "
+        "'delta_m', 'iceberg_m', 'hudi_m']) AS fmt) "
         "GROUP BY fmt, o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n, "
