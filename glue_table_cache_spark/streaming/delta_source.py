@@ -1,0 +1,282 @@
+"""Structured-Streaming SOURCE over this repo's Delta tables.
+
+Closes the streaming loop the r5 sink opened: tables published by
+:func:`..sinks.delta_write.write_delta_append` (or the exactly-once
+sink :func:`.delta_sink.stream_to_delta`) can now be CONSUMED as a
+micro-batch stream — ``spark.readStream.format("delta_lite")`` — with
+Spark's own checkpointing tracking the consumed log version, so a
+restarted query resumes exactly where it stopped.  Composed with the
+sink's SetTransaction idempotence, source→transform→sink is
+exactly-once end to end across crashes.
+
+Implementation is the public PySpark 4 Python Data Source API
+(``pyspark.sql.datasource.DataSourceStreamReader``), the Spark-native
+shape for a custom streaming source:
+
+* OFFSETS are Delta log versions (``{"version": N}`` = commits ≤ N
+  consumed) — checkpointed by Spark, replayed deterministically;
+* ``partitions(start, end)`` walks the JSON commits in the range
+  driver-side (metadata-scale, the same walk as
+  :func:`..sources.delta.delta_changes`) and emits ONE input
+  partition per added data file, so the actual parquet reads are
+  DISTRIBUTED across executors;
+* ``read`` runs on executors and yields Arrow record batches
+  (pyarrow read, cast to the table's logical schema; hive partition
+  values from the add action's ``partitionValues`` are attached as
+  constant columns) — no row-at-a-time Python;
+* append-only semantics, like a real Delta streaming source: a
+  ``remove`` with ``dataChange`` in the range refuses loudly unless
+  ``ignoreChanges`` is set (updates/deletes cannot be represented in
+  an append stream), while OPTIMIZE's ``dataChange: false``
+  bookkeeping is always skipped — compaction must not re-deliver
+  rows; an add carrying a deletion vector always refuses (delivering
+  the file raw would resurrect its deleted rows).
+
+Scale shape: per micro-batch the driver touches only the commit JSON
+tail (bounded by the checkpoint interval); file reads fan out one
+partition per file.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from glue_table_cache_spark.errors import GlueSparkError
+
+
+class DeltaFilePartition(InputPartition):
+    def __init__(self, path: str, partition_values: dict[str, str]):
+        self.path = path
+        self.partition_values = partition_values
+
+
+def _latest_version(location: str) -> int:
+    from glue_table_cache_spark.sources.delta import (
+        _COMMIT_RE,
+        _log_files,
+    )
+
+    versions = [
+        int(m.group(1))
+        for p in _log_files(location)
+        if (m := _COMMIT_RE.search(p))
+    ]
+    if not versions:
+        raise GlueSparkError(
+            f"No Delta log found under {location!r}/_delta_log"
+        )
+    return max(versions)
+
+
+def _stream_adds(
+    location: str,
+    since_version: int,
+    until_version: int,
+    ignore_changes: bool,
+) -> list[tuple[str, dict[str, str]]]:
+    """``(path, partition_values)`` per row-delivering add in commits
+    ``(since, until]`` — the streaming-read slice of the log walk.
+    Unlike :func:`..sources.delta.delta_changes` (a file-level diff
+    where adds and removes cancel), a STREAM must deliver every
+    ``dataChange`` add exactly once even if a later commit removed the
+    file again — the rows were appended, consumers saw them."""
+    from urllib.parse import unquote
+
+    from glue_table_cache_spark.sources.delta import (
+        _COMMIT_RE,
+        _log_files,
+        _resolve_path,
+    )
+    from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+    commits = {
+        int(m.group(1)): p
+        for p in _log_files(location)
+        if (m := _COMMIT_RE.search(p))
+    }
+    adds: list[tuple[str, dict[str, str]]] = []
+    for v in range(since_version + 1, until_version + 1):
+        if v not in commits:
+            raise GlueSparkError(
+                f"Delta log for {location!r} is missing commit {v}; "
+                "the stream cannot reconstruct the range — restart "
+                "the query from a fresh checkpoint"
+            )
+        for line in _read_bytes(commits[v]).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if action.get("add"):
+                a = action["add"]
+                if not a.get("dataChange", True):
+                    continue  # OPTIMIZE bookkeeping: no new rows
+                if a.get("deletionVector"):
+                    raise GlueSparkError(
+                        f"Delta commit {v} of {location!r} adds "
+                        f"{a.get('path')!r} with a deletion vector — "
+                        "an append stream cannot represent row-level "
+                        "deletes; process the table in batch via "
+                        "delta_cdf() instead"
+                    )
+                adds.append(
+                    (
+                        _resolve_path(location, unquote(a["path"])),
+                        a.get("partitionValues") or {},
+                    )
+                )
+            elif action.get("remove"):
+                if action["remove"].get("dataChange", True) and (
+                    not ignore_changes
+                ):
+                    raise GlueSparkError(
+                        f"Delta commit {v} of {location!r} removes "
+                        f"{action['remove'].get('path')!r} with "
+                        "dataChange — the table is not append-only; "
+                        "set ignoreChanges=true to skip removes "
+                        "(updates are then NOT re-delivered) or "
+                        "process in batch via delta_cdf()"
+                    )
+    return adds
+
+
+class DeltaLiteStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self._location = options.get("location") or options.get("path")
+        if not self._location:
+            raise GlueSparkError(
+                "delta_lite needs a table location: "
+                ".option('location', ...) or .load(path)"
+            )
+        self._schema = schema
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        start = options.get("startingversion")
+        # default: deliver the table from version 0 (the whole history
+        # of appends == the current content for append-only tables)
+        self._initial = int(start) - 1 if start is not None else -1
+
+    def initialOffset(self) -> dict:
+        return {"version": self._initial}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self._location)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        return [
+            DeltaFilePartition(path, pv)
+            for path, pv in _stream_adds(
+                self._location,
+                int(start["version"]),
+                int(end["version"]),
+                self._ignore_changes,
+            )
+        ]
+
+    def read(self, partition: DeltaFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        cols = []
+        for field in target:
+            if field.name in table.column_names:
+                cols.append(
+                    table.column(field.name).cast(field.type)
+                )
+            elif field.name in partition.partition_values:
+                # hive partition column: constant from the add action
+                cols.append(
+                    pa.array(
+                        [partition.partition_values[field.name]] * n
+                    ).cast(field.type)
+                )
+            else:
+                # pre-evolution file: surface nulls, like the batch scan
+                cols.append(pa.nulls(n, type=field.type))
+        yield from pa.table(cols, schema=target).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint owns consumed-offset durability
+
+
+class DeltaLiteDataSource(DataSource):
+    """``spark.dataSource.register(DeltaLiteDataSource)`` then
+    ``spark.readStream.format("delta_lite").option("location", loc)``.
+    The schema is the table log's authoritative ``schemaString``
+    (evolved columns surface as nulls for pre-evolution files);
+    column-mapped tables refuse — files carry physical names."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite"
+
+    def schema(self):
+        from glue_table_cache_spark.sources.delta import delta_scan_info
+
+        location = self.options.get("location") or self.options.get(
+            "path"
+        )
+        if not location:
+            raise GlueSparkError(
+                "delta_lite needs a table location: "
+                ".option('location', ...) or .load(path)"
+            )
+        _entries, renames, schema = delta_scan_info(
+            location, with_schema=True
+        )
+        if renames is not None:
+            raise GlueSparkError(
+                "delta_lite cannot stream a column-mapped table "
+                "(files carry physical names); read through a Delta "
+                "runtime"
+            )
+        if schema is None:
+            raise GlueSparkError(
+                f"Delta log for {location!r} carries no schemaString"
+            )
+        return schema
+
+    def streamReader(self, schema) -> DeltaLiteStreamReader:
+        return DeltaLiteStreamReader(schema, self.options)
+
+
+def register_delta_source(spark) -> None:
+    """Idempotently register the ``delta_lite`` streaming source on
+    the session."""
+    spark.dataSource.register(DeltaLiteDataSource)
+
+
+def read_delta_stream(
+    spark,
+    location: str,
+    starting_version: int | None = None,
+    ignore_changes: bool = False,
+):
+    """Convenience wrapper: a streaming DataFrame over the Delta table
+    at ``location``.  Pair with
+    :func:`.delta_sink.stream_to_delta` for an exactly-once
+    table→table pipeline."""
+    register_delta_source(spark)
+    reader = spark.readStream.format("delta_lite").option(
+        "location", location
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if ignore_changes:
+        reader = reader.option("ignoreChanges", "true")
+    return reader.load()

@@ -1424,3 +1424,210 @@ def test_hudi_clean_protects_live_mor_logs(spark, tmp_path):
     base_entries, log_entries = hudi_mor_scan_info(str(base))
     assert log_entries  # the live log is there...
     assert clean_hudi(str(base), retention_hours=0, dry_run=True) == []
+
+
+# ---------------------------------------------------------------------------
+# Streaming SOURCE over repo-written Delta tables (streaming/delta_source.py)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_stream_source_exactly_once_end_to_end(spark, tmp_path):
+    """delta_lite source -> stream_to_delta sink: appends land while
+    the stream runs, a restart with the same checkpoint resumes at the
+    consumed version, and a forced replay of an already-committed
+    batch no-ops via the txn marker — exactly-once end to end."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_data_files
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    write_delta_append(
+        spark.range(0, 5).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+
+    def start():
+        return stream_to_delta(
+            read_delta_stream(spark, src), dst, ck, app_id="pipe"
+        )
+
+    q = start()
+    q.processAllAvailable()
+    # appends land WHILE the stream runs
+    write_delta_append(
+        spark.range(5, 8).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*delta_data_files(dst)).collect()
+    )
+    assert got == list(range(8))
+
+    # restart with the same checkpoint; only NEW data flows
+    write_delta_append(
+        spark.range(8, 10).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*delta_data_files(dst)).collect()
+    )
+    assert got == list(range(10))
+    # forced crash-replay of the last batch id: txn no-op
+    from glue_table_cache_spark.sources.delta import (
+        delta_last_txn_version,
+    )
+
+    last = delta_last_txn_version(dst, "pipe")
+    assert write_delta_append(
+        spark.range(8, 10).selectExpr(
+            "id", "cast(id as string) as s"
+        ),
+        dst,
+        txn_app_id="pipe",
+        txn_version=last,
+    ) == -1
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*delta_data_files(dst)).collect()
+    )
+    assert got == list(range(10))
+
+
+def test_delta_stream_source_skips_optimize_bookkeeping(
+    spark, tmp_path
+):
+    """OPTIMIZE's dataChange:false add/remove actions must not
+    re-deliver rows through the stream."""
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_data_files
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = str(tmp_path / "srco")
+    for lo, hi in ((0, 4), (4, 8)):
+        write_delta_append(spark.range(lo, hi).coalesce(1), src)
+    assert optimize_delta(spark, src, target_file_mb=1024) is not None
+    write_delta_append(spark.range(8, 9).coalesce(1), src)
+    dst = str(tmp_path / "dsto")
+    q = stream_to_delta(
+        read_delta_stream(spark, src), dst, str(tmp_path / "cko"),
+        app_id="q",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*delta_data_files(dst)).collect()
+    )
+    assert got == list(range(9))  # no duplicates from the rewrite
+
+
+def test_delta_stream_source_refuses_non_append(spark, tmp_path):
+    """A dataChange remove in the consumed range fails the query
+    loudly (append streams cannot represent deletes) unless
+    ignoreChanges opts in."""
+    import json as _json
+
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_data_files
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = tmp_path / "srcr"
+    write_delta_append(spark.range(0, 4).coalesce(1), str(src))
+    files = delta_data_files(str(src))
+    rel = files[0].rsplit("/", 1)[1]
+    (src / "_delta_log" / f"{1:020d}.json").write_text(
+        _json.dumps(
+            {"remove": {"path": rel, "dataChange": True}}
+        ) + "\n"
+    )
+    q = stream_to_delta(
+        read_delta_stream(spark, str(src)),
+        str(tmp_path / "dstr"), str(tmp_path / "ckr"), app_id="q",
+    )
+    with pytest.raises(Exception, match="append|dataChange"):
+        q.processAllAvailable()
+    q.stop()
+    # ignoreChanges skips the remove and delivers the appends
+    q = stream_to_delta(
+        read_delta_stream(spark, str(src), ignore_changes=True),
+        str(tmp_path / "dstr2"), str(tmp_path / "ckr2"), app_id="q2",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *delta_data_files(str(tmp_path / "dstr2"))
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3]
+
+
+def test_delta_stream_source_partitioned_and_starting_version(
+    spark, tmp_path
+):
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+    from glue_table_cache_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    src = str(tmp_path / "srcp")
+    df0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, p string"
+    )
+    df1 = spark.createDataFrame([(3, "a")], "id long, p string")
+    write_delta_append(df0, src, partition_by=["p"])
+    write_delta_append(df1, src, partition_by=["p"])
+    sdf = read_delta_stream(spark, src)
+    run_stream_to_memory(sdf, "gtc_src_part", output_mode="append")
+    got = sorted(
+        (r.id, r.p)
+        for r in spark.sql("SELECT * FROM gtc_src_part").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "a")]
+    # startingVersion skips already-processed history
+    sdf2 = read_delta_stream(spark, src, starting_version=1)
+    run_stream_to_memory(sdf2, "gtc_src_sv", output_mode="append")
+    got2 = sorted(
+        (r.id, r.p)
+        for r in spark.sql("SELECT * FROM gtc_src_sv").collect()
+    )
+    assert got2 == [(3, "a")]
