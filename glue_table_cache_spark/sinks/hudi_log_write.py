@@ -1,0 +1,374 @@
+"""MERGE_ON_READ log-append writer + compaction for Hudi tables.
+
+Completes the Hudi writer symmetry the r5 suite left open: the repo
+could READ MOR tables (pure-Python log codec in
+:mod:`..sources.hudi_log`, distributed merge in
+:mod:`..sources.hudi_mor`) and append COW base files
+(:mod:`.hudi_write`), but not publish row-level updates/deletes.
+This module writes them the MOR way — an ``AVRO_DATA_BLOCK`` /
+``DELETE_BLOCK`` appended as a log file against the record's file
+group, published by ONE ``O_EXCL`` ``<instant>.deltacommit`` — and
+provides the COMPACTION that folds logs back into base slices.
+
+Routing (the index problem): a Hudi upsert must land in the file
+group that HOLDS its record key.  This writer resolves that with the
+simple-index shape real Hudi uses at small-key-batch scale: the
+(micro-batch-sized, broadcast) upsert keys are semi-joined against a
+distributed scan of the active base files' key column +
+``_metadata.file_path`` — the corpus is scanned in place, only the
+matches come back to the driver (which must hold the batch anyway:
+log block payloads are built by the driver-side codec).  Keys not
+found in any group are INSERTS and land in the first active file
+group of ``insert_partition``.
+
+Compaction (:func:`compact_hudi`) rewrites, per file group with live
+logs, the group's merged snapshot view into a fresh base slice at a
+new instant — after which the logs are dead (older than the base
+slice) and :func:`.hudi_optimize.clean_hudi` collects them.
+Concurrency follows the optimizers: instant pinned before a per-
+attempt validation that every compacted group is still active, then
+``O_EXCL`` on the instant file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.hudi_write import _latest_instant
+from glue_table_cache_spark.sources.hudi import (
+    _BASE_FILE_RE,
+    _table_type,
+    _timeline_files,
+    _walk_timeline,
+)
+
+#: Spark primitive → Avro primitive for log-block record schemas
+_AVRO_TYPES = {
+    "long": "long",
+    "integer": "int",
+    "int": "int",
+    "short": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def _avro_schema(df: DataFrame) -> dict:
+    fields = []
+    for f in df.schema.fields:
+        t = _AVRO_TYPES.get(f.dataType.typeName())
+        if t is None:
+            raise GlueSparkError(
+                f"write_hudi_log cannot encode column {f.name!r} of "
+                f"type {f.dataType.simpleString()} into an Avro log "
+                "block (primitives only); cast or drop it"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": "HoodieRecord", "fields": fields}
+
+
+def _require_mor(location: str) -> None:
+    names = _timeline_files(location)
+    if _table_type(names) != "MERGE_ON_READ":
+        raise GlueSparkError(
+            f"table at {location!r} is not MERGE_ON_READ: log blocks "
+            "are the MOR update path — create the table with "
+            "write_hudi_append(..., table_type='MERGE_ON_READ'), or "
+            "rewrite COW file groups instead"
+        )
+
+
+def _active_groups(
+    location: str,
+) -> dict[str, tuple[str, str]]:
+    """``fileId → (base_path, partition)`` for every live file group."""
+    slices, _logs = _walk_timeline(location, _timeline_files(location))
+    base = Path(location)
+    out: dict[str, tuple[str, str]] = {}
+    for fid, (_ts, path, part) in slices.items():
+        p = path if path.startswith("/") else str(base / path)
+        out[fid] = (p, part)
+    return out
+
+
+def write_hudi_log(
+    spark: SparkSession,
+    location: str,
+    record_key_field: str,
+    upserts: DataFrame | None = None,
+    delete_keys: list | None = None,
+    insert_partition: str = "",
+    max_commit_retries: int = 10,
+) -> str:
+    """Publish row-level ``upserts`` (a DataFrame matching the base
+    schema) and/or ``delete_keys`` (record-key values) to the MOR
+    table at ``location`` as log blocks under one atomic deltacommit;
+    returns the committed instant.  Readers
+    (:func:`..sources.hudi.hudi_mor_scan_info` +
+    :func:`..sources.hudi_mor.hudi_mor_read`) see the whole batch or
+    none of it."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "write_hudi_log commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    _require_mor(location)
+    if upserts is None and not delete_keys:
+        raise GlueSparkError(
+            "write_hudi_log needs upserts and/or delete_keys"
+        )
+    groups = _active_groups(location)
+    if not groups:
+        raise GlueSparkError(
+            f"table at {location!r} has no active file groups; append "
+            "base files first (write_hudi_append)"
+        )
+
+    # --- resolve key → file group (distributed scan, driver gets
+    # only the matches; the batch itself is driver-held by the codec)
+    from pyspark.sql import functions as F
+
+    want_keys: set[str] = set()
+    records: list[dict] = []
+    schema = None
+    if upserts is not None:
+        if record_key_field not in upserts.columns:
+            raise GlueSparkError(
+                f"upserts lack record key field {record_key_field!r}"
+            )
+        schema = _avro_schema(upserts)
+        records = [r.asDict() for r in upserts.collect()]
+        want_keys |= {str(r[record_key_field]) for r in records}
+    del_keys = [str(k) for k in (delete_keys or [])]
+    want_keys |= set(del_keys)
+
+    keys_df = spark.createDataFrame(
+        [(k,) for k in sorted(want_keys)], "__k string"
+    )
+    scan = spark.read.parquet(*[p for p, _part in groups.values()])
+    if record_key_field not in scan.columns:
+        raise GlueSparkError(
+            f"record key field {record_key_field!r} is not in the "
+            f"base schema {scan.columns}"
+        )
+    matches = (
+        scan.select(
+            F.col(record_key_field).cast("string").alias("__k"),
+            F.col("_metadata.file_path").alias("__file"),
+        )
+        .join(F.broadcast(keys_df), "__k")
+        .distinct()
+        .collect()
+    )
+    key_to_fid: dict[str, str] = {}
+    for r in matches:
+        m = _BASE_FILE_RE.search(r["__file"])
+        if m:
+            key_to_fid[r["__k"]] = m.group(1)
+    # inserts: first active group of the insert partition
+    part_groups = sorted(
+        fid for fid, (_p, part) in groups.items()
+        if part == insert_partition
+    )
+    if not part_groups:
+        part_groups = sorted(groups)
+    default_fid = part_groups[0]
+
+    def build(instant: str) -> dict[str, list[dict]]:
+        """Write per-group log files for ``instant``; returns the
+        commit's partitionToWriteStats."""
+        from glue_table_cache_spark.sources.hudi_log import (
+            data_block,
+            delete_block,
+            write_log_file,
+        )
+
+        per_group: dict[str, tuple[list[dict], list[str]]] = {}
+        for rec in records:
+            fid = key_to_fid.get(
+                str(rec[record_key_field]), default_fid
+            )
+            per_group.setdefault(fid, ([], []))[0].append(rec)
+        for k in del_keys:
+            fid = key_to_fid.get(k)
+            if fid is None:
+                continue  # deleting a nonexistent key is a no-op
+            per_group.setdefault(fid, ([], []))[1].append(k)
+        stats_by_part: dict[str, list[dict]] = {}
+        for fid, (recs, dels) in sorted(per_group.items()):
+            part = groups[fid][1]
+            blocks = []
+            if recs:
+                blocks.append(data_block(instant, schema, recs))
+            if dels:
+                blocks.append(
+                    delete_block(instant, [(k, part) for k in dels])
+                )
+            name = f".{fid}_{instant}.log.1_0-0-0"
+            rel = f"{part}/{name}" if part else name
+            dest = base / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            write_log_file(dest, blocks)
+            stats_by_part.setdefault(part, []).append(
+                {"fileId": fid, "path": rel, "partitionPath": part}
+            )
+        return stats_by_part
+
+    hoodie = base / ".hoodie"
+    written: dict[str, list[dict]] | None = None
+    instant = None
+    for _attempt in range(max_commit_retries):
+        fresh = max(
+            int(time.strftime("%Y%m%d%H%M%S", time.gmtime())),
+            _latest_instant(hoodie) + 1,
+        )
+        if written is not None:
+            # lost a race: the log blocks carry the instant in their
+            # headers (merge ordering), so rebuild them under the new
+            # instant rather than commit blocks stamped with a stale one
+            for stats in written.values():
+                for st in stats:
+                    (base / st["path"]).unlink(missing_ok=True)
+        instant = fresh
+        written = build(str(instant))
+        if not written:
+            return str(instant)  # all deletes were no-ops
+        commit = hoodie / f"{instant}.deltacommit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"partitionToWriteStats": written}))
+        return str(instant)
+    raise GlueSparkError(
+        f"could not commit deltacommit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
+def compact_hudi(
+    spark: SparkSession,
+    location: str,
+    record_key_field: str,
+    max_commit_retries: int = 10,
+) -> str | None:
+    """Fold every file group's live logs into a fresh base slice (the
+    MOR compaction table service); returns the committed instant, or
+    ``None`` when no group carries live logs.  After compaction the
+    logs are dead (older than the new base slice) and
+    :func:`.hudi_optimize.clean_hudi` collects them."""
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_mor import hudi_mor_read
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "compact_hudi commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    _require_mor(location)
+    names = _timeline_files(location)
+    slices, logs = _walk_timeline(location, names)
+    live_by_fid: dict[str, list[tuple[int, str, str]]] = {}
+    for ts, path, fid, part in logs:
+        if fid not in slices or ts > slices[fid][0]:
+            live_by_fid.setdefault(fid, []).append((ts, path, part))
+    if not live_by_fid:
+        return None
+    for fid in live_by_fid:
+        if fid not in slices:
+            raise GlueSparkError(
+                f"file group {fid!r} has log files but no base slice "
+                "— log-only groups are not compactable by this path"
+            )
+
+    batch = uuid.uuid4().hex[:8]
+    staged: list[tuple[str, str, str]] = []  # (fid, part, rel_path)
+    instant_tag = _latest_instant(base / ".hoodie") + 1
+    for fid, group_logs in sorted(live_by_fid.items()):
+        ts, slice_path, part = slices[fid]
+        base_entry = (
+            slice_path
+            if slice_path.startswith("/")
+            else str(base / slice_path),
+            {},
+            ts,
+        )
+        merged = hudi_mor_read(
+            spark,
+            [base_entry],
+            [
+                (
+                    p if p.startswith("/") else str(base / p),
+                    lts,
+                )
+                for lts, p, _pt in sorted(group_logs)
+            ],
+            record_key_field=record_key_field,
+        )
+        stage = base / f"_staging_{batch}" / fid
+        merged.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        parts = sorted(stage.rglob("part-*.parquet"))
+        name = f"{fid}_0-0-0_{instant_tag}.parquet"
+        rel = f"{part}/{name}" if part else name
+        dest = base / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        parts[0].rename(dest)
+        staged.append((fid, part, rel))
+    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+
+    hoodie = base / ".hoodie"
+    compacted = set(live_by_fid)
+    for _attempt in range(max_commit_retries):
+        # same posture as the optimizers: pin the instant, validate
+        # EVERY attempt that each compacted group is still active (a
+        # concurrent replacecommit retiring one would be resurrected
+        # by a late compaction commit), then O_EXCL
+        instant = _latest_instant(hoodie) + 1
+        fresh_slices, _l = _walk_timeline(
+            location, _timeline_files(location)
+        )
+        if not compacted <= set(fresh_slices):
+            for _fid, _part, rel in staged:
+                (base / rel).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "compact_hudi lost a conflicting race: a compacted "
+                "file group is no longer active; table left "
+                "untouched — re-run"
+            )
+        stats_by_part: dict[str, list[dict]] = {}
+        for fid, part, rel in staged:
+            stats_by_part.setdefault(part, []).append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "partitionPath": part,
+                    "fileSizeInBytes": (base / rel).stat().st_size,
+                }
+            )
+        commit = hoodie / f"{instant}.commit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"partitionToWriteStats": stats_by_part}))
+        return str(instant)
+    raise GlueSparkError(
+        f"could not commit compaction to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

@@ -50,15 +50,26 @@ def write_hudi_append(
     location: str,
     partition_by: list[str] | None = None,
     max_commit_retries: int = 10,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
-    """Append ``df`` to the Hudi COW table at ``location`` (created on
+    """Append ``df`` to the Hudi table at ``location`` (created on
     first write); returns the committed instant timestamp string.
-    Readers see the whole batch or none of it."""
+    Readers see the whole batch or none of it.
+
+    ``table_type`` applies on CREATION only: base-file appends (new
+    file groups) are legal in both layouts, and a MERGE_ON_READ table
+    additionally accepts row-level updates/deletes via
+    :func:`.hudi_log_write.write_hudi_log`.  An existing table's
+    recorded type always wins — a mismatch refuses."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
             "write_hudi_append commits via filesystem put-if-absent; "
             "object stores need an external commit coordinator"
+        )
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise GlueSparkError(
+            f"unknown Hudi table_type {table_type!r}"
         )
     hoodie = base / ".hoodie"
     hoodie.mkdir(parents=True, exist_ok=True)
@@ -66,15 +77,15 @@ def write_hudi_append(
     if props.exists():
         text = props.read_text()
         m = re.search(r"hoodie\.table\.type\s*=\s*(\S+)", text)
-        if m and m.group(1).upper() != "COPY_ON_WRITE":
+        if m and m.group(1).upper() != table_type:
             raise GlueSparkError(
-                f"table at {location!r} is {m.group(1)}; this appender "
-                "writes COPY_ON_WRITE instants only"
+                f"table at {location!r} is {m.group(1)}; refusing a "
+                f"{table_type} append onto it"
             )
     else:
         props.write_text(
             f"hoodie.table.name={base.name}\n"
-            "hoodie.table.type=COPY_ON_WRITE\n"
+            f"hoodie.table.type={table_type}\n"
         )
 
     instant = max(

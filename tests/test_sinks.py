@@ -1631,3 +1631,119 @@ def test_delta_stream_source_partitioned_and_starting_version(
         for r in spark.sql("SELECT * FROM gtc_src_sv").collect()
     )
     assert got2 == [(3, "a")]
+
+
+# ---------------------------------------------------------------------------
+# MOR log-append writer + compaction (sinks/hudi_log_write.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hudi_log_writer_upsert_delete_compact_clean(spark, tmp_path):
+    """write_hudi_log routes updates/deletes to the owning file group,
+    hudi_mor_read returns the upserted view, compact_hudi folds the
+    logs into fresh base slices, and clean_hudi collects the dead
+    logs."""
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        compact_hudi,
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_optimize import clean_hudi
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_mor import hudi_mor_read
+
+    loc = str(tmp_path / "morw")
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(3, "c"), (4, "d")], "id long, v string"
+    ).coalesce(1)
+    write_hudi_append(a, loc, table_type="MERGE_ON_READ")
+    write_hudi_append(b, loc, table_type="MERGE_ON_READ")
+
+    ups = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], "id long, v string"
+    )
+    inst = write_hudi_log(
+        spark, loc, "id", upserts=ups, delete_keys=[3]
+    )
+    assert inst is not None
+
+    def view():
+        base_entries, log_entries = hudi_mor_scan_info(loc)
+        return base_entries, log_entries, sorted(
+            (r.id, r.v)
+            for r in hudi_mor_read(
+                spark, base_entries, log_entries,
+                record_key_field="id",
+            ).collect()
+        )
+
+    base_entries, log_entries, got = view()
+    assert got == [(1, "a"), (2, "B2"), (4, "d"), (9, "new")]
+    # update of key 2 and delete of key 3 landed in DIFFERENT groups
+    assert len(log_entries) == 2
+
+    # compaction folds the logs into fresh base slices
+    assert compact_hudi(spark, loc, "id") is not None
+    base_entries, log_entries, got = view()
+    assert log_entries == []
+    assert got == [(1, "a"), (2, "B2"), (4, "d"), (9, "new")]
+    # base files alone now carry the merged view
+    raw = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(
+            *[p for p, _pv, _ts in base_entries]
+        ).collect()
+    )
+    assert raw == got
+    # nothing left to compact; clean collects the dead logs
+    assert compact_hudi(spark, loc, "id") is None
+    clean_hudi(loc, retention_hours=0, dry_run=False)
+    assert not [
+        p
+        for p in (tmp_path / "morw").rglob("*.log.*")
+        if ".hoodie" not in p.parts
+    ]
+    _b, _l, got = view()
+    assert got == [(1, "a"), (2, "B2"), (4, "d"), (9, "new")]
+
+
+def test_hudi_log_writer_refuses_cow(spark, tmp_path):
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = str(tmp_path / "coww")
+    write_hudi_append(
+        spark.createDataFrame([(1,)], "id long"), loc
+    )
+    with pytest.raises(GlueSparkError, match="MERGE_ON_READ"):
+        write_hudi_log(
+            spark, loc, "id",
+            upserts=spark.createDataFrame([(1,)], "id long"),
+        )
+
+
+def test_hudi_append_type_mismatch_refuses(spark, tmp_path):
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = str(tmp_path / "tmix")
+    write_hudi_append(
+        spark.createDataFrame([(1,)], "id long"), loc,
+        table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(GlueSparkError, match="refusing"):
+        write_hudi_append(
+            spark.createDataFrame([(2,)], "id long"), loc
+        )
