@@ -20,7 +20,6 @@ decimals *before* ranking so ordering is reproducible across engines.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1106,6 +1105,7 @@ def ivfpq_topk(
     codes: DataFrame | None = None,
     exclude_self: bool = True,
     rerank: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k by inner product — the billion-scale
     composition: the IVF cells prune which codes are scanned
@@ -1121,10 +1121,19 @@ def ivfpq_topk(
     inputs when cosine ranking is wanted — and ``rerank=k'`` re-scores
     the k' ADC candidates exactly against raw vectors.
 
-    Scale shape: codes are hash-partitioned by cell and never move;
-    the probe frame (|Q| × nprobe biases + |Q| tables of
-    ``m × 2^nbits`` doubles) broadcasts; candidate generation is a
-    broadcast equi-join on ``cluster``.  Pass persisted
+    Scale shape: codes are hash-partitioned by cell and never move.
+    Probe selection and the ADC tables are built as DataFrames — the
+    same distributed path :func:`ivf_topk` ranks probes with — so the
+    driver never loops over the query set: cells rank via a broadcast
+    centroid cross-join + per-query window (the per-cell
+    ``ip(q, centroid)`` bias falls out of the same pass), and each
+    query's ``m × 2^nbits`` table assembles from a broadcast codebook
+    join via two |Q|·m-bounded aggregations.  The probe frame
+    (|Q| × nprobe rows, each with the bias + its query's table)
+    broadcasts by default — right for |Q| ≪ corpus; for corpus-scale
+    query sides pass ``broadcast_queries=False`` and both sides
+    hash-partition on the cell id instead (identical results,
+    pytest-asserted).  Pass persisted
     ``centroids``/``codebooks``/``codes`` from :func:`ivf_train` +
     :func:`ivfpq_encode` to amortize (train once, search many)."""
     if centroids is None:
@@ -1137,61 +1146,69 @@ def ivfpq_topk(
             corpus, centroids, codebooks, m, nbits, iters,
             vec_col, id_col,
         )
-    m = max(s for s, _c, _v in codebooks) + 1
-    ksub = 1 + max(c for _s, c, _v in codebooks)
     dsub = len(codebooks[0][2])
-    books = {(s, c): v for s, c, v in codebooks}
-    cents = {c: v for c, v in centroids}
     spark = corpus.sparkSession
-    q_rows = queries.select(
+    q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).collect()
-
-    def ip(a: list[float], b: list[float]) -> float:
-        return sum(x * y for x, y in zip(a, b))
-
-    def table(qv: list[float]) -> list[list[float]]:
-        return [
-            [
-                sum(
-                    qv[s * dsub + i] * books[(s, c)][i]
-                    for i in range(dsub)
-                )
-                for c in range(ksub)
-            ]
-            for s in range(m)
-        ]
-
-    # per query: the nprobe nearest cells (by the same cosine order
-    # ivf_topk probes) with their ip(q, centroid) biases + one table
-    probe_rows = []
-    for r in q_rows:
-        qv = list(r.qv)
-        qn = math.sqrt(ip(qv, qv))
-        ranked = sorted(
-            (
-                (
-                    -(
-                        ip(qv, cv)
-                        / (qn * math.sqrt(ip(cv, cv)) or 1.0)
-                    ),
-                    c,
-                )
-                for c, cv in cents.items()
-            ),
-        )[:nprobe]
-        for _negsim, c in ranked:
-            probe_rows.append(
-                (r.query_id, c, ip(qv, cents[c]), table(qv))
-            )
-    probes = F.broadcast(
+    )
+    cent_df = F.broadcast(
         spark.createDataFrame(
-            probe_rows,
-            "query_id long, cluster int, bias double, "
-            "qt array<array<double>>",
+            _centroid_rows(centroids),
+            "cluster int, centroid array<double>",
         )
     )
+    # probe ranking (same cosine order ivf_topk uses) + IVFADC bias
+    qscore = q.crossJoin(cent_df).select(
+        "query_id",
+        "cluster",
+        cosine(F.col("qv"), F.col("centroid")).alias("sim"),
+        dot(F.col("qv"), F.col("centroid")).alias("bias"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cluster")
+    )
+    probe_sel = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "cluster", "bias")
+    )
+    # ADC tables: qt[s][c] = ip(q[s·dsub:(s+1)·dsub], codebook[s][c]),
+    # one partial per broadcast codebook row, assembled by two
+    # aggregations bounded at |Q|·m rows
+    book_df = F.broadcast(
+        spark.createDataFrame(
+            list(codebooks), "s int, c int, bv array<double>"
+        )
+    )
+    partials = q.crossJoin(book_df).select(
+        "query_id",
+        "s",
+        "c",
+        dot(
+            F.slice("qv", F.col("s") * dsub + 1, dsub), F.col("bv")
+        ).alias("val"),
+    )
+    per_sub = partials.groupBy("query_id", "s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "val"))),
+            lambda x: x["val"],
+        ).alias("row")
+    )
+    tables = per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "row"))),
+            lambda x: x["row"],
+        ).alias("qt")
+    )
+    probes = probe_sel.join(tables, "query_id")
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    else:
+        # corpus-scale query side: co-partition on the cell id and
+        # join shuffle-side, never broadcasting the tables
+        probes = probes.repartition("cluster")
+        codes = codes.repartition("cluster")
     scored = codes.join(probes, "cluster")
     if exclude_self:
         scored = scored.where(F.col("vec_id") != F.col("query_id"))
@@ -1223,12 +1240,7 @@ def ivfpq_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    qraw = F.broadcast(
-        spark.createDataFrame(
-            [(r.query_id, list(r.qv)) for r in q_rows],
-            "query_id long, qv array<double>",
-        )
-    )
+    qraw = F.broadcast(q) if broadcast_queries else q
     rescored = (
         top.select("query_id", "vec_id")
         .join(raw, "vec_id")

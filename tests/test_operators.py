@@ -2149,3 +2149,37 @@ def test_ivfpq_partial_probe_recall_and_determinism(spark, embeddings):
         1 for r in run() if r.vec_id in exact[r.query_id]
     )
     assert hits / (len(exact) * 10) >= 0.5  # partial-probe recall bound
+
+
+def test_ivfpq_shuffle_join_path_matches_broadcast(spark, embeddings):
+    """broadcast_queries=False (cell-co-partitioned shuffle join, the
+    corpus-scale-query-side shape) returns exactly the broadcast
+    path's results, with probe selection and ADC tables built as
+    DataFrames — no driver-side loop over the query set."""
+    base = S.normalize_embeddings(
+        embeddings.limit(150).select("vec_id", "embedding")
+    )
+    q = base.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = S.ivf_train(base, nlist=8, iters=2)
+    codes, books = S.ivfpq_encode(base, cents, m=4, nbits=4)
+    codes = codes.localCheckpoint()
+    kw = dict(
+        k=8, nprobe=3, centroids=cents, codebooks=books, codes=codes
+    )
+    bcast = sorted(
+        map(tuple, S.ivfpq_topk(base, q, **kw).collect())
+    )
+    shuffled = S.ivfpq_topk(
+        base, q, broadcast_queries=False, **kw
+    )
+    assert sorted(map(tuple, shuffled.collect())) == bcast
+    # same equivalence through the exact re-rank tail
+    bcast_rr = sorted(map(tuple, S.ivfpq_topk(
+        base, q, rerank=40, **kw
+    ).collect()))
+    shuf_rr = sorted(map(tuple, S.ivfpq_topk(
+        base, q, rerank=40, broadcast_queries=False, **kw
+    ).collect()))
+    assert shuf_rr == bcast_rr
