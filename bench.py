@@ -213,10 +213,11 @@ def _entry(name: str):
 # per-user session structure is preserved and the user count scales).
 # --------------------------------------------------------------------------
 
-_SF1_DIR = "/tmp/gtc_sf1_synth"
+_SF1_DIR = "/tmp/gtc_sf1_synth_v2"  # v2: + embeddings replica
 _SF1_LABELS = (
     "curate", "dedup_simhash", "dedup_minhash",
     "decontamination", "events_sessionize",
+    "semantic_dedup", "lm_perplexity",
 )
 
 
@@ -259,8 +260,46 @@ def _ensure_sf1(spark, sf_dir: str) -> str:
     for p in e_parts[1:]:
         e = e.unionByName(p)
     e.write.mode("overwrite").parquet(f"{_SF1_DIR}/events.parquet")
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    v_parts = [
+        emb.select(
+            (F.col("vec_id") + i * n_vec).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        for i in range(10)
+    ]
+    v = v_parts[0]
+    for p in v_parts[1:]:
+        v = v.unionByName(p)
+    v.write.mode("overwrite").parquet(f"{_SF1_DIR}/embeddings.parquet")
     marker.touch()
     return _SF1_DIR
+
+
+def _semantic_dedup_sf1(spark, sf):
+    """semantic_dedup with the documented at-scale knobs: ``nlist``
+    scaled with N (fixed target cluster size keeps the pair join's
+    Σ cluster² linear in the corpus) and the quantizer trained on a
+    sample — without them, 10× data with a FIXED nlist is a designed
+    100× pair join, which is operator misuse, not operator cost."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import similarity as S
+
+    return S.semantic_dedup(
+        read_table(spark, sf, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+        nlist=160,
+        threshold=0.3,
+        sample_fraction=0.1,
+    )
+
+
+#: probe-time overrides: labels whose at-scale posture differs from
+#: the fixed-parameter sf0.1 bench shape
+_SF1_FNS = {"semantic_dedup": _semantic_dedup_sf1}
 
 
 def _sf1_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
@@ -275,7 +314,9 @@ def _sf1_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     flagged = []
     for label in _SF1_LABELS:
         t0 = time.time()
-        n = len(fns[label](spark, sf1).collect())
+        n = len(
+            _SF1_FNS.get(label, fns[label])(spark, sf1).collect()
+        )
         dt = round(time.time() - t0, 3)
         ratio = round(dt / timings[label], 2) if timings.get(label) else None
         labels[label] = {"sf1_sec": dt, "sf01_sec": timings.get(label),

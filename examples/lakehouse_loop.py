@@ -10,10 +10,15 @@ Flow — every step is a round-5 primitive of this repo:
    from the log's add.stats;
 3. OPTIMIZE ZORDER BY (o_custkey, o_totalprice): one dataChange:false
    commit; selective predicates on EITHER column now scan ~1 file;
-4. VACUUM (retention 0 for the demo) removes the rewritten originals;
-5. the file-level change feed shows what a downstream incremental
-   consumer would re-process;
-6. the same curated output is also published to Iceberg and Hudi via
+4. checkpoint the log + clean the covered commits (round 6): the
+   engine scan then reconstructs from ONE parquet snapshot instead of
+   replaying every JSON commit;
+5. VACUUM (retention 0 for the demo) removes the rewritten originals;
+6. the file-level change feed shows what a downstream incremental
+   consumer would re-process — and the `delta_lite` streaming source
+   (round 6) tails the same table into a downstream Delta table
+   exactly-once via the SetTransaction sink;
+7. the same curated output is also published to Iceberg and Hudi via
    their writers and read back through the engine.
 """
 
@@ -83,14 +88,52 @@ def main() -> None:
         f"{len(probe.inputFiles())} file(s) scanned"
     )
 
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+
+    cp = write_delta_checkpoint(loc)
+    cleaned = clean_delta_log(loc, retention_hours=0, dry_run=False)
+    eng.invalidate_table("lake", "orders")
+    print(
+        f"checkpointed v{cp}, cleaned {len(cleaned)} covered commits; "
+        f"scan from checkpoint: {eng.sql(q).collect()[0].n} rows"
+    )
+
     removed = vacuum_delta(loc, retention_hours=0, dry_run=False)
     print(f"vacuum removed {len(removed)} unreferenced files")
 
-    latest, added, gone = delta_changes(loc, since_version=7)
+    latest, added, gone = delta_changes(loc, since_version=cp)
     print(
-        f"change feed since v7: +{len(added)} / -{len(gone)} files "
+        f"change feed since v{cp}: +{len(added)} / -{len(gone)} files "
         f"(latest v{latest})"
     )
+
+    # round 6: tail the table as a micro-batch stream, exactly-once
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    mirror = str(work / "orders_mirror")
+    sq = stream_to_delta(
+        read_delta_stream(spark, loc, starting_version=cp + 1),
+        mirror,
+        str(work / "mirror_ckpt"),
+        app_id="mirror",
+    )
+    write_delta_append(
+        orders.limit(7).coalesce(1), loc
+    )  # a late append lands while the stream runs
+    sq.processAllAvailable()
+    sq.stop()
+    from glue_table_cache_spark.sources.delta import delta_data_files
+
+    mirrored = spark.read.parquet(*delta_data_files(mirror)).count()
+    print(f"streamed {mirrored} rows into the downstream mirror")
 
     out = eng.sql(
         "SELECT o_orderstatus, count(*) AS n, "
