@@ -514,17 +514,12 @@ class GlueSparkEngine:
             # LOG-STATS zone-map skipping: the add actions' stats JSON
             # (numRecords/minValues/maxValues/nullCount) is already in
             # hand, so data-column predicates drop whole files for
-            # free.  Skipped for column-mapped tables (same guard as
-            # partition pruning above): stats keys are PHYSICAL column
-            # names, and after renames/swaps a physical name can equal
-            # a DIFFERENT column's logical name — matching it would
-            # skip files on the wrong column's min/max.
-            if (
-                query
-                and entries
-                and renames is None
-                and self.config.stats_skipping
-            ):
+            # free.  Column-mapped tables' stats keys are PHYSICAL
+            # names — translated physical→logical through `renames`
+            # (unknown physical keys dropped) so skipping works there
+            # too without ever matching a stale physical name against
+            # a different column's logical one.
+            if query and entries and self.config.stats_skipping:
                 from glue_table_cache_spark.skipping import (
                     delta_file_stats,
                 )
@@ -533,7 +528,9 @@ class GlueSparkEngine:
                     query,
                     tbl,
                     {
-                        p: delta_file_stats(stats_by_path.get(p))
+                        p: delta_file_stats(
+                            stats_by_path.get(p), renames=renames
+                        )
                         for p, _pv, _dv in entries
                     },
                 )

@@ -379,11 +379,21 @@ def skip_files(
 # --------------------------------------------------------------------------
 
 
-def delta_file_stats(stats_json: str | None) -> FileStats | None:
+def delta_file_stats(
+    stats_json: str | None,
+    renames: dict[str, str] | None = None,
+) -> FileStats | None:
     """``add.stats`` JSON → :class:`FileStats`.  Nested (struct-column)
     stats are skipped — only scalar leaves participate.  Delta writes
     temporals as ISO strings; they stay strings here and the comparison
-    layer parses them."""
+    layer parses them.
+
+    ``renames`` (column-mapped tables' physical→logical map): stats
+    keys are PHYSICAL column names, predicates reference LOGICAL ones
+    — translate through the map, and DROP keys the map does not know:
+    after renames/swaps a stale physical name can equal a different
+    column's logical name, and keeping it would skip files on the
+    wrong column's bounds."""
     if not stats_json:
         return None
     try:
@@ -396,11 +406,16 @@ def delta_file_stats(stats_json: str | None) -> FileStats | None:
     def scalars(m: Any) -> dict[str, Any]:
         if not isinstance(m, dict):
             return {}
-        return {
+        out = {
             k: v
             for k, v in m.items()
             if not isinstance(v, (dict, list))
         }
+        if renames is not None:
+            out = {
+                renames[k]: v for k, v in out.items() if k in renames
+            }
+        return out
 
     return FileStats.build(
         num_records=(

@@ -185,12 +185,11 @@ def build_delta_table(
                 "modificationTime": 1700000000000 + version,
                 "dataChange": True,
             }
-            if not physical:
-                # real writers key stats by the parquet (physical)
-                # column names under column mapping; the scan path
-                # skips zone maps for mapped tables, so the fixture
-                # simply omits stats there
-                add["stats"] = _stats_json(df)
+            # real writers key stats by the parquet (physical) column
+            # names under column mapping — `df` is already renamed, so
+            # _stats_json emits exactly that; the scan path translates
+            # physical→logical through the rename map
+            add["stats"] = _stats_json(df)
             actions.append({"add": add})
             active[name] = dict(pv)
         for name, mask_fn in commit.get("dv", {}).items():

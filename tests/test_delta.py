@@ -988,3 +988,43 @@ def test_schema_evolution_uses_log_schema(spark, tmp_path, frames):
     assert [(r.id, r.v, r.score) for r in out.collect()] == [
         (1, "a", None), (2, "b", None), (10, "x", 7.5),
     ]
+
+
+def test_column_mapping_stats_skipping_translates(spark, tmp_path):
+    """Zone-map skipping works on column-mapped tables: stats keys are
+    PHYSICAL names and are translated through the rename map, so a
+    predicate on the logical column prunes files — and a stale
+    physical key the map does not know can never match."""
+    from glue_table_cache_spark.skipping import delta_file_stats
+
+    a = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(i, "y") for i in range(100, 105)], "id long, v string"
+    )
+    base = build_delta_table(
+        tmp_path / "cms",
+        [{"add": [a]}, {"add": [b]}],
+        column_mapping=True,
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "cms", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql("SELECT id, v FROM glue.db.cms WHERE id >= 100")
+    assert sorted((r.id, r.v) for r in out.collect()) == [
+        (i, "y") for i in range(100, 105)
+    ]
+    assert len(out.inputFiles()) == 1  # the low-id file was skipped
+
+    # unit shape: unknown physical keys are DROPPED, never matched
+    st = delta_file_stats(
+        '{"numRecords": 1, "minValues": {"col-0aid": 1, "stale": 9},'
+        ' "maxValues": {"col-0aid": 5, "stale": 9}, "nullCount": {}}',
+        renames={"col-0aid": "id"},
+    )
+    assert set(st.min_values) == {"id"}
+    assert st.min_values["id"] == 1 and st.max_values["id"] == 5
