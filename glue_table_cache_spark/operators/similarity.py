@@ -53,6 +53,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_n(a: Column, b: Column, an: Column, bn: Column) -> Column:
+    """:func:`cosine` with the norms supplied as columns — the hot-path
+    form: inside a pair join, ``cosine`` re-folds ``l2_norm`` of BOTH
+    sides per pair (no cross-row CSE in codegen), tripling the
+    per-pair array work.  Projecting each side's norm once per ROW and
+    passing it here computes the same ``dot / (an * bn)`` — identical
+    subexpressions in the identical fold order, so the value (and any
+    rounding of it the oracles compare) is bit-equal."""
+    return dot(a, b) / (an * bn)
+
+
 def embedding_stats(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -85,16 +96,24 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
+        ).withColumn("qn", l2_norm(F.col("qv")))
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine_n(
+                    F.col("qv"), F.col("cv"),
+                    F.col("qn"), F.col("cn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -172,12 +191,21 @@ def ann_topk_lsh(
     within Hamming distance 1 of the query's bucket (multi-probe).
     Recall is tunable via ``planes`` (fewer planes → bigger buckets →
     higher recall, more compute)."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", srp_bucket(F.col("cv"), planes, portable))
-    qb = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qbucket", srp_bucket(F.col("qv"), planes, portable))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        )
+        .withColumn("bucket", srp_bucket(F.col("cv"), planes, portable))
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    qb = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("qbucket", srp_bucket(F.col("qv"), planes, portable))
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
     # multi-probe: the query's own bucket plus every 1-bit flip
     probes = F.array(
         F.col("qbucket"),
@@ -187,7 +215,9 @@ def ann_topk_lsh(
         ],
     )
     q = F.broadcast(
-        qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
+        qb.select(
+            "query_id", "qv", "qn", F.explode(probes).alias("bucket")
+        )
     )
     scored = (
         c.join(q, "bucket")
@@ -195,7 +225,13 @@ def ann_topk_lsh(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine_n(
+                    F.col("qv"), F.col("cv"),
+                    F.col("qn"), F.col("cn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -241,23 +277,21 @@ def ivf_train(
         (i, list(r.v))
         for i, r in enumerate(v.orderBy("id").limit(nlist).collect())
     ]
+    dim = len(cents[0][1]) if cents else 0
     for _ in range(iters):
         assigned = _ivf_assign(v, cents)
-        # new centroid = per-dimension mean of the assigned vectors
-        dims = assigned.select(
-            "cluster", F.posexplode("v").alias("d", "x")
-        )
-        means = (
-            dims.groupBy("cluster", "d")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(
-                F.collect_list(F.struct("d", "m"))
-            ).alias("dm"))
-            .select(
-                "cluster",
-                F.transform("dm", lambda s: s["m"]).alias("centroid"),
-            )
+        # new centroid = per-dimension mean.  d parallel avg
+        # aggregates in ONE map-side-combinable hash pass — the
+        # posexplode formulation this replaces shuffled N×d rows and
+        # ran two aggregations per iteration
+        means = assigned.groupBy("cluster").agg(
+            *[
+                F.avg(F.element_at("v", i + 1)).alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        ).select(
+            "cluster",
+            F.array(*[f"__m{i}" for i in range(dim)]).alias("centroid"),
         )
         trained = {r.cluster: list(r.centroid) for r in means.collect()}
         # empty clusters keep their previous centroid
@@ -274,11 +308,15 @@ def _ivf_assign(
     cent_df = F.broadcast(
         spark.createDataFrame(
             _centroid_rows(centroids), "cluster int, centroid array<double>"
-        )
+        ).withColumn("cn", l2_norm(F.col("centroid")))
     )
-    scored = v.crossJoin(cent_df).select(
+    scored = v.withColumn("vn", l2_norm(F.col("v"))).crossJoin(
+        cent_df
+    ).select(
         "id", "v", "cluster",
-        cosine(F.col("v"), F.col("centroid")).alias("sim"),
+        cosine_n(
+            F.col("v"), F.col("centroid"), F.col("vn"), F.col("cn")
+        ).alias("sim"),
     )
     # per-id argmax as a HASH AGGREGATE, not a row_number window: a
     # window means a sort shuffle of corpus×k rows; max_by folds
@@ -341,7 +379,9 @@ def ivf_topk(
     )
     assigned = _ivf_assign(
         v.withColumnsRenamed({"vec_id": "id", "cv": "v"}), centroids
-    ).withColumnsRenamed({"id": "vec_id", "v": "cv"})
+    ).withColumnsRenamed({"id": "vec_id", "v": "cv"}).withColumn(
+        "cvn", l2_norm(F.col("cv"))
+    )
     spark = corpus.sparkSession
     cent_df = F.broadcast(
         spark.createDataFrame(
@@ -351,16 +391,19 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     qscore = q.crossJoin(cent_df).select(
-        "query_id", "qv", "cluster",
-        cosine(F.col("qv"), F.col("centroid")).alias("sim"),
+        "query_id", "qv", "qn", "cluster",
+        cosine_n(
+            F.col("qv"), F.col("centroid"),
+            F.col("qn"), l2_norm(F.col("centroid")),
+        ).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cluster"))
     probes = (
         qscore.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= nprobe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "qn", "cluster")
     )
     if broadcast_queries:
         probes = F.broadcast(probes)
@@ -377,7 +420,13 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                cosine_n(
+                    F.col("qv"), F.col("cv"),
+                    F.col("qn"), F.col("cvn"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -425,9 +474,11 @@ def embedding_near_pairs(
             f"on_hot_bucket must be 'raise' or 'skip', "
             f"got {on_hot_bucket!r}"
         )
-    v = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", srp_bucket(F.col("v"), planes, portable))
+    v = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", srp_bucket(F.col("v"), planes, portable))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
     if max_bucket_size is not None:
         counts = v.groupBy("bucket").agg(F.count("*").alias("__bn"))
         if on_hot_bucket == "raise":
@@ -462,7 +513,13 @@ def embedding_near_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+            F.round(
+                cosine_n(
+                    F.col("l.v"), F.col("r.v"),
+                    F.col("l.nrm"), F.col("r.nrm"),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
@@ -487,16 +544,20 @@ def assign_embedding_clusters(
         spark.createDataFrame(
             _centroid_rows(centroids),
             "cluster int, centroid array<double>",
-        )
+        ).withColumn("cn", l2_norm(F.col("centroid")))
     )
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
-    )
+    ).withColumn("__vn", l2_norm(F.col(vec_col)))
     scored = v.crossJoin(cent_df).select(
         id_col, vec_col, "cluster",
         F.round(
-            cosine(F.col(vec_col), F.col("centroid")), 6
+            cosine_n(
+                F.col(vec_col), F.col("centroid"),
+                F.col("__vn"), F.col("cn"),
+            ),
+            6,
         ).alias("centroid_sim"),
     )
     # per-id argmax via max_by (hash aggregate, map-side partials)
@@ -594,6 +655,12 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("v"),
         "cluster",
         "centroid_sim",
+    ).withColumn(
+        # each member's norm once per ROW, not once per pair — the
+        # Σ cluster² pair join below is the dominant cost and this
+        # cuts its per-pair array work to the dot product alone
+        "nrm",
+        l2_norm(F.col("v")),
     )
     members = assigned
     if max_cluster_size is not None:
@@ -627,12 +694,14 @@ def semantic_dedup(
         F.col("id").alias("l_id"),
         F.col("v").alias("l_v"),
         F.col("centroid_sim").alias("l_sim"),
+        F.col("nrm").alias("l_n"),
     )
     right = members.select(
         F.col("cluster"),
         F.col("id").alias("r_id"),
         F.col("v").alias("r_v"),
         F.col("centroid_sim").alias("r_sim"),
+        F.col("nrm").alias("r_n"),
     )
     precedes = (F.col("l_sim") > F.col("r_sim")) | (
         (F.col("l_sim") == F.col("r_sim"))
@@ -642,7 +711,13 @@ def semantic_dedup(
         left.join(right, "cluster")
         .where(precedes)
         .where(
-            F.round(cosine(F.col("l_v"), F.col("r_v")), 6)
+            F.round(
+                cosine_n(
+                    F.col("l_v"), F.col("r_v"),
+                    F.col("l_n"), F.col("r_n"),
+                ),
+                6,
+            )
             >= F.lit(threshold)
         )
         .groupBy("r_id")
