@@ -57,6 +57,35 @@ class DeltaFilePartition(InputPartition):
         self.partition_values = partition_values
 
 
+def read_file_partition(path, partition_values, schema) -> "Iterator":
+    """Executor-side file read shared by the table-format streaming
+    sources: one parquet file → Arrow record batches cast to the
+    table's logical ``schema``, with hive partition values attached as
+    constant columns and evolved-away columns surfaced as nulls (the
+    batch scan's semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    table = pq.read_table(path)
+    n = table.num_rows
+    cols = []
+    for field in target:
+        if field.name in table.column_names:
+            cols.append(table.column(field.name).cast(field.type))
+        elif field.name in (partition_values or {}):
+            cols.append(
+                pa.array([partition_values[field.name]] * n).cast(
+                    field.type
+                )
+            )
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    yield from pa.table(cols, schema=target).to_batches()
+
+
 def _latest_version(location: str) -> int:
     from glue_table_cache_spark.sources.delta import (
         _COMMIT_RE,
@@ -184,31 +213,9 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: DeltaFilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(self._schema)
-        table = pq.read_table(partition.path)
-        n = table.num_rows
-        cols = []
-        for field in target:
-            if field.name in table.column_names:
-                cols.append(
-                    table.column(field.name).cast(field.type)
-                )
-            elif field.name in partition.partition_values:
-                # hive partition column: constant from the add action
-                cols.append(
-                    pa.array(
-                        [partition.partition_values[field.name]] * n
-                    ).cast(field.type)
-                )
-            else:
-                # pre-evolution file: surface nulls, like the batch scan
-                cols.append(pa.nulls(n, type=field.type))
-        yield from pa.table(cols, schema=target).to_batches()
+        yield from read_file_partition(
+            partition.path, partition.partition_values, self._schema
+        )
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint owns consumed-offset durability

@@ -1747,3 +1747,79 @@ def test_hudi_append_type_mismatch_refuses(spark, tmp_path):
         write_hudi_append(
             spark.createDataFrame([(2,)], "id long"), loc
         )
+
+
+def test_iceberg_stream_source_appends_and_refusals(spark, tmp_path):
+    """iceberg_lite streams appended snapshots exactly-once into the
+    Delta sink, resumes across restarts, streams expiry's metadata-
+    only sequence bumps as empty batches, and refuses OPTIMIZE
+    (replace) snapshots loudly."""
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        expire_iceberg_snapshots,
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_data_files
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    src = str(tmp_path / "isrc")
+    dst = str(tmp_path / "idst")
+    ck = str(tmp_path / "ick")
+    write_iceberg_append(
+        spark.range(0, 4).selectExpr(
+            "id", "cast(id as string) as s"
+        ).coalesce(1),
+        src,
+    )
+
+    def start():
+        return stream_to_delta(
+            read_iceberg_stream(spark, src), dst, ck, app_id="ipipe"
+        )
+
+    q = start()
+    q.processAllAvailable()
+    write_iceberg_append(
+        spark.range(4, 7).selectExpr(
+            "id", "cast(id as string) as s"
+        ).coalesce(1),
+        src,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*delta_data_files(dst)).collect()
+    )
+    assert got == list(range(7))
+
+    # a metadata-only expiry commit bumps the sequence: empty batch
+    assert expire_iceberg_snapshots(src, retention_hours=0) is not None
+    write_iceberg_append(
+        spark.range(7, 9).selectExpr(
+            "id", "cast(id as string) as s"
+        ).coalesce(1),
+        src,
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*delta_data_files(dst)).collect()
+    )
+    assert got == list(range(9))
+
+    # an OPTIMIZE snapshot (tombstones) refuses loudly
+    assert optimize_iceberg(spark, src) is not None
+    q = start()
+    with pytest.raises(Exception, match="append|status=2"):
+        q.processAllAvailable()
+    q.stop()
