@@ -267,13 +267,20 @@ def _norm_dv(dv) -> dict | None:
 
 
 def write_delta_checkpoint(
-    location: str, version: int | None = None
+    location: str,
+    version: int | None = None,
+    max_actions_per_part: int | None = None,
 ) -> int:
-    """Write a classic single-file checkpoint for the Delta table at
-    ``location`` at ``version`` (default: the latest committed) plus
-    the ``_last_checkpoint`` pointer; returns the checkpointed
-    version.  Idempotent: an existing checkpoint at that version is
-    success."""
+    """Write a classic checkpoint for the Delta table at ``location``
+    at ``version`` (default: the latest committed) plus the
+    ``_last_checkpoint`` pointer; returns the checkpointed version.
+    Idempotent: an existing checkpoint at that version is success.
+
+    Single-file by default; ``max_actions_per_part`` splits the rows
+    across the protocol's multi-part form
+    (``<v>.checkpoint.<part>.<numParts>.parquet``) for tables whose
+    active set outgrows one driver-side parquet — the reader half
+    already verifies part completeness before trusting any of them."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -360,28 +367,53 @@ def write_delta_checkpoint(
             "cleanup; write through write_delta_append first"
         )
 
-    n = len(txn_rows) + len(add_rows) + 2
-    col = {
-        "txn": txn_rows + [None] * (n - len(txn_rows)),
-        "add": [None] * len(txn_rows)
-        + add_rows
-        + [None, None],
-        "metaData": [None] * (n - 2) + [meta_row, None],
-        "protocol": [None] * (n - 1) + [proto_row],
-    }
-    schema = _checkpoint_schema()
-    table = pa.table(
-        {
-            name: pa.array(col[name], type=schema.field(name).type)
-            for name in schema.names
-        },
-        schema=schema,
+    rows: list[tuple[str, dict]] = (
+        [("txn", r) for r in txn_rows]
+        + [("add", r) for r in add_rows]
+        + [("metaData", meta_row), ("protocol", proto_row)]
     )
+    n = len(rows)
+    schema = _checkpoint_schema()
 
-    dest = log_dir / f"{version:020d}.checkpoint.parquet"
-    if not dest.exists():
+    def part_table(chunk: list[tuple[str, dict]]):
+        return pa.table(
+            {
+                name: pa.array(
+                    [r if c == name else None for c, r in chunk],
+                    type=schema.field(name).type,
+                )
+                for name in schema.names
+            },
+            schema=schema,
+        )
+
+    if max_actions_per_part is None or n <= max_actions_per_part:
+        targets = [
+            (log_dir / f"{version:020d}.checkpoint.parquet", rows)
+        ]
+        parts = None
+    else:
+        chunks = [
+            rows[i : i + max_actions_per_part]
+            for i in range(0, n, max_actions_per_part)
+        ]
+        parts = len(chunks)
+        targets = [
+            (
+                log_dir
+                / (
+                    f"{version:020d}.checkpoint."
+                    f"{i + 1:010d}.{parts:010d}.parquet"
+                ),
+                chunk,
+            )
+            for i, chunk in enumerate(chunks)
+        ]
+    for dest, chunk in targets:
+        if dest.exists():
+            continue
         tmp = log_dir / f".{dest.name}.{uuid.uuid4().hex[:8]}.tmp"
-        pq.write_table(table, tmp)
+        pq.write_table(part_table(chunk), tmp)
         try:
             os.rename(tmp, dest)  # same-dir rename: atomic flip
         except OSError:
@@ -399,7 +431,7 @@ def write_delta_checkpoint(
     if current is None or current < version:
         tmp = log_dir / f"._last_checkpoint.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(
-            json.dumps({"version": version, "size": n, "parts": None})
+            json.dumps({"version": version, "size": n, "parts": parts})
         )
         os.rename(tmp, lc)
     return version

@@ -1823,3 +1823,43 @@ def test_iceberg_stream_source_appends_and_refusals(spark, tmp_path):
     with pytest.raises(Exception, match="append|status=2"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_delta_checkpoint_multipart(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    base = tmp_path / "ckmp"
+    for i in range(4):
+        write_delta_append(
+            spark.range(i * 5, i * 5 + 5).coalesce(1), str(base),
+            checkpoint_interval=None,
+        )
+    v = write_delta_checkpoint(str(base), max_actions_per_part=3)
+    parts = sorted(
+        p.name
+        for p in (base / "_delta_log").glob("*.checkpoint.*.parquet")
+    )
+    # 4 adds + 2 meta rows = 6 actions -> 2 parts of <=3
+    assert parts == [
+        f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+        f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    ]
+    clean_delta_log(str(base), retention_hours=0, dry_run=False)
+    entries, _r, schema = delta_scan_info(
+        str(base), with_schema=True, with_stats=True
+    )
+    assert len(entries) == 4 and all(s for *_x, s in entries)
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[p for p, *_rest in entries]
+        ).collect()
+    )
+    assert got == list(range(20))
