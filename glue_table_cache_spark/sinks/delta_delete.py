@@ -1,0 +1,251 @@
+"""Row-level DELETE for Delta tables, published as deletion vectors.
+
+Completes the repo's Delta CRUD story: the read path applies DVs
+(:func:`..sources.delta.apply_deletion_vectors`), OPTIMIZE purges
+them (:func:`.delta_optimize.optimize_delta`), and this module
+WRITES them — ``DELETE FROM t WHERE p`` without rewriting a single
+data file, the protocol's persistent-deletion-vector fast path:
+
+1. scan the active set DISTRIBUTED with ``_metadata.file_path`` /
+   ``_metadata.row_index`` (existing DVs applied first, so an already
+   -deleted row never re-matches), filter by the predicate, and
+   collect only the matched ``(file, position)`` pairs — bounded by
+   ``max_deleted_rows``, the same cap the read path enforces;
+2. per affected file, merge the new positions with the file's
+   existing DV (decoded) and write ONE fresh UUID-named sidecar
+   (storageType ``u``, the RoaringBitmapArray codec the reader
+   decodes); a file whose every row is now deleted gets a plain
+   ``remove`` instead of a full-coverage DV;
+3. commit ``remove(old add) + add(same file, new DV)`` pairs — both
+   ``dataChange: true``, rows changed — plus the protocol upgrade to
+   ``deletionVectors`` reader/writer features, under the repo's
+   pinned-version ``O_EXCL`` loop with per-attempt re-validation
+   (a concurrent OPTIMIZE/DELETE that touched any affected file
+   aborts the commit cleanly; the sidecars are unreferenced garbage
+   for VACUUM, the table is untouched).
+
+Column-mapped tables refuse (physical-name hazard, same as OPTIMIZE).
+``delta_cdf`` refuses windows containing DV-attach commits without
+cdc actions — by design: the changed-row set of a DV delta is not
+reconstructible from the log alone.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.delta_write import _next_version
+
+
+def delete_from_delta(
+    spark: SparkSession,
+    location: str,
+    predicate,
+    max_deleted_rows: int = 10_000_000,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> tuple[int | None, int]:
+    """Delete rows matching ``predicate`` (a SQL string or Column)
+    from the Delta table at ``location``; returns ``(version,
+    n_deleted)`` — ``(None, 0)`` when nothing matched.  Readers see
+    the whole delete or none of it."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.delta import (
+        _path_uri,
+        delta_scan_info,
+    )
+    from glue_table_cache_spark.sources.dv import (
+        dv_deleted_positions,
+        write_dv_file,
+    )
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "delete_from_delta commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    entries, renames, log_schema = delta_scan_info(
+        location, with_schema=True, with_stats=True
+    )
+    if renames is not None:
+        raise GlueSparkError(
+            "delete_from_delta does not support column-mapped tables "
+            "(files carry physical names); use a Delta runtime"
+        )
+    by_path = {p: (pv, dv, st) for p, pv, dv, st in entries}
+    if not by_path:
+        return None, 0
+
+    reader = spark.read.option("basePath", location)
+    if log_schema is not None:
+        reader = reader.schema(log_schema)
+    df = reader.parquet(*by_path)
+    # tag (file, position) FIRST, then mask already-DV-deleted rows by
+    # anti-joining the decoded positions (the apply_deletion_vectors
+    # shape inlined — it drops _metadata, which the tag still needs)
+    tagged = df.select(
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+        "*",
+    )
+    prior_pairs = [
+        (_path_uri(p), int(pos))
+        for p, (_pv, dv, _st) in by_path.items()
+        if dv
+        for pos in dv_deleted_positions(dv, location)
+    ]
+    if len(prior_pairs) > max_deleted_rows:
+        raise GlueSparkError(
+            f"table already carries {len(prior_pairs)} DV-deleted "
+            f"rows (cap {max_deleted_rows}); purge deletion vectors "
+            "(optimize_delta) before deleting more"
+        )
+    if prior_pairs:
+        deleted = spark.createDataFrame(
+            prior_pairs, "__f string, __p long"
+        )
+        tagged = tagged.join(
+            F.broadcast(deleted), ["__f", "__p"], "left_anti"
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    matched = (
+        tagged.where(cond)
+        .groupBy("__f")
+        .agg(
+            F.sort_array(F.collect_list("__p")).alias("__ps"),
+            F.count("*").alias("__n"),
+        )
+    )
+    total = 0
+    hits: dict[str, list[int]] = {}
+    uri_to_path = {_path_uri(p): p for p in by_path}
+    for r in matched.collect():
+        path = uri_to_path.get(r["__f"], r["__f"])
+        hits[path] = [int(x) for x in r["__ps"]]
+        total += int(r["__n"])
+        if total > max_deleted_rows:
+            raise GlueSparkError(
+                f"DELETE matches more than {max_deleted_rows} rows; "
+                "rewrite the table (filter + write) instead of "
+                "carrying a DV that large, or raise max_deleted_rows"
+            )
+    if not hits:
+        return None, 0
+
+    now = int(time.time() * 1000)
+    removes: list[dict] = []
+    adds: list[dict] = []
+    sidecars: list[Path] = []
+    for path, new_pos in sorted(hits.items()):
+        pv, dv, st = by_path[path]
+        rel = str(Path(path).relative_to(base))
+        prior = (
+            dv_deleted_positions(dv, location) if dv else []
+        )
+        positions = sorted(set(prior) | set(new_pos))
+        removes.append(
+            {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": True,
+                "partitionValues": pv,
+            }
+        )
+        num_records = None
+        if st:
+            try:
+                num_records = json.loads(st).get("numRecords")
+            except (ValueError, TypeError):
+                num_records = None
+        if num_records is not None and len(positions) >= num_records:
+            continue  # every row deleted: the remove alone retires it
+        u = uuid.uuid4()
+        sidecar = base / f"deletion_vector_{u}.bin"
+        desc_fields = write_dv_file(sidecar, positions)
+        sidecars.append(sidecar)
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": Path(path).stat().st_size,
+            "modificationTime": now,
+            "dataChange": True,
+            "deletionVector": {
+                "storageType": "u",
+                "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                **desc_fields,
+            },
+        }
+        if st is not None:
+            add["stats"] = st  # bounds stay valid: DVs only narrow
+        adds.append(add)
+
+    log_dir = base / "_delta_log"
+    affected = set(hits)
+    for _attempt in range(max_commit_retries):
+        # pinned version + per-attempt validation, the OPTIMIZE
+        # posture: any commit landing after the validation scan takes
+        # this version and our O_EXCL collides
+        version = _next_version(log_dir)
+        fresh, _r = delta_scan_info(location)
+        fresh_state = {p: dv for p, _pv, dv in fresh}
+        conflict = any(
+            p not in fresh_state
+            or (fresh_state[p] or None) != (by_path[p][1] or None)
+            for p in affected
+        )
+        if conflict:
+            for s in sidecars:
+                s.unlink(missing_ok=True)
+            raise GlueSparkError(
+                "delete_from_delta lost a conflicting race: a file it "
+                "deletes from was rewritten or re-deleted "
+                "concurrently; table left untouched — re-run"
+            )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": str(predicate)
+                    },
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+        ]
+        actions += [{"remove": r} for r in removes]
+        actions += [{"add": a} for a in adds]
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        from glue_table_cache_spark.sinks.delta_write import (
+            _maybe_checkpoint,
+        )
+
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version, total
+    raise GlueSparkError(
+        f"could not commit DELETE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

@@ -1863,3 +1863,112 @@ def test_delta_checkpoint_multipart(spark, tmp_path):
         ).collect()
     )
     assert got == list(range(20))
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE via deletion vectors (sinks/delta_delete.py)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_from_delta_writes_dvs(spark, tmp_path):
+    """DELETE publishes DVs without rewriting data files: the engine
+    scan masks the rows, time travel resurrects them, a second DELETE
+    merges positions, and a file whose every row dies is removed
+    outright."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = str(tmp_path / "del")
+    write_delta_append(spark.range(0, 10).coalesce(1), loc)
+    write_delta_append(spark.range(10, 20).coalesce(1), loc)
+    files_before = sorted(
+        p for p, _pv, _dv in delta_scan_info(loc)[0]
+    )
+
+    v, n = delete_from_delta(spark, loc, "id % 2 = 1 AND id < 10")
+    assert v == 2 and n == 5
+    # no data file was rewritten
+    assert sorted(
+        p for p, _pv, _dv in delta_scan_info(loc)[0]
+    ) == files_before
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "del", loc,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    got = sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.del").collect()
+    )
+    assert got == [0, 2, 4, 6, 8] + list(range(10, 20))
+
+    # second delete on the same file MERGES positions
+    v2, n2 = delete_from_delta(spark, loc, "id = 0")
+    assert v2 == 3 and n2 == 1
+    eng.invalidate_table("db", "del")
+    got = sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.del").collect()
+    )
+    assert got == [2, 4, 6, 8] + list(range(10, 20))
+    # time travel sees the pre-delete state
+    entries_v1, _ = delta_scan_info(loc, version_offset=2)
+    assert all(dv is None for _p, _pv, dv in entries_v1)
+
+    # deleting every remaining row of file 1 removes it outright
+    v3, n3 = delete_from_delta(spark, loc, "id < 10")
+    assert n3 == 4
+    entries, _ = delta_scan_info(loc)
+    assert len(entries) == 1  # only the 10..19 file remains
+    assert entries[0][2] is None
+
+    # no-match delete is a no-op
+    assert delete_from_delta(spark, loc, "id > 99") == (None, 0)
+
+    # idempotence of the changed-row refusal: CDF over a DV window
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    with pytest.raises(GlueSparkError, match="deletion vectors"):
+        delta_cdf(spark, loc, since_version=1).collect()
+
+
+def test_delete_from_delta_partitioned_predicate(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        apply_deletion_vectors,
+        delta_scan_info,
+    )
+
+    loc = str(tmp_path / "delp")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(10)],
+        "id long, p string",
+    )
+    write_delta_append(df, loc, partition_by=["p"])
+    v, n = delete_from_delta(spark, loc, "p = 'a' AND id >= 3")
+    assert n == 2
+    entries, _r, schema = delta_scan_info(loc, with_schema=True)
+    out = apply_deletion_vectors(
+        spark.read.option("basePath", loc).parquet(
+            *[p for p, _pv, _dv in entries]
+        ),
+        entries,
+        loc,
+    )
+    got = sorted((r.id, r.p) for r in out.collect())
+    assert got == [(i, "a") for i in range(3)] + [
+        (i, "b") for i in range(5, 10)
+    ]
