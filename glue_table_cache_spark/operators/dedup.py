@@ -737,3 +737,177 @@ def line_dedup(
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (suffix-array posture, Lee et al. 2021)
+# --------------------------------------------------------------------------
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Maximal duplicated substrings of ≥ ``k`` tokens, first
+    occurrence wins — the EXACT substring dedup of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2021,
+    arXiv:2107.06499, public method), whose reference implementation
+    builds a corpus-wide suffix array on one machine.  Re-expressed
+    for a cluster as the standard distributed equivalent:
+
+    1. every length-``k`` token window becomes a hashed SEED with its
+       ``(doc, position)`` — one explode, O(corpus tokens) rows, no
+       suffix array;
+    2. a seed occurring ≥ 2 times corpus-wide is duplicated; the
+       LOWEST ``(doc_id, position)`` occurrence per seed is the kept
+       original, every other occurrence is marked (first-occurrence-
+       wins, the :func:`line_dedup` posture) — one shuffle keyed on
+       the seed hash;
+    3. per document, marked seeds merge into MAXIMAL spans (two
+       duplicated windows overlapping by ≥ 1 token are one duplicated
+       region) via the interval-merge window: running-max end →
+       new-span flag → cumulative span id — one shuffle keyed on the
+       doc id.
+
+    Returns ``(id_col, span_start, span_end, n_tokens)`` with
+    token-index spans, ``span_end`` exclusive.  Tokens are whitespace
+    runs; a document shorter than ``k`` tokens can never match.
+    Seed equality is by 64-bit hash (``portable=True`` swaps in the
+    md5 family for cross-engine parity) — at 2⁶⁴ a collision
+    mislabeling a window is vanishingly rarer than the corpus-level
+    duplication it hunts, the same trade every MinHash stage makes."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), "\\s+").alias("__t"),
+    ).where(F.size("__t") >= k)
+
+    def gram_hash():
+        gram = F.concat_ws(" ", F.slice("__t", F.col("__i") + 1, k))
+        if portable:
+            return portable_hash60(gram)
+        return F.xxhash64(gram)
+
+    occ = (
+        toks.select(
+            "__id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("__t") - k)
+            ).alias("__i"),
+            "__t",
+        )
+        .select("__id", "__i", gram_hash().alias("__h"))
+    )
+    keepers = occ.groupBy("__h").agg(
+        F.min(F.struct("__id", "__i")).alias("__keep"),
+        F.count(F.lit(1)).alias("__c"),
+    ).where(F.col("__c") >= 2)
+    marked = occ.join(keepers, "__h").where(
+        ~(
+            (F.col("__id") == F.col("__keep.__id"))
+            & (F.col("__i") == F.col("__keep.__i"))
+        )
+    ).select("__id", "__i", (F.col("__i") + k).alias("__end"))
+
+    w = Window.partitionBy("__id").orderBy("__i")
+    prev_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        marked.withColumn(
+            "__new",
+            F.when(
+                prev_end.isNull() | (F.col("__i") > prev_end),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("__id", "__span")
+        .agg(
+            F.min("__i").alias("span_start"),
+            F.max("__end").alias("span_end"),
+        )
+    )
+    return spans.select(
+        F.col("__id").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+    )
+
+
+def remove_duplicate_substrings(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Drop every duplicated ≥ ``k``-token substring except its first
+    corpus occurrence (:func:`duplicate_substring_spans`) and rebuild
+    the text.  Only AFFECTED documents are re-tokenized and rebuilt
+    (single-space joined — whitespace-normalized, the standard posture
+    of these pipelines); untouched documents pass through verbatim.
+    Adds ``n_removed_tokens``."""
+    spans = duplicate_substring_spans(
+        df, k=k, text_col=text_col, id_col=id_col, portable=portable
+    ).withColumnRenamed(id_col, "__sid")
+    affected = spans.select("__sid").distinct()
+    hit = df.join(
+        affected, df[id_col] == affected["__sid"], "left_semi"
+    )
+    toks = hit.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), "\\s+")
+        ).alias("__i", "__tok"),
+    )
+    # per-doc equi-join + range filter: spans per doc are few, so the
+    # post-join filter is cheap and needs no interval bucketing
+    covered = toks.join(
+        spans,
+        (toks["__id"] == spans["__sid"])
+        & (toks["__i"] >= spans["span_start"])
+        & (toks["__i"] < spans["span_end"]),
+        "left",
+    )
+    rebuilt = (
+        covered.groupBy("__id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__sid").isNull(),
+                                F.struct("__i", "__tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("__text"),
+            (
+                F.count(F.lit(1))
+                - F.count(F.when(F.col("__sid").isNull(), 1))
+            ).cast("long").alias("__rm"),
+        )
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+    return out.select(
+        *[
+            F.coalesce(F.col("__text"), F.col(text_col)).alias(text_col)
+            if c == text_col
+            else df[c]
+            for c in df.columns
+        ],
+        F.coalesce(F.col("__rm"), F.lit(0)).alias("n_removed_tokens"),
+    )

@@ -2183,3 +2183,73 @@ def test_ivfpq_shuffle_join_path_matches_broadcast(spark, embeddings):
         base, q, rerank=40, broadcast_queries=False, **kw
     ).collect()))
     assert shuf_rr == bcast_rr
+
+
+def test_duplicate_substring_spans_first_occurrence_wins(spark):
+    from glue_table_cache_spark.operators.dedup import (
+        duplicate_substring_spans,
+        remove_duplicate_substrings,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four five"),
+            (3, "completely unrelated text with no repeats at all"),
+            # within-doc repetition: second copy is also a duplicate
+            (4, f"{shared} filler words here {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_substring_spans(docs, k=5)
+    by_doc = {}
+    for r in spans.collect():
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end)
+        )
+    # doc 1 holds the FIRST occurrence (lowest doc_id, pos) — kept
+    # except where doc 4's earlier-position copy wins some seeds;
+    # the unrelated doc is never flagged
+    assert 3 not in by_doc
+    assert 2 in by_doc  # a later copy is marked
+    # spans are maximal: doc 2's duplicated region is ONE interval
+    # spanning the whole 10-token shared passage
+    (s, e), = by_doc[2]
+    assert e - s == 10
+
+    cleaned = remove_duplicate_substrings(docs, k=5)
+    got = {r.doc_id: (r.text, r.n_removed_tokens)
+           for r in cleaned.collect()}
+    # untouched doc passes through verbatim
+    assert got[3] == (
+        "completely unrelated text with no repeats at all", 0
+    )
+    # doc 2 lost exactly its duplicated region
+    assert got[2][0] == "one two three four five"
+    assert got[2][1] == 10
+    # every doc keeps at least its unique tokens
+    assert "alpha beta" in got[1][0] and "gamma delta" in got[1][0]
+    # exactly ONE copy of the shared passage survives corpus-wide
+    total_copies = sum(
+        txt.count("quick brown fox") for txt, _n in got.values()
+    )
+    assert total_copies == 1
+
+
+def test_duplicate_substring_spans_portable_family(spark):
+    from glue_table_cache_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y a b c d e f")],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        spans = duplicate_substring_spans(docs, k=6, portable=portable)
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in spans.collect()
+        )
+        assert got == [(2, 2, 8)]  # "a b c d e f" in doc 2 only
