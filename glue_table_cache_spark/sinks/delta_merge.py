@@ -1,0 +1,238 @@
+"""MERGE INTO (upsert) for Delta tables — copy-on-write rewrite.
+
+Completes the Delta write surface next to append
+(:mod:`.delta_write`), DELETE (:mod:`.delta_delete`), OPTIMIZE and
+checkpointing: ``MERGE INTO target USING source ON keys`` with the
+classic upsert semantics — matched target rows are REPLACED by their
+source row, unmatched source rows are INSERTED — executed the way
+copy-on-write engines do:
+
+1. find the AFFECTED files: the target's key column + ``_metadata.
+   file_path`` scanned in place, semi-joined against the (broadcast)
+   source key set — only files actually holding a matched key rewrite,
+   everything else is untouched metadata-wise and byte-wise;
+2. rewrite: the affected files' rows (their deletion vectors applied
+   first — a DV-deleted row must not resurrect) minus the matched
+   keys, unioned with ALL source rows (replacements + inserts), write
+   ``~target_file_mb`` outputs with footer stats;
+3. commit ``remove`` (affected) + ``add`` (rewritten) in ONE version,
+   both ``dataChange: true``, under the pinned-version ``O_EXCL``
+   loop with per-attempt validation (a concurrent writer touching an
+   affected file aborts cleanly — staged files deleted, table
+   untouched).
+
+Source keys must be unique — duplicate keys make "the source row"
+ambiguous and refuse loudly (the standard MERGE cardinality error).
+Column-mapped tables refuse (physical-name hazard).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.delta_write import (
+    _footer_stats_json,
+    _maybe_checkpoint,
+    _next_version,
+)
+
+
+def merge_into_delta(
+    spark: SparkSession,
+    location: str,
+    source: DataFrame,
+    on: list[str] | str,
+    target_file_mb: int = 256,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> tuple[int, int, int]:
+    """Upsert ``source`` into the Delta table at ``location`` keyed on
+    ``on``; returns ``(version, n_updated, n_inserted)``.  Readers see
+    the whole merge or none of it."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.delta import (
+        _path_uri,
+        apply_deletion_vectors,
+        delta_scan_info,
+    )
+
+    keys = [on] if isinstance(on, str) else list(on)
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "merge_into_delta commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    entries, renames, log_schema = delta_scan_info(
+        location, with_schema=True
+    )
+    if renames is not None:
+        raise GlueSparkError(
+            "merge_into_delta does not support column-mapped tables "
+            "(files carry physical names); use a Delta runtime"
+        )
+    if any(pv for _p, pv, _dv in entries):
+        raise GlueSparkError(
+            "merge_into_delta rewrites whole files and does not "
+            "yet place outputs into hive partition directories — "
+            "partitioned tables refuse; compact to unpartitioned or "
+            "use delete_from_delta + write_delta_append"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise GlueSparkError(
+            f"merge keys {missing} are not in the source columns "
+            f"{source.columns}"
+        )
+    if log_schema is not None:
+        want = {f.name for f in log_schema.fields}
+        if set(source.columns) != want:
+            raise GlueSparkError(
+                f"MERGE source columns {sorted(source.columns)} do "
+                f"not match the table schema {sorted(want)} — the "
+                "merge replaces whole rows; align the source first"
+            )
+    dup = source.groupBy(*keys).count().where("count > 1").limit(1)
+    if dup.count():
+        raise GlueSparkError(
+            "MERGE source has duplicate keys — 'the source row' for a "
+            "matched target row is ambiguous; de-duplicate the source "
+            "first (e.g. max_by on a version column)"
+        )
+    by_path = {p: (pv, dv) for p, pv, dv in entries}
+
+    src_keys = F.broadcast(source.select(*keys).distinct())
+    affected: list[str] = []
+    n_updated = 0
+    if by_path:
+        reader = spark.read.option("basePath", location)
+        if log_schema is not None:
+            reader = reader.schema(log_schema)
+        target = reader.parquet(*by_path)
+        tagged = target.select(
+            F.col("_metadata.file_path").alias("__f"), *keys
+        )
+        hit = (
+            tagged.join(src_keys, keys)
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        uri_to_path = {_path_uri(p): p for p in by_path}
+        for r in hit:
+            affected.append(uri_to_path.get(r["__f"], r["__f"]))
+            n_updated += int(r["__n"])
+
+    src_count = source.count()
+    n_inserted = src_count - n_updated
+
+    # rewrite = (affected rows with DVs applied, minus matched keys)
+    # + every source row
+    batch = uuid.uuid4().hex[:12]
+    now = int(time.time() * 1000)
+    if affected:
+        reader = spark.read.option("basePath", location)
+        if log_schema is not None:
+            reader = reader.schema(log_schema)
+        kept = apply_deletion_vectors(
+            reader.parquet(*affected),
+            [(p, by_path[p][0], by_path[p][1]) for p in affected],
+            location,
+        ).join(src_keys, keys, "left_anti")
+        merged = kept.unionByName(
+            source.select(*kept.columns)
+        )
+        total_bytes = sum(Path(p).stat().st_size for p in affected)
+    else:
+        merged = source
+        total_bytes = 0
+    n_files = max(
+        1, -(-max(total_bytes, 1) // (target_file_mb * 1024 * 1024))
+    )
+    stage = base / f"_staging_{batch}"
+    merged.repartition(n_files).write.mode("overwrite").parquet(
+        str(stage)
+    )
+    adds: list[dict] = []
+    for p in sorted(stage.rglob("part-*.parquet")):
+        name = f"part-{batch}-{len(adds):05d}.parquet"
+        dest = base / name
+        p.rename(dest)
+        add = {
+            "path": name,
+            "partitionValues": {},
+            "size": dest.stat().st_size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        stats = _footer_stats_json(dest)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append(add)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    log_dir = base / "_delta_log"
+    affected_set = set(affected)
+    for _attempt in range(max_commit_retries):
+        # pinned version + per-attempt validation (optimizer posture)
+        version = _next_version(log_dir)
+        fresh, _r = delta_scan_info(location)
+        fresh_state = {p: dv for p, _pv, dv in fresh}
+        conflict = any(
+            p not in fresh_state
+            or (fresh_state[p] or None) != (by_path[p][1] or None)
+            for p in affected_set
+        )
+        if conflict:
+            for a in adds:
+                (base / a["path"]).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "merge_into_delta lost a conflicting race: an "
+                "affected file was rewritten or deleted-from "
+                "concurrently; table left untouched — re-run"
+            )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "matchedPredicates": json.dumps(keys)
+                    },
+                }
+            }
+        ]
+        actions += [
+            {
+                "remove": {
+                    "path": str(Path(p).relative_to(base)),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": by_path[p][0],
+                }
+            }
+            for p in sorted(affected_set)
+        ]
+        actions += [{"add": a} for a in adds]
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version, n_updated, n_inserted
+    raise GlueSparkError(
+        f"could not commit MERGE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

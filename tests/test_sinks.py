@@ -1972,3 +1972,99 @@ def test_delete_from_delta_partitioned_predicate(spark, tmp_path):
     assert got == [(i, "a") for i in range(3)] + [
         (i, "b") for i in range(5, 10)
     ]
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (sinks/delta_merge.py)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_delta_upserts(spark, tmp_path):
+    """Matched rows replaced, unmatched inserted, untouched files not
+    rewritten, DV-deleted rows never resurrect, and time travel shows
+    the pre-merge state."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_merge import (
+        merge_into_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        apply_deletion_vectors,
+        delta_scan_info,
+    )
+
+    loc = str(tmp_path / "mrg")
+    write_delta_append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "id long, v string"
+        ).coalesce(1),
+        loc,
+    )
+    write_delta_append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5, 10)], "id long, v string"
+        ).coalesce(1),
+        loc,
+    )
+    # DV-delete id=1, then merge: id=2 updated, id=99 inserted —
+    # id=1 must stay deleted even though its file is rewritten
+    delete_from_delta(spark, loc, "id = 1")
+    files_before = {p for p, _pv, _dv in delta_scan_info(loc)[0]}
+
+    src = spark.createDataFrame(
+        [(2, "UPDATED"), (99, "NEW")], "id long, v string"
+    )
+    v, n_upd, n_ins = merge_into_delta(spark, loc, src, on="id")
+    assert (n_upd, n_ins) == (1, 1)
+
+    entries, _r = delta_scan_info(loc)
+    out = apply_deletion_vectors(
+        spark.read.parquet(*[p for p, _pv, _dv in entries]),
+        entries,
+        loc,
+    )
+    got = sorted((r.id, r.v) for r in out.collect())
+    assert got == sorted(
+        [(0, "v0"), (2, "UPDATED"), (99, "NEW")]
+        + [(i, f"v{i}") for i in range(3, 10)]
+    )
+    # the file holding 5..9 (no matched keys) was NOT rewritten
+    untouched = {
+        p for p, _pv, _dv in entries if p in files_before
+    }
+    assert untouched  # at least one pre-merge file survives as-is
+    # time travel: pre-merge state intact
+    pre, _r2 = delta_scan_info(loc, version_offset=1)
+    pre_out = apply_deletion_vectors(
+        spark.read.parquet(*[p for p, _pv, _dv in pre]), pre, loc
+    )
+    assert sorted(r.id for r in pre_out.collect()) == [
+        0, 2, 3, 4, 5, 6, 7, 8, 9
+    ]
+
+
+def test_merge_into_delta_refusals(spark, tmp_path):
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.delta_merge import (
+        merge_into_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = str(tmp_path / "mrgr")
+    write_delta_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    dup_src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, v string"
+    )
+    with pytest.raises(GlueSparkError, match="duplicate keys"):
+        merge_into_delta(spark, loc, dup_src, on="id")
+    bad_schema = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(GlueSparkError, match="schema"):
+        merge_into_delta(spark, loc, bad_schema, on="id")
