@@ -1,0 +1,223 @@
+"""Row-level DELETE for Iceberg tables, published as position deletes.
+
+The Iceberg sibling of :mod:`.delta_delete`, completing cross-format
+DELETE symmetry: matched rows become a format-v2 POSITION delete file
+(``file_path``/``pos`` parquet — exactly what
+:func:`..sources.iceberg.apply_position_deletes` consumes) named by a
+new snapshot's DELETE manifest.  Unlike the Delta DV path, nothing is
+materialized on the driver: the matched ``(file, position)`` pairs
+are written DISTRIBUTED by Spark straight into the delete parquet —
+delete volume never bounds the driver.
+
+Existing position deletes stay live alongside the new file (Iceberg
+composes delete files; no merge needed).  Tables already carrying
+EQUALITY deletes refuse: their sequence-number scoping over a new
+position delete snapshot is exactly the bookkeeping
+:func:`.iceberg_optimize.optimize_iceberg` exists to collapse — purge
+first, then delete.
+
+Concurrency: pinned sequence number + per-attempt validation that
+every file the delete references is still active (a concurrent
+OPTIMIZE that rewrote one would leave our position delete aimed at a
+retired path — matching nothing and silently resurrecting the rows),
+then the same ``O_EXCL`` metadata commit as every Iceberg writer here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.iceberg_write import _latest_metadata
+from glue_table_cache_spark.sources.avro_lite import read_avro, write_avro
+from glue_table_cache_spark.sources.iceberg_fixture import (
+    MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_LIST_SCHEMA,
+)
+
+
+def delete_from_iceberg(
+    spark: SparkSession,
+    location: str,
+    predicate,
+    max_commit_retries: int = 10,
+) -> tuple[int | None, int]:
+    """Delete rows matching ``predicate`` (SQL string or Column) from
+    the Iceberg table at ``location``; returns ``(sequence_number,
+    n_deleted)`` — ``(None, 0)`` when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_scheme,
+        iceberg_scan_details,
+    )
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "delete_from_iceberg commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    meta_dir = base / "metadata"
+    data_dir = base / "data"
+    entries, pos_dels, eq_dels = iceberg_scan_details(location)
+    if eq_dels:
+        raise GlueSparkError(
+            "table carries EQUALITY deletes; their sequence-number "
+            "scoping over a new position delete is optimizer "
+            "bookkeeping — run optimize_iceberg() to purge them, "
+            "then delete"
+        )
+    if not entries:
+        return None, 0
+
+    df = spark.read.parquet(*[p for p, _pv, _seq in entries])
+    tagged = df.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    if pos_dels:
+        prior = spark.read.parquet(*pos_dels).select(
+            _strip_scheme(F.col("file_path")).alias("__pf"),
+            F.col("pos").cast("long").alias("__pp"),
+        )
+        tagged = (
+            tagged.withColumn(
+                "__pf", _strip_scheme(F.col("file_path"))
+            )
+            .withColumn("__pp", F.col("pos"))
+            .join(prior, ["__pf", "__pp"], "left_anti")
+            .drop("__pf", "__pp")
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    matched = tagged.where(cond).select("file_path", "pos")
+
+    batch = uuid.uuid4().hex[:12]
+    stage = base / f"_staging_{batch}"
+    # the delete content is written DISTRIBUTED — the driver never
+    # holds the positions (scale posture the Delta DV blob cannot take)
+    matched.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    parts = sorted(stage.rglob("part-*.parquet"))
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(parts[0]).metadata.num_rows
+    if n == 0:
+        shutil.rmtree(stage, ignore_errors=True)
+        return None, 0
+    affected = {
+        r["file_path"]
+        for r in spark.read.parquet(str(parts[0]))
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    del_name = f"pos-delete-{batch}.parquet"
+    del_file = data_dir / del_name
+    parts[0].rename(del_file)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
+    affected_stripped = {_strip_path(p) for p in affected}
+    for _attempt in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        fresh, _p, _e = iceberg_scan_details(location)
+        fresh_active = {
+            _strip_path(p) for p, _pv, _seq in fresh
+        }
+        if not affected_stripped <= fresh_active:
+            del_file.unlink(missing_ok=True)
+            raise GlueSparkError(
+                "delete_from_iceberg lost a conflicting race: a file "
+                "it deletes from was rewritten concurrently (the "
+                "position delete would silently miss); table left "
+                "untouched — re-run"
+            )
+        last_seq = prev.get("last-sequence-number", 0)
+        seq = last_seq + 1
+        snap_id = 1000 + seq
+        manifest = meta_dir / f"delete-manifest-{seq}-{batch}.avro"
+        write_avro(
+            manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,  # inherit
+                    "data_file": {
+                        "content": 1,
+                        "file_path": str(Path("data") / del_name),
+                        "file_format": "PARQUET",
+                        "partition": None,
+                        "record_count": n,
+                        "file_size_in_bytes": del_file.stat().st_size,
+                        "equality_ids": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "null_value_counts": None,
+                    },
+                }
+            ],
+        )
+        prior_rows: list[dict] = []
+        prior_snaps = list(prev.get("snapshots") or [])
+        if prior_snaps:
+            pl = prior_snaps[-1]["manifest-list"]
+            prior_rows = read_avro(
+                pl if pl.startswith("/") else str(base / pl)
+            )
+        manifest_list = meta_dir / f"snap-{seq}-{batch}.avro"
+        write_avro(
+            manifest_list,
+            MANIFEST_LIST_SCHEMA,
+            prior_rows
+            + [
+                {
+                    "manifest_path": str(
+                        Path("metadata") / manifest.name
+                    ),
+                    "manifest_length": manifest.stat().st_size,
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            ],
+        )
+        meta = dict(prev)
+        meta["last-sequence-number"] = seq
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshots"] = prior_snaps + [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": str(
+                    Path("metadata") / manifest_list.name
+                ),
+            }
+        ]
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            manifest.unlink(missing_ok=True)
+            manifest_list.unlink(missing_ok=True)
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq, int(n)
+    raise GlueSparkError(
+        f"could not commit DELETE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

@@ -2068,3 +2068,70 @@ def test_merge_into_delta_refusals(spark, tmp_path):
     bad_schema = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(GlueSparkError, match="schema"):
         merge_into_delta(spark, loc, bad_schema, on="id")
+
+
+def test_delete_from_iceberg_position_deletes(spark, tmp_path):
+    """DELETE publishes a position-delete file in a new snapshot: the
+    engine masks the rows, deletes compose with prior deletes, time
+    travel resurrects, and OPTIMIZE purges everything."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.iceberg_delete import (
+        delete_from_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    loc = str(tmp_path / "idel")
+    write_iceberg_append(
+        spark.range(0, 10).selectExpr(
+            "id", "cast(id as string) as s"
+        ).coalesce(1),
+        loc,
+    )
+    seq, n = delete_from_iceberg(spark, loc, "id % 2 = 1")
+    assert n == 5 and seq == 2
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "idel", loc, parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    got = sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.idel").collect()
+    )
+    assert got == [0, 2, 4, 6, 8]
+
+    # composing deletes: a second delete stacks with the first
+    seq2, n2 = delete_from_iceberg(spark, loc, "id = 0")
+    assert n2 == 1
+    eng.invalidate_table("db", "idel")
+    got = sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.idel").collect()
+    )
+    assert got == [2, 4, 6, 8]
+    # already-deleted rows never re-match: a repeat delete no-ops
+    assert delete_from_iceberg(spark, loc, "id % 2 = 1") == (None, 0)
+
+    # time travel: pre-delete snapshot intact
+    entries, pos, _eq = iceberg_scan_details(loc, version_offset=2)
+    assert pos == []
+
+    # OPTIMIZE purges the delete files into a clean rewrite
+    assert optimize_iceberg(spark, loc) is not None
+    entries, pos, _eq = iceberg_scan_details(loc)
+    assert pos == []
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[p for p, _pv, _seq in entries]
+        ).collect()
+    )
+    assert got == [2, 4, 6, 8]
