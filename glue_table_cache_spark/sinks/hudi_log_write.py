@@ -372,3 +372,140 @@ def compact_hudi(
         f"could not commit compaction to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def delete_from_hudi(
+    spark: SparkSession,
+    location: str,
+    predicate,
+    max_commit_retries: int = 10,
+) -> tuple[str | None, int]:
+    """Row-level DELETE for COPY_ON_WRITE Hudi tables — the COW
+    delete IS a file-group rewrite, published as ONE replacecommit:
+    partially-matched groups get a fresh base slice holding their
+    surviving rows (same ``fileId``, newest-slice-wins), groups whose
+    EVERY row matched are retired via ``partitionToReplaceFileIds``.
+    Returns ``(instant, n_deleted)`` — ``(None, 0)`` when nothing
+    matched.  MERGE_ON_READ tables refuse: their delete path is a
+    DELETE log block (:func:`write_hudi_log` with ``delete_keys``),
+    which touches no base file.
+
+    Concurrency follows the optimizers: instant pinned before a
+    per-attempt validation that every affected group is still active,
+    then ``O_EXCL`` on the instant file."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "delete_from_hudi commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    names = _timeline_files(location)
+    if _table_type(names) != "COPY_ON_WRITE":
+        raise GlueSparkError(
+            "delete_from_hudi rewrites COPY_ON_WRITE base files; for "
+            "MERGE_ON_READ use write_hudi_log(delete_keys=...) — a "
+            "DELETE log block, no rewrite needed"
+        )
+    active = hudi_scan_info(location)
+    if not active:
+        return None, 0
+    df = spark.read.parquet(*[p for p, _pv in active])
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    per_file = (
+        df.select(
+            F.col("_metadata.file_path").alias("__f"),
+            cond.cast("int").alias("__hit"),
+        )
+        .groupBy("__f")
+        .agg(
+            F.sum("__hit").alias("__n"),
+            F.count(F.lit(1)).alias("__t"),
+        )
+        .where(F.col("__n") > 0)
+        .collect()
+    )
+    if not per_file:
+        return None, 0
+    stripped_to_path = {_strip_path(p): p for p, _pv in active}
+    rewrite: list[str] = []  # partially matched: new slice
+    retire: list[str] = []  # fully matched: replace the group
+    n_deleted = 0
+    for r in per_file:
+        path = stripped_to_path.get(_strip_path(r["__f"]), r["__f"])
+        n_deleted += int(r["__n"])
+        (retire if r["__n"] == r["__t"] else rewrite).append(path)
+
+    batch = uuid.uuid4().hex[:8]
+    hoodie = base / ".hoodie"
+    instant_tag = _latest_instant(hoodie) + 1
+    stats_by_part: dict[str, list[dict]] = {}
+    staged: list[str] = []
+    for path in sorted(rewrite):
+        fid = _fid_of(path)
+        part = str(Path(path).parent.relative_to(base))
+        part = "" if part == "." else part
+        kept = spark.read.parquet(path).where(~cond)
+        stage = base / f"_staging_{batch}" / fid
+        kept.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        src = sorted(stage.rglob("part-*.parquet"))[0]
+        name = f"{fid}_0-0-0_{instant_tag}.parquet"
+        rel = f"{part}/{name}" if part else name
+        dest = base / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        src.rename(dest)
+        staged.append(rel)
+        stats_by_part.setdefault(part, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "partitionPath": part,
+                "fileSizeInBytes": dest.stat().st_size,
+            }
+        )
+    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+    replace_by_part: dict[str, list[str]] = {}
+    for path in retire:
+        part = str(Path(path).parent.relative_to(base))
+        part = "" if part == "." else part
+        replace_by_part.setdefault(part, []).append(_fid_of(path))
+
+    affected = {str(Path(p)) for p in rewrite + retire}
+    payload = json.dumps(
+        {
+            "partitionToWriteStats": stats_by_part,
+            "partitionToReplaceFileIds": replace_by_part,
+        }
+    )
+    for _attempt in range(max_commit_retries):
+        instant = _latest_instant(hoodie) + 1
+        fresh = {str(Path(p)) for p, _pv in hudi_scan_info(location)}
+        if not affected <= fresh:
+            for rel in staged:
+                (base / rel).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "delete_from_hudi lost a conflicting race: an "
+                "affected file group is no longer active; table left "
+                "untouched — re-run"
+            )
+        commit = hoodie / f"{instant}.replacecommit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return str(instant), n_deleted
+    raise GlueSparkError(
+        f"could not commit DELETE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )
+
+
+def _fid_of(path: str) -> str:
+    m = _BASE_FILE_RE.search(path)
+    return m.group(1) if m else Path(path).stem

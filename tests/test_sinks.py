@@ -2135,3 +2135,46 @@ def test_delete_from_iceberg_position_deletes(spark, tmp_path):
         ).collect()
     )
     assert got == [2, 4, 6, 8]
+
+
+def test_delete_from_hudi_cow_rewrite(spark, tmp_path):
+    """COW DELETE: partially-matched groups rewrite to a new slice,
+    fully-matched groups retire, untouched groups keep their files."""
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        delete_from_hudi,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+
+    loc = str(tmp_path / "hdel")
+    write_hudi_append(spark.range(0, 5).coalesce(1), loc)     # g1
+    write_hudi_append(spark.range(5, 10).coalesce(1), loc)    # g2
+    write_hudi_append(spark.range(10, 15).coalesce(1), loc)   # g3
+    before = {p for p, _pv in hudi_scan_info(loc)}
+
+    # kills all of g1 (0..4), half of g2 (5..7), none of g3
+    inst, n = delete_from_hudi(spark, loc, "id < 8")
+    assert n == 8
+    after = hudi_scan_info(loc)
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[p for p, _pv in after]
+        ).collect()
+    )
+    assert got == [8, 9] + list(range(10, 15))
+    # g3 untouched byte-wise; g1 gone; g2 has a NEW slice
+    after_paths = {p for p, _pv in after}
+    assert len(after_paths & before) == 1  # only g3 survives as-is
+    # no-op delete
+    assert delete_from_hudi(spark, loc, "id > 900") == (None, 0)
+    # MOR refuses with a log-block pointer
+    mor = str(tmp_path / "hdelm")
+    write_hudi_append(
+        spark.range(3).coalesce(1), mor, table_type="MERGE_ON_READ"
+    )
+    with pytest.raises(GlueSparkError, match="write_hudi_log"):
+        delete_from_hudi(spark, mor, "id = 1")
