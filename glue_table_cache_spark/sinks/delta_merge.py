@@ -236,3 +236,206 @@ def merge_into_delta(
         f"could not commit MERGE to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def update_delta(
+    spark: SparkSession,
+    location: str,
+    predicate,
+    set_exprs: dict[str, str],
+    target_file_mb: int = 256,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> tuple[int | None, int]:
+    """``UPDATE t SET col = expr, ... WHERE predicate`` — the
+    copy-on-write row update: only files holding a matched row
+    rewrite (matched rows transformed through ``set_exprs``, the
+    rest byte-preserved in the rewritten copies), committed as
+    remove+add in one ``dataChange`` version with the same
+    pinned-version/per-attempt-validation posture as
+    :func:`merge_into_delta`.  Returns ``(version, n_updated)`` —
+    ``(None, 0)`` when nothing matched.  Needs no key columns,
+    unlike MERGE.  Column-mapped and partitioned tables refuse
+    (same scope gates as MERGE)."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.delta import (
+        _path_uri,
+        apply_deletion_vectors,
+        delta_scan_info,
+    )
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "update_delta commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    entries, renames, log_schema = delta_scan_info(
+        location, with_schema=True
+    )
+    if renames is not None:
+        raise GlueSparkError(
+            "update_delta does not support column-mapped tables "
+            "(files carry physical names); use a Delta runtime"
+        )
+    if any(pv for _p, pv, _dv in entries):
+        raise GlueSparkError(
+            "update_delta rewrites whole files and does not place "
+            "outputs into hive partition directories — partitioned "
+            "tables refuse"
+        )
+    by_path = {p: (pv, dv) for p, pv, dv in entries}
+    if not by_path:
+        return None, 0
+    cols = (
+        [f.name for f in log_schema.fields]
+        if log_schema is not None
+        else None
+    )
+    unknown = [c for c in set_exprs if cols and c not in cols]
+    if unknown:
+        raise GlueSparkError(
+            f"UPDATE sets unknown column(s) {unknown}; table columns "
+            f"are {cols}"
+        )
+
+    reader = spark.read.option("basePath", location)
+    if log_schema is not None:
+        reader = reader.schema(log_schema)
+    target = reader.parquet(*by_path)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # DV-deleted rows must not count as matches (nor pin their file
+    # into the rewrite set on their own): tag and anti-join the
+    # decoded prior positions, the delta_delete shape
+    from glue_table_cache_spark.sources.dv import dv_deleted_positions
+
+    tagged = target.select(
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+        "*",
+    )
+    prior_pairs = [
+        (_path_uri(p), int(pos))
+        for p, (_pv, dv) in by_path.items()
+        if dv
+        for pos in dv_deleted_positions(dv, location)
+    ]
+    if prior_pairs:
+        tagged = tagged.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    prior_pairs, "__f string, __p long"
+                )
+            ),
+            ["__f", "__p"],
+            "left_anti",
+        )
+    hit = (
+        tagged.where(cond)
+        .groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not hit:
+        return None, 0
+    uri_to_path = {_path_uri(p): p for p in by_path}
+    affected = [uri_to_path.get(r["__f"], r["__f"]) for r in hit]
+    n_updated = sum(int(r["__n"]) for r in hit)
+
+    reader = spark.read.option("basePath", location)
+    if log_schema is not None:
+        reader = reader.schema(log_schema)
+    rows = apply_deletion_vectors(
+        reader.parquet(*affected),
+        [(p, by_path[p][0], by_path[p][1]) for p in affected],
+        location,
+    )
+    updated = rows.withColumns(
+        {
+            c: F.when(cond, F.expr(e)).otherwise(F.col(c))
+            for c, e in set_exprs.items()
+        }
+    )
+
+    batch = uuid.uuid4().hex[:12]
+    now = int(time.time() * 1000)
+    total_bytes = sum(Path(p).stat().st_size for p in affected)
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    stage = base / f"_staging_{batch}"
+    updated.repartition(n_files).write.mode("overwrite").parquet(
+        str(stage)
+    )
+    adds: list[dict] = []
+    for p in sorted(stage.rglob("part-*.parquet")):
+        name = f"part-{batch}-{len(adds):05d}.parquet"
+        dest = base / name
+        p.rename(dest)
+        add = {
+            "path": name,
+            "partitionValues": {},
+            "size": dest.stat().st_size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        stats = _footer_stats_json(dest)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append(add)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    log_dir = base / "_delta_log"
+    affected_set = set(affected)
+    for _attempt in range(max_commit_retries):
+        version = _next_version(log_dir)
+        fresh, _r = delta_scan_info(location)
+        fresh_state = {p: dv for p, _pv, dv in fresh}
+        conflict = any(
+            p not in fresh_state
+            or (fresh_state[p] or None) != (by_path[p][1] or None)
+            for p in affected_set
+        )
+        if conflict:
+            for a in adds:
+                (base / a["path"]).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "update_delta lost a conflicting race: an affected "
+                "file was rewritten concurrently; table left "
+                "untouched — re-run"
+            )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "UPDATE",
+                    "operationParameters": {
+                        "predicate": str(predicate)
+                    },
+                }
+            }
+        ]
+        actions += [
+            {
+                "remove": {
+                    "path": str(Path(p).relative_to(base)),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": by_path[p][0],
+                }
+            }
+            for p in sorted(affected_set)
+        ]
+        actions += [{"add": a} for a in adds]
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version, n_updated
+    raise GlueSparkError(
+        f"could not commit UPDATE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

@@ -2178,3 +2178,57 @@ def test_delete_from_hudi_cow_rewrite(spark, tmp_path):
     )
     with pytest.raises(GlueSparkError, match="write_hudi_log"):
         delete_from_hudi(spark, mor, "id = 1")
+
+
+def test_update_delta_rewrites_only_affected_files(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_merge import update_delta
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        apply_deletion_vectors,
+        delta_scan_info,
+    )
+
+    loc = str(tmp_path / "upd")
+    write_delta_append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id long, v double"
+        ).coalesce(1),
+        loc,
+    )
+    write_delta_append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5, 10)], "id long, v double"
+        ).coalesce(1),
+        loc,
+    )
+    # DV-delete id=3 first: the update rewrite must not resurrect it
+    delete_from_delta(spark, loc, "id = 3")
+    before = {p for p, _pv, _dv in delta_scan_info(loc)[0]}
+
+    v, n = update_delta(
+        spark, loc, "id < 5", {"v": "v * 10 + id"}
+    )
+    assert n == 4  # ids 0,1,2,4 (3 is DV-deleted)
+    entries, _r = delta_scan_info(loc)
+    out = apply_deletion_vectors(
+        spark.read.parquet(*[p for p, _pv, _dv in entries]),
+        entries,
+        loc,
+    )
+    got = sorted((r.id, r.v) for r in out.collect())
+    assert got == [
+        (0, 0.0), (1, 11.0), (2, 22.0), (4, 44.0),
+    ] + [(i, float(i)) for i in range(5, 10)]
+    # the 5..9 file was untouched
+    assert {p for p, _pv, _dv in entries} & before
+    # no-match update no-ops; unknown column refuses
+    assert update_delta(spark, loc, "id > 99", {"v": "0"}) == (None, 0)
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    with pytest.raises(GlueSparkError, match="unknown column"):
+        update_delta(spark, loc, "id = 1", {"nope": "1"})
