@@ -118,13 +118,21 @@ class GlueSparkEngine:
         on ``createOrReplaceTempView`` and read each other's pruned
         DataFrames, and distinct databases that mangle to the same view
         name (``a-b`` vs ``ab``) can no longer collide."""
+        from glue_table_cache_spark.transformer import (
+            extract_time_travel,
+        )
+
+        # `glue.db.t VERSION|TIMESTAMP AS OF x` clauses steer the
+        # table's metadata walk and are STRIPPED before execution
+        # (Spark temp views carry no travel syntax)
+        travel, query = extract_time_travel(query)
         refs = get_query_glue_table_refs(query, strict=False)
         token = next(self._view_seq)
         names = {
             ref: f"{ref.view_name}__q{token}_{i}"
             for i, ref in enumerate(refs)
         }
-        self._register_views(refs, names, query)
+        self._register_views(refs, names, query, travel)
         # drop views in finally: analysis failures (e.g. a typo'd
         # column) must not leak one per-query-unique view per call
         try:
@@ -148,18 +156,25 @@ class GlueSparkEngine:
         refs: list[TableReference],
         names: dict[TableReference, str],
         query: str,
+        travel: dict | None = None,
     ) -> None:
         """Per-table work runs in a thread pool like the reference's
         ``Promise.all`` (/root/reference/src/glue-table-cache.ts:265)."""
         if not refs:
             return
+        travel = travel or {}
         if len(refs) == 1:
-            self._setup_view(refs[0], names[refs[0]], query)
+            self._setup_view(
+                refs[0], names[refs[0]], query, travel.get(refs[0])
+            )
         else:
             with ThreadPoolExecutor(max_workers=min(8, len(refs))) as pool:
                 list(
                     pool.map(
-                        lambda r: self._setup_view(r, names[r], query), refs
+                        lambda r: self._setup_view(
+                            r, names[r], query, travel.get(r)
+                        ),
+                        refs,
                     )
                 )
 
@@ -304,10 +319,14 @@ class GlueSparkEngine:
         return self._dataframe_for(tbl, query)
 
     def _setup_view(
-        self, ref: TableReference, view_name: str, query: str
+        self,
+        ref: TableReference,
+        view_name: str,
+        query: str,
+        travel: tuple | None = None,
     ) -> None:
         tbl = self.get_table_metadata_cached(ref.database, ref.table)
-        df = self._dataframe_for(tbl, query)
+        df = self._dataframe_for(tbl, query, travel)
         df.createOrReplaceTempView(view_name)
 
     def _format_scan_cached(self, tbl: CatalogTable, load: Callable):
@@ -325,6 +344,67 @@ class GlueSparkEngine:
             table_cache_key(tbl.database, tbl.name)
         ] = key
         return self._listing_cache.get_or_load(key, load)
+
+    @staticmethod
+    def _travel_timestamp_ms(literal: str) -> int:
+        """Parse a ``TIMESTAMP AS OF`` literal to epoch ms (naive
+        timestamps are UTC — the engine pins the session timezone)."""
+        import datetime
+
+        txt = str(literal).strip().replace(" ", "T", 1)
+        if txt.endswith("Z"):
+            txt = txt[:-1] + "+00:00"
+        try:
+            dt = datetime.datetime.fromisoformat(txt)
+        except ValueError as exc:
+            raise GlueSparkError(
+                f"unparseable TIMESTAMP AS OF literal {literal!r}"
+            ) from exc
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    def _delta_travel_kwargs(self, location: str, travel: tuple) -> dict:
+        kind, val = travel
+        if kind == "timestamp":
+            return {
+                "as_of_timestamp_ms": self._travel_timestamp_ms(val)
+            }
+        from glue_table_cache_spark.streaming.delta_source import (
+            _latest_version,
+        )
+
+        latest = _latest_version(location)
+        if not isinstance(val, int) or val > latest:
+            raise GlueSparkError(
+                f"Delta version {val!r} does not exist at "
+                f"{location!r} (latest {latest})"
+            )
+        return {"version_offset": latest - val}
+
+    def _iceberg_travel_kwargs(
+        self, location: str, travel: tuple
+    ) -> dict:
+        kind, val = travel
+        if kind == "timestamp":
+            return {
+                "as_of_timestamp_ms": self._travel_timestamp_ms(val)
+            }
+        from glue_table_cache_spark.sources.iceberg import (
+            _list_metadata_jsons,
+            _read_json,
+        )
+
+        seqs = sorted(
+            _read_json(p).get("last-sequence-number", 0)
+            for p in _list_metadata_jsons(location, fs=self._fs)
+        )
+        if val not in seqs:
+            raise GlueSparkError(
+                f"Iceberg sequence number {val!r} does not exist at "
+                f"{location!r} (have {seqs})"
+            )
+        return {"version_offset": len(seqs) - 1 - seqs.index(val)}
 
     def _stats_keep_set(
         self,
@@ -357,10 +437,24 @@ class GlueSparkEngine:
             return None
         return skip_files(list(stats_by_path.items()), pred)
 
-    def _dataframe_for(self, tbl: CatalogTable, query: str | None) -> DataFrame:
+    def _dataframe_for(
+        self,
+        tbl: CatalogTable,
+        query: str | None,
+        travel: tuple | None = None,
+    ) -> DataFrame:
         if not tbl.location:
             raise NoStorageLocationError(tbl.database, tbl.name)
         ttype = tbl.table_type
+        if travel is not None and ttype not in (
+            ETableType.DELTA,
+            ETableType.ICEBERG,
+        ):
+            raise GlueSparkError(
+                f"VERSION/TIMESTAMP AS OF is supported for DELTA and "
+                f"ICEBERG tables; glue.{tbl.database}.{tbl.name} is "
+                f"{ttype.name}"
+            )
         if ttype == ETableType.HUDI:
             # beyond the reference (which enumerates HUDI but never
             # reads it): COPY_ON_WRITE timeline walk — latest file
@@ -480,13 +574,21 @@ class GlueSparkEngine:
                 delta_scan_info,
             )
 
-            entries, renames, log_schema = self._format_scan_cached(
-                tbl,
-                lambda: delta_scan_info(
+            if travel is not None:
+                # travel states bypass the current-state cache
+                entries, renames, log_schema = delta_scan_info(
                     tbl.location, fs=self._fs, with_schema=True,
                     with_stats=True,
-                ),
-            )
+                    **self._delta_travel_kwargs(tbl.location, travel),
+                )
+            else:
+                entries, renames, log_schema = self._format_scan_cached(
+                    tbl,
+                    lambda: delta_scan_info(
+                        tbl.location, fs=self._fs, with_schema=True,
+                        with_stats=True,
+                    ),
+                )
             stats_by_path = {p: s for p, _pv, _dv, s in entries}
             entries = [(p, pv, dv) for p, pv, dv, _s in entries]
             # LOG-METADATA partition pruning: the transaction log
@@ -568,12 +670,18 @@ class GlueSparkEngine:
                 iceberg_scan_details,
             )
 
-            entries, dels, eq_dels = self._format_scan_cached(
-                tbl,
-                lambda: iceberg_scan_details(
-                    tbl.location, fs=self._fs, with_stats=True
-                ),
-            )
+            if travel is not None:
+                entries, dels, eq_dels = iceberg_scan_details(
+                    tbl.location, fs=self._fs, with_stats=True,
+                    **self._iceberg_travel_kwargs(tbl.location, travel),
+                )
+            else:
+                entries, dels, eq_dels = self._format_scan_cached(
+                    tbl,
+                    lambda: iceberg_scan_details(
+                        tbl.location, fs=self._fs, with_stats=True
+                    ),
+                )
             iceberg_stats = {p: s for p, _pv, _seq, s in entries}
             entries = [(p, pv, seq) for p, pv, seq, _s in entries]
             # MANIFEST-METADATA partition pruning — same shape as the

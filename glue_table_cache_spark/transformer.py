@@ -140,6 +140,56 @@ def _regex_refs(sql: str) -> list[TableReference]:
     return refs
 
 
+#: ``glue.db.t VERSION AS OF 3`` / ``glue.db.t TIMESTAMP AS OF '...'``
+#: — the lakehouse time-travel clause, recognized right after a glue
+#: reference (optionally ``FOR``-prefixed, the Spark SQL form)
+_TRAVEL_RE = re.compile(
+    r"\s+(?:FOR\s+)?(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<val>'(?:[^']|'')*'|\d+)",
+    re.IGNORECASE,
+)
+
+
+def extract_time_travel(
+    sql: str,
+) -> tuple[dict[TableReference, tuple[str, object]], str]:
+    """Split time-travel clauses off glue references: returns
+    ``({ref: ("version", N) | ("timestamp", literal)}, stripped_sql)``.
+    The stripped SQL is what executes (Spark's temp views carry no
+    travel syntax); the specs steer each table's metadata walk.  Two
+    references to the SAME table with DIFFERENT specs refuse — the
+    engine materializes one view per table per query."""
+    spans = _masked_spans(sql)
+    specs: dict[TableReference, tuple[str, object]] = {}
+    out = []
+    last = 0
+    for m in _GLUE_REF.finditer(sql):
+        if _in_spans(m.start(), spans):
+            continue
+        t = _TRAVEL_RE.match(sql, m.end())
+        if not t:
+            continue
+        db = _unquote(m.group("db")) if m.group("db") else DEFAULT_DATABASE
+        ref = TableReference(db.lower(), _unquote(m.group("tbl")).lower())
+        kind = t.group("kind").lower()
+        raw = t.group("val")
+        val: object = (
+            int(raw) if raw.isdigit() else raw[1:-1].replace("''", "'")
+        )
+        spec = (kind, val)
+        if ref in specs and specs[ref] != spec:
+            raise InvalidQueryError(
+                f"conflicting time-travel clauses for glue."
+                f"{ref.database}.{ref.table}: {specs[ref]} vs {spec} "
+                "— one view per table per query"
+            )
+        specs[ref] = spec
+        out.append(sql[last : t.start()])
+        last = t.end()
+    out.append(sql[last:])
+    return specs, "".join(out)
+
+
 def get_query_glue_table_refs(
     sql: str, strict: bool = True
 ) -> list[TableReference]:

@@ -1028,3 +1028,71 @@ def test_column_mapping_stats_skipping_translates(spark, tmp_path):
     )
     assert set(st.min_values) == {"id"}
     assert st.min_values["id"] == 1 and st.max_values["id"] == 5
+
+
+def test_sql_version_and_timestamp_as_of(spark, tmp_path, frames):
+    """`glue.db.t VERSION AS OF n` / `TIMESTAMP AS OF ts` in the SQL
+    surface: the clause is stripped before execution and steers the
+    table's metadata walk; conflicting specs for one table refuse;
+    non-travel formats refuse loudly."""
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "ttsql",
+        [{"add": [a]}, {"add": [b]}, {"remove": ["part-0-0.parquet"]}],
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "tt", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    store.register_parquet_dir(
+        "db", "plain", str(tmp_path / "nowhere")
+    )
+    eng = GlueSparkEngine(spark, store)
+
+    cur = sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.tt").collect()
+    )
+    assert cur == [3]
+    v1 = sorted(
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.tt VERSION AS OF 1"
+        ).collect()
+    )
+    assert v1 == [1, 2, 3]
+    v0 = sorted(
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.tt FOR VERSION AS OF 0"
+        ).collect()
+    )
+    assert v0 == [1, 2]
+    # fixture commit timestamps are 1700000000000 + v*1000 (UTC)
+    ts = sorted(
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.tt "
+            "TIMESTAMP AS OF '2023-11-14 22:13:21'"
+        ).collect()
+    )
+    assert ts == [1, 2, 3]  # as of v1's commit instant
+    # joins of two travel states of the SAME table refuse (one view
+    # per table per query), as do nonexistent versions and non-travel
+    # table types
+    from glue_table_cache_spark.transformer import InvalidQueryError
+
+    with pytest.raises(InvalidQueryError, match="conflicting"):
+        eng.sql(
+            "SELECT * FROM glue.db.tt VERSION AS OF 0 x "
+            "JOIN glue.db.tt VERSION AS OF 1 y ON x.id = y.id"
+        )
+    with pytest.raises(GlueSparkError, match="does not exist"):
+        eng.sql("SELECT id FROM glue.db.tt VERSION AS OF 99")
+    with pytest.raises(GlueSparkError, match="supported for DELTA"):
+        eng.sql("SELECT 1 FROM glue.db.plain VERSION AS OF 1")
+    # the clause is never recognized inside string literals
+    lit = eng.sql(
+        "SELECT 'glue.db.tt VERSION AS OF 0' AS s FROM glue.db.tt"
+    )
+    assert lit.count() == 1

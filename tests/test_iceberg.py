@@ -487,3 +487,26 @@ def test_iceberg_cdf_refuses_rowlevel_delete_windows(spark, tmp_path):
     )
     with pytest.raises(GlueSparkError, match="row-level delete"):
         iceberg_cdf(spark, str(base), versions_back=1)
+
+
+def test_sql_version_as_of_iceberg(spark, tmp_path):
+    """`VERSION AS OF <sequence-number>` steers the manifest walk."""
+    from glue_table_cache_spark.engine import GlueSparkEngine
+
+    a = spark.createDataFrame([(1,), (2,)], "id long")
+    b = spark.createDataFrame([(3,)], "id long")
+    base = build_iceberg_table(tmp_path / "ttsql", [a, b])
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "tt", str(base), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.tt").collect()
+    ) == [1, 2, 3]
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.tt VERSION AS OF 1"
+        ).collect()
+    ) == [1, 2]
