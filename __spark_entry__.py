@@ -2415,15 +2415,13 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
       removal; Hudi: clean) — the whole lakehouse maintenance loop
       under the DuckDB oracle.
 
-    Time-travel arms step version_offset=1: Iceberg back to snapshot
-    1 (even order keys — reference parameter,
-    /root/reference/src/iceberg.ts:23); Delta back to version 0,
-    whose active set is the evens TWICE (the duplicate file that
-    version 1 removes — time travel must resurrect it)."""
-    from glue_table_cache_spark.sources.delta import delta_data_files
-    from glue_table_cache_spark.sources.iceberg import iceberg_data_files
-
-    base = _ensure_fixtures(spark, sf)
+    Time-travel arms run through the SQL surface (r6:
+    ``VERSION AS OF`` on the glue reference, engine.py travel
+    kwargs): Iceberg back to sequence 1 (even order keys — reference
+    parameter, /root/reference/src/iceberg.ts:23); Delta back to
+    version 0, whose active set is the evens TWICE (the duplicate
+    file that version 1 removes — time travel must resurrect it)."""
+    _ensure_fixtures(spark, sf)
     current = _engine(spark, sf).sql(
         """SELECT 'iceberg' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
@@ -2458,23 +2456,19 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
            FROM glue.tpch.orders_hudi_m GROUP BY o_orderstatus"""
     )
 
-    def _agg(df: DataFrame, fmt: str) -> DataFrame:
-        return df.groupBy("o_orderstatus").agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        ).select(F.lit(fmt).alias("fmt"), "o_orderstatus", "n", "total")
-
-    ice_tt = _agg(
-        spark.read.parquet(*iceberg_data_files(
-            str(base / "orders_iceberg"), version_offset=1
-        )),
-        "iceberg_tt",
+    # separate engine calls: a query may carry ONE travel spec per
+    # table, and the current arms reference the same tables unspecced
+    ice_tt = _engine(spark, sf).sql(
+        """SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_iceberg VERSION AS OF 1
+           GROUP BY o_orderstatus"""
     )
-    dl_tt = _agg(
-        spark.read.parquet(*delta_data_files(
-            str(base / "orders_delta"), version_offset=1
-        )),
-        "delta_tt",
+    dl_tt = _engine(spark, sf).sql(
+        """SELECT 'delta_tt' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta VERSION AS OF 0
+           GROUP BY o_orderstatus"""
     )
     return current.unionByName(ice_tt).unionByName(dl_tt)
 
