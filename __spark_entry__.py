@@ -46,7 +46,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # --------------------------------------------------------------------------
 
 # versioned so a fixture-definition change busts stale _BUILT markers
-_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v3")
+_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v4")
 _BASE_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings",
@@ -228,13 +228,17 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             ],
         )
         (base / "orders_ice_eq._BUILT").touch()
-    # Maintained tables: the repo's OWN writers -> OPTIMIZE ->
-    # checkpoint/retention round-trip, then scanned through the engine
-    # under the DuckDB oracle — the full lakehouse maintenance path
-    # (sinks/delta_write.py, delta_checkpoint.py, delta_optimize.py,
-    # iceberg_write.py, iceberg_optimize.py, hudi_write.py,
-    # hudi_optimize.py) as a driver row, not pytest alone.  Each table
-    # must still scan as exactly plain `orders` afterwards.
+    # Maintained tables: the repo's OWN writers -> row-level DELETE
+    # -> OPTIMIZE -> checkpoint/retention round-trip, then scanned
+    # through the engine under the DuckDB oracle — the full lakehouse
+    # CRUD + maintenance path (delta_write/delta_delete/
+    # delta_checkpoint/delta_optimize, iceberg_write/iceberg_delete/
+    # iceberg_optimize, hudi_write/hudi_log_write/hudi_optimize) as a
+    # driver row, not pytest alone.  The first append smuggles JUNK
+    # rows under negative keys that only the format's DELETE writer
+    # removes (Delta: deletion vectors; Iceberg: a position-delete
+    # file; Hudi: a replacecommit rewrite), so each table scans as
+    # exactly plain `orders` only if the whole loop is correct.
     for fmt in ("delta", "iceberg", "hudi"):
         loc = base / f"orders_{fmt}_m"
         marker = base / f"orders_{fmt}_m._BUILT"
@@ -242,11 +246,21 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             continue
         shutil.rmtree(loc, ignore_errors=True)
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        even = orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1)
+        junk = orders.where(F.col("o_orderkey") % 7 == 3).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+        even = (
+            orders.where(F.col("o_orderkey") % 2 == 0)
+            .unionByName(junk)
+            .coalesce(1)
+        )
         odd = orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1)
         if fmt == "delta":
             from glue_table_cache_spark.sinks.delta_checkpoint import (
                 clean_delta_log,
+            )
+            from glue_table_cache_spark.sinks.delta_delete import (
+                delete_from_delta,
             )
             from glue_table_cache_spark.sinks.delta_optimize import (
                 optimize_delta,
@@ -258,14 +272,18 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
 
             write_delta_append(even, str(loc))
             write_delta_append(odd, str(loc))
-            # OPTIMIZE (v2) also writes the classic checkpoint;
-            # cleaning the pre-checkpoint commits and vacuuming the
-            # replaced files forces the engine scan to reconstruct
-            # PURELY from checkpoint + compacted files
+            delete_from_delta(spark, str(loc), "o_orderkey < 0")
+            # OPTIMIZE (v3) purges the DV and writes the classic
+            # checkpoint; cleaning the pre-checkpoint commits and
+            # vacuuming the replaced files forces the engine scan to
+            # reconstruct PURELY from checkpoint + compacted files
             optimize_delta(spark, str(loc), checkpoint_interval=1)
             clean_delta_log(str(loc), retention_hours=0, dry_run=False)
             vacuum_delta(str(loc), retention_hours=0, dry_run=False)
         elif fmt == "iceberg":
+            from glue_table_cache_spark.sinks.iceberg_delete import (
+                delete_from_iceberg,
+            )
             from glue_table_cache_spark.sinks.iceberg_optimize import (
                 expire_iceberg_snapshots,
                 optimize_iceberg,
@@ -277,12 +295,16 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
 
             write_iceberg_append(even, str(loc))
             write_iceberg_append(odd, str(loc))
-            optimize_iceberg(spark, str(loc))
+            delete_from_iceberg(spark, str(loc), "o_orderkey < 0")
+            optimize_iceberg(spark, str(loc))  # purges the delete
             expire_iceberg_snapshots(str(loc), retention_hours=0)
             remove_iceberg_orphans(
                 str(loc), retention_hours=0, dry_run=False
             )
         else:
+            from glue_table_cache_spark.sinks.hudi_log_write import (
+                delete_from_hudi,
+            )
             from glue_table_cache_spark.sinks.hudi_optimize import (
                 clean_hudi,
                 optimize_hudi,
@@ -293,6 +315,7 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
 
             write_hudi_append(even, str(loc))
             write_hudi_append(odd, str(loc))
+            delete_from_hudi(spark, str(loc), "o_orderkey < 0")
             optimize_hudi(spark, str(loc))
             clean_hudi(str(loc), retention_hours=0, dry_run=False)
         marker.touch()
