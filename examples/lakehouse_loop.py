@@ -104,6 +104,36 @@ def main() -> None:
     removed = vacuum_delta(loc, retention_hours=0, dry_run=False)
     print(f"vacuum removed {len(removed)} unreferenced files")
 
+    # round 6: row-level CRUD + SQL time travel.  DELETE publishes a
+    # deletion vector (no file rewritten); UPDATE rewrites only the
+    # files holding a match; VERSION AS OF reads the pre-change state.
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_merge import update_delta
+
+    dv_version, n_del = delete_from_delta(
+        spark, loc, "o_orderkey % 97 = 0"
+    )
+    up_version, n_upd = update_delta(
+        spark, loc, "o_orderkey % 13 = 1",
+        {"o_orderpriority": "'5-LOW'"},
+    )
+    eng.invalidate_table("lake", "orders")
+    now_n = eng.sql(
+        "SELECT count(*) AS n FROM glue.lake.orders"
+    ).collect()[0].n
+    then_n = eng.sql(
+        "SELECT count(*) AS n FROM glue.lake.orders "
+        f"VERSION AS OF {dv_version - 1}"
+    ).collect()[0].n
+    print(
+        f"DELETE v{dv_version} masked {n_del} rows via a deletion "
+        f"vector, UPDATE v{up_version} touched {n_upd}; "
+        f"now {now_n} rows vs {then_n} at VERSION AS OF "
+        f"{dv_version - 1}"
+    )
+
     latest, added, gone = delta_changes(loc, since_version=cp)
     print(
         f"change feed since v{cp}: +{len(added)} / -{len(gone)} files "
