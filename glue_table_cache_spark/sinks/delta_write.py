@@ -93,10 +93,20 @@ def write_delta_append(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     checkpoint_interval: int | None = 10,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` to the Delta table at ``location`` (created on
     first write); returns the committed version.  Readers see the
     whole batch or none of it.
+
+    Schema posture: a batch whose columns are a SUBSET of the table
+    schema appends fine (readers surface nulls from the authoritative
+    ``schemaString``); a batch with NEW columns refuses unless
+    ``merge_schema=True``, which evolves the table by committing a
+    widened ``metaData`` action (the protocol's schema-evolution
+    mechanism — without it the new columns would be silently invisible
+    to every schemaString-driven read); a column whose type changed
+    always refuses.
 
     Every ``checkpoint_interval``-th version is snapshotted into a
     classic checkpoint parquet
@@ -138,6 +148,61 @@ def write_delta_append(
 
     if _already_committed():
         return -1
+    evolved_meta: dict | None = None
+    if any(log_dir.iterdir()):
+        from glue_table_cache_spark.sources.delta import (
+            _replay,
+            column_mapping_renames,
+            logical_schema,
+        )
+
+        _active, state = _replay(location)
+        meta = state.get("metaData")
+        if column_mapping_renames(meta) is not None:
+            raise GlueSparkError(
+                "write_delta_append cannot append to a column-mapped "
+                "table (files must carry physical names); use a "
+                "Delta runtime"
+            )
+        table_schema = logical_schema(meta)
+        if table_schema is not None:
+            existing = {
+                f.name: f.dataType for f in table_schema.fields
+            }
+            drift = [
+                f.name
+                for f in df.schema.fields
+                if f.name in existing and existing[f.name] != f.dataType
+            ]
+            if drift:
+                raise GlueSparkError(
+                    f"append changes the type of column(s) {drift} — "
+                    "type evolution is not supported; cast the batch "
+                    "to the table schema"
+                )
+            new_fields = [
+                f
+                for f in df.schema.fields
+                if f.name not in existing
+            ]
+            if new_fields:
+                if not merge_schema:
+                    raise GlueSparkError(
+                        "append carries new column(s) "
+                        f"{[f.name for f in new_fields]} the table "
+                        "schema lacks — without schema evolution they "
+                        "would be silently invisible to readers; pass "
+                        "merge_schema=True to evolve, or drop them"
+                    )
+                from pyspark.sql.types import StructType
+
+                merged = StructType(
+                    list(table_schema.fields) + new_fields
+                )
+                evolved_meta = dict(meta or {})
+                evolved_meta["schemaString"] = json.dumps(
+                    merged.jsonValue()
+                )
     batch = uuid.uuid4().hex[:12]
     stage = base / f"_staging_{batch}"
 
@@ -210,6 +275,8 @@ def write_delta_append(
                     }
                 }
             )
+        if evolved_meta is not None:
+            actions.append({"metaData": evolved_meta})
         if version == 0:
             actions.append(
                 {

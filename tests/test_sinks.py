@@ -2232,3 +2232,48 @@ def test_update_delta_rewrites_only_affected_files(spark, tmp_path):
 
     with pytest.raises(GlueSparkError, match="unknown column"):
         update_delta(spark, loc, "id = 1", {"nope": "1"})
+
+
+def test_delta_append_schema_evolution(spark, tmp_path):
+    """New columns refuse without merge_schema (they would be
+    silently invisible to schemaString-driven reads); with it the
+    table evolves and pre-evolution files surface nulls; subset
+    appends are fine; type changes always refuse."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = str(tmp_path / "evo")
+    write_delta_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    )
+    with pytest.raises(GlueSparkError, match="new column"):
+        write_delta_append(wide, loc)
+    write_delta_append(wide, loc, merge_schema=True)
+    # subset append after evolution: missing columns surface nulls
+    write_delta_append(
+        spark.createDataFrame([(3, "c")], "id long, v string"), loc
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "evo", loc,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    got = sorted(
+        (r.id, r.v, r.score)
+        for r in GlueSparkEngine(spark, store)
+        .sql("SELECT id, v, score FROM glue.db.evo")
+        .collect()
+    )
+    assert got == [(1, "a", None), (2, "b", 9.5), (3, "c", None)]
+    with pytest.raises(GlueSparkError, match="type"):
+        write_delta_append(
+            spark.createDataFrame([("x", "y")], "id string, v string"),
+            loc,
+        )
