@@ -671,15 +671,17 @@ class GlueSparkEngine:
             )
 
             if travel is not None:
-                entries, dels, eq_dels = iceberg_scan_details(
+                entries, dels, eq_dels, ice_schema = iceberg_scan_details(
                     tbl.location, fs=self._fs, with_stats=True,
+                    with_schema=True,
                     **self._iceberg_travel_kwargs(tbl.location, travel),
                 )
             else:
-                entries, dels, eq_dels = self._format_scan_cached(
+                entries, dels, eq_dels, ice_schema = self._format_scan_cached(
                     tbl,
                     lambda: iceberg_scan_details(
-                        tbl.location, fs=self._fs, with_stats=True
+                        tbl.location, fs=self._fs, with_stats=True,
+                        with_schema=True,
                     ),
                 )
             iceberg_stats = {p: s for p, _pv, _seq, s in entries}
@@ -716,13 +718,73 @@ class GlueSparkEngine:
                 )
                 if keep is not None:
                     entries = [e for e in entries if e[0] in keep]
-            paths = self._proxy([p for p, _pv, _seq in entries])
+            raw_paths = [p for p, _pv, _seq in entries]
+            paths = self._proxy(raw_paths)
             if not paths:
                 # zero snapshots / no data files: empty-relation view
                 # (reference emits SELECT NULL LIMIT 0,
                 # /root/reference/src/sql-transformer.ts:320-322)
                 return self.spark.range(0).select(F.lit(None).alias("null"))
-            df = self._read_paths(paths, base_path=None)
+            # SCAN SCHEMA AUTHORITY + partition-column recovery.  The
+            # metadata's current schema (not a sampled footer) types
+            # the scan, so evolved tables surface nulls for
+            # later-added columns regardless of scan order.  Identity
+            # partition columns need one extra step: writers that
+            # partition hive-style (this repo's
+            # ``write_iceberg_append`` among them) store the value in
+            # the directory name, NOT the data file — a leaf-file read
+            # would silently drop the column (or, worse, surface it
+            # all-null if the schema were force-applied).  One footer
+            # read (metadata-scale, what Spark's own inference does)
+            # decides per partition key: present in the data files →
+            # scan it like any column; absent → drop it from the scan
+            # schema and re-attach from the path via the same typed
+            # extractors the hive listing path uses.
+            missing_keys: list[str] = []
+            scan_schema = None
+            if ice_schema is not None:
+                drop: set[str] = set()
+                usable = True
+                if keys:
+                    from glue_table_cache_spark.skipping import (
+                        parquet_file_columns,
+                    )
+
+                    file_cols = parquet_file_columns(raw_paths[0])
+                    if file_cols is None:
+                        # can't prove whether the files carry the
+                        # partition columns — forcing the schema could
+                        # surface them all-null, so keep inference
+                        # (today's behavior) for this scan
+                        usable = False
+                    else:
+                        drop = {
+                            k for k in keys if k.lower() not in file_cols
+                        }
+                if usable:
+                    kept = [
+                        f
+                        for f in ice_schema.fields
+                        if f.name not in drop
+                    ]
+                    missing_keys = [
+                        f.name
+                        for f in ice_schema.fields
+                        if f.name in drop
+                    ]
+                    if kept:
+                        from pyspark.sql.types import StructType
+
+                        scan_schema = StructType(kept)
+            df = self._read_paths(paths, base_path=None, schema=scan_schema)
+            if missing_keys:
+                df = self._attach_iceberg_partition_values(
+                    df,
+                    list(zip(paths, (pv for _p, pv, _s in entries))),
+                    missing_keys,
+                    {f.name: f.dataType for f in ice_schema.fields},
+                    tbl,
+                )
             df = apply_position_deletes(df, self._proxy(dels))
             # keyed on the PROXIED path — what _metadata.file_path
             # reports for the scan Spark actually performed
@@ -902,12 +964,17 @@ class GlueSparkEngine:
         paths: list[str],
         base_path: str | None,
         tbl: CatalogTable | None = None,
+        schema=None,
     ) -> DataFrame:
         reader = self.spark.read
         if base_path:
             # explicit leaf files + basePath: Spark still derives hive
             # partition columns and prunes them at planning time
             reader = reader.option("basePath", base_path)
+        if schema is not None:
+            # metadata-authoritative scan schema (table formats):
+            # skips inference and types evolved columns
+            reader = reader.schema(schema)
         return self._format_read(reader, tbl, *paths)
 
     def _format_read(self, reader, tbl: CatalogTable | None, *paths) -> DataFrame:
@@ -955,6 +1022,64 @@ class GlueSparkEngine:
             if ex.column not in df.columns:
                 df = df.withColumn(ex.column, ex.spark_column(path_col))
         return df
+
+    def _attach_iceberg_partition_values(
+        self,
+        df: DataFrame,
+        path_pvs: list[tuple[str, dict]],
+        keys: list[str],
+        ice_types: dict,
+        tbl: CatalogTable,
+    ) -> DataFrame:
+        """Attach identity partition columns a leaf-file Iceberg scan
+        lost.  The MANIFEST partition tuple is the authority (the spec
+        stores one per data file; it survives OPTIMIZE moving files
+        out of ``k=v`` directories), broadcast-joined on the
+        scheme-normalized file path — metadata-scale build side, so
+        the join never shuffles the scan.  A hive-style ``k=v`` path
+        extraction backstops files whose manifests carried no
+        partition tuple; values cast to the metadata schema's type."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from glue_table_cache_spark.sources.iceberg import _strip_scheme
+
+        pv_cols = [f"__pv_{i}" for i in range(len(keys))]
+        rows = [
+            (p,) + tuple(pv.get(k) for k in keys)
+            for p, pv in path_pvs
+        ]
+        pv_schema = StructType(
+            [StructField("__pv_path", StringType(), False)]
+            + [StructField(c, StringType(), True) for c in pv_cols]
+        )
+        pvdf = (
+            self.spark.createDataFrame(rows, pv_schema)
+            .withColumn("__pv_path", _strip_scheme(F.col("__pv_path")))
+        )
+        extractors = {
+            ex.column: ex
+            for ex in extractors_for(tbl.partition_keys, tbl.projection)
+        }
+        df = df.withColumn(
+            "__pv_key", _strip_scheme(F.col("_metadata.file_path"))
+        ).join(
+            F.broadcast(pvdf),
+            F.col("__pv_key") == F.col("__pv_path"),
+            "left",
+        )
+        for k, c in zip(keys, pv_cols):
+            value = F.col(c)
+            if k in extractors:
+                # ``k=v`` path segments survive scheme normalization,
+                # and ``__pv_key`` stays resolvable after the join
+                # where the hidden ``_metadata`` column may not
+                value = F.coalesce(
+                    value, extractors[k].spark_column(F.col("__pv_key"))
+                )
+            if k in ice_types:
+                value = value.cast(ice_types[k])
+            df = df.withColumn(k, value)
+        return df.drop("__pv_key", "__pv_path", *pv_cols)
 
     def _proxy(self, paths: list[str]) -> list[str]:
         """``s3://`` → proxy-address rewrite

@@ -169,7 +169,34 @@ def optimize_iceberg(
     for key, files in todo.items():
         pv = dict(key)
         paths = [p for p, _pv, _seq, _st in files]
-        df = spark.read.parquet(*paths)
+        # rewrite through the METADATA schema, not a sampled footer:
+        # on an evolved table a group mixing pre- and post-evolution
+        # files would otherwise infer from one file and silently DROP
+        # the evolved column from every rewritten row.  Identity
+        # partition columns living only in directory names / the
+        # manifest partition tuple are excluded (the new manifest
+        # entry re-records ``pv``; forcing them into the scan would
+        # materialize all-null columns in the rewritten files).
+        from glue_table_cache_spark.skipping import parquet_file_columns
+        from glue_table_cache_spark.sources.iceberg import (
+            iceberg_spark_schema,
+        )
+
+        reader = spark.read
+        ice_schema = iceberg_spark_schema(prev)
+        if ice_schema is not None:
+            file_cols = parquet_file_columns(paths[0])
+            if file_cols is not None:
+                from pyspark.sql.types import StructType
+
+                kept = [
+                    f
+                    for f in ice_schema.fields
+                    if f.name.lower() in file_cols or f.name not in pv
+                ]
+                if kept:
+                    reader = reader.schema(StructType(kept))
+        df = reader.parquet(*paths)
         if pos_dels:
             from glue_table_cache_spark.sources.iceberg import (
                 apply_position_deletes,

@@ -21,8 +21,15 @@ skipping) consumes end-to-end; cross-engine readers that require the
 full r102 encoding are out of scope and this is documented, not
 hidden.
 
-Schema evolution is out of scope for the appender: a batch whose
-columns differ from the table's recorded schema refuses loudly.
+Schema posture (mirrors :mod:`..sinks.delta_write`): a batch whose
+columns are a SUBSET of the table schema appends fine — the engine
+scans with the metadata schema as authority, so the absent columns
+surface as nulls; a batch with NEW columns refuses unless
+``merge_schema=True``, which evolves the table by recording a widened
+current schema whose new fields get FRESH field ids past every id the
+table has ever used (the spec's rule — id reuse would silently rebind
+old equality deletes and bounds to the new column); a column whose
+type changed always refuses.
 """
 
 from __future__ import annotations
@@ -97,10 +104,13 @@ def write_iceberg_append(
     location: str,
     partition_by: list[str] | None = None,
     max_commit_retries: int = 10,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``location`` (created on
     first write); returns the committed sequence number.  Readers see
-    the whole batch or none of it."""
+    the whole batch or none of it.  Schema evolution follows the
+    module docstring: subset batches append, new columns need
+    ``merge_schema=True``, type changes refuse."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -139,13 +149,48 @@ def write_iceberg_append(
             for f in current.get("fields", [])
             if isinstance(f.get("type"), str)
         }
-        if set(df.columns) != set(ids):
+        drift = sorted(
+            c
+            for c in df.columns
+            if c in types and types[c] != df_types[c]
+        )
+        if drift:
             raise GlueSparkError(
-                "append schema mismatch: batch columns "
-                f"{sorted(df.columns)} vs table schema {sorted(ids)} "
-                "— the appender does not evolve schemas"
+                f"append changes the type of column(s) {drift} — "
+                "type evolution is not supported; cast the batch to "
+                "the table schema"
             )
-        schema_fields = current.get("fields", [])
+        new_cols = [c for c in df.columns if c not in ids]
+        schema_fields = list(current.get("fields", []))
+        if new_cols:
+            if not merge_schema:
+                raise GlueSparkError(
+                    f"append carries new column(s) {new_cols} the "
+                    "table schema lacks — without schema evolution "
+                    "they would be silently invisible to readers; "
+                    "pass merge_schema=True to evolve, or drop them"
+                )
+            # fresh ids past EVERY id any historical schema used —
+            # reuse would rebind old equality deletes/bounds
+            used = [f["id"] for f in schema_fields]
+            for m in (prev,):
+                for s in m.get("schemas") or []:
+                    used.extend(
+                        f["id"] for f in s.get("fields", [])
+                    )
+            next_id = max(used, default=0) + 1
+            for c in new_cols:
+                ids[c] = next_id
+                types[c] = df_types[c]
+                schema_fields.append(
+                    {
+                        "id": next_id,
+                        "name": c,
+                        "required": False,
+                        "type": df_types[c],
+                    }
+                )
+                next_id += 1
     else:
         ids = {c: i + 1 for i, c in enumerate(df.columns)}
         types = df_types

@@ -429,6 +429,26 @@ def delta_file_stats(
     )
 
 
+def parquet_file_columns(path: str) -> set[str] | None:
+    """Lower-cased column names from ONE parquet footer (metadata-scale
+    — the same single-file peek Spark's own schema inference does), or
+    ``None`` when the footer isn't locally readable (object-store
+    paths without a mounted client).  Lets table-format scans decide
+    whether identity partition columns live in the data files or only
+    in directory names / manifest partition tuples."""
+    local = path
+    if local.startswith("file:"):
+        local = local[len("file:"):]
+    if "://" in local:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return {n.lower() for n in pq.read_schema(local).names}
+    except Exception:
+        return None
+
+
 def parquet_footer_stats(path: str, s3_client=None) -> FileStats | None:
     """Aggregate a parquet file's row-group statistics into one
     :class:`FileStats` — the zone-map source for plain Hive layouts.

@@ -117,24 +117,86 @@ def iceberg_data_files(
     return files
 
 
+def _current_schema(meta: dict) -> dict | None:
+    """The metadata's current schema struct: the ``schemas`` entry
+    whose ``schema-id`` matches ``current-schema-id`` (last entry as
+    fallback), or the legacy v1 singular ``schema`` field."""
+    schemas = meta.get("schemas")
+    if schemas:
+        current = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == current:
+                return s
+        return schemas[-1]
+    return meta.get("schema")
+
+
+def _spark_type_for(iceberg_type: str):
+    """Spark type for an Iceberg PRIMITIVE type string
+    (spec §Schemas/Primitive Types), or ``None`` for types with no
+    faithful Spark mapping — the caller falls back to parquet schema
+    inference rather than coercing."""
+    from pyspark.sql import types as T
+
+    simple = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+        "uuid": T.StringType(),
+        "binary": T.BinaryType(),
+    }
+    if iceberg_type in simple:
+        return simple[iceberg_type]
+    if iceberg_type.startswith("decimal("):
+        try:
+            p, s = iceberg_type[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        except ValueError:
+            return None
+    if iceberg_type.startswith("fixed["):
+        return T.BinaryType()
+    return None
+
+
+def iceberg_spark_schema(meta: dict):
+    """The current schema as a Spark :class:`StructType` — the
+    AUTHORITATIVE scan schema for evolved tables (pre-evolution data
+    files surface nulls for later-added columns, independent of which
+    file Spark happens to infer from), the Iceberg sibling of the
+    Delta branch's ``schemaString`` posture.  Returns ``None`` when
+    any field's type has no faithful Spark mapping (nested types,
+    ``time``): forcing a lossy schema would corrupt the scan, so the
+    caller keeps parquet inference instead."""
+    from pyspark.sql import types as T
+
+    schema = _current_schema(meta)
+    if not schema:
+        return None
+    fields = []
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        spark_t = _spark_type_for(t) if isinstance(t, str) else None
+        if spark_t is None:
+            return None
+        fields.append(
+            T.StructField(f["name"], spark_t, not f.get("required"))
+        )
+    return T.StructType(fields)
+
+
 def _field_names_by_id(meta: dict) -> dict[int, str]:
     """Field-id → column-name map from the metadata's current schema.
     Equality delete files name their columns by FIELD ID
     (``equality_ids``); resolving them against the current schema is
     what makes the delete survive column renames — exactly why the
     spec keys on ids, not names."""
-    schema = None
-    schemas = meta.get("schemas")
-    if schemas:
-        current = meta.get("current-schema-id")
-        for s in schemas:
-            if s.get("schema-id") == current:
-                schema = s
-                break
-        if schema is None:
-            schema = schemas[-1]
-    else:
-        schema = meta.get("schema")
+    schema = _current_schema(meta)
     if not schema:
         return {}
     return {
@@ -184,18 +246,7 @@ def _field_types_by_id(meta: dict) -> dict[int, tuple[str, str]]:
     serialization, typed by the schema).  Nested (non-string ``type``)
     fields are omitted: their bounds are not addressable by our flat
     predicates."""
-    schema = None
-    schemas = meta.get("schemas")
-    if schemas:
-        current = meta.get("current-schema-id")
-        for s in schemas:
-            if s.get("schema-id") == current:
-                schema = s
-                break
-        if schema is None:
-            schema = schemas[-1]
-    else:
-        schema = meta.get("schema")
+    schema = _current_schema(meta)
     if not schema:
         return {}
     return {
@@ -212,6 +263,7 @@ def iceberg_scan_details(
     fs=None,
     as_of_timestamp_ms: int | None = None,
     with_stats: bool = False,
+    with_schema: bool = False,
 ) -> tuple[list, list[str], list[dict]]:
     """Full current-snapshot scan state:
     ``(entries, position_delete_files, equality_deletes)`` where
@@ -236,7 +288,14 @@ def iceberg_scan_details(
     element is a :class:`glue_table_cache_spark.skipping.FileStats`
     decoded from the manifest's ``lower_bounds``/``upper_bounds``/
     ``null_value_counts``/``record_count`` (``None`` when the writer
-    recorded none) — the zone-map input for file skipping."""
+    recorded none) — the zone-map input for file skipping.
+
+    ``with_schema=True`` widens the RETURN to a 4-tuple whose last
+    element is the resolved metadata version's current schema as a
+    Spark ``StructType`` via :func:`iceberg_spark_schema` (``None``
+    when it has no faithful Spark mapping) — the scan-schema
+    authority for evolved tables, the Iceberg sibling of the Delta
+    log's ``schemaString``."""
     jsons = _list_metadata_jsons(location, fs=fs)
     if not jsons:
         raise GlueSparkError(
@@ -269,6 +328,8 @@ def iceberg_scan_details(
                 f"before timestamp {as_of_timestamp_ms}"
             )
     if not snapshots:
+        if with_schema:
+            return [], [], [], iceberg_spark_schema(meta)
         return [], [], []
     names_by_id = _field_names_by_id(meta)
     types_by_id = _field_types_by_id(meta) if with_stats else {}
@@ -339,6 +400,8 @@ def iceberg_scan_details(
                     f"unknown delete content {content!r}; refusing — "
                     "ignoring it could resurrect deleted rows"
                 )
+    if with_schema:
+        return entries, pos_deletes, eq_deletes, iceberg_spark_schema(meta)
     return entries, pos_deletes, eq_deletes
 
 

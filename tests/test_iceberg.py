@@ -510,3 +510,142 @@ def test_sql_version_as_of_iceberg(spark, tmp_path):
             "SELECT id FROM glue.db.tt VERSION AS OF 1"
         ).collect()
     ) == [1, 2]
+
+
+def test_engine_partitioned_iceberg_recovers_partition_columns(
+    spark, tmp_path
+):
+    """The repo's writer partitions hive-style, so the partition value
+    lives in the directory name, not the data file; a leaf-file scan
+    must re-attach it (typed) from the manifest partition tuple — and
+    keep doing so after OPTIMIZE moves files out of ``k=v`` dirs,
+    where the MANIFEST is the only remaining source of the value."""
+    from glue_table_cache_spark.catalog import PartitionKey
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "pice")
+    df = spark.createDataFrame(
+        [(1, "a", 1996), (2, "b", 1996), (3, "c", 1997)],
+        "id long, v string, year int",
+    )
+    write_iceberg_append(df, loc, partition_by=["year"])
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db",
+        "t",
+        loc,
+        parameters={"table_type": "ICEBERG"},
+        partition_keys=[PartitionKey("year", "int")],
+    )
+    eng = GlueSparkEngine(spark, store)
+
+    out = eng.sql("SELECT id, v, year FROM glue.db.t ORDER BY id")
+    assert dict(out.dtypes)["year"] == "int"  # metadata-typed
+    assert [(r.id, r.year) for r in out.collect()] == [
+        (1, 1996),
+        (2, 1996),
+        (3, 1997),
+    ]
+    # partition predicates still prune AND filter correctly
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.t WHERE year = 1996"
+        ).collect()
+    ) == [1, 2]
+
+    # OPTIMIZE rewrites files into data/ root: no k=v path segment
+    # remains, only the manifest partition tuple
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(4, "d", 1997)], "id long, v string, year int"
+        ),
+        loc,
+        partition_by=["year"],
+    )
+    assert optimize_iceberg(spark, loc, min_files_per_partition=2)
+    eng.invalidate_table("db", "t")
+    out2 = eng.sql("SELECT id, year FROM glue.db.t ORDER BY id")
+    assert [(r.id, r.year) for r in out2.collect()] == [
+        (1, 1996),
+        (2, 1996),
+        (3, 1997),
+        (4, 1997),
+    ]
+
+
+def test_engine_iceberg_scan_uses_metadata_schema_for_evolution(
+    spark, tmp_path
+):
+    """Old data files lack evolved columns: the engine scans with the
+    metadata schema, so they surface as nulls regardless of which file
+    inference would have sampled — and tables whose data files DO
+    carry identity partition columns keep reading them from the data
+    (no manifest attach, no behavior change)."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "ev")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(2, "b", 9)], "id long, v string, extra long"
+        ),
+        loc,
+        merge_schema=True,
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "ev", loc, parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    rows = {
+        r.id: r.extra
+        for r in eng.sql("SELECT id, extra FROM glue.db.ev").collect()
+    }
+    assert rows == {1: None, 2: 9}
+
+
+def test_iceberg_optimize_preserves_evolved_columns(spark, tmp_path):
+    """OPTIMIZE on an evolved table rewrites through the metadata
+    schema: a group mixing pre- and post-evolution files must not
+    infer from the old file and drop the evolved column's data."""
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "evopt")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(2, "b", 9)], "id long, v string, extra long"
+        ),
+        loc,
+        merge_schema=True,
+    )
+    assert optimize_iceberg(spark, loc, min_files_per_partition=2)
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "evopt", loc, parameters={"table_type": "ICEBERG"}
+    )
+    rows = {
+        r.id: r.extra
+        for r in GlueSparkEngine(spark, store)
+        .sql("SELECT id, extra FROM glue.db.evopt")
+        .collect()
+    }
+    assert rows == {1: None, 2: 9}

@@ -349,19 +349,89 @@ def test_iceberg_append_bounds_feed_zone_map_skipping(spark, tmp_path):
 
 
 def test_iceberg_append_refuses_schema_drift(spark, tmp_path):
+    """Delta-mirroring schema posture: subset batches append (the
+    metadata schema surfaces nulls), NEW columns refuse without
+    merge_schema=True, type changes always refuse."""
     from glue_table_cache_spark.errors import GlueSparkError
     from glue_table_cache_spark.sinks.iceberg_write import (
         write_iceberg_append,
     )
+    from glue_table_cache_spark.sources.iceberg import iceberg_scan_info
 
     loc = str(tmp_path / "drift")
     write_iceberg_append(
         spark.createDataFrame([(1, "a")], "id long, v string"), loc
     )
-    with pytest.raises(GlueSparkError, match="schema mismatch"):
+    # subset append is fine
+    assert write_iceberg_append(
+        spark.createDataFrame([(2,)], "id long"), loc
+    ) == 2
+    files, _ = iceberg_scan_info(loc)
+    assert sorted(
+        r.id
+        for r in spark.read.parquet(*[p for p, _pv in files]).collect()
+    ) == [1, 2]
+    # new column refuses without merge_schema
+    with pytest.raises(GlueSparkError, match="new column"):
         write_iceberg_append(
-            spark.createDataFrame([(1,)], "id long"), loc
+            spark.createDataFrame(
+                [(3, "c", 1.5)], "id long, v string, score double"
+            ),
+            loc,
         )
+    # type change always refuses
+    with pytest.raises(GlueSparkError, match="type"):
+        write_iceberg_append(
+            spark.createDataFrame([("x", "d")], "id string, v string"),
+            loc,
+        )
+
+
+def test_iceberg_append_schema_evolution(spark, tmp_path):
+    """merge_schema=True evolves: the new column gets a FRESH field id
+    and the current metadata schema widens; engine scans surface nulls
+    for pre-evolution files (metadata schema is the scan authority)."""
+    import json
+
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "evolve")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "id long, v string, score double"
+        ),
+        loc,
+        merge_schema=True,
+    )
+    metas = sorted(
+        (tmp_path / "evolve" / "metadata").glob("*.json"),
+        key=lambda p: json.loads(p.read_text())["last-sequence-number"],
+    )
+    fields = json.loads(metas[-1].read_text())["schemas"][0]["fields"]
+    by_name = {f["name"]: f for f in fields}
+    assert by_name["score"]["type"] == "double"
+    assert by_name["score"]["id"] == max(f["id"] for f in fields)
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "ev", loc, parameters={"table_type": "ICEBERG"}
+    )
+    engine = GlueSparkEngine(spark, store)
+    rows = {
+        r.id: (r.v, r.score)
+        for r in engine.sql(
+            "SELECT id, v, score FROM glue.db.ev"
+        ).collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
 
 
 def test_iceberg_append_partitioned(spark, tmp_path):
