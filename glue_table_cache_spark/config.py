@@ -76,6 +76,15 @@ class EngineConfig:
     #: tables reroute to the native directory scan and projection tables
     #: (which have no native equivalent) raise
     max_explicit_files: int = 100_000
+    #: refuse HIVE/UNPARTITIONED/projection scans over a location that
+    #: contains Delta/Hudi/Iceberg markers (``_delta_log/``,
+    #: ``.hoodie/``, ``metadata/*.metadata.json``): a catalog entry
+    #: that lost its format parameters would otherwise scan raw
+    #: parquet — every historical file, deleted rows resurrected,
+    #: rewritten rows duplicated.  Three metadata-scale existence
+    #: checks (local filesystems only), cached with the listing TTL.
+    #: False forces the raw scan
+    misclassified_format_guard: bool = True
     #: static AWS credentials (reference ``config.credentials``,
     #: /root/reference/src/types.ts:46).  The engine maps them to
     #: ``fs.s3a.*`` Hadoop conf at session wiring; ``None`` = default

@@ -446,6 +446,12 @@ class GlueSparkEngine:
         if not tbl.location:
             raise NoStorageLocationError(tbl.database, tbl.name)
         ttype = tbl.table_type
+        if ttype in (
+            ETableType.HIVE,
+            ETableType.UNPARTITIONED,
+            ETableType.GLUE_PROJECTED,
+        ) and self.config.misclassified_format_guard:
+            self._refuse_misclassified_format(tbl)
         if travel is not None and ttype not in (
             ETableType.DELTA,
             ETableType.ICEBERG,
@@ -465,6 +471,7 @@ class GlueSparkEngine:
                 _timeline_files,
                 hudi_mor_scan_info,
                 hudi_scan_info,
+                hudi_table_schema,
             )
 
             def _walk_hudi():
@@ -473,7 +480,11 @@ class GlueSparkEngine:
                     return ("MOR",) + hudi_mor_scan_info(
                         tbl.location, fs=self._fs
                     )
-                return ("COW", hudi_scan_info(tbl.location, fs=self._fs))
+                return (
+                    "COW",
+                    hudi_scan_info(tbl.location, fs=self._fs),
+                    hudi_table_schema(tbl.location, fs=self._fs),
+                )
 
             walk = self._format_scan_cached(tbl, _walk_hudi)
             if walk[0] == "MOR":
@@ -562,6 +573,13 @@ class GlueSparkEngine:
             # same basePath treatment as DELTA: hudi partition paths
             # are usually hive-style <k>=<v> directories
             reader = self.spark.read.option("basePath", tbl.location)
+            # the newest commit's extraMetadata.schema (when a writer
+            # recorded one) is the authoritative scan schema for
+            # EVOLVED tables — pre-evolution base files surface nulls
+            # for added columns, independent of scan order; partition
+            # columns in it resolve typed from the k=v directories
+            if len(walk) > 2 and walk[2] is not None:
+                reader = reader.schema(walk[2])
             return self._format_read(reader, tbl, *paths)
         if ttype == ETableType.DELTA:
             # beyond the reference (which never handles DELTA): resolve
@@ -671,18 +689,24 @@ class GlueSparkEngine:
             )
 
             if travel is not None:
-                entries, dels, eq_dels, ice_schema = iceberg_scan_details(
-                    tbl.location, fs=self._fs, with_stats=True,
-                    with_schema=True,
-                    **self._iceberg_travel_kwargs(tbl.location, travel),
+                entries, dels, eq_dels, ice_schema, ice_spec = (
+                    iceberg_scan_details(
+                        tbl.location, fs=self._fs, with_stats=True,
+                        with_schema=True, with_spec=True,
+                        **self._iceberg_travel_kwargs(
+                            tbl.location, travel
+                        ),
+                    )
                 )
             else:
-                entries, dels, eq_dels, ice_schema = self._format_scan_cached(
-                    tbl,
-                    lambda: iceberg_scan_details(
-                        tbl.location, fs=self._fs, with_stats=True,
-                        with_schema=True,
-                    ),
+                entries, dels, eq_dels, ice_schema, ice_spec = (
+                    self._format_scan_cached(
+                        tbl,
+                        lambda: iceberg_scan_details(
+                            tbl.location, fs=self._fs, with_stats=True,
+                            with_schema=True, with_spec=True,
+                        ),
+                    )
                 )
             iceberg_stats = {p: s for p, _pv, _seq, s in entries}
             entries = [(p, pv, seq) for p, pv, seq, _s in entries]
@@ -702,6 +726,37 @@ class GlueSparkEngine:
                     for f in prune_files(
                         [FileInfo(p, pv) for p, pv, _seq in entries],
                         predicate,
+                    )
+                }
+                entries = [e for e in entries if e[0] in kept]
+            # HIDDEN-PARTITIONING pruning: the spec's transform fields
+            # (day(ts), bucket(N, id), truncate(W, s)) carry
+            # TRANSFORMED values in the manifest partition tuple, keyed
+            # by the spec field's name — predicates on the SOURCE
+            # column prune only after a sound rewrite into transformed
+            # space (monotone bounds / bucket equality; anything else
+            # stays Unknown).  Also covers identity fields on catalogs
+            # that never registered partition keys — the common shape
+            # for Iceberg entries in Glue.
+            if query and entries and ice_spec:
+                from glue_table_cache_spark.sources.iceberg_partitioning import (
+                    transform_partition_predicate,
+                )
+
+                srcs = sorted(
+                    {f["source"] for f in ice_spec if f["source"]}
+                )
+                src_pred = extract_partition_predicate(
+                    query, srcs, {tbl.name, tbl.qualified_name}
+                )
+                pv_pred = transform_partition_predicate(
+                    src_pred, ice_spec
+                )
+                kept = {
+                    f.path
+                    for f in prune_files(
+                        [FileInfo(p, pv) for p, pv, _seq in entries],
+                        pv_pred,
                     )
                 }
                 entries = [e for e in entries if e[0] in kept]
@@ -1022,6 +1077,63 @@ class GlueSparkEngine:
             if ex.column not in df.columns:
                 df = df.withColumn(ex.column, ex.spark_column(path_col))
         return df
+
+    def _refuse_misclassified_format(self, tbl: CatalogTable) -> None:
+        """Defense-in-depth for MISREGISTERED table-format locations: a
+        Glue entry whose parameters lost the Delta/Hudi/Iceberg markers
+        (a crawler that never set ``spark.sql.sources.provider``, a
+        hand-registered table) would silently scan the directory as raw
+        parquet — reading every historical file, so deleted rows
+        resurrect and compacted rows DUPLICATE.  Three metadata-scale
+        existence checks catch it and refuse with the registration fix;
+        ``misclassified_format_guard=False`` opts out for an
+        intentional raw scan.  Local filesystems only (object-store
+        marker probes would need per-scheme clients; the format
+        branches themselves never need this guard).  Cached with the
+        listing TTL so repeat queries pay nothing."""
+        loc = tbl.location
+        if "://" in loc and not loc.startswith("file:"):
+            return
+        key = f"format-guard:{loc}"
+        hit = self._listing_cache.get_or_load(
+            key, lambda: self._format_markers(loc)
+        )
+        if hit:
+            marker, fix = hit
+            raise GlueSparkError(
+                f"glue.{tbl.database}.{tbl.name} is registered as "
+                f"{tbl.table_type.name} but {loc!r} contains "
+                f"{marker} — scanning it as raw parquet would read "
+                "every historical file (deleted rows resurrect, "
+                f"rewritten rows duplicate).  Register it with {fix}, "
+                "or set misclassified_format_guard=False to force a "
+                "raw scan"
+            )
+
+    @staticmethod
+    def _format_markers(loc: str):
+        from pathlib import Path
+
+        base = Path(loc[len("file:"):] if loc.startswith("file:") else loc)
+        if any((base / "_delta_log").glob("*.json")) or any(
+            (base / "_delta_log").glob("*.checkpoint*.parquet")
+        ):
+            return (
+                "a Delta transaction log (_delta_log/)",
+                "classification=delta or "
+                "spark.sql.sources.provider=delta",
+            )
+        if (base / ".hoodie").is_dir():
+            return (
+                "a Hudi timeline (.hoodie/)",
+                "hoodie.table.name=<name> or classification=hudi",
+            )
+        if any((base / "metadata").glob("*.metadata.json")):
+            return (
+                "Iceberg metadata (metadata/*.metadata.json)",
+                "table_type=ICEBERG",
+            )
+        return None
 
     def _attach_iceberg_partition_values(
         self,

@@ -149,6 +149,38 @@ def write_hudi_log(
             raise GlueSparkError(
                 f"upserts lack record key field {record_key_field!r}"
             )
+        from glue_table_cache_spark.sources.hudi import (
+            hudi_table_schema,
+        )
+
+        table_schema = hudi_table_schema(location)
+        if table_schema is not None:
+            existing = {
+                f.name: f.dataType for f in table_schema.fields
+            }
+            drift = sorted(
+                f.name
+                for f in upserts.schema.fields
+                if f.name in existing
+                and existing[f.name] != f.dataType
+            )
+            if drift:
+                raise GlueSparkError(
+                    "upserts change the type of column(s) "
+                    f"{drift} — cast to the table schema"
+                )
+            new = sorted(
+                f.name
+                for f in upserts.schema.fields
+                if f.name not in existing
+            )
+            if new:
+                raise GlueSparkError(
+                    f"upserts carry new column(s) {new} the table "
+                    "schema lacks — log blocks cannot evolve the "
+                    "schema (the snapshot merge would have to "
+                    "reconcile mixed record schemas); drop them"
+                )
         schema = _avro_schema(upserts)
         records = [r.asDict() for r in upserts.collect()]
         want_keys |= {str(r[record_key_field]) for r in records}

@@ -91,9 +91,39 @@ def optimize_hudi(
     replaced_paths: set[str] = set()
     stats_by_part: dict[str, list[dict]] = {}
     n_new = 0
+    # rewrite through the recorded table schema (when one exists):
+    # a partition mixing pre- and post-evolution base files must not
+    # infer from one file and drop the evolved column.  Identity
+    # partition columns that live only in the k=v directory names are
+    # excluded per ONE footer peek — forcing them into the scan would
+    # materialize all-null columns in the rewritten files (the new
+    # files land back under the same partition directory).
+    from glue_table_cache_spark.skipping import parquet_file_columns
+    from glue_table_cache_spark.sources.hudi import hudi_table_schema
+
+    table_schema = hudi_table_schema(location)
     for part, files in todo.items():
         paths = [p for p, _pv in files]
-        df = spark.read.parquet(*paths)
+        reader = spark.read
+        if table_schema is not None:
+            file_cols = parquet_file_columns(paths[0])
+            if file_cols is not None:
+                from pyspark.sql.types import StructType
+
+                pv_keys = {
+                    seg.split("=", 1)[0]
+                    for seg in part.split("/")
+                    if "=" in seg
+                }
+                kept = [
+                    f
+                    for f in table_schema.fields
+                    if f.name.lower() in file_cols
+                    or f.name not in pv_keys
+                ]
+                if kept:
+                    reader = reader.schema(StructType(kept))
+        df = reader.parquet(*paths)
         total = sum(Path(p).stat().st_size for p in paths)
         n = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         if zorder_by:
@@ -141,12 +171,22 @@ def optimize_hudi(
         replaced_paths.update(paths)
     shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
 
-    payload = json.dumps(
-        {
-            "partitionToWriteStats": stats_by_part,
-            "partitionToReplaceFileIds": replaced_by_part,
-        }
-    )
+    body: dict = {
+        "partitionToWriteStats": stats_by_part,
+        "partitionToReplaceFileIds": replaced_by_part,
+    }
+    if table_schema is not None:
+        from glue_table_cache_spark.sources.hudi import (
+            avro_schema_for_spark,
+        )
+
+        avro = avro_schema_for_spark(table_schema)
+        if avro is not None:
+            # carry the schema authority forward: without this a
+            # clustering commit would become the newest instant and
+            # silently drop the table's recorded schema
+            body["extraMetadata"] = {"schema": json.dumps(avro)}
+    payload = json.dumps(body)
     hoodie = base / ".hoodie"
     for attempt in range(max_commit_retries):
         # Pin the instant BEFORE validating, and validate on EVERY

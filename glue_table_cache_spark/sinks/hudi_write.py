@@ -51,6 +51,7 @@ def write_hudi_append(
     partition_by: list[str] | None = None,
     max_commit_retries: int = 10,
     table_type: str = "COPY_ON_WRITE",
+    merge_schema: bool = False,
 ) -> str:
     """Append ``df`` to the Hudi table at ``location`` (created on
     first write); returns the committed instant timestamp string.
@@ -60,7 +61,17 @@ def write_hudi_append(
     file groups) are legal in both layouts, and a MERGE_ON_READ table
     additionally accepts row-level updates/deletes via
     :func:`.hudi_log_write.write_hudi_log`.  An existing table's
-    recorded type always wins — a mismatch refuses."""
+    recorded type always wins — a mismatch refuses.
+
+    Schema posture (mirrors the Delta/Iceberg appenders): the commit
+    records the TABLE schema as an Avro record schema in
+    ``extraMetadata.schema`` (Hudi's own schema-tracking mechanism),
+    which the engine scan treats as authoritative; a batch whose
+    columns are a subset appends fine (absent columns surface as
+    nulls), NEW columns refuse unless ``merge_schema=True`` — and
+    always refuse on MERGE_ON_READ tables, whose pending log blocks
+    carry their own record schemas that the snapshot merge would have
+    to reconcile — and type changes always refuse."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -87,6 +98,65 @@ def write_hudi_append(
             f"hoodie.table.name={base.name}\n"
             f"hoodie.table.type={table_type}\n"
         )
+
+    # --- schema: drift-check against the recorded table schema and
+    # decide what this commit re-records (always the FULL table
+    # schema, never a narrower batch's)
+    from glue_table_cache_spark.sources.hudi import (
+        avro_schema_for_spark,
+        hudi_table_schema,
+    )
+
+    effective_type = table_type
+    if props.exists():
+        m = re.search(
+            r"hoodie\.table\.type\s*=\s*(\S+)", props.read_text()
+        )
+        if m:
+            effective_type = m.group(1).upper()
+    record_schema = df.schema
+    table_schema = hudi_table_schema(location)
+    if table_schema is not None:
+        existing = {f.name: f.dataType for f in table_schema.fields}
+        drift = sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name in existing and existing[f.name] != f.dataType
+        )
+        if drift:
+            raise GlueSparkError(
+                f"append changes the type of column(s) {drift} — "
+                "type evolution is not supported; cast the batch to "
+                "the table schema"
+            )
+        new_fields = [
+            f for f in df.schema.fields if f.name not in existing
+        ]
+        if new_fields:
+            if not merge_schema:
+                raise GlueSparkError(
+                    "append carries new column(s) "
+                    f"{[f.name for f in new_fields]} the table "
+                    "schema lacks — without schema evolution they "
+                    "would be silently invisible to readers; pass "
+                    "merge_schema=True to evolve, or drop them"
+                )
+            if effective_type == "MERGE_ON_READ":
+                raise GlueSparkError(
+                    "schema evolution on a MERGE_ON_READ table is "
+                    "not supported: pending log blocks carry their "
+                    "own record schemas the snapshot merge would "
+                    "have to reconcile; compact first "
+                    "(compact_hudi), or keep the batch to the table "
+                    "schema"
+                )
+            from pyspark.sql.types import StructType
+
+            record_schema = StructType(
+                list(table_schema.fields) + new_fields
+            )
+        else:
+            record_schema = table_schema
 
     instant = max(
         int(time.strftime("%Y%m%d%H%M%S", time.gmtime())),
@@ -124,7 +194,14 @@ def write_hudi_append(
         )
     shutil.rmtree(stage, ignore_errors=True)
 
-    payload = json.dumps({"partitionToWriteStats": stats_by_part})
+    body: dict = {"partitionToWriteStats": stats_by_part}
+    avro = avro_schema_for_spark(
+        record_schema,
+        name=re.sub(r"\W", "_", base.name) or "Record",
+    )
+    if avro is not None:
+        body["extraMetadata"] = {"schema": json.dumps(avro)}
+    payload = json.dumps(body)
     for _ in range(max_commit_retries):
         commit = hoodie / f"{instant}.commit"
         try:

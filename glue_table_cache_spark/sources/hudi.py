@@ -87,6 +87,151 @@ def _completed_instants(
     return [(req, kind, p) for req, _c, _k, kind, p in sorted(found)]
 
 
+#: Avro primitive → Spark type name (logical types handled separately)
+_AVRO_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+def _spark_type_from_avro(t):
+    """Spark type for one Avro field type (primitive, ``["null", X]``
+    union, or logical date / timestamp-micros / decimal), or ``None``
+    when there is no faithful mapping."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            return None
+        t = branches[0]
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        base = t.get("type")
+        if logical == "date" and base == "int":
+            return T.DateType()
+        if logical in ("timestamp-micros", "timestamp-millis") and (
+            base == "long"
+        ):
+            return T.TimestampType()
+        if logical == "decimal" and base in ("bytes", "fixed"):
+            try:
+                return T.DecimalType(
+                    int(t["precision"]), int(t.get("scale", 0))
+                )
+            except (KeyError, ValueError):
+                return None
+        return None
+    name = _AVRO_TO_SPARK.get(t)
+    if name is None:
+        return None
+    return {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+    }[name]
+
+
+def avro_schema_for_spark(schema, name: str = "Record") -> dict | None:
+    """An Avro record schema for a Spark ``StructType`` — the dialect
+    Hudi commits carry in ``extraMetadata.schema`` — or ``None`` when
+    a field has no faithful Avro mapping (the caller records nothing
+    rather than a lossy schema)."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.BooleanType):
+            at = "boolean"
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            at = "int"
+        elif isinstance(dt, T.LongType):
+            at = "long"
+        elif isinstance(dt, T.FloatType):
+            at = "float"
+        elif isinstance(dt, T.DoubleType):
+            at = "double"
+        elif isinstance(dt, T.StringType):
+            at = "string"
+        elif isinstance(dt, T.BinaryType):
+            at = "bytes"
+        elif isinstance(dt, T.DateType):
+            at = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt, T.TimestampType):
+            at = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, T.DecimalType):
+            at = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
+        else:
+            return None
+        fields.append(
+            {
+                "name": f.name,
+                "type": ["null", at] if f.nullable else at,
+            }
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def hudi_table_schema(
+    location: str, s3_client=None, fs=None
+):
+    """The table's scan schema as a Spark ``StructType``: the Avro
+    record schema the NEWEST completed instant recorded in
+    ``extraMetadata.schema`` (Hudi's own schema-tracking mechanism),
+    or ``None`` when no instant recorded one (fixture/external tables)
+    or it has no faithful Spark mapping.  This is the Hudi sibling of
+    Delta's ``schemaString`` / the Iceberg metadata schema: the
+    authority that makes evolved columns surface as nulls on
+    pre-evolution base files instead of depending on which file
+    inference samples."""
+    from pyspark.sql import types as T
+
+    names = _timeline_files(location, fs=fs)
+    try:
+        instants = _completed_instants(names, location)
+    except GlueSparkError:
+        return None
+    for _ts, _kind, p in reversed(instants):
+        try:
+            data = json.loads(_read_bytes(p, s3_client))
+        except (OSError, ValueError):
+            continue
+        raw = (data.get("extraMetadata") or {}).get("schema")
+        if not raw:
+            continue
+        try:
+            avro = json.loads(raw)
+        except ValueError:
+            return None
+        fields = []
+        for f in avro.get("fields", []):
+            t = _spark_type_from_avro(f.get("type"))
+            if t is None:
+                return None
+            nullable = (
+                isinstance(f.get("type"), list)
+                and "null" in f["type"]
+            )
+            fields.append(T.StructField(f["name"], t, nullable))
+        return T.StructType(fields) if fields else None
+    return None
+
+
 def _file_id(stat: dict, path: str) -> str:
     fid = stat.get("fileId")
     if fid:

@@ -548,3 +548,38 @@ def test_table_format_walks_are_cached_and_invalidated(
     eng.invalidate_table("db", "c")
     eng.sql("SELECT * FROM glue.db.c").collect()
     assert calls["n"] == 2  # invalidation forces a fresh walk
+
+
+def test_misclassified_format_location_refuses(spark, tmp_path):
+    """A catalog entry that lost its Delta/Hudi format markers must
+    not silently scan the directory as raw parquet (every historical
+    file: deleted rows resurrect, rewritten rows duplicate) — the
+    guard refuses with the registration fix, and the documented
+    opt-out forces the raw scan."""
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    dloc = str(tmp_path / "d")
+    write_delta_append(
+        spark.createDataFrame([(1,)], "id long"), dloc
+    )
+    hloc = str(tmp_path / "h")
+    write_hudi_append(
+        spark.createDataFrame([(2,)], "id long"), hloc
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir("db", "d", dloc)  # markers lost
+    store.register_parquet_dir("db", "h", hloc)
+    eng = GlueSparkEngine(spark, store)
+    with pytest.raises(GlueSparkError, match="_delta_log"):
+        eng.sql("SELECT * FROM glue.db.d")
+    with pytest.raises(GlueSparkError, match="hoodie"):
+        eng.sql("SELECT * FROM glue.db.h")
+    # opt-out scans raw, as documented
+    loose = GlueSparkEngine(
+        spark,
+        store,
+        EngineConfig(misclassified_format_guard=False),
+    )
+    assert loose.sql("SELECT * FROM glue.db.d").count() >= 1

@@ -2347,3 +2347,140 @@ def test_delta_append_schema_evolution(spark, tmp_path):
             spark.createDataFrame([("x", "y")], "id string, v string"),
             loc,
         )
+
+
+def test_hudi_append_schema_evolution(spark, tmp_path):
+    """Commits record the table's Avro schema in extraMetadata.schema
+    (Hudi's schema-tracking mechanism); merge_schema=True widens it,
+    and engine scans treat it as authoritative — pre-evolution base
+    files surface nulls instead of depending on inference order."""
+    import json as _json
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "hev")
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    # new column refuses without merge_schema
+    with pytest.raises(GlueSparkError, match="new column"):
+        write_hudi_append(
+            spark.createDataFrame(
+                [(2, "b", 1.5)], "id long, v string, score double"
+            ),
+            loc,
+        )
+    # type change always refuses
+    with pytest.raises(GlueSparkError, match="type"):
+        write_hudi_append(
+            spark.createDataFrame([("x", "c")], "id string, v string"),
+            loc,
+        )
+    write_hudi_append(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "id long, v string, score double"
+        ),
+        loc,
+        merge_schema=True,
+    )
+    # subset append re-records the FULL table schema, not the batch's
+    write_hudi_append(
+        spark.createDataFrame([(3,)], "id long"), loc
+    )
+    commits = sorted((tmp_path / "hev" / ".hoodie").glob("*.commit"))
+    last = _json.loads(commits[-1].read_text())
+    fields = _json.loads(last["extraMetadata"]["schema"])["fields"]
+    assert [f["name"] for f in fields] == ["id", "v", "score"]
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "hev", loc, parameters={"hoodie.table.name": "hev"}
+    )
+    rows = {
+        r.id: (r.v, r.score)
+        for r in GlueSparkEngine(spark, store)
+        .sql("SELECT id, v, score FROM glue.db.hev")
+        .collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 1.5), 3: (None, None)}
+
+
+def test_hudi_mor_refuses_schema_evolution(spark, tmp_path):
+    """MOR tables refuse evolution both ways: merge_schema base
+    appends and log upserts carrying new columns."""
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_log_write import write_hudi_log
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "hmor")
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        loc,
+        table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(GlueSparkError, match="MERGE_ON_READ"):
+        write_hudi_append(
+            spark.createDataFrame(
+                [(2, "b", 1.5)], "id long, v string, score double"
+            ),
+            loc,
+            merge_schema=True,
+        )
+    with pytest.raises(GlueSparkError, match="new column"):
+        write_hudi_log(
+            spark,
+            loc,
+            record_key_field="id",
+            upserts=spark.createDataFrame(
+                [(1, "z", 9)], "id long, v string, extra long"
+            ),
+        )
+
+
+def test_optimize_hudi_preserves_evolved_columns(spark, tmp_path):
+    """Clustering on an evolved table rewrites through the recorded
+    schema — a partition mixing pre- and post-evolution files must not
+    infer from the old file and drop the evolved column's data — and
+    the replacecommit re-records the schema so it stays the newest
+    instant's authority."""
+    import json as _json
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.hudi_optimize import optimize_hudi
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "hevopt")
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    write_hudi_append(
+        spark.createDataFrame(
+            [(2, "b", 9)], "id long, v string, extra long"
+        ),
+        loc,
+        merge_schema=True,
+    )
+    assert optimize_hudi(spark, loc, min_files_per_partition=2)
+    rc = sorted(
+        (tmp_path / "hevopt" / ".hoodie").glob("*.replacecommit")
+    )
+    fields = _json.loads(
+        _json.loads(rc[-1].read_text())["extraMetadata"]["schema"]
+    )["fields"]
+    assert [f["name"] for f in fields] == ["id", "v", "extra"]
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "hevopt", loc, parameters={"hoodie.table.name": "hevopt"}
+    )
+    rows = {
+        r.id: r.extra
+        for r in GlueSparkEngine(spark, store)
+        .sql("SELECT id, extra FROM glue.db.hevopt")
+        .collect()
+    }
+    assert rows == {1: None, 2: 9}
