@@ -215,6 +215,21 @@ def _constant(node: dict) -> tuple[Any, bool]:
     """(value, ok) for a CONSTANT node; only VARCHAR/integer/decimal
     constants are extractable (matching the reference's comparison
     surface, /root/reference/src/sql-transformer.ts:264-281)."""
+    if node.get("class") == "CAST":
+        # DATE '2017-12-01' / TIMESTAMP '…' literals parse as
+        # CAST(VARCHAR AS DATE/TIMESTAMP); the ISO string child is
+        # exactly the comparison form partition values use, so unwrap
+        # it.  Other casts stay unextractable (coercion semantics
+        # differ from string compare).
+        cast_to = ((node.get("cast_type") or {}).get("id") or "").upper()
+        if cast_to in ("DATE", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+                       "TIMESTAMP_TZ", "TIMESTAMP_S", "TIMESTAMP_MS",
+                       "TIMESTAMP_NS"):
+            child = node.get("child") or {}
+            v, ok = _constant(child)
+            if ok and isinstance(v, str):
+                return v, True
+        return None, False
     if node.get("class") != "CONSTANT":
         return None, False
     val = node.get("value") or {}

@@ -264,6 +264,7 @@ def iceberg_scan_details(
     as_of_timestamp_ms: int | None = None,
     with_stats: bool = False,
     with_schema: bool = False,
+    with_spec: bool = False,
 ) -> tuple[list, list[str], list[dict]]:
     """Full current-snapshot scan state:
     ``(entries, position_delete_files, equality_deletes)`` where
@@ -295,7 +296,13 @@ def iceberg_scan_details(
     Spark ``StructType`` via :func:`iceberg_spark_schema` (``None``
     when it has no faithful Spark mapping) — the scan-schema
     authority for evolved tables, the Iceberg sibling of the Delta
-    log's ``schemaString``."""
+    log's ``schemaString``.
+
+    ``with_spec=True`` appends (after the schema element when both are
+    requested) the DEFAULT partition spec's fields as
+    ``[{"name", "transform", "source"}]`` via
+    :func:`glue_table_cache_spark.sources.iceberg_partitioning.iceberg_partition_fields`
+    — the input for HIDDEN-partitioning (transform-aware) pruning."""
     jsons = _list_metadata_jsons(location, fs=fs)
     if not jsons:
         raise GlueSparkError(
@@ -327,10 +334,19 @@ def iceberg_scan_details(
                 f"No Iceberg snapshot of {location!r} exists at or "
                 f"before timestamp {as_of_timestamp_ms}"
             )
-    if not snapshots:
+    def _widen(base: tuple) -> tuple:
         if with_schema:
-            return [], [], [], iceberg_spark_schema(meta)
-        return [], [], []
+            base = base + (iceberg_spark_schema(meta),)
+        if with_spec:
+            from glue_table_cache_spark.sources.iceberg_partitioning import (
+                iceberg_partition_fields,
+            )
+
+            base = base + (iceberg_partition_fields(meta),)
+        return base
+
+    if not snapshots:
+        return _widen(([], [], []))
     names_by_id = _field_names_by_id(meta)
     types_by_id = _field_types_by_id(meta) if with_stats else {}
 
@@ -400,9 +416,7 @@ def iceberg_scan_details(
                     f"unknown delete content {content!r}; refusing — "
                     "ignoring it could resurrect deleted rows"
                 )
-    if with_schema:
-        return entries, pos_deletes, eq_deletes, iceberg_spark_schema(meta)
-    return entries, pos_deletes, eq_deletes
+    return _widen((entries, pos_deletes, eq_deletes))
 
 
 def _strip_scheme(col):

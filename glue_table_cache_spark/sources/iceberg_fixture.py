@@ -132,6 +132,7 @@ def build_iceberg_table(
     base: str | Path,
     snapshots: list,
     orphan: DataFrame | None = None,
+    partition_specs: list | None = None,
 ) -> Path:
     """Write ``snapshots[i]`` as the change applied by snapshot i+1.
 
@@ -152,7 +153,12 @@ def build_iceberg_table(
     reader must refuse; ``delete_manifest`` marks the snapshot's data manifest
     content=1 while its entries stay content=0 — a malformed delete
     manifest a reader must refuse rather than scan or ignore.
-    ``orphan`` lands in data/ unreferenced."""
+    ``orphan`` lands in data/ unreferenced.  ``partition_specs``
+    (spec-dialect ``[{"spec-id", "fields": [{"name", "transform",
+    "source-id", "field-id"}]}]``) is written verbatim as the
+    metadata's ``partition-specs`` with ``default-spec-id`` = the
+    first entry's id — the input for hidden-partitioning pruning
+    tests."""
     import shutil
 
     base = Path(base)
@@ -403,6 +409,16 @@ def build_iceberg_table(
                         }
                     ],
                     "snapshots": list(snapshot_records),
+                    **(
+                        {
+                            "partition-specs": partition_specs,
+                            "default-spec-id": partition_specs[0].get(
+                                "spec-id", 0
+                            ),
+                        }
+                        if partition_specs
+                        else {}
+                    ),
                 }
             )
         )

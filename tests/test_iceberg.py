@@ -649,3 +649,150 @@ def test_iceberg_optimize_preserves_evolved_columns(spark, tmp_path):
         .collect()
     }
     assert rows == {1: None, 2: 9}
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning: transform-aware pruning (sources/iceberg_partitioning)
+# ---------------------------------------------------------------------------
+
+
+def test_transform_values_match_spec_examples():
+    """The worked examples from the Iceberg spec's partition-transform
+    table (day 17486 for 2017-11-16, month 574, year 47, negative
+    pre-epoch days, bucket[16] murmur3 of int 34 → 3 and of
+    'iceberg' → 9, truncate floor semantics incl. negatives)."""
+    from glue_table_cache_spark.sources.iceberg_partitioning import (
+        bucket_value,
+        temporal_value,
+        transform_value,
+    )
+
+    assert temporal_value("day", "2017-11-16") == 17486
+    assert temporal_value("day", "2017-11-16 22:31:08") == 17486
+    assert temporal_value("month", "2017-11-16") == 574
+    assert temporal_value("year", "2017-11-16") == 47
+    assert (
+        temporal_value("hour", "2017-11-16 22:31:08") == 17486 * 24 + 22
+    )
+    assert temporal_value("day", "1969-12-31 23:59:59") == -1
+    assert bucket_value(34, 16) == 3
+    assert bucket_value("iceberg", 16) == 9
+    assert transform_value("truncate", 10, -1) == -10  # floor, not trunc
+    assert transform_value("truncate", 3, "iceberg") == "ice"
+    assert transform_value("day", None, 12345) is None  # ambiguous
+
+
+def test_transform_predicate_rewrite_soundness():
+    """Monotone bounds, bucket equality, and the negation push-down:
+    != and NOT-wrapped over-approximations must degrade to keep."""
+    from glue_table_cache_spark.pruning import (
+        Comparison,
+        Not,
+        TruePredicate,
+    )
+    from glue_table_cache_spark.sources.iceberg_partitioning import (
+        transform_partition_predicate,
+    )
+
+    fields = [{"name": "ts_day", "transform": "day", "source": "ts"}]
+    # ts > L  →  ts_day >= day(L): the boundary day must stay
+    p = transform_partition_predicate(
+        Comparison("ts", "COMPARE_GREATERTHAN", "2017-11-16 22:00:00"),
+        fields,
+    )
+    assert p.evaluate({"ts_day": "17486"}) is True  # same day kept
+    assert p.evaluate({"ts_day": "17485"}) is False
+    # equality on a lossy transform keeps the whole day
+    p = transform_partition_predicate(
+        Comparison("ts", "COMPARE_EQUAL", "2017-11-16 01:00:00"), fields
+    )
+    assert p.evaluate({"ts_day": "17486"}) is True
+    assert p.evaluate({"ts_day": "17487"}) is False
+    # != can never prune through a lossy transform
+    p = transform_partition_predicate(
+        Comparison("ts", "COMPARE_NOTEQUAL", "2017-11-16 01:00:00"),
+        fields,
+    )
+    assert isinstance(p, TruePredicate)
+    # NOT(ts <= L) pushes down to ts > L BEFORE mapping (sound);
+    # NOT(= L) degrades to keep
+    p = transform_partition_predicate(
+        Not(
+            Comparison(
+                "ts", "COMPARE_LESSTHANOREQUALTO", "2017-11-16 22:00:00"
+            )
+        ),
+        fields,
+    )
+    assert p.evaluate({"ts_day": "17486"}) is True
+    assert p.evaluate({"ts_day": "17485"}) is False
+    p = transform_partition_predicate(
+        Not(Comparison("ts", "COMPARE_EQUAL", "2017-11-16 01:00:00")),
+        fields,
+    )
+    assert isinstance(p, TruePredicate)
+    # bucket: equality prunes, ranges keep
+    bf = [{"name": "id_bucket", "transform": "bucket[16]", "source": "id"}]
+    p = transform_partition_predicate(
+        Comparison("id", "COMPARE_EQUAL", 34), bf
+    )
+    assert p.evaluate({"id_bucket": "3"}) is True
+    assert p.evaluate({"id_bucket": "4"}) is False
+    p = transform_partition_predicate(
+        Comparison("id", "COMPARE_GREATERTHAN", 34), bf
+    )
+    assert isinstance(p, TruePredicate)
+
+
+def test_engine_hidden_partition_pruning(spark, tmp_path):
+    """End-to-end: a day-transform + bucket-transform table registered
+    with NO catalog partition keys (the common Glue shape for Iceberg)
+    prunes manifest entries from predicates on the SOURCE columns, and
+    the result is still exactly correct."""
+    import datetime as dt
+
+    store = LocalMetadataStore()
+    nov = spark.createDataFrame(
+        [(34, dt.datetime(2017, 11, 16, 10, 0, 0)),
+         (35, dt.datetime(2017, 11, 16, 11, 0, 0))],
+        "id long, ts timestamp",
+    )
+    dec = spark.createDataFrame(
+        [(40, dt.datetime(2017, 12, 1, 9, 0, 0))],
+        "id long, ts timestamp",
+    )
+    base = build_iceberg_table(
+        tmp_path / "hp",
+        [
+            {"add": nov, "partition": {"ts_day": "17486"}},
+            {"add": dec, "partition": {"ts_day": "17501"}},
+        ],
+        partition_specs=[
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "ts_day",
+                        "transform": "day",
+                        "source-id": 2,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+    )
+    store.register_parquet_dir(
+        "db", "hp", str(base), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "SELECT id FROM glue.db.hp WHERE ts >= TIMESTAMP '2017-12-01 00:00:00'"
+    )
+    assert len(out.inputFiles()) == 1  # November file pruned
+    assert sorted(r.id for r in out.collect()) == [40]
+    # boundary-day predicate keeps the day file and filters exactly
+    out2 = eng.sql(
+        "SELECT id FROM glue.db.hp "
+        "WHERE ts > TIMESTAMP '2017-11-16 10:30:00'"
+    )
+    assert sorted(r.id for r in out2.collect()) == [35, 40]
