@@ -40,6 +40,7 @@ import shutil
 import uuid
 from pathlib import Path
 
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from glue_table_cache_spark.errors import GlueSparkError
@@ -99,18 +100,102 @@ def _footer_bounds(
     }
 
 
+def _transform_column(df: DataFrame, source: str, transform: str):
+    """Spark Column computing the Iceberg partition transform of
+    ``source`` — native expressions for the monotone transforms (stay
+    in codegen), an Arrow-batched pandas UDF wrapping the spec's
+    murmur3 for ``bucket[N]`` (no JVM builtin matches Iceberg's hash:
+    Spark's ``hash()`` seeds with 42 and encodes ints as 4 bytes where
+    the spec wants seed 0 over 8-byte little-endian longs)."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.iceberg_partitioning import (
+        parse_transform,
+    )
+
+    kind, param = parse_transform(transform)
+    col = F.col(source)
+    if kind == "identity":
+        return col
+    if kind == "year":
+        return F.year(col) - F.lit(1970)
+    if kind == "month":
+        return (F.year(col) - F.lit(1970)) * F.lit(12) + F.month(
+            col
+        ) - F.lit(1)
+    if kind == "day":
+        return F.datediff(col.cast("date"), F.lit("1970-01-01"))
+    if kind == "hour":
+        # floor division keeps pre-epoch instants correct
+        return F.floor(col.cast("double") / F.lit(3600.0)).cast("int")
+    if kind == "truncate":
+        w = param or 0
+        if w <= 0:
+            raise GlueSparkError(f"bad transform {transform!r}")
+        dt = dict(df.dtypes).get(source, "")
+        if dt == "string":
+            return F.substring(col, 1, w)
+        return col - (((col % F.lit(w)) + F.lit(w)) % F.lit(w))
+    if kind == "bucket":
+        n = param or 0
+        if n <= 0:
+            raise GlueSparkError(f"bad transform {transform!r}")
+        from pyspark.sql.functions import pandas_udf
+
+        from glue_table_cache_spark.sources.iceberg_partitioning import (
+            bucket_value,
+        )
+
+        @pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None
+                if v is None
+                else bucket_value(
+                    int(v) if not isinstance(v, str) else v, n
+                )
+            )
+
+        return _bucket(col)
+    raise GlueSparkError(
+        f"unsupported partition transform {transform!r}"
+    )
+
+
+def _src_name(ids: dict[str, int], field: dict) -> str:
+    """Spec field's source column name, resolved back through the
+    name → field-id map."""
+    by_id = {v: k for k, v in ids.items()}
+    return by_id[field["source-id"]]
+
+
 def write_iceberg_append(
     df: DataFrame,
     location: str,
     partition_by: list[str] | None = None,
     max_commit_retries: int = 10,
     merge_schema: bool = False,
+    partition_transforms: dict[str, str] | None = None,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``location`` (created on
     first write); returns the committed sequence number.  Readers see
     the whole batch or none of it.  Schema evolution follows the
     module docstring: subset batches append, new columns need
-    ``merge_schema=True``, type changes refuse."""
+    ``merge_schema=True``, type changes refuse.
+
+    Partitioning: ``partition_by`` is hive-style IDENTITY partitioning
+    (the value moves into the directory name and out of the data
+    files).  ``partition_transforms`` is HIDDEN partitioning — a
+    ``{source_column: transform}`` map (``"day"``, ``"month"``,
+    ``"year"``, ``"hour"``, ``"bucket[N]"``, ``"truncate[W]"``): the
+    TRANSFORMED value groups the files and lands in the manifest
+    partition tuple under the spec's derived field name
+    (``ts_day``, ``id_bucket``, …) while the source column stays IN
+    the data files, exactly as the spec prescribes.  Either way the
+    spec is recorded in the metadata's ``partition-specs``, so the
+    engine's transform-aware pruning works on repo-written tables
+    end-to-end.  A later append whose partitioning differs from the
+    recorded spec refuses (spec evolution is out of scope)."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -204,12 +289,116 @@ def write_iceberg_append(
             for c in df.columns
         ]
 
+    # --- partition spec: derive this append's fields, refuse drift
+    if partition_by and partition_transforms:
+        raise GlueSparkError(
+            "pass partition_by (hive identity) OR "
+            "partition_transforms (hidden partitioning), not both"
+        )
+    from glue_table_cache_spark.sources.iceberg_partitioning import (
+        parse_transform,
+    )
+
+    _SUFFIX = {
+        "year": "_year",
+        "month": "_month",
+        "day": "_day",
+        "hour": "_hour",
+        "bucket": "_bucket",
+        "truncate": "_trunc",
+    }
+    spec_fields: list[dict] = []
+    if partition_by:
+        for i, c in enumerate(partition_by):
+            if c not in ids:
+                raise GlueSparkError(
+                    f"partition column {c!r} is not in the schema"
+                )
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": ids[c],
+                    "field-id": 1000 + i,
+                }
+            )
+    elif partition_transforms:
+        for i, (src, tr) in enumerate(partition_transforms.items()):
+            kind, _param = parse_transform(tr)
+            if kind is None or kind == "void":
+                raise GlueSparkError(
+                    f"unsupported partition transform {tr!r}"
+                )
+            if src not in ids or src not in df.columns:
+                raise GlueSparkError(
+                    f"transform source column {src!r} is not in the "
+                    "batch"
+                )
+            name = (
+                src
+                if kind == "identity"
+                else src + _SUFFIX[kind]
+            )
+            spec_fields.append(
+                {
+                    "name": name,
+                    "transform": tr,
+                    "source-id": ids[src],
+                    "field-id": 1000 + i,
+                }
+            )
+    prev_specs = (prev or {}).get("partition-specs") or []
+    if prev_specs:
+        prev_fields = [
+            {
+                k: f.get(k)
+                for k in ("name", "transform", "source-id")
+            }
+            for f in (prev_specs[0].get("fields") or [])
+        ]
+        if spec_fields:
+            new_fields = [
+                {
+                    k: f.get(k)
+                    for k in ("name", "transform", "source-id")
+                }
+                for f in spec_fields
+            ]
+            if new_fields != prev_fields:
+                raise GlueSparkError(
+                    "append partitioning differs from the table's "
+                    f"recorded spec ({prev_fields} vs {new_fields}) "
+                    "— partition-spec evolution is out of scope"
+                )
+        else:
+            # unpartitioned batch onto a partitioned table: legal
+            # (the new files carry no partition tuple, pruning keeps
+            # them conservatively); the spec is carried forward
+            spec_fields = list(prev_specs[0].get("fields") or [])
+
     # --- stage data files, then move under unique batch names
     batch = uuid.uuid4().hex[:12]
     stage = base / f"_staging_{batch}"
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if partition_transforms:
+        stage_df = df
+        derived = []
+        for f in spec_fields:
+            if f["transform"] == "identity" and f["name"] in df.columns:
+                derived.append(f["name"])
+                continue
+            stage_df = stage_df.withColumn(
+                f["name"],
+                _transform_column(df, _src_name(ids, f), f["transform"]),
+            )
+            derived.append(f["name"])
+        # partitionBy moves the DERIVED columns into directory names
+        # and out of the files; the SOURCE columns stay in the data,
+        # exactly the spec's hidden-partitioning layout
+        writer = stage_df.write.mode("overwrite").partitionBy(*derived)
+    else:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
     writer.parquet(str(stage))
     files: list[tuple[Path, dict]] = []  # (dest, partition values)
     for p in sorted(stage.rglob("part-*.parquet")):
@@ -298,6 +487,16 @@ def write_iceberg_append(
             "last-sequence-number": seq,
             "current-snapshot-id": snap_id,
             "current-schema-id": 0,
+            **(
+                {
+                    "partition-specs": [
+                        {"spec-id": 0, "fields": spec_fields}
+                    ],
+                    "default-spec-id": 0,
+                }
+                if spec_fields
+                else {}
+            ),
             "schemas": [
                 {
                     "schema-id": 0,

@@ -2484,3 +2484,86 @@ def test_optimize_hudi_preserves_evolved_columns(spark, tmp_path):
         .collect()
     }
     assert rows == {1: None, 2: 9}
+
+
+def test_iceberg_append_hidden_partitioning(spark, tmp_path):
+    """partition_transforms writes the spec's layout: transformed
+    values group the files and land in the manifest partition tuple
+    under derived names, source columns STAY in the data files, the
+    metadata records partition-specs — and the engine's transform
+    pruning works on the repo's own tables end-to-end."""
+    import datetime as dt
+    import json as _json
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import iceberg_scan_info
+
+    loc = str(tmp_path / "hidden")
+    df = spark.createDataFrame(
+        [
+            (34, dt.datetime(2017, 11, 16, 10, 0, 0)),
+            (40, dt.datetime(2017, 12, 1, 9, 0, 0)),
+        ],
+        "id long, ts timestamp",
+    )
+    write_iceberg_append(
+        df, loc, partition_transforms={"ts": "day", "id": "bucket[16]"}
+    )
+    metas = sorted((tmp_path / "hidden" / "metadata").glob("*.json"))
+    meta = _json.loads(metas[-1].read_text())
+    fields = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("ts_day", "day"),
+        ("id_bucket", "bucket[16]"),
+    ]
+    files, _ = iceberg_scan_info(loc)
+    pvs = sorted(tuple(sorted(pv.items())) for _p, pv in files)
+    assert (("id_bucket", "3"), ("ts_day", "17486")) in pvs  # spec ex.
+    # source columns stay in the data files
+    cols = set(spark.read.parquet(files[0][0]).columns)
+    assert {"id", "ts"} <= cols and "ts_day" not in cols
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "hidden", loc, parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "SELECT id FROM glue.db.hidden "
+        "WHERE ts >= TIMESTAMP '2017-12-01 00:00:00'"
+    )
+    assert len(out.inputFiles()) == 1  # November file pruned
+    assert [r.id for r in out.collect()] == [40]
+    out2 = eng.sql("SELECT ts FROM glue.db.hidden WHERE id = 34")
+    assert len(out2.inputFiles()) == 1  # bucket pruning
+    assert out2.collect()[0].ts == dt.datetime(2017, 11, 16, 10, 0, 0)
+
+    # a different partitioning refuses (spec evolution out of scope)
+    with pytest.raises(GlueSparkError, match="spec"):
+        write_iceberg_append(
+            df, loc, partition_transforms={"ts": "month"}
+        )
+    # an unpartitioned batch appends and the spec carries forward
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(99, dt.datetime(2018, 1, 5, 0, 0, 0))],
+            "id long, ts timestamp",
+        ),
+        loc,
+    )
+    metas = sorted(
+        (tmp_path / "hidden" / "metadata").glob("*.json"),
+        key=lambda p: _json.loads(p.read_text())[
+            "last-sequence-number"
+        ],
+    )
+    assert "partition-specs" in _json.loads(metas[-1].read_text())
+    eng.invalidate_table("db", "hidden")
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.hidden").collect()
+    ) == [34, 40, 99]
