@@ -2567,3 +2567,98 @@ def test_iceberg_append_hidden_partitioning(spark, tmp_path):
     assert sorted(
         r.id for r in eng.sql("SELECT id FROM glue.db.hidden").collect()
     ) == [34, 40, 99]
+
+
+def test_hudi_stream_source_appends_and_refusals(spark, tmp_path):
+    """hudi_lite streams appended COW commits exactly-once into the
+    Delta sink, resumes across restarts, re-attaches partition-path
+    values, and refuses replacecommits (clustering) and deltacommits
+    (MOR logs) loudly."""
+    from glue_table_cache_spark.sinks.hudi_optimize import optimize_hudi
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sources.delta import delta_data_files
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        read_hudi_stream,
+    )
+
+    src = str(tmp_path / "hsrc")
+    dst = str(tmp_path / "hdst")
+    ck = str(tmp_path / "hck")
+    write_hudi_append(
+        spark.range(0, 4)
+        .selectExpr("id", "cast(id % 2 as string) as par")
+        .coalesce(1),
+        src,
+        partition_by=["par"],
+    )
+
+    def start():
+        return stream_to_delta(
+            read_hudi_stream(spark, src), dst, ck, app_id="hpipe"
+        )
+
+    q = start()
+    q.processAllAvailable()
+    write_hudi_append(
+        spark.range(4, 7)
+        .selectExpr("id", "cast(id % 2 as string) as par")
+        .coalesce(1),
+        src,
+        partition_by=["par"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(*delta_data_files(dst)).collect()
+    assert sorted(r.id for r in rows) == list(range(7))
+    # partition-path values re-attached (not in the base files)
+    assert all(r.par == str(r.id % 2) for r in rows)
+
+    # clustering emits a replacecommit: the append stream refuses
+    assert optimize_hudi(spark, src, min_files_per_partition=1)
+    write_hudi_append(
+        spark.range(7, 9)
+        .selectExpr("id", "cast(id % 2 as string) as par")
+        .coalesce(1),
+        src,
+        partition_by=["par"],
+    )
+    q = start()
+    with pytest.raises(Exception, match="replace"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_hudi_stream_source_refuses_mor_deltacommits(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_log_write import write_hudi_log
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.streaming.delta_sink import (
+        stream_to_delta,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        read_hudi_stream,
+    )
+
+    src = str(tmp_path / "msrc")
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        src,
+        table_type="MERGE_ON_READ",
+    )
+    write_hudi_log(
+        spark,
+        src,
+        record_key_field="id",
+        upserts=spark.createDataFrame([(1, "z")], "id long, v string"),
+    )
+    q = stream_to_delta(
+        read_hudi_stream(spark, src),
+        str(tmp_path / "mdst"),
+        str(tmp_path / "mck"),
+        app_id="mpipe",
+    )
+    with pytest.raises(Exception, match="deltacommit"):
+        q.processAllAvailable()
+    q.stop()
