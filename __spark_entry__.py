@@ -319,6 +319,27 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             optimize_hudi(spark, str(loc))
             clean_hudi(str(loc), retention_hours=0, dry_run=False)
         marker.touch()
+    # HIDDEN-partitioned Iceberg table from the repo's own writer:
+    # month(o_orderdate) groups the files, the transformed value lives
+    # only in the manifest partition tuple + directory name, and the
+    # driver arm queries through a DATE predicate on the SOURCE column
+    # — green only if the writer's spec recording, the engine's
+    # transform-aware pruning, and the metadata-schema scan all agree
+    # with plain `orders`
+    hp = base / "orders_iceberg_hp"
+    if not (base / "orders_iceberg_hp._BUILT").exists():
+        from glue_table_cache_spark.sinks.iceberg_write import (
+            write_iceberg_append,
+        )
+
+        shutil.rmtree(hp, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_iceberg_append(
+            orders.coalesce(1),
+            str(hp),
+            partition_transforms={"o_orderdate": "month"},
+        )
+        (base / "orders_iceberg_hp._BUILT").touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -448,6 +469,12 @@ def _engine(
             "tpch",
             "orders_ice_eq",
             str(base / "orders_ice_eq"),
+            parameters={"table_type": "ICEBERG"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_iceberg_hp",
+            str(base / "orders_iceberg_hp"),
             parameters={"table_type": "ICEBERG"},
         )
         store.register_parquet_dir(
@@ -2436,7 +2463,12 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
       checkpoint + log cleanup + VACUUM, so the scan reconstructs
       purely from the checkpoint; Iceberg: expire-snapshots + orphan
       removal; Hudi: clean) — the whole lakehouse maintenance loop
-      under the DuckDB oracle.
+      under the DuckDB oracle;
+    * iceberg_hp — a HIDDEN-partitioned table (``month(o_orderdate)``)
+      the repo writer built, queried through a DATE predicate on the
+      source column: green only if the recorded partition spec, the
+      engine's transform-aware pruning, and the metadata-schema scan
+      agree with plain ``orders`` (r6).
 
     Time-travel arms run through the SQL surface (r6:
     ``VERSION AS OF`` on the glue reference, engine.py travel
@@ -2476,7 +2508,13 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
            UNION ALL
            SELECT 'hudi_m' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
-           FROM glue.tpch.orders_hudi_m GROUP BY o_orderstatus"""
+           FROM glue.tpch.orders_hudi_m GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_iceberg_hp
+           WHERE o_orderdate >= DATE '1995-01-01'
+           GROUP BY o_orderstatus"""
     )
 
     # separate engine calls: a query may carry ONE travel spec per
@@ -2761,6 +2799,11 @@ _EXTRA_ORACLES: dict[str, str] = {
         "'hudi_mor', 'iceberg_eq', "
         "'delta_m', 'iceberg_m', 'hudi_m']) AS fmt) "
         "GROUP BY fmt, o_orderstatus "
+        "UNION ALL "
+        "SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders WHERE o_orderdate >= DATE '1995-01-01' "
+        "GROUP BY o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "
