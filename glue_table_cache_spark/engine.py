@@ -594,18 +594,25 @@ class GlueSparkEngine:
 
             if travel is not None:
                 # travel states bypass the current-state cache
-                entries, renames, log_schema = delta_scan_info(
-                    tbl.location, fs=self._fs, with_schema=True,
-                    with_stats=True,
-                    **self._delta_travel_kwargs(tbl.location, travel),
+                entries, renames, log_schema, gen_fields = (
+                    delta_scan_info(
+                        tbl.location, fs=self._fs, with_schema=True,
+                        with_stats=True, with_partition_fields=True,
+                        **self._delta_travel_kwargs(
+                            tbl.location, travel
+                        ),
+                    )
                 )
             else:
-                entries, renames, log_schema = self._format_scan_cached(
-                    tbl,
-                    lambda: delta_scan_info(
-                        tbl.location, fs=self._fs, with_schema=True,
-                        with_stats=True,
-                    ),
+                entries, renames, log_schema, gen_fields = (
+                    self._format_scan_cached(
+                        tbl,
+                        lambda: delta_scan_info(
+                            tbl.location, fs=self._fs,
+                            with_schema=True, with_stats=True,
+                            with_partition_fields=True,
+                        ),
+                    )
                 )
             stats_by_path = {p: s for p, _pv, _dv, s in entries}
             entries = [(p, pv, dv) for p, pv, dv, _s in entries]
@@ -628,6 +635,37 @@ class GlueSparkEngine:
                     for f in prune_files(
                         [FileInfo(p, pv) for p, pv, _dv in entries],
                         predicate,
+                    )
+                }
+                entries = [e for e in entries if e[0] in kept]
+            # GENERATED-COLUMN + log-driven partition pruning: the
+            # metaData's partitionColumns prune even when the catalog
+            # registered no partition keys, and a partition column
+            # generated from another column (delta.generationExpression
+            # — CAST(ts AS DATE), YEAR(ts), DATE_FORMAT, DATE_TRUNC)
+            # prunes from predicates on the SOURCE column through the
+            # same sound transform rewrite the Iceberg hidden
+            # partitioning uses.  Skipped for column-mapped tables
+            # (partitionValues key on PHYSICAL names).
+            if query and entries and renames is None and gen_fields:
+                from glue_table_cache_spark.sources.iceberg_partitioning import (  # noqa: E501
+                    transform_partition_predicate,
+                )
+
+                srcs = sorted(
+                    {f["source"] for f in gen_fields if f["source"]}
+                )
+                src_pred = extract_partition_predicate(
+                    query, srcs, {tbl.name, tbl.qualified_name}
+                )
+                pv_pred = transform_partition_predicate(
+                    src_pred, gen_fields
+                )
+                kept = {
+                    f.path
+                    for f in prune_files(
+                        [FileInfo(p, pv) for p, pv, _dv in entries],
+                        pv_pred,
                     )
                 }
                 entries = [e for e in entries if e[0] in kept]

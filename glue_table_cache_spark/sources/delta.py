@@ -560,6 +560,7 @@ def delta_scan_info(
     as_of_timestamp_ms: int | None = None,
     with_schema: bool = False,
     with_stats: bool = False,
+    with_partition_fields: bool = False,
 ) -> tuple:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
@@ -573,6 +574,11 @@ def delta_scan_info(
     :func:`apply_deletion_vectors` first (it needs ``_metadata``,
     which a rename projection drops), then
     :func:`apply_column_mapping`.
+
+    ``with_partition_fields=True`` appends (last) the
+    :func:`generated_partition_fields` list — the transform-aware
+    pruning input covering partitionColumns and
+    ``delta.generationExpression`` mappings.
 
     ``with_schema=True`` appends the log's logical schema
     (:func:`logical_schema`) as a third element — pass it to the
@@ -599,9 +605,117 @@ def delta_scan_info(
             (_resolve_path(location, p), active[p][0], active[p][1])
             for p in sorted(active)
         ]
+    out: tuple = (entries, renames)
     if with_schema:
-        return entries, renames, logical_schema(state.get("metaData"))
-    return entries, renames
+        out = out + (logical_schema(state.get("metaData")),)
+    if with_partition_fields:
+        out = out + (
+            generated_partition_fields(state.get("metaData")),
+        )
+    return out
+
+
+def generated_partition_fields(meta: dict | None) -> list[dict]:
+    """Partition fields for TRANSFORM-AWARE pruning, in the same
+    ``[{"name", "transform", "source"}]`` dialect the Iceberg
+    partition spec produces: every ``metaData.partitionColumns`` entry
+    yields an IDENTITY field (so log-metadata pruning works even when
+    the catalog registered no partition keys — the common shape for
+    Delta entries in Glue), and a partition column whose schemaString
+    metadata carries ``delta.generationExpression`` additionally maps
+    predicates on the SOURCE column through the expression (the
+    protocol's generated-columns partition-filter optimization):
+
+    * ``CAST(x AS DATE)`` / ``DATE(x)`` → monotone date string;
+    * ``YEAR(x)`` → monotone int; ``MONTH/DAY/HOUR(x)`` →
+      equality-only ints (not monotone in ``x``);
+    * ``DATE_FORMAT(x, 'yyyy[-MM[-dd[ HH]]]')`` → monotone string
+      (whitelisted most-significant-first formats only);
+    * ``DATE_TRUNC('YEAR|MONTH|DAY|HOUR', x)`` → monotone timestamp
+      string.
+
+    Unrecognized expressions contribute nothing (pruning just loses
+    that column, never soundness)."""
+    if not meta:
+        return []
+    pcols = meta.get("partitionColumns") or []
+    if not pcols:
+        return []
+    try:
+        schema = json.loads(meta.get("schemaString") or "{}")
+    except ValueError:
+        schema = {}
+    by_name = {
+        f.get("name"): f for f in schema.get("fields", []) or []
+    }
+    import re as _re
+
+    col = r"`?(\w+)`?"
+    patterns = [
+        (rf"CAST\s*\(\s*{col}\s+AS\s+DATE\s*\)", "gen_cast_date"),
+        (rf"DATE\s*\(\s*{col}\s*\)", "gen_cast_date"),
+        (rf"YEAR\s*\(\s*{col}\s*\)", "gen_year"),
+        (rf"MONTH\s*\(\s*{col}\s*\)", "gen_month"),
+        (rf"(?:DAY|DAYOFMONTH)\s*\(\s*{col}\s*\)", "gen_day"),
+        (rf"HOUR\s*\(\s*{col}\s*\)", "gen_hour"),
+    ]
+    out: list[dict] = []
+    for c in pcols:
+        f = by_name.get(c) or {}
+        expr = (f.get("metadata") or {}).get(
+            "delta.generationExpression"
+        )
+        if not expr:
+            out.append(
+                {"name": c, "transform": "identity", "source": c}
+            )
+            continue
+        e = expr.strip()
+        kind = src = None
+        for pat, k in patterns:
+            m = _re.fullmatch(pat, e, _re.IGNORECASE)
+            if m:
+                kind, src = k, m.group(1)
+                break
+        if kind is None:
+            m = _re.fullmatch(
+                rf"DATE_FORMAT\s*\(\s*{col}\s*,\s*'([^']+)'\s*\)",
+                e,
+                _re.IGNORECASE,
+            )
+            if m:
+                from glue_table_cache_spark.sources.iceberg_partitioning import (  # noqa: E501
+                    _JAVA_FORMATS,
+                )
+
+                if m.group(2) in _JAVA_FORMATS:
+                    kind, src = f"gen_format[{m.group(2)}]", m.group(1)
+        if kind is None:
+            m = _re.fullmatch(
+                rf"DATE_TRUNC\s*\(\s*'(YEAR|MONTH|DAY|HOUR)'\s*,"
+                rf"\s*{col}\s*\)",
+                e,
+                _re.IGNORECASE,
+            )
+            if m:
+                kind = f"gen_trunc[{m.group(1).lower()}]"
+                src = m.group(2)
+        if kind is not None:
+            out.append({"name": c, "transform": kind, "source": src})
+        # unrecognized generation expression: the GENERATED column
+        # itself still prunes identically (its value is materialized
+        # in partitionValues), so keep the identity mapping
+        out.append({"name": c, "transform": "identity", "source": c})
+    # dedupe (a generated column contributes both its expression
+    # mapping and its own identity)
+    seen = set()
+    uniq = []
+    for f in out:
+        key = (f["name"], f["transform"], f["source"])
+        if key not in seen:
+            seen.add(key)
+            uniq.append(f)
+    return uniq
 
 
 def apply_column_mapping(df, renames: dict[str, str] | None):

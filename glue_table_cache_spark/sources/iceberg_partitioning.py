@@ -87,6 +87,18 @@ def parse_transform(s: str) -> tuple[str | None, int | None]:
     m = re.fullmatch(r"truncate\[(\d+)\]", s)
     if m:
         return "truncate", int(m.group(1))
+    # Delta GENERATED-column kinds (delta.generationExpression →
+    # sources/delta.py:generated_partition_fields): the partition
+    # value is the generated column's own serialized form
+    if s in ("gen_cast_date", "gen_year", "gen_month", "gen_day",
+             "gen_hour"):
+        return s, None
+    m = re.fullmatch(r"gen_format\[(.+)\]", s)
+    if m:
+        return "gen_format", m.group(1)
+    m = re.fullmatch(r"gen_trunc\[(year|month|day|hour)\]", s)
+    if m:
+        return "gen_trunc", m.group(1)
     return None, None
 
 
@@ -223,7 +235,18 @@ def temporal_value(kind: str, const) -> int | None:
     return None
 
 
-def transform_value(kind: str, param: int | None, const):
+#: Java SimpleDateFormat patterns Delta generation expressions use →
+#: strftime; whitelist of MONOTONE formats only (most-significant
+#: field first, zero-padded, so string order = time order)
+_JAVA_FORMATS = {
+    "yyyy": "%Y",
+    "yyyy-MM": "%Y-%m",
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "yyyy-MM-dd HH": "%Y-%m-%d %H",
+}
+
+
+def transform_value(kind: str, param, const):
     """Partition-space value of ``const`` under the transform, or
     ``None`` when not soundly computable."""
     if kind == "identity":
@@ -241,12 +264,52 @@ def transform_value(kind: str, param: int | None, const):
         if isinstance(const, int):
             return const - (const % w)  # Python % floors: -7 % 5 = 3
         return None
+    if kind.startswith("gen_"):
+        dt = _parse_temporal(const)
+        if dt is None:
+            return None
+        if kind == "gen_cast_date":
+            return dt.date().isoformat()
+        if kind == "gen_year":
+            return dt.year
+        if kind == "gen_month":
+            return dt.month
+        if kind == "gen_day":
+            return dt.day
+        if kind == "gen_hour":
+            return dt.hour
+        if kind == "gen_format":
+            fmt = _JAVA_FORMATS.get(param)
+            return dt.strftime(fmt) if fmt else None
+        if kind == "gen_trunc":
+            floor = {
+                "year": dt.replace(month=1, day=1, hour=0, minute=0,
+                                   second=0, microsecond=0),
+                "month": dt.replace(day=1, hour=0, minute=0,
+                                    second=0, microsecond=0),
+                "day": dt.replace(hour=0, minute=0, second=0,
+                                  microsecond=0),
+                "hour": dt.replace(minute=0, second=0, microsecond=0),
+            }.get(param)
+            # the Delta partition-value serialization of a timestamp
+            return (
+                floor.strftime("%Y-%m-%d %H:%M:%S")
+                if floor is not None
+                else None
+            )
     return None
 
 
 # -- predicate rewrite -----------------------------------------------------
 
-_MONOTONE = ("identity", "year", "month", "day", "hour", "truncate")
+_MONOTONE = (
+    "identity", "year", "month", "day", "hour", "truncate",
+    "gen_cast_date", "gen_year", "gen_format", "gen_trunc",
+)
+
+#: lossy NON-monotone kinds: only equality (and IN) can prune —
+#: ``month(x) >= month(L)`` does not follow from ``x >= L``
+_EQUALITY_ONLY = ("bucket", "gen_month", "gen_day", "gen_hour")
 
 
 def _derive(column_fields: list[dict], op: str, const) -> Predicate:
@@ -280,7 +343,7 @@ def _derive(column_fields: list[dict], op: str, const) -> Predicate:
                     )
                 )
             # != over a lossy transform can never prune
-        elif kind == "bucket" and op == "COMPARE_EQUAL":
+        elif kind in _EQUALITY_ONLY and op == "COMPARE_EQUAL":
             out.append(Comparison(f["name"], op, tv))
     if not out:
         return TruePredicate()

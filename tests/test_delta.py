@@ -1096,3 +1096,64 @@ def test_sql_version_and_timestamp_as_of(spark, tmp_path, frames):
         "SELECT 'glue.db.tt VERSION AS OF 0' AS s FROM glue.db.tt"
     )
     assert lit.count() == 1
+
+
+def test_generated_column_partition_pruning(spark, tmp_path):
+    """The protocol's generated-columns partition-filter optimization:
+    a partition column generated as CAST(ts AS DATE) prunes files from
+    predicates on ts — and partitionColumns prune from the LOG even
+    when the catalog registered no partition keys."""
+    import datetime as dt
+    import json
+
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "gen"
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 3, 5, 10, 0), dt.date(2024, 3, 5)),
+            (2, dt.datetime(2024, 3, 6, 9, 0), dt.date(2024, 3, 6)),
+            (3, dt.datetime(2024, 3, 7, 8, 0), dt.date(2024, 3, 7)),
+        ],
+        "id long, ts timestamp, pdate date",
+    )
+    write_delta_append(df, str(loc), partition_by=["pdate"])
+    # record the generation expression the way a Delta writer would
+    commit = loc / "_delta_log" / "00000000000000000000.json"
+    lines = commit.read_text().splitlines()
+    out = []
+    for line in lines:
+        action = json.loads(line)
+        if "metaData" in action:
+            schema = json.loads(action["metaData"]["schemaString"])
+            for f in schema["fields"]:
+                if f["name"] == "pdate":
+                    f.setdefault("metadata", {})[
+                        "delta.generationExpression"
+                    ] = "CAST(ts AS DATE)"
+            action["metaData"]["schemaString"] = json.dumps(schema)
+        out.append(json.dumps(action))
+    commit.write_text("\n".join(out) + "\n")
+
+    store = LocalMetadataStore()
+    # NO partition keys registered — pruning must come from the log
+    store.register_parquet_dir(
+        "db", "gen", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "SELECT id FROM glue.db.gen "
+        "WHERE ts >= TIMESTAMP '2024-03-06 00:00:00'"
+    )
+    assert len(out.inputFiles()) == 2  # 2024-03-05 file pruned
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+    # identity pruning straight on the partition column, also log-only
+    out2 = eng.sql(
+        "SELECT id FROM glue.db.gen WHERE pdate = DATE '2024-03-07'"
+    )
+    assert len(out2.inputFiles()) == 1
+    assert [r.id for r in out2.collect()] == [3]
+    # a predicate the generation mapping cannot prune stays correct
+    out3 = eng.sql("SELECT id FROM glue.db.gen WHERE ts IS NOT NULL")
+    assert sorted(r.id for r in out3.collect()) == [1, 2, 3]
