@@ -499,7 +499,11 @@ class GlueSparkEngine:
                 # one partition (the write stats record it), so
                 # pruning bases and logs with the same predicate
                 # cannot orphan log records
-                keys = [k.name for k in tbl.partition_keys]
+                keys = self._hudi_prune_keys(
+                    tbl,
+                    [pv for _p, pv, _t in base_entries]
+                    + [pv for _p, _t, pv in log_entries],
+                )
                 if query and keys and (base_entries or log_entries):
                     predicate = extract_partition_predicate(
                         query, keys, {tbl.name, tbl.qualified_name}
@@ -554,7 +558,9 @@ class GlueSparkEngine:
             # TIMELINE-METADATA partition pruning — same shape as the
             # DELTA/ICEBERG branches, from the write stats' partition
             # paths (hive-style layouts only; others carry no values)
-            keys = [k.name for k in tbl.partition_keys]
+            keys = self._hudi_prune_keys(
+                tbl, [pv for _p, pv in entries]
+            )
             if query and keys and entries:
                 predicate = extract_partition_predicate(
                     query, keys, {tbl.name, tbl.qualified_name}
@@ -1115,6 +1121,25 @@ class GlueSparkEngine:
             if ex.column not in df.columns:
                 df = df.withColumn(ex.column, ex.spark_column(path_col))
         return df
+
+    @staticmethod
+    def _hudi_prune_keys(
+        tbl: CatalogTable, pvs: list[dict]
+    ) -> list[str]:
+        """Partition keys for Hudi timeline-metadata pruning: the
+        catalog's when registered, else the key names the write
+        stats' partition paths themselves carry (``k=v`` segments) —
+        so a Hudi entry registered without PartitionKeys (the common
+        Glue shape) still prunes from the log, mirroring the
+        Delta/Iceberg branches.  Identity semantics only: the path
+        value IS the column value in hive-style layouts."""
+        keys = [k.name for k in tbl.partition_keys]
+        if keys:
+            return keys
+        seen: set[str] = set()
+        for pv in pvs:
+            seen.update(pv.keys())
+        return sorted(seen)
 
     def _refuse_misclassified_format(self, tbl: CatalogTable) -> None:
         """Defense-in-depth for MISREGISTERED table-format locations: a

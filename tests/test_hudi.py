@@ -600,3 +600,29 @@ def test_mor_partition_pruning(spark, tmp_path):
     files = [f for f in other.inputFiles() if f.endswith(".parquet")]
     assert len(files) == 1 and "year=1997" in files[0]
     assert [(r.id, r.v) for r in other.collect()] == [(2, "b")]
+
+
+def test_hudi_log_driven_pruning_without_catalog_keys(spark, tmp_path):
+    """A Hudi entry registered WITHOUT PartitionKeys (the common Glue
+    shape) still prunes from the write stats' partition paths."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "lp")
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "1996"), (2, "1996"), (3, "1997")],
+            "id long, year string",
+        ).coalesce(1),
+        loc,
+        partition_by=["year"],
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "lp", loc, parameters={"hoodie.table.name": "lp"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql("SELECT id FROM glue.db.lp WHERE year = '1996'")
+    assert len(out.inputFiles()) == 1  # 1997 file never handed over
+    assert sorted(r.id for r in out.collect()) == [1, 2]
