@@ -199,6 +199,34 @@ def _curate(spark, sf):
     return PL.curate(read_table(spark, sf, "documents"), cfg)
 
 
+_LAKEHOUSE_SQL = """
+    SELECT 'delta_m' AS fmt, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM glue.tpch.orders_delta_m
+    UNION ALL
+    SELECT 'iceberg_m', count(*), round(sum(o_totalprice), 2)
+    FROM glue.tpch.orders_iceberg_m
+    UNION ALL
+    SELECT 'hudi_m', count(*), round(sum(o_totalprice), 2)
+    FROM glue.tpch.orders_hudi_m
+    UNION ALL
+    SELECT 'iceberg_hp', count(*), round(sum(o_totalprice), 2)
+    FROM glue.tpch.orders_iceberg_hp
+    WHERE o_orderdate >= DATE '1998-01-01'
+"""
+
+
+def _lakehouse_scan(spark, sf):
+    """Scan the maintained lakehouse tables (repo writers → row-level
+    DELETE → OPTIMIZE → retention) through the engine, plus a
+    hidden-partitioned table behind a source-column predicate
+    (transform pruning).  Measures the metadata walks (log replay /
+    manifest walk / timeline walk, LRU-cached), the DV/delete masking,
+    and the pruned scans — the lakehouse read path as one label.
+    Fixture build cost is excluded (pre-built in the warm-up)."""
+    return entrymod._engine(spark, sf).sql(_LAKEHOUSE_SQL)
+
+
 def _entry(name: str):
     return lambda spark, sf: entrymod.queries()[name](spark, sf)
 
@@ -355,6 +383,7 @@ BENCH_QUERIES = [
     ("join_asof", _entry("join_asof")),
     ("line_dedup", _line_dedup),
     ("curate", _curate),
+    ("lakehouse_scan", _lakehouse_scan),
 ]
 
 
@@ -376,6 +405,10 @@ def main() -> None:
     qs["filter_predicates"](spark, sf_dir).collect()
     for t in ("documents", "embeddings", "events"):
         read_table(spark, sf_dir, t).count()
+    # lakehouse fixtures: building the maintained tables (writers ->
+    # DELETE -> OPTIMIZE -> retention) is one-time setup, not scan
+    # throughput — do it before the clock starts
+    entrymod._ensure_fixtures(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0
