@@ -149,8 +149,11 @@ def main() -> None:
     )
 
     mirror = str(work / "orders_mirror")
+    # start past the CRUD commits: a DELETE/UPDATE version removes
+    # files with dataChange, which an append-only stream refuses
+    # (by design — resuming after them is the documented posture)
     sq = stream_to_delta(
-        read_delta_stream(spark, loc, starting_version=cp + 1),
+        read_delta_stream(spark, loc, starting_version=up_version + 1),
         mirror,
         str(work / "mirror_ckpt"),
         app_id="mirror",
