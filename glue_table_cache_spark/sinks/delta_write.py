@@ -148,8 +148,17 @@ def write_delta_append(
 
     if _already_committed():
         return -1
-    evolved_meta: dict | None = None
-    if any(log_dir.iterdir()):
+
+    def _resolve_evolution() -> dict | None:
+        """Drift-check against the CURRENT log state; the widened
+        ``metaData`` action when this batch evolves the schema, else
+        None.  Called up front for early validation and again per
+        commit attempt when evolving — a concurrent writer's
+        evolution committed during our staging would otherwise be
+        clobbered by our stale ``metaData`` (last-writer-wins on
+        schemaString)."""
+        if not any(log_dir.iterdir()):
+            return None
         from glue_table_cache_spark.sources.delta import (
             _replay,
             column_mapping_renames,
@@ -165,44 +174,47 @@ def write_delta_append(
                 "Delta runtime"
             )
         table_schema = logical_schema(meta)
-        if table_schema is not None:
-            existing = {
-                f.name: f.dataType for f in table_schema.fields
-            }
-            drift = [
-                f.name
-                for f in df.schema.fields
-                if f.name in existing and existing[f.name] != f.dataType
-            ]
-            if drift:
-                raise GlueSparkError(
-                    f"append changes the type of column(s) {drift} — "
-                    "type evolution is not supported; cast the batch "
-                    "to the table schema"
-                )
-            new_fields = [
-                f
-                for f in df.schema.fields
-                if f.name not in existing
-            ]
-            if new_fields:
-                if not merge_schema:
-                    raise GlueSparkError(
-                        "append carries new column(s) "
-                        f"{[f.name for f in new_fields]} the table "
-                        "schema lacks — without schema evolution they "
-                        "would be silently invisible to readers; pass "
-                        "merge_schema=True to evolve, or drop them"
-                    )
-                from pyspark.sql.types import StructType
+        if table_schema is None:
+            return None
+        existing = {
+            f.name: f.dataType for f in table_schema.fields
+        }
+        drift = [
+            f.name
+            for f in df.schema.fields
+            if f.name in existing and existing[f.name] != f.dataType
+        ]
+        if drift:
+            raise GlueSparkError(
+                f"append changes the type of column(s) {drift} — "
+                "type evolution is not supported; cast the batch "
+                "to the table schema"
+            )
+        new_fields = [
+            f
+            for f in df.schema.fields
+            if f.name not in existing
+        ]
+        if not new_fields:
+            return None
+        if not merge_schema:
+            raise GlueSparkError(
+                "append carries new column(s) "
+                f"{[f.name for f in new_fields]} the table "
+                "schema lacks — without schema evolution they "
+                "would be silently invisible to readers; pass "
+                "merge_schema=True to evolve, or drop them"
+            )
+        from pyspark.sql.types import StructType
 
-                merged = StructType(
-                    list(table_schema.fields) + new_fields
-                )
-                evolved_meta = dict(meta or {})
-                evolved_meta["schemaString"] = json.dumps(
-                    merged.jsonValue()
-                )
+        merged = StructType(
+            list(table_schema.fields) + new_fields
+        )
+        evolved = dict(meta or {})
+        evolved["schemaString"] = json.dumps(merged.jsonValue())
+        return evolved
+
+    evolved_meta = _resolve_evolution()
     batch = uuid.uuid4().hex[:12]
     stage = base / f"_staging_{batch}"
 
@@ -249,6 +261,11 @@ def write_delta_append(
         # check takes this version and our O_EXCL collides — the next
         # attempt then re-runs the check and sees the zombie's txn.
         version = _next_version(log_dir)
+        if evolved_meta is not None:
+            # evolving appends re-resolve against the current log so
+            # a concurrent evolution is merged, not clobbered (plain
+            # appends write no metaData action and cannot clobber)
+            evolved_meta = _resolve_evolution()
         if _already_committed():
             # a concurrent replica of the same stream committed this
             # batch while we were racing: drop our staged (still

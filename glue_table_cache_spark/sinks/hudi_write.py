@@ -45,6 +45,57 @@ def _latest_instant(hoodie: Path) -> int:
     return latest
 
 
+def _resolve_record_schema(
+    location: str, df: DataFrame, merge_schema: bool,
+    effective_type: str,
+):
+    """The FULL table schema this commit re-records: the recorded
+    schema (from the newest instant's ``extraMetadata.schema``) with
+    drift refused and new columns appended under the ``merge_schema``
+    gate — or the batch's own schema for a fresh/unrecorded table."""
+    from glue_table_cache_spark.sources.hudi import hudi_table_schema
+
+    table_schema = hudi_table_schema(location)
+    if table_schema is None:
+        return df.schema
+    existing = {f.name: f.dataType for f in table_schema.fields}
+    drift = sorted(
+        f.name
+        for f in df.schema.fields
+        if f.name in existing and existing[f.name] != f.dataType
+    )
+    if drift:
+        raise GlueSparkError(
+            f"append changes the type of column(s) {drift} — type "
+            "evolution is not supported; cast the batch to the "
+            "table schema"
+        )
+    new_fields = [
+        f for f in df.schema.fields if f.name not in existing
+    ]
+    if not new_fields:
+        return table_schema
+    if not merge_schema:
+        raise GlueSparkError(
+            "append carries new column(s) "
+            f"{[f.name for f in new_fields]} the table schema "
+            "lacks — without schema evolution they would be "
+            "silently invisible to readers; pass merge_schema=True "
+            "to evolve, or drop them"
+        )
+    if effective_type == "MERGE_ON_READ":
+        raise GlueSparkError(
+            "schema evolution on a MERGE_ON_READ table is not "
+            "supported: pending log blocks carry their own record "
+            "schemas the snapshot merge would have to reconcile; "
+            "compact first (compact_hudi), or keep the batch to "
+            "the table schema"
+        )
+    from pyspark.sql.types import StructType
+
+    return StructType(list(table_schema.fields) + new_fields)
+
+
 def write_hudi_append(
     df: DataFrame,
     location: str,
@@ -101,12 +152,13 @@ def write_hudi_append(
 
     # --- schema: drift-check against the recorded table schema and
     # decide what this commit re-records (always the FULL table
-    # schema, never a narrower batch's)
-    from glue_table_cache_spark.sources.hudi import (
-        avro_schema_for_spark,
-        hudi_table_schema,
-    )
-
+    # schema, never a narrower batch's).  Resolved here for EARLY
+    # validation and again per commit attempt: the newest instant's
+    # extraMetadata.schema is the readers' authority, so re-recording
+    # a schema resolved before a concurrent writer's evolution would
+    # roll that evolution back (Hudi has no compare-and-swap on
+    # "latest", so per-attempt re-resolution narrows the window to
+    # the instant-file create itself).
     effective_type = table_type
     if props.exists():
         m = re.search(
@@ -114,49 +166,7 @@ def write_hudi_append(
         )
         if m:
             effective_type = m.group(1).upper()
-    record_schema = df.schema
-    table_schema = hudi_table_schema(location)
-    if table_schema is not None:
-        existing = {f.name: f.dataType for f in table_schema.fields}
-        drift = sorted(
-            f.name
-            for f in df.schema.fields
-            if f.name in existing and existing[f.name] != f.dataType
-        )
-        if drift:
-            raise GlueSparkError(
-                f"append changes the type of column(s) {drift} — "
-                "type evolution is not supported; cast the batch to "
-                "the table schema"
-            )
-        new_fields = [
-            f for f in df.schema.fields if f.name not in existing
-        ]
-        if new_fields:
-            if not merge_schema:
-                raise GlueSparkError(
-                    "append carries new column(s) "
-                    f"{[f.name for f in new_fields]} the table "
-                    "schema lacks — without schema evolution they "
-                    "would be silently invisible to readers; pass "
-                    "merge_schema=True to evolve, or drop them"
-                )
-            if effective_type == "MERGE_ON_READ":
-                raise GlueSparkError(
-                    "schema evolution on a MERGE_ON_READ table is "
-                    "not supported: pending log blocks carry their "
-                    "own record schemas the snapshot merge would "
-                    "have to reconcile; compact first "
-                    "(compact_hudi), or keep the batch to the table "
-                    "schema"
-                )
-            from pyspark.sql.types import StructType
-
-            record_schema = StructType(
-                list(table_schema.fields) + new_fields
-            )
-        else:
-            record_schema = table_schema
+    _resolve_record_schema(location, df, merge_schema, effective_type)
 
     instant = max(
         int(time.strftime("%Y%m%d%H%M%S", time.gmtime())),
@@ -194,15 +204,24 @@ def write_hudi_append(
         )
     shutil.rmtree(stage, ignore_errors=True)
 
-    body: dict = {"partitionToWriteStats": stats_by_part}
-    avro = avro_schema_for_spark(
-        record_schema,
-        name=re.sub(r"\W", "_", base.name) or "Record",
+    from glue_table_cache_spark.sources.hudi import (
+        avro_schema_for_spark,
     )
-    if avro is not None:
-        body["extraMetadata"] = {"schema": json.dumps(avro)}
-    payload = json.dumps(body)
+
     for _ in range(max_commit_retries):
+        # re-resolve the schema against the CURRENT newest instant
+        # just before committing (see the schema comment above)
+        record_schema = _resolve_record_schema(
+            location, df, merge_schema, effective_type
+        )
+        body: dict = {"partitionToWriteStats": stats_by_part}
+        avro = avro_schema_for_spark(
+            record_schema,
+            name=re.sub(r"\W", "_", base.name) or "Record",
+        )
+        if avro is not None:
+            body["extraMetadata"] = {"schema": json.dumps(avro)}
+        payload = json.dumps(body)
         commit = hoodie / f"{instant}.commit"
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -169,6 +169,181 @@ def _src_name(ids: dict[str, int], field: dict) -> str:
     return by_id[field["source-id"]]
 
 
+def _resolve_schema(
+    prev: dict | None,
+    df_types: dict[str, str],
+    df_columns: list[str],
+    merge_schema: bool,
+    location: str,
+) -> tuple[dict[str, int], dict[str, str], list[dict]]:
+    """``(ids, types, schema_fields)`` this append commits: the
+    table's recorded field ids reused, drift refused, new columns
+    minted FRESH ids past every historical id (``merge_schema``
+    gate).  Called once up front for early validation AND once per
+    commit attempt against freshly-read metadata — Iceberg metadata
+    is full-replacement, so committing a schema resolved before a
+    concurrent writer's evolution would silently roll that evolution
+    back."""
+    if prev is None:
+        ids = {c: i + 1 for i, c in enumerate(df_columns)}
+        fields = [
+            {
+                "id": ids[c],
+                "name": c,
+                "required": False,
+                "type": df_types[c],
+            }
+            for c in df_columns
+        ]
+        return ids, dict(df_types), fields
+    schemas = prev.get("schemas") or []
+    current = next(
+        (
+            s
+            for s in schemas
+            if s.get("schema-id") == prev.get("current-schema-id")
+        ),
+        schemas[-1] if schemas else None,
+    )
+    if current is None:
+        raise GlueSparkError(
+            f"Iceberg table at {location!r} has metadata but no "
+            "schema — refusing to guess field ids"
+        )
+    ids = {f["name"]: f["id"] for f in current.get("fields", [])}
+    types = {
+        f["name"]: f["type"]
+        for f in current.get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
+    drift = sorted(
+        c
+        for c in df_columns
+        if c in types and types[c] != df_types[c]
+    )
+    if drift:
+        raise GlueSparkError(
+            f"append changes the type of column(s) {drift} — "
+            "type evolution is not supported; cast the batch to "
+            "the table schema"
+        )
+    new_cols = [c for c in df_columns if c not in ids]
+    schema_fields = list(current.get("fields", []))
+    if new_cols:
+        if not merge_schema:
+            raise GlueSparkError(
+                f"append carries new column(s) {new_cols} the "
+                "table schema lacks — without schema evolution "
+                "they would be silently invisible to readers; "
+                "pass merge_schema=True to evolve, or drop them"
+            )
+        # fresh ids past EVERY id any historical schema used —
+        # reuse would rebind old equality deletes/bounds
+        used = [f["id"] for f in schema_fields]
+        for s in prev.get("schemas") or []:
+            used.extend(f["id"] for f in s.get("fields", []))
+        next_id = max(used, default=0) + 1
+        for c in new_cols:
+            ids[c] = next_id
+            types[c] = df_types[c]
+            schema_fields.append(
+                {
+                    "id": next_id,
+                    "name": c,
+                    "required": False,
+                    "type": df_types[c],
+                }
+            )
+            next_id += 1
+    return ids, types, schema_fields
+
+
+def _resolve_spec(
+    prev: dict | None,
+    ids: dict[str, int],
+    df_columns: list[str],
+    partition_by: list[str] | None,
+    partition_transforms: dict[str, str] | None,
+) -> list[dict]:
+    """This append's partition-spec fields, validated against the
+    table's recorded spec (drift refuses; an unpartitioned batch onto
+    a partitioned table carries the spec forward)."""
+    from glue_table_cache_spark.sources.iceberg_partitioning import (
+        parse_transform,
+    )
+
+    suffix = {
+        "year": "_year",
+        "month": "_month",
+        "day": "_day",
+        "hour": "_hour",
+        "bucket": "_bucket",
+        "truncate": "_trunc",
+    }
+    spec_fields: list[dict] = []
+    if partition_by:
+        for i, c in enumerate(partition_by):
+            if c not in ids:
+                raise GlueSparkError(
+                    f"partition column {c!r} is not in the schema"
+                )
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": ids[c],
+                    "field-id": 1000 + i,
+                }
+            )
+    elif partition_transforms:
+        for i, (src, tr) in enumerate(partition_transforms.items()):
+            kind, _param = parse_transform(tr)
+            if kind is None or kind == "void":
+                raise GlueSparkError(
+                    f"unsupported partition transform {tr!r}"
+                )
+            if src not in ids or src not in df_columns:
+                raise GlueSparkError(
+                    f"transform source column {src!r} is not in the "
+                    "batch"
+                )
+            name = src if kind == "identity" else src + suffix[kind]
+            spec_fields.append(
+                {
+                    "name": name,
+                    "transform": tr,
+                    "source-id": ids[src],
+                    "field-id": 1000 + i,
+                }
+            )
+    prev_specs = (prev or {}).get("partition-specs") or []
+    if prev_specs:
+        prev_fields = [
+            {k: f.get(k) for k in ("name", "transform", "source-id")}
+            for f in (prev_specs[0].get("fields") or [])
+        ]
+        if spec_fields:
+            new_fields = [
+                {
+                    k: f.get(k)
+                    for k in ("name", "transform", "source-id")
+                }
+                for f in spec_fields
+            ]
+            if new_fields != prev_fields:
+                raise GlueSparkError(
+                    "append partitioning differs from the table's "
+                    f"recorded spec ({prev_fields} vs {new_fields}) "
+                    "— partition-spec evolution is out of scope"
+                )
+        else:
+            # unpartitioned batch onto a partitioned table: legal
+            # (the new files carry no partition tuple, pruning keeps
+            # them conservatively); the spec is carried forward
+            spec_fields = list(prev_specs[0].get("fields") or [])
+    return spec_fields
+
+
 def write_iceberg_append(
     df: DataFrame,
     location: str,
@@ -208,173 +383,24 @@ def write_iceberg_append(
     data_dir.mkdir(parents=True, exist_ok=True)
     meta_dir.mkdir(parents=True, exist_ok=True)
 
-    # --- schema: reuse the table's recorded field ids, or mint them
-    prev = _latest_metadata(meta_dir)
-    df_types = {
-        f.name: _iceberg_type(f.dataType) for f in df.schema.fields
-    }
-    if prev is not None:
-        schemas = prev.get("schemas") or []
-        current = next(
-            (
-                s
-                for s in schemas
-                if s.get("schema-id") == prev.get("current-schema-id")
-            ),
-            schemas[-1] if schemas else None,
-        )
-        if current is None:
-            raise GlueSparkError(
-                f"Iceberg table at {location!r} has metadata but no "
-                "schema — refusing to guess field ids"
-            )
-        ids = {f["name"]: f["id"] for f in current.get("fields", [])}
-        types = {
-            f["name"]: f["type"]
-            for f in current.get("fields", [])
-            if isinstance(f.get("type"), str)
-        }
-        drift = sorted(
-            c
-            for c in df.columns
-            if c in types and types[c] != df_types[c]
-        )
-        if drift:
-            raise GlueSparkError(
-                f"append changes the type of column(s) {drift} — "
-                "type evolution is not supported; cast the batch to "
-                "the table schema"
-            )
-        new_cols = [c for c in df.columns if c not in ids]
-        schema_fields = list(current.get("fields", []))
-        if new_cols:
-            if not merge_schema:
-                raise GlueSparkError(
-                    f"append carries new column(s) {new_cols} the "
-                    "table schema lacks — without schema evolution "
-                    "they would be silently invisible to readers; "
-                    "pass merge_schema=True to evolve, or drop them"
-                )
-            # fresh ids past EVERY id any historical schema used —
-            # reuse would rebind old equality deletes/bounds
-            used = [f["id"] for f in schema_fields]
-            for m in (prev,):
-                for s in m.get("schemas") or []:
-                    used.extend(
-                        f["id"] for f in s.get("fields", [])
-                    )
-            next_id = max(used, default=0) + 1
-            for c in new_cols:
-                ids[c] = next_id
-                types[c] = df_types[c]
-                schema_fields.append(
-                    {
-                        "id": next_id,
-                        "name": c,
-                        "required": False,
-                        "type": df_types[c],
-                    }
-                )
-                next_id += 1
-    else:
-        ids = {c: i + 1 for i, c in enumerate(df.columns)}
-        types = df_types
-        schema_fields = [
-            {
-                "id": ids[c],
-                "name": c,
-                "required": False,
-                "type": df_types[c],
-            }
-            for c in df.columns
-        ]
-
-    # --- partition spec: derive this append's fields, refuse drift
     if partition_by and partition_transforms:
         raise GlueSparkError(
             "pass partition_by (hive identity) OR "
             "partition_transforms (hidden partitioning), not both"
         )
-    from glue_table_cache_spark.sources.iceberg_partitioning import (
-        parse_transform,
-    )
-
-    _SUFFIX = {
-        "year": "_year",
-        "month": "_month",
-        "day": "_day",
-        "hour": "_hour",
-        "bucket": "_bucket",
-        "truncate": "_trunc",
+    # --- schema + spec: resolved ONCE here for early validation (and
+    # the staging layout), then RE-resolved per commit attempt against
+    # fresh metadata — see _resolve_schema
+    prev = _latest_metadata(meta_dir)
+    df_types = {
+        f.name: _iceberg_type(f.dataType) for f in df.schema.fields
     }
-    spec_fields: list[dict] = []
-    if partition_by:
-        for i, c in enumerate(partition_by):
-            if c not in ids:
-                raise GlueSparkError(
-                    f"partition column {c!r} is not in the schema"
-                )
-            spec_fields.append(
-                {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": ids[c],
-                    "field-id": 1000 + i,
-                }
-            )
-    elif partition_transforms:
-        for i, (src, tr) in enumerate(partition_transforms.items()):
-            kind, _param = parse_transform(tr)
-            if kind is None or kind == "void":
-                raise GlueSparkError(
-                    f"unsupported partition transform {tr!r}"
-                )
-            if src not in ids or src not in df.columns:
-                raise GlueSparkError(
-                    f"transform source column {src!r} is not in the "
-                    "batch"
-                )
-            name = (
-                src
-                if kind == "identity"
-                else src + _SUFFIX[kind]
-            )
-            spec_fields.append(
-                {
-                    "name": name,
-                    "transform": tr,
-                    "source-id": ids[src],
-                    "field-id": 1000 + i,
-                }
-            )
-    prev_specs = (prev or {}).get("partition-specs") or []
-    if prev_specs:
-        prev_fields = [
-            {
-                k: f.get(k)
-                for k in ("name", "transform", "source-id")
-            }
-            for f in (prev_specs[0].get("fields") or [])
-        ]
-        if spec_fields:
-            new_fields = [
-                {
-                    k: f.get(k)
-                    for k in ("name", "transform", "source-id")
-                }
-                for f in spec_fields
-            ]
-            if new_fields != prev_fields:
-                raise GlueSparkError(
-                    "append partitioning differs from the table's "
-                    f"recorded spec ({prev_fields} vs {new_fields}) "
-                    "— partition-spec evolution is out of scope"
-                )
-        else:
-            # unpartitioned batch onto a partitioned table: legal
-            # (the new files carry no partition tuple, pruning keeps
-            # them conservatively); the spec is carried forward
-            spec_fields = list(prev_specs[0].get("fields") or [])
+    ids, types, schema_fields = _resolve_schema(
+        prev, df_types, df.columns, merge_schema, location
+    )
+    spec_fields = _resolve_spec(
+        prev, ids, df.columns, partition_by, partition_transforms
+    )
 
     # --- stage data files, then move under unique batch names
     batch = uuid.uuid4().hex[:12]
@@ -417,37 +443,62 @@ def write_iceberg_append(
     shutil.rmtree(stage, ignore_errors=True)
 
     # --- one ADDED manifest for the batch (seq None → inherited from
-    # the manifest-list row, the v2 rule the reader implements)
-    entries = []
-    for dest, pv in files:
-        stats = _footer_bounds(dest, ids, types)
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": None,
-                "sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": str(
-                        Path("data")
-                        / dest.relative_to(data_dir)
-                    ),
-                    "file_format": "PARQUET",
-                    "partition": pv or None,
-                    "record_count": stats["record_count"],
-                    "file_size_in_bytes": dest.stat().st_size,
-                    "equality_ids": None,
-                    "lower_bounds": stats["lower_bounds"],
-                    "upper_bounds": stats["upper_bounds"],
-                    "null_value_counts": stats["null_value_counts"],
-                },
-            }
-        )
+    # the manifest-list row, the v2 rule the reader implements);
+    # rebuilt whenever a retry re-resolves the schema (the bounds are
+    # keyed by FIELD ID, which a concurrent evolution can shift)
     manifest = meta_dir / f"manifest-{batch}.avro"
-    write_avro(manifest, MANIFEST_ENTRY_SCHEMA, entries)
+
+    def _write_manifest(w_ids: dict, w_types: dict) -> None:
+        entries = []
+        for dest, pv in files:
+            stats = _footer_bounds(dest, w_ids, w_types)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": str(
+                            Path("data")
+                            / dest.relative_to(data_dir)
+                        ),
+                        "file_format": "PARQUET",
+                        "partition": pv or None,
+                        "record_count": stats["record_count"],
+                        "file_size_in_bytes": dest.stat().st_size,
+                        "equality_ids": None,
+                        "lower_bounds": stats["lower_bounds"],
+                        "upper_bounds": stats["upper_bounds"],
+                        "null_value_counts": stats[
+                            "null_value_counts"
+                        ],
+                    },
+                }
+            )
+        write_avro(manifest, MANIFEST_ENTRY_SCHEMA, entries)
+
+    _write_manifest(ids, types)
 
     for _ in range(max_commit_retries):
         prev = _latest_metadata(meta_dir)
+        # RE-resolve against fresh metadata: a concurrent writer's
+        # schema evolution committed during our staging would
+        # otherwise be rolled back by this full-replacement metadata
+        # write (and our spec could drift).  Unchanged resolution is
+        # the common case and costs one dict compare.
+        new_ids, new_types, new_schema_fields = _resolve_schema(
+            prev, df_types, df.columns, merge_schema, location
+        )
+        spec_fields = _resolve_spec(
+            prev, new_ids, df.columns, partition_by,
+            partition_transforms,
+        )
+        if (new_ids, new_schema_fields) != (ids, schema_fields):
+            ids, types, schema_fields = (
+                new_ids, new_types, new_schema_fields,
+            )
+            _write_manifest(ids, types)
         last_seq = prev.get("last-sequence-number", 0) if prev else 0
         seq = last_seq + 1
         snap_id = 1000 + seq

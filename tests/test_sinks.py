@@ -2662,3 +2662,66 @@ def test_hudi_stream_source_refuses_mor_deltacommits(spark, tmp_path):
     with pytest.raises(Exception, match="deltacommit"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_iceberg_append_preserves_concurrent_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """Iceberg metadata is full-replacement: an append whose schema was
+    resolved BEFORE a concurrent writer's evolution must re-resolve at
+    commit time, or its metadata write silently rolls the evolution
+    back.  Simulated by serving the writer a stale first metadata
+    read."""
+    import json as _json
+
+    import glue_table_cache_spark.sinks.iceberg_write as IW
+
+    loc = str(tmp_path / "race")
+    IW.write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    stale = IW._latest_metadata(Path(loc) / "metadata")
+    # the "concurrent" writer evolves the table
+    IW.write_iceberg_append(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "id long, v string, score double"
+        ),
+        loc,
+        merge_schema=True,
+    )
+    real = IW._latest_metadata
+    calls = {"n": 0}
+
+    def first_read_stale(meta_dir):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(meta_dir)
+
+    monkeypatch.setattr(IW, "_latest_metadata", first_read_stale)
+    IW.write_iceberg_append(
+        spark.createDataFrame([(3, "c")], "id long, v string"), loc
+    )
+    metas = sorted(
+        (Path(loc) / "metadata").glob("*.json"),
+        key=lambda p: _json.loads(p.read_text())[
+            "last-sequence-number"
+        ],
+    )
+    final = _json.loads(metas[-1].read_text())
+    names = [
+        f["name"] for f in final["schemas"][0]["fields"]
+    ]
+    assert "score" in names  # the evolution survived the race
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "race", loc, parameters={"table_type": "ICEBERG"}
+    )
+    rows = {
+        r.id: r.score
+        for r in GlueSparkEngine(spark, store)
+        .sql("SELECT id, score FROM glue.db.race")
+        .collect()
+    }
+    assert rows == {1: None, 2: 1.5, 3: None}
