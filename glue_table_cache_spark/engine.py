@@ -849,7 +849,13 @@ class GlueSparkEngine:
                         parquet_file_columns,
                     )
 
-                    file_cols = parquet_file_columns(raw_paths[0])
+                    # one footer peek per (file, TTL) — repeat queries
+                    # on the same snapshot pay a cache hit, not IO
+                    peek_path = raw_paths[0]
+                    file_cols = self._listing_cache.get_or_load(
+                        f"footer-cols:{peek_path}",
+                        lambda: parquet_file_columns(peek_path),
+                    )
                     if file_cols is None:
                         # can't prove whether the files carry the
                         # partition columns — forcing the schema could
