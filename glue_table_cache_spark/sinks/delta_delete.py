@@ -42,7 +42,10 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 from glue_table_cache_spark.errors import GlueSparkError
-from glue_table_cache_spark.sinks.delta_write import _next_version
+from glue_table_cache_spark.sinks.delta_write import (
+    _next_version,
+    upgraded_protocol,
+)
 
 
 def delete_from_delta(
@@ -196,7 +199,9 @@ def delete_from_delta(
         # posture: any commit landing after the validation scan takes
         # this version and our O_EXCL collides
         version = _next_version(log_dir)
-        fresh, _r = delta_scan_info(location)
+        fresh, _r, prior_proto = delta_scan_info(
+            location, with_protocol=True
+        )
         fresh_state = {p: dv for p, _pv, dv in fresh}
         conflict = any(
             p not in fresh_state
@@ -221,13 +226,16 @@ def delete_from_delta(
                     },
                 }
             },
+            # UNION-upgrade, never clobber: the table may carry
+            # features this writer doesn't use (timestampNtz,
+            # v2Checkpoint, ...) that third-party readers must keep
+            # seeing (re-resolved per attempt, like the schema)
             {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
+                "protocol": upgraded_protocol(
+                    prior_proto,
+                    reader_features=("deletionVectors",),
+                    writer_features=("deletionVectors",),
+                )
             },
         ]
         actions += [{"remove": r} for r in removes]

@@ -114,13 +114,41 @@ def merge_into_delta(
     affected: list[str] = []
     n_updated = 0
     if by_path:
+        from glue_table_cache_spark.sources.dv import (
+            dv_deleted_positions,
+        )
+
         reader = spark.read.option("basePath", location)
         if log_schema is not None:
             reader = reader.schema(log_schema)
         target = reader.parquet(*by_path)
+        # DV-deleted rows must not count as matches nor pin their
+        # file into the rewrite set on their own: tag (file, row)
+        # and anti-join the decoded prior positions — the
+        # update_delta shape (a source key matching only DV-deleted
+        # rows would otherwise inflate n_updated and rewrite files
+        # needlessly)
         tagged = target.select(
-            F.col("_metadata.file_path").alias("__f"), *keys
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+            *keys,
         )
+        prior_pairs = [
+            (_path_uri(p), int(pos))
+            for p, (_pv, dv) in by_path.items()
+            if dv
+            for pos in dv_deleted_positions(dv, location)
+        ]
+        if prior_pairs:
+            tagged = tagged.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        prior_pairs, "__f string, __p long"
+                    )
+                ),
+                ["__f", "__p"],
+                "left_anti",
+            )
         hit = (
             tagged.join(src_keys, keys)
             .groupBy("__f")

@@ -76,6 +76,57 @@ def _footer_stats_json(path: Path) -> str | None:
     )
 
 
+#: PROTOCOL.md "Table Features": a legacy (pre-feature-vector)
+#: minWriter/minReaderVersion IMPLIES these features; an upgrade to
+#: (3, 7) must carry them forward explicitly or feature-aware readers
+#: and writers lose the old gates.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def upgraded_protocol(
+    prior: dict | None,
+    reader_features: tuple[str, ...] = (),
+    writer_features: tuple[str, ...] = (),
+) -> dict:
+    """The table's protocol upgraded to the feature-vector form (3, 7)
+    carrying the UNION of the prior protocol's features — explicit
+    lists plus the ones its legacy version floors imply — and the new
+    ones.  Clobbering instead (a bare ``{3, 7, [deletionVectors]}``)
+    silently drops features like ``timestampNtz`` or ``v2Checkpoint``
+    on externally written tables, after which feature-unaware readers
+    scan data they should refuse."""
+    prior = prior or {}
+    mrv = int(prior.get("minReaderVersion") or 1)
+    mwv = int(prior.get("minWriterVersion") or 1)
+    rf = set(prior.get("readerFeatures") or [])
+    wf = set(prior.get("writerFeatures") or [])
+    if mrv < 3:  # legacy floor → implied reader features
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if mrv >= v:
+                rf.update(feats)
+    if mwv < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if mwv >= v:
+                wf.update(feats)
+    rf.update(reader_features)
+    wf.update(writer_features)
+    # reader features are writer features too, per the spec's pairing
+    wf.update(rf)
+    return {
+        "minReaderVersion": max(mrv, 3),
+        "minWriterVersion": max(mwv, 7),
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
+
+
 def _next_version(log_dir: Path) -> int:
     vs = [
         int(p.name[:20])

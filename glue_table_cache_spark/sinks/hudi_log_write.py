@@ -111,6 +111,7 @@ def write_hudi_log(
     delete_keys: list | None = None,
     insert_partition: str = "",
     max_commit_retries: int = 10,
+    max_upsert_rows: int = 1_000_000,
 ) -> str:
     """Publish row-level ``upserts`` (a DataFrame matching the base
     schema) and/or ``delete_keys`` (record-key values) to the MOR
@@ -182,7 +183,20 @@ def write_hudi_log(
                     "reconcile mixed record schemas); drop them"
                 )
         schema = _avro_schema(upserts)
-        records = [r.asDict() for r in upserts.collect()]
+        # log-block payloads are driver-built by the Avro codec (the
+        # micro-batch contract) — bound the collect the way
+        # delete_from_delta's max_deleted_rows does, so a bulk load
+        # refuses loudly instead of OOMing the driver
+        capped = upserts.limit(max_upsert_rows + 1).collect()
+        if len(capped) > max_upsert_rows:
+            raise GlueSparkError(
+                f"write_hudi_log upsert batch exceeds "
+                f"{max_upsert_rows} rows — log blocks are a "
+                "micro-batch path; bulk-load via write_hudi_append "
+                "(COW base files) and compact, or raise "
+                "max_upsert_rows"
+            )
+        records = [r.asDict() for r in capped]
         want_keys |= {str(r[record_key_field]) for r in records}
     del_keys = [str(k) for k in (delete_keys or [])]
     want_keys |= set(del_keys)

@@ -93,6 +93,9 @@ def _apply_action(active: dict, action: dict, state: dict) -> None:
         state["metaData"] = action["metaData"]
     elif "protocol" in action and action["protocol"]:
         _check_protocol(action["protocol"])
+        # kept so writers can UPGRADE (union features) instead of
+        # clobbering a richer protocol written by another engine
+        state["protocol"] = action["protocol"]
     elif "txn" in action and action["txn"]:
         # streaming-writer idempotence marker: latest version per appId
         # wins (the protocol's SetTransaction semantics)
@@ -224,6 +227,30 @@ def _verify_checkpoint_parts(version: int, paths: list[str]) -> list[str]:
     return sorted(paths)
 
 
+def _complete_checkpoints(
+    checkpoints: dict[int, list[str]],
+) -> dict[int, list[str]]:
+    """Subset of ``checkpoints`` whose part sets verify complete.
+
+    A crash between the per-part renames of a multi-part checkpoint
+    leaves a partial set on disk.  Treating that partial set as
+    covering — selecting it for a read, or worse, using it as the
+    ``clean_delta_log`` horizon and deleting the JSON commits beneath
+    it — turns one crashed checkpoint write into a permanently
+    unreadable table.  Incomplete sets are simply not candidates:
+    selection falls back to an older complete checkpoint or full JSON
+    replay, and the loud :func:`_verify_checkpoint_parts` refusal is
+    reserved for the case where a partial set is all that remains."""
+    out: dict[int, list[str]] = {}
+    for v, paths in checkpoints.items():
+        try:
+            _verify_checkpoint_parts(v, paths)
+        except GlueSparkError:
+            continue
+        out[v] = paths
+    return out
+
+
 def _read_checkpoint(
     paths: list[str], s3_client=None, state: dict | None = None
 ) -> dict:
@@ -260,6 +287,7 @@ def _read_checkpoint(
             for proto in table.column("protocol").to_pylist():
                 if proto and proto.get("minReaderVersion") is not None:
                     _check_protocol(proto)
+                    state["protocol"] = proto
         if "metaData" in want:
             for meta in table.column("metaData").to_pylist():
                 if meta and (
@@ -501,8 +529,9 @@ def _replay(
     active: dict = {}
     state: dict = {}
     start = 0
+    cp_complete = _complete_checkpoints(checkpoints)
     cp_versions = [
-        v for v in {*checkpoints, *v2cps} if v <= target
+        v for v in {*cp_complete, *v2cps} if v <= target
     ]
     if cp_versions:
         cp = max(cp_versions)
@@ -524,6 +553,12 @@ def _replay(
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:
+            # if an incomplete (crashed multi-part) checkpoint is the
+            # only thing that could have covered this gap, diagnose
+            # THAT — its part-set refusal names the real corruption
+            for cv in sorted(checkpoints):
+                if v <= cv <= target and cv not in cp_complete:
+                    _verify_checkpoint_parts(cv, checkpoints[cv])
             raise GlueSparkError(
                 f"Delta log for {location!r} is missing commit {v} "
                 f"(target version {target}, no covering checkpoint)"
@@ -561,6 +596,7 @@ def delta_scan_info(
     with_schema: bool = False,
     with_stats: bool = False,
     with_partition_fields: bool = False,
+    with_protocol: bool = False,
 ) -> tuple:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
@@ -612,6 +648,10 @@ def delta_scan_info(
         out = out + (
             generated_partition_fields(state.get("metaData")),
         )
+    if with_protocol:
+        # latest protocol action seen in replay (``None`` only for a
+        # log that never wrote one) — writers union-upgrade from it
+        out = out + (state.get("protocol"),)
     return out
 
 

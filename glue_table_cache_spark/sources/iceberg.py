@@ -145,7 +145,10 @@ def _spark_type_for(iceberg_type: str):
         "float": T.FloatType(),
         "double": T.DoubleType(),
         "date": T.DateType(),
-        "timestamp": T.TimestampType(),
+        # spec: 'timestamp' is zoneless — NTZ keeps batch scans,
+        # the iceberg_lite stream, and non-UTC sessions agreeing on
+        # the stored value; only 'timestamptz' is instant-typed
+        "timestamp": T.TimestampNTZType(),
         "timestamptz": T.TimestampType(),
         "string": T.StringType(),
         "uuid": T.StringType(),

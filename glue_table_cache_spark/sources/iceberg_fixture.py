@@ -123,6 +123,8 @@ def _iceberg_type(dt) -> str:
         return "date"
     if isinstance(dt, T.TimestampType):
         return "timestamptz"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"  # spec: zoneless
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision},{dt.scale})"
     return "unknown"

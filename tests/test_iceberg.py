@@ -796,3 +796,32 @@ def test_engine_hidden_partition_pruning(spark, tmp_path):
         "WHERE ts > TIMESTAMP '2017-11-16 10:30:00'"
     )
     assert sorted(r.id for r in out2.collect()) == [35, 40]
+
+
+def test_iceberg_timestamp_without_zone_maps_to_ntz():
+    """Spec: 'timestamp' is zoneless, only 'timestamptz' is an
+    instant.  Mapping both to session-zone TimestampType would shift
+    NTZ values on non-UTC sessions and disagree with the
+    iceberg_lite streaming source's mapping."""
+    from pyspark.sql import types as T
+
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_spark_schema,
+    )
+
+    meta = {
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "ts_ntz", "type": "timestamp"},
+                    {"id": 2, "name": "ts_tz", "type": "timestamptz"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+    }
+    sch = iceberg_spark_schema(meta)
+    by_name = {f.name: f.dataType for f in sch.fields}
+    assert isinstance(by_name["ts_ntz"], T.TimestampNTZType)
+    assert isinstance(by_name["ts_tz"], T.TimestampType)
