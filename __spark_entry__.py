@@ -239,6 +239,24 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
     # removes (Delta: deletion vectors; Iceberg: a position-delete
     # file; Hudi: a replacecommit rewrite), so each table scans as
     # exactly plain `orders` only if the whole loop is correct.
+    def _dml(loc, fmt, name):
+        # the junk-row DELETE goes through engine.sql — the DML path
+        # itself (transformer -> format dispatch -> row-level writer)
+        # sits under the driver oracle via the maintained-table arms
+        params = {
+            "delta": {"spark.sql.sources.provider": "delta"},
+            "iceberg": {"table_type": "ICEBERG"},
+            "hudi": {"hoodie.table.name": name},
+        }[fmt]
+        store = LocalMetadataStore()
+        store.register_parquet_dir("tpch", name, str(loc), parameters=params)
+        out = (
+            GlueSparkEngine(spark, store)
+            .sql(f"DELETE FROM glue.tpch.{name} WHERE o_orderkey < 0")
+            .first()
+        )
+        assert out.rows_deleted > 0, f"{name}: junk delete removed nothing"
+
     for fmt in ("delta", "iceberg", "hudi"):
         loc = base / f"orders_{fmt}_m"
         marker = base / f"orders_{fmt}_m._BUILT"
@@ -259,9 +277,6 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             from glue_table_cache_spark.sinks.delta_checkpoint import (
                 clean_delta_log,
             )
-            from glue_table_cache_spark.sinks.delta_delete import (
-                delete_from_delta,
-            )
             from glue_table_cache_spark.sinks.delta_optimize import (
                 optimize_delta,
                 vacuum_delta,
@@ -272,7 +287,7 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
 
             write_delta_append(even, str(loc))
             write_delta_append(odd, str(loc))
-            delete_from_delta(spark, str(loc), "o_orderkey < 0")
+            _dml(loc, "delta", f"orders_{fmt}_m")
             # OPTIMIZE (v3) purges the DV and writes the classic
             # checkpoint; cleaning the pre-checkpoint commits and
             # vacuuming the replaced files forces the engine scan to
@@ -281,9 +296,6 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             clean_delta_log(str(loc), retention_hours=0, dry_run=False)
             vacuum_delta(str(loc), retention_hours=0, dry_run=False)
         elif fmt == "iceberg":
-            from glue_table_cache_spark.sinks.iceberg_delete import (
-                delete_from_iceberg,
-            )
             from glue_table_cache_spark.sinks.iceberg_optimize import (
                 expire_iceberg_snapshots,
                 optimize_iceberg,
@@ -295,16 +307,13 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
 
             write_iceberg_append(even, str(loc))
             write_iceberg_append(odd, str(loc))
-            delete_from_iceberg(spark, str(loc), "o_orderkey < 0")
+            _dml(loc, "iceberg", f"orders_{fmt}_m")
             optimize_iceberg(spark, str(loc))  # purges the delete
             expire_iceberg_snapshots(str(loc), retention_hours=0)
             remove_iceberg_orphans(
                 str(loc), retention_hours=0, dry_run=False
             )
         else:
-            from glue_table_cache_spark.sinks.hudi_log_write import (
-                delete_from_hudi,
-            )
             from glue_table_cache_spark.sinks.hudi_optimize import (
                 clean_hudi,
                 optimize_hudi,
@@ -315,7 +324,7 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
 
             write_hudi_append(even, str(loc))
             write_hudi_append(odd, str(loc))
-            delete_from_hudi(spark, str(loc), "o_orderkey < 0")
+            _dml(loc, "hudi", f"orders_{fmt}_m")
             optimize_hudi(spark, str(loc))
             clean_hudi(str(loc), retention_hours=0, dry_run=False)
         marker.touch()

@@ -1,0 +1,344 @@
+"""SQL DML statements over ``glue.<db>.<table>`` references.
+
+The reference's whole thesis is "SQL in, engine does the work"
+(/root/reference/src/sql-transformer.ts:38-54) — applied here to the
+WRITE side the reference never had: ``DELETE FROM`` / ``UPDATE`` /
+``MERGE INTO`` on a glue reference parse here and dispatch (in
+:meth:`GlueSparkEngine.sql`) on the table's registered format to the
+repo's own row-level writers (``delete_from_delta`` /
+``delete_from_iceberg`` / ``delete_from_hudi`` / ``update_delta`` /
+``merge_into_delta``).  Unsupported format/clause combinations refuse
+loudly with the narrower API to use instead.
+
+Parsing is intentionally the same posture as the time-travel clause
+(``transformer.extract_time_travel``): recognize the statement shape
+with masked-span-aware regexes (string literals and comments are never
+misread as syntax), not a full SQL grammar — anything outside the
+recognized shape falls through to Spark SQL, whose parser surfaces the
+real error.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from glue_table_cache_spark.errors import InvalidQueryError
+from glue_table_cache_spark.transformer import (
+    DEFAULT_DATABASE,
+    TableReference,
+    _masked_spans,
+    _unquote,
+)
+
+_IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][A-Za-z0-9_$-]*)'
+#: a glue reference at a known offset (no lookbehind needed — the
+#: grammar anchors it after FROM/UPDATE/INTO)
+_REF = re.compile(
+    rf'(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
+    rf"(?:(?P<db>{_IDENT})\s*\.\s*)?(?P<tbl>{_IDENT})",
+)
+_ALIAS = re.compile(rf"\s+(?:AS\s+)?(?P<alias>{_IDENT})", re.IGNORECASE)
+_KEYWORDS = {
+    "where", "set", "using", "on", "when", "then", "values", "select",
+}
+
+
+@dataclass(frozen=True)
+class DeleteStatement:
+    ref: TableReference
+    predicate: str  # SQL text; "true" when WHERE was omitted
+
+
+@dataclass(frozen=True)
+class UpdateStatement:
+    ref: TableReference
+    set_exprs: dict[str, str]
+    predicate: str
+
+
+@dataclass(frozen=True)
+class MergeStatement:
+    ref: TableReference
+    source_text: str  # the USING operand, passed to a SELECT wrapper
+    on_keys: tuple[str, ...]
+    clauses: tuple[str, ...] = field(default=())  # normalized WHEN texts
+
+
+def _strip_leading_trivia(sql: str) -> str:
+    out = sql
+    while True:
+        s = out.lstrip()
+        if s.startswith("--"):
+            nl = s.find("\n")
+            if nl < 0:
+                return ""
+            out = s[nl + 1 :]
+        elif s.startswith("/*"):
+            end = s.find("*/")
+            if end < 0:
+                return ""
+            out = s[end + 2 :]
+        else:
+            return s
+
+
+def _parse_ref(sql: str, pos: int) -> tuple[TableReference, int] | None:
+    m = _REF.match(sql, pos)
+    if not m:
+        return None
+    db = _unquote(m.group("db")) if m.group("db") else DEFAULT_DATABASE
+    return (
+        TableReference(db.lower(), _unquote(m.group("tbl")).lower()),
+        m.end(),
+    )
+
+
+def _parse_alias(sql: str, pos: int) -> tuple[str | None, int]:
+    m = _ALIAS.match(sql, pos)
+    if not m:
+        return None, pos
+    alias = _unquote(m.group("alias"))
+    if alias.lower() in _KEYWORDS:
+        return None, pos
+    return alias, m.end()
+
+
+def _strip_alias_prefix(text: str, alias: str | None) -> str:
+    """Drop ``alias.`` qualifiers outside string literals — the
+    writers evaluate predicates against the raw table DataFrame where
+    columns are unqualified."""
+    if not alias:
+        return text
+    spans = _masked_spans(text)
+    pat = re.compile(
+        rf"(?<![A-Za-z0-9_$\"`]){re.escape(alias)}\s*\.\s*",
+        re.IGNORECASE,
+    )
+    return pat.sub(
+        lambda m: m.group(0) if any(
+            a <= m.start() < b for a, b in spans
+        ) else "",
+        text,
+    )
+
+
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` (a bare word like AND, or ``,``) at paren
+    depth 0, outside string literals and comments."""
+    # blank the masked spans so neither separators nor parens inside
+    # literals/comments count
+    chars = list(text)
+    for a, b in _masked_spans(text):
+        for i in range(a, b):
+            chars[i] = " "
+    mtext = "".join(chars)
+    if sep == ",":
+        pat = re.compile(",")
+    else:
+        pat = re.compile(rf"\b{sep}\b", re.IGNORECASE)
+    parts: list[str] = []
+    last = 0
+    depth = 0
+    scanned = 0
+    for m in pat.finditer(mtext):
+        seg = mtext[scanned : m.start()]
+        depth += seg.count("(") - seg.count(")")
+        scanned = m.start()
+        if depth == 0:
+            parts.append(text[last : m.start()])
+            last = m.end()
+    parts.append(text[last:])
+    return parts
+
+
+_DELETE_RE = re.compile(r"DELETE\s+FROM\s+", re.IGNORECASE)
+_UPDATE_RE = re.compile(r"UPDATE\s+", re.IGNORECASE)
+_MERGE_RE = re.compile(r"MERGE\s+INTO\s+", re.IGNORECASE)
+_WHERE_RE = re.compile(r"\s*WHERE\s+", re.IGNORECASE)
+_SET_RE = re.compile(r"\s*SET\s+", re.IGNORECASE)
+_USING_RE = re.compile(r"\s*USING\s+", re.IGNORECASE)
+
+
+def _trim_stmt(text: str) -> str:
+    return text.strip().rstrip(";").strip()
+
+
+def parse_dml(sql: str):
+    """Parse ``sql`` as a glue-reference DML statement, or ``None``
+    when it isn't one (SELECTs, DML on non-glue tables, ...).  A
+    statement that IS glue DML but malformed raises
+    :class:`InvalidQueryError` with what was expected."""
+    s = _strip_leading_trivia(sql)
+    if _DELETE_RE.match(s):
+        start = _DELETE_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # DELETE on a non-glue table: Spark's problem
+        ref, pos = got
+        alias, pos = _parse_alias(s, pos)
+        rest = _trim_stmt(s[pos:])
+        if not rest:
+            return DeleteStatement(ref, "true")
+        m = _WHERE_RE.match(" " + rest)
+        if not m:
+            raise InvalidQueryError(
+                f"DELETE FROM glue.{ref.database}.{ref.table}: "
+                f"expected WHERE <predicate>, got {rest[:40]!r}"
+            )
+        pred = _trim_stmt((" " + rest)[m.end() :])
+        if not pred:
+            raise InvalidQueryError("DELETE: empty WHERE predicate")
+        return DeleteStatement(ref, _strip_alias_prefix(pred, alias))
+    if _MERGE_RE.match(s):
+        return _parse_merge(s)
+    if _UPDATE_RE.match(s):
+        start = _UPDATE_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None
+        ref, pos = got
+        alias, pos = _parse_alias(s, pos)
+        m = _SET_RE.match(s, pos)
+        if not m:
+            raise InvalidQueryError(
+                f"UPDATE glue.{ref.database}.{ref.table}: expected "
+                f"SET <col> = <expr>[, ...], got {s[pos:pos + 40]!r}"
+            )
+        rest = s[m.end() :]
+        # WHERE splits off at top level (a SET expr may hold a
+        # CASE WHEN ... but not a bare WHERE outside parens)
+        where_parts = _split_top_level(rest, "WHERE")
+        set_text = where_parts[0]
+        pred = (
+            _trim_stmt(" WHERE ".join(where_parts[1:]))
+            if len(where_parts) > 1
+            else "true"
+        )
+        set_exprs: dict[str, str] = {}
+        for item in _split_top_level(set_text, ","):
+            item = _trim_stmt(item)
+            if not item:
+                continue
+            eq = re.match(
+                rf"(?:{_IDENT}\s*\.\s*)?(?P<col>{_IDENT})\s*=\s*"
+                r"(?P<expr>.+)$",
+                item,
+                re.DOTALL,
+            )
+            if not eq:
+                raise InvalidQueryError(
+                    f"UPDATE SET: expected <col> = <expr>, got "
+                    f"{item[:60]!r}"
+                )
+            col = _unquote(eq.group("col"))
+            if col in set_exprs:
+                raise InvalidQueryError(
+                    f"UPDATE SET assigns {col!r} twice"
+                )
+            set_exprs[col] = _strip_alias_prefix(
+                eq.group("expr").strip(), alias
+            )
+        if not set_exprs:
+            raise InvalidQueryError("UPDATE: empty SET clause")
+        return UpdateStatement(
+            ref, set_exprs, _strip_alias_prefix(pred, alias)
+        )
+    return None
+
+
+#: the two WHEN clauses the whole-row upsert writer implements
+_WHEN_MATCHED = re.compile(
+    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$", re.IGNORECASE
+)
+_WHEN_NOT_MATCHED = re.compile(
+    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", re.IGNORECASE
+)
+
+
+def _parse_merge(s: str) -> MergeStatement | None:
+    start = _MERGE_RE.match(s).end()
+    got = _parse_ref(s, start)
+    if got is None:
+        return None
+    ref, pos = got
+    t_alias, pos = _parse_alias(s, pos)
+    m = _USING_RE.match(s, pos)
+    if not m:
+        raise InvalidQueryError(
+            f"MERGE INTO glue.{ref.database}.{ref.table}: expected "
+            f"USING <source>, got {s[pos:pos + 40]!r}"
+        )
+    rest = s[m.end() :]
+    on_parts = _split_top_level(rest, "ON")
+    if len(on_parts) < 2:
+        raise InvalidQueryError(
+            "MERGE: expected ON <condition> after USING <source>"
+        )
+    source_text = _trim_stmt(on_parts[0])
+    after_on = " ON ".join(on_parts[1:])
+    when_parts = _split_top_level(after_on, "WHEN")
+    cond_text = _trim_stmt(when_parts[0])
+    clauses = [_trim_stmt(w) for w in when_parts[1:] if _trim_stmt(w)]
+    if not clauses:
+        raise InvalidQueryError(
+            "MERGE: expected WHEN MATCHED THEN UPDATE SET * and "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    have_matched = any(_WHEN_MATCHED.match(c) for c in clauses)
+    have_not = any(_WHEN_NOT_MATCHED.match(c) for c in clauses)
+    bad = [
+        c
+        for c in clauses
+        if not _WHEN_MATCHED.match(c) and not _WHEN_NOT_MATCHED.match(c)
+    ]
+    if bad or not (have_matched and have_not):
+        raise InvalidQueryError(
+            "MERGE supports exactly WHEN MATCHED THEN UPDATE SET * "
+            "plus WHEN NOT MATCHED THEN INSERT * (whole-row upsert); "
+            f"got {clauses!r}.  Column-level WHEN clauses need a "
+            "Delta runtime — or express the transform in the USING "
+            "source query"
+        )
+    # source alias: trailing identifier after a view name or a
+    # parenthesized subquery (kept inside source_text for the SELECT
+    # wrapper; extracted only to resolve ON qualifiers)
+    s_alias = None
+    am = re.search(
+        rf"(?:\)|{_IDENT})\s+(?:AS\s+)?(?P<alias>{_IDENT})\s*$",
+        source_text,
+        re.IGNORECASE,
+    )
+    if am and _unquote(am.group("alias")).lower() not in _KEYWORDS:
+        s_alias = _unquote(am.group("alias"))
+    keys: list[str] = []
+    aliases = {
+        a.lower() for a in (t_alias, s_alias, ref.table) if a
+    }
+    for conj in _split_top_level(cond_text, "AND"):
+        eq = re.match(
+            rf"^\s*(?:(?P<q1>{_IDENT})\s*\.\s*)?(?P<c1>{_IDENT})\s*=\s*"
+            rf"(?:(?P<q2>{_IDENT})\s*\.\s*)?(?P<c2>{_IDENT})\s*$",
+            conj,
+        )
+        c1 = _unquote(eq.group("c1")).lower() if eq else None
+        c2 = _unquote(eq.group("c2")).lower() if eq else None
+        if not eq or c1 != c2:
+            raise InvalidQueryError(
+                "MERGE ON must be a conjunction of same-named "
+                "equi-join keys (t.k = s.k); got "
+                f"{_trim_stmt(conj)!r}.  Expression keys need a "
+                "Delta runtime — or compute the key as a column in "
+                "the USING source"
+            )
+        for q in (eq.group("q1"), eq.group("q2")):
+            if q and _unquote(q).lower() not in aliases:
+                raise InvalidQueryError(
+                    f"MERGE ON qualifier {q!r} matches neither the "
+                    f"target ({t_alias or ref.table}) nor the source "
+                    f"({s_alias or '<unaliased>'})"
+                )
+        keys.append(c1)
+    return MergeStatement(
+        ref, source_text, tuple(keys), tuple(clauses)
+    )

@@ -122,6 +122,14 @@ class GlueSparkEngine:
             extract_time_travel,
         )
 
+        # DML on a glue reference dispatches to the table format's
+        # row-level writer instead of the read path ("SQL in, engine
+        # does the work" — the reference's thesis applied to writes)
+        from glue_table_cache_spark.dml import parse_dml
+
+        stmt = parse_dml(query)
+        if stmt is not None:
+            return self._execute_dml(stmt)
         # `glue.db.t VERSION|TIMESTAMP AS OF x` clauses steer the
         # table's metadata walk and are STRIPPED before execution
         # (Spark temp views carry no travel syntax)
@@ -150,6 +158,118 @@ class GlueSparkEngine:
         refs = get_query_glue_table_refs(query, strict=False)
         self._register_views(refs, {r: r.view_name for r in refs}, query)
         return refs
+
+    def _execute_dml(self, stmt) -> DataFrame:
+        """Dispatch a parsed DML statement to the table format's
+        row-level writer; returns a one-row metrics DataFrame
+        (``operation, version, rows_updated, rows_inserted,
+        rows_deleted``).  A successful commit invalidates the table's
+        cached metadata walk so the next scan replays the new version
+        — writers are externally-visible state changes, the one case
+        the reference's ``invalidateTable`` exists for."""
+        from glue_table_cache_spark.dml import (
+            DeleteStatement,
+            MergeStatement,
+            UpdateStatement,
+        )
+
+        ref = stmt.ref
+        tbl = self.get_table_metadata_cached(ref.database, ref.table)
+        if not tbl.location:
+            raise NoStorageLocationError(tbl.database, tbl.name)
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        ttype = tbl.table_type
+        qual = f"glue.{ref.database}.{ref.table}"
+        fmt_hint = (
+            f"{qual} is registered as {ttype.name} — raw parquet has "
+            "no transaction log to commit against; register the "
+            "location as a DELTA/ICEBERG/HUDI table"
+        )
+        version: object = None
+        n_upd = n_ins = n_del = 0
+        if isinstance(stmt, DeleteStatement):
+            op = "DELETE"
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_delete import (
+                    delete_from_delta,
+                )
+
+                version, n_del = delete_from_delta(
+                    self.spark, loc, stmt.predicate
+                )
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_delete import (
+                    delete_from_iceberg,
+                )
+
+                version, n_del = delete_from_iceberg(
+                    self.spark, loc, stmt.predicate
+                )
+            elif ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sinks.hudi_log_write import (
+                    delete_from_hudi,
+                )
+
+                version, n_del = delete_from_hudi(
+                    self.spark, loc, stmt.predicate
+                )
+            else:
+                raise GlueSparkError(f"DELETE FROM {qual}: {fmt_hint}")
+        elif isinstance(stmt, UpdateStatement):
+            op = "UPDATE"
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_merge import (
+                    update_delta,
+                )
+
+                version, n_upd = update_delta(
+                    self.spark, loc, stmt.predicate, stmt.set_exprs
+                )
+            elif ttype in (ETableType.ICEBERG, ETableType.HUDI):
+                raise GlueSparkError(
+                    f"UPDATE {qual}: copy-on-write UPDATE is "
+                    f"implemented for DELTA tables; {ttype.name} "
+                    "row updates go through delete + append (or a "
+                    "MOR upsert log block via write_hudi_log)"
+                )
+            else:
+                raise GlueSparkError(f"UPDATE {qual}: {fmt_hint}")
+        elif isinstance(stmt, MergeStatement):
+            op = "MERGE"
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_merge import (
+                    merge_into_delta,
+                )
+
+                # the USING operand resolves through the normal read
+                # path — glue refs, temp views, and subqueries all work
+                source = self.sql(f"SELECT * FROM {stmt.source_text}")
+                version, n_upd, n_ins = merge_into_delta(
+                    self.spark, loc, source, list(stmt.on_keys)
+                )
+            elif ttype in (ETableType.ICEBERG, ETableType.HUDI):
+                raise GlueSparkError(
+                    f"MERGE INTO {qual}: whole-row MERGE is "
+                    f"implemented for DELTA tables; {ttype.name} "
+                    "upserts go through delete + append (or a MOR "
+                    "upsert log block via write_hudi_log)"
+                )
+            else:
+                raise GlueSparkError(f"MERGE INTO {qual}: {fmt_hint}")
+        else:  # pragma: no cover - parse_dml returns only the three
+            raise GlueSparkError(f"unknown DML statement {stmt!r}")
+        if version is not None:
+            # the commit is externally visible NOW — drop the cached
+            # format walk so the next scan replays the new version
+            self.invalidate_table(ref.database, ref.table)
+        return self.spark.createDataFrame(
+            [(op, None if version is None else str(version),
+              n_upd, n_ins, n_del)],
+            "operation string, version string, rows_updated long, "
+            "rows_inserted long, rows_deleted long",
+        )
 
     def _register_views(
         self,
@@ -406,6 +526,29 @@ class GlueSparkEngine:
             )
         return {"version_offset": len(seqs) - 1 - seqs.index(val)}
 
+    def _empty_scan(
+        self,
+        schema=None,
+        sample_path: str | None = None,
+        base_path: str | None = None,
+    ) -> DataFrame:
+        """Empty relation for a scan whose pruning dropped every file:
+        it must carry the REAL schema (the format's metadata schema
+        when known, else one sampled footer) so downstream column
+        references still resolve — ``WHERE tag = 'x'`` over a
+        fully-skipped table is an empty RESULT, not an analysis error.
+        Only a table with no schema source at all (never held a file)
+        degrades to the reference's ``SELECT NULL LIMIT 0`` shape
+        (/root/reference/src/sql-transformer.ts:320-322)."""
+        if schema is not None:
+            return self.spark.createDataFrame([], schema)
+        if sample_path:
+            reader = self.spark.read
+            if base_path:
+                reader = reader.option("basePath", base_path)
+            return reader.parquet(*self._proxy([sample_path])).limit(0)
+        return self.spark.range(0).select(F.lit(None).alias("null"))
+
     def _stats_keep_set(
         self,
         query: str,
@@ -575,7 +718,11 @@ class GlueSparkEngine:
                 entries = [e for e in entries if e[0] in kept]
             paths = self._proxy([p for p, _pv in entries])
             if not paths:
-                return self.spark.range(0).select(F.lit(None).alias("null"))
+                return self._empty_scan(
+                    schema=walk[2] if len(walk) > 2 else None,
+                    sample_path=walk[1][0][0] if walk[1] else None,
+                    base_path=tbl.location,
+                )
             # same basePath treatment as DELTA: hudi partition paths
             # are usually hive-style <k>=<v> directories
             reader = self.spark.read.option("basePath", tbl.location)
@@ -703,7 +850,17 @@ class GlueSparkEngine:
             raw_paths = [p for p, _pv, _dv in entries]
             paths = self._proxy(raw_paths)
             if not paths:
-                return self.spark.range(0).select(F.lit(None).alias("null"))
+                if renames is None and log_schema is not None:
+                    return self._empty_scan(schema=log_schema)
+                first = next(iter(stats_by_path), None)
+                df0 = self._empty_scan(
+                    sample_path=first, base_path=tbl.location
+                )
+                return (
+                    apply_column_mapping(df0, renames)
+                    if first is not None
+                    else df0
+                )
             # basePath keeps hive-style partition dirs (k=v in the
             # add paths) surfacing as partition columns under the
             # explicit file list; a no-op for unpartitioned layouts
@@ -820,10 +977,10 @@ class GlueSparkEngine:
             raw_paths = [p for p, _pv, _seq in entries]
             paths = self._proxy(raw_paths)
             if not paths:
-                # zero snapshots / no data files: empty-relation view
-                # (reference emits SELECT NULL LIMIT 0,
-                # /root/reference/src/sql-transformer.ts:320-322)
-                return self.spark.range(0).select(F.lit(None).alias("null"))
+                return self._empty_scan(
+                    schema=ice_schema,
+                    sample_path=next(iter(iceberg_stats), None),
+                )
             # SCAN SCHEMA AUTHORITY + partition-column recovery.  The
             # metadata's current schema (not a sampled footer) types
             # the scan, so evolved tables surface nulls for

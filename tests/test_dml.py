@@ -1,0 +1,261 @@
+"""SQL DML on glue references: ``engine.sql("DELETE FROM ...")`` and
+friends dispatch to the format writers (the reference's "SQL in,
+engine does the work" thesis — /root/reference/src/sql-transformer.ts:38-54 —
+applied to the write side)."""
+
+import pytest
+
+from glue_table_cache_spark.catalog import LocalMetadataStore
+from glue_table_cache_spark.dml import (
+    DeleteStatement,
+    MergeStatement,
+    UpdateStatement,
+    parse_dml,
+)
+from glue_table_cache_spark.engine import GlueSparkEngine
+from glue_table_cache_spark.errors import GlueSparkError, InvalidQueryError
+
+
+# -- parsing -----------------------------------------------------------------
+
+
+def test_parse_delete_variants():
+    s = parse_dml("DELETE FROM glue.db.t WHERE x < 0")
+    assert isinstance(s, DeleteStatement)
+    assert (s.ref.database, s.ref.table) == ("db", "t")
+    assert s.predicate == "x < 0"
+    # alias qualifiers strip (writers see unqualified columns);
+    # string literals survive untouched
+    s = parse_dml("DELETE FROM glue.db.t AS o WHERE o.x < 0 AND o.y = 'o.z'")
+    assert s.predicate == "x < 0 AND y = 'o.z'"
+    # leading comments are trivia; omitted WHERE = whole-table
+    s = parse_dml("-- purge\nDELETE FROM glue.db.t")
+    assert s.predicate == "true"
+    # 2-part ref → default database
+    s = parse_dml("DELETE FROM glue.t WHERE x = 1")
+    assert s.ref.database == "default"
+
+
+def test_parse_update():
+    s = parse_dml(
+        "UPDATE glue.db.t t SET t.a = t.a + 1, "
+        "b = CASE WHEN c THEN 'x, y' ELSE b END WHERE a IN (1,2)"
+    )
+    assert isinstance(s, UpdateStatement)
+    assert s.set_exprs == {
+        "a": "a + 1",
+        "b": "CASE WHEN c THEN 'x, y' ELSE b END",
+    }
+    assert s.predicate == "a IN (1,2)"
+    # WHERE omitted → all rows; literal containing WHERE is not syntax
+    s = parse_dml("UPDATE glue.db.t SET a = ' WHERE '")
+    assert s.set_exprs == {"a": "' WHERE '"} and s.predicate == "true"
+    with pytest.raises(InvalidQueryError, match="twice"):
+        parse_dml("UPDATE glue.db.t SET a = 1, a = 2")
+    with pytest.raises(InvalidQueryError, match="SET"):
+        parse_dml("UPDATE glue.db.t WHERE a = 1")
+
+
+def test_parse_merge():
+    s = parse_dml(
+        "MERGE INTO glue.db.t AS t USING (SELECT * FROM v) s "
+        "ON t.k = s.k AND t.k2 = s.k2 "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert isinstance(s, MergeStatement)
+    assert s.on_keys == ("k", "k2")
+    assert s.source_text == "(SELECT * FROM v) s"
+    # column-level WHEN clauses refuse with the upsert contract
+    with pytest.raises(InvalidQueryError, match="whole-row upsert"):
+        parse_dml(
+            "MERGE INTO glue.db.t USING v s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET a = s.a"
+        )
+    # expression keys refuse (writers join on same-named columns)
+    with pytest.raises(InvalidQueryError, match="same-named"):
+        parse_dml(
+            "MERGE INTO glue.db.t USING v s ON t.k = s.k + 1 "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(InvalidQueryError, match="qualifier"):
+        parse_dml(
+            "MERGE INTO glue.db.t USING v s ON zz.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_parse_non_dml_falls_through():
+    assert parse_dml("SELECT * FROM glue.db.t") is None
+    # DML on a non-glue table is Spark's problem, not ours
+    assert parse_dml("DELETE FROM warehouse.db.t WHERE x") is None
+    assert parse_dml("UPDATE sometable SET a = 1") is None
+    assert parse_dml("MERGE INTO other.db.t USING v ON k = k") is None
+
+
+# -- engine dispatch ----------------------------------------------------------
+
+
+def _engine_for(spark, location, fmt_params):
+    store = LocalMetadataStore()
+    store.register_parquet_dir("db", "t", str(location), parameters=fmt_params)
+    return GlueSparkEngine(spark, store)
+
+
+def test_sql_delete_delta(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "junk") for i in range(10)],
+        "id long, tag string",
+    )
+    write_delta_append(df, str(loc))
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 10
+    out = eng.sql("DELETE FROM glue.db.t WHERE tag = 'junk'").first()
+    assert out.operation == "DELETE" and out.rows_deleted == 5
+    # the commit invalidated the cached walk: same engine re-scans
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 5
+    assert (
+        eng.sql("SELECT count(*) AS n FROM glue.db.t WHERE tag='junk'")
+        .first().n == 0
+    )
+
+
+def test_sql_delete_iceberg_and_hudi(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "id long, grp long"
+    )
+    iloc = tmp_path / "ice"
+    write_iceberg_append(df, str(iloc))
+    eng = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
+    out = eng.sql("DELETE FROM glue.db.t WHERE grp = 0").first()
+    assert out.rows_deleted == 3
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 6
+
+    hloc = tmp_path / "hud"
+    write_hudi_append(df, str(hloc))
+    eng = _engine_for(spark, hloc, {"hoodie.table.name": "t"})
+    out = eng.sql("DELETE FROM glue.db.t WHERE grp = 1").first()
+    assert out.rows_deleted == 3
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 6
+
+
+def test_sql_update_delta(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, price double"
+    )
+    write_delta_append(df, str(loc))
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    out = eng.sql(
+        "UPDATE glue.db.t SET price = price * 2 WHERE id >= 2"
+    ).first()
+    assert out.operation == "UPDATE" and out.rows_updated == 2
+    got = {
+        r.id: r.price
+        for r in eng.sql("SELECT id, price FROM glue.db.t").collect()
+    }
+    assert got == {1: 10.0, 2: 40.0, 3: 60.0}
+
+
+def test_sql_merge_delta(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "old"), (2, "old")], "id long, v string"
+        ),
+        str(loc),
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    spark.createDataFrame(
+        [(2, "new"), (3, "new")], "id long, v string"
+    ).createOrReplaceTempView("dml_merge_src")
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING dml_merge_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).first()
+    assert out.operation == "MERGE"
+    assert out.rows_updated == 1 and out.rows_inserted == 1
+    got = {r.id: r.v for r in eng.sql("SELECT * FROM glue.db.t").collect()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+    spark.catalog.dropTempView("dml_merge_src")
+
+
+def test_sql_dml_refusals(spark, tmp_path):
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    # HIVE (raw parquet) has no log to commit against
+    ploc = tmp_path / "plain"
+    df.write.parquet(str(ploc))
+    eng = _engine_for(spark, ploc, None)
+    with pytest.raises(GlueSparkError, match="transaction log"):
+        eng.sql("DELETE FROM glue.db.t WHERE id = 1")
+    # UPDATE/MERGE on non-Delta formats name the narrower API
+    iloc = tmp_path / "ice"
+    write_iceberg_append(df, str(iloc))
+    eng = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
+    with pytest.raises(GlueSparkError, match="delete \\+ append"):
+        eng.sql("UPDATE glue.db.t SET id = 2 WHERE id = 1")
+    with pytest.raises(GlueSparkError, match="delete \\+ append"):
+        eng.sql(
+            "MERGE INTO glue.db.t USING v s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_sql_delete_noop_keeps_cache(spark, tmp_path):
+    """A DELETE matching nothing commits nothing — and must not
+    invalidate the cached metadata walk."""
+    import glue_table_cache_spark.sources.delta as delta_mod
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    write_delta_append(
+        spark.createDataFrame([(1,)], "id long"), str(loc)
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    eng.sql("SELECT * FROM glue.db.t").collect()
+    out = eng.sql("DELETE FROM glue.db.t WHERE id = 999").first()
+    assert out.version is None and out.rows_deleted == 0
+    calls = {"n": 0}
+    real = delta_mod.delta_scan_info
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    import pytest as _p
+
+    mp = _p.MonkeyPatch()
+    try:
+        mp.setattr(delta_mod, "delta_scan_info", counting)
+        eng.sql("SELECT * FROM glue.db.t").collect()
+    finally:
+        mp.undo()
+    assert calls["n"] == 0  # served from the still-valid cache

@@ -583,3 +583,46 @@ def test_misclassified_format_location_refuses(spark, tmp_path):
         EngineConfig(misclassified_format_guard=False),
     )
     assert loose.sql("SELECT * FROM glue.db.d").count() >= 1
+
+
+def test_pruned_to_zero_lakehouse_scan_keeps_schema(spark, tmp_path):
+    """Zone-map skipping / partition pruning that drops EVERY file must
+    yield an empty relation with the REAL schema — a filtered query
+    over it is an empty RESULT, not an UNRESOLVED_COLUMN analysis
+    error.  (The reference's SELECT NULL LIMIT 0 shape is reserved for
+    tables that never held a file.)"""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, tag string"
+    )
+    store = LocalMetadataStore()
+    write_delta_append(df.coalesce(1), str(tmp_path / "d"))
+    store.register_parquet_dir(
+        "db", "d", str(tmp_path / "d"),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    write_iceberg_append(df.coalesce(1), str(tmp_path / "i"))
+    store.register_parquet_dir(
+        "db", "i", str(tmp_path / "i"),
+        parameters={"table_type": "ICEBERG"},
+    )
+    write_hudi_append(df.coalesce(1), str(tmp_path / "h"))
+    store.register_parquet_dir(
+        "db", "h", str(tmp_path / "h"),
+        parameters={"hoodie.table.name": "h"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    for t in ("d", "i", "h"):
+        # id > 100 provably matches no file's zone map — all skipped;
+        # the filter on `tag` must still resolve
+        out = eng.sql(
+            f"SELECT tag FROM glue.db.{t} WHERE id > 100 AND tag = 'a'"
+        )
+        assert out.collect() == []
+        assert "tag" in out.columns
