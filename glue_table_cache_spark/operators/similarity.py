@@ -994,6 +994,7 @@ def pq_topk(
     codes: DataFrame | None = None,
     exclude_self: bool = True,
     rerank: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """PQ approximate top-k by inner product (≈ cosine when inputs
     are L2-normalized): the corpus is scanned as ``m``-byte codes and
@@ -1009,13 +1010,17 @@ def pq_topk(
     the corpus.  ``rerank=3*k`` is a good default at production
     scale.
 
-    BROADCAST-QUERIES CONTRACT (same as :func:`ivf_topk`): the
-    per-query lookup tables (|Q| × m × 2^nbits doubles) are built
-    driver-side from a collected query set and broadcast — sized for
-    |Q| ≪ corpus; the corpus side only ever moves integer codes.
-    Pass pre-trained ``codebooks``/pre-encoded ``codes`` to amortize
-    across batches (the production shape: train+encode once, search
-    many).
+    Scale shape: the per-query ADC tables (|Q| × m × 2^nbits doubles)
+    are built as DataFrames — the same distributed two-aggregation
+    assembly :func:`ivfpq_topk` uses (broadcast codebook cross-join →
+    per-(query, subspace) row → per-query table), so the driver never
+    collects the query set or loops over it.  The table frame
+    broadcasts by default — right for |Q| ≪ corpus; for corpus-scale
+    query sides pass ``broadcast_queries=False`` and the scan becomes
+    a partitioned cartesian instead (identical results,
+    pytest-asserted).  Pass pre-trained ``codebooks``/pre-encoded
+    ``codes`` to amortize across batches (the production shape:
+    train+encode once, search many).
 
     Approximation caveat: scores are ADC estimates — rank fidelity
     degrades with small ``m``; raise ``m``/``nbits`` for recall, at
@@ -1026,36 +1031,44 @@ def pq_topk(
         codebooks = pq_train(
             corpus, m, nbits, iters, vec_col, id_col
         )
-    m = max(s for s, _c, _v in codebooks) + 1
     if codes is None:
         codes = pq_encode(corpus, codebooks, vec_col, id_col)
-    books = {(s, c): v for s, c, v in codebooks}
-    ksub = 1 + max(c for _s, c, _v in codebooks)
     spark = corpus.sparkSession
-    q_rows = queries.select(
+    dsub = len(codebooks[0][2])
+    q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).collect()
-    dsub = len(codebooks[0][2])
-
-    def table(qv: list[float]) -> list[list[float]]:
-        return [
-            [
-                sum(
-                    qv[s * dsub + i] * books[(s, c)][i]
-                    for i in range(dsub)
-                )
-                for c in range(ksub)
-            ]
-            for s in range(m)
-        ]
-
-    qdf = F.broadcast(
+    )
+    # ADC tables: qt[s][c] = ip(q[s·dsub:(s+1)·dsub], codebook[s][c]),
+    # one partial per broadcast codebook row, assembled by two
+    # aggregations bounded at |Q|·m rows — no driver-side loop
+    book_df = F.broadcast(
         spark.createDataFrame(
-            [(r.query_id, table(list(r.qv))) for r in q_rows],
-            "query_id long, qt array<array<double>>",
+            list(codebooks), "s int, c int, bv array<double>"
         )
     )
+    partials = q.crossJoin(book_df).select(
+        "query_id",
+        "s",
+        "c",
+        dot(
+            F.slice("qv", F.col("s") * dsub + 1, dsub), F.col("bv")
+        ).alias("val"),
+    )
+    per_sub = partials.groupBy("query_id", "s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "val"))),
+            lambda x: x["val"],
+        ).alias("row")
+    )
+    qdf = per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "row"))),
+            lambda x: x["row"],
+        ).alias("qt")
+    )
+    if broadcast_queries:
+        qdf = F.broadcast(qdf)
     scored = codes.crossJoin(qdf)
     if exclude_self:
         scored = scored.where(F.col("vec_id") != F.col("query_id"))
@@ -1087,12 +1100,7 @@ def pq_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    qraw = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(r.query_id, list(r.qv)) for r in q_rows],
-            "query_id long, qv array<double>",
-        )
-    )
+    qraw = F.broadcast(q) if broadcast_queries else q
     rescored = (
         top.select("query_id", "vec_id")
         .join(raw, "vec_id")

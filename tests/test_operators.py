@@ -1921,6 +1921,28 @@ def test_pq_topk_rerank_recovers_exact(spark):
     )
 
 
+def test_pq_topk_broadcast_symmetry(spark):
+    """broadcast_queries=False (the corpus-scale-query-side shape,
+    partitioned cartesian instead of a broadcast) returns the
+    identical ranking."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.operators import similarity as S
+
+    corpus = _pq_cluster_fixture(spark)
+    books = S.pq_train(corpus, m=4, nbits=2, iters=3)
+    codes = S.pq_encode(corpus, books)
+    queries = corpus.where(F.col("vec_id").isin(0, 25)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(codebooks=books, codes=codes, k=4, rerank=8)
+    a = S.pq_topk(corpus, queries, **kw)
+    b = S.pq_topk(corpus, queries, broadcast_queries=False, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+
+
 # -- semantic dedup ---------------------------------------------------------
 
 
