@@ -55,6 +55,7 @@ from glue_table_cache_spark.sources.delta import (
     _CHECKPOINT_RE,
     _CHECKPOINT_V2_RE,
     _COMMIT_RE,
+    _complete_checkpoints,
     _log_files,
     _verify_checkpoint_parts,
 )
@@ -169,6 +170,7 @@ def _full_replay(location: str, target: int) -> tuple[dict, dict]:
     names = _log_files(location)
     commits: dict[int, str] = {}
     checkpoints: dict[int, list[str]] = {}
+    v2cps: dict[int, list[str]] = {}
     for p in names:
         m = _COMMIT_RE.search(p)
         if m:
@@ -178,54 +180,100 @@ def _full_replay(location: str, target: int) -> tuple[dict, dict]:
         if m:
             checkpoints.setdefault(int(m.group(1)), []).append(p)
             continue
-        if _CHECKPOINT_V2_RE.search(p):
-            raise GlueSparkError(
-                "write_delta_checkpoint emits classic checkpoints and "
-                f"will not mix forms: {location!r} already carries a "
-                "v2 (uuid-named) checkpoint — keep using its writer"
-            )
-    if target not in commits and target not in checkpoints:
+        m = _CHECKPOINT_V2_RE.search(p)
+        if m:
+            v2cps.setdefault(int(m.group(1)), []).append(p)
+    if (
+        target not in commits
+        and target not in checkpoints
+        and target not in v2cps
+    ):
         raise GlueSparkError(
             f"Delta version {target} of {location!r} does not exist"
         )
 
+    def _ingest(c: str, rec: dict) -> None:
+        if c == "add" and rec.get("path"):
+            rec["partitionValues"] = _as_dict(
+                rec.get("partitionValues")
+            )
+            adds[rec["path"]] = rec
+        elif c == "metaData" and (
+            rec.get("id") or rec.get("schemaString")
+        ):
+            state["metaData"] = rec
+        elif (
+            c == "protocol"
+            and rec.get("minReaderVersion") is not None
+        ):
+            state["protocol"] = rec
+        elif c == "txn" and rec.get("appId") is not None:
+            state.setdefault("txns", {})[rec["appId"]] = rec.get(
+                "version"
+            )
+
+    def _ingest_parquet(path: str, cols: tuple[str, ...]) -> list[dict]:
+        pf = pq.ParquetFile(io.BytesIO(_read_bytes(path)))
+        present = set(pf.schema_arrow.names)
+        want = [c for c in cols if c in present]
+        table = pf.read(columns=want)
+        sidecars: list[dict] = []
+        for c in want:
+            for rec in table.column(c).to_pylist():
+                if not rec:
+                    continue
+                if c == "sidecar":
+                    if rec.get("path"):
+                        sidecars.append(rec)
+                else:
+                    _ingest(c, rec)
+        return sidecars
+
     adds: dict[str, dict] = {}
     state: dict = {}
     start = 0
-    cp_versions = [v for v in checkpoints if v <= target]
+    # incomplete part sets (a crashed multi-part write) are not
+    # covering evidence — replay from an older complete checkpoint
+    cp_versions = [
+        v
+        for v in {*_complete_checkpoints(checkpoints), *v2cps}
+        if v <= target
+    ]
     if cp_versions:
         cp = max(cp_versions)
-        for p in _verify_checkpoint_parts(cp, checkpoints[cp]):
-            pf = pq.ParquetFile(io.BytesIO(_read_bytes(p)))
-            present = set(pf.schema_arrow.names)
-            want = [
-                c
-                for c in ("add", "metaData", "protocol", "txn")
-                if c in present
-            ]
-            table = pf.read(columns=want)
-            for c in want:
-                for rec in table.column(c).to_pylist():
-                    if not rec:
+        if cp in v2cps:
+            manifest = sorted(v2cps[cp])[-1]
+            if manifest.endswith(".json"):
+                sidecars = []
+                for line in _read_bytes(manifest).splitlines():
+                    line = line.strip()
+                    if not line:
                         continue
-                    if c == "add" and rec.get("path"):
-                        rec["partitionValues"] = _as_dict(
-                            rec.get("partitionValues")
-                        )
-                        adds[rec["path"]] = rec
-                    elif c == "metaData" and (
-                        rec.get("id") or rec.get("schemaString")
-                    ):
-                        state["metaData"] = rec
-                    elif (
-                        c == "protocol"
-                        and rec.get("minReaderVersion") is not None
-                    ):
-                        state["protocol"] = rec
-                    elif c == "txn" and rec.get("appId") is not None:
-                        state.setdefault("txns", {})[rec["appId"]] = (
-                            rec.get("version")
-                        )
+                    action = json.loads(line)
+                    for c in ("add", "metaData", "protocol", "txn"):
+                        if action.get(c):
+                            _ingest(c, action[c])
+                    if (action.get("sidecar") or {}).get("path"):
+                        sidecars.append(action["sidecar"])
+            else:
+                sidecars = _ingest_parquet(
+                    manifest,
+                    ("metaData", "protocol", "txn", "sidecar"),
+                )
+            sc_dir = Path(location) / "_delta_log" / "_sidecars"
+            for sc in sidecars:
+                name = sc["path"]
+                path = (
+                    name
+                    if "://" in name or name.startswith("/")
+                    else str(sc_dir / name)
+                )
+                _ingest_parquet(path, ("add",))
+        else:
+            for p in _verify_checkpoint_parts(cp, checkpoints[cp]):
+                _ingest_parquet(
+                    p, ("add", "metaData", "protocol", "txn")
+                )
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:
@@ -266,44 +314,28 @@ def _norm_dv(dv) -> dict | None:
     return out
 
 
-def write_delta_checkpoint(
-    location: str,
-    version: int | None = None,
-    max_actions_per_part: int | None = None,
-) -> int:
-    """Write a classic checkpoint for the Delta table at ``location``
-    at ``version`` (default: the latest committed) plus the
-    ``_last_checkpoint`` pointer; returns the checkpointed version.
-    Idempotent: an existing checkpoint at that version is success.
-
-    Single-file by default; ``max_actions_per_part`` splits the rows
-    across the protocol's multi-part form
-    (``<v>.checkpoint.<part>.<numParts>.parquet``) for tables whose
-    active set outgrows one driver-side parquet — the reader half
-    already verifies part completeness before trusting any of them."""
-    base = Path(location)
-    if "://" in location:
+def _resolve_version(location: str, version: int | None) -> int:
+    log_dir = Path(location) / "_delta_log"
+    if version is not None:
+        return version
+    vs = [
+        int(p.name[:20])
+        for p in log_dir.glob("*.json")
+        if p.name[:20].isdigit()
+    ]
+    if not vs:
         raise GlueSparkError(
-            "write_delta_checkpoint writes via the local filesystem; "
-            "object stores need the scheme-specific rename path"
+            f"No Delta log found under {location!r}/_delta_log"
         )
-    log_dir = base / "_delta_log"
-    if version is None:
-        vs = [
-            int(p.name[:20])
-            for p in log_dir.glob("*.json")
-            if p.name[:20].isdigit()
-        ]
-        if not vs:
-            raise GlueSparkError(
-                f"No Delta log found under {location!r}/_delta_log"
-            )
-        version = max(vs)
-    adds, state = _full_replay(location, version)
+    return max(vs)
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
+def _checkpoint_rows(location: str, version: int, adds: dict, state: dict):
+    """The checkpoint's row set from a replayed state: ``(txn_rows,
+    add_rows, meta_row, proto_row)`` — shared by the classic and v2
+    writers so both forms carry identical fidelity (stats, DVs, txn
+    high-water marks)."""
+    base = Path(location)
     now = int(time.time() * 1000)
     txn_rows = [
         {"appId": app, "version": v, "lastUpdated": None}
@@ -366,7 +398,69 @@ def write_delta_checkpoint(
             "— a checkpoint without it would strand readers after log "
             "cleanup; write through write_delta_append first"
         )
+    return txn_rows, add_rows, meta_row, proto_row
 
+
+def _struct_table(schema, chunk: list[tuple[str, dict]]):
+    """One action per row: each row populates exactly its action's
+    struct column, nulls elsewhere (the checkpoint layout)."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            name: pa.array(
+                [r if c == name else None for c, r in chunk],
+                type=schema.field(name).type,
+            )
+            for name in schema.names
+        },
+        schema=schema,
+    )
+
+
+def _checkpoint_policy(state: dict) -> str:
+    meta = state.get("metaData") or {}
+    return _as_dict(meta.get("configuration")).get(
+        "delta.checkpointPolicy", "classic"
+    )
+
+
+def write_delta_checkpoint(
+    location: str,
+    version: int | None = None,
+    max_actions_per_part: int | None = None,
+) -> int:
+    """Write a classic checkpoint for the Delta table at ``location``
+    at ``version`` (default: the latest committed) plus the
+    ``_last_checkpoint`` pointer; returns the checkpointed version.
+    Idempotent: an existing checkpoint at that version is success.
+
+    Single-file by default; ``max_actions_per_part`` splits the rows
+    across the protocol's multi-part form
+    (``<v>.checkpoint.<part>.<numParts>.parquet``) for tables whose
+    active set outgrows one driver-side parquet — the reader half
+    already verifies part completeness before trusting any of them."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "write_delta_checkpoint writes via the local filesystem; "
+            "object stores need the scheme-specific rename path"
+        )
+    log_dir = base / "_delta_log"
+    version = _resolve_version(location, version)
+    adds, state = _full_replay(location, version)
+    if _checkpoint_policy(state) == "v2":
+        raise GlueSparkError(
+            f"{location!r} sets delta.checkpointPolicy=v2 — writers "
+            "must emit v2 checkpoints there; use "
+            "write_delta_checkpoint_v2"
+        )
+
+    import pyarrow.parquet as pq
+
+    txn_rows, add_rows, meta_row, proto_row = _checkpoint_rows(
+        location, version, adds, state
+    )
     rows: list[tuple[str, dict]] = (
         [("txn", r) for r in txn_rows]
         + [("add", r) for r in add_rows]
@@ -376,16 +470,7 @@ def write_delta_checkpoint(
     schema = _checkpoint_schema()
 
     def part_table(chunk: list[tuple[str, dict]]):
-        return pa.table(
-            {
-                name: pa.array(
-                    [r if c == name else None for c, r in chunk],
-                    type=schema.field(name).type,
-                )
-                for name in schema.names
-            },
-            schema=schema,
-        )
+        return _struct_table(schema, chunk)
 
     if max_actions_per_part is None or n <= max_actions_per_part:
         targets = [
@@ -437,6 +522,284 @@ def write_delta_checkpoint(
     return version
 
 
+def _v2_checkpoint_schema():
+    import pyarrow as pa
+
+    base = _checkpoint_schema()
+    return pa.schema(
+        [
+            (
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64())]),
+            ),
+            (
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+            base.field("txn"),
+            base.field("metaData"),
+            base.field("protocol"),
+        ]
+    )
+
+
+def _sidecar_schema():
+    import pyarrow as pa
+
+    return pa.schema([_checkpoint_schema().field("add")])
+
+
+def enable_v2_checkpoints(
+    location: str, max_commit_retries: int = 10
+) -> int:
+    """Commit the protocol/metadata upgrade a table needs before v2
+    checkpoints may be written: ``delta.checkpointPolicy=v2`` in the
+    table configuration plus the ``v2Checkpoint`` reader/writer
+    feature union-merged into the protocol (PROTOCOL.md "V2 Spec" +
+    "Table Features").  Returns the committed version.  Idempotent:
+    an already-v2 table returns its current version without a new
+    commit."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        _next_version,
+        upgraded_protocol,
+    )
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "enable_v2_checkpoints commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    log_dir = base / "_delta_log"
+    for _attempt in range(max_commit_retries):
+        latest = _resolve_version(location, None)
+        _adds, state = _full_replay(location, latest)
+        meta = state.get("metaData")
+        if meta is None:
+            raise GlueSparkError(
+                f"Delta log for {location!r} carries no metaData — "
+                "write through write_delta_append first"
+            )
+        proto = state.get("protocol") or {}
+        conf = _as_dict(meta.get("configuration"))
+        if (
+            conf.get("delta.checkpointPolicy") == "v2"
+            and "v2Checkpoint" in (proto.get("readerFeatures") or [])
+        ):
+            return latest
+        conf["delta.checkpointPolicy"] = "v2"
+        new_meta = dict(meta)
+        new_meta["configuration"] = conf
+        new_meta["format"] = {
+            "provider": (meta.get("format") or {}).get(
+                "provider", "parquet"
+            ),
+            "options": _as_dict(
+                (meta.get("format") or {}).get("options")
+            ),
+        }
+        new_meta["partitionColumns"] = list(
+            meta.get("partitionColumns") or []
+        )
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "UPGRADE CHECKPOINT POLICY",
+                    "operationParameters": {"policy": "v2"},
+                }
+            },
+            {
+                "protocol": upgraded_protocol(
+                    proto,
+                    reader_features=("v2Checkpoint",),
+                    writer_features=("v2Checkpoint",),
+                )
+            },
+            {"metaData": new_meta},
+        ]
+        version = _next_version(log_dir)
+        if version != latest + 1:
+            continue  # someone committed while we replayed
+        dest = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(
+                dest, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(
+                "\n".join(json.dumps(a) for a in actions) + "\n"
+            )
+        return version
+    raise GlueSparkError(
+        f"enable_v2_checkpoints lost the commit race "
+        f"{max_commit_retries} times at {location!r}"
+    )
+
+
+def write_delta_checkpoint_v2(
+    location: str,
+    version: int | None = None,
+    max_actions_per_sidecar: int | None = None,
+) -> int:
+    """Write a V2 (uuid-named) checkpoint: file actions go to sidecar
+    parquet files under ``_delta_log/_sidecars/`` and a manifest
+    ``<version>.checkpoint.<uuid>.parquet`` carries
+    ``checkpointMetadata`` / ``metaData`` / ``protocol`` / ``txn``
+    plus one ``sidecar`` pointer per file (PROTOCOL.md "V2 Spec").
+    The repo's reader half (:func:`..sources.delta._read_checkpoint_v2`)
+    consumes this output unchanged.
+
+    Gated on the ``v2Checkpoint`` table feature — readers that do not
+    understand uuid-named checkpoints must have been fenced out by
+    the protocol BEFORE one appears in their listing; run
+    :func:`enable_v2_checkpoints` first.  Sidecars are written and
+    fsync-visible before the manifest renames into place, so a crash
+    mid-write leaves only unreferenced sidecar files (garbage, never
+    corruption) — the single-file manifest IS the atomic commit
+    point, which is the v2 form's whole advantage over classic
+    multi-part (no partial part sets to verify)."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "write_delta_checkpoint_v2 writes via the local "
+            "filesystem; object stores need the scheme-specific "
+            "rename path"
+        )
+    log_dir = base / "_delta_log"
+    version = _resolve_version(location, version)
+    adds, state = _full_replay(location, version)
+    proto = state.get("protocol") or {}
+    if "v2Checkpoint" not in (proto.get("readerFeatures") or []):
+        raise GlueSparkError(
+            f"{location!r} does not carry the v2Checkpoint reader "
+            "feature — a uuid-named checkpoint would strand "
+            "feature-unaware readers; run enable_v2_checkpoints "
+            "first (or write a classic checkpoint)"
+        )
+
+    import pyarrow.parquet as pq
+
+    txn_rows, add_rows, meta_row, proto_row = _checkpoint_rows(
+        location, version, adds, state
+    )
+    # idempotence: any existing manifest at this version is success
+    # (two racers write equivalent state under different uuids)
+    if any(
+        _CHECKPOINT_V2_RE.search(p.name)
+        and int(p.name[:20]) == version
+        for p in log_dir.glob(f"{version:020d}.checkpoint.*")
+    ):
+        return version
+    sc_dir = log_dir / "_sidecars"
+    sc_dir.mkdir(exist_ok=True)
+    chunk_size = max_actions_per_sidecar or max(len(add_rows), 1)
+    chunks = [
+        add_rows[i : i + chunk_size]
+        for i in range(0, len(add_rows), chunk_size)
+    ] or [[]]
+    sidecar_rows = []
+    sc_schema = _sidecar_schema()
+    for chunk in chunks:
+        name = f"{uuid.uuid4()}.parquet"
+        tmp = sc_dir / f".{name}.tmp"
+        pq.write_table(
+            _struct_table(sc_schema, [("add", r) for r in chunk]), tmp
+        )
+        os.rename(tmp, sc_dir / name)
+        st = (sc_dir / name).stat()
+        sidecar_rows.append(
+            {
+                "path": name,
+                "sizeInBytes": int(st.st_size),
+                "modificationTime": int(st.st_mtime * 1000),
+            }
+        )
+    schema = _v2_checkpoint_schema()
+    rows: list[tuple[str, dict]] = (
+        [("checkpointMetadata", {"version": version})]
+        + [("sidecar", r) for r in sidecar_rows]
+        + [("txn", r) for r in txn_rows]
+        + [("metaData", meta_row), ("protocol", proto_row)]
+    )
+    manifest = (
+        log_dir / f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    )
+    tmp = log_dir / f".{manifest.name}.{uuid.uuid4().hex[:8]}.tmp"
+    pq.write_table(_struct_table(schema, rows), tmp)
+    os.rename(tmp, manifest)  # the atomic commit point
+    lc = log_dir / "_last_checkpoint"
+    current = None
+    if lc.exists():
+        try:
+            current = json.loads(lc.read_text()).get("version")
+        except ValueError:
+            current = None
+    if current is None or current < version:
+        tmp = log_dir / f"._last_checkpoint.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(
+            json.dumps({"version": version, "size": len(rows)})
+        )
+        os.rename(tmp, lc)
+    return version
+
+
+def _verified_v2_horizons(log_dir: Path) -> set[int]:
+    """v2 checkpoint versions whose manifests name only sidecars that
+    exist — a manifest pointing at a vanished sidecar is not covering
+    evidence for cleanup (the reader would refuse on it)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    out: set[int] = set()
+    sc_dir = log_dir / "_sidecars"
+    for p in log_dir.iterdir():
+        m = _CHECKPOINT_V2_RE.search(p.name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        try:
+            if p.name.endswith(".json"):
+                names = [
+                    json.loads(line)["sidecar"]["path"]
+                    for line in p.read_text().splitlines()
+                    if line.strip() and "sidecar" in json.loads(line)
+                ]
+            else:
+                pf = pq.ParquetFile(io.BytesIO(p.read_bytes()))
+                names = []
+                if "sidecar" in pf.schema_arrow.names:
+                    names = [
+                        rec["path"]
+                        for rec in pf.read(columns=["sidecar"])
+                        .column("sidecar")
+                        .to_pylist()
+                        if rec and rec.get("path")
+                    ]
+        except Exception:  # noqa: BLE001 - unreadable manifest ≠ horizon
+            continue
+        if all(
+            (
+                Path(n)
+                if "://" in n or n.startswith("/")
+                else sc_dir / n
+            ).exists()
+            for n in names
+        ):
+            out.add(v)
+    return out
+
+
 def clean_delta_log(
     location: str,
     retention_hours: float = 168.0,
@@ -458,14 +821,21 @@ def clean_delta_log(
             "clean_delta_log deletes via the local filesystem"
         )
     log_dir = base / "_delta_log"
-    cps = [
-        int(m.group(1))
-        for p in log_dir.iterdir()
-        if (m := _CHECKPOINT_RE.search(p.name))
-    ]
-    if not cps:
+    cps: dict[int, list[str]] = {}
+    for p in log_dir.iterdir():
+        m = _CHECKPOINT_RE.search(p.name)
+        if m:
+            cps.setdefault(int(m.group(1)), []).append(str(p))
+    # a crashed multi-part write leaves a partial set; counting it as
+    # the horizon would delete the only commits that can still
+    # reconstruct the table — only part-complete checkpoints (and v2
+    # manifests whose sidecars all exist) cover
+    complete = set(_complete_checkpoints(cps)) | _verified_v2_horizons(
+        log_dir
+    )
+    if not complete:
         return []
-    horizon = max(cps)
+    horizon = max(complete)
     cutoff = time.time() - retention_hours * 3600.0
     victims: list[str] = []
     for p in log_dir.glob("*.json"):

@@ -397,6 +397,14 @@ def _maybe_checkpoint(
         return
     from glue_table_cache_spark.sinks.delta_checkpoint import (
         write_delta_checkpoint,
+        write_delta_checkpoint_v2,
     )
 
-    write_delta_checkpoint(location, version)
+    try:
+        write_delta_checkpoint(location, version)
+    except GlueSparkError as exc:
+        # v2-policy tables take the uuid-manifest form instead — the
+        # interval contract holds whatever the table's policy is
+        if "checkpointPolicy=v2" not in str(exc):
+            raise
+        write_delta_checkpoint_v2(location, version)
