@@ -344,6 +344,32 @@ def _resolve_spec(
     return spec_fields
 
 
+def _last_txn_version(meta: dict | None, app_id: str) -> int | None:
+    """Highest ``txn-version`` recorded for ``app_id`` across the
+    retained snapshots' summaries — the Iceberg sibling of Delta's
+    SetTransaction high-water mark.  ``None`` when no snapshot carries
+    the marker (or they were all expired; keep snapshot retention
+    longer than the longest possible stream outage)."""
+    best: int | None = None
+    for snap in (meta or {}).get("snapshots") or []:
+        s = snap.get("summary") or {}
+        if s.get("txn-app-id") == app_id and "txn-version" in s:
+            v = int(s["txn-version"])
+            if best is None or v > best:
+                best = v
+    return best
+
+
+def iceberg_last_txn_version(
+    location: str, app_id: str
+) -> int | None:
+    """Public read half of the exactly-once marker: the newest
+    committed ``txn-version`` for ``app_id`` at ``location``, from the
+    current metadata's snapshot summaries."""
+    meta = _latest_metadata(Path(location) / "metadata")
+    return _last_txn_version(meta, app_id)
+
+
 def write_iceberg_append(
     df: DataFrame,
     location: str,
@@ -351,6 +377,7 @@ def write_iceberg_append(
     max_commit_retries: int = 10,
     merge_schema: bool = False,
     partition_transforms: dict[str, str] | None = None,
+    summary: dict[str, str] | None = None,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``location`` (created on
     first write); returns the committed sequence number.  Readers see
@@ -370,7 +397,17 @@ def write_iceberg_append(
     spec is recorded in the metadata's ``partition-specs``, so the
     engine's transform-aware pruning works on repo-written tables
     end-to-end.  A later append whose partitioning differs from the
-    recorded spec refuses (spec evolution is out of scope)."""
+    recorded spec refuses (spec evolution is out of scope).
+
+    ``summary`` lands in the snapshot's summary map (spec: snapshots
+    carry ``summary`` with an ``operation`` key).  The reserved pair
+    ``txn-app-id`` + ``txn-version`` makes the append IDEMPOTENT —
+    a batch whose version is already at or below the app's recorded
+    high-water mark no-ops and returns the current sequence number,
+    checked inside the pinned-commit retry loop so a replay racing a
+    live writer still cannot double-publish.  This is what
+    :func:`..streaming.iceberg_sink.stream_to_iceberg` builds
+    exactly-once on."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -388,10 +425,24 @@ def write_iceberg_append(
             "pass partition_by (hive identity) OR "
             "partition_transforms (hidden partitioning), not both"
         )
+    txn_app = (summary or {}).get("txn-app-id")
+    txn_ver = (summary or {}).get("txn-version")
+    if (txn_app is None) != (txn_ver is None):
+        raise GlueSparkError(
+            "summary txn-app-id and txn-version must be passed "
+            "together"
+        )
+
     # --- schema + spec: resolved ONCE here for early validation (and
     # the staging layout), then RE-resolved per commit attempt against
     # fresh metadata — see _resolve_schema
     prev = _latest_metadata(meta_dir)
+    if txn_app is not None:
+        last = _last_txn_version(prev, txn_app)
+        if last is not None and last >= int(txn_ver):
+            # replayed batch: already published — exactly-once no-op
+            # before any data file is staged
+            return prev.get("last-sequence-number", 0)
     df_types = {
         f.name: _iceberg_type(f.dataType) for f in df.schema.fields
     }
@@ -482,6 +533,15 @@ def write_iceberg_append(
 
     for _ in range(max_commit_retries):
         prev = _latest_metadata(meta_dir)
+        if txn_app is not None:
+            last = _last_txn_version(prev, txn_app)
+            if last is not None and last >= int(txn_ver):
+                # a concurrent replay won the race mid-loop: drop the
+                # staged (still-unreferenced) files and no-op
+                manifest.unlink(missing_ok=True)
+                for dest, _pv in files:
+                    dest.unlink(missing_ok=True)
+                return prev.get("last-sequence-number", 0)
         # RE-resolve against fresh metadata: a concurrent writer's
         # schema evolution committed during our staging would
         # otherwise be rolled back by this full-replacement metadata
@@ -563,6 +623,19 @@ def write_iceberg_append(
                     "timestamp-ms": int(time.time() * 1000),
                     "manifest-list": str(
                         Path("metadata") / manifest_list.name
+                    ),
+                    **(
+                        {
+                            "summary": {
+                                "operation": "append",
+                                **{
+                                    k: str(v)
+                                    for k, v in summary.items()
+                                },
+                            }
+                        }
+                        if summary
+                        else {}
                     ),
                 }
             ],
