@@ -57,12 +57,35 @@ class DeltaFilePartition(InputPartition):
         self.partition_values = partition_values
 
 
-def read_file_partition(path, partition_values, schema) -> "Iterator":
+class DeltaChangePartition(InputPartition):
+    """One CDF input partition: a data or ``_change_data`` file plus
+    the change metadata to attach.  ``change_type=None`` means the
+    file CARRIES its own ``_change_type`` column (a writer-produced
+    cdc file); a string means every row takes that synthesized type."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict[str, str],
+        change_type: str | None,
+        version: int,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.change_type = change_type
+        self.version = version
+
+
+def read_file_partition(
+    path, partition_values, schema, constants=None
+) -> "Iterator":
     """Executor-side file read shared by the table-format streaming
     sources: one parquet file → Arrow record batches cast to the
     table's logical ``schema``, with hive partition values attached as
     constant columns and evolved-away columns surfaced as nulls (the
-    batch scan's semantics)."""
+    batch scan's semantics).  ``constants`` attach typed per-partition
+    constants (the CDF mode's ``_change_type``/``_commit_version``)
+    that take precedence over file columns of the same name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -73,7 +96,11 @@ def read_file_partition(path, partition_values, schema) -> "Iterator":
     n = table.num_rows
     cols = []
     for field in target:
-        if field.name in table.column_names:
+        if constants and field.name in constants:
+            cols.append(
+                pa.array([constants[field.name]] * n).cast(field.type)
+            )
+        elif field.name in table.column_names:
             cols.append(table.column(field.name).cast(field.type))
         elif field.name in (partition_values or {}):
             cols.append(
@@ -176,6 +203,98 @@ def _stream_adds(
     return adds
 
 
+def _stream_changes(
+    location: str,
+    since_version: int,
+    until_version: int,
+) -> list[tuple[str, dict, str | None, int]]:
+    """``(path, partition_values, change_type, version)`` per
+    change-delivering file in commits ``(since, until]`` — the
+    streaming slice of :func:`..sources.delta.delta_cdf`'s per-commit
+    classification: writer-produced ``cdc`` files represent their
+    commit exactly (``change_type=None``: the file carries the
+    column); a commit without them synthesizes insert rows from
+    ``dataChange`` adds and delete rows from ``dataChange`` removes;
+    a DV attach without cdc refuses (the changed-row set is not
+    reconstructible from the log alone)."""
+    from urllib.parse import unquote
+
+    from glue_table_cache_spark.sources.delta import (
+        _COMMIT_RE,
+        _log_files,
+        _resolve_path,
+    )
+    from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+    commits = {
+        int(m.group(1)): p
+        for p in _log_files(location)
+        if (m := _COMMIT_RE.search(p))
+    }
+    out: list[tuple[str, dict, str | None, int]] = []
+    for v in range(since_version + 1, until_version + 1):
+        if v not in commits:
+            raise GlueSparkError(
+                f"Delta log for {location!r} is missing commit {v}; "
+                "the change window is not reconstructible — restart "
+                "the query from a fresh checkpoint"
+            )
+        cdc: list[tuple[str, dict]] = []
+        adds: list[tuple[str, dict]] = []
+        removes: list[tuple[str, dict]] = []
+        dv_attached = False
+        for line in _read_bytes(commits[v]).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if action.get("cdc"):
+                c = action["cdc"]
+                cdc.append(
+                    (
+                        _resolve_path(location, unquote(c["path"])),
+                        c.get("partitionValues") or {},
+                    )
+                )
+            elif action.get("add"):
+                a = action["add"]
+                if a.get("deletionVector"):
+                    dv_attached = True
+                if a.get("dataChange", True):
+                    adds.append(
+                        (
+                            _resolve_path(
+                                location, unquote(a["path"])
+                            ),
+                            a.get("partitionValues") or {},
+                        )
+                    )
+            elif action.get("remove"):
+                r = action["remove"]
+                if r.get("dataChange", True):
+                    removes.append(
+                        (
+                            _resolve_path(
+                                location, unquote(r["path"])
+                            ),
+                            r.get("partitionValues") or {},
+                        )
+                    )
+        if cdc:
+            out += [(p, pv, None, v) for p, pv in cdc]
+            continue
+        if dv_attached:
+            raise GlueSparkError(
+                f"Delta commit {v} of {location!r} attaches deletion "
+                "vectors without cdc actions — the changed-row set is "
+                "not reconstructible from the log alone; enable "
+                "delta.enableChangeDataFeed on the writer"
+            )
+        out += [(p, pv, "insert", v) for p, pv in adds]
+        out += [(p, pv, "delete", v) for p, pv in removes]
+    return out
+
+
 class DeltaLiteStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self._location = options.get("location") or options.get("path")
@@ -187,6 +306,10 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self._cdf = (
+            str(options.get("readchangefeed", "false")).lower()
+            == "true"
         )
         start = options.get("startingversion")
         # default: deliver the table from version 0 (the whole history
@@ -202,6 +325,15 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        if self._cdf:
+            return [
+                DeltaChangePartition(path, pv, ct, v)
+                for path, pv, ct, v in _stream_changes(
+                    self._location,
+                    int(start["version"]),
+                    int(end["version"]),
+                )
+            ]
         return [
             DeltaFilePartition(path, pv)
             for path, pv in _stream_adds(
@@ -212,7 +344,18 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             )
         ]
 
-    def read(self, partition: DeltaFilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
+        if isinstance(partition, DeltaChangePartition):
+            constants = {"_commit_version": partition.version}
+            if partition.change_type is not None:
+                constants["_change_type"] = partition.change_type
+            yield from read_file_partition(
+                partition.path,
+                partition.partition_values,
+                self._schema,
+                constants=constants,
+            )
+            return
         yield from read_file_partition(
             partition.path, partition.partition_values, self._schema
         )
@@ -256,6 +399,21 @@ class DeltaLiteDataSource(DataSource):
             raise GlueSparkError(
                 f"Delta log for {location!r} carries no schemaString"
             )
+        if (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            # CDF mode: change rows = data columns + the change
+            # metadata (the delta_cdf batch shape)
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+            )
+
+            return schema.add(
+                StructField("_change_type", StringType())
+            ).add(StructField("_commit_version", LongType()))
         return schema
 
     def streamReader(self, schema) -> DeltaLiteStreamReader:
@@ -273,11 +431,19 @@ def read_delta_stream(
     location: str,
     starting_version: int | None = None,
     ignore_changes: bool = False,
+    read_change_feed: bool = False,
 ):
     """Convenience wrapper: a streaming DataFrame over the Delta table
     at ``location``.  Pair with
     :func:`.delta_sink.stream_to_delta` for an exactly-once
-    table→table pipeline."""
+    table→table pipeline.
+
+    ``read_change_feed=True`` streams CHANGE rows instead of appends:
+    the table's columns plus ``_change_type`` (insert / delete /
+    update_preimage / update_postimage — writer cdc files pass their
+    stored types through, plain commits synthesize insert/delete) and
+    ``_commit_version``, so a mid-stream DELETE arrives as delete rows
+    downstream instead of refusing the remove action."""
     register_delta_source(spark)
     reader = spark.readStream.format("delta_lite").option(
         "location", location
@@ -286,4 +452,6 @@ def read_delta_stream(
         reader = reader.option("startingVersion", str(starting_version))
     if ignore_changes:
         reader = reader.option("ignoreChanges", "true")
+    if read_change_feed:
+        reader = reader.option("readChangeFeed", "true")
     return reader.load()

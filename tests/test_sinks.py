@@ -2725,3 +2725,441 @@ def test_iceberg_append_preserves_concurrent_evolution(
         .collect()
     }
     assert rows == {1: None, 2: 1.5, 3: None}
+
+
+def test_clean_delta_log_ignores_incomplete_checkpoint(spark, tmp_path):
+    """A crashed multi-part checkpoint write (partial part set) is not
+    covering evidence: clean_delta_log must NOT use it as the horizon
+    and delete the only commits that can still reconstruct the table."""
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sources.delta import delta_data_files
+
+    loc = str(tmp_path / "dt")
+    for i in range(3):
+        write_delta_append(
+            spark.createDataFrame([(i,)], "id long").coalesce(1), loc
+        )
+    log = tmp_path / "dt" / "_delta_log"
+    # a COMPLETE single-part checkpoint at v1, then a partial 3-part
+    # set at v2 (simulating a crash between part renames)
+    write_delta_checkpoint(loc, version=1)
+    part = log / "00000000000000000002.checkpoint.0000000001.0000000003.parquet"
+    src = next(log.glob("00000000000000000001.checkpoint.parquet"))
+    part.write_bytes(src.read_bytes())
+    (log / "_last_checkpoint").unlink()  # listing-driven selection
+    victims = clean_delta_log(loc, retention_hours=0, dry_run=False)
+    # horizon = v1 (the complete one): only commit 0 is deletable
+    assert [v.split("/")[-1] for v in victims] == [
+        "00000000000000000000.json"
+    ]
+    # the table still reconstructs (checkpoint v1 + commit 2 replay;
+    # the partial v2 set is simply not a candidate)
+    assert len(delta_data_files(loc)) == 3
+
+
+def test_delta_delete_preserves_foreign_protocol_features(spark, tmp_path):
+    """DELETE's protocol upgrade must UNION the table's existing
+    reader/writer features (an externally written table may carry
+    timestampNtz, v2Checkpoint, ...) — clobbering them would let
+    feature-unaware readers scan data they should refuse."""
+    import json
+
+    from glue_table_cache_spark.sinks.delta_delete import delete_from_delta
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = str(tmp_path / "dt")
+    write_delta_append(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1), loc
+    )
+    log = tmp_path / "dt" / "_delta_log"
+    v0 = log / "00000000000000000000.json"
+    # rewrite v0's protocol to a feature-vector one carrying a
+    # harmless foreign feature the reader accepts
+    lines = []
+    for line in v0.read_text().splitlines():
+        act = json.loads(line)
+        if "protocol" in act:
+            act["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }
+        lines.append(json.dumps(act))
+    v0.write_text("\n".join(lines) + "\n")
+    delete_from_delta(spark, loc, "id = 1")
+    v1 = log / "00000000000000000001.json"
+    proto = next(
+        json.loads(l)["protocol"]
+        for l in v1.read_text().splitlines()
+        if "protocol" in json.loads(l)
+    )
+    assert "timestampNtz" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "timestampNtz" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+
+
+def test_delta_merge_ignores_dv_deleted_rows(spark, tmp_path):
+    """A MERGE source key matching only DV-deleted rows must count as
+    an INSERT, not an update — and must not pin the dead row's file
+    into the rewrite set."""
+    from glue_table_cache_spark.sinks.delta_delete import delete_from_delta
+    from glue_table_cache_spark.sinks.delta_merge import merge_into_delta
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = str(tmp_path / "dt")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "live"), (2, "dead")], "id long, v string"
+        ).coalesce(1),
+        loc,
+    )
+    delete_from_delta(spark, loc, "id = 2")  # id=2 now DV-masked
+    _ver, n_upd, n_ins = merge_into_delta(
+        spark,
+        loc,
+        spark.createDataFrame([(2, "reborn")], "id long, v string"),
+        on="id",
+    )
+    assert (n_upd, n_ins) == (0, 1)
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", loc, parameters={"spark.sql.sources.provider": "delta"}
+    )
+    got = {
+        r.id: r.v
+        for r in GlueSparkEngine(spark, store)
+        .sql("SELECT * FROM glue.db.t")
+        .collect()
+    }
+    assert got == {1: "live", 2: "reborn"}
+
+
+def test_hudi_log_write_caps_upsert_batch(spark, tmp_path):
+    """write_hudi_log is a driver-built micro-batch path — an
+    oversized upsert batch refuses loudly (pointing at the COW bulk
+    path) instead of OOMing the driver."""
+    import pytest as _p
+
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_log_write import write_hudi_log
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "mor")
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "o_orderkey long, v string"),
+        loc,
+        table_type="MERGE_ON_READ",
+    )
+    big = spark.range(100).selectExpr(
+        "id AS o_orderkey", "'x' AS v"
+    )
+    with _p.raises(GlueSparkError, match="write_hudi_append"):
+        write_hudi_log(
+            spark, loc, "o_orderkey", upserts=big, max_upsert_rows=10,
+        )
+    # under the cap the same batch lands
+    assert write_hudi_log(
+        spark, loc, "o_orderkey", upserts=big.limit(5),
+        max_upsert_rows=10,
+    )
+
+
+def test_v2_checkpoint_round_trip_after_log_clean(spark, tmp_path):
+    """enable_v2_checkpoints -> write_delta_checkpoint_v2 ->
+    clean_delta_log: the table reconstructs purely from the uuid
+    manifest + sidecars (stats and txn markers intact), and further
+    appends + a SECOND v2 checkpoint bootstrap from the first."""
+    import json
+
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+        enable_v2_checkpoints,
+        write_delta_checkpoint,
+        write_delta_checkpoint_v2,
+    )
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sources.delta import (
+        delta_scan_info,
+        delta_data_files,
+    )
+
+    loc = str(tmp_path / "dt")
+    for i in range(3):
+        write_delta_append(
+            spark.createDataFrame([(i,)], "id long").coalesce(1), loc,
+            txn_app_id="streamA", txn_version=i,
+        )
+    v = enable_v2_checkpoints(loc)
+    assert v == 3
+    # the policy gate: classic writer refuses on a v2 table
+    import pytest as _p
+
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    with _p.raises(GlueSparkError, match="checkpointPolicy=v2"):
+        write_delta_checkpoint(loc)
+    cp = write_delta_checkpoint_v2(loc, max_actions_per_sidecar=2)
+    assert cp == 3
+    log = tmp_path / "dt" / "_delta_log"
+    manifests = [
+        p for p in log.iterdir() if ".checkpoint." in p.name
+    ]
+    assert len(manifests) == 1
+    assert (log / "_sidecars").is_dir()
+    assert len(list((log / "_sidecars").glob("*.parquet"))) == 2
+    # retention: all JSON commits below the horizon go away...
+    victims = clean_delta_log(loc, retention_hours=0, dry_run=False)
+    # commits 0..2 go; the commit AT the horizon (3) is kept, same
+    # "strictly below" contract as classic checkpoints
+    assert len(victims) == 3
+    # ...and the table still reconstructs from the checkpoint alone
+    entries, _r, schema = delta_scan_info(loc, with_schema=True)
+    assert len(entries) == 3
+    assert schema is not None and "id" in schema.fieldNames()
+    got = sorted(
+        r.id
+        for r in spark.read.schema(schema)
+        .parquet(*[p for p, _pv, _dv in entries])
+        .collect()
+    )
+    assert got == [0, 1, 2]
+    # stats survived the round trip (zone maps keep working)
+    with_stats, _r2 = delta_scan_info(loc, with_stats=True)
+    assert all(
+        st and json.loads(st).get("numRecords") == 1
+        for _p2, _pv, _dv, st in with_stats
+    )
+    # txn high-water mark survived (exactly-once restart safety)
+    from glue_table_cache_spark.sources.delta import (
+        delta_last_txn_version,
+    )
+
+    assert delta_last_txn_version(loc, "streamA") == 2
+    # append more and checkpoint again: the second v2 checkpoint
+    # bootstraps from the first (the commits under it are gone)
+    write_delta_append(
+        spark.createDataFrame([(9,)], "id long").coalesce(1), loc
+    )
+    cp2 = write_delta_checkpoint_v2(loc)
+    assert cp2 == 4
+    assert len(delta_data_files(loc)) == 4
+
+
+def test_v2_checkpoint_requires_feature_gate(spark, tmp_path):
+    """A uuid-named checkpoint on a table whose protocol never
+    enabled v2Checkpoint would strand feature-unaware readers — the
+    writer refuses and names the fix."""
+    import pytest as _p
+
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        write_delta_checkpoint_v2,
+    )
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = str(tmp_path / "dt")
+    write_delta_append(
+        spark.createDataFrame([(1,)], "id long").coalesce(1), loc
+    )
+    with _p.raises(GlueSparkError, match="enable_v2_checkpoints"):
+        write_delta_checkpoint_v2(loc)
+
+
+def test_maybe_checkpoint_dispatches_on_policy(spark, tmp_path):
+    """Interval auto-checkpointing keeps working after a table flips
+    to v2 policy — the every-Nth-commit contract emits the uuid form
+    there instead of raising."""
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        enable_v2_checkpoints,
+    )
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sources.delta import _CHECKPOINT_V2_RE
+
+    loc = str(tmp_path / "dt")
+    write_delta_append(
+        spark.createDataFrame([(0,)], "id long").coalesce(1), loc
+    )
+    enable_v2_checkpoints(loc)  # version 1
+    # versions 2 and 3; interval 3 → auto-checkpoint at 3
+    for i in (2, 3):
+        write_delta_append(
+            spark.createDataFrame([(i,)], "id long").coalesce(1),
+            loc,
+            checkpoint_interval=3,
+        )
+    log = tmp_path / "dt" / "_delta_log"
+    v2 = [
+        p.name
+        for p in log.iterdir()
+        if _CHECKPOINT_V2_RE.search(p.name)
+    ]
+    assert len(v2) == 1 and v2[0].startswith("00000000000000000003")
+
+
+def test_iceberg_stream_sink_exactly_once_end_to_end(spark, tmp_path):
+    """delta_lite source -> stream_to_iceberg sink (the cross-format
+    mirror): appends land while the stream runs, a restart with the
+    same checkpoint appends only new batches, and a forced replay of
+    an already-committed batch no-ops via the snapshot-summary txn
+    marker — exactly-once end to end, one snapshot per epoch."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        iceberg_last_txn_version,
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_data_files,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+    from glue_table_cache_spark.streaming.iceberg_sink import (
+        stream_to_iceberg,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    write_delta_append(
+        spark.range(0, 5).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+
+    def start():
+        return stream_to_iceberg(
+            read_delta_stream(spark, src), dst, ck, app_id="pipe"
+        )
+
+    q = start()
+    q.processAllAvailable()
+    write_delta_append(
+        spark.range(5, 8).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*iceberg_data_files(dst)).collect()
+    )
+    assert got == list(range(8))
+
+    # restart with the same checkpoint; only NEW data flows
+    write_delta_append(
+        spark.range(8, 10).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*iceberg_data_files(dst)).collect()
+    )
+    assert got == list(range(10))
+    # forced crash-replay of the last batch id: summary-marker no-op
+    last = iceberg_last_txn_version(dst, "pipe")
+    assert last is not None
+    seq_before = write_iceberg_append(
+        spark.range(8, 10).selectExpr("id", "cast(id as string) as s"),
+        dst,
+        summary={"txn-app-id": "pipe", "txn-version": str(last)},
+    )
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*iceberg_data_files(dst)).collect()
+    )
+    assert got == list(range(10))
+    # the no-op returned the CURRENT sequence number, no new snapshot
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        _latest_metadata,
+    )
+    from pathlib import Path as _Path
+
+    meta = _latest_metadata(_Path(dst) / "metadata")
+    assert meta["last-sequence-number"] == seq_before
+
+
+def test_delta_stream_cdf_mode(spark, tmp_path):
+    """readChangeFeed=true streams CHANGE rows: a mid-stream DELETE
+    (full-file removes) arrives as delete rows downstream instead of
+    refusing the dataChange remove, and a restart from the same
+    checkpoint re-delivers nothing."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    # one file per commit: a whole-file DELETE later is a plain
+    # dataChange remove (the DV case is the documented refusal)
+    write_delta_append(
+        spark.range(0, 3).selectExpr("id", "id * 10 as v").coalesce(1),
+        src,
+    )
+    write_delta_append(
+        spark.range(3, 6).selectExpr("id", "id * 10 as v").coalesce(1),
+        src,
+    )
+    seen: list = []
+
+    def start():
+        return (
+            read_delta_stream(spark, src, read_change_feed=True)
+            .writeStream.foreachBatch(
+                lambda df, bid: seen.extend(df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    # history arrives as inserts
+    assert {r._change_type for r in seen} == {"insert"}
+    assert sorted(r.id for r in seen) == [0, 1, 2, 3, 4, 5]
+    # mid-stream DELETE of the whole first file → delete change rows
+    n_before = len(seen)
+    _v, n = delete_from_delta(spark, src, "id < 3")
+    assert n == 3
+    q.processAllAvailable()
+    dels = [r for r in seen[n_before:]]
+    assert sorted(r.id for r in dels) == [0, 1, 2]
+    assert {r._change_type for r in dels} == {"delete"}
+    assert {r._commit_version for r in dels} == {2}
+    q.stop()
+    # restart on the same checkpoint: exactly-once, nothing replays
+    n_before = len(seen)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == n_before
+    # the append-only mode still refuses the same remove
+    import pytest as _p
+
+    q2 = (
+        read_delta_stream(spark, src)
+        .writeStream.foreachBatch(lambda df, bid: df.count())
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    with _p.raises(Exception, match="dataChange|STREAM"):
+        q2.processAllAvailable()
+    q2.stop()
