@@ -328,6 +328,48 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             optimize_hudi(spark, str(loc))
             clean_hudi(str(loc), retention_hours=0, dry_run=False)
         marker.touch()
+    # STREAMED table: an append-only Delta source consumed through the
+    # delta_lite streaming source and republished by the exactly-once
+    # stream_to_delta sink — the full streaming loop (offsets, file
+    # partitions, SetTransaction idempotence) sits under the DuckDB
+    # oracle via the table_format_scan delta_stream arm, which must
+    # scan as exactly plain `orders`.
+    st = base / "orders_delta_stream"
+    if not (base / "orders_delta_stream._BUILT").exists():
+        from glue_table_cache_spark.sinks.delta_write import (
+            write_delta_append,
+        )
+        from glue_table_cache_spark.streaming.delta_sink import (
+            stream_to_delta,
+        )
+        from glue_table_cache_spark.streaming.delta_source import (
+            read_delta_stream,
+        )
+
+        src = base / "_stream_src"
+        ck = base / "_stream_ck"
+        for d in (st, src, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_delta_append(
+            orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1),
+            str(src),
+        )
+        write_delta_append(
+            orders.where(F.col("o_orderkey") % 2 == 1).coalesce(1),
+            str(src),
+        )
+        q = stream_to_delta(
+            read_delta_stream(spark, str(src)),
+            str(st),
+            str(ck),
+            app_id="fixture-mirror",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        (base / "orders_delta_stream._BUILT").touch()
     # HIDDEN-partitioned Iceberg table from the repo's own writer:
     # month(o_orderdate) groups the files, the transformed value lives
     # only in the manifest partition tuple + directory name, and the
@@ -485,6 +527,12 @@ def _engine(
             "orders_iceberg_hp",
             str(base / "orders_iceberg_hp"),
             parameters={"table_type": "ICEBERG"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_stream",
+            str(base / "orders_delta_stream"),
+            parameters={"spark.sql.sources.provider": "delta"},
         )
         store.register_parquet_dir(
             "tpch",
@@ -2519,6 +2567,10 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
                   round(sum(o_totalprice), 2) AS total
            FROM glue.tpch.orders_hudi_m GROUP BY o_orderstatus
            UNION ALL
+           SELECT 'delta_stream' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta_stream GROUP BY o_orderstatus
+           UNION ALL
            SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
            FROM glue.tpch.orders_iceberg_hp
@@ -2806,7 +2858,7 @@ _EXTRA_ORACLES: dict[str, str] = {
         "FROM orders "
         "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi', "
         "'hudi_mor', 'iceberg_eq', "
-        "'delta_m', 'iceberg_m', 'hudi_m']) AS fmt) "
+        "'delta_m', 'iceberg_m', 'hudi_m', 'delta_stream']) AS fmt) "
         "GROUP BY fmt, o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n, "
