@@ -227,6 +227,94 @@ def _lakehouse_scan(spark, sf):
     return entrymod._engine(spark, sf).sql(_LAKEHOUSE_SQL)
 
 
+_MANYLOG_DIR = "/tmp/gtc_manylog_v1"
+_MANYLOG_COMMITS = 1000
+_MANYLOG_CKPT_EVERY = 100
+_manylog_engine = None
+
+
+def _ensure_manylog(spark) -> str:
+    """A Delta table whose log holds ~1,000 commits with a checkpoint
+    every 100 (write_delta_checkpoint, classic form): most commits are
+    metadata-only, every ~97th is a real append, so the log directory
+    is big while the active file set stays small — the shape a
+    long-lived streaming sink produces.  Built once under /tmp."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        write_delta_checkpoint,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    root = Path(_MANYLOG_DIR)
+    tbl = root / "t"
+    if (root / "_BUILT").exists():
+        return str(tbl)
+    _shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    write_delta_append(
+        spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1),
+        str(tbl),
+        checkpoint_interval=None,
+    )
+    log_dir = tbl / "_delta_log"
+    for v in range(1, _MANYLOG_COMMITS):
+        if v % 97 == 0:
+            write_delta_append(
+                spark.range(v * 100, v * 100 + 10)
+                .selectExpr("id", "id * 2 AS v")
+                .coalesce(1),
+                str(tbl),
+                checkpoint_interval=None,
+            )
+        else:
+            (log_dir / f"{v:020d}.json").write_text(
+                _json.dumps(
+                    {
+                        "commitInfo": {
+                            "timestamp": int(_time.time() * 1000),
+                            "operation": "NOOP",
+                        }
+                    }
+                )
+                + "\n"
+            )
+        if v % _MANYLOG_CKPT_EVERY == 0:
+            write_delta_checkpoint(str(tbl), v)
+    (root / "_BUILT").touch()
+    return str(tbl)
+
+
+def _log_replay(spark, sf):
+    """COLD metadata walk of the many-commit table: the listing of a
+    ~1,000-entry _delta_log, checkpoint selection, the parquet
+    checkpoint read, and the <=99-commit JSON tail replay — the cache
+    is cleared per run so the walk itself is measured (steady state
+    must be dominated by the checkpoint read, not a linear replay of
+    the full log)."""
+    global _manylog_engine
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+
+    loc = _ensure_manylog(spark)
+    if _manylog_engine is None:
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "bench", "manylog", loc,
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        _manylog_engine = GlueSparkEngine(spark, store)
+    _manylog_engine.clear_cache()
+    return _manylog_engine.sql(
+        "SELECT count(*) AS n, round(sum(v), 2) AS sv "
+        "FROM glue.bench.manylog"
+    )
+
+
 def _entry(name: str):
     return lambda spark, sf: entrymod.queries()[name](spark, sf)
 
@@ -384,6 +472,7 @@ BENCH_QUERIES = [
     ("line_dedup", _line_dedup),
     ("curate", _curate),
     ("lakehouse_scan", _lakehouse_scan),
+    ("log_replay", _log_replay),
 ]
 
 
@@ -409,6 +498,7 @@ def main() -> None:
     # DELETE -> OPTIMIZE -> retention) is one-time setup, not scan
     # throughput — do it before the clock starts
     entrymod._ensure_fixtures(spark, sf_dir)
+    _ensure_manylog(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
