@@ -51,6 +51,26 @@ class DeleteStatement:
 
 
 @dataclass(frozen=True)
+class InsertStatement:
+    ref: TableReference
+    source_text: str  # SELECT/VALUES text, passed to a SELECT wrapper
+    columns: tuple[str, ...] = field(default=())  # explicit col list
+
+
+@dataclass(frozen=True)
+class MaintenanceStatement:
+    """``OPTIMIZE glue.db.t [ZORDER BY (a, b)]`` and
+    ``VACUUM glue.db.t [RETAIN n HOURS]`` — the lakehouse maintenance
+    verbs in their public Delta-dialect shapes, dispatched to the
+    repo's format-specific maintenance functions."""
+
+    ref: TableReference
+    verb: str  # "optimize" | "vacuum"
+    zorder_by: tuple[str, ...] = field(default=())
+    retain_hours: float | None = None
+
+
+@dataclass(frozen=True)
 class UpdateStatement:
     ref: TableReference
     set_exprs: dict[str, str]
@@ -155,6 +175,15 @@ def _split_top_level(text: str, sep: str) -> list[str]:
 _DELETE_RE = re.compile(r"DELETE\s+FROM\s+", re.IGNORECASE)
 _UPDATE_RE = re.compile(r"UPDATE\s+", re.IGNORECASE)
 _MERGE_RE = re.compile(r"MERGE\s+INTO\s+", re.IGNORECASE)
+_INSERT_RE = re.compile(r"INSERT\s+INTO\s+", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(r"OPTIMIZE\s+", re.IGNORECASE)
+_VACUUM_RE = re.compile(r"VACUUM\s+", re.IGNORECASE)
+_ZORDER_RE = re.compile(
+    r"\s*ZORDER\s+BY\s*\(\s*(?P<cols>[^)]+)\)\s*$", re.IGNORECASE
+)
+_RETAIN_RE = re.compile(
+    r"\s*RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+HOURS?\s*$", re.IGNORECASE
+)
 _WHERE_RE = re.compile(r"\s*WHERE\s+", re.IGNORECASE)
 _SET_RE = re.compile(r"\s*SET\s+", re.IGNORECASE)
 _USING_RE = re.compile(r"\s*USING\s+", re.IGNORECASE)
@@ -190,8 +219,76 @@ def parse_dml(sql: str):
         if not pred:
             raise InvalidQueryError("DELETE: empty WHERE predicate")
         return DeleteStatement(ref, _strip_alias_prefix(pred, alias))
+    if _INSERT_RE.match(s):
+        start = _INSERT_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None
+        ref, pos = got
+        rest = s[pos:].lstrip()
+        cols: tuple[str, ...] = ()
+        if rest.startswith("("):
+            end = rest.find(")")
+            if end < 0:
+                raise InvalidQueryError(
+                    "INSERT INTO: unterminated column list"
+                )
+            cols = tuple(
+                _unquote(c.strip())
+                for c in rest[1:end].split(",")
+                if c.strip()
+            )
+            rest = rest[end + 1 :].lstrip()
+        src = _trim_stmt(rest)
+        if not re.match(
+            r"(?:SELECT|VALUES|WITH|TABLE)\b|\(", src, re.IGNORECASE
+        ):
+            raise InvalidQueryError(
+                f"INSERT INTO glue.{ref.database}.{ref.table}: "
+                f"expected SELECT/VALUES/WITH source, got {src[:40]!r}"
+            )
+        return InsertStatement(ref, src, cols)
     if _MERGE_RE.match(s):
         return _parse_merge(s)
+    if _OPTIMIZE_RE.match(s):
+        start = _OPTIMIZE_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if not rest:
+            return MaintenanceStatement(ref, "optimize")
+        zm = _ZORDER_RE.match(" " + rest)
+        if not zm:
+            raise InvalidQueryError(
+                f"OPTIMIZE glue.{ref.database}.{ref.table}: expected "
+                f"nothing or ZORDER BY (cols), got {rest[:40]!r}"
+            )
+        cols = tuple(
+            _unquote(c.strip())
+            for c in zm.group("cols").split(",")
+            if c.strip()
+        )
+        return MaintenanceStatement(ref, "optimize", zorder_by=cols)
+    if _VACUUM_RE.match(s):
+        start = _VACUUM_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if not rest:
+            return MaintenanceStatement(ref, "vacuum")
+        rm = _RETAIN_RE.match(" " + rest)
+        if not rm:
+            raise InvalidQueryError(
+                f"VACUUM glue.{ref.database}.{ref.table}: expected "
+                f"nothing or RETAIN n HOURS, got {rest[:40]!r}"
+            )
+        return MaintenanceStatement(
+            ref, "vacuum", retain_hours=float(rm.group("n"))
+        )
     if _UPDATE_RE.match(s):
         start = _UPDATE_RE.match(s).end()
         got = _parse_ref(s, start)

@@ -169,6 +169,8 @@ class GlueSparkEngine:
         the reference's ``invalidateTable`` exists for."""
         from glue_table_cache_spark.dml import (
             DeleteStatement,
+            InsertStatement,
+            MaintenanceStatement,
             MergeStatement,
             UpdateStatement,
         )
@@ -189,6 +191,68 @@ class GlueSparkEngine:
         )
         version: object = None
         n_upd = n_ins = n_del = 0
+        if isinstance(stmt, MaintenanceStatement):
+            return self._execute_maintenance(stmt, tbl, loc, qual)
+        if isinstance(stmt, InsertStatement):
+            op = "INSERT"
+            # the source resolves through the normal read path (glue
+            # refs, temp views, VALUES, subqueries all work); an
+            # explicit column list renames positionally — the writers'
+            # own schema authority gates the rest
+            source = self.sql(f"SELECT * FROM ({stmt.source_text})")
+            if stmt.columns:
+                if len(stmt.columns) != len(source.columns):
+                    raise GlueSparkError(
+                        f"INSERT INTO {qual}: column list has "
+                        f"{len(stmt.columns)} name(s) but the source "
+                        f"produces {len(source.columns)} column(s)"
+                    )
+                source = source.toDF(*stmt.columns)
+            # standard INSERT semantics: the source implicitly casts
+            # to the target column types (a VALUES int literal lands
+            # in a bigint column); unknown columns pass through so the
+            # writers' schema authority refuses them loudly
+            target = {
+                f.name: f.dataType
+                for f in self.table_dataframe(
+                    ref.database, ref.table
+                ).schema.fields
+            }
+            source = source.select(
+                *[
+                    F.col(c).cast(target[c]).alias(c)
+                    if c in target
+                    else F.col(c)
+                    for c in source.columns
+                ]
+            )
+            n_ins = source.count()
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_write import (
+                    write_delta_append,
+                )
+
+                version = write_delta_append(source, loc)
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_write import (
+                    write_iceberg_append,
+                )
+
+                version = write_iceberg_append(source, loc)
+            elif ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sinks.hudi_write import (
+                    write_hudi_append,
+                )
+
+                version = write_hudi_append(source, loc)
+            else:
+                raise GlueSparkError(f"INSERT INTO {qual}: {fmt_hint}")
+            self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [("INSERT", str(version), 0, n_ins, 0)],
+                "operation string, version string, rows_updated long, "
+                "rows_inserted long, rows_deleted long",
+            )
         if isinstance(stmt, DeleteStatement):
             op = "DELETE"
             if ttype == ETableType.DELTA:
@@ -269,6 +333,95 @@ class GlueSparkEngine:
               n_upd, n_ins, n_del)],
             "operation string, version string, rows_updated long, "
             "rows_inserted long, rows_deleted long",
+        )
+
+    def _execute_maintenance(
+        self, stmt, tbl, loc: str, qual: str
+    ) -> DataFrame:
+        """``OPTIMIZE`` / ``VACUUM`` on a glue reference: compaction
+        (optionally Z-ordered) and retention-gated unreferenced-file
+        cleanup, dispatched per format.  VACUUM maps to each format's
+        data-file cleanup half (Delta ``vacuum_delta``, Iceberg
+        ``remove_iceberg_orphans``, Hudi ``clean_hudi``) — snapshot/log
+        retention stays with the narrower Python APIs."""
+        ttype = tbl.table_type
+        zorder = list(stmt.zorder_by) or None
+        if stmt.verb == "optimize":
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_optimize import (
+                    optimize_delta,
+                )
+
+                version = optimize_delta(
+                    self.spark, loc, zorder_by=zorder
+                )
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_optimize import (  # noqa: E501
+                    optimize_iceberg,
+                )
+
+                version = optimize_iceberg(
+                    self.spark, loc, zorder_by=zorder
+                )
+            elif ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sinks.hudi_optimize import (
+                    optimize_hudi,
+                )
+
+                version = optimize_hudi(
+                    self.spark, loc, zorder_by=zorder
+                )
+            else:
+                raise GlueSparkError(
+                    f"OPTIMIZE {qual}: the table is registered as "
+                    f"{ttype.name} — compaction of raw listings goes "
+                    "through sinks.compact.compact_parquet_dir"
+                )
+            if version is not None:
+                self.invalidate_table(tbl.database, tbl.name)
+            return self.spark.createDataFrame(
+                [("OPTIMIZE",
+                  None if version is None else str(version), 0)],
+                "operation string, version string, files_removed long",
+            )
+        if stmt.zorder_by:
+            raise GlueSparkError("VACUUM takes no ZORDER clause")
+        hours = (
+            168.0 if stmt.retain_hours is None else stmt.retain_hours
+        )
+        if ttype == ETableType.DELTA:
+            from glue_table_cache_spark.sinks.delta_optimize import (
+                vacuum_delta,
+            )
+
+            victims = vacuum_delta(
+                loc, retention_hours=hours, dry_run=False
+            )
+        elif ttype == ETableType.ICEBERG:
+            from glue_table_cache_spark.sinks.iceberg_optimize import (
+                remove_iceberg_orphans,
+            )
+
+            victims = remove_iceberg_orphans(
+                loc, retention_hours=hours, dry_run=False
+            )
+        elif ttype == ETableType.HUDI:
+            from glue_table_cache_spark.sinks.hudi_optimize import (
+                clean_hudi,
+            )
+
+            victims = clean_hudi(
+                loc, retention_hours=hours, dry_run=False
+            )
+        else:
+            raise GlueSparkError(
+                f"VACUUM {qual}: the table is registered as "
+                f"{ttype.name} — raw listings have no transaction log "
+                "to derive the unreferenced set from"
+            )
+        return self.spark.createDataFrame(
+            [("VACUUM", None, len(victims))],
+            "operation string, version string, files_removed long",
         )
 
     def _register_views(

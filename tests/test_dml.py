@@ -259,3 +259,110 @@ def test_sql_delete_noop_keeps_cache(spark, tmp_path):
     finally:
         mp.undo()
     assert calls["n"] == 0  # served from the still-valid cache
+
+
+def test_parse_insert_and_maintenance():
+    from glue_table_cache_spark.dml import (
+        InsertStatement,
+        MaintenanceStatement,
+    )
+
+    s = parse_dml("INSERT INTO glue.db.t SELECT * FROM src")
+    assert isinstance(s, InsertStatement)
+    assert s.source_text == "SELECT * FROM src" and s.columns == ()
+    s = parse_dml("INSERT INTO glue.db.t (a, b) VALUES (1, 'x')")
+    assert s.columns == ("a", "b")
+    assert s.source_text == "VALUES (1, 'x')"
+    with pytest.raises(InvalidQueryError, match="SELECT/VALUES"):
+        parse_dml("INSERT INTO glue.db.t SET a = 1")
+    s = parse_dml("OPTIMIZE glue.db.t ZORDER BY (a, b)")
+    assert isinstance(s, MaintenanceStatement)
+    assert s.verb == "optimize" and s.zorder_by == ("a", "b")
+    s = parse_dml("VACUUM glue.db.t RETAIN 0 HOURS")
+    assert s.verb == "vacuum" and s.retain_hours == 0.0
+    assert parse_dml("OPTIMIZE sometable") is None
+    assert parse_dml("VACUUM '/a/path'") is None
+
+
+def test_sql_insert_all_formats(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    cases = [
+        ("delta", write_delta_append,
+         {"spark.sql.sources.provider": "delta"}),
+        ("iceberg", write_iceberg_append, {"table_type": "ICEBERG"}),
+        ("hudi", write_hudi_append, {"hoodie.table.name": "t"}),
+    ]
+    for fmt, writer, params in cases:
+        loc = tmp_path / fmt
+        writer(df, str(loc))
+        eng = _engine_for(spark, loc, params)
+        out = eng.sql(
+            "INSERT INTO glue.db.t (id, v) VALUES (2, 'b'), (3, 'c')"
+        ).first()
+        assert out.operation == "INSERT" and out.rows_inserted == 2
+        got = sorted(
+            (r.id, r.v)
+            for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c")], fmt
+
+
+def test_sql_insert_from_glue_select(spark, tmp_path):
+    """The INSERT source resolves through the normal read path —
+    another glue table works."""
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    spark.createDataFrame(
+        [(10, "x"), (11, "y")], "id long, v string"
+    ).write.parquet(str(src))
+    write_delta_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), str(dst)
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir("db", "src", str(src))
+    store.register_parquet_dir(
+        "db", "t", str(dst),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "INSERT INTO glue.db.t SELECT id, v FROM glue.db.src "
+        "WHERE id > 10"
+    ).first()
+    assert out.rows_inserted == 1
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 2
+
+
+def test_sql_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE compacts through the format's optimizer and VACUUM
+    deletes the replaced files, all through engine.sql."""
+    from pathlib import Path
+
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    for i in range(3):
+        write_delta_append(
+            spark.createDataFrame([(i,)], "id long").coalesce(1),
+            str(loc),
+        )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    n_files = len(list(Path(loc).glob("*.parquet")))
+    out = eng.sql("OPTIMIZE glue.db.t").first()
+    assert out.operation == "OPTIMIZE" and out.version is not None
+    out = eng.sql("VACUUM glue.db.t RETAIN 0 HOURS").first()
+    assert out.operation == "VACUUM"
+    assert out.files_removed >= n_files  # the replaced originals
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ) == [0, 1, 2]
