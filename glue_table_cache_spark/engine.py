@@ -291,12 +291,21 @@ class GlueSparkEngine:
                 version, n_upd = update_delta(
                     self.spark, loc, stmt.predicate, stmt.set_exprs
                 )
-            elif ttype in (ETableType.ICEBERG, ETableType.HUDI):
-                raise GlueSparkError(
-                    f"UPDATE {qual}: copy-on-write UPDATE is "
-                    f"implemented for DELTA tables; {ttype.name} "
-                    "row updates go through delete + append (or a "
-                    "MOR upsert log block via write_hudi_log)"
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_delete import (  # noqa: E501
+                    update_iceberg,
+                )
+
+                version, n_upd = update_iceberg(
+                    self.spark, loc, stmt.predicate, stmt.set_exprs
+                )
+            elif ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sinks.hudi_log_write import (
+                    update_hudi,
+                )
+
+                version, n_upd = update_hudi(
+                    self.spark, loc, stmt.predicate, stmt.set_exprs
                 )
             else:
                 raise GlueSparkError(f"UPDATE {qual}: {fmt_hint}")

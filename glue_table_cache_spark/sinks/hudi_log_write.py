@@ -555,3 +555,142 @@ def delete_from_hudi(
 def _fid_of(path: str) -> str:
     m = _BASE_FILE_RE.search(path)
     return m.group(1) if m else Path(path).stem
+
+
+def update_hudi(
+    spark: SparkSession,
+    location: str,
+    predicate,
+    set_exprs: dict[str, str],
+    max_commit_retries: int = 10,
+) -> tuple[str | None, int]:
+    """``UPDATE t SET col = expr, ... WHERE predicate`` for
+    COPY_ON_WRITE Hudi tables — the COW update IS a file-slice
+    rewrite: every file group holding a matched row gets a fresh base
+    slice (same ``fileId``, newest-slice-wins) where matched rows are
+    transformed through ``set_exprs`` (pre-update values, standard
+    UPDATE semantics) and the rest are byte-preserved, published as
+    ONE replacecommit.  Returns ``(instant, n_updated)`` — ``(None,
+    0)`` when nothing matched.  MERGE_ON_READ tables refuse: their
+    update path is an upsert log block (:func:`write_hudi_log`).
+
+    Concurrency follows :func:`delete_from_hudi`: instant pinned,
+    per-attempt validation that every affected group is still
+    active, then ``O_EXCL`` on the instant file."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "update_hudi commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    names = _timeline_files(location)
+    if _table_type(names) != "COPY_ON_WRITE":
+        raise GlueSparkError(
+            "update_hudi rewrites COPY_ON_WRITE base slices; for "
+            "MERGE_ON_READ publish the changed rows as an upsert log "
+            "block via write_hudi_log(upserts=...)"
+        )
+    active = hudi_scan_info(location)
+    if not active:
+        return None, 0
+    df = spark.read.parquet(*[p for p, _pv in active])
+    unknown = [c for c in set_exprs if c not in df.columns]
+    if unknown:
+        raise GlueSparkError(
+            f"UPDATE sets unknown column(s) {unknown}; table "
+            f"columns are {df.columns}"
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    per_file = (
+        df.select(
+            F.col("_metadata.file_path").alias("__f"),
+            cond.cast("int").alias("__hit"),
+        )
+        .groupBy("__f")
+        .agg(F.sum("__hit").alias("__n"))
+        .where(F.col("__n") > 0)
+        .collect()
+    )
+    if not per_file:
+        return None, 0
+    stripped_to_path = {_strip_path(p): p for p, _pv in active}
+    n_updated = 0
+    rewrite: list[str] = []
+    for r in per_file:
+        rewrite.append(
+            stripped_to_path.get(_strip_path(r["__f"]), r["__f"])
+        )
+        n_updated += int(r["__n"])
+
+    transformed = [
+        F.when(cond, F.expr(set_exprs[c]).cast(df.schema[c].dataType))
+        .otherwise(F.col(c))
+        .alias(c)
+        if c in set_exprs
+        else F.col(c)
+        for c in df.columns
+    ]
+    batch = uuid.uuid4().hex[:8]
+    hoodie = base / ".hoodie"
+    instant_tag = _latest_instant(hoodie) + 1
+    stats_by_part: dict[str, list[dict]] = {}
+    staged: list[str] = []
+    for path in sorted(rewrite):
+        fid = _fid_of(path)
+        part = str(Path(path).parent.relative_to(base))
+        part = "" if part == "." else part
+        out = spark.read.parquet(path).select(*transformed)
+        stage = base / f"_staging_{batch}" / fid
+        out.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        src = sorted(stage.rglob("part-*.parquet"))[0]
+        name = f"{fid}_0-0-0_{instant_tag}.parquet"
+        rel = f"{part}/{name}" if part else name
+        dest = base / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        src.rename(dest)
+        staged.append(rel)
+        stats_by_part.setdefault(part, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "partitionPath": part,
+                "fileSizeInBytes": dest.stat().st_size,
+            }
+        )
+    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+
+    affected = {str(Path(p)) for p in rewrite}
+    payload = json.dumps(
+        {
+            "partitionToWriteStats": stats_by_part,
+            "partitionToReplaceFileIds": {},
+        }
+    )
+    for _attempt in range(max_commit_retries):
+        instant = _latest_instant(hoodie) + 1
+        fresh = {str(Path(p)) for p, _pv in hudi_scan_info(location)}
+        if not affected <= fresh:
+            for rel in staged:
+                (base / rel).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "update_hudi lost a conflicting race: an affected "
+                "file group is no longer active; table left "
+                "untouched — re-run"
+            )
+        commit = hoodie / f"{instant}.replacecommit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return str(instant), n_updated
+    raise GlueSparkError(
+        f"could not commit UPDATE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

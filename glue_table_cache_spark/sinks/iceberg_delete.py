@@ -221,3 +221,291 @@ def delete_from_iceberg(
         f"could not commit DELETE to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def update_iceberg(
+    spark: SparkSession,
+    location: str,
+    predicate,
+    set_exprs: dict[str, str],
+    max_commit_retries: int = 10,
+) -> tuple[int | None, int]:
+    """``UPDATE t SET col = expr, ... WHERE predicate`` for Iceberg —
+    the format-v2 shape: matched rows are retired by a POSITION
+    delete file and re-appear transformed in a new data file, both
+    named by ONE snapshot (a data manifest and a delete manifest in
+    the same manifest list, same sequence number), so readers see the
+    whole update or none of it.  The new rows are not masked by the
+    delete — position deletes target the OLD files' paths.
+
+    Returns ``(sequence_number, n_updated)`` — ``(None, 0)`` when
+    nothing matched.  All ``set_exprs`` evaluate against pre-update
+    values (standard UPDATE semantics).  Tables carrying EQUALITY
+    deletes refuse (optimize first, same as DELETE); hive-partitioned
+    tables refuse (the rewritten rows would need partition routing —
+    the update_delta scope gate).
+
+    Scale: the matched positions and the transformed rows are both
+    written DISTRIBUTED; the driver never holds row data.
+    Concurrency: pinned sequence + per-attempt validation that every
+    file the delete references is still active, then ``O_EXCL``."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        _footer_bounds,
+        _resolve_schema,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_path,
+        _strip_scheme,
+        iceberg_scan_details,
+    )
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        _iceberg_type,
+    )
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "update_iceberg commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    meta_dir = base / "metadata"
+    data_dir = base / "data"
+    entries, pos_dels, eq_dels = iceberg_scan_details(location)
+    if eq_dels:
+        raise GlueSparkError(
+            "table carries EQUALITY deletes; run optimize_iceberg() "
+            "to purge them, then update"
+        )
+    if not entries:
+        return None, 0
+    if any(pv for _p, pv, _seq in entries):
+        raise GlueSparkError(
+            "update_iceberg rewrites rows into unpartitioned data "
+            "files and does not place them into partition "
+            "directories — partitioned tables refuse; use "
+            "delete_from_iceberg + write_iceberg_append"
+        )
+    prev = _latest_metadata(meta_dir)
+
+    df = spark.read.parquet(*[p for p, _pv, _seq in entries])
+    cols = df.columns
+    unknown = [c for c in set_exprs if c not in cols]
+    if unknown:
+        raise GlueSparkError(
+            f"UPDATE sets unknown column(s) {unknown}; table "
+            f"columns are {cols}"
+        )
+    # validate the (unchanged) schema + reuse its recorded field ids
+    df_types = {
+        f.name: _iceberg_type(f.dataType) for f in df.schema.fields
+    }
+    ids, types, _fields = _resolve_schema(
+        prev, df_types, cols, False, location
+    )
+
+    tagged = df.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    if pos_dels:
+        prior = spark.read.parquet(*pos_dels).select(
+            _strip_scheme(F.col("file_path")).alias("__pf"),
+            F.col("pos").cast("long").alias("__pp"),
+        )
+        tagged = (
+            tagged.withColumn(
+                "__pf", _strip_scheme(F.col("file_path"))
+            )
+            .withColumn("__pp", F.col("pos"))
+            .join(prior, ["__pf", "__pp"], "left_anti")
+            .drop("__pf", "__pp")
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    matched = tagged.where(cond)
+
+    batch = uuid.uuid4().hex[:12]
+    # distributed write #1: the position-delete content
+    del_stage = base / f"_staging_del_{batch}"
+    matched.select("file_path", F.col("pos").cast("long")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(del_stage))
+    import pyarrow.parquet as pq
+
+    del_parts = sorted(del_stage.rglob("part-*.parquet"))
+    n = pq.ParquetFile(del_parts[0]).metadata.num_rows
+    if n == 0:
+        shutil.rmtree(del_stage, ignore_errors=True)
+        return None, 0
+    affected = {
+        r["file_path"]
+        for r in spark.read.parquet(str(del_parts[0]))
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    # distributed write #2: the transformed replacement rows (all
+    # set_exprs see PRE-update values — one projection, no chaining)
+    upd_stage = base / f"_staging_upd_{batch}"
+    matched.select(
+        *[
+            F.expr(set_exprs[c]).cast(df.schema[c].dataType).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cols
+        ]
+    ).write.mode("overwrite").parquet(str(upd_stage))
+
+    del_name = f"pos-delete-{batch}.parquet"
+    (data_dir / del_name).parent.mkdir(parents=True, exist_ok=True)
+    del_parts[0].rename(data_dir / del_name)
+    shutil.rmtree(del_stage, ignore_errors=True)
+    new_files: list[Path] = []
+    for i, p in enumerate(sorted(upd_stage.rglob("part-*.parquet"))):
+        dest = data_dir / f"part-upd-{batch}-{i:05d}.parquet"
+        p.rename(dest)
+        new_files.append(dest)
+    shutil.rmtree(upd_stage, ignore_errors=True)
+
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details as _details,
+    )
+
+    affected_stripped = {_strip_path(p) for p in affected}
+    for _attempt in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        fresh, _p, _e = _details(location)
+        fresh_active = {_strip_path(p) for p, _pv, _seq in fresh}
+        if not affected_stripped <= fresh_active:
+            (data_dir / del_name).unlink(missing_ok=True)
+            for f in new_files:
+                f.unlink(missing_ok=True)
+            raise GlueSparkError(
+                "update_iceberg lost a conflicting race: a file it "
+                "updates rows in was rewritten concurrently; table "
+                "left untouched — re-run"
+            )
+        last_seq = prev.get("last-sequence-number", 0)
+        seq = last_seq + 1
+        snap_id = 1000 + seq
+        add_manifest = meta_dir / f"manifest-upd-{seq}-{batch}.avro"
+        write_avro(
+            add_manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,  # inherit
+                    "data_file": {
+                        "content": 0,
+                        "file_path": str(
+                            Path("data") / dest.name
+                        ),
+                        "file_format": "PARQUET",
+                        "partition": None,
+                        "record_count": (st := _footer_bounds(
+                            dest, ids, types
+                        ))["record_count"],
+                        "file_size_in_bytes": dest.stat().st_size,
+                        "equality_ids": None,
+                        "lower_bounds": st["lower_bounds"],
+                        "upper_bounds": st["upper_bounds"],
+                        "null_value_counts": st["null_value_counts"],
+                    },
+                }
+                for dest in new_files
+            ],
+        )
+        del_manifest = meta_dir / f"delete-manifest-{seq}-{batch}.avro"
+        write_avro(
+            del_manifest,
+            MANIFEST_ENTRY_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": str(Path("data") / del_name),
+                        "file_format": "PARQUET",
+                        "partition": None,
+                        "record_count": n,
+                        "file_size_in_bytes": (
+                            data_dir / del_name
+                        ).stat().st_size,
+                        "equality_ids": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "null_value_counts": None,
+                    },
+                }
+            ],
+        )
+        prior_rows: list[dict] = []
+        prior_snaps = list(prev.get("snapshots") or [])
+        if prior_snaps:
+            pl = prior_snaps[-1]["manifest-list"]
+            prior_rows = read_avro(
+                pl if pl.startswith("/") else str(base / pl)
+            )
+        manifest_list = meta_dir / f"snap-{seq}-{batch}.avro"
+        write_avro(
+            manifest_list,
+            MANIFEST_LIST_SCHEMA,
+            prior_rows
+            + [
+                {
+                    "manifest_path": str(
+                        Path("metadata") / add_manifest.name
+                    ),
+                    "manifest_length": add_manifest.stat().st_size,
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                },
+                {
+                    "manifest_path": str(
+                        Path("metadata") / del_manifest.name
+                    ),
+                    "manifest_length": del_manifest.stat().st_size,
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                },
+            ],
+        )
+        meta = dict(prev)
+        meta["last-sequence-number"] = seq
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshots"] = prior_snaps + [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": str(
+                    Path("metadata") / manifest_list.name
+                ),
+                "summary": {"operation": "overwrite"},
+            }
+        ]
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            add_manifest.unlink(missing_ok=True)
+            del_manifest.unlink(missing_ok=True)
+            manifest_list.unlink(missing_ok=True)
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq, int(n)
+    raise GlueSparkError(
+        f"could not commit UPDATE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

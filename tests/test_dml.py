@@ -213,12 +213,10 @@ def test_sql_dml_refusals(spark, tmp_path):
     eng = _engine_for(spark, ploc, None)
     with pytest.raises(GlueSparkError, match="transaction log"):
         eng.sql("DELETE FROM glue.db.t WHERE id = 1")
-    # UPDATE/MERGE on non-Delta formats name the narrower API
+    # MERGE on non-Delta formats names the narrower API
     iloc = tmp_path / "ice"
     write_iceberg_append(df, str(iloc))
     eng = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
-    with pytest.raises(GlueSparkError, match="delete \\+ append"):
-        eng.sql("UPDATE glue.db.t SET id = 2 WHERE id = 1")
     with pytest.raises(GlueSparkError, match="delete \\+ append"):
         eng.sql(
             "MERGE INTO glue.db.t USING v s ON t.id = s.id "
@@ -366,3 +364,81 @@ def test_sql_optimize_and_vacuum(spark, tmp_path):
     assert sorted(
         r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
     ) == [0, 1, 2]
+
+
+def test_sql_update_iceberg_and_hudi(spark, tmp_path):
+    """Native copy-on-write UPDATE for Iceberg (one snapshot: position
+    delete + transformed re-append) and Hudi COW (replacecommit slice
+    rewrite), driven through engine.sql."""
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, price double"
+    )
+    for fmt, writer, params in (
+        ("ice", write_iceberg_append, {"table_type": "ICEBERG"}),
+        ("hud", write_hudi_append, {"hoodie.table.name": "t"}),
+    ):
+        loc = tmp_path / fmt
+        writer(df, str(loc))
+        eng = _engine_for(spark, loc, params)
+        out = eng.sql(
+            "UPDATE glue.db.t SET price = price * 2 WHERE id >= 2"
+        ).first()
+        assert out.operation == "UPDATE" and out.rows_updated == 2, fmt
+        got = {
+            r.id: r.price
+            for r in eng.sql("SELECT id, price FROM glue.db.t").collect()
+        }
+        assert got == {1: 10.0, 2: 40.0, 3: 60.0}, fmt
+        # idempotence-ish: a no-match UPDATE commits nothing
+        out = eng.sql(
+            "UPDATE glue.db.t SET price = 0 WHERE id > 100"
+        ).first()
+        assert out.version is None and out.rows_updated == 0
+
+
+def test_update_iceberg_composes_with_prior_deletes(spark, tmp_path):
+    """UPDATE after DELETE: already-deleted rows are not matched, not
+    resurrected, and the transformed rows survive the prior delete
+    files (they live in NEW data files the deletes cannot target)."""
+    from glue_table_cache_spark.sinks.iceberg_delete import (
+        delete_from_iceberg,
+        update_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "ice")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ).coalesce(1),
+        loc,
+    )
+    delete_from_iceberg(spark, loc, "id IN (0, 1)")
+    seq, n = update_iceberg(spark, loc, "id >= 1", {"v": "v + 100"})
+    assert n == 4  # ids 2..5 (1 is dead, 0 unmatched)
+    eng = _engine_for(spark, tmp_path / "ice", {"table_type": "ICEBERG"})
+    got = {
+        r.id: r.v for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+    }
+    assert got == {2: 102.0, 3: 103.0, 4: 104.0, 5: 105.0}
+
+
+def test_update_hudi_mor_refuses(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_log_write import update_hudi
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "mor")
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        loc,
+        table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(GlueSparkError, match="write_hudi_log"):
+        update_hudi(spark, loc, "id = 1", {"v": "'b'"})
