@@ -311,26 +311,39 @@ class GlueSparkEngine:
                 raise GlueSparkError(f"UPDATE {qual}: {fmt_hint}")
         elif isinstance(stmt, MergeStatement):
             op = "MERGE"
+            if ttype not in (
+                ETableType.DELTA,
+                ETableType.ICEBERG,
+                ETableType.HUDI,
+            ):
+                raise GlueSparkError(f"MERGE INTO {qual}: {fmt_hint}")
+            # the USING operand resolves through the normal read
+            # path — glue refs, temp views, and subqueries all work
+            source = self.sql(f"SELECT * FROM {stmt.source_text}")
             if ttype == ETableType.DELTA:
                 from glue_table_cache_spark.sinks.delta_merge import (
                     merge_into_delta,
                 )
 
-                # the USING operand resolves through the normal read
-                # path — glue refs, temp views, and subqueries all work
-                source = self.sql(f"SELECT * FROM {stmt.source_text}")
                 version, n_upd, n_ins = merge_into_delta(
                     self.spark, loc, source, list(stmt.on_keys)
                 )
-            elif ttype in (ETableType.ICEBERG, ETableType.HUDI):
-                raise GlueSparkError(
-                    f"MERGE INTO {qual}: whole-row MERGE is "
-                    f"implemented for DELTA tables; {ttype.name} "
-                    "upserts go through delete + append (or a MOR "
-                    "upsert log block via write_hudi_log)"
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_delete import (  # noqa: E501
+                    merge_into_iceberg,
+                )
+
+                version, n_upd, n_ins = merge_into_iceberg(
+                    self.spark, loc, source, list(stmt.on_keys)
                 )
             else:
-                raise GlueSparkError(f"MERGE INTO {qual}: {fmt_hint}")
+                from glue_table_cache_spark.sinks.hudi_log_write import (
+                    merge_into_hudi,
+                )
+
+                version, n_upd, n_ins = merge_into_hudi(
+                    self.spark, loc, source, list(stmt.on_keys)
+                )
         else:  # pragma: no cover - parse_dml returns only the three
             raise GlueSparkError(f"unknown DML statement {stmt!r}")
         if version is not None:

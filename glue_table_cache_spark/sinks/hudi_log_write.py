@@ -694,3 +694,169 @@ def update_hudi(
         f"could not commit UPDATE to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def merge_into_hudi(
+    spark: SparkSession,
+    location: str,
+    source,
+    on,
+    max_commit_retries: int = 10,
+) -> tuple[str, int, int]:
+    """Whole-row upsert for COPY_ON_WRITE Hudi tables, keyed on
+    ``on`` — Hudi's own upsert placement: a matched record's new
+    version stays in its file group (the group rewrites to a fresh
+    slice with matched rows replaced by their source rows), and
+    unmatched source rows open ONE new file group, all published as a
+    single replacecommit.  Returns ``(instant, n_updated,
+    n_inserted)``.
+
+    Contract mirrors :func:`.delta_merge.merge_into_delta`: duplicate
+    source keys refuse, source columns must equal the table schema,
+    hive-partitioned tables refuse (insert routing needs a partition
+    path), MERGE_ON_READ refuses toward the upsert log block."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
+    keys = [on] if isinstance(on, str) else list(on)
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "merge_into_hudi commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    names = _timeline_files(location)
+    if _table_type(names) != "COPY_ON_WRITE":
+        raise GlueSparkError(
+            "merge_into_hudi rewrites COPY_ON_WRITE base slices; for "
+            "MERGE_ON_READ publish the upsert as a log block via "
+            "write_hudi_log(upserts=...)"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise GlueSparkError(
+            f"merge keys {missing} are not in the source columns "
+            f"{source.columns}"
+        )
+    if source.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise GlueSparkError(
+            "MERGE source has duplicate keys — 'the source row' for "
+            "a matched target row is ambiguous; de-duplicate the "
+            "source first"
+        )
+    active = hudi_scan_info(location)
+    if not active:
+        n_ins = source.count()
+        return write_hudi_append(source, location), 0, n_ins
+    if any(pv for _p, pv in active):
+        raise GlueSparkError(
+            "merge_into_hudi does not route inserts into hive "
+            "partition directories — partitioned tables refuse; use "
+            "delete_from_hudi + write_hudi_append"
+        )
+    df = spark.read.parquet(*[p for p, _pv in active])
+    want = set(df.columns)
+    if set(source.columns) != want:
+        raise GlueSparkError(
+            f"MERGE source columns {sorted(source.columns)} do not "
+            f"match the table schema {sorted(want)} — the merge "
+            "replaces whole rows; align the source first"
+        )
+    source = source.select(
+        *[
+            F.col(c).cast(df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ]
+    )
+    src_keys = F.broadcast(source.select(*keys).distinct())
+    per_file = (
+        df.select(
+            F.col("_metadata.file_path").alias("__f"), *keys
+        )
+        .join(src_keys, keys)
+        .groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    stripped_to_path = {_strip_path(p): p for p, _pv in active}
+    rewrite = [
+        stripped_to_path.get(_strip_path(r["__f"]), r["__f"])
+        for r in per_file
+    ]
+    n_updated = sum(int(r["__n"]) for r in per_file)
+
+    batch = uuid.uuid4().hex[:8]
+    hoodie = base / ".hoodie"
+    instant_tag = _latest_instant(hoodie) + 1
+    stats: list[dict] = []
+    staged: list[str] = []
+
+    def _stage(out_df, fid: str) -> None:
+        stage = base / f"_staging_{batch}" / fid
+        out_df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        src = sorted(stage.rglob("part-*.parquet"))[0]
+        name = f"{fid}_0-0-0_{instant_tag}.parquet"
+        dest = base / name
+        src.rename(dest)
+        staged.append(name)
+        stats.append(
+            {
+                "fileId": fid,
+                "path": name,
+                "partitionPath": "",
+                "fileSizeInBytes": dest.stat().st_size,
+            }
+        )
+
+    for path in sorted(rewrite):
+        old = spark.read.parquet(path)
+        kept = old.join(src_keys, keys, "left_anti")
+        updates = source.join(
+            F.broadcast(old.select(*keys).distinct()), keys, "semi"
+        )
+        _stage(kept.unionByName(updates), _fid_of(path))
+    inserts = source.join(
+        df.select(*keys).distinct(), keys, "left_anti"
+    )
+    n_inserted = inserts.count()
+    if n_inserted:
+        _stage(inserts, f"mrg-{batch}")
+    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+    if not stats:
+        return None, 0, 0
+
+    affected = {str(Path(p)) for p in rewrite}
+    payload = json.dumps(
+        {
+            "partitionToWriteStats": {"": stats},
+            "partitionToReplaceFileIds": {},
+        }
+    )
+    for _attempt in range(max_commit_retries):
+        instant = _latest_instant(hoodie) + 1
+        fresh = {str(Path(p)) for p, _pv in hudi_scan_info(location)}
+        if not affected <= fresh:
+            for rel in staged:
+                (base / rel).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "merge_into_hudi lost a conflicting race: an "
+                "affected file group is no longer active; table left "
+                "untouched — re-run"
+            )
+        commit = hoodie / f"{instant}.replacecommit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return str(instant), n_updated, int(n_inserted)
+    raise GlueSparkError(
+        f"could not commit MERGE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

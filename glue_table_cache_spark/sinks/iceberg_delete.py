@@ -369,82 +369,163 @@ def update_iceberg(
         new_files.append(dest)
     shutil.rmtree(upd_stage, ignore_errors=True)
 
-    from glue_table_cache_spark.sources.iceberg import (
-        iceberg_scan_details as _details,
+    seq = _commit_add_and_delete_snapshot(
+        location,
+        new_files=new_files,
+        del_file=data_dir / del_name,
+        n_del=n,
+        affected=affected,
+        ids=ids,
+        types=types,
+        batch=batch,
+        max_commit_retries=max_commit_retries,
+        verb="UPDATE",
     )
+    return seq, int(n)
+
+
+def _commit_add_and_delete_snapshot(
+    location: str,
+    new_files: list[Path],
+    del_file: Path | None,
+    n_del: int,
+    affected: set[str],
+    ids: dict[str, int],
+    types: dict[str, str],
+    batch: str,
+    max_commit_retries: int,
+    verb: str,
+) -> int:
+    """ONE snapshot naming both an ADDED data manifest (``new_files``,
+    content=0) and — when ``del_file`` is given — a DELETE manifest
+    (content=1), with the shared pinned-sequence / per-attempt
+    active-file validation / ``O_EXCL`` protocol every Iceberg writer
+    here uses.  The row-level UPDATE and MERGE commit through this."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        _footer_bounds,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_path,
+        iceberg_scan_details,
+    )
+
+    base = Path(location)
+    meta_dir = base / "metadata"
+
+    def _cleanup() -> None:
+        if del_file is not None:
+            del_file.unlink(missing_ok=True)
+        for f in new_files:
+            f.unlink(missing_ok=True)
 
     affected_stripped = {_strip_path(p) for p in affected}
     for _attempt in range(max_commit_retries):
         prev = _latest_metadata(meta_dir)
-        fresh, _p, _e = _details(location)
+        fresh, _p, _e = iceberg_scan_details(location)
         fresh_active = {_strip_path(p) for p, _pv, _seq in fresh}
         if not affected_stripped <= fresh_active:
-            (data_dir / del_name).unlink(missing_ok=True)
-            for f in new_files:
-                f.unlink(missing_ok=True)
+            _cleanup()
             raise GlueSparkError(
-                "update_iceberg lost a conflicting race: a file it "
-                "updates rows in was rewritten concurrently; table "
-                "left untouched — re-run"
+                f"{verb} lost a conflicting race: a file it touches "
+                "rows in was rewritten concurrently; table left "
+                "untouched — re-run"
             )
         last_seq = prev.get("last-sequence-number", 0)
         seq = last_seq + 1
         snap_id = 1000 + seq
-        add_manifest = meta_dir / f"manifest-upd-{seq}-{batch}.avro"
-        write_avro(
-            add_manifest,
-            MANIFEST_ENTRY_SCHEMA,
-            [
+        list_rows = []
+        manifests: list[Path] = []
+        if new_files:
+            add_manifest = (
+                meta_dir / f"manifest-rl-{seq}-{batch}.avro"
+            )
+            write_avro(
+                add_manifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": None,
+                        "sequence_number": None,  # inherit
+                        "data_file": {
+                            "content": 0,
+                            "file_path": str(
+                                Path("data") / dest.name
+                            ),
+                            "file_format": "PARQUET",
+                            "partition": None,
+                            "record_count": (st := _footer_bounds(
+                                dest, ids, types
+                            ))["record_count"],
+                            "file_size_in_bytes": dest.stat().st_size,
+                            "equality_ids": None,
+                            "lower_bounds": st["lower_bounds"],
+                            "upper_bounds": st["upper_bounds"],
+                            "null_value_counts": st[
+                                "null_value_counts"
+                            ],
+                        },
+                    }
+                    for dest in new_files
+                ],
+            )
+            manifests.append(add_manifest)
+            list_rows.append(
                 {
-                    "status": 1,
-                    "snapshot_id": None,
-                    "sequence_number": None,  # inherit
-                    "data_file": {
-                        "content": 0,
-                        "file_path": str(
-                            Path("data") / dest.name
-                        ),
-                        "file_format": "PARQUET",
-                        "partition": None,
-                        "record_count": (st := _footer_bounds(
-                            dest, ids, types
-                        ))["record_count"],
-                        "file_size_in_bytes": dest.stat().st_size,
-                        "equality_ids": None,
-                        "lower_bounds": st["lower_bounds"],
-                        "upper_bounds": st["upper_bounds"],
-                        "null_value_counts": st["null_value_counts"],
-                    },
+                    "manifest_path": str(
+                        Path("metadata") / add_manifest.name
+                    ),
+                    "manifest_length": add_manifest.stat().st_size,
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
                 }
-                for dest in new_files
-            ],
-        )
-        del_manifest = meta_dir / f"delete-manifest-{seq}-{batch}.avro"
-        write_avro(
-            del_manifest,
-            MANIFEST_ENTRY_SCHEMA,
-            [
+            )
+        if del_file is not None:
+            del_manifest = (
+                meta_dir / f"delete-manifest-{seq}-{batch}.avro"
+            )
+            write_avro(
+                del_manifest,
+                MANIFEST_ENTRY_SCHEMA,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": str(
+                                Path("data") / del_file.name
+                            ),
+                            "file_format": "PARQUET",
+                            "partition": None,
+                            "record_count": n_del,
+                            "file_size_in_bytes": (
+                                del_file.stat().st_size
+                            ),
+                            "equality_ids": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "null_value_counts": None,
+                        },
+                    }
+                ],
+            )
+            manifests.append(del_manifest)
+            list_rows.append(
                 {
-                    "status": 1,
-                    "snapshot_id": None,
-                    "sequence_number": None,
-                    "data_file": {
-                        "content": 1,
-                        "file_path": str(Path("data") / del_name),
-                        "file_format": "PARQUET",
-                        "partition": None,
-                        "record_count": n,
-                        "file_size_in_bytes": (
-                            data_dir / del_name
-                        ).stat().st_size,
-                        "equality_ids": None,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
-                        "null_value_counts": None,
-                    },
+                    "manifest_path": str(
+                        Path("metadata") / del_manifest.name
+                    ),
+                    "manifest_length": del_manifest.stat().st_size,
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
                 }
-            ],
-        )
+            )
         prior_rows: list[dict] = []
         prior_snaps = list(prev.get("snapshots") or [])
         if prior_snaps:
@@ -456,29 +537,7 @@ def update_iceberg(
         write_avro(
             manifest_list,
             MANIFEST_LIST_SCHEMA,
-            prior_rows
-            + [
-                {
-                    "manifest_path": str(
-                        Path("metadata") / add_manifest.name
-                    ),
-                    "manifest_length": add_manifest.stat().st_size,
-                    "partition_spec_id": 0,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                },
-                {
-                    "manifest_path": str(
-                        Path("metadata") / del_manifest.name
-                    ),
-                    "manifest_length": del_manifest.stat().st_size,
-                    "partition_spec_id": 0,
-                    "content": 1,
-                    "sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                },
-            ],
+            prior_rows + list_rows,
         )
         meta = dict(prev)
         meta["last-sequence-number"] = seq
@@ -498,14 +557,177 @@ def update_iceberg(
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            add_manifest.unlink(missing_ok=True)
-            del_manifest.unlink(missing_ok=True)
+            for m in manifests:
+                m.unlink(missing_ok=True)
             manifest_list.unlink(missing_ok=True)
             continue
         with os.fdopen(fd, "w") as f:
             f.write(json.dumps(meta))
-        return seq, int(n)
+        return seq
     raise GlueSparkError(
-        f"could not commit UPDATE to {location!r} after "
+        f"could not commit {verb} to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def merge_into_iceberg(
+    spark: SparkSession,
+    location: str,
+    source,
+    on,
+    max_commit_retries: int = 10,
+) -> tuple[int, int, int]:
+    """Whole-row upsert for Iceberg, keyed on ``on``: target rows
+    whose key appears in ``source`` are retired by a position-delete
+    file and EVERY source row (replacements + inserts) lands in new
+    data files — one snapshot carries both manifests, so readers see
+    the whole merge or none of it.  Returns ``(sequence_number,
+    n_updated, n_inserted)``.
+
+    The delta sibling's contract carries over exactly
+    (:func:`.delta_merge.merge_into_delta`): duplicate source keys
+    refuse (the matched row would be ambiguous), source columns must
+    equal the table schema (whole rows are replaced), equality-delete
+    tables refuse toward optimize, hive-partitioned tables refuse
+    toward delete + append."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        _resolve_schema,
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_scheme,
+        iceberg_scan_details,
+    )
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        _iceberg_type,
+    )
+
+    keys = [on] if isinstance(on, str) else list(on)
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "merge_into_iceberg commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    meta_dir = base / "metadata"
+    data_dir = base / "data"
+    entries, pos_dels, eq_dels = iceberg_scan_details(location)
+    if eq_dels:
+        raise GlueSparkError(
+            "table carries EQUALITY deletes; run optimize_iceberg() "
+            "to purge them, then merge"
+        )
+    if any(pv for _p, pv, _seq in entries):
+        raise GlueSparkError(
+            "merge_into_iceberg writes unpartitioned data files — "
+            "partitioned tables refuse; use delete_from_iceberg + "
+            "write_iceberg_append"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise GlueSparkError(
+            f"merge keys {missing} are not in the source columns "
+            f"{source.columns}"
+        )
+    if source.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise GlueSparkError(
+            "MERGE source has duplicate keys — 'the source row' for "
+            "a matched target row is ambiguous; de-duplicate the "
+            "source first (e.g. max_by on a version column)"
+        )
+    if not entries:
+        # empty table: the merge IS an append
+        n_ins = source.count()
+        return write_iceberg_append(source, location), 0, n_ins
+
+    df = spark.read.parquet(*[p for p, _pv, _seq in entries])
+    want = set(df.columns)
+    if set(source.columns) != want:
+        raise GlueSparkError(
+            f"MERGE source columns {sorted(source.columns)} do not "
+            f"match the table schema {sorted(want)} — the merge "
+            "replaces whole rows; align the source first"
+        )
+    prev = _latest_metadata(meta_dir)
+    df_types = {
+        f.name: _iceberg_type(f.dataType) for f in df.schema.fields
+    }
+    ids, types, _fields = _resolve_schema(
+        prev, df_types, df.columns, False, location
+    )
+
+    src_keys = F.broadcast(source.select(*keys).distinct())
+    tagged = df.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        *keys,
+    )
+    if pos_dels:
+        prior = spark.read.parquet(*pos_dels).select(
+            _strip_scheme(F.col("file_path")).alias("__pf"),
+            F.col("pos").cast("long").alias("__pp"),
+        )
+        tagged = (
+            tagged.withColumn(
+                "__pf", _strip_scheme(F.col("file_path"))
+            )
+            .withColumn("__pp", F.col("pos"))
+            .join(prior, ["__pf", "__pp"], "left_anti")
+            .drop("__pf", "__pp")
+        )
+    matched = tagged.join(src_keys, keys)
+
+    batch = uuid.uuid4().hex[:12]
+    del_stage = base / f"_staging_del_{batch}"
+    matched.select("file_path", F.col("pos").cast("long")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(del_stage))
+    import pyarrow.parquet as pq
+
+    del_parts = sorted(del_stage.rglob("part-*.parquet"))
+    n_upd = pq.ParquetFile(del_parts[0]).metadata.num_rows
+    affected = {
+        r["file_path"]
+        for r in spark.read.parquet(str(del_parts[0]))
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    src_stage = base / f"_staging_src_{batch}"
+    source.select(
+        *[
+            F.col(c).cast(df.schema[c].dataType).alias(c)
+            for c in df.columns
+        ]
+    ).write.mode("overwrite").parquet(str(src_stage))
+
+    del_file = None
+    if n_upd:
+        del_name = f"pos-delete-{batch}.parquet"
+        del_parts[0].rename(data_dir / del_name)
+        del_file = data_dir / del_name
+    shutil.rmtree(del_stage, ignore_errors=True)
+    new_files: list[Path] = []
+    for i, p in enumerate(sorted(src_stage.rglob("part-*.parquet"))):
+        dest = data_dir / f"part-mrg-{batch}-{i:05d}.parquet"
+        p.rename(dest)
+        new_files.append(dest)
+    shutil.rmtree(src_stage, ignore_errors=True)
+
+    seq = _commit_add_and_delete_snapshot(
+        location,
+        new_files=new_files,
+        del_file=del_file,
+        n_del=int(n_upd),
+        affected=affected,
+        ids=ids,
+        types=types,
+        batch=batch,
+        max_commit_retries=max_commit_retries,
+        verb="MERGE",
+    )
+    n_src = source.count()
+    return seq, int(n_upd), int(n_src - n_upd)

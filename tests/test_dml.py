@@ -213,16 +213,7 @@ def test_sql_dml_refusals(spark, tmp_path):
     eng = _engine_for(spark, ploc, None)
     with pytest.raises(GlueSparkError, match="transaction log"):
         eng.sql("DELETE FROM glue.db.t WHERE id = 1")
-    # MERGE on non-Delta formats names the narrower API
-    iloc = tmp_path / "ice"
-    write_iceberg_append(df, str(iloc))
-    eng = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
-    with pytest.raises(GlueSparkError, match="delete \\+ append"):
-        eng.sql(
-            "MERGE INTO glue.db.t USING v s ON t.id = s.id "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+
 
 
 def test_sql_delete_noop_keeps_cache(spark, tmp_path):
@@ -442,3 +433,72 @@ def test_update_hudi_mor_refuses(spark, tmp_path):
     )
     with pytest.raises(GlueSparkError, match="write_hudi_log"):
         update_hudi(spark, loc, "id = 1", {"v": "'b'"})
+
+
+def test_sql_merge_iceberg_and_hudi(spark, tmp_path):
+    """Whole-row MERGE native in all three formats: Iceberg retires
+    matched rows via a position delete and appends every source row
+    in one snapshot; Hudi COW rewrites the matched groups and opens
+    one new group for inserts in one replacecommit."""
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    tgt = spark.createDataFrame(
+        [(1, "old"), (2, "old")], "id long, v string"
+    )
+    spark.createDataFrame(
+        [(2, "new"), (3, "new")], "id long, v string"
+    ).createOrReplaceTempView("dml_merge_src2")
+    for fmt, writer, params in (
+        ("ice", write_iceberg_append, {"table_type": "ICEBERG"}),
+        ("hud", write_hudi_append, {"hoodie.table.name": "t"}),
+    ):
+        loc = tmp_path / fmt
+        writer(tgt.coalesce(1), str(loc))
+        eng = _engine_for(spark, loc, params)
+        out = eng.sql(
+            "MERGE INTO glue.db.t AS t USING dml_merge_src2 s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert out.rows_updated == 1 and out.rows_inserted == 1, fmt
+        got = {
+            r.id: r.v
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        }
+        assert got == {1: "old", 2: "new", 3: "new"}, fmt
+    spark.catalog.dropTempView("dml_merge_src2")
+
+
+def test_merge_iceberg_dup_keys_and_empty_table(spark, tmp_path):
+    from glue_table_cache_spark.sinks.iceberg_delete import (
+        merge_into_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = str(tmp_path / "ice")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), loc
+    )
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, v string"
+    )
+    with pytest.raises(GlueSparkError, match="duplicate keys"):
+        merge_into_iceberg(spark, loc, dup, "id")
+    # empty table: the merge IS an append
+    loc2 = str(tmp_path / "ice2")
+    write_iceberg_append(
+        spark.createDataFrame([], "id long, v string"), loc2
+    )
+    seq, n_upd, n_ins = merge_into_iceberg(
+        spark,
+        loc2,
+        spark.createDataFrame([(5, "z")], "id long, v string"),
+        "id",
+    )
+    assert (n_upd, n_ins) == (0, 1)
