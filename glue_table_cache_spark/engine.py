@@ -272,13 +272,16 @@ class GlueSparkEngine:
                     self.spark, loc, stmt.predicate
                 )
             elif ttype == ETableType.HUDI:
-                from glue_table_cache_spark.sinks.hudi_log_write import (
-                    delete_from_hudi,
-                )
+                if self._hudi_is_mor(loc):
+                    version, n_del = self._hudi_mor_delete(tbl, stmt)
+                else:
+                    from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
+                        delete_from_hudi,
+                    )
 
-                version, n_del = delete_from_hudi(
-                    self.spark, loc, stmt.predicate
-                )
+                    version, n_del = delete_from_hudi(
+                        self.spark, loc, stmt.predicate
+                    )
             else:
                 raise GlueSparkError(f"DELETE FROM {qual}: {fmt_hint}")
         elif isinstance(stmt, UpdateStatement):
@@ -300,13 +303,16 @@ class GlueSparkEngine:
                     self.spark, loc, stmt.predicate, stmt.set_exprs
                 )
             elif ttype == ETableType.HUDI:
-                from glue_table_cache_spark.sinks.hudi_log_write import (
-                    update_hudi,
-                )
+                if self._hudi_is_mor(loc):
+                    version, n_upd = self._hudi_mor_update(tbl, stmt)
+                else:
+                    from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
+                        update_hudi,
+                    )
 
-                version, n_upd = update_hudi(
-                    self.spark, loc, stmt.predicate, stmt.set_exprs
-                )
+                    version, n_upd = update_hudi(
+                        self.spark, loc, stmt.predicate, stmt.set_exprs
+                    )
             else:
                 raise GlueSparkError(f"UPDATE {qual}: {fmt_hint}")
         elif isinstance(stmt, MergeStatement):
@@ -356,6 +362,115 @@ class GlueSparkEngine:
             "operation string, version string, rows_updated long, "
             "rows_inserted long, rows_deleted long",
         )
+
+    @staticmethod
+    def _hudi_is_mor(loc: str) -> bool:
+        from glue_table_cache_spark.sources.hudi import (
+            _table_type,
+            _timeline_files,
+        )
+
+        return _table_type(_timeline_files(loc)) == "MERGE_ON_READ"
+
+    def _hudi_record_key(self, tbl: CatalogTable) -> str:
+        from glue_table_cache_spark.sources.hudi_mor import (
+            DEFAULT_RECORD_KEY,
+        )
+
+        return tbl.parameters.get(
+            "hoodie.table.recordkey.fields", DEFAULT_RECORD_KEY
+        )
+
+    def _hudi_mor_delete(
+        self, tbl: CatalogTable, stmt, max_delete_keys: int = 1_000_000
+    ) -> tuple[str | None, int]:
+        """SQL DELETE on a MERGE_ON_READ table: matched record keys
+        (from the MERGED snapshot view, so log-upserted rows match
+        too) publish as ONE DELETE log block — no base rewrite, the
+        MOR contract.  Keys are driver-collected by the log-block
+        codec, so a cap refuses unbounded deletes toward the COW
+        path, mirroring write_hudi_log's own posture."""
+        from glue_table_cache_spark.sinks.hudi_log_write import (
+            write_hudi_log,
+        )
+
+        key = self._hudi_record_key(tbl)
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        df = self._dataframe_for(tbl, None)
+        if key not in df.columns:
+            raise GlueSparkError(
+                f"DELETE on MOR glue.{tbl.database}.{tbl.name}: "
+                f"record key column {key!r} is not in the scan "
+                "schema; register hoodie.table.recordkey.fields"
+            )
+        matched = (
+            df.where(F.expr(stmt.predicate)).select(key).distinct()
+        )
+        keys = [
+            r[0] for r in matched.limit(max_delete_keys + 1).collect()
+        ]
+        if len(keys) > max_delete_keys:
+            raise GlueSparkError(
+                f"MOR DELETE matches over {max_delete_keys} record "
+                "keys — log-block deletes are a micro-batch path; "
+                "compact to COPY_ON_WRITE semantics first or raise "
+                "the cap"
+            )
+        if not keys:
+            return None, 0
+        instant = write_hudi_log(
+            self.spark, loc, key, delete_keys=keys
+        )
+        return instant, len(keys)
+
+    def _hudi_mor_update(
+        self, tbl: CatalogTable, stmt
+    ) -> tuple[str | None, int]:
+        """SQL UPDATE on a MERGE_ON_READ table: matched rows from the
+        merged view, transformed through the SET expressions
+        (pre-update values), publish as ONE upsert log block — the
+        MOR update path, no base rewrite."""
+        from glue_table_cache_spark.sinks.hudi_log_write import (
+            write_hudi_log,
+        )
+
+        key = self._hudi_record_key(tbl)
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        df = self._dataframe_for(tbl, None)
+        if key not in df.columns:
+            raise GlueSparkError(
+                f"UPDATE on MOR glue.{tbl.database}.{tbl.name}: "
+                f"record key column {key!r} is not in the scan "
+                "schema; register hoodie.table.recordkey.fields"
+            )
+        unknown = [c for c in stmt.set_exprs if c not in df.columns]
+        if unknown:
+            raise GlueSparkError(
+                f"UPDATE sets unknown column(s) {unknown}; table "
+                f"columns are {df.columns}"
+            )
+        matched = df.where(F.expr(stmt.predicate))
+        transformed = matched.select(
+            *[
+                F.expr(stmt.set_exprs[c])
+                .cast(df.schema[c].dataType)
+                .alias(c)
+                if c in stmt.set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        n = transformed.count()
+        if not n:
+            return None, 0
+        instant = write_hudi_log(
+            self.spark, loc, key, upserts=transformed
+        )
+        return instant, int(n)
 
     def _execute_maintenance(
         self, stmt, tbl, loc: str, qual: str

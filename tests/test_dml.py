@@ -502,3 +502,51 @@ def test_merge_iceberg_dup_keys_and_empty_table(spark, tmp_path):
         "id",
     )
     assert (n_upd, n_ins) == (0, 1)
+
+
+def test_sql_dml_on_hudi_mor(spark, tmp_path):
+    """SQL DELETE and UPDATE on a MERGE_ON_READ table publish log
+    blocks (no base rewrite): the merged snapshot view reflects them
+    and the base files stay untouched."""
+    from pathlib import Path
+
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = tmp_path / "mor"
+    write_hudi_append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ).coalesce(1),
+        str(loc),
+        table_type="MERGE_ON_READ",
+    )
+    base_files = sorted(Path(loc).glob("*.parquet"))
+    eng = _engine_for(
+        spark,
+        loc,
+        {
+            "hoodie.table.name": "t",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    out = eng.sql("DELETE FROM glue.db.t WHERE id IN (0, 1)").first()
+    assert out.operation == "DELETE" and out.rows_deleted == 2
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ) == [2, 3, 4, 5]
+    out = eng.sql(
+        "UPDATE glue.db.t SET v = v + 100 WHERE id >= 4"
+    ).first()
+    assert out.operation == "UPDATE" and out.rows_updated == 2
+    got = {
+        r.id: r.v for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+    }
+    assert got == {2: 2.0, 3: 3.0, 4: 104.0, 5: 105.0}
+    # MOR contract: no base rewrite happened — same base files
+    assert sorted(Path(loc).glob("*.parquet")) == base_files
+    # updated rows delete correctly afterwards (log-over-log)
+    out = eng.sql("DELETE FROM glue.db.t WHERE v > 100").first()
+    assert out.rows_deleted == 2
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ) == [2, 3]
