@@ -753,21 +753,24 @@ def write_delta_checkpoint_v2(
     return version
 
 
-def _verified_v2_horizons(log_dir: Path) -> set[int]:
-    """v2 checkpoint versions whose manifests name only sidecars that
-    exist — a manifest pointing at a vanished sidecar is not covering
-    evidence for cleanup (the reader would refuse on it)."""
+def _v2_manifests(
+    log_dir: Path,
+) -> dict[int, list[tuple[Path, list[str] | None]]]:
+    """Per version, the v2 manifests with their named sidecars —
+    ``None`` sidecars marks an unreadable manifest (never a cleanup
+    horizon, and its sidecars are unknowable so nothing it might
+    reference may be deleted)."""
     import io
 
     import pyarrow.parquet as pq
 
-    out: set[int] = set()
-    sc_dir = log_dir / "_sidecars"
+    out: dict[int, list[tuple[Path, list[str] | None]]] = {}
     for p in log_dir.iterdir():
         m = _CHECKPOINT_V2_RE.search(p.name)
         if not m:
             continue
         v = int(m.group(1))
+        names: list[str] | None
         try:
             if p.name.endswith(".json"):
                 names = [
@@ -786,17 +789,30 @@ def _verified_v2_horizons(log_dir: Path) -> set[int]:
                         .to_pylist()
                         if rec and rec.get("path")
                     ]
-        except Exception:  # noqa: BLE001 - unreadable manifest ≠ horizon
-            continue
-        if all(
-            (
-                Path(n)
-                if "://" in n or n.startswith("/")
-                else sc_dir / n
-            ).exists()
-            for n in names
-        ):
-            out.add(v)
+        except Exception:  # noqa: BLE001 - unreadable manifest
+            names = None
+        out.setdefault(v, []).append((p, names))
+    return out
+
+
+def _verified_v2_horizons(log_dir: Path) -> set[int]:
+    """v2 checkpoint versions with a manifest naming only sidecars
+    that exist — a manifest pointing at a vanished sidecar is not
+    covering evidence for cleanup (the reader would refuse on it)."""
+    sc_dir = log_dir / "_sidecars"
+    out: set[int] = set()
+    for v, manifests in _v2_manifests(log_dir).items():
+        for _p, names in manifests:
+            if names is not None and all(
+                (
+                    Path(n)
+                    if "://" in n or n.startswith("/")
+                    else sc_dir / n
+                ).exists()
+                for n in names
+            ):
+                out.add(v)
+                break
     return out
 
 
@@ -856,6 +872,33 @@ def clean_delta_log(
         if p.stat().st_mtime > cutoff:
             continue
         victims.append(str(p))
+    # superseded v2 manifests too — and then any sidecar no SURVIVING
+    # manifest references (superseded-only or crash-orphaned), since a
+    # deleted manifest's sidecars are garbage the moment it goes.
+    # Unreadable manifests are never victims and PIN the whole sidecar
+    # dir (their references are unknowable).
+    v2 = _v2_manifests(log_dir)
+    victim_set = set()
+    unreadable = False
+    for v, manifests in v2.items():
+        for p, names in manifests:
+            if names is None:
+                unreadable = True
+                continue
+            if v < horizon and p.stat().st_mtime <= cutoff:
+                victims.append(str(p))
+                victim_set.add(str(p))
+    sc_dir = log_dir / "_sidecars"
+    if sc_dir.is_dir() and not unreadable:
+        live: set[str] = set()
+        for manifests in v2.values():
+            for p, names in manifests:
+                if str(p) not in victim_set and names:
+                    live.update(names)
+        for sc in sc_dir.glob("*.parquet"):
+            if sc.name in live or sc.stat().st_mtime > cutoff:
+                continue
+            victims.append(str(sc))
     if not dry_run:
         for v in victims:
             Path(v).unlink(missing_ok=True)

@@ -3163,3 +3163,44 @@ def test_delta_stream_cdf_mode(spark, tmp_path):
     with _p.raises(Exception, match="dataChange|STREAM"):
         q2.processAllAvailable()
     q2.stop()
+
+
+def test_clean_delta_log_retires_superseded_v2_checkpoints(
+    spark, tmp_path
+):
+    """A newer v2 checkpoint supersedes the older one: the old
+    manifest AND the sidecars only it referenced age out, while the
+    live checkpoint's sidecars survive; a crash-orphaned sidecar
+    (referenced by nothing) goes too."""
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+        enable_v2_checkpoints,
+        write_delta_checkpoint_v2,
+    )
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sources.delta import delta_data_files
+
+    loc = str(tmp_path / "dt")
+    write_delta_append(
+        spark.createDataFrame([(0,)], "id long").coalesce(1), loc
+    )
+    enable_v2_checkpoints(loc)
+    write_delta_checkpoint_v2(loc)  # v1 checkpoint
+    write_delta_append(
+        spark.createDataFrame([(1,)], "id long").coalesce(1), loc
+    )
+    write_delta_checkpoint_v2(loc)  # v2 checkpoint supersedes
+    log = tmp_path / "dt" / "_delta_log"
+    orphan = log / "_sidecars" / "deadbeef-orphan.parquet"
+    orphan.write_bytes(b"junk")  # crashed write's leftover
+    before = {p.name for p in (log / "_sidecars").iterdir()}
+    assert len(before) == 3
+    victims = clean_delta_log(loc, retention_hours=0, dry_run=False)
+    names = {v.split("/")[-1] for v in victims}
+    assert "deadbeef-orphan.parquet" in names
+    assert any(".checkpoint." in n and n.endswith(".parquet")
+               and n.startswith("00000000000000000001") for n in names)
+    # the live checkpoint's sidecar survives and the table still reads
+    left = {p.name for p in (log / "_sidecars").iterdir()}
+    assert len(left) == 1 and left < before
+    assert len(delta_data_files(loc)) == 2
