@@ -888,12 +888,23 @@ class GlueSparkEngine:
         if travel is not None and ttype not in (
             ETableType.DELTA,
             ETableType.ICEBERG,
+            ETableType.HUDI,
         ):
             raise GlueSparkError(
-                f"VERSION/TIMESTAMP AS OF is supported for DELTA and "
-                f"ICEBERG tables; glue.{tbl.database}.{tbl.name} is "
-                f"{ttype.name}"
+                f"VERSION/TIMESTAMP AS OF is supported for DELTA, "
+                f"ICEBERG, and HUDI tables; "
+                f"glue.{tbl.database}.{tbl.name} is {ttype.name}"
             )
+        if travel is not None and ttype == ETableType.HUDI:
+            # Hudi travel addresses the INSTANT (the timeline's own
+            # identity); TIMESTAMP AS OF would need a wall-clock →
+            # instant mapping the timeline does not record here
+            if travel[0] != "version":
+                raise GlueSparkError(
+                    "Hudi time travel addresses instants: use "
+                    "VERSION AS OF <instant> (TIMESTAMP AS OF has no "
+                    "wall-clock mapping on the timeline)"
+                )
         if ttype == ETableType.HUDI:
             # beyond the reference (which enumerates HUDI but never
             # reads it): COPY_ON_WRITE timeline walk — latest file
@@ -907,19 +918,33 @@ class GlueSparkEngine:
                 hudi_table_schema,
             )
 
+            as_of = int(travel[1]) if travel is not None else None
+
             def _walk_hudi():
                 timeline = _timeline_files(tbl.location, fs=self._fs)
                 if _table_type(timeline) == "MERGE_ON_READ":
                     return ("MOR",) + hudi_mor_scan_info(
-                        tbl.location, fs=self._fs
+                        tbl.location, fs=self._fs,
+                        as_of_instant=as_of,
                     )
                 return (
                     "COW",
-                    hudi_scan_info(tbl.location, fs=self._fs),
-                    hudi_table_schema(tbl.location, fs=self._fs),
+                    hudi_scan_info(
+                        tbl.location, fs=self._fs,
+                        as_of_instant=as_of,
+                    ),
+                    hudi_table_schema(
+                        tbl.location, fs=self._fs,
+                        as_of_instant=as_of,
+                    ),
                 )
 
-            walk = self._format_scan_cached(tbl, _walk_hudi)
+            if travel is not None:
+                # travel states bypass the current-state cache, the
+                # DELTA/ICEBERG posture
+                walk = _walk_hudi()
+            else:
+                walk = self._format_scan_cached(tbl, _walk_hudi)
             if walk[0] == "MOR":
                 from glue_table_cache_spark.sources.hudi_mor import (
                     DEFAULT_RECORD_KEY,

@@ -188,7 +188,8 @@ def avro_schema_for_spark(schema, name: str = "Record") -> dict | None:
 
 
 def hudi_table_schema(
-    location: str, s3_client=None, fs=None
+    location: str, s3_client=None, fs=None,
+    as_of_instant: int | None = None,
 ):
     """The table's scan schema as a Spark ``StructType``: the Avro
     record schema the NEWEST completed instant recorded in
@@ -206,6 +207,8 @@ def hudi_table_schema(
         instants = _completed_instants(names, location)
     except GlueSparkError:
         return None
+    if as_of_instant is not None:
+        instants = [x for x in instants if x[0] <= as_of_instant]
     for _ts, _kind, p in reversed(instants):
         try:
             data = json.loads(_read_bytes(p, s3_client))
@@ -298,15 +301,29 @@ def _table_type(names: list[str], s3_client=None) -> str:
 
 
 def _walk_timeline(
-    location: str, names: list[str], s3_client=None
+    location: str,
+    names: list[str],
+    s3_client=None,
+    as_of_instant: int | None = None,
 ) -> tuple[dict, list]:
     """Replay the completed timeline: ``(slices, logs)`` where
     ``slices`` maps fileId → ``(instant, base_path, partition)`` for
     the newest base slice per live file group and ``logs`` collects
     ``(instant, log_path, fileId, partition)`` write stats.  A
     replacecommit retires a file group's base slice AND its pending
-    logs (clustering rewrote the group's full content)."""
+    logs (clustering rewrote the group's full content).
+    ``as_of_instant`` stops the replay there (time travel) — cleaned
+    file slices make the result unreadable, which surfaces loudly at
+    read, never silently."""
     instants = _completed_instants(names, location)
+    if as_of_instant is not None:
+        instants = [x for x in instants if x[0] <= as_of_instant]
+        if not instants:
+            raise GlueSparkError(
+                f"Hudi instant {as_of_instant} predates the retained "
+                f"timeline of {location!r} — no completed instant at "
+                "or before it"
+            )
     slices: dict[str, tuple[int, str, str]] = {}
     logs: list[tuple[int, str, str, str]] = []
     for ts, kind, p in instants:
@@ -340,6 +357,7 @@ def hudi_scan_info(
     s3_client=None,
     fs=None,
     base_files_only: bool = False,
+    as_of_instant: int | None = None,
 ) -> list[tuple[str, dict]]:
     """``(path, partition_values)`` per active base file — the
     timeline's write stats are keyed by partition path, so hive-style
@@ -368,7 +386,9 @@ def hudi_scan_info(
                 "of their last base write; log updates/deletes "
                 "invisible)"
             )
-    slices, _logs = _walk_timeline(location, names, s3_client)
+    slices, _logs = _walk_timeline(
+        location, names, s3_client, as_of_instant
+    )
     return sorted(
         (
             _resolve_path(location, path),
@@ -382,6 +402,7 @@ def hudi_mor_scan_info(
     location: str,
     s3_client=None,
     fs=None,
+    as_of_instant: int | None = None,
 ) -> tuple[
     list[tuple[str, dict, int]], list[tuple[str, int, dict]]
 ]:
@@ -396,7 +417,9 @@ def hudi_mor_scan_info(
     was replaced (clustering) is gone entirely.  Works for COW tables
     too (``log_entries`` comes back empty)."""
     names = _timeline_files(location, fs=fs)
-    slices, logs = _walk_timeline(location, names, s3_client)
+    slices, logs = _walk_timeline(
+        location, names, s3_client, as_of_instant
+    )
     base_entries = sorted(
         (
             _resolve_path(location, path),

@@ -626,3 +626,74 @@ def test_hudi_log_driven_pruning_without_catalog_keys(spark, tmp_path):
     out = eng.sql("SELECT id FROM glue.db.lp WHERE year = '1996'")
     assert len(out.inputFiles()) == 1  # 1997 file never handed over
     assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_hudi_time_travel_version_as_of(spark, tmp_path):
+    """VERSION AS OF <instant> on a glue-registered Hudi table replays
+    the timeline only to that instant — COW sees the pre-delete state,
+    MOR sees the pre-log state; an instant predating the timeline
+    refuses, as does TIMESTAMP AS OF (no wall-clock mapping)."""
+    import pytest as _p
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        delete_from_hudi,
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    loc = str(tmp_path / "cow")
+    i1 = int(write_hudi_append(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1), loc
+    ))
+    i2, n = delete_from_hudi(spark, loc, "id = 2")
+    assert n == 1
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", loc, parameters={"hoodie.table.name": "t"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ) == [1]
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            f"SELECT id FROM glue.db.t VERSION AS OF {i1}"
+        ).collect()
+    ) == [1, 2]
+    with _p.raises(GlueSparkError, match="predates"):
+        eng.sql(
+            f"SELECT id FROM glue.db.t VERSION AS OF {i1 - 1}"
+        ).collect()
+    with _p.raises(GlueSparkError, match="instants"):
+        eng.sql(
+            "SELECT id FROM glue.db.t TIMESTAMP AS OF '2024-01-01'"
+        ).collect()
+
+    # MOR: travel to the base instant hides the delete log block
+    mloc = str(tmp_path / "mor")
+    m1 = int(write_hudi_append(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+        mloc,
+        table_type="MERGE_ON_READ",
+    ))
+    write_hudi_log(spark, mloc, "id", delete_keys=[2])
+    store.register_parquet_dir(
+        "db", "m", mloc,
+        parameters={
+            "hoodie.table.name": "m",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.m").collect()
+    ) == [1]
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            f"SELECT id FROM glue.db.m VERSION AS OF {m1}"
+        ).collect()
+    ) == [1, 2]
