@@ -55,6 +55,7 @@ class InsertStatement:
     ref: TableReference
     source_text: str  # SELECT/VALUES text, passed to a SELECT wrapper
     columns: tuple[str, ...] = field(default=())  # explicit col list
+    overwrite: bool = False  # INSERT OVERWRITE: atomic full replace
 
 
 @dataclass(frozen=True)
@@ -176,6 +177,9 @@ _DELETE_RE = re.compile(r"DELETE\s+FROM\s+", re.IGNORECASE)
 _UPDATE_RE = re.compile(r"UPDATE\s+", re.IGNORECASE)
 _MERGE_RE = re.compile(r"MERGE\s+INTO\s+", re.IGNORECASE)
 _INSERT_RE = re.compile(r"INSERT\s+INTO\s+", re.IGNORECASE)
+_INSERT_OVER_RE = re.compile(
+    r"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?", re.IGNORECASE
+)
 _OPTIMIZE_RE = re.compile(r"OPTIMIZE\s+", re.IGNORECASE)
 _VACUUM_RE = re.compile(r"VACUUM\s+", re.IGNORECASE)
 _ZORDER_RE = re.compile(
@@ -219,8 +223,10 @@ def parse_dml(sql: str):
         if not pred:
             raise InvalidQueryError("DELETE: empty WHERE predicate")
         return DeleteStatement(ref, _strip_alias_prefix(pred, alias))
-    if _INSERT_RE.match(s):
-        start = _INSERT_RE.match(s).end()
+    ins = _INSERT_RE.match(s) or _INSERT_OVER_RE.match(s)
+    if ins:
+        overwrite = ins.re is _INSERT_OVER_RE
+        start = ins.end()
         got = _parse_ref(s, start)
         if got is None:
             return None
@@ -247,7 +253,7 @@ def parse_dml(sql: str):
                 f"INSERT INTO glue.{ref.database}.{ref.table}: "
                 f"expected SELECT/VALUES/WITH source, got {src[:40]!r}"
             )
-        return InsertStatement(ref, src, cols)
+        return InsertStatement(ref, src, cols, overwrite)
     if _MERGE_RE.match(s):
         return _parse_merge(s)
     if _OPTIMIZE_RE.match(s):

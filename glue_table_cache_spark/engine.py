@@ -194,30 +194,39 @@ class GlueSparkEngine:
         if isinstance(stmt, MaintenanceStatement):
             return self._execute_maintenance(stmt, tbl, loc, qual)
         if isinstance(stmt, InsertStatement):
-            op = "INSERT"
+            op = "INSERT OVERWRITE" if stmt.overwrite else "INSERT"
             # the source resolves through the normal read path (glue
             # refs, temp views, VALUES, subqueries all work); an
             # explicit column list renames positionally — the writers'
             # own schema authority gates the rest
             source = self.sql(f"SELECT * FROM ({stmt.source_text})")
+            # standard INSERT semantics: the source binds to the
+            # table's columns POSITIONALLY (or to the explicit column
+            # list) and implicitly casts to the target column types —
+            # a bare VALUES tuple's col1/col2 names are meaningless
+            target_fields = self.table_dataframe(
+                ref.database, ref.table
+            ).schema.fields
             if stmt.columns:
                 if len(stmt.columns) != len(source.columns):
                     raise GlueSparkError(
-                        f"INSERT INTO {qual}: column list has "
+                        f"{op} {qual}: column list has "
                         f"{len(stmt.columns)} name(s) but the source "
                         f"produces {len(source.columns)} column(s)"
                     )
                 source = source.toDF(*stmt.columns)
-            # standard INSERT semantics: the source implicitly casts
-            # to the target column types (a VALUES int literal lands
-            # in a bigint column); unknown columns pass through so the
-            # writers' schema authority refuses them loudly
-            target = {
-                f.name: f.dataType
-                for f in self.table_dataframe(
-                    ref.database, ref.table
-                ).schema.fields
-            }
+            elif len(source.columns) == len(target_fields):
+                source = source.toDF(
+                    *[f.name for f in target_fields]
+                )
+            else:
+                raise GlueSparkError(
+                    f"{op} {qual}: the source produces "
+                    f"{len(source.columns)} column(s) but the table "
+                    f"has {len(target_fields)} — INSERT binds "
+                    "positionally; pass an explicit column list"
+                )
+            target = {f.name: f.dataType for f in target_fields}
             source = source.select(
                 *[
                     F.col(c).cast(target[c]).alias(c)
@@ -232,24 +241,30 @@ class GlueSparkEngine:
                     write_delta_append,
                 )
 
-                version = write_delta_append(source, loc)
+                version = write_delta_append(
+                    source, loc, overwrite=stmt.overwrite
+                )
             elif ttype == ETableType.ICEBERG:
                 from glue_table_cache_spark.sinks.iceberg_write import (
                     write_iceberg_append,
                 )
 
-                version = write_iceberg_append(source, loc)
+                version = write_iceberg_append(
+                    source, loc, overwrite=stmt.overwrite
+                )
             elif ttype == ETableType.HUDI:
                 from glue_table_cache_spark.sinks.hudi_write import (
                     write_hudi_append,
                 )
 
-                version = write_hudi_append(source, loc)
+                version = write_hudi_append(
+                    source, loc, overwrite=stmt.overwrite
+                )
             else:
-                raise GlueSparkError(f"INSERT INTO {qual}: {fmt_hint}")
+                raise GlueSparkError(f"{op} {qual}: {fmt_hint}")
             self.invalidate_table(ref.database, ref.table)
             return self.spark.createDataFrame(
-                [("INSERT", str(version), 0, n_ins, 0)],
+                [(op, str(version), 0, n_ins, 0)],
                 "operation string, version string, rows_updated long, "
                 "rows_inserted long, rows_deleted long",
             )

@@ -145,10 +145,17 @@ def write_delta_append(
     txn_version: int | None = None,
     checkpoint_interval: int | None = 10,
     merge_schema: bool = False,
+    overwrite: bool = False,
 ) -> int:
     """Append ``df`` to the Delta table at ``location`` (created on
     first write); returns the committed version.  Readers see the
     whole batch or none of it.
+
+    ``overwrite=True`` is INSERT OVERWRITE: the same commit also
+    emits a ``dataChange`` remove for every currently-active file
+    (resolved fresh per attempt, so a concurrent append cannot
+    survive unseen), replacing the table contents atomically — the
+    one-commit replace a drop-and-recreate cannot give readers.
 
     Schema posture: a batch whose columns are a SUBSET of the table
     schema appends fine (readers surface nulls from the authoritative
@@ -329,10 +336,33 @@ def write_delta_append(
                 "commitInfo": {
                     "timestamp": now,
                     "operation": "WRITE",
-                    "operationParameters": {"mode": "Append"},
+                    "operationParameters": {
+                        "mode": "Overwrite" if overwrite else "Append"
+                    },
                 }
             }
         ]
+        if overwrite and version > 0:
+            # fresh per attempt: a file added by a commit that lands
+            # between attempts must be removed too
+            from glue_table_cache_spark.sources.delta import (
+                delta_scan_info,
+            )
+
+            entries, _r = delta_scan_info(location)
+            actions += [
+                {
+                    "remove": {
+                        "path": str(
+                            Path(path).relative_to(base)
+                        ) if str(path).startswith(str(base)) else path,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": pv or {},
+                    }
+                }
+                for path, pv, _dv in entries
+            ]
         if txn_app_id is not None:
             actions.append(
                 {

@@ -103,6 +103,7 @@ def write_hudi_append(
     max_commit_retries: int = 10,
     table_type: str = "COPY_ON_WRITE",
     merge_schema: bool = False,
+    overwrite: bool = False,
 ) -> str:
     """Append ``df`` to the Hudi table at ``location`` (created on
     first write); returns the committed instant timestamp string.
@@ -122,7 +123,17 @@ def write_hudi_append(
     nulls), NEW columns refuse unless ``merge_schema=True`` — and
     always refuse on MERGE_ON_READ tables, whose pending log blocks
     carry their own record schemas that the snapshot merge would have
-    to reconcile — and type changes always refuse."""
+    to reconcile — and type changes always refuse.
+
+    ``overwrite=True`` is INSERT OVERWRITE (Hudi's
+    insert_overwrite_table): the commit publishes as ONE
+    ``replacecommit`` whose ``partitionToReplaceFileIds`` retires
+    every currently-active file group (resolved fresh per attempt)
+    while the write stats introduce the new groups — atomic full
+    replace.  COPY_ON_WRITE only: a MOR table's pending log blocks
+    belong to the retired groups and retire with them, which is
+    exactly the clustering semantic, but refusing keeps the narrower
+    contract explicit."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -208,6 +219,14 @@ def write_hudi_append(
         avro_schema_for_spark,
     )
 
+    if overwrite and effective_type != "COPY_ON_WRITE":
+        for d in moved:
+            d.unlink(missing_ok=True)
+        raise GlueSparkError(
+            "overwrite=True replaces file groups via one "
+            "replacecommit and is COPY_ON_WRITE-only; cluster or "
+            "compact the MOR table first"
+        )
     for _ in range(max_commit_retries):
         # re-resolve the schema against the CURRENT newest instant
         # just before committing (see the schema comment above)
@@ -215,6 +234,24 @@ def write_hudi_append(
             location, df, merge_schema, effective_type
         )
         body: dict = {"partitionToWriteStats": stats_by_part}
+        if overwrite:
+            # fresh per attempt: groups added by commits landing
+            # between attempts must retire too
+            from glue_table_cache_spark.sources.hudi import (
+                _file_id as _hudi_file_id,
+                _timeline_files,
+                _walk_timeline,
+            )
+
+            slices, _logs = _walk_timeline(
+                location, _timeline_files(location)
+            )
+            replace: dict[str, list[str]] = {}
+            for fid, (_ts, _path, part) in slices.items():
+                replace.setdefault(part, []).append(fid)
+            body["partitionToReplaceFileIds"] = {
+                k: sorted(v) for k, v in replace.items()
+            }
         avro = avro_schema_for_spark(
             record_schema,
             name=re.sub(r"\W", "_", base.name) or "Record",
@@ -222,7 +259,8 @@ def write_hudi_append(
         if avro is not None:
             body["extraMetadata"] = {"schema": json.dumps(avro)}
         payload = json.dumps(body)
-        commit = hoodie / f"{instant}.commit"
+        kind = "replacecommit" if overwrite else "commit"
+        commit = hoodie / f"{instant}.{kind}"
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:

@@ -378,6 +378,7 @@ def write_iceberg_append(
     merge_schema: bool = False,
     partition_transforms: dict[str, str] | None = None,
     summary: dict[str, str] | None = None,
+    overwrite: bool = False,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``location`` (created on
     first write); returns the committed sequence number.  Readers see
@@ -407,7 +408,13 @@ def write_iceberg_append(
     checked inside the pinned-commit retry loop so a replay racing a
     live writer still cannot double-publish.  This is what
     :func:`..streaming.iceberg_sink.stream_to_iceberg` builds
-    exactly-once on."""
+    exactly-once on.
+
+    ``overwrite=True`` is INSERT OVERWRITE: the new snapshot's
+    manifest list carries ONLY this batch's manifest — prior data
+    files and delete files alike drop out of the current snapshot
+    atomically (they stay reachable through snapshot history until
+    expiry, Iceberg's own overwrite semantics)."""
     base = Path(location)
     if "://" in location:
         raise GlueSparkError(
@@ -585,7 +592,7 @@ def write_iceberg_append(
         write_avro(
             manifest_list,
             MANIFEST_LIST_SCHEMA,
-            prior_rows + [new_row],
+            ([] if overwrite else prior_rows) + [new_row],
         )
         import time
 
@@ -627,7 +634,10 @@ def write_iceberg_append(
                     **(
                         {
                             "summary": {
-                                "operation": "append",
+                                "operation": (
+                                    "overwrite" if overwrite
+                                    else "append"
+                                ),
                                 **{
                                     k: str(v)
                                     for k, v in summary.items()

@@ -550,3 +550,67 @@ def test_sql_dml_on_hudi_mor(spark, tmp_path):
     assert sorted(
         r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
     ) == [2, 3]
+
+
+def test_sql_insert_overwrite_all_formats(spark, tmp_path):
+    """INSERT OVERWRITE atomically replaces the table contents in all
+    three formats (Delta: removes in the same commit; Iceberg: the
+    snapshot's manifest list carries only the new manifest; Hudi: one
+    replacecommit retiring every active group)."""
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    for fmt, writer, params in (
+        ("delta", write_delta_append,
+         {"spark.sql.sources.provider": "delta"}),
+        ("iceberg", write_iceberg_append, {"table_type": "ICEBERG"}),
+        ("hudi", write_hudi_append, {"hoodie.table.name": "t"}),
+    ):
+        loc = tmp_path / fmt
+        writer(df.coalesce(1), str(loc))
+        writer(df.coalesce(1), str(loc))  # 4 rows total
+        eng = _engine_for(spark, loc, params)
+        assert (
+            eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 4
+        ), fmt
+        out = eng.sql(
+            "INSERT OVERWRITE glue.db.t VALUES (9, 'z')"
+        ).first()
+        assert out.operation == "INSERT OVERWRITE"
+        assert out.rows_inserted == 1
+        got = [
+            (r.id, r.v)
+            for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+        ]
+        assert got == [(9, "z")], fmt
+
+
+def test_delta_insert_overwrite_time_travel(spark, tmp_path):
+    """The pre-overwrite state stays reachable via VERSION AS OF —
+    the replace is one commit, not history loss."""
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    write_delta_append(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+        str(loc),
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    eng.sql("INSERT OVERWRITE glue.db.t VALUES (9)")
+    assert [
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ] == [9]
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.t VERSION AS OF 0"
+        ).collect()
+    ) == [1, 2]
