@@ -491,29 +491,37 @@ def delete_from_hudi(
     instant_tag = _latest_instant(hoodie) + 1
     stats_by_part: dict[str, list[dict]] = {}
     staged: list[str] = []
-    for path in sorted(rewrite):
-        fid = _fid_of(path)
-        part = str(Path(path).parent.relative_to(base))
-        part = "" if part == "." else part
-        kept = spark.read.parquet(path).where(~cond)
-        stage = base / f"_staging_{batch}" / fid
-        kept.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        src = sorted(stage.rglob("part-*.parquet"))[0]
-        name = f"{fid}_0-0-0_{instant_tag}.parquet"
-        rel = f"{part}/{name}" if part else name
-        dest = base / rel
-        dest.parent.mkdir(parents=True, exist_ok=True)
-        src.rename(dest)
-        staged.append(rel)
-        stats_by_part.setdefault(part, []).append(
-            {
-                "fileId": fid,
-                "path": rel,
-                "partitionPath": part,
-                "fileSizeInBytes": dest.stat().st_size,
-            }
+    if rewrite:
+        from glue_table_cache_spark.sources.iceberg import (
+            _strip_scheme,
         )
-    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+
+        fid_part: dict[str, str] = {}
+        for path in rewrite:
+            part = str(Path(path).parent.relative_to(base))
+            fid_part[_fid_of(path)] = "" if part == "." else part
+        # ONE distributed job rewrites every partially-matched group
+        # (surviving rows only), partitionBy("__fid") splitting the
+        # output per group — no per-group job loop
+        out = (
+            spark.read.parquet(*sorted(rewrite))
+            .where(~cond)
+            .select(
+                "*",
+                _strip_scheme(
+                    F.col("_metadata.file_path")
+                ).alias("__sp"),
+            )
+            .join(_fid_map_df(spark, sorted(rewrite)), "__sp")
+            .drop("__sp")
+        )
+        stats, staged = _write_group_slices(
+            spark, base, out, fid_part, batch, instant_tag
+        )
+        for st in stats:
+            stats_by_part.setdefault(
+                st["partitionPath"], []
+            ).append(st)
     replace_by_part: dict[str, list[str]] = {}
     for path in retire:
         part = str(Path(path).parent.relative_to(base))
@@ -549,6 +557,75 @@ def delete_from_hudi(
     raise GlueSparkError(
         f"could not commit DELETE to {location!r} after "
         f"{max_commit_retries} attempts"
+    )
+
+
+def _write_group_slices(
+    spark: SparkSession,
+    base: Path,
+    out,
+    fid_part: dict[str, str],
+    batch: str,
+    instant_tag: int,
+) -> tuple[list[dict], list[str]]:
+    """Write ``out`` (table columns + ``__fid``) as ONE distributed
+    job, one fresh base slice per file group: ``repartition("__fid")``
+    puts each group's rows in exactly one task, ``partitionBy``
+    splits them into per-fid directories, and the driver only renames
+    the finished files into slice names — no per-group job loop, the
+    shape that survives a 1000-group rewrite.  Returns ``(write
+    stats, staged relative paths)``."""
+    from pyspark.sql import functions as F
+
+    stage = base / f"_staging_{batch}"
+    (
+        out.repartition("__fid")
+        .write.partitionBy("__fid")
+        .mode("overwrite")
+        .parquet(str(stage))
+    )
+    stats: list[dict] = []
+    staged: list[str] = []
+    for d in sorted(stage.glob("__fid=*")):
+        fid = d.name.split("=", 1)[1]
+        parts = sorted(d.glob("part-*.parquet"))
+        if len(parts) != 1:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise GlueSparkError(
+                f"group {fid!r} produced {len(parts)} slice files — "
+                "a file group's slice must be one base file"
+            )
+        part = fid_part.get(fid, "")
+        name = f"{fid}_0-0-0_{instant_tag}.parquet"
+        rel = f"{part}/{name}" if part else name
+        dest = base / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        parts[0].rename(dest)
+        staged.append(rel)
+        stats.append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "partitionPath": part,
+                "fileSizeInBytes": dest.stat().st_size,
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return stats, staged
+
+
+def _fid_map_df(spark: SparkSession, paths: list[str]):
+    """Broadcast ``(stripped file path, fileId)`` frame for joining
+    ``_metadata.file_path`` back to its file group."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
+    return F.broadcast(
+        spark.createDataFrame(
+            [(_strip_path(p), _fid_of(p)) for p in paths],
+            "__sp string, __fid string",
+        )
     )
 
 
@@ -638,31 +715,30 @@ def update_hudi(
     batch = uuid.uuid4().hex[:8]
     hoodie = base / ".hoodie"
     instant_tag = _latest_instant(hoodie) + 1
-    stats_by_part: dict[str, list[dict]] = {}
-    staged: list[str] = []
-    for path in sorted(rewrite):
-        fid = _fid_of(path)
+    fid_part: dict[str, str] = {}
+    for path in rewrite:
         part = str(Path(path).parent.relative_to(base))
-        part = "" if part == "." else part
-        out = spark.read.parquet(path).select(*transformed)
-        stage = base / f"_staging_{batch}" / fid
-        out.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        src = sorted(stage.rglob("part-*.parquet"))[0]
-        name = f"{fid}_0-0-0_{instant_tag}.parquet"
-        rel = f"{part}/{name}" if part else name
-        dest = base / rel
-        dest.parent.mkdir(parents=True, exist_ok=True)
-        src.rename(dest)
-        staged.append(rel)
-        stats_by_part.setdefault(part, []).append(
-            {
-                "fileId": fid,
-                "path": rel,
-                "partitionPath": part,
-                "fileSizeInBytes": dest.stat().st_size,
-            }
+        fid_part[_fid_of(path)] = "" if part == "." else part
+    from glue_table_cache_spark.sources.iceberg import _strip_scheme
+
+    # ONE distributed job rewrites every affected group: rows join
+    # back to their file group via the broadcast path→fid map, then
+    # partitionBy("__fid") splits the output per group
+    out = (
+        spark.read.parquet(*sorted(rewrite))
+        .select(
+            *transformed,
+            _strip_scheme(F.col("_metadata.file_path")).alias("__sp"),
         )
-    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
+        .join(_fid_map_df(spark, sorted(rewrite)), "__sp")
+        .drop("__sp")
+    )
+    stats, staged = _write_group_slices(
+        spark, base, out, fid_part, batch, instant_tag
+    )
+    stats_by_part: dict[str, list[dict]] = {}
+    for st in stats:
+        stats_by_part.setdefault(st["partitionPath"], []).append(st)
 
     affected = {str(Path(p)) for p in rewrite}
     payload = json.dumps(
@@ -793,42 +869,54 @@ def merge_into_hudi(
     batch = uuid.uuid4().hex[:8]
     hoodie = base / ".hoodie"
     instant_tag = _latest_instant(hoodie) + 1
-    stats: list[dict] = []
-    staged: list[str] = []
+    from glue_table_cache_spark.sources.iceberg import _strip_scheme
 
-    def _stage(out_df, fid: str) -> None:
-        stage = base / f"_staging_{batch}" / fid
-        out_df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        src = sorted(stage.rglob("part-*.parquet"))[0]
-        name = f"{fid}_0-0-0_{instant_tag}.parquet"
-        dest = base / name
-        src.rename(dest)
-        staged.append(name)
-        stats.append(
-            {
-                "fileId": fid,
-                "path": name,
-                "partitionPath": "",
-                "fileSizeInBytes": dest.stat().st_size,
-            }
+    fid_part = {_fid_of(p): "" for p in rewrite}
+    pieces = []
+    if rewrite:
+        # ONE distributed job for every rewritten group: kept rows
+        # (key not in source) tagged with their group via the
+        # broadcast path→fid map; update rows (source keyed into a
+        # matched group) take the fid of the target row they replace
+        tagged = (
+            spark.read.parquet(*sorted(rewrite))
+            .select(
+                "*",
+                _strip_scheme(
+                    F.col("_metadata.file_path")
+                ).alias("__sp"),
+            )
+            .join(_fid_map_df(spark, sorted(rewrite)), "__sp")
+            .drop("__sp")
         )
-
-    for path in sorted(rewrite):
-        old = spark.read.parquet(path)
-        kept = old.join(src_keys, keys, "left_anti")
-        updates = source.join(
-            F.broadcast(old.select(*keys).distinct()), keys, "semi"
+        kept = tagged.join(src_keys, keys, "left_anti")
+        key_fid = tagged.select(*keys, "__fid").join(src_keys, keys)
+        updates = source.join(key_fid, keys)
+        pieces.append(
+            kept.select(*df.columns, "__fid").unionByName(
+                updates.select(*df.columns, "__fid")
+            )
         )
-        _stage(kept.unionByName(updates), _fid_of(path))
     inserts = source.join(
         df.select(*keys).distinct(), keys, "left_anti"
     )
     n_inserted = inserts.count()
     if n_inserted:
-        _stage(inserts, f"mrg-{batch}")
-    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
-    if not stats:
+        new_fid = f"mrg-{batch}"
+        fid_part[new_fid] = ""
+        pieces.append(
+            inserts.select(
+                *df.columns, F.lit(new_fid).alias("__fid")
+            )
+        )
+    if not pieces:
         return None, 0, 0
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    stats, staged = _write_group_slices(
+        spark, base, out, fid_part, batch, instant_tag
+    )
 
     affected = {str(Path(p)) for p in rewrite}
     payload = json.dumps(
