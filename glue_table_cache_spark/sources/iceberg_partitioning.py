@@ -103,24 +103,48 @@ def parse_transform(s: str) -> tuple[str | None, int | None]:
 
 
 def iceberg_partition_fields(meta: dict) -> list[dict]:
-    """The DEFAULT partition spec as
+    """Partition fields usable for PRUNING as
     ``[{"name", "transform", "source"}]`` with ``source`` resolved to
     the column name through the current schema's field ids; ``[]``
     for unpartitioned tables or metadata without specs (the v1
-    singular ``partition-spec`` list is accepted too)."""
+    singular ``partition-spec`` list is accepted too).
+
+    Fields are unioned across EVERY spec the table has ever used —
+    partition-spec EVOLUTION support.  A data file's manifest tuple is
+    keyed by the field names of the spec it was written under, and a
+    name absent from a file's tuple evaluates Unknown (keep) in the
+    three-valued tree, so deriving predicates for old-spec fields
+    prunes old-spec files without ever touching files written under a
+    different spec.  Two guards keep that sound:
+
+    * a name carrying CONFLICTING meanings across specs (different
+      transform or different source column) is dropped entirely — its
+      tuple values are ambiguous across file generations, and pruning
+      on them could drop a matching file;
+    * ``void`` replacements (v1 spec evolution overwrites a removed
+      field in place, keeping the name with transform ``void``) do NOT
+      conflict with the original transform: void-era files store null
+      for the field, which coerces to Unknown under any derivation, so
+      the original transform's derivation stays sound for the old
+      files it was written for.
+
+    Ordering: the default spec's fields first (unchanged
+    single-spec behavior), then older/other specs' extras in spec
+    order."""
     from glue_table_cache_spark.sources.iceberg import _current_schema
 
     specs = meta.get("partition-specs") or []
-    fields = None
+    field_lists: list[list[dict]] = []
     if specs:
         sid = meta.get("default-spec-id", 0)
-        spec = next(
+        default = next(
             (s for s in specs if s.get("spec-id") == sid), specs[-1]
         )
-        fields = spec.get("fields")
+        ordered = [default] + [s for s in specs if s is not default]
+        field_lists = [s.get("fields") or [] for s in ordered]
     elif meta.get("partition-spec"):
-        fields = meta["partition-spec"]
-    if not fields:
+        field_lists = [meta["partition-spec"]]
+    if not any(field_lists):
         return []
     schema = _current_schema(meta) or {}
     names_by_id = {
@@ -128,16 +152,33 @@ def iceberg_partition_fields(meta: dict) -> list[dict]:
         for f in schema.get("fields", [])
         if "id" in f and "name" in f
     }
-    out = []
-    for f in fields:
-        out.append(
-            {
-                "name": f.get("name"),
-                "transform": f.get("transform"),
-                "source": names_by_id.get(f.get("source-id")),
-            }
-        )
-    return [f for f in out if f["name"] and f["source"]]
+    out: list[dict] = []
+    #: name → (kind, param, source) of the first NON-void meaning seen
+    meaning: dict[str, tuple] = {}
+    conflicted: set[str] = set()
+    for fields in field_lists:
+        for f in fields:
+            name = f.get("name")
+            source = names_by_id.get(f.get("source-id"))
+            if not name or not source:
+                continue
+            kind, param = parse_transform(f.get("transform"))
+            if kind == "void":
+                continue  # null tuple values: nothing to derive
+            key = (kind, param, source)
+            if name in meaning:
+                if meaning[name] != key:
+                    conflicted.add(name)
+                continue  # exact duplicate across specs
+            meaning[name] = key
+            out.append(
+                {
+                    "name": name,
+                    "transform": f.get("transform"),
+                    "source": source,
+                }
+            )
+    return [f for f in out if f["name"] not in conflicted]
 
 
 # -- the spec's bucket hash (murmur3_x86_32, Appendix B) ------------------

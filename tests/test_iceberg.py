@@ -798,6 +798,137 @@ def test_engine_hidden_partition_pruning(spark, tmp_path):
     assert sorted(r.id for r in out2.collect()) == [35, 40]
 
 
+def test_partition_fields_union_across_specs():
+    """Spec EVOLUTION: pruning fields are the union of every spec the
+    table has used — old-spec files carry old-spec names in their
+    manifest tuples, and a missing name is Unknown (keep), so deriving
+    for all specs prunes every file generation.  Names with
+    conflicting meanings are dropped; v1 ``void`` replacements do not
+    conflict (void-era tuple values are null → Unknown)."""
+    from glue_table_cache_spark.sources.iceberg_partitioning import (
+        iceberg_partition_fields,
+    )
+
+    meta = {
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "type": "long"},
+                    {"id": 2, "name": "ts", "type": "timestamp"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "default-spec-id": 1,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "ts_month", "transform": "month",
+                     "source-id": 2, "field-id": 1000},
+                ],
+            },
+            {
+                "spec-id": 1,
+                "fields": [
+                    {"name": "ts_day", "transform": "day",
+                     "source-id": 2, "field-id": 1001},
+                ],
+            },
+        ],
+    }
+    fields = iceberg_partition_fields(meta)
+    # default spec first, then the old spec's extra field
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("ts_day", "day"), ("ts_month", "month"),
+    ]
+    # conflicting meaning for one name → that name is dropped, the
+    # rest survive
+    meta["partition-specs"][0]["fields"].append(
+        {"name": "ts_day", "transform": "hour", "source-id": 2,
+         "field-id": 1002}
+    )
+    fields = iceberg_partition_fields(meta)
+    assert [f["name"] for f in fields] == ["ts_month"]
+    # a v1 void replacement of the same name is NOT a conflict
+    meta["partition-specs"][0]["fields"][-1]["transform"] = "void"
+    fields = iceberg_partition_fields(meta)
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("ts_day", "day"), ("ts_month", "month"),
+    ]
+    # exact duplicate across specs dedups
+    meta["partition-specs"][0]["fields"][-1] = {
+        "name": "ts_day", "transform": "day", "source-id": 2,
+        "field-id": 1002,
+    }
+    fields = iceberg_partition_fields(meta)
+    assert [f["name"] for f in fields] == ["ts_day", "ts_month"]
+
+
+def test_engine_prunes_across_evolved_specs(spark, tmp_path):
+    """End-to-end spec evolution: a file written under the OLD
+    month-transform spec and a file under the NEW day-transform spec
+    both prune from one predicate on the source column, and results
+    stay exact."""
+    import datetime as dt
+
+    store = LocalMetadataStore()
+    nov = spark.createDataFrame(
+        [(34, dt.datetime(2017, 11, 16, 10, 0, 0)),
+         (35, dt.datetime(2017, 11, 16, 11, 0, 0))],
+        "id long, ts timestamp",
+    )
+    dec = spark.createDataFrame(
+        [(40, dt.datetime(2017, 12, 1, 9, 0, 0))],
+        "id long, ts timestamp",
+    )
+    base = build_iceberg_table(
+        tmp_path / "evo",
+        [
+            # written while spec-0 (month) was current: tuple keyed
+            # ts_month; 2017-11 → (2017-1970)*12 + 10 = 574
+            {"add": nov, "partition": {"ts_month": "574"}},
+            # written under the NEW day spec: 2017-12-01 → 17501
+            {"add": dec, "partition": {"ts_day": "17501"}},
+        ],
+        partition_specs=[
+            {
+                "spec-id": 1,
+                "fields": [
+                    {"name": "ts_day", "transform": "day",
+                     "source-id": 2, "field-id": 1001},
+                ],
+            },
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "ts_month", "transform": "month",
+                     "source-id": 2, "field-id": 1000},
+                ],
+            },
+        ],
+    )
+    store.register_parquet_dir(
+        "db", "evo", str(base), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    # prunes the OLD-spec November file via its month tuple
+    out = eng.sql(
+        "SELECT id FROM glue.db.evo "
+        "WHERE ts >= TIMESTAMP '2017-12-01 00:00:00'"
+    )
+    assert len(out.inputFiles()) == 1
+    assert sorted(r.id for r in out.collect()) == [40]
+    # prunes the NEW-spec December file via its day tuple
+    out2 = eng.sql(
+        "SELECT id FROM glue.db.evo "
+        "WHERE ts <= TIMESTAMP '2017-11-30 00:00:00'"
+    )
+    assert len(out2.inputFiles()) == 1
+    assert sorted(r.id for r in out2.collect()) == [34, 35]
+
+
 def test_iceberg_timestamp_without_zone_maps_to_ntz():
     """Spec: 'timestamp' is zoneless, only 'timestamptz' is an
     instant.  Mapping both to session-zone TimestampType would shift
