@@ -45,6 +45,52 @@ def _latest_instant(hoodie: Path) -> int:
     return latest
 
 
+def _last_txn(location: str, app_id: str) -> tuple[int, str] | None:
+    """``(version, instant)`` of the highest ``txn-version`` recorded
+    for ``app_id`` across the timeline's COMPLETED instants'
+    ``extraMetadata`` — the Hudi home for writer checkpoints (real
+    Hudi streams store their source checkpoints in commit metadata the
+    same way).  Commit bodies that are not JSON maps are skipped:
+    they cannot carry our marker."""
+    hoodie = Path(location) / ".hoodie"
+    if not hoodie.is_dir():
+        return None
+    best: tuple[int, str] | None = None
+    for p in sorted(hoodie.iterdir()):
+        if p.suffix not in (".commit", ".deltacommit", ".replacecommit"):
+            continue
+        try:
+            body = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        extra = (
+            body.get("extraMetadata")
+            if isinstance(body, dict)
+            else None
+        ) or {}
+        if extra.get("txn-app-id") != app_id:
+            continue
+        try:
+            v = int(extra["txn-version"])
+        except (KeyError, ValueError):
+            continue
+        if best is None or v > best[0]:
+            best = (v, p.stem)
+    return best
+
+
+def hudi_last_txn_version(location: str, app_id: str) -> int | None:
+    """Exactly-once helper (the Hudi sibling of
+    ``iceberg_last_txn_version``): the highest committed
+    ``txn-version`` for ``app_id`` at ``location``, or ``None`` if the
+    app never committed.  Retention caveat: the marker lives in
+    timeline commit files, so archiving/cleaning the timeline past the
+    longest possible stream outage loses a restarted query's
+    high-water mark."""
+    last = _last_txn(location, app_id)
+    return None if last is None else last[0]
+
+
 def _resolve_record_schema(
     location: str, df: DataFrame, merge_schema: bool,
     effective_type: str,
@@ -104,10 +150,21 @@ def write_hudi_append(
     table_type: str = "COPY_ON_WRITE",
     merge_schema: bool = False,
     overwrite: bool = False,
+    extra_metadata: dict[str, str] | None = None,
 ) -> str:
     """Append ``df`` to the Hudi table at ``location`` (created on
     first write); returns the committed instant timestamp string.
     Readers see the whole batch or none of it.
+
+    ``extra_metadata`` merges into the commit's ``extraMetadata`` map
+    (Hudi's home for writer-owned metadata; the ``schema`` key is
+    reserved for the table schema and refuses).  The reserved pair
+    ``txn-app-id`` + ``txn-version`` makes the append IDEMPOTENT for
+    exactly-once streaming: if a completed instant already records
+    ``txn-version >= version`` for the app, the call no-ops and
+    returns that instant — checked BEFORE staging (a replay writes no
+    files) and again inside the commit retry loop (a replay racing a
+    live writer cannot double-publish).
 
     ``table_type`` applies on CREATION only: base-file appends (new
     file groups) are legal in both layouts, and a MERGE_ON_READ table
@@ -179,6 +236,23 @@ def write_hudi_append(
             effective_type = m.group(1).upper()
     _resolve_record_schema(location, df, merge_schema, effective_type)
 
+    txn_app = (extra_metadata or {}).get("txn-app-id")
+    txn_ver = (extra_metadata or {}).get("txn-version")
+    if (txn_app is None) != (txn_ver is None):
+        raise GlueSparkError(
+            "extra_metadata txn-app-id and txn-version must be "
+            "passed together"
+        )
+    if extra_metadata and "schema" in extra_metadata:
+        raise GlueSparkError(
+            "extraMetadata key 'schema' is reserved for the table "
+            "schema this commit records"
+        )
+    if txn_app is not None:
+        last = _last_txn(location, txn_app)
+        if last is not None and last[0] >= int(txn_ver):
+            return last[1]  # replay of a committed batch: no-op
+
     instant = max(
         int(time.strftime("%Y%m%d%H%M%S", time.gmtime())),
         _latest_instant(hoodie) + 1,
@@ -228,6 +302,16 @@ def write_hudi_append(
             "compact the MOR table first"
         )
     for _ in range(max_commit_retries):
+        # re-check the txn marker against the CURRENT timeline: a
+        # replay racing the live writer must not double-publish.  The
+        # staged files are already moved (uncommitted — never
+        # scanned); unlink them so the no-op leaves no litter.
+        if txn_app is not None:
+            last = _last_txn(location, txn_app)
+            if last is not None and last[0] >= int(txn_ver):
+                for d in moved:
+                    d.unlink(missing_ok=True)
+                return last[1]
         # re-resolve the schema against the CURRENT newest instant
         # just before committing (see the schema comment above)
         record_schema = _resolve_record_schema(
@@ -258,6 +342,8 @@ def write_hudi_append(
         )
         if avro is not None:
             body["extraMetadata"] = {"schema": json.dumps(avro)}
+        if extra_metadata:
+            body.setdefault("extraMetadata", {}).update(extra_metadata)
         payload = json.dumps(body)
         kind = "replacecommit" if overwrite else "commit"
         commit = hoodie / f"{instant}.{kind}"

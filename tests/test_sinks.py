@@ -3091,6 +3091,128 @@ def test_iceberg_stream_sink_exactly_once_end_to_end(spark, tmp_path):
     assert meta["last-sequence-number"] == seq_before
 
 
+def test_hudi_stream_sink_exactly_once_end_to_end(spark, tmp_path):
+    """delta_lite source -> stream_to_hudi sink (the third format's
+    sink, completing the 3x3 source/sink matrix): appends land while
+    the stream runs, a restart with the same checkpoint appends only
+    new batches, and a forced replay of an already-committed batch
+    no-ops via the commit extraMetadata txn marker — exactly-once end
+    to end, one instant per epoch."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        hudi_last_txn_version,
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_data_files
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+    from glue_table_cache_spark.streaming.hudi_sink import (
+        stream_to_hudi,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    write_delta_append(
+        spark.range(0, 5).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+
+    def start():
+        return stream_to_hudi(
+            read_delta_stream(spark, src), dst, ck, app_id="pipe"
+        )
+
+    q = start()
+    q.processAllAvailable()
+    write_delta_append(
+        spark.range(5, 8).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*hudi_data_files(dst)).collect()
+    )
+    assert got == list(range(8))
+
+    # restart with the same checkpoint; only NEW data flows
+    write_delta_append(
+        spark.range(8, 10).selectExpr("id", "cast(id as string) as s"),
+        src,
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*hudi_data_files(dst)).collect()
+    )
+    assert got == list(range(10))
+
+    # forced crash-replay of the last batch id: extraMetadata-marker
+    # no-op, no new instant, no leftover data files
+    from pathlib import Path as _Path
+
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    last = hudi_last_txn_version(dst, "pipe")
+    assert last is not None
+    hoodie = _Path(dst) / ".hoodie"
+    commits_before = sorted(
+        p.name for p in hoodie.iterdir() if p.suffix == ".commit"
+    )
+    files_before = set(hudi_data_files(dst))
+    replay_instant = write_hudi_append(
+        spark.range(8, 10).selectExpr("id", "cast(id as string) as s"),
+        dst,
+        extra_metadata={"txn-app-id": "pipe", "txn-version": str(last)},
+    )
+    assert replay_instant == commits_before[-1].split(".")[0]
+    commits_after = sorted(
+        p.name for p in hoodie.iterdir() if p.suffix == ".commit"
+    )
+    assert commits_after == commits_before
+    assert set(hudi_data_files(dst)) == files_before
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*hudi_data_files(dst)).collect()
+    )
+    assert got == list(range(10))
+    # a NEW version still publishes; half-open pair refuses
+    write_hudi_append(
+        spark.range(10, 11).selectExpr(
+            "id", "cast(id as string) as s"
+        ),
+        dst,
+        extra_metadata={
+            "txn-app-id": "pipe",
+            "txn-version": str(last + 1),
+        },
+    )
+    assert hudi_last_txn_version(dst, "pipe") == last + 1
+    with pytest.raises(GlueSparkError, match="together"):
+        write_hudi_append(
+            spark.range(0, 1).selectExpr(
+                "id", "cast(id as string) as s"
+            ),
+            dst,
+            extra_metadata={"txn-app-id": "pipe"},
+        )
+    with pytest.raises(GlueSparkError, match="reserved"):
+        write_hudi_append(
+            spark.range(0, 1).selectExpr(
+                "id", "cast(id as string) as s"
+            ),
+            dst,
+            extra_metadata={"schema": "{}"},
+        )
+
+
 def test_delta_stream_cdf_mode(spark, tmp_path):
     """readChangeFeed=true streams CHANGE rows: a mid-stream DELETE
     (full-file removes) arrives as delete rows downstream instead of
