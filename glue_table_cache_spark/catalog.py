@@ -242,6 +242,14 @@ class LocalMetadataStore:
     ) -> None:
         self._partitions[f"{database}.{table}".lower()] = listing
 
+    def unregister_table(self, database: str, table: str) -> None:
+        """Drop the catalog entry (and any registered partitions).
+        Missing tables are a no-op — callers decide whether absence
+        is an error."""
+        key = f"{database}.{table}".lower()
+        self._tables.pop(key, None)
+        self._partitions.pop(key, None)
+
     def get_partitions(self, database: str, table: str) -> PartitionListing:
         """Registered partitions, or an empty listing (the reference's
         GetPartitions returns ``{keys: [], values: []}`` when the API

@@ -99,6 +99,11 @@ class EngineConfig:
     #: backoff bounds in seconds (reference: 200–500 ms)
     retry_min_backoff_s: float = 0.2
     retry_max_backoff_s: float = 0.5
+    #: base directory for tables created by ``CREATE TABLE ... AS``
+    #: without an explicit ``LOCATION`` clause (the new table lands at
+    #: ``<warehouse_dir>/<database>/<table>``); ``None`` makes
+    #: location-less CTAS refuse
+    warehouse_dir: str | None = None
 
     def __post_init__(self) -> None:
         if self.proxy_address is not None:

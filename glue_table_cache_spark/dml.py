@@ -72,6 +72,42 @@ class MaintenanceStatement:
 
 
 @dataclass(frozen=True)
+class CreateTableStatement:
+    """``CREATE TABLE [IF NOT EXISTS] glue.db.t [USING fmt]
+    [PARTITIONED BY (a, b)] [LOCATION '<path>'] AS <select>`` — CTAS
+    into a NEW catalog entry, written through the format's writer
+    (``fmt`` ∈ DELTA | ICEBERG | HUDI | PARQUET, default PARQUET)."""
+
+    ref: TableReference
+    source_text: str  # the AS operand, passed to a SELECT wrapper
+    using: str = "PARQUET"
+    partition_by: tuple[str, ...] = field(default=())
+    location: str | None = None
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class AlterTableStatement:
+    """``ALTER TABLE glue.db.t ADD COLUMNS (a INT, b STRING)`` —
+    schema evolution as a schema-only commit through the format
+    writer.  ``columns_ddl`` is the raw inner text, parsed by Spark's
+    own DDL parser at execution time."""
+
+    ref: TableReference
+    columns_ddl: str
+
+
+@dataclass(frozen=True)
+class DropTableStatement:
+    """``DROP TABLE [IF EXISTS] glue.db.t`` — unregisters the catalog
+    entry; data files are NOT deleted (Glue tables are external —
+    dropping the catalog entry never owns the storage)."""
+
+    ref: TableReference
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
 class UpdateStatement:
     ref: TableReference
     set_exprs: dict[str, str]
@@ -188,6 +224,25 @@ _ZORDER_RE = re.compile(
 _RETAIN_RE = re.compile(
     r"\s*RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+HOURS?\s*$", re.IGNORECASE
 )
+_CREATE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?", re.IGNORECASE
+)
+_DROP_RE = re.compile(
+    r"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?", re.IGNORECASE
+)
+_CTAS_USING_RE = re.compile(
+    r"USING\s+(?P<fmt>\w+)\s*", re.IGNORECASE
+)
+_PARTED_RE = re.compile(
+    r"PARTITIONED\s+BY\s*\(\s*(?P<cols>[^)]+)\)\s*", re.IGNORECASE
+)
+_LOCATION_RE = re.compile(
+    r"LOCATION\s+'(?P<path>[^']*)'\s*", re.IGNORECASE
+)
+_AS_RE = re.compile(r"AS\b\s*", re.IGNORECASE)
+_CTAS_FORMATS = ("PARQUET", "DELTA", "ICEBERG", "HUDI")
+_ALTER_RE = re.compile(r"ALTER\s+TABLE\s+", re.IGNORECASE)
+_ADD_COLS_RE = re.compile(r"ADD\s+COLUMNS?\s*\(", re.IGNORECASE)
 _WHERE_RE = re.compile(r"\s*WHERE\s+", re.IGNORECASE)
 _SET_RE = re.compile(r"\s*SET\s+", re.IGNORECASE)
 _USING_RE = re.compile(r"\s*USING\s+", re.IGNORECASE)
@@ -203,6 +258,120 @@ def parse_dml(sql: str):
     statement that IS glue DML but malformed raises
     :class:`InvalidQueryError` with what was expected."""
     s = _strip_leading_trivia(sql)
+    if _CREATE_RE.match(s):
+        m = _CREATE_RE.match(s)
+        got = _parse_ref(s, m.end())
+        if got is None:
+            return None  # CREATE TABLE on a non-glue name
+        ref, pos = got
+        ine = m.group("ine") is not None
+        using = "PARQUET"
+        part: tuple[str, ...] = ()
+        location = None
+        rest = s[pos:].lstrip()
+        while True:
+            am = _AS_RE.match(rest)
+            if am:
+                src = _trim_stmt(rest[am.end():])
+                if not re.match(
+                    r"(?:SELECT|VALUES|WITH|TABLE)\b|\(",
+                    src,
+                    re.IGNORECASE,
+                ):
+                    raise InvalidQueryError(
+                        f"CREATE TABLE glue.{ref.database}."
+                        f"{ref.table}: expected SELECT/VALUES/WITH "
+                        f"after AS, got {src[:40]!r}"
+                    )
+                return CreateTableStatement(
+                    ref, src, using, part, location, ine
+                )
+            um = _CTAS_USING_RE.match(rest)
+            if um:
+                using = um.group("fmt").upper()
+                if using not in _CTAS_FORMATS:
+                    raise InvalidQueryError(
+                        f"CREATE TABLE ... USING {using}: supported "
+                        f"formats are {', '.join(_CTAS_FORMATS)}"
+                    )
+                rest = rest[um.end():].lstrip()
+                continue
+            pm = _PARTED_RE.match(rest)
+            if pm:
+                part = tuple(
+                    _unquote(c.strip())
+                    for c in pm.group("cols").split(",")
+                    if c.strip()
+                )
+                rest = rest[pm.end():].lstrip()
+                continue
+            lm = _LOCATION_RE.match(rest)
+            if lm:
+                location = lm.group("path")
+                rest = rest[lm.end():].lstrip()
+                continue
+            raise InvalidQueryError(
+                f"CREATE TABLE glue.{ref.database}.{ref.table}: "
+                "expected USING <fmt>, PARTITIONED BY (cols), "
+                f"LOCATION '<path>', or AS <select>; got "
+                f"{rest[:40]!r} (column-definition DDL is not "
+                "supported — use CTAS)"
+            )
+    if _ALTER_RE.match(s):
+        m = _ALTER_RE.match(s)
+        got = _parse_ref(s, m.end())
+        if got is None:
+            return None  # ALTER on a non-glue name: Spark's problem
+        ref, pos = got
+        rest = s[pos:].lstrip()
+        am = _ADD_COLS_RE.match(rest)
+        if not am:
+            raise InvalidQueryError(
+                f"ALTER TABLE glue.{ref.database}.{ref.table}: only "
+                f"ADD COLUMNS (<name> <type>, ...) is supported; got "
+                f"{rest[:40]!r}"
+            )
+        # balanced-paren scan: column types can carry parens
+        # (DECIMAL(10,2)); nested STRUCT/ARRAY/MAP use angle
+        # brackets and don't affect depth
+        depth = 1
+        i = am.end()
+        while i < len(rest) and depth:
+            if rest[i] == "(":
+                depth += 1
+            elif rest[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise InvalidQueryError(
+                "ALTER TABLE ... ADD COLUMNS: unterminated column "
+                "list"
+            )
+        inner = rest[am.end(): i - 1].strip()
+        if not inner:
+            raise InvalidQueryError(
+                "ALTER TABLE ... ADD COLUMNS: empty column list"
+            )
+        trailing = _trim_stmt(rest[i:])
+        if trailing:
+            raise InvalidQueryError(
+                f"ALTER TABLE glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {trailing[:40]!r}"
+            )
+        return AlterTableStatement(ref, inner)
+    if _DROP_RE.match(s):
+        m = _DROP_RE.match(s)
+        got = _parse_ref(s, m.end())
+        if got is None:
+            return None
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"DROP TABLE glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {rest[:40]!r}"
+            )
+        return DropTableStatement(ref, m.group("ie") is not None)
     if _DELETE_RE.match(s):
         start = _DELETE_RE.match(s).end()
         got = _parse_ref(s, start)

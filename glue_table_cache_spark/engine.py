@@ -168,7 +168,10 @@ class GlueSparkEngine:
         — writers are externally-visible state changes, the one case
         the reference's ``invalidateTable`` exists for."""
         from glue_table_cache_spark.dml import (
+            AlterTableStatement,
+            CreateTableStatement,
             DeleteStatement,
+            DropTableStatement,
             InsertStatement,
             MaintenanceStatement,
             MergeStatement,
@@ -176,6 +179,12 @@ class GlueSparkEngine:
         )
 
         ref = stmt.ref
+        # DDL resolves (or intentionally fails to resolve) the table
+        # itself — dispatch before the existence lookup below
+        if isinstance(stmt, CreateTableStatement):
+            return self._execute_create(stmt)
+        if isinstance(stmt, DropTableStatement):
+            return self._execute_drop(stmt)
         tbl = self.get_table_metadata_cached(ref.database, ref.table)
         if not tbl.location:
             raise NoStorageLocationError(tbl.database, tbl.name)
@@ -193,6 +202,42 @@ class GlueSparkEngine:
         n_upd = n_ins = n_del = 0
         if isinstance(stmt, MaintenanceStatement):
             return self._execute_maintenance(stmt, tbl, loc, qual)
+        if isinstance(stmt, AlterTableStatement):
+            from pyspark.sql.types import StructType
+
+            try:
+                cols = StructType.fromDDL(stmt.columns_ddl)
+            except Exception as e:
+                raise GlueSparkError(
+                    f"ALTER TABLE {qual}: invalid column list "
+                    f"{stmt.columns_ddl!r} ({e})"
+                ) from None
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_write import (
+                    alter_delta_add_columns,
+                )
+
+                version = alter_delta_add_columns(loc, cols)
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_write import (
+                    alter_iceberg_add_columns,
+                )
+
+                version = alter_iceberg_add_columns(loc, cols)
+            elif ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sinks.hudi_write import (
+                    alter_hudi_add_columns,
+                )
+
+                version = alter_hudi_add_columns(loc, cols)
+            else:
+                raise GlueSparkError(f"ALTER TABLE {qual}: {fmt_hint}")
+            self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [("ADD COLUMNS", str(version), 0, 0, 0)],
+                "operation string, version string, rows_updated long, "
+                "rows_inserted long, rows_deleted long",
+            )
         if isinstance(stmt, InsertStatement):
             op = "INSERT OVERWRITE" if stmt.overwrite else "INSERT"
             # the source resolves through the normal read path (glue
@@ -486,6 +531,158 @@ class GlueSparkEngine:
             self.spark, loc, key, upserts=transformed
         )
         return instant, int(n)
+
+    def _execute_create(self, stmt) -> DataFrame:
+        """CTAS: evaluate the source through the normal read path,
+        write it via the chosen format's writer, register the new
+        table in the metadata store.  The store must be writable
+        (``register_table``) — read-only stores refuse.  Location is
+        the explicit ``LOCATION`` clause or
+        ``<warehouse_dir>/<db>/<table>``."""
+        import os
+
+        from glue_table_cache_spark.catalog import PartitionKey
+        from glue_table_cache_spark.errors import TableNotFoundError
+
+        ref = stmt.ref
+        qual = f"glue.{ref.database}.{ref.table}"
+        if not callable(getattr(self.store, "register_table", None)):
+            raise GlueSparkError(
+                f"CREATE TABLE {qual}: the metadata store is "
+                "read-only (no register_table)"
+            )
+        try:
+            self.store.get_table(ref.database, ref.table)
+            exists = True
+        except TableNotFoundError:
+            exists = False
+        if exists:
+            if stmt.if_not_exists:
+                return self.spark.createDataFrame(
+                    [("CREATE TABLE", None, 0, 0, 0)],
+                    "operation string, version string, "
+                    "rows_updated long, rows_inserted long, "
+                    "rows_deleted long",
+                )
+            raise GlueSparkError(
+                f"CREATE TABLE {qual}: table already exists "
+                "(use IF NOT EXISTS)"
+            )
+        loc = stmt.location
+        if loc is None:
+            if not self.config.warehouse_dir:
+                raise GlueSparkError(
+                    f"CREATE TABLE {qual}: no LOCATION clause and no "
+                    "warehouse_dir configured"
+                )
+            loc = os.path.join(
+                self.config.warehouse_dir, ref.database, ref.table
+            )
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        source = self.sql(f"SELECT * FROM ({stmt.source_text})")
+        missing = [
+            c for c in stmt.partition_by if c not in source.columns
+        ]
+        if missing:
+            raise GlueSparkError(
+                f"CREATE TABLE {qual}: PARTITIONED BY column(s) "
+                f"{missing} not produced by the source "
+                f"(columns: {source.columns})"
+            )
+        part = list(stmt.partition_by) or None
+        n_ins = source.count()
+        version: object = None
+        params: dict[str, str] = {}
+        keys: list[PartitionKey] = []
+        if stmt.using == "DELTA":
+            from glue_table_cache_spark.sinks.delta_write import (
+                write_delta_append,
+            )
+
+            version = write_delta_append(source, loc, partition_by=part)
+            params = {"spark.sql.sources.provider": "delta"}
+        elif stmt.using == "ICEBERG":
+            from glue_table_cache_spark.sinks.iceberg_write import (
+                write_iceberg_append,
+            )
+
+            version = write_iceberg_append(
+                source, loc, partition_by=part
+            )
+            params = {"table_type": "ICEBERG"}
+        elif stmt.using == "HUDI":
+            from glue_table_cache_spark.sinks.hudi_write import (
+                write_hudi_append,
+            )
+
+            version = write_hudi_append(source, loc, partition_by=part)
+            params = {"hoodie.table.name": ref.table}
+        else:  # PARQUET: plain hive-style directory
+            writer = source.write.mode("errorifexists")
+            if part:
+                writer = writer.partitionBy(*part)
+            writer.parquet(loc)
+            # register the partition columns so the HIVE listing path
+            # prunes them (values are directory strings — the typed
+            # extractors coerce at predicate time)
+            keys = [PartitionKey(c) for c in stmt.partition_by]
+        self.store.register_table(
+            CatalogTable(
+                database=ref.database,
+                name=ref.table,
+                location=loc,
+                partition_keys=keys,
+                parameters=params,
+            )
+        )
+        self.invalidate_table(ref.database, ref.table)
+        return self.spark.createDataFrame(
+            [
+                (
+                    "CREATE TABLE",
+                    None if version is None else str(version),
+                    0,
+                    int(n_ins),
+                    0,
+                )
+            ],
+            "operation string, version string, rows_updated long, "
+            "rows_inserted long, rows_deleted long",
+        )
+
+    def _execute_drop(self, stmt) -> DataFrame:
+        """DROP TABLE: unregister the catalog entry and drop cached
+        metadata.  Data files are NOT deleted — Glue tables are
+        external; the catalog entry never owns the storage (use
+        VACUUM / the format cleaners for file retirement)."""
+        from glue_table_cache_spark.errors import TableNotFoundError
+
+        ref = stmt.ref
+        qual = f"glue.{ref.database}.{ref.table}"
+        if not callable(getattr(self.store, "unregister_table", None)):
+            raise GlueSparkError(
+                f"DROP TABLE {qual}: the metadata store is "
+                "read-only (no unregister_table)"
+            )
+        try:
+            self.store.get_table(ref.database, ref.table)
+        except TableNotFoundError:
+            if stmt.if_exists:
+                return self.spark.createDataFrame(
+                    [("DROP TABLE", None, 0, 0, 0)],
+                    "operation string, version string, "
+                    "rows_updated long, rows_inserted long, "
+                    "rows_deleted long",
+                )
+            raise
+        self.store.unregister_table(ref.database, ref.table)
+        self.invalidate_table(ref.database, ref.table)
+        return self.spark.createDataFrame(
+            [("DROP TABLE", None, 0, 0, 0)],
+            "operation string, version string, rows_updated long, "
+            "rows_inserted long, rows_deleted long",
+        )
 
     def _execute_maintenance(
         self, stmt, tbl, loc: str, qual: str
@@ -1328,10 +1525,27 @@ class GlueSparkEngine:
             # extractors the hive listing path uses.
             missing_keys: list[str] = []
             scan_schema = None
+            # identity-spec columns need the same recovery even when
+            # the catalog registered no partition keys (the common
+            # Glue shape for Iceberg): the spec field's tuple value
+            # is the column value, so a hive-style layout that keeps
+            # it out of the data files is recoverable
+            part_cols = list(keys)
+            for f in ice_spec or []:
+                from glue_table_cache_spark.sources.iceberg_partitioning import (  # noqa: E501
+                    parse_transform,
+                )
+
+                if (
+                    parse_transform(f["transform"])[0] == "identity"
+                    and f["name"] == f["source"]
+                    and f["name"] not in part_cols
+                ):
+                    part_cols.append(f["name"])
             if ice_schema is not None:
                 drop: set[str] = set()
                 usable = True
-                if keys:
+                if part_cols:
                     from glue_table_cache_spark.skipping import (
                         parquet_file_columns,
                     )
@@ -1351,7 +1565,9 @@ class GlueSparkEngine:
                         usable = False
                     else:
                         drop = {
-                            k for k in keys if k.lower() not in file_cols
+                            k
+                            for k in part_cols
+                            if k.lower() not in file_cols
                         }
                 if usable:
                     kept = [

@@ -416,6 +416,104 @@ def write_delta_append(
     )
 
 
+def alter_delta_add_columns(
+    location: str,
+    columns,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> int:
+    """``ALTER TABLE ... ADD COLUMNS`` as a SCHEMA-ONLY commit: one
+    version whose ``metaData`` action widens ``schemaString`` with
+    ``columns`` (a ``StructType`` or list of ``StructField``); no
+    data files change — pre-alter files surface nulls for the new
+    columns on every schemaString-driven read, exactly like a
+    ``merge_schema`` append's evolution but without writing rows.
+
+    Added columns must be nullable (existing files have no values for
+    them); duplicate names and column-mapped tables refuse.  The
+    schema is re-resolved per commit attempt so a concurrent writer's
+    evolution merges instead of being clobbered."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = list(
+        columns.fields if isinstance(columns, StructType) else columns
+    )
+    if not fields:
+        raise GlueSparkError("ADD COLUMNS: empty column list")
+    bad = [f.name for f in fields if not f.nullable]
+    if bad:
+        raise GlueSparkError(
+            f"ADD COLUMNS: column(s) {bad} are non-nullable — "
+            "existing rows have no values for them"
+        )
+    base = Path(location)
+    log_dir = base / "_delta_log"
+    if not log_dir.is_dir() or not any(log_dir.glob("*.json")):
+        raise GlueSparkError(
+            f"no Delta log at {location!r} — ALTER needs an existing "
+            "table"
+        )
+    from glue_table_cache_spark.sources.delta import (
+        _replay,
+        column_mapping_renames,
+        logical_schema,
+    )
+
+    now = int(time.time() * 1000)
+    for _ in range(max_commit_retries):
+        version = _next_version(log_dir)
+        _active, state = _replay(location)
+        meta = state.get("metaData")
+        if column_mapping_renames(meta) is not None:
+            raise GlueSparkError(
+                "ALTER on a column-mapped table needs physical-name "
+                "assignment; use a Delta runtime"
+            )
+        table_schema = logical_schema(meta)
+        if table_schema is None:
+            raise GlueSparkError(
+                f"table at {location!r} has no recorded schema to "
+                "evolve"
+            )
+        existing = {f.name for f in table_schema.fields}
+        dupes = [f.name for f in fields if f.name in existing]
+        if dupes:
+            raise GlueSparkError(
+                f"ADD COLUMNS: column(s) {dupes} already exist"
+            )
+        merged = StructType(
+            list(table_schema.fields)
+            + [StructField(f.name, f.dataType, True) for f in fields]
+        )
+        evolved = dict(meta or {})
+        evolved["schemaString"] = json.dumps(merged.jsonValue())
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "ADD COLUMNS",
+                    "operationParameters": {
+                        "columns": [f.name for f in fields]
+                    },
+                }
+            },
+            {"metaData": evolved},
+        ]
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
 def _maybe_checkpoint(
     location: str, version: int, interval: int | None
 ) -> None:

@@ -142,6 +142,105 @@ def _resolve_record_schema(
     return StructType(list(table_schema.fields) + new_fields)
 
 
+def alter_hudi_add_columns(
+    location: str,
+    columns,
+    max_commit_retries: int = 10,
+) -> str:
+    """``ALTER TABLE ... ADD COLUMNS`` as a SCHEMA-ONLY commit: one
+    instant with empty write stats whose ``extraMetadata.schema``
+    records the widened Avro schema (Hudi's own schema-tracking
+    mechanism, the newest instant's schema is the readers'
+    authority); no data files change — pre-alter rows surface nulls.
+
+    ``columns`` is a ``StructType`` or list of ``StructField``; added
+    columns must be nullable; duplicate names refuse.
+    COPY_ON_WRITE only: MERGE_ON_READ log blocks carry their own
+    record schemas that the snapshot merge would have to reconcile —
+    same refusal as the append path's evolution gate."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = list(
+        columns.fields if isinstance(columns, StructType) else columns
+    )
+    if not fields:
+        raise GlueSparkError("ADD COLUMNS: empty column list")
+    bad = [f.name for f in fields if not f.nullable]
+    if bad:
+        raise GlueSparkError(
+            f"ADD COLUMNS: column(s) {bad} are non-nullable — "
+            "existing rows have no values for them"
+        )
+    if "://" in location:
+        raise GlueSparkError(
+            "alter_hudi_add_columns commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    base = Path(location)
+    hoodie = base / ".hoodie"
+    props = hoodie / "hoodie.properties"
+    if props.exists():
+        m = re.search(
+            r"hoodie\.table\.type\s*=\s*(\S+)", props.read_text()
+        )
+        if m and m.group(1).upper() == "MERGE_ON_READ":
+            raise GlueSparkError(
+                "ALTER on a MERGE_ON_READ table: pending log blocks "
+                "carry their own record schemas — compact first"
+            )
+    from glue_table_cache_spark.sources.hudi import (
+        avro_schema_for_spark,
+        hudi_table_schema,
+    )
+
+    for _ in range(max_commit_retries):
+        table_schema = hudi_table_schema(location)
+        if table_schema is None:
+            raise GlueSparkError(
+                f"no recorded Hudi schema at {location!r} — ALTER "
+                "needs an existing table with at least one commit"
+            )
+        existing = {f.name for f in table_schema.fields}
+        dupes = [f.name for f in fields if f.name in existing]
+        if dupes:
+            raise GlueSparkError(
+                f"ADD COLUMNS: column(s) {dupes} already exist"
+            )
+        merged = StructType(
+            list(table_schema.fields)
+            + [StructField(f.name, f.dataType, True) for f in fields]
+        )
+        avro = avro_schema_for_spark(
+            merged, name=re.sub(r"\W", "_", base.name) or "Record"
+        )
+        if avro is None:
+            raise GlueSparkError(
+                "ADD COLUMNS: the widened schema has no Avro "
+                "serialization — unsupported column type"
+            )
+        instant = max(
+            int(time.strftime("%Y%m%d%H%M%S", time.gmtime())),
+            _latest_instant(hoodie) + 1,
+        )
+        body = {
+            "partitionToWriteStats": {},
+            "extraMetadata": {"schema": json.dumps(avro)},
+        }
+        commit = hoodie / f"{instant}.commit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: re-read the timeline, retry
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(body))
+        return str(instant)
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
 def write_hudi_append(
     df: DataFrame,
     location: str,

@@ -370,6 +370,95 @@ def iceberg_last_txn_version(
     return _last_txn_version(meta, app_id)
 
 
+def alter_iceberg_add_columns(
+    location: str,
+    columns,
+    max_commit_retries: int = 10,
+) -> int:
+    """``ALTER TABLE ... ADD COLUMNS`` as a SCHEMA-ONLY metadata
+    commit: the next ``v<N>.metadata.json`` carries the widened
+    schema (fresh field ids past every historical id, the spec's
+    reuse rule) with the snapshot list, current snapshot, and
+    partition specs untouched — no data files, no new snapshot.
+    Readers surface nulls for the new columns on pre-alter files via
+    the metadata-schema authority.
+
+    ``columns`` is a ``StructType`` or list of ``StructField``; added
+    columns must be nullable; duplicate names refuse."""
+    from pyspark.sql.types import StructType
+
+    fields = list(
+        columns.fields if isinstance(columns, StructType) else columns
+    )
+    if not fields:
+        raise GlueSparkError("ADD COLUMNS: empty column list")
+    bad = [f.name for f in fields if not f.nullable]
+    if bad:
+        raise GlueSparkError(
+            f"ADD COLUMNS: column(s) {bad} are non-nullable — "
+            "existing rows have no values for them"
+        )
+    if "://" in location:
+        raise GlueSparkError(
+            "alter_iceberg_add_columns commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    base = Path(location)
+    meta_dir = base / "metadata"
+    df_types = {f.name: _iceberg_type(f.dataType) for f in fields}
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata at {location!r} — ALTER needs "
+                "an existing table"
+            )
+        schemas = prev.get("schemas") or []
+        current = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id") == prev.get("current-schema-id")
+            ),
+            schemas[-1] if schemas else None,
+        )
+        existing = {
+            f["name"] for f in (current or {}).get("fields", [])
+        }
+        dupes = [f.name for f in fields if f.name in existing]
+        if dupes:
+            raise GlueSparkError(
+                f"ADD COLUMNS: column(s) {dupes} already exist"
+            )
+        _ids, _types, schema_fields = _resolve_schema(
+            prev,
+            df_types,
+            [f.name for f in fields],
+            merge_schema=True,
+            location=location,
+        )
+        meta = dict(prev)
+        meta["schemas"] = [
+            {"schema-id": 0, "type": "struct", "fields": schema_fields}
+        ]
+        meta["current-schema-id"] = 0
+        seq = prev.get("last-sequence-number", 0) + 1
+        meta["last-sequence-number"] = seq
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: re-read the metadata, retry
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
 def write_iceberg_append(
     df: DataFrame,
     location: str,

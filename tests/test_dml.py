@@ -614,3 +614,225 @@ def test_delta_insert_overwrite_time_travel(spark, tmp_path):
             "SELECT id FROM glue.db.t VERSION AS OF 0"
         ).collect()
     ) == [1, 2]
+
+
+# -- CTAS / DROP TABLE -------------------------------------------------------
+
+
+def test_parse_create_and_drop():
+    from glue_table_cache_spark.dml import (
+        CreateTableStatement,
+        DropTableStatement,
+    )
+
+    s = parse_dml(
+        "CREATE TABLE glue.db.t2 USING DELTA PARTITIONED BY (year) "
+        "LOCATION '/tmp/x' AS SELECT * FROM glue.db.t"
+    )
+    assert isinstance(s, CreateTableStatement)
+    assert (s.ref.database, s.ref.table) == ("db", "t2")
+    assert s.using == "DELTA"
+    assert s.partition_by == ("year",)
+    assert s.location == "/tmp/x"
+    assert not s.if_not_exists
+    assert s.source_text == "SELECT * FROM glue.db.t"
+    # clause order is free; defaults: PARQUET, no partitions
+    s = parse_dml(
+        "CREATE TABLE IF NOT EXISTS glue.db.t2 LOCATION '/tmp/x' "
+        "USING ICEBERG AS (SELECT 1 AS a)"
+    )
+    assert s.using == "ICEBERG" and s.if_not_exists
+    s = parse_dml("CREATE TABLE glue.t2 LOCATION '/l' AS VALUES (1)")
+    assert s.using == "PARQUET" and s.ref.database == "default"
+    # non-glue names pass through to Spark
+    assert parse_dml("CREATE TABLE plain AS SELECT 1") is None
+    assert parse_dml("CREATE TABLE t (a INT)") is None
+    with pytest.raises(InvalidQueryError, match="supported formats"):
+        parse_dml("CREATE TABLE glue.db.t2 USING CSV AS SELECT 1")
+    with pytest.raises(InvalidQueryError, match="column-definition"):
+        parse_dml("CREATE TABLE glue.db.t2 (a INT, b STRING)")
+    with pytest.raises(InvalidQueryError, match="after AS"):
+        parse_dml("CREATE TABLE glue.db.t2 AS DROP TABLE x")
+    d = parse_dml("DROP TABLE glue.db.t2")
+    assert isinstance(d, DropTableStatement) and not d.if_exists
+    d = parse_dml("DROP TABLE IF EXISTS glue.db.t2")
+    assert d.if_exists
+    assert parse_dml("DROP TABLE plain") is None
+    with pytest.raises(InvalidQueryError, match="trailing"):
+        parse_dml("DROP TABLE glue.db.t2 CASCADE")
+
+
+def test_ctas_and_drop_all_formats(spark, tmp_path):
+    """CREATE TABLE ... AS writes through the format writer, registers
+    the table, and the new name scans through the engine immediately;
+    DROP TABLE unregisters WITHOUT deleting data files."""
+    from glue_table_cache_spark.errors import TableNotFoundError
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    src_loc = tmp_path / "src"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "2020", "a"), (2, "2020", "b"), (3, "2021", "c")],
+            "id long, year string, v string",
+        ),
+        str(src_loc),
+    )
+    eng = _engine_for(
+        spark, src_loc, {"spark.sql.sources.provider": "delta"}
+    )
+    for fmt in ("PARQUET", "DELTA", "ICEBERG", "HUDI"):
+        name = f"ct_{fmt.lower()}"
+        loc = tmp_path / name
+        out = eng.sql(
+            f"CREATE TABLE glue.db.{name} USING {fmt} "
+            f"PARTITIONED BY (year) LOCATION '{loc}' "
+            "AS SELECT id, year, v FROM glue.db.t WHERE id < 3"
+        ).first()
+        assert out.operation == "CREATE TABLE"
+        assert out.rows_inserted == 2
+        got = sorted(
+            r.id
+            for r in eng.sql(f"SELECT id FROM glue.db.{name}").collect()
+        )
+        assert got == [1, 2], fmt
+        # partition pruning works on the new table
+        pruned = eng.sql(
+            f"SELECT id FROM glue.db.{name} WHERE year = '2020'"
+        )
+        assert sorted(r.id for r in pruned.collect()) == [1, 2], fmt
+        # plain CREATE on an existing name refuses; IF NOT EXISTS
+        # no-ops
+        with pytest.raises(GlueSparkError, match="already exists"):
+            eng.sql(
+                f"CREATE TABLE glue.db.{name} LOCATION '{loc}' "
+                "AS SELECT 1 AS a"
+            )
+        noop = eng.sql(
+            f"CREATE TABLE IF NOT EXISTS glue.db.{name} "
+            f"LOCATION '{loc}' AS SELECT 1 AS a"
+        ).first()
+        assert noop.rows_inserted == 0
+        # DROP unregisters but never deletes data
+        eng.sql(f"DROP TABLE glue.db.{name}")
+        with pytest.raises(TableNotFoundError):
+            eng.sql(f"SELECT * FROM glue.db.{name}")
+        assert loc.exists(), fmt
+        eng.sql(f"DROP TABLE IF EXISTS glue.db.{name}")  # no-op
+        with pytest.raises(TableNotFoundError):
+            eng.sql(f"DROP TABLE glue.db.{name}")
+
+
+def test_ctas_warehouse_dir_and_refusals(spark, tmp_path):
+    """Location-less CTAS lands under warehouse_dir/<db>/<table>;
+    without a warehouse_dir it refuses; unknown partition columns
+    refuse before writing."""
+    from glue_table_cache_spark.config import EngineConfig
+
+    store = LocalMetadataStore()
+    eng = GlueSparkEngine(spark, store)
+    with pytest.raises(GlueSparkError, match="warehouse_dir"):
+        eng.sql("CREATE TABLE glue.db.w AS SELECT 1 AS a")
+    eng = GlueSparkEngine(
+        spark, store, config=EngineConfig(warehouse_dir=str(tmp_path))
+    )
+    eng.sql("CREATE TABLE glue.db.w AS SELECT 1 AS a, 'x' AS b")
+    assert (tmp_path / "db" / "w").exists()
+    assert eng.sql("SELECT a FROM glue.db.w").first().a == 1
+    with pytest.raises(GlueSparkError, match="PARTITIONED BY"):
+        eng.sql(
+            "CREATE TABLE glue.db.w2 PARTITIONED BY (nope) "
+            "AS SELECT 1 AS a"
+        )
+
+
+def test_parse_alter_add_columns():
+    from glue_table_cache_spark.dml import AlterTableStatement
+
+    s = parse_dml(
+        "ALTER TABLE glue.db.t ADD COLUMNS (a INT, b DECIMAL(10,2))"
+    )
+    assert isinstance(s, AlterTableStatement)
+    assert s.columns_ddl == "a INT, b DECIMAL(10,2)"
+    s = parse_dml("ALTER TABLE glue.t ADD COLUMN (x STRING)")
+    assert s.ref.database == "default" and s.columns_ddl == "x STRING"
+    assert parse_dml("ALTER TABLE plain ADD COLUMNS (a INT)") is None
+    with pytest.raises(InvalidQueryError, match="only"):
+        parse_dml("ALTER TABLE glue.db.t RENAME TO glue.db.u")
+    with pytest.raises(InvalidQueryError, match="unterminated"):
+        parse_dml("ALTER TABLE glue.db.t ADD COLUMNS (a DECIMAL(10,2)")
+    with pytest.raises(InvalidQueryError, match="trailing"):
+        parse_dml("ALTER TABLE glue.db.t ADD COLUMNS (a INT) x")
+
+
+def test_sql_alter_add_columns_all_formats(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS commits a schema-only version in each
+    format: pre-alter rows surface nulls for the new column, new
+    appends carry it, and the old data files are untouched."""
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    for fmt, writer, params in (
+        ("delta", write_delta_append,
+         {"spark.sql.sources.provider": "delta"}),
+        ("iceberg", write_iceberg_append, {"table_type": "ICEBERG"}),
+        ("hudi", write_hudi_append, {"hoodie.table.name": "t"}),
+    ):
+        loc = tmp_path / fmt
+        writer(df.coalesce(1), str(loc))
+        n_files = sum(
+            1 for p in loc.rglob("*.parquet")
+            if "_delta_log" not in p.parts and "metadata" not in p.parts
+        )
+        eng = _engine_for(spark, loc, params)
+        out = eng.sql(
+            "ALTER TABLE glue.db.t ADD COLUMNS (score DOUBLE)"
+        ).first()
+        assert out.operation == "ADD COLUMNS", fmt
+        # pre-alter rows: new column scans as null
+        got = eng.sql(
+            "SELECT id, score FROM glue.db.t ORDER BY id"
+        ).collect()
+        assert [(r.id, r.score) for r in got] == [
+            (1, None), (2, None),
+        ], fmt
+        # no data files were written by the ALTER
+        assert sum(
+            1 for p in loc.rglob("*.parquet")
+            if "_delta_log" not in p.parts and "metadata" not in p.parts
+        ) == n_files, fmt
+        # a post-alter append carries the column end-to-end
+        eng.sql("INSERT INTO glue.db.t VALUES (3, 'c', 9.5)")
+        got = eng.sql(
+            "SELECT id, score FROM glue.db.t WHERE score IS NOT NULL"
+        ).collect()
+        assert [(r.id, r.score) for r in got] == [(3, 9.5)], fmt
+        # duplicates and non-ALTER-able situations refuse
+        with pytest.raises(GlueSparkError, match="already exist"):
+            eng.sql("ALTER TABLE glue.db.t ADD COLUMNS (id BIGINT)")
+        with pytest.raises(GlueSparkError, match="invalid column"):
+            eng.sql("ALTER TABLE glue.db.t ADD COLUMNS (x NOTATYPE)")
+
+
+def test_sql_alter_refuses_on_parquet_and_mor(spark, tmp_path):
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+
+    # plain parquet: no schema authority to evolve
+    (tmp_path / "p").mkdir()
+    spark.range(2).write.mode("overwrite").parquet(str(tmp_path / "p"))
+    eng = _engine_for(spark, tmp_path / "p", {})
+    with pytest.raises(GlueSparkError, match="no transaction log"):
+        eng.sql("ALTER TABLE glue.db.t ADD COLUMNS (a INT)")
+    # MOR: log blocks carry their own record schemas
+    loc = tmp_path / "mor"
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        str(loc),
+        table_type="MERGE_ON_READ",
+    )
+    eng = _engine_for(spark, loc, {"hoodie.table.name": "t"})
+    with pytest.raises(GlueSparkError, match="compact first"):
+        eng.sql("ALTER TABLE glue.db.t ADD COLUMNS (a INT)")
