@@ -242,6 +242,18 @@ class LocalMetadataStore:
     ) -> None:
         self._partitions[f"{database}.{table}".lower()] = listing
 
+    def list_tables(
+        self, database: str | None = None
+    ) -> list[CatalogTable]:
+        """Registered tables, optionally filtered to one database —
+        the enumeration behind ``SHOW TABLES IN glue[.db]``."""
+        out = [
+            t
+            for t in self._tables.values()
+            if database is None or t.database.lower() == database.lower()
+        ]
+        return sorted(out, key=lambda t: (t.database, t.name))
+
     def unregister_table(self, database: str, table: str) -> None:
         """Drop the catalog entry (and any registered partitions).
         Missing tables are a no-op — callers decide whether absence

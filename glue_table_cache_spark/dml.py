@@ -87,6 +87,19 @@ class CreateTableStatement:
 
 
 @dataclass(frozen=True)
+class ShowStatement:
+    """``SHOW TABLES IN glue[.db]`` (catalog enumeration),
+    ``SHOW PARTITIONS glue.db.t`` (registered or listed partition
+    tuples), ``DESCRIBE [TABLE] glue.db.t`` (scan schema) — the
+    introspection verbs, answered from the engine's own metadata
+    paths.  ``verb`` is ``tables`` | ``partitions`` | ``describe``."""
+
+    verb: str
+    ref: TableReference | None = None
+    database: str | None = None
+
+
+@dataclass(frozen=True)
 class AlterTableStatement:
     """``ALTER TABLE glue.db.t ADD COLUMNS (a INT, b STRING)`` —
     schema evolution as a schema-only commit through the format
@@ -243,6 +256,16 @@ _AS_RE = re.compile(r"AS\b\s*", re.IGNORECASE)
 _CTAS_FORMATS = ("PARQUET", "DELTA", "ICEBERG", "HUDI")
 _ALTER_RE = re.compile(r"ALTER\s+TABLE\s+", re.IGNORECASE)
 _ADD_COLS_RE = re.compile(r"ADD\s+COLUMNS?\s*\(", re.IGNORECASE)
+_SHOW_TABLES_RE = re.compile(
+    rf"SHOW\s+TABLES\s+(?:IN|FROM)\s+glue(?:\.(?P<db>{_IDENT}))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?",
+    re.IGNORECASE,
+)
 _WHERE_RE = re.compile(r"\s*WHERE\s+", re.IGNORECASE)
 _SET_RE = re.compile(r"\s*SET\s+", re.IGNORECASE)
 _USING_RE = re.compile(r"\s*USING\s+", re.IGNORECASE)
@@ -317,6 +340,38 @@ def parse_dml(sql: str):
                 f"{rest[:40]!r} (column-definition DDL is not "
                 "supported — use CTAS)"
             )
+    m = _SHOW_TABLES_RE.match(s)
+    if m:
+        db = m.group("db")
+        return ShowStatement(
+            "tables", database=_unquote(db) if db else None
+        )
+    if _SHOW_PARTS_RE.match(s):
+        start = _SHOW_PARTS_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # SHOW PARTITIONS on a non-glue table
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"SHOW PARTITIONS glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {rest[:40]!r}"
+            )
+        return ShowStatement("partitions", ref=ref)
+    if _DESCRIBE_RE.match(s):
+        start = _DESCRIBE_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # DESCRIBE of a non-glue name
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"DESCRIBE glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {rest[:40]!r}"
+            )
+        return ShowStatement("describe", ref=ref)
     if _ALTER_RE.match(s):
         m = _ALTER_RE.match(s)
         got = _parse_ref(s, m.end())

@@ -175,6 +175,7 @@ class GlueSparkEngine:
             InsertStatement,
             MaintenanceStatement,
             MergeStatement,
+            ShowStatement,
             UpdateStatement,
         )
 
@@ -185,6 +186,8 @@ class GlueSparkEngine:
             return self._execute_create(stmt)
         if isinstance(stmt, DropTableStatement):
             return self._execute_drop(stmt)
+        if isinstance(stmt, ShowStatement):
+            return self._execute_show(stmt)
         tbl = self.get_table_metadata_cached(ref.database, ref.table)
         if not tbl.location:
             raise NoStorageLocationError(tbl.database, tbl.name)
@@ -531,6 +534,86 @@ class GlueSparkEngine:
             self.spark, loc, key, upserts=transformed
         )
         return instant, int(n)
+
+    def _execute_show(self, stmt) -> DataFrame:
+        """Introspection verbs, answered from the engine's own
+        metadata paths (no Spark catalog involved):
+
+        * ``SHOW TABLES IN glue[.db]`` — store enumeration
+          (``list_tables``; stores without it refuse);
+        * ``SHOW PARTITIONS glue.db.t`` — the registered catalog
+          partitions when present, else the distinct partition
+          tuples of the (cached, pruned-none) file listing — the
+          same values pruning runs on;
+        * ``DESCRIBE glue.db.t`` — the SCAN schema (the
+          metadata-schema authority for lakehouse formats), with
+          Spark's ``# Partition Information`` section for registered
+          keys."""
+        if stmt.verb == "tables":
+            lt = getattr(self.store, "list_tables", None)
+            if not callable(lt):
+                raise GlueSparkError(
+                    "SHOW TABLES: the metadata store does not "
+                    "support enumeration (no list_tables)"
+                )
+            rows = [
+                (
+                    t.database,
+                    t.name,
+                    t.table_type.name,
+                    t.location,
+                )
+                for t in lt(stmt.database)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "database string, tableName string, tableType string, "
+                "location string",
+            )
+        ref = stmt.ref
+        tbl = self.get_table_metadata_cached(ref.database, ref.table)
+        if stmt.verb == "partitions":
+            keys = [k.name for k in tbl.partition_keys]
+            listing = self.store.get_partitions(
+                ref.database, ref.table
+            )
+            tuples: set[tuple[str, ...]] = set()
+            if listing.values:
+                pkeys = list(listing.keys) or keys
+                tuples = {tuple(e.values) for e in listing.values}
+            elif keys:
+                pkeys = keys
+                tuples = {
+                    tuple(f.partition_values.get(k, "") for k in keys)
+                    for f in self.list_table_files_cached(tbl)
+                }
+            else:
+                raise GlueSparkError(
+                    f"SHOW PARTITIONS glue.{ref.database}."
+                    f"{ref.table}: table is not partitioned"
+                )
+            rows = sorted(
+                "/".join(f"{k}={v}" for k, v in zip(pkeys, t))
+                for t in tuples
+            )
+            return self.spark.createDataFrame(
+                [(r,) for r in rows], "partition string"
+            )
+        # describe: the scan schema is the source of truth (what a
+        # SELECT actually surfaces, evolved columns included)
+        schema = self.table_dataframe(ref.database, ref.table).schema
+        rows = [
+            (f.name, f.dataType.simpleString(), None)
+            for f in schema.fields
+        ]
+        if tbl.partition_keys:
+            rows.append(("# Partition Information", "", None))
+            rows.append(("# col_name", "data_type", None))
+            for k in tbl.partition_keys:
+                rows.append((k.name, k.type, None))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
 
     def _execute_create(self, stmt) -> DataFrame:
         """CTAS: evaluate the source through the normal read path,

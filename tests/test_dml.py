@@ -836,3 +836,70 @@ def test_sql_alter_refuses_on_parquet_and_mor(spark, tmp_path):
     eng = _engine_for(spark, loc, {"hoodie.table.name": "t"})
     with pytest.raises(GlueSparkError, match="compact first"):
         eng.sql("ALTER TABLE glue.db.t ADD COLUMNS (a INT)")
+
+
+def test_show_and_describe(spark, tmp_path):
+    """SHOW TABLES / SHOW PARTITIONS / DESCRIBE answer from the
+    engine's own metadata paths; non-glue shapes pass through."""
+    from glue_table_cache_spark.dml import ShowStatement
+    from tests.conftest import TESTDATA
+
+    s = parse_dml("SHOW TABLES IN glue.db")
+    assert isinstance(s, ShowStatement)
+    assert s.verb == "tables" and s.database == "db"
+    assert parse_dml("SHOW TABLES IN glue").database is None
+    assert parse_dml("SHOW TABLES") is None
+    assert parse_dml("DESCRIBE SELECT 1") is None
+    assert parse_dml("SHOW PARTITIONS plain.t") is None
+    assert parse_dml("DESC glue.db.t").verb == "describe"
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "tpch", "orders", str(TESTDATA / "orders.parquet")
+    )
+    store.register_parquet_dir(
+        "tpch", "nation", str(TESTDATA / "nation.parquet")
+    )
+    eng = GlueSparkEngine(spark, store)
+    rows = eng.sql("SHOW TABLES IN glue.tpch").collect()
+    assert [(r.database, r.tableName) for r in rows] == [
+        ("tpch", "nation"), ("tpch", "orders"),
+    ]
+    assert rows[0].tableType == "UNPARTITIONED"
+    assert not eng.sql("SHOW TABLES IN glue.nope").collect()
+    # describe: scan schema
+    cols = {
+        r.col_name: r.data_type
+        for r in eng.sql("DESCRIBE glue.tpch.orders").collect()
+    }
+    assert cols["o_orderkey"] in ("bigint", "int")
+    assert "o_totalprice" in cols
+    with pytest.raises(GlueSparkError, match="not partitioned"):
+        eng.sql("SHOW PARTITIONS glue.tpch.orders")
+
+
+def test_show_partitions_from_listing(spark, tmp_path):
+    """Partitioned directory, no registered partition listing: the
+    tuples come from the (cached) file listing — the same values
+    pruning runs on."""
+    from glue_table_cache_spark.catalog import PartitionKey
+
+    df = spark.createDataFrame(
+        [(1, "2020", "01"), (2, "2020", "02"), (3, "2021", "01")],
+        "id long, year string, month string",
+    )
+    loc = tmp_path / "part"
+    df.write.partitionBy("year", "month").parquet(str(loc))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        partition_keys=[PartitionKey("year"), PartitionKey("month")],
+    )
+    eng = GlueSparkEngine(spark, store)
+    parts = [r.partition for r in eng.sql("SHOW PARTITIONS glue.db.t").collect()]
+    assert parts == [
+        "year=2020/month=01", "year=2020/month=02", "year=2021/month=01",
+    ]
+    # describe shows the partition-information section
+    names = [r.col_name for r in eng.sql("DESCRIBE glue.db.t").collect()]
+    assert "# Partition Information" in names
