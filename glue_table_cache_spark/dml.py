@@ -87,6 +87,30 @@ class CreateTableStatement:
 
 
 @dataclass(frozen=True)
+class TablePropertiesStatement:
+    """``ALTER TABLE glue.db.t SET TBLPROPERTIES ('k'='v', ...)`` —
+    merged into the Delta ``configuration`` via a metadata-only
+    commit (the CDF enablement path); other formats refuse."""
+
+    ref: TableReference
+    props: tuple[tuple[str, str], ...]
+
+
+@dataclass(frozen=True)
+class RestoreStatement:
+    """``RESTORE TABLE glue.db.t TO VERSION AS OF <n>`` — write-side
+    time travel: Delta re-adds the old state as a new commit, Iceberg
+    points ``current-snapshot-id`` back (metadata-only), Hudi rewinds
+    the timeline (destructive, its restore semantics).  ``n`` is the
+    SAME version identifier the read-side ``VERSION AS OF`` uses per
+    format (Delta version / Iceberg sequence number / Hudi
+    instant)."""
+
+    ref: TableReference
+    version: int
+
+
+@dataclass(frozen=True)
 class ShowStatement:
     """``SHOW TABLES IN glue[.db]`` (catalog enumeration),
     ``SHOW PARTITIONS glue.db.t`` (registered or listed partition
@@ -256,6 +280,16 @@ _AS_RE = re.compile(r"AS\b\s*", re.IGNORECASE)
 _CTAS_FORMATS = ("PARQUET", "DELTA", "ICEBERG", "HUDI")
 _ALTER_RE = re.compile(r"ALTER\s+TABLE\s+", re.IGNORECASE)
 _ADD_COLS_RE = re.compile(r"ADD\s+COLUMNS?\s*\(", re.IGNORECASE)
+_SET_PROPS_RE = re.compile(
+    r"SET\s+TBLPROPERTIES\s*\(", re.IGNORECASE
+)
+_PROP_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+_RESTORE_RE = re.compile(
+    r"RESTORE\s+(?:TABLE\s+)?", re.IGNORECASE
+)
+_TO_VERSION_RE = re.compile(
+    r"TO\s+VERSION\s+AS\s+OF\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE
+)
 _SHOW_TABLES_RE = re.compile(
     rf"SHOW\s+TABLES\s+(?:IN|FROM)\s+glue(?:\.(?P<db>{_IDENT}))?"
     r"\s*;?\s*$",
@@ -340,6 +374,20 @@ def parse_dml(sql: str):
                 f"{rest[:40]!r} (column-definition DDL is not "
                 "supported — use CTAS)"
             )
+    if _RESTORE_RE.match(s):
+        start = _RESTORE_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # RESTORE of a non-glue name
+        ref, pos = got
+        rest = s[pos:].lstrip()
+        vm = _TO_VERSION_RE.match(rest)
+        if not vm:
+            raise InvalidQueryError(
+                f"RESTORE TABLE glue.{ref.database}.{ref.table}: "
+                f"expected TO VERSION AS OF <n>, got {rest[:40]!r}"
+            )
+        return RestoreStatement(ref, int(vm.group("n")))
     m = _SHOW_TABLES_RE.match(s)
     if m:
         db = m.group("db")
@@ -379,11 +427,41 @@ def parse_dml(sql: str):
             return None  # ALTER on a non-glue name: Spark's problem
         ref, pos = got
         rest = s[pos:].lstrip()
+        sm = _SET_PROPS_RE.match(rest)
+        if sm:
+            depth = 1
+            i = sm.end()
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise InvalidQueryError(
+                    "SET TBLPROPERTIES: unterminated property list"
+                )
+            inner = rest[sm.end(): i - 1]
+            pairs = tuple(_PROP_PAIR_RE.findall(inner))
+            if not pairs:
+                raise InvalidQueryError(
+                    "SET TBLPROPERTIES: expected "
+                    "'key'='value' pairs, got "
+                    f"{inner.strip()[:40]!r}"
+                )
+            trailing = _trim_stmt(rest[i:])
+            if trailing:
+                raise InvalidQueryError(
+                    f"ALTER TABLE glue.{ref.database}.{ref.table}: "
+                    f"unexpected trailing text {trailing[:40]!r}"
+                )
+            return TablePropertiesStatement(ref, pairs)
         am = _ADD_COLS_RE.match(rest)
         if not am:
             raise InvalidQueryError(
                 f"ALTER TABLE glue.{ref.database}.{ref.table}: only "
-                f"ADD COLUMNS (<name> <type>, ...) is supported; got "
+                "ADD COLUMNS (<name> <type>, ...) and SET "
+                f"TBLPROPERTIES ('k'='v', ...) are supported; got "
                 f"{rest[:40]!r}"
             )
         # balanced-paren scan: column types can carry parens

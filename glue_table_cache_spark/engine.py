@@ -175,7 +175,9 @@ class GlueSparkEngine:
             InsertStatement,
             MaintenanceStatement,
             MergeStatement,
+            RestoreStatement,
             ShowStatement,
+            TablePropertiesStatement,
             UpdateStatement,
         )
 
@@ -205,6 +207,55 @@ class GlueSparkEngine:
         n_upd = n_ins = n_del = 0
         if isinstance(stmt, MaintenanceStatement):
             return self._execute_maintenance(stmt, tbl, loc, qual)
+        if isinstance(stmt, TablePropertiesStatement):
+            if ttype != ETableType.DELTA:
+                raise GlueSparkError(
+                    f"SET TBLPROPERTIES {qual}: table properties "
+                    "are consumed by the Delta writer only (CDF "
+                    "enablement and configuration live in the "
+                    "transaction log's metaData); the table is "
+                    f"registered as {ttype.name}"
+                )
+            from glue_table_cache_spark.sinks.delta_write import (
+                set_delta_table_properties,
+            )
+
+            version = set_delta_table_properties(
+                loc, dict(stmt.props)
+            )
+            self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [("SET TBLPROPERTIES", str(version), 0, 0, 0)],
+                "operation string, version string, rows_updated long, "
+                "rows_inserted long, rows_deleted long",
+            )
+        if isinstance(stmt, RestoreStatement):
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_write import (
+                    restore_delta,
+                )
+
+                version = restore_delta(loc, stmt.version)
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_write import (
+                    rollback_iceberg,
+                )
+
+                version = rollback_iceberg(loc, stmt.version)
+            elif ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sinks.hudi_write import (
+                    restore_hudi,
+                )
+
+                version = restore_hudi(loc, stmt.version)
+            else:
+                raise GlueSparkError(f"RESTORE {qual}: {fmt_hint}")
+            self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [("RESTORE", str(version), 0, 0, 0)],
+                "operation string, version string, rows_updated long, "
+                "rows_inserted long, rows_deleted long",
+            )
         if isinstance(stmt, AlterTableStatement):
             from pyspark.sql.types import StructType
 

@@ -145,6 +145,24 @@ def delete_from_delta(
     if not hits:
         return None, 0
 
+    # CDF: record the deleted rows as cdc files in the same commit —
+    # without them a DV-attach commit's changed-row set is not
+    # recoverable and CDF readers must refuse the window
+    from glue_table_cache_spark.sinks.delta_cdc import (
+        cdf_enabled,
+        typed,
+        write_cdc_files,
+    )
+
+    cdc_actions: list[dict] = []
+    if cdf_enabled(location):
+        cdc_actions = write_cdc_files(
+            typed(
+                tagged.where(cond).drop("__f", "__p"), "delete"
+            ),
+            location,
+        )
+
     now = int(time.time() * 1000)
     removes: list[dict] = []
     adds: list[dict] = []
@@ -240,6 +258,7 @@ def delete_from_delta(
         ]
         actions += [{"remove": r} for r in removes]
         actions += [{"add": a} for a in adds]
+        actions += cdc_actions
         commit = log_dir / f"{version:020d}.json"
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -167,15 +167,17 @@ def merge_into_delta(
     # + every source row
     batch = uuid.uuid4().hex[:12]
     now = int(time.time() * 1000)
+    base_rows = None
     if affected:
         reader = spark.read.option("basePath", location)
         if log_schema is not None:
             reader = reader.schema(log_schema)
-        kept = apply_deletion_vectors(
+        base_rows = apply_deletion_vectors(
             reader.parquet(*affected),
             [(p, by_path[p][0], by_path[p][1]) for p in affected],
             location,
-        ).join(src_keys, keys, "left_anti")
+        )
+        kept = base_rows.join(src_keys, keys, "left_anti")
         merged = kept.unionByName(
             source.select(*kept.columns)
         )
@@ -183,6 +185,35 @@ def merge_into_delta(
     else:
         merged = source
         total_bytes = 0
+    # CDF: matched rows become update_preimage/postimage pairs,
+    # unmatched source rows insert — recorded as cdc files in the
+    # same commit (file-level synthesis would misreport the whole
+    # rewritten files as delete+insert)
+    from glue_table_cache_spark.sinks.delta_cdc import (
+        cdf_enabled,
+        typed,
+        write_cdc_files,
+    )
+
+    cdc_actions: list[dict] = []
+    if cdf_enabled(location):
+        if base_rows is not None:
+            pre = base_rows.join(src_keys, keys, "left_semi")
+            mk = pre.select(*keys).distinct()
+            post = source.join(mk, keys, "left_semi").select(
+                *pre.columns
+            )
+            ins = source.join(mk, keys, "left_anti").select(
+                *pre.columns
+            )
+            changes = (
+                typed(pre, "update_preimage")
+                .unionByName(typed(post, "update_postimage"))
+                .unionByName(typed(ins, "insert"))
+            )
+        else:
+            changes = typed(source, "insert")
+        cdc_actions = write_cdc_files(changes, location)
     n_files = max(
         1, -(-max(total_bytes, 1) // (target_file_mb * 1024 * 1024))
     )
@@ -251,6 +282,7 @@ def merge_into_delta(
             for p in sorted(affected_set)
         ]
         actions += [{"add": a} for a in adds]
+        actions += cdc_actions
         commit = log_dir / f"{version:020d}.json"
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -385,6 +417,31 @@ def update_delta(
             for c, e in set_exprs.items()
         }
     )
+    # CDF: the matched rows' pre/post values as cdc files in the
+    # same commit.  The postimage reuses the rewrite's exact
+    # when/otherwise expressions (with a true condition) so its
+    # column types coerce identically to the rewritten data.
+    from glue_table_cache_spark.sinks.delta_cdc import (
+        cdf_enabled,
+        typed,
+        write_cdc_files,
+    )
+
+    cdc_actions: list[dict] = []
+    if cdf_enabled(location):
+        pre = rows.where(cond)
+        post = pre.withColumns(
+            {
+                c: F.when(F.lit(True), F.expr(e)).otherwise(F.col(c))
+                for c, e in set_exprs.items()
+            }
+        )
+        cdc_actions = write_cdc_files(
+            typed(pre, "update_preimage").unionByName(
+                typed(post, "update_postimage")
+            ),
+            location,
+        )
 
     batch = uuid.uuid4().hex[:12]
     now = int(time.time() * 1000)
@@ -454,6 +511,7 @@ def update_delta(
             for p in sorted(affected_set)
         ]
         actions += [{"add": a} for a in adds]
+        actions += cdc_actions
         commit = log_dir / f"{version:020d}.json"
         try:
             fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

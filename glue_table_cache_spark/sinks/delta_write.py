@@ -416,6 +416,202 @@ def write_delta_append(
     )
 
 
+def set_delta_table_properties(
+    location: str,
+    props: dict[str, str],
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES`` — a metadata-only commit
+    merging ``props`` into the table ``configuration``.  Setting
+    ``delta.enableChangeDataFeed=true`` also UNION-upgrades the
+    protocol with the ``changeDataFeed`` writer feature, after which
+    the DELETE/UPDATE/MERGE writers record cdc files and CDF readers
+    get exact row-level changes for DML commits."""
+    if not props:
+        raise GlueSparkError("SET TBLPROPERTIES: empty property list")
+    base = Path(location)
+    log_dir = base / "_delta_log"
+    if not log_dir.is_dir() or not any(log_dir.glob("*.json")):
+        raise GlueSparkError(
+            f"no Delta log at {location!r} — ALTER needs an existing "
+            "table"
+        )
+    from glue_table_cache_spark.sources.delta import _replay
+
+    now = int(time.time() * 1000)
+    enable_cdf = (
+        str(props.get("delta.enableChangeDataFeed", "")).lower()
+        == "true"
+    )
+    for _ in range(max_commit_retries):
+        version = _next_version(log_dir)
+        _active, state = _replay(location)
+        meta = dict(state.get("metaData") or {})
+        if not meta:
+            raise GlueSparkError(
+                f"table at {location!r} has no recorded metaData to "
+                "configure"
+            )
+        conf = meta.get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        conf = dict(conf)
+        conf.update({str(k): str(v) for k, v in props.items()})
+        meta["configuration"] = conf
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(props)
+                    },
+                }
+            },
+            {"metaData": meta},
+        ]
+        if enable_cdf:
+            actions.append(
+                {
+                    "protocol": upgraded_protocol(
+                        state.get("protocol"),
+                        writer_features=("changeDataFeed",),
+                    )
+                }
+            )
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
+def restore_delta(
+    location: str,
+    version: int,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` — Delta's restore verb:
+    ONE new commit that re-adds the target version's active files
+    (deletion vectors included), removes files active now but not
+    then, and reverts ``metaData`` (schema/configuration) to the
+    target's.  History is preserved — the restore is itself a
+    version, and the pre-restore state stays travelable.
+
+    Refuses when a file the target version needs no longer exists on
+    disk (VACUUM removed it — the protocol's documented restore
+    hazard); the protocol action is never downgraded."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "restore_delta commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    log_dir = base / "_delta_log"
+    if not log_dir.is_dir():
+        raise GlueSparkError(
+            f"no Delta log at {location!r} — RESTORE needs an "
+            "existing table"
+        )
+    from glue_table_cache_spark.sources.delta import _replay
+
+    now = int(time.time() * 1000)
+    for _ in range(max_commit_retries):
+        cur_version = _next_version(log_dir) - 1
+        if not isinstance(version, int) or not (
+            0 <= version <= cur_version
+        ):
+            raise GlueSparkError(
+                f"Delta version {version!r} does not exist at "
+                f"{location!r} (latest is {cur_version})"
+            )
+        cur_active, cur_state = _replay(location)
+        tgt_active, tgt_state = _replay(
+            location, version_offset=cur_version - version
+        )
+        missing = [
+            p
+            for p in tgt_active
+            if not (base / p).exists()
+        ]
+        if missing:
+            raise GlueSparkError(
+                f"RESTORE to version {version}: {len(missing)} "
+                f"file(s) it needs were vacuumed (first: "
+                f"{missing[0]!r}); that state is no longer "
+                "materializable"
+            )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                }
+            }
+        ]
+        if tgt_state.get("metaData") != cur_state.get("metaData"):
+            actions.append({"metaData": tgt_state["metaData"]})
+        n_removed = n_added = 0
+        for p, (pv, _dv, _st) in cur_active.items():
+            if p not in tgt_active:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                            "partitionValues": pv or {},
+                        }
+                    }
+                )
+                n_removed += 1
+        for p, (pv, dv, st) in tgt_active.items():
+            cur = cur_active.get(p)
+            if cur is not None and cur[1] == dv:
+                continue  # same file, same DV state: nothing to do
+            add = {
+                "path": p,
+                "partitionValues": pv or {},
+                "size": (base / p).stat().st_size,
+                "modificationTime": now,
+                "dataChange": True,
+            }
+            if st is not None:
+                add["stats"] = st
+            if dv is not None:
+                add["deletionVector"] = dv
+            actions.append({"add": add})
+            n_added += 1
+        if n_removed == 0 and n_added == 0 and len(actions) == 1:
+            return cur_version  # already at the target state: no-op
+        commit = log_dir / f"{cur_version + 1:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: re-diff against the new state
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        _maybe_checkpoint(
+            location, cur_version + 1, checkpoint_interval
+        )
+        return cur_version + 1
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
 def alter_delta_add_columns(
     location: str,
     columns,

@@ -241,6 +241,76 @@ def alter_hudi_add_columns(
     )
 
 
+def restore_hudi(location: str, instant: int) -> int:
+    """``RESTORE ... TO VERSION AS OF`` for Hudi: rewind the timeline
+    to ``instant`` (the same identifier the read-side ``VERSION AS
+    OF`` travel addresses) by removing every LATER completed instant
+    and the data/log files its write stats introduced — Hudi's
+    restore semantics, which are DESTRUCTIVE by design: unlike the
+    Delta/Iceberg restores, the rolled-back commits are gone and the
+    pre-restore state is no longer travelable.
+
+    Safety order per rolled-back instant: the instant file is
+    unlinked FIRST, then its data files — a crash mid-restore leaves
+    orphan data files (never scanned; ``clean_hudi`` retires them),
+    never a completed instant referencing deleted data.  Refuses up
+    front when the restored state itself is no longer materializable
+    (``clean_hudi`` removed a base slice or log the target instant
+    needs).  Returns the number of instants rolled back."""
+    if "://" in location:
+        raise GlueSparkError(
+            "restore_hudi rewrites the timeline via filesystem "
+            "operations; object stores need an external coordinator"
+        )
+    from glue_table_cache_spark.sources.hudi import (
+        _completed_instants,
+        _resolve_path,
+        _timeline_files,
+        _walk_timeline,
+    )
+
+    base = Path(location)
+    names = _timeline_files(location)
+    # raises if `instant` predates the retained timeline
+    slices, logs = _walk_timeline(
+        location, names, as_of_instant=int(instant)
+    )
+    needed = [p for _ts, p, _part in slices.values()]
+    needed += [p for _ts, p, _fid, _part in logs]
+    missing = [
+        p
+        for p in needed
+        if not Path(_resolve_path(location, p)).exists()
+    ]
+    if missing:
+        raise GlueSparkError(
+            f"RESTORE to instant {instant}: {len(missing)} file(s) "
+            f"the restored state needs were cleaned (first: "
+            f"{missing[0]!r}); that state is no longer "
+            "materializable"
+        )
+    later = [
+        (ts, kind, p)
+        for ts, kind, p in _completed_instants(names, location)
+        if ts > int(instant)
+    ]
+    for _ts, _kind, p in sorted(later, reverse=True):
+        try:
+            body = json.loads(Path(p).read_text())
+        except (OSError, ValueError):
+            body = {}
+        rels = [
+            st.get("path")
+            for stats in (body.get("partitionToWriteStats") or {}).values()
+            for st in stats or []
+            if st.get("path")
+        ]
+        Path(p).unlink(missing_ok=True)
+        for rel in rels:
+            (base / rel).unlink(missing_ok=True)
+    return len(later)
+
+
 def write_hudi_append(
     df: DataFrame,
     location: str,

@@ -170,9 +170,16 @@ def delete_from_iceberg(
             ],
         )
         prior_rows: list[dict] = []
+        from glue_table_cache_spark.sources.iceberg import (
+            current_snapshot,
+        )
+
         prior_snaps = list(prev.get("snapshots") or [])
-        if prior_snaps:
-            pl = prior_snaps[-1]["manifest-list"]
+        cur = current_snapshot(prev)
+        if cur is not None:
+            # the CURRENT snapshot, not the newest list entry —
+            # commits after a rollback must branch from current
+            pl = cur["manifest-list"]
             prior_rows = read_avro(
                 pl if pl.startswith("/") else str(base / pl)
             )
@@ -527,9 +534,16 @@ def _commit_add_and_delete_snapshot(
                 }
             )
         prior_rows: list[dict] = []
+        from glue_table_cache_spark.sources.iceberg import (
+            current_snapshot,
+        )
+
         prior_snaps = list(prev.get("snapshots") or [])
-        if prior_snaps:
-            pl = prior_snaps[-1]["manifest-list"]
+        cur = current_snapshot(prev)
+        if cur is not None:
+            # the CURRENT snapshot, not the newest list entry —
+            # commits after a rollback must branch from current
+            pl = cur["manifest-list"]
             prior_rows = read_avro(
                 pl if pl.startswith("/") else str(base / pl)
             )

@@ -459,6 +459,87 @@ def alter_iceberg_add_columns(
     )
 
 
+def rollback_iceberg(
+    location: str,
+    sequence_number: int,
+    max_commit_retries: int = 10,
+) -> int:
+    """``RESTORE ... TO VERSION AS OF`` for Iceberg: a metadata-only
+    commit pointing ``current-snapshot-id`` at the snapshot that was
+    current at ``sequence_number`` (the same version identifier the
+    read-side ``VERSION AS OF`` travel uses).  The snapshot list is
+    untouched — the rolled-back-over snapshots stay reachable for
+    travel until ``expire_iceberg_snapshots`` retires them, and new
+    commits branch from the restored state (writers resolve their
+    base via ``current_snapshot``).
+
+    Refuses when the target metadata version no longer exists or its
+    current snapshot was expired — restoring to it would scan
+    manifests that may be gone.  Note: incremental/streaming readers
+    keyed on sequence numbers will still see the stale branch's
+    snapshots; expire them if exactly-once mirrors follow."""
+    if "://" in location:
+        raise GlueSparkError(
+            "rollback_iceberg commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    from glue_table_cache_spark.sources.iceberg import (
+        _list_metadata_jsons,
+        _read_json,
+        current_snapshot,
+    )
+
+    base = Path(location)
+    meta_dir = base / "metadata"
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata at {location!r} — RESTORE "
+                "needs an existing table"
+            )
+        target_meta = None
+        for p in _list_metadata_jsons(str(base)):
+            m = _read_json(p, None)
+            if m.get("last-sequence-number", 0) == sequence_number:
+                target_meta = m
+                break
+        if target_meta is None:
+            raise GlueSparkError(
+                f"Iceberg sequence number {sequence_number!r} does "
+                f"not exist at {location!r} — cannot restore"
+            )
+        target_snap = current_snapshot(target_meta)
+        new_current = (
+            -1 if target_snap is None else target_snap["snapshot-id"]
+        )
+        if new_current != -1 and not any(
+            s.get("snapshot-id") == new_current
+            for s in prev.get("snapshots") or []
+        ):
+            raise GlueSparkError(
+                f"snapshot {new_current} (current at sequence "
+                f"{sequence_number}) was expired from {location!r} — "
+                "its manifests may be gone; cannot restore"
+            )
+        meta = dict(prev)
+        meta["current-snapshot-id"] = new_current
+        seq = prev.get("last-sequence-number", 0) + 1
+        meta["last-sequence-number"] = seq
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: re-read the metadata, retry
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
 def write_iceberg_append(
     df: DataFrame,
     location: str,
@@ -661,9 +742,16 @@ def write_iceberg_append(
         prior_rows: list[dict] = []
         prior_snaps: list[dict] = []
         if prev is not None:
+            from glue_table_cache_spark.sources.iceberg import (
+                current_snapshot,
+            )
+
             prior_snaps = list(prev.get("snapshots") or [])
-            if prior_snaps:
-                prior_list = prior_snaps[-1]["manifest-list"]
+            cur = current_snapshot(prev)
+            if cur is not None:
+                # the CURRENT snapshot, not the newest list entry —
+                # appends after a rollback must branch from current
+                prior_list = cur["manifest-list"]
                 prior_rows = read_avro(
                     prior_list
                     if prior_list.startswith("/")

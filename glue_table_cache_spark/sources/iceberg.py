@@ -209,6 +209,34 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
     }
 
 
+def current_snapshot(meta: dict) -> dict | None:
+    """The snapshot ``current-snapshot-id`` names — the spec's
+    definition of the table's current state, which is NOT always the
+    newest list entry: a ROLLBACK points current at an older
+    snapshot, and appends after it branch from there (the stale
+    branch stays in the list until expiration).  Falls back to the
+    newest entry when the key is absent (pre-v2 metadata);
+    ``-1``/null means no current snapshot (empty table state); a
+    recorded id missing from the list refuses — the current snapshot
+    was expired, and guessing would scan the wrong state."""
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        return None
+    cid = meta.get("current-snapshot-id")
+    if cid is None:
+        return snaps[-1]
+    if cid == -1:
+        return None
+    for s in snaps:
+        if s.get("snapshot-id") == cid:
+            return s
+    raise GlueSparkError(
+        f"Iceberg metadata names current-snapshot-id {cid!r} but the "
+        "snapshot list does not contain it — the current snapshot "
+        "was expired or the metadata is corrupt; refusing to guess"
+    )
+
+
 def iceberg_scan_info(
     location: str,
     version_offset: int = 0,
@@ -356,7 +384,15 @@ def iceberg_scan_details(
     def avro(path: str) -> list[dict]:
         return read_avro_bytes(_read_bytes(path, s3_client), name=path)
 
-    snap = snapshots[-1]
+    if as_of_timestamp_ms is not None:
+        # timestamp travel addresses history explicitly: the newest
+        # snapshot at or before the instant (rolled-back branches
+        # included — we keep no snapshot-log lineage)
+        snap = snapshots[-1]
+    else:
+        snap = current_snapshot(meta)
+        if snap is None:
+            return _widen(([], [], []))
     snap_seq = snap.get("sequence-number", 0)
     manifest_list = _resolve_path(location, snap["manifest-list"])
     entries: list = []

@@ -903,3 +903,48 @@ def test_show_partitions_from_listing(spark, tmp_path):
     # describe shows the partition-information section
     names = [r.col_name for r in eng.sql("DESCRIBE glue.db.t").collect()]
     assert "# Partition Information" in names
+
+
+def test_sql_restore_all_formats(spark, tmp_path):
+    """RESTORE TABLE ... TO VERSION AS OF dispatches to the format's
+    restore: Delta re-commits the old state, Iceberg rolls current
+    back, Hudi rewinds the timeline."""
+    from glue_table_cache_spark.dml import RestoreStatement
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    s = parse_dml("RESTORE TABLE glue.db.t TO VERSION AS OF 3")
+    assert isinstance(s, RestoreStatement) and s.version == 3
+    assert parse_dml("RESTORE TABLE plain TO VERSION AS OF 1") is None
+    with pytest.raises(InvalidQueryError, match="TO VERSION"):
+        parse_dml("RESTORE TABLE glue.db.t TO TIMESTAMP AS OF '2020'")
+
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    for fmt, writer, params, target in (
+        ("delta", write_delta_append,
+         {"spark.sql.sources.provider": "delta"}, lambda v1: 0),
+        ("iceberg", write_iceberg_append,
+         {"table_type": "ICEBERG"}, lambda v1: 1),
+        ("hudi", write_hudi_append,
+         {"hoodie.table.name": "t"}, lambda v1: int(v1)),
+    ):
+        loc = tmp_path / fmt
+        v1 = writer(df1.coalesce(1), str(loc))
+        writer(df2.coalesce(1), str(loc))
+        eng = _engine_for(spark, loc, params)
+        assert eng.sql(
+            "SELECT count(*) AS n FROM glue.db.t"
+        ).first().n == 2, fmt
+        out = eng.sql(
+            f"RESTORE TABLE glue.db.t TO VERSION AS OF {target(v1)}"
+        ).first()
+        assert out.operation == "RESTORE", fmt
+        got = [
+            (r.id, r.v)
+            for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+        ]
+        assert got == [(1, "a")], fmt

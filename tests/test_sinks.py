@@ -3326,3 +3326,259 @@ def test_clean_delta_log_retires_superseded_v2_checkpoints(
     left = {p.name for p in (log / "_sidecars").iterdir()}
     assert len(left) == 1 and left < before
     assert len(delta_data_files(loc)) == 2
+
+
+def test_restore_delta_round_trip(spark, tmp_path):
+    """RESTORE re-materializes an old version as a NEW commit:
+    contents revert (deletion vectors included), history is
+    preserved, and the pre-restore state stays travelable."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        restore_delta,
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = str(tmp_path / "dt")
+
+    def ids():
+        from glue_table_cache_spark.sources.delta import (
+            apply_deletion_vectors,
+        )
+
+        entries, _r = delta_scan_info(loc)
+        df = spark.read.parquet(*[p for p, _pv, _dv in entries])
+        df = apply_deletion_vectors(df, entries, loc)
+        return sorted(r.id for r in df.collect())
+
+    write_delta_append(spark.range(0, 3).coalesce(1), loc)   # v0
+    write_delta_append(spark.range(3, 6).coalesce(1), loc)   # v1
+    delete_from_delta(spark, loc, "id = 1")                  # v2 (DV)
+    assert ids() == [0, 2, 3, 4, 5]
+    v = restore_delta(loc, 0)
+    assert v == 3
+    assert ids() == [0, 1, 2]
+    # pre-restore state still travelable (version 2 = post-delete)
+    entries, _r = delta_scan_info(loc, version_offset=1)
+    assert {dv is not None for _p, _pv, dv in entries} == {True, False}
+    # restoring to the restore version itself is a no-op
+    assert restore_delta(loc, 3) == 3
+    # vacuumed target refuses
+    import pytest as _pytest
+
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    files_v1_only = [
+        p
+        for p, _pv, _dv in delta_scan_info(loc, version_offset=2)[0]
+        if p not in {q for q, _pv, _dv in delta_scan_info(loc)[0]}
+    ]
+    for p in files_v1_only:
+        import os as _os
+
+        _os.unlink(p)
+    with _pytest.raises(GlueSparkError, match="vacuumed"):
+        restore_delta(loc, 1)
+
+
+def test_rollback_iceberg_and_branching(spark, tmp_path):
+    """Iceberg RESTORE is metadata-only: current-snapshot-id points
+    back, travel still reaches the rolled-back state, and the next
+    append branches from the restored snapshot (not the stale
+    newest)."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        rollback_iceberg,
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_data_files,
+    )
+
+    loc = str(tmp_path / "ice")
+
+    def ids(**kw):
+        return sorted(
+            r.id
+            for r in spark.read.parquet(
+                *iceberg_data_files(loc, **kw)
+            ).collect()
+        )
+
+    write_iceberg_append(spark.range(0, 2).coalesce(1), loc)  # seq 1
+    write_iceberg_append(spark.range(2, 4).coalesce(1), loc)  # seq 2
+    assert ids() == [0, 1, 2, 3]
+    seq = rollback_iceberg(loc, 1)
+    assert seq == 3
+    assert ids() == [0, 1]
+    # the rolled-back-over state is still reachable by travel
+    assert ids(version_offset=1) == [0, 1, 2, 3]
+    # a new append branches from the RESTORED state
+    write_iceberg_append(spark.range(9, 10).coalesce(1), loc)
+    assert ids() == [0, 1, 9]
+    # restoring to a never-existing sequence refuses
+    import pytest as _pytest
+
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    with _pytest.raises(GlueSparkError, match="does not exist"):
+        rollback_iceberg(loc, 99)
+
+
+def test_restore_hudi_rewinds_timeline(spark, tmp_path):
+    """Hudi RESTORE is destructive: later instants and their files
+    are removed; a restore whose target state was cleaned refuses."""
+    from glue_table_cache_spark.sinks.hudi_write import (
+        restore_hudi,
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_data_files
+
+    loc = str(tmp_path / "hu")
+    i1 = write_hudi_append(spark.range(0, 2).coalesce(1), loc)
+    i2 = write_hudi_append(spark.range(2, 4).coalesce(1), loc)
+
+    def ids():
+        return sorted(
+            r.id
+            for r in spark.read.parquet(*hudi_data_files(loc)).collect()
+        )
+
+    assert ids() == [0, 1, 2, 3]
+    n = restore_hudi(loc, int(i1))
+    assert n == 1
+    assert ids() == [0, 1]
+    # the i2 instant file and its data files are gone
+    from pathlib import Path as _Path
+
+    assert not list(_Path(loc).glob(f".hoodie/{i2}.*"))
+    # restore to the current instant is a no-op
+    assert restore_hudi(loc, int(i1)) == 0
+
+
+def test_writer_side_cdf_dml(spark, tmp_path):
+    """With delta.enableChangeDataFeed=true (set via SQL ALTER), the
+    DELETE/UPDATE/MERGE writers record cdc files in their commits and
+    delta_cdf returns EXACT row-level changes — including the DV
+    delete case that must refuse without cdc."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    loc = str(tmp_path / "cdf")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ).coalesce(1),
+        loc,
+    )  # v0
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", loc,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "ALTER TABLE glue.db.t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed'='true')"
+    ).first()  # v1
+    assert out.operation == "SET TBLPROPERTIES"
+    # DV delete of ONE row (not the whole file): cdc makes the
+    # change set exact where synthesis must refuse
+    eng.sql("DELETE FROM glue.db.t WHERE id = 2")  # v2
+    ch = delta_cdf(spark, loc, since_version=1)
+    rows = [
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in ch.collect()
+    ]
+    assert rows == [(2, "b", "delete", 2)]
+    # UPDATE: pre/post pairs
+    eng.sql("UPDATE glue.db.t SET v = 'Z' WHERE id = 3")  # v3
+    ch = sorted(
+        (r.id, r.v, r._change_type)
+        for r in delta_cdf(spark, loc, since_version=2).collect()
+    )
+    assert ch == [
+        (3, "Z", "update_postimage"), (3, "c", "update_preimage"),
+    ]
+    # MERGE: matched pre/post + insert
+    eng.sql(
+        "MERGE INTO glue.db.t USING (SELECT 1 AS id, 'A' AS v "
+        "UNION ALL SELECT 9, 'i') s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )  # v4
+    ch = sorted(
+        (r.id, r.v, r._change_type)
+        for r in delta_cdf(spark, loc, since_version=3).collect()
+    )
+    assert ch == [
+        (1, "A", "update_postimage"),
+        (1, "a", "update_preimage"),
+        (9, "i", "insert"),
+    ]
+    # table contents stayed correct throughout
+    got = sorted(
+        (r.id, r.v)
+        for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+    )
+    assert got == [(1, "A"), (3, "Z"), (9, "i")]
+    # non-delta tables refuse properties
+    store.register_parquet_dir("db", "p", str(tmp_path / "nope"))
+    import pytest as _pytest
+
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    with _pytest.raises(GlueSparkError, match="Delta writer only"):
+        eng.sql(
+            "ALTER TABLE glue.db.p SET TBLPROPERTIES ('a'='b')"
+        )
+
+
+def test_stream_cdf_with_dv_delete(spark, tmp_path):
+    """The delta_lite CDF stream consumes a writer-side cdc commit:
+    a DV (partial-file) DELETE mid-stream arrives as exact delete
+    rows instead of refusing."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+        write_delta_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    write_delta_append(
+        spark.range(0, 4).selectExpr("id", "id * 10 as v").coalesce(1),
+        src,
+    )
+    set_delta_table_properties(
+        src, {"delta.enableChangeDataFeed": "true"}
+    )
+    seen: list = []
+    q = (
+        read_delta_stream(spark, src, read_change_feed=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    delete_from_delta(spark, src, "id = 1")  # DV: partial file
+    q.processAllAvailable()
+    q.stop()
+    deletes = [
+        (r.id, r.v)
+        for r in seen
+        if r._change_type == "delete"
+    ]
+    assert deletes == [(1, 10)]
