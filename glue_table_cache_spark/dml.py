@@ -114,9 +114,13 @@ class RestoreStatement:
 class ShowStatement:
     """``SHOW TABLES IN glue[.db]`` (catalog enumeration),
     ``SHOW PARTITIONS glue.db.t`` (registered or listed partition
-    tuples), ``DESCRIBE [TABLE] glue.db.t`` (scan schema) — the
-    introspection verbs, answered from the engine's own metadata
-    paths.  ``verb`` is ``tables`` | ``partitions`` | ``describe``."""
+    tuples), ``DESCRIBE [TABLE] glue.db.t`` (scan schema),
+    ``DESCRIBE HISTORY glue.db.t`` (the retained commit timeline —
+    Delta commits / Iceberg snapshots / Hudi instants), ``SHOW
+    TBLPROPERTIES glue.db.t`` (the format's own table configuration)
+    — the introspection verbs, answered from the engine's own
+    metadata paths.  ``verb`` is ``tables`` | ``partitions`` |
+    ``describe`` | ``history`` | ``tblproperties``."""
 
     verb: str
     ref: TableReference | None = None
@@ -296,6 +300,12 @@ _SHOW_TABLES_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+", re.IGNORECASE)
+_SHOW_PROPS_RE = re.compile(
+    r"SHOW\s+TBLPROPERTIES\s+", re.IGNORECASE
+)
+_DESC_HISTORY_RE = re.compile(
+    r"(?:DESCRIBE|DESC)\s+HISTORY\s+", re.IGNORECASE
+)
 _DESCRIBE_RE = re.compile(
     r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?",
     re.IGNORECASE,
@@ -407,6 +417,32 @@ def parse_dml(sql: str):
                 f"unexpected trailing text {rest[:40]!r}"
             )
         return ShowStatement("partitions", ref=ref)
+    if _SHOW_PROPS_RE.match(s):
+        start = _SHOW_PROPS_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # SHOW TBLPROPERTIES on a non-glue table
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"SHOW TBLPROPERTIES glue.{ref.database}."
+                f"{ref.table}: unexpected trailing text {rest[:40]!r}"
+            )
+        return ShowStatement("tblproperties", ref=ref)
+    if _DESC_HISTORY_RE.match(s):
+        start = _DESC_HISTORY_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # DESCRIBE HISTORY of a non-glue name
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"DESCRIBE HISTORY glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {rest[:40]!r}"
+            )
+        return ShowStatement("history", ref=ref)
     if _DESCRIBE_RE.match(s):
         start = _DESCRIBE_RE.match(s).end()
         got = _parse_ref(s, start)

@@ -650,6 +650,8 @@ class GlueSparkEngine:
             return self.spark.createDataFrame(
                 [(r,) for r in rows], "partition string"
             )
+        if stmt.verb in ("history", "tblproperties"):
+            return self._show_lakehouse_metadata(stmt.verb, ref, tbl)
         # describe: the scan schema is the source of truth (what a
         # SELECT actually surfaces, evolved columns included)
         schema = self.table_dataframe(ref.database, ref.table).schema
@@ -664,6 +666,109 @@ class GlueSparkEngine:
                 rows.append((k.name, k.type, None))
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
+        )
+
+    def _show_lakehouse_metadata(self, verb, ref, tbl) -> DataFrame:
+        """``DESCRIBE HISTORY`` / ``SHOW TBLPROPERTIES`` — answered
+        from the table format's OWN transaction metadata, never the
+        catalog: commit log / snapshot list / timeline for history
+        (``version`` is the same identifier ``VERSION AS OF`` travel
+        and ``RESTORE`` address per format), ``metaData``
+        configuration / table ``properties`` / ``hoodie.properties``
+        for tblproperties.  Raw-parquet tables have neither and
+        refuse with the registration hint."""
+        if not tbl.location:
+            raise NoStorageLocationError(tbl.database, tbl.name)
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        ttype = tbl.table_type
+        qual = f"glue.{ref.database}.{ref.table}"
+        verb_name = (
+            "DESCRIBE HISTORY"
+            if verb == "history"
+            else "SHOW TBLPROPERTIES"
+        )
+        hint = (
+            f"{verb_name} {qual}: {qual} is registered as "
+            f"{ttype.name} — raw parquet has no transaction "
+            "metadata; register the location as a "
+            "DELTA/ICEBERG/HUDI table"
+        )
+        if verb == "history":
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sources.delta import (
+                    delta_history,
+                )
+
+                return delta_history(self.spark, loc)
+            if ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sources.iceberg import (
+                    iceberg_history,
+                )
+
+                return iceberg_history(self.spark, loc)
+            if ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sources.hudi import (
+                    hudi_history,
+                )
+
+                return hudi_history(self.spark, loc)
+            raise GlueSparkError(hint)
+        if ttype == ETableType.DELTA:
+            from glue_table_cache_spark.sources.delta import _replay
+
+            _active, state = _replay(loc)
+            conf = (state.get("metaData") or {}).get(
+                "configuration"
+            ) or {}
+            if isinstance(conf, list):  # pyarrow map → pairs
+                conf = dict(conf)
+            props = {str(k): str(v) for k, v in conf.items()}
+        elif ttype == ETableType.ICEBERG:
+            from glue_table_cache_spark.sources.iceberg import (
+                _list_metadata_jsons,
+                _read_json,
+            )
+
+            jsons = _list_metadata_jsons(loc)
+            if not jsons:
+                raise GlueSparkError(
+                    f"No Iceberg metadata JSON found under {loc!r}"
+                )
+            meta = max(
+                (_read_json(p, None) for p in jsons),
+                key=lambda m: m.get("last-sequence-number", 0),
+            )
+            props = {
+                str(k): str(v)
+                for k, v in (meta.get("properties") or {}).items()
+            }
+        elif ttype == ETableType.HUDI:
+            from glue_table_cache_spark.sources.hudi import (
+                _read_bytes,
+                _timeline_files,
+            )
+
+            names = [
+                p
+                for p in _timeline_files(loc)
+                if p.endswith("hoodie.properties")
+            ]
+            props = {}
+            if names:
+                for line in _read_bytes(names[0], None).decode(
+                ).splitlines():
+                    line = line.strip()
+                    if not line or line.startswith(("#", "!")):
+                        continue
+                    k, eq, v = line.partition("=")
+                    if eq:
+                        props[k.strip()] = v.strip()
+        else:
+            raise GlueSparkError(hint)
+        return self.spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
         )
 
     def _execute_create(self, stmt) -> DataFrame:

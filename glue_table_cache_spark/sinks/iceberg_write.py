@@ -808,22 +808,17 @@ def write_iceberg_append(
                     "manifest-list": str(
                         Path("metadata") / manifest_list.name
                     ),
-                    **(
-                        {
-                            "summary": {
-                                "operation": (
-                                    "overwrite" if overwrite
-                                    else "append"
-                                ),
-                                **{
-                                    k: str(v)
-                                    for k, v in summary.items()
-                                },
-                            }
-                        }
-                        if summary
-                        else {}
-                    ),
+                    # spec: v2 snapshots REQUIRE a summary with an
+                    # operation key; caller extras merge on top
+                    "summary": {
+                        "operation": (
+                            "overwrite" if overwrite else "append"
+                        ),
+                        **{
+                            k: str(v)
+                            for k, v in (summary or {}).items()
+                        },
+                    },
                 }
             ],
         }

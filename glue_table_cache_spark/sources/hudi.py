@@ -440,6 +440,40 @@ def hudi_mor_scan_info(
     return base_entries, log_entries
 
 
+def hudi_history(spark, location: str, s3_client=None, fs=None):
+    """The completed timeline as a small DataFrame in the engine's
+    unified ``DESCRIBE HISTORY`` shape (``version, timestamp,
+    operation`` — matching ``delta.delta_history``): version = the
+    instant (the read/write travel identifier), timestamp = the
+    instant decoded to epoch ms when it is a well-formed
+    ``yyyyMMddHHmmss[SSS]`` stamp (null otherwise — fixtures may use
+    bare integers), operation = the instant kind (commit /
+    deltacommit / replacecommit).  Cleaned instants are gone by
+    definition of retention, exactly like the Delta variant."""
+    from datetime import datetime, timezone
+
+    names = _timeline_files(location, fs=fs)
+    rows = []
+    for ts, kind, _p in _completed_instants(names, location):
+        epoch_ms = None
+        digits = str(ts)
+        try:
+            if len(digits) in (14, 17):
+                dt = datetime.strptime(
+                    digits[:14], "%Y%m%d%H%M%S"
+                ).replace(tzinfo=timezone.utc)
+                epoch_ms = int(dt.timestamp() * 1000) + (
+                    int(digits[14:]) if len(digits) == 17 else 0
+                )
+        except ValueError:
+            pass
+        rows.append((int(ts), epoch_ms, kind))
+    return spark.createDataFrame(
+        sorted(rows),
+        "version long, timestamp long, operation string",
+    )
+
+
 def hudi_changes(
     location: str,
     since_instant: int = 0,

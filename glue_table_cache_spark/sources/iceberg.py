@@ -634,6 +634,42 @@ def iceberg_snapshots(spark, location: str, s3_client=None, fs=None):
     )
 
 
+def iceberg_history(spark, location: str, s3_client=None, fs=None):
+    """The commit timeline as a small DataFrame in the engine's
+    unified ``DESCRIBE HISTORY`` shape (``version, timestamp,
+    operation`` — matching :func:`..delta.delta_history`): one row
+    per snapshot of the LATEST metadata, version = the snapshot's
+    sequence number (the read/write travel identifier), operation
+    from the snapshot ``summary``.  Rolled-back-over branch snapshots
+    stay listed until expiration — history shows them; the row whose
+    snapshot is current carries ``is_current=true``."""
+    jsons = _list_metadata_jsons(location, fs=fs)
+    if not jsons:
+        raise GlueSparkError(
+            f"No Iceberg metadata JSON found under {location!r}"
+        )
+    meta = max(
+        (_read_json(p, s3_client) for p in jsons),
+        key=lambda m: m.get("last-sequence-number", 0),
+    )
+    cur = current_snapshot(meta)
+    cur_id = None if cur is None else cur.get("snapshot-id")
+    rows = [
+        (
+            int(s.get("sequence-number", 0)),
+            int(s.get("timestamp-ms", 0)),
+            (s.get("summary") or {}).get("operation"),
+            s.get("snapshot-id") == cur_id,
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "version long, timestamp long, operation string, "
+        "is_current boolean",
+    )
+
+
 def iceberg_cdf(
     spark,
     location: str,

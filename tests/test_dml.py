@@ -948,3 +948,83 @@ def test_sql_restore_all_formats(spark, tmp_path):
             for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
         ]
         assert got == [(1, "a")], fmt
+
+
+def test_sql_history_and_tblproperties(spark, tmp_path):
+    """DESCRIBE HISTORY surfaces the retained commit timeline per
+    format (version = the travel identifier); SHOW TBLPROPERTIES
+    surfaces the format's own configuration — both answered from the
+    transaction metadata, never the catalog."""
+    from glue_table_cache_spark.dml import ShowStatement
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    s = parse_dml("DESCRIBE HISTORY glue.db.t")
+    assert isinstance(s, ShowStatement) and s.verb == "history"
+    assert parse_dml("DESC HISTORY plain.t") is None
+    s = parse_dml("SHOW TBLPROPERTIES glue.db.t")
+    assert isinstance(s, ShowStatement) and s.verb == "tblproperties"
+    with pytest.raises(InvalidQueryError, match="trailing"):
+        parse_dml("DESCRIBE HISTORY glue.db.t garbage")
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    for fmt, writer, params in (
+        ("delta", write_delta_append,
+         {"spark.sql.sources.provider": "delta"}),
+        ("iceberg", write_iceberg_append, {"table_type": "ICEBERG"}),
+        ("hudi", write_hudi_append, {"hoodie.table.name": "t"}),
+    ):
+        loc = tmp_path / fmt
+        writer(df.coalesce(1), str(loc))
+        writer(df.coalesce(1), str(loc))
+        eng = _engine_for(spark, loc, params)
+        hist = eng.sql("DESCRIBE HISTORY glue.db.t").collect()
+        assert len(hist) == 2, fmt
+        assert [r.version for r in hist] == sorted(
+            r.version for r in hist
+        ), fmt
+        if fmt == "delta":
+            assert {r.operation for r in hist} == {"WRITE"}
+        elif fmt == "iceberg":
+            assert {r.operation for r in hist} == {"append"}
+            assert [r.is_current for r in hist] == [False, True]
+        else:
+            assert {r.operation for r in hist} == {"commit"}
+            assert all(r.timestamp is not None for r in hist)
+        props = {
+            r.key: r.value
+            for r in eng.sql("SHOW TBLPROPERTIES glue.db.t").collect()
+        }
+        if fmt == "hudi":
+            # the writer names the table after its directory
+            assert props.get("hoodie.table.name") == "hudi"
+
+    # ALTER-set properties surface in SHOW TBLPROPERTIES
+    eng = _engine_for(
+        spark, tmp_path / "delta",
+        {"spark.sql.sources.provider": "delta"},
+    )
+    eng.sql("ALTER TABLE glue.db.t SET TBLPROPERTIES ('k'='v')")
+    props = {
+        r.key: r.value
+        for r in eng.sql("SHOW TBLPROPERTIES glue.db.t").collect()
+    }
+    assert props == {"k": "v"}
+    # history shows the metadata-only commit too
+    ops = [
+        r.operation
+        for r in eng.sql("DESCRIBE HISTORY glue.db.t").collect()
+    ]
+    assert ops == ["WRITE", "WRITE", "SET TBLPROPERTIES"]
+
+    # raw parquet has no transaction metadata
+    plain = tmp_path / "plain"
+    df.write.parquet(str(plain))
+    eng = _engine_for(spark, plain, {})
+    with pytest.raises(GlueSparkError, match="transaction metadata"):
+        eng.sql("DESCRIBE HISTORY glue.db.t")
+    with pytest.raises(GlueSparkError, match="transaction metadata"):
+        eng.sql("SHOW TBLPROPERTIES glue.db.t")
