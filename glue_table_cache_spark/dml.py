@@ -111,6 +111,21 @@ class RestoreStatement:
 
 
 @dataclass(frozen=True)
+class RefStatement:
+    """``ALTER TABLE glue.db.t CREATE TAG|BRANCH <name> [AS OF
+    VERSION <n>]`` / ``ALTER TABLE glue.db.t DROP TAG|BRANCH
+    <name>`` — named snapshot refs (Iceberg ``refs`` map; other
+    formats refuse).  A ref'd snapshot is travelable via ``VERSION
+    AS OF '<name>'`` and pinned against expiry until dropped."""
+
+    ref: TableReference
+    action: str  # "create" | "drop"
+    ref_type: str  # "tag" | "branch"
+    name: str
+    version: int | None = None
+
+
+@dataclass(frozen=True)
 class ShowStatement:
     """``SHOW TABLES IN glue[.db]`` (catalog enumeration),
     ``SHOW PARTITIONS glue.db.t`` (registered or listed partition
@@ -286,6 +301,14 @@ _ALTER_RE = re.compile(r"ALTER\s+TABLE\s+", re.IGNORECASE)
 _ADD_COLS_RE = re.compile(r"ADD\s+COLUMNS?\s*\(", re.IGNORECASE)
 _SET_PROPS_RE = re.compile(
     r"SET\s+TBLPROPERTIES\s*\(", re.IGNORECASE
+)
+_REF_RE = re.compile(
+    r"(?P<action>CREATE|DROP)\s+(?P<type>TAG|BRANCH)\s+"
+    r"(?P<name>'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_$-]*)\s*",
+    re.IGNORECASE,
+)
+_REF_AS_OF_RE = re.compile(
+    r"AS\s+OF\s+VERSION\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE
 )
 _PROP_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _RESTORE_RE = re.compile(
@@ -492,13 +515,38 @@ def parse_dml(sql: str):
                     f"unexpected trailing text {trailing[:40]!r}"
                 )
             return TablePropertiesStatement(ref, pairs)
+        rm = _REF_RE.match(rest)
+        if rm:
+            action = rm.group("action").lower()
+            ref_type = rm.group("type").lower()
+            name = rm.group("name")
+            if name.startswith("'"):
+                name = name[1:-1].replace("''", "'")
+            tail = rest[rm.end():]
+            version = None
+            vm = _REF_AS_OF_RE.match(tail)
+            if vm:
+                if action == "drop":
+                    raise InvalidQueryError(
+                        f"DROP {ref_type.upper()} takes no AS OF "
+                        "VERSION clause"
+                    )
+                version = int(vm.group("n"))
+            elif _trim_stmt(tail):
+                raise InvalidQueryError(
+                    f"ALTER TABLE glue.{ref.database}.{ref.table} "
+                    f"{action.upper()} {ref_type.upper()}: "
+                    f"unexpected trailing text "
+                    f"{_trim_stmt(tail)[:40]!r}"
+                )
+            return RefStatement(ref, action, ref_type, name, version)
         am = _ADD_COLS_RE.match(rest)
         if not am:
             raise InvalidQueryError(
                 f"ALTER TABLE glue.{ref.database}.{ref.table}: only "
-                "ADD COLUMNS (<name> <type>, ...) and SET "
-                f"TBLPROPERTIES ('k'='v', ...) are supported; got "
-                f"{rest[:40]!r}"
+                "ADD COLUMNS (<name> <type>, ...), SET "
+                "TBLPROPERTIES ('k'='v', ...), and CREATE/DROP "
+                f"TAG|BRANCH are supported; got {rest[:40]!r}"
             )
         # balanced-paren scan: column types can carry parens
         # (DECIMAL(10,2)); nested STRUCT/ARRAY/MAP use angle

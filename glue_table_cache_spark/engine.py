@@ -175,6 +175,7 @@ class GlueSparkEngine:
             InsertStatement,
             MaintenanceStatement,
             MergeStatement,
+            RefStatement,
             RestoreStatement,
             ShowStatement,
             TablePropertiesStatement,
@@ -226,6 +227,43 @@ class GlueSparkEngine:
             self.invalidate_table(ref.database, ref.table)
             return self.spark.createDataFrame(
                 [("SET TBLPROPERTIES", str(version), 0, 0, 0)],
+                "operation string, version string, rows_updated long, "
+                "rows_inserted long, rows_deleted long",
+            )
+        if isinstance(stmt, RefStatement):
+            if ttype != ETableType.ICEBERG:
+                raise GlueSparkError(
+                    f"{stmt.action.upper()} "
+                    f"{stmt.ref_type.upper()} {qual}: named "
+                    "snapshot refs are an Iceberg feature (the "
+                    f"table is registered as {ttype.name})"
+                )
+            from glue_table_cache_spark.sinks.iceberg_write import (
+                create_iceberg_ref,
+                drop_iceberg_ref,
+            )
+
+            if stmt.action == "create":
+                version = create_iceberg_ref(
+                    loc,
+                    stmt.name,
+                    ref_type=stmt.ref_type,
+                    sequence_number=stmt.version,
+                )
+            else:
+                version = drop_iceberg_ref(loc, stmt.name)
+            self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        f"{stmt.action.upper()} "
+                        f"{stmt.ref_type.upper()}",
+                        str(version),
+                        0,
+                        0,
+                        0,
+                    )
+                ],
                 "operation string, version string, rows_updated long, "
                 "rows_inserted long, rows_deleted long",
             )
@@ -1251,6 +1289,11 @@ class GlueSparkEngine:
             return {
                 "as_of_timestamp_ms": self._travel_timestamp_ms(val)
             }
+        if isinstance(val, str):
+            # VERSION AS OF '<name>': a named ref (tag/branch) from
+            # the metadata's refs map — resolution and expired-target
+            # refusal live in the scan walk
+            return {"as_of_ref": val}
         from glue_table_cache_spark.sources.iceberg import (
             _list_metadata_jsons,
             _read_json,
@@ -1355,6 +1398,12 @@ class GlueSparkEngine:
                     "Hudi time travel addresses instants: use "
                     "VERSION AS OF <instant> (TIMESTAMP AS OF has no "
                     "wall-clock mapping on the timeline)"
+                )
+            if not isinstance(travel[1], int):
+                raise GlueSparkError(
+                    f"Hudi VERSION AS OF {travel[1]!r}: named refs "
+                    "are an Iceberg feature; Hudi instants are "
+                    "numeric"
                 )
         if ttype == ETableType.HUDI:
             # beyond the reference (which enumerates HUDI but never

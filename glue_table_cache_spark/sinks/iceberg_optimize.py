@@ -428,6 +428,13 @@ def expire_iceberg_snapshots(
         )[-keep_last:]
         keep_ids = {s["snapshot-id"] for s in newest}
         keep_ids.add(prev.get("current-snapshot-id"))
+        # named refs pin: a tagged/branched snapshot is reachable by
+        # VERSION AS OF '<name>' and must survive retention until the
+        # ref is dropped
+        keep_ids |= {
+            r.get("snapshot-id")
+            for r in (prev.get("refs") or {}).values()
+        }
         retained = [
             s
             for s in snaps

@@ -540,6 +540,154 @@ def rollback_iceberg(
     )
 
 
+def create_iceberg_ref(
+    location: str,
+    name: str,
+    ref_type: str = "tag",
+    sequence_number: int | None = None,
+    max_commit_retries: int = 10,
+) -> int:
+    """Create a named ref (spec v2 ``refs`` map): a TAG or BRANCH
+    pointing at a snapshot — the snapshot current NOW, or, with
+    ``sequence_number``, the one current at that version (the same
+    identifier read/write travel uses).  A metadata-only commit;
+    reads travel to it via ``VERSION AS OF '<name>'`` and
+    ``expire_iceberg_snapshots`` never expires a ref'd snapshot.
+
+    ``main`` refuses — in this engine ``current-snapshot-id`` IS the
+    main branch, and a shadowing entry would fork that authority.
+    Existing names refuse (drop first); a table with no current
+    snapshot has nothing to point at and refuses."""
+    if name == "main":
+        raise GlueSparkError(
+            "ref name 'main' is reserved: current-snapshot-id is "
+            "the main branch"
+        )
+    if ref_type not in ("tag", "branch"):
+        raise GlueSparkError(
+            f"ref type must be 'tag' or 'branch', got {ref_type!r}"
+        )
+    if "://" in location:
+        raise GlueSparkError(
+            "create_iceberg_ref commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    from glue_table_cache_spark.sources.iceberg import (
+        _list_metadata_jsons,
+        _read_json,
+        current_snapshot,
+    )
+
+    base = Path(location)
+    meta_dir = base / "metadata"
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata at {location!r} — refs need "
+                "an existing table"
+            )
+        refs = dict(prev.get("refs") or {})
+        if name in refs:
+            raise GlueSparkError(
+                f"Iceberg ref {name!r} already exists at "
+                f"{location!r} (a {refs[name].get('type', 'ref')}); "
+                "drop it first"
+            )
+        if sequence_number is None:
+            target = current_snapshot(prev)
+        else:
+            target = None
+            for p in _list_metadata_jsons(str(base)):
+                m = _read_json(p, None)
+                if (
+                    m.get("last-sequence-number", 0)
+                    == sequence_number
+                ):
+                    target = current_snapshot(m)
+                    break
+            else:
+                raise GlueSparkError(
+                    f"Iceberg sequence number {sequence_number!r} "
+                    f"does not exist at {location!r}"
+                )
+        if target is None:
+            raise GlueSparkError(
+                f"cannot create ref {name!r}: the targeted table "
+                "state has no current snapshot"
+            )
+        sid = target["snapshot-id"]
+        if not any(
+            s.get("snapshot-id") == sid
+            for s in prev.get("snapshots") or []
+        ):
+            raise GlueSparkError(
+                f"snapshot {sid} was expired from {location!r}; "
+                "cannot ref it"
+            )
+        refs[name] = {"snapshot-id": sid, "type": ref_type}
+        meta = dict(prev)
+        meta["refs"] = refs
+        seq = prev.get("last-sequence-number", 0) + 1
+        meta["last-sequence-number"] = seq
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: re-read, re-check the name
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
+def drop_iceberg_ref(
+    location: str, name: str, max_commit_retries: int = 10
+) -> int:
+    """Remove a named ref — after which its snapshot is expirable
+    again.  A missing name refuses (nothing silently no-ops)."""
+    if "://" in location:
+        raise GlueSparkError(
+            "drop_iceberg_ref commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    base = Path(location)
+    meta_dir = base / "metadata"
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata at {location!r}"
+            )
+        refs = dict(prev.get("refs") or {})
+        if name not in refs:
+            raise GlueSparkError(
+                f"Iceberg ref {name!r} does not exist at "
+                f"{location!r} (have {sorted(refs)})"
+            )
+        del refs[name]
+        meta = dict(prev)
+        meta["refs"] = refs
+        seq = prev.get("last-sequence-number", 0) + 1
+        meta["last-sequence-number"] = seq
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
 def write_iceberg_append(
     df: DataFrame,
     location: str,

@@ -296,6 +296,7 @@ def iceberg_scan_details(
     with_stats: bool = False,
     with_schema: bool = False,
     with_spec: bool = False,
+    as_of_ref: str | None = None,
 ) -> tuple[list, list[str], list[dict]]:
     """Full current-snapshot scan state:
     ``(entries, position_delete_files, equality_deletes)`` where
@@ -384,7 +385,29 @@ def iceberg_scan_details(
     def avro(path: str) -> list[dict]:
         return read_avro_bytes(_read_bytes(path, s3_client), name=path)
 
-    if as_of_timestamp_ms is not None:
+    if as_of_ref is not None:
+        # named-ref travel (spec `refs` map): the tag/branch's
+        # recorded snapshot-id, resolved against THIS metadata's
+        # snapshot list — an expired target refuses, never guesses
+        refs = meta.get("refs") or {}
+        r = refs.get(as_of_ref)
+        if r is None:
+            raise GlueSparkError(
+                f"Iceberg ref {as_of_ref!r} does not exist at "
+                f"{location!r} (have {sorted(refs)})"
+            )
+        sid = r.get("snapshot-id")
+        snap = next(
+            (s for s in snapshots if s.get("snapshot-id") == sid),
+            None,
+        )
+        if snap is None:
+            raise GlueSparkError(
+                f"Iceberg ref {as_of_ref!r} names snapshot {sid} "
+                f"which was expired from {location!r}; its "
+                "manifests may be gone"
+            )
+    elif as_of_timestamp_ms is not None:
         # timestamp travel addresses history explicitly: the newest
         # snapshot at or before the instant (rolled-back branches
         # included — we keep no snapshot-log lineage)

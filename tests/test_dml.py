@@ -1028,3 +1028,57 @@ def test_sql_history_and_tblproperties(spark, tmp_path):
         eng.sql("DESCRIBE HISTORY glue.db.t")
     with pytest.raises(GlueSparkError, match="transaction metadata"):
         eng.sql("SHOW TBLPROPERTIES glue.db.t")
+
+
+def test_sql_iceberg_refs(spark, tmp_path):
+    """ALTER TABLE CREATE/DROP TAG|BRANCH + VERSION AS OF '<name>'
+    travel — the SQL surface over the refs map; non-Iceberg formats
+    refuse."""
+    from glue_table_cache_spark.dml import RefStatement
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    s = parse_dml("ALTER TABLE glue.db.t CREATE TAG v1 AS OF VERSION 3")
+    assert isinstance(s, RefStatement) and s.version == 3
+    assert s.action == "create" and s.ref_type == "tag"
+    s = parse_dml("ALTER TABLE glue.db.t DROP BRANCH dev")
+    assert s.action == "drop" and s.ref_type == "branch"
+    with pytest.raises(InvalidQueryError, match="no AS OF"):
+        parse_dml("ALTER TABLE glue.db.t DROP TAG v1 AS OF VERSION 3")
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    loc = tmp_path / "it"
+    v1 = write_iceberg_append(df.coalesce(1), str(loc))
+    write_iceberg_append(df2.coalesce(1), str(loc))
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    out = eng.sql(
+        f"ALTER TABLE glue.db.t CREATE TAG stable AS OF VERSION {v1}"
+    ).first()
+    assert out.operation == "CREATE TAG"
+    got = [
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.t VERSION AS OF 'stable'"
+        ).collect()
+    ]
+    assert got == [1]
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t"
+    ).first().n == 2
+    eng.sql("ALTER TABLE glue.db.t DROP TAG stable")
+    with pytest.raises(GlueSparkError, match="does not exist"):
+        eng.sql("SELECT id FROM glue.db.t VERSION AS OF 'stable'")
+
+    # non-Iceberg formats refuse refs AND named travel
+    dloc = tmp_path / "dt"
+    write_delta_append(df.coalesce(1), str(dloc))
+    deng = _engine_for(
+        spark, dloc, {"spark.sql.sources.provider": "delta"}
+    )
+    with pytest.raises(GlueSparkError, match="Iceberg feature"):
+        deng.sql("ALTER TABLE glue.db.t CREATE TAG x")
+    with pytest.raises(GlueSparkError, match="does not exist"):
+        deng.sql("SELECT id FROM glue.db.t VERSION AS OF 'x'")

@@ -3582,3 +3582,68 @@ def test_stream_cdf_with_dv_delete(spark, tmp_path):
         if r._change_type == "delete"
     ]
     assert deletes == [(1, 10)]
+
+
+def test_iceberg_refs_pin_and_travel(spark, tmp_path):
+    """Named refs (spec v2 refs map): CREATE TAG/BRANCH points at a
+    snapshot, scan-by-ref travels to it, expire never removes a
+    ref'd snapshot, DROP makes it expirable again."""
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        expire_iceberg_snapshots,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        create_iceberg_ref,
+        drop_iceberg_ref,
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    loc = str(tmp_path / "it")
+    v1 = write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string")
+        .coalesce(1), loc,
+    )
+    write_iceberg_append(
+        spark.createDataFrame([(2, "b")], "id long, v string")
+        .coalesce(1), loc,
+    )
+    create_iceberg_ref(loc, "first", sequence_number=v1)
+    create_iceberg_ref(loc, "head", ref_type="branch")
+
+    def ids(**kw):
+        entries, _p, _e = iceberg_scan_details(loc, **kw)
+        df = spark.read.parquet(*[p for p, _pv, _s in entries])
+        return sorted(r.id for r in df.collect())
+
+    assert ids(as_of_ref="first") == [1]
+    assert ids(as_of_ref="head") == [1, 2]
+    assert ids() == [1, 2]
+
+    # duplicate / reserved / unknown names refuse
+    with pytest.raises(GlueSparkError, match="already exists"):
+        create_iceberg_ref(loc, "first")
+    with pytest.raises(GlueSparkError, match="reserved"):
+        create_iceberg_ref(loc, "main")
+    with pytest.raises(GlueSparkError, match="does not exist"):
+        drop_iceberg_ref(loc, "nope")
+    with pytest.raises(GlueSparkError, match="does not exist"):
+        iceberg_scan_details(loc, as_of_ref="nope")
+
+    # aggressive expiry: the tagged snapshot is pinned
+    assert expire_iceberg_snapshots(
+        loc, retention_hours=0.0, keep_last=1
+    ) is None
+    assert ids(as_of_ref="first") == [1]
+
+    # dropped -> expirable -> ref resolution refuses loudly
+    drop_iceberg_ref(loc, "first")
+    assert expire_iceberg_snapshots(
+        loc, retention_hours=0.0, keep_last=1
+    ) is not None
+    with pytest.raises(GlueSparkError, match="does not exist"):
+        iceberg_scan_details(loc, as_of_ref="first")
+    # the branch on the current snapshot still resolves
+    assert ids(as_of_ref="head") == [1, 2]
