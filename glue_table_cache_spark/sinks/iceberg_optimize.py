@@ -364,6 +364,10 @@ def optimize_iceberg(
                 "manifest-list": str(
                     Path("metadata") / manifest_list.name
                 ),
+                # spec: snapshots REQUIRE a summary operation;
+                # "replace" also tells changelog readers this commit
+                # is content-preserving (emits no change rows)
+                "summary": {"operation": "replace"},
             }
         ]
         commit = meta_dir / f"v{seq}.metadata.json"

@@ -3647,3 +3647,122 @@ def test_iceberg_refs_pin_and_travel(spark, tmp_path):
         iceberg_scan_details(loc, as_of_ref="first")
     # the branch on the current snapshot still resolves
     assert ids(as_of_ref="head") == [1, 2]
+
+
+def test_iceberg_stream_cdf_mode(spark, tmp_path):
+    """iceberg_lite readChangeFeed=true streams CHANGE rows from
+    consecutive-snapshot file diffs: appends arrive as inserts, an
+    INSERT OVERWRITE as delete+insert rows, compaction emits
+    nothing, row-level delete files refuse, and a restart from the
+    same checkpoint re-delivers nothing."""
+    from glue_table_cache_spark.sinks.iceberg_delete import (
+        delete_from_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        src,
+    )
+    write_iceberg_append(
+        spark.createDataFrame([(3, "c")], "id long, v string")
+        .coalesce(1),
+        src,
+    )
+    seen: list = []
+
+    def start():
+        return (
+            read_iceberg_stream(spark, src, read_change_feed=True)
+            .writeStream.foreachBatch(
+                lambda df, bid: seen.extend(df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    assert {r._change_type for r in seen} == {"insert"}
+    assert sorted(r.id for r in seen) == [1, 2, 3]
+    # INSERT OVERWRITE mid-stream: old content arrives as deletes,
+    # replacement as inserts, all tagged with the overwrite's seq
+    n_before = len(seen)
+    write_iceberg_append(
+        spark.createDataFrame([(9, "z")], "id long, v string")
+        .coalesce(1),
+        src,
+        overwrite=True,
+    )
+    q.processAllAvailable()
+    win = seen[n_before:]
+    assert sorted(
+        (r.id, r._change_type) for r in win
+    ) == [(1, "delete"), (2, "delete"), (3, "delete"), (9, "insert")]
+    assert {r._commit_version for r in win} == {3}
+    # compaction is content-preserving: no change rows
+    n_before = len(seen)
+    optimize_iceberg(spark, src)
+    q.processAllAvailable()
+    assert len(seen) == n_before
+    q.stop()
+    # restart on the same checkpoint: exactly-once, nothing replays
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == n_before
+    # row-level delete files are not file-diff reconstructible
+    delete_from_iceberg(spark, src, "id = 9")
+    q = start()
+    with pytest.raises(Exception, match="delete files"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_iceberg_stream_append_mode_refuses_overwrite(
+    spark, tmp_path
+):
+    """The append-only iceberg_lite mode refuses an overwrite
+    snapshot UP FRONT (manifest-list exclusion retires files without
+    tombstones — silently re-delivering replacement rows as appends
+    would be wrong)."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    src = str(tmp_path / "src")
+    write_iceberg_append(
+        spark.createDataFrame([(1, "a")], "id long, v string")
+        .coalesce(1),
+        src,
+    )
+    write_iceberg_append(
+        spark.createDataFrame([(9, "z")], "id long, v string")
+        .coalesce(1),
+        src,
+        overwrite=True,
+    )
+    q = (
+        read_iceberg_stream(spark, src)
+        .writeStream.foreachBatch(lambda df, bid: df.count())
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    with pytest.raises(Exception, match="not an append"):
+        q.processAllAvailable()
+    q.stop()
