@@ -3766,3 +3766,105 @@ def test_iceberg_stream_append_mode_refuses_overwrite(
     with pytest.raises(Exception, match="not an append"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_hudi_stream_cdf_mode(spark, tmp_path):
+    """hudi_lite readChangeFeed=true streams CHANGE rows from
+    consecutive-instant timeline diffs: appends as inserts, a COW
+    DELETE replacecommit as the rewritten slice's delete+insert
+    rows, restart re-delivers nothing, MOR deltacommits refuse."""
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        delete_from_hudi,
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        read_hudi_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        src,
+    )
+    write_hudi_append(
+        spark.createDataFrame([(3, "c")], "id long, v string")
+        .coalesce(1),
+        src,
+    )
+    seen: list = []
+
+    def start():
+        return (
+            read_hudi_stream(spark, src, read_change_feed=True)
+            .writeStream.foreachBatch(
+                lambda df, bid: seen.extend(df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    assert {r._change_type for r in seen} == {"insert"}
+    assert sorted(r.id for r in seen) == [1, 2, 3]
+    # COW DELETE = replacecommit: the (1,2) slice retires (delete
+    # rows) and its survivor slice (2) re-inserts — net delete of 1
+    n_before = len(seen)
+    delete_from_hudi(spark, src, "id = 1")
+    q.processAllAvailable()
+    win = seen[n_before:]
+    assert sorted((r.id, r._change_type) for r in win) == [
+        (1, "delete"),
+        (2, "delete"),
+        (2, "insert"),
+    ]
+    assert len({r._commit_version for r in win}) == 1
+    q.stop()
+    # restart on the same checkpoint: exactly-once
+    n_before = len(seen)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == n_before
+
+
+def test_hudi_stream_cdf_refuses_mor_deltacommit(spark, tmp_path):
+    """A deltacommit window is not file-diff reconstructible — the
+    CDF mode refuses it like the append mode does."""
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        _stream_changes,
+    )
+
+    src = tmp_path / "src"
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string")
+        .coalesce(1),
+        str(src),
+    )
+    props = src / ".hoodie" / "hoodie.properties"
+    props.write_text(
+        props.read_text().replace("COPY_ON_WRITE", "MERGE_ON_READ")
+    )
+    write_hudi_log(
+        spark,
+        str(src),
+        "id",
+        upserts=spark.createDataFrame(
+            [(1, "a2")], "id long, v string"
+        ),
+    )
+    with pytest.raises(GlueSparkError, match="deltacommit|log block"):
+        _stream_changes(str(src), 0, 99999999999999999)
