@@ -391,6 +391,42 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             partition_transforms={"o_orderdate": "month"},
         )
         (base / "orders_iceberg_hp._BUILT").touch()
+    # SHALLOW-CLONED table (r7): a zero-copy clone of the maintained
+    # Delta table via the SQL surface, then junk INSERTed into the
+    # CLONE's own directory and DELETEd through SQL DML — the clone's
+    # active set spans BOTH the source's files (absolute add paths)
+    # and its own, so the delta_clone arm is green only if the clone
+    # commit, the mixed-root scan, append partition/layout
+    # inheritance, and row-level DML against source-referenced files
+    # all agree with plain `orders`
+    cl = base / "orders_delta_clone"
+    if not (base / "orders_delta_clone._BUILT").exists():
+        shutil.rmtree(cl, ignore_errors=True)
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_m",
+            str(base / "orders_delta_m"),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        eng = GlueSparkEngine(spark, store)
+        eng.sql(
+            "CREATE TABLE glue.tpch.orders_delta_clone "
+            "SHALLOW CLONE glue.tpch.orders_delta_m "
+            f"LOCATION '{cl}'"
+        )
+        eng.sql(
+            "INSERT INTO glue.tpch.orders_delta_clone "
+            "SELECT -o_orderkey, o_custkey, o_orderstatus, "
+            "o_totalprice, o_orderdate, o_orderpriority "
+            "FROM glue.tpch.orders_delta_m WHERE o_orderkey % 11 = 5"
+        )
+        out = eng.sql(
+            "DELETE FROM glue.tpch.orders_delta_clone "
+            "WHERE o_orderkey < 0"
+        ).first()
+        assert out.rows_deleted > 0, "clone junk delete removed nothing"
+        (base / "orders_delta_clone._BUILT").touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -532,6 +568,12 @@ def _engine(
             "tpch",
             "orders_delta_stream",
             str(base / "orders_delta_stream"),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_clone",
+            str(base / "orders_delta_clone"),
             parameters={"spark.sql.sources.provider": "delta"},
         )
         store.register_parquet_dir(
@@ -2525,7 +2567,13 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
       the repo writer built, queried through a DATE predicate on the
       source column: green only if the recorded partition spec, the
       engine's transform-aware pruning, and the metadata-schema scan
-      agree with plain ``orders`` (r6).
+      agree with plain ``orders`` (r6);
+    * delta_clone — a zero-copy ``SHALLOW CLONE`` of the maintained
+      Delta table with junk rows INSERTed into the clone's own
+      directory and DELETEd via SQL DML: green only if the clone
+      commit, the mixed-root (source-absolute + clone-local) scan,
+      and row-level DML against source-referenced files agree with
+      plain ``orders`` (r7).
 
     Time-travel arms run through the SQL surface (r6:
     ``VERSION AS OF`` on the glue reference, engine.py travel
@@ -2570,6 +2618,10 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
            SELECT 'delta_stream' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
            FROM glue.tpch.orders_delta_stream GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'delta_clone' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta_clone GROUP BY o_orderstatus
            UNION ALL
            SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
@@ -2858,7 +2910,8 @@ _EXTRA_ORACLES: dict[str, str] = {
         "FROM orders "
         "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi', "
         "'hudi_mor', 'iceberg_eq', "
-        "'delta_m', 'iceberg_m', 'hudi_m', 'delta_stream']) AS fmt) "
+        "'delta_m', 'iceberg_m', 'hudi_m', 'delta_stream', "
+        "'delta_clone']) AS fmt) "
         "GROUP BY fmt, o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n, "

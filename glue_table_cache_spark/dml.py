@@ -87,6 +87,23 @@ class CreateTableStatement:
 
 
 @dataclass(frozen=True)
+class CloneStatement:
+    """``CREATE TABLE [IF NOT EXISTS] glue.db.new SHALLOW CLONE
+    glue.db.src [VERSION AS OF n] [LOCATION '<path>']`` — a
+    zero-copy Delta clone: a NEW table whose log references the
+    source's data files by absolute path (Delta's documented shallow
+    clone).  Writes to the clone never touch the source; VACUUM on
+    the clone walks only its own directory, so referenced source
+    files are naturally safe."""
+
+    ref: TableReference
+    source: TableReference
+    version: int | None = None
+    location: str | None = None
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
 class TablePropertiesStatement:
     """``ALTER TABLE glue.db.t SET TBLPROPERTIES ('k'='v', ...)`` —
     merged into the Delta ``configuration`` via a metadata-only
@@ -296,6 +313,10 @@ _LOCATION_RE = re.compile(
     r"LOCATION\s+'(?P<path>[^']*)'\s*", re.IGNORECASE
 )
 _AS_RE = re.compile(r"AS\b\s*", re.IGNORECASE)
+_CLONE_RE = re.compile(r"SHALLOW\s+CLONE\s+", re.IGNORECASE)
+_CLONE_VERSION_RE = re.compile(
+    r"VERSION\s+AS\s+OF\s+(?P<n>\d+)\s*", re.IGNORECASE
+)
 _CTAS_FORMATS = ("PARQUET", "DELTA", "ICEBERG", "HUDI")
 _ALTER_RE = re.compile(r"ALTER\s+TABLE\s+", re.IGNORECASE)
 _ADD_COLS_RE = re.compile(r"ADD\s+COLUMNS?\s*\(", re.IGNORECASE)
@@ -360,6 +381,36 @@ def parse_dml(sql: str):
         location = None
         rest = s[pos:].lstrip()
         while True:
+            cm = _CLONE_RE.match(rest)
+            if cm:
+                got2 = _parse_ref(rest, cm.end())
+                if got2 is None:
+                    raise InvalidQueryError(
+                        f"CREATE TABLE glue.{ref.database}."
+                        f"{ref.table} SHALLOW CLONE: the source "
+                        "must be a glue reference, got "
+                        f"{rest[cm.end():][:40]!r}"
+                    )
+                src_ref, p2 = got2
+                tail = rest[p2:].lstrip()
+                version = None
+                vm = _CLONE_VERSION_RE.match(tail)
+                if vm:
+                    version = int(vm.group("n"))
+                    tail = tail[vm.end():].lstrip()
+                lm = _LOCATION_RE.match(tail)
+                if lm:
+                    location = lm.group("path")
+                    tail = tail[lm.end():].lstrip()
+                if _trim_stmt(tail):
+                    raise InvalidQueryError(
+                        f"SHALLOW CLONE glue.{src_ref.database}."
+                        f"{src_ref.table}: unexpected trailing "
+                        f"text {_trim_stmt(tail)[:40]!r}"
+                    )
+                return CloneStatement(
+                    ref, src_ref, version, location, ine
+                )
             am = _AS_RE.match(rest)
             if am:
                 src = _trim_stmt(rest[am.end():])

@@ -169,6 +169,7 @@ class GlueSparkEngine:
         the reference's ``invalidateTable`` exists for."""
         from glue_table_cache_spark.dml import (
             AlterTableStatement,
+            CloneStatement,
             CreateTableStatement,
             DeleteStatement,
             DropTableStatement,
@@ -187,6 +188,8 @@ class GlueSparkEngine:
         # itself — dispatch before the existence lookup below
         if isinstance(stmt, CreateTableStatement):
             return self._execute_create(stmt)
+        if isinstance(stmt, CloneStatement):
+            return self._execute_clone(stmt)
         if isinstance(stmt, DropTableStatement):
             return self._execute_drop(stmt)
         if isinstance(stmt, ShowStatement):
@@ -807,6 +810,93 @@ class GlueSparkEngine:
             raise GlueSparkError(hint)
         return self.spark.createDataFrame(
             sorted(props.items()), "key string, value string"
+        )
+
+    def _execute_clone(self, stmt) -> DataFrame:
+        """``CREATE TABLE ... SHALLOW CLONE glue.db.src`` — a
+        zero-copy Delta clone (the source's active files referenced
+        by absolute path in a fresh log), registered as a new
+        catalog entry carrying the source's partition keys.  The
+        source must be a registered DELTA table; the clone follows
+        the CTAS location rules (explicit LOCATION or
+        ``warehouse_dir``)."""
+        import os
+
+        from glue_table_cache_spark.errors import TableNotFoundError
+
+        ref = stmt.ref
+        qual = f"glue.{ref.database}.{ref.table}"
+        if not callable(getattr(self.store, "register_table", None)):
+            raise GlueSparkError(
+                f"CREATE TABLE {qual}: the metadata store is "
+                "read-only (no register_table)"
+            )
+        try:
+            self.store.get_table(ref.database, ref.table)
+            exists = True
+        except TableNotFoundError:
+            exists = False
+        if exists:
+            if stmt.if_not_exists:
+                return self.spark.createDataFrame(
+                    [("CLONE", None, 0, 0, 0)],
+                    "operation string, version string, "
+                    "rows_updated long, rows_inserted long, "
+                    "rows_deleted long",
+                )
+            raise GlueSparkError(
+                f"CREATE TABLE {qual}: table already exists "
+                "(use IF NOT EXISTS)"
+            )
+        src_tbl = self.get_table_metadata_cached(
+            stmt.source.database, stmt.source.table
+        )
+        if not src_tbl.location:
+            raise NoStorageLocationError(
+                src_tbl.database, src_tbl.name
+            )
+        src_loc = src_tbl.location
+        if src_loc.startswith("file:"):
+            src_loc = src_loc[len("file:"):]
+        if src_tbl.table_type != ETableType.DELTA:
+            raise GlueSparkError(
+                f"SHALLOW CLONE glue.{stmt.source.database}."
+                f"{stmt.source.table}: shallow clone is a Delta "
+                "verb (the source is registered as "
+                f"{src_tbl.table_type.name})"
+            )
+        loc = stmt.location
+        if loc is None:
+            if not self.config.warehouse_dir:
+                raise GlueSparkError(
+                    f"CREATE TABLE {qual}: no LOCATION clause and "
+                    "no warehouse_dir configured"
+                )
+            loc = os.path.join(
+                self.config.warehouse_dir, ref.database, ref.table
+            )
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        from glue_table_cache_spark.sinks.delta_write import (
+            shallow_clone_delta,
+        )
+
+        n_files = shallow_clone_delta(
+            src_loc, loc, version=stmt.version
+        )
+        self.store.register_table(
+            CatalogTable(
+                ref.database,
+                ref.table,
+                loc,
+                partition_keys=list(src_tbl.partition_keys),
+                parameters={"spark.sql.sources.provider": "delta"},
+            )
+        )
+        return self.spark.createDataFrame(
+            [("CLONE", "0", 0, 0, 0)],
+            "operation string, version string, rows_updated long, "
+            "rows_inserted long, rows_deleted long",
         )
 
     def _execute_create(self, stmt) -> DataFrame:
@@ -1676,18 +1766,26 @@ class GlueSparkEngine:
                     if first is not None
                     else df0
                 )
-            # basePath keeps hive-style partition dirs (k=v in the
-            # add paths) surfacing as partition columns under the
-            # explicit file list; a no-op for unpartitioned layouts
-            reader = self.spark.read.option("basePath", tbl.location)
-            # the log's schemaString is the authoritative scan schema
-            # for EVOLVED tables (pre-evolution files surface nulls
-            # for added columns, independent of scan order); not
-            # applied for column-mapped tables, whose files carry
-            # physical names the rename projection handles
-            if renames is None and log_schema is not None:
-                reader = reader.schema(log_schema)
-            df = self._format_read(reader, tbl, *paths)
+            # read_parquet_files surfaces hive-style k=v partition
+            # dirs as partition columns (basePath = each file's
+            # partition root) and handles the SHALLOW CLONE case
+            # where the active set spans the source directory AND the
+            # clone's own.  The log's schemaString is the
+            # authoritative scan schema for EVOLVED tables
+            # (pre-evolution files surface nulls for added columns,
+            # independent of scan order); not applied for
+            # column-mapped tables, whose files carry physical names
+            # the rename projection handles
+            from glue_table_cache_spark.sources.delta import (
+                read_parquet_files,
+            )
+
+            df = read_parquet_files(
+                self.spark, tbl.location, paths,
+                schema=(
+                    log_schema if renames is None else None
+                ),
+            )
             # keyed on the PROXIED path — the one _metadata.file_path
             # will report for the scan Spark actually performed.
             # DVs first (they need _metadata), then the logical rename
@@ -1696,7 +1794,9 @@ class GlueSparkEngine:
                 for pp, (_p, pv, dv) in zip(paths, entries)
             ]
             df = apply_deletion_vectors(df, proxied, tbl.location)
-            return apply_column_mapping(df, renames)
+            # read_parquet_files materializes _metadata across a
+            # multi-root (shallow-clone) union; never user-visible
+            return apply_column_mapping(df, renames).drop("_metadata")
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
                 apply_equality_deletes,

@@ -65,6 +65,8 @@ def delete_from_delta(
     from glue_table_cache_spark.sources.delta import (
         _path_uri,
         delta_scan_info,
+        log_action_path,
+        read_parquet_files,
     )
     from glue_table_cache_spark.sources.dv import (
         dv_deleted_positions,
@@ -89,10 +91,9 @@ def delete_from_delta(
     if not by_path:
         return None, 0
 
-    reader = spark.read.option("basePath", location)
-    if log_schema is not None:
-        reader = reader.schema(log_schema)
-    df = reader.parquet(*by_path)
+    df = read_parquet_files(
+        spark, location, by_path, schema=log_schema
+    )
     # tag (file, position) FIRST, then mask already-DV-deleted rows by
     # anti-joining the decoded positions (the apply_deletion_vectors
     # shape inlined — it drops _metadata, which the tag still needs)
@@ -100,7 +101,7 @@ def delete_from_delta(
         F.col("_metadata.file_path").alias("__f"),
         F.col("_metadata.row_index").alias("__p"),
         "*",
-    )
+    ).drop("_metadata")  # materialized across a clone's union scan
     prior_pairs = [
         (_path_uri(p), int(pos))
         for p, (_pv, dv, _st) in by_path.items()
@@ -169,7 +170,7 @@ def delete_from_delta(
     sidecars: list[Path] = []
     for path, new_pos in sorted(hits.items()):
         pv, dv, st = by_path[path]
-        rel = str(Path(path).relative_to(base))
+        rel = log_action_path(location, path)
         prior = (
             dv_deleted_positions(dv, location) if dv else []
         )

@@ -63,6 +63,8 @@ def merge_into_delta(
         _path_uri,
         apply_deletion_vectors,
         delta_scan_info,
+        log_action_path,
+        read_parquet_files,
     )
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -118,10 +120,9 @@ def merge_into_delta(
             dv_deleted_positions,
         )
 
-        reader = spark.read.option("basePath", location)
-        if log_schema is not None:
-            reader = reader.schema(log_schema)
-        target = reader.parquet(*by_path)
+        target = read_parquet_files(
+            spark, location, by_path, schema=log_schema
+        )
         # DV-deleted rows must not count as matches nor pin their
         # file into the rewrite set on their own: tag (file, row)
         # and anti-join the decoded prior positions — the
@@ -169,14 +170,13 @@ def merge_into_delta(
     now = int(time.time() * 1000)
     base_rows = None
     if affected:
-        reader = spark.read.option("basePath", location)
-        if log_schema is not None:
-            reader = reader.schema(log_schema)
         base_rows = apply_deletion_vectors(
-            reader.parquet(*affected),
+            read_parquet_files(
+                spark, location, affected, schema=log_schema
+            ),
             [(p, by_path[p][0], by_path[p][1]) for p in affected],
             location,
-        )
+        ).drop("_metadata")  # materialized across a clone's union
         kept = base_rows.join(src_keys, keys, "left_anti")
         merged = kept.unionByName(
             source.select(*kept.columns)
@@ -273,7 +273,7 @@ def merge_into_delta(
         actions += [
             {
                 "remove": {
-                    "path": str(Path(p).relative_to(base)),
+                    "path": log_action_path(location, p),
                     "deletionTimestamp": now,
                     "dataChange": True,
                     "partitionValues": by_path[p][0],
@@ -323,6 +323,8 @@ def update_delta(
         _path_uri,
         apply_deletion_vectors,
         delta_scan_info,
+        log_action_path,
+        read_parquet_files,
     )
 
     base = Path(location)
@@ -360,10 +362,9 @@ def update_delta(
             f"are {cols}"
         )
 
-    reader = spark.read.option("basePath", location)
-    if log_schema is not None:
-        reader = reader.schema(log_schema)
-    target = reader.parquet(*by_path)
+    target = read_parquet_files(
+        spark, location, by_path, schema=log_schema
+    )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     # DV-deleted rows must not count as matches (nor pin their file
     # into the rewrite set on their own): tag and anti-join the
@@ -374,7 +375,7 @@ def update_delta(
         F.col("_metadata.file_path").alias("__f"),
         F.col("_metadata.row_index").alias("__p"),
         "*",
-    )
+    ).drop("_metadata")  # materialized across a clone's union scan
     prior_pairs = [
         (_path_uri(p), int(pos))
         for p, (_pv, dv) in by_path.items()
@@ -403,14 +404,13 @@ def update_delta(
     affected = [uri_to_path.get(r["__f"], r["__f"]) for r in hit]
     n_updated = sum(int(r["__n"]) for r in hit)
 
-    reader = spark.read.option("basePath", location)
-    if log_schema is not None:
-        reader = reader.schema(log_schema)
     rows = apply_deletion_vectors(
-        reader.parquet(*affected),
+        read_parquet_files(
+            spark, location, affected, schema=log_schema
+        ),
         [(p, by_path[p][0], by_path[p][1]) for p in affected],
         location,
-    )
+    ).drop("_metadata")  # materialized across a clone's union
     updated = rows.withColumns(
         {
             c: F.when(cond, F.expr(e)).otherwise(F.col(c))
@@ -502,7 +502,7 @@ def update_delta(
         actions += [
             {
                 "remove": {
-                    "path": str(Path(p).relative_to(base)),
+                    "path": log_action_path(location, p),
                     "deletionTimestamp": now,
                     "dataChange": True,
                     "partitionValues": by_path[p][0],

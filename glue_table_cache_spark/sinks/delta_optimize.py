@@ -70,6 +70,7 @@ def optimize_delta(
     from glue_table_cache_spark.sources.delta import (
         apply_deletion_vectors,
         delta_scan_info,
+        log_action_path,
     )
 
     base = Path(location)
@@ -170,7 +171,7 @@ def optimize_delta(
                 add["stats"] = stats
             adds.append(add)
         for p, _pv, _dv in files:
-            rel = str(Path(p).relative_to(base))
+            rel = log_action_path(location, p)
             replaced_rel.add(rel)
             removes.append(rel)
     shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
@@ -190,7 +191,7 @@ def optimize_delta(
         version = _next_version(log_dir)
         fresh, _r = delta_scan_info(location)
         active_rel = {
-            str(Path(p).relative_to(base)) for p, _pv, _dv in fresh
+            log_action_path(location, p) for p, _pv, _dv in fresh
         }
         if not replaced_rel <= active_rel:
             for a in adds:

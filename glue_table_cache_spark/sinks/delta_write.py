@@ -207,6 +207,8 @@ def write_delta_append(
     if _already_committed():
         return -1
 
+    seen_meta: dict = {}
+
     def _resolve_evolution() -> dict | None:
         """Drift-check against the CURRENT log state; the widened
         ``metaData`` action when this batch evolves the schema, else
@@ -225,6 +227,7 @@ def write_delta_append(
 
         _active, state = _replay(location)
         meta = state.get("metaData")
+        seen_meta["meta"] = meta
         if column_mapping_renames(meta) is not None:
             raise GlueSparkError(
                 "write_delta_append cannot append to a column-mapped "
@@ -273,6 +276,28 @@ def write_delta_append(
         return evolved
 
     evolved_meta = _resolve_evolution()
+    # appends INHERIT the table's recorded partitioning: the protocol
+    # requires every add's partitionValues to cover partitionColumns,
+    # and Spark's basePath partition discovery SILENTLY DROPS a
+    # root-level file sitting next to k=v dirs — a mixed layout is
+    # both illegal and unreadable, so it can never be committed
+    pcols = list(
+        (seen_meta.get("meta") or {}).get("partitionColumns") or []
+    )
+    if pcols and partition_by is None:
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise GlueSparkError(
+                f"append lacks partition column(s) {missing} the "
+                f"table is partitioned by ({pcols})"
+            )
+        partition_by = pcols
+    elif seen_meta and list(partition_by or []) != pcols:
+        raise GlueSparkError(
+            f"append partitioned by {list(partition_by or [])} but "
+            f"the table's recorded partitioning is {pcols} — a "
+            "mixed layout is protocol-illegal and unreadable"
+        )
     batch = uuid.uuid4().hex[:12]
     stage = base / f"_staging_{batch}"
 
@@ -610,6 +635,139 @@ def restore_delta(
         f"could not commit to {location!r} after "
         f"{max_commit_retries} attempts (concurrent writers)"
     )
+
+
+def shallow_clone_delta(
+    src_location: str,
+    dst_location: str,
+    version: int | None = None,
+) -> int:
+    """Delta's documented SHALLOW CLONE: a NEW table at
+    ``dst_location`` whose version-0 commit references the source's
+    active data files by ABSOLUTE path (the spec allows absolute
+    ``add.path``) — zero data copied.  Deletion vectors carry over
+    rewritten to ``storageType='p'`` absolute descriptors so the
+    clone resolves them against the SOURCE directory.  ``version``
+    clones a historical state (the read-side ``VERSION AS OF``
+    identifier).
+
+    The clone's log is independent from its first commit: writes,
+    DML, RESTORE, and checkpoints all work; VACUUM walks only the
+    clone's own directory, so referenced source files are naturally
+    safe — but a VACUUM on the SOURCE can remove files the clone
+    still references (the documented shallow-clone hazard; reads
+    then fail loudly)."""
+    if "://" in src_location or "://" in dst_location:
+        raise GlueSparkError(
+            "shallow_clone_delta commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    src = Path(src_location)
+    src_log = src / "_delta_log"
+    if not src_log.is_dir():
+        raise GlueSparkError(
+            f"no Delta log at {src_location!r} — SHALLOW CLONE "
+            "needs an existing source table"
+        )
+    dst = Path(dst_location)
+    dst_log = dst / "_delta_log"
+    if dst_log.is_dir() and any(dst_log.glob("*.json")):
+        raise GlueSparkError(
+            f"{dst_location!r} already holds a Delta log — refusing "
+            "to clone over an existing table"
+        )
+    from glue_table_cache_spark.sources.delta import _replay
+    from glue_table_cache_spark.sources.dv import dv_file_path
+
+    latest = _next_version(src_log) - 1
+    if version is None:
+        offset = 0
+        version = latest
+    elif not (0 <= version <= latest):
+        raise GlueSparkError(
+            f"Delta version {version!r} does not exist at "
+            f"{src_location!r} (latest is {latest})"
+        )
+    else:
+        offset = latest - version
+    active, state = _replay(src_location, version_offset=offset)
+    meta = dict(state.get("metaData") or {})
+    if not meta:
+        raise GlueSparkError(
+            f"source table at {src_location!r} has no recorded "
+            "metaData to clone"
+        )
+    meta["id"] = str(uuid.uuid4())
+    now = int(time.time() * 1000)
+    meta["createdTime"] = now
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_location,
+                    "sourceVersion": version,
+                },
+            }
+        },
+        {"metaData": meta},
+    ]
+    if state.get("protocol"):
+        actions.append({"protocol": state["protocol"]})
+    n_files = 0
+    for p, (pv, dv, st) in sorted(active.items()):
+        abs_path = (
+            p if p.startswith("/") else str(src / p)
+        )
+        if not Path(abs_path).exists():
+            raise GlueSparkError(
+                f"SHALLOW CLONE of version {version}: source file "
+                f"{p!r} no longer exists (vacuumed); that state is "
+                "not materializable"
+            )
+        add = {
+            "path": abs_path,
+            "partitionValues": pv or {},
+            "size": Path(abs_path).stat().st_size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        if st is not None:
+            add["stats"] = st
+        if dv is not None:
+            if dv.get("storageType") == "i":
+                add["deletionVector"] = dv  # inline: self-contained
+            else:
+                # re-anchor to the SOURCE directory: the clone's
+                # reader resolves 'u' descriptors against ITS OWN
+                # location, which holds no DV files
+                add["deletionVector"] = {
+                    **{
+                        k: v
+                        for k, v in dv.items()
+                        if k not in ("storageType", "pathOrInlineDv")
+                    },
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_file_path(
+                        src_location, dv
+                    ),
+                }
+        actions.append({"add": add})
+        n_files += 1
+    dst_log.mkdir(parents=True, exist_ok=True)
+    commit = dst_log / f"{0:020d}.json"
+    try:
+        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise GlueSparkError(
+            f"{dst_location!r} gained a Delta log concurrently — "
+            "refusing to clone over it"
+        )
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return n_files
 
 
 def alter_delta_add_columns(

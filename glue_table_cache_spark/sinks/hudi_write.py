@@ -311,6 +311,51 @@ def restore_hudi(location: str, instant: int) -> int:
     return len(later)
 
 
+def _recorded_partition_fields(
+    location: str, props: Path
+) -> list[str] | None:
+    """The table's partition column names — ``[]`` = known
+    unpartitioned, ``None`` = unknown (fresh table).  Recorded in
+    ``hoodie.properties`` (real Hudi's ``hoodie.table.partition.
+    fields``); legacy tables written before the property fall back
+    to the newest completed commit's write-stats partition paths
+    (hive-style ``k=v`` segments carry the names)."""
+    if props.exists():
+        m = re.search(
+            r"hoodie\.table\.partition\.fields\s*=\s*(\S+)",
+            props.read_text(),
+        )
+        if m:
+            return [c for c in m.group(1).split(",") if c]
+    from glue_table_cache_spark.sources.hudi import (
+        _completed_instants,
+        _timeline_files,
+    )
+
+    try:
+        instants = _completed_instants(
+            _timeline_files(location), location
+        )
+    except GlueSparkError:
+        return None
+    for _ts, _kind, p in reversed(instants):
+        try:
+            body = json.loads(Path(p).read_text())
+        except (OSError, ValueError):
+            continue
+        for part in body.get("partitionToWriteStats") or {}:
+            if not part:
+                return []
+            keys = []
+            for seg in part.strip("/").split("/"):
+                k, eq, _v = seg.partition("=")
+                if not eq or not k:
+                    return []  # non-hive layout: nothing to inherit
+                keys.append(k)
+            return keys
+    return None
+
+
 def write_hudi_append(
     df: DataFrame,
     location: str,
@@ -382,10 +427,39 @@ def write_hudi_append(
                 f"{table_type} append onto it"
             )
     else:
-        props.write_text(
-            f"hoodie.table.name={base.name}\n"
-            f"hoodie.table.type={table_type}\n"
-        )
+        text = f"hoodie.table.name={base.name}\n" \
+               f"hoodie.table.type={table_type}\n"
+        if partition_by:
+            text += (
+                "hoodie.table.partition.fields="
+                + ",".join(partition_by) + "\n"
+            )
+        props.write_text(text)
+
+    # appends INHERIT the table's partitioning (recorded in
+    # hoodie.properties, real Hudi's home for it; legacy tables fall
+    # back to the newest commit's write-stats partition paths): Hudi
+    # partitioning is PATH-based, and a root-level base file next to
+    # k=v partition dirs is silently dropped by Spark's basePath
+    # partition discovery — a mixed layout must never be committed
+    existing_parts = _recorded_partition_fields(location, props)
+    if existing_parts is not None:
+        if partition_by is None and existing_parts:
+            missing = [
+                c for c in existing_parts if c not in df.columns
+            ]
+            if missing:
+                raise GlueSparkError(
+                    f"append lacks partition column(s) {missing} "
+                    f"the table is partitioned by ({existing_parts})"
+                )
+            partition_by = list(existing_parts)
+        elif list(partition_by or []) != existing_parts:
+            raise GlueSparkError(
+                f"append partitioned by {list(partition_by or [])} "
+                f"but the table's recorded partitioning is "
+                f"{existing_parts} — a mixed layout is unreadable"
+            )
 
     # --- schema: drift-check against the recorded table schema and
     # decide what this commit re-records (always the FULL table

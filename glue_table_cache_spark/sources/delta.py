@@ -1094,6 +1094,81 @@ def delta_last_txn_version(
     return (state.get("txns") or {}).get(app_id)
 
 
+def log_action_path(location: str, path: str) -> str:
+    """The path string a remove action must carry to retire an add
+    during replay: table-relative when the file lives under the table
+    root (the normal case), else the absolute path unchanged — a
+    SHALLOW CLONE's log adds the source's files by absolute path
+    (PROTOCOL.md allows absolute ``add.path``), and the matching
+    remove must repeat that exact string."""
+    root = location.rstrip("/") + "/"
+    p = str(path)
+    if p.startswith(root):
+        return p[len(root):]
+    return p
+
+
+def _partition_root(path: str) -> tuple[str, int]:
+    """The directory above a file's hive-style ``k=v`` partition
+    segments (the ``basePath`` that makes Spark surface exactly
+    those segments as partition columns) and the segment count —
+    files with DIFFERENT depths under the same root must scan
+    separately: Spark's discovery silently drops a root-level file
+    sitting next to k=v dirs."""
+    import os.path as osp
+
+    d = osp.dirname(path)
+    depth = 0
+    while True:
+        seg = osp.basename(d)
+        if "=" in seg and not seg.startswith("="):
+            d = osp.dirname(d)
+            depth += 1
+        else:
+            return d, depth
+
+
+def read_parquet_files(spark, location: str, paths, schema=None):
+    """Scan an explicit file list with hive-style partition dirs
+    surfacing as partition columns.  The normal case is one read with
+    the table root as ``basePath``; a SHALLOW CLONE's active set can
+    span TWO roots (source-referenced absolute paths + the clone's
+    own files), where a single widened basePath makes Spark's
+    partition discovery refuse ("multiple root directories") — so
+    files group by their partition root and the per-root scans
+    union.  ``_metadata`` stays per-leaf-file correct through the
+    union, so DV application downstream is unaffected."""
+    paths = list(paths)
+    root = location.rstrip("/") + "/"
+    groups: dict[tuple[str, int], list[str]] = {}
+    for p in paths:
+        groups.setdefault(_partition_root(p), []).append(p)
+    if not paths or (
+        len(groups) == 1 and all(p.startswith(root) for p in paths)
+    ):
+        reader = spark.read.option("basePath", location)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+    dfs = []
+    for (r, _depth), ps in sorted(groups.items()):
+        reader = spark.read.option("basePath", r)
+        if schema is not None:
+            reader = reader.schema(schema)
+        # the hidden _metadata column does not survive a Union —
+        # materialize it per group so DV application and file
+        # tagging downstream still resolve _metadata.file_path /
+        # row_index; consumers drop it before results surface (a
+        # no-op drop in the single-root case above)
+        dfs.append(reader.parquet(*ps).select("*", "_metadata"))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(
+            d, allowMissingColumns=schema is None
+        )
+    return out
+
+
 def delta_history(spark, location: str, s3_client=None, fs=None):
     """The retained commit history as a small DataFrame — the
     ``DESCRIBE HISTORY`` introspection surface (version, commitInfo

@@ -1082,3 +1082,179 @@ def test_sql_iceberg_refs(spark, tmp_path):
         deng.sql("ALTER TABLE glue.db.t CREATE TAG x")
     with pytest.raises(GlueSparkError, match="does not exist"):
         deng.sql("SELECT id FROM glue.db.t VERSION AS OF 'x'")
+
+
+# -- SHALLOW CLONE -----------------------------------------------------------
+
+
+def test_parse_shallow_clone():
+    from glue_table_cache_spark.dml import CloneStatement
+
+    s = parse_dml("CREATE TABLE glue.db.c SHALLOW CLONE glue.db.t")
+    assert isinstance(s, CloneStatement)
+    assert (s.ref.database, s.ref.table) == ("db", "c")
+    assert (s.source.database, s.source.table) == ("db", "t")
+    assert s.version is None and s.location is None
+    assert not s.if_not_exists
+    s = parse_dml(
+        "CREATE TABLE IF NOT EXISTS glue.db.c SHALLOW CLONE glue.t "
+        "VERSION AS OF 3 LOCATION '/tmp/c'"
+    )
+    assert s.if_not_exists and s.version == 3 and s.location == "/tmp/c"
+    assert s.source.database == "default"
+    with pytest.raises(InvalidQueryError, match="glue reference"):
+        parse_dml("CREATE TABLE glue.db.c SHALLOW CLONE plain_table")
+    with pytest.raises(InvalidQueryError, match="trailing"):
+        parse_dml("CREATE TABLE glue.db.c SHALLOW CLONE glue.db.t EXTRA")
+
+
+def test_shallow_clone_e2e(spark, tmp_path):
+    """SHALLOW CLONE: zero-copy (no data files under the clone),
+    reads equal the source at clone time, fully independent logs
+    (writes/DML on either side never leak to the other), VERSION AS
+    OF clones history, and OPTIMIZE on the clone localizes its data
+    into the clone's own directory."""
+    from glue_table_cache_spark.config import EngineConfig
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    src = tmp_path / "src"
+    df = spark.createDataFrame(
+        [(i, "2020" if i < 5 else "2021", f"v{i}") for i in range(10)],
+        "id long, year string, v string",
+    )
+    write_delta_append(df.coalesce(1), str(src), partition_by=["year"])
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(src),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(
+        spark, store,
+        config=EngineConfig(warehouse_dir=str(tmp_path / "wh")),
+    )
+    # a DV on the source BEFORE the clone must carry over
+    eng.sql("DELETE FROM glue.db.t WHERE id = 9")
+
+    out = eng.sql(
+        "CREATE TABLE glue.db.c SHALLOW CLONE glue.db.t"
+    ).first()
+    assert out.operation == "CLONE"
+    clone_dir = tmp_path / "wh" / "db" / "c"
+    assert (clone_dir / "_delta_log").is_dir()
+    # zero-copy: not a single parquet under the clone
+    assert not list(clone_dir.rglob("*.parquet"))
+    got = sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.c").collect()
+    )
+    assert got == list(range(9))
+    # log-driven partition pruning works on the clone (absolute
+    # source paths, widened basePath)
+    pruned = eng.sql(
+        "SELECT id FROM glue.db.c WHERE year = '2020'"
+    )
+    assert sorted(r.id for r in pruned.collect()) == [0, 1, 2, 3, 4]
+
+    # independence 1: append lands under the CLONE's directory only
+    eng.sql("INSERT INTO glue.db.c VALUES (100, '2022', 'new')")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.c"
+    ).first().n == 10
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t"
+    ).first().n == 9
+    assert list(clone_dir.rglob("*.parquet"))
+
+    # independence 2: DELETE on the clone (a DV against a SOURCE
+    # file, sidecar under the clone) leaves the source untouched
+    eng.sql("DELETE FROM glue.db.c WHERE id = 0")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.c"
+    ).first().n == 9
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t"
+    ).first().n == 9
+
+    # independence 3: DELETE on the source after the clone is
+    # invisible to the clone (its log pinned the clone-time state)
+    eng.sql("DELETE FROM glue.db.t WHERE id = 1")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t"
+    ).first().n == 8
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.c"
+    ).first().n == 9
+
+    # VERSION AS OF: clone the pre-DELETE source state (version 0)
+    eng.sql(
+        "CREATE TABLE glue.db.c0 SHALLOW CLONE glue.db.t "
+        "VERSION AS OF 0"
+    )
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.c0"
+    ).first().n == 10
+
+    # OPTIMIZE localizes: every active file moves under the clone
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    eng.sql("OPTIMIZE glue.db.c")
+    entries, _r = delta_scan_info(str(clone_dir))
+    assert entries
+    root = str(clone_dir).rstrip("/") + "/"
+    assert all(p.startswith(root) for p, _pv, _dv in entries)
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.c"
+    ).first().n == 9
+    assert sorted(
+        r.id for r in eng.sql(
+            "SELECT id FROM glue.db.c WHERE year='2020'"
+        ).collect()
+    ) == [1, 2, 3, 4]
+
+
+def test_shallow_clone_refusals(spark, tmp_path):
+    from glue_table_cache_spark.config import EngineConfig
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    src = tmp_path / "src"
+    df = spark.createDataFrame([(1,)], "id long")
+    write_delta_append(df, str(src))
+    iloc = tmp_path / "ice"
+    write_iceberg_append(df, str(iloc))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(src),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    store.register_parquet_dir(
+        "db", "ice", str(iloc), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(
+        spark, store,
+        config=EngineConfig(warehouse_dir=str(tmp_path / "wh")),
+    )
+    # non-Delta source refuses
+    with pytest.raises(GlueSparkError, match="Delta verb"):
+        eng.sql("CREATE TABLE glue.db.c SHALLOW CLONE glue.db.ice")
+    # bad version refuses
+    with pytest.raises(GlueSparkError, match="does not exist"):
+        eng.sql(
+            "CREATE TABLE glue.db.c SHALLOW CLONE glue.db.t "
+            "VERSION AS OF 99"
+        )
+    eng.sql("CREATE TABLE glue.db.c SHALLOW CLONE glue.db.t")
+    # existing name refuses; IF NOT EXISTS no-ops
+    with pytest.raises(GlueSparkError, match="already exists"):
+        eng.sql("CREATE TABLE glue.db.c SHALLOW CLONE glue.db.t")
+    noop = eng.sql(
+        "CREATE TABLE IF NOT EXISTS glue.db.c SHALLOW CLONE glue.db.t"
+    ).first()
+    assert noop.operation == "CLONE"
+    # destination directory already holding a Delta log refuses
+    with pytest.raises(GlueSparkError, match="already holds"):
+        eng.sql(
+            "CREATE TABLE glue.db.c2 SHALLOW CLONE glue.db.t "
+            f"LOCATION '{src}'"
+        )

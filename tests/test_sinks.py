@@ -3868,3 +3868,68 @@ def test_hudi_stream_cdf_refuses_mor_deltacommit(spark, tmp_path):
     )
     with pytest.raises(GlueSparkError, match="deltacommit|log block"):
         _stream_changes(str(src), 0, 99999999999999999)
+
+
+def test_append_inherits_table_partitioning(spark, tmp_path):
+    """Appends without partition_by INHERIT the table's recorded
+    partitioning (Delta: metaData.partitionColumns; Hudi:
+    hoodie.table.partition.fields / write-stats fallback) — a mixed
+    partitioned/root layout is protocol-illegal AND unreadable
+    (Spark's basePath discovery silently drops root-level files
+    next to k=v dirs), so it must never be committable."""
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+
+    df1 = spark.createDataFrame(
+        [(1, "2020"), (2, "2021")], "id long, year string"
+    )
+    df2 = spark.createDataFrame([(3, "2022")], "id long, year string")
+
+    dloc = tmp_path / "dt"
+    write_delta_append(df1, str(dloc), partition_by=["year"])
+    write_delta_append(df2, str(dloc))  # no partition_by: inherits
+    entries, _r = delta_scan_info(str(dloc))
+    assert all(pv.get("year") for _p, pv, _dv in entries)
+    assert {pv["year"] for _p, pv, _dv in entries} == {
+        "2020", "2021", "2022"
+    }
+    # conflicting explicit partitioning refuses
+    with pytest.raises(GlueSparkError, match="mixed layout"):
+        write_delta_append(df2, str(dloc), partition_by=["id"])
+    # batch lacking the partition column refuses
+    with pytest.raises(GlueSparkError, match="lacks partition"):
+        write_delta_append(
+            spark.createDataFrame([(9,)], "id long"), str(dloc)
+        )
+
+    hloc = tmp_path / "ht"
+    write_hudi_append(df1, str(hloc), partition_by=["year"])
+    write_hudi_append(df2, str(hloc))  # inherits
+    assert all(
+        pv.get("year") for _p, pv in hudi_scan_info(str(hloc))
+    )
+    with pytest.raises(GlueSparkError, match="mixed layout"):
+        write_hudi_append(df2, str(hloc), partition_by=["id"])
+    # legacy table without the recorded property: derive from the
+    # newest commit's write-stats partition paths
+    props = hloc / ".hoodie" / "hoodie.properties"
+    props.write_text(
+        "hoodie.table.name=ht\nhoodie.table.type=COPY_ON_WRITE\n"
+    )
+    write_hudi_append(
+        spark.createDataFrame([(4, "2023")], "id long, year string"),
+        str(hloc),
+    )
+    assert {
+        pv["year"] for _p, pv in hudi_scan_info(str(hloc))
+    } == {"2020", "2021", "2022", "2023"}
+    # unpartitioned tables keep refusing partitioned appends
+    uloc = tmp_path / "ut"
+    write_delta_append(df1, str(uloc))
+    with pytest.raises(GlueSparkError, match="mixed layout"):
+        write_delta_append(
+            df2, str(uloc), partition_by=["year"]
+        )
