@@ -114,6 +114,20 @@ class TablePropertiesStatement:
 
 
 @dataclass(frozen=True)
+class ConvertStatement:
+    """``CONVERT TO DELTA glue.db.t [PARTITIONED BY (col type, ...)]``
+    — metadata-only in-place migration of a plain parquet table: a
+    version-0 Delta log is generated over the existing files (no data
+    copied) and the catalog entry flips to the DELTA provider.
+    ``partition_keys`` are ``(name, sql_type)`` pairs; omitted types
+    default to ``string`` (the Glue catalog's partition-key
+    posture)."""
+
+    ref: TableReference
+    partition_keys: tuple = ()
+
+
+@dataclass(frozen=True)
 class RestoreStatement:
     """``RESTORE TABLE glue.db.t TO VERSION AS OF <n>`` — write-side
     time travel: Delta re-adds the old state as a new commit, Iceberg
@@ -306,6 +320,13 @@ _DROP_RE = re.compile(
 _CTAS_USING_RE = re.compile(
     r"USING\s+(?P<fmt>\w+)\s*", re.IGNORECASE
 )
+_CONVERT_RE = re.compile(
+    r"CONVERT\s+TO\s+DELTA\s+", re.IGNORECASE
+)
+_REORG_RE = re.compile(r"REORG\s+TABLE\s+", re.IGNORECASE)
+_APPLY_PURGE_RE = re.compile(
+    r"APPLY\s*\(\s*PURGE\s*\)\s*$", re.IGNORECASE
+)
 _PARTED_RE = re.compile(
     r"PARTITIONED\s+BY\s*\(\s*(?P<cols>[^)]+)\)\s*", re.IGNORECASE
 )
@@ -349,6 +370,9 @@ _SHOW_PROPS_RE = re.compile(
 )
 _DESC_HISTORY_RE = re.compile(
     r"(?:DESCRIBE|DESC)\s+HISTORY\s+", re.IGNORECASE
+)
+_DESC_DETAIL_RE = re.compile(
+    r"(?:DESCRIBE|DESC)\s+DETAIL\s+", re.IGNORECASE
 )
 _DESCRIBE_RE = re.compile(
     r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?",
@@ -458,6 +482,41 @@ def parse_dml(sql: str):
                 f"{rest[:40]!r} (column-definition DDL is not "
                 "supported — use CTAS)"
             )
+    if _CONVERT_RE.match(s):
+        start = _CONVERT_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # CONVERT of a non-glue name
+        ref, pos = got
+        rest = s[pos:].lstrip()
+        pkeys: tuple = ()
+        pm = _PARTED_RE.match(rest)
+        if pm:
+            items = []
+            for c in pm.group("cols").split(","):
+                c = c.strip()
+                if not c:
+                    continue
+                bits = c.split(None, 1)
+                items.append(
+                    (
+                        _unquote(bits[0]),
+                        bits[1].strip() if len(bits) > 1
+                        else "string",
+                    )
+                )
+            if not items:
+                raise InvalidQueryError(
+                    "CONVERT TO DELTA: empty PARTITIONED BY list"
+                )
+            pkeys = tuple(items)
+            rest = rest[pm.end():].lstrip()
+        if _trim_stmt(rest):
+            raise InvalidQueryError(
+                f"CONVERT TO DELTA glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {_trim_stmt(rest)[:40]!r}"
+            )
+        return ConvertStatement(ref, pkeys)
     if _RESTORE_RE.match(s):
         start = _RESTORE_RE.match(s).end()
         got = _parse_ref(s, start)
@@ -517,6 +576,19 @@ def parse_dml(sql: str):
                 f"unexpected trailing text {rest[:40]!r}"
             )
         return ShowStatement("history", ref=ref)
+    if _DESC_DETAIL_RE.match(s):
+        start = _DESC_DETAIL_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # DESCRIBE DETAIL of a non-glue name
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"DESCRIBE DETAIL glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {rest[:40]!r}"
+            )
+        return ShowStatement("detail", ref=ref)
     if _DESCRIBE_RE.match(s):
         start = _DESCRIBE_RE.match(s).end()
         got = _parse_ref(s, start)
@@ -693,6 +765,19 @@ def parse_dml(sql: str):
         return InsertStatement(ref, src, cols, overwrite)
     if _MERGE_RE.match(s):
         return _parse_merge(s)
+    if _REORG_RE.match(s):
+        start = _REORG_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if not _APPLY_PURGE_RE.match(rest):
+            raise InvalidQueryError(
+                f"REORG TABLE glue.{ref.database}.{ref.table}: "
+                f"expected APPLY (PURGE), got {rest[:40]!r}"
+            )
+        return MaintenanceStatement(ref, "reorg")
     if _OPTIMIZE_RE.match(s):
         start = _OPTIMIZE_RE.match(s).end()
         got = _parse_ref(s, start)

@@ -170,6 +170,7 @@ class GlueSparkEngine:
         from glue_table_cache_spark.dml import (
             AlterTableStatement,
             CloneStatement,
+            ConvertStatement,
             CreateTableStatement,
             DeleteStatement,
             DropTableStatement,
@@ -209,6 +210,8 @@ class GlueSparkEngine:
         )
         version: object = None
         n_upd = n_ins = n_del = 0
+        if isinstance(stmt, ConvertStatement):
+            return self._execute_convert(stmt, tbl, loc, qual)
         if isinstance(stmt, MaintenanceStatement):
             return self._execute_maintenance(stmt, tbl, loc, qual)
         if isinstance(stmt, TablePropertiesStatement):
@@ -693,6 +696,8 @@ class GlueSparkEngine:
             )
         if stmt.verb in ("history", "tblproperties"):
             return self._show_lakehouse_metadata(stmt.verb, ref, tbl)
+        if stmt.verb == "detail":
+            return self._execute_describe_detail(ref, tbl)
         # describe: the scan schema is the source of truth (what a
         # SELECT actually surfaces, evolved columns included)
         schema = self.table_dataframe(ref.database, ref.table).schema
@@ -707,6 +712,132 @@ class GlueSparkEngine:
                 rows.append((k.name, k.type, None))
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
+        )
+
+    def _execute_describe_detail(self, ref, tbl) -> DataFrame:
+        """``DESCRIBE DETAIL glue.db.t`` — one row of physical-layout
+        facts from the table's OWN metadata (the Delta-dialect shape):
+        format, table id, location, created time, partition columns,
+        active file count + byte size, table properties.  The active
+        set comes from the same format walk every scan uses (DV'd /
+        position-deleted files still count — they are live storage);
+        sizes are summed from the local filesystem and surface NULL
+        for remote locations rather than guessing."""
+        import os as _os
+
+        if not tbl.location:
+            raise NoStorageLocationError(tbl.database, tbl.name)
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        ttype = tbl.table_type
+        table_id = None
+        created = None
+        pcols: list[str] = [k.name for k in tbl.partition_keys]
+        props: dict[str, str] = {}
+        if ttype == ETableType.DELTA:
+            from glue_table_cache_spark.sources.delta import _replay
+
+            active, state = _replay(loc, fs=self._fs)
+            meta = state.get("metaData") or {}
+            table_id = meta.get("id")
+            created = meta.get("createdTime")
+            pcols = list(meta.get("partitionColumns") or []) or pcols
+            props = {
+                str(k): str(v)
+                for k, v in (meta.get("configuration") or {}).items()
+            }
+            paths = [
+                p if p.startswith("/")
+                else _os.path.join(loc, p)
+                for p in active
+            ]
+            fmt = "delta"
+        elif ttype == ETableType.ICEBERG:
+            from glue_table_cache_spark.sources.iceberg import (
+                _list_metadata_jsons,
+                _read_json,
+                iceberg_data_files,
+            )
+
+            jsons = _list_metadata_jsons(loc, fs=self._fs)
+            if not jsons:
+                raise GlueSparkError(
+                    f"No Iceberg metadata JSON found under {loc!r}"
+                )
+            meta = max(
+                (_read_json(p, None) for p in jsons),
+                key=lambda m: m.get("last-sequence-number", 0),
+            )
+            table_id = meta.get("table-uuid")
+            created = meta.get("last-updated-ms")
+            specs = meta.get("partition-specs") or []
+            if specs:
+                pcols = [
+                    f["name"] for f in (specs[0].get("fields") or [])
+                ] or pcols
+            props = {
+                str(k): str(v)
+                for k, v in (meta.get("properties") or {}).items()
+            }
+            paths = iceberg_data_files(loc, fs=self._fs)
+            fmt = "iceberg"
+        elif ttype == ETableType.HUDI:
+            from pathlib import Path as _P
+
+            from glue_table_cache_spark.sinks.hudi_write import (
+                _recorded_partition_fields,
+            )
+            from glue_table_cache_spark.sources.hudi import (
+                hudi_scan_info,
+            )
+
+            rec = _recorded_partition_fields(
+                loc, _P(loc) / ".hoodie" / "hoodie.properties"
+            )
+            if rec:
+                pcols = rec
+            pf = _P(loc) / ".hoodie" / "hoodie.properties"
+            if pf.exists():
+                for line in pf.read_text().splitlines():
+                    k, eq, v = line.partition("=")
+                    if eq:
+                        props[k.strip()] = v.strip()
+            paths = [
+                p
+                for p, _pv in hudi_scan_info(
+                    loc, fs=self._fs, base_files_only=True
+                )
+            ]
+            fmt = "hudi"
+        else:
+            paths = [
+                f.path for f in self.list_table_files_cached(tbl)
+            ]
+            fmt = tbl.data_format
+        size: int | None = 0
+        for p in paths:
+            try:
+                size += _os.stat(p).st_size
+            except OSError:
+                size = None
+                break
+        rows = [(
+            fmt,
+            table_id,
+            tbl.location,
+            int(created) if created is not None else None,
+            pcols,
+            len(paths),
+            size,
+            props,
+        )]
+        return self.spark.createDataFrame(
+            rows,
+            "format string, id string, location string, "
+            "createdAt long, partitionColumns array<string>, "
+            "numFiles long, sizeInBytes long, "
+            "properties map<string,string>",
         )
 
     def _show_lakehouse_metadata(self, verb, ref, tbl) -> DataFrame:
@@ -899,6 +1030,59 @@ class GlueSparkEngine:
             "rows_inserted long, rows_deleted long",
         )
 
+    def _execute_convert(self, stmt, tbl, loc, qual) -> DataFrame:
+        """``CONVERT TO DELTA glue.db.t`` — metadata-only in-place
+        migration: a version-0 Delta log over the existing parquet
+        files (no data moved), then the catalog entry flips to the
+        DELTA provider so every scan/DML/maintenance path from here
+        on goes through the transaction log.  Partition keys come
+        from the statement's ``PARTITIONED BY (col type, ...)`` or,
+        omitted, the catalog's registered keys (Glue partition keys
+        carry a type; untyped default is string)."""
+        if tbl.table_type not in (
+            ETableType.HIVE, ETableType.UNPARTITIONED,
+        ):
+            raise GlueSparkError(
+                f"CONVERT TO DELTA {qual}: the table is registered "
+                f"as {tbl.table_type.name} — only plain parquet "
+                "(HIVE/UNPARTITIONED) tables convert"
+            )
+        if tbl.data_format != "parquet":
+            raise GlueSparkError(
+                f"CONVERT TO DELTA {qual}: classification is "
+                f"{tbl.data_format!r} — only parquet converts"
+            )
+        if not callable(getattr(self.store, "register_table", None)):
+            raise GlueSparkError(
+                f"CONVERT TO DELTA {qual}: the metadata store is "
+                "read-only (no register_table)"
+            )
+        keys = list(stmt.partition_keys) or [
+            (k.name, k.type or "string") for k in tbl.partition_keys
+        ]
+        from glue_table_cache_spark.sinks.delta_write import (
+            convert_to_delta,
+        )
+
+        convert_to_delta(self.spark, loc, keys)
+        params = dict(tbl.parameters)
+        params["spark.sql.sources.provider"] = "delta"
+        self.store.register_table(
+            CatalogTable(
+                tbl.database,
+                tbl.name,
+                tbl.location,
+                partition_keys=list(tbl.partition_keys),
+                parameters=params,
+            )
+        )
+        self.invalidate_table(stmt.ref.database, stmt.ref.table)
+        return self.spark.createDataFrame(
+            [("CONVERT", "0", 0, 0, 0)],
+            "operation string, version string, rows_updated long, "
+            "rows_inserted long, rows_deleted long",
+        )
+
     def _execute_create(self, stmt) -> DataFrame:
         """CTAS: evaluate the source through the normal read path,
         write it via the chosen format's writer, register the new
@@ -1062,6 +1246,28 @@ class GlueSparkEngine:
         retention stays with the narrower Python APIs."""
         ttype = tbl.table_type
         zorder = list(stmt.zorder_by) or None
+        if stmt.verb == "reorg":
+            # REORG TABLE ... APPLY (PURGE): rewrite ONLY the files
+            # carrying deletion vectors — minimal write amplification
+            # when the goal is shedding DVs, not layout
+            if ttype != ETableType.DELTA:
+                raise GlueSparkError(
+                    f"REORG TABLE {qual} APPLY (PURGE): deletion "
+                    "vectors are a Delta feature (the table is "
+                    f"registered as {ttype.name})"
+                )
+            from glue_table_cache_spark.sinks.delta_optimize import (
+                optimize_delta,
+            )
+
+            version = optimize_delta(self.spark, loc, purge_only=True)
+            if version is not None:
+                self.invalidate_table(tbl.database, tbl.name)
+            return self.spark.createDataFrame(
+                [("REORG",
+                  None if version is None else str(version), 0)],
+                "operation string, version string, files_removed long",
+            )
         if stmt.verb == "optimize":
             if ttype == ETableType.DELTA:
                 from glue_table_cache_spark.sinks.delta_optimize import (

@@ -60,13 +60,20 @@ def optimize_delta(
     min_files_per_partition: int = 2,
     max_commit_retries: int = 10,
     checkpoint_interval: int | None = 10,
+    purge_only: bool = False,
 ) -> int | None:
     """Compact the Delta table at ``location``; returns the committed
     version, or ``None`` when nothing needed rewriting.  A partition
     is rewritten when it holds ≥ ``min_files_per_partition`` active
     files or any of its files carries a deletion vector (the rewrite
     purges it).  With ``zorder_by`` every partition is rewritten (the
-    point is the new layout, not the file count)."""
+    point is the new layout, not the file count).
+
+    ``purge_only=True`` is ``REORG TABLE ... APPLY (PURGE)``: ONLY
+    files carrying deletion vectors rewrite (their masked rows
+    materialize away and the DV sidecars become vacuum-able);
+    DV-free files are untouched however small — minimal write
+    amplification when the goal is shedding DVs, not layout."""
     from glue_table_cache_spark.sources.delta import (
         apply_deletion_vectors,
         delta_scan_info,
@@ -94,13 +101,27 @@ def optimize_delta(
         groups.setdefault(tuple(sorted(pv.items())), []).append(
             (path, pv, dv)
         )
-    todo = {
-        key: files
-        for key, files in groups.items()
-        if len(files) >= min_files_per_partition
-        or any(dv for _p, _pv, dv in files)
-        or zorder_by
-    }
+    if purge_only:
+        if zorder_by:
+            raise GlueSparkError(
+                "purge_only rewrites nothing but DV files; "
+                "ZORDER BY wants a full rewrite — pick one"
+            )
+        todo = {
+            key: dv_files
+            for key, files in groups.items()
+            if (dv_files := [
+                f for f in files if f[2] is not None
+            ])
+        }
+    else:
+        todo = {
+            key: files
+            for key, files in groups.items()
+            if len(files) >= min_files_per_partition
+            or any(dv for _p, _pv, dv in files)
+            or zorder_by
+        }
     if not todo:
         return None
 

@@ -770,6 +770,182 @@ def shallow_clone_delta(
     return n_files
 
 
+def convert_to_delta(
+    spark,
+    location: str,
+    partition_keys: list[tuple[str, str]] | None = None,
+    max_stats_files: int = 10_000,
+) -> int:
+    """``CONVERT TO DELTA``: generate a transaction log IN PLACE over
+    an existing parquet directory — a metadata-only migration (no
+    data copied or rewritten; the documented lakehouse-migration verb
+    re-expressed over the public protocol).  Returns the number of
+    files registered.
+
+    * ``partition_keys`` is ``[(name, sql_type), ...]`` for hive
+      ``k=v`` layouts; every data file must sit under EXACTLY those
+      keys in that order — a half-partitioned directory refuses (the
+      same mixed-layout hazard :func:`write_delta_append` refuses:
+      Spark's basePath discovery silently drops root-level files
+      next to ``k=v`` dirs, so a log legitimizing such a layout
+      would be unreadable);
+    * ``schemaString`` = one sampled data footer's schema plus the
+      typed partition columns; ``add.stats`` derive from footers
+      (metadata-scale, no data read) up to ``max_stats_files`` —
+      beyond the cap adds carry no stats and a later OPTIMIZE
+      re-derives them, keeping conversion of a million-file table a
+      bounded-driver operation;
+    * commits version 0 (``protocol(1,2)``, ``metaData`` with
+      partitionColumns, one ``dataChange`` add per file) via O_EXCL —
+      a concurrent conversion loses cleanly.
+
+    Directories already holding a Delta log, a Hudi timeline, or
+    Iceberg metadata refuse — converting those would fork their
+    commit history."""
+    from pyspark.sql.types import StructField, StructType
+
+    if "://" in location:
+        raise GlueSparkError(
+            "convert_to_delta commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    base = Path(
+        location[len("file:"):]
+        if location.startswith("file:") else location
+    )
+    if not base.is_dir():
+        raise GlueSparkError(
+            f"CONVERT TO DELTA: {location!r} is not a directory"
+        )
+    log_dir = base / "_delta_log"
+    if any(log_dir.glob("*.json")) or any(
+        log_dir.glob("*.checkpoint*.parquet")
+    ):
+        raise GlueSparkError(
+            f"{location!r} already holds a Delta transaction log — "
+            "it IS a Delta table"
+        )
+    if (base / ".hoodie").is_dir():
+        raise GlueSparkError(
+            f"{location!r} holds a Hudi timeline (.hoodie/) — "
+            "converting it would fork the commit history"
+        )
+    if any((base / "metadata").glob("*.metadata.json")):
+        raise GlueSparkError(
+            f"{location!r} holds Iceberg metadata — converting it "
+            "would fork the commit history"
+        )
+    keys = [k for k, _t in (partition_keys or [])]
+    files: list[tuple[Path, dict]] = []
+    for p in sorted(base.rglob("*.parquet")):
+        rel_parts = p.relative_to(base).parts
+        if any(
+            seg.startswith("_") or seg.startswith(".")
+            for seg in rel_parts
+        ):
+            continue  # staging/metadata/hidden trees are not data
+        pv: dict[str, str] = {}
+        for seg in rel_parts[:-1]:
+            k, eq, v = seg.partition("=")
+            if eq and k:
+                pv[k] = v
+        if list(pv) != keys:
+            raise GlueSparkError(
+                f"CONVERT TO DELTA: file {str(p)!r} sits under "
+                f"partition dirs {list(pv)} but the declared keys "
+                f"are {keys} — every data file must carry exactly "
+                "the declared partitioning (a mixed layout is "
+                "unreadable)"
+            )
+        files.append((p, pv))
+    if not files:
+        raise GlueSparkError(
+            f"CONVERT TO DELTA: no parquet data files under "
+            f"{location!r}"
+        )
+    # DISTRIBUTED footer-schema merge: files written at different
+    # schema versions union into one schemaString (readers surface
+    # nulls for columns a file lacks) — a single sampled footer would
+    # silently drop columns added later
+    data_schema = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[str(p) for p, _pv in files])
+        .schema
+    )
+    clash = [f.name for f in data_schema.fields if f.name in keys]
+    if clash:
+        raise GlueSparkError(
+            f"CONVERT TO DELTA: partition column(s) {clash} also "
+            "exist inside the data files — ambiguous layout"
+        )
+    part_fields = []
+    for name, sql_type in partition_keys or []:
+        try:
+            t = spark.createDataFrame(
+                [], f"`{name}` {sql_type}"
+            ).schema.fields[0]
+        except Exception:
+            raise GlueSparkError(
+                f"CONVERT TO DELTA: cannot parse partition column "
+                f"type {sql_type!r} for {name!r}"
+            )
+        part_fields.append(StructField(t.name, t.dataType, True))
+    full_schema = StructType(
+        list(data_schema.fields) + part_fields
+    )
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": len(files),
+                    "partitionedBy": json.dumps(keys),
+                },
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {
+                    "provider": "parquet", "options": {},
+                },
+                "schemaString": json.dumps(full_schema.jsonValue()),
+                "partitionColumns": keys,
+                "configuration": {},
+                "createdTime": now,
+            }
+        },
+    ]
+    for i, (p, pv) in enumerate(files):
+        add = {
+            "path": str(p.relative_to(base)),
+            "partitionValues": pv,
+            "size": p.stat().st_size,
+            "modificationTime": int(p.stat().st_mtime * 1000),
+            "dataChange": True,
+        }
+        if i < max_stats_files:
+            stats = _footer_stats_json(p)
+            if stats is not None:
+                add["stats"] = stats
+        actions.append({"add": add})
+    log_dir.mkdir(parents=True, exist_ok=True)
+    commit = log_dir / f"{0:020d}.json"
+    try:
+        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise GlueSparkError(
+            f"{location!r} gained a Delta log concurrently — "
+            "lost the conversion race"
+        )
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return len(files)
+
+
 def alter_delta_add_columns(
     location: str,
     columns,

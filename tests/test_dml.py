@@ -1258,3 +1258,203 @@ def test_shallow_clone_refusals(spark, tmp_path):
             "CREATE TABLE glue.db.c2 SHALLOW CLONE glue.db.t "
             f"LOCATION '{src}'"
         )
+
+
+# -- CONVERT TO DELTA --------------------------------------------------------
+
+
+def test_parse_convert_to_delta():
+    from glue_table_cache_spark.dml import ConvertStatement
+
+    s = parse_dml("CONVERT TO DELTA glue.db.t")
+    assert isinstance(s, ConvertStatement)
+    assert (s.ref.database, s.ref.table) == ("db", "t")
+    assert s.partition_keys == ()
+    s = parse_dml(
+        "CONVERT TO DELTA glue.t PARTITIONED BY (year string, m int)"
+    )
+    assert s.ref.database == "default"
+    assert s.partition_keys == (("year", "string"), ("m", "int"))
+    # untyped keys default to string
+    s = parse_dml("CONVERT TO DELTA glue.db.t PARTITIONED BY (year)")
+    assert s.partition_keys == (("year", "string"),)
+    with pytest.raises(InvalidQueryError, match="trailing"):
+        parse_dml("CONVERT TO DELTA glue.db.t NO STATISTICS")
+
+
+def test_convert_to_delta_e2e(spark, tmp_path):
+    """CONVERT TO DELTA generates a version-0 log over the existing
+    hive-partitioned parquet (metadata-only: the data files never
+    move), flips the catalog entry to the DELTA provider, and from
+    then on the full Delta surface works: log-driven pruning,
+    DELETE via deletion vectors, time travel back to the conversion
+    state."""
+    from glue_table_cache_spark.catalog import PartitionKey
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = tmp_path / "pt"
+    df = spark.createDataFrame(
+        [(i, "2020" if i < 5 else "2021", f"v{i}") for i in range(10)],
+        "id long, year string, v string",
+    )
+    df.coalesce(1).write.partitionBy("year").parquet(str(loc))
+    before = {
+        str(p) for p in loc.rglob("*.parquet") if "_delta_log" not in str(p)
+    }
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), partition_keys=[PartitionKey("year")]
+    )
+    eng = GlueSparkEngine(spark, store)
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 10
+
+    out = eng.sql("CONVERT TO DELTA glue.db.t").first()
+    assert out.operation == "CONVERT"
+    # catalog flipped; the same engine now scans through the log
+    assert store.get_table("db", "t").table_type.name == "DELTA"
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 10
+    assert sorted(
+        r.id for r in eng.sql(
+            "SELECT id FROM glue.db.t WHERE year = '2020'"
+        ).collect()
+    ) == [0, 1, 2, 3, 4]
+    # metadata-only: the data files did not move, and the log's adds
+    # carry typed partition columns + footer stats
+    entries, _r = delta_scan_info(str(loc))
+    assert {p for p, _pv, _dv in entries} == before
+    assert all(pv.get("year") for _p, pv, _dv in entries)
+    # the full Delta surface now works: DV DELETE + time travel
+    out = eng.sql("DELETE FROM glue.db.t WHERE id = 3").first()
+    assert out.rows_deleted == 1
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 9
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t VERSION AS OF 0"
+    ).first().n == 10
+    # re-convert refuses (it IS a Delta table now)
+    with pytest.raises(GlueSparkError, match="DELTA"):
+        eng.sql("CONVERT TO DELTA glue.db.t")
+
+
+def test_convert_to_delta_refusals(spark, tmp_path):
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame([(1, "2020")], "id long, year string")
+    # partitioned layout with undeclared keys refuses before writing
+    loc = tmp_path / "pt"
+    df.write.partitionBy("year").parquet(str(loc))
+    store = LocalMetadataStore()
+    store.register_parquet_dir("db", "t", str(loc))  # no keys declared
+    eng = GlueSparkEngine(spark, store)
+    with pytest.raises(GlueSparkError, match="declared keys"):
+        eng.sql("CONVERT TO DELTA glue.db.t")
+    # ...and succeeds once the keys are declared in the statement
+    eng.sql("CONVERT TO DELTA glue.db.t PARTITIONED BY (year string)")
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 1
+    # other formats refuse
+    iloc = tmp_path / "ice"
+    write_iceberg_append(df, str(iloc))
+    store2 = LocalMetadataStore()
+    store2.register_parquet_dir(
+        "db", "i", str(iloc), parameters={"table_type": "ICEBERG"}
+    )
+    with pytest.raises(GlueSparkError, match="ICEBERG"):
+        GlueSparkEngine(spark, store2).sql("CONVERT TO DELTA glue.db.i")
+
+
+def test_sql_reorg_apply_purge(spark, tmp_path):
+    """REORG TABLE ... APPLY (PURGE) rewrites ONLY the DV-carrying
+    files (masked rows materialize away, sidecars become
+    vacuum-able); DV-free files keep their original paths however
+    small — the minimal-write-amplification DV purge."""
+    from glue_table_cache_spark.dml import MaintenanceStatement
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    s = parse_dml("REORG TABLE glue.db.t APPLY (PURGE)")
+    assert isinstance(s, MaintenanceStatement) and s.verb == "reorg"
+    with pytest.raises(InvalidQueryError, match="APPLY"):
+        parse_dml("REORG TABLE glue.db.t")
+
+    loc = tmp_path / "dt"
+    a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(6)], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(10, 16)], "id long, v string"
+    )
+    write_delta_append(a.coalesce(1), str(loc))
+    write_delta_append(b.coalesce(1), str(loc))
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    eng.sql("DELETE FROM glue.db.t WHERE id = 2")
+    entries, _r = delta_scan_info(str(loc))
+    untouched = {p for p, _pv, dv in entries if dv is None}
+    assert len(untouched) == 1  # b's file carries no DV
+    out = eng.sql("REORG TABLE glue.db.t APPLY (PURGE)").first()
+    assert out.operation == "REORG" and out.version is not None
+    after, _r = delta_scan_info(str(loc))
+    assert all(dv is None for _p, _pv, dv in after)  # DVs purged
+    # the DV-free file was NOT rewritten
+    assert untouched <= {p for p, _pv, _dv in after}
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ) == [0, 1, 3, 4, 5, 10, 11, 12, 13, 14, 15]
+    # nothing left to purge: REORG is a no-op now
+    out = eng.sql("REORG TABLE glue.db.t APPLY (PURGE)").first()
+    assert out.version is None
+    # non-Delta refuses
+    with pytest.raises(GlueSparkError, match="Delta feature"):
+        _engine_for(spark, tmp_path, {"table_type": "ICEBERG"}).sql(
+            "REORG TABLE glue.db.t APPLY (PURGE)"
+        )
+
+
+def test_describe_detail_all_formats(spark, tmp_path):
+    """DESCRIBE DETAIL: one row of physical facts per table, from the
+    format's OWN metadata — format, id, partitionColumns, active
+    numFiles/sizeInBytes, properties."""
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2020"), (2, "2021")], "id long, year string"
+    )
+    dloc, iloc, hloc, ploc = (
+        tmp_path / n for n in ("dt", "ice", "ht", "pq")
+    )
+    write_delta_append(df.coalesce(1), str(dloc), partition_by=["year"])
+    write_iceberg_append(df.coalesce(1), str(iloc))
+    write_hudi_append(df.coalesce(1), str(hloc), partition_by=["year"])
+    df.coalesce(1).write.parquet(str(ploc))
+
+    d = _engine_for(
+        spark, dloc, {"spark.sql.sources.provider": "delta"}
+    ).sql("DESCRIBE DETAIL glue.db.t").first()
+    assert d.format == "delta" and d.id and d.createdAt
+    assert d.partitionColumns == ["year"]
+    assert d.numFiles == 2 and d.sizeInBytes > 0
+
+    i = _engine_for(spark, iloc, {"table_type": "ICEBERG"}).sql(
+        "DESCRIBE DETAIL glue.db.t"
+    ).first()
+    assert i.format == "iceberg" and i.id
+    assert i.numFiles == 1 and i.sizeInBytes > 0
+
+    h = _engine_for(spark, hloc, {"hoodie.table.name": "ht"}).sql(
+        "DESCRIBE DETAIL glue.db.t"
+    ).first()
+    assert h.format == "hudi"
+    assert h.partitionColumns == ["year"]
+    assert h.numFiles == 2
+    assert h.properties.get("hoodie.table.type") == "COPY_ON_WRITE"
+
+    p = _engine_for(spark, ploc, {}).sql(
+        "DESCRIBE DETAIL glue.db.t"
+    ).first()
+    assert p.format == "parquet" and p.numFiles >= 1
