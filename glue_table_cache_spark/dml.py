@@ -66,9 +66,10 @@ class MaintenanceStatement:
     repo's format-specific maintenance functions."""
 
     ref: TableReference
-    verb: str  # "optimize" | "vacuum"
+    verb: str  # "optimize" | "vacuum" | "reorg"
     zorder_by: tuple[str, ...] = field(default=())
     retain_hours: float | None = None
+    dry_run: bool = False  # VACUUM ... DRY RUN: report, don't delete
 
 
 @dataclass(frozen=True)
@@ -309,8 +310,9 @@ _ZORDER_RE = re.compile(
     r"\s*ZORDER\s+BY\s*\(\s*(?P<cols>[^)]+)\)\s*$", re.IGNORECASE
 )
 _RETAIN_RE = re.compile(
-    r"\s*RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+HOURS?\s*$", re.IGNORECASE
+    r"\s*RETAIN\s+(?P<n>\d+(?:\.\d+)?)\s+HOURS?\s*", re.IGNORECASE
 )
+_DRY_RUN_RE = re.compile(r"DRY\s+RUN\s*$", re.IGNORECASE)
 _CREATE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?", re.IGNORECASE
 )
@@ -806,16 +808,23 @@ def parse_dml(sql: str):
             return None
         ref, pos = got
         rest = _trim_stmt(s[pos:])
-        if not rest:
-            return MaintenanceStatement(ref, "vacuum")
-        rm = _RETAIN_RE.match(" " + rest)
-        if not rm:
+        retain = None
+        dry = False
+        rm = _RETAIN_RE.match(" " + rest) if rest else None
+        if rm:
+            retain = float(rm.group("n"))
+            rest = rest[rm.end() - 1:].strip()
+        if rest and _DRY_RUN_RE.match(rest):
+            dry = True
+            rest = ""
+        if rest:
             raise InvalidQueryError(
                 f"VACUUM glue.{ref.database}.{ref.table}: expected "
-                f"nothing or RETAIN n HOURS, got {rest[:40]!r}"
+                f"nothing, RETAIN n HOURS, and/or DRY RUN, got "
+                f"{rest[:40]!r}"
             )
         return MaintenanceStatement(
-            ref, "vacuum", retain_hours=float(rm.group("n"))
+            ref, "vacuum", retain_hours=retain, dry_run=dry
         )
     if _UPDATE_RE.match(s):
         start = _UPDATE_RE.match(s).end()

@@ -1317,7 +1317,7 @@ class GlueSparkEngine:
             )
 
             victims = vacuum_delta(
-                loc, retention_hours=hours, dry_run=False
+                loc, retention_hours=hours, dry_run=stmt.dry_run
             )
         elif ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sinks.iceberg_optimize import (
@@ -1325,7 +1325,7 @@ class GlueSparkEngine:
             )
 
             victims = remove_iceberg_orphans(
-                loc, retention_hours=hours, dry_run=False
+                loc, retention_hours=hours, dry_run=stmt.dry_run
             )
         elif ttype == ETableType.HUDI:
             from glue_table_cache_spark.sinks.hudi_optimize import (
@@ -1333,13 +1333,20 @@ class GlueSparkEngine:
             )
 
             victims = clean_hudi(
-                loc, retention_hours=hours, dry_run=False
+                loc, retention_hours=hours, dry_run=stmt.dry_run
             )
         else:
             raise GlueSparkError(
                 f"VACUUM {qual}: the table is registered as "
                 f"{ttype.name} — raw listings have no transaction log "
                 "to derive the unreferenced set from"
+            )
+        if stmt.dry_run:
+            # the deletable set itself, nothing deleted — the
+            # look-before-you-leap half of vacuum_delta/clean_hudi/
+            # remove_iceberg_orphans surfaced through SQL
+            return self.spark.createDataFrame(
+                [(str(v),) for v in sorted(victims)], "path string"
             )
         return self.spark.createDataFrame(
             [("VACUUM", None, len(victims))],

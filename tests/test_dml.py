@@ -1458,3 +1458,37 @@ def test_describe_detail_all_formats(spark, tmp_path):
         "DESCRIBE DETAIL glue.db.t"
     ).first()
     assert p.format == "parquet" and p.numFiles >= 1
+
+
+def test_sql_vacuum_dry_run(spark, tmp_path):
+    """VACUUM ... DRY RUN surfaces the deletable set as path rows and
+    deletes NOTHING; the plain VACUUM then removes exactly that set."""
+    from pathlib import Path
+
+    from glue_table_cache_spark.sinks.delta_optimize import optimize_delta
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    for lo in (0, 5):
+        write_delta_append(
+            spark.createDataFrame(
+                [(i,) for i in range(lo, lo + 5)], "id long"
+            ).coalesce(1),
+            str(loc),
+        )
+    optimize_delta(spark, str(loc))  # retires the two small files
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    dry = sorted(
+        r.path
+        for r in eng.sql(
+            "VACUUM glue.db.t RETAIN 0 HOURS DRY RUN"
+        ).collect()
+    )
+    assert len(dry) == 2
+    assert all(Path(p).exists() for p in dry)  # nothing deleted
+    out = eng.sql("VACUUM glue.db.t RETAIN 0 HOURS").first()
+    assert out.files_removed == 2
+    assert not any(Path(p).exists() for p in dry)
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 10
