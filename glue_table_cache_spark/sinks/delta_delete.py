@@ -24,7 +24,10 @@ data file, the protocol's persistent-deletion-vector fast path:
    aborts the commit cleanly; the sidecars are unreferenced garbage
    for VACUUM, the table is untouched).
 
-Column-mapped tables refuse (physical-name hazard, same as OPTIMIZE).
+Column-mapped tables WORK (DVs are position-based — the predicate
+evaluates on the rename-projected logical view and nothing in the
+commit depends on column names); only CDF-enabled mapped tables
+refuse (cdc files would need physical names).
 ``delta_cdf`` refuses windows containing DV-attach commits without
 cdc actions — by design: the changed-row set of a DV delta is not
 reconstructible from the log alone.
@@ -82,17 +85,18 @@ def delete_from_delta(
     entries, renames, log_schema = delta_scan_info(
         location, with_schema=True, with_stats=True
     )
-    if renames is not None:
-        raise GlueSparkError(
-            "delete_from_delta does not support column-mapped tables "
-            "(files carry physical names); use a Delta runtime"
-        )
     by_path = {p: (pv, dv, st) for p, pv, dv, st in entries}
     if not by_path:
         return None, 0
 
     df = read_parquet_files(
-        spark, location, by_path, schema=log_schema
+        spark,
+        location,
+        by_path,
+        # the log schema is LOGICAL; a column-mapped table's files
+        # carry physical names, so the scan stays schema-inferred and
+        # the rename projection below restores logical names
+        schema=log_schema if renames is None else None,
     )
     # tag (file, position) FIRST, then mask already-DV-deleted rows by
     # anti-joining the decoded positions (the apply_deletion_vectors
@@ -102,6 +106,20 @@ def delete_from_delta(
         F.col("_metadata.row_index").alias("__p"),
         "*",
     ).drop("_metadata")  # materialized across a clone's union scan
+    if renames is not None:
+        # COLUMN-MAPPED tables work here BECAUSE deletion vectors are
+        # position-based: nothing about the commit depends on column
+        # names — only the predicate needs the logical view, so the
+        # physical->logical projection applies right after tagging
+        tagged = tagged.select(
+            "__f",
+            "__p",
+            *[
+                F.col(c).alias(renames.get(c, c))
+                for c in tagged.columns
+                if c not in ("__f", "__p")
+            ],
+        )
     prior_pairs = [
         (_path_uri(p), int(pos))
         for p, (_pv, dv, _st) in by_path.items()
@@ -156,6 +174,13 @@ def delete_from_delta(
     )
 
     cdc_actions: list[dict] = []
+    if renames is not None and cdf_enabled(location):
+        raise GlueSparkError(
+            "DELETE on a column-mapped table with Change Data Feed "
+            "enabled: cdc files must carry physical names, which "
+            "this writer does not emit — disable CDF or use a "
+            "Delta runtime"
+        )
     if cdf_enabled(location):
         cdc_actions = write_cdc_files(
             typed(

@@ -23,7 +23,9 @@ copy-on-write engines do:
 
 Source keys must be unique — duplicate keys make "the source row"
 ambiguous and refuse loudly (the standard MERGE cardinality error).
-Column-mapped tables refuse (physical-name hazard).
+Column-mapped tables work: scans project physical->logical for key
+matching, rewrites land under physical names (only CDF-enabled
+mapped tables refuse — cdc files would need physical names).
 """
 
 from __future__ import annotations
@@ -77,11 +79,11 @@ def merge_into_delta(
     entries, renames, log_schema = delta_scan_info(
         location, with_schema=True
     )
-    if renames is not None:
-        raise GlueSparkError(
-            "merge_into_delta does not support column-mapped tables "
-            "(files carry physical names); use a Delta runtime"
-        )
+    # COLUMN-MAPPED tables work: scans read physical names and
+    # project to the logical view for key matching; rewritten files
+    # are written back under physical names (footer stats then key
+    # physically, the protocol's convention for mapped tables)
+    inverse = {v: k for k, v in (renames or {}).items()}
     if any(pv for _p, pv, _dv in entries):
         raise GlueSparkError(
             "merge_into_delta rewrites whole files and does not "
@@ -121,7 +123,8 @@ def merge_into_delta(
         )
 
         target = read_parquet_files(
-            spark, location, by_path, schema=log_schema
+            spark, location, by_path,
+            schema=log_schema if renames is None else None,
         )
         # DV-deleted rows must not count as matches nor pin their
         # file into the rewrite set on their own: tag (file, row)
@@ -132,7 +135,7 @@ def merge_into_delta(
         tagged = target.select(
             F.col("_metadata.file_path").alias("__f"),
             F.col("_metadata.row_index").alias("__p"),
-            *keys,
+            *[F.col(inverse.get(k, k)).alias(k) for k in keys],
         )
         prior_pairs = [
             (_path_uri(p), int(pos))
@@ -172,11 +175,19 @@ def merge_into_delta(
     if affected:
         base_rows = apply_deletion_vectors(
             read_parquet_files(
-                spark, location, affected, schema=log_schema
+                spark, location, affected,
+                schema=log_schema if renames is None else None,
             ),
             [(p, by_path[p][0], by_path[p][1]) for p in affected],
             location,
         ).drop("_metadata")  # materialized across a clone's union
+        if renames is not None:
+            base_rows = base_rows.select(
+                *[
+                    F.col(c).alias(renames.get(c, c))
+                    for c in base_rows.columns
+                ]
+            )
         kept = base_rows.join(src_keys, keys, "left_anti")
         merged = kept.unionByName(
             source.select(*kept.columns)
@@ -196,6 +207,13 @@ def merge_into_delta(
     )
 
     cdc_actions: list[dict] = []
+    if renames is not None and cdf_enabled(location):
+        raise GlueSparkError(
+            "MERGE on a column-mapped table with Change Data Feed "
+            "enabled: cdc files must carry physical names, which "
+            "this writer does not emit — disable CDF or use a "
+            "Delta runtime"
+        )
     if cdf_enabled(location):
         if base_rows is not None:
             pre = base_rows.join(src_keys, keys, "left_semi")
@@ -218,6 +236,14 @@ def merge_into_delta(
         1, -(-max(total_bytes, 1) // (target_file_mb * 1024 * 1024))
     )
     stage = base / f"_staging_{batch}"
+    if renames is not None:
+        # write back under PHYSICAL names, the on-disk contract
+        merged = merged.select(
+            *[
+                F.col(c).alias(inverse.get(c, c))
+                for c in merged.columns
+            ]
+        )
     merged.repartition(n_files).write.mode("overwrite").parquet(
         str(stage)
     )
@@ -315,8 +341,9 @@ def update_delta(
     pinned-version/per-attempt-validation posture as
     :func:`merge_into_delta`.  Returns ``(version, n_updated)`` —
     ``(None, 0)`` when nothing matched.  Needs no key columns,
-    unlike MERGE.  Column-mapped and partitioned tables refuse
-    (same scope gates as MERGE)."""
+    unlike MERGE.  Column-mapped tables work (scan projects
+    physical->logical, rewrites land under physical names);
+    partitioned tables refuse (same scope gate as MERGE)."""
     from pyspark.sql import functions as F
 
     from glue_table_cache_spark.sources.delta import (
@@ -336,11 +363,8 @@ def update_delta(
     entries, renames, log_schema = delta_scan_info(
         location, with_schema=True
     )
-    if renames is not None:
-        raise GlueSparkError(
-            "update_delta does not support column-mapped tables "
-            "(files carry physical names); use a Delta runtime"
-        )
+    # column-mapped tables work — same posture as merge_into_delta
+    inverse = {v: k for k, v in (renames or {}).items()}
     if any(pv for _p, pv, _dv in entries):
         raise GlueSparkError(
             "update_delta rewrites whole files and does not place "
@@ -363,7 +387,8 @@ def update_delta(
         )
 
     target = read_parquet_files(
-        spark, location, by_path, schema=log_schema
+        spark, location, by_path,
+        schema=log_schema if renames is None else None,
     )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     # DV-deleted rows must not count as matches (nor pin their file
@@ -376,6 +401,16 @@ def update_delta(
         F.col("_metadata.row_index").alias("__p"),
         "*",
     ).drop("_metadata")  # materialized across a clone's union scan
+    if renames is not None:
+        tagged = tagged.select(
+            "__f",
+            "__p",
+            *[
+                F.col(c).alias(renames.get(c, c))
+                for c in tagged.columns
+                if c not in ("__f", "__p")
+            ],
+        )
     prior_pairs = [
         (_path_uri(p), int(pos))
         for p, (_pv, dv) in by_path.items()
@@ -406,11 +441,16 @@ def update_delta(
 
     rows = apply_deletion_vectors(
         read_parquet_files(
-            spark, location, affected, schema=log_schema
+            spark, location, affected,
+            schema=log_schema if renames is None else None,
         ),
         [(p, by_path[p][0], by_path[p][1]) for p in affected],
         location,
     ).drop("_metadata")  # materialized across a clone's union
+    if renames is not None:
+        rows = rows.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in rows.columns]
+        )
     updated = rows.withColumns(
         {
             c: F.when(cond, F.expr(e)).otherwise(F.col(c))
@@ -428,6 +468,13 @@ def update_delta(
     )
 
     cdc_actions: list[dict] = []
+    if renames is not None and cdf_enabled(location):
+        raise GlueSparkError(
+            "UPDATE on a column-mapped table with Change Data Feed "
+            "enabled: cdc files must carry physical names, which "
+            "this writer does not emit — disable CDF or use a "
+            "Delta runtime"
+        )
     if cdf_enabled(location):
         pre = rows.where(cond)
         post = pre.withColumns(
@@ -448,6 +495,14 @@ def update_delta(
     total_bytes = sum(Path(p).stat().st_size for p in affected)
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     stage = base / f"_staging_{batch}"
+    if renames is not None:
+        # write back under PHYSICAL names, the on-disk contract
+        updated = updated.select(
+            *[
+                F.col(c).alias(inverse.get(c, c))
+                for c in updated.columns
+            ]
+        )
     updated.repartition(n_files).write.mode("overwrite").parquet(
         str(stage)
     )

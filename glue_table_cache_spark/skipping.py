@@ -500,7 +500,14 @@ def parquet_footer_stats(path: str, s3_client=None) -> FileStats | None:
                     continue
                 dropped.add(name)
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow cannot decode min/max for some physical
+                # types (e.g. FIXED_LEN_BYTE_ARRAY decimals) — the
+                # column simply contributes no bounds
+                dropped.add(name)
+                continue
             if isinstance(mn, bytes) or isinstance(mx, bytes):
                 # physical BYTE_ARRAY without a string logical type —
                 # our constants cannot compare against raw bytes

@@ -63,6 +63,7 @@ _CHECKPOINT_V2_RE = re.compile(
 #: actions split into ``_sidecars/`` parquet files) are read by
 #: :func:`_read_checkpoint_v2`.
 _SUPPORTED_READER_FEATURES = {
+    "columnMapping",  # flat schemas; nested refuses in the rename map
     "deletionVectors",
     "timestampNtz",
     "vacuumProtocolCheck",
