@@ -102,6 +102,7 @@ class CloneStatement:
     version: int | None = None
     location: str | None = None
     if_not_exists: bool = False
+    deep: bool = False  # [DEEP] CLONE: the files copy too
 
 
 @dataclass(frozen=True)
@@ -336,7 +337,9 @@ _LOCATION_RE = re.compile(
     r"LOCATION\s+'(?P<path>[^']*)'\s*", re.IGNORECASE
 )
 _AS_RE = re.compile(r"AS\b\s*", re.IGNORECASE)
-_CLONE_RE = re.compile(r"SHALLOW\s+CLONE\s+", re.IGNORECASE)
+_CLONE_RE = re.compile(
+    r"(?:(?P<shallow>SHALLOW)|DEEP)?\s*CLONE\s+", re.IGNORECASE
+)
 _CLONE_VERSION_RE = re.compile(
     r"VERSION\s+AS\s+OF\s+(?P<n>\d+)\s*", re.IGNORECASE
 )
@@ -409,6 +412,7 @@ def parse_dml(sql: str):
         while True:
             cm = _CLONE_RE.match(rest)
             if cm:
+                deep = cm.group("shallow") is None
                 got2 = _parse_ref(rest, cm.end())
                 if got2 is None:
                     raise InvalidQueryError(
@@ -435,7 +439,7 @@ def parse_dml(sql: str):
                         f"text {_trim_stmt(tail)[:40]!r}"
                     )
                 return CloneStatement(
-                    ref, src_ref, version, location, ine
+                    ref, src_ref, version, location, ine, deep
                 )
             am = _AS_RE.match(rest)
             if am:

@@ -1013,7 +1013,7 @@ class GlueSparkEngine:
         )
 
         n_files = shallow_clone_delta(
-            src_loc, loc, version=stmt.version
+            src_loc, loc, version=stmt.version, deep=stmt.deep
         )
         self.store.register_table(
             CatalogTable(

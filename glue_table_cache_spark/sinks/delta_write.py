@@ -641,6 +641,7 @@ def shallow_clone_delta(
     src_location: str,
     dst_location: str,
     version: int | None = None,
+    deep: bool = False,
 ) -> int:
     """Delta's documented SHALLOW CLONE: a NEW table at
     ``dst_location`` whose version-0 commit references the source's
@@ -651,12 +652,20 @@ def shallow_clone_delta(
     clones a historical state (the read-side ``VERSION AS OF``
     identifier).
 
+    ``deep=True`` is DEEP CLONE: the active files (and their DV
+    sidecars) COPY into the clone's directory, adds reference them
+    relative, and the clone has zero ties to the source — a VACUUM
+    on the source can no longer break it.  The copy is a
+    driver-side loop (a clone IS a data copy; at object-store scale
+    the copy belongs in a distributed job or server-side COPY, and
+    this local-FS writer keeps the protocol shape exact).
+
     The clone's log is independent from its first commit: writes,
     DML, RESTORE, and checkpoints all work; VACUUM walks only the
     clone's own directory, so referenced source files are naturally
-    safe — but a VACUUM on the SOURCE can remove files the clone
-    still references (the documented shallow-clone hazard; reads
-    then fail loudly)."""
+    safe — but a VACUUM on the SOURCE can remove files a SHALLOW
+    clone still references (the documented shallow-clone hazard;
+    reads then fail loudly)."""
     if "://" in src_location or "://" in dst_location:
         raise GlueSparkError(
             "shallow_clone_delta commits via filesystem "
@@ -709,6 +718,7 @@ def shallow_clone_delta(
                 "operationParameters": {
                     "source": src_location,
                     "sourceVersion": version,
+                    "isShallow": not deep,
                 },
             }
         },
@@ -723,14 +733,32 @@ def shallow_clone_delta(
         )
         if not Path(abs_path).exists():
             raise GlueSparkError(
-                f"SHALLOW CLONE of version {version}: source file "
-                f"{p!r} no longer exists (vacuumed); that state is "
-                "not materializable"
+                f"{'DEEP' if deep else 'SHALLOW'} CLONE of version "
+                f"{version}: source file {p!r} no longer exists "
+                "(vacuumed); that state is not materializable"
             )
+        if deep:
+            # copy the data file in, keeping the layout (partition
+            # dirs survive) — foreign absolute paths (a clone of a
+            # shallow clone) land at the root under a unique name
+            rel = (
+                p
+                if not p.startswith("/")
+                else f"clone-{uuid.uuid4().hex[:12]}-"
+                + Path(p).name
+            )
+            dest = dst / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(abs_path, dest)
+            add_path = rel
+            size_of = dest
+        else:
+            add_path = abs_path
+            size_of = Path(abs_path)
         add = {
-            "path": abs_path,
+            "path": add_path,
             "partitionValues": pv or {},
-            "size": Path(abs_path).stat().st_size,
+            "size": size_of.stat().st_size,
             "modificationTime": now,
             "dataChange": True,
         }
@@ -739,6 +767,21 @@ def shallow_clone_delta(
         if dv is not None:
             if dv.get("storageType") == "i":
                 add["deletionVector"] = dv  # inline: self-contained
+            elif deep:
+                # the sidecar copies too; an absolute 'p' path
+                # re-anchors to the CLONE's directory
+                src_dv = dv_file_path(src_location, dv)
+                dv_name = Path(src_dv).name
+                shutil.copy2(src_dv, dst / dv_name)
+                add["deletionVector"] = {
+                    **{
+                        k: v
+                        for k, v in dv.items()
+                        if k not in ("storageType", "pathOrInlineDv")
+                    },
+                    "storageType": "p",
+                    "pathOrInlineDv": str(dst / dv_name),
+                }
             else:
                 # re-anchor to the SOURCE directory: the clone's
                 # reader resolves 'u' descriptors against ITS OWN

@@ -1492,3 +1492,50 @@ def test_sql_vacuum_dry_run(spark, tmp_path):
     assert out.files_removed == 2
     assert not any(Path(p).exists() for p in dry)
     assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 10
+
+
+def test_deep_clone_e2e(spark, tmp_path):
+    """DEEP CLONE copies the active files (and DV sidecars) into the
+    clone's own directory — relative adds, zero ties to the source:
+    vacuuming the source afterwards cannot break the clone."""
+    from glue_table_cache_spark.config import EngineConfig
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    src = tmp_path / "src"
+    df = spark.createDataFrame(
+        [(i, "2020" if i < 5 else "2021") for i in range(10)],
+        "id long, year string",
+    )
+    write_delta_append(df.coalesce(1), str(src), partition_by=["year"])
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(src),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(
+        spark, store,
+        config=EngineConfig(warehouse_dir=str(tmp_path / "wh")),
+    )
+    eng.sql("DELETE FROM glue.db.t WHERE id = 9")  # DV on the source
+
+    eng.sql("CREATE TABLE glue.db.c DEEP CLONE glue.db.t")
+    clone_dir = tmp_path / "wh" / "db" / "c"
+    # every add is CLONE-relative; partition layout survives
+    entries, _r = delta_scan_info(str(clone_dir))
+    root = str(clone_dir).rstrip("/") + "/"
+    assert entries and all(p.startswith(root) for p, _pv, _dv in entries)
+    assert all(pv.get("year") for _p, pv, _dv in entries)
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.c").collect()
+    ) == list(range(9))
+    # zero ties: delete every source file — the clone still reads
+    import shutil as _sh
+
+    _sh.rmtree(src)
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.c WHERE year='2021'"
+    ).first().n == 4
+    # bare CLONE == DEEP (the Delta default)
+    with pytest.raises(GlueSparkError, match="no Delta log"):
+        eng.sql("CREATE TABLE glue.db.c2 CLONE glue.db.t")
