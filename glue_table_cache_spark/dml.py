@@ -116,6 +116,20 @@ class TablePropertiesStatement:
 
 
 @dataclass(frozen=True)
+class ConstraintStatement:
+    """``ALTER TABLE glue.db.t ADD CONSTRAINT <name> CHECK (<expr>)``
+    / ``DROP CONSTRAINT <name>`` — the CHECK expression lives in the
+    table configuration as ``delta.constraints.<name>`` (the
+    protocol's home for it); ADD validates EXISTING rows first and
+    upgrades the protocol with ``checkConstraints``.  Delta-only."""
+
+    ref: TableReference
+    action: str  # "add" | "drop"
+    name: str
+    expr: str | None = None
+
+
+@dataclass(frozen=True)
 class ConvertStatement:
     """``CONVERT TO DELTA glue.db.t [PARTITIONED BY (col type, ...)]``
     — metadata-only in-place migration of a plain parquet table: a
@@ -327,6 +341,13 @@ _CONVERT_RE = re.compile(
     r"CONVERT\s+TO\s+DELTA\s+", re.IGNORECASE
 )
 _REORG_RE = re.compile(r"REORG\s+TABLE\s+", re.IGNORECASE)
+_ADD_CONSTRAINT_RE = re.compile(
+    rf"ADD\s+CONSTRAINT\s+(?P<name>{_IDENT})\s+CHECK\s*\(",
+    re.IGNORECASE,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    rf"DROP\s+CONSTRAINT\s+(?P<name>{_IDENT})\s*", re.IGNORECASE
+)
 _APPLY_PURGE_RE = re.compile(
     r"APPLY\s*\(\s*PURGE\s*\)\s*$", re.IGNORECASE
 )
@@ -644,6 +665,45 @@ def parse_dml(sql: str):
                     f"unexpected trailing text {trailing[:40]!r}"
                 )
             return TablePropertiesStatement(ref, pairs)
+        am2 = _ADD_CONSTRAINT_RE.match(rest)
+        if am2:
+            depth = 1
+            i = am2.end()
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise InvalidQueryError(
+                    "ADD CONSTRAINT: unterminated CHECK expression"
+                )
+            expr = rest[am2.end(): i - 1].strip()
+            if not expr:
+                raise InvalidQueryError(
+                    "ADD CONSTRAINT: empty CHECK expression"
+                )
+            trailing = _trim_stmt(rest[i:])
+            if trailing:
+                raise InvalidQueryError(
+                    f"ALTER TABLE glue.{ref.database}.{ref.table}: "
+                    f"unexpected trailing text {trailing[:40]!r}"
+                )
+            return ConstraintStatement(
+                ref, "add", _unquote(am2.group("name")), expr
+            )
+        dm2 = _DROP_CONSTRAINT_RE.match(rest)
+        if dm2:
+            trailing = _trim_stmt(rest[dm2.end():])
+            if trailing:
+                raise InvalidQueryError(
+                    f"ALTER TABLE glue.{ref.database}.{ref.table}: "
+                    f"unexpected trailing text {trailing[:40]!r}"
+                )
+            return ConstraintStatement(
+                ref, "drop", _unquote(dm2.group("name"))
+            )
         rm = _REF_RE.match(rest)
         if rm:
             action = rm.group("action").lower()

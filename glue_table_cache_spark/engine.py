@@ -170,6 +170,7 @@ class GlueSparkEngine:
         from glue_table_cache_spark.dml import (
             AlterTableStatement,
             CloneStatement,
+            ConstraintStatement,
             ConvertStatement,
             CreateTableStatement,
             DeleteStatement,
@@ -214,6 +215,68 @@ class GlueSparkEngine:
             return self._execute_convert(stmt, tbl, loc, qual)
         if isinstance(stmt, MaintenanceStatement):
             return self._execute_maintenance(stmt, tbl, loc, qual)
+        if isinstance(stmt, ConstraintStatement):
+            if ttype != ETableType.DELTA:
+                raise GlueSparkError(
+                    f"{stmt.action.upper()} CONSTRAINT {qual}: CHECK "
+                    "constraints live in the Delta configuration "
+                    "(delta.constraints.<name>); the table is "
+                    f"registered as {ttype.name}"
+                )
+            from glue_table_cache_spark.sinks.delta_write import (
+                set_delta_table_properties,
+            )
+            from glue_table_cache_spark.sources.delta import (
+                delta_table_configuration,
+            )
+
+            key = f"delta.constraints.{stmt.name}"
+            cfg = delta_table_configuration(loc)
+            if stmt.action == "add":
+                if key in cfg:
+                    raise GlueSparkError(
+                        f"ADD CONSTRAINT {qual}: constraint "
+                        f"{stmt.name!r} already exists "
+                        f"({cfg[key]}); DROP it first"
+                    )
+                # EXISTING rows must already satisfy the new CHECK —
+                # otherwise the table is born violating its own gate
+                bad = (
+                    self.table_dataframe(ref.database, ref.table)
+                    .where(
+                        ~F.coalesce(F.expr(stmt.expr), F.lit(True))
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise GlueSparkError(
+                        f"ADD CONSTRAINT {qual}: existing rows "
+                        f"violate CHECK ({stmt.expr}) — clean the "
+                        "data first"
+                    )
+                version = set_delta_table_properties(
+                    loc, {key: stmt.expr}
+                )
+            else:
+                if key not in cfg:
+                    raise GlueSparkError(
+                        f"DROP CONSTRAINT {qual}: no constraint "
+                        f"named {stmt.name!r} (have "
+                        f"{sorted(k.rsplit('.', 1)[1] for k in cfg if k.startswith('delta.constraints.'))})"
+                    )
+                version = set_delta_table_properties(
+                    loc, {}, unset=(key,)
+                )
+            self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [(
+                    f"{stmt.action.upper()} CONSTRAINT",
+                    str(version), 0, 0, 0,
+                )],
+                "operation string, version string, rows_updated long, "
+                "rows_inserted long, rows_deleted long",
+            )
         if isinstance(stmt, TablePropertiesStatement):
             if ttype != ETableType.DELTA:
                 raise GlueSparkError(

@@ -47,6 +47,7 @@ from pyspark.sql import SparkSession
 from glue_table_cache_spark.errors import GlueSparkError
 from glue_table_cache_spark.sinks.delta_write import (
     _next_version,
+    refuse_append_only,
     upgraded_protocol,
 )
 
@@ -82,6 +83,7 @@ def delete_from_delta(
             "delete_from_delta commits via filesystem put-if-absent; "
             "object stores need an external commit coordinator"
         )
+    refuse_append_only(location, "DELETE")
     entries, renames, log_schema = delta_scan_info(
         location, with_schema=True, with_stats=True
     )

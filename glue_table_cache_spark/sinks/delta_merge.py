@@ -44,6 +44,8 @@ from glue_table_cache_spark.sinks.delta_write import (
     _footer_stats_json,
     _maybe_checkpoint,
     _next_version,
+    enforce_check_constraints,
+    refuse_append_only,
 )
 
 
@@ -76,6 +78,7 @@ def merge_into_delta(
             "merge_into_delta commits via filesystem put-if-absent; "
             "object stores need an external commit coordinator"
         )
+    refuse_append_only(location, "MERGE")
     entries, renames, log_schema = delta_scan_info(
         location, with_schema=True
     )
@@ -236,6 +239,13 @@ def merge_into_delta(
         1, -(-max(total_bytes, 1) // (target_file_mb * 1024 * 1024))
     )
     stage = base / f"_staging_{batch}"
+    from glue_table_cache_spark.sources.delta import (
+        delta_table_configuration,
+    )
+
+    enforce_check_constraints(
+        merged, delta_table_configuration(location), "MERGE"
+    )
     if renames is not None:
         # write back under PHYSICAL names, the on-disk contract
         merged = merged.select(
@@ -360,6 +370,7 @@ def update_delta(
             "update_delta commits via filesystem put-if-absent; "
             "object stores need an external commit coordinator"
         )
+    refuse_append_only(location, "UPDATE")
     entries, renames, log_schema = delta_scan_info(
         location, with_schema=True
     )
@@ -495,6 +506,13 @@ def update_delta(
     total_bytes = sum(Path(p).stat().st_size for p in affected)
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     stage = base / f"_staging_{batch}"
+    from glue_table_cache_spark.sources.delta import (
+        delta_table_configuration,
+    )
+
+    enforce_check_constraints(
+        updated, delta_table_configuration(location), "UPDATE"
+    )
     if renames is not None:
         # write back under PHYSICAL names, the on-disk contract
         updated = updated.select(

@@ -127,6 +127,55 @@ def upgraded_protocol(
     }
 
 
+def refuse_append_only(location: str, verb: str) -> None:
+    """PROTOCOL.md ``appendOnly``: a table with
+    ``delta.appendOnly=true`` forbids removing or rewriting existing
+    rows — DELETE/UPDATE/MERGE/INSERT OVERWRITE/RESTORE must refuse
+    up front (real Delta writers enforce the same gate)."""
+    from glue_table_cache_spark.sources.delta import (
+        delta_table_configuration,
+    )
+
+    cfg = delta_table_configuration(location)
+    if cfg.get("delta.appendOnly", "").lower() == "true":
+        raise GlueSparkError(
+            f"{verb} on an append-only table "
+            "(delta.appendOnly=true): the table forbids removing or "
+            "rewriting existing rows; unset the property to allow it"
+        )
+
+
+def enforce_check_constraints(
+    df: DataFrame, configuration: dict, verb: str
+) -> None:
+    """PROTOCOL.md CHECK constraints: every row written must satisfy
+    every ``delta.constraints.<name>`` expression (NULL passes, the
+    SQL CHECK semantic).  One ``limit(1)`` scan over the batch for
+    all constraints together; on a hit, each is re-checked for the
+    precise message."""
+    from pyspark.sql import functions as F
+
+    checks = {
+        k[len("delta.constraints."):]: v
+        for k, v in (configuration or {}).items()
+        if k.startswith("delta.constraints.")
+    }
+    if not checks:
+        return
+    violated = None
+    for _name, sql in sorted(checks.items()):
+        cond = ~F.coalesce(F.expr(sql), F.lit(True))
+        violated = cond if violated is None else violated | cond
+    if df.where(violated).limit(1).count():
+        for name, sql in sorted(checks.items()):
+            cond = ~F.coalesce(F.expr(sql), F.lit(True))
+            if df.where(cond).limit(1).count():
+                raise GlueSparkError(
+                    f"{verb} violates CHECK constraint {name!r} "
+                    f"({sql}) — no rows written"
+                )
+
+
 def _next_version(log_dir: Path) -> int:
     vs = [
         int(p.name[:20])
@@ -276,6 +325,20 @@ def write_delta_append(
         return evolved
 
     evolved_meta = _resolve_evolution()
+    table_conf = (seen_meta.get("meta") or {}).get("configuration") or {}
+    if isinstance(table_conf, list):
+        table_conf = dict(table_conf)
+    if (
+        overwrite
+        and str(table_conf.get("delta.appendOnly", "")).lower()
+        == "true"
+    ):
+        raise GlueSparkError(
+            "INSERT OVERWRITE on an append-only table "
+            "(delta.appendOnly=true): the table forbids removing "
+            "existing rows; unset the property to allow it"
+        )
+    enforce_check_constraints(df, table_conf, "append")
     # appends INHERIT the table's recorded partitioning: the protocol
     # requires every add's partitionValues to cover partitionColumns,
     # and Spark's basePath partition discovery SILENTLY DROPS a
@@ -446,14 +509,20 @@ def set_delta_table_properties(
     props: dict[str, str],
     max_commit_retries: int = 10,
     checkpoint_interval: int | None = 10,
+    unset: tuple[str, ...] = (),
 ) -> int:
     """``ALTER TABLE ... SET TBLPROPERTIES`` — a metadata-only commit
-    merging ``props`` into the table ``configuration``.  Setting
+    merging ``props`` into the table ``configuration`` (and removing
+    the ``unset`` keys — the UNSET/DROP CONSTRAINT half).  Setting
     ``delta.enableChangeDataFeed=true`` also UNION-upgrades the
     protocol with the ``changeDataFeed`` writer feature, after which
     the DELETE/UPDATE/MERGE writers record cdc files and CDF readers
-    get exact row-level changes for DML commits."""
-    if not props:
+    get exact row-level changes for DML commits; setting a
+    ``delta.constraints.<name>`` CHECK upgrades with
+    ``checkConstraints`` and ``delta.appendOnly=true`` with
+    ``appendOnly`` — feature-aware third-party writers then see the
+    gates they must enforce."""
+    if not props and not unset:
         raise GlueSparkError("SET TBLPROPERTIES: empty property list")
     base = Path(location)
     log_dir = base / "_delta_log"
@@ -469,6 +538,13 @@ def set_delta_table_properties(
         str(props.get("delta.enableChangeDataFeed", "")).lower()
         == "true"
     )
+    new_writer_features: list[str] = []
+    if enable_cdf:
+        new_writer_features.append("changeDataFeed")
+    if any(k.startswith("delta.constraints.") for k in props):
+        new_writer_features.append("checkConstraints")
+    if str(props.get("delta.appendOnly", "")).lower() == "true":
+        new_writer_features.append("appendOnly")
     for _ in range(max_commit_retries):
         version = _next_version(log_dir)
         _active, state = _replay(location)
@@ -483,6 +559,8 @@ def set_delta_table_properties(
             conf = dict(conf)
         conf = dict(conf)
         conf.update({str(k): str(v) for k, v in props.items()})
+        for k in unset:
+            conf.pop(str(k), None)
         meta["configuration"] = conf
         actions: list[dict] = [
             {
@@ -496,12 +574,12 @@ def set_delta_table_properties(
             },
             {"metaData": meta},
         ]
-        if enable_cdf:
+        if new_writer_features:
             actions.append(
                 {
                     "protocol": upgraded_protocol(
                         state.get("protocol"),
-                        writer_features=("changeDataFeed",),
+                        writer_features=tuple(new_writer_features),
                     )
                 }
             )
@@ -542,6 +620,7 @@ def restore_delta(
             "restore_delta commits via filesystem put-if-absent; "
             "object stores need an external commit coordinator"
         )
+    refuse_append_only(location, "RESTORE")
     log_dir = base / "_delta_log"
     if not log_dir.is_dir():
         raise GlueSparkError(

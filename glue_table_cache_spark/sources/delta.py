@@ -1095,6 +1095,19 @@ def delta_last_txn_version(
     return (state.get("txns") or {}).get(app_id)
 
 
+def delta_table_configuration(
+    location: str, s3_client=None, fs=None
+) -> dict[str, str]:
+    """The table's ``metaData.configuration`` map (``{}`` when unset)
+    — the home of writer-enforced behavior gates: ``delta.appendOnly``
+    and ``delta.constraints.<name>`` CHECK expressions."""
+    _active, state = _replay(location, s3_client=s3_client, fs=fs)
+    conf = (state.get("metaData") or {}).get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    return {str(k): str(v) for k, v in conf.items()}
+
+
 def log_action_path(location: str, path: str) -> str:
     """The path string a remove action must carry to retire an add
     during replay: table-relative when the file lives under the table

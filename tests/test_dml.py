@@ -1539,3 +1539,80 @@ def test_deep_clone_e2e(spark, tmp_path):
     # bare CLONE == DEEP (the Delta default)
     with pytest.raises(GlueSparkError, match="no Delta log"):
         eng.sql("CREATE TABLE glue.db.c2 CLONE glue.db.t")
+
+
+def test_check_constraints_and_append_only(spark, tmp_path):
+    """CHECK constraints (delta.constraints.<name>) gate every write
+    path — append, UPDATE postimage, MERGE source — with the SQL
+    CHECK semantic (NULL passes); ADD CONSTRAINT validates existing
+    rows and DROP removes the gate.  delta.appendOnly=true refuses
+    DELETE/UPDATE/MERGE/INSERT OVERWRITE/RESTORE while plain appends
+    keep working."""
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, None)], "id long, v string"
+        ),
+        str(loc),
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    # existing rows violate → ADD refuses
+    with pytest.raises(GlueSparkError, match="existing rows"):
+        eng.sql(
+            "ALTER TABLE glue.db.t ADD CONSTRAINT pos CHECK (id > 1)"
+        )
+    out = eng.sql(
+        "ALTER TABLE glue.db.t ADD CONSTRAINT pos CHECK (id > 0)"
+    ).first()
+    assert out.operation == "ADD CONSTRAINT"
+    with pytest.raises(GlueSparkError, match="already exists"):
+        eng.sql(
+            "ALTER TABLE glue.db.t ADD CONSTRAINT pos CHECK (id > 9)"
+        )
+    # violating INSERT refuses, nothing written
+    with pytest.raises(GlueSparkError, match="CHECK constraint 'pos'"):
+        eng.sql("INSERT INTO glue.db.t VALUES (0, 'x')")
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 2
+    # NULL passes (SQL CHECK semantics)
+    eng.sql("INSERT INTO glue.db.t VALUES (NULL, 'n')")
+    # violating UPDATE refuses, table unchanged
+    with pytest.raises(GlueSparkError, match="CHECK constraint 'pos'"):
+        eng.sql("UPDATE glue.db.t SET id = -1 WHERE v = 'a'")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t WHERE id = 1"
+    ).first().n == 1
+    # violating MERGE refuses
+    with pytest.raises(GlueSparkError, match="CHECK constraint 'pos'"):
+        eng.sql(
+            "MERGE INTO glue.db.t AS t USING (SELECT * FROM VALUES "
+            "(CAST(-5 AS BIGINT), 'bad') AS s(id, v)) AS s "
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    # DROP lifts the gate
+    eng.sql("ALTER TABLE glue.db.t DROP CONSTRAINT pos")
+    with pytest.raises(GlueSparkError, match="no constraint"):
+        eng.sql("ALTER TABLE glue.db.t DROP CONSTRAINT pos")
+    eng.sql("INSERT INTO glue.db.t VALUES (0, 'x')")
+
+    # appendOnly: the write gates flip on via TBLPROPERTIES
+    eng.sql(
+        "ALTER TABLE glue.db.t SET TBLPROPERTIES "
+        "('delta.appendOnly'='true')"
+    )
+    for stmt_sql, msg in [
+        ("DELETE FROM glue.db.t WHERE id = 1", "DELETE"),
+        ("UPDATE glue.db.t SET v = 'y' WHERE id = 1", "UPDATE"),
+        ("INSERT OVERWRITE glue.db.t VALUES (9, 'z')", "OVERWRITE"),
+    ]:
+        with pytest.raises(GlueSparkError, match="append-only"):
+            eng.sql(stmt_sql)
+    # plain appends still work
+    eng.sql("INSERT INTO glue.db.t VALUES (7, 'ok')")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t"
+    ).first().n == 5
