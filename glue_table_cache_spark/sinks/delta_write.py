@@ -127,6 +127,24 @@ def upgraded_protocol(
     }
 
 
+def _generation_expressions(meta: dict | None) -> dict[str, str]:
+    """``{column: delta.generationExpression}`` from the schemaString
+    field metadata — the write-side half of generated columns: the
+    writer derives these, the batch never supplies them."""
+    try:
+        schema = json.loads((meta or {}).get("schemaString") or "{}")
+    except ValueError:
+        return {}
+    out: dict[str, str] = {}
+    for f in schema.get("fields") or []:
+        expr = (f.get("metadata") or {}).get(
+            "delta.generationExpression"
+        )
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
 def refuse_append_only(location: str, verb: str) -> None:
     """PROTOCOL.md ``appendOnly``: a table with
     ``delta.appendOnly=true`` forbids removing or rewriting existing
@@ -349,6 +367,16 @@ def write_delta_append(
     )
     if pcols and partition_by is None:
         missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            # the protocol's generated-columns write semantic: a
+            # partition column carrying delta.generationExpression is
+            # DERIVED by the writer, never supplied by the batch
+            gen = _generation_expressions(seen_meta.get("meta"))
+            from pyspark.sql import functions as F
+
+            for c in [c for c in missing if c in gen]:
+                df = df.withColumn(c, F.expr(gen[c]))
+            missing = [c for c in missing if c not in gen]
         if missing:
             raise GlueSparkError(
                 f"append lacks partition column(s) {missing} the "

@@ -1616,3 +1616,58 @@ def test_check_constraints_and_append_only(spark, tmp_path):
     assert eng.sql(
         "SELECT count(*) AS n FROM glue.db.t"
     ).first().n == 5
+
+
+def test_insert_derives_generated_partition_column(spark, tmp_path):
+    """INSERT into a table partitioned by a GENERATED column derives
+    the column from delta.generationExpression (the batch never
+    supplies it) — files land in the right partition dirs and the
+    generated-column pruning keeps working over the new data."""
+    import datetime as dt
+    import json as _json
+
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "gen"
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 5, 10, 0), dt.date(2024, 3, 5))],
+        "id long, ts timestamp, pdate date",
+    )
+    write_delta_append(df, str(loc), partition_by=["pdate"])
+    commit = loc / "_delta_log" / "00000000000000000000.json"
+    out = []
+    for line in commit.read_text().splitlines():
+        action = _json.loads(line)
+        if "metaData" in action:
+            schema = _json.loads(action["metaData"]["schemaString"])
+            for f in schema["fields"]:
+                if f["name"] == "pdate":
+                    f.setdefault("metadata", {})[
+                        "delta.generationExpression"
+                    ] = "CAST(ts AS DATE)"
+            action["metaData"]["schemaString"] = _json.dumps(schema)
+        out.append(_json.dumps(action))
+    commit.write_text("\n".join(out) + "\n")
+
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    # the batch supplies id + ts ONLY; pdate derives
+    eng.sql(
+        "INSERT INTO glue.db.t (id, ts) VALUES "
+        "(2, TIMESTAMP '2024-03-06 09:00:00')"
+    )
+    got = eng.sql(
+        "SELECT id, pdate FROM glue.db.t ORDER BY id"
+    ).collect()
+    assert [(r.id, str(r.pdate)) for r in got] == [
+        (1, "2024-03-05"), (2, "2024-03-06"),
+    ]
+    # derived value landed as a REAL partition dir + pruning works
+    assert (loc / "pdate=2024-03-06").is_dir()
+    pruned = eng.sql(
+        "SELECT id FROM glue.db.t "
+        "WHERE ts >= TIMESTAMP '2024-03-06 00:00:00'"
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert [r.id for r in pruned.collect()] == [2]
