@@ -108,8 +108,10 @@ class CloneStatement:
 @dataclass(frozen=True)
 class TablePropertiesStatement:
     """``ALTER TABLE glue.db.t SET TBLPROPERTIES ('k'='v', ...)`` —
-    merged into the Delta ``configuration`` via a metadata-only
-    commit (the CDF enablement path); other formats refuse."""
+    merged into each format's own config home via a metadata-only
+    commit: Delta ``configuration`` (the CDF/appendOnly/constraints
+    enablement path), Iceberg ``properties``, ``hoodie.properties``
+    (structural Hudi keys refuse)."""
 
     ref: TableReference
     props: tuple[tuple[str, str], ...]

@@ -278,24 +278,44 @@ class GlueSparkEngine:
                 "rows_inserted long, rows_deleted long",
             )
         if isinstance(stmt, TablePropertiesStatement):
-            if ttype != ETableType.DELTA:
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_write import (
+                    set_delta_table_properties,
+                )
+
+                version = set_delta_table_properties(
+                    loc, dict(stmt.props)
+                )
+            elif ttype == ETableType.ICEBERG:
+                from glue_table_cache_spark.sinks.iceberg_write import (  # noqa: E501
+                    set_iceberg_table_properties,
+                )
+
+                version = set_iceberg_table_properties(
+                    loc, dict(stmt.props)
+                )
+            elif ttype == ETableType.HUDI:
+                from glue_table_cache_spark.sinks.hudi_write import (
+                    set_hudi_table_properties,
+                )
+
+                set_hudi_table_properties(loc, dict(stmt.props))
+                version = None
+            else:
                 raise GlueSparkError(
                     f"SET TBLPROPERTIES {qual}: table properties "
-                    "are consumed by the Delta writer only (CDF "
-                    "enablement and configuration live in the "
-                    "transaction log's metaData); the table is "
-                    f"registered as {ttype.name}"
+                    "live in each format's own metadata (Delta "
+                    "configuration / Iceberg properties / "
+                    "hoodie.properties); the table is registered "
+                    f"as {ttype.name}"
                 )
-            from glue_table_cache_spark.sinks.delta_write import (
-                set_delta_table_properties,
-            )
-
-            version = set_delta_table_properties(
-                loc, dict(stmt.props)
-            )
             self.invalidate_table(ref.database, ref.table)
             return self.spark.createDataFrame(
-                [("SET TBLPROPERTIES", str(version), 0, 0, 0)],
+                [(
+                    "SET TBLPROPERTIES",
+                    None if version is None else str(version),
+                    0, 0, 0,
+                )],
                 "operation string, version string, rows_updated long, "
                 "rows_inserted long, rows_deleted long",
             )

@@ -311,6 +311,54 @@ def restore_hudi(location: str, instant: int) -> int:
     return len(later)
 
 
+def set_hudi_table_properties(
+    location: str,
+    props: dict[str, str],
+    unset: tuple[str, ...] = (),
+) -> None:
+    """``ALTER TABLE ... SET TBLPROPERTIES`` for Hudi — merged into
+    ``hoodie.properties`` (Hudi's table-config home; ``SHOW
+    TBLPROPERTIES`` reads the same file) via write-temp + atomic
+    rename.  The structural keys ``hoodie.table.type`` and
+    ``hoodie.table.partition.fields`` refuse — changing them under a
+    live timeline corrupts every reader's walk."""
+    if not props and not unset:
+        raise GlueSparkError("SET TBLPROPERTIES: empty property list")
+    protected = {"hoodie.table.type", "hoodie.table.partition.fields"}
+    touched = (set(props) | set(unset)) & protected
+    if touched:
+        raise GlueSparkError(
+            f"SET TBLPROPERTIES: {sorted(touched)} are structural "
+            "(they steer the timeline walk and partition layout) — "
+            "refusing to change them on a live table"
+        )
+    pf = Path(location) / ".hoodie" / "hoodie.properties"
+    if not pf.exists():
+        raise GlueSparkError(
+            f"no hoodie.properties at {location!r} — ALTER needs an "
+            "existing table"
+        )
+    conf: dict[str, str] = {}
+    order: list[str] = []
+    for line in pf.read_text().splitlines():
+        k, eq, v = line.partition("=")
+        if eq:
+            if k not in conf:
+                order.append(k)
+            conf[k] = v
+    for k, v in props.items():
+        if str(k) not in conf:
+            order.append(str(k))
+        conf[str(k)] = str(v)
+    for k in unset:
+        conf.pop(str(k), None)
+    tmp = pf.with_suffix(".properties.tmp")
+    tmp.write_text(
+        "".join(f"{k}={conf[k]}\n" for k in order if k in conf)
+    )
+    tmp.replace(pf)
+
+
 def _recorded_partition_fields(
     location: str, props: Path
 ) -> list[str] | None:

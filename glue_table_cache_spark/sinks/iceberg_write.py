@@ -540,6 +540,57 @@ def rollback_iceberg(
     )
 
 
+def set_iceberg_table_properties(
+    location: str,
+    props: dict[str, str],
+    unset: tuple[str, ...] = (),
+    max_commit_retries: int = 10,
+) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES`` for Iceberg — a
+    metadata-only commit merging ``props`` into the table
+    ``properties`` map (and removing the ``unset`` keys), the spec's
+    home for table configuration (``SHOW TBLPROPERTIES`` reads the
+    same map).  Returns the new sequence number."""
+    if not props and not unset:
+        raise GlueSparkError("SET TBLPROPERTIES: empty property list")
+    if "://" in location:
+        raise GlueSparkError(
+            "set_iceberg_table_properties commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    meta_dir = Path(location) / "metadata"
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata at {location!r} — ALTER needs "
+                "an existing table"
+            )
+        properties = dict(prev.get("properties") or {})
+        properties.update(
+            {str(k): str(v) for k, v in props.items()}
+        )
+        for k in unset:
+            properties.pop(str(k), None)
+        meta = dict(prev)
+        meta["properties"] = properties
+        seq = prev.get("last-sequence-number", 0) + 1
+        meta["last-sequence-number"] = seq
+        commit = meta_dir / f"v{seq}.metadata.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta))
+        return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
 def create_iceberg_ref(
     location: str,
     name: str,

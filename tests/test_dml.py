@@ -1671,3 +1671,51 @@ def test_insert_derives_generated_partition_column(spark, tmp_path):
     )
     assert len(pruned.inputFiles()) == 1
     assert [r.id for r in pruned.collect()] == [2]
+
+
+def test_set_tblproperties_iceberg_and_hudi(spark, tmp_path):
+    """SET TBLPROPERTIES symmetry: Iceberg commits a metadata-only
+    version updating the `properties` map; Hudi merges into
+    hoodie.properties (structural keys refuse); both round-trip
+    through SHOW TBLPROPERTIES."""
+    from glue_table_cache_spark.sinks.hudi_write import write_hudi_append
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    iloc, hloc = tmp_path / "ice", tmp_path / "ht"
+    write_iceberg_append(df, str(iloc))
+    write_hudi_append(df, str(hloc))
+
+    ieng = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
+    ieng.sql(
+        "ALTER TABLE glue.db.t SET TBLPROPERTIES "
+        "('commit.retry.num-retries'='7', 'owner'='pipeline')"
+    )
+    props = {
+        r.key: r.value
+        for r in ieng.sql("SHOW TBLPROPERTIES glue.db.t").collect()
+    }
+    assert props["commit.retry.num-retries"] == "7"
+    assert props["owner"] == "pipeline"
+    # the table still scans (the new metadata version is coherent)
+    assert ieng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 1
+
+    heng = _engine_for(spark, hloc, {"hoodie.table.name": "ht"})
+    heng.sql(
+        "ALTER TABLE glue.db.t SET TBLPROPERTIES ('owner'='pipeline')"
+    )
+    hprops = {
+        r.key: r.value
+        for r in heng.sql("SHOW TBLPROPERTIES glue.db.t").collect()
+    }
+    assert hprops["owner"] == "pipeline"
+    assert hprops["hoodie.table.type"] == "COPY_ON_WRITE"  # preserved
+    assert heng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 1
+    # structural keys refuse
+    with pytest.raises(GlueSparkError, match="structural"):
+        heng.sql(
+            "ALTER TABLE glue.db.t SET TBLPROPERTIES "
+            "('hoodie.table.type'='MERGE_ON_READ')"
+        )
