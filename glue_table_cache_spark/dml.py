@@ -107,14 +107,16 @@ class CloneStatement:
 
 @dataclass(frozen=True)
 class TablePropertiesStatement:
-    """``ALTER TABLE glue.db.t SET TBLPROPERTIES ('k'='v', ...)`` —
-    merged into each format's own config home via a metadata-only
-    commit: Delta ``configuration`` (the CDF/appendOnly/constraints
-    enablement path), Iceberg ``properties``, ``hoodie.properties``
-    (structural Hudi keys refuse)."""
+    """``ALTER TABLE glue.db.t SET TBLPROPERTIES ('k'='v', ...)`` /
+    ``UNSET TBLPROPERTIES ('k', ...)`` — merged into (removed from)
+    each format's own config home via a metadata-only commit: Delta
+    ``configuration`` (the CDF/appendOnly/constraints enablement
+    path), Iceberg ``properties``, ``hoodie.properties`` (structural
+    Hudi keys refuse)."""
 
     ref: TableReference
-    props: tuple[tuple[str, str], ...]
+    props: tuple[tuple[str, str], ...] = ()
+    unset: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -372,6 +374,10 @@ _ADD_COLS_RE = re.compile(r"ADD\s+COLUMNS?\s*\(", re.IGNORECASE)
 _SET_PROPS_RE = re.compile(
     r"SET\s+TBLPROPERTIES\s*\(", re.IGNORECASE
 )
+_UNSET_PROPS_RE = re.compile(
+    r"UNSET\s+TBLPROPERTIES\s*\(", re.IGNORECASE
+)
+_PROP_KEY_RE = re.compile(r"'((?:[^']|'')*)'")
 _REF_RE = re.compile(
     r"(?P<action>CREATE|DROP)\s+(?P<type>TAG|BRANCH)\s+"
     r"(?P<name>'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_$-]*)\s*",
@@ -667,6 +673,37 @@ def parse_dml(sql: str):
                     f"unexpected trailing text {trailing[:40]!r}"
                 )
             return TablePropertiesStatement(ref, pairs)
+        um = _UNSET_PROPS_RE.match(rest)
+        if um:
+            depth = 1
+            i = um.end()
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise InvalidQueryError(
+                    "UNSET TBLPROPERTIES: unterminated key list"
+                )
+            inner = rest[um.end(): i - 1]
+            keys = tuple(
+                k.replace("''", "'")
+                for k in _PROP_KEY_RE.findall(inner)
+            )
+            if not keys:
+                raise InvalidQueryError(
+                    "UNSET TBLPROPERTIES: expected 'key' names, got "
+                    f"{inner.strip()[:40]!r}"
+                )
+            trailing = _trim_stmt(rest[i:])
+            if trailing:
+                raise InvalidQueryError(
+                    f"ALTER TABLE glue.{ref.database}.{ref.table}: "
+                    f"unexpected trailing text {trailing[:40]!r}"
+                )
+            return TablePropertiesStatement(ref, (), keys)
         am2 = _ADD_CONSTRAINT_RE.match(rest)
         if am2:
             depth = 1

@@ -284,7 +284,7 @@ class GlueSparkEngine:
                 )
 
                 version = set_delta_table_properties(
-                    loc, dict(stmt.props)
+                    loc, dict(stmt.props), unset=stmt.unset
                 )
             elif ttype == ETableType.ICEBERG:
                 from glue_table_cache_spark.sinks.iceberg_write import (  # noqa: E501
@@ -292,14 +292,16 @@ class GlueSparkEngine:
                 )
 
                 version = set_iceberg_table_properties(
-                    loc, dict(stmt.props)
+                    loc, dict(stmt.props), unset=stmt.unset
                 )
             elif ttype == ETableType.HUDI:
                 from glue_table_cache_spark.sinks.hudi_write import (
                     set_hudi_table_properties,
                 )
 
-                set_hudi_table_properties(loc, dict(stmt.props))
+                set_hudi_table_properties(
+                    loc, dict(stmt.props), unset=stmt.unset
+                )
                 version = None
             else:
                 raise GlueSparkError(
@@ -312,7 +314,8 @@ class GlueSparkEngine:
             self.invalidate_table(ref.database, ref.table)
             return self.spark.createDataFrame(
                 [(
-                    "SET TBLPROPERTIES",
+                    "UNSET TBLPROPERTIES"
+                    if stmt.unset else "SET TBLPROPERTIES",
                     None if version is None else str(version),
                     0, 0, 0,
                 )],

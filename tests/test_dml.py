@@ -1719,3 +1719,25 @@ def test_set_tblproperties_iceberg_and_hudi(spark, tmp_path):
             "ALTER TABLE glue.db.t SET TBLPROPERTIES "
             "('hoodie.table.type'='MERGE_ON_READ')"
         )
+
+
+def test_unset_tblproperties(spark, tmp_path):
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+
+    loc = tmp_path / "dt"
+    write_delta_append(spark.createDataFrame([(1,)], "id long"), str(loc))
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    eng.sql(
+        "ALTER TABLE glue.db.t SET TBLPROPERTIES ('a'='1', 'b'='2')"
+    )
+    out = eng.sql(
+        "ALTER TABLE glue.db.t UNSET TBLPROPERTIES ('a')"
+    ).first()
+    assert out.operation == "UNSET TBLPROPERTIES"
+    props = {
+        r.key: r.value
+        for r in eng.sql("SHOW TBLPROPERTIES glue.db.t").collect()
+    }
+    assert "a" not in props and props["b"] == "2"
