@@ -140,6 +140,52 @@ def main() -> None:
         f"(latest v{latest})"
     )
 
+    # round 7: the SQL write surface.  A zero-copy SHALLOW CLONE makes
+    # a dev sandbox (junk writes + DML on the clone never touch the
+    # live table); a CHECK constraint gates every later write; CONVERT
+    # TO DELTA migrates a plain parquet directory in place.
+    eng.sql(
+        "CREATE TABLE glue.lake.sandbox SHALLOW CLONE "
+        f"glue.lake.orders LOCATION '{work / 'sandbox'}'"
+    )
+    eng.sql(
+        "INSERT INTO glue.lake.sandbox "
+        "SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "o_orderdate, o_orderpriority FROM glue.lake.orders LIMIT 50"
+    )
+    eng.sql("DELETE FROM glue.lake.sandbox WHERE o_orderkey < 0")
+    sand_n = eng.sql(
+        "SELECT count(*) AS n FROM glue.lake.sandbox"
+    ).collect()[0].n
+    print(
+        f"shallow clone sandbox: {sand_n} rows (== live table: "
+        f"{sand_n == now_n}), zero data copied"
+    )
+    eng.sql(
+        "ALTER TABLE glue.lake.sandbox ADD CONSTRAINT positive_price "
+        "CHECK (o_totalprice > 0)"
+    )
+    try:
+        eng.sql(
+            "INSERT INTO glue.lake.sandbox VALUES "
+            "(1, 1, 'O', -5.0, DATE '1995-01-01', 'x')"
+        )
+    except Exception as e:
+        print(f"CHECK constraint held: {str(e)[:72]}")
+    plain = work / "plain_parquet"
+    orders.limit(200).coalesce(1).write.parquet(str(plain))
+    store.register_parquet_dir("lake", "plain", str(plain))
+    eng.sql("CONVERT TO DELTA glue.lake.plain")
+    eng.sql("DELETE FROM glue.lake.plain WHERE o_orderkey % 2 = 0")
+    conv_n = eng.sql(
+        "SELECT count(*) AS n FROM glue.lake.plain"
+    ).collect()[0].n
+    print(
+        "CONVERT TO DELTA: in-place migration, then a DV DELETE — "
+        f"{conv_n} rows remain; "
+        f"detail: {eng.sql('DESCRIBE DETAIL glue.lake.plain').collect()[0].numFiles} file(s)"
+    )
+
     # round 6: tail the table as a micro-batch stream, exactly-once
     from glue_table_cache_spark.streaming.delta_sink import (
         stream_to_delta,
