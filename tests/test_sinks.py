@@ -3533,7 +3533,7 @@ def test_writer_side_cdf_dml(spark, tmp_path):
 
     from glue_table_cache_spark.errors import GlueSparkError
 
-    with _pytest.raises(GlueSparkError, match="Delta writer only"):
+    with _pytest.raises(GlueSparkError, match="own metadata"):
         eng.sql(
             "ALTER TABLE glue.db.p SET TBLPROPERTIES ('a'='b')"
         )
