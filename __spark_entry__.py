@@ -427,6 +427,35 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         ).first()
         assert out.rows_deleted > 0, "clone junk delete removed nothing"
         (base / "orders_delta_clone._BUILT").touch()
+    # CONVERTED table (r7): plain parquet orders migrated IN PLACE via
+    # CONVERT TO DELTA (metadata-only: a version-0 log over the
+    # existing files), then junk INSERTed and DELETEd through SQL DML
+    # — the delta_convert arm is green only if the generated log, the
+    # post-conversion scan, and row-level DML over converted files
+    # all agree with plain `orders`
+    cv = base / "orders_delta_convert"
+    if not (base / "orders_delta_convert._BUILT").exists():
+        shutil.rmtree(cv, ignore_errors=True)
+        spark.read.parquet(f"{sf_dir}/orders.parquet").coalesce(
+            2
+        ).write.parquet(str(cv))
+        store = LocalMetadataStore()
+        store.register_parquet_dir("tpch", "orders_delta_convert", str(cv))
+        eng = GlueSparkEngine(spark, store)
+        eng.sql("CONVERT TO DELTA glue.tpch.orders_delta_convert")
+        eng.sql(
+            "INSERT INTO glue.tpch.orders_delta_convert "
+            "SELECT -o_orderkey, o_custkey, o_orderstatus, "
+            "o_totalprice, o_orderdate, o_orderpriority "
+            "FROM glue.tpch.orders_delta_convert "
+            "WHERE o_orderkey % 13 = 7"
+        )
+        out = eng.sql(
+            "DELETE FROM glue.tpch.orders_delta_convert "
+            "WHERE o_orderkey < 0"
+        ).first()
+        assert out.rows_deleted > 0, "convert junk delete removed nothing"
+        (base / "orders_delta_convert._BUILT").touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -574,6 +603,12 @@ def _engine(
             "tpch",
             "orders_delta_clone",
             str(base / "orders_delta_clone"),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_convert",
+            str(base / "orders_delta_convert"),
             parameters={"spark.sql.sources.provider": "delta"},
         )
         store.register_parquet_dir(
@@ -2573,7 +2608,12 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
       directory and DELETEd via SQL DML: green only if the clone
       commit, the mixed-root (source-absolute + clone-local) scan,
       and row-level DML against source-referenced files agree with
-      plain ``orders`` (r7).
+      plain ``orders`` (r7);
+    * delta_convert — plain parquet orders migrated IN PLACE via
+      ``CONVERT TO DELTA`` (metadata-only version-0 log over the
+      existing files), then junk INSERTed and DELETEd via SQL DML:
+      green only if the generated log, the converted scan, and DML
+      over converted files agree with plain ``orders`` (r7).
 
     Time-travel arms run through the SQL surface (r6:
     ``VERSION AS OF`` on the glue reference, engine.py travel
@@ -2622,6 +2662,10 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
            SELECT 'delta_clone' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
            FROM glue.tpch.orders_delta_clone GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'delta_convert' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta_convert GROUP BY o_orderstatus
            UNION ALL
            SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
@@ -2911,7 +2955,7 @@ _EXTRA_ORACLES: dict[str, str] = {
         "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi', "
         "'hudi_mor', 'iceberg_eq', "
         "'delta_m', 'iceberg_m', 'hudi_m', 'delta_stream', "
-        "'delta_clone']) AS fmt) "
+        "'delta_clone', 'delta_convert']) AS fmt) "
         "GROUP BY fmt, o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n, "
