@@ -134,6 +134,18 @@ class ConstraintStatement:
 
 
 @dataclass(frozen=True)
+class CopyIntoStatement:
+    """``COPY INTO glue.db.t FROM '<path>' [FILEFORMAT = PARQUET]``
+    — idempotent incremental file loading: every file under the
+    source loads exactly once however often the command re-runs
+    (per-file SetTransaction ledger, atomic with the adds)."""
+
+    ref: TableReference
+    source: str
+    file_format: str = "PARQUET"
+
+
+@dataclass(frozen=True)
 class ConvertStatement:
     """``CONVERT TO DELTA glue.db.t [PARTITIONED BY (col type, ...)]``
     — metadata-only in-place migration of a plain parquet table: a
@@ -345,6 +357,11 @@ _CONVERT_RE = re.compile(
     r"CONVERT\s+TO\s+DELTA\s+", re.IGNORECASE
 )
 _REORG_RE = re.compile(r"REORG\s+TABLE\s+", re.IGNORECASE)
+_COPY_INTO_RE = re.compile(r"COPY\s+INTO\s+", re.IGNORECASE)
+_COPY_FROM_RE = re.compile(r"FROM\s+'(?P<path>[^']*)'\s*", re.IGNORECASE)
+_FILEFORMAT_RE = re.compile(
+    r"FILEFORMAT\s*=\s*(?P<fmt>\w+)\s*", re.IGNORECASE
+)
 _ADD_CONSTRAINT_RE = re.compile(
     rf"ADD\s+CONSTRAINT\s+(?P<name>{_IDENT})\s+CHECK\s*\(",
     re.IGNORECASE,
@@ -517,6 +534,37 @@ def parse_dml(sql: str):
                 f"{rest[:40]!r} (column-definition DDL is not "
                 "supported — use CTAS)"
             )
+    if _COPY_INTO_RE.match(s):
+        start = _COPY_INTO_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # COPY INTO a non-glue name
+        ref, pos = got
+        rest = s[pos:].lstrip()
+        fm = _COPY_FROM_RE.match(rest)
+        if not fm:
+            raise InvalidQueryError(
+                f"COPY INTO glue.{ref.database}.{ref.table}: "
+                f"expected FROM '<path>', got {rest[:40]!r}"
+            )
+        source = fm.group("path")
+        rest = rest[fm.end():].lstrip()
+        fmt = "PARQUET"
+        ffm = _FILEFORMAT_RE.match(rest)
+        if ffm:
+            fmt = ffm.group("fmt").upper()
+            rest = rest[ffm.end():].lstrip()
+        if _trim_stmt(rest):
+            raise InvalidQueryError(
+                f"COPY INTO glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {_trim_stmt(rest)[:40]!r}"
+            )
+        if fmt != "PARQUET":
+            raise InvalidQueryError(
+                f"COPY INTO: FILEFORMAT {fmt} is not supported "
+                "(PARQUET only)"
+            )
+        return CopyIntoStatement(ref, source, fmt)
     if _CONVERT_RE.match(s):
         start = _CONVERT_RE.match(s).end()
         got = _parse_ref(s, start)

@@ -172,6 +172,7 @@ class GlueSparkEngine:
             CloneStatement,
             ConstraintStatement,
             ConvertStatement,
+            CopyIntoStatement,
             CreateTableStatement,
             DeleteStatement,
             DropTableStatement,
@@ -213,6 +214,32 @@ class GlueSparkEngine:
         n_upd = n_ins = n_del = 0
         if isinstance(stmt, ConvertStatement):
             return self._execute_convert(stmt, tbl, loc, qual)
+        if isinstance(stmt, CopyIntoStatement):
+            if ttype != ETableType.DELTA:
+                raise GlueSparkError(
+                    f"COPY INTO {qual}: the per-file idempotence "
+                    "ledger rides the Delta log's SetTransaction "
+                    "state; the table is registered as "
+                    f"{ttype.name}"
+                )
+            from glue_table_cache_spark.sinks.delta_write import (
+                copy_into_delta,
+            )
+
+            version, n_files, n_rows = copy_into_delta(
+                self.spark, loc, stmt.source
+            )
+            if version is not None:
+                self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [(
+                    "COPY INTO",
+                    None if version is None else str(version),
+                    0, n_rows, 0,
+                )],
+                "operation string, version string, rows_updated long, "
+                "rows_inserted long, rows_deleted long",
+            )
         if isinstance(stmt, MaintenanceStatement):
             return self._execute_maintenance(stmt, tbl, loc, qual)
         if isinstance(stmt, ConstraintStatement):

@@ -213,10 +213,21 @@ def write_delta_append(
     checkpoint_interval: int | None = 10,
     merge_schema: bool = False,
     overwrite: bool = False,
+    extra_txns: list[tuple[str, int]] | None = None,
+    operation: str = "WRITE",
+    operation_parameters: dict | None = None,
 ) -> int:
     """Append ``df`` to the Delta table at ``location`` (created on
     first write); returns the committed version.  Readers see the
     whole batch or none of it.
+
+    ``extra_txns`` appends additional SetTransaction markers in the
+    SAME commit (``COPY INTO``'s per-source-file ledger — txn state
+    survives checkpoints and log cleanup, unlike commitInfo); if ANY
+    of them is already recorded at commit time, the append aborts
+    with a race error (the caller re-diffs and re-runs).
+    ``operation``/``operation_parameters`` override the commitInfo
+    tag so history shows the real verb.
 
     ``overwrite=True`` is INSERT OVERWRITE: the same commit also
     emits a ``dataChange`` remove for every currently-active file
@@ -273,6 +284,30 @@ def write_delta_append(
 
     if _already_committed():
         return -1
+
+    def _extra_txn_conflict() -> str | None:
+        if not extra_txns:
+            return None
+        from glue_table_cache_spark.sources.delta import (
+            delta_last_txn_version,
+        )
+
+        if not any(log_dir.glob("*.json")) and not any(
+            log_dir.glob("*.checkpoint*.parquet")
+        ):
+            return None
+        for app, ver in extra_txns:
+            last = delta_last_txn_version(location, app)
+            if last is not None and last >= ver:
+                return app
+        return None
+
+    if (clash := _extra_txn_conflict()) is not None:
+        raise GlueSparkError(
+            f"transaction marker {clash!r} is already committed — "
+            "a concurrent writer loaded the same input; re-diff "
+            "and re-run"
+        )
 
     seen_meta: dict = {}
 
@@ -447,14 +482,29 @@ def write_delta_append(
             for a in adds:
                 (base / a["path"]).unlink(missing_ok=True)
             return -1
+        if (clash := _extra_txn_conflict()) is not None:
+            # a concurrent COPY of the same input landed mid-race:
+            # committing ours would double-load those files
+            for a in adds:
+                (base / a["path"]).unlink(missing_ok=True)
+            raise GlueSparkError(
+                f"transaction marker {clash!r} was committed "
+                "concurrently — a racing writer loaded the same "
+                "input; re-diff and re-run"
+            )
         actions: list[dict] = [
             {
                 "commitInfo": {
                     "timestamp": now,
-                    "operation": "WRITE",
-                    "operationParameters": {
-                        "mode": "Overwrite" if overwrite else "Append"
-                    },
+                    "operation": operation,
+                    "operationParameters": (
+                        dict(operation_parameters)
+                        if operation_parameters is not None
+                        else {
+                            "mode": "Overwrite"
+                            if overwrite else "Append"
+                        }
+                    ),
                 }
             }
         ]
@@ -485,6 +535,16 @@ def write_delta_append(
                     "txn": {
                         "appId": txn_app_id,
                         "version": txn_version,
+                        "lastUpdated": now,
+                    }
+                }
+            )
+        for app, ver in extra_txns or []:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": app,
+                        "version": int(ver),
                         "lastUpdated": now,
                     }
                 }
@@ -918,6 +978,102 @@ def shallow_clone_delta(
     with os.fdopen(fd, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return n_files
+
+
+def copy_into_delta(
+    spark,
+    location: str,
+    source_dir: str,
+    pattern: str = "*.parquet",
+) -> tuple[int | None, int, int]:
+    """``COPY INTO``: idempotent incremental file loading — every
+    parquet file under ``source_dir`` loads into the Delta table at
+    ``location`` EXACTLY ONCE, however many times the command re-runs
+    (the retryable-ingest verb: point it at a landing directory and
+    cron it).  Returns ``(version, n_files_loaded, n_rows)`` —
+    ``(None, 0, 0)`` when everything is already loaded.
+
+    Idempotence ledger: one SetTransaction marker per source file
+    (``appId = "copy-into:<absolute path>"``) committed ATOMICALLY
+    with the adds.  txn state is carried into checkpoints and
+    survives log cleanup — a commitInfo-based ledger would forget
+    loaded files as soon as retention trimmed the log, silently
+    re-loading them.  A concurrent COPY of the same input loses the
+    race loudly (the commit re-checks every marker per attempt);
+    re-running re-diffs and no-ops.
+
+    The append inherits the table's partitioning, derives generated
+    columns, and enforces CHECK constraints like any other write;
+    reading the new files goes through one distributed
+    ``mergeSchema`` scan."""
+    src = Path(
+        source_dir[len("file:"):]
+        if source_dir.startswith("file:") else source_dir
+    )
+    if "://" in source_dir:
+        raise GlueSparkError(
+            "COPY INTO reads the source listing via the local "
+            "filesystem; object stores need the scheme-specific "
+            "listing path"
+        )
+    if not src.is_dir():
+        raise GlueSparkError(
+            f"COPY INTO: source {source_dir!r} is not a directory"
+        )
+    table_root = str(Path(location).resolve())
+    if str(src.resolve()).rstrip("/") == table_root or str(
+        src.resolve()
+    ).startswith(table_root + "/"):
+        raise GlueSparkError(
+            "COPY INTO: the source directory lies inside the target "
+            "table — loading a table into itself never converges"
+        )
+    candidates = sorted(
+        str(p)
+        for p in src.rglob(pattern)
+        if p.is_file()
+        and not any(
+            seg.startswith("_") or seg.startswith(".")
+            for seg in p.relative_to(src).parts
+        )
+    )
+    if not candidates:
+        raise GlueSparkError(
+            f"COPY INTO: no files matching {pattern!r} under "
+            f"{source_dir!r}"
+        )
+    log_dir = Path(location) / "_delta_log"
+    loaded: set[str] = set()
+    if log_dir.is_dir() and (
+        any(log_dir.glob("*.json"))
+        or any(log_dir.glob("*.checkpoint*.parquet"))
+    ):
+        from glue_table_cache_spark.sources.delta import _replay
+
+        _active, state = _replay(location)
+        loaded = {
+            app[len("copy-into:"):]
+            for app in (state.get("txns") or {})
+            if app.startswith("copy-into:")
+        }
+    new_files = [f for f in candidates if f not in loaded]
+    if not new_files:
+        return None, 0, 0
+    df = (
+        spark.read.option("mergeSchema", "true").parquet(*new_files)
+    )
+    n_rows = df.count()
+    version = write_delta_append(
+        df,
+        location,
+        extra_txns=[(f"copy-into:{f}", 1) for f in new_files],
+        operation="COPY INTO",
+        operation_parameters={
+            "source": str(src),
+            "numSourceFiles": len(new_files),
+        },
+    )
+    return version, len(new_files), n_rows
 
 
 def convert_to_delta(

@@ -1741,3 +1741,63 @@ def test_unset_tblproperties(spark, tmp_path):
         for r in eng.sql("SHOW TBLPROPERTIES glue.db.t").collect()
     }
     assert "a" not in props and props["b"] == "2"
+
+
+def test_copy_into_idempotent_loading(spark, tmp_path):
+    """COPY INTO loads every source file exactly once across re-runs
+    (per-file SetTransaction ledger, atomic with the adds, surviving
+    checkpoints + log cleanup); new landing files load on the next
+    run; a COPY INTO racing marker conflict refuses loudly."""
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        copy_into_delta,
+        write_delta_append,
+    )
+
+    landing = tmp_path / "landing"
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    ).coalesce(2).write.parquet(str(landing))
+    loc = tmp_path / "dt"
+    write_delta_append(
+        spark.createDataFrame([(100, "seed")], "id long, v string"),
+        str(loc),
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    out = eng.sql(
+        f"COPY INTO glue.db.t FROM '{landing}'"
+    ).first()
+    assert out.operation == "COPY INTO" and out.rows_inserted == 6
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 7
+    # re-run: everything already loaded → no-op, no duplicates
+    out = eng.sql(f"COPY INTO glue.db.t FROM '{landing}'").first()
+    assert out.version is None and out.rows_inserted == 0
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 7
+    # the ledger survives checkpoint + log cleanup
+    v = write_delta_checkpoint(str(loc))
+    clean_delta_log(str(loc), retention_hours=0, dry_run=False)
+    out = eng.sql(f"COPY INTO glue.db.t FROM '{landing}'").first()
+    assert out.rows_inserted == 0
+    # a NEW landing file loads on the next run — only it
+    spark.createDataFrame(
+        [(7, "late")], "id long, v string"
+    ).coalesce(1).write.mode("append").parquet(str(landing))
+    out = eng.sql(f"COPY INTO glue.db.t FROM '{landing}'").first()
+    assert out.rows_inserted == 1
+    assert eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 8
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ) == [0, 1, 2, 3, 4, 5, 7, 100]
+    # loading a table into itself refuses
+    with pytest.raises(GlueSparkError, match="into itself"):
+        copy_into_delta(spark, str(loc), str(loc))
+    # non-delta target refuses
+    with pytest.raises(GlueSparkError, match="SetTransaction"):
+        _engine_for(spark, landing, {}).sql(
+            f"COPY INTO glue.db.t FROM '{landing}'"
+        )
