@@ -456,6 +456,40 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         ).first()
         assert out.rows_deleted > 0, "convert junk delete removed nothing"
         (base / "orders_delta_convert._BUILT").touch()
+    # COPY-INTO-loaded table (r7): an empty Delta table filled from a
+    # landing directory via COPY INTO, run TWICE — the second run must
+    # no-op on the per-file SetTransaction ledger, so the delta_copy
+    # arm is green only if the idempotent load delivered every row
+    # exactly once
+    cp = base / "orders_delta_copy"
+    if not (base / "orders_delta_copy._BUILT").exists():
+        from glue_table_cache_spark.sinks.delta_write import (
+            write_delta_append,
+        )
+
+        shutil.rmtree(cp, ignore_errors=True)
+        landing = base / "orders_copy_landing"
+        shutil.rmtree(landing, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        orders.coalesce(3).write.parquet(str(landing))
+        write_delta_append(orders.limit(0), str(cp))
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_copy",
+            str(cp),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        eng = GlueSparkEngine(spark, store)
+        first = eng.sql(
+            f"COPY INTO glue.tpch.orders_delta_copy FROM '{landing}'"
+        ).first()
+        assert first.rows_inserted > 0, "COPY INTO loaded nothing"
+        again = eng.sql(
+            f"COPY INTO glue.tpch.orders_delta_copy FROM '{landing}'"
+        ).first()
+        assert again.rows_inserted == 0, "COPY INTO re-run re-loaded"
+        (base / "orders_delta_copy._BUILT").touch()
     dj = base / "docs_json"
     if not (dj / "_BUILT").exists():
         shutil.rmtree(dj, ignore_errors=True)
@@ -609,6 +643,12 @@ def _engine(
             "tpch",
             "orders_delta_convert",
             str(base / "orders_delta_convert"),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_copy",
+            str(base / "orders_delta_copy"),
             parameters={"spark.sql.sources.provider": "delta"},
         )
         store.register_parquet_dir(
@@ -2613,7 +2653,11 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
       ``CONVERT TO DELTA`` (metadata-only version-0 log over the
       existing files), then junk INSERTed and DELETEd via SQL DML:
       green only if the generated log, the converted scan, and DML
-      over converted files agree with plain ``orders`` (r7).
+      over converted files agree with plain ``orders`` (r7);
+    * delta_copy — an empty Delta table filled from a landing
+      directory via ``COPY INTO`` run TWICE (the second run must
+      no-op on the per-file SetTransaction ledger): green only if
+      the idempotent load delivered every row exactly once (r7).
 
     Time-travel arms run through the SQL surface (r6:
     ``VERSION AS OF`` on the glue reference, engine.py travel
@@ -2666,6 +2710,10 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
            SELECT 'delta_convert' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
            FROM glue.tpch.orders_delta_convert GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'delta_copy' AS fmt, o_orderstatus, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_delta_copy GROUP BY o_orderstatus
            UNION ALL
            SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n,
                   round(sum(o_totalprice), 2) AS total
@@ -2955,7 +3003,7 @@ _EXTRA_ORACLES: dict[str, str] = {
         "CROSS JOIN (SELECT unnest(['iceberg', 'delta', 'hudi', "
         "'hudi_mor', 'iceberg_eq', "
         "'delta_m', 'iceberg_m', 'hudi_m', 'delta_stream', "
-        "'delta_clone', 'delta_convert']) AS fmt) "
+        "'delta_clone', 'delta_convert', 'delta_copy']) AS fmt) "
         "GROUP BY fmt, o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_hp' AS fmt, o_orderstatus, count(*) AS n, "
