@@ -70,6 +70,7 @@ class MaintenanceStatement:
     zorder_by: tuple[str, ...] = field(default=())
     retain_hours: float | None = None
     dry_run: bool = False  # VACUUM ... DRY RUN: report, don't delete
+    predicate: str | None = None  # OPTIMIZE ... WHERE: partition scope
 
 
 @dataclass(frozen=True)
@@ -938,20 +939,40 @@ def parse_dml(sql: str):
             return None
         ref, pos = got
         rest = _trim_stmt(s[pos:])
+        predicate = None
+        wm = re.match(r"WHERE\s+", rest, re.IGNORECASE)
+        if wm:
+            # the predicate runs to the ZORDER clause or the end
+            zpos = re.search(
+                r"\bZORDER\s+BY\b", rest, re.IGNORECASE
+            )
+            end = zpos.start() if zpos else len(rest)
+            predicate = rest[wm.end(): end].strip()
+            if not predicate:
+                raise InvalidQueryError(
+                    f"OPTIMIZE glue.{ref.database}.{ref.table}: "
+                    "empty WHERE predicate"
+                )
+            rest = rest[end:].strip()
         if not rest:
-            return MaintenanceStatement(ref, "optimize")
+            return MaintenanceStatement(
+                ref, "optimize", predicate=predicate
+            )
         zm = _ZORDER_RE.match(" " + rest)
         if not zm:
             raise InvalidQueryError(
                 f"OPTIMIZE glue.{ref.database}.{ref.table}: expected "
-                f"nothing or ZORDER BY (cols), got {rest[:40]!r}"
+                f"nothing, WHERE <pred>, or ZORDER BY (cols), got "
+                f"{rest[:40]!r}"
             )
         cols = tuple(
             _unquote(c.strip())
             for c in zm.group("cols").split(",")
             if c.strip()
         )
-        return MaintenanceStatement(ref, "optimize", zorder_by=cols)
+        return MaintenanceStatement(
+            ref, "optimize", zorder_by=cols, predicate=predicate
+        )
     if _VACUUM_RE.match(s):
         start = _VACUUM_RE.match(s).end()
         got = _parse_ref(s, start)

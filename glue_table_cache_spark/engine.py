@@ -1382,13 +1382,21 @@ class GlueSparkEngine:
                 "operation string, version string, files_removed long",
             )
         if stmt.verb == "optimize":
+            if stmt.predicate and ttype != ETableType.DELTA:
+                raise GlueSparkError(
+                    f"OPTIMIZE {qual} WHERE: partition-scoped "
+                    "compaction is implemented for Delta only (the "
+                    f"table is registered as {ttype.name}); run the "
+                    "unscoped OPTIMIZE"
+                )
             if ttype == ETableType.DELTA:
                 from glue_table_cache_spark.sinks.delta_optimize import (
                     optimize_delta,
                 )
 
                 version = optimize_delta(
-                    self.spark, loc, zorder_by=zorder
+                    self.spark, loc, zorder_by=zorder,
+                    partition_predicate=stmt.predicate,
                 )
             elif ttype == ETableType.ICEBERG:
                 from glue_table_cache_spark.sinks.iceberg_optimize import (  # noqa: E501

@@ -61,6 +61,7 @@ def optimize_delta(
     max_commit_retries: int = 10,
     checkpoint_interval: int | None = 10,
     purge_only: bool = False,
+    partition_predicate: str | None = None,
 ) -> int | None:
     """Compact the Delta table at ``location``; returns the committed
     version, or ``None`` when nothing needed rewriting.  A partition
@@ -73,7 +74,16 @@ def optimize_delta(
     files carrying deletion vectors rewrite (their masked rows
     materialize away and the DV sidecars become vacuum-able);
     DV-free files are untouched however small — minimal write
-    amplification when the goal is shedding DVs, not layout."""
+    amplification when the goal is shedding DVs, not layout.
+
+    ``partition_predicate`` scopes the rewrite (``OPTIMIZE ...
+    WHERE``): only partitions that might match compact — at real
+    scale the difference between touching yesterday's partition and
+    rewriting the whole table.  Evaluation is the engine's
+    conservative three-valued pruning tree, so an unrecognized
+    predicate over-compacts but never skips a matching partition;
+    predicates on non-partition columns match nothing they can
+    prove, keeping every partition (the safe direction)."""
     from glue_table_cache_spark.sources.delta import (
         apply_deletion_vectors,
         delta_scan_info,
@@ -101,6 +111,41 @@ def optimize_delta(
         groups.setdefault(tuple(sorted(pv.items())), []).append(
             (path, pv, dv)
         )
+    if partition_predicate and groups:
+        from glue_table_cache_spark.listing import FileInfo
+        from glue_table_cache_spark.pruning import (
+            extract_partition_predicate,
+            prune_files,
+        )
+
+        keys = sorted({k for key in groups for k, _v in key})
+        if not keys:
+            raise GlueSparkError(
+                "OPTIMIZE ... WHERE on an unpartitioned table: "
+                "there are no partitions to scope by — drop the "
+                "WHERE clause"
+            )
+        pred = extract_partition_predicate(
+            f"SELECT * FROM __t WHERE {partition_predicate}",
+            keys,
+            {"__t"},
+        )
+        kept = {
+            f.path
+            for f in prune_files(
+                [
+                    FileInfo("/".join(str(v) for _k, v in key) or ".",
+                             dict(key))
+                    for key in groups
+                ],
+                pred,
+            )
+        }
+        groups = {
+            key: files
+            for key, files in groups.items()
+            if ("/".join(str(v) for _k, v in key) or ".") in kept
+        }
     if purge_only:
         if zorder_by:
             raise GlueSparkError(

@@ -1801,3 +1801,53 @@ def test_copy_into_idempotent_loading(spark, tmp_path):
         _engine_for(spark, landing, {}).sql(
             f"COPY INTO glue.db.t FROM '{landing}'"
         )
+
+
+def test_optimize_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE compacts only partitions that might match —
+    the others keep their original files byte-for-byte; conservative
+    pruning means a predicate on a non-partition column compacts
+    everything (never skips a match)."""
+    from glue_table_cache_spark.sinks.delta_write import write_delta_append
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = tmp_path / "dt"
+    for i in range(4):  # 2 small files in each of 2 partitions
+        write_delta_append(
+            spark.createDataFrame(
+                [(i * 10 + j, "2020" if i % 2 else "2021")
+                 for j in range(3)],
+                "id long, year string",
+            ).coalesce(1),
+            str(loc),
+            partition_by=["year"],
+        )
+    before = {
+        p for p, _pv, _dv in delta_scan_info(str(loc))[0]
+    }
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    out = eng.sql("OPTIMIZE glue.db.t WHERE year = '2020'").first()
+    assert out.version is not None
+    after = {p for p, _pv, _dv in delta_scan_info(str(loc))[0]}
+    kept_2021 = {p for p in before if "year=2021" in p}
+    assert kept_2021 <= after  # untouched partition keeps its files
+    assert not any("year=2020" in p for p in before & after)
+    assert len([p for p in after if "year=2020" in p]) == 1
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t"
+    ).first().n == 12
+    # unpartitioned tables refuse the scope; non-Delta refuses WHERE
+    uloc = tmp_path / "ut"
+    write_delta_append(
+        spark.createDataFrame([(1,)], "id long"), str(uloc)
+    )
+    with pytest.raises(GlueSparkError, match="no partitions"):
+        _engine_for(
+            spark, uloc, {"spark.sql.sources.provider": "delta"}
+        ).sql("OPTIMIZE glue.db.t WHERE x = 1")
+    with pytest.raises(GlueSparkError, match="Delta only"):
+        _engine_for(spark, uloc, {"table_type": "ICEBERG"}).sql(
+            "OPTIMIZE glue.db.t WHERE x = 1"
+        )
