@@ -91,6 +91,72 @@ def delete_from_delta(
     if not by_path:
         return None, 0
 
+    # METADATA-ONLY fast path: a file whose partition values PROVE the
+    # predicate true for every row (three-valued evaluate() == True —
+    # partition-column conjuncts decide, data-column conjuncts yield
+    # Unknown and block the proof) retires with a plain remove, no
+    # scan, no DV, no row cap.  This is what makes
+    # ``DELETE FROM t WHERE year = '2020'`` a metadata operation on a
+    # billion-row partition instead of a refused 10M-row DV.  For a
+    # column-mapped table the log's partitionValues key on PHYSICAL
+    # names — the predicate's logical names would never match, so the
+    # fast path is skipped there (the DV path handles it).
+    full_files: list[str] = []
+    if isinstance(predicate, str) and renames is None:
+        from glue_table_cache_spark.pruning import (
+            extract_partition_predicate,
+        )
+
+        pkeys = sorted({k for _p, (pv, _dv, _st) in by_path.items()
+                        for k in pv})
+        if pkeys:
+            pred_tree = extract_partition_predicate(
+                f"SELECT * FROM __t WHERE {predicate}",
+                pkeys,
+                {"__t"},
+            )
+            full_files = [
+                p
+                for p, (pv, _dv, _st) in sorted(by_path.items())
+                if pred_tree.evaluate(pv) is True
+            ]
+    n_full = 0
+    if full_files:
+        uncounted: list[str] = []
+        for p in full_files:
+            _pv, dv, st = by_path[p]
+            num = None
+            if st:
+                try:
+                    num = json.loads(st).get("numRecords")
+                except (ValueError, TypeError):
+                    num = None
+            if num is None:
+                uncounted.append(p)
+            else:
+                n_full += int(num) - int(
+                    (dv or {}).get("cardinality") or 0
+                )
+        if uncounted:
+            from glue_table_cache_spark.sources.dv import (
+                dv_deleted_positions as _dvp,
+            )
+
+            n_full += spark.read.parquet(*uncounted).count() - sum(
+                len(_dvp(by_path[p][1], location))
+                for p in uncounted
+                if by_path[p][1]
+            )
+        by_path = {
+            p: v for p, v in by_path.items() if p not in full_files
+        }
+    if not by_path:
+        # everything provably matched: commit the removes alone
+        return _commit_delete(
+            spark, location, predicate, {}, by_path, full_files,
+            n_full, max_commit_retries, checkpoint_interval,
+        )
+
     df = read_parquet_files(
         spark,
         location,
