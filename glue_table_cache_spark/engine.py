@@ -2130,7 +2130,17 @@ class GlueSparkEngine:
             df = apply_deletion_vectors(df, proxied, tbl.location)
             # read_parquet_files materializes _metadata across a
             # multi-root (shallow-clone) union; never user-visible
-            return apply_column_mapping(df, renames).drop("_metadata")
+            df = apply_column_mapping(df, renames).drop("_metadata")
+            if renames is None and log_schema is not None:
+                # Spark appends hive-partition columns at the END of
+                # a file scan even under an explicit schema; the
+                # log's schemaString order is authoritative (real
+                # Delta keeps partition columns in their declared
+                # position — positional INSERT depends on it)
+                want = [f.name for f in log_schema.fields]
+                if set(want) == set(df.columns) and want != df.columns:
+                    df = df.select(*want)
+            return df
         if ttype == ETableType.ICEBERG:
             from glue_table_cache_spark.sources.iceberg import (
                 apply_equality_deletes,

@@ -66,6 +66,23 @@ class TruePredicate(Predicate):
         return True
 
 
+@dataclass(frozen=True)
+class UnknownPredicate(Predicate):
+    """A subtree undecidable from partition values alone (data-column
+    conjunct, unsupported expression, parse gap) — evaluates Unknown
+    ALWAYS.  Used by strict mode (:func:`extract_proof_predicate`),
+    where Kleene logic makes partial evaluation SOUND for full-match
+    proofs: ``And(True, Unknown)`` is Unknown (no proof — pruning mode
+    would have dropped the conjunct and over-claimed True), while
+    ``Or(True, Unknown)`` is True (a real proof — the decided branch
+    alone satisfies every row)."""
+
+    exact: bool = False
+
+    def evaluate(self, values: dict[str, str]) -> bool | None:
+        return None
+
+
 _OPS = {
     "COMPARE_EQUAL": lambda a, b: a == b,
     "COMPARE_NOTEQUAL": lambda a, b: a != b,
@@ -276,28 +293,67 @@ def build_predicate(
     node: dict | None,
     partition_keys: set[str],
     table_idents: set[str],
+    _degraded: list | None = None,
+    strict: bool = False,
 ) -> Predicate:
-    """AST → conservative predicate over ``partition_keys``.  Anything
-    unrecognized degrades to TruePredicate."""
+    """AST → conservative predicate over ``partition_keys``.
+
+    Two modes, two SOUNDNESS CONTRACTS:
+
+    - **Pruning** (default): anything unrecognized degrades to
+      TruePredicate (keep the file), and an AND drops such conjuncts
+      entirely — the tree OVER-approximates, which is safe when the
+      only action on True is "scan the file anyway".  ``evaluate() is
+      True`` here means "might match", never "all rows match":
+      ``p = 'a' AND id >= 3`` prunes to ``p = 'a'``.
+    - **Strict** (``strict=True``): unrecognized subtrees become
+      :class:`UnknownPredicate` and are KEPT, and OR/NOT accept
+      inexact children — Kleene three-valued evaluation then makes
+      partial evaluation sound for FULL-MATCH PROOFS: a True result
+      never depends on an Unknown leaf, so ``evaluate(pv) is True``
+      proves the predicate row-true for every row of the file.
+      ``p = 'a' AND id >= 3`` yields Unknown on the p=a file (no
+      proof), while ``p = 'a' OR (p = 'b' AND id >= 3)`` still proves
+      p=a files full.
+
+    ``_degraded`` (when given) records every degradation event — any
+    subtree that fell back to TruePredicate/UnknownPredicate,
+    including ones later stripped from an AND in pruning mode."""
+
+    def _true() -> Predicate:
+        if _degraded is not None:
+            _degraded.append(True)
+        return UnknownPredicate() if strict else TruePredicate()
+
+    def _recurse(child_node: dict | None) -> Predicate:
+        return build_predicate(
+            child_node, partition_keys, table_idents, _degraded, strict
+        )
+
     if not node:
-        return TruePredicate()
+        return _true()
     cls, typ = node.get("class"), node.get("type")
 
     if cls == "CONJUNCTION":
         kids = tuple(
-            build_predicate(c, partition_keys, table_idents)
-            for c in node.get("children") or []
+            _recurse(c) for c in node.get("children") or []
         )
         if typ == "CONJUNCTION_AND":
             kept = tuple(k for k in kids if not isinstance(k, TruePredicate))
-            return And(kept) if kept else TruePredicate()
+            return And(kept) if kept else _true()
         if typ == "CONJUNCTION_OR":
-            # an OR is only usable when EVERY branch is exact —
-            # the fix for the reference's OR→AND hazard (SURVEY §2.D.1)
+            if strict:
+                # Kleene OR is sound with Unknown branches: True only
+                # when a DECIDED branch is True
+                return Or(kids) if kids else _true()
+            # pruning: an OR is only usable when EVERY branch is exact
+            # — the fix for the reference's OR→AND hazard (SURVEY
+            # §2.D.1); an inexact branch would make the whole OR an
+            # under-approximation if dropped, so keep-the-file
             if kids and all(k.exact for k in kids):
                 return Or(kids)
-            return TruePredicate()
-        return TruePredicate()
+            return _true()
+        return _true()
 
     if cls == "COMPARISON" and typ in _OPS:
         left, right = node.get("left") or {}, node.get("right") or {}
@@ -315,18 +371,18 @@ def build_predicate(
             and _qualifier_ok(qual, table_idents)
         ):
             return Comparison(column=col.lower(), op=typ, const=const)
-        return TruePredicate()
+        return _true()
 
     if cls == "OPERATOR" and typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
         children = node.get("children") or []
         if not children:
-            return TruePredicate()
+            return _true()
         col, qual = _column_ref(children[0])
         consts = []
         for c in children[1:]:
             v, ok = _constant(c)
             if not ok:
-                return TruePredicate()
+                return _true()
             consts.append(v)
         if (
             col
@@ -339,15 +395,19 @@ def build_predicate(
                 consts=tuple(consts),
                 negated=(typ == "COMPARE_NOT_IN"),
             )
-        return TruePredicate()
+        return _true()
 
     if cls == "OPERATOR" and typ == "OPERATOR_NOT":
         children = node.get("children") or []
         if len(children) == 1:
-            child = build_predicate(children[0], partition_keys, table_idents)
-            if child.exact:
+            child = _recurse(children[0])
+            # pruning: negating an over-approximation would turn
+            # keep-the-file into drop-the-file — only exact children
+            # may flip.  strict: Not(Unknown) stays Unknown (Kleene),
+            # so negation is always safe there.
+            if strict or child.exact:
                 return Not(child)
-        return TruePredicate()
+        return _true()
 
     if cls == "BETWEEN":
         col, qual = _column_ref(node.get("input") or {})
@@ -366,9 +426,9 @@ def build_predicate(
                     Comparison(col.lower(), "COMPARE_LESSTHANOREQUALTO", hi),
                 )
             )
-        return TruePredicate()
+        return _true()
 
-    return TruePredicate()
+    return _true()
 
 
 def _flip(op: str) -> str:
@@ -390,6 +450,37 @@ def extract_partition_predicate(
     return build_predicate(
         where, {k.lower() for k in partition_keys},
         {t.lower() for t in table_idents},
+    )
+
+
+def extract_proof_predicate(
+    sql: str,
+    partition_keys: list[str],
+    table_idents: set[str],
+) -> Predicate | None:
+    """Strict-mode translation of the WHERE clause for FULL-MATCH
+    PROOFS, or ``None`` when there is no parseable WHERE at all.
+
+    The difference from :func:`extract_partition_predicate` is the
+    soundness contract, not the tree shape: pruning may
+    over-approximate (drop an ``id >= 3`` conjunct and keep more files
+    — safe), but a proof that "every row of this file satisfies the
+    predicate" (the metadata-only DELETE fast path) may not.  Here
+    undecidable subtrees stay in the tree as
+    :class:`UnknownPredicate` and Kleene evaluation guarantees a True
+    result never depends on one: ``p = 'a' AND id >= 3`` evaluates
+    Unknown everywhere (no proof, scan instead), while
+    ``p = 'a' OR (p = 'b' AND id >= 3)`` still proves p=a files full.
+    ``evaluate(pv) is True`` on the returned tree IS a row-level
+    proof; False/Unknown both mean "scan the file"."""
+    where = parse_where_clause(sql)
+    if where is None:
+        return None
+    return build_predicate(
+        where,
+        {k.lower() for k in partition_keys},
+        {t.lower() for t in table_idents},
+        strict=True,
     )
 
 

@@ -6,6 +6,12 @@ them (:func:`.delta_optimize.optimize_delta`), and this module
 WRITES them — ``DELETE FROM t WHERE p`` without rewriting a single
 data file, the protocol's persistent-deletion-vector fast path:
 
+0. files whose partition values PROVE the predicate row-true (strict
+   Kleene partial evaluation, :func:`..pruning.extract_proof_predicate`
+   — a True never rests on a data-column conjunct) retire with plain
+   ``remove`` actions carrying their prior DV descriptor: no scan, no
+   DV write, no row cap — ``DELETE WHERE year = '2020'`` is a
+   metadata operation on a billion-row partition.  Remaining files:
 1. scan the active set DISTRIBUTED with ``_metadata.file_path`` /
    ``_metadata.row_index`` (existing DVs applied first, so an already
    -deleted row never re-matches), filter by the predicate, and
@@ -92,34 +98,41 @@ def delete_from_delta(
         return None, 0
 
     # METADATA-ONLY fast path: a file whose partition values PROVE the
-    # predicate true for every row (three-valued evaluate() == True —
-    # partition-column conjuncts decide, data-column conjuncts yield
-    # Unknown and block the proof) retires with a plain remove, no
+    # predicate true for every row retires with a plain remove — no
     # scan, no DV, no row cap.  This is what makes
     # ``DELETE FROM t WHERE year = '2020'`` a metadata operation on a
-    # billion-row partition instead of a refused 10M-row DV.  For a
+    # billion-row partition instead of a refused 10M-row DV.  The
+    # proof uses STRICT-mode translation (extract_proof_predicate):
+    # any subtree undecidable from partition values — ``id >= 3``, a
+    # function call — stays in the tree as Unknown, and Kleene
+    # evaluation only returns True when decided branches alone
+    # satisfy every row; such files retire, the rest scan.
+    # (Pruning's extract_partition_predicate is deliberately NOT
+    # reused here: it DROPS such conjuncts, which over-approximates —
+    # fine for keep-the-file pruning, unsound as a proof.)  For a
     # column-mapped table the log's partitionValues key on PHYSICAL
     # names — the predicate's logical names would never match, so the
     # fast path is skipped there (the DV path handles it).
     full_files: list[str] = []
     if isinstance(predicate, str) and renames is None:
         from glue_table_cache_spark.pruning import (
-            extract_partition_predicate,
+            extract_proof_predicate,
         )
 
         pkeys = sorted({k for _p, (pv, _dv, _st) in by_path.items()
                         for k in pv})
         if pkeys:
-            pred_tree = extract_partition_predicate(
+            pred_tree = extract_proof_predicate(
                 f"SELECT * FROM __t WHERE {predicate}",
                 pkeys,
                 {"__t"},
             )
-            full_files = [
-                p
-                for p, (pv, _dv, _st) in sorted(by_path.items())
-                if pred_tree.evaluate(pv) is True
-            ]
+            if pred_tree is not None:
+                full_files = [
+                    p
+                    for p, (pv, _dv, _st) in sorted(by_path.items())
+                    if pred_tree.evaluate(pv) is True
+                ]
     n_full = 0
     if full_files:
         uncounted: list[str] = []
@@ -138,98 +151,99 @@ def delete_from_delta(
                     (dv or {}).get("cardinality") or 0
                 )
         if uncounted:
-            from glue_table_cache_spark.sources.dv import (
-                dv_deleted_positions as _dvp,
-            )
-
             n_full += spark.read.parquet(*uncounted).count() - sum(
-                len(_dvp(by_path[p][1], location))
+                len(dv_deleted_positions(by_path[p][1], location))
                 for p in uncounted
                 if by_path[p][1]
             )
-        by_path = {
-            p: v for p, v in by_path.items() if p not in full_files
-        }
-    if not by_path:
-        # everything provably matched: commit the removes alone
-        return _commit_delete(
-            spark, location, predicate, {}, by_path, full_files,
-            n_full, max_commit_retries, checkpoint_interval,
-        )
+    # files left for the scanning DV path (by_path stays COMPLETE —
+    # the commit-time conflict validation must cover full_files too)
+    scan_files = {
+        p: v for p, v in by_path.items() if p not in full_files
+    }
 
-    df = read_parquet_files(
-        spark,
-        location,
-        by_path,
-        # the log schema is LOGICAL; a column-mapped table's files
-        # carry physical names, so the scan stays schema-inferred and
-        # the rename projection below restores logical names
-        schema=log_schema if renames is None else None,
-    )
-    # tag (file, position) FIRST, then mask already-DV-deleted rows by
-    # anti-joining the decoded positions (the apply_deletion_vectors
-    # shape inlined — it drops _metadata, which the tag still needs)
-    tagged = df.select(
-        F.col("_metadata.file_path").alias("__f"),
-        F.col("_metadata.row_index").alias("__p"),
-        "*",
-    ).drop("_metadata")  # materialized across a clone's union scan
-    if renames is not None:
-        # COLUMN-MAPPED tables work here BECAUSE deletion vectors are
-        # position-based: nothing about the commit depends on column
-        # names — only the predicate needs the logical view, so the
-        # physical->logical projection applies right after tagging
-        tagged = tagged.select(
-            "__f",
-            "__p",
-            *[
-                F.col(c).alias(renames.get(c, c))
-                for c in tagged.columns
-                if c not in ("__f", "__p")
-            ],
-        )
-    prior_pairs = [
-        (_path_uri(p), int(pos))
-        for p, (_pv, dv, _st) in by_path.items()
-        if dv
-        for pos in dv_deleted_positions(dv, location)
-    ]
-    if len(prior_pairs) > max_deleted_rows:
-        raise GlueSparkError(
-            f"table already carries {len(prior_pairs)} DV-deleted "
-            f"rows (cap {max_deleted_rows}); purge deletion vectors "
-            "(optimize_delta) before deleting more"
-        )
-    if prior_pairs:
-        deleted = spark.createDataFrame(
-            prior_pairs, "__f string, __p long"
-        )
-        tagged = tagged.join(
-            F.broadcast(deleted), ["__f", "__p"], "left_anti"
-        )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    matched = (
-        tagged.where(cond)
-        .groupBy("__f")
-        .agg(
-            F.sort_array(F.collect_list("__p")).alias("__ps"),
-            F.count("*").alias("__n"),
-        )
-    )
     total = 0
     hits: dict[str, list[int]] = {}
-    uri_to_path = {_path_uri(p): p for p in by_path}
-    for r in matched.collect():
-        path = uri_to_path.get(r["__f"], r["__f"])
-        hits[path] = [int(x) for x in r["__ps"]]
-        total += int(r["__n"])
-        if total > max_deleted_rows:
-            raise GlueSparkError(
-                f"DELETE matches more than {max_deleted_rows} rows; "
-                "rewrite the table (filter + write) instead of "
-                "carrying a DV that large, or raise max_deleted_rows"
+    tagged = None
+    if scan_files:
+        df = read_parquet_files(
+            spark,
+            location,
+            scan_files,
+            # the log schema is LOGICAL; a column-mapped table's files
+            # carry physical names, so the scan stays schema-inferred
+            # and the rename projection below restores logical names
+            schema=log_schema if renames is None else None,
+        )
+        # tag (file, position) FIRST, then mask already-DV-deleted
+        # rows by anti-joining the decoded positions (the
+        # apply_deletion_vectors shape inlined — it drops _metadata,
+        # which the tag still needs)
+        tagged = df.select(
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+            "*",
+        ).drop("_metadata")  # materialized across a clone's union scan
+        if renames is not None:
+            # COLUMN-MAPPED tables work here BECAUSE deletion vectors
+            # are position-based: nothing about the commit depends on
+            # column names — only the predicate needs the logical
+            # view, so the physical->logical projection applies right
+            # after tagging
+            tagged = tagged.select(
+                "__f",
+                "__p",
+                *[
+                    F.col(c).alias(renames.get(c, c))
+                    for c in tagged.columns
+                    if c not in ("__f", "__p")
+                ],
             )
-    if not hits:
+        prior_pairs = [
+            (_path_uri(p), int(pos))
+            for p, (_pv, dv, _st) in scan_files.items()
+            if dv
+            for pos in dv_deleted_positions(dv, location)
+        ]
+        if len(prior_pairs) > max_deleted_rows:
+            raise GlueSparkError(
+                f"table already carries {len(prior_pairs)} DV-deleted "
+                f"rows (cap {max_deleted_rows}); purge deletion "
+                "vectors (optimize_delta) before deleting more"
+            )
+        if prior_pairs:
+            deleted = spark.createDataFrame(
+                prior_pairs, "__f string, __p long"
+            )
+            tagged = tagged.join(
+                F.broadcast(deleted), ["__f", "__p"], "left_anti"
+            )
+        # cap BEFORE materializing positions on the driver: a count is
+        # executor-side and cheap next to collecting 100M positions
+        n_matched = tagged.where(cond).count()
+        if n_matched > max_deleted_rows:
+            raise GlueSparkError(
+                f"DELETE matches {n_matched} rows (cap "
+                f"{max_deleted_rows}); rewrite the table (filter + "
+                "write) instead of carrying a DV that large, or "
+                "raise max_deleted_rows"
+            )
+        matched = (
+            tagged.where(cond)
+            .groupBy("__f")
+            .agg(
+                F.sort_array(F.collect_list("__p")).alias("__ps"),
+                F.count("*").alias("__n"),
+            )
+        )
+        uri_to_path = {_path_uri(p): p for p in scan_files}
+        for r in matched.collect():
+            path = uri_to_path.get(r["__f"], r["__f"])
+            hits[path] = [int(x) for x in r["__ps"]]
+            total += int(r["__n"])
+    total += n_full
+    if not hits and not full_files:
         return None, 0
 
     # CDF: record the deleted rows as cdc files in the same commit —
@@ -250,17 +264,69 @@ def delete_from_delta(
             "Delta runtime"
         )
     if cdf_enabled(location):
-        cdc_actions = write_cdc_files(
-            typed(
-                tagged.where(cond).drop("__f", "__p"), "delete"
-            ),
-            location,
-        )
+        parts = []
+        if hits:
+            parts.append(tagged.where(cond).drop("__f", "__p"))
+        if full_files:
+            # full-file rows must reach the cdc output too: CDF
+            # readers treat a commit's cdc files as its EXACT change
+            # set, and remove-action synthesis cannot subtract a
+            # retired file's prior DV — the still-live rows are what
+            # this delete changes, not the raw file contents
+            fdf = read_parquet_files(
+                spark,
+                location,
+                {p: by_path[p] for p in full_files},
+                schema=log_schema,
+            )
+            ftag = fdf.select(
+                F.col("_metadata.file_path").alias("__f"),
+                F.col("_metadata.row_index").alias("__p"),
+                "*",
+            ).drop("_metadata")
+            full_prior = [
+                (_path_uri(p), int(pos))
+                for p in full_files
+                if by_path[p][1]
+                for pos in dv_deleted_positions(
+                    by_path[p][1], location
+                )
+            ]
+            if full_prior:
+                ftag = ftag.join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            full_prior, "__f string, __p long"
+                        )
+                    ),
+                    ["__f", "__p"],
+                    "left_anti",
+                )
+            parts.append(ftag.drop("__f", "__p"))
+        changes = parts[0]
+        for extra in parts[1:]:
+            changes = changes.unionByName(extra)
+        cdc_actions = write_cdc_files(typed(changes, "delete"), location)
 
     now = int(time.time() * 1000)
     removes: list[dict] = []
     adds: list[dict] = []
     sidecars: list[Path] = []
+    for path in sorted(full_files):
+        pv, dv, _st = by_path[path]
+        rm = {
+            "path": log_action_path(location, path),
+            "deletionTimestamp": now,
+            "dataChange": True,
+            "partitionValues": pv,
+        }
+        if dv:
+            # the remove mirrors the add it retires, DV included —
+            # synthesis-based CDF readers refuse on it (the live-row
+            # set of a DV'd file is not in the log), cdc-file readers
+            # never look
+            rm["deletionVector"] = dv
+        removes.append(rm)
     for path, new_pos in sorted(hits.items()):
         pv, dv, st = by_path[path]
         rel = log_action_path(location, path)
@@ -268,14 +334,15 @@ def delete_from_delta(
             dv_deleted_positions(dv, location) if dv else []
         )
         positions = sorted(set(prior) | set(new_pos))
-        removes.append(
-            {
-                "path": rel,
-                "deletionTimestamp": now,
-                "dataChange": True,
-                "partitionValues": pv,
-            }
-        )
+        rm = {
+            "path": rel,
+            "deletionTimestamp": now,
+            "dataChange": True,
+            "partitionValues": pv,
+        }
+        if dv:
+            rm["deletionVector"] = dv
+        removes.append(rm)
         num_records = None
         if st:
             try:
@@ -305,7 +372,7 @@ def delete_from_delta(
         adds.append(add)
 
     log_dir = base / "_delta_log"
-    affected = set(hits)
+    affected = set(hits) | set(full_files)
     for _attempt in range(max_commit_retries):
         # pinned version + per-attempt validation, the OPTIMIZE
         # posture: any commit landing after the validation scan takes
@@ -338,18 +405,23 @@ def delete_from_delta(
                     },
                 }
             },
+        ]
+        if adds:
             # UNION-upgrade, never clobber: the table may carry
             # features this writer doesn't use (timestampNtz,
             # v2Checkpoint, ...) that third-party readers must keep
-            # seeing (re-resolved per attempt, like the schema)
-            {
-                "protocol": upgraded_protocol(
-                    prior_proto,
-                    reader_features=("deletionVectors",),
-                    writer_features=("deletionVectors",),
-                )
-            },
-        ]
+            # seeing (re-resolved per attempt, like the schema).  A
+            # pure metadata-only delete (removes only, no DV adds)
+            # needs no feature and leaves the protocol untouched.
+            actions.append(
+                {
+                    "protocol": upgraded_protocol(
+                        prior_proto,
+                        reader_features=("deletionVectors",),
+                        writer_features=("deletionVectors",),
+                    )
+                }
+            )
         actions += [{"remove": r} for r in removes]
         actions += [{"add": a} for a in adds]
         actions += cdc_actions

@@ -985,6 +985,11 @@ def delta_cdf(
                     ))
             elif action.get("remove"):
                 r = action["remove"]
+                # a retired file that CARRIED a DV has live rows =
+                # file minus positions — not reconstructible from the
+                # log; only the writer's cdc output represents it
+                if r.get("deletionVector"):
+                    dv_attached = True
                 if r.get("dataChange", True):
                     removes.append(
                         _resolve_path(location, unquote(r["path"]))

@@ -271,6 +271,10 @@ def _stream_changes(
                     )
             elif action.get("remove"):
                 r = action["remove"]
+                # a retired file that carried a DV: live rows = file
+                # minus positions, unrecoverable from the log alone
+                if r.get("deletionVector"):
+                    dv_attached = True
                 if r.get("dataChange", True):
                     removes.append(
                         (

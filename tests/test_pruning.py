@@ -163,3 +163,78 @@ def test_in_list_mixed_constants_column_path_matches(spark):
             ).select("path").collect()
         ]
         assert col_kept == py_kept, sql
+
+
+# ---------------------------------------------------------------------------
+# Strict mode: extract_proof_predicate (full-match proofs, not pruning)
+# ---------------------------------------------------------------------------
+
+
+def _proof(sql: str, values: dict) -> bool | None:
+    from glue_table_cache_spark.pruning import extract_proof_predicate
+
+    pred = extract_proof_predicate(sql, KEYS, IDENTS)
+    assert pred is not None
+    return pred.evaluate(values)
+
+
+def test_proof_partition_only_conjunct_proves():
+    assert _proof(
+        "SELECT * FROM tbl WHERE year = '2024'", {"year": "2024"}
+    ) is True
+    assert _proof(
+        "SELECT * FROM tbl WHERE year = '2024'", {"year": "2023"}
+    ) is False
+
+
+def test_proof_data_conjunct_blocks_and():
+    # pruning would drop `id >= 3` and over-claim True — the proof
+    # tree keeps it as Unknown, and And(True, Unknown) is Unknown
+    assert _proof(
+        "SELECT * FROM tbl WHERE year = '2024' AND id >= 3",
+        {"year": "2024"},
+    ) is None
+    # ... but a False partition conjunct still decides
+    assert _proof(
+        "SELECT * FROM tbl WHERE year = '2024' AND id >= 3",
+        {"year": "2023"},
+    ) is False
+
+
+def test_proof_or_with_data_branch_still_proves_decided_branch():
+    sql = (
+        "SELECT * FROM tbl WHERE year = '2023' "
+        "OR (year = '2024' AND id >= 3)"
+    )
+    assert _proof(sql, {"year": "2023"}) is True  # decided branch
+    assert _proof(sql, {"year": "2024"}) is None  # rides on id
+    # Or(False, And(False, Unknown)) decides False — no proof either
+    assert _proof(sql, {"year": "2022"}) is False
+
+
+def test_proof_not_over_unknown_stays_unknown():
+    assert _proof(
+        "SELECT * FROM tbl WHERE NOT (id >= 3)", {"year": "2024"}
+    ) is None
+    assert _proof(
+        "SELECT * FROM tbl WHERE NOT (year = '2024')",
+        {"year": "2023"},
+    ) is True
+
+
+def test_proof_missing_or_uncoercible_value_blocks():
+    assert _proof(
+        "SELECT * FROM tbl WHERE year = '2024'", {}
+    ) is None
+    assert _proof(
+        "SELECT * FROM tbl WHERE year > 2020", {"year": "weird"}
+    ) is None
+
+
+def test_proof_no_where_returns_none():
+    from glue_table_cache_spark.pruning import extract_proof_predicate
+
+    assert extract_proof_predicate(
+        "SELECT * FROM tbl", KEYS, IDENTS
+    ) is None
+    assert extract_proof_predicate("not sql (", KEYS, IDENTS) is None

@@ -3933,3 +3933,164 @@ def test_append_inherits_table_partitioning(spark, tmp_path):
         write_delta_append(
             df2, str(uloc), partition_by=["year"]
         )
+
+
+# ---------------------------------------------------------------------------
+# DELETE metadata-only fast path (delta_delete.py step 0)
+# ---------------------------------------------------------------------------
+
+
+def _last_commit_actions(loc: str) -> list[dict]:
+    import json as _json
+    from pathlib import Path as _Path
+
+    log = _Path(loc) / "_delta_log"
+    last = sorted(log.glob("[0-9]*.json"))[-1]
+    return [
+        _json.loads(line)
+        for line in last.read_text().splitlines()
+        if line.strip()
+    ]
+
+
+def _read_live(spark, loc: str):
+    from glue_table_cache_spark.sources.delta import (
+        apply_deletion_vectors,
+        delta_scan_info,
+    )
+
+    entries, _r = delta_scan_info(loc)
+    if not entries:
+        return []
+    out = apply_deletion_vectors(
+        spark.read.option("basePath", loc).parquet(
+            *[p for p, _pv, _dv in entries]
+        ),
+        entries,
+        loc,
+    )
+    return sorted((r.id, r.p) for r in out.collect())
+
+
+def test_delete_metadata_only_retires_without_dvs(spark, tmp_path):
+    """DELETE WHERE p='a' on a p-partitioned table is a pure metadata
+    commit: removes only — no DV sidecars, no add actions, no
+    protocol change — and the count comes from stats."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = str(tmp_path / "meta_only")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(10)],
+        "id long, p string",
+    )
+    write_delta_append(df, loc, partition_by=["p"])
+    v, n = delete_from_delta(spark, loc, "p = 'a'")
+    assert n == 4
+    actions = _last_commit_actions(loc)
+    kinds = sorted({next(iter(a)) for a in actions})
+    assert "remove" in kinds and "add" not in kinds
+    assert "protocol" not in kinds  # no DVs -> no feature upgrade
+    assert not list((tmp_path / "meta_only").glob("deletion_vector_*"))
+    assert _read_live(spark, loc) == [(i, "b") for i in range(4, 10)]
+
+
+def test_delete_mixed_metadata_and_dv(spark, tmp_path):
+    """p='a' OR (p='b' AND id>=8): the a-file retires metadata-only in
+    the SAME commit that attaches a DV to the b-file."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = str(tmp_path / "mixed")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(10)],
+        "id long, p string",
+    ).repartition(1)
+    write_delta_append(df, loc, partition_by=["p"])
+    v, n = delete_from_delta(
+        spark, loc, "p = 'a' OR (p = 'b' AND id >= 8)"
+    )
+    assert n == 4 + 2
+    actions = _last_commit_actions(loc)
+    removes = [a["remove"] for a in actions if "remove" in a]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(removes) == 2  # both files touched
+    assert len(adds) == 1  # only the b-file re-added, with a DV
+    assert adds[0]["deletionVector"]["cardinality"] == 2
+    assert _read_live(spark, loc) == [(i, "b") for i in range(4, 8)]
+
+
+def test_delete_data_predicate_never_uses_fast_path(spark, tmp_path):
+    """The unsound-proof regression guard: DELETE WHERE id = 9 on a
+    partitioned table must DV exactly one row — pruning's dropped
+    conjunct must not 'prove' whole files."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = str(tmp_path / "guard")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(10)],
+        "id long, p string",
+    )
+    write_delta_append(df, loc, partition_by=["p"])
+    v, n = delete_from_delta(spark, loc, "id = 9")
+    assert n == 1
+    assert _read_live(spark, loc) == [
+        (i, "a" if i < 4 else "b") for i in range(9)
+    ]
+    # and the conjunct form: p='a' AND id>=3 deletes ONE row, not the
+    # whole p=a file (the exact shape the r7 fast path got wrong)
+    v, n = delete_from_delta(spark, loc, "p = 'a' AND id >= 3")
+    assert n == 1
+    assert _read_live(spark, loc) == [
+        (i, "a" if i < 3 else "b") for i in range(9) if i != 3
+    ]
+
+
+def test_delete_metadata_only_cdf_rows(spark, tmp_path):
+    """On a CDF table the metadata-only path still writes cdc delete
+    rows — including only the still-live rows of a file that already
+    carried a DV."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    loc = str(tmp_path / "meta_cdf")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(10)],
+        "id long, p string",
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+    )
+
+    write_delta_append(df, loc, partition_by=["p"])
+    set_delta_table_properties(
+        loc, {"delta.enableChangeDataFeed": "true"}
+    )
+    # first, DV one row out of the a-file
+    _v, n = delete_from_delta(spark, loc, "p = 'a' AND id = 0")
+    assert n == 1
+    v1, n = delete_from_delta(spark, loc, "p = 'a'")
+    assert n == 3  # rows 1..3 — row 0 is already gone
+    changes = delta_cdf(spark, loc, since_version=v1 - 1)
+    got = sorted(
+        (r.id, r._change_type) for r in changes.collect()
+    )
+    assert got == [(1, "delete"), (2, "delete"), (3, "delete")]
