@@ -26,6 +26,13 @@ ambiguous and refuse loudly (the standard MERGE cardinality error).
 Column-mapped tables work: scans project physical->logical for key
 matching, rewrites land under physical names (only CDF-enabled
 mapped tables refuse — cdc files would need physical names).
+PARTITIONED tables work: rewrites hash on the partition columns and
+write through ``partitionBy`` in one job, each output landing in its
+hive directory with parsed ``partitionValues`` — untouched
+partitions stay byte-identical because only files holding a matched
+key ever enter the rewrite set.  Generated partition columns
+re-derive on the rewrite output.  (Partitioned AND column-mapped
+together refuses — directories key on physical names.)
 """
 
 from __future__ import annotations
@@ -47,6 +54,76 @@ from glue_table_cache_spark.sinks.delta_write import (
     enforce_check_constraints,
     refuse_append_only,
 )
+
+
+def _write_rewrite_stage(df, stage, n_files: int, pcols: list[str]):
+    """Stage a COW rewrite: unpartitioned tables repartition to the
+    byte-sized file target; partitioned tables hash on the partition
+    columns and write through ``partitionBy`` so every output lands
+    in its hive directory — ONE job either way (the per-group-loop
+    anti-pattern this repo retired in the Hudi writers).  One file
+    per partition value per rewrite; OPTIMIZE re-sizes later."""
+    writer = (
+        df.repartition(n_files, *pcols) if pcols else
+        df.repartition(n_files)
+    ).write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(str(stage))
+
+
+def _collect_staged_adds(
+    stage: Path, base: Path, batch: str, now: int
+) -> list[dict]:
+    """Move staged parts into place under unique batch-tagged names,
+    preserving hive partition directories, and return their ``add``
+    actions (partitionValues parsed from the staged ``k=v`` path —
+    the write_delta_append convention, byte-for-byte)."""
+    adds: list[dict] = []
+    for p in sorted(stage.rglob("part-*.parquet")):
+        rel_dir = p.parent.relative_to(stage)
+        pv: dict[str, str] = {}
+        for seg in rel_dir.parts:
+            k, eq, v = seg.partition("=")
+            if eq:
+                pv[k] = v
+        name = f"part-{batch}-{len(adds):05d}.parquet"
+        rel = str(rel_dir / name) if rel_dir.parts else name
+        dest = base / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        p.rename(dest)
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": dest.stat().st_size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        stats = _footer_stats_json(dest)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append(add)
+    return adds
+
+
+def _rederive_generated(df, location: str):
+    """Re-derive every ``delta.generationExpression`` column on a
+    rewrite output — a MERGE source (or an UPDATE touching the
+    expression's input) may carry values inconsistent with the
+    expression, and partition placement keys on the derived value."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.delta import _replay
+
+    meta = _replay(location)[1].get("metaData") or {}
+    from glue_table_cache_spark.sinks.delta_write import (
+        _generation_expressions,
+    )
+
+    for c, e in _generation_expressions(meta).items():
+        if c in df.columns:
+            df = df.withColumn(c, F.expr(e))
+    return df
 
 
 def merge_into_delta(
@@ -87,12 +164,20 @@ def merge_into_delta(
     # are written back under physical names (footer stats then key
     # physically, the protocol's convention for mapped tables)
     inverse = {v: k for k, v in (renames or {}).items()}
-    if any(pv for _p, pv, _dv in entries):
+    from glue_table_cache_spark.sources.delta import _replay
+
+    pcols = list(
+        ((_replay(location)[1].get("metaData")) or {}).get(
+            "partitionColumns"
+        )
+        or []
+    )
+    if pcols and renames is not None:
         raise GlueSparkError(
-            "merge_into_delta rewrites whole files and does not "
-            "yet place outputs into hive partition directories — "
-            "partitioned tables refuse; compact to unpartitioned or "
-            "use delete_from_delta + write_delta_append"
+            "MERGE on a table that is both PARTITIONED and "
+            "column-mapped: partition directories key on physical "
+            "names while this rewrite plans on logical ones — "
+            "refusing; use a Delta runtime for this combination"
         )
     missing = [k for k in keys if k not in source.columns]
     if missing:
@@ -243,6 +328,7 @@ def merge_into_delta(
         delta_table_configuration,
     )
 
+    merged = _rederive_generated(merged, location)
     enforce_check_constraints(
         merged, delta_table_configuration(location), "MERGE"
     )
@@ -254,25 +340,8 @@ def merge_into_delta(
                 for c in merged.columns
             ]
         )
-    merged.repartition(n_files).write.mode("overwrite").parquet(
-        str(stage)
-    )
-    adds: list[dict] = []
-    for p in sorted(stage.rglob("part-*.parquet")):
-        name = f"part-{batch}-{len(adds):05d}.parquet"
-        dest = base / name
-        p.rename(dest)
-        add = {
-            "path": name,
-            "partitionValues": {},
-            "size": dest.stat().st_size,
-            "modificationTime": now,
-            "dataChange": True,
-        }
-        stats = _footer_stats_json(dest)
-        if stats is not None:
-            add["stats"] = stats
-        adds.append(add)
+    _write_rewrite_stage(merged, stage, n_files, pcols)
+    adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
 
     log_dir = base / "_delta_log"
@@ -352,8 +421,10 @@ def update_delta(
     :func:`merge_into_delta`.  Returns ``(version, n_updated)`` —
     ``(None, 0)`` when nothing matched.  Needs no key columns,
     unlike MERGE.  Column-mapped tables work (scan projects
-    physical->logical, rewrites land under physical names);
-    partitioned tables refuse (same scope gate as MERGE)."""
+    physical->logical, rewrites land under physical names), and so
+    do partitioned tables — including a SET on a partition column,
+    which MOVES the row (the rewrite writes through ``partitionBy``,
+    so it lands in its new directory)."""
     from pyspark.sql import functions as F
 
     from glue_table_cache_spark.sources.delta import (
@@ -376,11 +447,20 @@ def update_delta(
     )
     # column-mapped tables work — same posture as merge_into_delta
     inverse = {v: k for k, v in (renames or {}).items()}
-    if any(pv for _p, pv, _dv in entries):
+    from glue_table_cache_spark.sources.delta import _replay
+
+    pcols = list(
+        ((_replay(location)[1].get("metaData")) or {}).get(
+            "partitionColumns"
+        )
+        or []
+    )
+    if pcols and renames is not None:
         raise GlueSparkError(
-            "update_delta rewrites whole files and does not place "
-            "outputs into hive partition directories — partitioned "
-            "tables refuse"
+            "UPDATE on a table that is both PARTITIONED and "
+            "column-mapped: partition directories key on physical "
+            "names while this rewrite plans on logical ones — "
+            "refusing; use a Delta runtime for this combination"
         )
     by_path = {p: (pv, dv) for p, pv, dv in entries}
     if not by_path:
@@ -510,6 +590,7 @@ def update_delta(
         delta_table_configuration,
     )
 
+    updated = _rederive_generated(updated, location)
     enforce_check_constraints(
         updated, delta_table_configuration(location), "UPDATE"
     )
@@ -521,25 +602,8 @@ def update_delta(
                 for c in updated.columns
             ]
         )
-    updated.repartition(n_files).write.mode("overwrite").parquet(
-        str(stage)
-    )
-    adds: list[dict] = []
-    for p in sorted(stage.rglob("part-*.parquet")):
-        name = f"part-{batch}-{len(adds):05d}.parquet"
-        dest = base / name
-        p.rename(dest)
-        add = {
-            "path": name,
-            "partitionValues": {},
-            "size": dest.stat().st_size,
-            "modificationTime": now,
-            "dataChange": True,
-        }
-        stats = _footer_stats_json(dest)
-        if stats is not None:
-            add["stats"] = stats
-        adds.append(add)
+    _write_rewrite_stage(updated, stage, n_files, pcols)
+    adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
 
     log_dir = base / "_delta_log"

@@ -4094,3 +4094,138 @@ def test_delete_metadata_only_cdf_rows(spark, tmp_path):
         (r.id, r._change_type) for r in changes.collect()
     )
     assert got == [(1, "delete"), (2, "delete"), (3, "delete")]
+
+
+# ---------------------------------------------------------------------------
+# Partitioned MERGE / UPDATE (delta_merge.py, r8)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_delta_partitioned(spark, tmp_path):
+    """MERGE into a partitioned table: only partitions holding a
+    matched key rewrite; untouched partitions keep their files
+    byte-identical; inserts land in their hive directories (including
+    a brand-new partition)."""
+    from glue_table_cache_spark.sinks.delta_merge import (
+        merge_into_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = str(tmp_path / "pmerge")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", f"v{i}") for i in range(8)],
+        "id long, p string, v string",
+    ).repartition(1)
+    write_delta_append(df, loc, partition_by=["p"])
+    before = {
+        p: Path(p).stat().st_mtime_ns
+        for p, _pv, _dv in delta_scan_info(loc)[0]
+    }
+    b_files = {p for p in before if "p=b" in p}
+    src = spark.createDataFrame(
+        [(0, "a", "V0"), (8, "b", "V8"), (9, "c", "V9")],
+        "id long, p string, v string",
+    )
+    version, n_up, n_ins = merge_into_delta(spark, loc, src, on=["id"])
+    assert (n_up, n_ins) == (1, 2)
+    entries, _r = delta_scan_info(loc)
+    after = {p for p, _pv, _dv in entries}
+    # untouched partition b: same file, same bytes (never rewritten)
+    assert b_files <= after
+    for p in b_files:
+        assert Path(p).stat().st_mtime_ns == before[p]
+    # partition values recorded on the new adds
+    pv_by_file = {p: pv for p, pv, _dv in entries}
+    assert any(pv == {"p": "c"} for pv in pv_by_file.values())
+    got = sorted(
+        (r.id, r.p, r.v)
+        for r in spark.read.option("basePath", loc)
+        .parquet(*after)
+        .collect()
+    )
+    want = sorted(
+        [(0, "a", "V0"), (8, "b", "V8"), (9, "c", "V9")]
+        + [(i, "a" if i < 4 else "b", f"v{i}") for i in range(1, 8)]
+    )
+    assert got == want
+
+
+def test_update_delta_partitioned_moves_rows(spark, tmp_path):
+    """UPDATE SET on a partition column MOVES the row to its new hive
+    directory; untouched partitions stay byte-identical."""
+    from glue_table_cache_spark.sinks.delta_merge import update_delta
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = str(tmp_path / "pupd")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", float(i)) for i in range(8)],
+        "id long, p string, v double",
+    ).repartition(1)
+    write_delta_append(df, loc, partition_by=["p"])
+    before = {
+        p: Path(p).stat().st_mtime_ns
+        for p, _pv, _dv in delta_scan_info(loc)[0]
+    }
+    b_files = {p for p in before if "p=b" in p}
+    # move id=1 from partition a to partition z, and bump its v
+    version, n = update_delta(
+        spark, loc, "id = 1", {"p": "'z'", "v": "v + 100"}
+    )
+    assert n == 1
+    entries, _r = delta_scan_info(loc)
+    pv_by_file = {p: pv for p, pv, _dv in entries}
+    assert any(pv == {"p": "z"} for pv in pv_by_file.values())
+    for p in b_files:
+        assert p in pv_by_file and Path(p).stat().st_mtime_ns == before[p]
+    got = sorted(
+        (r.id, r.p, r.v)
+        for r in spark.read.option("basePath", loc)
+        .parquet(*pv_by_file)
+        .collect()
+    )
+    want = sorted(
+        [(1, "z", 101.0)]
+        + [
+            (i, "a" if i < 4 else "b", float(i))
+            for i in range(8)
+            if i != 1
+        ]
+    )
+    assert got == want
+
+
+def test_update_delta_partitioned_non_partition_set(spark, tmp_path):
+    """A plain SET on a data column in a partitioned table rewrites
+    only the affected partition's file and keeps placement."""
+    from glue_table_cache_spark.sinks.delta_merge import update_delta
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    loc = str(tmp_path / "pupd2")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", float(i)) for i in range(8)],
+        "id long, p string, v double",
+    ).repartition(1)
+    write_delta_append(df, loc, partition_by=["p"])
+    version, n = update_delta(spark, loc, "p = 'a'", {"v": "v * 2"})
+    assert n == 4
+    entries, _r = delta_scan_info(loc)
+    got = sorted(
+        (r.id, r.p, r.v)
+        for r in spark.read.option("basePath", loc)
+        .parquet(*[p for p, _pv, _dv in entries])
+        .collect()
+    )
+    want = sorted(
+        [(i, "a", float(i) * 2) for i in range(4)]
+        + [(i, "b", float(i)) for i in range(4, 8)]
+    )
+    assert got == want
