@@ -43,6 +43,98 @@ from glue_table_cache_spark.sources.iceberg_fixture import (
 )
 
 
+def _attach_identity_partition_columns(spark, tagged, entries, schema):
+    """Identity-partitioned data files store the value in the
+    directory name, not the file — re-attach each schema column the
+    leaf scan is missing from the manifests' partition tuples
+    (authoritative, no path parsing), broadcast-joined on the tagged
+    file path.  ``tagged`` must carry ``file_path``.  Metadata-scale:
+    one row per active data file."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_path,
+        _strip_scheme,
+    )
+
+    if schema is None:
+        return tagged
+    present = set(tagged.columns)
+    missing = [f for f in schema.fields if f.name not in present]
+    if not missing:
+        return tagged
+    rows = [
+        (_strip_path(p), *[
+            None if pv.get(f.name) is None else str(pv[f.name])
+            for f in missing
+        ])
+        for p, pv, _seq in entries
+    ]
+    pv_df = spark.createDataFrame(
+        rows,
+        ", ".join(
+            ["__pvf string"] + [f"__pv_{f.name} string" for f in missing]
+        ),
+    )
+    out = tagged.withColumn(
+        "__pvf", _strip_scheme(F.col("file_path"))
+    ).join(F.broadcast(pv_df), "__pvf", "left").drop("__pvf")
+    for f in missing:
+        out = out.withColumn(
+            f.name, F.col(f"__pv_{f.name}").cast(f.dataType)
+        ).drop(f"__pv_{f.name}")
+    return out
+
+
+def _stage_rows_under_spec(
+    rows, base: Path, data_dir: Path, batch: str, tag: str, spec
+) -> list[tuple[Path, dict]]:
+    """Stage replacement/insert rows under the table's RECORDED
+    partition spec — the write_iceberg_append staging shape, reused
+    by UPDATE and MERGE so partitioned tables rewrite correctly:
+    identity fields partition hive-style (value moves into the
+    directory and out of the file), transform fields derive the
+    hidden-partitioning column, partition it, and keep the source in
+    the data.  Returns ``(dest, partition_values)`` pairs; ONE
+    distributed write either way."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        _transform_column,
+    )
+
+    stage = base / f"_staging_{tag}_{batch}"
+    stage_df = rows
+    derived: list[str] = []
+    for f in spec or []:
+        if f["transform"] == "identity" and f["name"] in rows.columns:
+            derived.append(f["name"])
+            continue
+        stage_df = stage_df.withColumn(
+            f["name"],
+            _transform_column(stage_df, f["source"], f["transform"]),
+        )
+        derived.append(f["name"])
+    writer = stage_df.write.mode("overwrite")
+    if derived:
+        writer = writer.partitionBy(*derived)
+    writer.parquet(str(stage))
+    files: list[tuple[Path, dict]] = []
+    for p in sorted(stage.rglob("part-*.parquet")):
+        rel_dir = p.parent.relative_to(stage)
+        pv: dict[str, str] = {}
+        for seg in rel_dir.parts:
+            k, eq, v = seg.partition("=")
+            if eq:
+                pv[k] = v
+        name = f"part-{tag}-{batch}-{len(files):05d}.parquet"
+        rel = rel_dir / name if rel_dir.parts else Path(name)
+        dest = data_dir / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        p.rename(dest)
+        files.append((dest, pv))
+    shutil.rmtree(stage, ignore_errors=True)
+    return files
+
+
 def delete_from_iceberg(
     spark: SparkSession,
     location: str,
@@ -248,9 +340,13 @@ def update_iceberg(
     Returns ``(sequence_number, n_updated)`` — ``(None, 0)`` when
     nothing matched.  All ``set_exprs`` evaluate against pre-update
     values (standard UPDATE semantics).  Tables carrying EQUALITY
-    deletes refuse (optimize first, same as DELETE); hive-partitioned
-    tables refuse (the rewritten rows would need partition routing —
-    the update_delta scope gate).
+    deletes refuse (optimize first, same as DELETE).  PARTITIONED
+    tables work — identity AND hidden specs: replacement rows stage
+    through the recorded spec's transforms (``partitionBy`` on the
+    derived values, one job), their manifest entries carry the
+    partition tuple, and a SET on an identity partition column MOVES
+    the row.  Identity columns the leaf files don't store re-attach
+    from the manifests before the predicate evaluates.
 
     Scale: the matched positions and the transformed rows are both
     written DISTRIBUTED; the driver never holds row data.
@@ -279,7 +375,11 @@ def update_iceberg(
         )
     meta_dir = base / "metadata"
     data_dir = base / "data"
-    entries, pos_dels, eq_dels = iceberg_scan_details(location)
+    entries, pos_dels, eq_dels, ice_schema, ice_spec = (
+        iceberg_scan_details(
+            location, with_schema=True, with_spec=True
+        )
+    )
     if eq_dels:
         raise GlueSparkError(
             "table carries EQUALITY deletes; run optimize_iceberg() "
@@ -287,17 +387,21 @@ def update_iceberg(
         )
     if not entries:
         return None, 0
-    if any(pv for _p, pv, _seq in entries):
-        raise GlueSparkError(
-            "update_iceberg rewrites rows into unpartitioned data "
-            "files and does not place them into partition "
-            "directories — partitioned tables refuse; use "
-            "delete_from_iceberg + write_iceberg_append"
-        )
     prev = _latest_metadata(meta_dir)
 
     df = spark.read.parquet(*[p for p, _pv, _seq in entries])
-    cols = df.columns
+    tagged = df.select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    # identity-partitioned files store the value in the directory —
+    # re-attach from the manifests so the predicate and the rewrite
+    # see the full logical row
+    tagged = _attach_identity_partition_columns(
+        spark, tagged, entries, ice_schema
+    )
+    cols = [c for c in tagged.columns if c not in ("file_path", "pos")]
     unknown = [c for c in set_exprs if c not in cols]
     if unknown:
         raise GlueSparkError(
@@ -306,16 +410,12 @@ def update_iceberg(
         )
     # validate the (unchanged) schema + reuse its recorded field ids
     df_types = {
-        f.name: _iceberg_type(f.dataType) for f in df.schema.fields
+        f.name: _iceberg_type(tagged.schema[f.name].dataType)
+        for f in tagged.schema.fields
+        if f.name in cols
     }
     ids, types, _fields = _resolve_schema(
         prev, df_types, cols, False, location
-    )
-
-    tagged = df.select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-        "*",
     )
     if pos_dels:
         prior = spark.read.parquet(*pos_dels).select(
@@ -354,27 +454,27 @@ def update_iceberg(
         .collect()
     }
     # distributed write #2: the transformed replacement rows (all
-    # set_exprs see PRE-update values — one projection, no chaining)
-    upd_stage = base / f"_staging_upd_{batch}"
-    matched.select(
+    # set_exprs see PRE-update values — one projection, no chaining),
+    # staged under the RECORDED partition spec so partitioned rewrites
+    # land in their directories with correct manifest tuples
+    replacement = matched.select(
         *[
-            F.expr(set_exprs[c]).cast(df.schema[c].dataType).alias(c)
+            F.expr(set_exprs[c])
+            .cast(tagged.schema[c].dataType)
+            .alias(c)
             if c in set_exprs
             else F.col(c)
             for c in cols
         ]
-    ).write.mode("overwrite").parquet(str(upd_stage))
+    )
+    new_files = _stage_rows_under_spec(
+        replacement, base, data_dir, batch, "upd", ice_spec
+    )
 
     del_name = f"pos-delete-{batch}.parquet"
     (data_dir / del_name).parent.mkdir(parents=True, exist_ok=True)
     del_parts[0].rename(data_dir / del_name)
     shutil.rmtree(del_stage, ignore_errors=True)
-    new_files: list[Path] = []
-    for i, p in enumerate(sorted(upd_stage.rglob("part-*.parquet"))):
-        dest = data_dir / f"part-upd-{batch}-{i:05d}.parquet"
-        p.rename(dest)
-        new_files.append(dest)
-    shutil.rmtree(upd_stage, ignore_errors=True)
 
     seq = _commit_add_and_delete_snapshot(
         location,
@@ -393,7 +493,7 @@ def update_iceberg(
 
 def _commit_add_and_delete_snapshot(
     location: str,
-    new_files: list[Path],
+    new_files: list[tuple[Path, dict]],
     del_file: Path | None,
     n_del: int,
     affected: set[str],
@@ -403,11 +503,14 @@ def _commit_add_and_delete_snapshot(
     max_commit_retries: int,
     verb: str,
 ) -> int:
-    """ONE snapshot naming both an ADDED data manifest (``new_files``,
-    content=0) and — when ``del_file`` is given — a DELETE manifest
-    (content=1), with the shared pinned-sequence / per-attempt
-    active-file validation / ``O_EXCL`` protocol every Iceberg writer
-    here uses.  The row-level UPDATE and MERGE commit through this."""
+    """ONE snapshot naming both an ADDED data manifest (``new_files``
+    as ``(path, partition_values)`` pairs, content=0) and — when
+    ``del_file`` is given — a DELETE manifest (content=1), with the
+    shared pinned-sequence / per-attempt active-file validation /
+    ``O_EXCL`` protocol every Iceberg writer here uses.  The
+    row-level UPDATE and MERGE commit through this; partitioned
+    rewrites carry their partition tuple into the manifest entries so
+    pruning and identity-column recovery keep working."""
     from glue_table_cache_spark.sinks.iceberg_write import (
         _footer_bounds,
     )
@@ -422,7 +525,7 @@ def _commit_add_and_delete_snapshot(
     def _cleanup() -> None:
         if del_file is not None:
             del_file.unlink(missing_ok=True)
-        for f in new_files:
+        for f, _pv in new_files:
             f.unlink(missing_ok=True)
 
     affected_stripped = {_strip_path(p) for p in affected}
@@ -457,10 +560,11 @@ def _commit_add_and_delete_snapshot(
                         "data_file": {
                             "content": 0,
                             "file_path": str(
-                                Path("data") / dest.name
+                                Path("data")
+                                / dest.relative_to(base / "data")
                             ),
                             "file_format": "PARQUET",
-                            "partition": None,
+                            "partition": pv or None,
                             "record_count": (st := _footer_bounds(
                                 dest, ids, types
                             ))["record_count"],
@@ -473,7 +577,7 @@ def _commit_add_and_delete_snapshot(
                             ],
                         },
                     }
-                    for dest in new_files
+                    for dest, pv in new_files
                 ],
             )
             manifests.append(add_manifest)
@@ -602,8 +706,11 @@ def merge_into_iceberg(
     (:func:`.delta_merge.merge_into_delta`): duplicate source keys
     refuse (the matched row would be ambiguous), source columns must
     equal the table schema (whole rows are replaced), equality-delete
-    tables refuse toward optimize, hive-partitioned tables refuse
-    toward delete + append."""
+    tables refuse toward optimize.  PARTITIONED tables (identity or
+    hidden spec) work: every source row stages through the recorded
+    spec's transforms and its manifest entry carries the partition
+    tuple — untouched partitions' files are never rewritten (only
+    position deletes retire matched rows)."""
     from pyspark.sql import functions as F
 
     from glue_table_cache_spark.sinks.iceberg_write import (
@@ -628,17 +735,15 @@ def merge_into_iceberg(
         )
     meta_dir = base / "metadata"
     data_dir = base / "data"
-    entries, pos_dels, eq_dels = iceberg_scan_details(location)
+    entries, pos_dels, eq_dels, ice_schema, ice_spec = (
+        iceberg_scan_details(
+            location, with_schema=True, with_spec=True
+        )
+    )
     if eq_dels:
         raise GlueSparkError(
             "table carries EQUALITY deletes; run optimize_iceberg() "
             "to purge them, then merge"
-        )
-    if any(pv for _p, pv, _seq in entries):
-        raise GlueSparkError(
-            "merge_into_iceberg writes unpartitioned data files — "
-            "partitioned tables refuse; use delete_from_iceberg + "
-            "write_iceberg_append"
         )
     missing = [k for k in keys if k not in source.columns]
     if missing:
@@ -658,7 +763,20 @@ def merge_into_iceberg(
         return write_iceberg_append(source, location), 0, n_ins
 
     df = spark.read.parquet(*[p for p, _pv, _seq in entries])
-    want = set(df.columns)
+    tagged_full = _attach_identity_partition_columns(
+        spark,
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        ),
+        entries,
+        ice_schema,
+    )
+    cols = [
+        c for c in tagged_full.columns if c not in ("file_path", "pos")
+    ]
+    want = set(cols)
     if set(source.columns) != want:
         raise GlueSparkError(
             f"MERGE source columns {sorted(source.columns)} do not "
@@ -667,18 +785,16 @@ def merge_into_iceberg(
         )
     prev = _latest_metadata(meta_dir)
     df_types = {
-        f.name: _iceberg_type(f.dataType) for f in df.schema.fields
+        f.name: _iceberg_type(tagged_full.schema[f.name].dataType)
+        for f in tagged_full.schema.fields
+        if f.name in want
     }
     ids, types, _fields = _resolve_schema(
-        prev, df_types, df.columns, False, location
+        prev, df_types, cols, False, location
     )
 
     src_keys = F.broadcast(source.select(*keys).distinct())
-    tagged = df.select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-        *keys,
-    )
+    tagged = tagged_full.select("file_path", "pos", *keys)
     if pos_dels:
         prior = spark.read.parquet(*pos_dels).select(
             _strip_scheme(F.col("file_path")).alias("__pf"),
@@ -710,13 +826,21 @@ def merge_into_iceberg(
         .distinct()
         .collect()
     }
-    src_stage = base / f"_staging_src_{batch}"
-    source.select(
-        *[
-            F.col(c).cast(df.schema[c].dataType).alias(c)
-            for c in df.columns
-        ]
-    ).write.mode("overwrite").parquet(str(src_stage))
+    new_files = _stage_rows_under_spec(
+        source.select(
+            *[
+                F.col(c)
+                .cast(tagged_full.schema[c].dataType)
+                .alias(c)
+                for c in cols
+            ]
+        ),
+        base,
+        data_dir,
+        batch,
+        "mrg",
+        ice_spec,
+    )
 
     del_file = None
     if n_upd:
@@ -724,12 +848,6 @@ def merge_into_iceberg(
         del_parts[0].rename(data_dir / del_name)
         del_file = data_dir / del_name
     shutil.rmtree(del_stage, ignore_errors=True)
-    new_files: list[Path] = []
-    for i, p in enumerate(sorted(src_stage.rglob("part-*.parquet"))):
-        dest = data_dir / f"part-mrg-{batch}-{i:05d}.parquet"
-        p.rename(dest)
-        new_files.append(dest)
-    shutil.rmtree(src_stage, ignore_errors=True)
 
     seq = _commit_add_and_delete_snapshot(
         location,

@@ -1851,3 +1851,147 @@ def test_optimize_where_partition_scoped(spark, tmp_path):
         _engine_for(spark, uloc, {"table_type": "ICEBERG"}).sql(
             "OPTIMIZE glue.db.t WHERE x = 1"
         )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Iceberg UPDATE / MERGE (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_update_iceberg_partitioned_identity(spark, tmp_path):
+    """UPDATE on an identity-partitioned Iceberg table: the predicate
+    can reference the partition column (re-attached from manifests),
+    replacement rows land in their partition directories with correct
+    manifest tuples, and a SET on the partition column moves rows."""
+    from glue_table_cache_spark.sinks.iceberg_delete import (
+        update_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    loc = str(tmp_path / "pice")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, "a" if i < 3 else "b", float(i)) for i in range(6)],
+            "id long, p string, v double",
+        ).coalesce(1),
+        loc,
+        partition_by=["p"],
+    )
+    seq, n = update_iceberg(spark, loc, "p = 'a'", {"v": "v + 100"})
+    assert n == 3
+    entries, _d, _e = iceberg_scan_details(loc)
+    # the rewrite's new file carries the partition tuple
+    assert any(
+        pv.get("p") == "a" and "part-upd-" in p
+        for p, pv, _seq in entries
+    )
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    got = {(r.id, r.p, r.v) for r in eng.sql(
+        "SELECT id, p, v FROM glue.db.t"
+    ).collect()}
+    assert got == {
+        (i, "a" if i < 3 else "b",
+         float(i) + (100 if i < 3 else 0))
+        for i in range(6)
+    }
+    # SET on the partition column moves the row
+    seq, n = update_iceberg(spark, loc, "id = 5", {"p": "'z'"})
+    assert n == 1
+    eng.invalidate_table("db", "t")
+    got = {(r.id, r.p) for r in eng.sql(
+        "SELECT id, p FROM glue.db.t WHERE p = 'z'"
+    ).collect()}
+    assert got == {(5, "z")}
+
+
+def test_merge_into_iceberg_partitioned_identity(spark, tmp_path):
+    """MERGE into an identity-partitioned table: untouched partitions'
+    data files are never rewritten (only position deletes retire
+    matched rows), inserts land with correct partition tuples."""
+    from glue_table_cache_spark.sinks.iceberg_delete import (
+        merge_into_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    loc = str(tmp_path / "pmice")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, "a" if i < 3 else "b", f"v{i}") for i in range(6)],
+            "id long, p string, v string",
+        ).coalesce(1),
+        loc,
+        partition_by=["p"],
+    )
+    before = {
+        p for p, _pv, _seq in iceberg_scan_details(loc)[0]
+    }
+    src = spark.createDataFrame(
+        [(0, "a", "V0"), (9, "c", "V9")],
+        "id long, p string, v string",
+    )
+    seq, n_up, n_ins = merge_into_iceberg(spark, loc, src, on=["id"])
+    assert (n_up, n_ins) == (1, 1)
+    entries, _d, _e = iceberg_scan_details(loc)
+    after = {p for p, _pv, _seq in entries}
+    assert before <= after  # originals still active (pos-deleted only)
+    assert any(pv == {"p": "c"} for _p, pv, _seq in entries)
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    got = sorted(
+        (r.id, r.p, r.v)
+        for r in eng.sql("SELECT id, p, v FROM glue.db.t").collect()
+    )
+    want = sorted(
+        [(0, "a", "V0"), (9, "c", "V9")]
+        + [(i, "a" if i < 3 else "b", f"v{i}") for i in range(1, 6)]
+    )
+    assert got == want
+
+
+def test_update_iceberg_partitioned_hidden(spark, tmp_path):
+    """UPDATE on a hidden-partitioned table (day transform): the
+    source column stays in the data files, the rewrite derives the
+    transform for placement, and pruning metadata stays coherent."""
+    import datetime
+
+    from glue_table_cache_spark.sinks.iceberg_delete import (
+        update_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    loc = str(tmp_path / "hice")
+    d1 = datetime.date(2024, 1, 1)
+    d2 = datetime.date(2024, 1, 2)
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, d1, 10.0), (2, d1, 20.0), (3, d2, 30.0)],
+            "id long, d date, v double",
+        ).coalesce(1),
+        loc,
+        partition_transforms={"d": "day"},
+    )
+    seq, n = update_iceberg(spark, loc, "id = 2", {"v": "v * 10"})
+    assert n == 1
+    entries, _dl, _e = iceberg_scan_details(loc)
+    upd = [(p, pv) for p, pv, _s in entries if "part-upd-" in p]
+    assert upd and all(pv.get("d_day") for _p, pv in upd)
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    got = {
+        r.id: r.v
+        for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+    }
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0}
