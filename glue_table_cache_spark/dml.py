@@ -235,11 +235,50 @@ class UpdateStatement:
 
 
 @dataclass(frozen=True)
+class MergeClause:
+    """One parsed WHEN clause of a MERGE statement.
+
+    ``when`` is ``matched`` / ``not_matched`` / ``not_matched_by_source``;
+    ``condition`` the extra AND predicate (alias-rewritten: target
+    refs bare, source refs ``__src_``-prefixed) or None; ``action`` is
+    ``update`` / ``delete`` / ``insert``.  ``set_exprs`` is None for
+    ``UPDATE SET *`` (whole row from source); ``insert_cols``/``vals``
+    are None for ``INSERT *``."""
+
+    when: str
+    condition: str | None
+    action: str
+    set_exprs: tuple[tuple[str, str], ...] | None = None
+    insert_cols: tuple[str, ...] | None = None
+    insert_vals: tuple[str, ...] | None = None
+
+
+@dataclass(frozen=True)
 class MergeStatement:
     ref: TableReference
     source_text: str  # the USING operand, passed to a SELECT wrapper
     on_keys: tuple[str, ...]
     clauses: tuple[str, ...] = field(default=())  # normalized WHEN texts
+    parsed: tuple = field(default=())  # MergeClause per WHEN, in order
+
+    @property
+    def whole_row(self) -> bool:
+        """True for the classic upsert pair (unconditional
+        ``UPDATE SET *`` + ``INSERT *``) — the fast path the
+        whole-row writers implement without a join on full rows."""
+        acts = [
+            (c.when, c.action, c.condition, c.set_exprs, c.insert_cols)
+            for c in self.parsed
+        ]
+        return sorted(a[:2] for a in acts) == [
+            ("matched", "update"),
+            ("not_matched", "insert"),
+        ] and all(
+            c.condition is None
+            and c.set_exprs is None
+            and c.insert_cols is None
+            for c in self.parsed
+        )
 
 
 def _strip_leading_trivia(sql: str) -> str:
@@ -1053,13 +1092,171 @@ def parse_dml(sql: str):
     return None
 
 
-#: the two WHEN clauses the whole-row upsert writer implements
-_WHEN_MATCHED = re.compile(
-    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$", re.IGNORECASE
+_WHEN_HEAD_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+BY\s+TARGET)?(?:\s+AND\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
 )
-_WHEN_NOT_MATCHED = re.compile(
-    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", re.IGNORECASE
+_INSERT_COLS_VALS_RE = re.compile(
+    r"^\((?P<cols>[^()]*)\)\s*VALUES\s*\((?P<vals>.*)\)$",
+    re.IGNORECASE | re.DOTALL,
 )
+
+
+def _rewrite_merge_expr(
+    text: str, t_aliases: tuple[str, ...], s_aliases: tuple[str, ...]
+) -> str:
+    """Qualifier rewrite for MERGE clause expressions: source refs
+    ``s.col`` become ``__src_col`` (the joined frame's source column
+    names), target refs ``t.col`` become bare ``col``.  Bare names
+    resolve against the frame the expression runs on (target side for
+    MATCHED/BY SOURCE clauses; the insert frame exposes source
+    columns both bare and prefixed)."""
+    out = text
+    for a in s_aliases:
+        spans = _masked_spans(out)
+        pat = re.compile(
+            rf"(?<![A-Za-z0-9_$\"`]){re.escape(a)}\s*\.\s*",
+            re.IGNORECASE,
+        )
+        out = pat.sub(
+            lambda m: m.group(0)
+            if any(x <= m.start() < y for x, y in spans)
+            else "__src_",
+            out,
+        )
+    for a in t_aliases:
+        out = _strip_alias_prefix(out, a)
+    return out
+
+
+def _parse_when_clause(text: str, rewrite) -> "MergeClause":
+    """One ``WHEN ...`` clause body (text after the WHEN keyword) →
+    :class:`MergeClause`.  ``rewrite`` is the alias-qualifier rewrite
+    applied to every condition/expression."""
+    parts = _split_top_level(text, "THEN")
+    if len(parts) < 2:
+        raise InvalidQueryError(
+            f"MERGE: WHEN clause without THEN: {text[:60]!r}"
+        )
+    head = _trim_stmt(parts[0])
+    action_text = _trim_stmt(" THEN ".join(parts[1:]))
+    hm = _WHEN_HEAD_RE.match(head)
+    if not hm:
+        raise InvalidQueryError(
+            f"MERGE: unrecognized WHEN clause {head[:60]!r}"
+        )
+    if hm.group("bysrc") and not hm.group("neg"):
+        raise InvalidQueryError(
+            "MERGE: MATCHED BY SOURCE is not a clause; use "
+            "WHEN NOT MATCHED BY SOURCE"
+        )
+    when = (
+        "matched"
+        if not hm.group("neg")
+        else ("not_matched_by_source" if hm.group("bysrc")
+              else "not_matched")
+    )
+    cond = (
+        rewrite(_trim_stmt(hm.group("cond")))
+        if hm.group("cond")
+        else None
+    )
+    am = re.match(
+        r"^UPDATE\s+SET\s+(?P<set>.+)$",
+        action_text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if am:
+        if when == "not_matched":
+            raise InvalidQueryError(
+                "MERGE: WHEN NOT MATCHED supports INSERT only "
+                "(UPDATE needs a target row; did you mean "
+                "NOT MATCHED BY SOURCE?)"
+            )
+        set_text = _trim_stmt(am.group("set"))
+        if set_text == "*":
+            if when == "not_matched_by_source":
+                raise InvalidQueryError(
+                    "MERGE: NOT MATCHED BY SOURCE cannot "
+                    "UPDATE SET * — there is no source row to copy"
+                )
+            return MergeClause(when, cond, "update", None)
+        pairs: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for item in _split_top_level(set_text, ","):
+            item = _trim_stmt(item)
+            if not item:
+                continue
+            eq = re.match(
+                rf"(?:{_IDENT}\s*\.\s*)?(?P<col>{_IDENT})\s*=\s*"
+                r"(?P<expr>.+)$",
+                item,
+                re.DOTALL,
+            )
+            if not eq:
+                raise InvalidQueryError(
+                    f"MERGE UPDATE SET: expected <col> = <expr>, "
+                    f"got {item[:60]!r}"
+                )
+            col = _unquote(eq.group("col"))
+            if col in seen:
+                raise InvalidQueryError(
+                    f"MERGE UPDATE SET assigns {col!r} twice"
+                )
+            seen.add(col)
+            pairs.append((col, rewrite(eq.group("expr").strip())))
+        if not pairs:
+            raise InvalidQueryError("MERGE: empty UPDATE SET clause")
+        return MergeClause(when, cond, "update", tuple(pairs))
+    if re.match(r"^DELETE$", action_text, re.IGNORECASE):
+        if when == "not_matched":
+            raise InvalidQueryError(
+                "MERGE: WHEN NOT MATCHED cannot DELETE — there is "
+                "no target row (did you mean NOT MATCHED BY SOURCE?)"
+            )
+        return MergeClause(when, cond, "delete")
+    im = re.match(
+        r"^INSERT\s*(?P<rest>.*)$", action_text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if im:
+        if when != "not_matched":
+            raise InvalidQueryError(
+                f"MERGE: WHEN {'MATCHED' if when == 'matched' else 'NOT MATCHED BY SOURCE'} "
+                "cannot INSERT — the source row either matched or "
+                "does not exist"
+            )
+        rest = _trim_stmt(im.group("rest"))
+        if rest == "*":
+            return MergeClause(when, cond, "insert")
+        cm = _INSERT_COLS_VALS_RE.match(rest)
+        if not cm:
+            raise InvalidQueryError(
+                "MERGE INSERT: expected `*` or "
+                "`(c1, ...) VALUES (e1, ...)`, got "
+                f"{rest[:60]!r}"
+            )
+        cols = tuple(
+            _unquote(_trim_stmt(c))
+            for c in cm.group("cols").split(",")
+            if _trim_stmt(c)
+        )
+        vals = tuple(
+            rewrite(_trim_stmt(v))
+            for v in _split_top_level(cm.group("vals"), ",")
+            if _trim_stmt(v)
+        )
+        if not cols or len(cols) != len(vals):
+            raise InvalidQueryError(
+                f"MERGE INSERT: {len(cols)} columns but "
+                f"{len(vals)} values"
+            )
+        return MergeClause(when, cond, "insert", None, cols, vals)
+    raise InvalidQueryError(
+        f"MERGE: unrecognized action {action_text[:60]!r} — "
+        "expected UPDATE SET ..., DELETE, or INSERT ..."
+    )
 
 
 def _parse_merge(s: str) -> MergeStatement | None:
@@ -1088,27 +1285,13 @@ def _parse_merge(s: str) -> MergeStatement | None:
     clauses = [_trim_stmt(w) for w in when_parts[1:] if _trim_stmt(w)]
     if not clauses:
         raise InvalidQueryError(
-            "MERGE: expected WHEN MATCHED THEN UPDATE SET * and "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
-    have_matched = any(_WHEN_MATCHED.match(c) for c in clauses)
-    have_not = any(_WHEN_NOT_MATCHED.match(c) for c in clauses)
-    bad = [
-        c
-        for c in clauses
-        if not _WHEN_MATCHED.match(c) and not _WHEN_NOT_MATCHED.match(c)
-    ]
-    if bad or not (have_matched and have_not):
-        raise InvalidQueryError(
-            "MERGE supports exactly WHEN MATCHED THEN UPDATE SET * "
-            "plus WHEN NOT MATCHED THEN INSERT * (whole-row upsert); "
-            f"got {clauses!r}.  Column-level WHEN clauses need a "
-            "Delta runtime — or express the transform in the USING "
-            "source query"
+            "MERGE: expected at least one WHEN clause "
+            "(WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN ...)"
         )
     # source alias: trailing identifier after a view name or a
     # parenthesized subquery (kept inside source_text for the SELECT
-    # wrapper; extracted only to resolve ON qualifiers)
+    # wrapper; extracted only to resolve ON qualifiers), falling back
+    # to the bare view name itself when the source is unaliased
     s_alias = None
     am = re.search(
         rf"(?:\)|{_IDENT})\s+(?:AS\s+)?(?P<alias>{_IDENT})\s*$",
@@ -1117,6 +1300,12 @@ def _parse_merge(s: str) -> MergeStatement | None:
     )
     if am and _unquote(am.group("alias")).lower() not in _KEYWORDS:
         s_alias = _unquote(am.group("alias"))
+    elif re.fullmatch(
+        rf"{_IDENT}(?:\s*\.\s*{_IDENT})*", source_text.strip()
+    ):
+        s_alias = _unquote(
+            re.split(r"\s*\.\s*", source_text.strip())[-1]
+        )
     keys: list[str] = []
     aliases = {
         a.lower() for a in (t_alias, s_alias, ref.table) if a
@@ -1145,6 +1334,30 @@ def _parse_merge(s: str) -> MergeStatement | None:
                     f"({s_alias or '<unaliased>'})"
                 )
         keys.append(c1)
+    t_aliases = tuple(
+        a for a in (t_alias, ref.table) if a
+    )
+    s_aliases = tuple(a for a in (s_alias,) if a)
+
+    def _rw(text: str) -> str:
+        return _rewrite_merge_expr(text, t_aliases, s_aliases)
+
+    parsed = tuple(_parse_when_clause(c, _rw) for c in clauses)
+    # within each WHEN group, a clause without a condition swallows
+    # every row the group sees — only the LAST clause of its group
+    # may omit AND (the standard MERGE shape)
+    by_group: dict[str, list] = {}
+    for cl in parsed:
+        by_group.setdefault(cl.when, []).append(cl)
+    for group, cls_ in by_group.items():
+        for cl in cls_[:-1]:
+            if cl.condition is None:
+                raise InvalidQueryError(
+                    f"MERGE: an unconditional WHEN "
+                    f"{'NOT MATCHED BY SOURCE' if group == 'not_matched_by_source' else group.replace('_', ' ').upper()} "
+                    "clause must be the last of its group — later "
+                    "clauses in the group can never match"
+                )
     return MergeStatement(
-        ref, source_text, tuple(keys), tuple(clauses)
+        ref, source_text, tuple(keys), tuple(clauses), parsed
     )
