@@ -597,29 +597,60 @@ class GlueSparkEngine:
             # the USING operand resolves through the normal read
             # path — glue refs, temp views, and subqueries all work
             source = self.sql(f"SELECT * FROM {stmt.source_text}")
-            if ttype == ETableType.DELTA:
+            if stmt.whole_row:
+                # the classic upsert pair (unconditional UPDATE SET *
+                # + INSERT *) — the whole-row writers' fast path, no
+                # full-row join
+                if ttype == ETableType.DELTA:
+                    from glue_table_cache_spark.sinks.delta_merge import (  # noqa: E501
+                        merge_into_delta,
+                    )
+
+                    version, n_upd, n_ins = merge_into_delta(
+                        self.spark, loc, source, list(stmt.on_keys)
+                    )
+                elif ttype == ETableType.ICEBERG:
+                    from glue_table_cache_spark.sinks.iceberg_delete import (  # noqa: E501
+                        merge_into_iceberg,
+                    )
+
+                    version, n_upd, n_ins = merge_into_iceberg(
+                        self.spark, loc, source, list(stmt.on_keys)
+                    )
+                else:
+                    from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
+                        merge_into_hudi,
+                    )
+
+                    version, n_upd, n_ins = merge_into_hudi(
+                        self.spark, loc, source, list(stmt.on_keys)
+                    )
+            elif ttype == ETableType.DELTA:
                 from glue_table_cache_spark.sinks.delta_merge import (
-                    merge_into_delta,
+                    merge_general_delta,
                 )
 
-                version, n_upd, n_ins = merge_into_delta(
-                    self.spark, loc, source, list(stmt.on_keys)
+                version, n_upd, n_ins, n_del = merge_general_delta(
+                    self.spark, loc, source, list(stmt.on_keys),
+                    stmt.parsed,
                 )
             elif ttype == ETableType.ICEBERG:
                 from glue_table_cache_spark.sinks.iceberg_delete import (  # noqa: E501
-                    merge_into_iceberg,
+                    merge_general_iceberg,
                 )
 
-                version, n_upd, n_ins = merge_into_iceberg(
-                    self.spark, loc, source, list(stmt.on_keys)
+                version, n_upd, n_ins, n_del = merge_general_iceberg(
+                    self.spark, loc, source, list(stmt.on_keys),
+                    stmt.parsed,
                 )
             else:
-                from glue_table_cache_spark.sinks.hudi_log_write import (
-                    merge_into_hudi,
-                )
-
-                version, n_upd, n_ins = merge_into_hudi(
-                    self.spark, loc, source, list(stmt.on_keys)
+                raise GlueSparkError(
+                    f"MERGE INTO {qual}: conditional / column-level "
+                    "WHEN clauses on a Hudi table are not supported "
+                    "by this writer — only the whole-row upsert pair "
+                    "(WHEN MATCHED THEN UPDATE SET * / WHEN NOT "
+                    "MATCHED THEN INSERT *); rewrite the merge as "
+                    "DELETE + UPDATE + INSERT, or use a Hudi runtime"
                 )
         else:  # pragma: no cover - parse_dml returns only the three
             raise GlueSparkError(f"unknown DML statement {stmt!r}")

@@ -403,6 +403,321 @@ def merge_into_delta(
     )
 
 
+def merge_general_delta(
+    spark: SparkSession,
+    location: str,
+    source: DataFrame,
+    on: list[str] | str,
+    clauses,
+    target_file_mb: int = 256,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> tuple[int | None, int, int, int]:
+    """The general (column-level) MERGE grammar for Delta —
+    ``WHEN MATCHED [AND cond] THEN UPDATE SET c=e / DELETE``,
+    ``WHEN NOT MATCHED [AND cond] THEN INSERT (...) VALUES (...)``,
+    ``WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`` — executed as
+    a two-phase copy-on-write rewrite:
+
+    1. PLAN: the full target (tagged with file/position, deletion
+       vectors anti-joined) left-joins the source on the keys; one
+       chained ``when`` picks the per-row chosen clause in statement
+       order (:func:`.merge_planner.chosen_column`); ONE aggregation
+       over ``(file, chosen)`` yields the affected-file set and the
+       update/delete tallies — no rows ever reach the driver.
+    2. REWRITE: only the affected files re-read and re-join; chosen
+       rows transform/drop (:func:`.merge_planner.target_outputs`),
+       the NOT MATCHED inserts append
+       (:func:`.merge_planner.insert_outputs`), and the outputs
+       commit as remove+add in ONE version under the same
+       pinned-version O_EXCL loop as :func:`merge_into_delta`.
+
+    Returns ``(version, n_updated, n_inserted, n_deleted)`` —
+    ``(None, 0, 0, 0)`` when no clause matched anything.  Clause
+    semantics follow the public Delta/SQL:2003 MERGE dialect
+    (+ NOT MATCHED BY SOURCE); the reference engine has no DML
+    surface (src/types.ts:4-11 enumerates formats it never writes).
+    """
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sinks.merge_planner import (
+        action_indexes,
+        chosen_column,
+        insert_outputs,
+        join_source,
+        target_counts,
+        target_outputs,
+        validate_clauses,
+    )
+    from glue_table_cache_spark.sources.delta import (
+        _path_uri,
+        _replay,
+        delta_scan_info,
+        delta_table_configuration,
+        log_action_path,
+        read_parquet_files,
+    )
+    from glue_table_cache_spark.sources.dv import dv_deleted_positions
+
+    keys = [on] if isinstance(on, str) else list(on)
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "merge_general_delta commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    refuse_append_only(location, "MERGE")
+    entries, renames, log_schema = delta_scan_info(
+        location, with_schema=True
+    )
+    inverse = {v: k for k, v in (renames or {}).items()}
+    pcols = list(
+        ((_replay(location)[1].get("metaData")) or {}).get(
+            "partitionColumns"
+        )
+        or []
+    )
+    if pcols and renames is not None:
+        raise GlueSparkError(
+            "MERGE on a table that is both PARTITIONED and "
+            "column-mapped: partition directories key on physical "
+            "names while this rewrite plans on logical ones — "
+            "refusing; use a Delta runtime for this combination"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise GlueSparkError(
+            f"merge keys {missing} are not in the source columns "
+            f"{source.columns}"
+        )
+    if log_schema is None:
+        raise GlueSparkError(
+            "merge_general_delta needs the table schema from the "
+            "log; the metaData action is missing"
+        )
+    t_cols = [f.name for f in log_schema.fields]
+    validate_clauses(clauses, t_cols, source.columns, keys)
+    dup = source.groupBy(*keys).count().where("count > 1").limit(1)
+    if dup.count():
+        raise GlueSparkError(
+            "MERGE source has duplicate keys — a matched target row "
+            "would meet several source rows; de-duplicate the source "
+            "first (e.g. max_by on a version column)"
+        )
+    from glue_table_cache_spark.sinks.delta_cdc import (
+        cdf_enabled,
+        typed,
+        write_cdc_files,
+    )
+
+    cdf = cdf_enabled(location)
+    if renames is not None and cdf:
+        raise GlueSparkError(
+            "MERGE on a column-mapped table with Change Data Feed "
+            "enabled: cdc files must carry physical names, which "
+            "this writer does not emit — disable CDF or use a "
+            "Delta runtime"
+        )
+    by_path = {p: (pv, dv) for p, pv, dv in entries}
+    prior_pairs = [
+        (_path_uri(p), int(pos))
+        for p, (_pv, dv) in by_path.items()
+        if dv
+        for pos in dv_deleted_positions(dv, location)
+    ]
+
+    def _tagged(paths):
+        """Target rows of ``paths`` under LOGICAL names, tagged
+        ``__f``/``__p``, DV-deleted rows dropped."""
+        t = read_parquet_files(
+            spark, location, paths,
+            schema=log_schema if renames is None else None,
+        ).select(
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+            "*",
+        ).drop("_metadata")  # materialized across a clone's union
+        if renames is not None:
+            t = t.select(
+                "__f", "__p",
+                *[
+                    F.col(c).alias(renames.get(c, c))
+                    for c in t.columns
+                    if c not in ("__f", "__p")
+                ],
+            )
+        if prior_pairs:
+            t = t.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        prior_pairs, "__f string, __p long"
+                    )
+                ),
+                ["__f", "__p"],
+                "left_anti",
+            )
+        return t
+
+    # ---- phase 1: plan — affected files + tallies from ONE agg
+    n_updated = n_deleted = 0
+    affected: list[str] = []
+    target_keys_df = None
+    if by_path:
+        tagged = _tagged(by_path)
+        target_keys_df = tagged.select(*keys).distinct()
+        joined = join_source(tagged, source, keys).withColumn(
+            "__chosen", chosen_column(clauses)
+        )
+        counts = target_counts(joined, clauses)
+        n_updated, n_deleted = counts["updated"], counts["deleted"]
+        uri_to_path = {_path_uri(p): p for p in by_path}
+        affected = [uri_to_path.get(f, f) for f in counts["files"]]
+    else:
+        target_keys_df = source.select(*keys).limit(0)
+
+    ins = insert_outputs(
+        source, target_keys_df, keys, clauses, t_cols, log_schema
+    )
+    if ins is not None:
+        ins = ins.localCheckpoint()  # reused: count + union + CDF
+        n_inserted = ins.count()
+    else:
+        n_inserted = 0
+    if not affected and not n_inserted:
+        return None, 0, 0, 0
+
+    # ---- phase 2: rewrite only the affected files
+    upd_idx = action_indexes(clauses, "update")
+    del_idx = action_indexes(clauses, "delete")
+    cdc_frames = []
+    if affected:
+        joined2 = join_source(
+            _tagged(affected), source, keys
+        ).withColumn("__chosen", chosen_column(clauses))
+        if cdf:
+            joined2 = joined2.localCheckpoint()
+        out = target_outputs(joined2, clauses, t_cols)
+        if cdf:
+            if upd_idx:
+                pre_u = joined2.where(
+                    F.col("__chosen").isin(upd_idx)
+                )
+                cdc_frames.append(
+                    typed(pre_u.select(*t_cols), "update_preimage")
+                )
+                cdc_frames.append(
+                    typed(
+                        target_outputs(pre_u, clauses, t_cols),
+                        "update_postimage",
+                    )
+                )
+            if del_idx:
+                cdc_frames.append(
+                    typed(
+                        joined2.where(
+                            F.col("__chosen").isin(del_idx)
+                        ).select(*t_cols),
+                        "delete",
+                    )
+                )
+    else:
+        out = None
+    if cdf and ins is not None and n_inserted:
+        cdc_frames.append(typed(ins, "insert"))
+    cdc_actions: list[dict] = []
+    if cdc_frames:
+        changes = cdc_frames[0]
+        for f in cdc_frames[1:]:
+            changes = changes.unionByName(f)
+        cdc_actions = write_cdc_files(changes, location)
+
+    merged = out
+    if ins is not None and n_inserted:
+        merged = (
+            ins if merged is None
+            else merged.unionByName(ins.select(*merged.columns))
+        )
+    batch = uuid.uuid4().hex[:12]
+    now = int(time.time() * 1000)
+    total_bytes = sum(Path(p).stat().st_size for p in affected)
+    n_files = max(
+        1, -(-max(total_bytes, 1) // (target_file_mb * 1024 * 1024))
+    )
+    stage = base / f"_staging_{batch}"
+    merged = _rederive_generated(merged, location)
+    enforce_check_constraints(
+        merged, delta_table_configuration(location), "MERGE"
+    )
+    if renames is not None:
+        merged = merged.select(
+            *[
+                F.col(c).alias(inverse.get(c, c))
+                for c in merged.columns
+            ]
+        )
+    _write_rewrite_stage(merged, stage, n_files, pcols)
+    adds = _collect_staged_adds(stage, base, batch, now)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    log_dir = base / "_delta_log"
+    affected_set = set(affected)
+    for _attempt in range(max_commit_retries):
+        version = _next_version(log_dir)
+        fresh, _r = delta_scan_info(location)
+        fresh_state = {p: dv for p, _pv, dv in fresh}
+        conflict = any(
+            p not in fresh_state
+            or (fresh_state[p] or None) != (by_path[p][1] or None)
+            for p in affected_set
+        )
+        if conflict:
+            for a in adds:
+                (base / a["path"]).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "merge_general_delta lost a conflicting race: an "
+                "affected file was rewritten or deleted-from "
+                "concurrently; table left untouched — re-run"
+            )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "matchedPredicates": json.dumps(keys)
+                    },
+                }
+            }
+        ]
+        actions += [
+            {
+                "remove": {
+                    "path": log_action_path(location, p),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": by_path[p][0],
+                }
+            }
+            for p in sorted(affected_set)
+        ]
+        actions += [{"add": a} for a in adds]
+        actions += cdc_actions
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version, n_updated, n_inserted, n_deleted
+    raise GlueSparkError(
+        f"could not commit MERGE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )
+
+
 def update_delta(
     spark: SparkSession,
     location: str,

@@ -863,3 +863,258 @@ def merge_into_iceberg(
     )
     n_src = source.count()
     return seq, int(n_upd), int(n_src - n_upd)
+
+
+def merge_general_iceberg(
+    spark: SparkSession,
+    location: str,
+    source,
+    on,
+    clauses,
+    max_commit_retries: int = 10,
+) -> tuple[int | None, int, int, int]:
+    """The general (column-level) MERGE grammar for Iceberg —
+    ``WHEN MATCHED [AND cond] THEN UPDATE SET c=e / DELETE``,
+    ``WHEN NOT MATCHED [AND cond] THEN INSERT``, ``WHEN NOT MATCHED
+    BY SOURCE THEN UPDATE/DELETE`` — in the format-v2 shape: every
+    CHOSEN target row (update or delete) is retired by ONE position-
+    delete file, updated rows re-appear transformed in new data
+    files next to the NOT MATCHED inserts, all named by one snapshot
+    (data manifest + delete manifest, same sequence number).  Unlike
+    the Delta sibling no data file ever rewrites — position deletes
+    carry the whole matched side.
+
+    Returns ``(sequence_number, n_updated, n_inserted, n_deleted)``
+    — ``(None, 0, 0, 0)`` when no clause matched anything.  The
+    clause planning (first-true-wins chosen index, simultaneous SET
+    projection, NULL-filled explicit INSERT lists) is shared with
+    Delta via :mod:`.merge_planner`."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        _resolve_schema,
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sinks.merge_planner import (
+        KEEP,
+        action_indexes,
+        chosen_column,
+        insert_outputs,
+        join_source,
+        target_outputs,
+        validate_clauses,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_scheme,
+        iceberg_scan_details,
+    )
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        _iceberg_type,
+    )
+
+    keys = [on] if isinstance(on, str) else list(on)
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "merge_general_iceberg commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    meta_dir = base / "metadata"
+    data_dir = base / "data"
+    entries, pos_dels, eq_dels, ice_schema, ice_spec = (
+        iceberg_scan_details(
+            location, with_schema=True, with_spec=True
+        )
+    )
+    if eq_dels:
+        raise GlueSparkError(
+            "table carries EQUALITY deletes; run optimize_iceberg() "
+            "to purge them, then merge"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise GlueSparkError(
+            f"merge keys {missing} are not in the source columns "
+            f"{source.columns}"
+        )
+    if source.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise GlueSparkError(
+            "MERGE source has duplicate keys — a matched target row "
+            "would meet several source rows; de-duplicate the "
+            "source first (e.g. max_by on a version column)"
+        )
+    if not entries:
+        # empty table: only the NOT MATCHED clauses can fire; the
+        # table schema comes from the metadata (there are no files)
+        e_cols = (
+            [f.name for f in ice_schema.fields]
+            if ice_schema is not None
+            else list(source.columns)
+        )
+        e_schema = (
+            ice_schema if ice_schema is not None else source.schema
+        )
+        validate_clauses(clauses, e_cols, source.columns, keys)
+        ins = insert_outputs(
+            source,
+            source.select(*keys).limit(0),
+            keys,
+            clauses,
+            e_cols,
+            e_schema,
+        )
+        if ins is None:
+            return None, 0, 0, 0
+        n_ins = ins.count()
+        if not n_ins:
+            return None, 0, 0, 0
+        return write_iceberg_append(ins, location), 0, n_ins, 0
+
+    df = spark.read.parquet(*[p for p, _pv, _seq in entries])
+    tagged = _attach_identity_partition_columns(
+        spark,
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        ),
+        entries,
+        ice_schema,
+    )
+    t_cols = [
+        c for c in tagged.columns if c not in ("file_path", "pos")
+    ]
+    validate_clauses(clauses, t_cols, source.columns, keys)
+    prev = _latest_metadata(meta_dir)
+    df_types = {
+        f.name: _iceberg_type(tagged.schema[f.name].dataType)
+        for f in tagged.schema.fields
+        if f.name in t_cols
+    }
+    ids, types, _fields = _resolve_schema(
+        prev, df_types, t_cols, False, location
+    )
+    if pos_dels:
+        prior = spark.read.parquet(*pos_dels).select(
+            _strip_scheme(F.col("file_path")).alias("__pf"),
+            F.col("pos").cast("long").alias("__pp"),
+        )
+        tagged = (
+            tagged.withColumn(
+                "__pf", _strip_scheme(F.col("file_path"))
+            )
+            .withColumn("__pp", F.col("pos"))
+            .join(prior, ["__pf", "__pp"], "left_anti")
+            .drop("__pf", "__pp")
+        )
+    joined = join_source(tagged, source, keys).withColumn(
+        "__chosen", chosen_column(clauses)
+    )
+    upd_idx = action_indexes(clauses, "update")
+
+    batch = uuid.uuid4().hex[:12]
+    # distributed write #1: every chosen row's (file, pos, clause) —
+    # the per-clause tallies AND the position-delete source, one job
+    plan_stage = base / f"_staging_plan_{batch}"
+    joined.where(F.col("__chosen") != KEEP).select(
+        "file_path", F.col("pos").cast("long").alias("pos"),
+        "__chosen",
+    ).coalesce(1).write.mode("overwrite").parquet(str(plan_stage))
+    chosen_df = spark.read.parquet(str(plan_stage))
+    tallies = {
+        int(r["__chosen"]): int(r["n"])
+        for r in chosen_df.groupBy("__chosen")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_upd = sum(n for i, n in tallies.items() if i in set(upd_idx))
+    n_del = sum(
+        n for i, n in tallies.items() if i not in set(upd_idx)
+    )
+    n_retired = n_upd + n_del
+    affected = {
+        r["file_path"]
+        for r in chosen_df.select("file_path").distinct().collect()
+    }
+    # distributed write #2: updated-row replacements + inserts, both
+    # staged under the RECORDED spec (partition tuples stay correct)
+    pieces = []
+    if upd_idx and n_upd:
+        pieces.append(
+            target_outputs(
+                joined.where(F.col("__chosen").isin(upd_idx)),
+                clauses,
+                t_cols,
+            )
+        )
+    ins = insert_outputs(
+        source,
+        tagged.select(*keys).distinct(),
+        keys,
+        clauses,
+        t_cols,
+        tagged.schema,
+    )
+    n_ins = 0
+    if ins is not None:
+        ins = ins.localCheckpoint()  # reused: count + stage
+        n_ins = ins.count()
+        if n_ins:
+            pieces.append(ins)
+    if not n_retired and not n_ins:
+        shutil.rmtree(plan_stage, ignore_errors=True)
+        return None, 0, 0, 0
+    new_rows = None
+    for p in pieces:
+        new_rows = (
+            p if new_rows is None
+            else new_rows.unionByName(p.select(*new_rows.columns))
+        )
+    new_files = (
+        _stage_rows_under_spec(
+            new_rows.select(
+                *[
+                    F.col(c)
+                    .cast(tagged.schema[c].dataType)
+                    .alias(c)
+                    for c in t_cols
+                ]
+            ),
+            base,
+            data_dir,
+            batch,
+            "mrg",
+            ice_spec,
+        )
+        if new_rows is not None
+        else []
+    )
+    del_file = None
+    if n_retired:
+        # the actual position-delete file: (file_path, pos) ONLY —
+        # written from the tiny staged plan, never the full join
+        del_stage = base / f"_staging_del_{batch}"
+        chosen_df.select("file_path", "pos").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(del_stage))
+        del_parts = sorted(del_stage.rglob("part-*.parquet"))
+        del_name = f"pos-delete-{batch}.parquet"
+        del_parts[0].rename(data_dir / del_name)
+        del_file = data_dir / del_name
+        shutil.rmtree(del_stage, ignore_errors=True)
+    shutil.rmtree(plan_stage, ignore_errors=True)
+
+    seq = _commit_add_and_delete_snapshot(
+        location,
+        new_files=new_files,
+        del_file=del_file,
+        n_del=int(n_retired),
+        affected=affected,
+        ids=ids,
+        types=types,
+        batch=batch,
+        max_commit_retries=max_commit_retries,
+        verb="MERGE",
+    )
+    return seq, int(n_upd), int(n_ins), int(n_del)

@@ -97,9 +97,10 @@ def join_source(
     ).withColumn("__src_matched", F.lit(True))
     cond = None
     for k in keys:
-        c = tagged[k].eqNullSafe(F.col(f"__src_{k}")) if False else (
-            tagged[k] == F.col(f"__src_{k}")
-        )
+        # standard SQL equality, NOT eqNullSafe: a NULL key never
+        # matches (the MERGE ON contract — a NULL-keyed source row
+        # falls through to the NOT MATCHED group)
+        c = tagged[k] == F.col(f"__src_{k}")
         cond = c if cond is None else (cond & c)
     out = tagged.join(src_pref, cond, "left")
     return out.withColumn(
@@ -159,7 +160,7 @@ def target_outputs(
     del_idx = action_indexes(clauses, "delete")
     upd_idx = action_indexes(clauses, "update")
     kept = (
-        joined.where(~F.col("__chosen").isin([F.lit(i) for i in del_idx] and del_idx))
+        joined.where(~F.col("__chosen").isin(del_idx))
         if del_idx
         else joined
     )

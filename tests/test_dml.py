@@ -66,12 +66,26 @@ def test_parse_merge():
     assert isinstance(s, MergeStatement)
     assert s.on_keys == ("k", "k2")
     assert s.source_text == "(SELECT * FROM v) s"
-    # column-level WHEN clauses refuse with the upsert contract
-    with pytest.raises(InvalidQueryError, match="whole-row upsert"):
-        parse_dml(
-            "MERGE INTO glue.db.t USING v s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET a = s.a"
-        )
+    assert s.whole_row  # the upsert pair takes the fast path
+    # column-level WHEN clauses parse into the general grammar
+    # (executed through sinks/merge_planner, not the whole-row path)
+    g = parse_dml(
+        "MERGE INTO glue.db.t USING v s ON t.k = s.k "
+        "WHEN MATCHED AND s.a > 0 THEN UPDATE SET a = s.a "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET a = 0"
+    )
+    assert not g.whole_row
+    assert [
+        (c.when, c.action) for c in g.parsed
+    ] == [
+        ("matched", "update"),
+        ("matched", "delete"),
+        ("not_matched_by_source", "update"),
+    ]
+    assert g.parsed[0].condition == "__src_a > 0"
+    assert g.parsed[0].set_exprs == (("a", "__src_a"),)
+    assert g.parsed[2].set_exprs == (("a", "0"),)
     # expression keys refuse (writers join on same-named columns)
     with pytest.raises(InvalidQueryError, match="same-named"):
         parse_dml(

@@ -1,0 +1,387 @@
+"""The general (column-level) MERGE grammar, end-to-end through
+``engine.sql("MERGE INTO ...")``: conditional WHEN clauses, THEN
+DELETE, column-level UPDATE SET, explicit INSERT lists, NOT MATCHED
+BY SOURCE — per clause shape across Delta and Iceberg (Hudi refuses
+cleanly).  Execution is the shared :mod:`..sinks.merge_planner`
+chosen-clause plan; the whole-row upsert pair keeps its fast path.
+Semantics parity: the public Delta/SQL:2003 MERGE dialect — the
+reference engine has no DML surface
+(/root/reference/src/types.ts:4-11)."""
+
+import pytest
+
+from glue_table_cache_spark.catalog import LocalMetadataStore
+from glue_table_cache_spark.engine import GlueSparkEngine
+from glue_table_cache_spark.errors import GlueSparkError
+
+
+def _engine_for(spark, location, fmt_params):
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(location), parameters=fmt_params
+    )
+    return GlueSparkEngine(spark, store)
+
+
+def _delta_engine(spark, loc, rows, schema, partition_by=None):
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    write_delta_append(
+        spark.createDataFrame(rows, schema), str(loc),
+        partition_by=partition_by,
+    )
+    return _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+
+
+def _iceberg_engine(spark, loc, rows, schema, partition_by=None):
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    kw = {"partition_by": partition_by} if partition_by else {}
+    write_iceberg_append(
+        spark.createDataFrame(rows, schema), str(loc), **kw
+    )
+    return _engine_for(spark, loc, {"table_type": "ICEBERG"})
+
+
+@pytest.fixture()
+def src3(spark):
+    """id 2 (matches), 3 (matches), 4 (no match) with a verb column."""
+    df = spark.createDataFrame(
+        [(2, "upd", 200.0), (3, "del", 300.0), (4, "ins", 400.0)],
+        "id long, verb string, amt double",
+    )
+    df.createOrReplaceTempView("mg_src")
+    yield "mg_src"
+    spark.catalog.dropTempView("mg_src")
+
+
+TARGET = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+TSCHEMA = "id long, tag string, amt double"
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_conditional_update_delete_insert(
+    spark, tmp_path, src3, fmt
+):
+    """The full clause matrix in one statement: a conditional DELETE,
+    a column-level UPDATE (pre-update values, partial SET), and an
+    explicit INSERT list with a NULL-filled gap."""
+    loc = tmp_path / fmt
+    eng = (
+        _delta_engine(spark, loc, TARGET, TSCHEMA)
+        if fmt == "delta"
+        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
+    )
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.verb = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)"
+    ).first()
+    assert out.operation == "MERGE"
+    assert out.rows_updated == 1
+    assert out.rows_deleted == 1
+    assert out.rows_inserted == 1
+    got = {
+        r.id: (r.tag, r.amt)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),       # untouched
+        2: ("b", 220.0),      # updated: amt += 200, tag kept
+        4: (None, 400.0),     # inserted: tag gap NULL-filled
+    }  # id 3 deleted
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_not_matched_by_source(spark, tmp_path, src3, fmt):
+    """NOT MATCHED BY SOURCE clauses see target rows without a
+    source partner — here: flag them, conditionally delete one."""
+    loc = tmp_path / fmt
+    eng = (
+        _delta_engine(spark, loc, TARGET, TSCHEMA)
+        if fmt == "delta"
+        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
+    )
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.amt < 15 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'orphan'"
+    ).first()
+    # id 1 has no source partner and amt 10 < 15 → deleted; ids 2,3
+    # matched → untouched; no other unmatched target rows exist
+    assert out.rows_deleted == 1
+    assert out.rows_updated == 0
+    assert out.rows_inserted == 0
+    got = {
+        r.id: r.tag
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {2: "b", 3: "c"}
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_matched_delete_only(spark, tmp_path, src3, fmt):
+    loc = tmp_path / fmt
+    eng = (
+        _delta_engine(spark, loc, TARGET, TSCHEMA)
+        if fmt == "delta"
+        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
+    )
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    ).first()
+    assert out.rows_deleted == 2 and out.rows_inserted == 0
+    assert (
+        eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 1
+    )
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_narrow_source(spark, tmp_path, fmt):
+    """A column-level merge does NOT need the source to cover the
+    table schema — only the referenced columns."""
+    loc = tmp_path / fmt
+    eng = (
+        _delta_engine(spark, loc, TARGET, TSCHEMA)
+        if fmt == "delta"
+        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
+    )
+    spark.createDataFrame(
+        [(2,), (9,)], "id long"
+    ).createOrReplaceTempView("mg_narrow")
+    try:
+        out = eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_narrow s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET tag = 'seen'"
+        ).first()
+        assert out.rows_updated == 1
+        got = {
+            r.id: r.tag
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        }
+        assert got == {1: "a", 2: "seen", 3: "c"}
+    finally:
+        spark.catalog.dropTempView("mg_narrow")
+
+
+def test_merge_general_partitioned_delta(spark, tmp_path, src3):
+    """Partitioned COW: only partitions holding a chosen row
+    rewrite; untouched partitions stay byte-identical."""
+    loc = tmp_path / "pdelta"
+    rows = [
+        (1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0),
+        (5, "p3", 50.0),
+    ]
+    eng = _delta_engine(
+        spark, loc, rows, "id long, part string, amt double",
+        partition_by=["part"],
+    )
+    before = {
+        p: p.stat().st_mtime_ns
+        for p in (loc / "part=p3").rglob("*.parquet")
+    }
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.verb = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, part, amt) "
+        "VALUES (s.id, 'p9', s.amt)"
+    ).first()
+    assert out.rows_updated == 1 and out.rows_deleted == 1
+    assert out.rows_inserted == 1
+    got = {
+        r.id: (r.part, r.amt)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {
+        1: ("p1", 10.0),
+        2: ("p1", 200.0),
+        4: ("p9", 400.0),
+        5: ("p3", 50.0),
+    }
+    after = {
+        p: p.stat().st_mtime_ns
+        for p in (loc / "part=p3").rglob("*.parquet")
+    }
+    assert before == after  # untouched partition byte-identical
+
+
+def test_merge_general_partitioned_iceberg(spark, tmp_path, src3):
+    """Identity-partitioned Iceberg: new rows land under the spec
+    with correct manifest tuples; retired rows go through ONE
+    position-delete file (no data file rewrites)."""
+    loc = tmp_path / "pice"
+    rows = [
+        (1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0),
+    ]
+    eng = _iceberg_engine(
+        spark, loc, rows, "id long, part string, amt double",
+        partition_by=["part"],
+    )
+    data_before = sorted(
+        p.name for p in (loc / "data").rglob("*.parquet")
+    )
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.verb = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, part, amt) "
+        "VALUES (s.id, 'p9', s.amt)"
+    ).first()
+    assert out.rows_updated == 1 and out.rows_deleted == 1
+    assert out.rows_inserted == 1
+    got = {
+        r.id: (r.part, r.amt)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {
+        1: ("p1", 10.0),
+        2: ("p1", 200.0),
+        4: ("p9", 400.0),
+    }
+    data_after = sorted(
+        p.name for p in (loc / "data").rglob("*.parquet")
+    )
+    # every pre-merge data file is still present (position deletes,
+    # not rewrites) plus the new files
+    assert set(data_before) <= set(data_after)
+    assert any(n.startswith("pos-delete-") for n in data_after)
+
+
+def test_merge_general_cdf_delta(spark, tmp_path, src3):
+    """A general merge on a CDF-enabled table records typed cdc
+    rows: update pre/post images, deletes, inserts."""
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    loc = tmp_path / "cdf"
+    eng = _delta_engine(spark, loc, TARGET, TSCHEMA)  # v0
+    eng.sql(
+        "ALTER TABLE glue.db.t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed'='true')"
+    )  # v1
+    eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.verb = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)"
+    )  # v2
+    changes = delta_cdf(spark, str(loc), since_version=1)
+    typed = {
+        (r.id, r._change_type)
+        for r in changes.select("id", "_change_type").collect()
+    }
+    assert typed == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (3, "delete"),
+        (4, "insert"),
+    }
+
+
+def test_merge_general_hudi_refuses(spark, tmp_path, src3):
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = tmp_path / "hudi"
+    write_hudi_append(
+        spark.createDataFrame(TARGET, TSCHEMA), str(loc)
+    )
+    eng = _engine_for(spark, loc, {"hoodie.table.name": "t"})
+    with pytest.raises(GlueSparkError, match="whole-row upsert"):
+        eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_general_validation_errors(spark, tmp_path, src3):
+    loc = tmp_path / "verr"
+    eng = _delta_engine(spark, loc, TARGET, TSCHEMA)
+    # SET names an unknown column
+    with pytest.raises(GlueSparkError, match="unknown column"):
+        eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET nope = 1"
+        )
+    # INSERT list omitting the ON key would strand the row
+    with pytest.raises(GlueSparkError, match="ON key"):
+        eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (tag) VALUES (s.verb)"
+        )
+    # duplicate source keys stay ambiguous in the general path too
+    spark.createDataFrame(
+        [(2, 1.0), (2, 2.0)], "id long, amt double"
+    ).createOrReplaceTempView("mg_dup")
+    try:
+        with pytest.raises(GlueSparkError, match="duplicate keys"):
+            eng.sql(
+                "MERGE INTO glue.db.t AS t USING mg_dup s "
+                "ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET amt = s.amt"
+            )
+    finally:
+        spark.catalog.dropTempView("mg_dup")
+
+
+def test_merge_general_noop(spark, tmp_path):
+    """No clause matches anything → no commit, version NULL."""
+    loc = tmp_path / "noop"
+    eng = _delta_engine(spark, loc, TARGET, TSCHEMA)
+    spark.createDataFrame(
+        [(99, "x", 1.0)], "id long, verb string, amt double"
+    ).createOrReplaceTempView("mg_miss")
+    try:
+        out = eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_miss s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        ).first()
+        assert out.version is None
+        assert (out.rows_updated, out.rows_inserted,
+                out.rows_deleted) == (0, 0, 0)
+    finally:
+        spark.catalog.dropTempView("mg_miss")
+
+
+def test_merge_general_insert_only_empty_iceberg(spark, tmp_path):
+    """A NOT-MATCHED-only merge into an empty Iceberg table is an
+    append of the chosen insert rows."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "eice"
+    # create-then-empty: append one row, delete it, so metadata
+    # exists but no live entries... simpler: append zero-row frame
+    write_iceberg_append(
+        spark.createDataFrame([], TSCHEMA), str(loc)
+    )
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    spark.createDataFrame(
+        [(7, "new", 70.0)], "id long, verb string, amt double"
+    ).createOrReplaceTempView("mg_ins")
+    try:
+        out = eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_ins s "
+            "ON t.id = s.id "
+            "WHEN NOT MATCHED AND s.amt > 0 THEN "
+            "INSERT (id, amt) VALUES (s.id, s.amt)"
+        ).first()
+        assert out.rows_inserted == 1
+        got = eng.sql("SELECT * FROM glue.db.t").collect()
+        assert [(r.id, r.tag, r.amt) for r in got] == [
+            (7, None, 70.0)
+        ]
+    finally:
+        spark.catalog.dropTempView("mg_ins")
