@@ -46,7 +46,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # --------------------------------------------------------------------------
 
 # versioned so a fixture-definition change busts stale _BUILT markers
-_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v5")
+_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v6")
 _BASE_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings",
@@ -257,6 +257,40 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         )
         assert out.rows_deleted > 0, f"{name}: junk delete removed nothing"
 
+    def _gmerge(loc, fmt, name):
+        # GENERAL (column-level) MERGE under the oracle: corrupted
+        # prices repair through a conditional column-level UPDATE
+        # against a NARROW source (only the referenced columns), and
+        # shifted-key junk dies via NOT MATCHED BY SOURCE DELETE —
+        # the clause-planner execution path (sinks/merge_planner +
+        # merge_general_delta/iceberg), r9
+        params = {
+            "delta": {"spark.sql.sources.provider": "delta"},
+            "iceberg": {"table_type": "ICEBERG"},
+        }[fmt]
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "tpch", name, str(loc), parameters=params
+        )
+        store.register_parquet_dir(
+            "tpch", "orders_src", f"{sf_dir}/orders.parquet"
+        )
+        out = (
+            GlueSparkEngine(spark, store)
+            .sql(
+                f"MERGE INTO glue.tpch.{name} AS t USING "
+                "(SELECT o_orderkey, o_totalprice "
+                "FROM glue.tpch.orders_src) s "
+                "ON t.o_orderkey = s.o_orderkey "
+                "WHEN MATCHED AND t.o_totalprice <> s.o_totalprice "
+                "THEN UPDATE SET o_totalprice = s.o_totalprice "
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            )
+            .first()
+        )
+        assert out.rows_updated > 0, f"{name}: no prices repaired"
+        assert out.rows_deleted > 0, f"{name}: no shifted junk deleted"
+
     for fmt in ("delta", "iceberg", "hudi"):
         loc = base / f"orders_{fmt}_m"
         marker = base / f"orders_{fmt}_m._BUILT"
@@ -267,6 +301,25 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         junk = orders.where(F.col("o_orderkey") % 7 == 3).withColumn(
             "o_orderkey", -F.col("o_orderkey")
         )
+        if fmt in ("delta", "iceberg"):
+            # corruption the general MERGE must repair (conditional
+            # column-level UPDATE) and shifted-key junk it must
+            # delete (NOT MATCHED BY SOURCE)
+            orders = orders.withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 13 == 6,
+                    F.col("o_totalprice") + F.lit(1000000.0),
+                ).otherwise(F.col("o_totalprice")),
+            )
+            junk = junk.unionByName(
+                spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .where(F.col("o_orderkey") % 11 == 4)
+                .withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey") + F.lit(2000000000),
+                )
+            )
         if fmt == "delta":
             # the Delta maintained table is PARTITIONED (the r7 judge
             # hole: every maintained fixture was unpartitioned, so
@@ -309,6 +362,7 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
                 f"orders_{fmt}_m",
                 where="o_orderstatus = 'X' OR o_orderkey < 0",
             )
+            _gmerge(loc, "delta", f"orders_{fmt}_m")
             # OPTIMIZE (v3) purges the DV and writes the classic
             # checkpoint; cleaning the pre-checkpoint commits and
             # vacuuming the replaced files forces the engine scan to
@@ -329,6 +383,7 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
             write_iceberg_append(even, str(loc))
             write_iceberg_append(odd, str(loc))
             _dml(loc, "iceberg", f"orders_{fmt}_m")
+            _gmerge(loc, "iceberg", f"orders_{fmt}_m")
             optimize_iceberg(spark, str(loc))  # purges the delete
             expire_iceberg_snapshots(str(loc), retention_hours=0)
             remove_iceberg_orphans(
@@ -2654,11 +2709,17 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
     * iceberg_eq — a v2 EQUALITY delete (equality_ids resolved
       against the schema, sequence-number scoped) masks the junk;
     * delta_m / iceberg_m / hudi_m — MAINTAINED tables the repo's own
-      writers built: two appends → OPTIMIZE → full retention (Delta:
-      checkpoint + log cleanup + VACUUM, so the scan reconstructs
-      purely from the checkpoint; Iceberg: expire-snapshots + orphan
-      removal; Hudi: clean) — the whole lakehouse maintenance loop
-      under the DuckDB oracle;
+      writers built: two appends → junk DELETE → (delta/iceberg, r9)
+      a GENERAL column-level MERGE that repairs corrupted prices via
+      a conditional UPDATE SET against a narrow source and kills
+      shifted-key junk via NOT MATCHED BY SOURCE DELETE → OPTIMIZE →
+      full retention (Delta: checkpoint + log cleanup + VACUUM, so
+      the scan reconstructs purely from the checkpoint; Iceberg:
+      expire-snapshots + orphan removal; Hudi: clean) — the whole
+      lakehouse maintenance loop under the DuckDB oracle;
+    * iceberg_meta (r9) — the ``glue.db.t.files`` metadata table:
+      sum(record_count) over the current snapshot's live data-file
+      entries must equal the plain ``orders`` row count exactly;
     * iceberg_hp — a HIDDEN-partitioned table (``month(o_orderdate)``)
       the repo writer built, queried through a DATE predicate on the
       source column: green only if the recorded partition spec, the
@@ -2740,7 +2801,14 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
                   round(sum(o_totalprice), 2) AS total
            FROM glue.tpch.orders_iceberg_hp
            WHERE o_orderdate >= DATE '1995-01-01'
-           GROUP BY o_orderstatus"""
+           GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'iceberg_meta' AS fmt, 'ALL' AS o_orderstatus,
+                  (SELECT CAST(sum(record_count) AS BIGINT)
+                   FROM glue.tpch.orders_iceberg_m.files
+                   WHERE content = 0) AS n,
+                  (SELECT round(sum(o_totalprice), 2)
+                   FROM glue.tpch.orders_iceberg_m) AS total"""
     )
 
     # separate engine calls: a query may carry ONE travel spec per
@@ -3031,6 +3099,10 @@ _EXTRA_ORACLES: dict[str, str] = {
         "round(sum(o_totalprice), 2) AS total "
         "FROM orders WHERE o_orderdate >= DATE '1995-01-01' "
         "GROUP BY o_orderstatus "
+        "UNION ALL "
+        "SELECT 'iceberg_meta' AS fmt, 'ALL' AS o_orderstatus, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders "
         "UNION ALL "
         "SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n, "
         "round(sum(o_totalprice), 2) AS total "

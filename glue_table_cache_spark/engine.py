@@ -134,13 +134,29 @@ class GlueSparkEngine:
         # table's metadata walk and are STRIPPED before execution
         # (Spark temp views carry no travel syntax)
         travel, query = extract_time_travel(query)
-        refs = get_query_glue_table_refs(query, strict=False)
         token = next(self._view_seq)
+        # Iceberg metadata tables (`glue.db.t.snapshots` / .files /
+        # .manifests / .history) resolve to per-query-unique views
+        # over the format's metadata walk before the scan rewrite —
+        # the 4-part shape is invisible to the normal ref regex
+        from glue_table_cache_spark.transformer import (
+            extract_metadata_refs,
+        )
+
+        meta_refs, query = extract_metadata_refs(
+            query,
+            lambda ref, kind: f"{ref.view_name}__{kind}__q{token}",
+        )
+        refs = get_query_glue_table_refs(query, strict=False)
         names = {
             ref: f"{ref.view_name}__q{token}_{i}"
             for i, ref in enumerate(refs)
         }
         self._register_views(refs, names, query, travel)
+        for ref, kind, vname in meta_refs:
+            self._metadata_table_df(ref, kind).createOrReplaceTempView(
+                vname
+            )
         # drop views in finally: analysis failures (e.g. a typo'd
         # column) must not leak one per-query-unique view per call
         try:
@@ -148,7 +164,39 @@ class GlueSparkEngine:
         finally:
             for name in names.values():
                 self.spark.catalog.dropTempView(name)
+            for _r, _k, vname in meta_refs:
+                self.spark.catalog.dropTempView(vname)
         return df
+
+    def _metadata_table_df(self, ref, kind: str) -> DataFrame:
+        """The DataFrame behind ``glue.db.t.<kind>`` — Iceberg's SQL
+        inspection tables, answered from the engine's own metadata
+        walk (public Iceberg spec "Metadata tables").  Non-Iceberg
+        formats refuse toward the engine's unified ``DESCRIBE
+        HISTORY`` surface."""
+        from glue_table_cache_spark.catalog import ETableType
+        from glue_table_cache_spark.errors import (
+            NoStorageLocationError,
+        )
+        from glue_table_cache_spark.sources.iceberg import (
+            iceberg_metadata_table,
+        )
+
+        tbl = self.get_table_metadata_cached(ref.database, ref.table)
+        if not tbl.location:
+            raise NoStorageLocationError(tbl.database, tbl.name)
+        if tbl.table_type != ETableType.ICEBERG:
+            raise GlueSparkError(
+                f"glue.{ref.database}.{ref.table}.{kind}: Iceberg "
+                f"metadata tables need an ICEBERG table (this one is "
+                f"{tbl.table_type.name}); use DESCRIBE HISTORY "
+                f"glue.{ref.database}.{ref.table} for the engine's "
+                "unified timeline"
+            )
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        return iceberg_metadata_table(self.spark, loc, kind)
 
     def setup_views(self, query: str) -> list[TableReference]:
         """Register one *stable-named* temp view per glue table referenced
@@ -2021,6 +2069,7 @@ class GlueSparkEngine:
                     delta_scan_info(
                         tbl.location, fs=self._fs, with_schema=True,
                         with_stats=True, with_partition_fields=True,
+                        allow_nested_mapping=True,
                         **self._delta_travel_kwargs(
                             tbl.location, travel
                         ),
@@ -2034,6 +2083,7 @@ class GlueSparkEngine:
                             tbl.location, fs=self._fs,
                             with_schema=True, with_stats=True,
                             with_partition_fields=True,
+                            allow_nested_mapping=True,
                         ),
                     )
                 )
@@ -2127,7 +2177,9 @@ class GlueSparkEngine:
                     sample_path=first, base_path=tbl.location
                 )
                 return (
-                    apply_column_mapping(df0, renames)
+                    apply_column_mapping(
+                        df0, renames, logical_schema=log_schema
+                    )
                     if first is not None
                     else df0
                 )
@@ -2161,7 +2213,9 @@ class GlueSparkEngine:
             df = apply_deletion_vectors(df, proxied, tbl.location)
             # read_parquet_files materializes _metadata across a
             # multi-root (shallow-clone) union; never user-visible
-            df = apply_column_mapping(df, renames).drop("_metadata")
+            df = apply_column_mapping(
+                df, renames, logical_schema=log_schema
+            ).drop("_metadata")
             if renames is None and log_schema is not None:
                 # Spark appends hive-partition columns at the END of
                 # a file scan even under an explicit schema; the
@@ -2690,9 +2744,15 @@ class GlueSparkEngine:
 
         from glue_table_cache_spark.sources.iceberg import _strip_scheme
 
+        from glue_table_cache_spark.sources.delta import (
+            hadoop_uri_encode,
+        )
+
         pv_cols = [f"__pv_{i}" for i in range(len(keys))]
         rows = [
-            (p,) + tuple(pv.get(k) for k in keys)
+            # manifest paths are on-disk spellings; the scan-side key
+            # is _metadata-derived (Hadoop-URI-encoded: % → %25)
+            (hadoop_uri_encode(p),) + tuple(pv.get(k) for k in keys)
             for p, pv in path_pvs
         ]
         pv_schema = StructType(

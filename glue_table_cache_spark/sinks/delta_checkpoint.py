@@ -341,6 +341,8 @@ def _checkpoint_rows(location: str, version: int, adds: dict, state: dict):
         {"appId": app, "version": v, "lastUpdated": None}
         for app, v in sorted((state.get("txns") or {}).items())
     ]
+    from glue_table_cache_spark.sources.delta import quote_log_path
+
     add_rows = []
     for path in sorted(adds):
         a = adds[path]
@@ -350,7 +352,10 @@ def _checkpoint_rows(location: str, version: int, adds: dict, state: dict):
             size = f.stat().st_size if f.exists() else 0
         add_rows.append(
             {
-                "path": path,
+                # replay state keys on DECODED paths; the checkpoint
+                # row re-encodes (same contract as commit JSON — the
+                # reader unquotes both)
+                "path": quote_log_path(path),
                 "partitionValues": _as_dict(a.get("partitionValues")),
                 "size": int(size),
                 "modificationTime": int(
@@ -567,6 +572,7 @@ def enable_v2_checkpoints(
     commit."""
     from glue_table_cache_spark.sinks.delta_write import (
         _next_version,
+        serialize_actions,
         upgraded_protocol,
     )
 
@@ -637,7 +643,7 @@ def enable_v2_checkpoints(
             continue
         with os.fdopen(fd, "w") as f:
             f.write(
-                "\n".join(json.dumps(a) for a in actions) + "\n"
+                serialize_actions(actions)
             )
         return version
     raise GlueSparkError(

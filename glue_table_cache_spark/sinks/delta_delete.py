@@ -54,6 +54,7 @@ from glue_table_cache_spark.errors import GlueSparkError
 from glue_table_cache_spark.sinks.delta_write import (
     _next_version,
     refuse_append_only,
+    serialize_actions,
     upgraded_protocol,
 )
 
@@ -431,7 +432,7 @@ def delete_from_delta(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         from glue_table_cache_spark.sinks.delta_write import (
             _maybe_checkpoint,
         )

@@ -53,6 +53,7 @@ from glue_table_cache_spark.sinks.delta_write import (
     _next_version,
     enforce_check_constraints,
     refuse_append_only,
+    serialize_actions,
 )
 
 
@@ -78,15 +79,18 @@ def _collect_staged_adds(
     """Move staged parts into place under unique batch-tagged names,
     preserving hive partition directories, and return their ``add``
     actions (partitionValues parsed from the staged ``k=v`` path —
-    the write_delta_append convention, byte-for-byte)."""
+    the write_delta_append convention — with Spark's escapePathName
+    encoding INVERTED: ``%XX`` decodes and the Hive null sentinel
+    maps to JSON null, so computed SET values with special characters
+    commit their logical value, not the directory spelling)."""
+    from glue_table_cache_spark.sinks.hive_paths import (
+        partition_values_from_dir_parts,
+    )
+
     adds: list[dict] = []
     for p in sorted(stage.rglob("part-*.parquet")):
         rel_dir = p.parent.relative_to(stage)
-        pv: dict[str, str] = {}
-        for seg in rel_dir.parts:
-            k, eq, v = seg.partition("=")
-            if eq:
-                pv[k] = v
+        pv = partition_values_from_dir_parts(rel_dir.parts)
         name = f"part-{batch}-{len(adds):05d}.parquet"
         rel = str(rel_dir / name) if rel_dir.parts else name
         dest = base / rel
@@ -394,7 +398,7 @@ def merge_into_delta(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         _maybe_checkpoint(location, version, checkpoint_interval)
         return version, n_updated, n_inserted
     raise GlueSparkError(
@@ -709,7 +713,7 @@ def merge_general_delta(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         _maybe_checkpoint(location, version, checkpoint_interval)
         return version, n_updated, n_inserted, n_deleted
     raise GlueSparkError(
@@ -970,7 +974,7 @@ def update_delta(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         _maybe_checkpoint(location, version, checkpoint_interval)
         return version, n_updated
     raise GlueSparkError(

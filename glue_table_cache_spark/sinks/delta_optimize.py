@@ -48,6 +48,7 @@ from glue_table_cache_spark.errors import GlueSparkError
 from glue_table_cache_spark.sinks.delta_write import (
     _footer_stats_json,
     _next_version,
+    serialize_actions,
 )
 
 
@@ -295,7 +296,7 @@ def optimize_delta(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         from glue_table_cache_spark.sinks.delta_write import (
             _maybe_checkpoint,
         )

@@ -43,6 +43,9 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 
 from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.hive_paths import (
+    partition_values_from_dir_parts,
+)
 
 
 def _footer_stats_json(path: Path) -> str | None:
@@ -192,6 +195,34 @@ def enforce_check_constraints(
                     f"{verb} violates CHECK constraint {name!r} "
                     f"({sql}) — no rows written"
                 )
+
+
+def serialize_actions(actions: list[dict]) -> str:
+    """One commit's JSON lines, with every add/remove/cdc ``path``
+    percent-ENCODED (PROTOCOL.md's URL-encoded path contract — the
+    replay ``unquote``s symmetrically).  The writers build actions
+    with ON-DISK path strings; encoding happens here, at the single
+    serialization chokepoint, so a literal ``%`` in a hive-escaped
+    partition directory survives the round-trip."""
+    from glue_table_cache_spark.sources.delta import quote_log_path
+
+    out = []
+    for a in actions:
+        enc = a
+        for key in ("add", "remove", "cdc"):
+            inner = a.get(key)
+            if isinstance(inner, dict) and isinstance(
+                inner.get("path"), str
+            ):
+                enc = {
+                    **enc,
+                    key: {
+                        **inner,
+                        "path": quote_log_path(inner["path"]),
+                    },
+                }
+        out.append(json.dumps(enc))
+    return "\n".join(out) + "\n"
 
 
 def _next_version(log_dir: Path) -> int:
@@ -437,11 +468,9 @@ def write_delta_append(
     now = int(time.time() * 1000)
     for p in sorted(stage.rglob("part-*.parquet")):
         rel_dir = p.parent.relative_to(stage)
-        pv: dict[str, str] = {}
-        for seg in rel_dir.parts:
-            k, eq, v = seg.partition("=")
-            if eq:
-                pv[k] = v
+        # invert Spark's escapePathName: the directory keeps the
+        # escaped spelling, partitionValues carries the logical value
+        pv = partition_values_from_dir_parts(rel_dir.parts)
         name = f"part-{batch}-{len(adds):05d}.parquet"
         rel = str(rel_dir / name) if rel_dir.parts else name
         dest = base / rel
@@ -583,7 +612,7 @@ def write_delta_append(
         except FileExistsError:
             continue  # lost the race: re-read the log, retry
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         _maybe_checkpoint(location, version, checkpoint_interval)
         return version
     raise GlueSparkError(
@@ -677,7 +706,7 @@ def set_delta_table_properties(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         _maybe_checkpoint(location, version, checkpoint_interval)
         return version
     raise GlueSparkError(
@@ -793,7 +822,7 @@ def restore_delta(
         except FileExistsError:
             continue  # lost the race: re-diff against the new state
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         _maybe_checkpoint(
             location, cur_version + 1, checkpoint_interval
         )
@@ -976,7 +1005,7 @@ def shallow_clone_delta(
             "refusing to clone over it"
         )
     with os.fdopen(fd, "w") as f:
-        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        f.write(serialize_actions(actions))
     return n_files
 
 
@@ -1150,11 +1179,9 @@ def convert_to_delta(
             for seg in rel_parts
         ):
             continue  # staging/metadata/hidden trees are not data
-        pv: dict[str, str] = {}
-        for seg in rel_parts[:-1]:
-            k, eq, v = seg.partition("=")
-            if eq and k:
-                pv[k] = v
+        # the user's layout is hive-escaped too (Spark wrote it) —
+        # commit logical values, keep the directory spelling on disk
+        pv = partition_values_from_dir_parts(rel_parts[:-1])
         if list(pv) != keys:
             raise GlueSparkError(
                 f"CONVERT TO DELTA: file {str(p)!r} sits under "
@@ -1248,7 +1275,7 @@ def convert_to_delta(
             "lost the conversion race"
         )
     with os.fdopen(fd, "w") as f:
-        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        f.write(serialize_actions(actions))
     return len(files)
 
 
@@ -1341,7 +1368,7 @@ def alter_delta_add_columns(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            f.write(serialize_actions(actions))
         _maybe_checkpoint(location, version, checkpoint_interval)
         return version
     raise GlueSparkError(

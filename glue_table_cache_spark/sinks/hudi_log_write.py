@@ -442,6 +442,7 @@ def delete_from_hudi(
     from pyspark.sql import functions as F
 
     from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
     from glue_table_cache_spark.sources.iceberg import _strip_path
 
     base = Path(location)
@@ -477,7 +478,10 @@ def delete_from_hudi(
     )
     if not per_file:
         return None, 0
-    stripped_to_path = {_strip_path(p): p for p, _pv in active}
+    # map keys use the _metadata spelling (Hadoop-URI-encoded)
+    stripped_to_path = {
+        _strip_path(hadoop_uri_encode(p)): p for p, _pv in active
+    }
     rewrite: list[str] = []  # partially matched: new slice
     retire: list[str] = []  # fully matched: replace the group
     n_deleted = 0
@@ -619,11 +623,15 @@ def _fid_map_df(spark: SparkSession, paths: list[str]):
     ``_metadata.file_path`` back to its file group."""
     from pyspark.sql import functions as F
 
+    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
     from glue_table_cache_spark.sources.iceberg import _strip_path
 
     return F.broadcast(
         spark.createDataFrame(
-            [(_strip_path(p), _fid_of(p)) for p in paths],
+            [
+                (_strip_path(hadoop_uri_encode(p)), _fid_of(p))
+                for p in paths
+            ],
             "__sp string, __fid string",
         )
     )
@@ -657,6 +665,7 @@ def update_hudi(
     from pyspark.sql import functions as F
 
     from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
     from glue_table_cache_spark.sources.iceberg import _strip_path
 
     base = Path(location)
@@ -695,7 +704,10 @@ def update_hudi(
     )
     if not per_file:
         return None, 0
-    stripped_to_path = {_strip_path(p): p for p, _pv in active}
+    # map keys use the _metadata spelling (Hadoop-URI-encoded)
+    stripped_to_path = {
+        _strip_path(hadoop_uri_encode(p)): p for p, _pv in active
+    }
     n_updated = 0
     rewrite: list[str] = []
     for r in per_file:
@@ -797,6 +809,7 @@ def merge_into_hudi(
         write_hudi_append,
     )
     from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
     from glue_table_cache_spark.sources.iceberg import _strip_path
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -859,7 +872,10 @@ def merge_into_hudi(
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
-    stripped_to_path = {_strip_path(p): p for p, _pv in active}
+    # map keys use the _metadata spelling (Hadoop-URI-encoded)
+    stripped_to_path = {
+        _strip_path(hadoop_uri_encode(p)): p for p, _pv in active
+    }
     rewrite = [
         stripped_to_path.get(_strip_path(r["__f"]), r["__f"])
         for r in per_file
@@ -948,3 +964,4 @@ def merge_into_hudi(
         f"could not commit MERGE to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+

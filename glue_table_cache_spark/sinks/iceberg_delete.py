@@ -31,10 +31,14 @@ import shutil
 import time
 import uuid
 from pathlib import Path
+from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
 
 from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.hive_paths import (
+    partition_values_from_dir_parts,
+)
 from glue_table_cache_spark.sinks.iceberg_write import _latest_metadata
 from glue_table_cache_spark.sources.avro_lite import read_avro, write_avro
 from glue_table_cache_spark.sources.iceberg_fixture import (
@@ -63,8 +67,13 @@ def _attach_identity_partition_columns(spark, tagged, entries, schema):
     missing = [f for f in schema.fields if f.name not in present]
     if not missing:
         return tagged
+    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
+
     rows = [
-        (_strip_path(p), *[
+        # manifest paths are ON-DISK spellings; the join key on the
+        # scan side is _metadata-derived (Hadoop-URI-encoded) —
+        # encode so a hive-escaped directory (%) still matches
+        (_strip_path(hadoop_uri_encode(p)), *[
             None if pv.get(f.name) is None else str(pv[f.name])
             for f in missing
         ])
@@ -120,11 +129,9 @@ def _stage_rows_under_spec(
     files: list[tuple[Path, dict]] = []
     for p in sorted(stage.rglob("part-*.parquet")):
         rel_dir = p.parent.relative_to(stage)
-        pv: dict[str, str] = {}
-        for seg in rel_dir.parts:
-            k, eq, v = seg.partition("=")
-            if eq:
-                pv[k] = v
+        # invert Spark's escapePathName: manifests carry the logical
+        # partition value, the directory keeps the escaped spelling
+        pv = partition_values_from_dir_parts(rel_dir.parts)
         name = f"part-{tag}-{batch}-{len(files):05d}.parquet"
         rel = rel_dir / name if rel_dir.parts else Path(name)
         dest = data_dir / rel
@@ -206,7 +213,9 @@ def delete_from_iceberg(
         shutil.rmtree(stage, ignore_errors=True)
         return None, 0
     affected = {
-        r["file_path"]
+        # _metadata-derived strings are Hadoop-URI-encoded; unquote
+        # restores the on-disk spelling the manifests carry
+        unquote(r["file_path"])
         for r in spark.read.parquet(str(parts[0]))
         .select("file_path")
         .distinct()
@@ -447,7 +456,7 @@ def update_iceberg(
         shutil.rmtree(del_stage, ignore_errors=True)
         return None, 0
     affected = {
-        r["file_path"]
+        unquote(r["file_path"])
         for r in spark.read.parquet(str(del_parts[0]))
         .select("file_path")
         .distinct()
@@ -820,7 +829,7 @@ def merge_into_iceberg(
     del_parts = sorted(del_stage.rglob("part-*.parquet"))
     n_upd = pq.ParquetFile(del_parts[0]).metadata.num_rows
     affected = {
-        r["file_path"]
+        unquote(r["file_path"])
         for r in spark.read.parquet(str(del_parts[0]))
         .select("file_path")
         .distinct()
@@ -1034,7 +1043,7 @@ def merge_general_iceberg(
     )
     n_retired = n_upd + n_del
     affected = {
-        r["file_path"]
+        unquote(r["file_path"])
         for r in chosen_df.select("file_path").distinct().collect()
     }
     # distributed write #2: updated-row replacements + inserts, both

@@ -44,6 +44,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from glue_table_cache_spark.errors import GlueSparkError
+from glue_table_cache_spark.sinks.hive_paths import (
+    partition_values_from_dir_parts,
+)
 from glue_table_cache_spark.sources.avro_lite import read_avro, write_avro
 from glue_table_cache_spark.sources.iceberg_fixture import (
     MANIFEST_ENTRY_SCHEMA,
@@ -856,11 +859,9 @@ def write_iceberg_append(
     files: list[tuple[Path, dict]] = []  # (dest, partition values)
     for p in sorted(stage.rglob("part-*.parquet")):
         rel_dir = p.parent.relative_to(stage)
-        pv: dict[str, str] = {}
-        for seg in rel_dir.parts:
-            k, eq, v = seg.partition("=")
-            if eq:
-                pv[k] = v
+        # invert Spark's escapePathName: manifests carry the logical
+        # partition value, the directory keeps the escaped spelling
+        pv = partition_values_from_dir_parts(rel_dir.parts)
         name = f"part-{batch}-{len(files):05d}.parquet"
         rel = rel_dir / name if rel_dir.parts else Path(name)
         dest = data_dir / rel

@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import posixpath
 import re
+from urllib.parse import quote as _quote
 from urllib.parse import unquote
 
 from glue_table_cache_spark.errors import GlueSparkError
@@ -113,14 +114,22 @@ def _mapping_mode(meta: dict | None) -> str:
     return "none" if mode in ("", "none") else mode
 
 
-def column_mapping_renames(meta: dict | None) -> dict[str, str] | None:
-    """``{physical_name: logical_name}`` for a column-mapped table
-    (modes ``name``/``id`` — with both, the parquet files carry the
-    physical names recorded in the schema's field metadata), or
-    ``None`` when the table is unmapped.  Only FLAT schemas are
-    supported: with a struct anywhere, the files also map the nested
-    field names and a top-level rename would silently mis-label them
-    — refuse instead."""
+def column_mapping_renames(
+    meta: dict | None, allow_nested: bool = False
+) -> dict[str, str] | None:
+    """``{physical_name: logical_name}`` (top level) for a
+    column-mapped table (modes ``name``/``id`` — with both, the
+    parquet files carry the physical names recorded in the schema's
+    field metadata), or ``None`` when the table is unmapped.
+
+    Nested schemas map their STRUCT FIELD names too; a top-level
+    rename alone would silently mis-label them.  The scan path
+    passes ``allow_nested=True`` and finishes the job in
+    :func:`apply_column_mapping` (a positional struct cast renames
+    every level — mapping preserves field order, so position is the
+    identity that survives the rename).  The DML writers keep the
+    default and REFUSE nested-mapped tables: their rewrite
+    projections and footer-stats keys are top-level-name based."""
     if _mapping_mode(meta) == "none":
         return None
     schema = json.loads(meta["schemaString"])
@@ -138,12 +147,12 @@ def column_mapping_renames(meta: dict | None) -> dict[str, str] | None:
 
     renames: dict[str, str] = {}
     for field in schema.get("fields", []):
-        if has_struct(field.get("type")):
+        if has_struct(field.get("type")) and not allow_nested:
             raise GlueSparkError(
                 f"Delta column mapping on nested field "
-                f"{field.get('name')!r} is not supported by the "
-                "raw-parquet read path (only flat schemas); read "
-                "through a Delta runtime"
+                f"{field.get('name')!r} is not supported by this "
+                "writer path (scans handle it; row-level writes "
+                "need a Delta runtime)"
             )
         physical = (field.get("metadata") or {}).get(
             "delta.columnMapping.physicalName"
@@ -598,6 +607,7 @@ def delta_scan_info(
     with_stats: bool = False,
     with_partition_fields: bool = False,
     with_protocol: bool = False,
+    allow_nested_mapping: bool = False,
 ) -> tuple:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
@@ -626,7 +636,9 @@ def delta_scan_info(
     active, state = _replay(
         location, version_offset, s3_client, fs, as_of_timestamp_ms
     )
-    renames = column_mapping_renames(state.get("metaData"))
+    renames = column_mapping_renames(
+        state.get("metaData"), allow_nested=allow_nested_mapping
+    )
     if with_stats:
         entries = [
             (
@@ -759,20 +771,49 @@ def generated_partition_fields(meta: dict | None) -> list[dict]:
     return uniq
 
 
-def apply_column_mapping(df, renames: dict[str, str] | None):
+def apply_column_mapping(
+    df, renames: dict[str, str] | None, logical_schema=None
+):
     """Project a column-mapped scan back to its logical schema.
     Partition columns surfaced from ``basePath`` parsing keep their
-    directory names and pass through unmapped."""
+    directory names and pass through unmapped.
+
+    With ``logical_schema`` (the log's logical ``StructType``),
+    NESTED mappings resolve too: each complex column casts to its
+    logical type — Spark's struct cast matches fields POSITIONALLY,
+    which renames every nested physical field in one expression
+    (column mapping preserves field order and never changes types,
+    so the cast is a pure rename at every level, arrays and maps
+    included)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     if not renames:
         return df
-    return df.select(
-        *[
-            F.col(c).alias(renames.get(c, c))
-            for c in df.columns
-        ]
+
+    def complex_(t) -> bool:
+        if isinstance(t, StructType):
+            return True
+        if isinstance(t, ArrayType):
+            return complex_(t.elementType)
+        if isinstance(t, MapType):
+            return complex_(t.keyType) or complex_(t.valueType)
+        return False
+
+    logical_types = (
+        {f.name: f.dataType for f in logical_schema.fields}
+        if logical_schema is not None
+        else {}
     )
+    out = []
+    for c in df.columns:
+        tgt = renames.get(c, c)
+        col = F.col(c)
+        lt = logical_types.get(tgt)
+        if lt is not None and complex_(lt):
+            col = col.cast(lt)
+        out.append(col.alias(tgt))
+    return df.select(*out)
 
 
 def delta_data_files(
@@ -1030,11 +1071,25 @@ def delta_cdf(
     return out
 
 
+def hadoop_uri_encode(path: str) -> str:
+    """The byte-level spelling Hadoop's ``Path.toUri`` gives a local
+    path — what Spark's ``_metadata.file_path`` reports: ``%`` →
+    ``%25`` and space → ``%20``; everything else (``+ ( ) ~ $ = :``)
+    stays literal (verified empirically against Spark 4.1).  Apply to
+    ON-DISK paths before comparing/joining them against
+    ``_metadata``-derived strings — a hive-escaped directory like
+    ``p=a%3Ab`` reports as ``p=a%253Ab``."""
+    return path.replace("%", "%25").replace(" ", "%20")
+
+
 def _path_uri(path: str) -> str:
     """The URI form Spark's ``_metadata.file_path`` reports for a scan
     path: local absolute paths gain the Hadoop-style single-slash
-    ``file:`` scheme (``file:/a/b``), real URIs pass through."""
-    return path if "://" in path else "file:" + path
+    ``file:`` scheme (``file:/a/b``) and the ``%``/space URI encoding
+    (:func:`hadoop_uri_encode`); real URIs pass through."""
+    return (
+        path if "://" in path else "file:" + hadoop_uri_encode(path)
+    )
 
 
 def apply_deletion_vectors(
@@ -1111,6 +1166,23 @@ def delta_table_configuration(
     if isinstance(conf, list):
         conf = dict(conf)
     return {str(k): str(v) for k, v in conf.items()}
+
+
+def quote_log_path(path: str) -> str:
+    """The string an add/remove/cdc action's ``path`` field must
+    carry: percent-ENCODED per PROTOCOL.md ("the file ... encoded as
+    a URL"), which every reader here decodes back via ``unquote``.
+    ``/`` and ``=`` stay literal (directory separators and hive
+    ``k=v`` keep the log human-readable, like the reference
+    runtimes); the characters that matter are the literal ``%`` of a
+    hive-escaped partition directory (``p=a%3Ab`` on disk must
+    commit as ``p=a%253Ab`` or replay would resolve ``p=a:b``) and
+    spaces."""
+    if "://" in path:
+        # an absolute URI add.path is already in encoded form per
+        # the protocol; encoding its scheme colon would corrupt it
+        return path
+    return _quote(path, safe="/=")
 
 
 def log_action_path(location: str, path: str) -> str:

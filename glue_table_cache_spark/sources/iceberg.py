@@ -444,7 +444,17 @@ def iceberg_scan_details(
             path = _resolve_path(location, df_rec["file_path"])
             if not is_delete:
                 pv = df_rec.get("partition") or {}
-                row = (path, {k: str(v) for k, v in pv.items()}, seq)
+                row = (
+                    path,
+                    {
+                        # None stays None — a NULL partition value
+                        # must not become the string 'None' (pruning
+                        # treats missing/None as Unknown → keep)
+                        k: None if v is None else str(v)
+                        for k, v in pv.items()
+                    },
+                    seq,
+                )
                 if with_stats:
                     from glue_table_cache_spark.skipping import (
                         iceberg_entry_stats,
@@ -655,6 +665,221 @@ def iceberg_snapshots(spark, location: str, s3_client=None, fs=None):
         "snapshot_id long, sequence_number long, timestamp_ms long, "
         "manifest_list string",
     )
+
+
+def iceberg_metadata_table(
+    spark, location: str, kind: str, s3_client=None, fs=None
+):
+    """The Iceberg SQL inspection tables (public spec "Metadata
+    tables" — ``db.table.snapshots`` / ``.history`` / ``.manifests``
+    / ``.files``) as small DataFrames built from the same driver-side
+    metadata walk every scan uses.  Shapes follow the spec columns:
+
+    * ``snapshots``: committed_at, snapshot_id, parent_id, operation,
+      manifest_list, summary;
+    * ``history``: made_current_at, snapshot_id, parent_id,
+      is_current_ancestor (parent chain when recorded, else the
+      linear sequence-number order this repo's writers produce);
+    * ``manifests``: content, path, length, partition_spec_id,
+      added_snapshot_id, sequence_number — the CURRENT snapshot's
+      manifest list;
+    * ``files``: content, file_path, file_format, record_count,
+      file_size_in_bytes, partition — the current snapshot's live
+      entries (data and delete files; ``content`` distinguishes);
+    * ``refs``: name, type, snapshot_id, max_reference_age_in_ms —
+      the named branches/tags of the latest metadata;
+    * ``partitions``: partition, spec_id, record_count, file_count,
+      total_data_file_size_in_bytes — the current snapshot's live
+      DATA entries aggregated by partition tuple.
+
+    Metadata-scale: one JSON + (for manifests/files/partitions) the
+    current snapshot's Avro walk; no data file is ever opened."""
+    import datetime as _dt
+
+    from glue_table_cache_spark.sources.avro_lite import (
+        read_avro_bytes,
+    )
+
+    jsons = _list_metadata_jsons(location, fs=fs)
+    if not jsons:
+        raise GlueSparkError(
+            f"No Iceberg metadata JSON found under {location!r}"
+        )
+    meta = max(
+        (_read_json(p, s3_client) for p in jsons),
+        key=lambda m: m.get("last-sequence-number", 0),
+    )
+    snapshots = list(meta.get("snapshots") or [])
+
+    def ts(ms) -> _dt.datetime:
+        return _dt.datetime.fromtimestamp(
+            int(ms or 0) / 1000.0, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+
+    if kind == "snapshots":
+        rows = [
+            (
+                ts(s.get("timestamp-ms")),
+                int(s.get("snapshot-id", 0)),
+                s.get("parent-snapshot-id"),
+                (s.get("summary") or {}).get("operation"),
+                str(s.get("manifest-list", "")),
+                {
+                    k: str(v)
+                    for k, v in (s.get("summary") or {}).items()
+                    if k != "operation"
+                },
+            )
+            for s in snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "committed_at timestamp, snapshot_id long, "
+            "parent_id long, operation string, "
+            "manifest_list string, summary map<string,string>",
+        )
+    cur = current_snapshot(meta)
+    if kind == "history":
+        cur_id = None if cur is None else cur.get("snapshot-id")
+        by_id = {s.get("snapshot-id"): s for s in snapshots}
+        ancestors: set = set()
+        if cur is not None and cur.get("parent-snapshot-id"):
+            sid = cur_id
+            while sid in by_id:
+                ancestors.add(sid)
+                sid = by_id[sid].get("parent-snapshot-id")
+        elif cur is not None:
+            # no parent lineage recorded (this repo's writers commit
+            # linearly): everything at or before current's sequence
+            cur_seq = cur.get("sequence-number", 0)
+            ancestors = {
+                s.get("snapshot-id")
+                for s in snapshots
+                if s.get("sequence-number", 0) <= cur_seq
+            }
+        rows = [
+            (
+                ts(s.get("timestamp-ms")),
+                int(s.get("snapshot-id", 0)),
+                s.get("parent-snapshot-id"),
+                s.get("snapshot-id") in ancestors,
+            )
+            for s in snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at timestamp, snapshot_id long, "
+            "parent_id long, is_current_ancestor boolean",
+        )
+    if kind == "refs":
+        rows = [
+            (
+                str(name),
+                str(r.get("type", "branch")).upper(),
+                int(r.get("snapshot-id", 0)),
+                r.get("max-reference-age-ms"),
+            )
+            for name, r in sorted(
+                (meta.get("refs") or {}).items()
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_reference_age_in_ms long",
+        )
+    schemas = {
+        "manifests": (
+            "content int, path string, length long, "
+            "partition_spec_id int, added_snapshot_id long, "
+            "sequence_number long"
+        ),
+        "files": (
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, "
+            "partition map<string,string>"
+        ),
+        "partitions": (
+            "partition map<string,string>, spec_id int, "
+            "record_count long, file_count long, "
+            "total_data_file_size_in_bytes long"
+        ),
+    }
+    if kind not in schemas:
+        raise GlueSparkError(
+            f"unknown Iceberg metadata table kind {kind!r} — "
+            "expected snapshots, files, manifests, history, refs, "
+            "or partitions"
+        )
+    if cur is None:
+        return spark.createDataFrame([], schemas[kind])
+    snap_seq = cur.get("sequence-number", 0)
+    list_rows = read_avro_bytes(
+        _read_bytes(
+            _resolve_path(location, cur["manifest-list"]), s3_client
+        ),
+        name=cur["manifest-list"],
+    )
+    if kind == "manifests":
+        rows = [
+            (
+                int(r.get("content", 0)),
+                str(r.get("manifest_path", "")),
+                int(r.get("manifest_length", 0)),
+                int(r.get("partition_spec_id", 0)),
+                r.get("added_snapshot_id"),
+                int(r.get("sequence_number", snap_seq)),
+            )
+            for r in list_rows
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, path string, length long, "
+            "partition_spec_id int, added_snapshot_id long, "
+            "sequence_number long",
+        )
+    rows = []
+    agg: dict = {}  # partitions: (tuple(pv), spec_id) -> [rc, fc, sz]
+    for r in list_rows:
+        m = _resolve_path(location, r["manifest_path"])
+        spec_id = int(r.get("partition_spec_id", 0))
+        for entry in read_avro_bytes(
+            _read_bytes(m, s3_client), name=m
+        ):
+            if entry.get("status") == 2:  # DELETED entry
+                continue
+            df_rec = entry.get("data_file") or {}
+            pv = {
+                k: (None if v is None else str(v))
+                for k, v in (df_rec.get("partition") or {}).items()
+            }
+            if kind == "partitions":
+                if int(df_rec.get("content", 0)) != 0:
+                    continue  # data files only, per the spec shape
+                key = (tuple(sorted(pv.items())), spec_id)
+                acc = agg.setdefault(key, [0, 0, 0])
+                acc[0] += int(df_rec.get("record_count", 0))
+                acc[1] += 1
+                acc[2] += int(df_rec.get("file_size_in_bytes", 0))
+            else:
+                rows.append(
+                    (
+                        int(df_rec.get("content", 0)),
+                        str(df_rec.get("file_path", "")),
+                        str(df_rec.get("file_format", "PARQUET")),
+                        int(df_rec.get("record_count", 0)),
+                        int(df_rec.get("file_size_in_bytes", 0)),
+                        pv,
+                    )
+                )
+    if kind == "partitions":
+        rows = [
+            (dict(pv), spec_id, rc, fc, sz)
+            for (pv, spec_id), (rc, fc, sz) in sorted(
+                agg.items(), key=lambda kv: repr(kv[0])
+            )  # repr: NULL partition values don't order vs str
+        ]
+    return spark.createDataFrame(rows, schemas[kind])
 
 
 def iceberg_history(spark, location: str, s3_client=None, fs=None):

@@ -67,7 +67,16 @@ MANIFEST_ENTRY_SCHEMA = {
                     # decoded form into the same pruning dict
                     {
                         "name": "partition",
-                        "type": ["null", {"type": "map", "values": "string"}],
+                        # value branch nullable: a NULL partition
+                        # value (__HIVE_DEFAULT_PARTITION__ on disk)
+                        # commits as null, not the sentinel string
+                        "type": [
+                            "null",
+                            {
+                                "type": "map",
+                                "values": ["null", "string"],
+                            },
+                        ],
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},

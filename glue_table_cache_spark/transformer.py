@@ -190,6 +190,59 @@ def extract_time_travel(
     return specs, "".join(out)
 
 
+#: Iceberg metadata tables: ``glue.db.t.snapshots`` / ``.files`` /
+#: ``.manifests`` / ``.history`` — the 4-part form only (a 3-part
+#: ``glue.t.files`` keeps its existing db-named meaning).  The kind
+#: word is matched case-insensitively; the base ref stays
+#: case-sensitive like _GLUE_REF.
+_META_REF = re.compile(
+    rf'(?<![A-Za-z0-9_$\-".`.])(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
+    rf"(?P<db>{_IDENT})\s*\.\s*(?P<tbl>{_IDENT})\s*\.\s*"
+    rf"(?P<meta>snapshots|files|manifests|history|refs|partitions)"
+    rf"(?![A-Za-z0-9_$\-])",
+    re.IGNORECASE,
+)
+
+#: the metadata-table kinds :func:`extract_metadata_refs` recognizes
+METADATA_TABLE_KINDS = (
+    "snapshots", "files", "manifests", "history", "refs",
+    "partitions",
+)
+
+
+def extract_metadata_refs(
+    sql: str, namer
+) -> tuple[list[tuple[TableReference, str, str]], str]:
+    """Split Iceberg metadata-table references
+    (``glue.db.t.<kind>`` for the kinds in
+    :data:`METADATA_TABLE_KINDS` — the public Iceberg SQL inspection
+    surface) off the query: each occurrence is
+    replaced by ``namer(ref, kind)`` (a temp-view name the engine
+    registers with the metadata DataFrame) and reported as
+    ``(ref, kind, view_name)``.  Masked spans (strings, comments)
+    never rewrite.  The 4-part shape cannot collide with the normal
+    scan rewrite — ``_GLUE_REF``'s trailing lookahead rejects a
+    following dot, so these spans are invisible to it."""
+    found: dict[tuple[TableReference, str], str] = {}
+    spans = _masked_spans(sql)
+
+    def sub(m: re.Match) -> str:
+        if _in_spans(m.start(), spans):
+            return m.group(0)
+        ref = TableReference(
+            _unquote(m.group("db")).lower(),
+            _unquote(m.group("tbl")).lower(),
+        )
+        kind = m.group("meta").lower()
+        key = (ref, kind)
+        if key not in found:
+            found[key] = namer(ref, kind)
+        return found[key]
+
+    out = _META_REF.sub(sub, sql)
+    return [(r, k, v) for (r, k), v in found.items()], out
+
+
 def get_query_glue_table_refs(
     sql: str, strict: bool = True
 ) -> list[TableReference]:
