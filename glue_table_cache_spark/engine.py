@@ -692,13 +692,13 @@ class GlueSparkEngine:
                     stmt.parsed,
                 )
             else:
-                raise GlueSparkError(
-                    f"MERGE INTO {qual}: conditional / column-level "
-                    "WHEN clauses on a Hudi table are not supported "
-                    "by this writer — only the whole-row upsert pair "
-                    "(WHEN MATCHED THEN UPDATE SET * / WHEN NOT "
-                    "MATCHED THEN INSERT *); rewrite the merge as "
-                    "DELETE + UPDATE + INSERT, or use a Hudi runtime"
+                from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
+                    merge_general_hudi,
+                )
+
+                version, n_upd, n_ins, n_del = merge_general_hudi(
+                    self.spark, loc, source, list(stmt.on_keys),
+                    stmt.parsed,
                 )
         else:  # pragma: no cover - parse_dml returns only the three
             raise GlueSparkError(f"unknown DML statement {stmt!r}")

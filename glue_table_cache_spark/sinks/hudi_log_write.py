@@ -965,3 +965,240 @@ def merge_into_hudi(
         f"{max_commit_retries} attempts"
     )
 
+
+def merge_general_hudi(
+    spark: SparkSession,
+    location: str,
+    source: DataFrame,
+    on,
+    clauses,
+    max_commit_retries: int = 10,
+) -> tuple[str | None, int, int, int]:
+    """General (conditional / column-level / multi-clause) MERGE for
+    COPY_ON_WRITE Hudi tables — completing the 3×3 DML matrix next to
+    :func:`.delta_merge.merge_general_delta` and
+    :func:`.iceberg_delete.merge_general_iceberg`.
+
+    Same planner, Hudi placement: the tagged target (every active
+    base slice, joined back to its file group through the broadcast
+    path→fid map) left-joins the source, ONE chained ``when`` picks
+    the chosen clause per row, and ONE per-group aggregation yields
+    the tallies plus each group's fate — groups whose every row is
+    delete-chosen RETIRE via ``partitionToReplaceFileIds`` (no empty
+    slice is ever written; a zero-row group would otherwise vanish
+    from the staging output and silently leave its OLD slice live),
+    groups with any other chosen row rewrite to a fresh slice
+    (``target_outputs``: updates transformed with pre-update
+    semantics, deletes dropped, rest byte-preserved), and NOT MATCHED
+    inserts open one new file group — all in ONE
+    ``_write_group_slices`` job and ONE replacecommit.
+
+    Returns ``(instant, n_updated, n_inserted, n_deleted)`` —
+    ``(None, 0, 0, 0)`` when no clause matched anything.  Refusals
+    mirror :func:`merge_into_hudi`: object stores, MERGE_ON_READ
+    (log-block path), hive-partitioned tables (insert routing),
+    duplicate source keys, and an EMPTY table (no base slice to
+    authority the schema — append the insert rows directly).
+    Clause semantics follow the public SQL:2003/Delta MERGE dialect;
+    the reference engine has no DML surface (src/types.ts:4-11
+    enumerates formats it never writes)."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sinks.merge_planner import (
+        KEEP,
+        action_indexes,
+        chosen_column,
+        insert_outputs,
+        join_source,
+        target_outputs,
+        validate_clauses,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_path,
+        _strip_scheme,
+    )
+
+    keys = [on] if isinstance(on, str) else list(on)
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "merge_general_hudi commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    names = _timeline_files(location)
+    if _table_type(names) != "COPY_ON_WRITE":
+        raise GlueSparkError(
+            "merge_general_hudi rewrites COPY_ON_WRITE base slices; "
+            "for MERGE_ON_READ publish changes as log blocks via "
+            "write_hudi_log"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise GlueSparkError(
+            f"merge keys {missing} are not in the source columns "
+            f"{source.columns}"
+        )
+    active = hudi_scan_info(location)
+    if not active:
+        raise GlueSparkError(
+            "general MERGE into an empty Hudi table has no schema "
+            "authority (no base slice); append the insert rows with "
+            "write_hudi_append instead"
+        )
+    if any(pv for _p, pv in active):
+        raise GlueSparkError(
+            "merge_general_hudi does not route inserts into hive "
+            "partition directories — partitioned tables refuse; use "
+            "delete_from_hudi + write_hudi_append"
+        )
+    if source.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise GlueSparkError(
+            "MERGE source has duplicate keys — a matched target row "
+            "would meet several source rows; de-duplicate the source "
+            "first (e.g. max_by on a version column)"
+        )
+    paths = sorted(p for p, _pv in active)
+    df = spark.read.parquet(*paths)
+    t_cols = list(df.columns)
+    validate_clauses(clauses, t_cols, source.columns, keys)
+
+    def _tagged(ps):
+        return (
+            spark.read.parquet(*sorted(ps))
+            .select(
+                "*",
+                _strip_scheme(
+                    F.col("_metadata.file_path")
+                ).alias("__sp"),
+            )
+            .join(_fid_map_df(spark, sorted(ps)), "__sp")
+            .drop("__sp")
+        )
+
+    upd_idx = action_indexes(clauses, "update")
+    del_idx = action_indexes(clauses, "delete")
+
+    # ---- phase 1: plan — per-group fate + tallies from ONE agg
+    joined = join_source(_tagged(paths), source, keys).withColumn(
+        "__chosen", chosen_column(clauses)
+    )
+    per_group = (
+        joined.groupBy("__fid")
+        .agg(
+            F.count(F.lit(1)).alias("__t"),
+            F.count(
+                F.when(F.col("__chosen") != KEEP, F.lit(1))
+            ).alias("__c"),
+            F.count(
+                F.when(
+                    F.col("__chosen").isin(del_idx)
+                    if del_idx
+                    else F.lit(False),
+                    F.lit(1),
+                )
+            ).alias("__d"),
+        )
+        .collect()
+    )
+    fid_path = {_fid_of(p): p for p in paths}
+    n_updated = n_deleted = 0
+    rewrite_fids: list[str] = []
+    retire_fids: list[str] = []
+    for r in per_group:
+        if not int(r["__c"]):
+            continue  # untouched group
+        n_deleted += int(r["__d"])
+        n_updated += int(r["__c"]) - int(r["__d"])
+        if int(r["__d"]) == int(r["__t"]):
+            retire_fids.append(r["__fid"])
+        else:
+            rewrite_fids.append(r["__fid"])
+
+    ins = insert_outputs(
+        source,
+        df.select(*keys).distinct(),
+        keys,
+        clauses,
+        t_cols,
+        df.schema,
+    )
+    if ins is not None:
+        ins = ins.localCheckpoint()  # reused: count + union
+        n_inserted = ins.count()
+    else:
+        n_inserted = 0
+    if not rewrite_fids and not retire_fids and not n_inserted:
+        return None, 0, 0, 0
+
+    batch = uuid.uuid4().hex[:8]
+    hoodie = base / ".hoodie"
+    instant_tag = _latest_instant(hoodie) + 1
+    pieces = []
+    fid_part: dict[str, str] = {}
+    if rewrite_fids:
+        # ---- phase 2: re-read ONLY the rewrite groups; the chosen
+        # column is deterministic, so re-deriving it is cheaper at
+        # scale than checkpointing the full-table join
+        rw_paths = [fid_path[f] for f in sorted(rewrite_fids)]
+        fid_part.update({f: "" for f in rewrite_fids})
+        joined2 = join_source(
+            _tagged(rw_paths), source, keys
+        ).withColumn("__chosen", chosen_column(clauses))
+        pieces.append(
+            target_outputs(joined2, clauses, t_cols, extra=("__fid",))
+            .select(*t_cols, "__fid")
+        )
+    if n_inserted:
+        new_fid = f"mrg-{batch}"
+        fid_part[new_fid] = ""
+        pieces.append(
+            ins.select(*t_cols, F.lit(new_fid).alias("__fid"))
+        )
+    stats: list[dict] = []
+    staged: list[str] = []
+    if pieces:
+        out = pieces[0]
+        for piece in pieces[1:]:
+            out = out.unionByName(piece)
+        stats, staged = _write_group_slices(
+            spark, base, out, fid_part, batch, instant_tag
+        )
+    replace_by_part: dict[str, list[str]] = (
+        {"": sorted(retire_fids)} if retire_fids else {}
+    )
+    payload = json.dumps(
+        {
+            "partitionToWriteStats": {"": stats} if stats else {},
+            "partitionToReplaceFileIds": replace_by_part,
+        }
+    )
+    affected = {
+        str(Path(fid_path[f]))
+        for f in rewrite_fids + retire_fids
+    }
+    for _attempt in range(max_commit_retries):
+        instant = _latest_instant(hoodie) + 1
+        fresh = {str(Path(p)) for p, _pv in hudi_scan_info(location)}
+        if not affected <= fresh:
+            for rel in staged:
+                (base / rel).unlink(missing_ok=True)
+            raise GlueSparkError(
+                "merge_general_hudi lost a conflicting race: an "
+                "affected file group is no longer active; table left "
+                "untouched — re-run"
+            )
+        commit = hoodie / f"{instant}.replacecommit"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return str(instant), n_updated, int(n_inserted), n_deleted
+    raise GlueSparkError(
+        f"could not commit MERGE to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

@@ -1,8 +1,8 @@
 """The general (column-level) MERGE grammar, end-to-end through
 ``engine.sql("MERGE INTO ...")``: conditional WHEN clauses, THEN
 DELETE, column-level UPDATE SET, explicit INSERT lists, NOT MATCHED
-BY SOURCE — per clause shape across Delta and Iceberg (Hudi refuses
-cleanly).  Execution is the shared :mod:`..sinks.merge_planner`
+BY SOURCE — per clause shape across Delta, Iceberg, and Hudi COW.
+Execution is the shared :mod:`..sinks.merge_planner`
 chosen-clause plan; the whole-row upsert pair keeps its fast path.
 Semantics parity: the public Delta/SQL:2003 MERGE dialect — the
 reference engine has no DML surface
@@ -49,6 +49,25 @@ def _iceberg_engine(spark, loc, rows, schema, partition_by=None):
     return _engine_for(spark, loc, {"table_type": "ICEBERG"})
 
 
+def _hudi_engine(spark, loc, rows, schema):
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    write_hudi_append(spark.createDataFrame(rows, schema), str(loc))
+    return _engine_for(spark, loc, {"hoodie.table.name": "t"})
+
+
+def _engine(spark, loc, fmt, rows=None, schema=None):
+    rows = TARGET if rows is None else rows
+    schema = TSCHEMA if schema is None else schema
+    if fmt == "delta":
+        return _delta_engine(spark, loc, rows, schema)
+    if fmt == "iceberg":
+        return _iceberg_engine(spark, loc, rows, schema)
+    return _hudi_engine(spark, loc, rows, schema)
+
+
 @pytest.fixture()
 def src3(spark):
     """id 2 (matches), 3 (matches), 4 (no match) with a verb column."""
@@ -65,7 +84,7 @@ TARGET = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
 TSCHEMA = "id long, tag string, amt double"
 
 
-@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
 def test_merge_conditional_update_delete_insert(
     spark, tmp_path, src3, fmt
 ):
@@ -73,11 +92,7 @@ def test_merge_conditional_update_delete_insert(
     a column-level UPDATE (pre-update values, partial SET), and an
     explicit INSERT list with a NULL-filled gap."""
     loc = tmp_path / fmt
-    eng = (
-        _delta_engine(spark, loc, TARGET, TSCHEMA)
-        if fmt == "delta"
-        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
-    )
+    eng = _engine(spark, loc, fmt)
     out = eng.sql(
         "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
         "WHEN MATCHED AND s.verb = 'del' THEN DELETE "
@@ -99,16 +114,12 @@ def test_merge_conditional_update_delete_insert(
     }  # id 3 deleted
 
 
-@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
 def test_merge_not_matched_by_source(spark, tmp_path, src3, fmt):
     """NOT MATCHED BY SOURCE clauses see target rows without a
     source partner — here: flag them, conditionally delete one."""
     loc = tmp_path / fmt
-    eng = (
-        _delta_engine(spark, loc, TARGET, TSCHEMA)
-        if fmt == "delta"
-        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
-    )
+    eng = _engine(spark, loc, fmt)
     out = eng.sql(
         "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
         "WHEN NOT MATCHED BY SOURCE AND t.amt < 15 THEN DELETE "
@@ -126,14 +137,10 @@ def test_merge_not_matched_by_source(spark, tmp_path, src3, fmt):
     assert got == {2: "b", 3: "c"}
 
 
-@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
 def test_merge_matched_delete_only(spark, tmp_path, src3, fmt):
     loc = tmp_path / fmt
-    eng = (
-        _delta_engine(spark, loc, TARGET, TSCHEMA)
-        if fmt == "delta"
-        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
-    )
+    eng = _engine(spark, loc, fmt)
     out = eng.sql(
         "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
         "WHEN MATCHED THEN DELETE"
@@ -144,16 +151,12 @@ def test_merge_matched_delete_only(spark, tmp_path, src3, fmt):
     )
 
 
-@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
 def test_merge_narrow_source(spark, tmp_path, fmt):
     """A column-level merge does NOT need the source to cover the
     table schema — only the referenced columns."""
     loc = tmp_path / fmt
-    eng = (
-        _delta_engine(spark, loc, TARGET, TSCHEMA)
-        if fmt == "delta"
-        else _iceberg_engine(spark, loc, TARGET, TSCHEMA)
-    )
+    eng = _engine(spark, loc, fmt)
     spark.createDataFrame(
         [(2,), (9,)], "id long"
     ).createOrReplaceTempView("mg_narrow")
@@ -287,17 +290,75 @@ def test_merge_general_cdf_delta(spark, tmp_path, src3):
     }
 
 
-def test_merge_general_hudi_refuses(spark, tmp_path, src3):
+def test_merge_general_hudi_retires_emptied_group(
+    spark, tmp_path, src3
+):
+    """A general MERGE whose DELETE clause drains a whole file group
+    must RETIRE the group via partitionToReplaceFileIds — writing no
+    slice at all would silently leave the old one live (zero-row
+    groups vanish from a partitionBy staging output)."""
     from glue_table_cache_spark.sinks.hudi_write import (
         write_hudi_append,
     )
 
-    loc = tmp_path / "hudi"
+    loc = tmp_path / "hretire"
+    # two appends → two file groups: (1) holds ids 2,3 — both
+    # source-matched and delete-chosen → drained; (2) holds 1 — the
+    # NOT MATCHED BY SOURCE update rewrites it
     write_hudi_append(
-        spark.createDataFrame(TARGET, TSCHEMA), str(loc)
+        spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", 30.0)], TSCHEMA
+        ),
+        str(loc),
+    )
+    write_hudi_append(
+        spark.createDataFrame([(1, "a", 10.0)], TSCHEMA), str(loc)
     )
     eng = _engine_for(spark, loc, {"hoodie.table.name": "t"})
-    with pytest.raises(GlueSparkError, match="whole-row upsert"):
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'orphan'"
+    ).first()
+    assert out.rows_deleted == 2 and out.rows_updated == 1
+    got = {
+        r.id: r.tag
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {1: "orphan"}
+
+
+def test_merge_general_hudi_refusals(spark, tmp_path, src3):
+    """The Hudi shapes the general writer cannot serve refuse with a
+    pointer: MERGE_ON_READ (log-block path), hive-partitioned
+    (insert routing), and an empty table (no schema authority)."""
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    mor = tmp_path / "hmor"
+    write_hudi_append(
+        spark.createDataFrame(TARGET, TSCHEMA), str(mor),
+        table_type="MERGE_ON_READ",
+    )
+    eng = _engine_for(spark, mor, {"hoodie.table.name": "t"})
+    with pytest.raises(GlueSparkError, match="MERGE_ON_READ"):
+        eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+    part = tmp_path / "hpart"
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "p1", 10.0), (2, "p2", 20.0)],
+            "id long, part string, amt double",
+        ),
+        str(part),
+        partition_by=["part"],
+    )
+    eng = _engine_for(spark, part, {"hoodie.table.name": "t"})
+    with pytest.raises(GlueSparkError, match="partition"):
         eng.sql(
             "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
             "WHEN MATCHED THEN DELETE"
