@@ -197,9 +197,11 @@ class ShowStatement:
     ``DESCRIBE HISTORY glue.db.t`` (the retained commit timeline —
     Delta commits / Iceberg snapshots / Hudi instants), ``SHOW
     TBLPROPERTIES glue.db.t`` (the format's own table configuration)
-    — the introspection verbs, answered from the engine's own
-    metadata paths.  ``verb`` is ``tables`` | ``partitions`` |
-    ``describe`` | ``history`` | ``tblproperties``."""
+    ``SHOW CREATE TABLE glue.db.t`` (the registration DDL
+    reconstructed from the scan schema + format metadata) — the
+    introspection verbs, answered from the engine's own metadata
+    paths.  ``verb`` is ``tables`` | ``partitions`` | ``describe``
+    | ``history`` | ``tblproperties`` | ``create``."""
 
     verb: str
     ref: TableReference | None = None
@@ -459,6 +461,10 @@ _SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+", re.IGNORECASE)
 _SHOW_PROPS_RE = re.compile(
     r"SHOW\s+TBLPROPERTIES\s+", re.IGNORECASE
 )
+_SHOW_CREATE_RE = re.compile(
+    r"SHOW\s+CREATE\s+TABLE\s+", re.IGNORECASE
+)
+_TRUNCATE_RE = re.compile(r"TRUNCATE\s+TABLE\s+", re.IGNORECASE)
 _DESC_HISTORY_RE = re.compile(
     r"(?:DESCRIBE|DESC)\s+HISTORY\s+", re.IGNORECASE
 )
@@ -673,6 +679,20 @@ def parse_dml(sql: str):
                 f"unexpected trailing text {rest[:40]!r}"
             )
         return ShowStatement("partitions", ref=ref)
+    if _SHOW_CREATE_RE.match(s):
+        start = _SHOW_CREATE_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # SHOW CREATE TABLE on a non-glue name
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"SHOW CREATE TABLE glue.{ref.database}."
+                f"{ref.table}: unexpected trailing text "
+                f"{rest[:40]!r}"
+            )
+        return ShowStatement("create", ref=ref)
     if _SHOW_PROPS_RE.match(s):
         start = _SHOW_PROPS_RE.match(s).end()
         got = _parse_ref(s, start)
@@ -905,6 +925,23 @@ def parse_dml(sql: str):
                 f"unexpected trailing text {rest[:40]!r}"
             )
         return DropTableStatement(ref, m.group("ie") is not None)
+    if _TRUNCATE_RE.match(s):
+        # TRUNCATE TABLE t == DELETE FROM t (no WHERE): same
+        # row-level writers, same metadata-only full-file retire —
+        # every active file proves full against the TRUE predicate
+        start = _TRUNCATE_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # TRUNCATE of a non-glue name
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"TRUNCATE TABLE glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {rest[:40]!r} (partition "
+                "scoping spells DELETE FROM ... WHERE)"
+            )
+        return DeleteStatement(ref, "true")
     if _DELETE_RE.match(s):
         start = _DELETE_RE.match(s).end()
         got = _parse_ref(s, start)

@@ -890,6 +890,8 @@ class GlueSparkEngine:
             return self._show_lakehouse_metadata(stmt.verb, ref, tbl)
         if stmt.verb == "detail":
             return self._execute_describe_detail(ref, tbl)
+        if stmt.verb == "create":
+            return self._execute_show_create(ref, tbl)
         # describe: the scan schema is the source of truth (what a
         # SELECT actually surfaces, evolved columns included)
         schema = self.table_dataframe(ref.database, ref.table).schema
@@ -904,6 +906,50 @@ class GlueSparkEngine:
                 rows.append((k.name, k.type, None))
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
+        )
+
+    def _execute_show_create(self, ref, tbl) -> DataFrame:
+        """``SHOW CREATE TABLE glue.db.t`` — the registration DDL
+        reconstructed from the engine's own authorities: the SCAN
+        schema (logical, evolution applied), DESCRIBE DETAIL's
+        partition columns and format, and the format's own
+        properties.  One ``createtab_stmt`` row, the Spark dialect
+        shape.  Iceberg HIDDEN partition columns render by their
+        spec FIELD name (``o_orderdate_month``) — the transform
+        expression form is the runtime's own dialect, and replaying
+        this DDL through CTAS would re-register identity columns;
+        DESCRIBE DETAIL carries the same names."""
+        detail = self._execute_describe_detail(ref, tbl).first()
+        schema = self.table_dataframe(
+            ref.database, ref.table
+        ).schema
+        cols = ",\n".join(
+            f"  {f.name} {f.dataType.simpleString().upper()}"
+            for f in schema.fields
+        )
+        lines = [
+            f"CREATE TABLE glue.{ref.database}.{ref.table} (",
+            cols,
+            ")",
+            f"USING {str(detail['format'] or 'parquet').upper()}",
+        ]
+        if detail["partitionColumns"]:
+            lines.append(
+                "PARTITIONED BY ("
+                + ", ".join(detail["partitionColumns"])
+                + ")"
+            )
+        if tbl.location:
+            lines.append(f"LOCATION '{tbl.location}'")
+        props = dict(detail["properties"] or {})
+        if props:
+            kv = ",\n".join(
+                f"  '{k}' = '{v}'"
+                for k, v in sorted(props.items())
+            )
+            lines.append("TBLPROPERTIES (\n" + kv + "\n)")
+        return self.spark.createDataFrame(
+            [("\n".join(lines),)], "createtab_stmt string"
         )
 
     def _execute_describe_detail(self, ref, tbl) -> DataFrame:

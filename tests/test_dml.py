@@ -2009,3 +2009,95 @@ def test_update_iceberg_partitioned_hidden(spark, tmp_path):
         for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
     }
     assert got == {1: 10.0, 2: 200.0, 3: 30.0}
+
+
+def test_truncate_table(spark, tmp_path):
+    """TRUNCATE TABLE == DELETE FROM t (no WHERE): the TRUE
+    predicate proves every file full, so Delta retires everything
+    metadata-only; all three formats scan empty afterwards with the
+    schema intact."""
+    from glue_table_cache_spark.dml import DeleteStatement
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    s = parse_dml("TRUNCATE TABLE glue.db.t")
+    assert isinstance(s, DeleteStatement) and s.predicate == "true"
+    assert parse_dml("TRUNCATE TABLE plain.t") is None
+    with pytest.raises(InvalidQueryError, match="DELETE FROM"):
+        parse_dml("TRUNCATE TABLE glue.db.t WHERE id = 1")
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    writers = {
+        "delta": (
+            write_delta_append,
+            {"spark.sql.sources.provider": "delta"},
+        ),
+        "iceberg": (write_iceberg_append, {"table_type": "ICEBERG"}),
+        "hudi": (write_hudi_append, {"hoodie.table.name": "t"}),
+    }
+    for fmt, (writer, params) in writers.items():
+        loc = tmp_path / fmt
+        writer(df, str(loc))
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "db", "t", str(loc), parameters=params
+        )
+        eng = GlueSparkEngine(spark, store)
+        out = eng.sql("TRUNCATE TABLE glue.db.t").first()
+        assert out.rows_deleted == 2, fmt
+        left = eng.sql("SELECT * FROM glue.db.t")
+        assert left.count() == 0, fmt
+        assert left.columns == ["id", "v"], fmt
+
+
+def test_show_create_table(spark, tmp_path):
+    """SHOW CREATE TABLE reconstructs the registration DDL from the
+    scan schema + the format's own metadata."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+        write_delta_append,
+    )
+
+    loc = tmp_path / "sct"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "p1", 1.5)], "id long, part string, x double"
+        ),
+        str(loc),
+        partition_by=["part"],
+    )
+    set_delta_table_properties(str(loc), {"delta.appendOnly": "false"})
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    ddl = eng.sql("SHOW CREATE TABLE glue.db.t").first().createtab_stmt
+    assert ddl.startswith("CREATE TABLE glue.db.t (")
+    assert "id BIGINT" in ddl and "x DOUBLE" in ddl
+    assert "USING DELTA" in ddl
+    assert "PARTITIONED BY (part)" in ddl
+    assert f"LOCATION '{loc}'" in ddl
+    assert "'delta.appendOnly' = 'false'" in ddl
+    # parser: non-glue passes through, trailing text refuses
+    assert parse_dml("SHOW CREATE TABLE plain.t") is None
+    with pytest.raises(InvalidQueryError, match="trailing"):
+        parse_dml("SHOW CREATE TABLE glue.db.t JUNK")
+    # raw parquet renders its catalog registration
+    store2 = LocalMetadataStore()
+    store2.register_parquet_dir("db", "raw", str(loc / "part=p1"))
+    eng2 = GlueSparkEngine(spark, store2)
+    ddl2 = eng2.sql(
+        "SHOW CREATE TABLE glue.db.raw"
+    ).first().createtab_stmt
+    assert "USING PARQUET" in ddl2
