@@ -145,7 +145,10 @@ class GlueSparkEngine:
 
         meta_refs, query = extract_metadata_refs(
             query,
-            lambda ref, kind: f"{ref.view_name}__{kind}__q{token}",
+            lambda ref, kind, ver: (
+                f"{ref.view_name}__{kind}"
+                f"{'' if ver is None else f'_v{ver}'}__q{token}"
+            ),
         )
         refs = get_query_glue_table_refs(query, strict=False)
         names = {
@@ -153,10 +156,10 @@ class GlueSparkEngine:
             for i, ref in enumerate(refs)
         }
         self._register_views(refs, names, query, travel)
-        for ref, kind, vname in meta_refs:
-            self._metadata_table_df(ref, kind).createOrReplaceTempView(
-                vname
-            )
+        for ref, kind, vname, ver in meta_refs:
+            self._metadata_table_df(
+                ref, kind, ver
+            ).createOrReplaceTempView(vname)
         # drop views in finally: analysis failures (e.g. a typo'd
         # column) must not leak one per-query-unique view per call
         try:
@@ -164,16 +167,20 @@ class GlueSparkEngine:
         finally:
             for name in names.values():
                 self.spark.catalog.dropTempView(name)
-            for _r, _k, vname in meta_refs:
+            for _r, _k, vname, _v in meta_refs:
                 self.spark.catalog.dropTempView(vname)
         return df
 
-    def _metadata_table_df(self, ref, kind: str) -> DataFrame:
-        """The DataFrame behind ``glue.db.t.<kind>`` — Iceberg's SQL
-        inspection tables, answered from the engine's own metadata
-        walk (public Iceberg spec "Metadata tables").  Non-Iceberg
-        formats refuse toward the engine's unified ``DESCRIBE
-        HISTORY`` surface."""
+    def _metadata_table_df(
+        self, ref, kind: str, version: int | None = None
+    ) -> DataFrame:
+        """The DataFrame behind ``glue.db.t.<kind> [VERSION AS OF
+        n]`` — Iceberg's SQL inspection tables, answered from the
+        engine's own metadata walk (public Iceberg spec "Metadata
+        tables"); ``version`` pins the walk to the metadata state at
+        that sequence number (the same identifier data-scan travel
+        uses).  Non-Iceberg formats refuse toward the engine's
+        unified ``DESCRIBE HISTORY`` surface."""
         from glue_table_cache_spark.catalog import ETableType
         from glue_table_cache_spark.errors import (
             NoStorageLocationError,
@@ -196,7 +203,9 @@ class GlueSparkEngine:
         loc = tbl.location
         if loc.startswith("file:"):
             loc = loc[len("file:"):]
-        return iceberg_metadata_table(self.spark, loc, kind)
+        return iceberg_metadata_table(
+            self.spark, loc, kind, sequence_number=version
+        )
 
     def setup_views(self, query: str) -> list[TableReference]:
         """Register one *stable-named* temp view per glue table referenced

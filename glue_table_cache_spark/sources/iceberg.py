@@ -668,7 +668,12 @@ def iceberg_snapshots(spark, location: str, s3_client=None, fs=None):
 
 
 def iceberg_metadata_table(
-    spark, location: str, kind: str, s3_client=None, fs=None
+    spark,
+    location: str,
+    kind: str,
+    s3_client=None,
+    fs=None,
+    sequence_number: int | None = None,
 ):
     """The Iceberg SQL inspection tables (public spec "Metadata
     tables" — ``db.table.snapshots`` / ``.history`` / ``.manifests``
@@ -692,6 +697,10 @@ def iceberg_metadata_table(
       total_data_file_size_in_bytes — the current snapshot's live
       DATA entries aggregated by partition tuple.
 
+    ``sequence_number`` pins the walk to the metadata state at that
+    sequence number (``glue.db.t.files VERSION AS OF n`` — the same
+    identifier data-scan travel uses); None reads the latest.
+
     Metadata-scale: one JSON + (for manifests/files/partitions) the
     current snapshot's Avro walk; no data file is ever opened."""
     import datetime as _dt
@@ -705,10 +714,27 @@ def iceberg_metadata_table(
         raise GlueSparkError(
             f"No Iceberg metadata JSON found under {location!r}"
         )
-    meta = max(
-        (_read_json(p, s3_client) for p in jsons),
-        key=lambda m: m.get("last-sequence-number", 0),
-    )
+    metas = [_read_json(p, s3_client) for p in jsons]
+    if sequence_number is None:
+        meta = max(
+            metas, key=lambda m: m.get("last-sequence-number", 0)
+        )
+    else:
+        want = [
+            m
+            for m in metas
+            if m.get("last-sequence-number", 0) == sequence_number
+        ]
+        if not want:
+            have = sorted(
+                m.get("last-sequence-number", 0) for m in metas
+            )
+            raise GlueSparkError(
+                f"{kind} VERSION AS OF {sequence_number}: no Iceberg "
+                f"metadata at that sequence number under "
+                f"{location!r} (have {have})"
+            )
+        meta = want[0]
     snapshots = list(meta.get("snapshots") or [])
 
     def ts(ms) -> _dt.datetime:

@@ -199,7 +199,8 @@ _META_REF = re.compile(
     rf'(?<![A-Za-z0-9_$\-".`.])(?P<cat>"(?:GLUE|glue)"|GLUE|glue)\s*\.\s*'
     rf"(?P<db>{_IDENT})\s*\.\s*(?P<tbl>{_IDENT})\s*\.\s*"
     rf"(?P<meta>snapshots|files|manifests|history|refs|partitions)"
-    rf"(?![A-Za-z0-9_$\-])",
+    rf"(?![A-Za-z0-9_$\-])"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?",
     re.IGNORECASE,
 )
 
@@ -212,18 +213,21 @@ METADATA_TABLE_KINDS = (
 
 def extract_metadata_refs(
     sql: str, namer
-) -> tuple[list[tuple[TableReference, str, str]], str]:
+) -> tuple[list[tuple[TableReference, str, str, int | None]], str]:
     """Split Iceberg metadata-table references
-    (``glue.db.t.<kind>`` for the kinds in
+    (``glue.db.t.<kind> [VERSION AS OF n]`` for the kinds in
     :data:`METADATA_TABLE_KINDS` — the public Iceberg SQL inspection
     surface) off the query: each occurrence is
-    replaced by ``namer(ref, kind)`` (a temp-view name the engine
-    registers with the metadata DataFrame) and reported as
-    ``(ref, kind, view_name)``.  Masked spans (strings, comments)
-    never rewrite.  The 4-part shape cannot collide with the normal
-    scan rewrite — ``_GLUE_REF``'s trailing lookahead rejects a
-    following dot, so these spans are invisible to it."""
-    found: dict[tuple[TableReference, str], str] = {}
+    replaced by ``namer(ref, kind, version)`` (a temp-view name the
+    engine registers with the metadata DataFrame) and reported as
+    ``(ref, kind, view_name, version)`` — ``version`` is the
+    travel sequence number or None for the latest state.  Masked
+    spans (strings, comments) never rewrite.  The 4-part shape
+    cannot collide with the normal scan rewrite — ``_GLUE_REF``'s
+    trailing lookahead rejects a following dot, so these spans are
+    invisible to it (and the travel clause is consumed here, before
+    Spark would choke on it)."""
+    found: dict[tuple[TableReference, str, int | None], str] = {}
     spans = _masked_spans(sql)
 
     def sub(m: re.Match) -> str:
@@ -234,13 +238,14 @@ def extract_metadata_refs(
             _unquote(m.group("tbl")).lower(),
         )
         kind = m.group("meta").lower()
-        key = (ref, kind)
+        ver = int(m.group("ver")) if m.group("ver") else None
+        key = (ref, kind, ver)
         if key not in found:
-            found[key] = namer(ref, kind)
+            found[key] = namer(ref, kind, ver)
         return found[key]
 
     out = _META_REF.sub(sub, sql)
-    return [(r, k, v) for (r, k), v in found.items()], out
+    return [(r, k, v, ver) for (r, k, ver), v in found.items()], out
 
 
 def get_query_glue_table_refs(

@@ -163,3 +163,29 @@ def test_non_iceberg_refuses(spark, tmp_path):
     )
     with pytest.raises(GlueSparkError, match="DESCRIBE HISTORY"):
         eng.sql("SELECT * FROM glue.db.t.snapshots")
+
+
+def test_metadata_table_time_travel(spark, ice_engine):
+    """VERSION AS OF pins the metadata walk to that sequence number:
+    seq 1's .files sees only the first append; an unknown sequence
+    refuses with the available ones."""
+    eng, _loc = ice_engine
+    n1 = eng.sql(
+        "SELECT sum(record_count) AS n "
+        "FROM glue.db.t.files VERSION AS OF 1"
+    ).first().n
+    assert n1 == 2
+    n2 = eng.sql(
+        "SELECT sum(record_count) AS n "
+        "FROM glue.db.t.files VERSION AS OF 2"
+    ).first().n
+    assert n2 == 3
+    # both versions usable in ONE query (distinct temp views)
+    row = eng.sql(
+        "SELECT (SELECT count(*) FROM glue.db.t.snapshots "
+        "VERSION AS OF 1) AS a, "
+        "(SELECT count(*) FROM glue.db.t.snapshots) AS b"
+    ).first()
+    assert (row.a, row.b) == (1, 2)
+    with pytest.raises(GlueSparkError, match="no Iceberg metadata"):
+        eng.sql("SELECT * FROM glue.db.t.files VERSION AS OF 99")
