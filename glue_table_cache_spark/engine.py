@@ -674,6 +674,10 @@ class GlueSparkEngine:
                     version, n_upd, n_ins = merge_into_iceberg(
                         self.spark, loc, source, list(stmt.on_keys)
                     )
+                elif self._hudi_is_mor(loc):
+                    version, n_upd, n_ins, n_del = (
+                        self._hudi_mor_merge(tbl, stmt, source)
+                    )
                 else:
                     from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
                         merge_into_hudi,
@@ -699,6 +703,10 @@ class GlueSparkEngine:
                 version, n_upd, n_ins, n_del = merge_general_iceberg(
                     self.spark, loc, source, list(stmt.on_keys),
                     stmt.parsed,
+                )
+            elif self._hudi_is_mor(loc):
+                version, n_upd, n_ins, n_del = self._hudi_mor_merge(
+                    tbl, stmt, source
                 )
             else:
                 from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
@@ -830,6 +838,178 @@ class GlueSparkEngine:
             self.spark, loc, key, upserts=transformed
         )
         return instant, int(n)
+
+    def _hudi_mor_merge(
+        self,
+        tbl: CatalogTable,
+        stmt,
+        source,
+        max_delete_keys: int = 1_000_000,
+    ) -> tuple[str | None, int, int, int]:
+        """MERGE (the whole-row upsert pair AND the general clause
+        grammar) on a MERGE_ON_READ table: clause semantics evaluate
+        against the MERGED snapshot view — log-upserted rows match
+        too — and the outcome publishes as log blocks under ONE
+        atomic deltacommit: update-chosen rows transformed and
+        upserted by record key, delete-chosen rows' record keys in a
+        DELETE block, NOT MATCHED source rows upserted as inserts.
+        No base rewrite, the MOR contract.
+
+        A SET that could rewrite the record key refuses up front: an
+        upsert block replaces BY record key, so changing it would
+        insert a twin and strand the old row.  Delete keys are
+        driver-collected by the log-block codec — the same cap
+        posture as MOR DELETE."""
+        from glue_table_cache_spark.sinks.hudi_log_write import (
+            write_hudi_log,
+        )
+        from glue_table_cache_spark.sinks.merge_planner import (
+            KEEP,
+            action_indexes,
+            chosen_column,
+            insert_outputs,
+            join_source,
+            target_outputs,
+            validate_clauses,
+        )
+
+        clauses = stmt.parsed
+        keys = list(stmt.on_keys)
+        key = self._hudi_record_key(tbl)
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        df = self._dataframe_for(tbl, None)
+        if key not in df.columns:
+            raise GlueSparkError(
+                f"MERGE on MOR glue.{tbl.database}.{tbl.name}: "
+                f"record key column {key!r} is not in the scan "
+                "schema; register hoodie.table.recordkey.fields"
+            )
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise GlueSparkError(
+                f"merge keys {missing} are not in the source "
+                f"columns {source.columns}"
+            )
+        t_cols = list(df.columns)
+        validate_clauses(clauses, t_cols, source.columns, keys)
+        for cl in clauses:
+            if cl.action != "update" or cl.when == "not_matched":
+                continue
+            sets_key = (
+                any(c == key for c, _e in cl.set_exprs)
+                if cl.set_exprs is not None
+                else key not in keys  # SET * copies the source key
+            )
+            if sets_key:
+                raise GlueSparkError(
+                    f"MERGE on MOR glue.{tbl.database}.{tbl.name}: "
+                    f"an UPDATE clause may rewrite the record key "
+                    f"{key!r} — upsert log blocks replace by record "
+                    "key, so this would insert a twin and strand "
+                    "the old row; merge ON the record key or drop "
+                    f"{key!r} from SET"
+                )
+        if (
+            source.groupBy(*keys)
+            .count()
+            .where("count > 1")
+            .limit(1)
+            .count()
+        ):
+            raise GlueSparkError(
+                "MERGE source has duplicate keys — a matched target "
+                "row would meet several source rows; de-duplicate "
+                "the source first (e.g. max_by on a version column)"
+            )
+        upd_idx = action_indexes(clauses, "update")
+        del_idx = action_indexes(clauses, "delete")
+        joined = join_source(df, source, keys).withColumn(
+            "__chosen", chosen_column(clauses)
+        )
+        # only CHOSEN rows checkpoint (bounded by the matched set,
+        # not the table) — counts, delete keys, and the update
+        # transform all reuse them without re-reading the MOR
+        # merged view
+        chosen = joined.where(
+            F.col("__chosen") != KEEP
+        ).localCheckpoint()
+        agg = {
+            int(r["__chosen"]): int(r["n"])
+            for r in chosen.groupBy("__chosen")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_upd = sum(agg.get(i, 0) for i in upd_idx)
+        n_del = sum(agg.get(i, 0) for i in del_idx)
+        del_keys: list = []
+        if n_del:
+            if n_del > max_delete_keys:
+                raise GlueSparkError(
+                    f"MOR MERGE would delete {n_del} rows (cap "
+                    f"{max_delete_keys}) — log-block deletes are a "
+                    "micro-batch path; compact first or raise the "
+                    "cap"
+                )
+            del_keys = [
+                r[0]
+                for r in chosen.where(
+                    F.col("__chosen").isin(del_idx)
+                )
+                .select(key)
+                .distinct()
+                .collect()
+            ]
+        ups = None
+        if n_upd:
+            ups = target_outputs(
+                chosen.where(F.col("__chosen").isin(upd_idx)),
+                clauses,
+                t_cols,
+            )
+        ins = insert_outputs(
+            source,
+            df.select(*keys).distinct(),
+            keys,
+            clauses,
+            t_cols,
+            df.schema,
+        )
+        n_ins = ins.count() if ins is not None else 0
+        if n_ins:
+            from pathlib import Path as _P
+
+            from glue_table_cache_spark.sinks.hudi_write import (
+                _recorded_partition_fields,
+            )
+
+            if _recorded_partition_fields(
+                loc, _P(loc) / ".hoodie" / "hoodie.properties"
+            ):
+                raise GlueSparkError(
+                    f"MERGE on MOR glue.{tbl.database}.{tbl.name}: "
+                    "NOT MATCHED inserts into a hive-partitioned "
+                    "MOR table cannot be routed to the right "
+                    "partition's log — insert through "
+                    "write_hudi_log(insert_partition=...) or "
+                    "write_hudi_append"
+                )
+            ups = (
+                ins
+                if ups is None
+                else ups.unionByName(ins.select(*ups.columns))
+            )
+        if ups is None and not del_keys:
+            return None, 0, 0, 0
+        instant = write_hudi_log(
+            self.spark,
+            loc,
+            key,
+            upserts=ups,
+            delete_keys=del_keys or None,
+        )
+        return instant, int(n_upd), int(n_ins), int(n_del)
 
     def _execute_show(self, stmt) -> DataFrame:
         """Introspection verbs, answered from the engine's own

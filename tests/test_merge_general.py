@@ -329,24 +329,44 @@ def test_merge_general_hudi_retires_emptied_group(
 
 
 def test_merge_general_hudi_refusals(spark, tmp_path, src3):
-    """The Hudi shapes the general writer cannot serve refuse with a
-    pointer: MERGE_ON_READ (log-block path), hive-partitioned
-    (insert routing), and an empty table (no schema authority)."""
+    """The Hudi shapes the writers cannot serve refuse with a
+    pointer: hive-partitioned COW (insert routing) and partitioned
+    MOR inserts (log routing)."""
     from glue_table_cache_spark.sinks.hudi_write import (
         write_hudi_append,
     )
 
-    mor = tmp_path / "hmor"
+    pmor = tmp_path / "hpmor"
     write_hudi_append(
-        spark.createDataFrame(TARGET, TSCHEMA), str(mor),
+        spark.createDataFrame(
+            [(1, "p1", 10.0), (2, "p2", 20.0)],
+            "id long, part string, amt double",
+        ),
+        str(pmor),
+        partition_by=["part"],
         table_type="MERGE_ON_READ",
     )
-    eng = _engine_for(spark, mor, {"hoodie.table.name": "t"})
-    with pytest.raises(GlueSparkError, match="MERGE_ON_READ"):
+    eng = _engine_for(
+        spark,
+        pmor,
+        {
+            "hoodie.table.name": "t",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    # partitioned MOR: update/delete clauses route by record key and
+    # WORK; a NOT MATCHED insert cannot pick the right partition log
+    with pytest.raises(GlueSparkError, match="partition"):
         eng.sql(
             "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
-            "WHEN MATCHED THEN DELETE"
+            "WHEN NOT MATCHED THEN INSERT (id, part, amt) "
+            "VALUES (s.id, 'p9', s.amt)"
         )
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt"
+    ).first()
+    assert out.rows_updated == 1  # id 2 in p2
 
     part = tmp_path / "hpart"
     write_hudi_append(
@@ -446,3 +466,128 @@ def test_merge_general_insert_only_empty_iceberg(spark, tmp_path):
         ]
     finally:
         spark.catalog.dropTempView("mg_ins")
+
+
+def _mor_engine(spark, loc, rows=None):
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    write_hudi_append(
+        spark.createDataFrame(rows or TARGET, TSCHEMA),
+        str(loc),
+        table_type="MERGE_ON_READ",
+    )
+    return _engine_for(
+        spark,
+        loc,
+        {
+            "hoodie.table.name": "t",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+
+
+def test_merge_general_hudi_mor(spark, tmp_path, src3):
+    """General MERGE on MERGE_ON_READ publishes log blocks under one
+    deltacommit — clause semantics evaluate against the MERGED view
+    (a prior log upsert's row matches), base files stay untouched."""
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+
+    loc = tmp_path / "mor"
+    eng = _mor_engine(spark, loc)
+    # log-upsert id 2's amt to 21.0 — the merge must see 21, not 20
+    write_hudi_log(
+        spark,
+        str(loc),
+        "id",
+        upserts=spark.createDataFrame(
+            [(2, "b", 21.0)], TSCHEMA
+        ),
+    )
+    eng.invalidate_table("db", "t")
+    bases = sorted(
+        p.name
+        for p in loc.rglob("*.parquet")
+        if "_staging" not in str(p)
+    )
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.verb = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)"
+    ).first()
+    assert out.rows_updated == 1
+    assert out.rows_deleted == 1
+    assert out.rows_inserted == 1
+    got = {
+        r.id: (r.tag, r.amt)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b", 221.0),      # 21 (log) + 200, merged-view semantics
+        4: (None, 400.0),
+    }
+    after = sorted(
+        p.name
+        for p in loc.rglob("*.parquet")
+        if "_staging" not in str(p)
+    )
+    assert bases == after  # no base rewrite: log blocks only
+
+
+def test_merge_whole_row_hudi_mor(spark, tmp_path):
+    """The classic upsert pair works on MOR too — as one upsert log
+    block, not a base rewrite."""
+    loc = tmp_path / "morw"
+    eng = _mor_engine(spark, loc)
+    spark.createDataFrame(
+        [(2, "B", 99.0), (9, "new", 9.0)], TSCHEMA
+    ).createOrReplaceTempView("mg_wr")
+    try:
+        out = eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_wr s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert out.rows_updated == 1 and out.rows_inserted == 1
+        got = {
+            r.id: (r.tag, r.amt)
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        }
+        assert got == {
+            1: ("a", 10.0),
+            2: ("B", 99.0),
+            3: ("c", 30.0),
+            9: ("new", 9.0),
+        }
+    finally:
+        spark.catalog.dropTempView("mg_wr")
+
+
+def test_merge_hudi_mor_record_key_set_refuses(
+    spark, tmp_path, src3
+):
+    loc = tmp_path / "mork"
+    eng = _mor_engine(spark, loc)
+    with pytest.raises(GlueSparkError, match="record key"):
+        eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = s.id + 1"
+        )
+    # SET * merging on a non-record-key column could rewrite the key
+    spark.createDataFrame(
+        [(7, "x", 20.0)], TSCHEMA
+    ).createOrReplaceTempView("mg_full")
+    try:
+        with pytest.raises(GlueSparkError, match="record key"):
+            eng.sql(
+                "MERGE INTO glue.db.t AS t USING mg_full s "
+                "ON t.amt = s.amt "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+    finally:
+        spark.catalog.dropTempView("mg_full")
