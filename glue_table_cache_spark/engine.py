@@ -680,12 +680,31 @@ class GlueSparkEngine:
                     )
                 else:
                     from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
+                        merge_general_hudi,
                         merge_into_hudi,
                     )
-
-                    version, n_upd, n_ins = merge_into_hudi(
-                        self.spark, loc, source, list(stmt.on_keys)
+                    from glue_table_cache_spark.sources.hudi import (
+                        hudi_scan_info,
                     )
+
+                    if any(
+                        pv for _p, pv in hudi_scan_info(loc)
+                    ):
+                        # partitioned COW: the clause planner routes
+                        # inserts into per-partition file groups —
+                        # the whole-row pair is just its simplest
+                        # clause shape
+                        version, n_upd, n_ins, n_del = (
+                            merge_general_hudi(
+                                self.spark, loc, source,
+                                list(stmt.on_keys), stmt.parsed,
+                            )
+                        )
+                    else:
+                        version, n_upd, n_ins = merge_into_hudi(
+                            self.spark, loc, source,
+                            list(stmt.on_keys),
+                        )
             elif ttype == ETableType.DELTA:
                 from glue_table_cache_spark.sinks.delta_merge import (
                     merge_general_delta,

@@ -49,3 +49,29 @@ def partition_values_from_dir_parts(parts) -> dict[str, str | None]:
         if eq and k:
             pv[k] = unescape_partition_value(v)
     return pv
+
+
+#: the characters Hive's ``escapePathName`` rewrites (public Hive
+#: ``FileUtils.charToEscape`` / Spark ``ExternalCatalogUtils``):
+#: ASCII control chars + DEL plus the path-hostile punctuation set
+_TO_ESCAPE = (
+    set(chr(c) for c in range(0x20))
+    | {chr(0x7F)}
+    | {'"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "{", "[", "]", "^"}
+)
+
+
+def escape_partition_value(v) -> str:
+    """Forward Hive ``escapePathName``: the directory segment
+    spelling of one partition VALUE (``a:b`` → ``a%3Ab``, ``None`` →
+    the ``__HIVE_DEFAULT_PARTITION__`` sentinel) — what a writer
+    building ``k=v`` paths by hand must emit so Spark's partition
+    discovery and :func:`unescape_partition_value` round-trip."""
+    if v is None:
+        return HIVE_NULL
+    s = str(v)
+    if s == "":
+        return HIVE_NULL  # Hive treats empty as the null sentinel
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _TO_ESCAPE else ch for ch in s
+    )

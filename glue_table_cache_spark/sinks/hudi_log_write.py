@@ -462,12 +462,14 @@ def delete_from_hudi(
     if not active:
         return None, 0
     df = spark.read.parquet(*[p for p, _pv in active])
+    # directory-only partition columns attach so the predicate
+    # resolves (WHERE year = '2024' on a hive-partitioned table)
+    tagged, _attached = _tag_with_partition_columns(
+        spark, df, active
+    )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     per_file = (
-        df.select(
-            F.col("_metadata.file_path").alias("__f"),
-            cond.cast("int").alias("__hit"),
-        )
+        tagged.select("__f", cond.cast("int").alias("__hit"))
         .groupBy("__f")
         .agg(
             F.sum("__hit").alias("__n"),
@@ -506,16 +508,17 @@ def delete_from_hudi(
             fid_part[_fid_of(path)] = "" if part == "." else part
         # ONE distributed job rewrites every partially-matched group
         # (surviving rows only), partitionBy("__fid") splitting the
-        # output per group — no per-group job loop
+        # output per group — no per-group job loop; attached
+        # partition columns evaluate the predicate then DROP (they
+        # live in the directory, never in the data files)
+        tagged2, attached2 = _tag_with_partition_columns(
+            spark, spark.read.parquet(*sorted(rewrite)), active
+        )
         out = (
-            spark.read.parquet(*sorted(rewrite))
-            .where(~cond)
-            .select(
-                "*",
-                _strip_scheme(
-                    F.col("_metadata.file_path")
-                ).alias("__sp"),
-            )
+            tagged2.where(~cond)
+            .drop(*attached2)
+            .withColumn("__sp", _strip_scheme(F.col("__f")))
+            .drop("__f")
             .join(_fid_map_df(spark, sorted(rewrite)), "__sp")
             .drop("__sp")
         )
@@ -562,6 +565,57 @@ def delete_from_hudi(
         f"could not commit DELETE to {location!r} after "
         f"{max_commit_retries} attempts"
     )
+
+
+def _tag_with_partition_columns(spark, df, active):
+    """``(tagged, attached)``: ``tagged`` is ``df`` plus ``__f`` (the
+    ``_metadata`` file path) plus any hive partition columns the base
+    files do not STORE — Spark's ``partitionBy`` strips them to the
+    directory, so a predicate like ``WHERE year = '2024'`` would not
+    resolve on a raw multi-file read.  The directory-parsed values
+    join back in through a broadcast file→values map (file-count
+    bounded) as STRING columns: the (unescaped) directory spelling is
+    the only authority, and Spark's comparison coercion types numeric
+    literals.  ``attached`` names the joined-in columns so writers
+    can drop them before staging (they must never land in data
+    files)."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
+    from glue_table_cache_spark.sources.iceberg import (
+        _strip_path,
+        _strip_scheme,
+    )
+
+    tagged = df.select(
+        F.col("_metadata.file_path").alias("__f"), "*"
+    )
+    missing = sorted(
+        {k for _p, pv in active for k in pv} - set(df.columns)
+    )
+    if not missing:
+        return tagged, []
+    pv_map = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    _strip_path(hadoop_uri_encode(p)),
+                    *[pv.get(c) for c in missing],
+                )
+                for p, pv in active
+            ],
+            ", ".join(
+                ["__sp string"]
+                + [f"`{c}` string" for c in missing]
+            ),
+        )
+    )
+    tagged = (
+        tagged.withColumn("__sp", _strip_scheme(F.col("__f")))
+        .join(pv_map, "__sp")
+        .drop("__sp")
+    )
+    return tagged, missing
 
 
 def _write_group_slices(
@@ -685,18 +739,29 @@ def update_hudi(
     if not active:
         return None, 0
     df = spark.read.parquet(*[p for p, _pv in active])
+    pcols = sorted({k for _p, pv in active for k in pv})
+    moved = [c for c in set_exprs if c in pcols]
+    if moved:
+        raise GlueSparkError(
+            f"UPDATE sets hive partition column(s) {moved} — the "
+            "COW slice rewrite keeps each row in its file group's "
+            "partition directory; move rows with DELETE + append "
+            "instead"
+        )
     unknown = [c for c in set_exprs if c not in df.columns]
     if unknown:
         raise GlueSparkError(
             f"UPDATE sets unknown column(s) {unknown}; table "
             f"columns are {df.columns}"
         )
+    # directory-only partition columns attach so the predicate
+    # resolves (WHERE year = '2024' on a hive-partitioned table)
+    tagged, _attached = _tag_with_partition_columns(
+        spark, df, active
+    )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     per_file = (
-        df.select(
-            F.col("_metadata.file_path").alias("__f"),
-            cond.cast("int").alias("__hit"),
-        )
+        tagged.select("__f", cond.cast("int").alias("__hit"))
         .groupBy("__f")
         .agg(F.sum("__hit").alias("__n"))
         .where(F.col("__n") > 0)
@@ -735,12 +800,16 @@ def update_hudi(
 
     # ONE distributed job rewrites every affected group: rows join
     # back to their file group via the broadcast path→fid map, then
-    # partitionBy("__fid") splits the output per group
+    # partitionBy("__fid") splits the output per group; attached
+    # partition columns let the per-row WHEN(cond) resolve, then
+    # only the transformed DATA columns stage
+    tagged2, _attached2 = _tag_with_partition_columns(
+        spark, spark.read.parquet(*sorted(rewrite)), active
+    )
     out = (
-        spark.read.parquet(*sorted(rewrite))
-        .select(
+        tagged2.select(
             *transformed,
-            _strip_scheme(F.col("_metadata.file_path")).alias("__sp"),
+            _strip_scheme(F.col("__f")).alias("__sp"),
         )
         .join(_fid_map_df(spark, sorted(rewrite)), "__sp")
         .drop("__sp")
@@ -973,6 +1042,7 @@ def merge_general_hudi(
     on,
     clauses,
     max_commit_retries: int = 10,
+    max_insert_partitions: int = 10_000,
 ) -> tuple[str | None, int, int, int]:
     """General (conditional / column-level / multi-clause) MERGE for
     COPY_ON_WRITE Hudi tables — completing the 3×3 DML matrix next to
@@ -980,30 +1050,45 @@ def merge_general_hudi(
     :func:`.iceberg_delete.merge_general_iceberg`.
 
     Same planner, Hudi placement: the tagged target (every active
-    base slice, joined back to its file group through the broadcast
-    path→fid map) left-joins the source, ONE chained ``when`` picks
-    the chosen clause per row, and ONE per-group aggregation yields
-    the tallies plus each group's fate — groups whose every row is
-    delete-chosen RETIRE via ``partitionToReplaceFileIds`` (no empty
-    slice is ever written; a zero-row group would otherwise vanish
-    from the staging output and silently leave its OLD slice live),
-    groups with any other chosen row rewrite to a fresh slice
-    (``target_outputs``: updates transformed with pre-update
-    semantics, deletes dropped, rest byte-preserved), and NOT MATCHED
-    inserts open one new file group — all in ONE
-    ``_write_group_slices`` job and ONE replacecommit.
+    base slice, directory-only partition columns attached, joined
+    back to its file group through the broadcast path→fid map)
+    left-joins the source, ONE chained ``when`` picks the chosen
+    clause per row, and ONE per-group aggregation yields the tallies
+    plus each group's fate — groups whose every row is delete-chosen
+    RETIRE via ``partitionToReplaceFileIds`` (no empty slice is ever
+    written; a zero-row group would otherwise vanish from the
+    staging output and silently leave its OLD slice live), groups
+    with any other chosen row rewrite to a fresh slice in their own
+    partition directory (``target_outputs``: updates transformed
+    with pre-update semantics, deletes dropped, rest
+    byte-preserved), and NOT MATCHED inserts open one new file group
+    PER TARGET PARTITION (hive-escaped ``k=v`` path built from the
+    insert rows' partition values, null → the Hive sentinel) — all
+    in ONE ``_write_group_slices`` job and ONE replacecommit.
+
+    Partition-directory invariants hold by refusal: an UPDATE SET
+    naming a partition column refuses statically, and a ``SET *``
+    whose source row carries a DIFFERENT partition value than the
+    matched target row refuses at plan time (the slice rewrite
+    cannot move rows between partition directories; Hudi runtimes
+    model that as delete+insert).
 
     Returns ``(instant, n_updated, n_inserted, n_deleted)`` —
     ``(None, 0, 0, 0)`` when no clause matched anything.  Refusals
-    mirror :func:`merge_into_hudi`: object stores, MERGE_ON_READ
-    (log-block path), hive-partitioned tables (insert routing),
+    mirror :func:`merge_into_hudi` otherwise: object stores,
+    MERGE_ON_READ (log-block path — the engine's MOR merge),
     duplicate source keys, and an EMPTY table (no base slice to
     authority the schema — append the insert rows directly).
     Clause semantics follow the public SQL:2003/Delta MERGE dialect;
     the reference engine has no DML surface (src/types.ts:4-11
     enumerates formats it never writes)."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
+    from glue_table_cache_spark.sinks.hive_paths import (
+        escape_partition_value,
+    )
     from glue_table_cache_spark.sinks.merge_planner import (
         KEEP,
         action_indexes,
@@ -1014,11 +1099,7 @@ def merge_general_hudi(
         validate_clauses,
     )
     from glue_table_cache_spark.sources.hudi import hudi_scan_info
-    from glue_table_cache_spark.sources.delta import hadoop_uri_encode
-    from glue_table_cache_spark.sources.iceberg import (
-        _strip_path,
-        _strip_scheme,
-    )
+    from glue_table_cache_spark.sources.iceberg import _strip_scheme
 
     keys = [on] if isinstance(on, str) else list(on)
     base = Path(location)
@@ -1048,43 +1129,89 @@ def merge_general_hudi(
             "authority (no base slice); append the insert rows with "
             "write_hudi_append instead"
         )
-    if any(pv for _p, pv in active):
-        raise GlueSparkError(
-            "merge_general_hudi does not route inserts into hive "
-            "partition directories — partitioned tables refuse; use "
-            "delete_from_hudi + write_hudi_append"
-        )
-    if source.groupBy(*keys).count().where("count > 1").limit(1).count():
+    if (
+        source.groupBy(*keys)
+        .count()
+        .where("count > 1")
+        .limit(1)
+        .count()
+    ):
         raise GlueSparkError(
             "MERGE source has duplicate keys — a matched target row "
-            "would meet several source rows; de-duplicate the source "
-            "first (e.g. max_by on a version column)"
+            "would meet several source rows; de-duplicate the "
+            "source first (e.g. max_by on a version column)"
         )
     paths = sorted(p for p, _pv in active)
-    df = spark.read.parquet(*paths)
-    t_cols = list(df.columns)
-    validate_clauses(clauses, t_cols, source.columns, keys)
+    pcols = sorted({k for _p, pv in active for k in pv})
+    data_cols = list(spark.read.parquet(*paths).columns)
+    for cl in clauses:
+        if cl.action != "update" or cl.when == "not_matched":
+            continue
+        if cl.set_exprs is not None:
+            hit = [c for c, _e in cl.set_exprs if c in pcols]
+            if hit:
+                raise GlueSparkError(
+                    f"MERGE UPDATE sets hive partition column(s) "
+                    f"{hit} — the COW slice rewrite keeps each row "
+                    "in its file group's partition directory; move "
+                    "rows with a DELETE clause + re-insert instead"
+                )
 
     def _tagged(ps):
-        return (
-            spark.read.parquet(*sorted(ps))
-            .select(
-                "*",
-                _strip_scheme(
-                    F.col("_metadata.file_path")
-                ).alias("__sp"),
-            )
-            .join(_fid_map_df(spark, sorted(ps)), "__sp")
-            .drop("__sp")
+        t, _att = _tag_with_partition_columns(
+            spark, spark.read.parquet(*sorted(ps)), active
         )
+        return (
+            t.withColumn("__sp", _strip_scheme(F.col("__f")))
+            .join(_fid_map_df(spark, sorted(ps)), "__sp")
+            .drop("__sp", "__f")
+        )
+
+    from pyspark.sql.types import StructType
+
+    tagged_all = _tagged(paths)
+    t_cols = [c for c in tagged_all.columns if c != "__fid"]
+    t_schema = StructType(
+        [f for f in tagged_all.schema.fields if f.name != "__fid"]
+    )
+    validate_clauses(clauses, t_cols, source.columns, keys)
 
     upd_idx = action_indexes(clauses, "update")
     del_idx = action_indexes(clauses, "delete")
+    setstar_idx = [
+        i
+        for i in upd_idx
+        if clauses[i].set_exprs is None
+    ]
 
     # ---- phase 1: plan — per-group fate + tallies from ONE agg
-    joined = join_source(_tagged(paths), source, keys).withColumn(
+    joined = join_source(tagged_all, source, keys).withColumn(
         "__chosen", chosen_column(clauses)
     )
+    if pcols and setstar_idx:
+        # SET * copies the source's partition values too — refuse if
+        # any chosen row would MOVE (cheap limit(1) probe)
+        moved = reduce(
+            lambda a, b: a | b,
+            [
+                ~F.col(c).eqNullSafe(F.col(f"__src_{c}"))
+                for c in pcols
+            ],
+        )
+        if (
+            joined.where(
+                F.col("__chosen").isin(setstar_idx) & moved
+            )
+            .limit(1)
+            .count()
+        ):
+            raise GlueSparkError(
+                "MERGE UPDATE SET * would move row(s) to a "
+                "different partition directory — the COW slice "
+                "rewrite keeps each row in its file group's "
+                "partition; use a DELETE clause + re-insert to "
+                "move rows"
+            )
     per_group = (
         joined.groupBy("__fid")
         .agg(
@@ -1104,6 +1231,11 @@ def merge_general_hudi(
         .collect()
     )
     fid_path = {_fid_of(p): p for p in paths}
+
+    def _part_of(path: str) -> str:
+        part = str(Path(path).parent.relative_to(base))
+        return "" if part == "." else part
+
     n_updated = n_deleted = 0
     rewrite_fids: list[str] = []
     retire_fids: list[str] = []
@@ -1119,14 +1251,24 @@ def merge_general_hudi(
 
     ins = insert_outputs(
         source,
-        df.select(*keys).distinct(),
+        tagged_all.select(*keys).distinct(),
         keys,
         clauses,
         t_cols,
-        df.schema,
+        t_schema,
     )
     if ins is not None:
-        ins = ins.localCheckpoint()  # reused: count + union
+        # partition values route directories as STRINGS (the hive
+        # spelling authority); cast up front so the fid map joins
+        if pcols:
+            ins = ins.select(
+                *data_cols,
+                *[
+                    F.col(c).cast("string").alias(c)
+                    for c in pcols
+                ],
+            )
+        ins = ins.localCheckpoint()  # reused: count + route + union
         n_inserted = ins.count()
     else:
         n_inserted = 0
@@ -1143,20 +1285,71 @@ def merge_general_hudi(
         # column is deterministic, so re-deriving it is cheaper at
         # scale than checkpointing the full-table join
         rw_paths = [fid_path[f] for f in sorted(rewrite_fids)]
-        fid_part.update({f: "" for f in rewrite_fids})
+        fid_part.update(
+            {f: _part_of(fid_path[f]) for f in rewrite_fids}
+        )
         joined2 = join_source(
             _tagged(rw_paths), source, keys
         ).withColumn("__chosen", chosen_column(clauses))
         pieces.append(
             target_outputs(joined2, clauses, t_cols, extra=("__fid",))
-            .select(*t_cols, "__fid")
+            .select(*data_cols, "__fid")
         )
     if n_inserted:
-        new_fid = f"mrg-{batch}"
-        fid_part[new_fid] = ""
-        pieces.append(
-            ins.select(*t_cols, F.lit(new_fid).alias("__fid"))
-        )
+        if pcols:
+            routes = (
+                ins.select(*pcols).distinct()
+                .limit(max_insert_partitions + 1)
+                .collect()
+            )
+            if len(routes) > max_insert_partitions:
+                raise GlueSparkError(
+                    f"MERGE inserts touch over "
+                    f"{max_insert_partitions} partitions — one new "
+                    "file group per partition is a driver-side "
+                    "routing table; load that batch with "
+                    "write_hudi_append instead"
+                )
+            route_rows = []
+            for i, row in enumerate(routes):
+                fid = f"mrg-{batch}-{i:05d}"
+                fid_part[fid] = "/".join(
+                    f"{c}={escape_partition_value(row[c])}"
+                    for c in pcols
+                )
+                route_rows.append(
+                    (*[row[c] for c in pcols], fid)
+                )
+            route_df = F.broadcast(
+                spark.createDataFrame(
+                    route_rows,
+                    ", ".join(
+                        [f"`{c}` string" for c in pcols]
+                        + ["__fid string"]
+                    ),
+                )
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    ins[c].eqNullSafe(route_df[c])
+                    for c in pcols
+                ],
+            )
+            pieces.append(
+                ins.join(route_df, cond).select(
+                    *[ins[c] for c in data_cols],
+                    route_df["__fid"],
+                )
+            )
+        else:
+            new_fid = f"mrg-{batch}"
+            fid_part[new_fid] = ""
+            pieces.append(
+                ins.select(
+                    *data_cols, F.lit(new_fid).alias("__fid")
+                )
+            )
     stats: list[dict] = []
     staged: list[str] = []
     if pieces:
@@ -1166,12 +1359,17 @@ def merge_general_hudi(
         stats, staged = _write_group_slices(
             spark, base, out, fid_part, batch, instant_tag
         )
-    replace_by_part: dict[str, list[str]] = (
-        {"": sorted(retire_fids)} if retire_fids else {}
-    )
+    stats_by_part: dict[str, list[dict]] = {}
+    for st in stats:
+        stats_by_part.setdefault(st["partitionPath"], []).append(st)
+    replace_by_part: dict[str, list[str]] = {}
+    for f in sorted(retire_fids):
+        replace_by_part.setdefault(
+            _part_of(fid_path[f]), []
+        ).append(f)
     payload = json.dumps(
         {
-            "partitionToWriteStats": {"": stats} if stats else {},
+            "partitionToWriteStats": stats_by_part,
             "partitionToReplaceFileIds": replace_by_part,
         }
     )
@@ -1187,8 +1385,8 @@ def merge_general_hudi(
                 (base / rel).unlink(missing_ok=True)
             raise GlueSparkError(
                 "merge_general_hudi lost a conflicting race: an "
-                "affected file group is no longer active; table left "
-                "untouched — re-run"
+                "affected file group is no longer active; table "
+                "left untouched — re-run"
             )
         commit = hoodie / f"{instant}.replacecommit"
         try:

@@ -2101,3 +2101,57 @@ def test_show_create_table(spark, tmp_path):
         "SHOW CREATE TABLE glue.db.raw"
     ).first().createtab_stmt
     assert "USING PARQUET" in ddl2
+
+
+def test_hudi_partitioned_dml_partition_predicate(spark, tmp_path):
+    """Hive-partitioned COW base files do not STORE their partition
+    columns; DELETE/UPDATE predicates referencing them must still
+    resolve (the directory-parsed values attach for evaluation and
+    never land in the staged data files).  SET on a partition column
+    refuses — the slice rewrite cannot move rows across partition
+    directories."""
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = tmp_path / "hp"
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+            "id long, part string, x double",
+        ),
+        str(loc),
+        partition_by=["part"],
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), parameters={"hoodie.table.name": "t"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "DELETE FROM glue.db.t WHERE part = 'a' AND id = 1"
+    ).first()
+    assert out.rows_deleted == 1
+    out = eng.sql(
+        "UPDATE glue.db.t SET x = x * 10 WHERE part = 'b'"
+    ).first()
+    assert out.rows_updated == 1
+    rows = sorted(
+        (r.id, r.part, r.x)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    )
+    assert rows == [(2, "b", 20.0), (3, "a", 3.0)]
+    # no staged data file carries the partition column
+    import pyarrow.parquet as pq
+
+    for p in loc.rglob("*.parquet"):
+        assert "part" not in pq.ParquetFile(p).schema_arrow.names
+    with pytest.raises(GlueSparkError, match="partition column"):
+        eng.sql("UPDATE glue.db.t SET part = 'z' WHERE id = 2")
+    # partition-scoped retirement: every row of partition 'a' dies
+    # metadata-free of the predicate columns
+    out = eng.sql("DELETE FROM glue.db.t WHERE part = 'a'").first()
+    assert out.rows_deleted == 1
+    assert (
+        eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 1
+    )

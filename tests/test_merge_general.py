@@ -378,11 +378,78 @@ def test_merge_general_hudi_refusals(spark, tmp_path, src3):
         partition_by=["part"],
     )
     eng = _engine_for(spark, part, {"hoodie.table.name": "t"})
+    # partitioned COW: moving rows between partition directories
+    # refuses (both SET forms); keyed updates and deletes work
     with pytest.raises(GlueSparkError, match="partition"):
         eng.sql(
             "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
-            "WHEN MATCHED THEN DELETE"
+            "WHEN MATCHED THEN UPDATE SET part = 'moved'"
         )
+
+
+def test_merge_general_hudi_partitioned(spark, tmp_path, src3):
+    """Partitioned COW Hudi through the clause planner: updates and
+    deletes stay in their file group's partition directory, a
+    drained partition group retires, and NOT MATCHED inserts open
+    one new file group per target partition (hive-escaped path)."""
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = tmp_path / "hgp"
+    # p1 holds ids 1,2; p2 holds id 3 (drained by the DELETE clause)
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "p1", 10.0), (2, "p1", 20.0), (3, "p2", 30.0)],
+            "id long, part string, amt double",
+        ),
+        str(loc),
+        partition_by=["part"],
+    )
+    eng = _engine_for(spark, loc, {"hoodie.table.name": "t"})
+    out = eng.sql(
+        "MERGE INTO glue.db.t AS t USING mg_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.verb = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amt = s.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, part, amt) "
+        "VALUES (s.id, 'p:9', s.amt)"
+    ).first()
+    assert out.rows_updated == 1 and out.rows_deleted == 1
+    assert out.rows_inserted == 1
+    got = {
+        r.id: (r.part, r.amt)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {
+        1: ("p1", 10.0),
+        2: ("p1", 200.0),
+        4: ("p:9", 400.0),   # new partition, hive-escaped directory
+    }
+    assert (loc / "part=p%3A9").is_dir()
+    # whole-row pair routes through the same planner on partitioned
+    spark.createDataFrame(
+        [(1, "p1", 11.0), (9, "p1", 9.0)],
+        "id long, part string, amt double",
+    ).createOrReplaceTempView("mg_wrp")
+    try:
+        out = eng.sql(
+            "MERGE INTO glue.db.t AS t USING mg_wrp s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert out.rows_updated == 1 and out.rows_inserted == 1
+        # ...but a SET * that would MOVE a row refuses
+        spark.createDataFrame(
+            [(2, "p2", 0.0)], "id long, part string, amt double"
+        ).createOrReplaceTempView("mg_mv")
+        with pytest.raises(GlueSparkError, match="move"):
+            eng.sql(
+                "MERGE INTO glue.db.t AS t USING mg_mv s "
+                "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *"
+            )
+    finally:
+        spark.catalog.dropTempView("mg_wrp")
+        spark.catalog.dropTempView("mg_mv")
 
 
 def test_merge_general_validation_errors(spark, tmp_path, src3):
