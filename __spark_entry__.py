@@ -46,7 +46,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # --------------------------------------------------------------------------
 
 # versioned so a fixture-definition change busts stale _BUILT markers
-_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v6")
+_FIXTURE_ROOT = Path("/tmp/gtc_spark_fixtures_v7")
 _BASE_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings",
@@ -263,10 +263,11 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         # against a NARROW source (only the referenced columns), and
         # shifted-key junk dies via NOT MATCHED BY SOURCE DELETE —
         # the clause-planner execution path (sinks/merge_planner +
-        # merge_general_delta/iceberg), r9
+        # merge_general_delta/iceberg/hudi), r9
         params = {
             "delta": {"spark.sql.sources.provider": "delta"},
             "iceberg": {"table_type": "ICEBERG"},
+            "hudi": {"hoodie.table.name": name},
         }[fmt]
         store = LocalMetadataStore()
         store.register_parquet_dir(
@@ -301,7 +302,7 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         junk = orders.where(F.col("o_orderkey") % 7 == 3).withColumn(
             "o_orderkey", -F.col("o_orderkey")
         )
-        if fmt in ("delta", "iceberg"):
+        if fmt in ("delta", "iceberg", "hudi"):
             # corruption the general MERGE must repair (conditional
             # column-level UPDATE) and shifted-key junk it must
             # delete (NOT MATCHED BY SOURCE)
@@ -398,9 +399,18 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
                 write_hudi_append,
             )
 
-            write_hudi_append(even, str(loc))
-            write_hudi_append(odd, str(loc))
+            # the Hudi maintained table is PARTITIONED (r9): the junk
+            # DELETE's o_orderstatus predicate exercises the
+            # directory-only partition-column attach, and the general
+            # MERGE routes through the partition-aware COW planner
+            write_hudi_append(
+                even, str(loc), partition_by=["o_orderstatus"]
+            )
+            write_hudi_append(
+                odd, str(loc), partition_by=["o_orderstatus"]
+            )
             _dml(loc, "hudi", f"orders_{fmt}_m")
+            _gmerge(loc, "hudi", f"orders_{fmt}_m")
             optimize_hudi(spark, str(loc))
             clean_hudi(str(loc), retention_hours=0, dry_run=False)
         marker.touch()
