@@ -234,6 +234,44 @@ def main() -> None:
             f"SELECT * FROM glue.lake.{t} ORDER BY o_orderstatus"
         ).collect()
         print(f"{t}: {[tuple(r) for r in rows]}")
+
+    # round 9: the general MERGE grammar, Iceberg inspection tables,
+    # SHOW CREATE TABLE, and TRUNCATE
+    eng.sql(  # corrupt one row so the conditional repair has work
+        "UPDATE glue.lake.sum_i SET n = 0 WHERE o_orderstatus = 'F'"
+    )
+    merged = eng.sql(
+        "MERGE INTO glue.lake.sum_i AS t USING glue.lake.sum_h s "
+        "ON t.o_orderstatus = s.o_orderstatus "
+        "WHEN MATCHED AND t.n <> s.n THEN UPDATE SET n = s.n "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (o_orderstatus, n, total) "
+        "VALUES (s.o_orderstatus, s.n, s.total)"
+    ).collect()[0]
+    print(
+        "general MERGE into the Iceberg summary: "
+        f"{merged.rows_updated} updated, {merged.rows_inserted} "
+        f"inserted, {merged.rows_deleted} deleted"
+    )
+    meta = eng.sql(
+        "SELECT (SELECT count(*) FROM glue.lake.sum_i.snapshots) "
+        "AS snaps, "
+        "(SELECT sum(record_count) FROM glue.lake.sum_i.files "
+        "WHERE content = 0) AS live_rows"
+    ).collect()[0]
+    print(
+        f"inspection tables: {meta.snaps} snapshot(s), "
+        f"{meta.live_rows} live row(s)"
+    )
+    ddl = eng.sql(
+        "SHOW CREATE TABLE glue.lake.sum_i"
+    ).collect()[0].createtab_stmt
+    print("SHOW CREATE TABLE:", ddl.splitlines()[0], "...")
+    eng.sql("TRUNCATE TABLE glue.lake.sum_h")
+    left = eng.sql(
+        "SELECT count(*) AS n FROM glue.lake.sum_h"
+    ).collect()[0].n
+    print(f"TRUNCATE: hudi summary now holds {left} rows")
     print("lakehouse loop complete")
 
 

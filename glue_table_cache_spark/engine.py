@@ -1226,7 +1226,25 @@ class GlueSparkEngine:
                 str(k): str(v)
                 for k, v in (meta.get("properties") or {}).items()
             }
-            paths = iceberg_data_files(loc, fs=self._fs)
+            # delete files (position AND equality) are live storage
+            # too — walk the full scan state instead of the data-only
+            # helper, which refuses when deletes exist
+            from glue_table_cache_spark.sources.iceberg import (
+                iceberg_scan_details,
+            )
+
+            entries, pos_dels, eq_dels = iceberg_scan_details(
+                loc, fs=self._fs
+            )
+            paths = (
+                [p for p, _pv, _s in entries]
+                + list(pos_dels)
+                + [
+                    d["path"]
+                    for d in eq_dels
+                    if isinstance(d, dict) and d.get("path")
+                ]
+            )
             fmt = "iceberg"
         elif ttype == ETableType.HUDI:
             from pathlib import Path as _P

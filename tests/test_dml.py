@@ -2155,3 +2155,37 @@ def test_hudi_partitioned_dml_partition_predicate(spark, tmp_path):
     assert (
         eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 1
     )
+
+
+def test_describe_detail_iceberg_with_deletes(spark, tmp_path):
+    """DESCRIBE DETAIL (and SHOW CREATE TABLE on top of it) must not
+    refuse an Iceberg table carrying position-delete files — delete
+    files are live storage and count in numFiles."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "iddd"
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ),
+        str(loc),
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("DELETE FROM glue.db.t WHERE id = 1")
+    d = eng.sql("DESCRIBE DETAIL glue.db.t").first()
+    assert d.format == "iceberg"
+    # every live file counts: the data files plus the delete file
+    n_disk = len(list((loc / "data").rglob("*.parquet")))
+    assert d.numFiles == n_disk
+    assert any(
+        p.name.startswith("pos-delete-")
+        for p in (loc / "data").rglob("*.parquet")
+    )
+    ddl = eng.sql("SHOW CREATE TABLE glue.db.t").first().createtab_stmt
+    assert "USING ICEBERG" in ddl
