@@ -56,6 +56,7 @@ class InsertStatement:
     source_text: str  # SELECT/VALUES text, passed to a SELECT wrapper
     columns: tuple[str, ...] = field(default=())  # explicit col list
     overwrite: bool = False  # INSERT OVERWRITE: atomic full replace
+    by_name: bool = False  # INSERT ... BY NAME: bind on column names
 
 
 @dataclass(frozen=True)
@@ -971,6 +972,9 @@ def parse_dml(sql: str):
             return None
         ref, pos = got
         rest = s[pos:].lstrip()
+        bn = re.match(r"BY\s+NAME\b", rest, re.IGNORECASE)
+        if bn:
+            rest = rest[bn.end():].lstrip()
         cols: tuple[str, ...] = ()
         if rest.startswith("("):
             end = rest.find(")")
@@ -984,6 +988,12 @@ def parse_dml(sql: str):
                 if c.strip()
             )
             rest = rest[end + 1 :].lstrip()
+        if bn and cols:
+            raise InvalidQueryError(
+                f"INSERT INTO glue.{ref.database}.{ref.table} BY "
+                "NAME takes no column list — the source's own "
+                "column names bind"
+            )
         src = _trim_stmt(rest)
         if not re.match(
             r"(?:SELECT|VALUES|WITH|TABLE)\b|\(", src, re.IGNORECASE
@@ -992,7 +1002,9 @@ def parse_dml(sql: str):
                 f"INSERT INTO glue.{ref.database}.{ref.table}: "
                 f"expected SELECT/VALUES/WITH source, got {src[:40]!r}"
             )
-        return InsertStatement(ref, src, cols, overwrite)
+        return InsertStatement(
+            ref, src, cols, overwrite, bn is not None
+        )
     if _MERGE_RE.match(s):
         return _parse_merge(s)
     if _REORG_RE.match(s):

@@ -150,6 +150,18 @@ class GlueSparkEngine:
                 f"{'' if ver is None else f'_v{ver}'}__q{token}"
             ),
         )
+        # table_changes(glue.db.t, start [, end]) — the batch CDF TVF
+        from glue_table_cache_spark.transformer import (
+            extract_table_changes,
+        )
+
+        cdf_refs, query = extract_table_changes(
+            query,
+            lambda ref, v1, v2: (
+                f"{ref.view_name}__changes_{v1}_"
+                f"{'latest' if v2 is None else v2}__q{token}"
+            ),
+        )
         refs = get_query_glue_table_refs(query, strict=False)
         names = {
             ref: f"{ref.view_name}__q{token}_{i}"
@@ -160,6 +172,10 @@ class GlueSparkEngine:
             self._metadata_table_df(
                 ref, kind, ver
             ).createOrReplaceTempView(vname)
+        for ref, v1, v2, vname in cdf_refs:
+            self._table_changes_df(
+                ref, v1, v2
+            ).createOrReplaceTempView(vname)
         # drop views in finally: analysis failures (e.g. a typo'd
         # column) must not leak one per-query-unique view per call
         try:
@@ -168,6 +184,8 @@ class GlueSparkEngine:
             for name in names.values():
                 self.spark.catalog.dropTempView(name)
             for _r, _k, vname, _v in meta_refs:
+                self.spark.catalog.dropTempView(vname)
+            for _r, _v1, _v2, vname in cdf_refs:
                 self.spark.catalog.dropTempView(vname)
         return df
 
@@ -206,6 +224,40 @@ class GlueSparkEngine:
         return iceberg_metadata_table(
             self.spark, loc, kind, sequence_number=version
         )
+
+    def _table_changes_df(
+        self, ref, start: int, end: int | None
+    ) -> DataFrame:
+        """The DataFrame behind ``table_changes(glue.db.t, start
+        [, end])`` — the batch Change Data Feed TVF (public Delta
+        dialect): the table's columns plus ``_change_type`` /
+        ``_commit_version`` for the INCLUSIVE commit-version window.
+        Delta only; Iceberg/Hudi change feeds stream through their
+        sources' ``readChangeFeed`` mode (file-diff synthesis needs
+        consecutive-snapshot walks, not a version window)."""
+        from glue_table_cache_spark.catalog import ETableType
+        from glue_table_cache_spark.errors import (
+            NoStorageLocationError,
+        )
+        from glue_table_cache_spark.sources.delta import delta_cdf
+
+        tbl = self.get_table_metadata_cached(ref.database, ref.table)
+        if not tbl.location:
+            raise NoStorageLocationError(tbl.database, tbl.name)
+        if tbl.table_type != ETableType.DELTA:
+            raise GlueSparkError(
+                f"table_changes(glue.{ref.database}.{ref.table}, "
+                f"...): the batch CDF TVF needs a DELTA table (this "
+                f"one is {tbl.table_type.name}); stream changes via "
+                "readChangeFeed=true instead"
+            )
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        df = delta_cdf(self.spark, loc, since_version=start - 1)
+        if end is not None:
+            df = df.where(F.col("_commit_version") <= end)
+        return df
 
     def setup_views(self, query: str) -> list[TableReference]:
         """Register one *stable-named* temp view per glue table referenced
@@ -520,7 +572,32 @@ class GlueSparkEngine:
             target_fields = self.table_dataframe(
                 ref.database, ref.table
             ).schema.fields
-            if stmt.columns:
+            if stmt.by_name:
+                # BY NAME: the source's own column names bind —
+                # order-free; unknown names refuse, missing target
+                # columns NULL-fill (the Delta-dialect posture)
+                known = {f.name for f in target_fields}
+                unknown = [
+                    c for c in source.columns if c not in known
+                ]
+                if unknown:
+                    raise GlueSparkError(
+                        f"{op} {qual} BY NAME: source column(s) "
+                        f"{unknown} are not in the table schema "
+                        f"{sorted(known)}"
+                    )
+                have = set(source.columns)
+                source = source.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in have
+                        else F.lit(None)
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in target_fields
+                    ]
+                )
+            elif stmt.columns:
                 if len(stmt.columns) != len(source.columns):
                     raise GlueSparkError(
                         f"{op} {qual}: column list has "

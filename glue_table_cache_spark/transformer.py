@@ -248,6 +248,52 @@ def extract_metadata_refs(
     return [(r, k, v, ver) for (r, k, ver), v in found.items()], out
 
 
+#: ``table_changes(glue.db.t, start [, end])`` — the batch Change
+#: Data Feed table-valued function (public Delta/Databricks dialect);
+#: the table name may be bare or quoted ('...'/"...")
+_TABLE_CHANGES = re.compile(
+    rf"(?<![A-Za-z0-9_$])table_changes\s*\(\s*"
+    rf"(?P<q>['\"]?)(?:GLUE|glue)\s*\.\s*(?P<db>{_IDENT})\s*\.\s*"
+    rf"(?P<tbl>{_IDENT})(?P=q)\s*,\s*(?P<v1>\d+)\s*"
+    rf"(?:,\s*(?P<v2>\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def extract_table_changes(
+    sql: str, namer
+) -> tuple[list[tuple[TableReference, int, int | None, str]], str]:
+    """Split ``table_changes(glue.db.t, start [, end])`` calls — the
+    batch Change Data Feed TVF (public Delta dialect; versions are
+    INCLUSIVE commit versions) — off the query: each call is replaced
+    by ``namer(ref, start, end)`` (a temp-view name the engine
+    registers with the CDF DataFrame) and reported as ``(ref, start,
+    end, view_name)``.  Masked spans (strings, comments) never
+    rewrite; a QUOTED table-name argument is fine because the match
+    anchors at the unmasked function name."""
+    found: dict[tuple[TableReference, int, int | None], str] = {}
+    spans = _masked_spans(sql)
+
+    def sub(m: re.Match) -> str:
+        if _in_spans(m.start(), spans):
+            return m.group(0)
+        ref = TableReference(
+            _unquote(m.group("db")).lower(),
+            _unquote(m.group("tbl")).lower(),
+        )
+        v1 = int(m.group("v1"))
+        v2 = int(m.group("v2")) if m.group("v2") else None
+        key = (ref, v1, v2)
+        if key not in found:
+            found[key] = namer(ref, v1, v2)
+        return found[key]
+
+    out = _TABLE_CHANGES.sub(sub, sql)
+    return [
+        (r, v1, v2, v) for (r, v1, v2), v in found.items()
+    ], out
+
+
 def get_query_glue_table_refs(
     sql: str, strict: bool = True
 ) -> list[TableReference]:

@@ -2189,3 +2189,117 @@ def test_describe_detail_iceberg_with_deletes(spark, tmp_path):
     )
     ddl = eng.sql("SHOW CREATE TABLE glue.db.t").first().createtab_stmt
     assert "USING ICEBERG" in ddl
+
+
+def test_insert_by_name(spark, tmp_path):
+    """INSERT ... BY NAME binds on the source's own column names —
+    order-free, NULL-filling missing target columns."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = tmp_path / "ibn"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "id long, tag string, amt double"
+        ),
+        str(loc),
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "INSERT INTO glue.db.t BY NAME "
+        "SELECT 5.0 AS amt, 9 AS id"
+    ).first()
+    assert out.rows_inserted == 1
+    got = {
+        r.id: (r.tag, r.amt)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {1: ("a", 10.0), 9: (None, 5.0)}
+    with pytest.raises(GlueSparkError, match="not in the table"):
+        eng.sql(
+            "INSERT INTO glue.db.t BY NAME SELECT 1 AS nope"
+        )
+    with pytest.raises(InvalidQueryError, match="no column list"):
+        parse_dml(
+            "INSERT INTO glue.db.t BY NAME (id) SELECT 1"
+        )
+
+
+def test_table_changes_tvf(spark, tmp_path):
+    """table_changes(glue.db.t, start [, end]) — the batch CDF TVF:
+    inclusive version window, typed change rows, quoted or bare table
+    argument, composable with data scans; non-Delta refuses."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+        write_delta_append,
+    )
+
+    loc = tmp_path / "tc"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ),
+        str(loc),
+    )  # v0: 2 inserts
+    set_delta_table_properties(
+        str(loc), {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("DELETE FROM glue.db.t WHERE id = 1")  # v2: cdc delete
+    eng.sql(
+        "INSERT INTO glue.db.t VALUES (3, 'c')"
+    )  # v3: synthesized insert
+    rows = eng.sql(
+        "SELECT id, _change_type, _commit_version "
+        "FROM table_changes(glue.db.t, 2) ORDER BY _commit_version"
+    ).collect()
+    assert [(r.id, r._change_type, r._commit_version) for r in rows] == [
+        (1, "delete", 2),
+        (3, "insert", 3),
+    ]
+    # inclusive bounded window + QUOTED table argument
+    rows = eng.sql(
+        "SELECT count(*) AS n "
+        "FROM table_changes('glue.db.t', 0, 0)"
+    ).first()
+    assert rows.n == 2  # v0's two inserts
+    # composes with a live scan in one query
+    joined = eng.sql(
+        "SELECT c.id FROM table_changes(glue.db.t, 3, 3) c "
+        "JOIN glue.db.t d ON c.id = d.id"
+    ).collect()
+    assert [r.id for r in joined] == [3]
+    # a string literal NOT inside the call is untouched
+    lit = eng.sql(
+        "SELECT 'table_changes(glue.db.t, 0)' AS s"
+    ).first().s
+    assert lit == "table_changes(glue.db.t, 0)"
+
+    # non-Delta refuses toward the streaming CDF modes
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    iloc = tmp_path / "tci"
+    write_iceberg_append(
+        spark.createDataFrame([(1,)], "id long"), str(iloc)
+    )
+    store2 = LocalMetadataStore()
+    store2.register_parquet_dir(
+        "db", "t", str(iloc), parameters={"table_type": "ICEBERG"}
+    )
+    with pytest.raises(GlueSparkError, match="readChangeFeed"):
+        GlueSparkEngine(spark, store2).sql(
+            "SELECT * FROM table_changes(glue.db.t, 0)"
+        )
