@@ -67,7 +67,7 @@ class MaintenanceStatement:
     repo's format-specific maintenance functions."""
 
     ref: TableReference
-    verb: str  # "optimize" | "vacuum" | "reorg"
+    verb: str  # "optimize" | "vacuum" | "reorg" | "fsck"
     zorder_by: tuple[str, ...] = field(default=())
     retain_hours: float | None = None
     dry_run: bool = False  # VACUUM ... DRY RUN: report, don't delete
@@ -172,7 +172,8 @@ class RestoreStatement:
     instant)."""
 
     ref: TableReference
-    version: int
+    version: int | None
+    timestamp: str | None = None  # TO TIMESTAMP AS OF '<literal>'
 
 
 @dataclass(frozen=True)
@@ -453,6 +454,10 @@ _RESTORE_RE = re.compile(
 _TO_VERSION_RE = re.compile(
     r"TO\s+VERSION\s+AS\s+OF\s+(?P<n>\d+)\s*;?\s*$", re.IGNORECASE
 )
+_TO_TIMESTAMP_RE = re.compile(
+    r"TO\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_TABLES_RE = re.compile(
     rf"SHOW\s+TABLES\s+(?:IN|FROM)\s+glue(?:\.(?P<db>{_IDENT}))?"
     r"\s*;?\s*$",
@@ -466,6 +471,10 @@ _SHOW_CREATE_RE = re.compile(
     r"SHOW\s+CREATE\s+TABLE\s+", re.IGNORECASE
 )
 _TRUNCATE_RE = re.compile(r"TRUNCATE\s+TABLE\s+", re.IGNORECASE)
+_FSCK_RE = re.compile(
+    r"FSCK\s+REPAIR\s+TABLE\s+", re.IGNORECASE
+)
+_DRY_RUN_RE = re.compile(r"^DRY\s+RUN\s*;?\s*$", re.IGNORECASE)
 _DESC_HISTORY_RE = re.compile(
     r"(?:DESCRIBE|DESC)\s+HISTORY\s+", re.IGNORECASE
 )
@@ -655,12 +664,16 @@ def parse_dml(sql: str):
         ref, pos = got
         rest = s[pos:].lstrip()
         vm = _TO_VERSION_RE.match(rest)
-        if not vm:
-            raise InvalidQueryError(
-                f"RESTORE TABLE glue.{ref.database}.{ref.table}: "
-                f"expected TO VERSION AS OF <n>, got {rest[:40]!r}"
-            )
-        return RestoreStatement(ref, int(vm.group("n")))
+        if vm:
+            return RestoreStatement(ref, int(vm.group("n")))
+        tm = _TO_TIMESTAMP_RE.match(rest)
+        if tm:
+            return RestoreStatement(ref, None, tm.group("ts"))
+        raise InvalidQueryError(
+            f"RESTORE TABLE glue.{ref.database}.{ref.table}: "
+            f"expected TO VERSION AS OF <n> or TO TIMESTAMP AS OF "
+            f"'<ts>', got {rest[:40]!r}"
+        )
     m = _SHOW_TABLES_RE.match(s)
     if m:
         db = m.group("db")
@@ -926,6 +939,23 @@ def parse_dml(sql: str):
                 f"unexpected trailing text {rest[:40]!r}"
             )
         return DropTableStatement(ref, m.group("ie") is not None)
+    if _FSCK_RE.match(s):
+        # FSCK REPAIR TABLE t [DRY RUN]: drop log entries whose
+        # backing data file vanished out-of-band (Delta dialect)
+        start = _FSCK_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # FSCK of a non-glue name
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        dry = bool(rest) and bool(_DRY_RUN_RE.match(rest))
+        if rest and not dry:
+            raise InvalidQueryError(
+                f"FSCK REPAIR TABLE glue.{ref.database}."
+                f"{ref.table}: unexpected trailing text "
+                f"{rest[:40]!r} (only DRY RUN)"
+            )
+        return MaintenanceStatement(ref, "fsck", dry_run=dry)
     if _TRUNCATE_RE.match(s):
         # TRUNCATE TABLE t == DELETE FROM t (no WHERE): same
         # row-level writers, same metadata-only full-file retire —

@@ -496,12 +496,33 @@ class GlueSparkEngine:
                 "rows_inserted long, rows_deleted long",
             )
         if isinstance(stmt, RestoreStatement):
+            target_version = stmt.version
+            if stmt.timestamp is not None:
+                # TO TIMESTAMP AS OF: resolve through the same rule
+                # read-side timestamp travel uses (newest commit at
+                # or before the literal)
+                if ttype != ETableType.DELTA:
+                    raise GlueSparkError(
+                        f"RESTORE {qual} TO TIMESTAMP AS OF: "
+                        "implemented for Delta (commitInfo "
+                        "timestamps are the travel authority); for "
+                        f"{ttype.name} restore by VERSION AS OF"
+                    )
+                from glue_table_cache_spark.sources.delta import (
+                    delta_version_at_timestamp,
+                )
+
+                target_version = delta_version_at_timestamp(
+                    loc,
+                    self._travel_timestamp_ms(stmt.timestamp),
+                    fs=self._fs,
+                )
             if ttype == ETableType.DELTA:
                 from glue_table_cache_spark.sinks.delta_write import (
                     restore_delta,
                 )
 
-                version = restore_delta(loc, stmt.version)
+                version = restore_delta(loc, target_version)
             elif ttype == ETableType.ICEBERG:
                 from glue_table_cache_spark.sinks.iceberg_write import (
                     rollback_iceberg,
@@ -1808,6 +1829,35 @@ class GlueSparkEngine:
                 [("REORG",
                   None if version is None else str(version), 0)],
                 "operation string, version string, files_removed long",
+            )
+        if stmt.verb == "fsck":
+            # FSCK REPAIR TABLE: drop log entries whose backing file
+            # vanished out-of-band — until then every scan dies on
+            # the missing file
+            if ttype != ETableType.DELTA:
+                raise GlueSparkError(
+                    f"FSCK REPAIR TABLE {qual}: implemented for "
+                    f"Delta (the table is registered as "
+                    f"{ttype.name}); Iceberg/Hudi repair by "
+                    "rewriting metadata with their own runtimes"
+                )
+            from glue_table_cache_spark.sinks.delta_optimize import (
+                fsck_delta,
+            )
+
+            version, gone = fsck_delta(loc, dry_run=stmt.dry_run)
+            if stmt.dry_run:
+                return self.spark.createDataFrame(
+                    [(str(p),) for p in gone], "path string"
+                )
+            if version is not None:
+                self.invalidate_table(tbl.database, tbl.name)
+            return self.spark.createDataFrame(
+                [("FSCK",
+                  None if version is None else str(version),
+                  len(gone))],
+                "operation string, version string, "
+                "files_removed long",
             )
         if stmt.verb == "optimize":
             if stmt.predicate and ttype != ETableType.DELTA:

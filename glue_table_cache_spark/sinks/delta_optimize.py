@@ -372,3 +372,82 @@ def vacuum_delta(
         for v in victims:
             Path(v).unlink(missing_ok=True)
     return sorted(victims)
+
+
+def fsck_delta(
+    location: str,
+    dry_run: bool = False,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> tuple[int | None, list[str]]:
+    """``FSCK REPAIR TABLE`` (public Delta dialect): drop log entries
+    whose backing data file can no longer be found — after an
+    out-of-band deletion, every scan of the table dies on the missing
+    file until the log stops referencing it.  Returns ``(version,
+    missing_paths)``; ``dry_run=True`` reports without committing.
+    Removes carry ``dataChange=true`` (rows readers could previously
+    see ARE disappearing) in ONE commit.  appendOnly tables are not
+    refused: the data is already gone, and blocking the repair would
+    just leave the table unreadable."""
+    from glue_table_cache_spark.sources.delta import (
+        delta_scan_info,
+        log_action_path,
+    )
+
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "fsck_delta commits via filesystem put-if-absent; "
+            "object stores need an external commit coordinator"
+        )
+    entries, _renames = delta_scan_info(location)
+    missing = sorted(
+        p for p, _pv, _dv in entries if not Path(p).exists()
+    )
+    if not missing or dry_run:
+        return None, missing
+    by_path = {p: pv for p, pv, _dv in entries}
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "FSCK",
+                "operationParameters": {
+                    "numRemovedFiles": str(len(missing))
+                },
+            }
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": log_action_path(location, p),
+                "deletionTimestamp": now,
+                "dataChange": True,
+                "partitionValues": by_path[p],
+            }
+        }
+        for p in missing
+    ]
+    from glue_table_cache_spark.sinks.delta_write import (
+        _maybe_checkpoint,
+        serialize_actions,
+    )
+
+    log_dir = base / "_delta_log"
+    for _attempt in range(max_commit_retries):
+        version = _next_version(log_dir)
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(serialize_actions(actions))
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version, missing
+    raise GlueSparkError(
+        f"could not commit FSCK to {location!r} after "
+        f"{max_commit_retries} attempts"
+    )

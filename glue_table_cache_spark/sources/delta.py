@@ -1293,3 +1293,40 @@ def delta_history(spark, location: str, s3_client=None, fs=None):
         sorted(rows),
         "version long, timestamp long, operation string",
     )
+
+
+def delta_version_at_timestamp(
+    location: str, ts_ms: int, s3_client=None, fs=None
+) -> int:
+    """The newest RETAINED version whose commitInfo timestamp is at
+    or before ``ts_ms`` — the read-travel rule, exposed for
+    ``RESTORE TABLE ... TO TIMESTAMP AS OF``."""
+    names = _log_files(location, fs=fs)
+    commits: dict[int, str] = {}
+    for p in names:
+        m = _COMMIT_RE.search(p)
+        if m:
+            commits[int(m.group(1))] = p
+    if not commits:
+        raise GlueSparkError(
+            f"No Delta log found under {location!r}/_delta_log"
+        )
+    target = None
+    for v in sorted(commits):
+        ts = _commit_timestamp(commits[v], s3_client)
+        if ts is None:
+            raise GlueSparkError(
+                f"Delta commit {v} of {location!r} carries no "
+                "commitInfo timestamp — timestamp travel needs the "
+                "writer's commitInfo actions"
+            )
+        if ts <= ts_ms:
+            target = v
+        else:
+            break
+    if target is None:
+        raise GlueSparkError(
+            f"No Delta version of {location!r} exists at or before "
+            f"timestamp {ts_ms} in the retained log"
+        )
+    return target

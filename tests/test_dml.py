@@ -933,8 +933,12 @@ def test_sql_restore_all_formats(spark, tmp_path):
     s = parse_dml("RESTORE TABLE glue.db.t TO VERSION AS OF 3")
     assert isinstance(s, RestoreStatement) and s.version == 3
     assert parse_dml("RESTORE TABLE plain TO VERSION AS OF 1") is None
+    ts = parse_dml(
+        "RESTORE TABLE glue.db.t TO TIMESTAMP AS OF '2020-01-01'"
+    )
+    assert ts.version is None and ts.timestamp == "2020-01-01"
     with pytest.raises(InvalidQueryError, match="TO VERSION"):
-        parse_dml("RESTORE TABLE glue.db.t TO TIMESTAMP AS OF '2020'")
+        parse_dml("RESTORE TABLE glue.db.t TO YESTERDAY")
 
     df1 = spark.createDataFrame([(1, "a")], "id long, v string")
     df2 = spark.createDataFrame([(2, "b")], "id long, v string")
@@ -2302,4 +2306,118 @@ def test_table_changes_tvf(spark, tmp_path):
     with pytest.raises(GlueSparkError, match="readChangeFeed"):
         GlueSparkEngine(spark, store2).sql(
             "SELECT * FROM table_changes(glue.db.t, 0)"
+        )
+
+
+def test_fsck_repair_table(spark, tmp_path):
+    """FSCK REPAIR TABLE drops log entries whose backing file
+    vanished out-of-band: scans die on the missing file until the
+    repair, then see the surviving rows; DRY RUN reports only."""
+    import os as _os
+
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = tmp_path / "fsck"
+    write_delta_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        str(loc),
+    )
+    write_delta_append(
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        str(loc),
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    # delete the file holding id=2 out-of-band (batch-uuid file
+    # names don't sort by append order)
+    import pyarrow.parquet as pq
+
+    victim = next(
+        p
+        for p in loc.glob("part-*.parquet")
+        if 2 in pq.read_table(p, columns=["id"])["id"].to_pylist()
+    )
+    _os.unlink(victim)
+    eng.invalidate_table("db", "t")
+    dry = eng.sql("FSCK REPAIR TABLE glue.db.t DRY RUN").collect()
+    assert [r.path for r in dry] == [str(victim)]
+    out = eng.sql("FSCK REPAIR TABLE glue.db.t").first()
+    assert out.operation == "FSCK" and out.files_removed == 1
+    rows = eng.sql("SELECT * FROM glue.db.t").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "a")]
+    # repaired: second pass is a no-op
+    out = eng.sql("FSCK REPAIR TABLE glue.db.t").first()
+    assert out.files_removed == 0 and out.version is None
+    assert parse_dml("FSCK REPAIR TABLE plain.t") is None
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF resolves through the same rule
+    read-side timestamp travel uses (newest commit at or before the
+    literal) and restores that state."""
+    import json as _json
+    import time as _time
+
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = tmp_path / "rts"
+    write_delta_append(
+        spark.createDataFrame([(1,)], "id long"), str(loc)
+    )
+    _time.sleep(0.05)
+    write_delta_append(
+        spark.createDataFrame([(2,)], "id long"), str(loc)
+    )
+    ts0 = _json.loads(
+        (loc / "_delta_log" / f"{0:020d}.json")
+        .read_text()
+        .splitlines()[0]
+    )["commitInfo"]["timestamp"]
+    import datetime as _dt
+
+    lit = (
+        _dt.datetime.fromtimestamp(
+            ts0 / 1000.0, tz=_dt.timezone.utc
+        )
+        .replace(tzinfo=None)
+        .isoformat()
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        f"RESTORE TABLE glue.db.t TO TIMESTAMP AS OF '{lit}'"
+    ).first()
+    assert out.operation == "RESTORE"
+    assert [r.id for r in eng.sql(
+        "SELECT * FROM glue.db.t"
+    ).collect()] == [1]
+    with pytest.raises(GlueSparkError, match="VERSION AS OF"):
+        store2 = LocalMetadataStore()
+        iloc = tmp_path / "rtsi"
+        from glue_table_cache_spark.sinks.iceberg_write import (
+            write_iceberg_append,
+        )
+
+        write_iceberg_append(
+            spark.createDataFrame([(1,)], "id long"), str(iloc)
+        )
+        store2.register_parquet_dir(
+            "db", "t", str(iloc),
+            parameters={"table_type": "ICEBERG"},
+        )
+        GlueSparkEngine(spark, store2).sql(
+            "RESTORE TABLE glue.db.t TO TIMESTAMP AS OF "
+            "'2024-01-01T00:00:00'"
         )
