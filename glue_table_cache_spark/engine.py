@@ -681,37 +681,73 @@ class GlueSparkEngine:
             )
         if isinstance(stmt, DeleteStatement):
             op = "DELETE"
-            if ttype == ETableType.DELTA:
-                from glue_table_cache_spark.sinks.delta_delete import (
-                    delete_from_delta,
-                )
+            # subquery predicates (`WHERE id IN (SELECT ... FROM
+            # glue.db.x)` — the decontamination DELETE): glue refs
+            # inside the predicate resolve to per-call temp views;
+            # the writers evaluate the predicate in FILTERS, where
+            # Spark allows InSubquery/Exists
+            import dataclasses as _dc
 
-                version, n_del = delete_from_delta(
-                    self.spark, loc, stmt.predicate
+            drop_pred_views = None
+            if "(" in stmt.predicate:
+                pred, drop_pred_views = (
+                    self._resolve_predicate_refs(stmt.predicate)
                 )
-            elif ttype == ETableType.ICEBERG:
-                from glue_table_cache_spark.sinks.iceberg_delete import (
-                    delete_from_iceberg,
-                )
-
-                version, n_del = delete_from_iceberg(
-                    self.spark, loc, stmt.predicate
-                )
-            elif ttype == ETableType.HUDI:
-                if self._hudi_is_mor(loc):
-                    version, n_del = self._hudi_mor_delete(tbl, stmt)
-                else:
-                    from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
-                        delete_from_hudi,
+                stmt = _dc.replace(stmt, predicate=pred)
+            try:
+                if ttype == ETableType.DELTA:
+                    from glue_table_cache_spark.sinks.delta_delete import (  # noqa: E501
+                        delete_from_delta,
                     )
 
-                    version, n_del = delete_from_hudi(
+                    version, n_del = delete_from_delta(
                         self.spark, loc, stmt.predicate
                     )
-            else:
-                raise GlueSparkError(f"DELETE FROM {qual}: {fmt_hint}")
+                elif ttype == ETableType.ICEBERG:
+                    from glue_table_cache_spark.sinks.iceberg_delete import (  # noqa: E501
+                        delete_from_iceberg,
+                    )
+
+                    version, n_del = delete_from_iceberg(
+                        self.spark, loc, stmt.predicate
+                    )
+                elif ttype == ETableType.HUDI:
+                    if self._hudi_is_mor(loc):
+                        version, n_del = self._hudi_mor_delete(
+                            tbl, stmt
+                        )
+                    else:
+                        from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
+                            delete_from_hudi,
+                        )
+
+                        version, n_del = delete_from_hudi(
+                            self.spark, loc, stmt.predicate
+                        )
+                else:
+                    raise GlueSparkError(
+                        f"DELETE FROM {qual}: {fmt_hint}"
+                    )
+            finally:
+                if drop_pred_views is not None:
+                    drop_pred_views()
         elif isinstance(stmt, UpdateStatement):
             op = "UPDATE"
+            import re as _re
+
+            if _re.search(
+                r"\(\s*SELECT\b",
+                stmt.predicate
+                + " ".join(stmt.set_exprs.values()),
+                _re.IGNORECASE,
+            ):
+                raise GlueSparkError(
+                    f"UPDATE {qual}: subqueries in the predicate / "
+                    "SET expressions re-evaluate inside per-row "
+                    "PROJECTIONS, where Spark only allows them in "
+                    "filters — express the change as MERGE INTO "
+                    "... USING (SELECT ...)"
+                )
             if ttype == ETableType.DELTA:
                 from glue_table_cache_spark.sinks.delta_merge import (
                     update_delta,
@@ -1951,6 +1987,37 @@ class GlueSparkEngine:
             [("VACUUM", None, len(victims))],
             "operation string, version string, files_removed long",
         )
+
+    def _resolve_predicate_refs(self, text: str):
+        """Glue refs inside a DML predicate — the subquery shapes,
+        ``WHERE id IN (SELECT id FROM glue.db.contaminated)`` — get
+        the same treatment as any query: per-call temp views plus a
+        textual rewrite.  Returns ``(rewritten, drop)``; call
+        ``drop()`` once the writer has committed (writers evaluate
+        and commit synchronously, so the views' lifetime is the
+        call).  No glue refs → the text passes through untouched
+        with a no-op drop (plain temp-view subqueries already
+        resolve by name)."""
+        refs = get_query_glue_table_refs(text, strict=False)
+        if not refs:
+            return text, (lambda: None)
+        token = next(self._view_seq)
+        names = {
+            ref: f"{ref.view_name}__pred_q{token}_{i}"
+            for i, ref in enumerate(refs)
+        }
+        # the wrapped shape gives the pruning extractor a valid
+        # query context; unprovable predicates prune nothing (the
+        # conservative default)
+        self._register_views(
+            refs, names, f"SELECT * FROM __dml WHERE {text}", None
+        )
+
+        def drop() -> None:
+            for n in names.values():
+                self.spark.catalog.dropTempView(n)
+
+        return rewrite_query(text, refs, names), drop
 
     def _register_views(
         self,

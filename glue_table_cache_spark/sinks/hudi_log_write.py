@@ -33,6 +33,7 @@ attempt validation that every compacted group is still active, then
 from __future__ import annotations
 
 import json
+import re
 import os
 import shutil
 import time
@@ -468,16 +469,32 @@ def delete_from_hudi(
         spark, df, active
     )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    per_file = (
-        tagged.select("__f", cond.cast("int").alias("__hit"))
-        .groupBy("__f")
-        .agg(
-            F.sum("__hit").alias("__n"),
-            F.count(F.lit(1)).alias("__t"),
+    if isinstance(predicate, str) and re.search(
+        r"\(\s*SELECT\b", predicate, re.IGNORECASE
+    ):
+        # subquery predicates only resolve in FILTERS — two small
+        # aggs (hits via where(), totals per file) instead of the
+        # one-pass projected-flag agg
+        hits = (
+            tagged.where(cond)
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
-        .where(F.col("__n") > 0)
-        .collect()
-    )
+        totals = tagged.groupBy("__f").agg(
+            F.count(F.lit(1)).alias("__t")
+        )
+        per_file = hits.join(totals, "__f").collect()
+    else:
+        per_file = (
+            tagged.select("__f", cond.cast("int").alias("__hit"))
+            .groupBy("__f")
+            .agg(
+                F.sum("__hit").alias("__n"),
+                F.count(F.lit(1)).alias("__t"),
+            )
+            .where(F.col("__n") > 0)
+            .collect()
+        )
     if not per_file:
         return None, 0
     # map keys use the _metadata spelling (Hadoop-URI-encoded)

@@ -2421,3 +2421,108 @@ def test_restore_to_timestamp(spark, tmp_path):
             "RESTORE TABLE glue.db.t TO TIMESTAMP AS OF "
             "'2024-01-01T00:00:00'"
         )
+
+
+def test_delete_with_subquery_predicate(spark, tmp_path):
+    """The decontamination DELETE: ``WHERE id IN (SELECT ... FROM
+    glue.db.contaminated)`` — glue refs inside the predicate resolve
+    to per-call temp views, the writers evaluate InSubquery in
+    filters, and the metadata-only Delta proof treats the subquery as
+    Unknown (no unsound full-file retire).  UPDATE refuses with a
+    MERGE pointer."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    bad = spark.createDataFrame([(2,), (3,)], "bad long")
+    bad_dir = tmp_path / "badlist"
+    bad.write.parquet(str(bad_dir))
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    writers = {
+        "delta": (
+            write_delta_append,
+            {"spark.sql.sources.provider": "delta"},
+        ),
+        "iceberg": (write_iceberg_append, {"table_type": "ICEBERG"}),
+        "hudi": (write_hudi_append, {"hoodie.table.name": "t"}),
+    }
+    for fmt, (writer, params) in writers.items():
+        loc = tmp_path / fmt
+        writer(
+            spark.createDataFrame(rows, "id long, v string"),
+            str(loc),
+        )
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "db", "t", str(loc), parameters=params
+        )
+        store.register_parquet_dir("db", "badlist", str(bad_dir))
+        eng = GlueSparkEngine(spark, store)
+        out = eng.sql(
+            "DELETE FROM glue.db.t WHERE id IN "
+            "(SELECT bad FROM glue.db.badlist)"
+        ).first()
+        assert out.rows_deleted == 2, fmt
+        left = [
+            r.id for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        ]
+        assert left == [1], fmt
+        # no leaked per-call predicate views
+        assert not [
+            t.name
+            for t in spark.catalog.listTables()
+            if "__pred_q" in t.name
+        ], fmt
+        with pytest.raises(GlueSparkError, match="MERGE INTO"):
+            eng.sql(
+                "UPDATE glue.db.t SET v = 'x' WHERE id IN "
+                "(SELECT bad FROM glue.db.badlist)"
+            )
+
+
+def test_delete_subquery_on_partitioned_delta_stays_sound(
+    spark, tmp_path
+):
+    """A subquery conjunct must BLOCK the metadata-only full-file
+    proof: ``p = 'a' AND id IN (...)`` on a partitioned table deletes
+    exactly the matched rows, never the whole partition."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = tmp_path / "pdsq"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "id long, p string"
+        ),
+        str(loc),
+        partition_by=["p"],
+    )
+    spark.createDataFrame([(1,)], "bad long").createOrReplaceTempView(
+        "sq_bad"
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    try:
+        out = eng.sql(
+            "DELETE FROM glue.db.t WHERE p = 'a' AND id IN "
+            "(SELECT bad FROM sq_bad)"
+        ).first()
+        assert out.rows_deleted == 1
+        left = sorted(
+            (r.id, r.p)
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        )
+        assert left == [(2, "a"), (3, "b")]
+    finally:
+        spark.catalog.dropTempView("sq_bad")
