@@ -2484,6 +2484,21 @@ def test_delete_with_subquery_predicate(spark, tmp_path):
                 "UPDATE glue.db.t SET v = 'x' WHERE id IN "
                 "(SELECT bad FROM glue.db.badlist)"
             )
+        # correlated EXISTS resolves in the same filters
+        out = eng.sql(
+            "DELETE FROM glue.db.t WHERE EXISTS "
+            "(SELECT 1 FROM glue.db.badlist b WHERE b.bad + 1 = id)"
+        ).first()
+        assert out.rows_deleted == 0  # ids 3,4 not present anymore
+        if fmt == "delta":
+            eng.sql(
+                "INSERT INTO glue.db.t VALUES (4, 'd'), (5, 'e')"
+            )
+            out = eng.sql(
+                "DELETE FROM glue.db.t WHERE EXISTS (SELECT 1 "
+                "FROM glue.db.badlist b WHERE b.bad + 2 = id)"
+            ).first()
+            assert out.rows_deleted == 2  # ids 4 and 5
 
 
 def test_delete_subquery_on_partitioned_delta_stays_sound(
