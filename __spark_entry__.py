@@ -456,6 +456,42 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         finally:
             q.stop()
         (base / "orders_delta_stream._BUILT").touch()
+    # CDF-ENABLED table (r9): inserts (orders + junk) → property
+    # commit → SQL DELETE of the junk as cdc delete rows; the
+    # delta_cdf arm nets table_changes(t, 0) back to plain `orders`
+    # under the DuckDB oracle (insert - delete), proving the batch
+    # CDF TVF window end-to-end
+    cdfl = base / "orders_delta_cdf"
+    if not (base / "orders_delta_cdf._BUILT").exists():
+        from glue_table_cache_spark.sinks.delta_write import (
+            set_delta_table_properties,
+            write_delta_append,
+        )
+
+        shutil.rmtree(cdfl, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        junk = orders.where(F.col("o_orderkey") % 9 == 5).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+        write_delta_append(orders.unionByName(junk), str(cdfl))
+        set_delta_table_properties(
+            str(cdfl), {"delta.enableChangeDataFeed": "true"}
+        )
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "tpch", "orders_delta_cdf", str(cdfl),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        out = (
+            GlueSparkEngine(spark, store)
+            .sql(
+                "DELETE FROM glue.tpch.orders_delta_cdf "
+                "WHERE o_orderkey < 0"
+            )
+            .first()
+        )
+        assert out.rows_deleted > 0, "cdf fixture: junk delete no-op"
+        (base / "orders_delta_cdf._BUILT").touch()
     # HIDDEN-partitioned Iceberg table from the repo's own writer:
     # month(o_orderdate) groups the files, the transformed value lives
     # only in the manifest partition tuple + directory name, and the
@@ -717,6 +753,12 @@ def _engine(
             "tpch",
             "orders_delta_stream",
             str(base / "orders_delta_stream"),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_delta_cdf",
+            str(base / "orders_delta_cdf"),
             parameters={"spark.sql.sources.provider": "delta"},
         )
         store.register_parquet_dir(
@@ -2730,6 +2772,10 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
     * iceberg_meta (r9) — the ``glue.db.t.files`` metadata table:
       sum(record_count) over the current snapshot's live data-file
       entries must equal the plain ``orders`` row count exactly;
+    * delta_cdf (r9) — the batch CDF TVF ``table_changes(t, 0)``
+      over a CDF-enabled table (inserts of orders+junk, then a SQL
+      DELETE of the junk as cdc delete rows): netting inserts minus
+      deletes must reproduce plain ``orders`` count and total;
     * iceberg_hp — a HIDDEN-partitioned table (``month(o_orderdate)``)
       the repo writer built, queried through a DATE predicate on the
       source column: green only if the recorded partition spec, the
@@ -2818,7 +2864,17 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
                    FROM glue.tpch.orders_iceberg_m.files
                    WHERE content = 0) AS n,
                   (SELECT round(sum(o_totalprice), 2)
-                   FROM glue.tpch.orders_iceberg_m) AS total"""
+                   FROM glue.tpch.orders_iceberg_m) AS total
+           UNION ALL
+           SELECT 'delta_cdf' AS fmt, 'ALL' AS o_orderstatus,
+                  CAST(sum(CASE _change_type WHEN 'insert' THEN 1
+                           WHEN 'delete' THEN -1 ELSE 0 END)
+                       AS BIGINT) AS n,
+                  round(sum(CASE _change_type
+                            WHEN 'insert' THEN o_totalprice
+                            WHEN 'delete' THEN -o_totalprice
+                            ELSE 0.0 END), 2) AS total
+           FROM table_changes(glue.tpch.orders_delta_cdf, 0)"""
     )
 
     # separate engine calls: a query may carry ONE travel spec per
@@ -3111,6 +3167,10 @@ _EXTRA_ORACLES: dict[str, str] = {
         "GROUP BY o_orderstatus "
         "UNION ALL "
         "SELECT 'iceberg_meta' AS fmt, 'ALL' AS o_orderstatus, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders "
+        "UNION ALL "
+        "SELECT 'delta_cdf' AS fmt, 'ALL' AS o_orderstatus, "
         "count(*) AS n, round(sum(o_totalprice), 2) AS total "
         "FROM orders "
         "UNION ALL "
