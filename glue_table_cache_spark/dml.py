@@ -200,10 +200,14 @@ class ShowStatement:
     Delta commits / Iceberg snapshots / Hudi instants), ``SHOW
     TBLPROPERTIES glue.db.t`` (the format's own table configuration)
     ``SHOW CREATE TABLE glue.db.t`` (the registration DDL
-    reconstructed from the scan schema + format metadata) — the
-    introspection verbs, answered from the engine's own metadata
-    paths.  ``verb`` is ``tables`` | ``partitions`` | ``describe``
-    | ``history`` | ``tblproperties`` | ``create``."""
+    reconstructed from the scan schema + format metadata),
+    ``SHOW COLUMNS IN glue.db.t`` (one column name per row),
+    ``SHOW DATABASES IN glue`` (distinct databases of the store
+    enumeration) — the introspection verbs, answered from the
+    engine's own metadata paths.  ``verb`` is ``tables`` |
+    ``partitions`` | ``describe`` | ``history`` |
+    ``tblproperties`` | ``create`` | ``columns`` |
+    ``databases``."""
 
     verb: str
     ref: TableReference | None = None
@@ -470,6 +474,13 @@ _SHOW_PROPS_RE = re.compile(
 _SHOW_CREATE_RE = re.compile(
     r"SHOW\s+CREATE\s+TABLE\s+", re.IGNORECASE
 )
+_SHOW_COLUMNS_RE = re.compile(
+    r"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+", re.IGNORECASE
+)
+_SHOW_DBS_RE = re.compile(
+    r"SHOW\s+(?:DATABASES|SCHEMAS)\s+(?:IN|FROM)\s+glue\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TRUNCATE_RE = re.compile(r"TRUNCATE\s+TABLE\s+", re.IGNORECASE)
 _FSCK_RE = re.compile(
     r"FSCK\s+REPAIR\s+TABLE\s+", re.IGNORECASE
@@ -693,6 +704,21 @@ def parse_dml(sql: str):
                 f"unexpected trailing text {rest[:40]!r}"
             )
         return ShowStatement("partitions", ref=ref)
+    if _SHOW_DBS_RE.match(s):
+        return ShowStatement("databases")
+    if _SHOW_COLUMNS_RE.match(s):
+        start = _SHOW_COLUMNS_RE.match(s).end()
+        got = _parse_ref(s, start)
+        if got is None:
+            return None  # SHOW COLUMNS on a non-glue name
+        ref, pos = got
+        rest = _trim_stmt(s[pos:])
+        if rest:
+            raise InvalidQueryError(
+                f"SHOW COLUMNS IN glue.{ref.database}.{ref.table}: "
+                f"unexpected trailing text {rest[:40]!r}"
+            )
+        return ShowStatement("columns", ref=ref)
     if _SHOW_CREATE_RE.match(s):
         start = _SHOW_CREATE_RE.match(s).end()
         got = _parse_ref(s, start)

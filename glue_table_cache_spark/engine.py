@@ -1178,6 +1178,17 @@ class GlueSparkEngine:
           metadata-schema authority for lakehouse formats), with
           Spark's ``# Partition Information`` section for registered
           keys."""
+        if stmt.verb == "databases":
+            lt = getattr(self.store, "list_tables", None)
+            if not callable(lt):
+                raise GlueSparkError(
+                    "SHOW DATABASES: the metadata store does not "
+                    "support enumeration (no list_tables)"
+                )
+            dbs = sorted({t.database for t in lt(None)})
+            return self.spark.createDataFrame(
+                [(d,) for d in dbs], "namespace string"
+            )
         if stmt.verb == "tables":
             lt = getattr(self.store, "list_tables", None)
             if not callable(lt):
@@ -1234,6 +1245,14 @@ class GlueSparkEngine:
             return self._execute_describe_detail(ref, tbl)
         if stmt.verb == "create":
             return self._execute_show_create(ref, tbl)
+        if stmt.verb == "columns":
+            schema = self.table_dataframe(
+                ref.database, ref.table
+            ).schema
+            return self.spark.createDataFrame(
+                [(f.name,) for f in schema.fields],
+                "col_name string",
+            )
         # describe: the scan schema is the source of truth (what a
         # SELECT actually surfaces, evolved columns included)
         schema = self.table_dataframe(ref.database, ref.table).schema

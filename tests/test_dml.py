@@ -2541,3 +2541,30 @@ def test_delete_subquery_on_partitioned_delta_stays_sound(
         assert left == [(2, "a"), (3, "b")]
     finally:
         spark.catalog.dropTempView("sq_bad")
+
+
+def test_show_columns_and_databases(spark, tmp_path):
+    from tests.conftest import TESTDATA
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "tpch", "orders", str(TESTDATA / "orders.parquet")
+    )
+    store.register_parquet_dir(
+        "other", "nation", str(TESTDATA / "nation.parquet")
+    )
+    eng = GlueSparkEngine(spark, store)
+    cols = [
+        r.col_name
+        for r in eng.sql("SHOW COLUMNS IN glue.tpch.orders").collect()
+    ]
+    assert "o_orderkey" in cols and "o_totalprice" in cols
+    dbs = [
+        r.namespace
+        for r in eng.sql("SHOW DATABASES IN glue").collect()
+    ]
+    assert dbs == ["other", "tpch"]
+    assert parse_dml("SHOW COLUMNS IN plain.t") is None
+    assert parse_dml("SHOW DATABASES") is None
+    with pytest.raises(InvalidQueryError, match="trailing"):
+        parse_dml("SHOW COLUMNS IN glue.db.t JUNK")
