@@ -168,17 +168,21 @@ class GlueSparkEngine:
             for i, ref in enumerate(refs)
         }
         self._register_views(refs, names, query, travel)
-        for ref, kind, vname, ver in meta_refs:
-            self._metadata_table_df(
-                ref, kind, ver
-            ).createOrReplaceTempView(vname)
-        for ref, v1, v2, vname in cdf_refs:
-            self._table_changes_df(
-                ref, v1, v2
-            ).createOrReplaceTempView(vname)
         # drop views in finally: analysis failures (e.g. a typo'd
-        # column) must not leak one per-query-unique view per call
+        # column) must not leak one per-query-unique view per call.
+        # Meta/CDF registration sits INSIDE the try — their builders
+        # raise on user-visible paths (non-Iceberg metadata table,
+        # non-Delta TVF, unknown sequence) and must not strand the
+        # already-registered scan views
         try:
+            for ref, kind, vname, ver in meta_refs:
+                self._metadata_table_df(
+                    ref, kind, ver
+                ).createOrReplaceTempView(vname)
+            for ref, v1, v2, vname in cdf_refs:
+                self._table_changes_df(
+                    ref, v1, v2
+                ).createOrReplaceTempView(vname)
             df = self.spark.sql(rewrite_query(query, refs, names))
         finally:
             for name in names.values():

@@ -49,6 +49,7 @@ import os
 import time
 import uuid
 from pathlib import Path
+from urllib.parse import unquote
 
 from glue_table_cache_spark.errors import GlueSparkError
 from glue_table_cache_spark.sources.delta import (
@@ -197,7 +198,10 @@ def _full_replay(location: str, target: int) -> tuple[dict, dict]:
             rec["partitionValues"] = _as_dict(
                 rec.get("partitionValues")
             )
-            adds[rec["path"]] = rec
+            # log paths are percent-encoded (PROTOCOL.md); state must
+            # key on DECODED on-disk paths or _checkpoint_rows'
+            # quote_log_path re-encodes and compounds per checkpoint
+            adds[unquote(rec["path"])] = rec
         elif c == "metaData" and (
             rec.get("id") or rec.get("schemaString")
         ):
@@ -288,9 +292,9 @@ def _full_replay(location: str, target: int) -> tuple[dict, dict]:
             action = json.loads(line)
             if action.get("add"):
                 a = action["add"]
-                adds[a["path"]] = a
+                adds[unquote(a["path"])] = a
             elif action.get("remove"):
-                adds.pop(action["remove"]["path"], None)
+                adds.pop(unquote(action["remove"]["path"]), None)
             elif action.get("metaData"):
                 state["metaData"] = action["metaData"]
             elif action.get("protocol"):

@@ -1078,7 +1078,12 @@ def hadoop_uri_encode(path: str) -> str:
     stays literal (verified empirically against Spark 4.1).  Apply to
     ON-DISK paths before comparing/joining them against
     ``_metadata``-derived strings — a hive-escaped directory like
-    ``p=a%3Ab`` reports as ``p=a%253Ab``."""
+    ``p=a%3Ab`` reports as ``p=a%253Ab``.  Non-ASCII characters
+    (which hive's escapePathName does NOT escape, so they reach disk
+    raw: ``p=café``) stay LITERAL too — verified empirically against
+    Spark 4.1 (``_metadata.file_path`` uses the URI's ``toString``,
+    not ``toASCIIString``); see
+    test_hudi_non_ascii_partition_value_dml."""
     return path.replace("%", "%25").replace(" ", "%20")
 
 

@@ -514,6 +514,28 @@ def test_failed_query_does_not_leak_temp_views(spark, store):
     assert after == before
 
 
+def test_failed_meta_and_cdf_refs_do_not_leak_views(spark, store):
+    """A metadata-table or table_changes() builder that refuses
+    (non-Iceberg .snapshots, non-Delta TVF) raises AFTER the
+    per-query scan views were registered — those must still drop."""
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    eng = GlueSparkEngine(spark, store)
+    before = {v.name for v in spark.catalog.listTables()}
+    with pytest.raises(GlueSparkError, match="Iceberg"):
+        eng.sql(
+            "SELECT r.r_name FROM glue.tpch.region r "
+            "JOIN glue.tpch.nation.snapshots s ON 1=1"
+        )
+    with pytest.raises(GlueSparkError, match="table_changes"):
+        eng.sql(
+            "SELECT r.r_name FROM glue.tpch.region r "
+            "JOIN table_changes(glue.tpch.nation, 0) c ON 1=1"
+        )
+    after = {v.name for v in spark.catalog.listTables()}
+    assert after == before
+
+
 def test_table_format_walks_are_cached_and_invalidated(
     spark, tmp_path, monkeypatch
 ):
