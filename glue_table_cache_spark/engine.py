@@ -24,6 +24,7 @@ rewritten query to Catalyst:
 from __future__ import annotations
 
 import itertools
+import re as _re
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
@@ -155,11 +156,19 @@ class GlueSparkEngine:
             extract_table_changes,
         )
 
+        def _tc_tag(v) -> str:
+            # timestamp bounds carry chars invalid in view names
+            return (
+                "latest"
+                if v is None
+                else _re.sub(r"[^A-Za-z0-9]", "_", str(v))
+            )
+
         cdf_refs, query = extract_table_changes(
             query,
             lambda ref, v1, v2: (
-                f"{ref.view_name}__changes_{v1}_"
-                f"{'latest' if v2 is None else v2}__q{token}"
+                f"{ref.view_name}__changes_{_tc_tag(v1)}_"
+                f"{_tc_tag(v2)}__q{token}"
             ),
         )
         refs = get_query_glue_table_refs(query, strict=False)
@@ -229,39 +238,108 @@ class GlueSparkEngine:
             self.spark, loc, kind, sequence_number=version
         )
 
+    @staticmethod
+    def _tc_ts_ms(literal: str) -> int:
+        """Epoch millis of a ``table_changes`` timestamp bound
+        (``'2024-01-01'`` / ``'2024-01-01 12:30:45'``); a naive
+        literal reads as UTC — the timezone this repo's writers stamp
+        commit timestamps in."""
+        from datetime import datetime, timezone
+
+        try:
+            dt = datetime.fromisoformat(literal)
+        except ValueError:
+            raise GlueSparkError(
+                f"table_changes: unparseable timestamp bound "
+                f"{literal!r} (use ISO 'YYYY-MM-DD[ HH:MM:SS]', or "
+                "an integer version/instant)"
+            ) from None
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
     def _table_changes_df(
-        self, ref, start: int, end: int | None
+        self, ref, start: int | str, end: int | str | None
     ) -> DataFrame:
         """The DataFrame behind ``table_changes(glue.db.t, start
         [, end])`` — the batch Change Data Feed TVF (public Delta
-        dialect): the table's columns plus ``_change_type`` /
-        ``_commit_version`` for the INCLUSIVE commit-version window.
-        Delta only; Iceberg/Hudi change feeds stream through their
-        sources' ``readChangeFeed`` mode (file-diff synthesis needs
-        consecutive-snapshot walks, not a version window)."""
+        dialect, extended to every lakehouse format this engine
+        reads): the table's columns plus ``_change_type`` /
+        ``_commit_version`` for the INCLUSIVE window.
+
+        Bound spelling is per-format: Delta commit versions, Iceberg
+        sequence numbers, Hudi request instants — the same
+        identifiers each format's ``VERSION AS OF`` travel uses.
+        Quoted timestamp literals resolve against the formats' commit
+        timestamps (start → oldest commit at or after; end → newest
+        at or before).  Windows whose per-row delta is not
+        file-diff-reconstructible (Iceberg row-level delete changes,
+        Hudi deltacommits) refuse with a pointer."""
         from glue_table_cache_spark.catalog import ETableType
         from glue_table_cache_spark.errors import (
             NoStorageLocationError,
         )
-        from glue_table_cache_spark.sources.delta import delta_cdf
 
         tbl = self.get_table_metadata_cached(ref.database, ref.table)
         if not tbl.location:
             raise NoStorageLocationError(tbl.database, tbl.name)
-        if tbl.table_type != ETableType.DELTA:
-            raise GlueSparkError(
-                f"table_changes(glue.{ref.database}.{ref.table}, "
-                f"...): the batch CDF TVF needs a DELTA table (this "
-                f"one is {tbl.table_type.name}); stream changes via "
-                "readChangeFeed=true instead"
-            )
         loc = tbl.location
         if loc.startswith("file:"):
             loc = loc[len("file:"):]
-        df = delta_cdf(self.spark, loc, since_version=start - 1)
-        if end is not None:
-            df = df.where(F.col("_commit_version") <= end)
-        return df
+        if tbl.table_type == ETableType.DELTA:
+            from glue_table_cache_spark.sources.delta import (
+                delta_cdf,
+                delta_version_at_or_after_timestamp,
+                delta_version_at_timestamp,
+            )
+
+            if isinstance(start, str):
+                start = delta_version_at_or_after_timestamp(
+                    loc, self._tc_ts_ms(start)
+                )
+            if isinstance(end, str):
+                end = delta_version_at_timestamp(
+                    loc, self._tc_ts_ms(end)
+                )
+            df = delta_cdf(self.spark, loc, since_version=start - 1)
+            if end is not None:
+                df = df.where(F.col("_commit_version") <= end)
+            return df
+        if tbl.table_type == ETableType.ICEBERG:
+            from glue_table_cache_spark.sources.iceberg import (
+                iceberg_seq_for_timestamp,
+                iceberg_table_changes,
+            )
+
+            if isinstance(start, str):
+                start = iceberg_seq_for_timestamp(
+                    loc, self._tc_ts_ms(start), "start"
+                )
+            if isinstance(end, str):
+                end = iceberg_seq_for_timestamp(
+                    loc, self._tc_ts_ms(end), "end"
+                )
+            return iceberg_table_changes(self.spark, loc, start, end)
+        if tbl.table_type == ETableType.HUDI:
+            from glue_table_cache_spark.sources.hudi import (
+                hudi_instant_for_timestamp,
+                hudi_table_changes,
+            )
+
+            if isinstance(start, str):
+                start = hudi_instant_for_timestamp(
+                    loc, self._tc_ts_ms(start), "start"
+                )
+            if isinstance(end, str):
+                end = hudi_instant_for_timestamp(
+                    loc, self._tc_ts_ms(end), "end"
+                )
+            return hudi_table_changes(self.spark, loc, start, end)
+        raise GlueSparkError(
+            f"table_changes(glue.{ref.database}.{ref.table}, ...): "
+            f"the batch CDF TVF needs a DELTA, ICEBERG, or HUDI "
+            f"table (this one is {tbl.table_type.name})"
+        )
 
     def setup_views(self, query: str) -> list[TableReference]:
         """Register one *stable-named* temp view per glue table referenced
@@ -737,50 +815,71 @@ class GlueSparkEngine:
                     drop_pred_views()
         elif isinstance(stmt, UpdateStatement):
             op = "UPDATE"
-            import re as _re
+            from glue_table_cache_spark.dml import (
+                predicate_has_subquery,
+            )
 
-            if _re.search(
-                r"\(\s*SELECT\b",
-                stmt.predicate
-                + " ".join(stmt.set_exprs.values()),
-                _re.IGNORECASE,
+            if any(
+                predicate_has_subquery(e)
+                for e in stmt.set_exprs.values()
             ):
                 raise GlueSparkError(
-                    f"UPDATE {qual}: subqueries in the predicate / "
-                    "SET expressions re-evaluate inside per-row "
-                    "PROJECTIONS, where Spark only allows them in "
-                    "filters — express the change as MERGE INTO "
-                    "... USING (SELECT ...)"
+                    f"UPDATE {qual}: subqueries in SET expressions "
+                    "re-evaluate inside per-row PROJECTIONS, where "
+                    "Spark only allows them in filters — express "
+                    "the change as MERGE INTO ... USING (SELECT ...)"
                 )
-            if ttype == ETableType.DELTA:
-                from glue_table_cache_spark.sinks.delta_merge import (
-                    update_delta,
-                )
+            # subquery PREDICATES work: glue refs resolve to
+            # per-call views and the writers evaluate the condition
+            # in filters (the filter-union rewrite shape)
+            import dataclasses as _dc
 
-                version, n_upd = update_delta(
-                    self.spark, loc, stmt.predicate, stmt.set_exprs
+            drop_pred_views = None
+            if "(" in stmt.predicate:
+                pred, drop_pred_views = (
+                    self._resolve_predicate_refs(stmt.predicate)
                 )
-            elif ttype == ETableType.ICEBERG:
-                from glue_table_cache_spark.sinks.iceberg_delete import (  # noqa: E501
-                    update_iceberg,
-                )
+                stmt = _dc.replace(stmt, predicate=pred)
+            try:
+                if ttype == ETableType.DELTA:
+                    from glue_table_cache_spark.sinks.delta_merge import (  # noqa: E501
+                        update_delta,
+                    )
 
-                version, n_upd = update_iceberg(
-                    self.spark, loc, stmt.predicate, stmt.set_exprs
-                )
-            elif ttype == ETableType.HUDI:
-                if self._hudi_is_mor(loc):
-                    version, n_upd = self._hudi_mor_update(tbl, stmt)
+                    version, n_upd = update_delta(
+                        self.spark, loc, stmt.predicate,
+                        stmt.set_exprs,
+                    )
+                elif ttype == ETableType.ICEBERG:
+                    from glue_table_cache_spark.sinks.iceberg_delete import (  # noqa: E501
+                        update_iceberg,
+                    )
+
+                    version, n_upd = update_iceberg(
+                        self.spark, loc, stmt.predicate,
+                        stmt.set_exprs,
+                    )
+                elif ttype == ETableType.HUDI:
+                    if self._hudi_is_mor(loc):
+                        version, n_upd = self._hudi_mor_update(
+                            tbl, stmt
+                        )
+                    else:
+                        from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
+                            update_hudi,
+                        )
+
+                        version, n_upd = update_hudi(
+                            self.spark, loc, stmt.predicate,
+                            stmt.set_exprs,
+                        )
                 else:
-                    from glue_table_cache_spark.sinks.hudi_log_write import (  # noqa: E501
-                        update_hudi,
+                    raise GlueSparkError(
+                        f"UPDATE {qual}: {fmt_hint}"
                     )
-
-                    version, n_upd = update_hudi(
-                        self.spark, loc, stmt.predicate, stmt.set_exprs
-                    )
-            else:
-                raise GlueSparkError(f"UPDATE {qual}: {fmt_hint}")
+            finally:
+                if drop_pred_views is not None:
+                    drop_pred_views()
         elif isinstance(stmt, MergeStatement):
             op = "MERGE"
             if ttype not in (
@@ -792,6 +891,18 @@ class GlueSparkEngine:
             # the USING operand resolves through the normal read
             # path — glue refs, temp views, and subqueries all work
             source = self.sql(f"SELECT * FROM {stmt.source_text}")
+            if stmt.schema_evolution:
+                # WITH SCHEMA EVOLUTION: new source columns widen
+                # the table schema FIRST via the formats' schema-only
+                # ALTER commit (Delta schemaString, fresh Iceberg
+                # field ids, Hudi extraMetadata re-record) — then the
+                # normal merge sees the widened target (pre-merge
+                # files surface nulls).  Two commits, documented
+                # deviation from the one-commit runtimes.
+                tbl = self._evolve_for_merge(tbl, stmt, source)
+                loc = tbl.location
+                if loc.startswith("file:"):
+                    loc = loc[len("file:"):]
             if stmt.whole_row:
                 # the classic upsert pair (unconditional UPDATE SET *
                 # + INSERT *) — the whole-row writers' fast path, no
@@ -948,6 +1059,52 @@ class GlueSparkEngine:
             self.spark, loc, key, delete_keys=keys
         )
         return instant, len(keys)
+
+    def _evolve_for_merge(
+        self, tbl: CatalogTable, stmt, source: DataFrame
+    ) -> CatalogTable:
+        """``MERGE WITH SCHEMA EVOLUTION``'s widening pre-step: any
+        source column absent from the target schema commits via the
+        format's schema-only ALTER (nullable — pre-merge rows read
+        null), then the table caches invalidate so the merge writers
+        and the MOR merged view see the widened schema.  No new
+        columns → no commit."""
+        from pyspark.sql.types import StructField, StructType
+
+        from glue_table_cache_spark.catalog import ETableType
+
+        t_cols = set(self._dataframe_for(tbl, None).columns)
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name not in t_cols
+        ]
+        if not new_fields:
+            return tbl
+        loc = tbl.location
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        cols = StructType(new_fields)
+        if tbl.table_type == ETableType.DELTA:
+            from glue_table_cache_spark.sinks.delta_write import (
+                alter_delta_add_columns,
+            )
+
+            alter_delta_add_columns(loc, cols)
+        elif tbl.table_type == ETableType.ICEBERG:
+            from glue_table_cache_spark.sinks.iceberg_write import (
+                alter_iceberg_add_columns,
+            )
+
+            alter_iceberg_add_columns(loc, cols)
+        else:
+            from glue_table_cache_spark.sinks.hudi_write import (
+                alter_hudi_add_columns,
+            )
+
+            alter_hudi_add_columns(loc, cols)
+        self.invalidate_table(tbl.database, tbl.name)
+        return tbl
 
     def _hudi_mor_update(
         self, tbl: CatalogTable, stmt
@@ -1135,23 +1292,9 @@ class GlueSparkEngine:
         )
         n_ins = ins.count() if ins is not None else 0
         if n_ins:
-            from pathlib import Path as _P
-
-            from glue_table_cache_spark.sinks.hudi_write import (
-                _recorded_partition_fields,
-            )
-
-            if _recorded_partition_fields(
-                loc, _P(loc) / ".hoodie" / "hoodie.properties"
-            ):
-                raise GlueSparkError(
-                    f"MERGE on MOR glue.{tbl.database}.{tbl.name}: "
-                    "NOT MATCHED inserts into a hive-partitioned "
-                    "MOR table cannot be routed to the right "
-                    "partition's log — insert through "
-                    "write_hudi_log(insert_partition=...) or "
-                    "write_hudi_append"
-                )
+            # partitioned MOR included: write_hudi_log routes each
+            # NOT MATCHED row on its own partition-column values
+            # (and strips them from the log payload)
             ups = (
                 ins
                 if ups is None
@@ -3123,6 +3266,21 @@ class GlueSparkEngine:
             )
         if fmt == "json":
             return reader.json(list(paths))
+        if fmt == "orc":
+            return reader.orc(*paths)
+        if fmt != "parquet":
+            # an unrecognized classification must not silently scan
+            # the files as parquet — a typo'd or unsupported format
+            # (avro, grok, ...) would die mid-query or, worse, return
+            # garbage rows
+            name = (
+                tbl.qualified_name if tbl is not None else "<table>"
+            )
+            raise GlueSparkError(
+                f"{name}: classification={fmt!r} is not supported "
+                "(parquet, orc, csv, json); fix the catalog "
+                "parameter or convert the data"
+            )
         return reader.parquet(*paths)
 
     def _attach_partition_columns(

@@ -1335,3 +1335,36 @@ def delta_version_at_timestamp(
             f"timestamp {ts_ms} in the retained log"
         )
     return target
+
+
+def delta_version_at_or_after_timestamp(
+    location: str, ts_ms: int, s3_client=None, fs=None
+) -> int:
+    """The OLDEST retained version whose commitInfo timestamp is at
+    or after ``ts_ms`` — the CDF ``startingTimestamp`` rule (the
+    public dialect errors when the timestamp is past the newest
+    commit, and so does this)."""
+    names = _log_files(location, fs=fs)
+    commits: dict[int, str] = {}
+    for p in names:
+        m = _COMMIT_RE.search(p)
+        if m:
+            commits[int(m.group(1))] = p
+    if not commits:
+        raise GlueSparkError(
+            f"No Delta log found under {location!r}/_delta_log"
+        )
+    for v in sorted(commits):
+        ts = _commit_timestamp(commits[v], s3_client)
+        if ts is None:
+            raise GlueSparkError(
+                f"Delta commit {v} of {location!r} carries no "
+                "commitInfo timestamp — timestamp travel needs the "
+                "writer's commitInfo actions"
+            )
+        if ts >= ts_ms:
+            return v
+    raise GlueSparkError(
+        f"No Delta version of {location!r} exists at or after "
+        f"timestamp {ts_ms} (newest commit predates it)"
+    )

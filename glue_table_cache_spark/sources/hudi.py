@@ -526,3 +526,161 @@ def hudi_timeline(spark, location: str, s3_client=None, fs=None):
     return spark.createDataFrame(
         rows, "instant long, action string, files_written int"
     )
+
+
+def _instant_ms(instant: int) -> int:
+    """Epoch millis of a Hudi request instant (``yyyyMMddHHmmss`` or
+    ``yyyyMMddHHmmssSSS``, UTC — this repo's writers stamp via
+    ``time.gmtime``)."""
+    from datetime import datetime, timezone
+
+    s = str(instant)
+    if len(s) not in (14, 17):
+        raise GlueSparkError(
+            f"Unrecognized Hudi instant spelling {instant!r} "
+            "(expected yyyyMMddHHmmss[SSS])"
+        )
+    base = datetime.strptime(s[:14], "%Y%m%d%H%M%S").replace(
+        tzinfo=timezone.utc
+    )
+    return int(base.timestamp() * 1000) + int(s[14:17] or 0)
+
+
+def hudi_instant_for_timestamp(
+    location: str, ts_ms: int, mode: str, fs=None
+) -> int:
+    """Resolve a timestamp to a completed request instant:
+    ``mode='start'`` → the OLDEST instant at or after ``ts_ms``,
+    ``mode='end'`` → the NEWEST at or before.  None qualifies →
+    refuse."""
+    names = _timeline_files(location, fs=fs)
+    instants = _completed_instants(names, location)
+    if not instants:
+        raise GlueSparkError(
+            f"No completed Hudi instants under {location!r}/.hoodie"
+        )
+    pairs = sorted((_instant_ms(ts), ts) for ts, _k, _p in instants)
+    if mode == "start":
+        for ms, inst in pairs:
+            if ms >= ts_ms:
+                return inst
+        raise GlueSparkError(
+            f"No Hudi instant of {location!r} at or after timestamp "
+            f"{ts_ms} (newest instant predates it)"
+        )
+    target = None
+    for ms, inst in pairs:
+        if ms <= ts_ms:
+            target = inst
+    if target is None:
+        raise GlueSparkError(
+            f"No Hudi instant of {location!r} at or before "
+            f"timestamp {ts_ms}"
+        )
+    return target
+
+
+def hudi_table_changes(
+    spark,
+    location: str,
+    start_instant: int,
+    end_instant: int | None = None,
+    fs=None,
+):
+    """Row-level changelog for the INCLUSIVE instant window
+    ``[start_instant, end_instant]`` (end defaults to the newest
+    completed instant): the table's columns plus ``_change_type``
+    (insert / delete) and ``_commit_version`` (the delivering
+    instant) — the batch ``table_changes()`` TVF shape over the COW
+    timeline's consecutive-instant file diffs.  A ``deltacommit``
+    inside the window refuses (MOR log blocks update rows in place —
+    not file-diff-reconstructible); compact first.
+
+    Driver walks the timeline only; row reads are distributed
+    ``basePath``-anchored scans, so hive-style partition columns
+    re-attach and the recorded ``extraMetadata.schema`` (when
+    present) types evolved tables."""
+    from pyspark.sql import functions as F
+
+    # function-level import: streaming.hudi_source imports this
+    # module at call time too (no cycle at import time)
+    from glue_table_cache_spark.streaming.hudi_source import (
+        _stream_changes,
+    )
+
+    names = _timeline_files(location, fs=fs)
+    instants = _completed_instants(names, location)
+    if not instants:
+        raise GlueSparkError(
+            f"No completed Hudi instants under {location!r}/.hoodie"
+        )
+    all_ts = sorted(ts for ts, _k, _p in instants)
+    if end_instant is None:
+        end_instant = all_ts[-1]
+    if start_instant > end_instant:
+        raise GlueSparkError(
+            f"table_changes window is inverted: start "
+            f"{start_instant} > end {end_instant}"
+        )
+    if start_instant > all_ts[-1]:
+        raise GlueSparkError(
+            f"table_changes start bound {start_instant} is past the "
+            f"newest completed Hudi instant {all_ts[-1]} of "
+            f"{location!r}"
+        )
+    # a start at or before the oldest instant means "from genesis" —
+    # _state_at would (correctly) refuse a nonexistent prior state
+    since = start_instant - 1
+    if since < all_ts[0]:
+        since = 0
+    changes = _stream_changes(location, since, end_instant)
+    schema = None
+    try:
+        from glue_table_cache_spark.streaming.hudi_source import (
+            _stream_schema,
+        )
+
+        schema = _stream_schema(location)
+    except GlueSparkError:
+        pass  # no recorded schema: parquet self-describes
+    by_key: dict[tuple[int, str], list[str]] = {}
+    for path, _pv, ct, ts in changes:
+        by_key.setdefault((ts, ct), []).append(path)
+    reader = spark.read.option("basePath", location)
+    if schema is not None:
+        reader = reader.schema(schema)
+    pieces = []
+    for ts, ct in sorted(by_key):
+        pieces.append(
+            reader.parquet(*by_key[(ts, ct)])
+            .withColumn("_change_type", F.lit(ct))
+            .withColumn("_commit_version", F.lit(ts).cast("long"))
+        )
+    if not pieces:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        if schema is None:
+            raise GlueSparkError(
+                f"table_changes window of {location!r} is empty and "
+                "the timeline records no extraMetadata.schema to "
+                "type the empty result"
+            )
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            ),
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

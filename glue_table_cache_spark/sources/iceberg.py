@@ -1005,3 +1005,183 @@ def iceberg_cdf(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def iceberg_seq_for_timestamp(
+    location: str,
+    ts_ms: int,
+    mode: str,
+    s3_client=None,
+    fs=None,
+) -> int:
+    """Resolve a timestamp to a sequence number from the snapshot
+    log's ``timestamp-ms`` entries: ``mode='start'`` → the OLDEST
+    snapshot at or after ``ts_ms`` (CDF startingTimestamp rule),
+    ``mode='end'`` → the NEWEST at or before (endingTimestamp /
+    travel rule).  No snapshot qualifies → refuse."""
+    jsons = _list_metadata_jsons(location, fs=fs)
+    if not jsons:
+        raise GlueSparkError(
+            f"No Iceberg metadata JSON found under {location!r}"
+        )
+    meta = max(
+        (_read_json(p, s3_client) for p in jsons),
+        key=lambda m: m.get("last-sequence-number", 0),
+    )
+    snaps = sorted(
+        (
+            int(s.get("timestamp-ms", 0)),
+            int(s.get("sequence-number", 0)),
+        )
+        for s in meta.get("snapshots") or []
+    )
+    if mode == "start":
+        for ts, seq in snaps:
+            if ts >= ts_ms:
+                return seq
+        raise GlueSparkError(
+            f"No Iceberg snapshot of {location!r} at or after "
+            f"timestamp {ts_ms} (newest snapshot predates it)"
+        )
+    target = None
+    for ts, seq in snaps:
+        if ts <= ts_ms:
+            target = seq
+    if target is None:
+        raise GlueSparkError(
+            f"No Iceberg snapshot of {location!r} at or before "
+            f"timestamp {ts_ms}"
+        )
+    return target
+
+
+def iceberg_table_changes(
+    spark,
+    location: str,
+    start_seq: int,
+    end_seq: int | None = None,
+    s3_client=None,
+    fs=None,
+):
+    """Row-level changelog for the INCLUSIVE sequence-number window
+    ``[start_seq, end_seq]`` (end defaults to the latest): the
+    table's data columns plus ``_change_type`` (insert / delete) and
+    ``_commit_version`` (the sequence number that delivered the
+    change) — the batch ``table_changes()`` TVF shape, per-commit
+    attribution like Delta's CDF.
+
+    Walks each consecutive snapshot pair inside the window and diffs
+    their data-file sets (:func:`iceberg_cdf`'s semantics, windowed):
+    a pair that changes any ROW-LEVEL delete file (position or
+    equality) refuses — that per-row delta is not reconstructible
+    from file diffs.  Identity partition columns stored hive-style in
+    the directory names re-attach via ``basePath``.
+
+    Driver walks manifests only (O(window) metadata reads); row reads
+    are distributed scans."""
+    from pyspark.sql import functions as F
+
+    jsons = _list_metadata_jsons(location, fs=fs)
+    if not jsons:
+        raise GlueSparkError(
+            f"No Iceberg metadata JSON found under {location!r}"
+        )
+    metas = sorted(
+        (_read_json(p, s3_client) for p in jsons),
+        key=lambda m: m.get("last-sequence-number", 0),
+    )
+    seqs = [m.get("last-sequence-number", 0) for m in metas]
+    if end_seq is None:
+        end_seq = seqs[-1]
+    if start_seq > end_seq:
+        raise GlueSparkError(
+            f"table_changes window is inverted: start {start_seq} > "
+            f"end {end_seq}"
+        )
+    if start_seq > seqs[-1]:
+        raise GlueSparkError(
+            f"table_changes start bound {start_seq} is past the "
+            f"newest Iceberg sequence number {seqs[-1]} of "
+            f"{location!r}"
+        )
+    # range semantics (the sequence axis is sparse for tables other
+    # writers touched): the window covers snapshots whose sequence
+    # number falls in [start, end]
+    i_start = next(
+        i for i, s in enumerate(seqs) if s >= start_seq
+    )
+    i_end = max(
+        (i for i, s in enumerate(seqs) if s <= end_seq),
+        default=i_start - 1,
+    )
+    last = len(metas) - 1
+
+    def _state(idx: int):
+        return iceberg_scan_details(
+            location, last - idx, s3_client, fs
+        )
+
+    if i_start > 0:
+        prev_e, prev_pos, prev_eq = _state(i_start - 1)
+    else:
+        prev_e, prev_pos, prev_eq = [], [], []
+    by_seq: dict[int, tuple[list[str], list[str]]] = {}
+    for idx in range(i_start, i_end + 1):
+        cur_e, cur_pos, cur_eq = _state(idx)
+        if set(cur_pos) != set(prev_pos) or {
+            d["path"] for d in cur_eq
+        } != {d["path"] for d in prev_eq}:
+            raise GlueSparkError(
+                f"Iceberg changelog window for {location!r} changes "
+                "row-level delete files at sequence number "
+                f"{seqs[idx]}; the per-row delta is not "
+                "reconstructible from file diffs — use an Iceberg "
+                "runtime's changelog read"
+            )
+        cur = {p for p, _pv, _s in cur_e}
+        prev = {p for p, _pv, _s in prev_e}
+        added = sorted(cur - prev)
+        removed = sorted(prev - cur)
+        if added or removed:
+            by_seq[seqs[idx]] = (added, removed)
+        prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
+
+    reader = spark.read.option("basePath", location)
+    pieces = []
+    for seq in sorted(by_seq):
+        added, removed = by_seq[seq]
+        for paths, ct in ((added, "insert"), (removed, "delete")):
+            if paths:
+                pieces.append(
+                    reader.parquet(*paths)
+                    .withColumn("_change_type", F.lit(ct))
+                    .withColumn(
+                        "_commit_version", F.lit(seq).cast("long")
+                    )
+                )
+    if not pieces:
+        _e, _p, _q, schema = iceberg_scan_details(
+            location, 0, s3_client, fs, with_schema=True
+        )
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        fields = list(schema.fields) if schema is not None else []
+        return spark.createDataFrame(
+            [],
+            StructType(
+                fields
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            ),
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

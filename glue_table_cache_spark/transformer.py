@@ -251,27 +251,56 @@ def extract_metadata_refs(
 #: ``table_changes(glue.db.t, start [, end])`` — the batch Change
 #: Data Feed table-valued function (public Delta/Databricks dialect);
 #: the table name may be bare or quoted ('...'/"...")
+#: one TVF bound: an integer version/instant or a quoted timestamp
+_TC_ARG = r"(?:\d+|'[^']*'|\"[^\"]*\")"
 _TABLE_CHANGES = re.compile(
     rf"(?<![A-Za-z0-9_$])table_changes\s*\(\s*"
     rf"(?P<q>['\"]?)(?:GLUE|glue)\s*\.\s*(?P<db>{_IDENT})\s*\.\s*"
-    rf"(?P<tbl>{_IDENT})(?P=q)\s*,\s*(?P<v1>\d+)\s*"
-    rf"(?:,\s*(?P<v2>\d+)\s*)?\)",
+    rf"(?P<tbl>{_IDENT})(?P=q)\s*,\s*(?P<v1>{_TC_ARG})\s*"
+    rf"(?:,\s*(?P<v2>{_TC_ARG})\s*)?\)",
+    re.IGNORECASE,
+)
+
+#: any other table_changes(glue...) spelling (an expression argument,
+#: a missing bound) — matched AFTER the real one so it can refuse
+#: pointedly instead of letting the scan regex mangle the inner ref
+#: into an unresolved-TVF Spark error
+_TABLE_CHANGES_MALFORMED = re.compile(
+    r"(?<![A-Za-z0-9_$])table_changes\s*\(\s*['\"]?(?:GLUE|glue)\s*\.",
     re.IGNORECASE,
 )
 
 
+def _tc_bound(tok: str) -> int | str:
+    """A TVF bound token: digits → inclusive version/instant (int);
+    a quoted literal → timestamp string (resolved per-format by the
+    engine against commit timestamps)."""
+    if tok[0] in "'\"":
+        return tok[1:-1]
+    return int(tok)
+
+
 def extract_table_changes(
     sql: str, namer
-) -> tuple[list[tuple[TableReference, int, int | None, str]], str]:
+) -> tuple[
+    list[tuple[TableReference, int | str, int | str | None, str]], str
+]:
     """Split ``table_changes(glue.db.t, start [, end])`` calls — the
-    batch Change Data Feed TVF (public Delta dialect; versions are
-    INCLUSIVE commit versions) — off the query: each call is replaced
-    by ``namer(ref, start, end)`` (a temp-view name the engine
-    registers with the CDF DataFrame) and reported as ``(ref, start,
-    end, view_name)``.  Masked spans (strings, comments) never
-    rewrite; a QUOTED table-name argument is fine because the match
-    anchors at the unmasked function name."""
-    found: dict[tuple[TableReference, int, int | None], str] = {}
+    batch Change Data Feed TVF (public Delta dialect; bounds are
+    INCLUSIVE commit versions/instants, or quoted timestamp literals
+    the engine resolves against commit timestamps) — off the query:
+    each call is replaced by ``namer(ref, start, end)`` (a temp-view
+    name the engine registers with the CDF DataFrame) and reported as
+    ``(ref, start, end, view_name)``.  Masked spans (strings,
+    comments) never rewrite; a QUOTED table-name argument is fine
+    because the match anchors at the unmasked function name.  Any
+    OTHER ``table_changes(glue...)`` spelling (expression arguments,
+    no bounds) refuses here — otherwise the inner glue ref would be
+    rewritten by the normal scan regex and Spark would fail with an
+    obscure unresolved-TVF error."""
+    found: dict[
+        tuple[TableReference, int | str, int | str | None], str
+    ] = {}
     spans = _masked_spans(sql)
 
     def sub(m: re.Match) -> str:
@@ -281,14 +310,25 @@ def extract_table_changes(
             _unquote(m.group("db")).lower(),
             _unquote(m.group("tbl")).lower(),
         )
-        v1 = int(m.group("v1"))
-        v2 = int(m.group("v2")) if m.group("v2") else None
+        v1 = _tc_bound(m.group("v1"))
+        v2 = _tc_bound(m.group("v2")) if m.group("v2") else None
         key = (ref, v1, v2)
         if key not in found:
             found[key] = namer(ref, v1, v2)
         return found[key]
 
     out = _TABLE_CHANGES.sub(sub, sql)
+    # positions shifted with the substitution — re-mask the result
+    out_spans = _masked_spans(out)
+    for m in _TABLE_CHANGES_MALFORMED.finditer(out):
+        if not _in_spans(m.start(), out_spans):
+            raise InvalidQueryError(
+                "table_changes(glue.db.t, ...) takes an inclusive "
+                "start and optional end bound, each an integer "
+                "version/instant or a quoted timestamp literal "
+                "('2024-01-01 00:00:00'); expressions are not "
+                "supported"
+            )
     return [
         (r, v1, v2, v) for (r, v1, v2), v in found.items()
     ], out

@@ -564,6 +564,23 @@ def test_sql_dml_on_hudi_mor(spark, tmp_path):
     assert sorted(
         r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
     ) == [2, 3]
+    # subquery predicate on the MOR path (merged-view filter)
+    spark.createDataFrame([(2,)], "bad long").createOrReplaceTempView(
+        "mor_bad"
+    )
+    try:
+        out = eng.sql(
+            "UPDATE glue.db.t SET v = v + 1000 WHERE id IN "
+            "(SELECT bad FROM mor_bad)"
+        ).first()
+        assert out.rows_updated == 1
+        got = {
+            r.id: r.v
+            for r in eng.sql("SELECT id, v FROM glue.db.t").collect()
+        }
+        assert got == {2: 1002.0, 3: 3.0}
+    finally:
+        spark.catalog.dropTempView("mor_bad")
 
 
 def test_sql_insert_overwrite_all_formats(spark, tmp_path):
@@ -2290,23 +2307,161 @@ def test_table_changes_tvf(spark, tmp_path):
     ).first().s
     assert lit == "table_changes(glue.db.t, 0)"
 
-    # non-Delta refuses toward the streaming CDF modes
+    # non-lakehouse refuses; malformed arguments refuse POINTEDLY
+    # (never fall through to an unresolved-TVF Spark error)
+    store3 = LocalMetadataStore()
+    store3.register_parquet_dir("db", "t", str(tmp_path / "plain"))
+    with pytest.raises(GlueSparkError, match="DELTA, ICEBERG"):
+        GlueSparkEngine(spark, store3).sql(
+            "SELECT * FROM table_changes(glue.db.t, 0)"
+        )
+    from glue_table_cache_spark.errors import InvalidQueryError
+
+    with pytest.raises(InvalidQueryError, match="inclusive start"):
+        eng.sql("SELECT * FROM table_changes(glue.db.t, 1 + 1)")
+    with pytest.raises(InvalidQueryError, match="inclusive start"):
+        eng.sql("SELECT * FROM table_changes(glue.db.t)")
+
+    # timestamp bounds resolve against commitInfo timestamps: the
+    # whole history window equals the full version window
+    n_all = eng.sql(
+        "SELECT count(*) AS n FROM table_changes(glue.db.t, 0)"
+    ).first().n
+    n_ts = eng.sql(
+        "SELECT count(*) AS n FROM "
+        "table_changes(glue.db.t, '2000-01-01', '2100-01-01')"
+    ).first().n
+    assert n_ts == n_all
+    with pytest.raises(GlueSparkError, match="at or after"):
+        eng.sql(
+            "SELECT * FROM table_changes(glue.db.t, '2100-01-01')"
+        )
+    with pytest.raises(GlueSparkError, match="unparseable"):
+        eng.sql(
+            "SELECT * FROM table_changes(glue.db.t, 'not a date')"
+        )
+
+
+def test_table_changes_tvf_iceberg(spark, tmp_path):
+    """table_changes() on Iceberg: inclusive sequence-number window
+    with per-commit attribution; windows that change row-level
+    delete files refuse; identity partition columns re-attach."""
     from glue_table_cache_spark.sinks.iceberg_write import (
         write_iceberg_append,
     )
 
-    iloc = tmp_path / "tci"
+    loc = tmp_path / "tci"
     write_iceberg_append(
-        spark.createDataFrame([(1,)], "id long"), str(iloc)
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, p string"
+        ),
+        str(loc),
+        partition_by=["p"],
+    )  # seq 1
+    write_iceberg_append(
+        spark.createDataFrame([(3, "a")], "id long, p string"),
+        str(loc),
+        partition_by=["p"],
+    )  # seq 2
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), parameters={"table_type": "ICEBERG"}
     )
-    store2 = LocalMetadataStore()
-    store2.register_parquet_dir(
-        "db", "t", str(iloc), parameters={"table_type": "ICEBERG"}
-    )
-    with pytest.raises(GlueSparkError, match="readChangeFeed"):
-        GlueSparkEngine(spark, store2).sql(
-            "SELECT * FROM table_changes(glue.db.t, 0)"
+    eng = GlueSparkEngine(spark, store)
+    rows = eng.sql(
+        "SELECT id, p, _change_type, _commit_version "
+        "FROM table_changes(glue.db.t, 1) ORDER BY id"
+    ).collect()
+    assert [
+        (r.id, r.p, r._change_type, r._commit_version) for r in rows
+    ] == [
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+        (3, "a", "insert", 2),
+    ]
+    # bounded window isolates the second append
+    rows = eng.sql(
+        "SELECT id FROM table_changes(glue.db.t, 2, 2)"
+    ).collect()
+    assert [r.id for r in rows] == [3]
+    # a DELETE adds a position-delete file: that window refuses
+    eng.sql("DELETE FROM glue.db.t WHERE id = 1")  # seq 3
+    with pytest.raises(GlueSparkError, match="row-level delete"):
+        eng.sql(
+            "SELECT * FROM table_changes(glue.db.t, 3)"
         )
+    # ...but pre-delete windows still read fine
+    assert eng.sql(
+        "SELECT count(*) AS n FROM table_changes(glue.db.t, 1, 2)"
+    ).first().n == 3
+    # timestamp bounds resolve via snapshot timestamp-ms
+    assert eng.sql(
+        "SELECT count(*) AS n FROM "
+        "table_changes(glue.db.t, '2000-01-01', 2)"
+    ).first().n == 3
+
+
+def test_table_changes_tvf_hudi(spark, tmp_path):
+    """table_changes() on Hudi COW: inclusive instant window over
+    consecutive-instant file diffs; a replacecommit (COW DELETE)
+    emits deletes + re-inserts; MOR deltacommit windows refuse."""
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = tmp_path / "tch"
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "id long, part string, x double",
+        ),
+        str(loc),
+        partition_by=["part"],
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), parameters={"hoodie.table.name": "t"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    first = eng.sql(
+        "SELECT DISTINCT _commit_version AS v "
+        "FROM table_changes(glue.db.t, '2000-01-01')"
+    ).first().v
+    rows = eng.sql(
+        f"SELECT id, part, _change_type "
+        f"FROM table_changes(glue.db.t, {first}) ORDER BY id"
+    ).collect()
+    assert [(r.id, r.part, r._change_type) for r in rows] == [
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    ]
+    # COW DELETE = replacecommit; id=1 is alone in partition 'a', so
+    # its file group drains with no replacement slice: exactly one
+    # delete, partition 'b' untouched
+    eng.sql("DELETE FROM glue.db.t WHERE id = 1")
+    changed = eng.sql(
+        f"SELECT id, _change_type "
+        f"FROM table_changes(glue.db.t, {first + 1}) "
+        "ORDER BY _change_type, id"
+    ).collect()
+    assert [(r.id, r._change_type) for r in changed] == [
+        (1, "delete")
+    ]
+    # a same-partition rewrite DOES re-emit: delete old slice state,
+    # insert the rewritten one
+    eng.sql("UPDATE glue.db.t SET x = 99.0 WHERE part = 'b'")
+    latest = eng.sql(
+        "SELECT max(_commit_version) AS v "
+        "FROM table_changes(glue.db.t, '2000-01-01')"
+    ).first().v
+    got = sorted(
+        (r.id, r._change_type, r.x)
+        for r in eng.sql(
+            f"SELECT id, _change_type, x "
+            f"FROM table_changes(glue.db.t, {latest}, {latest})"
+        ).collect()
+    )
+    assert got == [(2, "delete", 2.0), (2, "insert", 99.0)]
 
 
 def test_fsck_repair_table(spark, tmp_path):
@@ -2464,6 +2619,24 @@ def test_delete_with_subquery_predicate(spark, tmp_path):
         )
         store.register_parquet_dir("db", "badlist", str(bad_dir))
         eng = GlueSparkEngine(spark, store)
+        # UPDATE with a subquery predicate executes (filter-union
+        # rewrite in the writers); only SET-expression subqueries
+        # still refuse toward MERGE
+        out = eng.sql(
+            "UPDATE glue.db.t SET v = upper(v) WHERE id IN "
+            "(SELECT bad FROM glue.db.badlist)"
+        ).first()
+        assert out.rows_updated == 2, fmt
+        got = {
+            r.id: r.v
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        }
+        assert got == {1: "a", 2: "B", 3: "C"}, fmt
+        with pytest.raises(GlueSparkError, match="MERGE INTO"):
+            eng.sql(
+                "UPDATE glue.db.t SET v = (SELECT max(bad) FROM "
+                "glue.db.badlist) WHERE id = 1"
+            )
         out = eng.sql(
             "DELETE FROM glue.db.t WHERE id IN "
             "(SELECT bad FROM glue.db.badlist)"
@@ -2479,11 +2652,6 @@ def test_delete_with_subquery_predicate(spark, tmp_path):
             for t in spark.catalog.listTables()
             if "__pred_q" in t.name
         ], fmt
-        with pytest.raises(GlueSparkError, match="MERGE INTO"):
-            eng.sql(
-                "UPDATE glue.db.t SET v = 'x' WHERE id IN "
-                "(SELECT bad FROM glue.db.badlist)"
-            )
         # correlated EXISTS resolves in the same filters
         out = eng.sql(
             "DELETE FROM glue.db.t WHERE EXISTS "
@@ -2568,3 +2736,73 @@ def test_show_columns_and_databases(spark, tmp_path):
     assert parse_dml("SHOW DATABASES") is None
     with pytest.raises(InvalidQueryError, match="trailing"):
         parse_dml("SHOW COLUMNS IN glue.db.t JUNK")
+
+
+def test_hudi_mor_partitioned_merge_inserts(spark, tmp_path):
+    """MERGE on a hive-partitioned MERGE_ON_READ table: NOT MATCHED
+    rows route into THEIR partition's log (by the row's own partition
+    values, stripped from the payload), updates land by record key,
+    and an insert aimed at a partition with no file group refuses."""
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = tmp_path / "morp"
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "id long, part string, x double",
+        ),
+        str(loc),
+        partition_by=["part"],
+        table_type="MERGE_ON_READ",
+    )
+    eng = _engine_for(
+        spark,
+        loc,
+        {
+            "hoodie.table.name": "t",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    spark.createDataFrame(
+        [(2, "b", 20.0), (3, "a", 3.0), (4, "b", 4.0)],
+        "id long, part string, x double",
+    ).createOrReplaceTempView("morp_src")
+    try:
+        out = eng.sql(
+            "MERGE INTO glue.db.t t USING morp_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert out.rows_updated == 1 and out.rows_inserted == 2
+        rows = sorted(
+            (r.id, r.part, r.x)
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        )
+        assert rows == [
+            (1, "a", 1.0),
+            (2, "b", 20.0),
+            (3, "a", 3.0),
+            (4, "b", 4.0),
+        ]
+        # partition-scoped predicate sees the log-inserted rows
+        assert eng.sql(
+            "SELECT count(*) AS n FROM glue.db.t WHERE part = 'a'"
+        ).first().n == 2
+        # the log files landed inside their partition directories
+        assert list((loc / "part=a").glob(".*.log.*"))
+        assert list((loc / "part=b").glob(".*.log.*"))
+        # an insert into a partition with NO file group refuses
+        spark.createDataFrame(
+            [(9, "zzz", 9.0)], "id long, part string, x double"
+        ).createOrReplaceTempView("morp_new")
+        with pytest.raises(GlueSparkError, match="no active file"):
+            eng.sql(
+                "MERGE INTO glue.db.t t USING morp_new s "
+                "ON t.id = s.id "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+    finally:
+        spark.catalog.dropTempView("morp_src")
+        spark.catalog.dropTempView("morp_new")

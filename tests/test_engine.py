@@ -431,6 +431,48 @@ def test_json_classified_table_scan(spark, tmp_path):
     assert {(r.grp, r.s) for r in out} == {("a", 40), ("b", 20)}
 
 
+def test_orc_classified_table_scan(spark, tmp_path):
+    """classification=orc dispatches to spark.read.orc — the format
+    BASELINE.json names alongside parquet; previously it silently
+    fell through to the parquet reader."""
+    data = tmp_path / "otbl"
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "id long, grp string, v long",
+    ).write.orc(str(data))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "otbl", str(data), parameters={"classification": "orc"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "SELECT grp, CAST(sum(v) AS BIGINT) AS s "
+        "FROM glue.db.otbl GROUP BY grp"
+    ).collect()
+    assert {(r.grp, r.s) for r in out} == {("a", 40), ("b", 20)}
+    # filters still work (pruned-to-zero empties type via the same
+    # dispatch, not a parquet footer read)
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.otbl WHERE grp = 'zzz'"
+    ).first().n == 0
+
+
+def test_unknown_classification_refuses(spark, tmp_path):
+    """An unrecognized classification (avro, a typo, ...) must refuse
+    loudly instead of silently scanning the files as parquet."""
+    from glue_table_cache_spark.errors import GlueSparkError
+
+    data = tmp_path / "atbl"
+    spark.createDataFrame([(1,)], "id long").write.parquet(str(data))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "atbl", str(data), parameters={"classification": "avro"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    with pytest.raises(GlueSparkError, match="classification='avro'"):
+        eng.sql("SELECT * FROM glue.db.atbl").collect()
+
+
 def test_csv_classified_table_scan(spark, tmp_path):
     """classification=csv honors the crawler's delimiter and
     skip.header.line.count parameters."""
