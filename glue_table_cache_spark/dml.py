@@ -268,6 +268,9 @@ class MergeStatement:
     on_keys: tuple[str, ...]
     clauses: tuple[str, ...] = field(default=())  # normalized WHEN texts
     parsed: tuple = field(default=())  # MergeClause per WHEN, in order
+    #: MERGE WITH SCHEMA EVOLUTION INTO ... — new source columns
+    #: widen the table schema before the clauses evaluate
+    schema_evolution: bool = False
 
     @property
     def whole_row(self) -> bool:
@@ -287,6 +290,16 @@ class MergeStatement:
             and c.insert_cols is None
             for c in self.parsed
         )
+
+
+def predicate_has_subquery(text) -> bool:
+    """True when a DML predicate string carries a subquery
+    (``IN (SELECT ...)`` / ``EXISTS (SELECT ...)``).  Spark allows
+    subquery expressions in FILTERS but not per-row PROJECTIONS —
+    writers use this to pick the filter-union evaluation shape."""
+    return isinstance(text, str) and bool(
+        re.search(r"\(\s*SELECT\b", text, re.IGNORECASE)
+    )
 
 
 def _strip_leading_trivia(sql: str) -> str:
@@ -378,7 +391,10 @@ def _split_top_level(text: str, sep: str) -> list[str]:
 
 _DELETE_RE = re.compile(r"DELETE\s+FROM\s+", re.IGNORECASE)
 _UPDATE_RE = re.compile(r"UPDATE\s+", re.IGNORECASE)
-_MERGE_RE = re.compile(r"MERGE\s+INTO\s+", re.IGNORECASE)
+_MERGE_RE = re.compile(
+    r"MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+",
+    re.IGNORECASE,
+)
 _INSERT_RE = re.compile(r"INSERT\s+INTO\s+", re.IGNORECASE)
 _INSERT_OVER_RE = re.compile(
     r"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?", re.IGNORECASE
@@ -1464,5 +1480,12 @@ def _parse_merge(s: str) -> MergeStatement | None:
                     "clauses in the group can never match"
                 )
     return MergeStatement(
-        ref, source_text, tuple(keys), tuple(clauses), parsed
+        ref,
+        source_text,
+        tuple(keys),
+        tuple(clauses),
+        parsed,
+        schema_evolution=bool(
+            _MERGE_RE.match(s).group("evolve")
+        ),
     )

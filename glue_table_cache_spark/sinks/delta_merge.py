@@ -861,12 +861,26 @@ def update_delta(
         rows = rows.select(
             *[F.col(c).alias(renames.get(c, c)) for c in rows.columns]
         )
-    updated = rows.withColumns(
-        {
-            c: F.when(cond, F.expr(e)).otherwise(F.col(c))
-            for c, e in set_exprs.items()
-        }
-    )
+    from glue_table_cache_spark.dml import predicate_has_subquery
+
+    if predicate_has_subquery(predicate):
+        # subquery predicates (WHERE id IN (SELECT ...)) only
+        # evaluate in FILTERS — split the rewrite into kept/changed
+        # row sets instead of a per-row WHEN projection
+        updated = rows.where(
+            ~F.coalesce(cond, F.lit(False))
+        ).unionByName(
+            rows.where(cond).withColumns(
+                {c: F.expr(e) for c, e in set_exprs.items()}
+            )
+        )
+    else:
+        updated = rows.withColumns(
+            {
+                c: F.when(cond, F.expr(e)).otherwise(F.col(c))
+                for c, e in set_exprs.items()
+            }
+        )
     # CDF: the matched rows' pre/post values as cdc files in the
     # same commit.  The postimage reuses the rewrite's exact
     # when/otherwise expressions (with a true condition) so its

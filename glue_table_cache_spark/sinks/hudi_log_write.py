@@ -145,6 +145,8 @@ def write_hudi_log(
 
     want_keys: set[str] = set()
     records: list[dict] = []
+    full_records: list[dict] = []
+    pfields: list[str] = []
     schema = None
     if upserts is not None:
         if record_key_field not in upserts.columns:
@@ -183,7 +185,21 @@ def write_hudi_log(
                     "schema (the snapshot merge would have to "
                     "reconcile mixed record schemas); drop them"
                 )
-        schema = _avro_schema(upserts)
+        # partition columns never enter the log PAYLOAD (the base
+        # schema is data-only; the MOR reader re-attaches the value
+        # from the log file's partition directory via write stats) —
+        # they only steer per-record ROUTING below
+        from glue_table_cache_spark.sinks.hudi_write import (
+            _recorded_partition_fields,
+        )
+
+        pfields = _recorded_partition_fields(
+            location, base / ".hoodie" / "hoodie.properties"
+        ) or []
+        payload_df = upserts.drop(
+            *[c for c in pfields if c in upserts.columns]
+        )
+        schema = _avro_schema(payload_df)
         # log-block payloads are driver-built by the Avro codec (the
         # micro-batch contract) — bound the collect the way
         # delete_from_delta's max_deleted_rows does, so a bulk load
@@ -197,7 +213,12 @@ def write_hudi_log(
                 "(COW base files) and compact, or raise "
                 "max_upsert_rows"
             )
-        records = [r.asDict() for r in capped]
+        full_records = [r.asDict() for r in capped]
+        payload_cols = set(payload_df.columns)
+        records = [
+            {k: v for k, v in r.items() if k in payload_cols}
+            for r in full_records
+        ]
         want_keys |= {str(r[record_key_field]) for r in records}
     del_keys = [str(k) for k in (delete_keys or [])]
     want_keys |= set(del_keys)
@@ -233,6 +254,36 @@ def write_hudi_log(
     if not part_groups:
         part_groups = sorted(groups)
     default_fid = part_groups[0]
+    # partitioned-table inserts route on the RECORD's own partition
+    # values (hive-escaped k=v path) — each new row's log block must
+    # land in its partition or the merged view misplaces it
+    from glue_table_cache_spark.sinks.hive_paths import (
+        escape_partition_value,
+    )
+
+    part_first_fid: dict[str, str] = {}
+    for fid in sorted(groups):
+        part_first_fid.setdefault(groups[fid][1], fid)
+    rec_fids: list[str] = []
+    for rec, full in zip(records, full_records):
+        fid = key_to_fid.get(str(rec[record_key_field]))
+        if fid is None:  # an INSERT, not an upsert of a live key
+            if pfields and all(k in full for k in pfields):
+                part = "/".join(
+                    f"{k}={escape_partition_value(full[k])}"
+                    for k in pfields
+                )
+                fid = part_first_fid.get(part)
+                if fid is None:
+                    raise GlueSparkError(
+                        f"MOR insert targets partition {part!r} "
+                        "which has no active file group (log blocks "
+                        "attach to file groups) — seed the "
+                        "partition with write_hudi_append first"
+                    )
+            else:
+                fid = default_fid
+        rec_fids.append(fid)
 
     def build(instant: str) -> dict[str, list[dict]]:
         """Write per-group log files for ``instant``; returns the
@@ -244,10 +295,7 @@ def write_hudi_log(
         )
 
         per_group: dict[str, tuple[list[dict], list[str]]] = {}
-        for rec in records:
-            fid = key_to_fid.get(
-                str(rec[record_key_field]), default_fid
-            )
+        for rec, fid in zip(records, rec_fids):
             per_group.setdefault(fid, ([], []))[0].append(rec)
         for k in del_keys:
             fid = key_to_fid.get(k)
@@ -777,11 +825,12 @@ def update_hudi(
         spark, df, active
     )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # FILTER-based tally (not a projected cast): subquery predicates
+    # (WHERE id IN (SELECT ...)) only evaluate in filters
     per_file = (
-        tagged.select("__f", cond.cast("int").alias("__hit"))
+        tagged.where(cond)
         .groupBy("__f")
-        .agg(F.sum("__hit").alias("__n"))
-        .where(F.col("__n") > 0)
+        .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
     if not per_file:
@@ -798,14 +847,25 @@ def update_hudi(
         )
         n_updated += int(r["__n"])
 
-    transformed = [
-        F.when(cond, F.expr(set_exprs[c]).cast(df.schema[c].dataType))
-        .otherwise(F.col(c))
-        .alias(c)
-        if c in set_exprs
-        else F.col(c)
-        for c in df.columns
-    ]
+    from glue_table_cache_spark.dml import predicate_has_subquery
+
+    _subq = predicate_has_subquery(predicate)
+
+    def _transformed(mode: str):
+        """Projection list: ``set`` applies the SET expressions to
+        every row (pre-filtered matched set), ``keep`` passes rows
+        through untouched, ``when`` is the classic per-row
+        WHEN(cond) for subquery-free predicates."""
+
+        def _one(c):
+            if c not in set_exprs or mode == "keep":
+                return F.col(c)
+            e = F.expr(set_exprs[c]).cast(df.schema[c].dataType)
+            if mode == "set":
+                return e.alias(c)
+            return F.when(cond, e).otherwise(F.col(c)).alias(c)
+
+        return [_one(c) for c in df.columns]
     batch = uuid.uuid4().hex[:8]
     hoodie = base / ".hoodie"
     instant_tag = _latest_instant(hoodie) + 1
@@ -823,11 +883,21 @@ def update_hudi(
     tagged2, _attached2 = _tag_with_partition_columns(
         spark, spark.read.parquet(*sorted(rewrite)), active
     )
-    out = (
-        tagged2.select(
-            *transformed,
-            _strip_scheme(F.col("__f")).alias("__sp"),
+    sp = _strip_scheme(F.col("__f")).alias("__sp")
+    if _subq:
+        # subquery cond can't sit in the WHEN projection — split
+        # the rewrite into changed/kept filtered row sets
+        projected = tagged2.where(cond).select(
+            *_transformed("set"), sp
+        ).unionByName(
+            tagged2.where(~F.coalesce(cond, F.lit(False))).select(
+                *_transformed("keep"), sp
+            )
         )
+    else:
+        projected = tagged2.select(*_transformed("when"), sp)
+    out = (
+        projected
         .join(_fid_map_df(spark, sorted(rewrite)), "__sp")
         .drop("__sp")
     )
@@ -934,7 +1004,17 @@ def merge_into_hudi(
             "partition directories — partitioned tables refuse; use "
             "delete_from_hudi + write_hudi_append"
         )
-    df = spark.read.parquet(*[p for p, _pv in active])
+    # the recorded extraMetadata.schema is the scan authority: an
+    # evolved table's base files may be NARROWER than the table
+    # schema (new columns surface as nulls), so schema-evolved
+    # merges see and write the full width
+    from glue_table_cache_spark.sources.hudi import hudi_table_schema
+
+    reader = spark.read
+    rec_schema = hudi_table_schema(location)
+    if rec_schema is not None:
+        reader = reader.schema(rec_schema)
+    df = reader.parquet(*[p for p, _pv in active])
     want = set(df.columns)
     if set(source.columns) != want:
         raise GlueSparkError(
@@ -981,7 +1061,7 @@ def merge_into_hudi(
         # broadcast path→fid map; update rows (source keyed into a
         # matched group) take the fid of the target row they replace
         tagged = (
-            spark.read.parquet(*sorted(rewrite))
+            reader.parquet(*sorted(rewrite))
             .select(
                 "*",
                 _strip_scheme(
@@ -1160,7 +1240,27 @@ def merge_general_hudi(
         )
     paths = sorted(p for p, _pv in active)
     pcols = sorted({k for _p, pv in active for k in pv})
-    data_cols = list(spark.read.parquet(*paths).columns)
+    # scan-schema authority: the recorded table schema minus the
+    # directory-only partition columns (attached separately) — an
+    # evolved table's narrower base files surface nulls
+    from glue_table_cache_spark.sources.hudi import hudi_table_schema
+
+    rec_schema = hudi_table_schema(location)
+    data_schema = None
+    if rec_schema is not None:
+        from pyspark.sql.types import StructType as _ST
+
+        data_schema = _ST(
+            [f for f in rec_schema.fields if f.name not in pcols]
+        )
+
+    def _read(ps):
+        r = spark.read
+        if data_schema is not None:
+            r = r.schema(data_schema)
+        return r.parquet(*sorted(ps))
+
+    data_cols = list(_read(paths).columns)
     for cl in clauses:
         if cl.action != "update" or cl.when == "not_matched":
             continue
@@ -1176,7 +1276,7 @@ def merge_general_hudi(
 
     def _tagged(ps):
         t, _att = _tag_with_partition_columns(
-            spark, spark.read.parquet(*sorted(ps)), active
+            spark, _read(ps), active
         )
         return (
             t.withColumn("__sp", _strip_scheme(F.col("__f")))

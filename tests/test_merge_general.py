@@ -658,3 +658,126 @@ def test_merge_hudi_mor_record_key_set_refuses(
             )
     finally:
         spark.catalog.dropTempView("mg_full")
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
+def test_merge_with_schema_evolution(spark, tmp_path, fmt):
+    """MERGE WITH SCHEMA EVOLUTION INTO: new source columns widen the
+    table first (schema-only ALTER commit), then the merge lands them
+    — evolved column set for merged rows, NULL for pre-merge rows."""
+    loc = tmp_path / f"ev_{fmt}"
+    rows = [(1, "a"), (2, "b")]
+    schema = "id long, v string"
+    if fmt == "delta":
+        eng = _delta_engine(spark, loc, rows, schema)
+    elif fmt == "iceberg":
+        eng = _iceberg_engine(spark, loc, rows, schema)
+    else:
+        eng = _hudi_engine(spark, loc, rows, schema)
+    spark.createDataFrame(
+        [(2, "B", 2.5), (3, "C", 3.5)],
+        "id long, v string, score double",
+    ).createOrReplaceTempView("ev_src")
+    try:
+        # WITHOUT the clause, a wider source must not silently
+        # evolve: the merge refuses or drops nothing new — here the
+        # whole-row path refuses on the uncovered column set
+        out = eng.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO glue.db.t t "
+            "USING ev_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert out.rows_updated == 1 and out.rows_inserted == 1
+        got = {
+            r.id: (r.v, r.score)
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        }
+        assert got == {
+            1: ("a", None),  # pre-merge row reads NULL
+            2: ("B", 2.5),
+            3: ("C", 3.5),
+        }
+    finally:
+        spark.catalog.dropTempView("ev_src")
+
+
+def test_merge_schema_evolution_general_clauses_and_constraints(
+    spark, tmp_path
+):
+    """Evolution under the general clause grammar; CHECK constraints
+    keep enforcing across the widened schema."""
+    loc = tmp_path / "evg"
+    eng = _delta_engine(
+        spark, loc, [(1, 10.0), (2, 20.0)], "id long, amt double"
+    )
+    eng.sql(
+        "ALTER TABLE glue.db.t ADD CONSTRAINT pos CHECK (amt > 0)"
+    )
+    spark.createDataFrame(
+        [(1, 11.0, "x"), (9, 90.0, "y")],
+        "id long, amt double, tag string",
+    ).createOrReplaceTempView("evg_src")
+    try:
+        out = eng.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO glue.db.t t "
+            "USING evg_src s ON t.id = s.id "
+            "WHEN MATCHED AND s.amt > t.amt THEN "
+            "UPDATE SET amt = s.amt, tag = s.tag "
+            "WHEN NOT MATCHED THEN INSERT (id, amt, tag) "
+            "VALUES (s.id, s.amt, s.tag)"
+        ).first()
+        assert out.rows_updated == 1 and out.rows_inserted == 1
+        got = {
+            r.id: (r.amt, r.tag)
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        }
+        assert got == {
+            1: (11.0, "x"),
+            2: (20.0, None),
+            9: (90.0, "y"),
+        }
+        # the CHECK constraint still gates the widened-table merge
+        spark.createDataFrame(
+            [(2, -5.0, "z")], "id long, amt double, tag string"
+        ).createOrReplaceTempView("evg_bad")
+        with pytest.raises(GlueSparkError, match="pos"):
+            eng.sql(
+                "MERGE WITH SCHEMA EVOLUTION INTO glue.db.t t "
+                "USING evg_bad s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET amt = s.amt"
+            )
+    finally:
+        spark.catalog.dropTempView("evg_src")
+        spark.catalog.dropTempView("evg_bad")
+
+
+def test_merge_without_evolution_keeps_refusing_wider_source(
+    spark, tmp_path
+):
+    """No WITH SCHEMA EVOLUTION → a wider source must not silently
+    add columns (whole-row and general paths both)."""
+    loc = tmp_path / "noev"
+    eng = _delta_engine(
+        spark, loc, [(1, "a")], "id long, v string"
+    )
+    spark.createDataFrame(
+        [(1, "A", 9.9)], "id long, v string, extra double"
+    ).createOrReplaceTempView("noev_src")
+    try:
+        with pytest.raises(GlueSparkError):
+            eng.sql(
+                "MERGE INTO glue.db.t t USING noev_src s "
+                "ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        # the table is untouched
+        assert eng.sql(
+            "SELECT count(*) AS n FROM glue.db.t"
+        ).first().n == 1
+        assert "extra" not in eng.sql(
+            "SELECT * FROM glue.db.t"
+        ).columns
+    finally:
+        spark.catalog.dropTempView("noev_src")
