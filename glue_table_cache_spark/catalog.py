@@ -105,10 +105,11 @@ class CatalogTable:
     @property
     def data_format(self) -> str:
         """Data-file format from Glue's ``classification`` parameter:
-        ``parquet`` (default), ``csv``, or ``json``.  The reference is
-        parquet-only and lists CSV/JSON as future work
+        ``parquet`` (default), ``orc``, ``csv``, or ``json``.  The
+        reference is parquet-only and lists CSV/JSON as future work
         (/root/reference/README.md:7,22-23); we dispatch on the same
-        catalog parameter AWS crawlers populate."""
+        catalog parameter AWS crawlers populate.  Anything else is
+        refused at scan time (never silently read as parquet)."""
         return (self.parameters.get("classification") or "parquet").lower()
 
     @property

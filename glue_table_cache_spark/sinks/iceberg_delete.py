@@ -142,6 +142,62 @@ def _stage_rows_under_spec(
     return files
 
 
+def _stage_position_deletes(
+    spark, base: Path, fp_pos_df, batch: str
+) -> tuple[list[tuple[Path, int]], int, set[str]]:
+    """Stage ``(file_path, pos)`` rows as position-delete parquet
+    files DISTRIBUTED — clustered by target file (``repartition`` on
+    ``file_path``; AQE coalesces a small match back to one task, a
+    billion-row MERGE fans out) and spec-sorted by (file_path, pos)
+    within each file.  Every file lands in ``data/`` as
+    ``pos-delete-<batch>-<i>.parquet`` and is listed by the caller in
+    ONE delete manifest.  Returns ``(files [(path, n_rows)],
+    total_rows, affected_target_paths)`` — ``([], 0, set())`` when
+    nothing matched (staging removed)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    data_dir = base / "data"
+    stage = base / f"_staging_del_{batch}"
+    (
+        fp_pos_df.select(
+            "file_path", F.col("pos").cast("long").alias("pos")
+        )
+        .repartition(F.col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(str(stage))
+    )
+    metas = []
+    for p in sorted(stage.rglob("part-*.parquet")):
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n:
+            metas.append((p, n))
+    if not metas:
+        shutil.rmtree(stage, ignore_errors=True)
+        return [], 0, set()
+    affected = {
+        # _metadata-derived strings are Hadoop-URI-encoded; unquote
+        # restores the on-disk spelling the manifests carry
+        unquote(r["file_path"])
+        for r in spark.read.parquet(str(stage))
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    data_dir.mkdir(parents=True, exist_ok=True)
+    files: list[tuple[Path, int]] = []
+    total = 0
+    for i, (p, n) in enumerate(metas):
+        dest = data_dir / f"pos-delete-{batch}-{i:05d}.parquet"
+        p.rename(dest)
+        files.append((dest, n))
+        total += n
+    shutil.rmtree(stage, ignore_errors=True)
+    return files, total, affected
+
+
 def delete_from_iceberg(
     spark: SparkSession,
     location: str,
@@ -201,30 +257,15 @@ def delete_from_iceberg(
     matched = tagged.where(cond).select("file_path", "pos")
 
     batch = uuid.uuid4().hex[:12]
-    stage = base / f"_staging_{batch}"
-    # the delete content is written DISTRIBUTED — the driver never
-    # holds the positions (scale posture the Delta DV blob cannot take)
-    matched.coalesce(1).write.mode("overwrite").parquet(str(stage))
-    parts = sorted(stage.rglob("part-*.parquet"))
-    import pyarrow.parquet as pq
-
-    n = pq.ParquetFile(parts[0]).metadata.num_rows
+    # the delete content is written DISTRIBUTED and MULTI-FILE — the
+    # driver never holds the positions (scale posture the Delta DV
+    # blob cannot take), and a billion-row match fans out instead of
+    # funnelling through one task
+    del_files, n, affected = _stage_position_deletes(
+        spark, base, matched, batch
+    )
     if n == 0:
-        shutil.rmtree(stage, ignore_errors=True)
         return None, 0
-    affected = {
-        # _metadata-derived strings are Hadoop-URI-encoded; unquote
-        # restores the on-disk spelling the manifests carry
-        unquote(r["file_path"])
-        for r in spark.read.parquet(str(parts[0]))
-        .select("file_path")
-        .distinct()
-        .collect()
-    }
-    del_name = f"pos-delete-{batch}.parquet"
-    del_file = data_dir / del_name
-    parts[0].rename(del_file)
-    shutil.rmtree(stage, ignore_errors=True)
 
     from glue_table_cache_spark.sources.iceberg import _strip_path
 
@@ -236,7 +277,8 @@ def delete_from_iceberg(
             _strip_path(p) for p, _pv, _seq in fresh
         }
         if not affected_stripped <= fresh_active:
-            del_file.unlink(missing_ok=True)
+            for df_, _n in del_files:
+                df_.unlink(missing_ok=True)
             raise GlueSparkError(
                 "delete_from_iceberg lost a conflicting race: a file "
                 "it deletes from was rewritten concurrently (the "
@@ -251,23 +293,26 @@ def delete_from_iceberg(
             manifest,
             MANIFEST_ENTRY_SCHEMA,
             [
+                # ONE delete manifest listing every staged delete
+                # file — the multi-file form the spec allows
                 {
                     "status": 1,
                     "snapshot_id": None,
                     "sequence_number": None,  # inherit
                     "data_file": {
                         "content": 1,
-                        "file_path": str(Path("data") / del_name),
+                        "file_path": str(Path("data") / df_.name),
                         "file_format": "PARQUET",
                         "partition": None,
-                        "record_count": n,
-                        "file_size_in_bytes": del_file.stat().st_size,
+                        "record_count": n_rows,
+                        "file_size_in_bytes": df_.stat().st_size,
                         "equality_ids": None,
                         "lower_bounds": None,
                         "upper_bounds": None,
                         "null_value_counts": None,
                     },
                 }
+                for df_, n_rows in del_files
             ],
         )
         prior_rows: list[dict] = []
@@ -443,25 +488,12 @@ def update_iceberg(
     matched = tagged.where(cond)
 
     batch = uuid.uuid4().hex[:12]
-    # distributed write #1: the position-delete content
-    del_stage = base / f"_staging_del_{batch}"
-    matched.select("file_path", F.col("pos").cast("long")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(str(del_stage))
-    import pyarrow.parquet as pq
-
-    del_parts = sorted(del_stage.rglob("part-*.parquet"))
-    n = pq.ParquetFile(del_parts[0]).metadata.num_rows
+    # distributed write #1: the position-delete content, multi-file
+    del_files, n, affected = _stage_position_deletes(
+        spark, base, matched, batch
+    )
     if n == 0:
-        shutil.rmtree(del_stage, ignore_errors=True)
         return None, 0
-    affected = {
-        unquote(r["file_path"])
-        for r in spark.read.parquet(str(del_parts[0]))
-        .select("file_path")
-        .distinct()
-        .collect()
-    }
     # distributed write #2: the transformed replacement rows (all
     # set_exprs see PRE-update values — one projection, no chaining),
     # staged under the RECORDED partition spec so partitioned rewrites
@@ -480,15 +512,10 @@ def update_iceberg(
         replacement, base, data_dir, batch, "upd", ice_spec
     )
 
-    del_name = f"pos-delete-{batch}.parquet"
-    (data_dir / del_name).parent.mkdir(parents=True, exist_ok=True)
-    del_parts[0].rename(data_dir / del_name)
-    shutil.rmtree(del_stage, ignore_errors=True)
-
     seq = _commit_add_and_delete_snapshot(
         location,
         new_files=new_files,
-        del_file=data_dir / del_name,
+        del_files=del_files,
         n_del=n,
         affected=affected,
         ids=ids,
@@ -503,7 +530,7 @@ def update_iceberg(
 def _commit_add_and_delete_snapshot(
     location: str,
     new_files: list[tuple[Path, dict]],
-    del_file: Path | None,
+    del_files: list[tuple[Path, int]],
     n_del: int,
     affected: set[str],
     ids: dict[str, int],
@@ -514,7 +541,9 @@ def _commit_add_and_delete_snapshot(
 ) -> int:
     """ONE snapshot naming both an ADDED data manifest (``new_files``
     as ``(path, partition_values)`` pairs, content=0) and — when
-    ``del_file`` is given — a DELETE manifest (content=1), with the
+    ``del_files`` (``(path, n_rows)`` pairs, the multi-file
+    distributed staging) is non-empty — a DELETE manifest listing
+    every delete file (content=1), with the
     shared pinned-sequence / per-attempt active-file validation /
     ``O_EXCL`` protocol every Iceberg writer here uses.  The
     row-level UPDATE and MERGE commit through this; partitioned
@@ -532,8 +561,8 @@ def _commit_add_and_delete_snapshot(
     meta_dir = base / "metadata"
 
     def _cleanup() -> None:
-        if del_file is not None:
-            del_file.unlink(missing_ok=True)
+        for f, _n in del_files:
+            f.unlink(missing_ok=True)
         for f, _pv in new_files:
             f.unlink(missing_ok=True)
 
@@ -602,7 +631,7 @@ def _commit_add_and_delete_snapshot(
                     "added_snapshot_id": snap_id,
                 }
             )
-        if del_file is not None:
+        if del_files:
             del_manifest = (
                 meta_dir / f"delete-manifest-{seq}-{batch}.avro"
             )
@@ -617,13 +646,13 @@ def _commit_add_and_delete_snapshot(
                         "data_file": {
                             "content": 1,
                             "file_path": str(
-                                Path("data") / del_file.name
+                                Path("data") / df_.name
                             ),
                             "file_format": "PARQUET",
                             "partition": None,
-                            "record_count": n_del,
+                            "record_count": n_rows,
                             "file_size_in_bytes": (
-                                del_file.stat().st_size
+                                df_.stat().st_size
                             ),
                             "equality_ids": None,
                             "lower_bounds": None,
@@ -631,6 +660,7 @@ def _commit_add_and_delete_snapshot(
                             "null_value_counts": None,
                         },
                     }
+                    for df_, n_rows in del_files
                 ],
             )
             manifests.append(del_manifest)
@@ -820,21 +850,9 @@ def merge_into_iceberg(
     matched = tagged.join(src_keys, keys)
 
     batch = uuid.uuid4().hex[:12]
-    del_stage = base / f"_staging_del_{batch}"
-    matched.select("file_path", F.col("pos").cast("long")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(str(del_stage))
-    import pyarrow.parquet as pq
-
-    del_parts = sorted(del_stage.rglob("part-*.parquet"))
-    n_upd = pq.ParquetFile(del_parts[0]).metadata.num_rows
-    affected = {
-        unquote(r["file_path"])
-        for r in spark.read.parquet(str(del_parts[0]))
-        .select("file_path")
-        .distinct()
-        .collect()
-    }
+    del_files, n_upd, affected = _stage_position_deletes(
+        spark, base, matched, batch
+    )
     new_files = _stage_rows_under_spec(
         source.select(
             *[
@@ -851,17 +869,10 @@ def merge_into_iceberg(
         ice_spec,
     )
 
-    del_file = None
-    if n_upd:
-        del_name = f"pos-delete-{batch}.parquet"
-        del_parts[0].rename(data_dir / del_name)
-        del_file = data_dir / del_name
-    shutil.rmtree(del_stage, ignore_errors=True)
-
     seq = _commit_add_and_delete_snapshot(
         location,
         new_files=new_files,
-        del_file=del_file,
+        del_files=del_files,
         n_del=int(n_upd),
         affected=affected,
         ids=ids,
@@ -1029,7 +1040,7 @@ def merge_general_iceberg(
     joined.where(F.col("__chosen") != KEEP).select(
         "file_path", F.col("pos").cast("long").alias("pos"),
         "__chosen",
-    ).coalesce(1).write.mode("overwrite").parquet(str(plan_stage))
+    ).write.mode("overwrite").parquet(str(plan_stage))
     chosen_df = spark.read.parquet(str(plan_stage))
     tallies = {
         int(r["__chosen"]): int(r["n"])
@@ -1099,25 +1110,19 @@ def merge_general_iceberg(
         if new_rows is not None
         else []
     )
-    del_file = None
+    del_files: list[tuple[Path, int]] = []
     if n_retired:
-        # the actual position-delete file: (file_path, pos) ONLY —
-        # written from the tiny staged plan, never the full join
-        del_stage = base / f"_staging_del_{batch}"
-        chosen_df.select("file_path", "pos").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(del_stage))
-        del_parts = sorted(del_stage.rglob("part-*.parquet"))
-        del_name = f"pos-delete-{batch}.parquet"
-        del_parts[0].rename(data_dir / del_name)
-        del_file = data_dir / del_name
-        shutil.rmtree(del_stage, ignore_errors=True)
+        # the actual position-delete files: (file_path, pos) ONLY —
+        # written from the staged plan, never the full join
+        del_files, _n, _aff = _stage_position_deletes(
+            spark, base, chosen_df.select("file_path", "pos"), batch
+        )
     shutil.rmtree(plan_stage, ignore_errors=True)
 
     seq = _commit_add_and_delete_snapshot(
         location,
         new_files=new_files,
-        del_file=del_file,
+        del_files=del_files,
         n_del=int(n_retired),
         affected=affected,
         ids=ids,

@@ -956,3 +956,74 @@ def test_iceberg_timestamp_without_zone_maps_to_ntz():
     by_name = {f.name: f.dataType for f in sch.fields}
     assert isinstance(by_name["ts_ntz"], T.TimestampNTZType)
     assert isinstance(by_name["ts_tz"], T.TimestampType)
+
+
+def test_iceberg_multi_file_position_deletes(spark, tmp_path):
+    """Row-level deletes stage DISTRIBUTED and MULTI-FILE: with AQE
+    partition-coalescing off, a delete spanning several target files
+    produces several pos-delete parquets, ALL listed in the one
+    DELETE manifest — the scan masks them all, and OPTIMIZE purges
+    every one."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "mfd"
+    # 4 data files (4 appends), ids 0..39
+    for i in range(4):
+        write_iceberg_append(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(10)],
+                "id long, v double",
+            ).coalesce(1),
+            str(loc),
+        )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        # every file loses its even ids → the match spans all 4 files
+        out = eng.sql(
+            "DELETE FROM glue.db.t WHERE id % 2 = 0"
+        ).first()
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert out.rows_deleted == 20
+    dels = sorted(
+        (loc / "data").glob("pos-delete-*.parquet")
+    )
+    assert len(dels) > 1, "expected multi-file delete staging"
+    # every delete file masks: the scan sees exactly the odd ids
+    got = sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    )
+    assert got == [i for i in range(40) if i % 2 == 1]
+    # the manifest carries per-file record counts summing to 20
+    import pyarrow.parquet as pq
+
+    assert (
+        sum(pq.ParquetFile(p).metadata.num_rows for p in dels) == 20
+    )
+    # OPTIMIZE rewrites the masked files and purges EVERY delete file
+    optimize_iceberg(spark, str(loc))
+    eng.invalidate_table("db", "t")
+    assert sorted(
+        r.id for r in eng.sql("SELECT id FROM glue.db.t").collect()
+    ) == got
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    entries, pos_dels, _eq = iceberg_scan_details(str(loc))
+    assert not pos_dels
+    assert not any("pos-delete" in p for p, _pv, _s in entries)
