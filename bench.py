@@ -63,6 +63,43 @@ _WINDOW_SQL = """
 """
 
 
+_TPCH_Q09_SQL = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               extract(year from o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity AS amount
+        FROM glue.tpch.part p, glue.tpch.supplier s,
+             glue.tpch.lineitem l, glue.tpch.orders o,
+             glue.tpch.nation n
+        WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+          AND o.o_orderkey = l.l_orderkey
+          AND s.s_nationkey = n.n_nationkey
+          AND p.p_name LIKE '%red%'
+    ) profit GROUP BY nation, o_year ORDER BY nation, o_year DESC
+"""
+
+_TPCH_Q21_SQL = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM glue.tpch.supplier s, glue.tpch.lineitem l1,
+         glue.tpch.orders o, glue.tpch.nation n
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (SELECT 1 FROM glue.tpch.lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM glue.tpch.lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate)
+      AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100
+"""
+
+
 def _sql(query: str):
     return lambda spark, sf: entrymod._engine(spark, sf).sql(query)
 
@@ -456,6 +493,12 @@ BENCH_QUERIES = [
     ("lineitem_agg", _sql(_LINEITEM_SQL)),
     ("join_customer_orders", _sql(_JOIN_SQL)),
     ("window_running", _sql(_WINDOW_SQL)),
+    # TPC-H combination shapes (r10): the 5-way join-aggregate and
+    # the EXISTS + NOT EXISTS double-correlated anti-join — the
+    # plans a real analytics mix is made of, matched against DuckDB
+    # row-for-row in tests/test_tpch.py
+    ("tpch_q09", _sql(_TPCH_Q09_SQL)),
+    ("tpch_q21", _sql(_TPCH_Q21_SQL)),
     ("dedup_exact", _entry("dedup_exact")),
     ("dedup_minhash", _dedup_minhash),
     ("dedup_simhash", _dedup_simhash),

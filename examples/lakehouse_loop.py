@@ -267,6 +267,39 @@ def main() -> None:
         "SHOW CREATE TABLE glue.lake.sum_i"
     ).collect()[0].createtab_stmt
     print("SHOW CREATE TABLE:", ddl.splitlines()[0], "...")
+    # round 10: the batch CDF TVF on Hudi (instant windows; the
+    # Iceberg arm refuses here because the UPDATE/MERGE above added
+    # row-level delete files — not file-diff-reconstructible) and
+    # MERGE WITH SCHEMA EVOLUTION
+    changes = eng.sql(
+        "SELECT _change_type, count(*) AS n "
+        "FROM table_changes(glue.lake.sum_h, '2000-01-01') "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    print(
+        "hudi table_changes over the full timeline: "
+        f"{[(r._change_type, r.n) for r in changes]}"
+    )
+    try:
+        eng.sql("SELECT * FROM table_changes(glue.lake.sum_i, 2)")
+    except Exception as exc:  # noqa: BLE001
+        print(f"iceberg CDF window refuses as designed: {exc}")
+    spark.createDataFrame(
+        [("O", "open orders")], "o_orderstatus string, note string"
+    ).createOrReplaceTempView("notes_src")
+    ev = eng.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO glue.lake.sum_i t "
+        "USING notes_src s ON t.o_orderstatus = s.o_orderstatus "
+        "WHEN MATCHED THEN UPDATE SET note = s.note"
+    ).collect()[0]
+    noted = eng.sql(
+        "SELECT o_orderstatus, note FROM glue.lake.sum_i "
+        "WHERE note IS NOT NULL"
+    ).collect()
+    print(
+        f"schema evolution: {ev.rows_updated} row annotated -> "
+        f"{[tuple(r) for r in noted]}"
+    )
     eng.sql("TRUNCATE TABLE glue.lake.sum_h")
     left = eng.sql(
         "SELECT count(*) AS n FROM glue.lake.sum_h"

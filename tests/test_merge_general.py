@@ -781,3 +781,60 @@ def test_merge_without_evolution_keeps_refusing_wider_source(
         ).columns
     finally:
         spark.catalog.dropTempView("noev_src")
+
+
+def test_merge_schema_evolution_mor_refuses_toward_compaction(
+    spark, tmp_path
+):
+    """Evolution on MERGE_ON_READ propagates the deliberate ALTER
+    gate: pending log blocks carry their own record schemas, so the
+    schema-only widening refuses with the compact-first pointer
+    (never a silent half-evolved table); the table stays readable
+    and a non-evolving merge still works."""
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = tmp_path / "evmor"
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        str(loc),
+        table_type="MERGE_ON_READ",
+    )
+    eng = _engine_for(
+        spark,
+        loc,
+        {
+            "hoodie.table.name": "t",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    spark.createDataFrame(
+        [(2, "B", 2.5), (3, "C", 3.5)],
+        "id long, v string, score double",
+    ).createOrReplaceTempView("evmor_src")
+    try:
+        with pytest.raises(GlueSparkError, match="compact first"):
+            eng.sql(
+                "MERGE WITH SCHEMA EVOLUTION INTO glue.db.t t "
+                "USING evmor_src s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        # untouched and still mergeable without evolution
+        out = eng.sql(
+            "MERGE INTO glue.db.t t USING "
+            "(SELECT id, v FROM evmor_src) s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).first()
+        assert out.rows_updated == 1 and out.rows_inserted == 1
+        got = {
+            r.id: r.v
+            for r in eng.sql("SELECT * FROM glue.db.t").collect()
+        }
+        assert got == {1: "a", 2: "B", 3: "C"}
+    finally:
+        spark.catalog.dropTempView("evmor_src")
