@@ -226,6 +226,18 @@ class AlterTableStatement:
 
 
 @dataclass(frozen=True)
+class AlterColumnStatement:
+    """``ALTER TABLE glue.db.t RENAME COLUMN a TO b`` / ``DROP
+    COLUMN c`` — logical-schema-only commits (Delta: through column
+    mapping, auto-upgraded; other formats refuse with pointers)."""
+
+    ref: TableReference
+    action: str  # "rename" | "drop"
+    column: str
+    new_name: str | None = None
+
+
+@dataclass(frozen=True)
 class DropTableStatement:
     """``DROP TABLE [IF EXISTS] glue.db.t`` — unregisters the catalog
     entry; data files are NOT deleted (Glue tables are external —
@@ -452,6 +464,14 @@ _CLONE_VERSION_RE = re.compile(
 _CTAS_FORMATS = ("PARQUET", "DELTA", "ICEBERG", "HUDI")
 _ALTER_RE = re.compile(r"ALTER\s+TABLE\s+", re.IGNORECASE)
 _ADD_COLS_RE = re.compile(r"ADD\s+COLUMNS?\s*\(", re.IGNORECASE)
+_RENAME_COL_RE = re.compile(
+    rf"RENAME\s+COLUMN\s+(?P<old>{_IDENT})\s+TO\s+"
+    rf"(?P<new>{_IDENT})\s*",
+    re.IGNORECASE,
+)
+_DROP_COL_RE = re.compile(
+    rf"DROP\s+COLUMN\s+(?P<col>{_IDENT})\s*", re.IGNORECASE
+)
 _SET_PROPS_RE = re.compile(
     r"SET\s+TBLPROPERTIES\s*\(", re.IGNORECASE
 )
@@ -932,13 +952,41 @@ def parse_dml(sql: str):
                     f"{_trim_stmt(tail)[:40]!r}"
                 )
             return RefStatement(ref, action, ref_type, name, version)
+        rnm = _RENAME_COL_RE.match(rest)
+        if rnm:
+            trailing = _trim_stmt(rest[rnm.end():])
+            if trailing:
+                raise InvalidQueryError(
+                    f"ALTER TABLE glue.{ref.database}.{ref.table} "
+                    "RENAME COLUMN: unexpected trailing text "
+                    f"{trailing[:40]!r}"
+                )
+            return AlterColumnStatement(
+                ref,
+                "rename",
+                _unquote(rnm.group("old")),
+                _unquote(rnm.group("new")),
+            )
+        dcm = _DROP_COL_RE.match(rest)
+        if dcm:
+            trailing = _trim_stmt(rest[dcm.end():])
+            if trailing:
+                raise InvalidQueryError(
+                    f"ALTER TABLE glue.{ref.database}.{ref.table} "
+                    "DROP COLUMN: unexpected trailing text "
+                    f"{trailing[:40]!r}"
+                )
+            return AlterColumnStatement(
+                ref, "drop", _unquote(dcm.group("col"))
+            )
         am = _ADD_COLS_RE.match(rest)
         if not am:
             raise InvalidQueryError(
                 f"ALTER TABLE glue.{ref.database}.{ref.table}: only "
-                "ADD COLUMNS (<name> <type>, ...), SET "
-                "TBLPROPERTIES ('k'='v', ...), and CREATE/DROP "
-                f"TAG|BRANCH are supported; got {rest[:40]!r}"
+                "ADD COLUMNS (<name> <type>, ...), RENAME COLUMN a "
+                "TO b, DROP COLUMN c, SET/UNSET TBLPROPERTIES, ADD/"
+                "DROP CONSTRAINT, and CREATE/DROP TAG|BRANCH are "
+                f"supported; got {rest[:40]!r}"
             )
         # balanced-paren scan: column types can carry parens
         # (DECIMAL(10,2)); nested STRUCT/ARRAY/MAP use angle

@@ -359,6 +359,7 @@ class GlueSparkEngine:
         — writers are externally-visible state changes, the one case
         the reference's ``invalidateTable`` exists for."""
         from glue_table_cache_spark.dml import (
+            AlterColumnStatement,
             AlterTableStatement,
             CloneStatement,
             ConstraintStatement,
@@ -624,6 +625,37 @@ class GlueSparkEngine:
                 [("RESTORE", str(version), 0, 0, 0)],
                 "operation string, version string, rows_updated long, "
                 "rows_inserted long, rows_deleted long",
+            )
+        if isinstance(stmt, AlterColumnStatement):
+            verb = (
+                "RENAME COLUMN"
+                if stmt.action == "rename"
+                else "DROP COLUMN"
+            )
+            if ttype != ETableType.DELTA:
+                raise GlueSparkError(
+                    f"ALTER TABLE {qual} {verb}: logical column "
+                    "changes commit through Delta column mapping "
+                    f"(this table is {ttype.name}); Iceberg/Hudi "
+                    "need field-id name mapping a dedicated runtime "
+                    "provides — or rewrite via CREATE TABLE AS"
+                )
+            from glue_table_cache_spark.sinks.delta_write import (
+                alter_delta_drop_column,
+                alter_delta_rename_column,
+            )
+
+            if stmt.action == "rename":
+                version = alter_delta_rename_column(
+                    loc, stmt.column, stmt.new_name
+                )
+            else:
+                version = alter_delta_drop_column(loc, stmt.column)
+            self.invalidate_table(ref.database, ref.table)
+            return self.spark.createDataFrame(
+                [(verb, str(version), 0, 0, 0)],
+                "operation string, version string, rows_updated "
+                "long, rows_inserted long, rows_deleted long",
             )
         if isinstance(stmt, AlterTableStatement):
             from pyspark.sql.types import StructType

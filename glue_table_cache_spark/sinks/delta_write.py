@@ -361,12 +361,10 @@ def write_delta_append(
         _active, state = _replay(location)
         meta = state.get("metaData")
         seen_meta["meta"] = meta
-        if column_mapping_renames(meta) is not None:
-            raise GlueSparkError(
-                "write_delta_append cannot append to a column-mapped "
-                "table (files must carry physical names); use a "
-                "Delta runtime"
-            )
+        # top-level column mapping appends fine — the batch stages
+        # under PHYSICAL names below; nested mapping raises here
+        # (every struct level would need physical projection)
+        seen_meta["renames"] = column_mapping_renames(meta)
         table_schema = logical_schema(meta)
         if table_schema is None:
             return None
@@ -398,6 +396,13 @@ def write_delta_append(
                 "schema lacks — without schema evolution they "
                 "would be silently invisible to readers; pass "
                 "merge_schema=True to evolve, or drop them"
+            )
+        if seen_meta.get("renames") is not None:
+            raise GlueSparkError(
+                "schema evolution on a column-mapped table needs "
+                "physical-name and field-id assignment; use "
+                "ALTER TABLE ... ADD COLUMNS through a Delta "
+                "runtime"
             )
         from pyspark.sql.types import StructType
 
@@ -458,7 +463,29 @@ def write_delta_append(
     batch = uuid.uuid4().hex[:12]
     stage = base / f"_staging_{batch}"
 
-    writer = df.write.mode("overwrite")
+    stage_df = df
+    renames = seen_meta.get("renames")
+    if renames is not None:
+        # column-mapped table: files must carry PHYSICAL names (the
+        # scan projects back); partition directories must keep their
+        # current spelling, so a partition column whose physical name
+        # diverged refuses (RENAME COLUMN refuses those up front)
+        inv = {v: k for k, v in renames.items()}
+        moved = [
+            c for c in (partition_by or []) if inv.get(c, c) != c
+        ]
+        if moved:
+            raise GlueSparkError(
+                f"append to a column-mapped table whose partition "
+                f"column(s) {moved} have divergent physical names; "
+                "use a Delta runtime"
+            )
+        from pyspark.sql import functions as F
+
+        stage_df = df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
+    writer = stage_df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(stage))
@@ -1399,3 +1426,232 @@ def _maybe_checkpoint(
         if "checkpointPolicy=v2" not in str(exc):
             raise
         write_delta_checkpoint_v2(location, version)
+
+
+def _mapping_upgrade(schema: dict, configuration: dict) -> dict:
+    """Column-mapping upgrade for a FLAT schema (in place): mode
+    ``name``, per-field ``delta.columnMapping.id`` +
+    ``physicalName = <current name>`` — so the files on disk keep
+    reading correctly while logical names become free to change.
+    Nested structs refuse (every level needs physical-name
+    assignment; use a Delta runtime)."""
+
+    def _has_struct(t) -> bool:
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return True
+            return any(
+                _has_struct(v)
+                for k, v in t.items()
+                if k in ("elementType", "valueType", "keyType", "type")
+            )
+        return False
+
+    for f in schema.get("fields", []):
+        if _has_struct(f.get("type")):
+            raise GlueSparkError(
+                f"column-mapping upgrade of nested field "
+                f"{f.get('name')!r}: every struct level needs "
+                "physical-name assignment — use a Delta runtime"
+            )
+    for i, f in enumerate(schema.get("fields", [])):
+        md = dict(f.get("metadata") or {})
+        md.setdefault("delta.columnMapping.id", i + 1)
+        md.setdefault(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        f["metadata"] = md
+    configuration["delta.columnMapping.mode"] = "name"
+    configuration.setdefault(
+        "delta.columnMapping.maxColumnId",
+        str(len(schema.get("fields", []))),
+    )
+    return schema
+
+
+def _refuse_column_references(
+    meta: dict, name: str, verb: str
+) -> None:
+    """A column a CHECK constraint or a generation expression
+    references cannot rename/drop out from under the expression —
+    conservative word-boundary match on the recorded SQL text."""
+    import re as _re2
+
+    pat = _re2.compile(
+        rf"(?<![A-Za-z0-9_`]){_re2.escape(name)}(?![A-Za-z0-9_])",
+        _re2.IGNORECASE,
+    )
+    conf = meta.get("configuration") or {}
+    for k, v in conf.items():
+        if k.startswith("delta.constraints.") and pat.search(v):
+            raise GlueSparkError(
+                f"{verb} {name!r}: CHECK constraint "
+                f"{k[len('delta.constraints.'):]!r} references it — "
+                "DROP CONSTRAINT first"
+            )
+    schema = json.loads(meta.get("schemaString") or "{}")
+    for f in schema.get("fields", []):
+        expr = (f.get("metadata") or {}).get(
+            "delta.generationExpression"
+        )
+        if expr and pat.search(expr):
+            raise GlueSparkError(
+                f"{verb} {name!r}: generated column "
+                f"{f.get('name')!r} derives from it"
+            )
+
+
+def _alter_delta_column(
+    location: str,
+    verb: str,
+    name: str,
+    new_name: str | None,
+    max_commit_retries: int,
+    checkpoint_interval: int | None,
+) -> int:
+    """Shared RENAME/DROP COLUMN commit: auto-upgrades the table to
+    column mapping (mode ``name``) in the SAME commit when needed —
+    physical names pin to the current spelling so every existing
+    file keeps resolving — then changes only the LOGICAL schema.
+    Metadata-only: no data file is read or written."""
+    from glue_table_cache_spark.sources.delta import (
+        _mapping_mode,
+        _replay,
+    )
+
+    base = Path(location)
+    log_dir = base / "_delta_log"
+    if "://" in location:
+        raise GlueSparkError(
+            f"{verb} commits via filesystem put-if-absent; object "
+            "stores need an external commit coordinator"
+        )
+    if not log_dir.is_dir() or not any(log_dir.glob("*.json")):
+        raise GlueSparkError(
+            f"no Delta log at {location!r} — ALTER needs an "
+            "existing table"
+        )
+    now = int(time.time() * 1000)
+    for _ in range(max_commit_retries):
+        version = _next_version(log_dir)
+        _active, state = _replay(location)
+        meta = dict(state.get("metaData") or {})
+        if not meta.get("schemaString"):
+            raise GlueSparkError(
+                f"table at {location!r} has no recorded schema"
+            )
+        conf = dict(meta.get("configuration") or {})
+        if conf.get("delta.enableChangeDataFeed") == "true":
+            raise GlueSparkError(
+                f"{verb} on a Change-Data-Feed table: cdc files "
+                "carry the old spelling and this reader does not "
+                "map them — disable delta.enableChangeDataFeed "
+                "first or use a Delta runtime"
+            )
+        if name in (meta.get("partitionColumns") or []):
+            raise GlueSparkError(
+                f"{verb} {name!r}: it is a partition column — "
+                "directories key on it; rewrite the table instead"
+            )
+        _refuse_column_references(meta, name, verb)
+        schema = json.loads(meta["schemaString"])
+        fields = schema.get("fields", [])
+        names = [f["name"] for f in fields]
+        if name not in names:
+            raise GlueSparkError(
+                f"{verb} {name!r}: no such column (have {names})"
+            )
+        if new_name is not None and new_name in names:
+            raise GlueSparkError(
+                f"RENAME COLUMN to {new_name!r}: column already "
+                "exists"
+            )
+        if new_name is None and len(fields) == 1:
+            raise GlueSparkError(
+                f"DROP COLUMN {name!r}: it is the table's only "
+                "column"
+            )
+        upgraded = _mapping_mode(meta) == "none"
+        if upgraded:
+            schema = _mapping_upgrade(schema, conf)
+        if new_name is None:
+            schema["fields"] = [
+                f for f in schema["fields"] if f["name"] != name
+            ]
+        else:
+            for f in schema["fields"]:
+                if f["name"] == name:
+                    f["name"] = new_name
+        meta["schemaString"] = json.dumps(schema)
+        meta["configuration"] = conf
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": verb,
+                    "operationParameters": (
+                        {"column": name, "newColumn": new_name}
+                        if new_name is not None
+                        else {"column": name}
+                    ),
+                }
+            }
+        ]
+        if upgraded:
+            actions.append(
+                {
+                    "protocol": upgraded_protocol(
+                        state.get("protocol"),
+                        reader_features=("columnMapping",),
+                        writer_features=("columnMapping",),
+                    )
+                }
+            )
+        actions.append({"metaData": meta})
+        commit = log_dir / f"{version:020d}.json"
+        try:
+            fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(serialize_actions(actions))
+        _maybe_checkpoint(location, version, checkpoint_interval)
+        return version
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
+def alter_delta_rename_column(
+    location: str,
+    name: str,
+    new_name: str,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN a TO b`` — metadata-only:
+    auto-upgrades to column mapping (physical names pin to the
+    on-disk spelling) and changes the logical name.  Partition
+    columns, constraint/generated references, CDF tables, and nested
+    schemas refuse with pointers."""
+    return _alter_delta_column(
+        location, "RENAME COLUMN", name, new_name,
+        max_commit_retries, checkpoint_interval,
+    )
+
+
+def alter_delta_drop_column(
+    location: str,
+    name: str,
+    max_commit_retries: int = 10,
+    checkpoint_interval: int | None = 10,
+) -> int:
+    """``ALTER TABLE ... DROP COLUMN c`` — metadata-only: the field
+    leaves the logical schema while the physical data stays on disk
+    (the mapping projection simply never selects it); same refusal
+    matrix as RENAME."""
+    return _alter_delta_column(
+        location, "DROP COLUMN", name, None,
+        max_commit_retries, checkpoint_interval,
+    )

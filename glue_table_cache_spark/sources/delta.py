@@ -808,6 +808,16 @@ def apply_column_mapping(
     out = []
     for c in df.columns:
         tgt = renames.get(c, c)
+        if (
+            logical_schema is not None
+            and c not in renames
+            and tgt not in logical_types
+        ):
+            # physically present but logically absent = a DROPPED
+            # column (the mapping projection must not resurrect it);
+            # basePath partition columns stay — they ARE in the
+            # logical schema
+            continue
         col = F.col(c)
         lt = logical_types.get(tgt)
         if lt is not None and complex_(lt):
@@ -990,6 +1000,13 @@ def delta_cdf(
         raise GlueSparkError(
             f"since_version={since_version} is ahead of the log "
             f"(latest {latest}) for {location!r}"
+        )
+    _active, state = _replay(location, 0, s3_client, fs)
+    if _mapping_mode(state.get("metaData")) != "none":
+        raise GlueSparkError(
+            f"Change Data Feed on column-mapped table {location!r}: "
+            "change files carry physical names this reader does not "
+            "map — use a Delta runtime's CDF read"
         )
     pieces = []
     for v in range(since_version + 1, latest + 1):

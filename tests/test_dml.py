@@ -2806,3 +2806,137 @@ def test_hudi_mor_partitioned_merge_inserts(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("morp_src")
         spark.catalog.dropTempView("morp_new")
+
+
+def test_alter_rename_and_drop_column_delta(spark, tmp_path):
+    """RENAME/DROP COLUMN: metadata-only commits through an automatic
+    column-mapping upgrade — physical names pin to the on-disk
+    spelling, scans project the logical schema, and DML + appends
+    keep working on the mapped table."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = tmp_path / "arc"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "id long, v string, junk double",
+        ),
+        str(loc),
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    out = eng.sql(
+        "ALTER TABLE glue.db.t RENAME COLUMN v TO label"
+    ).first()
+    assert out.operation == "RENAME COLUMN"
+    got = {
+        r.id: r.label
+        for r in eng.sql("SELECT id, label FROM glue.db.t").collect()
+    }
+    assert got == {1: "a", 2: "b"}
+    # DML on the now-mapped table still works
+    assert eng.sql(
+        "UPDATE glue.db.t SET label = 'z' WHERE id = 1"
+    ).first().rows_updated == 1
+    assert eng.sql(
+        "DELETE FROM glue.db.t WHERE label = 'b'"
+    ).first().rows_deleted == 1
+    # appends stage under PHYSICAL names: the logical scan stays whole
+    eng.sql("INSERT INTO glue.db.t VALUES (3, 'c', 3.0)")
+    rows = sorted(
+        (r.id, r.label, r.junk)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    )
+    assert rows == [(1, "z", 1.0), (3, "c", 3.0)]
+    import json as _json
+
+    adds = [
+        _json.loads(line)["add"]
+        for p in sorted((loc / "_delta_log").glob("*.json"))
+        for line in p.read_text().splitlines()
+        if '"add"' in line
+    ]
+    # every staged file carries the physical column name ('v')
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote as _uq
+
+    last = loc / _uq(adds[-1]["path"])
+    assert "v" in pq.ParquetFile(last).schema_arrow.names
+
+    # DROP COLUMN: the field leaves the logical schema, data stays
+    out = eng.sql("ALTER TABLE glue.db.t DROP COLUMN junk").first()
+    assert out.operation == "DROP COLUMN"
+    df = eng.sql("SELECT * FROM glue.db.t")
+    assert df.columns == ["id", "label"]
+    assert sorted((r.id, r.label) for r in df.collect()) == [
+        (1, "z"), (3, "c"),
+    ]
+    # positional INSERT binds to the two remaining logical columns
+    eng.sql("INSERT INTO glue.db.t VALUES (4, 'd')")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t"
+    ).first().n == 3
+
+
+def test_alter_column_refusal_matrix(spark, tmp_path):
+    """RENAME/DROP COLUMN refusals: partition columns, constraint and
+    generated-column references, CDF tables, non-Delta formats, and
+    unknown columns — all loud, nothing half-commits."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "arm"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a", 5.0)], "id long, p string, amt double"
+        ),
+        str(loc),
+        partition_by=["p"],
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    with pytest.raises(GlueSparkError, match="partition column"):
+        eng.sql("ALTER TABLE glue.db.t RENAME COLUMN p TO q")
+    with pytest.raises(GlueSparkError, match="partition column"):
+        eng.sql("ALTER TABLE glue.db.t DROP COLUMN p")
+    with pytest.raises(GlueSparkError, match="no such column"):
+        eng.sql("ALTER TABLE glue.db.t DROP COLUMN nope")
+    eng.sql(
+        "ALTER TABLE glue.db.t ADD CONSTRAINT pos CHECK (amt > 0)"
+    )
+    with pytest.raises(GlueSparkError, match="CHECK constraint"):
+        eng.sql("ALTER TABLE glue.db.t DROP COLUMN amt")
+    with pytest.raises(GlueSparkError, match="CHECK constraint"):
+        eng.sql("ALTER TABLE glue.db.t RENAME COLUMN amt TO cost")
+    eng.sql("ALTER TABLE glue.db.t DROP CONSTRAINT pos")
+    # CDF tables refuse (cdc files carry the old spelling)
+    cdf = tmp_path / "armc"
+    write_delta_append(
+        spark.createDataFrame([(1, 1.0)], "id long, x double"),
+        str(cdf),
+    )
+    set_delta_table_properties(
+        str(cdf), {"delta.enableChangeDataFeed": "true"}
+    )
+    eng2 = _engine_for(
+        spark, cdf, {"spark.sql.sources.provider": "delta"}
+    )
+    with pytest.raises(GlueSparkError, match="Change-Data-Feed"):
+        eng2.sql("ALTER TABLE glue.db.t RENAME COLUMN x TO y")
+    # non-Delta refuses with a pointer
+    iloc = tmp_path / "armi"
+    write_iceberg_append(
+        spark.createDataFrame([(1,)], "id long"), str(iloc)
+    )
+    eng3 = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
+    with pytest.raises(GlueSparkError, match="column mapping"):
+        eng3.sql("ALTER TABLE glue.db.t RENAME COLUMN id TO key")
