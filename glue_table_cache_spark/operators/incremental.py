@@ -34,6 +34,7 @@ driver-side state grows with corpus size.
 from __future__ import annotations
 
 import json
+import uuid
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -174,3 +175,83 @@ def incremental_ingest(
     Path(state_dir).mkdir(parents=True, exist_ok=True)
     state_path.write_text(json.dumps({"last_version": latest}))
     return IngestResult(added, n_in, n_fresh, n_kept, latest)
+
+
+def apply_changes(
+    engine,
+    target: str,
+    changes: DataFrame,
+    keys: list[str],
+    sequence_col: str = "_commit_version",
+    change_type_col: str = "_change_type",
+):
+    """APPLY CHANGES INTO — the row-level CDC-apply primitive (the
+    public DLT verb): net a changelog (``table_changes()`` output or
+    any frame carrying ``_change_type`` + a sequence column) down to
+    its LATEST action per key, then land it on ``target`` (a
+    ``glue.db.t`` reference of ANY writable format) with ONE general
+    MERGE — deletes remove, the rest upsert.  Cross-format CDC: a
+    Delta table's change feed replays onto a Hudi or Iceberg twin.
+
+    Netting is one ``max_by(struct(sequence, priority), ...)``
+    aggregation (no window, map-side partial): within a version,
+    ``update_postimage`` outranks ``insert`` outranks ``delete``
+    outranks ``update_preimage`` — the CDF pairs net to the
+    post-state.  Out-of-order replays are safe: the sequence column
+    decides, not arrival order.
+
+    Returns the MERGE metrics row.  Scale: the netting aggregation
+    shuffles once on the keys and the general merge planner takes it
+    from there (no driver-side rows)."""
+    from pyspark.sql import functions as F
+
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in (sequence_col, change_type_col)
+    ]
+    missing = [k for k in keys if k not in data_cols]
+    if missing:
+        raise ValueError(
+            f"apply_changes keys {missing} are not in the changelog "
+            f"columns {changes.columns}"
+        )
+    prio = (
+        F.when(F.col(change_type_col) == "update_postimage", 3)
+        .when(F.col(change_type_col) == "insert", 2)
+        .when(F.col(change_type_col) == "delete", 1)
+        .otherwise(0)  # update_preimage: pre-state, never applied
+    )
+    payload = F.struct(
+        F.col(sequence_col).alias("__seq"),
+        prio.alias("__prio"),
+        (F.col(change_type_col) == "delete").alias("__is_delete"),
+        *[F.col(c) for c in data_cols],
+    )
+    latest = (
+        changes.where(F.col(change_type_col) != "update_preimage")
+        .groupBy(*keys)
+        .agg(F.max_by(payload, payload).alias("__w"))
+        .select(
+            F.col("__w.__is_delete").alias("__is_delete"),
+            *[F.col(f"__w.{c}").alias(c) for c in data_cols],
+        )
+    )
+    view = f"__cdc_apply_{uuid.uuid4().hex[:8]}"
+    latest.createOrReplaceTempView(view)
+    try:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        sets = ", ".join(
+            f"{c} = s.{c}" for c in data_cols if c not in keys
+        ) or ", ".join(f"{k} = s.{k}" for k in keys)
+        cols = ", ".join(data_cols)
+        vals = ", ".join(f"s.{c}" for c in data_cols)
+        return engine.sql(
+            f"MERGE INTO {target} t USING {view} s ON {on} "
+            f"WHEN MATCHED AND s.__is_delete THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED AND NOT s.__is_delete "
+            f"THEN INSERT ({cols}) VALUES ({vals})"
+        ).first()
+    finally:
+        latest.sparkSession.catalog.dropTempView(view)
