@@ -1074,8 +1074,12 @@ def iceberg_table_changes(
     their data-file sets (:func:`iceberg_cdf`'s semantics, windowed):
     a pair that changes any ROW-LEVEL delete file (position or
     equality) refuses — that per-row delta is not reconstructible
-    from file diffs.  Identity partition columns stored hive-style in
-    the directory names re-attach via ``basePath``.
+    from file diffs.  Snapshots whose ``summary.operation`` is
+    ``replace`` (compaction / OPTIMIZE — content-preserving by the
+    spec's definition) advance the state WITHOUT emitting: rewritten
+    files are storage bookkeeping, not row changes.  Identity
+    partition columns stored hive-style in the directory names
+    re-attach via ``basePath``.
 
     Driver walks manifests only (O(window) metadata reads); row reads
     are distributed scans."""
@@ -1115,6 +1119,14 @@ def iceberg_table_changes(
         default=i_start - 1,
     )
     last = len(metas) - 1
+    # seq → summary.operation of the snapshot that produced it, from
+    # the NEWEST metadata's snapshot log (the spec requires one)
+    ops = {
+        int(s.get("sequence-number", 0)): (
+            (s.get("summary") or {}).get("operation") or ""
+        ).lower()
+        for s in metas[-1].get("snapshots") or []
+    }
 
     def _state(idx: int):
         return iceberg_scan_details(
@@ -1128,6 +1140,11 @@ def iceberg_table_changes(
     by_seq: dict[int, tuple[list[str], list[str]]] = {}
     for idx in range(i_start, i_end + 1):
         cur_e, cur_pos, cur_eq = _state(idx)
+        if ops.get(seqs[idx]) == "replace":
+            # compaction is content-preserving: rewritten files are
+            # storage bookkeeping, never row changes — advance only
+            prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
+            continue
         if set(cur_pos) != set(prev_pos) or {
             d["path"] for d in cur_eq
         } != {d["path"] for d in prev_eq}:

@@ -3007,3 +3007,41 @@ def test_apply_changes_cross_format_cdc(spark, tmp_path):
     changes2 = eng.sql("SELECT * FROM table_changes(glue.db.src, 2)")
     apply_changes(eng, "glue.db.dst", changes2, ["id"])
     assert _snap("glue.db.dst") == _snap("glue.db.src")
+
+
+def test_table_changes_iceberg_skips_replace_snapshots(
+    spark, tmp_path
+):
+    """OPTIMIZE's replace snapshot is content-preserving: the TVF
+    window over it emits NOTHING (and does not refuse on its purged
+    delete files), while the DELETE's own window still refuses."""
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "tcir"
+    for batch in ([(1, "a"), (2, "b")], [(3, "c")]):
+        write_iceberg_append(
+            spark.createDataFrame(batch, "id long, v string"),
+            str(loc),
+        )  # seq 1, 2
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("DELETE FROM glue.db.t WHERE id = 1")  # seq 3: pos-delete
+    optimize_iceberg(spark, str(loc))              # seq 4: replace
+    eng.invalidate_table("db", "t")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM table_changes(glue.db.t, 4, 4)"
+    ).first().n == 0
+    with pytest.raises(GlueSparkError, match="row-level delete"):
+        eng.sql("SELECT * FROM table_changes(glue.db.t, 3, 3)")
+    # pre-delete windows keep reading
+    assert eng.sql(
+        "SELECT count(*) AS n FROM table_changes(glue.db.t, 1, 2)"
+    ).first().n == 3
