@@ -238,7 +238,10 @@ def apply_changes(
         )
     )
     view = f"__cdc_apply_{uuid.uuid4().hex[:8]}"
-    latest.createOrReplaceTempView(view)
+    # GLOBAL temp view: inside a foreachBatch the changelog belongs
+    # to the micro-batch session while the engine runs on the main
+    # one — global_temp is the documented cross-session bridge
+    latest.createOrReplaceGlobalTempView(view)
     try:
         on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         sets = ", ".join(
@@ -247,11 +250,12 @@ def apply_changes(
         cols = ", ".join(data_cols)
         vals = ", ".join(f"s.{c}" for c in data_cols)
         return engine.sql(
-            f"MERGE INTO {target} t USING {view} s ON {on} "
+            f"MERGE INTO {target} t "
+            f"USING global_temp.{view} s ON {on} "
             f"WHEN MATCHED AND s.__is_delete THEN DELETE "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED AND NOT s.__is_delete "
             f"THEN INSERT ({cols}) VALUES ({vals})"
         ).first()
     finally:
-        latest.sparkSession.catalog.dropTempView(view)
+        latest.sparkSession.catalog.dropGlobalTempView(view)

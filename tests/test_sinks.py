@@ -4229,3 +4229,104 @@ def test_update_delta_partitioned_non_partition_set(spark, tmp_path):
         + [(i, "b", float(i)) for i in range(4, 8)]
     )
     assert got == want
+
+
+def test_streaming_cdc_mirror_apply_changes(spark, tmp_path):
+    """The continuous CDC loop: delta_lite readChangeFeed stream →
+    foreachBatch(apply_changes) → a Hudi twin.  Each micro-batch nets
+    to latest-action-per-key and lands as ONE general MERGE; restarts
+    on the same checkpoint re-deliver nothing (exactly-once upstream)
+    and the apply itself is idempotent under replay."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = tmp_path / "mir_src"
+    dst = tmp_path / "mir_dst"
+    ck = str(tmp_path / "mir_ck")
+    rows = [(1, 10.0), (2, 20.0)]
+    write_delta_append(
+        spark.createDataFrame(rows, "id long, x double").coalesce(1),
+        str(src),
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+    )
+
+    # CDF on so the partial-file DELETE below writes cdc rows
+    set_delta_table_properties(
+        str(src), {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    # seed the twin with the v0 snapshot (hudi's general merge needs
+    # a base slice for schema authority)
+    write_hudi_append(
+        spark.createDataFrame(rows, "id long, x double"), str(dst)
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "src", str(src),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    store.register_parquet_dir(
+        "db", "dst", str(dst), parameters={"hoodie.table.name": "dst"}
+    )
+    eng = GlueSparkEngine(spark, store)
+
+    def _apply(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        apply_changes(eng, "glue.db.dst", batch_df, ["id"])
+
+    def start():
+        return (
+            read_delta_stream(
+                spark, str(src), read_change_feed=True,
+                starting_version=1,
+            )
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    # upstream changes flow through: insert + whole-file delete
+    write_delta_append(
+        spark.createDataFrame([(3, 30.0)], "id long, x double")
+        .coalesce(1),
+        str(src),
+    )
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+
+    _v, n = delete_from_delta(spark, str(src), "id = 1")
+    assert n == 1
+    q.processAllAvailable()
+    q.stop()
+
+    def _snap(tbl):
+        return sorted(
+            (r.id, r.x)
+            for r in eng.sql(f"SELECT * FROM {tbl}").collect()
+        )
+
+    assert _snap("glue.db.dst") == _snap("glue.db.src") == [
+        (2, 20.0), (3, 30.0),
+    ]
+    # restart: the checkpoint re-delivers nothing, the twin is stable
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert _snap("glue.db.dst") == [(2, 20.0), (3, 30.0)]
