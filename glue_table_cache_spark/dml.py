@@ -308,9 +308,19 @@ def predicate_has_subquery(text) -> bool:
     """True when a DML predicate string carries a subquery
     (``IN (SELECT ...)`` / ``EXISTS (SELECT ...)``).  Spark allows
     subquery expressions in FILTERS but not per-row PROJECTIONS —
-    writers use this to pick the filter-union evaluation shape."""
-    return isinstance(text, str) and bool(
-        re.search(r"\(\s*SELECT\b", text, re.IGNORECASE)
+    writers use this to pick the filter-union evaluation shape.
+
+    Scans with string literals and comments blanked out, so a
+    literal containing ``(SELECT`` doesn't flip the plan shape and
+    ``( /*x*/ SELECT ...`` is still detected."""
+    if not isinstance(text, str):
+        return False
+    chars = list(text)
+    for a, b in _masked_spans(text):
+        for i in range(a, b):
+            chars[i] = " "
+    return bool(
+        re.search(r"\(\s*SELECT\b", "".join(chars), re.IGNORECASE)
     )
 
 

@@ -222,16 +222,22 @@ def apply_changes(
         .when(F.col(change_type_col) == "delete", 1)
         .otherwise(0)  # update_preimage: pre-state, never applied
     )
-    payload = F.struct(
+    # the ORDERING struct carries only (sequence, priority) — data
+    # columns stay in the value side, so non-orderable column types
+    # (maps) survive the aggregation; rows tied on both are duplicate
+    # actions of the same kind and either payload is acceptable
+    order = F.struct(
         F.col(sequence_col).alias("__seq"),
         prio.alias("__prio"),
+    )
+    payload = F.struct(
         (F.col(change_type_col) == "delete").alias("__is_delete"),
         *[F.col(c) for c in data_cols],
     )
     latest = (
         changes.where(F.col(change_type_col) != "update_preimage")
         .groupBy(*keys)
-        .agg(F.max_by(payload, payload).alias("__w"))
+        .agg(F.max_by(payload, order).alias("__w"))
         .select(
             F.col("__w.__is_delete").alias("__is_delete"),
             *[F.col(f"__w.{c}").alias(c) for c in data_cols],

@@ -1477,8 +1477,10 @@ def _refuse_column_references(
     conservative word-boundary match on the recorded SQL text."""
     import re as _re2
 
+    # optional backticks around the name so both ``price`` and
+    # ```price``` spellings in the recorded SQL text are caught
     pat = _re2.compile(
-        rf"(?<![A-Za-z0-9_`]){_re2.escape(name)}(?![A-Za-z0-9_])",
+        rf"(?<![A-Za-z0-9_])`?{_re2.escape(name)}`?(?![A-Za-z0-9_])",
         _re2.IGNORECASE,
     )
     conf = meta.get("configuration") or {}

@@ -268,7 +268,19 @@ def write_hudi_log(
     for rec, full in zip(records, full_records):
         fid = key_to_fid.get(str(rec[record_key_field]))
         if fid is None:  # an INSERT, not an upsert of a live key
-            if pfields and all(k in full for k in pfields):
+            if pfields:
+                absent = [k for k in pfields if k not in full]
+                if absent:
+                    # routing a partitioned-table insert to
+                    # default_fid would surface the row under the
+                    # wrong partition (the reader re-attaches pcols
+                    # from the log file's directory) — refuse
+                    raise GlueSparkError(
+                        "MOR insert on a partitioned table is "
+                        f"missing partition column(s) {absent} — "
+                        "supply every recorded partition field so "
+                        "the log block lands in its partition"
+                    )
                 part = "/".join(
                     f"{k}={escape_partition_value(full[k])}"
                     for k in pfields

@@ -3045,3 +3045,88 @@ def test_table_changes_iceberg_skips_replace_snapshots(
     assert eng.sql(
         "SELECT count(*) AS n FROM table_changes(glue.db.t, 1, 2)"
     ).first().n == 3
+
+
+def test_predicate_has_subquery_masked_scan():
+    """predicate_has_subquery ignores string literals / comments and
+    tolerates trivia between '(' and SELECT (r10 advice)."""
+    from glue_table_cache_spark.dml import predicate_has_subquery
+
+    assert predicate_has_subquery("id IN (SELECT id FROM t)")
+    assert predicate_has_subquery("id IN ( /*x*/ SELECT id FROM t)")
+    assert predicate_has_subquery("id IN ((SELECT id FROM t))")
+    assert predicate_has_subquery(
+        "id IN (\n -- note\n SELECT id FROM t)"
+    )
+    assert not predicate_has_subquery("v = '(SELECT' AND id = 1")
+    assert not predicate_has_subquery("id = 3 /* (SELECT x) */")
+    assert not predicate_has_subquery(None)
+
+
+def test_constraint_refusal_matches_backticked_identifiers(
+    spark, tmp_path
+):
+    """A CHECK constraint written with backtick-quoted column names
+    still blocks RENAME/DROP of the referenced column (r10 advice:
+    the lookbehind used to exclude backticks)."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    loc = tmp_path / "btc"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, 5.0)], "id long, amt double"
+        ),
+        str(loc),
+    )
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    eng.sql(
+        "ALTER TABLE glue.db.t ADD CONSTRAINT pos CHECK (`amt` > 0)"
+    )
+    with pytest.raises(GlueSparkError, match="CHECK constraint"):
+        eng.sql("ALTER TABLE glue.db.t RENAME COLUMN amt TO cost")
+    with pytest.raises(GlueSparkError, match="CHECK constraint"):
+        eng.sql("ALTER TABLE glue.db.t DROP COLUMN amt")
+
+
+def test_apply_changes_with_map_column(spark, tmp_path):
+    """apply_changes orders by (sequence, priority) only — a
+    changelog carrying a non-orderable MAP column aggregates fine
+    (r10 advice: data columns stay out of the ordering struct)."""
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    dst = tmp_path / "mapdst"
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, {"k": "old"})], "id long, attrs map<string,string>"
+        ),
+        str(dst),
+    )
+    eng = _engine_for(
+        spark, dst, {"spark.sql.sources.provider": "delta"}
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, {"k": "v1"}, "update_postimage", 2),
+            (1, {"k": "old"}, "update_preimage", 2),
+            (1, {"k": "v2"}, "update_postimage", 3),
+            (2, {"k": "new"}, "insert", 3),
+        ],
+        "id long, attrs map<string,string>, "
+        "_change_type string, _commit_version long",
+    )
+    out = apply_changes(eng, "glue.db.t", changes, ["id"])
+    assert out.rows_updated == 1 and out.rows_inserted == 1
+    got = {
+        r.id: dict(r.attrs)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    }
+    assert got == {1: {"k": "v2"}, 2: {"k": "new"}}

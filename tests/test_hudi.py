@@ -697,3 +697,71 @@ def test_hudi_time_travel_version_as_of(spark, tmp_path):
             f"SELECT id FROM glue.db.m VERSION AS OF {m1}"
         ).collect()
     ) == [1, 2]
+
+
+def test_mor_log_insert_missing_partition_cols_refuses(
+    spark, tmp_path
+):
+    """A direct write_hudi_log insert on a PARTITIONED MOR table must
+    carry every recorded partition field — routing to default_fid
+    would surface the row under the wrong partition (r10 advice)."""
+    import pytest as _p
+
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    loc = str(tmp_path / "morpins")
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "1996"), (2, "1997")], "id long, year string"
+        ).coalesce(1),
+        loc,
+        partition_by=["year"],
+        table_type="MERGE_ON_READ",
+    )
+    # an INSERT (new key 3) without the partition column → refuse
+    with _p.raises(GlueSparkError, match="partition column"):
+        write_hudi_log(
+            spark,
+            loc,
+            "id",
+            upserts=spark.createDataFrame([(3,)], "id long"),
+        )
+    # an UPSERT of a LIVE key without pcols still routes by key
+    write_hudi_log(
+        spark,
+        loc,
+        "id",
+        upserts=spark.createDataFrame([(1,)], "id long"),
+    )
+    # with the partition column supplied, the insert routes home
+    write_hudi_log(
+        spark,
+        loc,
+        "id",
+        upserts=spark.createDataFrame(
+            [(3, "1997")], "id long, year string"
+        ),
+    )
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", loc,
+        parameters={
+            "hoodie.table.name": "t",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    eng = GlueSparkEngine(spark, store)
+    got = sorted(
+        (r.id, str(r.year))
+        for r in eng.sql("SELECT id, year FROM glue.db.t").collect()
+    )
+    assert got == [(1, "1996"), (2, "1997"), (3, "1997")]
