@@ -632,25 +632,45 @@ class GlueSparkEngine:
                 if stmt.action == "rename"
                 else "DROP COLUMN"
             )
-            if ttype != ETableType.DELTA:
+            if ttype == ETableType.DELTA:
+                from glue_table_cache_spark.sinks.delta_write import (
+                    alter_delta_drop_column,
+                    alter_delta_rename_column,
+                )
+
+                if stmt.action == "rename":
+                    version = alter_delta_rename_column(
+                        loc, stmt.column, stmt.new_name
+                    )
+                else:
+                    version = alter_delta_drop_column(loc, stmt.column)
+            elif ttype == ETableType.ICEBERG:
+                # the spec's native mechanism: readers resolve by
+                # FIELD ID, so rename/drop are one metadata commit;
+                # the name-mapping property pins on-disk spellings
+                # for this engine's id-less parquet files
+                from glue_table_cache_spark.sinks.iceberg_write import (
+                    alter_iceberg_drop_column,
+                    alter_iceberg_rename_column,
+                )
+
+                if stmt.action == "rename":
+                    version = alter_iceberg_rename_column(
+                        loc, stmt.column, stmt.new_name
+                    )
+                else:
+                    version = alter_iceberg_drop_column(
+                        loc, stmt.column
+                    )
+            else:
                 raise GlueSparkError(
                     f"ALTER TABLE {qual} {verb}: logical column "
-                    "changes commit through Delta column mapping "
-                    f"(this table is {ttype.name}); Iceberg/Hudi "
-                    "need field-id name mapping a dedicated runtime "
-                    "provides — or rewrite via CREATE TABLE AS"
+                    "changes need column mapping (Delta) or field-id "
+                    f"resolution (Iceberg); this table is "
+                    f"{ttype.name} — Hudi tracks columns by name "
+                    "in every base/log file; rewrite via CREATE "
+                    "TABLE AS"
                 )
-            from glue_table_cache_spark.sinks.delta_write import (
-                alter_delta_drop_column,
-                alter_delta_rename_column,
-            )
-
-            if stmt.action == "rename":
-                version = alter_delta_rename_column(
-                    loc, stmt.column, stmt.new_name
-                )
-            else:
-                version = alter_delta_drop_column(loc, stmt.column)
             self.invalidate_table(ref.database, ref.table)
             return self.spark.createDataFrame(
                 [(verb, str(version), 0, 0, 0)],
@@ -2898,24 +2918,26 @@ class GlueSparkEngine:
             )
 
             if travel is not None:
-                entries, dels, eq_dels, ice_schema, ice_spec = (
-                    iceberg_scan_details(
-                        tbl.location, fs=self._fs, with_stats=True,
-                        with_schema=True, with_spec=True,
-                        **self._iceberg_travel_kwargs(
-                            tbl.location, travel
-                        ),
-                    )
+                entries, dels, eq_dels, ice_schema, ice_spec, (
+                    ice_renames, ice_dead
+                ) = iceberg_scan_details(
+                    tbl.location, fs=self._fs, with_stats=True,
+                    with_schema=True, with_spec=True,
+                    with_mapping=True,
+                    **self._iceberg_travel_kwargs(
+                        tbl.location, travel
+                    ),
                 )
             else:
-                entries, dels, eq_dels, ice_schema, ice_spec = (
-                    self._format_scan_cached(
-                        tbl,
-                        lambda: iceberg_scan_details(
-                            tbl.location, fs=self._fs, with_stats=True,
-                            with_schema=True, with_spec=True,
-                        ),
-                    )
+                entries, dels, eq_dels, ice_schema, ice_spec, (
+                    ice_renames, ice_dead
+                ) = self._format_scan_cached(
+                    tbl,
+                    lambda: iceberg_scan_details(
+                        tbl.location, fs=self._fs, with_stats=True,
+                        with_schema=True, with_spec=True,
+                        with_mapping=True,
+                    ),
                 )
             iceberg_stats = {p: s for p, _pv, _seq, s in entries}
             entries = [(p, pv, seq) for p, pv, seq, _s in entries]
@@ -3065,7 +3087,19 @@ class GlueSparkEngine:
                         from pyspark.sql.types import StructType
 
                         scan_schema = StructType(kept)
-            df = self._read_paths(paths, base_path=None, schema=scan_schema)
+            # RENAMED tables read under the on-disk (physical)
+            # spellings pinned by the name mapping; the logical
+            # projection happens after the row-level deletes, which
+            # operate on the raw scan's hidden _metadata column
+            from glue_table_cache_spark.sources.iceberg import (
+                iceberg_physical_schema,
+                project_iceberg_logical,
+            )
+
+            read_schema = iceberg_physical_schema(
+                scan_schema, ice_renames
+            )
+            df = self._read_paths(paths, base_path=None, schema=read_schema)
             if missing_keys:
                 df = self._attach_iceberg_partition_values(
                     df,
@@ -3082,11 +3116,31 @@ class GlueSparkEngine:
                 for pp, (_p, pv, seq) in zip(paths, entries)
             ]
             if eq_dels:
+                # the scan still carries PHYSICAL spellings here —
+                # translate the delete columns (resolved to logical
+                # names by field id) back to what the files spell
+                inv = {v: k for k, v in ice_renames.items()}
                 eq_dels = [
-                    {**d, "path": self._proxy([d["path"]])[0]}
+                    {
+                        **d,
+                        "path": self._proxy([d["path"]])[0],
+                        "columns": [
+                            inv.get(c, c)
+                            for c in (d.get("columns") or [])
+                        ],
+                    }
                     for d in eq_dels
                 ]
-            return apply_equality_deletes(df, proxied_entries, eq_dels)
+            df = apply_equality_deletes(df, proxied_entries, eq_dels)
+            df = project_iceberg_logical(df, ice_renames, ice_dead)
+            if ice_schema is not None:
+                # inference-path scans can surface logical columns
+                # out of declared order; the metadata order is
+                # authoritative (positional INSERT depends on it)
+                want = [f.name for f in ice_schema.fields]
+                if set(want) == set(df.columns) and want != df.columns:
+                    df = df.select(*want)
+            return df
         if (
             ttype in (ETableType.HIVE, ETableType.UNPARTITIONED)
             and not self.config.explicit_file_lists

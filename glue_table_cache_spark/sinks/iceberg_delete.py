@@ -96,7 +96,8 @@ def _attach_identity_partition_columns(spark, tagged, entries, schema):
 
 
 def _stage_rows_under_spec(
-    rows, base: Path, data_dir: Path, batch: str, tag: str, spec
+    rows, base: Path, data_dir: Path, batch: str, tag: str, spec,
+    l2p: dict | None = None,
 ) -> list[tuple[Path, dict]]:
     """Stage replacement/insert rows under the table's RECORDED
     partition spec — the write_iceberg_append staging shape, reused
@@ -111,7 +112,10 @@ def _stage_rows_under_spec(
     )
 
     stage = base / f"_staging_{tag}_{batch}"
-    stage_df = rows
+    # renamed tables stage under the PHYSICAL spellings the name
+    # mapping pins (spec columns are never renamable, so the
+    # transform derivation below is unaffected)
+    stage_df = rows.withColumnsRenamed(l2p) if l2p else rows
     derived: list[str] = []
     for f in spec or []:
         if f["transform"] == "identity" and f["name"] in rows.columns:
@@ -223,7 +227,9 @@ def delete_from_iceberg(
         )
     meta_dir = base / "metadata"
     data_dir = base / "data"
-    entries, pos_dels, eq_dels = iceberg_scan_details(location)
+    entries, pos_dels, eq_dels, (renames, dead) = (
+        iceberg_scan_details(location, with_mapping=True)
+    )
     if eq_dels:
         raise GlueSparkError(
             "table carries EQUALITY deletes; their sequence-number "
@@ -234,11 +240,19 @@ def delete_from_iceberg(
     if not entries:
         return None, 0
 
+    from glue_table_cache_spark.sources.iceberg import (
+        project_iceberg_logical,
+    )
+
     df = spark.read.parquet(*[p for p, _pv, _seq in entries])
-    tagged = df.select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-        "*",
+    tagged = project_iceberg_logical(
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        ),
+        renames,
+        dead,
     )
     if pos_dels:
         prior = spark.read.parquet(*pos_dels).select(
@@ -429,10 +443,11 @@ def update_iceberg(
         )
     meta_dir = base / "metadata"
     data_dir = base / "data"
-    entries, pos_dels, eq_dels, ice_schema, ice_spec = (
-        iceberg_scan_details(
-            location, with_schema=True, with_spec=True
-        )
+    entries, pos_dels, eq_dels, ice_schema, ice_spec, (
+        renames, dead
+    ) = iceberg_scan_details(
+        location, with_schema=True, with_spec=True,
+        with_mapping=True,
     )
     if eq_dels:
         raise GlueSparkError(
@@ -443,11 +458,19 @@ def update_iceberg(
         return None, 0
     prev = _latest_metadata(meta_dir)
 
+    from glue_table_cache_spark.sources.iceberg import (
+        project_iceberg_logical,
+    )
+
     df = spark.read.parquet(*[p for p, _pv, _seq in entries])
-    tagged = df.select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-        "*",
+    tagged = project_iceberg_logical(
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        ),
+        renames,
+        dead,
     )
     # identity-partitioned files store the value in the directory —
     # re-attach from the manifests so the predicate and the rewrite
@@ -509,7 +532,8 @@ def update_iceberg(
         ]
     )
     new_files = _stage_rows_under_spec(
-        replacement, base, data_dir, batch, "upd", ice_spec
+        replacement, base, data_dir, batch, "upd", ice_spec,
+        l2p={v: k for k, v in renames.items()},
     )
 
     seq = _commit_add_and_delete_snapshot(
@@ -581,6 +605,16 @@ def _commit_add_and_delete_snapshot(
         last_seq = prev.get("last-sequence-number", 0)
         seq = last_seq + 1
         snap_id = 1000 + seq
+        # staged files carry PHYSICAL spellings on renamed tables —
+        # footer bound decoding keys by them, manifests stay by id
+        from glue_table_cache_spark.sources.iceberg import (
+            iceberg_column_mapping,
+        )
+
+        _ren, _dead = iceberg_column_mapping(prev)
+        _l2p = {v: k for k, v in _ren.items()}
+        ids_p = {_l2p.get(k, k): v for k, v in ids.items()}
+        types_p = {_l2p.get(k, k): v for k, v in types.items()}
         list_rows = []
         manifests: list[Path] = []
         if new_files:
@@ -604,7 +638,7 @@ def _commit_add_and_delete_snapshot(
                             "file_format": "PARQUET",
                             "partition": pv or None,
                             "record_count": (st := _footer_bounds(
-                                dest, ids, types
+                                dest, ids_p, types_p
                             ))["record_count"],
                             "file_size_in_bytes": dest.stat().st_size,
                             "equality_ids": None,
@@ -774,10 +808,11 @@ def merge_into_iceberg(
         )
     meta_dir = base / "metadata"
     data_dir = base / "data"
-    entries, pos_dels, eq_dels, ice_schema, ice_spec = (
-        iceberg_scan_details(
-            location, with_schema=True, with_spec=True
-        )
+    entries, pos_dels, eq_dels, ice_schema, ice_spec, (
+        renames, dead
+    ) = iceberg_scan_details(
+        location, with_schema=True, with_spec=True,
+        with_mapping=True,
     )
     if eq_dels:
         raise GlueSparkError(
@@ -801,13 +836,21 @@ def merge_into_iceberg(
         n_ins = source.count()
         return write_iceberg_append(source, location), 0, n_ins
 
+    from glue_table_cache_spark.sources.iceberg import (
+        project_iceberg_logical,
+    )
+
     df = spark.read.parquet(*[p for p, _pv, _seq in entries])
     tagged_full = _attach_identity_partition_columns(
         spark,
-        df.select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-            "*",
+        project_iceberg_logical(
+            df.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            ),
+            renames,
+            dead,
         ),
         entries,
         ice_schema,
@@ -867,6 +910,7 @@ def merge_into_iceberg(
         batch,
         "mrg",
         ice_spec,
+        l2p={v: k for k, v in renames.items()},
     )
 
     seq = _commit_add_and_delete_snapshot(
@@ -942,10 +986,11 @@ def merge_general_iceberg(
         )
     meta_dir = base / "metadata"
     data_dir = base / "data"
-    entries, pos_dels, eq_dels, ice_schema, ice_spec = (
-        iceberg_scan_details(
-            location, with_schema=True, with_spec=True
-        )
+    entries, pos_dels, eq_dels, ice_schema, ice_spec, (
+        renames, dead
+    ) = iceberg_scan_details(
+        location, with_schema=True, with_spec=True,
+        with_mapping=True,
     )
     if eq_dels:
         raise GlueSparkError(
@@ -991,13 +1036,21 @@ def merge_general_iceberg(
             return None, 0, 0, 0
         return write_iceberg_append(ins, location), 0, n_ins, 0
 
+    from glue_table_cache_spark.sources.iceberg import (
+        project_iceberg_logical,
+    )
+
     df = spark.read.parquet(*[p for p, _pv, _seq in entries])
     tagged = _attach_identity_partition_columns(
         spark,
-        df.select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-            "*",
+        project_iceberg_logical(
+            df.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            ),
+            renames,
+            dead,
         ),
         entries,
         ice_schema,
@@ -1106,6 +1159,7 @@ def merge_general_iceberg(
             batch,
             "mrg",
             ice_spec,
+            l2p={v: k for k, v in renames.items()},
         )
         if new_rows is not None
         else []

@@ -241,8 +241,13 @@ def _resolve_schema(
                 "pass merge_schema=True to evolve, or drop them"
             )
         # fresh ids past EVERY id any historical schema used —
-        # reuse would rebind old equality deletes/bounds
+        # reuse would rebind old equality deletes/bounds.  The
+        # spec's last-column-id high-water mark covers ids whose
+        # fields left the schema (ALTER DROP COLUMN): without it a
+        # dropped id could be reborn and inherit the dead column's
+        # name mapping
         used = [f["id"] for f in schema_fields]
+        used.append(int(prev.get("last-column-id") or 0))
         for s in prev.get("schemas") or []:
             used.extend(f["id"] for f in s.get("fields", []))
         next_id = max(used, default=0) + 1
@@ -446,6 +451,34 @@ def alter_iceberg_add_columns(
             {"schema-id": 0, "type": "struct", "fields": schema_fields}
         ]
         meta["current-schema-id"] = 0
+        meta["last-column-id"] = max(
+            [int(prev.get("last-column-id") or 0)]
+            + [f["id"] for f in schema_fields]
+        )
+        # re-adding a name some mapping entry already spells (a
+        # DROPPED column, or a renamed field's physical name) gets a
+        # FRESH physical spelling — staging it by name would read old
+        # files' bytes back through the uniform projection
+        mapping = _load_name_mapping(prev)
+        taken = {
+            n for e in mapping for n in (e.get("names") or [])
+        }
+        remapped = False
+        for f in fields:
+            if f.name in taken:
+                fid = _ids[f.name]
+                mapping.append(
+                    {"field-id": fid, "names": [f"{f.name}_{fid}"]}
+                )
+                remapped = True
+        if remapped:
+            from glue_table_cache_spark.sources.iceberg import (
+                NAME_MAPPING_PROP,
+            )
+
+            props = dict(prev.get("properties") or {})
+            props[NAME_MAPPING_PROP] = json.dumps(mapping)
+            meta["properties"] = props
         seq = prev.get("last-sequence-number", 0) + 1
         meta["last-sequence-number"] = seq
         commit = meta_dir / f"v{seq}.metadata.json"
@@ -456,6 +489,272 @@ def alter_iceberg_add_columns(
         with os.fdopen(fd, "w") as f:
             f.write(json.dumps(meta))
         return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
+def _refuse_dead_name_reuse(
+    df_columns, prev: dict | None, renames: dict, dead: set
+) -> None:
+    """A NEW batch column whose name matches a DROPPED field's
+    on-disk spelling (or a renamed live field's physical name) cannot
+    stage under that name — the uniform physical→logical projection
+    would read the old files' bytes back into the new column.  ALTER
+    ADD COLUMNS handles the re-add by pinning a fresh physical
+    spelling; merge-schema appends refuse toward it."""
+    if prev is None or (not renames and not dead):
+        return
+    from glue_table_cache_spark.sources.iceberg import (
+        _current_schema,
+    )
+
+    live = {
+        f["name"] for f in (_current_schema(prev) or {}).get(
+            "fields", []
+        )
+    }
+    bad = sorted(
+        c
+        for c in df_columns
+        if c not in live and (c in dead or c in renames)
+    )
+    if bad:
+        raise GlueSparkError(
+            f"column(s) {bad} reuse the on-disk spelling of a "
+            "dropped or renamed column — staging them by name would "
+            "resurrect old file bytes; add them via ALTER TABLE "
+            "... ADD COLUMNS (which pins a fresh physical name)"
+        )
+
+
+def _load_name_mapping(prev: dict) -> list[dict]:
+    from glue_table_cache_spark.sources.iceberg import (
+        NAME_MAPPING_PROP,
+    )
+
+    prop = (prev.get("properties") or {}).get(NAME_MAPPING_PROP)
+    if not prop:
+        return []
+    try:
+        out = json.loads(prop)
+    except (TypeError, ValueError) as e:
+        raise GlueSparkError(
+            f"Iceberg property {NAME_MAPPING_PROP} is not valid "
+            f"JSON ({e})"
+        ) from None
+    return [e for e in out if isinstance(e, dict)]
+
+
+def _refuse_iceberg_partition_column(
+    prev: dict, name: str, fid: int, verb: str
+) -> None:
+    """Mirrors the Delta refusal matrix: a column the default
+    partition spec names (identity) or sources (hidden transform)
+    cannot rename or drop — directory layouts, manifest partition
+    tuples, and transform pruning all key on its spelling/value."""
+    for spec in prev.get("partition-specs") or []:
+        for f in spec.get("fields") or []:
+            if f.get("source-id") == fid or (
+                f.get("transform") == "identity"
+                and f.get("name") == name
+            ):
+                raise GlueSparkError(
+                    f"{verb} {name!r}: it is a partition column "
+                    f"(spec field {f.get('name')!r}, transform "
+                    f"{f.get('transform')!r}) — partition spec "
+                    "evolution is out of scope; rewrite via CREATE "
+                    "TABLE AS"
+                )
+
+
+def _commit_iceberg_schema_change(
+    meta_dir: Path,
+    prev: dict,
+    new_fields: list[dict],
+    mapping: list[dict],
+) -> int | None:
+    """One metadata-only commit carrying the mutated current schema
+    and the (possibly extended) name mapping; no snapshot, no data
+    files — the spec's shape for schema evolution.  Returns the new
+    sequence number, or ``None`` when the put-if-absent lost a race
+    (caller re-reads and retries)."""
+    from glue_table_cache_spark.sources.iceberg import (
+        NAME_MAPPING_PROP,
+    )
+
+    meta = dict(prev)
+    meta["schemas"] = [
+        {"schema-id": 0, "type": "struct", "fields": new_fields}
+    ]
+    meta["current-schema-id"] = 0
+    meta["last-column-id"] = max(
+        [int(prev.get("last-column-id") or 0)]
+        + [f["id"] for f in new_fields]
+    )
+    props = dict(prev.get("properties") or {})
+    props[NAME_MAPPING_PROP] = json.dumps(mapping)
+    meta["properties"] = props
+    seq = prev.get("last-sequence-number", 0) + 1
+    meta["last-sequence-number"] = seq
+    commit = meta_dir / f"v{seq}.metadata.json"
+    try:
+        fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return None
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(meta))
+    return seq
+
+
+def alter_iceberg_rename_column(
+    location: str,
+    name: str,
+    new_name: str,
+    max_commit_retries: int = 10,
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` on Iceberg — the spec's home
+    turf: readers resolve columns by FIELD ID, so a rename is ONE
+    metadata commit rewriting the current schema's ``name`` while
+    keeping the id.  Because this engine's parquet files carry no
+    embedded field ids, the commit also pins the field's on-disk
+    spelling in ``schema.name-mapping.default`` (the spec's mapping
+    for exactly such files); every reader and writer then projects
+    physical→logical uniformly.  Equality deletes and manifest bounds
+    need no touch-up — they key on the id."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "alter_iceberg_rename_column commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    meta_dir = base / "metadata"
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata at {location!r} — ALTER needs "
+                "an existing table"
+            )
+        from glue_table_cache_spark.sources.iceberg import (
+            _current_schema,
+        )
+
+        fields = list((_current_schema(prev) or {}).get("fields", []))
+        field = next((f for f in fields if f["name"] == name), None)
+        if field is None:
+            raise GlueSparkError(
+                f"RENAME COLUMN: no such column {name!r}; table "
+                f"columns are {[f['name'] for f in fields]}"
+            )
+        if any(f["name"] == new_name for f in fields):
+            raise GlueSparkError(
+                f"RENAME COLUMN: column {new_name!r} already exists"
+            )
+        _refuse_iceberg_partition_column(
+            prev, name, field["id"], "RENAME COLUMN"
+        )
+        mapping = _load_name_mapping(prev)
+        if not any(
+            e.get("field-id") == field["id"] for e in mapping
+        ):
+            # first rename of this field: files so far carry the
+            # current spelling — pin it as the physical name
+            mapping.append({"field-id": field["id"], "names": [name]})
+        new_fields = [
+            dict(f, name=new_name) if f["name"] == name else f
+            for f in fields
+        ]
+        seq = _commit_iceberg_schema_change(
+            meta_dir, prev, new_fields, mapping
+        )
+        if seq is not None:
+            return seq
+    raise GlueSparkError(
+        f"could not commit to {location!r} after "
+        f"{max_commit_retries} attempts (concurrent writers)"
+    )
+
+
+def alter_iceberg_drop_column(
+    location: str,
+    name: str,
+    max_commit_retries: int = 10,
+) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` on Iceberg: the field leaves
+    the current schema in one metadata commit; old files' bytes stay
+    but become invisible — their on-disk spelling is recorded in the
+    name mapping under the DEAD field id, and every scan's uniform
+    projection excludes unmapped-by-a-live-id columns.  A later
+    re-add of the same name mints a fresh id AND a fresh physical
+    spelling (ALTER ADD COLUMNS), so old values never resurrect."""
+    base = Path(location)
+    if "://" in location:
+        raise GlueSparkError(
+            "alter_iceberg_drop_column commits via filesystem "
+            "put-if-absent; object stores need an external commit "
+            "coordinator"
+        )
+    meta_dir = base / "metadata"
+    # an equality-delete file referencing the field could no longer
+    # be applied (its columns resolve by id against the current
+    # schema) — dropping the column would strand it
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    _, _, eq_dels = iceberg_scan_details(location)
+    stranded = [
+        d["path"] for d in eq_dels if name in (d.get("columns") or [])
+    ]
+    if stranded:
+        raise GlueSparkError(
+            f"DROP COLUMN {name!r}: {len(stranded)} equality-delete "
+            "file(s) reference it — run optimize_iceberg() to purge "
+            "them first"
+        )
+    for _ in range(max_commit_retries):
+        prev = _latest_metadata(meta_dir)
+        if prev is None:
+            raise GlueSparkError(
+                f"no Iceberg metadata at {location!r} — ALTER needs "
+                "an existing table"
+            )
+        from glue_table_cache_spark.sources.iceberg import (
+            _current_schema,
+        )
+
+        fields = list((_current_schema(prev) or {}).get("fields", []))
+        field = next((f for f in fields if f["name"] == name), None)
+        if field is None:
+            raise GlueSparkError(
+                f"DROP COLUMN: no such column {name!r}; table "
+                f"columns are {[f['name'] for f in fields]}"
+            )
+        if len(fields) == 1:
+            raise GlueSparkError(
+                "DROP COLUMN: cannot drop the only column"
+            )
+        _refuse_iceberg_partition_column(
+            prev, name, field["id"], "DROP COLUMN"
+        )
+        mapping = _load_name_mapping(prev)
+        ent = next(
+            (e for e in mapping if e.get("field-id") == field["id"]),
+            None,
+        )
+        if ent is None:
+            # remember the on-disk spelling under the dead id so
+            # scans exclude it and re-adds collision-check against it
+            mapping.append({"field-id": field["id"], "names": [name]})
+        new_fields = [f for f in fields if f["name"] != name]
+        seq = _commit_iceberg_schema_change(
+            meta_dir, prev, new_fields, mapping
+        )
+        if seq is not None:
+            return seq
     raise GlueSparkError(
         f"could not commit to {location!r} after "
         f"{max_commit_retries} attempts (concurrent writers)"
@@ -831,6 +1130,22 @@ def write_iceberg_append(
     spec_fields = _resolve_spec(
         prev, ids, df.columns, partition_by, partition_transforms
     )
+    # PHYSICAL staging names: after ALTER RENAME the on-disk spelling
+    # of a field is pinned by the name-mapping property — stage under
+    # it so every data file of the table, old or new, reads with ONE
+    # uniform physical→logical projection (no per-file epochs)
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_column_mapping,
+    )
+
+    renames, dead_phys = (
+        iceberg_column_mapping(prev) if prev else ({}, set())
+    )
+    _refuse_dead_name_reuse(df.columns, prev, renames, dead_phys)
+    l2p = {v: k for k, v in renames.items()}
+
+    def _stage_names(d):
+        return d.withColumnsRenamed(l2p) if l2p else d
 
     # --- stage data files, then move under unique batch names
     batch = uuid.uuid4().hex[:12]
@@ -850,9 +1165,13 @@ def write_iceberg_append(
         # partitionBy moves the DERIVED columns into directory names
         # and out of the files; the SOURCE columns stay in the data,
         # exactly the spec's hidden-partitioning layout
-        writer = stage_df.write.mode("overwrite").partitionBy(*derived)
+        writer = (
+            _stage_names(stage_df)
+            .write.mode("overwrite")
+            .partitionBy(*derived)
+        )
     else:
-        writer = df.write.mode("overwrite")
+        writer = _stage_names(df).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
     writer.parquet(str(stage))
@@ -877,6 +1196,11 @@ def write_iceberg_append(
     manifest = meta_dir / f"manifest-{batch}.avro"
 
     def _write_manifest(w_ids: dict, w_types: dict) -> None:
+        # footer columns carry PHYSICAL spellings; the manifest's
+        # bound maps stay keyed by field id, so renames never touch
+        # recorded stats (the spec's reason for keying on ids)
+        w_ids = {l2p.get(k, k): v for k, v in w_ids.items()}
+        w_types = {l2p.get(k, k): v for k, v in w_types.items()}
         entries = []
         for dest, pv in files:
             stats = _footer_bounds(dest, w_ids, w_types)
@@ -982,6 +1306,23 @@ def write_iceberg_append(
             "last-sequence-number": seq,
             "current-snapshot-id": snap_id,
             "current-schema-id": 0,
+            # spec high-water mark for field ids — survives drops
+            "last-column-id": max(
+                [int(prev.get("last-column-id") or 0) if prev else 0]
+                + list(ids.values())
+            ),
+            # SET TBLPROPERTIES / name mapping / refs are table
+            # state, not snapshot state — every commit carries them
+            **(
+                {"properties": prev["properties"]}
+                if prev and prev.get("properties")
+                else {}
+            ),
+            **(
+                {"refs": prev["refs"]}
+                if prev and prev.get("refs")
+                else {}
+            ),
             **(
                 {
                     "partition-specs": [

@@ -193,6 +193,95 @@ def iceberg_spark_schema(meta: dict):
     return T.StructType(fields)
 
 
+#: The spec's table property for resolving columns of data files that
+#: carry no parquet field ids (Iceberg spec §Name Mapping
+#: Serialization): a JSON list of ``{"field-id": N, "names": [...]}``.
+#: This engine stages parquet through Spark's writer (no embedded
+#: field ids), so the mapping doubles as the PHYSICAL-name registry
+#: after ALTER RENAME/DROP COLUMN: entry ``names[0]`` is the on-disk
+#: spelling pinned for field N; entries whose id left the current
+#: schema mark DEAD on-disk columns a scan must never surface.
+NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+
+def iceberg_column_mapping(
+    meta: dict,
+) -> tuple[dict[str, str], set[str]]:
+    """``(renames, dead)`` from the name-mapping property: ``renames``
+    maps physical (on-disk) column name → current logical name for
+    live fields whose spellings diverged (ALTER RENAME), ``dead`` is
+    the set of on-disk names whose field id is no longer in the
+    current schema (ALTER DROP) — a scan that surfaced them would
+    resurrect dropped values.  Both empty for never-altered tables
+    (the fast path reads with zero overhead)."""
+    prop = (meta.get("properties") or {}).get(NAME_MAPPING_PROP)
+    if not prop:
+        return {}, set()
+    try:
+        mapping = json.loads(prop)
+    except (TypeError, ValueError) as e:
+        raise GlueSparkError(
+            f"Iceberg property {NAME_MAPPING_PROP} is not valid "
+            f"JSON ({e}) — refusing to scan with an unreadable "
+            "column mapping"
+        ) from None
+    live = _field_names_by_id(meta)
+    renames: dict[str, str] = {}
+    dead: set[str] = set()
+    for e in mapping:
+        if not isinstance(e, dict):
+            continue
+        names = e.get("names") or []
+        fid = e.get("field-id")
+        if not names:
+            continue
+        phys = names[0]
+        if fid in live:
+            if phys != live[fid]:
+                renames[phys] = live[fid]
+        else:
+            dead.add(phys)
+    return renames, dead
+
+
+def project_iceberg_logical(df, renames: dict[str, str], dead):
+    """Project a physical-name scan to the logical schema: rename
+    diverged columns, drop dead ones; any other column (partition
+    re-attach, file/pos tags) passes through untouched.  A pure
+    SELECT — no shuffle, fused into the scan stage by codegen."""
+    from pyspark.sql import functions as F
+
+    if not renames and not dead:
+        return df
+    cols = []
+    for c in df.columns:
+        if c in dead and c not in renames:
+            continue
+        cols.append(
+            F.col(c).alias(renames[c]) if c in renames else F.col(c)
+        )
+    return df.select(*cols)
+
+
+def iceberg_physical_schema(logical_schema, renames: dict[str, str]):
+    """The READ schema for data files of a renamed table: the logical
+    StructType with diverged fields spelled physically (types and
+    nullability unchanged — this engine refuses type evolution)."""
+    from pyspark.sql import types as T
+
+    if logical_schema is None or not renames:
+        return logical_schema
+    inv = {v: k for k, v in renames.items()}
+    return T.StructType(
+        [
+            T.StructField(
+                inv.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in logical_schema.fields
+        ]
+    )
+
+
 def _field_names_by_id(meta: dict) -> dict[int, str]:
     """Field-id → column-name map from the metadata's current schema.
     Equality delete files name their columns by FIELD ID
@@ -297,6 +386,7 @@ def iceberg_scan_details(
     with_schema: bool = False,
     with_spec: bool = False,
     as_of_ref: str | None = None,
+    with_mapping: bool = False,
 ) -> tuple[list, list[str], list[dict]]:
     """Full current-snapshot scan state:
     ``(entries, position_delete_files, equality_deletes)`` where
@@ -375,6 +465,8 @@ def iceberg_scan_details(
             )
 
             base = base + (iceberg_partition_fields(meta),)
+        if with_mapping:
+            base = base + (iceberg_column_mapping(meta),)
         return base
 
     if not snapshots:
@@ -1005,6 +1097,58 @@ def iceberg_cdf(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _position_deleted_rows(
+    spark, location: str, prev_paths: list[str],
+    new_pos: list[str], prior_pos: list[str],
+):
+    """The rows a snapshot's NEW position-delete files removed, read
+    back from the PRIOR state's data files — the per-row delta a
+    DELETE/UPDATE/MERGE window needs.  The new delete files name
+    their targets exactly as ``(file_path, pos)``; pairs an OLDER
+    delete file already masked are subtracted (a row dies once).
+
+    Plan shape: the target-path restriction is a metadata-scale
+    distinct+collect (one row per referenced data file, same order as
+    the manifest walk itself); the row extraction is ONE distributed
+    scan of just those files semi-joined on the pair — no driver
+    rows.  Returns ``None`` when nothing matched."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.delta import (
+        hadoop_uri_encode,
+    )
+
+    dels = spark.read.parquet(*new_pos).select(
+        _strip_scheme(F.col("file_path")).alias("__df"),
+        F.col("pos").cast("long").alias("__dp"),
+    )
+    if prior_pos:
+        prior = spark.read.parquet(*prior_pos).select(
+            _strip_scheme(F.col("file_path")).alias("__df"),
+            F.col("pos").cast("long").alias("__dp"),
+        )
+        dels = dels.join(prior, ["__df", "__dp"], "left_anti")
+    targets = {
+        r["__df"] for r in dels.select("__df").distinct().collect()
+    }
+    paths = [
+        p
+        for p in prev_paths
+        if _strip_path(hadoop_uri_encode(p)) in targets
+    ]
+    if not paths:
+        return None
+    df = spark.read.option("basePath", location).parquet(*paths)
+    return (
+        df.withColumn(
+            "__df", _strip_scheme(F.col("_metadata.file_path"))
+        )
+        .withColumn("__dp", F.col("_metadata.row_index"))
+        .join(dels, ["__df", "__dp"], "semi")
+        .drop("__df", "__dp")
+    )
 
 
 def iceberg_seq_for_timestamp(

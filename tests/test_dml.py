@@ -3130,3 +3130,257 @@ def test_apply_changes_with_map_column(spark, tmp_path):
         for r in eng.sql("SELECT * FROM glue.db.t").collect()
     }
     assert got == {1: {"k": "v2"}, 2: {"k": "new"}}
+
+
+def test_alter_rename_and_drop_column_iceberg(spark, tmp_path):
+    """Iceberg RENAME/DROP COLUMN: one metadata commit each — readers
+    resolve by FIELD ID, the name-mapping property pins the on-disk
+    spelling (this engine's files carry no embedded field ids), and
+    every scan/DML/INSERT works uniformly afterwards."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "iarc"
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "id long, v string, junk double",
+        ),
+        str(loc),
+    )
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    out = eng.sql(
+        "ALTER TABLE glue.db.t RENAME COLUMN v TO label"
+    ).first()
+    assert out.operation == "RENAME COLUMN"
+    got = {
+        r.id: r.label
+        for r in eng.sql("SELECT id, label FROM glue.db.t").collect()
+    }
+    assert got == {1: "a", 2: "b"}
+    # DML keeps working on the renamed table
+    assert eng.sql(
+        "UPDATE glue.db.t SET label = 'z' WHERE id = 1"
+    ).first().rows_updated == 1
+    assert eng.sql(
+        "DELETE FROM glue.db.t WHERE label = 'b'"
+    ).first().rows_deleted == 1
+    # MERGE with a SET on the renamed column
+    eng.sql(
+        "MERGE INTO glue.db.t t USING (SELECT 1 AS id, 'zz' AS "
+        "label) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET label = s.label"
+    )
+    # appends stage under the PHYSICAL spelling ('v')
+    eng.sql("INSERT INTO glue.db.t VALUES (3, 'c', 3.0)")
+    rows = sorted(
+        (r.id, r.label, r.junk)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    )
+    assert rows == [(1, "zz", 1.0), (3, "c", 3.0)]
+    newest = max(
+        (loc / "data").rglob("*.parquet"), key=lambda p: p.stat().st_mtime
+    )
+    names = pq.ParquetFile(newest).schema_arrow.names
+    assert "v" in names and "label" not in names
+    # the mapping property pins physical 'v' to the field id
+    meta = _json.loads(
+        max(
+            (loc / "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name[1:].split(".")[0]),
+        ).read_text()
+    )
+    mapping = _json.loads(
+        meta["properties"]["schema.name-mapping.default"]
+    )
+    assert {"field-id": 2, "names": ["v"]} in mapping
+
+    # DROP COLUMN: field leaves the schema, old bytes stay invisible
+    out = eng.sql("ALTER TABLE glue.db.t DROP COLUMN junk").first()
+    assert out.operation == "DROP COLUMN"
+    df = eng.sql("SELECT * FROM glue.db.t")
+    assert df.columns == ["id", "label"]
+    # re-ADD of the dropped name mints a fresh id + fresh physical —
+    # old values must NOT resurrect
+    eng.sql("ALTER TABLE glue.db.t ADD COLUMNS (junk double)")
+    rows = sorted(
+        (r.id, r.label, r.junk)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    )
+    assert rows == [(1, "zz", None), (3, "c", None)]
+    eng.sql("INSERT INTO glue.db.t VALUES (4, 'd', 44.0)")
+    rows = sorted(
+        (r.id, r.label, r.junk)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    )
+    assert rows == [(1, "zz", None), (3, "c", None), (4, "d", 44.0)]
+    # positional INSERT bound to the logical order throughout
+
+
+def test_alter_iceberg_refusal_matrix(spark, tmp_path):
+    """Iceberg RENAME/DROP refusals mirror Delta's: partition columns
+    (identity AND hidden-transform sources), unknown columns,
+    duplicate targets, the last column, and equality-delete-referenced
+    columns all refuse loudly; a merge-schema append reusing a
+    dropped spelling refuses toward ALTER ADD COLUMNS."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "iref"
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, "a", 5.0)], "id long, p string, amt double"
+        ),
+        str(loc),
+        partition_by=["p"],
+    )
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    with pytest.raises(GlueSparkError, match="partition column"):
+        eng.sql("ALTER TABLE glue.db.t RENAME COLUMN p TO q")
+    with pytest.raises(GlueSparkError, match="partition column"):
+        eng.sql("ALTER TABLE glue.db.t DROP COLUMN p")
+    with pytest.raises(GlueSparkError, match="no such column"):
+        eng.sql("ALTER TABLE glue.db.t DROP COLUMN nope")
+    with pytest.raises(GlueSparkError, match="already exists"):
+        eng.sql("ALTER TABLE glue.db.t RENAME COLUMN amt TO id")
+
+    # hidden partitioning: the transform SOURCE refuses too
+    hloc = tmp_path / "ihid"
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, "2024-01-02")], "id long, d string"
+        ).selectExpr("id", "cast(d as date) d"),
+        str(hloc),
+        partition_transforms={"d": "month"},
+    )
+    eng2 = _engine_for(spark, hloc, {"table_type": "ICEBERG"})
+    with pytest.raises(GlueSparkError, match="partition column"):
+        eng2.sql("ALTER TABLE glue.db.t RENAME COLUMN d TO dt")
+
+    # the only column cannot drop
+    sloc = tmp_path / "isolo"
+    write_iceberg_append(
+        spark.createDataFrame([(1,)], "id long"), str(sloc)
+    )
+    eng3 = _engine_for(spark, sloc, {"table_type": "ICEBERG"})
+    with pytest.raises(GlueSparkError, match="only column"):
+        eng3.sql("ALTER TABLE glue.db.t DROP COLUMN id")
+
+    # a merge-schema append reusing a DROPPED spelling refuses
+    mloc = tmp_path / "imrs"
+    write_iceberg_append(
+        spark.createDataFrame([(1, 2.0)], "id long, x double"),
+        str(mloc),
+    )
+    eng4 = _engine_for(spark, mloc, {"table_type": "ICEBERG"})
+    eng4.sql("ALTER TABLE glue.db.t DROP COLUMN x")
+    with pytest.raises(GlueSparkError, match="ALTER TABLE"):
+        write_iceberg_append(
+            spark.createDataFrame([(9, 9.0)], "id long, x double"),
+            str(mloc),
+            merge_schema=True,
+        )
+
+
+def test_iceberg_rename_keeps_field_id_resolution(spark, tmp_path):
+    """RENAME is metadata-only because everything else keys on FIELD
+    IDS: an equality delete written against the OLD spelling still
+    applies after the rename (including its seq scoping), and the
+    manifests' bound maps keep skipping files under the NEW name."""
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from tests.test_iceberg import build_iceberg_table
+
+    loc = tmp_path / "ieq"
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    reinsert = spark.createDataFrame([(2, "b2")], "id long, v string")
+    build_iceberg_table(
+        loc,
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 2}],
+                },
+            },
+            reinsert,
+        ],
+    )
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    # rename the EQUALITY-REFERENCED column itself
+    eng.sql("ALTER TABLE glue.db.t RENAME COLUMN id TO key")
+    got = sorted(
+        (r.key, r.v)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    )
+    # id=2 deleted from the pre-delete file; the re-insert survives
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
+    # dropping the eq-referenced column refuses (delete would strand)
+    with pytest.raises(GlueSparkError, match="equality-delete"):
+        eng.sql("ALTER TABLE glue.db.t DROP COLUMN key")
+
+    # manifest BOUNDS skip under the new name: two files with
+    # disjoint ranges, renamed, predicate on the new spelling
+    bloc = tmp_path / "ibnd"
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, x double"
+        ).coalesce(1),
+        str(bloc),
+    )
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100, 110)],
+            "id long, x double",
+        ).coalesce(1),
+        str(bloc),
+    )
+    eng2 = _engine_for(spark, bloc, {"table_type": "ICEBERG"})
+    eng2.sql("ALTER TABLE glue.db.t RENAME COLUMN id TO key")
+    out = eng2.sql("SELECT key FROM glue.db.t WHERE key >= 100")
+    assert len(out.inputFiles()) == 1
+    assert sorted(r.key for r in out.collect()) == list(
+        range(100, 110)
+    )
+
+
+def test_iceberg_append_preserves_properties_and_refs(
+    spark, tmp_path
+):
+    """Appends rebuild the metadata document — table-level state
+    (properties, refs, last-column-id) must ride along, or a single
+    INSERT erases SET TBLPROPERTIES and severs the name mapping."""
+    import json as _json
+
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        set_iceberg_table_properties,
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "iprops"
+    write_iceberg_append(
+        spark.createDataFrame([(1,)], "id long"), str(loc)
+    )
+    set_iceberg_table_properties(str(loc), {"owner": "me"})
+    write_iceberg_append(
+        spark.createDataFrame([(2,)], "id long"), str(loc)
+    )
+    meta = _json.loads(
+        max(
+            (loc / "metadata").glob("v*.metadata.json"),
+            key=lambda p: int(p.name[1:].split(".")[0]),
+        ).read_text()
+    )
+    assert meta["properties"]["owner"] == "me"
+    assert meta["last-column-id"] == 1
