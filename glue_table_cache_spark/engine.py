@@ -272,9 +272,11 @@ class GlueSparkEngine:
         identifiers each format's ``VERSION AS OF`` travel uses.
         Quoted timestamp literals resolve against the formats' commit
         timestamps (start → oldest commit at or after; end → newest
-        at or before).  Windows whose per-row delta is not
-        file-diff-reconstructible (Iceberg row-level delete changes,
-        Hudi deltacommits) refuse with a pointer."""
+        at or before).  Row-level windows synthesize real change rows
+        (Iceberg position-delete diffs; Hudi deltacommit log decode);
+        what refuses is the genuinely non-reconstructible remainder
+        (Iceberg equality-delete changes, Hudi replacecommits that
+        retire groups with live logs) — with a pointer."""
         from glue_table_cache_spark.catalog import ETableType
         from glue_table_cache_spark.errors import (
             NoStorageLocationError,
@@ -334,7 +336,13 @@ class GlueSparkEngine:
                 end = hudi_instant_for_timestamp(
                     loc, self._tc_ts_ms(end), "end"
                 )
-            return hudi_table_changes(self.spark, loc, start, end)
+            return hudi_table_changes(
+                self.spark,
+                loc,
+                start,
+                end,
+                record_key_field=self._hudi_record_key(tbl),
+            )
         raise GlueSparkError(
             f"table_changes(glue.{ref.database}.{ref.table}, ...): "
             f"the batch CDF TVF needs a DELTA, ICEBERG, or HUDI "

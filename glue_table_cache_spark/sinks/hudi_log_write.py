@@ -104,6 +104,53 @@ def _active_groups(
     return out
 
 
+def _log_key_fids(
+    location: str, want: set[str], record_key_field: str
+) -> dict[str, str]:
+    """``record key → fileId`` for keys that live only in LOG blocks
+    (log-born inserts the base-file scan cannot see): decode the live
+    log files on the driver (the same micro-batch-scale codec posture
+    as the writer itself) and map each wanted key to the file group
+    whose log last touched it.  Without this, a later delete/upsert
+    of a log-born key would route to the wrong group — and per-group
+    compaction would then resurrect (or duplicate) the row, because
+    each group folds only its OWN log blocks."""
+    from glue_table_cache_spark.sources.hudi import _walk_timeline
+    from glue_table_cache_spark.sources.hudi_log import (
+        read_log_blocks,
+    )
+    from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+    names = _timeline_files(location)
+    slices, logs = _walk_timeline(location, names)
+    base = Path(location)
+    live = sorted(
+        (ts, path, fid)
+        for ts, path, fid, _part in logs
+        if fid not in slices or ts > slices[fid][0]
+    )
+    mapping: dict[str, str] = {}
+    for _ts, path, fid in live:  # ascending: newest touch wins
+        p = path if path.startswith("/") else str(base / path)
+        blocks = read_log_blocks(_read_bytes(p), name=p)
+        rolled = {
+            b["target_instant"]
+            for b in blocks
+            if b["type"] == "command" and b.get("target_instant")
+        }
+        for b in blocks:
+            if b["instant"] in rolled:
+                continue
+            for rec in b["records"]:
+                k = str(rec.get(record_key_field))
+                if k in want:
+                    mapping[k] = fid
+            for k, _part in b["deletes"]:
+                if str(k) in want:
+                    mapping[str(k)] = fid
+    return mapping
+
+
 def write_hudi_log(
     spark: SparkSession,
     location: str,
@@ -246,6 +293,14 @@ def write_hudi_log(
         m = _BASE_FILE_RE.search(r["__file"])
         if m:
             key_to_fid[r["__k"]] = m.group(1)
+    # keys absent from every base file may still be LOG-BORN (inserted
+    # by an earlier log block): resolve them to their group from the
+    # live logs, or compaction would resurrect deleted log-born rows
+    unresolved = want_keys - set(key_to_fid)
+    if unresolved:
+        key_to_fid.update(
+            _log_key_fids(location, unresolved, record_key_field)
+        )
     # inserts: first active group of the insert partition
     part_groups = sorted(
         fid for fid, (_p, part) in groups.items()
@@ -473,7 +528,19 @@ def compact_hudi(
         except FileExistsError:
             continue
         with os.fdopen(fd, "w") as f:
-            f.write(json.dumps({"partitionToWriteStats": stats_by_part}))
+            # operationType=compact is real Hudi's commit-metadata
+            # marker for the compaction table service — the changelog
+            # walk uses it to treat this commit as content-preserving
+            # (the rewritten base folds rows already emitted by the
+            # deltacommits), never as row changes
+            f.write(
+                json.dumps(
+                    {
+                        "partitionToWriteStats": stats_by_part,
+                        "operationType": "compact",
+                    }
+                )
+            )
         return str(instant)
     raise GlueSparkError(
         f"could not commit compaction to {location!r} after "
@@ -994,6 +1061,10 @@ def merge_into_hudi(
             "MERGE_ON_READ publish the upsert as a log block via "
             "write_hudi_log(upserts=...)"
         )
+    # the SQL dialect is case-insensitive (the parser lowercases ON
+    # keys); resolve each key to the source's actual spelling first
+    _by_fold = {c.lower(): c for c in source.columns}
+    keys = [_by_fold.get(k.lower(), k) for k in keys]
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(
@@ -1225,6 +1296,10 @@ def merge_general_hudi(
             "for MERGE_ON_READ publish changes as log blocks via "
             "write_hudi_log"
         )
+    # the SQL dialect is case-insensitive (the parser lowercases ON
+    # keys); resolve each key to the source's actual spelling first
+    _by_fold = {c.lower(): c for c in source.columns}
+    keys = [_by_fold.get(k.lower(), k) for k in keys]
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(

@@ -580,34 +580,175 @@ def hudi_instant_for_timestamp(
     return target
 
 
+def _deltacommit_change_rows(
+    spark,
+    location: str,
+    schema,
+    log_stats: list[tuple[str, str]],
+    instant: int,
+    record_key_field: str,
+):
+    """Change rows for ONE deltacommit: its log files decoded
+    DISTRIBUTED by the block codec (the MOR reader's ``mapInPandas``
+    decoder), netted to the LAST action per record key within the
+    commit (a data block followed by a delete block for the same key
+    nets to the delete — the block order the snapshot merge honors),
+    then shaped as changelog rows:
+
+    * upserts → ``update_postimage`` with the payload projected to
+      the table schema via ``from_json`` (JVM-side) and partition
+      columns re-attached from the log file's partition path;
+    * deletes → ``delete`` rows carrying the record key and partition
+      columns, remaining data columns null — the key-only delete
+      posture of Hudi's own CDC ``op_key_only`` supplemental-logging
+      mode (the log block records only the key; reconstructing the
+      full preimage would need a prior-instant snapshot scan).
+
+    ``log_stats`` are ``(resolved_path, partition_path)`` pairs from
+    the deltacommit's write stats."""
+    from pyspark.sql import functions as F
+
+    from glue_table_cache_spark.sources.hudi_mor import (
+        _decode_logs_fn,
+    )
+
+    for f in schema.fields:
+        if "binary" in f.dataType.simpleString():
+            raise GlueSparkError(
+                f"Hudi changelog over binary column {f.name!r} is "
+                "not supported (log payloads travel as JSON); "
+                "compact first and window past the deltacommit"
+            )
+    if record_key_field not in schema.fieldNames():
+        raise GlueSparkError(
+            f"Hudi deltacommit changelog needs the record key column "
+            f"{record_key_field!r} in the table schema "
+            f"{schema.fieldNames()} — pass the table's key field"
+        )
+    paths_df = spark.createDataFrame(
+        [(p, str(instant)) for p, _part in log_stats],
+        "path string, commit string",
+    ).repartition(min(len(log_stats), 64))
+    raw = paths_df.mapInPandas(
+        _decode_logs_fn(record_key_field),
+        schema=(
+            "__key string, __commit string, __src string, "
+            "__blk int, __rec int, __op string, __payload string"
+        ),
+    )
+    # last action per key within the commit: ONE map-side-combinable
+    # aggregation ordered by (block, record) — no window
+    last = raw.groupBy("__key").agg(
+        F.max_by(
+            F.struct("__op", "__payload", "__src"),
+            F.struct("__blk", "__rec"),
+        ).alias("__w")
+    ).select(
+        "__key",
+        F.col("__w.__op").alias("__op"),
+        F.col("__w.__payload").alias("__payload"),
+        F.col("__w.__src").alias("__src"),
+    )
+    pv_by_src = {p: _pv_from_partition_path(part) for p, part in log_stats}
+    pv_cols = sorted(
+        {k for pv in pv_by_src.values() for k in pv}
+        & set(schema.fieldNames())
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    from pyspark.sql.types import StructType
+
+    payload_schema = StructType(
+        [f for f in schema.fields if f.name not in pv_cols]
+    )
+    if pv_cols:
+        pv_df = spark.createDataFrame(
+            [
+                (p, *[pv_by_src[p].get(c) for c in pv_cols])
+                for p, _part in log_stats
+            ],
+            "__src string, "
+            + ", ".join(f"__pv_{c} string" for c in pv_cols),
+        )
+        last = last.join(F.broadcast(pv_df), "__src", "left")
+
+    def _col(name, source):
+        return source.cast(types[name]).alias(name)
+
+    upserts = last.where(F.col("__op") == "U").withColumn(
+        "__r", F.from_json(F.col("__payload"), payload_schema)
+    )
+    up_cols = [
+        _col(c, F.col(f"__pv_{c}"))
+        if c in pv_cols
+        else F.col(f"__r.{c}").alias(c)
+        for c in schema.fieldNames()
+    ]
+    dels = last.where(F.col("__op") == "D")
+    del_cols = [
+        _col(c, F.col(f"__pv_{c}"))
+        if c in pv_cols
+        else (
+            _col(c, F.col("__key"))
+            if c == record_key_field
+            else F.lit(None).cast(types[c]).alias(c)
+        )
+        for c in schema.fieldNames()
+    ]
+    ct = lambda v: F.lit(v).alias("_change_type")  # noqa: E731
+    ver = F.lit(int(instant)).cast("long").alias("_commit_version")
+    return upserts.select(
+        *up_cols, ct("update_postimage"), ver
+    ).unionByName(dels.select(*del_cols, ct("delete"), ver))
+
+
 def hudi_table_changes(
     spark,
     location: str,
     start_instant: int,
     end_instant: int | None = None,
     fs=None,
+    s3_client=None,
+    record_key_field: str | None = None,
 ):
     """Row-level changelog for the INCLUSIVE instant window
     ``[start_instant, end_instant]`` (end defaults to the newest
     completed instant): the table's columns plus ``_change_type``
-    (insert / delete) and ``_commit_version`` (the delivering
-    instant) — the batch ``table_changes()`` TVF shape over the COW
-    timeline's consecutive-instant file diffs.  A ``deltacommit``
-    inside the window refuses (MOR log blocks update rows in place —
-    not file-diff-reconstructible); compact first.
+    (insert / delete / update_postimage) and ``_commit_version``
+    (the delivering instant) — the batch ``table_changes()`` TVF
+    shape over the timeline.
+
+    Per instant kind:
+
+    * ``commit`` — base-file diff vs the prior state: new slices emit
+      inserts; a commit marked ``operationType=compact`` (or one that
+      only rewrites file groups carrying live logs — the compaction
+      shape) is content-preserving and advances the state WITHOUT
+      emitting (its rows were already emitted by the deltacommits it
+      folds);
+    * ``deltacommit`` — the MOR log blocks DECODE into per-row
+      changes (:func:`_deltacommit_change_rows`): upserts emit as
+      ``update_postimage``, delete blocks as key-carrying ``delete``
+      rows.  Needs the recorded ``extraMetadata.schema`` and the
+      record key field (``record_key_field``, default
+      ``_hoodie_record_key``);
+    * ``replacecommit`` — retired slices emit deletes, replacement
+      slices inserts (COW DELETE/UPDATE/MERGE, clustering); retiring
+      a file group that still carries LIVE log blocks refuses (the
+      log-borne rows died with the group but are not in its base
+      file — not reconstructible).
 
     Driver walks the timeline only; row reads are distributed
-    ``basePath``-anchored scans, so hive-style partition columns
-    re-attach and the recorded ``extraMetadata.schema`` (when
-    present) types evolved tables."""
+    ``basePath``-anchored scans (hive-style partition columns
+    re-attach; the recorded ``extraMetadata.schema`` types evolved
+    tables) and the log decode is a distributed ``mapInPandas``."""
     from pyspark.sql import functions as F
 
-    # function-level import: streaming.hudi_source imports this
-    # module at call time too (no cycle at import time)
-    from glue_table_cache_spark.streaming.hudi_source import (
-        _stream_changes,
+    from glue_table_cache_spark.sources.hudi_mor import (
+        DEFAULT_RECORD_KEY,
     )
 
+    if record_key_field is None:
+        record_key_field = DEFAULT_RECORD_KEY
     names = _timeline_files(location, fs=fs)
     instants = _completed_instants(names, location)
     if not instants:
@@ -628,12 +769,107 @@ def hudi_table_changes(
             f"newest completed Hudi instant {all_ts[-1]} of "
             f"{location!r}"
         )
-    # a start at or before the oldest instant means "from genesis" —
-    # _state_at would (correctly) refuse a nonexistent prior state
+    # a start at or before the oldest instant means "from genesis"
     since = start_instant - 1
     if since < all_ts[0]:
         since = 0
-    changes = _stream_changes(location, since, end_instant)
+
+    def _base_state(ts: int | None):
+        """(path → partition) of active base slices at ``ts``, plus
+        the fileIds carrying LIVE logs there."""
+        slices, logs = _walk_timeline(
+            location, names, s3_client, as_of_instant=ts
+        )
+        live = {
+            fid
+            for lts, _p, fid, _part in logs
+            if fid not in slices or lts > slices[fid][0]
+        }
+        return (
+            {path: part for _t, path, part in slices.values()},
+            {fid: path for fid, (_t, path, _part) in slices.items()},
+            live,
+        )
+
+    prev_files, prev_by_fid, prev_live = (
+        _base_state(since) if since else ({}, {}, set())
+    )
+    units: list[tuple[int, str, object]] = []
+    for ts, kind, p in instants:
+        if ts > end_instant:
+            break
+        if ts <= since:
+            continue
+        data = json.loads(_read_bytes(p, s3_client))
+        if kind == "deltacommit":
+            log_stats = [
+                (_resolve_path(location, st["path"]),
+                 st.get("partitionPath", part))
+                for part, stats in (
+                    data.get("partitionToWriteStats") or {}
+                ).items()
+                for st in stats
+                if st.get("path")
+                and ".log." in st["path"].rsplit("/", 1)[-1]
+            ]
+            if log_stats:
+                units.append((ts, "logs", log_stats))
+            # base slices unchanged; live-log tracking is recomputed
+            # from the timeline at the next base-state refresh
+            for part, stats in (
+                data.get("partitionToWriteStats") or {}
+            ).items():
+                for st in stats:
+                    if st.get("fileId"):
+                        prev_live.add(st["fileId"])
+            continue
+        cur_files, cur_by_fid, cur_live = _base_state(ts)
+        written_fids = {
+            st["fileId"]
+            for stats in (
+                data.get("partitionToWriteStats") or {}
+            ).values()
+            for st in stats
+            if st.get("fileId")
+        }
+        is_compaction = kind == "commit" and (
+            str(data.get("operationType", "")).lower() == "compact"
+            or (
+                written_fids
+                and written_fids <= set(prev_by_fid)
+                and written_fids <= prev_live
+            )
+        )
+        if is_compaction:
+            prev_files, prev_by_fid, prev_live = (
+                cur_files, cur_by_fid, cur_live,
+            )
+            continue
+        if kind == "replacecommit":
+            replaced = {
+                fid
+                for ids in (
+                    data.get("partitionToReplaceFileIds") or {}
+                ).values()
+                for fid in ids
+            }
+            if replaced & prev_live:
+                raise GlueSparkError(
+                    f"Hudi replacecommit {ts} of {location!r} "
+                    "retires file group(s) still carrying live MOR "
+                    "log blocks — their log-borne rows are not in "
+                    "the retired base files, so the per-row delta "
+                    "is not reconstructible; compact_hudi() before "
+                    "replacing, or window past this instant"
+                )
+        added = sorted(set(cur_files) - set(prev_files))
+        removed = sorted(set(prev_files) - set(cur_files))
+        if added or removed:
+            units.append((ts, "files", (added, removed)))
+        prev_files, prev_by_fid, prev_live = (
+            cur_files, cur_by_fid, cur_live,
+        )
+
     schema = None
     try:
         from glue_table_cache_spark.streaming.hudi_source import (
@@ -643,19 +879,38 @@ def hudi_table_changes(
         schema = _stream_schema(location)
     except GlueSparkError:
         pass  # no recorded schema: parquet self-describes
-    by_key: dict[tuple[int, str], list[str]] = {}
-    for path, _pv, ct, ts in changes:
-        by_key.setdefault((ts, ct), []).append(path)
     reader = spark.read.option("basePath", location)
     if schema is not None:
         reader = reader.schema(schema)
     pieces = []
-    for ts, ct in sorted(by_key):
-        pieces.append(
-            reader.parquet(*by_key[(ts, ct)])
-            .withColumn("_change_type", F.lit(ct))
-            .withColumn("_commit_version", F.lit(ts).cast("long"))
-        )
+    for ts, unit_kind, payload in units:
+        if unit_kind == "logs":
+            if schema is None:
+                raise GlueSparkError(
+                    f"Hudi deltacommit {ts} of {location!r} needs a "
+                    "recorded extraMetadata.schema to type its log "
+                    "payloads — write through write_hudi_append, or "
+                    "compact and window past it"
+                )
+            pieces.append(
+                _deltacommit_change_rows(
+                    spark, location, schema, payload, ts,
+                    record_key_field,
+                )
+            )
+            continue
+        added, removed = payload
+        for paths, ct in ((added, "insert"), (removed, "delete")):
+            if paths:
+                pieces.append(
+                    reader.parquet(
+                        *[_resolve_path(location, p) for p in paths]
+                    )
+                    .withColumn("_change_type", F.lit(ct))
+                    .withColumn(
+                        "_commit_version", F.lit(ts).cast("long")
+                    )
+                )
     if not pieces:
         from pyspark.sql.types import (
             LongType,

@@ -1099,6 +1099,35 @@ def iceberg_cdf(
     return out
 
 
+def _pos_pairs(spark, pos_paths: list[str]):
+    """The ``(file_path, pos)`` targets of position-delete files as a
+    two-column DataFrame (``__df`` scheme-stripped, ``__dp`` long) —
+    the join key both the delete-row synthesis and the row masking
+    below share."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(*pos_paths).select(
+        _strip_scheme(F.col("file_path")).alias("__df"),
+        F.col("pos").cast("long").alias("__dp"),
+    )
+
+
+def _mask_position_pairs(df, pairs):
+    """Drop the rows of ``df`` that position-delete ``pairs`` target
+    (anti-join on ``(_metadata.file_path, _metadata.row_index)``) —
+    one distributed anti-join, no driver rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn(
+            "__df", _strip_scheme(F.col("_metadata.file_path"))
+        )
+        .withColumn("__dp", F.col("_metadata.row_index"))
+        .join(pairs, ["__df", "__dp"], "left_anti")
+        .drop("__df", "__dp")
+    )
+
+
 def _position_deleted_rows(
     spark, location: str, prev_paths: list[str],
     new_pos: list[str], prior_pos: list[str],
@@ -1120,16 +1149,11 @@ def _position_deleted_rows(
         hadoop_uri_encode,
     )
 
-    dels = spark.read.parquet(*new_pos).select(
-        _strip_scheme(F.col("file_path")).alias("__df"),
-        F.col("pos").cast("long").alias("__dp"),
-    )
+    dels = _pos_pairs(spark, new_pos)
     if prior_pos:
-        prior = spark.read.parquet(*prior_pos).select(
-            _strip_scheme(F.col("file_path")).alias("__df"),
-            F.col("pos").cast("long").alias("__dp"),
+        dels = dels.join(
+            _pos_pairs(spark, prior_pos), ["__df", "__dp"], "left_anti"
         )
-        dels = dels.join(prior, ["__df", "__dp"], "left_anti")
     targets = {
         r["__df"] for r in dels.select("__df").distinct().collect()
     }
@@ -1215,15 +1239,27 @@ def iceberg_table_changes(
     attribution like Delta's CDF.
 
     Walks each consecutive snapshot pair inside the window and diffs
-    their data-file sets (:func:`iceberg_cdf`'s semantics, windowed):
-    a pair that changes any ROW-LEVEL delete file (position or
-    equality) refuses — that per-row delta is not reconstructible
-    from file diffs.  Snapshots whose ``summary.operation`` is
-    ``replace`` (compaction / OPTIMIZE — content-preserving by the
-    spec's definition) advance the state WITHOUT emitting: rewritten
-    files are storage bookkeeping, not row changes.  Identity
-    partition columns stored hive-style in the directory names
-    re-attach via ``basePath``.
+    their data-file sets (:func:`iceberg_cdf`'s semantics, windowed).
+    A pair that ADDS position-delete files synthesizes the per-row
+    delta: the new ``(file_path, pos)`` targets identify exactly the
+    rows deleted, read back from the PRIOR state's data files via
+    ``_metadata.row_index`` (one distributed scan semi-joined on the
+    pair — :func:`_position_deleted_rows`), so DELETE/UPDATE/MERGE
+    commits staged as position deletes surface as real ``delete``
+    rows instead of refusing.  What still refuses: equality-delete
+    changes (their targets are predicates, not rows — resolving them
+    per-row needs seq-scoped application this changelog cannot
+    attribute) and position-delete file REMOVAL outside a ``replace``
+    (a delete file vanishing un-compacted has no row semantics).
+    Snapshots whose ``summary.operation`` is ``replace`` (compaction
+    / OPTIMIZE — content-preserving by the spec's definition) advance
+    the state WITHOUT emitting: rewritten files are storage
+    bookkeeping, not row changes.  Rows of REMOVED data files that an
+    already-active position delete had masked are excluded from the
+    emitted deletes (they died in an earlier commit); rows of ADDED
+    data files masked by a SAME-snapshot position delete never
+    surface at all.  Identity partition columns stored hive-style in
+    the directory names re-attach via ``basePath``.
 
     Driver walks manifests only (O(window) metadata reads); row reads
     are distributed scans."""
@@ -1281,7 +1317,7 @@ def iceberg_table_changes(
         prev_e, prev_pos, prev_eq = _state(i_start - 1)
     else:
         prev_e, prev_pos, prev_eq = [], [], []
-    by_seq: dict[int, tuple[list[str], list[str]]] = {}
+    by_seq: dict[int, dict] = {}
     for idx in range(i_start, i_end + 1):
         cur_e, cur_pos, cur_eq = _state(idx)
         if ops.get(seqs[idx]) == "replace":
@@ -1289,37 +1325,79 @@ def iceberg_table_changes(
             # storage bookkeeping, never row changes — advance only
             prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
             continue
-        if set(cur_pos) != set(prev_pos) or {
-            d["path"] for d in cur_eq
-        } != {d["path"] for d in prev_eq}:
+        if {d["path"] for d in cur_eq} != {
+            d["path"] for d in prev_eq
+        }:
             raise GlueSparkError(
                 f"Iceberg changelog window for {location!r} changes "
-                "row-level delete files at sequence number "
-                f"{seqs[idx]}; the per-row delta is not "
-                "reconstructible from file diffs — use an Iceberg "
-                "runtime's changelog read"
+                "equality-delete files at sequence number "
+                f"{seqs[idx]}; equality deletes target predicates, "
+                "not rows — the per-row delta is not reconstructible "
+                "here; use an Iceberg runtime's changelog read"
             )
+        removed_pos = sorted(set(prev_pos) - set(cur_pos))
+        if removed_pos:
+            raise GlueSparkError(
+                f"Iceberg changelog window for {location!r} removes "
+                "position-delete files at sequence number "
+                f"{seqs[idx]} outside a replace snapshot — that has "
+                "no row semantics; use an Iceberg runtime's "
+                "changelog read"
+            )
+        new_pos = sorted(set(cur_pos) - set(prev_pos))
         cur = {p for p, _pv, _s in cur_e}
         prev = {p for p, _pv, _s in prev_e}
         added = sorted(cur - prev)
         removed = sorted(prev - cur)
-        if added or removed:
-            by_seq[seqs[idx]] = (added, removed)
+        if added or removed or new_pos:
+            by_seq[seqs[idx]] = {
+                "added": added,
+                "removed": removed,
+                "new_pos": new_pos,
+                "prev_paths": [p for p, _pv, _s in prev_e],
+                "prior_pos": list(prev_pos),
+            }
         prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
 
     reader = spark.read.option("basePath", location)
     pieces = []
     for seq in sorted(by_seq):
-        added, removed = by_seq[seq]
-        for paths, ct in ((added, "insert"), (removed, "delete")):
-            if paths:
-                pieces.append(
-                    reader.parquet(*paths)
-                    .withColumn("_change_type", F.lit(ct))
-                    .withColumn(
-                        "_commit_version", F.lit(seq).cast("long")
-                    )
+        u = by_seq[seq]
+
+        def _tag(df, ct, seq=seq):
+            return df.withColumn(
+                "_change_type", F.lit(ct)
+            ).withColumn("_commit_version", F.lit(seq).cast("long"))
+
+        if u["added"]:
+            ins = reader.parquet(*u["added"])
+            if u["new_pos"]:
+                # a position delete committed in the SAME snapshot
+                # can target a file that snapshot added (an UPDATE's
+                # carry-over rewrite) — those rows were never visible
+                ins = _mask_position_pairs(
+                    ins, _pos_pairs(spark, u["new_pos"])
                 )
+            pieces.append(_tag(ins, "insert"))
+        if u["removed"]:
+            dels = reader.parquet(*u["removed"])
+            if u["prior_pos"]:
+                # rows an ALREADY-ACTIVE position delete had masked
+                # died in an earlier commit, not this one
+                dels = _mask_position_pairs(
+                    dels, _pos_pairs(spark, u["prior_pos"])
+                )
+            pieces.append(_tag(dels, "delete"))
+        if u["new_pos"]:
+            rows = _position_deleted_rows(
+                spark,
+                location,
+                u["prev_paths"],
+                u["new_pos"],
+                u["prior_pos"],
+            )
+            if rows is not None:
+                pieces.append(_tag(rows, "delete"))
     if not pieces:
         _e, _p, _q, schema = iceberg_scan_details(
             location, 0, s3_client, fs, with_schema=True

@@ -765,3 +765,178 @@ def test_mor_log_insert_missing_partition_cols_refuses(
         for r in eng.sql("SELECT id, year FROM glue.db.t").collect()
     )
     assert got == [(1, "1996"), (2, "1997"), (3, "1997")]
+
+
+def test_hudi_table_changes_mor_deltacommit(spark, tmp_path):
+    """table_changes() over a MOR deltacommit decodes the log blocks:
+    upserts emit as update_postimage, delete blocks as key-carrying
+    delete rows; compaction windows emit nothing (content-preserving);
+    the full changelog replays onto a Delta twin via apply_changes."""
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        compact_hudi,
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_table_changes
+
+    loc = str(tmp_path / "morcdc")
+    i1 = int(
+        write_hudi_append(
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, "b", 2.0)],
+                "id long, name string, x double",
+            ),
+            loc,
+            table_type="MERGE_ON_READ",
+        )
+    )
+    i2 = int(
+        write_hudi_log(
+            spark,
+            loc,
+            "id",
+            upserts=spark.createDataFrame(
+                [(2, "b", 20.0), (3, "c", 3.0)],
+                "id long, name string, x double",
+            ),
+            delete_keys=[1],
+        )
+    )
+    got = sorted(
+        (r.id, r.name, r.x, r._change_type, r._commit_version)
+        for r in hudi_table_changes(
+            spark, loc, i2, record_key_field="id"
+        ).collect()
+    )
+    assert got == [
+        (1, None, None, "delete", i2),
+        (2, "b", 20.0, "update_postimage", i2),
+        (3, "c", 3.0, "update_postimage", i2),
+    ]
+    # a data block then a delete block for the SAME key in one
+    # deltacommit nets to the delete (block order, as the snapshot
+    # merge would resolve it)
+    i3 = int(
+        write_hudi_log(
+            spark,
+            loc,
+            "id",
+            upserts=spark.createDataFrame(
+                [(3, "zzz", 33.0)], "id long, name string, x double"
+            ),
+            delete_keys=[3],
+        )
+    )
+    got = [
+        (r.id, r._change_type)
+        for r in hudi_table_changes(
+            spark, loc, i3, record_key_field="id"
+        ).collect()
+    ]
+    assert got == [(3, "delete")]
+    # compaction is content-preserving: its window emits nothing
+    i4 = int(compact_hudi(spark, loc, "id"))
+    assert (
+        hudi_table_changes(
+            spark, loc, i4, record_key_field="id"
+        ).count()
+        == 0
+    )
+    # full-history replay through the engine TVF onto a Delta twin
+    twin = str(tmp_path / "twin")
+    write_delta_append(
+        spark.createDataFrame([], "id long, name string, x double"),
+        twin,
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "src", loc,
+        parameters={
+            "hoodie.table.name": "src",
+            "hoodie.table.recordkey.fields": "id",
+        },
+    )
+    store.register_parquet_dir(
+        "db", "twin", twin,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    feed = eng.sql(f"SELECT * FROM table_changes(glue.db.src, {i1})")
+    apply_changes(eng, "glue.db.twin", feed, keys=["id"])
+    assert sorted(
+        (r.id, r.name, r.x)
+        for r in eng.sql("SELECT * FROM glue.db.twin").collect()
+    ) == [(2, "b", 20.0)]
+    # ...which is exactly the source's merged snapshot
+    assert sorted(
+        (r.id, r.name, r.x)
+        for r in eng.sql("SELECT * FROM glue.db.src").collect()
+    ) == [(2, "b", 20.0)]
+
+
+def test_mor_delete_of_log_born_key_survives_compaction(
+    spark, tmp_path
+):
+    """A key inserted via a LOG block (never in any base file) must be
+    deletable by a later write_hudi_log call: the delete block has to
+    land in the SAME file group as the log-born insert, or per-group
+    compaction folds the insert without the delete and resurrects the
+    row."""
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        compact_hudi,
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_mor import hudi_mor_read
+
+    loc = str(tmp_path / "logborn")
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        loc,
+        table_type="MERGE_ON_READ",
+    )
+    # log-born insert of id=2, then a SEPARATE delete call for it
+    write_hudi_log(
+        spark, loc, "id",
+        upserts=spark.createDataFrame([(2, "b")], "id long, v string"),
+    )
+    write_hudi_log(spark, loc, "id", delete_keys=[2])
+
+    def snapshot():
+        bases, logs = hudi_mor_scan_info(loc)
+        return sorted(
+            (r.id, r.v)
+            for r in hudi_mor_read(
+                spark,
+                bases,
+                [(p, t) for p, t, _pv in logs],
+                record_key_field="id",
+            ).collect()
+        )
+
+    assert snapshot() == [(1, "a")]
+    compact_hudi(spark, loc, "id")
+    assert snapshot() == [(1, "a")]  # id=2 must NOT resurrect
+    # an upsert of a log-born key routes to its group too: compaction
+    # must not duplicate it across groups
+    write_hudi_log(
+        spark, loc, "id",
+        upserts=spark.createDataFrame([(3, "c")], "id long, v string"),
+    )
+    write_hudi_log(
+        spark, loc, "id",
+        upserts=spark.createDataFrame([(3, "C2")], "id long, v string"),
+    )
+    compact_hudi(spark, loc, "id")
+    assert snapshot() == [(1, "a"), (3, "C2")]
