@@ -89,3 +89,25 @@ def write_cdc_files(
 def typed(df: DataFrame, change_type: str) -> DataFrame:
     """``df`` with every row tagged ``change_type``."""
     return df.withColumn(CHANGE_TYPE_COL, F.lit(change_type))
+
+
+def to_physical(
+    changes: DataFrame, renames: dict[str, str] | None
+) -> DataFrame:
+    """Project a logical-named cdc frame to PHYSICAL column names —
+    the spelling the table's data files share (real Delta writes cdc
+    files physically too, PROTOCOL.md "Column Mapping": change files
+    follow the data files' naming).  Readers map back through the
+    CURRENT metadata, so historical changes always surface under the
+    latest logical schema.  ``_change_type`` is protocol metadata,
+    never mapped.  ``renames`` is the reader-direction
+    ``{physical: logical}`` map (``None`` = unmapped, pass-through)."""
+    if not renames:
+        return changes
+    phys_of = {v: k for k, v in renames.items()}
+    return changes.select(
+        *[
+            F.col(c).alias(phys_of.get(c, c))
+            for c in changes.columns
+        ]
+    )

@@ -252,18 +252,12 @@ def delete_from_delta(
     # recoverable and CDF readers must refuse the window
     from glue_table_cache_spark.sinks.delta_cdc import (
         cdf_enabled,
+        to_physical,
         typed,
         write_cdc_files,
     )
 
     cdc_actions: list[dict] = []
-    if renames is not None and cdf_enabled(location):
-        raise GlueSparkError(
-            "DELETE on a column-mapped table with Change Data Feed "
-            "enabled: cdc files must carry physical names, which "
-            "this writer does not emit — disable CDF or use a "
-            "Delta runtime"
-        )
     if cdf_enabled(location):
         parts = []
         if hits:
@@ -307,7 +301,9 @@ def delete_from_delta(
         changes = parts[0]
         for extra in parts[1:]:
             changes = changes.unionByName(extra)
-        cdc_actions = write_cdc_files(typed(changes, "delete"), location)
+        cdc_actions = write_cdc_files(
+            to_physical(typed(changes, "delete"), renames), location
+        )
 
     now = int(time.time() * 1000)
     removes: list[dict] = []

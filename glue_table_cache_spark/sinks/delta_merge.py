@@ -183,6 +183,10 @@ def merge_into_delta(
             "names while this rewrite plans on logical ones — "
             "refusing; use a Delta runtime for this combination"
         )
+    # the SQL dialect is case-insensitive (the parser lowercases ON
+    # keys); resolve each key to the source's actual spelling first
+    _by_fold = {c.lower(): c for c in source.columns}
+    keys = [_by_fold.get(k.lower(), k) for k in keys]
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(
@@ -294,18 +298,12 @@ def merge_into_delta(
     # rewritten files as delete+insert)
     from glue_table_cache_spark.sinks.delta_cdc import (
         cdf_enabled,
+        to_physical,
         typed,
         write_cdc_files,
     )
 
     cdc_actions: list[dict] = []
-    if renames is not None and cdf_enabled(location):
-        raise GlueSparkError(
-            "MERGE on a column-mapped table with Change Data Feed "
-            "enabled: cdc files must carry physical names, which "
-            "this writer does not emit — disable CDF or use a "
-            "Delta runtime"
-        )
     if cdf_enabled(location):
         if base_rows is not None:
             pre = base_rows.join(src_keys, keys, "left_semi")
@@ -323,7 +321,9 @@ def merge_into_delta(
             )
         else:
             changes = typed(source, "insert")
-        cdc_actions = write_cdc_files(changes, location)
+        cdc_actions = write_cdc_files(
+            to_physical(changes, renames), location
+        )
     n_files = max(
         1, -(-max(total_bytes, 1) // (target_file_mb * 1024 * 1024))
     )
@@ -489,6 +489,10 @@ def merge_general_delta(
             "names while this rewrite plans on logical ones — "
             "refusing; use a Delta runtime for this combination"
         )
+    # the SQL dialect is case-insensitive (the parser lowercases ON
+    # keys); resolve each key to the source's actual spelling first
+    _by_fold = {c.lower(): c for c in source.columns}
+    keys = [_by_fold.get(k.lower(), k) for k in keys]
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(
@@ -511,18 +515,12 @@ def merge_general_delta(
         )
     from glue_table_cache_spark.sinks.delta_cdc import (
         cdf_enabled,
+        to_physical,
         typed,
         write_cdc_files,
     )
 
     cdf = cdf_enabled(location)
-    if renames is not None and cdf:
-        raise GlueSparkError(
-            "MERGE on a column-mapped table with Change Data Feed "
-            "enabled: cdc files must carry physical names, which "
-            "this writer does not emit — disable CDF or use a "
-            "Delta runtime"
-        )
     by_path = {p: (pv, dv) for p, pv, dv in entries}
     prior_pairs = [
         (_path_uri(p), int(pos))
@@ -634,7 +632,9 @@ def merge_general_delta(
         changes = cdc_frames[0]
         for f in cdc_frames[1:]:
             changes = changes.unionByName(f)
-        cdc_actions = write_cdc_files(changes, location)
+        cdc_actions = write_cdc_files(
+            to_physical(changes, renames), location
+        )
 
     merged = out
     if ins is not None and n_inserted:
@@ -887,18 +887,12 @@ def update_delta(
     # column types coerce identically to the rewritten data.
     from glue_table_cache_spark.sinks.delta_cdc import (
         cdf_enabled,
+        to_physical,
         typed,
         write_cdc_files,
     )
 
     cdc_actions: list[dict] = []
-    if renames is not None and cdf_enabled(location):
-        raise GlueSparkError(
-            "UPDATE on a column-mapped table with Change Data Feed "
-            "enabled: cdc files must carry physical names, which "
-            "this writer does not emit — disable CDF or use a "
-            "Delta runtime"
-        )
     if cdf_enabled(location):
         pre = rows.where(cond)
         post = pre.withColumns(
@@ -908,8 +902,11 @@ def update_delta(
             }
         )
         cdc_actions = write_cdc_files(
-            typed(pre, "update_preimage").unionByName(
-                typed(post, "update_postimage")
+            to_physical(
+                typed(pre, "update_preimage").unionByName(
+                    typed(post, "update_postimage")
+                ),
+                renames,
             ),
             location,
         )

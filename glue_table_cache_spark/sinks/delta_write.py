@@ -1543,13 +1543,10 @@ def _alter_delta_column(
                 f"table at {location!r} has no recorded schema"
             )
         conf = dict(meta.get("configuration") or {})
-        if conf.get("delta.enableChangeDataFeed") == "true":
-            raise GlueSparkError(
-                f"{verb} on a Change-Data-Feed table: cdc files "
-                "carry the old spelling and this reader does not "
-                "map them — disable delta.enableChangeDataFeed "
-                "first or use a Delta runtime"
-            )
+        # CDF tables rename fine: cdc files carry PHYSICAL names
+        # (pre-upgrade files' names ARE the pinned physical names),
+        # and delta_cdf / the streaming CDF mode map every piece
+        # through the current metadata at read
         if name in (meta.get("partitionColumns") or []):
             raise GlueSparkError(
                 f"{verb} {name!r}: it is a partition column — "

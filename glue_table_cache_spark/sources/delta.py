@@ -1002,12 +1002,30 @@ def delta_cdf(
             f"(latest {latest}) for {location!r}"
         )
     _active, state = _replay(location, 0, s3_client, fs)
-    if _mapping_mode(state.get("metaData")) != "none":
-        raise GlueSparkError(
-            f"Change Data Feed on column-mapped table {location!r}: "
-            "change files carry physical names this reader does not "
-            "map — use a Delta runtime's CDF read"
-        )
+    # column-mapped tables: data AND cdc files carry PHYSICAL names
+    # (the writers project through to_physical); map every piece back
+    # through the CURRENT metadata so historical changes surface
+    # under the latest logical schema — files written before the
+    # mapping upgrade resolve too, because the upgrade pins each
+    # physical name to the then-current spelling
+    renames = column_mapping_renames(
+        state.get("metaData"), allow_nested=True
+    )
+    lschema = (
+        logical_schema(state.get("metaData"))
+        if renames is not None
+        else None
+    )
+
+    def _map(df):
+        if renames is None:
+            return df
+        aug = dict(renames)
+        for c in ("_change_type", "_commit_version"):
+            if c in df.columns:
+                aug[c] = c
+        return apply_column_mapping(df, aug, lschema)
+
     pieces = []
     for v in range(since_version + 1, latest + 1):
         if v not in commits:
@@ -1054,7 +1072,7 @@ def delta_cdf(
                     )
         if cdc_paths:
             pieces.append(
-                spark.read.parquet(*cdc_paths)
+                _map(spark.read.parquet(*cdc_paths))
                 .withColumn("_commit_version", F.lit(v))
             )
             continue
@@ -1067,13 +1085,13 @@ def delta_cdf(
             )
         if adds:
             pieces.append(
-                spark.read.parquet(*adds)
+                _map(spark.read.parquet(*adds))
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v))
             )
         if removes:
             pieces.append(
-                spark.read.parquet(*removes)
+                _map(spark.read.parquet(*removes))
                 .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(v))
             )

@@ -77,7 +77,8 @@ class DeltaChangePartition(InputPartition):
 
 
 def read_file_partition(
-    path, partition_values, schema, constants=None
+    path, partition_values, schema, constants=None,
+    physical_names=None,
 ) -> "Iterator":
     """Executor-side file read shared by the table-format streaming
     sources: one parquet file → Arrow record batches cast to the
@@ -85,7 +86,9 @@ def read_file_partition(
     constant columns and evolved-away columns surfaced as nulls (the
     batch scan's semantics).  ``constants`` attach typed per-partition
     constants (the CDF mode's ``_change_type``/``_commit_version``)
-    that take precedence over file columns of the same name."""
+    that take precedence over file columns of the same name.
+    ``physical_names`` maps logical field name → the PHYSICAL column
+    spelling column-mapped files carry (``None`` = unmapped)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -96,12 +99,17 @@ def read_file_partition(
     n = table.num_rows
     cols = []
     for field in target:
+        fname = (
+            physical_names.get(field.name, field.name)
+            if physical_names
+            else field.name
+        )
         if constants and field.name in constants:
             cols.append(
                 pa.array([constants[field.name]] * n).cast(field.type)
             )
-        elif field.name in table.column_names:
-            cols.append(table.column(field.name).cast(field.type))
+        elif fname in table.column_names:
+            cols.append(table.column(fname).cast(field.type))
         elif field.name in (partition_values or {}):
             cols.append(
                 pa.array([partition_values[field.name]] * n).cast(
@@ -308,6 +316,21 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                 ".option('location', ...) or .load(path)"
             )
         self._schema = schema
+        # column-mapped tables: files carry PHYSICAL names; resolve
+        # each logical field to its physical spelling once (driver),
+        # executors read by it.  Resolved at reader construction —
+        # physical names are stable across renames, so a restart
+        # after an ALTER keeps reading the same columns.
+        from glue_table_cache_spark.sources.delta import (
+            _replay,
+            column_mapping_renames,
+        )
+
+        _active, state = _replay(self._location)
+        renames = column_mapping_renames(state.get("metaData"))
+        self._phys_of = (
+            {v: k for k, v in renames.items()} if renames else None
+        )
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
@@ -358,10 +381,14 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                 partition.partition_values,
                 self._schema,
                 constants=constants,
+                physical_names=self._phys_of,
             )
             return
         yield from read_file_partition(
-            partition.path, partition.partition_values, self._schema
+            partition.path,
+            partition.partition_values,
+            self._schema,
+            physical_names=self._phys_of,
         )
 
     def commit(self, end: dict) -> None:
@@ -372,8 +399,10 @@ class DeltaLiteDataSource(DataSource):
     """``spark.dataSource.register(DeltaLiteDataSource)`` then
     ``spark.readStream.format("delta_lite").option("location", loc)``.
     The schema is the table log's authoritative ``schemaString``
-    (evolved columns surface as nulls for pre-evolution files);
-    column-mapped tables refuse — files carry physical names."""
+    (evolved columns surface as nulls for pre-evolution files).
+    Column-mapped tables stream fine: each logical field reads its
+    PHYSICAL column spelling (stable across renames); nested-mapped
+    schemas still refuse loudly in the schema resolution."""
 
     @classmethod
     def name(cls) -> str:
@@ -390,15 +419,9 @@ class DeltaLiteDataSource(DataSource):
                 "delta_lite needs a table location: "
                 ".option('location', ...) or .load(path)"
             )
-        _entries, renames, schema = delta_scan_info(
+        _entries, _renames, schema = delta_scan_info(
             location, with_schema=True
         )
-        if renames is not None:
-            raise GlueSparkError(
-                "delta_lite cannot stream a column-mapped table "
-                "(files carry physical names); read through a Delta "
-                "runtime"
-            )
         if schema is None:
             raise GlueSparkError(
                 f"Delta log for {location!r} carries no schemaString"

@@ -4330,3 +4330,132 @@ def test_streaming_cdc_mirror_apply_changes(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert _snap("glue.db.dst") == [(2, 20.0), (3, 30.0)]
+
+
+def test_cdf_through_column_mapping(spark, tmp_path):
+    """CDF composes with ALTER RENAME/DROP COLUMN: cdc files carry
+    PHYSICAL names (pre-upgrade files' names ARE the pinned physical
+    names), and both the batch TVF and the streaming readChangeFeed
+    mode map every piece through the CURRENT metadata — so a rename
+    no longer severs the table from table_changes()."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+        write_delta_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = str(tmp_path / "cmcdf")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id long, x double"
+        ),
+        src,
+    )  # v0
+    set_delta_table_properties(
+        src, {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", src,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("UPDATE glue.db.t SET x = 10.0 WHERE id = 1")  # v2
+    eng.sql("ALTER TABLE glue.db.t RENAME COLUMN x TO amount")  # v3
+    # historical changes surface under the NEW logical name
+    rows = sorted(
+        (r._commit_version, r._change_type, r.id, r.amount)
+        for r in eng.sql(
+            "SELECT id, amount, _change_type, _commit_version "
+            "FROM table_changes(glue.db.t, 0)"
+        ).collect()
+    )
+    assert rows == [
+        (0, "insert", 1, 1.0),
+        (0, "insert", 2, 2.0),
+        (2, "update_postimage", 1, 10.0),
+        (2, "update_preimage", 1, 1.0),
+    ]
+    # DML AFTER the rename: cdc staged under the PHYSICAL spelling,
+    # read back logically
+    eng.sql("DELETE FROM glue.db.t WHERE id = 2")  # v4
+    got = eng.sql(
+        "SELECT id, amount, _change_type "
+        "FROM table_changes(glue.db.t, 4)"
+    ).collect()
+    assert [(r.id, r.amount, r._change_type) for r in got] == [
+        (2, 2.0, "delete")
+    ]
+    import pyarrow.parquet as pq
+    from pathlib import Path as _P
+
+    cdc_files = sorted(_P(src).glob("_change_data/*.parquet"))
+    assert cdc_files
+    names = pq.ParquetFile(cdc_files[-1]).schema_arrow.names
+    assert "x" in names and "amount" not in names
+    # streaming readChangeFeed maps too
+    seen: list = []
+    q = (
+        read_delta_stream(spark, src, read_change_feed=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        (r._commit_version, r._change_type, r.id, r.amount)
+        for r in seen
+    ) == rows + [(4, "delete", 2, 2.0)]
+    # DROP COLUMN: the dropped column leaves the changelog schema
+    eng.sql("ALTER TABLE glue.db.t DROP COLUMN amount")
+    out = eng.sql("SELECT * FROM table_changes(glue.db.t, 0, 0)")
+    assert out.columns == ["id", "_change_type", "_commit_version"]
+
+
+def test_append_stream_over_renamed_table(spark, tmp_path):
+    """The plain (append) delta_lite stream reads column-mapped
+    tables: each logical field resolves its stable physical column,
+    so files written before AND after a rename deliver under the
+    current logical name."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = str(tmp_path / "apprn")
+    write_delta_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"), src
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", src,
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("ALTER TABLE glue.db.t RENAME COLUMN v TO label")
+    eng.sql("INSERT INTO glue.db.t VALUES (2, 'b')")
+    seen: list = []
+    q = (
+        read_delta_stream(spark, src)
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted((r.id, r.label) for r in seen) == [
+        (1, "a"), (2, "b"),
+    ]
