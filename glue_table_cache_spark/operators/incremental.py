@@ -184,6 +184,7 @@ def apply_changes(
     keys: list[str],
     sequence_col: str = "_commit_version",
     change_type_col: str = "_change_type",
+    stored_as_scd_type: int = 1,
 ):
     """APPLY CHANGES INTO — the row-level CDC-apply primitive (the
     public DLT verb): net a changelog (``table_changes()`` output or
@@ -200,6 +201,19 @@ def apply_changes(
     post-state.  Out-of-order replays are safe: the sequence column
     decides, not arrival order.
 
+    ``stored_as_scd_type=2`` keeps HISTORY instead (the public APPLY
+    CHANGES INTO surface): the target carries ``__START_AT`` /
+    ``__END_AT`` columns; each upsert opens a new version row and
+    closes the previous one at its sequence, a delete closes without
+    inserting.  Convergent under replay AND cross-batch late data:
+    the affected keys' existing version rows are decompiled back into
+    actions (a version = an upsert at ``__START_AT``; an ``__END_AT``
+    no other version starts at = a delete there), merged with the
+    batch's actions, and the full history is recomputed and landed
+    with ONE general MERGE keyed on ``(keys..., __START_AT)`` — so
+    replaying any window, in any order, converges to the same
+    history.
+
     Returns the MERGE metrics row.  Scale: the netting aggregation
     shuffles once on the keys and the general merge planner takes it
     from there (no driver-side rows)."""
@@ -215,6 +229,16 @@ def apply_changes(
         raise ValueError(
             f"apply_changes keys {missing} are not in the changelog "
             f"columns {changes.columns}"
+        )
+    if stored_as_scd_type == 2:
+        return _apply_changes_scd2(
+            engine, target, changes, keys, data_cols,
+            sequence_col, change_type_col,
+        )
+    if stored_as_scd_type != 1:
+        raise ValueError(
+            f"stored_as_scd_type must be 1 or 2, got "
+            f"{stored_as_scd_type!r}"
         )
     prio = (
         F.when(F.col(change_type_col) == "update_postimage", 3)
@@ -265,3 +289,156 @@ def apply_changes(
         ).first()
     finally:
         latest.sparkSession.catalog.dropGlobalTempView(view)
+
+
+def _apply_changes_scd2(
+    engine,
+    target: str,
+    changes: DataFrame,
+    keys: list[str],
+    data_cols: list[str],
+    sequence_col: str,
+    change_type_col: str,
+) -> "object":
+    """SCD Type 2 apply (see :func:`apply_changes`).  Shape:
+
+    1. net the batch to one action per ``(key, sequence)`` — the same
+       ``max_by`` priority netting as Type 1, but per sequence point
+       (history keeps every version, not just the latest);
+    2. decompile the target's existing version rows FOR THE AFFECTED
+       KEYS back into actions: each version is an upsert at its
+       ``__START_AT``; an ``__END_AT`` that no sibling version starts
+       at records a delete at that sequence.  History is a complete
+       record, so this inversion is exact;
+    3. recompute each key's history with one ``lead()`` window over
+       the unioned actions (batch wins a same-sequence collision);
+    4. land with ONE general MERGE on ``(keys..., __START_AT)`` —
+       pure upsert, no NOT-MATCHED-BY-SOURCE clause needed because
+       the recomputed history is a superset of the existing rows.
+
+    The single shuffle beyond the MERGE is the per-key window — the
+    minimum any versioned-history computation needs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tgt = engine.sql(f"SELECT * FROM {target}")
+    for c in ("__START_AT", "__END_AT"):
+        if c not in tgt.columns:
+            raise ValueError(
+                f"SCD Type 2 target {target} lacks the history "
+                f"column {c!r} — create it with the data columns "
+                "plus __START_AT/__END_AT"
+            )
+    prio = (
+        F.when(F.col(change_type_col) == "update_postimage", 3)
+        .when(F.col(change_type_col) == "insert", 2)
+        .when(F.col(change_type_col) == "delete", 1)
+        .otherwise(0)
+    )
+    payload = F.struct(
+        (F.col(change_type_col) == "delete").alias("__is_delete"),
+        *[F.col(c) for c in data_cols],
+    )
+    batch = (
+        changes.where(F.col(change_type_col) != "update_preimage")
+        .groupBy(
+            *keys, F.col(sequence_col).alias("__seq")
+        )
+        .agg(F.max_by(payload, prio).alias("__w"))
+        .select(
+            *keys,
+            "__seq",
+            F.lit(1).alias("__rank"),  # batch wins collisions
+            F.col("__w.__is_delete").alias("__is_delete"),
+            *[
+                F.col(f"__w.{c}").alias(c)
+                for c in data_cols
+                if c not in keys
+            ],
+        )
+    )
+    non_keys = [c for c in data_cols if c not in keys]
+    aff = tgt.join(
+        batch.select(*keys).distinct(), keys, "left_semi"
+    )
+    exist_up = aff.select(
+        *keys,
+        F.col("__START_AT").alias("__seq"),
+        F.lit(0).alias("__rank"),
+        F.lit(False).alias("__is_delete"),
+        *non_keys,
+    )
+    types = {f.name: f.dataType for f in tgt.schema.fields}
+    exist_del = (
+        aff.where(F.col("__END_AT").isNotNull())
+        .select(*keys, F.col("__END_AT").alias("__seq"))
+        .join(
+            aff.select(*keys, F.col("__START_AT").alias("__seq")),
+            [*keys, "__seq"],
+            "left_anti",
+        )
+        .select(
+            *keys,
+            "__seq",
+            F.lit(0).alias("__rank"),
+            F.lit(True).alias("__is_delete"),
+            *[
+                F.lit(None).cast(types[c]).alias(c)
+                for c in non_keys
+            ],
+        )
+    )
+    acts = batch.unionByName(exist_up).unionByName(exist_del)
+    # same-sequence collision: the batch's action wins, then priority
+    # (a delete yields to the upsert that replaced it on replay)
+    netted = (
+        acts.groupBy(*keys, "__seq")
+        .agg(
+            F.max_by(
+                F.struct("__is_delete", *non_keys),
+                F.struct(
+                    "__rank",
+                    F.when(F.col("__is_delete"), 1)
+                    .otherwise(3)
+                    .alias("__prio"),
+                ),
+            ).alias("__w")
+        )
+        .select(
+            *keys,
+            "__seq",
+            F.col("__w.__is_delete").alias("__is_delete"),
+            *[F.col(f"__w.{c}").alias(c) for c in non_keys],
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("__seq")
+    hist = (
+        netted.withColumn("__end", F.lead("__seq").over(w))
+        .where(~F.col("__is_delete"))
+        .select(
+            *keys,
+            *non_keys,
+            F.col("__seq").alias("__START_AT"),
+            F.col("__end").alias("__END_AT"),
+        )
+    )
+    view = f"__cdc_scd2_{uuid.uuid4().hex[:8]}"
+    hist.createOrReplaceGlobalTempView(view)
+    try:
+        on = " AND ".join(
+            [f"t.{k} = s.{k}" for k in keys]
+            + ["t.__START_AT = s.__START_AT"]
+        )
+        set_cols = non_keys + ["__END_AT"]
+        sets = ", ".join(f"{c} = s.{c}" for c in set_cols)
+        ins_cols = [*keys, *non_keys, "__START_AT", "__END_AT"]
+        cols = ", ".join(ins_cols)
+        vals = ", ".join(f"s.{c}" for c in ins_cols)
+        return engine.sql(
+            f"MERGE INTO {target} t "
+            f"USING global_temp.{view} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        ).first()
+    finally:
+        hist.sparkSession.catalog.dropGlobalTempView(view)

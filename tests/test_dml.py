@@ -2384,21 +2384,111 @@ def test_table_changes_tvf_iceberg(spark, tmp_path):
         "SELECT id FROM table_changes(glue.db.t, 2, 2)"
     ).collect()
     assert [r.id for r in rows] == [3]
-    # a DELETE adds a position-delete file: that window refuses
+    # a DELETE adds a position-delete file: the window synthesizes
+    # the per-row delta — the deleted row, read back from the prior
+    # state's data file via its (file_path, pos) target
     eng.sql("DELETE FROM glue.db.t WHERE id = 1")  # seq 3
-    with pytest.raises(GlueSparkError, match="row-level delete"):
-        eng.sql(
-            "SELECT * FROM table_changes(glue.db.t, 3)"
-        )
-    # ...but pre-delete windows still read fine
+    got = eng.sql(
+        "SELECT id, p, _change_type, _commit_version "
+        "FROM table_changes(glue.db.t, 3)"
+    ).collect()
+    assert [
+        (r.id, r.p, r._change_type, r._commit_version) for r in got
+    ] == [(1, "a", "delete", 3)]
+    # pre-delete windows still read fine
     assert eng.sql(
         "SELECT count(*) AS n FROM table_changes(glue.db.t, 1, 2)"
     ).first().n == 3
+    # a second DELETE only emits ITS rows (pairs an older delete
+    # file already masked are subtracted — a row dies once)
+    eng.sql("DELETE FROM glue.db.t WHERE id = 2")  # seq 4
+    got = eng.sql(
+        "SELECT id, _change_type, _commit_version "
+        "FROM table_changes(glue.db.t, 4)"
+    ).collect()
+    assert [
+        (r.id, r._change_type, r._commit_version) for r in got
+    ] == [(2, "delete", 4)]
+    # the full-history replay nets every insert and both deletes
+    both = eng.sql(
+        "SELECT id, _change_type FROM table_changes(glue.db.t, 1) "
+        "ORDER BY _commit_version, id"
+    ).collect()
+    assert [(r.id, r._change_type) for r in both] == [
+        (1, "insert"),
+        (2, "insert"),
+        (3, "insert"),
+        (1, "delete"),
+        (2, "delete"),
+    ]
     # timestamp bounds resolve via snapshot timestamp-ms
     assert eng.sql(
         "SELECT count(*) AS n FROM "
         "table_changes(glue.db.t, '2000-01-01', 2)"
     ).first().n == 3
+
+
+def test_table_changes_iceberg_update_and_replay(spark, tmp_path):
+    """An Iceberg UPDATE (one snapshot: position deletes + new data
+    files) surfaces as delete(preimage) + insert(postimage) rows, and
+    the full changelog replays onto a fresh Delta twin via
+    apply_changes to exactly the source's current state."""
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "tciu"
+    write_iceberg_append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, x double"
+        ),
+        str(loc),
+    )  # seq 1
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc), parameters={"table_type": "ICEBERG"}
+    )
+    twin = tmp_path / "twin"
+    write_delta_append(
+        spark.createDataFrame([], "id long, x double"), str(twin)
+    )
+    store.register_parquet_dir(
+        "db",
+        "twin",
+        str(twin),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("UPDATE glue.db.t SET x = x + 1 WHERE id >= 2")  # seq 2
+    got = eng.sql(
+        "SELECT id, x, _change_type "
+        "FROM table_changes(glue.db.t, 2) ORDER BY _change_type, id"
+    ).collect()
+    assert [(r.id, r.x, r._change_type) for r in got] == [
+        (2, 20.0, "delete"),
+        (3, 30.0, "delete"),
+        (2, 21.0, "insert"),
+        (3, 31.0, "insert"),
+    ]
+    eng.sql("DELETE FROM glue.db.t WHERE id = 1")  # seq 3
+    feed = eng.sql("SELECT * FROM table_changes(glue.db.t, 1)")
+    apply_changes(eng, "glue.db.twin", feed, keys=["id"])
+    assert sorted(
+        (r.id, r.x)
+        for r in eng.sql("SELECT * FROM glue.db.twin").collect()
+    ) == [(2, 21.0), (3, 31.0)]
+    # idempotent: replaying the same feed changes nothing
+    apply_changes(eng, "glue.db.twin", feed, keys=["id"])
+    assert sorted(
+        (r.id, r.x)
+        for r in eng.sql("SELECT * FROM glue.db.twin").collect()
+    ) == [(2, 21.0), (3, 31.0)]
 
 
 def test_table_changes_tvf_hudi(spark, tmp_path):
@@ -2918,7 +3008,9 @@ def test_alter_column_refusal_matrix(spark, tmp_path):
     with pytest.raises(GlueSparkError, match="CHECK constraint"):
         eng.sql("ALTER TABLE glue.db.t RENAME COLUMN amt TO cost")
     eng.sql("ALTER TABLE glue.db.t DROP CONSTRAINT pos")
-    # CDF tables refuse (cdc files carry the old spelling)
+    # CDF tables rename fine now: cdc files carry PHYSICAL names and
+    # the reader maps them through the current metadata (the
+    # dedicated coverage is test_cdf_through_column_mapping)
     cdf = tmp_path / "armc"
     write_delta_append(
         spark.createDataFrame([(1, 1.0)], "id long, x double"),
@@ -2930,8 +3022,10 @@ def test_alter_column_refusal_matrix(spark, tmp_path):
     eng2 = _engine_for(
         spark, cdf, {"spark.sql.sources.provider": "delta"}
     )
-    with pytest.raises(GlueSparkError, match="Change-Data-Feed"):
-        eng2.sql("ALTER TABLE glue.db.t RENAME COLUMN x TO y")
+    eng2.sql("ALTER TABLE glue.db.t RENAME COLUMN x TO y")
+    assert eng2.sql(
+        "SELECT y FROM table_changes(glue.db.t, 0, 0)"
+    ).first().y == 1.0
     # non-Delta refuses with a pointer
     iloc = tmp_path / "armi"
     write_iceberg_append(
@@ -3384,3 +3478,268 @@ def test_iceberg_append_preserves_properties_and_refs(
     )
     assert meta["properties"]["owner"] == "me"
     assert meta["last-column-id"] == 1
+
+
+def test_apply_changes_scd_type2(spark, tmp_path):
+    """apply_changes(stored_as_scd_type=2): history versions with
+    __START_AT/__END_AT — upserts open a version and close the prior
+    one, deletes close without inserting, replay is idempotent, and
+    cross-batch LATE actions splice into the middle of a key's
+    history (the existing versions are decompiled and the history
+    recomputed)."""
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    tgt = tmp_path / "scd2"
+    write_delta_append(
+        spark.createDataFrame(
+            [], "id long, v string, __START_AT long, __END_AT long"
+        ),
+        str(tgt),
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dim", str(tgt),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows,
+            "id long, v string, _change_type string, "
+            "_commit_version long",
+        )
+
+    def hist():
+        return sorted(
+            (r["id"], r["v"], r["__START_AT"], r["__END_AT"])
+            for r in eng.sql("SELECT * FROM glue.db.dim").collect()
+        )
+
+    b1 = feed(
+        [(1, "a", "insert", 10), (2, "b", "insert", 10)]
+    )
+    apply_changes(
+        eng, "glue.db.dim", b1, ["id"], stored_as_scd_type=2
+    )
+    assert hist() == [(1, "a", 10, None), (2, "b", 10, None)]
+    # update opens a new version and closes the old; delete closes
+    # without inserting; preimages are ignored
+    b2 = feed(
+        [
+            (1, "a", "update_preimage", 20),
+            (1, "a2", "update_postimage", 20),
+            (2, None, "delete", 30),
+        ]
+    )
+    apply_changes(
+        eng, "glue.db.dim", b2, ["id"], stored_as_scd_type=2
+    )
+    expect = [
+        (1, "a", 10, 20),
+        (1, "a2", 20, None),
+        (2, "b", 10, 30),
+    ]
+    assert hist() == expect
+    # idempotent: replaying the same window changes nothing
+    apply_changes(
+        eng, "glue.db.dim", b2, ["id"], stored_as_scd_type=2
+    )
+    assert hist() == expect
+    # a LATE action with a sequence in the middle splices in: the
+    # surrounding versions' bounds adjust, the tail stays
+    late = feed([(1, "a15", "update_postimage", 15)])
+    apply_changes(
+        eng, "glue.db.dim", late, ["id"], stored_as_scd_type=2
+    )
+    assert hist() == [
+        (1, "a", 10, 15),
+        (1, "a15", 15, 20),
+        (1, "a2", 20, None),
+        (2, "b", 10, 30),
+    ]
+    # out-of-order REPLAY of the full history converges too
+    allb = b1.unionByName(b2).unionByName(late)
+    apply_changes(
+        eng, "glue.db.dim", allb, ["id"], stored_as_scd_type=2
+    )
+    assert hist() == [
+        (1, "a", 10, 15),
+        (1, "a15", 15, 20),
+        (1, "a2", 20, None),
+        (2, "b", 10, 30),
+    ]
+    # a target without the history columns refuses
+    plain = tmp_path / "plain"
+    write_delta_append(
+        spark.createDataFrame([], "id long, v string"), str(plain)
+    )
+    store.register_parquet_dir(
+        "db", "plain", str(plain),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    with pytest.raises(ValueError, match="__START_AT"):
+        apply_changes(
+            eng, "glue.db.plain", b1, ["id"], stored_as_scd_type=2
+        )
+
+
+def test_apply_changes_scd_type2_cross_format(spark, tmp_path):
+    """SCD2 lands through the same general MERGE as Type 1, so a
+    Hudi-sourced changelog can build a Delta dimension — and the
+    Iceberg twin of the dimension accepts the same feed."""
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    tgt = tmp_path / "scd2i"
+    write_iceberg_append(
+        spark.createDataFrame(
+            [], "id long, v string, __START_AT long, __END_AT long"
+        ),
+        str(tgt),
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dim", str(tgt), parameters={"table_type": "ICEBERG"}
+    )
+    eng = GlueSparkEngine(spark, store)
+    feed = spark.createDataFrame(
+        [
+            (1, "a", "insert", 1),
+            (1, "a2", "update_postimage", 2),
+            (1, None, "delete", 3),
+        ],
+        "id long, v string, _change_type string, "
+        "_commit_version long",
+    )
+    apply_changes(
+        eng, "glue.db.dim", feed, ["id"], stored_as_scd_type=2
+    )
+    assert sorted(
+        (r["id"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in eng.sql("SELECT * FROM glue.db.dim").collect()
+    ) == [(1, "a", 1, 2), (1, "a2", 2, 3)]
+
+
+def test_partition_evolving_dml_moves_rows(spark, tmp_path):
+    """An UPDATE/MERGE that changes a value FEEDING a partition
+    column must MOVE the row between partitions: Delta re-derives
+    delta.generationExpression columns on the rewrite (and the staged
+    file lands in the new hive dir), Iceberg re-derives the hidden
+    transform tuple for the replacement file's manifest entry — in
+    both, partition pruning sees the row ONLY in its new home."""
+    import datetime as dt
+    import json as _json
+
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_scan_details,
+    )
+
+    # --- Delta: generated partition column
+    loc = tmp_path / "pevd"
+    write_delta_append(
+        spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 3, 5, 10, 0), dt.date(2024, 3, 5)),
+                (2, dt.datetime(2024, 3, 5, 11, 0), dt.date(2024, 3, 5)),
+            ],
+            "id long, ts timestamp, pdate date",
+        ),
+        str(loc),
+        partition_by=["pdate"],
+    )
+    commit = loc / "_delta_log" / "00000000000000000000.json"
+    out = []
+    for line in commit.read_text().splitlines():
+        action = _json.loads(line)
+        if "metaData" in action:
+            schema = _json.loads(action["metaData"]["schemaString"])
+            for f in schema["fields"]:
+                if f["name"] == "pdate":
+                    f.setdefault("metadata", {})[
+                        "delta.generationExpression"
+                    ] = "CAST(ts AS DATE)"
+            action["metaData"]["schemaString"] = _json.dumps(schema)
+        out.append(_json.dumps(action))
+    commit.write_text("\n".join(out) + "\n")
+    eng = _engine_for(
+        spark, loc, {"spark.sql.sources.provider": "delta"}
+    )
+    # UPDATE moves id=2 a day forward: pdate must re-derive and the
+    # row must physically move partitions
+    eng.sql(
+        "UPDATE glue.db.t SET ts = TIMESTAMP '2024-03-06 11:00:00' "
+        "WHERE id = 2"
+    )
+    moved = eng.sql(
+        "SELECT id FROM glue.db.t WHERE pdate = DATE'2024-03-06'"
+    )
+    assert [r.id for r in moved.collect()] == [2]
+    assert all("pdate=2024-03-06" in f for f in moved.inputFiles())
+    stale = eng.sql(
+        "SELECT id FROM glue.db.t WHERE pdate = DATE'2024-03-05'"
+    )
+    assert [r.id for r in stale.collect()] == [1]
+    # MERGE through the same rewrite: move id=1 too
+    eng.sql(
+        "MERGE INTO glue.db.t t USING (SELECT 1 AS id, "
+        "TIMESTAMP '2024-03-07 08:00:00' AS ts) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET ts = s.ts"
+    )
+    got = eng.sql(
+        "SELECT id FROM glue.db.t WHERE pdate = DATE'2024-03-07'"
+    )
+    assert [r.id for r in got.collect()] == [1]
+    assert eng.sql(
+        "SELECT count(*) AS n FROM glue.db.t "
+        "WHERE pdate = DATE'2024-03-05'"
+    ).first().n == 0
+
+    # --- Iceberg: hidden (day-transform) partitioning
+    iloc = str(tmp_path / "pevi")
+    write_iceberg_append(
+        spark.createDataFrame(
+            [
+                (1, dt.date(2024, 1, 1), 10.0),
+                (2, dt.date(2024, 1, 1), 20.0),
+            ],
+            "id long, d date, v double",
+        ),
+        iloc,
+        partition_transforms={"d": "day"},
+    )
+    ieng = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
+    ieng.sql(
+        "UPDATE glue.db.t SET d = DATE'2024-02-05' WHERE id = 2"
+    )
+    # the replacement file's manifest tuple carries the NEW day
+    entries, _dl, _e = iceberg_scan_details(iloc)
+    upd = [pv for p, pv, _s in entries if "part-upd-" in p]
+    assert upd and all(
+        pv.get("d_day") in ("2024-02-05", "19758") for pv in upd
+    )
+    assert sorted(
+        (r.id, str(r.d)) for r in ieng.sql(
+            "SELECT id, d FROM glue.db.t WHERE d = DATE'2024-02-05'"
+        ).collect()
+    ) == [(2, "2024-02-05")]
+    assert [
+        r.id for r in ieng.sql(
+            "SELECT id FROM glue.db.t WHERE d = DATE'2024-01-01'"
+        ).collect()
+    ] == [1]
