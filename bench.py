@@ -352,6 +352,78 @@ def _log_replay(spark, sf):
     )
 
 
+_DML_DIR = "/tmp/gtc_dml_v1"
+_dml_engine = None
+
+
+def _ensure_dml(spark, sf_dir: str) -> None:
+    """A FRESH per-invocation Delta copy of the sf orders table for
+    the write-path labels (rebuilt every bench run so timings never
+    depend on how many past invocations mutated it).  Build cost is
+    warm-up, not measurement."""
+    global _dml_engine
+    import shutil as _shutil
+
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    root = Path(_DML_DIR)
+    _shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    tbl = root / "orders"
+    write_delta_append(
+        read_table(spark, sf_dir, "orders").repartition(8), str(tbl)
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "bench", "dmlorders", str(tbl),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    store.register_parquet_dir(
+        "bench", "orders_src", f"{sf_dir}/orders.parquet"
+    )
+    _dml_engine = GlueSparkEngine(spark, store)
+
+
+def _dml_merge(spark, sf):
+    """WRITE path: general MERGE updating ~10% of orders on Delta —
+    affected-file discovery, the COW rewrite of every touched file,
+    footer stats, and the commit.  The source draws from the raw
+    parquet twin, so every run matches (and rewrites) the same ~10%:
+    steady-state merge throughput, not a first-run fluke."""
+    return _dml_engine.sql(
+        """
+        MERGE INTO glue.bench.dmlorders t
+        USING (SELECT o_orderkey, o_totalprice * 1.1 AS np
+               FROM glue.bench.orders_src
+               WHERE o_orderkey % 10 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+        """
+    )
+
+
+def _dml_delete_dv(spark, sf):
+    """WRITE path: deletion-vector DELETE of ~5% of orders (every
+    file partially matched → one DV sidecar per file + cdc-free
+    commit), then RESTORE to the pre-delete version (metadata-only)
+    so the next run deletes the same rows again.  Measures the DV
+    position scan + roaring encode + commit; the restore adds one
+    log write."""
+    eng = _dml_engine
+    out = eng.sql(
+        "DELETE FROM glue.bench.dmlorders WHERE o_orderkey % 20 = 1"
+    )
+    v = int(out.first().version)
+    eng.sql(
+        f"RESTORE TABLE glue.bench.dmlorders TO VERSION AS OF {v - 1}"
+    )
+    return out
+
+
 def _entry(name: str):
     return lambda spark, sf: entrymod.queries()[name](spark, sf)
 
@@ -366,11 +438,12 @@ def _entry(name: str):
 # per-user session structure is preserved and the user count scales).
 # --------------------------------------------------------------------------
 
-_SF1_DIR = "/tmp/gtc_sf1_synth_v2"  # v2: + embeddings replica
+_SF1_DIR = "/tmp/gtc_sf1_synth_v3"  # v3: + orders replica (DML labels)
 _SF1_LABELS = (
     "curate", "dedup_simhash", "dedup_minhash",
     "decontamination", "events_sessionize",
     "semantic_dedup", "lm_perplexity",
+    "dml_merge", "dml_delete_dv",
 )
 
 
@@ -426,6 +499,19 @@ def _ensure_sf1(spark, sf_dir: str) -> str:
     for p in v_parts[1:]:
         v = v.unionByName(p)
     v.write.mode("overwrite").parquet(f"{_SF1_DIR}/embeddings.parquet")
+    orders = read_table(spark, sf_dir, "orders")
+    n_ok = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    o_parts = [
+        orders.select(
+            (F.col("o_orderkey") + i * n_ok).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        for i in range(10)
+    ]
+    o = o_parts[0]
+    for p in o_parts[1:]:
+        o = o.unionByName(p)
+    o.write.mode("overwrite").parquet(f"{_SF1_DIR}/orders.parquet")
     marker.touch()
     return _SF1_DIR
 
@@ -454,6 +540,13 @@ def _semantic_dedup_sf1(spark, sf):
 #: the fixed-parameter sf0.1 bench shape
 _SF1_FNS = {"semantic_dedup": _semantic_dedup_sf1}
 
+#: pre-timing setup per label (fixture rebuild stays OUT of the
+#: measurement, matching the warm-up posture of the main loop)
+_SF1_SETUP = {
+    "dml_merge": lambda spark, sf1: _ensure_dml(spark, sf1),
+    "dml_delete_dv": lambda spark, sf1: _ensure_dml(spark, sf1),
+}
+
 
 def _sf1_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     """Run the heaviest labels once at the synthetic sf1.0 and report
@@ -466,6 +559,8 @@ def _sf1_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     labels = {}
     flagged = []
     for label in _SF1_LABELS:
+        if label in _SF1_SETUP:
+            _SF1_SETUP[label](spark, sf1)
         t0 = time.time()
         n = len(
             _SF1_FNS.get(label, fns[label])(spark, sf1).collect()
@@ -516,6 +611,10 @@ BENCH_QUERIES = [
     ("curate", _curate),
     ("lakehouse_scan", _lakehouse_scan),
     ("log_replay", _log_replay),
+    # write-path tripwires (r11): the DML machinery rounds keep
+    # optimizing finally gets regression coverage
+    ("dml_merge", _dml_merge),
+    ("dml_delete_dv", _dml_delete_dv),
 ]
 
 
@@ -542,6 +641,7 @@ def main() -> None:
     # throughput — do it before the clock starts
     entrymod._ensure_fixtures(spark, sf_dir)
     _ensure_manylog(spark)
+    _ensure_dml(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0
