@@ -492,6 +492,126 @@ def _ensure_fixtures(spark: SparkSession, sf_dir: str) -> Path:
         )
         assert out.rows_deleted > 0, "cdf fixture: junk delete no-op"
         (base / "orders_delta_cdf._BUILT").touch()
+    # Iceberg CDF twin (r11): junk appended with the orders, then
+    # DELETEd via the engine — staged as POSITION DELETES, so the
+    # table_changes() window must SYNTHESIZE the deleted rows from
+    # the (file_path, pos) targets; the arm's insert-minus-delete
+    # netting reproduces plain `orders` only if the synthesized
+    # delete rows carry the exact junk values
+    icf = base / "orders_ice_cdf"
+    if not (base / "orders_ice_cdf._BUILT").exists():
+        from glue_table_cache_spark.sinks.iceberg_write import (
+            write_iceberg_append,
+        )
+
+        shutil.rmtree(icf, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        junk = orders.where(F.col("o_orderkey") % 9 == 5).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+        write_iceberg_append(orders.unionByName(junk), str(icf))
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "tpch", "orders_ice_cdf", str(icf),
+            parameters={"table_type": "ICEBERG"},
+        )
+        out = (
+            GlueSparkEngine(spark, store)
+            .sql(
+                "DELETE FROM glue.tpch.orders_ice_cdf "
+                "WHERE o_orderkey < 0"
+            )
+            .first()
+        )
+        assert out.rows_deleted > 0, "ice_cdf fixture: delete no-op"
+        (base / "orders_ice_cdf._BUILT").touch()
+    # Hudi MOR CDC twin (r11): base commit carries CORRUPTED prices
+    # for a key subset; one deltacommit's log blocks repair them.
+    # The arm's latest-version-per-key netting over table_changes()
+    # reproduces plain `orders` totals only if the deltacommit DECODE
+    # emits the repaired payloads as update_postimage rows with the
+    # right _commit_version ordering.  (o_orderdate stays out of this
+    # twin: log payloads are Avro primitives.)
+    hcd = base / "orders_hudi_cdc"
+    if not (base / "orders_hudi_cdc._BUILT").exists():
+        from glue_table_cache_spark.sinks.hudi_log_write import (
+            write_hudi_log,
+        )
+        from glue_table_cache_spark.sinks.hudi_write import (
+            write_hudi_append,
+        )
+
+        shutil.rmtree(hcd, ignore_errors=True)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        corrupt = F.col("o_orderkey") % 13 == 3
+        write_hudi_append(
+            orders.withColumn(
+                "o_totalprice",
+                F.when(
+                    corrupt, F.col("o_totalprice") + 1000.0
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            str(hcd),
+            table_type="MERGE_ON_READ",
+        )
+        write_hudi_log(
+            spark,
+            str(hcd),
+            "o_orderkey",
+            upserts=orders.where(corrupt),
+        )
+        (base / "orders_hudi_cdc._BUILT").touch()
+    # SCD Type 2 dimension (r11): apply_changes(stored_as_scd_type=2)
+    # over two sequence points — every order inserts at seq 1 and
+    # re-prices (2x) at seq 2, so each key holds one CLOSED and one
+    # OPEN version row; the arm's per-state aggregates reproduce
+    # plain `orders` (closed = original totals, open = doubled)
+    dim = base / "orders_dim_scd2"
+    if not (base / "orders_dim_scd2._BUILT").exists():
+        from glue_table_cache_spark.operators.incremental import (
+            apply_changes,
+        )
+        from glue_table_cache_spark.sinks.delta_write import (
+            write_delta_append,
+        )
+
+        shutil.rmtree(dim, ignore_errors=True)
+        write_delta_append(
+            spark.createDataFrame(
+                [],
+                "o_orderkey long, o_totalprice double, "
+                "__START_AT long, __END_AT long",
+            ),
+            str(dim),
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        v1 = orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.lit("insert").alias("_change_type"),
+            F.lit(1).cast("long").alias("_commit_version"),
+        )
+        v2 = orders.select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("update_postimage").alias("_change_type"),
+            F.lit(2).cast("long").alias("_commit_version"),
+        )
+        store = LocalMetadataStore()
+        store.register_parquet_dir(
+            "tpch", "orders_dim_scd2", str(dim),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        apply_changes(
+            GlueSparkEngine(spark, store),
+            "glue.tpch.orders_dim_scd2",
+            v1.unionByName(v2),
+            keys=["o_orderkey"],
+            stored_as_scd_type=2,
+        )
+        (base / "orders_dim_scd2._BUILT").touch()
     # HIDDEN-partitioned Iceberg table from the repo's own writer:
     # month(o_orderdate) groups the files, the transformed value lives
     # only in the manifest partition tuple + directory name, and the
@@ -753,6 +873,27 @@ def _engine(
             "tpch",
             "orders_delta_stream",
             str(base / "orders_delta_stream"),
+            parameters={"spark.sql.sources.provider": "delta"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_ice_cdf",
+            str(base / "orders_ice_cdf"),
+            parameters={"table_type": "ICEBERG"},
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_hudi_cdc",
+            str(base / "orders_hudi_cdc"),
+            parameters={
+                "hoodie.table.name": "orders_hudi_cdc",
+                "hoodie.table.recordkey.fields": "o_orderkey",
+            },
+        )
+        store.register_parquet_dir(
+            "tpch",
+            "orders_dim_scd2",
+            str(base / "orders_dim_scd2"),
             parameters={"spark.sql.sources.provider": "delta"},
         )
         store.register_parquet_dir(
@@ -2776,6 +2917,18 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
       over a CDF-enabled table (inserts of orders+junk, then a SQL
       DELETE of the junk as cdc delete rows): netting inserts minus
       deletes must reproduce plain ``orders`` count and total;
+    * iceberg_cdf (r11) — the same netting over an Iceberg table
+      whose junk DELETE staged POSITION DELETES: green only if the
+      changelog SYNTHESIZES the deleted rows from the (file, pos)
+      targets with exact values;
+    * hudi_cdc (r11) — latest-version-per-key netting over a MOR
+      table whose corrupted base prices one deltacommit's log blocks
+      repair: green only if the deltacommit DECODE emits the
+      repaired payloads as correctly-versioned update_postimage rows;
+    * scd2 (r11) — an apply_changes(stored_as_scd_type=2) dimension
+      built from two sequence points over orders: per-state (open /
+      closed) aggregates check the version rows and their
+      __START_AT/__END_AT bounds;
     * iceberg_hp — a HIDDEN-partitioned table (``month(o_orderdate)``)
       the repo writer built, queried through a DATE predicate on the
       source column: green only if the recorded partition spec, the
@@ -2874,7 +3027,34 @@ def _q_table_format_scan(spark: SparkSession, sf: str) -> DataFrame:
                             WHEN 'insert' THEN o_totalprice
                             WHEN 'delete' THEN -o_totalprice
                             ELSE 0.0 END), 2) AS total
-           FROM table_changes(glue.tpch.orders_delta_cdf, 0)"""
+           FROM table_changes(glue.tpch.orders_delta_cdf, 0)
+           UNION ALL
+           SELECT 'iceberg_cdf' AS fmt, 'ALL' AS o_orderstatus,
+                  CAST(sum(CASE _change_type WHEN 'insert' THEN 1
+                           WHEN 'delete' THEN -1 ELSE 0 END)
+                       AS BIGINT) AS n,
+                  round(sum(CASE _change_type
+                            WHEN 'insert' THEN o_totalprice
+                            WHEN 'delete' THEN -o_totalprice
+                            ELSE 0.0 END), 2) AS total
+           FROM table_changes(glue.tpch.orders_ice_cdf, 1)
+           UNION ALL
+           SELECT 'hudi_cdc' AS fmt, 'ALL' AS o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM (SELECT max_by(o_totalprice, _commit_version)
+                        AS o_totalprice
+                 FROM table_changes(glue.tpch.orders_hudi_cdc, 0)
+                 GROUP BY o_orderkey)
+           UNION ALL
+           SELECT 'scd2' AS fmt,
+                  CASE WHEN __END_AT IS NULL THEN 'open'
+                       ELSE 'closed' END AS o_orderstatus,
+                  count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM glue.tpch.orders_dim_scd2
+           GROUP BY CASE WHEN __END_AT IS NULL THEN 'open'
+                         ELSE 'closed' END"""
     )
 
     # separate engine calls: a query may carry ONE travel spec per
@@ -3172,6 +3352,22 @@ _EXTRA_ORACLES: dict[str, str] = {
         "UNION ALL "
         "SELECT 'delta_cdf' AS fmt, 'ALL' AS o_orderstatus, "
         "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders "
+        "UNION ALL "
+        "SELECT 'iceberg_cdf' AS fmt, 'ALL' AS o_orderstatus, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders "
+        "UNION ALL "
+        "SELECT 'hudi_cdc' AS fmt, 'ALL' AS o_orderstatus, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders "
+        "UNION ALL "
+        "SELECT 'scd2' AS fmt, 'closed' AS o_orderstatus, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders "
+        "UNION ALL "
+        "SELECT 'scd2' AS fmt, 'open' AS o_orderstatus, "
+        "count(*) AS n, round(sum(2 * o_totalprice), 2) AS total "
         "FROM orders "
         "UNION ALL "
         "SELECT 'iceberg_tt' AS fmt, o_orderstatus, count(*) AS n, "
