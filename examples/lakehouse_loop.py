@@ -267,9 +267,7 @@ def main() -> None:
         "SHOW CREATE TABLE glue.lake.sum_i"
     ).collect()[0].createtab_stmt
     print("SHOW CREATE TABLE:", ddl.splitlines()[0], "...")
-    # round 10: the batch CDF TVF on Hudi (instant windows; the
-    # Iceberg arm refuses here because the UPDATE/MERGE above added
-    # row-level delete files — not file-diff-reconstructible) and
+    # round 10: the batch CDF TVF on Hudi (instant windows) and
     # MERGE WITH SCHEMA EVOLUTION
     changes = eng.sql(
         "SELECT _change_type, count(*) AS n "
@@ -280,10 +278,19 @@ def main() -> None:
         "hudi table_changes over the full timeline: "
         f"{[(r._change_type, r.n) for r in changes]}"
     )
-    try:
-        eng.sql("SELECT * FROM table_changes(glue.lake.sum_i, 2)")
-    except Exception as exc:  # noqa: BLE001
-        print(f"iceberg CDF window refuses as designed: {exc}")
+    # round 11: the Iceberg window that the r10 loop refused (the
+    # UPDATE/MERGE above staged position deletes) now SYNTHESIZES the
+    # per-row delta — the deleted rows read back from the prior
+    # state's files by their (file_path, pos) targets
+    ice_changes = eng.sql(
+        "SELECT _change_type, count(*) AS n "
+        "FROM table_changes(glue.lake.sum_i, 2) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    print(
+        "iceberg table_changes across the row-level DML window: "
+        f"{[(r._change_type, r.n) for r in ice_changes]}"
+    )
     spark.createDataFrame(
         [("O", "open orders")], "o_orderstatus string, note string"
     ).createOrReplaceTempView("notes_src")
