@@ -701,6 +701,137 @@ def _deltacommit_change_rows(
     ).unionByName(dels.select(*del_cols, ct("delete"), ver))
 
 
+def hudi_window_units(
+    location: str,
+    since: int,
+    until: int,
+    s3_client=None,
+    fs=None,
+    names: list[str] | None = None,
+) -> list[tuple[int, str, object]]:
+    """The change-delivering UNITS of the instant window
+    ``(since, until]``, shared by the batch ``table_changes()`` TVF
+    and the streaming CDF mode: ``(instant, kind, payload)`` where
+    ``kind='logs'`` carries a deltacommit's
+    ``[(resolved_log_path, partition_path)]`` write stats and
+    ``kind='files'`` a base-slice diff as
+    ``(added, removed)`` lists of ``(path, partition_path)`` pairs.
+
+    Walk semantics (the changelog contract): compaction commits
+    (``operationType=compact``, or the structural shape — a plain
+    commit that only rewrites file groups carrying live logs) are
+    content-preserving and advance the state without emitting; a
+    replacecommit retiring groups with LIVE logs refuses (their
+    log-borne rows are not in the retired base files).  Driver-side,
+    metadata-scale."""
+    if names is None:
+        names = _timeline_files(location, fs=fs)
+    instants = _completed_instants(names, location)
+
+    def _base_state(ts: int | None):
+        """(path → partition) of active base slices at ``ts``, plus
+        the fileIds carrying LIVE logs there."""
+        slices, logs = _walk_timeline(
+            location, names, s3_client, as_of_instant=ts
+        )
+        live = {
+            fid
+            for lts, _p, fid, _part in logs
+            if fid not in slices or lts > slices[fid][0]
+        }
+        return (
+            {path: part for _t, path, part in slices.values()},
+            {fid: path for fid, (_t, path, _part) in slices.items()},
+            live,
+        )
+
+    prev_files, prev_by_fid, prev_live = (
+        _base_state(since) if since else ({}, {}, set())
+    )
+    units: list[tuple[int, str, object]] = []
+    for ts, kind, p in instants:
+        if ts > until:
+            break
+        if ts <= since:
+            continue
+        data = json.loads(_read_bytes(p, s3_client))
+        if kind == "deltacommit":
+            log_stats = [
+                (_resolve_path(location, st["path"]),
+                 st.get("partitionPath", part))
+                for part, stats in (
+                    data.get("partitionToWriteStats") or {}
+                ).items()
+                for st in stats
+                if st.get("path")
+                and ".log." in st["path"].rsplit("/", 1)[-1]
+            ]
+            if log_stats:
+                units.append((ts, "logs", log_stats))
+            # base slices unchanged; live-log tracking is recomputed
+            # from the timeline at the next base-state refresh
+            for part, stats in (
+                data.get("partitionToWriteStats") or {}
+            ).items():
+                for st in stats:
+                    if st.get("fileId"):
+                        prev_live.add(st["fileId"])
+            continue
+        cur_files, cur_by_fid, cur_live = _base_state(ts)
+        written_fids = {
+            st["fileId"]
+            for stats in (
+                data.get("partitionToWriteStats") or {}
+            ).values()
+            for st in stats
+            if st.get("fileId")
+        }
+        is_compaction = kind == "commit" and (
+            str(data.get("operationType", "")).lower() == "compact"
+            or (
+                written_fids
+                and written_fids <= set(prev_by_fid)
+                and written_fids <= prev_live
+            )
+        )
+        if is_compaction:
+            prev_files, prev_by_fid, prev_live = (
+                cur_files, cur_by_fid, cur_live,
+            )
+            continue
+        if kind == "replacecommit":
+            replaced = {
+                fid
+                for ids in (
+                    data.get("partitionToReplaceFileIds") or {}
+                ).values()
+                for fid in ids
+            }
+            if replaced & prev_live:
+                raise GlueSparkError(
+                    f"Hudi replacecommit {ts} of {location!r} "
+                    "retires file group(s) still carrying live MOR "
+                    "log blocks — their log-borne rows are not in "
+                    "the retired base files, so the per-row delta "
+                    "is not reconstructible; compact_hudi() before "
+                    "replacing, or window past this instant"
+                )
+        added = sorted(
+            (f, cur_files[f])
+            for f in set(cur_files) - set(prev_files)
+        )
+        removed = sorted(
+            (f, prev_files[f])
+            for f in set(prev_files) - set(cur_files)
+        )
+        if added or removed:
+            units.append((ts, "files", (added, removed)))
+        prev_files, prev_by_fid, prev_live = (
+            cur_files, cur_by_fid, cur_live,
+        )
+    return units
+
+
 def hudi_table_changes(
     spark,
     location: str,
@@ -773,102 +904,9 @@ def hudi_table_changes(
     since = start_instant - 1
     if since < all_ts[0]:
         since = 0
-
-    def _base_state(ts: int | None):
-        """(path → partition) of active base slices at ``ts``, plus
-        the fileIds carrying LIVE logs there."""
-        slices, logs = _walk_timeline(
-            location, names, s3_client, as_of_instant=ts
-        )
-        live = {
-            fid
-            for lts, _p, fid, _part in logs
-            if fid not in slices or lts > slices[fid][0]
-        }
-        return (
-            {path: part for _t, path, part in slices.values()},
-            {fid: path for fid, (_t, path, _part) in slices.items()},
-            live,
-        )
-
-    prev_files, prev_by_fid, prev_live = (
-        _base_state(since) if since else ({}, {}, set())
+    units = hudi_window_units(
+        location, since, end_instant, s3_client=s3_client, names=names
     )
-    units: list[tuple[int, str, object]] = []
-    for ts, kind, p in instants:
-        if ts > end_instant:
-            break
-        if ts <= since:
-            continue
-        data = json.loads(_read_bytes(p, s3_client))
-        if kind == "deltacommit":
-            log_stats = [
-                (_resolve_path(location, st["path"]),
-                 st.get("partitionPath", part))
-                for part, stats in (
-                    data.get("partitionToWriteStats") or {}
-                ).items()
-                for st in stats
-                if st.get("path")
-                and ".log." in st["path"].rsplit("/", 1)[-1]
-            ]
-            if log_stats:
-                units.append((ts, "logs", log_stats))
-            # base slices unchanged; live-log tracking is recomputed
-            # from the timeline at the next base-state refresh
-            for part, stats in (
-                data.get("partitionToWriteStats") or {}
-            ).items():
-                for st in stats:
-                    if st.get("fileId"):
-                        prev_live.add(st["fileId"])
-            continue
-        cur_files, cur_by_fid, cur_live = _base_state(ts)
-        written_fids = {
-            st["fileId"]
-            for stats in (
-                data.get("partitionToWriteStats") or {}
-            ).values()
-            for st in stats
-            if st.get("fileId")
-        }
-        is_compaction = kind == "commit" and (
-            str(data.get("operationType", "")).lower() == "compact"
-            or (
-                written_fids
-                and written_fids <= set(prev_by_fid)
-                and written_fids <= prev_live
-            )
-        )
-        if is_compaction:
-            prev_files, prev_by_fid, prev_live = (
-                cur_files, cur_by_fid, cur_live,
-            )
-            continue
-        if kind == "replacecommit":
-            replaced = {
-                fid
-                for ids in (
-                    data.get("partitionToReplaceFileIds") or {}
-                ).values()
-                for fid in ids
-            }
-            if replaced & prev_live:
-                raise GlueSparkError(
-                    f"Hudi replacecommit {ts} of {location!r} "
-                    "retires file group(s) still carrying live MOR "
-                    "log blocks — their log-borne rows are not in "
-                    "the retired base files, so the per-row delta "
-                    "is not reconstructible; compact_hudi() before "
-                    "replacing, or window past this instant"
-                )
-        added = sorted(set(cur_files) - set(prev_files))
-        removed = sorted(set(prev_files) - set(cur_files))
-        if added or removed:
-            units.append((ts, "files", (added, removed)))
-        prev_files, prev_by_fid, prev_live = (
-            cur_files, cur_by_fid, cur_live,
-        )
 
     schema = None
     try:
@@ -900,11 +938,14 @@ def hudi_table_changes(
             )
             continue
         added, removed = payload
-        for paths, ct in ((added, "insert"), (removed, "delete")):
-            if paths:
+        for pairs, ct in ((added, "insert"), (removed, "delete")):
+            if pairs:
                 pieces.append(
                     reader.parquet(
-                        *[_resolve_path(location, p) for p in paths]
+                        *[
+                            _resolve_path(location, p)
+                            for p, _part in pairs
+                        ]
                     )
                     .withColumn("_change_type", F.lit(ct))
                     .withColumn(

@@ -21,9 +21,11 @@ Append-only semantics, mirroring Hudi's own incremental read contract:
   file groups — re-delivering rewritten files would duplicate rows;
   process the window in batch via ``hudi_changes``, or stream it as
   a CHANGELOG: ``readChangeFeed=true`` emits the table columns +
-  ``_change_type`` (insert/delete) + ``_commit_version`` from
-  consecutive-instant timeline diffs, so replacecommits arrive as
-  delete+insert rows — only deltacommits still refuse there);
+  ``_change_type`` + ``_commit_version`` from the shared window walk
+  (:func:`..sources.hudi.hudi_window_units`), so replacecommits
+  arrive as delete+insert rows AND deltacommits arrive as their
+  log-decoded update_postimage/delete rows — compaction commits are
+  content-preserving and deliver nothing);
 * the schema comes from the newest commit's ``extraMetadata.schema``
   (what :func:`..sinks.hudi_write.write_hudi_append` records) — a
   table without one refuses rather than sampling a file whose schema
@@ -120,85 +122,132 @@ def _stream_adds(
     return adds
 
 
-def _state_at(
-    location: str, names: list[str], ts: int | None
-) -> dict[str, str]:
-    """The COW table state at instant ``ts``: base-file path →
-    partition path, from a timeline walk.  Live MOR logs refuse —
-    their row-level upserts are not file-diff reconstructible."""
-    from glue_table_cache_spark.sources.hudi import _walk_timeline
-
-    slices, logs = _walk_timeline(
-        location, names, as_of_instant=ts
-    )
-    if logs:
-        raise GlueSparkError(
-            f"Hudi table {location!r} carries un-compacted MOR log "
-            "blocks at instant {} — row-level upserts are not "
-            "reconstructible as a file-diff changelog; "
-            "compact_hudi() first".format(ts)
-        )
-    return {path: part for _i, path, part in slices.values()}
-
-
 def _stream_changes(
     location: str, since: int, until: int
-) -> list[tuple[str, dict[str, str], str, int]]:
-    """``(path, partition_values, change_type, instant)`` per
-    change-delivering base file in instants ``(since, until]`` —
-    consecutive-instant timeline diffs, the Hudi sibling of the
-    Iceberg source's sequence-axis file diffs: a ``commit`` adds
-    slices (inserts), a ``replacecommit`` (clustering / COW
-    DELETE/UPDATE/MERGE) retires slices and adds their replacements
-    (deletes + inserts — clustering's rewrites cancel at row level
-    only if content matched, so clustering windows DO emit; Hudi
-    replacecommits don't record content-preservation the way Iceberg
-    ``replace`` does), and a ``deltacommit`` refuses."""
+) -> list[tuple]:
+    """Change partitions for instants ``(since, until]``, from the
+    SHARED window walk
+    (:func:`..sources.hudi.hudi_window_units` — the same units the
+    batch ``table_changes()`` TVF reads): ``("file", path,
+    partition_values, change_type, instant)`` per base-slice diff
+    (commit adds = inserts; replacecommit retire/replace =
+    deletes + inserts; compaction commits advance silently) and
+    ``("log", path, partition_values, instant)`` per deltacommit log
+    file — its row-level upserts/deletes decode EXECUTOR-side in
+    :func:`read_log_change_partition`."""
     from glue_table_cache_spark.sources.hudi import (
         _completed_instants,
         _pv_from_partition_path,
         _resolve_path,
         _timeline_files,
+        hudi_window_units,
     )
 
     names = _timeline_files(location)
     try:
-        instants = _completed_instants(names, location)
+        _completed_instants(names, location)
     except GlueSparkError:
         return []
-    prev = _state_at(location, names, since) if since else {}
-    out: list[tuple[str, dict[str, str], str, int]] = []
-    for ts, kind, _p in instants:
-        if not (since < ts <= until):
+    out: list[tuple] = []
+    for ts, kind, payload in hudi_window_units(
+        location, since, until, names=names
+    ):
+        if kind == "logs":
+            out += [
+                ("log", p, _pv_from_partition_path(part), ts)
+                for p, part in payload
+            ]
             continue
-        if kind == "deltacommit":
-            raise GlueSparkError(
-                f"Hudi instant {ts} of {location!r} is a deltacommit "
-                "(MOR log blocks update rows in place) — not "
-                "reconstructible as a file-diff changelog; "
-                "compact_hudi() first or read the snapshot in batch"
+        added, removed = payload
+        out += [
+            (
+                "file",
+                _resolve_path(location, p),
+                _pv_from_partition_path(part),
+                "delete",
+                ts,
             )
-        cur = _state_at(location, names, ts)
-        for path in sorted(set(prev) - set(cur)):
-            out.append(
-                (
-                    _resolve_path(location, path),
-                    _pv_from_partition_path(prev[path]),
-                    "delete",
-                    ts,
-                )
+            for p, part in removed
+        ]
+        out += [
+            (
+                "file",
+                _resolve_path(location, p),
+                _pv_from_partition_path(part),
+                "insert",
+                ts,
             )
-        for path in sorted(set(cur) - set(prev)):
-            out.append(
-                (
-                    _resolve_path(location, path),
-                    _pv_from_partition_path(cur[path]),
-                    "insert",
-                    ts,
-                )
-            )
-        prev = cur
+            for p, part in added
+        ]
     return out
+
+
+def read_log_change_partition(
+    path: str,
+    partition_values: dict[str, str],
+    schema,
+    instant: int,
+    record_key_field: str,
+) -> Iterator:
+    """Executor-side decode of ONE deltacommit log file into CDF
+    rows: the block codec runs locally (pure Python), actions net to
+    the LAST one per record key within the file (block order — the
+    snapshot merge's resolution), and the result yields as Arrow
+    batches in the stream's schema — upserts as ``update_postimage``
+    with their decoded payloads, delete blocks as key-carrying
+    ``delete`` rows (the key-only posture of Hudi's own CDC
+    ``op_key_only`` logging mode), partition columns attached from
+    the log file's directory."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from glue_table_cache_spark.sources.hudi_log import (
+        read_log_blocks,
+    )
+    from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+    blocks = read_log_blocks(_read_bytes(path), name=path)
+    rolled = {
+        b["target_instant"]
+        for b in blocks
+        if b["type"] == "command" and b.get("target_instant")
+    }
+    last: dict[str, tuple[str, dict | None]] = {}
+    for b in blocks:
+        if b["instant"] in rolled:
+            continue
+        for rec in b["records"]:
+            if record_key_field not in rec:
+                raise ValueError(
+                    f"log record in {path} lacks record key field "
+                    f"{record_key_field!r}"
+                )
+            last[str(rec[record_key_field])] = (
+                "update_postimage", rec,
+            )
+        for k, _part in b["deletes"]:
+            last[str(k)] = ("delete", None)
+    rows = list(last.items())
+    n = len(rows)
+    target = to_arrow_schema(schema)
+    cols = []
+    for field in target:
+        nm = field.name
+        if nm == "_change_type":
+            arr = pa.array([op for _k, (op, _r) in rows])
+        elif nm == "_commit_version":
+            arr = pa.array([int(instant)] * n)
+        elif nm == record_key_field:
+            arr = pa.array([k for k, _ in rows])
+        elif nm in (partition_values or {}):
+            arr = pa.array([partition_values[nm]] * n)
+        else:
+            arr = pa.array(
+                [(r or {}).get(nm) for _k, (_op, r) in rows]
+            )
+        cols.append(arr.cast(field.type))
+    yield from pa.table(cols, schema=target).to_batches()
 
 
 class HudiFilePartition(InputPartition):
@@ -225,6 +274,24 @@ class HudiChangePartition(InputPartition):
         self.instant = instant
 
 
+class HudiLogChangePartition(InputPartition):
+    """One CDF input partition for a deltacommit LOG file: the block
+    codec decodes it executor-side into update_postimage/delete rows
+    (:func:`read_log_change_partition`)."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict[str, str],
+        instant: int,
+        record_key_field: str,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.instant = instant
+        self.record_key_field = record_key_field
+
+
 class HudiLiteStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self._location = options.get("location") or options.get("path")
@@ -237,6 +304,13 @@ class HudiLiteStreamReader(DataSourceStreamReader):
         self._cdf = (
             str(options.get("readchangefeed", "false")).lower()
             == "true"
+        )
+        from glue_table_cache_spark.sources.hudi_mor import (
+            DEFAULT_RECORD_KEY,
+        )
+
+        self._record_key = options.get(
+            "recordkeyfield", DEFAULT_RECORD_KEY
         )
         start = options.get("startinginstant")
         self._initial = int(start) if start is not None else 0
@@ -252,14 +326,25 @@ class HudiLiteStreamReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         if self._cdf:
-            return [
-                HudiChangePartition(path, pv, ct, ts)
-                for path, pv, ct, ts in _stream_changes(
-                    self._location,
-                    int(start["instant"]),
-                    int(end["instant"]),
-                )
-            ]
+            parts: list[InputPartition] = []
+            for unit in _stream_changes(
+                self._location,
+                int(start["instant"]),
+                int(end["instant"]),
+            ):
+                if unit[0] == "log":
+                    _kind, path, pv, ts = unit
+                    parts.append(
+                        HudiLogChangePartition(
+                            path, pv, ts, self._record_key
+                        )
+                    )
+                else:
+                    _kind, path, pv, ct, ts = unit
+                    parts.append(
+                        HudiChangePartition(path, pv, ct, ts)
+                    )
+            return parts
         return [
             HudiFilePartition(path, pv)
             for path, pv in _stream_adds(
@@ -270,6 +355,15 @@ class HudiLiteStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition) -> Iterator:
+        if isinstance(partition, HudiLogChangePartition):
+            yield from read_log_change_partition(
+                partition.path,
+                partition.partition_values,
+                self._schema,
+                partition.instant,
+                partition.record_key_field,
+            )
+            return
         if isinstance(partition, HudiChangePartition):
             yield from read_file_partition(
                 partition.path,
@@ -334,17 +428,19 @@ def read_hudi_stream(
     location: str,
     starting_instant: int | None = None,
     read_change_feed: bool = False,
+    record_key_field: str | None = None,
 ):
-    """Convenience wrapper: a streaming DataFrame over the Hudi COW
+    """Convenience wrapper: a streaming DataFrame over the Hudi
     table at ``location`` (instants AFTER ``starting_instant`` are
     delivered).
 
     ``read_change_feed=True`` streams CHANGE rows instead of appends
-    (table columns + ``_change_type`` insert/delete +
-    ``_commit_version`` = the instant), so a replacecommit (COW
-    DELETE/UPDATE/MERGE, clustering) arrives as delete+insert rows
-    downstream instead of refusing; deltacommits (MOR) still
-    refuse."""
+    (table columns + ``_change_type`` + ``_commit_version`` = the
+    instant): a replacecommit (COW DELETE/UPDATE/MERGE, clustering)
+    arrives as delete+insert rows, and a MOR deltacommit arrives as
+    its log-decoded update_postimage/delete rows (``record_key_field``
+    names the key column, default ``_hoodie_record_key``); compaction
+    commits deliver nothing (content-preserving)."""
     spark.dataSource.register(HudiLiteDataSource)
     reader = spark.readStream.format("hudi_lite").option(
         "location", location
@@ -355,4 +451,6 @@ def read_hudi_stream(
         )
     if read_change_feed:
         reader = reader.option("readChangeFeed", "true")
+    if record_key_field is not None:
+        reader = reader.option("recordKeyField", record_key_field)
     return reader.load()

@@ -3834,40 +3834,89 @@ def test_hudi_stream_cdf_mode(spark, tmp_path):
     assert len(seen) == n_before
 
 
-def test_hudi_stream_cdf_refuses_mor_deltacommit(spark, tmp_path):
-    """A deltacommit window is not file-diff reconstructible — the
-    CDF mode refuses it like the append mode does."""
-    from glue_table_cache_spark.errors import GlueSparkError
+def test_hudi_stream_cdf_mor_deltacommit(spark, tmp_path):
+    """The CDF stream DECODES a MOR deltacommit (r11): its log
+    upserts arrive as update_postimage rows and its delete blocks as
+    key-carrying delete rows, decoded executor-side by the block
+    codec; compaction then delivers NOTHING (content-preserving).
+    The append mode still refuses the deltacommit."""
     from glue_table_cache_spark.sinks.hudi_log_write import (
+        compact_hudi,
         write_hudi_log,
     )
     from glue_table_cache_spark.sinks.hudi_write import (
         write_hudi_append,
     )
     from glue_table_cache_spark.streaming.hudi_source import (
-        _stream_changes,
+        read_hudi_stream,
     )
 
     src = tmp_path / "src"
     write_hudi_append(
-        spark.createDataFrame([(1, "a")], "id long, v string")
-        .coalesce(1),
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
         str(src),
-    )
-    props = src / ".hoodie" / "hoodie.properties"
-    props.write_text(
-        props.read_text().replace("COPY_ON_WRITE", "MERGE_ON_READ")
+        table_type="MERGE_ON_READ",
     )
     write_hudi_log(
         spark,
         str(src),
         "id",
         upserts=spark.createDataFrame(
-            [(1, "a2")], "id long, v string"
+            [(1, "a2"), (3, "c")], "id long, v string"
         ),
+        delete_keys=[2],
     )
-    with pytest.raises(GlueSparkError, match="deltacommit|log block"):
-        _stream_changes(str(src), 0, 99999999999999999)
+    seen: list = []
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return (
+            read_hudi_stream(
+                spark,
+                str(src),
+                read_change_feed=True,
+                record_key_field="id",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: seen.extend(df.collect())
+            )
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        ((r.id, r.v, r._change_type) for r in seen),
+        key=lambda t: (t[0], t[2], t[1] or ""),
+    )
+    assert got == [
+        (1, "a", "insert"),
+        (1, "a2", "update_postimage"),
+        (2, None, "delete"),
+        (2, "b", "insert"),
+        (3, "c", "update_postimage"),
+    ]
+    # compaction folds the logs: a resumed stream delivers nothing
+    compact_hudi(spark, str(src), "id")
+    n_before = len(seen)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == n_before
+    # the append mode still refuses the deltacommit window
+    q2 = (
+        read_hudi_stream(spark, str(src))
+        .writeStream.foreachBatch(lambda df, bid: df.count())
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    with pytest.raises(Exception, match="deltacommit|STREAM"):
+        q2.processAllAvailable()
+    q2.stop()
 
 
 def test_append_inherits_table_partitioning(spark, tmp_path):
