@@ -78,7 +78,7 @@ class DeltaChangePartition(InputPartition):
 
 def read_file_partition(
     path, partition_values, schema, constants=None,
-    physical_names=None,
+    physical_names=None, row_indices=None,
 ) -> "Iterator":
     """Executor-side file read shared by the table-format streaming
     sources: one parquet file → Arrow record batches cast to the
@@ -88,7 +88,9 @@ def read_file_partition(
     constants (the CDF mode's ``_change_type``/``_commit_version``)
     that take precedence over file columns of the same name.
     ``physical_names`` maps logical field name → the PHYSICAL column
-    spelling column-mapped files carry (``None`` = unmapped)."""
+    spelling column-mapped files carry (``None`` = unmapped).
+    ``row_indices`` restricts delivery to those row positions (the
+    position-delete synthesis/masking input)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -96,6 +98,8 @@ def read_file_partition(
 
     target = to_arrow_schema(schema)
     table = pq.read_table(path)
+    if row_indices is not None:
+        table = table.take(row_indices)
     n = table.num_rows
     cols = []
     for field in target:

@@ -19,10 +19,11 @@ represent removals.  ``readChangeFeed=true`` lifts that to a
 CHANGELOG stream instead: consecutive-snapshot file diffs along the
 sequence axis emit the table columns + ``_change_type``
 (insert/delete) + ``_commit_version``, compaction (``replace``)
-emits nothing, and only row-level delete-file changes still refuse
-(their per-row delta is not reconstructible from file diffs) — or
-process such windows in batch via
-:func:`..sources.iceberg.iceberg_cdf`.  Metadata-only
+emits nothing, and a snapshot that ADDS position-delete files
+synthesizes its per-row delta (the deleted rows read back from the
+prior state's files at their ``(file_path, pos)`` targets,
+executor-side).  What still refuses: equality-delete changes and
+un-compacted position-delete removal.  Metadata-only
 commits (snapshot expiry bumps the sequence number without adding a
 snapshot) are legitimate gaps in the sequence axis and stream as
 empty batches.
@@ -183,17 +184,19 @@ def _stream_adds(
 
 def _files_at_snapshot(
     location: str, snap: dict
-) -> tuple[dict[str, dict[str, str]], set[str]]:
+) -> tuple[dict[str, dict[str, str]], set[str], set[str]]:
     """One snapshot's live file state from its manifest list:
-    ``(data_files, delete_files)`` where data_files maps path →
-    stringified partition values and delete_files holds row-level
-    delete file paths (position AND equality).  Metadata-scale: the
-    driver reads Avro manifests only, never data."""
+    ``(data_files, position_deletes, equality_deletes)`` where
+    data_files maps path → stringified partition values and the
+    delete sets hold row-level delete file paths split by content
+    kind (1 = position, 2 = equality).  Metadata-scale: the driver
+    reads Avro manifests only, never data."""
     from glue_table_cache_spark.sources.avro_lite import read_avro
     from glue_table_cache_spark.sources.iceberg import _resolve_path
 
     data: dict[str, dict[str, str]] = {}
-    deletes: set[str] = set()
+    pos_dels: set[str] = set()
+    eq_dels: set[str] = set()
     ml = _resolve_path(location, snap["manifest-list"])
     for row in read_avro(ml):
         is_delete = row.get("content", 0) == 1
@@ -204,34 +207,60 @@ def _files_at_snapshot(
             df_rec = entry["data_file"]
             path = _resolve_path(location, df_rec["file_path"])
             if is_delete:
-                deletes.add(path)
+                if df_rec.get("content", 1) == 2:
+                    eq_dels.add(path)
+                else:
+                    pos_dels.add(path)
             else:
                 pv = df_rec.get("partition") or {}
                 data[path] = {k: str(v) for k, v in pv.items()}
-    return data, deletes
+    return data, pos_dels, eq_dels
+
+
+def _posdel_targets(new_pos: list[str]) -> set[str]:
+    """The distinct data-file targets the NEW position-delete files
+    name, scheme-stripped.  Driver-side, but column-pruned: only the
+    ``file_path`` column of each (small) delete file is read — the
+    result is bounded by the number of files the DML touched, the
+    same order as the manifest walk itself."""
+    import pyarrow.parquet as pq
+
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
+    out: set[str] = set()
+    for p in new_pos:
+        col = pq.read_table(p, columns=["file_path"]).column(
+            "file_path"
+        )
+        out |= {_strip_path(str(v)) for v in col.to_pylist()}
+    return out
 
 
 def _stream_changes(
     location: str, since_seq: int, until_seq: int
-) -> list[tuple[str, dict[str, str], str, int]]:
-    """``(path, partition_values, change_type, sequence_number)`` per
-    change-delivering file in snapshots ``(since, until]`` — the
-    streaming slice of :func:`..sources.iceberg.iceberg_cdf`'s
-    semantics, computed as consecutive-snapshot file-set diffs along
-    the sequence axis (the stream's own offset order, so a RESTORE
-    branch streams as the delete+insert a linear consumer must see):
+) -> list[tuple]:
+    """Change partitions for snapshots ``(since, until]`` — the
+    streaming slice of the batch ``table_changes()`` semantics,
+    computed as consecutive-snapshot diffs along the sequence axis
+    (the stream's own offset order, so a RESTORE branch streams as
+    the delete+insert a linear consumer must see):
 
-    * data files present in a snapshot but not its predecessor →
-      their rows are inserts;
-    * data files present in the predecessor but not the snapshot →
-      deletes (write-once files answer reads until expiry removes
-      them — then the read fails loudly, never silently);
+    * data files added → ``("file", path, pv, "insert", seq,
+      mask_pos)`` — rows a SAME-snapshot position delete targets are
+      masked out (they were never visible);
+    * data files removed → the same shape as ``"delete"`` with
+      ``mask_pos`` = the PRIOR state's position-delete files (rows
+      they had masked died in an earlier commit);
+    * position-delete files ADDED → one ``("posdel", target_path,
+      pv, new_pos, prior_pos, seq)`` per targeted data file: the
+      executor reads the target's rows at the named positions and
+      emits them as delete rows (the r11 row-level synthesis);
     * a ``replace`` snapshot (compaction) is content-preserving by
       definition and emits nothing;
-    * a snapshot that CHANGES the row-level delete-file set (position
-      or equality) refuses — the per-row delta is not recoverable
-      from file diffs; process that window with an Iceberg runtime's
-      changelog."""
+    * what still refuses: equality-delete changes (predicates, not
+      rows) and position-delete REMOVAL outside a replace."""
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
     meta = _latest_meta(location)
     snaps = sorted(
         meta.get("snapshots") or [],
@@ -241,43 +270,85 @@ def _stream_changes(
     for s in snaps:
         if s.get("sequence-number", 0) <= since_seq:
             prev = s
-    prev_data, prev_dels = (
+    prev_data, prev_pos, prev_eq = (
         _files_at_snapshot(location, prev)
         if prev is not None
-        else ({}, set())
+        else ({}, set(), set())
     )
-    out: list[tuple[str, dict[str, str], str, int]] = []
+    out: list[tuple] = []
     for snap in snaps:
         seq = snap.get("sequence-number", 0)
         if not (since_seq < seq <= until_seq):
             continue
-        cur_data, cur_dels = _files_at_snapshot(location, snap)
+        cur_data, cur_pos, cur_eq = _files_at_snapshot(
+            location, snap
+        )
         op = (snap.get("summary") or {}).get("operation")
         if op == "replace":
             # compaction rewrites bytes, not content — but only a
             # true rewrite: a "replace" that changed delete files
             # still refuses below
-            if cur_dels != prev_dels:
+            if cur_pos != prev_pos or cur_eq != prev_eq:
                 raise GlueSparkError(
                     f"Iceberg snapshot seq {seq} of {location!r} "
                     "is a replace that changed row-level delete "
                     "files — not reconstructible as a changelog"
                 )
-            prev_data, prev_dels = cur_data, cur_dels
+            prev_data, prev_pos, prev_eq = cur_data, cur_pos, cur_eq
             continue
-        if cur_dels != prev_dels:
+        if cur_eq != prev_eq:
             raise GlueSparkError(
                 f"Iceberg snapshot seq {seq} of {location!r} "
-                "changed row-level delete files (position/equality) "
-                "— the per-row delta is not reconstructible from "
-                "file diffs; process the window through an Iceberg "
-                "runtime's changelog"
+                "changed equality-delete files — equality deletes "
+                "target predicates, not rows; process the window "
+                "through an Iceberg runtime's changelog"
             )
+        if prev_pos - cur_pos:
+            raise GlueSparkError(
+                f"Iceberg snapshot seq {seq} of {location!r} "
+                "removes position-delete files outside a replace — "
+                "that has no row semantics; process the window "
+                "through an Iceberg runtime's changelog"
+            )
+        new_pos = sorted(cur_pos - prev_pos)
+        prior_pos = sorted(prev_pos)
         for path in sorted(set(prev_data) - set(cur_data)):
-            out.append((path, prev_data[path], "delete", seq))
+            out.append(
+                (
+                    "file", path, prev_data[path], "delete", seq,
+                    prior_pos or None,
+                )
+            )
         for path in sorted(set(cur_data) - set(prev_data)):
-            out.append((path, cur_data[path], "insert", seq))
-        prev_data, prev_dels = cur_data, cur_dels
+            out.append(
+                (
+                    "file", path, cur_data[path], "insert", seq,
+                    new_pos or None,
+                )
+            )
+        if new_pos:
+            from glue_table_cache_spark.sources.delta import (
+                hadoop_uri_encode,
+            )
+
+            targets = _posdel_targets(new_pos)
+            # delete files record the _metadata spelling (hadoop URI
+            # encoding); manifests carry the raw one — encode before
+            # matching, the batch synthesis' convention
+            by_stripped = {
+                _strip_path(hadoop_uri_encode(p)): (p, pv)
+                for p, pv in prev_data.items()
+            }
+            for stripped in sorted(targets):
+                hit = by_stripped.get(stripped)
+                if hit is None:
+                    continue  # targets a file added THIS snapshot:
+                    # its insert partition masks those rows instead
+                p, pv = hit
+                out.append(
+                    ("posdel", p, pv, new_pos, prior_pos, seq)
+                )
+        prev_data, prev_pos, prev_eq = cur_data, cur_pos, cur_eq
     return out
 
 
@@ -290,7 +361,10 @@ class IcebergFilePartition(InputPartition):
 class IcebergChangePartition(InputPartition):
     """One CDF input partition: a data file whose rows all take the
     synthesized ``change_type``, tagged with the snapshot's sequence
-    number as ``_commit_version``."""
+    number as ``_commit_version``.  Rows that the position-delete
+    files in ``mask_pos`` target are masked OUT of delivery (an
+    added file's same-snapshot deletes were never visible; a removed
+    file's prior-delete rows died in an earlier commit)."""
 
     def __init__(
         self,
@@ -298,11 +372,70 @@ class IcebergChangePartition(InputPartition):
         partition_values: dict[str, str],
         change_type: str,
         sequence_number: int,
+        mask_pos: list[str] | None = None,
     ):
         self.path = path
         self.partition_values = partition_values
         self.change_type = change_type
         self.sequence_number = sequence_number
+        self.mask_pos = mask_pos
+
+
+class IcebergPosDeletePartition(InputPartition):
+    """One row-level-delete partition: the rows of ``path`` that the
+    snapshot's NEW position-delete files (``new_pos``) target, minus
+    pairs an OLDER delete file (``prior_pos``) already masked, emit
+    as ``delete`` change rows — the streaming side of the batch
+    synthesis."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict[str, str],
+        new_pos: list[str],
+        prior_pos: list[str],
+        sequence_number: int,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.new_pos = new_pos
+        self.prior_pos = prior_pos
+        self.sequence_number = sequence_number
+
+
+def _positions_for(
+    path: str, pos_files: list[str],
+    minus: list[str] | None = None,
+) -> list[int]:
+    """Executor-side: the row positions within ONE data file that
+    ``pos_files`` target (optionally minus those ``minus`` files
+    already targeted), from column-pruned reads of the (small)
+    position-delete parquet."""
+    import pyarrow.parquet as pq
+
+    from glue_table_cache_spark.sources.delta import (
+        hadoop_uri_encode,
+    )
+    from glue_table_cache_spark.sources.iceberg import _strip_path
+
+    want = _strip_path(hadoop_uri_encode(path))
+
+    def pairs(files: list[str]) -> set[int]:
+        out: set[int] = set()
+        for p in files:
+            t = pq.read_table(p, columns=["file_path", "pos"])
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                if _strip_path(str(fp)) == want:
+                    out.add(int(pos))
+        return out
+
+    got = pairs(pos_files)
+    if minus:
+        got -= pairs(minus)
+    return sorted(got)
 
 
 class IcebergLiteStreamReader(DataSourceStreamReader):
@@ -335,14 +468,27 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         if self._cdf:
-            return [
-                IcebergChangePartition(path, pv, ct, seq)
-                for path, pv, ct, seq in _stream_changes(
-                    self._location,
-                    int(start["seq"]),
-                    int(end["seq"]),
-                )
-            ]
+            parts: list[InputPartition] = []
+            for unit in _stream_changes(
+                self._location,
+                int(start["seq"]),
+                int(end["seq"]),
+            ):
+                if unit[0] == "posdel":
+                    _k, path, pv, new_pos, prior_pos, seq = unit
+                    parts.append(
+                        IcebergPosDeletePartition(
+                            path, pv, new_pos, prior_pos, seq
+                        )
+                    )
+                else:
+                    _k, path, pv, ct, seq, mask = unit
+                    parts.append(
+                        IcebergChangePartition(
+                            path, pv, ct, seq, mask
+                        )
+                    )
+            return parts
         return [
             IcebergFilePartition(path, pv)
             for path, pv in _stream_adds(
@@ -351,7 +497,37 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition) -> Iterator:
+        if isinstance(partition, IcebergPosDeletePartition):
+            keep = _positions_for(
+                partition.path,
+                partition.new_pos,
+                minus=partition.prior_pos,
+            )
+            if keep:
+                yield from read_file_partition(
+                    partition.path,
+                    partition.partition_values,
+                    self._schema,
+                    constants={
+                        "_change_type": "delete",
+                        "_commit_version": partition.sequence_number,
+                    },
+                    row_indices=keep,
+                )
+            return
         if isinstance(partition, IcebergChangePartition):
+            rows = None
+            if partition.mask_pos:
+                skip = set(
+                    _positions_for(partition.path, partition.mask_pos)
+                )
+                if skip:
+                    import pyarrow.parquet as pq
+
+                    n = pq.ParquetFile(
+                        partition.path
+                    ).metadata.num_rows
+                    rows = [i for i in range(n) if i not in skip]
             yield from read_file_partition(
                 partition.path,
                 partition.partition_values,
@@ -360,6 +536,7 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                     "_change_type": partition.change_type,
                     "_commit_version": partition.sequence_number,
                 },
+                row_indices=rows,
             )
             return
         yield from read_file_partition(
@@ -423,9 +600,10 @@ def read_iceberg_stream(
     the table's columns plus ``_change_type`` (insert / delete,
     synthesized from consecutive-snapshot file diffs along the
     sequence axis) and ``_commit_version`` (the sequence number), so
-    a mid-stream DELETE/overwrite arrives as change rows downstream
-    instead of refusing; compaction (``replace``) emits nothing and
-    row-level delete-file changes refuse."""
+    a mid-stream overwrite arrives as change rows and a row-level
+    DELETE (position deletes) as its SYNTHESIZED deleted rows;
+    compaction (``replace``) emits nothing; equality-delete changes
+    refuse."""
     spark.dataSource.register(IcebergLiteDataSource)
     reader = spark.readStream.format("iceberg_lite").option(
         "location", location

@@ -3653,8 +3653,9 @@ def test_iceberg_stream_cdf_mode(spark, tmp_path):
     """iceberg_lite readChangeFeed=true streams CHANGE rows from
     consecutive-snapshot file diffs: appends arrive as inserts, an
     INSERT OVERWRITE as delete+insert rows, compaction emits
-    nothing, row-level delete files refuse, and a restart from the
-    same checkpoint re-delivers nothing."""
+    nothing, a position-delete DELETE as its synthesized deleted
+    rows (r11), and a restart from the same checkpoint re-delivers
+    nothing."""
     from glue_table_cache_spark.sinks.iceberg_delete import (
         delete_from_iceberg,
     )
@@ -3723,12 +3724,33 @@ def test_iceberg_stream_cdf_mode(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert len(seen) == n_before
-    # row-level delete files are not file-diff reconstructible
+    # a row-level DELETE (position deletes) streams as SYNTHESIZED
+    # delete rows: the deleted row read back from the prior state's
+    # file at its (file_path, pos) target (r11)
     delete_from_iceberg(spark, src, "id = 9")
     q = start()
-    with pytest.raises(Exception, match="delete files"):
-        q.processAllAvailable()
+    q.processAllAvailable()
     q.stop()
+    win = seen[n_before:]
+    assert [(r.id, r.v, r._change_type) for r in win] == [
+        (9, "z", "delete")
+    ]
+    # a second DELETE emits only ITS rows (older pairs subtracted);
+    # nothing matches here, so nothing arrives
+    write_iceberg_append(
+        spark.createDataFrame([(7, "q")], "id long, v string")
+        .coalesce(1),
+        src,
+    )
+    delete_from_iceberg(spark, src, "id = 7")
+    n_before = len(seen)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    win = seen[n_before:]
+    assert sorted(
+        (r.id, r._change_type) for r in win
+    ) == [(7, "delete"), (7, "insert")]
 
 
 def test_iceberg_stream_append_mode_refuses_overwrite(
