@@ -1011,21 +1011,38 @@ def delta_cdf(
     renames = column_mapping_renames(
         state.get("metaData"), allow_nested=True
     )
-    lschema = (
-        logical_schema(state.get("metaData"))
-        if renames is not None
-        else None
+    lschema = logical_schema(state.get("metaData"))
+    ltypes = (
+        {f.name: f.dataType for f in lschema.fields}
+        if lschema is not None
+        else {}
     )
 
     def _map(df):
-        if renames is None:
-            return df
-        aug = dict(renames)
-        for c in ("_change_type", "_commit_version"):
-            if c in df.columns:
-                aug[c] = c
-        return apply_column_mapping(df, aug, lschema)
+        if renames is not None:
+            aug = dict(renames)
+            for c in ("_change_type", "_commit_version"):
+                if c in df.columns:
+                    aug[c] = c
+            df = apply_column_mapping(df, aug, lschema)
+        if ltypes:
+            # align to the log's logical types: synthesized pieces
+            # read partition columns from hive directories (string
+            # inference) while cdc pieces carry them typed — one
+            # cast keeps unionByName and the output schema coherent
+            df = df.select(
+                *[
+                    F.col(c).cast(ltypes[c]).alias(c)
+                    if c in ltypes
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
 
+    # basePath keeps hive-partition columns attached on the
+    # synthesized add/remove scans (cdc files materialize them)
+    reader = spark.read.option("basePath", location)
     pieces = []
     for v in range(since_version + 1, latest + 1):
         if v not in commits:
@@ -1085,13 +1102,13 @@ def delta_cdf(
             )
         if adds:
             pieces.append(
-                _map(spark.read.parquet(*adds))
+                _map(reader.parquet(*adds))
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v))
             )
         if removes:
             pieces.append(
-                _map(spark.read.parquet(*removes))
+                _map(reader.parquet(*removes))
                 .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(v))
             )

@@ -1261,3 +1261,45 @@ def test_column_mapped_update_and_merge(spark, tmp_path, frames):
         spark, str(base), "id = 1", {"v": "'z'"}
     )
     assert n == 1
+
+
+def test_cdf_partitioned_table_attaches_partition_columns(
+    spark, tmp_path
+):
+    """delta_cdf on a PARTITIONED table: synthesized add/remove
+    pieces read through basePath so hive partition columns attach
+    (typed to the log's logical schema), and they union cleanly with
+    writer-produced cdc pieces that materialize the columns."""
+    from glue_table_cache_spark.sinks.delta_delete import (
+        delete_from_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    loc = str(tmp_path / "cdfp")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, p string"
+        ),
+        loc,
+        partition_by=["p"],
+    )  # v0: synthesized inserts
+    set_delta_table_properties(
+        loc, {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    delete_from_delta(spark, loc, "id = 2")  # v2: cdc piece
+    out = delta_cdf(spark, loc, since_version=-1)
+    assert set(out.columns) == {
+        "id", "p", "_change_type", "_commit_version"
+    }
+    assert sorted(
+        (r.id, r.p, r._change_type, r._commit_version)
+        for r in out.collect()
+    ) == [
+        (1, "a", "insert", 0),
+        (2, "b", "delete", 2),
+        (2, "b", "insert", 0),
+    ]

@@ -3026,14 +3026,30 @@ def test_alter_column_refusal_matrix(spark, tmp_path):
     assert eng2.sql(
         "SELECT y FROM table_changes(glue.db.t, 0, 0)"
     ).first().y == 1.0
-    # non-Delta refuses with a pointer
+    # Iceberg renames natively by FIELD ID (r11 prior session); the
+    # dedicated coverage lives in the iceberg alter tests
     iloc = tmp_path / "armi"
     write_iceberg_append(
-        spark.createDataFrame([(1,)], "id long"), str(iloc)
+        spark.createDataFrame([(1, 2.0)], "id long, x double"),
+        str(iloc),
     )
     eng3 = _engine_for(spark, iloc, {"table_type": "ICEBERG"})
-    with pytest.raises(GlueSparkError, match="column mapping"):
-        eng3.sql("ALTER TABLE glue.db.t RENAME COLUMN id TO key")
+    eng3.sql("ALTER TABLE glue.db.t RENAME COLUMN id TO key")
+    assert eng3.sql(
+        "SELECT key FROM glue.db.t"
+    ).first().key == 1
+    # HUDI still refuses with a pointer (name-tracked files)
+    hloc = tmp_path / "armh"
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+
+    write_hudi_append(
+        spark.createDataFrame([(1,)], "id long"), str(hloc)
+    )
+    eng4 = _engine_for(spark, hloc, {"hoodie.table.name": "t"})
+    with pytest.raises(GlueSparkError, match="Hudi tracks columns"):
+        eng4.sql("ALTER TABLE glue.db.t RENAME COLUMN id TO key")
 
 
 def test_apply_changes_cross_format_cdc(spark, tmp_path):
@@ -3108,7 +3124,8 @@ def test_table_changes_iceberg_skips_replace_snapshots(
 ):
     """OPTIMIZE's replace snapshot is content-preserving: the TVF
     window over it emits NOTHING (and does not refuse on its purged
-    delete files), while the DELETE's own window still refuses."""
+    delete files), while the DELETE's own window synthesizes the
+    deleted row from its position-delete targets (r11)."""
     from glue_table_cache_spark.sinks.iceberg_optimize import (
         optimize_iceberg,
     )
@@ -3133,8 +3150,13 @@ def test_table_changes_iceberg_skips_replace_snapshots(
     assert eng.sql(
         "SELECT count(*) AS n FROM table_changes(glue.db.t, 4, 4)"
     ).first().n == 0
-    with pytest.raises(GlueSparkError, match="row-level delete"):
-        eng.sql("SELECT * FROM table_changes(glue.db.t, 3, 3)")
+    got = eng.sql(
+        "SELECT id, v, _change_type "
+        "FROM table_changes(glue.db.t, 3, 3)"
+    ).collect()
+    assert [(r.id, r.v, r._change_type) for r in got] == [
+        (1, "a", "delete")
+    ]
     # pre-delete windows keep reading
     assert eng.sql(
         "SELECT count(*) AS n FROM table_changes(glue.db.t, 1, 2)"
