@@ -67,12 +67,18 @@ _AVRO_TYPES = {
 def _avro_schema(df: DataFrame) -> dict:
     fields = []
     for f in df.schema.fields:
-        t = _AVRO_TYPES.get(f.dataType.typeName())
+        name = f.dataType.typeName()
+        t: object = _AVRO_TYPES.get(name)
+        if t is None and name == "timestamp":
+            t = {"type": "long", "logicalType": "timestamp-micros"}
+        elif t is None and name == "date":
+            t = {"type": "int", "logicalType": "date"}
         if t is None:
             raise GlueSparkError(
                 f"write_hudi_log cannot encode column {f.name!r} of "
                 f"type {f.dataType.simpleString()} into an Avro log "
-                "block (primitives only); cast or drop it"
+                "block (primitives + timestamp/date only); cast or "
+                "drop it"
             )
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}

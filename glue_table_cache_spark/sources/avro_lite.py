@@ -81,6 +81,30 @@ def _type_name(schema: Any) -> str:
     return schema["type"]
 
 
+def _temporal_to_avro(schema: Any, value: Any) -> Any:
+    """datetime/date → the logical-type integer the schema declares
+    (``timestamp-micros``/``timestamp-millis`` on long, ``date`` on
+    int).  Naive datetimes encode as UTC wall time — symmetric with
+    the decoder, timezone-free."""
+    import calendar
+    import datetime as _dt
+
+    logical = (
+        schema.get("logicalType") if isinstance(schema, dict) else None
+    )
+    if isinstance(value, _dt.datetime):
+        micros = (
+            calendar.timegm(value.timetuple()) * 1_000_000
+            + value.microsecond
+        )
+        if logical == "timestamp-millis":
+            return micros // 1000
+        return micros
+    if isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days
+    return value
+
+
 def encode_value(schema: Any, value: Any) -> bytes:
     t = _type_name(schema)
     if t == "union":
@@ -93,7 +117,7 @@ def encode_value(schema: Any, value: Any) -> bytes:
     if t == "boolean":
         return b"\x01" if value else b"\x00"
     if t in ("int", "long"):
-        return _encode_long(int(value))
+        return _encode_long(int(_temporal_to_avro(schema, value)))
     if t == "float":
         return struct.pack("<f", float(value))
     if t == "double":
@@ -126,12 +150,19 @@ def encode_value(schema: Any, value: Any) -> bytes:
 
 
 def _matches(branch: Any, value: Any) -> bool:
+    import datetime as _dt
+
     t = _type_name(branch)
     if t == "null":
         return value is None
     if value is None:
         return False
     if t in ("int", "long"):
+        # temporal python values match their logical integer branch
+        if isinstance(value, (_dt.datetime, _dt.date)):
+            return isinstance(branch, dict) and branch.get(
+                "logicalType"
+            ) in ("timestamp-micros", "timestamp-millis", "date")
         return isinstance(value, int) and not isinstance(value, bool)
     if t in ("float", "double"):
         return isinstance(value, (int, float)) and not isinstance(value, bool)

@@ -181,6 +181,41 @@ def write_log_file(path: str | Path, blocks: list[bytes]) -> None:
     Path(path).write_bytes(b"".join(blocks))
 
 
+def _temporal_fields(schema: dict) -> dict[str, str]:
+    """``{field_name: logicalType}`` for the record schema's temporal
+    fields (``timestamp-micros``/``timestamp-millis`` on long,
+    ``date`` on int) — the fields whose decoded integers revive back
+    into datetime/date values."""
+    out: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        branches = t if isinstance(t, list) else [t]
+        for b in branches:
+            if isinstance(b, dict) and b.get("logicalType") in (
+                "timestamp-micros", "timestamp-millis", "date",
+            ):
+                out[f["name"]] = b["logicalType"]
+    return out
+
+
+def _revive_temporal(rec: dict, temporal: dict[str, str]) -> None:
+    """In place: logical integers → naive UTC datetime / date — the
+    encoder's symmetric inverse (avro_lite._temporal_to_avro)."""
+    import datetime as _dt
+
+    for name, logical in temporal.items():
+        v = rec.get(name)
+        if not isinstance(v, int):
+            continue
+        if logical == "date":
+            rec[name] = _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+        else:
+            micros = v * 1000 if logical == "timestamp-millis" else v
+            rec[name] = _dt.datetime(
+                1970, 1, 1
+            ) + _dt.timedelta(microseconds=micros)
+
+
 def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
     """Decode every complete block: ``{"type", "instant", "records",
     "deletes"}`` — ``records`` (list of dicts) for data blocks,
@@ -223,6 +258,7 @@ def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
         instant = header.get(H_INSTANT_TIME, "")
         if btype == AVRO_DATA_BLOCK:
             schema = json.loads(header[H_SCHEMA])
+            temporal = _temporal_fields(schema)
             cbuf = io.BytesIO(content)
             (_cver,) = struct.unpack(">i", cbuf.read(4))
             (count,) = struct.unpack(">i", cbuf.read(4))
@@ -230,7 +266,10 @@ def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
             for _ in range(count):
                 (rlen,) = struct.unpack(">i", cbuf.read(4))
                 rbuf = io.BytesIO(cbuf.read(rlen))
-                records.append(decode_value(schema, rbuf))
+                rec = decode_value(schema, rbuf)
+                if temporal:
+                    _revive_temporal(rec, temporal)
+                records.append(rec)
             out.append(
                 {"type": "data", "instant": instant,
                  "records": records, "deletes": []}

@@ -51,12 +51,25 @@ def _decode_logs_fn(record_key_field: str):
     or s3://) so hidden-file filters never apply."""
 
     def decode(iterator):
+        import datetime as _dt
+
         import pandas as pd
 
         from glue_table_cache_spark.sources.hudi_log import (
             read_log_blocks,
         )
         from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+        def _json_default(v):
+            # temporal payload values travel as the strings
+            # from_json parses back into timestamp/date columns
+            if isinstance(v, _dt.datetime):
+                return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+            if isinstance(v, (_dt.date,)):
+                return v.isoformat()
+            raise TypeError(
+                f"unserializable log payload value {v!r}"
+            )
 
         for pdf in iterator:
             keys, commits, srcs, blks, recs, ops, payloads = (
@@ -84,7 +97,9 @@ def _decode_logs_fn(record_key_field: str):
                         blks.append(bi)
                         recs.append(ri)
                         ops.append("U")
-                        payloads.append(json.dumps(rec))
+                        payloads.append(
+                            json.dumps(rec, default=_json_default)
+                        )
                     for ri, (k, _part) in enumerate(b["deletes"]):
                         keys.append(str(k))
                         commits.append(b["instant"] or commit)

@@ -940,3 +940,74 @@ def test_mor_delete_of_log_born_key_survives_compaction(
     )
     compact_hudi(spark, loc, "id")
     assert snapshot() == [(1, "a"), (3, "C2")]
+
+
+def test_mor_log_blocks_carry_timestamp_and_date(spark, tmp_path):
+    """MOR log payloads support timestamp/date columns (Avro logical
+    types timestamp-micros / date): upserts round-trip through the
+    block codec into the merged snapshot, the changelog decode, and
+    compaction."""
+    import datetime as dt
+
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        compact_hudi,
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import (
+        hudi_mor_scan_info,
+        hudi_table_changes,
+    )
+    from glue_table_cache_spark.sources.hudi_mor import hudi_mor_read
+
+    loc = str(tmp_path / "morts")
+    t1 = dt.datetime(2024, 3, 5, 10, 30, 0, 123456)
+    t2 = dt.datetime(2025, 7, 1, 23, 59, 59, 999999)
+    d1, d2 = dt.date(2024, 3, 5), dt.date(2025, 7, 1)
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, t1, d1), (2, t1, d1)],
+            "id long, ts timestamp, d date",
+        ),
+        loc,
+        table_type="MERGE_ON_READ",
+    )
+    i2 = int(
+        write_hudi_log(
+            spark,
+            loc,
+            "id",
+            upserts=spark.createDataFrame(
+                [(2, t2, d2), (3, t2, d2)],
+                "id long, ts timestamp, d date",
+            ),
+        )
+    )
+
+    def snapshot():
+        bases, logs = hudi_mor_scan_info(loc)
+        return sorted(
+            (r.id, r.ts, r.d)
+            for r in hudi_mor_read(
+                spark,
+                bases,
+                [(p, t, pv) for p, t, pv in logs],
+                record_key_field="id",
+            ).collect()
+        )
+
+    expect = [(1, t1, d1), (2, t2, d2), (3, t2, d2)]
+    assert snapshot() == expect
+    # the changelog decode delivers the typed payloads too
+    got = sorted(
+        (r.id, r.ts, r.d)
+        for r in hudi_table_changes(
+            spark, loc, i2, record_key_field="id"
+        ).collect()
+    )
+    assert got == [(2, t2, d2), (3, t2, d2)]
+    # compaction folds the typed log rows into the new base slice
+    compact_hudi(spark, loc, "id")
+    assert snapshot() == expect
