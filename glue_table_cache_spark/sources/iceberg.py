@@ -1051,52 +1051,31 @@ def iceberg_cdf(
     Data files ADDED in the window contribute their rows as inserts,
     data files REMOVED contribute theirs as deletes (write-once files
     are still on disk until expired; an expired file fails loudly at
-    read).  If the window changed any ROW-LEVEL delete files
-    (position or equality), the per-row delta is NOT reconstructible
-    from file diffs alone — refuse rather than emit a wrong
-    changelog; read through an Iceberg runtime's changelog there.
+    read).  Position-delete windows SYNTHESIZE their per-row delta
+    (r11 — delegated to :func:`iceberg_table_changes`, which owns the
+    window walk); equality-delete changes and un-compacted
+    position-delete removal still refuse.
 
     Driver walks manifests only; row reads are distributed scans."""
-    from pyspark.sql import functions as F
-
-    cur_e, cur_pos, cur_eq = iceberg_scan_details(
-        location, 0, s3_client, fs
-    )
-    prev_e, prev_pos, prev_eq = iceberg_scan_details(
-        location, versions_back, s3_client, fs
-    )
-    if set(cur_pos) != set(prev_pos) or {
-        d["path"] for d in cur_eq
-    } != {d["path"] for d in prev_eq}:
+    if versions_back < 1:
         raise GlueSparkError(
-            f"Iceberg changelog window for {location!r} changes "
-            "row-level delete files; the per-row delta is not "
-            "reconstructible from file diffs — use an Iceberg "
-            "runtime's changelog read"
+            f"iceberg_cdf needs versions_back >= 1, got "
+            f"{versions_back}"
         )
-    cur = {p for p, _pv, _s in cur_e}
-    prev = {p for p, _pv, _s in prev_e}
-    added = sorted(cur - prev)
-    removed = sorted(prev - cur)
-    pieces = []
-    if added:
-        pieces.append(
-            spark.read.parquet(*added)
-            .withColumn("_change_type", F.lit("insert"))
+    jsons = _list_metadata_jsons(location, fs=fs)
+    if not jsons:
+        raise GlueSparkError(
+            f"No Iceberg metadata JSON found under {location!r}"
         )
-    if removed:
-        pieces.append(
-            spark.read.parquet(*removed)
-            .withColumn("_change_type", F.lit("delete"))
-        )
-    if not pieces:
-        return spark.range(0).select(
-            F.lit("").alias("_change_type")
-        ).limit(0)
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    seqs = sorted(
+        _read_json(p, s3_client).get("last-sequence-number", 0)
+        for p in jsons
+    )
+    idx_prev = len(seqs) - 1 - versions_back
+    start = seqs[idx_prev] + 1 if idx_prev >= 0 else 0
+    return iceberg_table_changes(
+        spark, location, start, s3_client=s3_client, fs=fs
+    ).drop("_commit_version")
 
 
 def _pos_pairs(spark, pos_paths: list[str]):

@@ -469,7 +469,12 @@ def test_iceberg_cdf_rows(spark, tmp_path):
     ]
 
 
-def test_iceberg_cdf_refuses_rowlevel_delete_windows(spark, tmp_path):
+def test_iceberg_cdf_synthesizes_position_delete_windows(
+    spark, tmp_path
+):
+    """A position-delete window no longer refuses: the deleted row
+    reads back from the prior state's file at its (file, pos) target
+    (r11, delegated to the table_changes walk)."""
     from glue_table_cache_spark.sources.iceberg import iceberg_cdf
 
     a = spark.createDataFrame([(1,), (2,)], "id long")
@@ -485,8 +490,12 @@ def test_iceberg_cdf_refuses_rowlevel_delete_windows(spark, tmp_path):
             },
         ],
     )
-    with pytest.raises(GlueSparkError, match="row-level delete"):
-        iceberg_cdf(spark, str(base), versions_back=1)
+    out = iceberg_cdf(spark, str(base), versions_back=1)
+    assert [(r.id, r._change_type) for r in out.collect()] == [
+        (2, "delete")
+    ]
+    with pytest.raises(GlueSparkError, match="versions_back"):
+        iceberg_cdf(spark, str(base), versions_back=0)
 
 
 def test_sql_version_as_of_iceberg(spark, tmp_path):
