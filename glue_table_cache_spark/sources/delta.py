@@ -1040,9 +1040,17 @@ def delta_cdf(
             )
         return df
 
-    # basePath keeps hive-partition columns attached on the
-    # synthesized add/remove scans (cdc files materialize them)
-    reader = spark.read.option("basePath", location)
+    def _read(paths):
+        # hive-partition columns attach on the synthesized
+        # add/remove scans (cdc files materialize them); a shallow
+        # clone's mixed-root active set reads per partition root
+        df = read_parquet_files(spark, location, paths)
+        return (
+            df.drop("_metadata")
+            if "_metadata" in df.columns
+            else df
+        )
+
     pieces = []
     for v in range(since_version + 1, latest + 1):
         if v not in commits:
@@ -1102,13 +1110,13 @@ def delta_cdf(
             )
         if adds:
             pieces.append(
-                _map(reader.parquet(*adds))
+                _map(_read(adds))
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v))
             )
         if removes:
             pieces.append(
-                _map(reader.parquet(*removes))
+                _map(_read(removes))
                 .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(v))
             )

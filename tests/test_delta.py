@@ -1303,3 +1303,39 @@ def test_cdf_partitioned_table_attaches_partition_columns(
         (2, "b", "delete", 2),
         (2, "b", "insert", 0),
     ]
+
+
+def test_cdf_on_shallow_clone_mixed_roots(spark, tmp_path):
+    """delta_cdf on a SHALLOW CLONE: the clone's v0 adds reference
+    source-absolute paths, so the synthesized pieces span two
+    partition roots — the mixed-root reader groups them and the
+    partition columns still attach."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        shallow_clone_delta,
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    src = str(tmp_path / "src")
+    clone = str(tmp_path / "clone")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, p string"
+        ),
+        src,
+        partition_by=["p"],
+    )
+    shallow_clone_delta(src, clone)
+    write_delta_append(
+        spark.createDataFrame([(3, "c")], "id long, p string"),
+        clone,
+    )
+    out = delta_cdf(spark, clone, since_version=-1)
+    assert sorted(
+        (r.id, r.p, r._change_type, r._commit_version)
+        for r in out.collect()
+    ) == [
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (3, "c", "insert", 1),
+    ]
