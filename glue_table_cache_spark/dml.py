@@ -1547,3 +1547,11 @@ def _parse_merge(s: str) -> MergeStatement | None:
             _MERGE_RE.match(s).group("evolve")
         ),
     )
+
+
+def resolve_source_keys(source, keys: list[str]) -> list[str]:
+    """Resolve parsed MERGE ON keys (the grammar lowercases them) to
+    the source frame's actual column spellings — the dialect is
+    case-insensitive, like Spark itself."""
+    by_fold = {c.lower(): c for c in source.columns}
+    return [by_fold.get(k.lower(), k) for k in keys]

@@ -422,8 +422,29 @@ def _apply_changes_scd2(
             F.col("__end").alias("__END_AT"),
         )
     )
+    # versions the recomputation RETIRES (a batch delete replacing
+    # the action that had opened them): they exist in the target but
+    # not in the recomputed history — ship them as kill rows so the
+    # one MERGE removes them (the recomputed history is NOT always a
+    # superset of the existing rows)
+    kills = (
+        aff.select(*keys, "__START_AT")
+        .join(
+            hist.select(*keys, "__START_AT"),
+            [*keys, "__START_AT"],
+            "left_anti",
+        )
+        .select(
+            *keys,
+            *[F.lit(None).cast(types[c]).alias(c) for c in non_keys],
+            F.col("__START_AT"),
+            F.lit(None).cast(types["__END_AT"]).alias("__END_AT"),
+            F.lit(True).alias("__kill"),
+        )
+    )
+    src = hist.withColumn("__kill", F.lit(False)).unionByName(kills)
     view = f"__cdc_scd2_{uuid.uuid4().hex[:8]}"
-    hist.createOrReplaceGlobalTempView(view)
+    src.createOrReplaceGlobalTempView(view)
     try:
         on = " AND ".join(
             [f"t.{k} = s.{k}" for k in keys]
@@ -437,8 +458,10 @@ def _apply_changes_scd2(
         return engine.sql(
             f"MERGE INTO {target} t "
             f"USING global_temp.{view} s ON {on} "
+            f"WHEN MATCHED AND s.__kill THEN DELETE "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+            f"WHEN NOT MATCHED AND NOT s.__kill "
+            f"THEN INSERT ({cols}) VALUES ({vals})"
         ).first()
     finally:
-        hist.sparkSession.catalog.dropGlobalTempView(view)
+        src.sparkSession.catalog.dropGlobalTempView(view)

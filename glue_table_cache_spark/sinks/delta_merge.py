@@ -183,10 +183,9 @@ def merge_into_delta(
             "names while this rewrite plans on logical ones — "
             "refusing; use a Delta runtime for this combination"
         )
-    # the SQL dialect is case-insensitive (the parser lowercases ON
-    # keys); resolve each key to the source's actual spelling first
-    _by_fold = {c.lower(): c for c in source.columns}
-    keys = [_by_fold.get(k.lower(), k) for k in keys]
+    from glue_table_cache_spark.dml import resolve_source_keys
+
+    keys = resolve_source_keys(source, keys)
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(
@@ -489,10 +488,9 @@ def merge_general_delta(
             "names while this rewrite plans on logical ones — "
             "refusing; use a Delta runtime for this combination"
         )
-    # the SQL dialect is case-insensitive (the parser lowercases ON
-    # keys); resolve each key to the source's actual spelling first
-    _by_fold = {c.lower(): c for c in source.columns}
-    keys = [_by_fold.get(k.lower(), k) for k in keys]
+    from glue_table_cache_spark.dml import resolve_source_keys
+
+    keys = resolve_source_keys(source, keys)
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(

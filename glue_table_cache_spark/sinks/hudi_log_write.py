@@ -1067,10 +1067,9 @@ def merge_into_hudi(
             "MERGE_ON_READ publish the upsert as a log block via "
             "write_hudi_log(upserts=...)"
         )
-    # the SQL dialect is case-insensitive (the parser lowercases ON
-    # keys); resolve each key to the source's actual spelling first
-    _by_fold = {c.lower(): c for c in source.columns}
-    keys = [_by_fold.get(k.lower(), k) for k in keys]
+    from glue_table_cache_spark.dml import resolve_source_keys
+
+    keys = resolve_source_keys(source, keys)
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(
@@ -1302,10 +1301,9 @@ def merge_general_hudi(
             "for MERGE_ON_READ publish changes as log blocks via "
             "write_hudi_log"
         )
-    # the SQL dialect is case-insensitive (the parser lowercases ON
-    # keys); resolve each key to the source's actual spelling first
-    _by_fold = {c.lower(): c for c in source.columns}
-    keys = [_by_fold.get(k.lower(), k) for k in keys]
+    from glue_table_cache_spark.dml import resolve_source_keys
+
+    keys = resolve_source_keys(source, keys)
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise GlueSparkError(

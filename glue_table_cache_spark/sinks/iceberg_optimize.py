@@ -162,6 +162,32 @@ def optimize_iceberg(
         for f in (current or {}).get("fields", [])
         if isinstance(f.get("type"), str)
     }
+    # RENAMED tables (name mapping): files carry PHYSICAL spellings —
+    # the rewrite must read them physically and write them back
+    # physically, or the renamed column silently nulls out of the
+    # rewritten files (the mapping pins the physical name).  Bounds
+    # bookkeeping resolves both spellings to the same field id.
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_column_mapping,
+    )
+
+    renames, dead = iceberg_column_mapping(prev)
+    inv = {v: k for k, v in renames.items()}
+    for logical, phys in inv.items():
+        if logical in ids:
+            ids[phys] = ids[logical]
+        if logical in types:
+            types[phys] = types[logical]
+    if (renames or dead) and eq_dels:
+        raise GlueSparkError(
+            "optimize_iceberg on a name-mapped (renamed/dropped-"
+            "column) table carrying EQUALITY deletes: the delete "
+            "columns resolve logically while the files spell "
+            "physically — use an Iceberg runtime for this "
+            "combination"
+        )
+    if zorder_by:
+        zorder_by = [inv.get(c, c) for c in zorder_by]
 
     batch = uuid.uuid4().hex[:12]
     new_files: list[tuple[Path, dict]] = []
@@ -185,13 +211,22 @@ def optimize_iceberg(
         reader = spark.read
         ice_schema = iceberg_spark_schema(prev)
         if ice_schema is not None:
+            from glue_table_cache_spark.sources.iceberg import (
+                iceberg_physical_schema,
+            )
+
+            # the files' own spelling: diverged fields physical,
+            # dropped fields excluded (their bytes leave the rewrite)
+            read_schema = iceberg_physical_schema(
+                ice_schema, renames
+            )
             file_cols = parquet_file_columns(paths[0])
             if file_cols is not None:
                 from pyspark.sql.types import StructType
 
                 kept = [
                     f
-                    for f in ice_schema.fields
+                    for f in read_schema.fields
                     if f.name.lower() in file_cols or f.name not in pv
                 ]
                 if kept:

@@ -589,9 +589,19 @@ def _commit_iceberg_schema_change(
         {"schema-id": 0, "type": "struct", "fields": new_fields}
     ]
     meta["current-schema-id"] = 0
+    # the high-water mark must also cover ids this change DROPS from
+    # the collapsed schema list — on metadata lacking last-column-id
+    # (spec-invalid but seen in the wild), max over the surviving
+    # fields alone would re-mint a dropped id on the next evolution
+    # and resurrect the dead column through its name-mapping entry
     meta["last-column-id"] = max(
         [int(prev.get("last-column-id") or 0)]
         + [f["id"] for f in new_fields]
+        + [
+            int(f.get("id", 0))
+            for s in (prev.get("schemas") or [])
+            for f in s.get("fields", [])
+        ]
     )
     props = dict(prev.get("properties") or {})
     props[NAME_MAPPING_PROP] = json.dumps(mapping)

@@ -636,6 +636,12 @@ def _deltacommit_change_rows(
             "__blk int, __rec int, __op string, __payload string"
         ),
     )
+    # only THIS instant's blocks: real Hudi appends blocks to
+    # existing log files, so a file named by several deltacommits
+    # must not re-emit other instants' rows into this window (blocks
+    # without an instant header inherit the file's commit, which is
+    # this instant)
+    raw = raw.where(F.col("__commit") == str(instant))
     # last action per key within the commit: ONE map-side-combinable
     # aggregation ordered by (block, record) — no window
     last = raw.groupBy("__key").agg(

@@ -1339,11 +1339,17 @@ def iceberg_table_changes(
         prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
 
     reader = spark.read.option("basePath", location)
+    # RENAMED/DROPPED columns (name mapping): files spell physically
+    # — project every piece to the CURRENT logical schema, exactly
+    # like the batch scan, so the changelog composes with
+    # apply_changes against logically-named targets
+    tvf_renames, tvf_dead = iceberg_column_mapping(metas[-1])
     pieces = []
     for seq in sorted(by_seq):
         u = by_seq[seq]
 
         def _tag(df, ct, seq=seq):
+            df = project_iceberg_logical(df, tvf_renames, tvf_dead)
             return df.withColumn(
                 "_change_type", F.lit(ct)
             ).withColumn("_commit_version", F.lit(seq).cast("long"))
@@ -1401,5 +1407,8 @@ def iceberg_table_changes(
         )
     out = pieces[0]
     for p in pieces[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: a window spanning a schema evolution
+        # mixes pre- and post-evolution files — absent columns read
+        # null, the CDF latest-schema convention
+        out = out.unionByName(p, allowMissingColumns=True)
     return out

@@ -78,7 +78,7 @@ class DeltaChangePartition(InputPartition):
 
 def read_file_partition(
     path, partition_values, schema, constants=None,
-    physical_names=None, row_indices=None,
+    physical_names=None, row_indices=None, skip_positions=None,
 ) -> "Iterator":
     """Executor-side file read shared by the table-format streaming
     sources: one parquet file → Arrow record batches cast to the
@@ -89,8 +89,9 @@ def read_file_partition(
     that take precedence over file columns of the same name.
     ``physical_names`` maps logical field name → the PHYSICAL column
     spelling column-mapped files carry (``None`` = unmapped).
-    ``row_indices`` restricts delivery to those row positions (the
-    position-delete synthesis/masking input)."""
+    ``row_indices`` restricts delivery to those row positions;
+    ``skip_positions`` drops them instead (vectorized boolean mask —
+    the position-delete masking input, no per-row Python)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -100,6 +101,12 @@ def read_file_partition(
     table = pq.read_table(path)
     if row_indices is not None:
         table = table.take(row_indices)
+    if skip_positions:
+        import numpy as np
+
+        mask = np.ones(table.num_rows, dtype=bool)
+        mask[np.fromiter(skip_positions, dtype=np.int64)] = False
+        table = table.filter(pa.array(mask))
     n = table.num_rows
     cols = []
     for field in target:
@@ -114,12 +121,16 @@ def read_file_partition(
             )
         elif fname in table.column_names:
             cols.append(table.column(fname).cast(field.type))
-        elif field.name in (partition_values or {}):
-            cols.append(
-                pa.array([partition_values[field.name]] * n).cast(
-                    field.type
-                )
+        elif partition_values and (
+            fname in partition_values
+            or field.name in partition_values
+        ):
+            # id/name-mapped tables key add-action partitionValues
+            # by the PHYSICAL spelling; unmapped ones by the logical
+            v = partition_values.get(
+                fname, partition_values.get(field.name)
             )
+            cols.append(pa.array([v] * n).cast(field.type))
         else:
             cols.append(pa.nulls(n, type=field.type))
     yield from pa.table(cols, schema=target).to_batches()

@@ -217,6 +217,11 @@ def read_log_change_partition(
     for b in blocks:
         if b["instant"] in rolled:
             continue
+        # only THIS instant's blocks: real Hudi appends blocks to
+        # existing log files (blocks without an instant header
+        # inherit the file's commit = this instant)
+        if b["instant"] not in ("", str(instant)):
+            continue
         for rec in b["records"]:
             if record_key_field not in rec:
                 raise ValueError(

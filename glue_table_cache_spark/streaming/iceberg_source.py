@@ -447,6 +447,19 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                 ".option('location', ...) or .load(path)"
             )
         self._schema = schema
+        # RENAMED tables (name mapping): files carry the pinned
+        # PHYSICAL spellings; each logical field reads its physical
+        # column (stable across renames — resolved once, driver)
+        from glue_table_cache_spark.sources.iceberg import (
+            iceberg_column_mapping,
+        )
+
+        renames, _dead = iceberg_column_mapping(
+            _latest_meta(self._location)
+        )
+        self._phys_of = (
+            {v: k for k, v in renames.items()} if renames else None
+        )
         self._cdf = (
             str(options.get("readchangefeed", "false")).lower()
             == "true"
@@ -513,21 +526,15 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                         "_commit_version": partition.sequence_number,
                     },
                     row_indices=keep,
+                    physical_names=self._phys_of,
                 )
             return
         if isinstance(partition, IcebergChangePartition):
-            rows = None
-            if partition.mask_pos:
-                skip = set(
-                    _positions_for(partition.path, partition.mask_pos)
-                )
-                if skip:
-                    import pyarrow.parquet as pq
-
-                    n = pq.ParquetFile(
-                        partition.path
-                    ).metadata.num_rows
-                    rows = [i for i in range(n) if i not in skip]
+            skip = (
+                _positions_for(partition.path, partition.mask_pos)
+                if partition.mask_pos
+                else None
+            )
             yield from read_file_partition(
                 partition.path,
                 partition.partition_values,
@@ -536,11 +543,15 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                     "_change_type": partition.change_type,
                     "_commit_version": partition.sequence_number,
                 },
-                row_indices=rows,
+                skip_positions=skip,
+                physical_names=self._phys_of,
             )
             return
         yield from read_file_partition(
-            partition.path, partition.partition_values, self._schema
+            partition.path,
+            partition.partition_values,
+            self._schema,
+            physical_names=self._phys_of,
         )
 
     def commit(self, end: dict) -> None:

@@ -3765,3 +3765,102 @@ def test_partition_evolving_dml_moves_rows(spark, tmp_path):
             "SELECT id FROM glue.db.t WHERE d = DATE'2024-01-01'"
         ).collect()
     ] == [1]
+
+
+def test_optimize_iceberg_after_rename_keeps_values(spark, tmp_path):
+    """OPTIMIZE on a RENAMED Iceberg table must read/write the files'
+    PHYSICAL spelling (the name mapping pins it) — before r11's fix
+    the rewrite read the logical name, nulled the column, and
+    permanently replaced the data."""
+    from glue_table_cache_spark.sinks.iceberg_optimize import (
+        optimize_iceberg,
+    )
+    from glue_table_cache_spark.sinks.iceberg_write import (
+        write_iceberg_append,
+    )
+
+    loc = tmp_path / "optr"
+    for batch in ([(1, 10.0)], [(2, 20.0)]):
+        write_iceberg_append(
+            spark.createDataFrame(batch, "id long, price double"),
+            str(loc),
+        )
+    eng = _engine_for(spark, loc, {"table_type": "ICEBERG"})
+    eng.sql("ALTER TABLE glue.db.t RENAME COLUMN price TO cost")
+    optimize_iceberg(spark, str(loc))
+    eng.invalidate_table("db", "t")
+    assert sorted(
+        (r.id, r.cost)
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    ) == [(1, 10.0), (2, 20.0)]
+    # staged files keep the PHYSICAL spelling, so the mapping holds
+    import pyarrow.parquet as pq
+
+    newest = max(
+        (loc / "data").glob("part-*.parquet"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    assert "price" in pq.ParquetFile(newest).schema_arrow.names
+    # DROP + OPTIMIZE: the dropped bytes leave the rewritten files
+    eng.sql("ALTER TABLE glue.db.t DROP COLUMN cost")
+    optimize_iceberg(spark, str(loc), min_files_per_partition=1)
+    eng.invalidate_table("db", "t")
+    df = eng.sql("SELECT * FROM glue.db.t")
+    assert df.columns == ["id"]
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+    # changelog windows surface the CURRENT logical names too
+    got = eng.sql("SELECT * FROM table_changes(glue.db.t, 1, 2)")
+    assert got.columns == ["id", "_change_type", "_commit_version"]
+
+
+def test_apply_changes_scd2_late_delete_retires_version(
+    spark, tmp_path
+):
+    """A late batch whose delete REPLACES the action that had opened
+    a version must remove that version row (the recomputed history
+    is not a superset of the existing rows — the MERGE ships kill
+    rows)."""
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+
+    tgt = tmp_path / "scd2k"
+    write_delta_append(
+        spark.createDataFrame(
+            [], "id long, v string, __START_AT long, __END_AT long"
+        ),
+        str(tgt),
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "dim", str(tgt),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows,
+            "id long, v string, _change_type string, "
+            "_commit_version long",
+        )
+
+    apply_changes(
+        eng, "glue.db.dim",
+        feed([(1, "a", "insert", 5), (1, "b", "update_postimage", 8)]),
+        ["id"], stored_as_scd_type=2,
+    )
+    # late correction: seq 8 was actually a DELETE — the (1, b, 8, ∅)
+    # version must retire and (1, a) must CLOSE at 8
+    apply_changes(
+        eng, "glue.db.dim",
+        feed([(1, None, "delete", 8)]),
+        ["id"], stored_as_scd_type=2,
+    )
+    assert sorted(
+        (r["id"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in eng.sql("SELECT * FROM glue.db.dim").collect()
+    ) == [(1, "a", 5, 8)]

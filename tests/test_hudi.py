@@ -1011,3 +1011,78 @@ def test_mor_log_blocks_carry_timestamp_and_date(spark, tmp_path):
     # compaction folds the typed log rows into the new base slice
     compact_hudi(spark, loc, "id")
     assert snapshot() == expect
+
+
+def test_table_changes_scopes_blocks_to_their_instant(
+    spark, tmp_path
+):
+    """Real Hudi APPENDS blocks to existing log files, so the same
+    file can be named by several deltacommits — each window must
+    decode only ITS instant's blocks, never re-emit the file's other
+    instants."""
+    from glue_table_cache_spark.sources.hudi import hudi_table_changes
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        build_hudi_table,
+    )
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        write_log_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    base = build_hudi_table(
+        tmp_path / "multi",
+        [{"write": {"fg1": spark.createDataFrame(
+            [(1, "a")], "id long, v string"
+        )}}],  # instant 20240101000000
+        table_type="MERGE_ON_READ",
+    )
+    import json as _json
+
+    # record the table schema (the decode types payloads from it)
+    first = base / ".hoodie" / "20240101000000.commit"
+    body = _json.loads(first.read_text())
+    body["extraMetadata"] = {"schema": _json.dumps(schema)}
+    first.write_text(_json.dumps(body))
+    # ONE log file holding blocks from TWO instants, named by both
+    # deltacommits (the real-Hudi append shape)
+    log_name = ".fg1_20240101000001.log.1_0-0-0"
+    write_log_file(
+        base / log_name,
+        [
+            data_block("20240101000001", schema, [{"id": 2, "v": "x"}]),
+            data_block("20240101000002", schema, [{"id": 3, "v": "y"}]),
+        ],
+    )
+    for ts in ("20240101000001", "20240101000002"):
+        (base / ".hoodie" / f"{ts}.deltacommit").write_text(
+            _json.dumps(
+                {
+                    "partitionToWriteStats": {
+                        "": [{"fileId": "fg1", "path": log_name,
+                              "partitionPath": ""}]
+                    }
+                }
+            )
+        )
+    w1 = hudi_table_changes(
+        spark, str(base), 20240101000001, 20240101000001,
+        record_key_field="id",
+    )
+    assert [(r.id, r.v, r._commit_version) for r in w1.collect()] == [
+        (2, "x", 20240101000001)
+    ]
+    w2 = hudi_table_changes(
+        spark, str(base), 20240101000002, 20240101000002,
+        record_key_field="id",
+    )
+    assert [(r.id, r.v, r._commit_version) for r in w2.collect()] == [
+        (3, "y", 20240101000002)
+    ]
