@@ -16,6 +16,13 @@ family (so the correctness gate can value-check them against DuckDB),
 while the bench measures the production ``xxhash64`` path — the one a
 100 TB run would use — and the pre-merge query texts for entries that
 were consolidated to fit the driver's 50-row window.
+
+Round-over-round comparisons need a HOST-NOISE check before blaming
+code: r11's host showed 2-4x swings on IDENTICAL code (interleaved
+A/B of the unchanged ann_lsh label on the r10 tree vs r11 tree gave
+r10: 9.5s, 3.3s and r11: 2.6s, 4.3s consecutive best-of-3 runs) —
+when a label regresses, replay the PRIOR round's bench from a git
+worktree on the same machine first; only a same-host gap is real.
 """
 
 from __future__ import annotations
