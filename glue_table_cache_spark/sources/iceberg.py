@@ -1154,6 +1154,72 @@ def _position_deleted_rows(
     )
 
 
+def _equality_deleted_rows(
+    spark,
+    location: str,
+    prev_e: list,
+    prev_pos: list[str],
+    prev_eq: list[dict],
+    new_eq: list[dict],
+):
+    """The rows a snapshot's NEW equality-delete files removed: the
+    PRIOR state's LIVE rows (its own position and equality deletes
+    applied first — a row dies once) matching any new delete file's
+    values null-safely on its equality columns.  The spec's sequence
+    scoping rides free here: every prior-state data file's sequence
+    number is strictly less than the new delete's, so the delete
+    applies to all of them — and to none of the SAME snapshot's adds,
+    which is why the caller never feeds those in.  Files grouped by
+    their column tuple kill iteratively (a row matching two groups
+    emits once).  Returns ``None`` when the prior state is empty."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not prev_e:
+        return None
+    live = spark.read.option("basePath", location).parquet(
+        *[p for p, _pv, _s in prev_e]
+    )
+    if prev_pos:
+        live = apply_position_deletes(live, list(prev_pos))
+    if prev_eq:
+        live = apply_equality_deletes(live, prev_e, prev_eq)
+    by_cols: dict[tuple[str, ...], list[dict]] = {}
+    for d in new_eq:
+        by_cols.setdefault(tuple(d["columns"]), []).append(d)
+    remaining = live
+    kills = []
+    for cols, dels in sorted(by_cols.items()):
+        missing = [c for c in cols if c not in live.columns]
+        if missing:
+            raise GlueSparkError(
+                f"Iceberg equality delete columns {missing} are not "
+                "in the scan schema — cannot synthesize the "
+                "changelog window"
+            )
+        vals = None
+        for d in dels:
+            v = spark.read.parquet(d["path"]).select(*cols)
+            vals = v if vals is None else vals.unionByName(v)
+        vals = vals.dropDuplicates(list(cols)).select(
+            *[F.col(c).alias(f"__ek_{c}") for c in cols]
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).eqNullSafe(F.col(f"__ek_{c}"))
+                for c in cols
+            ],
+        )
+        kills.append(remaining.join(vals, cond, "left_semi"))
+        remaining = remaining.join(vals, cond, "left_anti")
+    out = kills[0]
+    for k in kills[1:]:
+        out = out.unionByName(k)
+    return out
+
+
 def iceberg_seq_for_timestamp(
     location: str,
     ts_ms: int,
@@ -1225,11 +1291,15 @@ def iceberg_table_changes(
     ``_metadata.row_index`` (one distributed scan semi-joined on the
     pair — :func:`_position_deleted_rows`), so DELETE/UPDATE/MERGE
     commits staged as position deletes surface as real ``delete``
-    rows instead of refusing.  What still refuses: equality-delete
-    changes (their targets are predicates, not rows — resolving them
-    per-row needs seq-scoped application this changelog cannot
-    attribute) and position-delete file REMOVAL outside a ``replace``
-    (a delete file vanishing un-compacted has no row semantics).
+    rows instead of refusing.  A pair that ADDS equality-delete
+    files synthesizes too (:func:`_equality_deleted_rows`): the
+    prior state's LIVE rows matching the new files' values
+    null-safely on their equality columns — the spec's
+    strictly-less sequence scoping holds by construction (every
+    prior file predates the delete; same-snapshot adds are exempt
+    and never fed in).  What still refuses: position- or
+    equality-delete file REMOVAL outside a ``replace`` (a delete
+    file vanishing un-compacted has no row semantics).
     Snapshots whose ``summary.operation`` is ``replace`` (compaction
     / OPTIMIZE — content-preserving by the spec's definition) advance
     the state WITHOUT emitting: rewritten files are storage
@@ -1304,15 +1374,14 @@ def iceberg_table_changes(
             # storage bookkeeping, never row changes — advance only
             prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
             continue
-        if {d["path"] for d in cur_eq} != {
-            d["path"] for d in prev_eq
-        }:
+        prev_eq_paths = {d["path"] for d in prev_eq}
+        if prev_eq_paths - {d["path"] for d in cur_eq}:
             raise GlueSparkError(
-                f"Iceberg changelog window for {location!r} changes "
+                f"Iceberg changelog window for {location!r} removes "
                 "equality-delete files at sequence number "
-                f"{seqs[idx]}; equality deletes target predicates, "
-                "not rows — the per-row delta is not reconstructible "
-                "here; use an Iceberg runtime's changelog read"
+                f"{seqs[idx]} outside a replace snapshot — that has "
+                "no row semantics; use an Iceberg runtime's "
+                "changelog read"
             )
         removed_pos = sorted(set(prev_pos) - set(cur_pos))
         if removed_pos:
@@ -1324,17 +1393,23 @@ def iceberg_table_changes(
                 "changelog read"
             )
         new_pos = sorted(set(cur_pos) - set(prev_pos))
+        new_eq = [
+            d for d in cur_eq if d["path"] not in prev_eq_paths
+        ]
         cur = {p for p, _pv, _s in cur_e}
         prev = {p for p, _pv, _s in prev_e}
         added = sorted(cur - prev)
         removed = sorted(prev - cur)
-        if added or removed or new_pos:
+        if added or removed or new_pos or new_eq:
             by_seq[seqs[idx]] = {
                 "added": added,
                 "removed": removed,
                 "new_pos": new_pos,
+                "new_eq": new_eq,
+                "prev_e": list(prev_e),
                 "prev_paths": [p for p, _pv, _s in prev_e],
                 "prior_pos": list(prev_pos),
+                "prior_eq": list(prev_eq),
             }
         prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
 
@@ -1380,6 +1455,17 @@ def iceberg_table_changes(
                 u["prev_paths"],
                 u["new_pos"],
                 u["prior_pos"],
+            )
+            if rows is not None:
+                pieces.append(_tag(rows, "delete"))
+        if u["new_eq"]:
+            rows = _equality_deleted_rows(
+                spark,
+                location,
+                u["prev_e"],
+                u["prior_pos"],
+                u["prior_eq"],
+                u["new_eq"],
             )
             if rows is not None:
                 pieces.append(_tag(rows, "delete"))

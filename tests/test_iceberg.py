@@ -1036,3 +1036,58 @@ def test_iceberg_multi_file_position_deletes(spark, tmp_path):
     entries, pos_dels, _eq = iceberg_scan_details(str(loc))
     assert not pos_dels
     assert not any("pos-delete" in p for p, _pv, _s in entries)
+
+
+def test_table_changes_synthesizes_equality_delete_windows(
+    spark, tmp_path
+):
+    """A window that ADDS equality-delete files synthesizes its
+    per-row delta: the PRIOR state's live rows matching the delete
+    values (null-safe, per equality-column set) emit as delete rows
+    — same-snapshot adds are exempt per the spec's strictly-less
+    sequence scoping, and rows an OLDER delete already killed never
+    re-emit."""
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_table_changes,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    reinsert = spark.createDataFrame([(2, "B2")], "id long, v string")
+    base = build_iceberg_table(
+        tmp_path / "eqtc",
+        [
+            a,  # seq 1
+            {   # seq 2: delete id=2 AND re-add it in the same
+                # snapshot — the re-add survives (strictly-less)
+                "add": reinsert,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {   # seq 3: delete id=2 again (kills the re-add) and
+                # id=1; id=2's ORIGINAL row already died at seq 2
+                # and must not re-emit
+                "add": None,
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 1}, {"id": 2}],
+                },
+            },
+        ],
+    )
+    w2 = iceberg_table_changes(spark, str(base), 2, 2)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w2.collect()
+    ) == [(2, "B2", "insert"), (2, "b", "delete")]
+    w3 = iceberg_table_changes(spark, str(base), 3, 3)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w3.collect()
+    ) == [(1, "a", "delete"), (2, "B2", "delete")]
+    # full-history netting: inserts minus deletes = the live state
+    allw = iceberg_table_changes(spark, str(base), 1)
+    net = {}
+    for r in allw.collect():
+        net[(r.id, r.v)] = net.get((r.id, r.v), 0) + (
+            1 if r._change_type == "insert" else -1
+        )
+    assert {k for k, n in net.items() if n > 0} == {(3, "c")}
