@@ -4530,3 +4530,100 @@ def test_append_stream_over_renamed_table(spark, tmp_path):
     assert sorted((r.id, r.label) for r in seen) == [
         (1, "a"), (2, "b"),
     ]
+
+
+def test_streaming_scd2_mirror(spark, tmp_path):
+    """The continuous HISTORY mirror: delta_lite readChangeFeed →
+    foreachBatch(apply_changes(stored_as_scd_type=2)) → a living SCD2
+    dimension.  Upstream UPDATE closes the prior version and opens a
+    new one; upstream DELETE closes without inserting; a restart on
+    the same checkpoint re-delivers nothing and the history stays
+    converged."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.operators.incremental import (
+        apply_changes,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        set_delta_table_properties,
+        write_delta_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    src = tmp_path / "s2_src"
+    dim = tmp_path / "s2_dim"
+    ck = str(tmp_path / "s2_ck")
+    write_delta_append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id long, x double"
+        ).coalesce(1),
+        str(src),
+    )  # v0
+    set_delta_table_properties(
+        str(src), {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    write_delta_append(
+        spark.createDataFrame(
+            [], "id long, x double, __START_AT long, __END_AT long"
+        ),
+        str(dim),
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "src", str(src),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    store.register_parquet_dir(
+        "db", "dim", str(dim),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+
+    def _apply(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            eng, "glue.db.dim", batch_df, ["id"],
+            stored_as_scd_type=2,
+        )
+
+    def start():
+        return (
+            read_delta_stream(
+                spark, str(src), read_change_feed=True
+            )
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    def hist():
+        return sorted(
+            (r["id"], r["x"], r["__START_AT"], r["__END_AT"])
+            for r in eng.sql("SELECT * FROM glue.db.dim").collect()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert hist() == [(1, 10.0, 0, None), (2, 20.0, 0, None)]
+    # upstream UPDATE + DELETE land as history transitions
+    eng.sql("UPDATE glue.db.src SET x = 11.0 WHERE id = 1")  # v2
+    eng.sql("DELETE FROM glue.db.src WHERE id = 2")          # v3
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    expect = [
+        (1, 10.0, 0, 2),
+        (1, 11.0, 2, None),
+        (2, 20.0, 0, 3),
+    ]
+    assert hist() == expect
+    # restart on the same checkpoint: nothing re-delivers, history
+    # unchanged
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert hist() == expect
