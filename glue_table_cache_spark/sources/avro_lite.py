@@ -85,7 +85,9 @@ def _temporal_to_avro(schema: Any, value: Any) -> Any:
     """datetime/date → the logical-type integer the schema declares
     (``timestamp-micros``/``timestamp-millis`` on long, ``date`` on
     int).  Naive datetimes encode as UTC wall time — symmetric with
-    the decoder, timezone-free."""
+    the decoder, timezone-free; AWARE datetimes convert to UTC first
+    (``timegm`` reads wall-clock fields, so an un-converted aware
+    value would shift the stored instant by its UTC offset)."""
     import calendar
     import datetime as _dt
 
@@ -93,6 +95,8 @@ def _temporal_to_avro(schema: Any, value: Any) -> Any:
         schema.get("logicalType") if isinstance(schema, dict) else None
     )
     if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc)
         micros = (
             calendar.timegm(value.timetuple()) * 1_000_000
             + value.microsecond

@@ -51,6 +51,17 @@ _COMPLETED_RE = re.compile(
 #: base-file name: <fileId>_<writeToken>_<instantTime>.parquet
 _BASE_FILE_RE = re.compile(r"([^/_]+(?:-[^/_]+)*)_[^/_]+_(\d+)\.parquet$")
 
+#: log-file version: <fileId>_<baseInstant>.log.<version>_<writeToken>
+_LOG_VERSION_RE = re.compile(r"\.log\.(\d+)")
+
+
+def _log_version(path: str) -> int:
+    """Numeric rollover version of a Hudi log file name (``.log.2``
+    sorts after ``.log.10``'s prefix lexicographically — the fold
+    order must be numeric); unversioned names sort first."""
+    m = _LOG_VERSION_RE.search(path.rsplit("/", 1)[-1])
+    return int(m.group(1)) if m else 0
+
 
 def _timeline_files(location: str, fs=None) -> list[str]:
     from glue_table_cache_spark.listing import filesystem_for
@@ -604,8 +615,13 @@ def _deltacommit_change_rows(
       mode (the log block records only the key; reconstructing the
       full preimage would need a prior-instant snapshot scan).
 
-    ``log_stats`` are ``(resolved_path, partition_path)`` pairs from
-    the deltacommit's write stats."""
+    ``log_stats`` are ``(resolved_path, partition_path, file_id)``
+    triples from the deltacommit's write stats.  Netting order is
+    ``(log version, block, record)`` — a group whose instant rolled
+    over into ``.log.2`` must fold after ``.log.1`` (block indexes
+    restart per file); keys are disjoint ACROSS groups (Hudi's
+    one-file-group-per-key contract), so no cross-group order is
+    needed."""
     from pyspark.sql import functions as F
 
     from glue_table_cache_spark.sources.hudi_mor import (
@@ -626,7 +642,7 @@ def _deltacommit_change_rows(
             f"{schema.fieldNames()} — pass the table's key field"
         )
     paths_df = spark.createDataFrame(
-        [(p, str(instant)) for p, _part in log_stats],
+        [(p, str(instant)) for p, *_ in log_stats],
         "path string, commit string",
     ).repartition(min(len(log_stats), 64))
     raw = paths_df.mapInPandas(
@@ -643,11 +659,22 @@ def _deltacommit_change_rows(
     # this instant)
     raw = raw.where(F.col("__commit") == str(instant))
     # last action per key within the commit: ONE map-side-combinable
-    # aggregation ordered by (block, record) — no window
+    # aggregation ordered by (log version, block, record) — block
+    # indexes restart per file, so a same-group rollover (.log.2
+    # after .log.1) folds in version order; no window
+    raw = raw.withColumn(
+        "__ver",
+        F.coalesce(
+            F.regexp_extract(
+                F.col("__src"), r"\.log\.(\d+)", 1
+            ).cast("int"),
+            F.lit(0),
+        ),
+    )
     last = raw.groupBy("__key").agg(
         F.max_by(
             F.struct("__op", "__payload", "__src"),
-            F.struct("__blk", "__rec"),
+            F.struct("__ver", "__blk", "__rec"),
         ).alias("__w")
     ).select(
         "__key",
@@ -655,7 +682,9 @@ def _deltacommit_change_rows(
         F.col("__w.__payload").alias("__payload"),
         F.col("__w.__src").alias("__src"),
     )
-    pv_by_src = {p: _pv_from_partition_path(part) for p, part in log_stats}
+    pv_by_src = {
+        p: _pv_from_partition_path(part) for p, part, *_ in log_stats
+    }
     pv_cols = sorted(
         {k for pv in pv_by_src.values() for k in pv}
         & set(schema.fieldNames())
@@ -670,7 +699,7 @@ def _deltacommit_change_rows(
         pv_df = spark.createDataFrame(
             [
                 (p, *[pv_by_src[p].get(c) for c in pv_cols])
-                for p, _part in log_stats
+                for p, _part, *_ in log_stats
             ],
             "__src string, "
             + ", ".join(f"__pv_{c} string" for c in pv_cols),
@@ -719,8 +748,8 @@ def hudi_window_units(
     ``(since, until]``, shared by the batch ``table_changes()`` TVF
     and the streaming CDF mode: ``(instant, kind, payload)`` where
     ``kind='logs'`` carries a deltacommit's
-    ``[(resolved_log_path, partition_path)]`` write stats and
-    ``kind='files'`` a base-slice diff as
+    ``[(resolved_log_path, partition_path, file_id)]`` write stats
+    and ``kind='files'`` a base-slice diff as
     ``(added, removed)`` lists of ``(path, partition_path)`` pairs.
 
     Walk semantics (the changelog contract): compaction commits
@@ -728,8 +757,14 @@ def hudi_window_units(
     commit that only rewrites file groups carrying live logs) are
     content-preserving and advance the state without emitting; a
     replacecommit retiring groups with LIVE logs refuses (their
-    log-borne rows are not in the retired base files).  Driver-side,
-    metadata-scale."""
+    log-borne rows are not in the retired base files).  A deltacommit
+    that also writes BASE files (real Hudi MOR routes inserts to new
+    base files inside deltacommits) emits those as an insert unit at
+    the deltacommit's OWN instant — previously they were attributed
+    to the next base-state diff, or silently dropped when the
+    deltacommit closed the window; a deltacommit REWRITING an
+    existing group's base slice refuses (no row semantics without the
+    fold it implies).  Driver-side, metadata-scale."""
     if names is None:
         names = _timeline_files(location, fs=fs)
     instants = _completed_instants(names, location)
@@ -762,26 +797,59 @@ def hudi_window_units(
             continue
         data = json.loads(_read_bytes(p, s3_client))
         if kind == "deltacommit":
-            log_stats = [
-                (_resolve_path(location, st["path"]),
-                 st.get("partitionPath", part))
-                for part, stats in (
-                    data.get("partitionToWriteStats") or {}
-                ).items()
-                for st in stats
-                if st.get("path")
-                and ".log." in st["path"].rsplit("/", 1)[-1]
-            ]
-            if log_stats:
-                units.append((ts, "logs", log_stats))
-            # base slices unchanged; live-log tracking is recomputed
-            # from the timeline at the next base-state refresh
+            log_stats = []
+            base_stats = []  # (fid, path, partition) for base writes
             for part, stats in (
                 data.get("partitionToWriteStats") or {}
             ).items():
                 for st in stats:
-                    if st.get("fileId"):
-                        prev_live.add(st["fileId"])
+                    path = st.get("path")
+                    if not path:
+                        continue
+                    pp = st.get("partitionPath", part)
+                    if ".log." in path.rsplit("/", 1)[-1]:
+                        log_stats.append(
+                            (
+                                _resolve_path(location, path),
+                                pp,
+                                _file_id(st, path),
+                            )
+                        )
+                        # only LOG-writing groups carry live log
+                        # blocks — a base-only insert group must not
+                        # trip the replacecommit live-log refusal
+                        if st.get("fileId"):
+                            prev_live.add(st["fileId"])
+                    else:
+                        base_stats.append(
+                            (_file_id(st, path), path, pp)
+                        )
+            if log_stats:
+                units.append((ts, "logs", log_stats))
+            # real MOR routes INSERTS to new base files inside
+            # deltacommits — emit them at THIS instant and fold them
+            # into the tracked base state so the next refresh's diff
+            # does not re-attribute them
+            added_base = []
+            for fid, path, pp in base_stats:
+                old = prev_by_fid.get(fid)
+                if old is not None and old != path:
+                    raise GlueSparkError(
+                        f"Hudi deltacommit {ts} of {location!r} "
+                        f"rewrites the base slice of file group "
+                        f"{fid!r} — a base rewrite inside a "
+                        "deltacommit has no per-row delta without "
+                        "the fold it implies; compact_hudi() and "
+                        "window past it"
+                    )
+                if old != path:
+                    added_base.append((path, pp))
+                    prev_files[path] = pp
+                    prev_by_fid[fid] = path
+            if added_base:
+                units.append(
+                    (ts, "files", (sorted(added_base), []))
+                )
             continue
         cur_files, cur_by_fid, cur_live = _base_state(ts)
         written_fids = {

@@ -1161,6 +1161,7 @@ def _equality_deleted_rows(
     prev_pos: list[str],
     prev_eq: list[dict],
     new_eq: list[dict],
+    new_pos: list[str] | None = None,
 ):
     """The rows a snapshot's NEW equality-delete files removed: the
     PRIOR state's LIVE rows (its own position and equality deletes
@@ -1171,7 +1172,12 @@ def _equality_deleted_rows(
     applies to all of them — and to none of the SAME snapshot's adds,
     which is why the caller never feeds those in.  Files grouped by
     their column tuple kill iteratively (a row matching two groups
-    emits once).  Returns ``None`` when the prior state is empty."""
+    emits once).  Rows the SAME snapshot's new position-delete files
+    target (``new_pos`` — the Flink upsert-sink pattern commits both
+    kinds at once) are masked out first: those rows already surface
+    once through :func:`_position_deleted_rows`, so re-emitting them
+    here would double-delete.  Returns ``None`` when the prior state
+    is empty."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -1181,6 +1187,10 @@ def _equality_deleted_rows(
     live = spark.read.option("basePath", location).parquet(
         *[p for p, _pv, _s in prev_e]
     )
+    if new_pos:
+        live = _mask_position_pairs(
+            live, _pos_pairs(spark, list(new_pos))
+        )
     if prev_pos:
         live = apply_position_deletes(live, list(prev_pos))
     if prev_eq:
@@ -1466,6 +1476,7 @@ def iceberg_table_changes(
                 u["prior_pos"],
                 u["prior_eq"],
                 u["new_eq"],
+                new_pos=u["new_pos"],
             )
             if rows is not None:
                 pieces.append(_tag(rows, "delete"))

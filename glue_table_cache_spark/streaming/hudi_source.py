@@ -132,11 +132,16 @@ def _stream_changes(
     partition_values, change_type, instant)`` per base-slice diff
     (commit adds = inserts; replacecommit retire/replace =
     deletes + inserts; compaction commits advance silently) and
-    ``("log", path, partition_values, instant)`` per deltacommit log
-    file — its row-level upserts/deletes decode EXECUTOR-side in
+    ``("log", paths, partition_values, instant)`` per deltacommit
+    FILE GROUP — all of the group's log files for that instant in
+    numeric version order, so netting happens per (instant, group)
+    exactly like the batch path; keys are disjoint across groups
+    (Hudi's one-file-group-per-key contract), so groups decode in
+    parallel.  Row-level upserts/deletes decode EXECUTOR-side in
     :func:`read_log_change_partition`."""
     from glue_table_cache_spark.sources.hudi import (
         _completed_instants,
+        _log_version,
         _pv_from_partition_path,
         _resolve_path,
         _timeline_files,
@@ -153,10 +158,22 @@ def _stream_changes(
         location, since, until, names=names
     ):
         if kind == "logs":
-            out += [
-                ("log", p, _pv_from_partition_path(part), ts)
-                for p, part in payload
-            ]
+            groups: dict[str, list[tuple[str, str]]] = {}
+            for p, part, fid in payload:
+                groups.setdefault(fid, []).append((p, part))
+            for fid in sorted(groups):
+                items = sorted(
+                    groups[fid],
+                    key=lambda x: (_log_version(x[0]), x[0]),
+                )
+                out.append(
+                    (
+                        "log",
+                        [p for p, _part in items],
+                        _pv_from_partition_path(items[0][1]),
+                        ts,
+                    )
+                )
             continue
         added, removed = payload
         out += [
@@ -183,21 +200,24 @@ def _stream_changes(
 
 
 def read_log_change_partition(
-    path: str,
+    paths: list[str],
     partition_values: dict[str, str],
     schema,
     instant: int,
     record_key_field: str,
 ) -> Iterator:
-    """Executor-side decode of ONE deltacommit log file into CDF
-    rows: the block codec runs locally (pure Python), actions net to
-    the LAST one per record key within the file (block order — the
-    snapshot merge's resolution), and the result yields as Arrow
-    batches in the stream's schema — upserts as ``update_postimage``
-    with their decoded payloads, delete blocks as key-carrying
-    ``delete`` rows (the key-only posture of Hudi's own CDC
-    ``op_key_only`` logging mode), partition columns attached from
-    the log file's directory."""
+    """Executor-side decode of ONE file group's deltacommit log files
+    into CDF rows: the block codec runs locally (pure Python), actions
+    net to the LAST one per record key across the group's files in
+    the caller's (numeric log version) order — the same
+    per-(instant, group) netting the batch path performs, so a commit
+    whose group rolled over into ``.log.2`` folds after ``.log.1``
+    instead of emitting two conflicting rows for one key — and the
+    result yields as Arrow batches in the stream's schema: upserts as
+    ``update_postimage`` with their decoded payloads, delete blocks
+    as key-carrying ``delete`` rows (the key-only posture of Hudi's
+    own CDC ``op_key_only`` logging mode), partition columns attached
+    from the log files' directory."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -207,32 +227,33 @@ def read_log_change_partition(
     )
     from glue_table_cache_spark.sources.iceberg import _read_bytes
 
-    blocks = read_log_blocks(_read_bytes(path), name=path)
-    rolled = {
-        b["target_instant"]
-        for b in blocks
-        if b["type"] == "command" and b.get("target_instant")
-    }
     last: dict[str, tuple[str, dict | None]] = {}
-    for b in blocks:
-        if b["instant"] in rolled:
-            continue
-        # only THIS instant's blocks: real Hudi appends blocks to
-        # existing log files (blocks without an instant header
-        # inherit the file's commit = this instant)
-        if b["instant"] not in ("", str(instant)):
-            continue
-        for rec in b["records"]:
-            if record_key_field not in rec:
-                raise ValueError(
-                    f"log record in {path} lacks record key field "
-                    f"{record_key_field!r}"
+    for path in paths:
+        blocks = read_log_blocks(_read_bytes(path), name=path)
+        rolled = {
+            b["target_instant"]
+            for b in blocks
+            if b["type"] == "command" and b.get("target_instant")
+        }
+        for b in blocks:
+            if b["instant"] in rolled:
+                continue
+            # only THIS instant's blocks: real Hudi appends blocks to
+            # existing log files (blocks without an instant header
+            # inherit the file's commit = this instant)
+            if b["instant"] not in ("", str(instant)):
+                continue
+            for rec in b["records"]:
+                if record_key_field not in rec:
+                    raise ValueError(
+                        f"log record in {path} lacks record key "
+                        f"field {record_key_field!r}"
+                    )
+                last[str(rec[record_key_field])] = (
+                    "update_postimage", rec,
                 )
-            last[str(rec[record_key_field])] = (
-                "update_postimage", rec,
-            )
-        for k, _part in b["deletes"]:
-            last[str(k)] = ("delete", None)
+            for k, _part in b["deletes"]:
+                last[str(k)] = ("delete", None)
     rows = list(last.items())
     n = len(rows)
     target = to_arrow_schema(schema)
@@ -280,18 +301,19 @@ class HudiChangePartition(InputPartition):
 
 
 class HudiLogChangePartition(InputPartition):
-    """One CDF input partition for a deltacommit LOG file: the block
-    codec decodes it executor-side into update_postimage/delete rows
-    (:func:`read_log_change_partition`)."""
+    """One CDF input partition for ONE FILE GROUP's deltacommit log
+    files (version-ordered): the block codec decodes them
+    executor-side into per-(instant, group)-netted
+    update_postimage/delete rows (:func:`read_log_change_partition`)."""
 
     def __init__(
         self,
-        path: str,
+        paths: list[str],
         partition_values: dict[str, str],
         instant: int,
         record_key_field: str,
     ):
-        self.path = path
+        self.paths = paths
         self.partition_values = partition_values
         self.instant = instant
         self.record_key_field = record_key_field
@@ -338,10 +360,10 @@ class HudiLiteStreamReader(DataSourceStreamReader):
                 int(end["instant"]),
             ):
                 if unit[0] == "log":
-                    _kind, path, pv, ts = unit
+                    _kind, paths, pv, ts = unit
                     parts.append(
                         HudiLogChangePartition(
-                            path, pv, ts, self._record_key
+                            paths, pv, ts, self._record_key
                         )
                     )
                 else:
@@ -362,7 +384,7 @@ class HudiLiteStreamReader(DataSourceStreamReader):
     def read(self, partition) -> Iterator:
         if isinstance(partition, HudiLogChangePartition):
             yield from read_log_change_partition(
-                partition.path,
+                partition.paths,
                 partition.partition_values,
                 self._schema,
                 partition.instant,

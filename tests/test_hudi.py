@@ -1013,6 +1013,192 @@ def test_mor_log_blocks_carry_timestamp_and_date(spark, tmp_path):
     assert snapshot() == expect
 
 
+def _stage_parquet(df, dest):
+    """Write ``df`` as ONE parquet file at exactly ``dest`` (the
+    fixture-style stage-and-rename real Hudi base-file names need)."""
+    import shutil
+    from pathlib import Path
+
+    dest = Path(dest)
+    stage = dest.parent / f"_stage_{dest.name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    next(stage.glob("part-*.parquet")).rename(dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_table_changes_deltacommit_base_file_inserts(
+    spark, tmp_path
+):
+    """Real Hudi MOR routes INSERTS to new base files inside
+    deltacommits: those rows must emit as inserts at the
+    deltacommit's OWN instant (previously they were attributed to the
+    next base-state diff, or dropped when the deltacommit closed the
+    window), alongside the same instant's log-borne changes — and a
+    LATER commit's window must not re-emit them."""
+    import json as _json
+
+    from glue_table_cache_spark.sources.hudi import hudi_table_changes
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        build_hudi_table,
+    )
+    from glue_table_cache_spark.sources.hudi_log import (
+        delete_block,
+        write_log_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    base = build_hudi_table(
+        tmp_path / "deltabase",
+        [{"write": {"fg1": spark.createDataFrame(
+            [(1, "a")], "id long, v string"
+        )}}],  # instant 20240101000000
+        table_type="MERGE_ON_READ",
+    )
+    first = base / ".hoodie" / "20240101000000.commit"
+    body = _json.loads(first.read_text())
+    body["extraMetadata"] = {"schema": _json.dumps(schema)}
+    first.write_text(_json.dumps(body))
+    # deltacommit 20240101000001: a NEW base file (insert routing)
+    # plus a log delete of key 1 — both units at this instant
+    base_name = "fg2_0-0-0_20240101000001.parquet"
+    _stage_parquet(
+        spark.createDataFrame(
+            [(10, "x"), (11, "y")], "id long, v string"
+        ),
+        base / base_name,
+    )
+    log_name = ".fg1_20240101000001.log.1_0-0-0"
+    write_log_file(
+        base / log_name,
+        [delete_block("20240101000001", [("1", "")])],
+    )
+    (base / ".hoodie" / "20240101000001.deltacommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "fg2", "path": base_name,
+                         "partitionPath": ""},
+                        {"fileId": "fg1", "path": log_name,
+                         "partitionPath": ""},
+                    ]
+                }
+            }
+        )
+    )
+    w = hudi_table_changes(
+        spark, str(base), 20240101000001, 20240101000001,
+        record_key_field="id",
+    )
+    assert sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in w.collect()
+    ) == [
+        (1, None, "delete", 20240101000001),
+        (10, "x", "insert", 20240101000001),
+        (11, "y", "insert", 20240101000001),
+    ]
+    # a LATER plain commit's window carries only ITS file — the
+    # deltacommit's base file folded into the tracked state
+    base3 = "fg3_0-0-0_20240101000002.parquet"
+    _stage_parquet(
+        spark.createDataFrame([(20, "z")], "id long, v string"),
+        base / base3,
+    )
+    (base / ".hoodie" / "20240101000002.commit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [{"fileId": "fg3", "path": base3,
+                          "partitionPath": ""}]
+                }
+            }
+        )
+    )
+    w2 = hudi_table_changes(
+        spark, str(base), 20240101000002, 20240101000002,
+        record_key_field="id",
+    )
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w2.collect()
+    ) == [(20, "z", "insert")]
+
+
+def test_table_changes_log_rollover_nets_in_version_order(
+    spark, tmp_path
+):
+    """A deltacommit whose file group rolled over (``.log.1`` then
+    ``.log.2`` at ONE instant) nets per key in numeric version order
+    — the upsert in ``.log.1`` followed by the delete in ``.log.2``
+    yields exactly one delete row, never two conflicting rows."""
+    import json as _json
+
+    from glue_table_cache_spark.sources.hudi import hudi_table_changes
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        build_hudi_table,
+    )
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        delete_block,
+        write_log_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    base = build_hudi_table(
+        tmp_path / "rollover",
+        [{"write": {"fg1": spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )}}],
+        table_type="MERGE_ON_READ",
+    )
+    first = base / ".hoodie" / "20240101000000.commit"
+    body = _json.loads(first.read_text())
+    body["extraMetadata"] = {"schema": _json.dumps(schema)}
+    first.write_text(_json.dumps(body))
+    ts = "20240101000001"
+    log1 = f".fg1_{ts}.log.1_0-0-0"
+    log2 = f".fg1_{ts}.log.2_0-0-0"
+    write_log_file(
+        base / log1,
+        [data_block(ts, schema, [{"id": 2, "v": "bb"}])],
+    )
+    write_log_file(base / log2, [delete_block(ts, [("2", "")])])
+    (base / ".hoodie" / f"{ts}.deltacommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "fg1", "path": log1,
+                         "partitionPath": ""},
+                        {"fileId": "fg1", "path": log2,
+                         "partitionPath": ""},
+                    ]
+                }
+            }
+        )
+    )
+    w = hudi_table_changes(
+        spark, str(base), int(ts), int(ts), record_key_field="id"
+    )
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w.collect()
+    ) == [(2, None, "delete")]
+
+
 def test_table_changes_scopes_blocks_to_their_instant(
     spark, tmp_path
 ):

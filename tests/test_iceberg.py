@@ -65,6 +65,32 @@ def test_avro_roundtrip(tmp_path):
     assert read_avro(p) == records
 
 
+def test_avro_aware_datetime_encodes_as_utc_instant(tmp_path):
+    """A timezone-aware datetime encodes the INSTANT (converted to
+    UTC), not its local wall clock; a naive one keeps the documented
+    naive-as-UTC convention — the same instant expressed at +05:00
+    and naive-UTC round-trips to identical micros."""
+    import datetime as dt
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    off = dt.timezone(dt.timedelta(hours=5))
+    aware = dt.datetime(2024, 3, 1, 15, 30, 0, 250, tzinfo=off)
+    naive_utc = dt.datetime(2024, 3, 1, 10, 30, 0, 250)  # same instant
+    p1, p2 = tmp_path / "aware.avro", tmp_path / "naive.avro"
+    write_avro(p1, schema, [{"ts": aware}])
+    write_avro(p2, schema, [{"ts": naive_utc}])
+    assert read_avro(p1) == read_avro(p2)
+
+
 def test_avro_empty_file(tmp_path):
     schema = {"type": "record", "name": "e",
               "fields": [{"name": "x", "type": "long"}]}
@@ -1036,6 +1062,42 @@ def test_iceberg_multi_file_position_deletes(spark, tmp_path):
     entries, pos_dels, _eq = iceberg_scan_details(str(loc))
     assert not pos_dels
     assert not any("pos-delete" in p for p, _pv, _s in entries)
+
+
+def test_table_changes_dual_kind_delete_emits_once(spark, tmp_path):
+    """A snapshot committing BOTH a position delete and an equality
+    delete targeting the same row (the Flink upsert-sink pattern)
+    emits that row's delete exactly once: the position synthesis owns
+    it, and the equality synthesis masks the same-snapshot position
+    targets out of its kill set."""
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_table_changes,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    base = build_iceberg_table(
+        tmp_path / "dualkill",
+        [
+            a,  # seq 1
+            {   # seq 2: position-delete row id=2 (pos 1 of part-1)
+                # AND equality-delete id=2 — both kinds, one snapshot
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 2}],
+                },
+            },
+        ],
+    )
+    w2 = iceberg_table_changes(spark, str(base), 2, 2)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w2.collect()
+    ) == [(2, "b", "delete")]
 
 
 def test_table_changes_synthesizes_equality_delete_windows(

@@ -3856,6 +3856,92 @@ def test_hudi_stream_cdf_mode(spark, tmp_path):
     assert len(seen) == n_before
 
 
+def test_hudi_stream_cdf_nets_per_group_across_log_files(
+    spark, tmp_path
+):
+    """The CDF stream nets per (instant, file group) exactly like the
+    batch path: a deltacommit whose group rolled over into ``.log.2``
+    (upsert in ``.log.1``, delete of the same key in ``.log.2``)
+    streams ONE delete row for that key, never two conflicting rows
+    at the same ``_commit_version``."""
+    import json as _json
+
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        build_hudi_table,
+    )
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        delete_block,
+        write_log_file,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        read_hudi_stream,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    base = build_hudi_table(
+        tmp_path / "srollover",
+        [{"write": {"fg1": spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )}}],
+        table_type="MERGE_ON_READ",
+    )
+    first = base / ".hoodie" / "20240101000000.commit"
+    body = _json.loads(first.read_text())
+    body["extraMetadata"] = {"schema": _json.dumps(schema)}
+    first.write_text(_json.dumps(body))
+    ts = "20240101000001"
+    log1 = f".fg1_{ts}.log.1_0-0-0"
+    log2 = f".fg1_{ts}.log.2_0-0-0"
+    write_log_file(
+        base / log1,
+        [data_block(ts, schema, [{"id": 2, "v": "bb"}])],
+    )
+    write_log_file(base / log2, [delete_block(ts, [("2", "")])])
+    (base / ".hoodie" / f"{ts}.deltacommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "fg1", "path": log1,
+                         "partitionPath": ""},
+                        {"fileId": "fg1", "path": log2,
+                         "partitionPath": ""},
+                    ]
+                }
+            }
+        )
+    )
+    seen: list = []
+    q = (
+        read_hudi_stream(
+            spark,
+            str(base),
+            read_change_feed=True,
+            record_key_field="id",
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    key2 = [(r.v, r._change_type) for r in seen if r.id == 2]
+    assert sorted(key2, key=lambda t: t[1]) == [
+        (None, "delete"),
+        ("b", "insert"),
+    ]
+
+
 def test_hudi_stream_cdf_mor_deltacommit(spark, tmp_path):
     """The CDF stream DECODES a MOR deltacommit (r11): its log
     upserts arrive as update_postimage rows and its delete blocks as
