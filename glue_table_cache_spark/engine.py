@@ -2585,14 +2585,23 @@ class GlueSparkEngine:
                 f"glue.{tbl.database}.{tbl.name} is {ttype.name}"
             )
         if travel is not None and ttype == ETableType.HUDI:
-            # Hudi travel addresses the INSTANT (the timeline's own
-            # identity); TIMESTAMP AS OF would need a wall-clock →
-            # instant mapping the timeline does not record here
-            if travel[0] != "version":
-                raise GlueSparkError(
-                    "Hudi time travel addresses instants: use "
-                    "VERSION AS OF <instant> (TIMESTAMP AS OF has no "
-                    "wall-clock mapping on the timeline)"
+            if travel[0] == "timestamp":
+                # TIMESTAMP AS OF resolves through the timeline's own
+                # wall clocks (r12): 1.x names carry the completion
+                # timestamp, legacy names the request stamp; instant
+                # spellings that are not wall clocks refuse in the
+                # resolver rather than guessing
+                from glue_table_cache_spark.sources.hudi import (
+                    hudi_instant_for_wallclock,
+                )
+
+                travel = (
+                    "version",
+                    hudi_instant_for_wallclock(
+                        tbl.location,
+                        self._travel_timestamp_ms(travel[1]),
+                        fs=self._fs,
+                    ),
                 )
             if not isinstance(travel[1], int):
                 raise GlueSparkError(

@@ -557,6 +557,43 @@ def _instant_ms(instant: int) -> int:
     return int(base.timestamp() * 1000) + int(s[14:17] or 0)
 
 
+def hudi_instant_for_wallclock(
+    location: str, ts_ms: int, fs=None
+) -> int:
+    """``TIMESTAMP AS OF`` resolution: the newest completed REQUEST
+    instant whose COMPLETION wall clock is at or before ``ts_ms``.
+    Hudi 1.x two-part names (``<requestTs>_<completionTs>``) carry
+    the completion timestamp directly — the moment the write became
+    visible; legacy single-part names fall back to the request stamp
+    (Hudi's own ``as.of.instant`` posture).  Instant spellings that
+    are not ``yyyyMMddHHmmss[SSS]`` wall clocks (external timelines
+    with bare counters) refuse rather than guess; so does an instant
+    predating the whole retained timeline."""
+    names = _timeline_files(location, fs=fs)
+    found: list[tuple[int, int]] = []  # (completion, request)
+    for p in names:
+        m = _COMPLETED_RE.search(p)
+        if m:
+            req = int(m.group(1))
+            comp = int(m.group(2)) if m.group(2) else req
+            found.append((comp, req))
+    if not found:
+        raise GlueSparkError(
+            f"No completed Hudi instants under {location!r}/.hoodie"
+        )
+    target = None
+    for comp, req in sorted(found):
+        if _instant_ms(comp) <= ts_ms:
+            target = req if target is None else max(target, req)
+    if target is None:
+        raise GlueSparkError(
+            f"No completed Hudi instant of {location!r} at or "
+            f"before timestamp {ts_ms} — the oldest retained "
+            "completion postdates it"
+        )
+    return target
+
+
 def hudi_instant_for_timestamp(
     location: str, ts_ms: int, mode: str, fs=None
 ) -> int:
@@ -748,46 +785,58 @@ def hudi_window_units(
     ``(since, until]``, shared by the batch ``table_changes()`` TVF
     and the streaming CDF mode: ``(instant, kind, payload)`` where
     ``kind='logs'`` carries a deltacommit's
-    ``[(resolved_log_path, partition_path, file_id)]`` write stats
-    and ``kind='files'`` a base-slice diff as
-    ``(added, removed)`` lists of ``(path, partition_path)`` pairs.
+    ``[(resolved_log_path, partition_path, file_id)]`` write stats,
+    ``kind='files'`` a base-slice diff as
+    ``(added, removed)`` lists of ``(path, partition_path)`` pairs,
+    and ``kind='mor_deletes'`` the per-group merged pre-state of
+    live-log file groups a replacecommit retired, as
+    ``[(base_entry, log_entries)]`` in the MOR reader's shapes
+    (``base_entry = (resolved_path, partition_values, instant)``,
+    ``log_entries = [(resolved_path, instant, partition_values)]``).
 
     Walk semantics (the changelog contract): compaction commits
     (``operationType=compact``, or the structural shape — a plain
     commit that only rewrites file groups carrying live logs) are
-    content-preserving and advance the state without emitting; a
-    replacecommit retiring groups with LIVE logs refuses (their
-    log-borne rows are not in the retired base files).  A deltacommit
-    that also writes BASE files (real Hudi MOR routes inserts to new
-    base files inside deltacommits) emits those as an insert unit at
-    the deltacommit's OWN instant — previously they were attributed
-    to the next base-state diff, or silently dropped when the
-    deltacommit closed the window; a deltacommit REWRITING an
-    existing group's base slice refuses (no row semantics without the
-    fold it implies).  Driver-side, metadata-scale."""
+    content-preserving and advance the state without emitting.  A
+    replacecommit retiring groups with LIVE logs (clustering after
+    MOR upserts — the normal MOR lifecycle) emits a
+    ``kind='mor_deletes'`` unit carrying the retired groups'
+    ``(base_entries, log_entries)`` in the MOR reader's shapes: the
+    per-row delta is the MERGED pre-state (base + live logs, the
+    exact snapshot view), which the consumers turn into delete rows;
+    a retired LOG-BORN group (live logs, no base slice) still refuses
+    — its pre-state needs a base-less merge this walk does not carry.
+    A deltacommit that also writes BASE files (real Hudi MOR routes
+    inserts to new base files inside deltacommits) emits those as an
+    insert unit at the deltacommit's OWN instant — previously they
+    were attributed to the next base-state diff, or silently dropped
+    when the deltacommit closed the window; a deltacommit REWRITING
+    an existing group's base slice refuses (no row semantics without
+    the fold it implies).  Driver-side, metadata-scale."""
     if names is None:
         names = _timeline_files(location, fs=fs)
     instants = _completed_instants(names, location)
 
     def _base_state(ts: int | None):
-        """(path → partition) of active base slices at ``ts``, plus
-        the fileIds carrying LIVE logs there."""
+        """State at ``ts``: ``slices`` (fid → (instant, raw_path,
+        partition)), the fids carrying LIVE logs, and those fids'
+        live-log entries (fid → [(instant, resolved_path,
+        partition)])."""
         slices, logs = _walk_timeline(
             location, names, s3_client, as_of_instant=ts
         )
-        live = {
-            fid
-            for lts, _p, fid, _part in logs
-            if fid not in slices or lts > slices[fid][0]
-        }
-        return (
-            {path: part for _t, path, part in slices.values()},
-            {fid: path for fid, (_t, path, _part) in slices.items()},
-            live,
-        )
+        live: set[str] = set()
+        logs_by_fid: dict[str, list] = {}
+        for lts, lp, fid, lpart in logs:
+            if fid not in slices or lts > slices[fid][0]:
+                live.add(fid)
+                logs_by_fid.setdefault(fid, []).append(
+                    (lts, _resolve_path(location, lp), lpart)
+                )
+        return slices, live, logs_by_fid
 
-    prev_files, prev_by_fid, prev_live = (
-        _base_state(since) if since else ({}, {}, set())
+    prev_slices, prev_live, prev_logs = (
+        _base_state(since) if since else ({}, set(), {})
     )
     units: list[tuple[int, str, object]] = []
     for ts, kind, p in instants:
@@ -796,6 +845,9 @@ def hudi_window_units(
         if ts <= since:
             continue
         data = json.loads(_read_bytes(p, s3_client))
+        prev_files = {
+            path: part for _t, path, part in prev_slices.values()
+        }
         if kind == "deltacommit":
             log_stats = []
             base_stats = []  # (fid, path, partition) for base writes
@@ -808,18 +860,17 @@ def hudi_window_units(
                         continue
                     pp = st.get("partitionPath", part)
                     if ".log." in path.rsplit("/", 1)[-1]:
+                        fid = _file_id(st, path)
                         log_stats.append(
-                            (
-                                _resolve_path(location, path),
-                                pp,
-                                _file_id(st, path),
-                            )
+                            (_resolve_path(location, path), pp, fid)
                         )
                         # only LOG-writing groups carry live log
                         # blocks — a base-only insert group must not
-                        # trip the replacecommit live-log refusal
-                        if st.get("fileId"):
-                            prev_live.add(st["fileId"])
+                        # trip the replacecommit live-log handling
+                        prev_live.add(fid)
+                        prev_logs.setdefault(fid, []).append(
+                            (ts, _resolve_path(location, path), pp)
+                        )
                     else:
                         base_stats.append(
                             (_file_id(st, path), path, pp)
@@ -832,8 +883,8 @@ def hudi_window_units(
             # does not re-attribute them
             added_base = []
             for fid, path, pp in base_stats:
-                old = prev_by_fid.get(fid)
-                if old is not None and old != path:
+                old = prev_slices.get(fid)
+                if old is not None and old[1] != path:
                     raise GlueSparkError(
                         f"Hudi deltacommit {ts} of {location!r} "
                         f"rewrites the base slice of file group "
@@ -842,16 +893,18 @@ def hudi_window_units(
                         "the fold it implies; compact_hudi() and "
                         "window past it"
                     )
-                if old != path:
+                if old is None:
                     added_base.append((path, pp))
-                    prev_files[path] = pp
-                    prev_by_fid[fid] = path
+                    prev_slices[fid] = (ts, path, pp)
             if added_base:
                 units.append(
                     (ts, "files", (sorted(added_base), []))
                 )
             continue
-        cur_files, cur_by_fid, cur_live = _base_state(ts)
+        cur_slices, cur_live, cur_logs = _base_state(ts)
+        cur_files = {
+            path: part for _t, path, part in cur_slices.values()
+        }
         written_fids = {
             st["fileId"]
             for stats in (
@@ -864,15 +917,16 @@ def hudi_window_units(
             str(data.get("operationType", "")).lower() == "compact"
             or (
                 written_fids
-                and written_fids <= set(prev_by_fid)
+                and written_fids <= set(prev_slices)
                 and written_fids <= prev_live
             )
         )
         if is_compaction:
-            prev_files, prev_by_fid, prev_live = (
-                cur_files, cur_by_fid, cur_live,
+            prev_slices, prev_live, prev_logs = (
+                cur_slices, cur_live, cur_logs,
             )
             continue
+        skip_removed: set[str] = set()
         if kind == "replacecommit":
             replaced = {
                 fid
@@ -881,15 +935,51 @@ def hudi_window_units(
                 ).values()
                 for fid in ids
             }
-            if replaced & prev_live:
+            live_retired = sorted(replaced & prev_live)
+            log_born = [
+                f for f in live_retired if f not in prev_slices
+            ]
+            if log_born:
                 raise GlueSparkError(
                     f"Hudi replacecommit {ts} of {location!r} "
-                    "retires file group(s) still carrying live MOR "
-                    "log blocks — their log-borne rows are not in "
-                    "the retired base files, so the per-row delta "
-                    "is not reconstructible; compact_hudi() before "
-                    "replacing, or window past this instant"
+                    f"retires LOG-BORN file group(s) {log_born} "
+                    "(live logs, no base slice) — their pre-state "
+                    "needs a base-less log merge; compact_hudi() "
+                    "before replacing, or window past this instant"
                 )
+            if live_retired:
+                # the retired groups' pre-state is base + live logs
+                # MERGED (the snapshot view) — emit one
+                # (base_entry, log_entries) pair per group so the
+                # stream can merge groups in parallel (a file group
+                # is Hudi's bounded merge unit and its keys are
+                # disjoint from every other group's); their base
+                # files must then NOT also flow through the raw
+                # file diff
+                groups = []
+                for fid in live_retired:
+                    bts, bpath, bpart = prev_slices[fid]
+                    skip_removed.add(bpath)
+                    groups.append(
+                        (
+                            (
+                                _resolve_path(location, bpath),
+                                _pv_from_partition_path(bpart),
+                                bts,
+                            ),
+                            sorted(
+                                (
+                                    lpath,
+                                    lts,
+                                    _pv_from_partition_path(lpart),
+                                )
+                                for lts, lpath, lpart in (
+                                    prev_logs.get(fid, [])
+                                )
+                            ),
+                        )
+                    )
+                units.append((ts, "mor_deletes", groups))
         added = sorted(
             (f, cur_files[f])
             for f in set(cur_files) - set(prev_files)
@@ -897,11 +987,12 @@ def hudi_window_units(
         removed = sorted(
             (f, prev_files[f])
             for f in set(prev_files) - set(cur_files)
+            if f not in skip_removed
         )
         if added or removed:
             units.append((ts, "files", (added, removed)))
-        prev_files, prev_by_fid, prev_live = (
-            cur_files, cur_by_fid, cur_live,
+        prev_slices, prev_live, prev_logs = (
+            cur_slices, cur_live, cur_logs,
         )
     return units
 
@@ -937,10 +1028,13 @@ def hudi_table_changes(
       record key field (``record_key_field``, default
       ``_hoodie_record_key``);
     * ``replacecommit`` — retired slices emit deletes, replacement
-      slices inserts (COW DELETE/UPDATE/MERGE, clustering); retiring
-      a file group that still carries LIVE log blocks refuses (the
-      log-borne rows died with the group but are not in its base
-      file — not reconstructible).
+      slices inserts (COW DELETE/UPDATE/MERGE, clustering); a retired
+      file group that still carries LIVE log blocks emits deletes
+      from its MERGED pre-state (base + logs — the exact snapshot
+      view, via :func:`~glue_table_cache_spark.sources.hudi_mor
+      .hudi_mor_read`), so clustering-after-upserts windows stream
+      instead of refusing; only a retired LOG-BORN group (live logs,
+      no base slice) still refuses.
 
     Driver walks the timeline only; row reads are distributed
     ``basePath``-anchored scans (hive-style partition columns
@@ -1008,6 +1102,34 @@ def hudi_table_changes(
                 _deltacommit_change_rows(
                     spark, location, schema, payload, ts,
                     record_key_field,
+                )
+            )
+            continue
+        if unit_kind == "mor_deletes":
+            # a replacecommit retired file groups still carrying live
+            # logs (clustering after MOR upserts): the rows that died
+            # are the groups' MERGED pre-state — the exact snapshot
+            # view the MOR reader computes
+            from glue_table_cache_spark.sources.hudi_mor import (
+                hudi_mor_read,
+            )
+
+            base_entries = [b for b, _logs in payload]
+            log_entries = [
+                e for _b, logs in payload for e in logs
+            ]
+            pre = hudi_mor_read(
+                spark,
+                base_entries,
+                log_entries,
+                record_key_field=record_key_field,
+                base_path=location,
+            )
+            pieces.append(
+                pre.withColumn(
+                    "_change_type", F.lit("delete")
+                ).withColumn(
+                    "_commit_version", F.lit(ts).cast("long")
                 )
             )
             continue

@@ -23,7 +23,9 @@ Append-only semantics, mirroring Hudi's own incremental read contract:
   a CHANGELOG: ``readChangeFeed=true`` emits the table columns +
   ``_change_type`` + ``_commit_version`` from the shared window walk
   (:func:`..sources.hudi.hudi_window_units`), so replacecommits
-  arrive as delete+insert rows AND deltacommits arrive as their
+  arrive as delete+insert rows — a retired group still carrying
+  LIVE logs delivers deletes of its MERGED pre-state, merged
+  executor-side per group (r12) — AND deltacommits arrive as their
   log-decoded update_postimage/delete rows — compaction commits are
   content-preserving and deliver nothing);
 * the schema comes from the newest commit's ``extraMetadata.schema``
@@ -175,6 +177,16 @@ def _stream_changes(
                     )
                 )
             continue
+        if kind == "mor_deletes":
+            # one partition per retired live-log file group: the
+            # group is Hudi's bounded merge unit (base + logs fit the
+            # file-group size budget) and groups hold disjoint keys,
+            # so they merge executor-side in parallel
+            out += [
+                ("mor", base_entry, log_entries, ts)
+                for base_entry, log_entries in payload
+            ]
+            continue
         added, removed = payload
         out += [
             (
@@ -276,6 +288,104 @@ def read_log_change_partition(
     yield from pa.table(cols, schema=target).to_batches()
 
 
+def read_mor_delete_partition(
+    base_entry,
+    log_entries,
+    schema,
+    instant: int,
+    record_key_field: str,
+) -> Iterator:
+    """Executor-side merged pre-state of ONE retired live-log file
+    group, emitted as CDF ``delete`` rows: the base parquet and the
+    group's version-ordered log files fold to the newest action per
+    record key — exactly the snapshot resolution
+    :func:`~glue_table_cache_spark.sources.hudi_mor.hudi_mor_read`
+    computes with a window, done locally because a file group is
+    Hudi's bounded merge unit (its keys are disjoint from every other
+    group's, so groups parallelize).  Rows whose newest action is a
+    delete block died BEFORE the replacecommit and do not re-emit."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from glue_table_cache_spark.sources.hudi_log import (
+        read_log_blocks,
+    )
+    from glue_table_cache_spark.sources.iceberg import _read_bytes
+
+    base_path, base_pv, base_ts = base_entry
+    tbl = pq.read_table(io.BytesIO(_read_bytes(base_path)))
+    if record_key_field not in tbl.schema.names:
+        raise ValueError(
+            f"record key field {record_key_field!r} is not in the "
+            f"Hudi base file {base_path!r}"
+        )
+    # key -> (order, op, record, source_pv); order mirrors the MOR
+    # window sort (commit, src, blk, rec) — newest wins
+    state: dict[str, tuple] = {}
+    for rec in tbl.to_pylist():
+        k = str(rec[record_key_field])
+        state[k] = ((str(base_ts), "", -1, -1), "U", rec, base_pv)
+    for lpath, lts, lpv in log_entries:
+        blocks = read_log_blocks(_read_bytes(lpath), name=lpath)
+        rolled = {
+            b["target_instant"]
+            for b in blocks
+            if b["type"] == "command" and b.get("target_instant")
+        }
+        for bi, b in enumerate(blocks):
+            if b["instant"] in rolled:
+                continue
+            commit = b["instant"] or str(lts)
+            for ri, rec in enumerate(b["records"]):
+                if record_key_field not in rec:
+                    raise ValueError(
+                        f"log record in {lpath} lacks record key "
+                        f"field {record_key_field!r}"
+                    )
+                k = str(rec[record_key_field])
+                order = (commit, lpath, bi, ri)
+                if k not in state or order > state[k][0]:
+                    state[k] = (order, "U", rec, lpv)
+            for ri, (k, _part) in enumerate(b["deletes"]):
+                k = str(k)
+                order = (commit, lpath, bi, ri)
+                if k not in state or order > state[k][0]:
+                    state[k] = (order, "D", None, lpv)
+    rows = [
+        (k, rec, pv)
+        for k, (_o, op, rec, pv) in state.items()
+        if op == "U"
+    ]
+    n = len(rows)
+    target = to_arrow_schema(schema)
+    cols = []
+    for field in target:
+        nm = field.name
+        if nm == "_change_type":
+            arr = pa.array(["delete"] * n)
+        elif nm == "_commit_version":
+            arr = pa.array([int(instant)] * n)
+        elif nm == record_key_field:
+            arr = pa.array([k for k, _r, _p in rows])
+        else:
+            arr = pa.array(
+                [
+                    (
+                        r[nm]
+                        if r is not None and nm in r
+                        else (p or {}).get(nm)
+                    )
+                    for _k, r, p in rows
+                ]
+            )
+        cols.append(arr.cast(field.type))
+    yield from pa.table(cols, schema=target).to_batches()
+
+
 class HudiFilePartition(InputPartition):
     def __init__(self, path: str, partition_values: dict[str, str]):
         self.path = path
@@ -315,6 +425,24 @@ class HudiLogChangePartition(InputPartition):
     ):
         self.paths = paths
         self.partition_values = partition_values
+        self.instant = instant
+        self.record_key_field = record_key_field
+
+
+class HudiMorDeletePartition(InputPartition):
+    """One CDF input partition for a retired live-log FILE GROUP: its
+    base + logs merge executor-side into the pre-state that died with
+    the replacecommit (:func:`read_mor_delete_partition`)."""
+
+    def __init__(
+        self,
+        base_entry,
+        log_entries,
+        instant: int,
+        record_key_field: str,
+    ):
+        self.base_entry = base_entry
+        self.log_entries = log_entries
         self.instant = instant
         self.record_key_field = record_key_field
 
@@ -366,6 +494,16 @@ class HudiLiteStreamReader(DataSourceStreamReader):
                             paths, pv, ts, self._record_key
                         )
                     )
+                elif unit[0] == "mor":
+                    _kind, base_entry, log_entries, ts = unit
+                    parts.append(
+                        HudiMorDeletePartition(
+                            base_entry,
+                            log_entries,
+                            ts,
+                            self._record_key,
+                        )
+                    )
                 else:
                     _kind, path, pv, ct, ts = unit
                     parts.append(
@@ -382,6 +520,15 @@ class HudiLiteStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition) -> Iterator:
+        if isinstance(partition, HudiMorDeletePartition):
+            yield from read_mor_delete_partition(
+                partition.base_entry,
+                partition.log_entries,
+                self._schema,
+                partition.instant,
+                partition.record_key_field,
+            )
+            return
         if isinstance(partition, HudiLogChangePartition):
             yield from read_log_change_partition(
                 partition.paths,

@@ -668,10 +668,59 @@ def test_hudi_time_travel_version_as_of(spark, tmp_path):
         eng.sql(
             f"SELECT id FROM glue.db.t VERSION AS OF {i1 - 1}"
         ).collect()
-    with _p.raises(GlueSparkError, match="instants"):
+
+    # TIMESTAMP AS OF resolves through the timeline's wall clocks
+    # (r12): a yyyyMMddHHmmss instant name IS a UTC wall clock
+    import datetime as _dt
+    from pathlib import Path as _Path
+
+    def _iso(instant):
+        return _dt.datetime.strptime(
+            str(instant)[:14], "%Y%m%d%H%M%S"
+        ).isoformat()
+
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            f"SELECT id FROM glue.db.t TIMESTAMP AS OF '{_iso(i1)}'"
+        ).collect()
+    ) == [1, 2]
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            f"SELECT id FROM glue.db.t TIMESTAMP AS OF '{_iso(i2)}'"
+        ).collect()
+    ) == [1]
+    # an instant predating the retained timeline refuses
+    with _p.raises(GlueSparkError, match="postdates"):
         eng.sql(
             "SELECT id FROM glue.db.t TIMESTAMP AS OF '2024-01-01'"
         ).collect()
+    # Hudi 1.x two-part names: the COMPLETION timestamp is the
+    # visibility clock — push i2's completion a minute out and the
+    # same literal no longer includes it
+    late = (
+        _dt.datetime.strptime(str(i2)[:14], "%Y%m%d%H%M%S")
+        + _dt.timedelta(minutes=1)
+    ).strftime("%Y%m%d%H%M%S")
+    hoodie = _Path(loc) / ".hoodie"
+    (hoodie / f"{i2}.replacecommit").rename(
+        hoodie / f"{i2}_{late}.replacecommit"
+    )
+    eng.invalidate_table("db", "t")
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            f"SELECT id FROM glue.db.t TIMESTAMP AS OF '{_iso(i2)}'"
+        ).collect()
+    ) == [1, 2]
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            f"SELECT id FROM glue.db.t TIMESTAMP AS OF "
+            f"'{_iso(late)}'"
+        ).collect()
+    ) == [1]
 
     # MOR: travel to the base instant hides the delete log block
     mloc = str(tmp_path / "mor")
@@ -695,6 +744,13 @@ def test_hudi_time_travel_version_as_of(spark, tmp_path):
         r.id
         for r in eng.sql(
             f"SELECT id FROM glue.db.m VERSION AS OF {m1}"
+        ).collect()
+    ) == [1, 2]
+    # MOR timestamp travel rides the same wall-clock resolution
+    assert sorted(
+        r.id
+        for r in eng.sql(
+            f"SELECT id FROM glue.db.m TIMESTAMP AS OF '{_iso(m1)}'"
         ).collect()
     ) == [1, 2]
 
@@ -1197,6 +1253,110 @@ def test_table_changes_log_rollover_nets_in_version_order(
     assert sorted(
         (r.id, r.v, r._change_type) for r in w.collect()
     ) == [(2, None, "delete")]
+
+
+def test_table_changes_replacecommit_over_live_logs(
+    spark, tmp_path
+):
+    """Clustering AFTER un-compacted MOR upserts (the normal MOR
+    lifecycle): a replacecommit retiring a file group with live log
+    blocks emits deletes of the group's MERGED pre-state (base +
+    logs — including log-born keys) and inserts of the replacement
+    slices, instead of refusing."""
+    import json as _json
+
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_table_changes
+
+    loc = tmp_path / "clusterlive"
+    i1 = int(
+        write_hudi_append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ).coalesce(1),
+            str(loc),
+            table_type="MERGE_ON_READ",
+        )
+    )
+    i2 = int(
+        write_hudi_log(
+            spark,
+            str(loc),
+            "id",
+            upserts=spark.createDataFrame(
+                [(2, "b2"), (3, "c")], "id long, v string"
+            ),
+            delete_keys=[1],
+        )
+    )
+    # merged snapshot before clustering: (2, b2), (3, c)
+    commit1 = _json.loads(
+        (loc / ".hoodie" / f"{i1}.commit").read_text()
+    )
+    fid = next(
+        st["fileId"]
+        for stats in commit1["partitionToWriteStats"].values()
+        for st in stats
+    )
+    # hand-crafted clustering replacecommit: retire the live-log
+    # group, write its merged content to a new base file
+    i3 = i2 + 1
+    new_base = f"clustered-0_0-0-0_{i3}.parquet"
+    _stage_parquet(
+        spark.createDataFrame(
+            [(2, "b2"), (3, "c")], "id long, v string"
+        ),
+        loc / new_base,
+    )
+    (loc / ".hoodie" / f"{i3}.replacecommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "clustered-0", "path": new_base,
+                         "partitionPath": ""}
+                    ]
+                },
+                "partitionToReplaceFileIds": {"": [fid]},
+            }
+        )
+    )
+    w = hudi_table_changes(
+        spark, str(loc), i3, i3, record_key_field="id"
+    )
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w.collect()
+    ) == [
+        (2, "b2", "delete"),
+        (2, "b2", "insert"),
+        (3, "c", "delete"),
+        (3, "c", "insert"),
+    ]
+    assert {r._commit_version for r in w.collect()} == {i3}
+    # the full window replays to the live state: per key, group the
+    # rows by version in order; a version's insert/update wins over
+    # its delete only when it carries a DIFFERENT row (an update),
+    # and a delete-only version removes the key
+    allw = hudi_table_changes(
+        spark, str(loc), i1, record_key_field="id"
+    )
+    by_ver: dict = {}
+    for r in allw.collect():
+        by_ver.setdefault(r._commit_version, []).append(r)
+    state: dict = {}
+    for ver in sorted(by_ver):
+        for r in by_ver[ver]:
+            if r._change_type == "delete":
+                state.pop(r.id, None)
+        for r in by_ver[ver]:
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.id] = r.v
+    assert state == {2: "b2", 3: "c"}
 
 
 def test_table_changes_scopes_blocks_to_their_instant(

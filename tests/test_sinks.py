@@ -3856,6 +3856,101 @@ def test_hudi_stream_cdf_mode(spark, tmp_path):
     assert len(seen) == n_before
 
 
+def test_hudi_stream_cdf_replacecommit_over_live_logs(
+    spark, tmp_path
+):
+    """The CDF stream handles clustering-after-upserts (r12): a
+    replacecommit retiring a live-log file group delivers deletes of
+    the group's MERGED pre-state (base + logs, merged executor-side
+    per group) plus inserts of the replacement slice."""
+    import json as _json
+
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        read_hudi_stream,
+    )
+    from tests.test_hudi import _stage_parquet
+
+    loc = tmp_path / "sclusterlive"
+    write_hudi_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).coalesce(1),
+        str(loc),
+        table_type="MERGE_ON_READ",
+    )
+    i2 = int(
+        write_hudi_log(
+            spark,
+            str(loc),
+            "id",
+            upserts=spark.createDataFrame(
+                [(2, "b2"), (3, "c")], "id long, v string"
+            ),
+            delete_keys=[1],
+        )
+    )
+    commits = sorted((loc / ".hoodie").glob("*.commit"))
+    commit1 = _json.loads(commits[0].read_text())
+    fid = next(
+        st["fileId"]
+        for stats in commit1["partitionToWriteStats"].values()
+        for st in stats
+    )
+    i3 = i2 + 1
+    new_base = f"clustered-0_0-0-0_{i3}.parquet"
+    _stage_parquet(
+        spark.createDataFrame(
+            [(2, "b2"), (3, "c")], "id long, v string"
+        ),
+        loc / new_base,
+    )
+    (loc / ".hoodie" / f"{i3}.replacecommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "clustered-0", "path": new_base,
+                         "partitionPath": ""}
+                    ]
+                },
+                "partitionToReplaceFileIds": {"": [fid]},
+            }
+        )
+    )
+    seen: list = []
+    q = (
+        read_hudi_stream(
+            spark,
+            str(loc),
+            starting_instant=i2,  # only the replacecommit window
+            read_change_feed=True,
+            record_key_field="id",
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in seen
+    ) == [
+        (2, "b2", "delete"),
+        (2, "b2", "insert"),
+        (3, "c", "delete"),
+        (3, "c", "insert"),
+    ]
+    assert {r._commit_version for r in seen} == {i3}
+
+
 def test_hudi_stream_cdf_nets_per_group_across_log_files(
     spark, tmp_path
 ):
