@@ -25,13 +25,15 @@ Only files the log names as live are scanned — orphan files sitting in
 the data directory (failed writes, un-vacuumed deletes) are invisible,
 the same hygiene property the Iceberg fixture asserts.
 
-All steps are metadata-scale and run on the driver; the returned path
-list feeds the distributed parquet scan.  At extreme file counts
-(multi-GB checkpoints) the checkpoint read is the piece to distribute
-— ``spark.read.parquet`` over the checkpoint parts with the same
-``add``-projection, keeping the commit-replay tail driver-side; the
-JSON tail is bounded by the checkpoint interval (10 commits by
-default), so it never grows with table size.
+All steps are metadata-scale and run on the driver, EXCEPT the
+checkpoint decode at extreme file counts (r12): a checkpoint at or
+above :data:`DISTRIBUTED_CHECKPOINT_MIN_BYTES` is read with
+``spark.read.parquet`` over the parts, projected to the action
+columns, so the decompress/decode parallelizes across executors and
+the driver collects only compact per-file tuples
+(:func:`_read_checkpoint_distributed`).  The commit-replay tail stays
+driver-side: the JSON tail is bounded by the checkpoint interval
+(10 commits by default), so it never grows with table size.
 """
 
 from __future__ import annotations
@@ -259,6 +261,115 @@ def _complete_checkpoints(
             continue
         out[v] = paths
     return out
+
+
+#: Distributed-decode gate (r12): a checkpoint whose parts total at
+#: least this many bytes is decoded EXECUTOR-side — ``spark.read
+#: .parquet`` over the parts projected to the action columns, the
+#: driver collecting only the compact per-file tuples — instead of
+#: serial driver pyarrow, so a multi-GB checkpoint's decode
+#: parallelizes across the cluster.  Below the threshold the driver
+#: path stays (no Spark-job overhead for small tables).  Requires an
+#: active SparkSession, no injected ``s3_client``, and stat-able part
+#: sizes (local paths).
+DISTRIBUTED_CHECKPOINT_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _checkpoint_total_bytes(paths: list[str]) -> int | None:
+    """Total size of local checkpoint parts, or ``None`` when any
+    path is non-local / un-stat-able (the gate then keeps the driver
+    path — correctness never depends on the answer)."""
+    import os
+
+    total = 0
+    for p in paths:
+        if "://" in p:
+            return None
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def _read_checkpoint_distributed(
+    spark, paths: list[str], state: dict | None = None
+) -> dict:
+    """:func:`_read_checkpoint` semantics with the parquet decode on
+    the EXECUTORS: one ``spark.read.parquet`` over the parts,
+    column-pruned to the action structs, collecting (Arrow-batched)
+    only ``(path, partitionValues, deletionVector, stats)`` per add
+    plus the handful of ``metaData``/``protocol``/``txn`` rows.  The
+    protocol/DV gates run driver-side on the collected rows, exactly
+    like the driver decoder, so refusals are identical."""
+    from pyspark.sql import functions as F
+
+    state = state if state is not None else {}
+    active: dict = {}
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    cols = set(df.columns)
+    if "txn" in cols:
+        for r in (
+            df.where(F.col("txn.appId").isNotNull())
+            .select("txn")
+            .collect()
+        ):
+            t = r["txn"].asDict()
+            state.setdefault("txns", {})[t["appId"]] = t.get(
+                "version"
+            )
+    if "protocol" in cols:
+        for r in (
+            df.where(F.col("protocol.minReaderVersion").isNotNull())
+            .select("protocol")
+            .collect()
+        ):
+            proto = r["protocol"].asDict(recursive=True)
+            _check_protocol(proto)
+            state["protocol"] = proto
+    if "metaData" in cols:
+        for r in (
+            df.where(F.col("metaData").isNotNull())
+            .select("metaData")
+            .collect()
+        ):
+            meta = r["metaData"].asDict(recursive=True)
+            if meta.get("configuration") or meta.get("id"):
+                state["metaData"] = meta
+    if "add" in cols:
+        add_fields = {
+            f.name for f in df.schema["add"].dataType.fields
+        }
+
+        def _sub(name):
+            if name in add_fields:
+                return F.col(f"add.{name}").alias(name)
+            return F.lit(None).alias(name)
+
+        for r in (
+            df.where(F.col("add.path").isNotNull())
+            .select(
+                F.col("add.path").alias("path"),
+                _sub("partitionValues"),
+                _sub("deletionVector"),
+                _sub("stats"),
+            )
+            .collect()
+        ):
+            dv = (
+                r["deletionVector"].asDict(recursive=True)
+                if r["deletionVector"] is not None
+                else None
+            )
+            _check_dv_supported(
+                {"path": r["path"], "deletionVector": dv}
+            )
+            active[unquote(r["path"])] = (
+                dict(r["partitionValues"] or {}),
+                dv,
+                r["stats"],
+            )
+    return active
 
 
 def _read_checkpoint(
@@ -555,11 +666,26 @@ def _replay(
                 sorted(v2cps[cp])[-1], location, s3_client, state
             )
         else:
-            active = _read_checkpoint(
-                _verify_checkpoint_parts(cp, checkpoints[cp]),
-                s3_client,
-                state,
+            cp_paths = _verify_checkpoint_parts(cp, checkpoints[cp])
+            spark_sess = None
+            if s3_client is None:
+                from pyspark.sql import SparkSession
+
+                spark_sess = SparkSession.getActiveSession()
+            size = (
+                _checkpoint_total_bytes(cp_paths)
+                if spark_sess is not None
+                else None
             )
+            if (
+                size is not None
+                and size >= DISTRIBUTED_CHECKPOINT_MIN_BYTES
+            ):
+                active = _read_checkpoint_distributed(
+                    spark_sess, cp_paths, state
+                )
+            else:
+                active = _read_checkpoint(cp_paths, s3_client, state)
         start = cp + 1
     for v in range(start, target + 1):
         if v not in commits:

@@ -21,8 +21,13 @@ Only files the current snapshot's manifests name are scanned — orphan
 files sitting in the data directory are invisible, the hygiene property
 the reference's integration test asserts.
 
-All four steps are metadata-scale and run on the driver; the returned
-path list feeds the distributed parquet scan.  Avro decoding uses
+All four steps are metadata-scale and run on the driver — except the
+per-manifest Avro decode at extreme manifest counts (r12): a snapshot
+referencing at least :data:`DISTRIBUTED_MANIFEST_MIN_COUNT` manifests
+decodes them executor-side via one ``mapInPandas`` over the manifest
+paths (:func:`_decode_manifests_distributed`); the manifest-LIST read
+and all validation stay driver-side.  The returned path list feeds
+the distributed parquet scan.  Avro decoding uses
 :mod:`glue_table_cache_spark.sources.avro_lite` (neither fastavro nor
 the spark-avro module ship in this environment).
 """
@@ -56,6 +61,82 @@ def _read_bytes(path: str, s3_client=None) -> bytes:
 
 def _read_json(path: str, s3_client=None) -> dict:
     return json.loads(_read_bytes(path, s3_client))
+
+
+#: Distributed-decode gate (r12): a snapshot referencing at least this
+#: many manifests decodes them EXECUTOR-side (one ``mapInPandas`` over
+#: the manifest paths, the pure-Python Avro codec running in parallel on
+#: the workers) instead of serially on the driver — the driver keeps
+#: only the manifest-LIST read and the per-entry validation, so the
+#: walk's driver critical path stops growing with manifest count.
+#: Below the threshold the driver path stays (no Spark-job overhead for
+#: small tables).  Requires an active SparkSession and no injected
+#: ``s3_client`` (a boto3 client cannot ship to executors).
+DISTRIBUTED_MANIFEST_MIN_COUNT = 64
+
+
+def _decode_manifests_distributed(
+    spark, paths: list[str]
+) -> dict[str, list[dict]]:
+    """Decode manifest Avro files executor-side: each worker runs
+    :func:`~glue_table_cache_spark.sources.avro_lite.read_avro_bytes`
+    on its share of the paths and returns one pickled entry-list blob
+    per manifest; the driver unpickles into exactly the per-entry
+    dicts the driver-side codec yields, so downstream validation,
+    sequence inheritance, and path resolution are byte-identical."""
+    import pickle
+
+    def _decode(iterator):
+        import pandas as pd
+
+        from glue_table_cache_spark.sources.avro_lite import (
+            read_avro_bytes as _rab,
+        )
+        from glue_table_cache_spark.sources.iceberg import (
+            _read_bytes as _rb,
+        )
+
+        for pdf in iterator:
+            out_p, out_b = [], []
+            for p in pdf["path"]:
+                out_p.append(p)
+                out_b.append(
+                    pickle.dumps(_rab(_rb(p), name=p), protocol=4)
+                )
+            yield pd.DataFrame({"path": out_p, "blob": out_b})
+
+    uniq = sorted(set(paths))
+    rows = (
+        spark.createDataFrame([(p,) for p in uniq], "path string")
+        .repartition(min(len(uniq), 256))
+        .mapInPandas(_decode, schema="path string, blob binary")
+        .collect()
+    )
+    return {r["path"]: pickle.loads(bytes(r["blob"])) for r in rows}
+
+
+def _manifest_reader(
+    manifest_paths: list[str], s3_client=None
+):
+    """``callable(resolved_path) -> entries`` for a snapshot's
+    manifests: executor-side bulk decode at or above
+    :data:`DISTRIBUTED_MANIFEST_MIN_COUNT` (active session, no
+    injected client), else the driver codec per call."""
+    if (
+        s3_client is None
+        and len(set(manifest_paths)) >= DISTRIBUTED_MANIFEST_MIN_COUNT
+    ):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            decoded = _decode_manifests_distributed(
+                spark, manifest_paths
+            )
+            return decoded.__getitem__
+    return lambda p: read_avro_bytes(
+        _read_bytes(p, s3_client), name=p
+    )
 
 
 def _list_metadata_jsons(location: str, fs=None) -> list[str]:
@@ -513,13 +594,21 @@ def iceberg_scan_details(
     entries: list = []
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
-    for r in avro(manifest_list):
+    list_rows = avro(manifest_list)
+    read_manifest = _manifest_reader(
+        [
+            _resolve_path(location, r["manifest_path"])
+            for r in list_rows
+        ],
+        s3_client,
+    )
+    for r in list_rows:
         # content=1 marks a DELETE manifest: its entries are delete
         # FILES, not data files
         is_delete = r.get("content", 0) == 1
         manifest_seq = r.get("sequence_number", snap_seq)
         m = _resolve_path(location, r["manifest_path"])
-        for entry in avro(m):
+        for entry in read_manifest(m):
             # status=2 is a DELETED entry: the file left the table in
             # this snapshot and must not be scanned (the reference's
             # walk reads data_file paths unconditionally — a bug its
@@ -958,12 +1047,17 @@ def iceberg_metadata_table(
         )
     rows = []
     agg: dict = {}  # partitions: (tuple(pv), spec_id) -> [rc, fc, sz]
+    read_manifest = _manifest_reader(
+        [
+            _resolve_path(location, r["manifest_path"])
+            for r in list_rows
+        ],
+        s3_client,
+    )
     for r in list_rows:
         m = _resolve_path(location, r["manifest_path"])
         spec_id = int(r.get("partition_spec_id", 0))
-        for entry in read_avro_bytes(
-            _read_bytes(m, s3_client), name=m
-        ):
+        for entry in read_manifest(m):
             if entry.get("status") == 2:  # DELETED entry
                 continue
             df_rec = entry.get("data_file") or {}
@@ -1230,6 +1324,83 @@ def _equality_deleted_rows(
     return out
 
 
+def _resurrected_equality_rows(
+    spark,
+    location: str,
+    kept_e: list,
+    cur_pos: list[str],
+    removed_eq: list[dict],
+):
+    """The rows an equality-delete file's REMOVAL (outside a replace
+    snapshot — external maintenance) made visible again: rows of the
+    KEPT data files matching the removed file's values null-safely
+    with the spec's sequence scoping (data seq strictly less than the
+    delete's), minus rows the CURRENT position deletes still mask.
+    Files grouped by (column tuple, seq) resurrect iteratively — a
+    row matching two removed files emits once.  A dangling removed
+    delete (no surviving targets) yields nothing.  The caller has
+    already refused when equality deletes REMAIN active (their
+    value-based kills would make "still masked" unanswerable here).
+    Returns ``None`` when nothing can match."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not kept_e or not removed_eq:
+        return None
+    live = spark.read.option("basePath", location).parquet(
+        *[p for p, _pv, _s in kept_e]
+    )
+    if cur_pos:
+        live = apply_position_deletes(live, list(cur_pos))
+    seq_df = spark.createDataFrame(
+        [(_strip_path(p), int(s)) for p, _pv, s in kept_e],
+        "__rf string, __data_seq long",
+    )
+    live = (
+        live.withColumn(
+            "__rf", _strip_scheme(F.col("_metadata.file_path"))
+        )
+        .join(F.broadcast(seq_df), "__rf", "left")
+        .drop("__rf")
+    )
+    by_group: dict[tuple, list[dict]] = {}
+    for d in removed_eq:
+        by_group.setdefault(
+            (tuple(d["columns"]), int(d["seq"])), []
+        ).append(d)
+    remaining = live
+    kills = []
+    for (cols, dseq), dels in sorted(by_group.items()):
+        missing = [c for c in cols if c not in live.columns]
+        if missing:
+            raise GlueSparkError(
+                f"Iceberg equality delete columns {missing} are not "
+                "in the scan schema — cannot synthesize the "
+                "changelog window"
+            )
+        vals = None
+        for d in dels:
+            v = spark.read.parquet(d["path"]).select(*cols)
+            vals = v if vals is None else vals.unionByName(v)
+        vals = vals.dropDuplicates(list(cols)).select(
+            *[F.col(c).alias(f"__ek_{c}") for c in cols]
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(c).eqNullSafe(F.col(f"__ek_{c}"))
+                for c in cols
+            ],
+        ) & (F.col("__data_seq") < F.lit(dseq))
+        kills.append(remaining.join(vals, cond, "left_semi"))
+        remaining = remaining.join(vals, cond, "left_anti")
+    out = kills[0]
+    for k in kills[1:]:
+        out = out.unionByName(k)
+    return out.drop("__data_seq")
+
+
 def iceberg_seq_for_timestamp(
     location: str,
     ts_ms: int,
@@ -1307,9 +1478,16 @@ def iceberg_table_changes(
     null-safely on their equality columns — the spec's
     strictly-less sequence scoping holds by construction (every
     prior file predates the delete; same-snapshot adds are exempt
-    and never fed in).  What still refuses: position- or
-    equality-delete file REMOVAL outside a ``replace`` (a delete
-    file vanishing un-compacted has no row semantics).
+    and never fed in).  Delete-file REMOVAL outside a ``replace``
+    (external maintenance — dangling-delete cleanup, partial
+    rewrites) synthesizes the RESURRECTED rows as inserts (r12):
+    previously-masked rows of the kept data files minus what the
+    remaining deletes still mask (:func:`_position_deleted_rows`
+    reversed; :func:`_resurrected_equality_rows` with seq scoping);
+    a dangling removed delete emits nothing.  What still refuses:
+    removal while OTHER equality deletes stay active — their
+    value-based kills make the resurrected set not
+    file-diff-expressible here.
     Snapshots whose ``summary.operation`` is ``replace`` (compaction
     / OPTIMIZE — content-preserving by the spec's definition) advance
     the state WITHOUT emitting: rewritten files are storage
@@ -1385,21 +1563,29 @@ def iceberg_table_changes(
             prev_e, prev_pos, prev_eq = cur_e, cur_pos, cur_eq
             continue
         prev_eq_paths = {d["path"] for d in prev_eq}
-        if prev_eq_paths - {d["path"] for d in cur_eq}:
-            raise GlueSparkError(
-                f"Iceberg changelog window for {location!r} removes "
-                "equality-delete files at sequence number "
-                f"{seqs[idx]} outside a replace snapshot — that has "
-                "no row semantics; use an Iceberg runtime's "
-                "changelog read"
-            )
+        # delete-file REMOVAL outside a replace snapshot (external
+        # maintenance — "remove dangling deletes", partial rewrites):
+        # the rows the removed file had killed become VISIBLE again,
+        # reconstructible as inserts — prior-state masked rows (of
+        # data files KEPT across the pair) minus rows the remaining
+        # deletes still mask.  A dangling removed delete (targets
+        # all gone) synthesizes an empty set and emits nothing.  The
+        # one shape that stays refused: removal alongside REMAINING
+        # equality deletes, whose value-based kills make "still
+        # masked" not file-diff-expressible here.
         removed_pos = sorted(set(prev_pos) - set(cur_pos))
-        if removed_pos:
+        removed_eq = [
+            d for d in prev_eq
+            if d["path"] not in {x["path"] for x in cur_eq}
+        ]
+        if (removed_pos or removed_eq) and cur_eq:
             raise GlueSparkError(
                 f"Iceberg changelog window for {location!r} removes "
-                "position-delete files at sequence number "
-                f"{seqs[idx]} outside a replace snapshot — that has "
-                "no row semantics; use an Iceberg runtime's "
+                "delete files at sequence number "
+                f"{seqs[idx]} outside a replace snapshot while "
+                "equality-delete files remain active — the "
+                "resurrected-row set is not file-diff-expressible "
+                "under value-based kills; use an Iceberg runtime's "
                 "changelog read"
             )
         new_pos = sorted(set(cur_pos) - set(prev_pos))
@@ -1410,12 +1596,21 @@ def iceberg_table_changes(
         prev = {p for p, _pv, _s in prev_e}
         added = sorted(cur - prev)
         removed = sorted(prev - cur)
-        if added or removed or new_pos or new_eq:
+        if (
+            added or removed or new_pos or new_eq
+            or removed_pos or removed_eq
+        ):
             by_seq[seqs[idx]] = {
                 "added": added,
                 "removed": removed,
                 "new_pos": new_pos,
                 "new_eq": new_eq,
+                "removed_pos": removed_pos,
+                "removed_eq": removed_eq,
+                "kept_e": [
+                    e for e in prev_e if e[0] in cur
+                ],
+                "cur_pos": list(cur_pos),
                 "prev_e": list(prev_e),
                 "prev_paths": [p for p, _pv, _s in prev_e],
                 "prior_pos": list(prev_pos),
@@ -1480,6 +1675,30 @@ def iceberg_table_changes(
             )
             if rows is not None:
                 pieces.append(_tag(rows, "delete"))
+        if u["removed_pos"]:
+            # delete-file removal outside replace: previously-masked
+            # rows of the KEPT data files, minus pairs the remaining
+            # position deletes still target, come back as inserts —
+            # the same pair-diff synthesis as the delete direction
+            rows = _position_deleted_rows(
+                spark,
+                location,
+                [p for p, _pv, _s in u["kept_e"]],
+                u["removed_pos"],
+                u["cur_pos"],
+            )
+            if rows is not None:
+                pieces.append(_tag(rows, "insert"))
+        if u["removed_eq"]:
+            rows = _resurrected_equality_rows(
+                spark,
+                location,
+                u["kept_e"],
+                u["cur_pos"],
+                u["removed_eq"],
+            )
+            if rows is not None:
+                pieces.append(_tag(rows, "insert"))
     if not pieces:
         _e, _p, _q, schema = iceberg_scan_details(
             location, 0, s3_client, fs, with_schema=True

@@ -302,6 +302,14 @@ def build_iceberg_table(
                  1 if change.get("delete_manifest") else 0, i)
             )
 
+        if change.get("drop_deletes"):
+            # external-maintenance shape: the snapshot REMOVES every
+            # delete manifest (keeping data manifests) — the
+            # "remove dangling deletes" / partial-rewrite case a
+            # changelog reader must synthesize resurrections for
+            manifest_rows = [
+                (p, c, sq) for p, c, sq in manifest_rows if c == 0
+            ]
         for j, (name, mask_fn) in enumerate(
             (change.get("pos_delete") or {}).items()
         ):

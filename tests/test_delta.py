@@ -168,6 +168,52 @@ def test_multipart_checkpoint_reads_all_parts(tmp_path, frames):
     }
 
 
+def test_distributed_checkpoint_decode_matches_driver(
+    spark, tmp_path, frames, monkeypatch
+):
+    """The executor-side checkpoint decode (``spark.read.parquet``
+    over the parts, r12) reconstructs the SAME active set and table
+    state as the driver pyarrow path — adds, removes applied by the
+    tail, partition values, stats, and the metaData/protocol gates."""
+    import glue_table_cache_spark.sources.delta as d
+
+    a, b, c = frames
+    base = build_delta_table(
+        tmp_path / "dcp",
+        [
+            {"add": [a, b]},
+            {"add": [c], "remove": ["part-0-1.parquet"]},  # pre-cp
+            {"add": [a]},  # JSON tail past the checkpoint
+        ],
+        checkpoint_at=1,
+        checkpoint_kwargs={"num_parts": 2},
+    )
+    active_drv, state_drv = d._replay(str(base))
+    monkeypatch.setattr(d, "DISTRIBUTED_CHECKPOINT_MIN_BYTES", 0)
+    active_dist, state_dist = d._replay(str(base))
+
+    def norm_maps(v):
+        # pyarrow renders map columns as list-of-pairs, Spark as dict
+        # — semantically identical, normalize before comparing
+        if isinstance(v, list) and all(
+            isinstance(x, tuple) and len(x) == 2 for x in v
+        ):
+            return {k: norm_maps(x) for k, x in v}
+        if isinstance(v, dict):
+            return {k: norm_maps(x) for k, x in v.items()}
+        return v
+
+    assert active_dist == active_drv
+    assert norm_maps(state_dist) == norm_maps(state_drv)
+    # and the scan path agrees end-to-end
+    names = {p.rsplit("/", 1)[1] for p in delta_data_files(str(base))}
+    assert names == {
+        "part-0-0.parquet",
+        "part-1-0.parquet",
+        "part-2-0.parquet",
+    }
+
+
 def test_multipart_checkpoint_missing_part_raises(tmp_path, frames):
     """A missing/unlisted checkpoint part must raise loudly — reading
     the surviving parts would silently drop live files.  Both layers

@@ -1064,6 +1064,44 @@ def test_iceberg_multi_file_position_deletes(spark, tmp_path):
     assert not any("pos-delete" in p for p, _pv, _s in entries)
 
 
+def test_distributed_manifest_decode_matches_driver(
+    spark, tmp_path, monkeypatch
+):
+    """The executor-side manifest decode (``mapInPandas`` running the
+    avro_lite codec on the workers, r12) yields byte-identical scan
+    state to the driver walk — data entries with stats, position- and
+    equality-delete files, sequence inheritance included."""
+    import glue_table_cache_spark.sources.iceberg as ice
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    b = spark.createDataFrame([(4, "d")], "id long, v string")
+    base = build_iceberg_table(
+        tmp_path / "distmani",
+        [
+            a,
+            {
+                "add": b,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+            },
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 3}]},
+            },
+        ],
+    )
+    drv = ice.iceberg_scan_details(str(base), with_stats=True)
+    monkeypatch.setattr(ice, "DISTRIBUTED_MANIFEST_MIN_COUNT", 1)
+    dist = ice.iceberg_scan_details(str(base), with_stats=True)
+    assert dist == drv
+    assert dist[0], "fixture should have data entries"
+    assert dist[1], "fixture should have position deletes"
+    assert dist[2], "fixture should have equality deletes"
+
+
 def test_table_changes_dual_kind_delete_emits_once(spark, tmp_path):
     """A snapshot committing BOTH a position delete and an equality
     delete targeting the same row (the Flink upsert-sink pattern)
@@ -1098,6 +1136,96 @@ def test_table_changes_dual_kind_delete_emits_once(spark, tmp_path):
     assert sorted(
         (r.id, r.v, r._change_type) for r in w2.collect()
     ) == [(2, "b", "delete")]
+
+
+def test_table_changes_delete_file_removal_resurrects(
+    spark, tmp_path
+):
+    """A snapshot REMOVING delete files outside a replace (external
+    maintenance) synthesizes the resurrected rows as inserts: the
+    previously-masked rows of the kept data files come back; a
+    refusal remains only when other equality deletes stay active."""
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_table_changes,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    # position-delete removal
+    base = build_iceberg_table(
+        tmp_path / "resurrect_pos",
+        [
+            a,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+            },
+            {"add": None, "drop_deletes": True},
+        ],
+    )
+    w = iceberg_table_changes(spark, str(base), 3, 3)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w.collect()
+    ) == [(2, "b", "insert")]
+    # equality-delete removal, with seq scoping
+    base2 = build_iceberg_table(
+        tmp_path / "resurrect_eq",
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {"add": None, "drop_deletes": True},
+        ],
+    )
+    w2 = iceberg_table_changes(spark, str(base2), 3, 3)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w2.collect()
+    ) == [(2, "b", "insert")]
+    # removal alongside a data-file removal: the masked row was
+    # already dead via the dropped delete, the file's OTHER rows die
+    # now, and nothing resurrects (no kept file carries the target)
+    base3 = build_iceberg_table(
+        tmp_path / "resurrect_dangling",
+        [
+            a,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+            },
+            {"add": None, "delete": ["part-1.parquet"]},
+        ],
+    )
+    w3 = iceberg_table_changes(spark, str(base3), 3, 3)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w3.collect()
+    ) == [(1, "a", "delete"), (3, "c", "delete")]
+    # removal while OTHER equality deletes remain active: refuse
+    base4 = build_iceberg_table(
+        tmp_path / "resurrect_refuse",
+        [
+            a,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+            },
+            {
+                "add": None,
+                "drop_deletes": True,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 3}]},
+            },
+        ],
+    )
+    with pytest.raises(GlueSparkError, match="remain active"):
+        iceberg_table_changes(spark, str(base4), 3, 3).collect()
 
 
 def test_table_changes_synthesizes_equality_delete_windows(
