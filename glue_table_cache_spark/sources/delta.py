@@ -346,7 +346,11 @@ def _read_checkpoint_distributed(
                 return F.col(f"add.{name}").alias(name)
             return F.lit(None).alias(name)
 
-        for r in (
+        # toArrow, not collect(): the adds come back as Arrow columns
+        # (same C++ materialization the driver pyarrow path uses) —
+        # per-Row object creation at 10^5-10^6 adds would eat the
+        # distributed decode's win
+        tbl = (
             df.where(F.col("add.path").isNotNull())
             .select(
                 F.col("add.path").alias("path"),
@@ -354,21 +358,20 @@ def _read_checkpoint_distributed(
                 _sub("deletionVector"),
                 _sub("stats"),
             )
-            .collect()
+            .toArrow()
+        )
+        for path, pv, dv, st in zip(
+            tbl.column("path").to_pylist(),
+            tbl.column("partitionValues").to_pylist(),
+            tbl.column("deletionVector").to_pylist(),
+            tbl.column("stats").to_pylist(),
         ):
-            dv = (
-                r["deletionVector"].asDict(recursive=True)
-                if r["deletionVector"] is not None
-                else None
-            )
+            if isinstance(pv, list):  # pyarrow map -> list of pairs
+                pv = dict(pv)
             _check_dv_supported(
-                {"path": r["path"], "deletionVector": dv}
+                {"path": path, "deletionVector": dv}
             )
-            active[unquote(r["path"])] = (
-                dict(r["partitionValues"] or {}),
-                dv,
-                r["stats"],
-            )
+            active[unquote(path)] = (pv or {}, dv, st)
     return active
 
 

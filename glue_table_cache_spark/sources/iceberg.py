@@ -106,9 +106,11 @@ def _decode_manifests_distributed(
             yield pd.DataFrame({"path": out_p, "blob": out_b})
 
     uniq = sorted(set(paths))
+    # createDataFrame already slices across defaultParallelism — no
+    # repartition (that would add a shuffle just to re-spread a
+    # metadata-scale path list)
     rows = (
         spark.createDataFrame([(p,) for p in uniq], "path string")
-        .repartition(min(len(uniq), 256))
         .mapInPandas(_decode, schema="path string, blob binary")
         .collect()
     )
