@@ -11,10 +11,12 @@ tolerance (the test_tpch comparison contract).
 
 Generator posture:
 
-* templates compose randomly (join path walk over the FK graph,
-  random predicate conjunctions, aggregate vs window vs DISTINCT vs
-  UNION ALL shells, optional HAVING / scalar-subquery / EXISTS), so
-  one seed exercises several constructs at once;
+* templates compose randomly (join path walk over the FK graph with
+  INNER/LEFT/RIGHT join types — null-extension is where engines
+  disagree most (r12), random predicate conjunctions, aggregate vs
+  window vs DISTINCT vs UNION ALL shells with optional ROLLUP/CUBE,
+  optional HAVING / scalar-subquery / correlated-scalar / EXISTS),
+  so one seed exercises several constructs at once;
 * literals are SAMPLED FROM THE DATA at module setup (deterministic
   DuckDB quantile/distinct pulls), so predicates hit real selectivity
   instead of returning empty everywhere;
@@ -170,15 +172,16 @@ class Gen:
         self.pools = pools
 
     # -- helpers -----------------------------------------------------
-    def _chain(self) -> list[tuple[str, str, str | None]]:
-        """A join chain as ``(alias, table, join_cond)`` triples
-        (cond None for the first table): a random walk over the FK
-        graph, length 1-3."""
+    def _chain(self) -> list[tuple[str, str, str | None, str | None]]:
+        """A join chain as ``(alias, table, join_cond, join_type)``
+        (cond/type None for the first table): a random walk over the
+        FK graph, length 1-3, each step INNER (60%), LEFT (25%) or
+        RIGHT (15%) — null-extension is where engines disagree."""
         rnd = self.rnd
         t0 = rnd.choice(
             ("lineitem", "orders", "customer", "part", "supplier")
         )
-        chain = [("t0", t0, None)]
+        chain = [("t0", t0, None, None)]
         used = {t0}
         for _ in range(rnd.randint(0, 2)):
             edges = [
@@ -195,18 +198,26 @@ class Gen:
             else:
                 new_t, new_c = lt, lc
                 old_t, old_c = rt, rc
-            old_alias = next(a for a, t, _ in chain if t == old_t)
+            old_alias = next(
+                a for a, t, _c, _j in chain if t == old_t
+            )
             alias = f"t{len(chain)}"
+            r = rnd.random()
+            jt = (
+                "JOIN" if r < 0.6
+                else "LEFT JOIN" if r < 0.85
+                else "RIGHT JOIN"
+            )
             chain.append(
                 (alias, new_t,
-                 f"{alias}.{new_c} = {old_alias}.{old_c}")
+                 f"{alias}.{new_c} = {old_alias}.{old_c}", jt)
             )
             used.add(new_t)
         return chain
 
     def _cols(self, chain, kind=None):
         out = []
-        for alias, t, _ in chain:
+        for alias, t, _c, _j in chain:
             for c, k in SCHEMA[t].items():
                 if kind is None or k == kind:
                     out.append((alias, t, c, k))
@@ -261,7 +272,8 @@ class Gen:
         return " AND ".join(parts)
 
     def _extra_pred(self, chain) -> str | None:
-        """Optional scalar-subquery or (NOT) EXISTS predicate."""
+        """Optional scalar-subquery, CORRELATED scalar subquery, or
+        (NOT) EXISTS predicate."""
         rnd = self.rnd
         r = rnd.random()
         if r < 0.15:
@@ -278,7 +290,7 @@ class Gen:
                 f"(SELECT avg({c2}) FROM glue.tpch.{t2})"
             )
         if r < 0.3:
-            by_t = {t: a for a, t, _ in chain}
+            by_t = {t: a for a, t, _c, _j in chain}
             neg = "NOT " if rnd.random() < 0.5 else ""
             if "orders" in by_t:
                 q = self.pools[("lineitem", "l_quantity")]
@@ -297,6 +309,29 @@ class Gen:
                     f"ox.o_totalprice > "
                     f"{_lit('num', rnd.choice(p))})"
                 )
+        if r < 0.42:
+            # correlated SCALAR subquery (r12): an aggregate over the
+            # child table tied to the outer row's key — an empty
+            # child group yields NULL, predicate false in both
+            # engines
+            by_t = {t: a for a, t, _c, _j in chain}
+            op = rnd.choice(("<", ">"))
+            if "orders" in by_t:
+                a = by_t["orders"]
+                fn = rnd.choice(("sum", "avg", "max"))
+                return (
+                    f"{a}.o_totalprice {op} (SELECT "
+                    f"{fn}(lx.l_extendedprice) FROM "
+                    f"glue.tpch.lineitem lx WHERE "
+                    f"lx.l_orderkey = {a}.o_orderkey)"
+                )
+            if "customer" in by_t:
+                a = by_t["customer"]
+                return (
+                    f"{a}.c_acctbal {op} (SELECT "
+                    f"avg(ox.o_totalprice) FROM glue.tpch.orders "
+                    f"ox WHERE ox.o_custkey = {a}.c_custkey)"
+                )
         return None
 
     # -- shapes ------------------------------------------------------
@@ -314,10 +349,12 @@ class Gen:
         return self._distinct()
 
     def _from_where(self, chain, extra_ok=True):
-        frm = ", ".join(
-            f"glue.tpch.{t} {a}" for a, t, _ in chain
-        )
-        conds = [c for _, _, c in chain if c]
+        # explicit JOIN ... ON syntax so LEFT/RIGHT joins compose;
+        # WHERE carries only the generated predicates
+        frm = f"glue.tpch.{chain[0][1]} {chain[0][0]}"
+        for a, t, cond, jt in chain[1:]:
+            frm += f" {jt} glue.tpch.{t} {a} ON {cond}"
+        conds = []
         p = self._pred(chain)
         if p:
             conds.append(p)
@@ -331,7 +368,7 @@ class Gen:
     def _group_keys(self, chain, n):
         cands = [
             (a, c)
-            for a, t, _ in chain
+            for a, t, _c, _j in chain
             for c in GROUP_COLS[t]
         ]
         return self.rnd.sample(cands, min(n, len(cands)))
@@ -364,9 +401,22 @@ class Gen:
                     expr = f"{alias}.{c}"
                 aggs.append(f"{fn}({expr}) AS a{i}")
         gb = ", ".join(f"{a}.{c}" for a, c in keys)
+        shell = None
+        if rnd.random() < 0.25:
+            # grouping-set shells (r12): super-aggregate rows carry
+            # NULL keys — a composition hand-written suites rarely
+            # mix with joins and HAVING
+            shell = rnd.choice(("ROLLUP", "CUBE"))
+            gb = f"{shell}({gb})"
         having = ""
         if rnd.random() < 0.3:
             having = f" HAVING count(*) > {rnd.randint(1, 5)}"
+        elif shell is not None:
+            # NOT shared dialect: over EMPTY input the standard (and
+            # DuckDB) emits the () grouping set's grand-total row,
+            # Spark emits nothing — HAVING count(*) > 0 is a no-op on
+            # every non-empty group and neutralizes exactly that row
+            having = " HAVING count(*) > 0"
         return (
             f"SELECT {', '.join(items + aggs)} "
             f"{self._from_where(chain)} GROUP BY {gb}{having}"
@@ -393,7 +443,7 @@ class Gen:
     def _window(self) -> str:
         rnd = self.rnd
         t = rnd.choice(("lineitem", "orders", "customer"))
-        chain = [("t0", t, None)]
+        chain = [("t0", t, None, None)]
         g = rnd.choice(GROUP_COLS[t])
         nums = [c for c, k in SCHEMA[t].items() if k == "num"]
         c = rnd.choice(nums)
@@ -412,7 +462,7 @@ class Gen:
         sel = ", ".join(
             f"t0.{c} AS c{i}" for i, c in enumerate(picks)
         )
-        chain = [("t0", t, None)]
+        chain = [("t0", t, None, None)]
         a = f"SELECT {sel} {self._from_where(chain, extra_ok=False)}"
         b = f"SELECT {sel} {self._from_where(chain, extra_ok=False)}"
         op = rnd.choice(("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
