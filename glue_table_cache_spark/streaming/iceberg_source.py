@@ -22,8 +22,11 @@ sequence axis emit the table columns + ``_change_type``
 emits nothing, and a snapshot that ADDS position-delete files
 synthesizes its per-row delta (the deleted rows read back from the
 prior state's files at their ``(file_path, pos)`` targets,
-executor-side).  What still refuses: equality-delete changes and
-un-compacted position-delete removal.  Metadata-only
+executor-side); a snapshot that ADDS equality-delete files
+synthesizes too (r12 — per prior-state file, null-safe value match
+under the spec's strictly-less sequence scoping, executor-side).
+What still refuses: un-compacted delete-file REMOVAL (batch
+``iceberg_table_changes`` synthesizes resurrections).  Metadata-only
 commits (snapshot expiry bumps the sequence number without adding a
 snapshot) are legitimate gaps in the sequence axis and stream as
 empty batches.
@@ -183,37 +186,64 @@ def _stream_adds(
 
 
 def _files_at_snapshot(
-    location: str, snap: dict
-) -> tuple[dict[str, dict[str, str]], set[str], set[str]]:
+    location: str, snap: dict, names_by_id: dict | None = None
+) -> tuple[dict, set[str], dict[str, dict]]:
     """One snapshot's live file state from its manifest list:
     ``(data_files, position_deletes, equality_deletes)`` where
-    data_files maps path → stringified partition values and the
-    delete sets hold row-level delete file paths split by content
-    kind (1 = position, 2 = equality).  Metadata-scale: the driver
+    data_files maps path → ``(stringified partition values, data
+    sequence number)`` (the v2 inheritance rule: explicit entry seq,
+    else the manifest-list row's, else the snapshot's), position
+    deletes are a path set, and equality deletes map path →
+    ``{"columns", "seq"}`` with ``equality_ids`` resolved against
+    ``names_by_id`` (unresolvable ids refuse — applying is
+    impossible, skipping resurrects).  Metadata-scale: the driver
     reads Avro manifests only, never data."""
     from glue_table_cache_spark.sources.avro_lite import read_avro
     from glue_table_cache_spark.sources.iceberg import _resolve_path
 
-    data: dict[str, dict[str, str]] = {}
+    snap_seq = snap.get("sequence-number", 0)
+    data: dict[str, tuple[dict[str, str], int]] = {}
     pos_dels: set[str] = set()
-    eq_dels: set[str] = set()
+    eq_dels: dict[str, dict] = {}
     ml = _resolve_path(location, snap["manifest-list"])
     for row in read_avro(ml):
         is_delete = row.get("content", 0) == 1
+        manifest_seq = row.get("sequence_number", snap_seq)
         m = _resolve_path(location, row["manifest_path"])
         for entry in read_avro(m):
             if entry.get("status") == 2:
                 continue  # tombstone: the file is not in this state
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = manifest_seq
             df_rec = entry["data_file"]
             path = _resolve_path(location, df_rec["file_path"])
             if is_delete:
                 if df_rec.get("content", 1) == 2:
-                    eq_dels.add(path)
+                    ids = df_rec.get("equality_ids") or []
+                    cols = [
+                        (names_by_id or {}).get(i) for i in ids
+                    ]
+                    if not ids or any(c is None for c in cols):
+                        raise GlueSparkError(
+                            f"Iceberg EQUALITY delete file {path!r} "
+                            f"names equality_ids {ids!r} not "
+                            "resolvable against the current schema "
+                            "— malformed manifest; refusing"
+                        )
+                    eq_dels[path] = {
+                        "path": path,
+                        "columns": cols,
+                        "seq": int(seq),
+                    }
                 else:
                     pos_dels.add(path)
             else:
                 pv = df_rec.get("partition") or {}
-                data[path] = {k: str(v) for k, v in pv.items()}
+                data[path] = (
+                    {k: str(v) for k, v in pv.items()},
+                    int(seq),
+                )
     return data, pos_dels, eq_dels
 
 
@@ -255,13 +285,25 @@ def _stream_changes(
       pv, new_pos, prior_pos, seq)`` per targeted data file: the
       executor reads the target's rows at the named positions and
       emits them as delete rows (the r11 row-level synthesis);
+    * equality-delete files ADDED → one ``("eqdel", path, pv, fseq,
+      new_eq, prior_eq, prior_pos, new_pos, seq)`` per PRIOR-state
+      data file (r12): the executor emits the file's rows matching
+      the new delete values null-safely under the spec's
+      strictly-less sequence scoping, minus rows the prior deletes
+      (or the SAME snapshot's new position deletes — the dual-kind
+      commit) already killed;
     * a ``replace`` snapshot (compaction) is content-preserving by
       definition and emits nothing;
-    * what still refuses: equality-delete changes (predicates, not
-      rows) and position-delete REMOVAL outside a replace."""
-    from glue_table_cache_spark.sources.iceberg import _strip_path
+    * what still refuses: delete-file REMOVAL outside a replace
+      (process the window in batch — iceberg_table_changes
+      synthesizes resurrections)."""
+    from glue_table_cache_spark.sources.iceberg import (
+        _field_names_by_id,
+        _strip_path,
+    )
 
     meta = _latest_meta(location)
+    names_by_id = _field_names_by_id(meta)
     snaps = sorted(
         meta.get("snapshots") or [],
         key=lambda s: s.get("sequence-number", 0),
@@ -271,9 +313,9 @@ def _stream_changes(
         if s.get("sequence-number", 0) <= since_seq:
             prev = s
     prev_data, prev_pos, prev_eq = (
-        _files_at_snapshot(location, prev)
+        _files_at_snapshot(location, prev, names_by_id)
         if prev is not None
-        else ({}, set(), set())
+        else ({}, set(), {})
     )
     out: list[tuple] = []
     for snap in snaps:
@@ -281,14 +323,14 @@ def _stream_changes(
         if not (since_seq < seq <= until_seq):
             continue
         cur_data, cur_pos, cur_eq = _files_at_snapshot(
-            location, snap
+            location, snap, names_by_id
         )
         op = (snap.get("summary") or {}).get("operation")
         if op == "replace":
             # compaction rewrites bytes, not content — but only a
             # true rewrite: a "replace" that changed delete files
             # still refuses below
-            if cur_pos != prev_pos or cur_eq != prev_eq:
+            if cur_pos != prev_pos or set(cur_eq) != set(prev_eq):
                 raise GlueSparkError(
                     f"Iceberg snapshot seq {seq} of {location!r} "
                     "is a replace that changed row-level delete "
@@ -296,33 +338,31 @@ def _stream_changes(
                 )
             prev_data, prev_pos, prev_eq = cur_data, cur_pos, cur_eq
             continue
-        if cur_eq != prev_eq:
+        if set(prev_eq) - set(cur_eq) or prev_pos - cur_pos:
             raise GlueSparkError(
                 f"Iceberg snapshot seq {seq} of {location!r} "
-                "changed equality-delete files — equality deletes "
-                "target predicates, not rows; process the window "
-                "through an Iceberg runtime's changelog"
-            )
-        if prev_pos - cur_pos:
-            raise GlueSparkError(
-                f"Iceberg snapshot seq {seq} of {location!r} "
-                "removes position-delete files outside a replace — "
-                "that has no row semantics; process the window "
-                "through an Iceberg runtime's changelog"
+                "removes row-level delete files outside a replace "
+                "— process the window in batch: "
+                "iceberg_table_changes() synthesizes the "
+                "resurrected rows"
             )
         new_pos = sorted(cur_pos - prev_pos)
         prior_pos = sorted(prev_pos)
+        new_eq = [
+            cur_eq[p] for p in sorted(set(cur_eq) - set(prev_eq))
+        ]
+        prior_eq = [prev_eq[p] for p in sorted(prev_eq)]
         for path in sorted(set(prev_data) - set(cur_data)):
             out.append(
                 (
-                    "file", path, prev_data[path], "delete", seq,
+                    "file", path, prev_data[path][0], "delete", seq,
                     prior_pos or None,
                 )
             )
         for path in sorted(set(cur_data) - set(prev_data)):
             out.append(
                 (
-                    "file", path, cur_data[path], "insert", seq,
+                    "file", path, cur_data[path][0], "insert", seq,
                     new_pos or None,
                 )
             )
@@ -337,7 +377,7 @@ def _stream_changes(
             # matching, the batch synthesis' convention
             by_stripped = {
                 _strip_path(hadoop_uri_encode(p)): (p, pv)
-                for p, pv in prev_data.items()
+                for p, (pv, _s) in prev_data.items()
             }
             for stripped in sorted(targets):
                 hit = by_stripped.get(stripped)
@@ -347,6 +387,17 @@ def _stream_changes(
                 p, pv = hit
                 out.append(
                     ("posdel", p, pv, new_pos, prior_pos, seq)
+                )
+        if new_eq:
+            for path in sorted(prev_data):
+                pv, fseq = prev_data[path]
+                if not any(fseq < d["seq"] for d in new_eq):
+                    continue  # strictly-less scoping: nothing to kill
+                out.append(
+                    (
+                        "eqdel", path, pv, fseq, list(new_eq),
+                        list(prior_eq), prior_pos, new_pos, seq,
+                    )
                 )
         prev_data, prev_pos, prev_eq = cur_data, cur_pos, cur_eq
     return out
@@ -379,6 +430,36 @@ class IcebergChangePartition(InputPartition):
         self.change_type = change_type
         self.sequence_number = sequence_number
         self.mask_pos = mask_pos
+
+
+class IcebergEqDeletePartition(InputPartition):
+    """One equality-delete synthesis partition (r12): the rows of
+    ``path`` (data sequence ``fseq``) matching any NEW equality
+    delete's values null-safely under the strictly-less seq scoping,
+    minus rows the prior position/equality deletes or the SAME
+    snapshot's new position deletes already killed, emit as
+    ``delete`` change rows — the streaming side of the batch
+    ``_equality_deleted_rows`` synthesis."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict[str, str],
+        fseq: int,
+        new_eq: list[dict],
+        prior_eq: list[dict],
+        prior_pos: list[str],
+        new_pos: list[str],
+        sequence_number: int,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.fseq = fseq
+        self.new_eq = new_eq
+        self.prior_eq = prior_eq
+        self.prior_pos = prior_pos
+        self.new_pos = new_pos
+        self.sequence_number = sequence_number
 
 
 class IcebergPosDeletePartition(InputPartition):
@@ -438,6 +519,47 @@ def _positions_for(
     return sorted(got)
 
 
+def _eq_match_positions(
+    path: str,
+    fseq: int,
+    eq_files: list[dict],
+    phys_of: dict[str, str] | None = None,
+) -> set[int]:
+    """Executor-side: the row positions within ONE data file whose
+    values null-safe match any row of the equality-delete files in
+    ``eq_files`` whose sequence number is STRICTLY greater than the
+    file's (the spec's scoping) — column-pruned reads of both sides,
+    value tuples compared in Python (a file group's rows are the
+    bounded unit).  ``phys_of`` maps logical → physical spellings for
+    the DATA file's columns on renamed tables."""
+    import pyarrow.parquet as pq
+
+    out: set[int] = set()
+    by_cols: dict[tuple[str, ...], list[dict]] = {}
+    for d in eq_files:
+        if int(fseq) < int(d["seq"]):
+            by_cols.setdefault(tuple(d["columns"]), []).append(d)
+    if not by_cols:
+        return out
+    for cols, dels in by_cols.items():
+        kill: set[tuple] = set()
+        for d in dels:
+            t = pq.read_table(d["path"], columns=list(cols))
+            kill |= set(
+                zip(*(t.column(c).to_pylist() for c in cols))
+            )
+        pcols = [
+            (phys_of or {}).get(c, c) for c in cols
+        ]
+        data = pq.read_table(path, columns=pcols)
+        for i, tup in enumerate(
+            zip(*(data.column(c).to_pylist() for c in pcols))
+        ):
+            if tup in kill:
+                out.add(i)
+    return out
+
+
 class IcebergLiteStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self._location = options.get("location") or options.get("path")
@@ -494,6 +616,17 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                             path, pv, new_pos, prior_pos, seq
                         )
                     )
+                elif unit[0] == "eqdel":
+                    (
+                        _k, path, pv, fseq, new_eq, prior_eq,
+                        prior_pos, new_pos, seq,
+                    ) = unit
+                    parts.append(
+                        IcebergEqDeletePartition(
+                            path, pv, fseq, new_eq, prior_eq,
+                            prior_pos, new_pos, seq,
+                        )
+                    )
                 else:
                     _k, path, pv, ct, seq, mask = unit
                     parts.append(
@@ -510,6 +643,44 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition) -> Iterator:
+        if isinstance(partition, IcebergEqDeletePartition):
+            matched = _eq_match_positions(
+                partition.path,
+                partition.fseq,
+                partition.new_eq,
+                phys_of=self._phys_of,
+            )
+            if matched:
+                # a row dies once: subtract what the prior deletes
+                # (or the same snapshot's new position deletes — the
+                # dual-kind commit) already killed
+                dead = set(
+                    _positions_for(
+                        partition.path,
+                        list(partition.prior_pos)
+                        + list(partition.new_pos),
+                    )
+                )
+                dead |= _eq_match_positions(
+                    partition.path,
+                    partition.fseq,
+                    partition.prior_eq,
+                    phys_of=self._phys_of,
+                )
+                matched -= dead
+            if matched:
+                yield from read_file_partition(
+                    partition.path,
+                    partition.partition_values,
+                    self._schema,
+                    constants={
+                        "_change_type": "delete",
+                        "_commit_version": partition.sequence_number,
+                    },
+                    row_indices=sorted(matched),
+                    physical_names=self._phys_of,
+                )
+            return
         if isinstance(partition, IcebergPosDeletePartition):
             keep = _positions_for(
                 partition.path,

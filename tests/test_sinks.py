@@ -3753,6 +3753,75 @@ def test_iceberg_stream_cdf_mode(spark, tmp_path):
     ) == [(7, "delete"), (7, "insert")]
 
 
+def test_iceberg_stream_cdf_equality_delete_windows(
+    spark, tmp_path
+):
+    """The CDF stream synthesizes EQUALITY-delete windows (r12): a
+    snapshot adding equality-delete files streams the prior state's
+    matching rows as deletes under the strictly-less seq scoping
+    (same-snapshot adds exempt), and a dual-kind snapshot (position
+    + equality deletes at once) emits each dead row exactly once —
+    mirroring the batch ``iceberg_table_changes`` semantics."""
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        build_iceberg_table,
+    )
+    from glue_table_cache_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    reinsert = spark.createDataFrame(
+        [(2, "B2")], "id long, v string"
+    )
+    base = build_iceberg_table(
+        tmp_path / "eqstream",
+        [
+            a,  # seq 1
+            {   # seq 2: eq-delete id=2 and re-add it (exempt)
+                "add": reinsert,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {   # seq 3: dual-kind — pos-delete id=3 AND eq-delete
+                # ids {1, 3}: id=3 dies ONCE (position synthesis
+                # owns it), id=1 via the equality synthesis
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 3
+                },
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 1}, {"id": 3}],
+                },
+            },
+        ],
+    )
+    seen: list = []
+    q = (
+        read_iceberg_stream(spark, str(base), read_change_feed=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in seen
+    ) == [
+        (1, "a", "delete", 3),
+        (1, "a", "insert", 1),
+        (2, "B2", "insert", 2),
+        (2, "b", "delete", 2),
+        (2, "b", "insert", 1),
+        (3, "c", "delete", 3),
+        (3, "c", "insert", 1),
+    ]
+
+
 def test_iceberg_stream_append_mode_refuses_overwrite(
     spark, tmp_path
 ):
