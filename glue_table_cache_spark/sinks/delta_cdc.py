@@ -92,7 +92,9 @@ def typed(df: DataFrame, change_type: str) -> DataFrame:
 
 
 def to_physical(
-    changes: DataFrame, renames: dict[str, str] | None
+    changes: DataFrame,
+    renames: dict[str, str] | None,
+    physical_schema=None,
 ) -> DataFrame:
     """Project a logical-named cdc frame to PHYSICAL column names —
     the spelling the table's data files share (real Delta writes cdc
@@ -101,13 +103,39 @@ def to_physical(
     CURRENT metadata, so historical changes always surface under the
     latest logical schema.  ``_change_type`` is protocol metadata,
     never mapped.  ``renames`` is the reader-direction
-    ``{physical: logical}`` map (``None`` = unmapped, pass-through)."""
+    ``{physical: logical}`` map (``None`` = unmapped, pass-through).
+    ``physical_schema`` (the fully-physical ``StructType`` from
+    :func:`~glue_table_cache_spark.sources.delta.physical_schema`)
+    additionally renames NESTED fields: each complex column casts to
+    its physical type — Spark's struct cast matches positionally, and
+    mapping preserves field order, so the cast is a pure rename at
+    every level (r12, the write-direction twin of the scan path's
+    apply_column_mapping)."""
     if not renames:
         return changes
-    phys_of = {v: k for k, v in renames.items()}
-    return changes.select(
-        *[
-            F.col(c).alias(phys_of.get(c, c))
-            for c in changes.columns
-        ]
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def complex_(t) -> bool:
+        if isinstance(t, StructType):
+            return True
+        if isinstance(t, ArrayType):
+            return complex_(t.elementType)
+        if isinstance(t, MapType):
+            return complex_(t.keyType) or complex_(t.valueType)
+        return False
+
+    ptypes = (
+        {f.name: f.dataType for f in physical_schema.fields}
+        if physical_schema is not None
+        else {}
     )
+    phys_of = {v: k for k, v in renames.items()}
+    cols = []
+    for c in changes.columns:
+        tgt = phys_of.get(c, c)
+        col = F.col(c)
+        pt = ptypes.get(tgt)
+        if pt is not None and complex_(pt):
+            col = col.cast(pt)
+        cols.append(col.alias(tgt))
+    return changes.select(*cols)

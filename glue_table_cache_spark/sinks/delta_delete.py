@@ -91,8 +91,9 @@ def delete_from_delta(
             "object stores need an external commit coordinator"
         )
     refuse_append_only(location, "DELETE")
-    entries, renames, log_schema = delta_scan_info(
-        location, with_schema=True, with_stats=True
+    entries, renames, log_schema, phys_schema = delta_scan_info(
+        location, with_schema=True, with_stats=True,
+        allow_nested_mapping=True, with_physical_schema=True,
     )
     by_path = {p: (pv, dv, st) for p, pv, dv, st in entries}
     if not by_path:
@@ -191,15 +192,16 @@ def delete_from_delta(
             # are position-based: nothing about the commit depends on
             # column names — only the predicate needs the logical
             # view, so the physical->logical projection applies right
-            # after tagging
-            tagged = tagged.select(
-                "__f",
-                "__p",
-                *[
-                    F.col(c).alias(renames.get(c, c))
-                    for c in tagged.columns
-                    if c not in ("__f", "__p")
-                ],
+            # after tagging (apply_column_mapping: nested levels
+            # rename too, r12)
+            from glue_table_cache_spark.sources.delta import (
+                apply_column_mapping,
+            )
+
+            tagged = apply_column_mapping(
+                tagged,
+                {**renames, "__f": "__f", "__p": "__p"},
+                log_schema,
             )
         prior_pairs = [
             (_path_uri(p), int(pos))
@@ -302,7 +304,8 @@ def delete_from_delta(
         for extra in parts[1:]:
             changes = changes.unionByName(extra)
         cdc_actions = write_cdc_files(
-            to_physical(typed(changes, "delete"), renames), location
+            to_physical(typed(changes, "delete"), renames, phys_schema),
+            location,
         )
 
     now = int(time.time() * 1000)
@@ -376,7 +379,7 @@ def delete_from_delta(
         # this version and our O_EXCL collides
         version = _next_version(log_dir)
         fresh, _r, prior_proto = delta_scan_info(
-            location, with_protocol=True
+            location, with_protocol=True, allow_nested_mapping=True
         )
         fresh_state = {p: dv for p, _pv, dv in fresh}
         conflict = any(

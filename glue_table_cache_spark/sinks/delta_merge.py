@@ -160,12 +160,15 @@ def merge_into_delta(
             "object stores need an external commit coordinator"
         )
     refuse_append_only(location, "MERGE")
-    entries, renames, log_schema = delta_scan_info(
-        location, with_schema=True
+    entries, renames, log_schema, phys_schema = delta_scan_info(
+        location, with_schema=True, allow_nested_mapping=True,
+        with_physical_schema=True,
     )
-    # COLUMN-MAPPED tables work: scans read physical names and
-    # project to the logical view for key matching; rewritten files
-    # are written back under physical names (footer stats then key
+    # COLUMN-MAPPED tables work (nested included, r12): scans read
+    # physical names and project to the logical view for key matching
+    # (apply_column_mapping's positional struct cast renames every
+    # level); rewritten files are written back under physical names
+    # via to_physical's inverse cast (footer stats then key
     # physically, the protocol's convention for mapped tables)
     inverse = {v: k for k, v in (renames or {}).items()}
     from glue_table_cache_spark.sources.delta import _replay
@@ -277,11 +280,12 @@ def merge_into_delta(
             location,
         ).drop("_metadata")  # materialized across a clone's union
         if renames is not None:
-            base_rows = base_rows.select(
-                *[
-                    F.col(c).alias(renames.get(c, c))
-                    for c in base_rows.columns
-                ]
+            from glue_table_cache_spark.sources.delta import (
+                apply_column_mapping,
+            )
+
+            base_rows = apply_column_mapping(
+                base_rows, renames, log_schema
             )
         kept = base_rows.join(src_keys, keys, "left_anti")
         merged = kept.unionByName(
@@ -321,7 +325,7 @@ def merge_into_delta(
         else:
             changes = typed(source, "insert")
         cdc_actions = write_cdc_files(
-            to_physical(changes, renames), location
+            to_physical(changes, renames, phys_schema), location
         )
     n_files = max(
         1, -(-max(total_bytes, 1) // (target_file_mb * 1024 * 1024))
@@ -336,13 +340,9 @@ def merge_into_delta(
         merged, delta_table_configuration(location), "MERGE"
     )
     if renames is not None:
-        # write back under PHYSICAL names, the on-disk contract
-        merged = merged.select(
-            *[
-                F.col(c).alias(inverse.get(c, c))
-                for c in merged.columns
-            ]
-        )
+        # write back under PHYSICAL names (every level), the on-disk
+        # contract
+        merged = to_physical(merged, renames, phys_schema)
     _write_rewrite_stage(merged, stage, n_files, pcols)
     adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
@@ -352,7 +352,9 @@ def merge_into_delta(
     for _attempt in range(max_commit_retries):
         # pinned version + per-attempt validation (optimizer posture)
         version = _next_version(log_dir)
-        fresh, _r = delta_scan_info(location)
+        fresh, _r = delta_scan_info(
+            location, allow_nested_mapping=True
+        )
         fresh_state = {p: dv for p, _pv, dv in fresh}
         conflict = any(
             p not in fresh_state
@@ -471,8 +473,9 @@ def merge_general_delta(
             "coordinator"
         )
     refuse_append_only(location, "MERGE")
-    entries, renames, log_schema = delta_scan_info(
-        location, with_schema=True
+    entries, renames, log_schema, phys_schema = delta_scan_info(
+        location, with_schema=True, allow_nested_mapping=True,
+        with_physical_schema=True,
     )
     inverse = {v: k for k, v in (renames or {}).items()}
     pcols = list(
@@ -539,13 +542,14 @@ def merge_general_delta(
             "*",
         ).drop("_metadata")  # materialized across a clone's union
         if renames is not None:
-            t = t.select(
-                "__f", "__p",
-                *[
-                    F.col(c).alias(renames.get(c, c))
-                    for c in t.columns
-                    if c not in ("__f", "__p")
-                ],
+            from glue_table_cache_spark.sources.delta import (
+                apply_column_mapping,
+            )
+
+            t = apply_column_mapping(
+                t,
+                {**renames, "__f": "__f", "__p": "__p"},
+                log_schema,
             )
         if prior_pairs:
             t = t.join(
@@ -631,7 +635,7 @@ def merge_general_delta(
         for f in cdc_frames[1:]:
             changes = changes.unionByName(f)
         cdc_actions = write_cdc_files(
-            to_physical(changes, renames), location
+            to_physical(changes, renames, phys_schema), location
         )
 
     merged = out
@@ -652,12 +656,7 @@ def merge_general_delta(
         merged, delta_table_configuration(location), "MERGE"
     )
     if renames is not None:
-        merged = merged.select(
-            *[
-                F.col(c).alias(inverse.get(c, c))
-                for c in merged.columns
-            ]
-        )
+        merged = to_physical(merged, renames, phys_schema)
     _write_rewrite_stage(merged, stage, n_files, pcols)
     adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
@@ -666,7 +665,9 @@ def merge_general_delta(
     affected_set = set(affected)
     for _attempt in range(max_commit_retries):
         version = _next_version(log_dir)
-        fresh, _r = delta_scan_info(location)
+        fresh, _r = delta_scan_info(
+            location, allow_nested_mapping=True
+        )
         fresh_state = {p: dv for p, _pv, dv in fresh}
         conflict = any(
             p not in fresh_state
@@ -759,8 +760,9 @@ def update_delta(
             "object stores need an external commit coordinator"
         )
     refuse_append_only(location, "UPDATE")
-    entries, renames, log_schema = delta_scan_info(
-        location, with_schema=True
+    entries, renames, log_schema, phys_schema = delta_scan_info(
+        location, with_schema=True, allow_nested_mapping=True,
+        with_physical_schema=True,
     )
     # column-mapped tables work — same posture as merge_into_delta
     inverse = {v: k for k, v in (renames or {}).items()}
@@ -810,14 +812,14 @@ def update_delta(
         "*",
     ).drop("_metadata")  # materialized across a clone's union scan
     if renames is not None:
-        tagged = tagged.select(
-            "__f",
-            "__p",
-            *[
-                F.col(c).alias(renames.get(c, c))
-                for c in tagged.columns
-                if c not in ("__f", "__p")
-            ],
+        from glue_table_cache_spark.sources.delta import (
+            apply_column_mapping,
+        )
+
+        tagged = apply_column_mapping(
+            tagged,
+            {**renames, "__f": "__f", "__p": "__p"},
+            log_schema,
         )
     prior_pairs = [
         (_path_uri(p), int(pos))
@@ -856,9 +858,11 @@ def update_delta(
         location,
     ).drop("_metadata")  # materialized across a clone's union
     if renames is not None:
-        rows = rows.select(
-            *[F.col(c).alias(renames.get(c, c)) for c in rows.columns]
+        from glue_table_cache_spark.sources.delta import (
+            apply_column_mapping,
         )
+
+        rows = apply_column_mapping(rows, renames, log_schema)
     from glue_table_cache_spark.dml import predicate_has_subquery
 
     if predicate_has_subquery(predicate):
@@ -905,6 +909,7 @@ def update_delta(
                     typed(post, "update_postimage")
                 ),
                 renames,
+                phys_schema,
             ),
             location,
         )
@@ -923,13 +928,9 @@ def update_delta(
         updated, delta_table_configuration(location), "UPDATE"
     )
     if renames is not None:
-        # write back under PHYSICAL names, the on-disk contract
-        updated = updated.select(
-            *[
-                F.col(c).alias(inverse.get(c, c))
-                for c in updated.columns
-            ]
-        )
+        # write back under PHYSICAL names (every level), the on-disk
+        # contract
+        updated = to_physical(updated, renames, phys_schema)
     _write_rewrite_stage(updated, stage, n_files, pcols)
     adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
@@ -938,7 +939,9 @@ def update_delta(
     affected_set = set(affected)
     for _attempt in range(max_commit_retries):
         version = _next_version(log_dir)
-        fresh, _r = delta_scan_info(location)
+        fresh, _r = delta_scan_info(
+            location, allow_nested_mapping=True
+        )
         fresh_state = {p: dv for p, _pv, dv in fresh}
         conflict = any(
             p not in fresh_state

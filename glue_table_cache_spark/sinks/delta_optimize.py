@@ -29,8 +29,15 @@ files are deleted, the table is untouched, and the caller re-runs.
 Appends that landed concurrently are fine (their files are not in the
 replaced set) — the retry commits on top of them.
 
-Column-mapped tables refuse: their files carry physical column names
-and a rewrite through the logical schema would silently re-key them.
+Column-mapped tables rewrite under PHYSICAL spellings end to end
+(r12): the scan reads with the fully-physical schema (never the
+logical one — projecting logically and writing that back would
+silently re-key every file, the exact data-loss shape the r11
+Iceberg OPTIMIZE fix closed), ``zorder_by`` names map logical →
+physical, and footer stats key physically per the protocol's
+convention for mapped tables.  Only PARTITIONED mapped tables still
+refuse (partition directories and log partitionValues key on
+physical names while the maintenance surface speaks logical).
 """
 
 from __future__ import annotations
@@ -97,14 +104,27 @@ def optimize_delta(
             "optimize_delta commits via filesystem put-if-absent; "
             "object stores need an external commit coordinator"
         )
-    entries, renames, log_schema = delta_scan_info(
-        location, with_schema=True
+    entries, renames, log_schema, phys_schema = delta_scan_info(
+        location, with_schema=True, allow_nested_mapping=True,
+        with_physical_schema=True,
     )
     if renames is not None:
-        raise GlueSparkError(
-            "optimize_delta does not support column-mapped tables "
-            "(files carry physical names); use a Delta runtime"
-        )
+        if any(pv for _p, pv, _dv in entries):
+            raise GlueSparkError(
+                "optimize_delta on a table that is both PARTITIONED "
+                "and column-mapped: partition directories key on "
+                "physical names; use a Delta runtime for this "
+                "combination"
+            )
+        # mapped rewrite stays PHYSICAL end to end: scan with the
+        # fully-physical schema (files lacking a later-added column
+        # surface nulls, like the logical path), zorder names map
+        # below — the logical schema never touches the bytes
+        log_schema = phys_schema
+        zorder_by = [
+            {v: k for k, v in renames.items()}.get(c, c)
+            for c in (zorder_by or [])
+        ] or None
 
     # group the active set by partition tuple
     groups: dict[tuple, list[tuple[str, dict, dict | None]]] = {}
@@ -256,7 +276,9 @@ def optimize_delta(
         # resurrect rewritten history — abort, leave the table
         # untouched.
         version = _next_version(log_dir)
-        fresh, _r = delta_scan_info(location)
+        fresh, _r = delta_scan_info(
+        location, allow_nested_mapping=True
+    )
         active_rel = {
             log_action_path(location, p) for p, _pv, _dv in fresh
         }
@@ -344,7 +366,9 @@ def vacuum_delta(
         )
     from glue_table_cache_spark.sources.dv import dv_file_path
 
-    entries, _renames = delta_scan_info(location)
+    entries, _renames = delta_scan_info(
+        location, allow_nested_mapping=True
+    )
     active = {str(Path(p)) for p, _pv, _dv in entries}
     # deletion-vector sidecars of active files are load-bearing too
     for _p, _pv, dv in entries:
@@ -400,7 +424,9 @@ def fsck_delta(
             "fsck_delta commits via filesystem put-if-absent; "
             "object stores need an external commit coordinator"
         )
-    entries, _renames = delta_scan_info(location)
+    entries, _renames = delta_scan_info(
+        location, allow_nested_mapping=True
+    )
     missing = sorted(
         p for p, _pv, _dv in entries if not Path(p).exists()
     )

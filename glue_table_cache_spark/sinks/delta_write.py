@@ -361,20 +361,57 @@ def write_delta_append(
         _active, state = _replay(location)
         meta = state.get("metaData")
         seen_meta["meta"] = meta
-        # top-level column mapping appends fine — the batch stages
-        # under PHYSICAL names below; nested mapping raises here
-        # (every struct level would need physical projection)
-        seen_meta["renames"] = column_mapping_renames(meta)
+        # column mapping appends fine (nested included, r12) — the
+        # batch stages under PHYSICAL names below; nested levels
+        # rename through to_physical's positional struct cast
+        seen_meta["renames"] = column_mapping_renames(
+            meta, allow_nested=True
+        )
         table_schema = logical_schema(meta)
         if table_schema is None:
             return None
+        def _no_meta(dt):
+            # StructField equality includes field METADATA — a
+            # column-mapped log schema carries delta.columnMapping.*
+            # on nested fields the batch never has, which is not
+            # type drift; compare shapes with metadata stripped
+            from pyspark.sql.types import (
+                ArrayType,
+                MapType,
+                StructField,
+                StructType,
+            )
+
+            if isinstance(dt, StructType):
+                return StructType(
+                    [
+                        StructField(
+                            f.name, _no_meta(f.dataType), f.nullable
+                        )
+                        for f in dt.fields
+                    ]
+                )
+            if isinstance(dt, ArrayType):
+                return ArrayType(
+                    _no_meta(dt.elementType), dt.containsNull
+                )
+            if isinstance(dt, MapType):
+                return MapType(
+                    _no_meta(dt.keyType),
+                    _no_meta(dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
         existing = {
-            f.name: f.dataType for f in table_schema.fields
+            f.name: _no_meta(f.dataType)
+            for f in table_schema.fields
         }
         drift = [
             f.name
             for f in df.schema.fields
-            if f.name in existing and existing[f.name] != f.dataType
+            if f.name in existing
+            and existing[f.name] != _no_meta(f.dataType)
         ]
         if drift:
             raise GlueSparkError(
@@ -480,10 +517,15 @@ def write_delta_append(
                 f"column(s) {moved} have divergent physical names; "
                 "use a Delta runtime"
             )
-        from pyspark.sql import functions as F
+        from glue_table_cache_spark.sinks.delta_cdc import (
+            to_physical,
+        )
+        from glue_table_cache_spark.sources.delta import (
+            physical_schema,
+        )
 
-        stage_df = df.select(
-            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        stage_df = to_physical(
+            df, renames, physical_schema(seen_meta.get("meta"))
         )
     writer = stage_df.write.mode("overwrite")
     if partition_by:
@@ -571,7 +613,9 @@ def write_delta_append(
                 delta_scan_info,
             )
 
-            entries, _r = delta_scan_info(location)
+            entries, _r = delta_scan_info(
+                location, allow_nested_mapping=True
+            )
             actions += [
                 {
                     "remove": {

@@ -169,6 +169,61 @@ def column_mapping_renames(
     return renames
 
 
+def physical_schema(meta: dict | None):
+    """The table schema as a Spark ``StructType`` with EVERY level
+    renamed to its recorded ``delta.columnMapping.physicalName`` —
+    the spelling the data (and cdc) files carry on a column-mapped
+    table.  ``None`` when the table is unmapped or records no schema.
+    This is the WRITE-direction twin of :func:`apply_column_mapping`:
+    casting a logical-named frame to this schema renames every nested
+    field positionally (mapping preserves field order and never
+    changes types), which is what lets the DML writers stage nested
+    column-mapped rewrites (r12) instead of refusing."""
+    if _mapping_mode(meta) == "none" or not (meta or {}).get(
+        "schemaString"
+    ):
+        return None
+    from pyspark.sql.types import StructType
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return {
+                    **t,
+                    "fields": [
+                        walk_field(f) for f in t.get("fields", [])
+                    ],
+                }
+            if kind == "array":
+                return {
+                    **t,
+                    "elementType": walk_type(t.get("elementType")),
+                }
+            if kind == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t.get("keyType")),
+                    "valueType": walk_type(t.get("valueType")),
+                }
+        return t
+
+    def walk_field(f):
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        ) or f["name"]
+        return {
+            **f,
+            "name": phys,
+            "type": walk_type(f.get("type")),
+            "metadata": {},
+        }
+
+    return StructType.fromJson(
+        walk_type(json.loads(meta["schemaString"]))
+    )
+
+
 def _check_protocol(protocol: dict) -> None:
     """Refuse tables whose reader protocol this path cannot honor —
     silently scanning past an unknown reader requirement is exactly the
@@ -737,6 +792,7 @@ def delta_scan_info(
     with_partition_fields: bool = False,
     with_protocol: bool = False,
     allow_nested_mapping: bool = False,
+    with_physical_schema: bool = False,
 ) -> tuple:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
@@ -794,6 +850,8 @@ def delta_scan_info(
         # latest protocol action seen in replay (``None`` only for a
         # log that never wrote one) — writers union-upgrade from it
         out = out + (state.get("protocol"),)
+    if with_physical_schema:
+        out = out + (physical_schema(state.get("metaData")),)
     return out
 
 

@@ -1,7 +1,8 @@
 """NESTED Delta column mapping: scans rename physical→logical
 recursively through struct fields (a positional struct cast — column
 mapping preserves field order), arrays of structs included; the DML
-writers keep refusing nested-mapped tables cleanly."""
+writers (r12) stage rewrites back under nested PHYSICAL names via
+the write-direction twin of the same cast."""
 
 import json
 
@@ -174,15 +175,165 @@ def test_nested_mapped_scan(spark, tmp_path):
     )
 
 
-def test_nested_mapped_dml_refuses(spark, tmp_path):
+def test_nested_mapped_dml(spark, tmp_path):
+    """DELETE / UPDATE / MERGE / append on a NESTED column-mapped
+    table (r12): predicates resolve over logical names (nested
+    levels included), rewrites land under physical names at EVERY
+    level, and the scan round-trips the values."""
+    import pyarrow.parquet as pq
+
+    from glue_table_cache_spark.sinks.delta_merge import (
+        merge_into_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
     base = tmp_path / "nmw"
     _nested_mapped_table(spark, base)
     eng = _engine(spark, base)
-    with pytest.raises(GlueSparkError, match="nested"):
-        eng.sql("DELETE FROM glue.db.t WHERE id = 1")
-    with pytest.raises(GlueSparkError, match="nested"):
-        eng.sql("UPDATE glue.db.t SET id = 3 WHERE id = 1")
-    # the table is untouched
-    assert (
-        eng.sql("SELECT count(*) AS n FROM glue.db.t").first().n == 2
+    # DELETE via a NESTED logical predicate (DV path)
+    eng.sql("DELETE FROM glue.db.t WHERE s.x = 10")
+    eng.invalidate_table("db", "t")
+    assert [
+        (r.id, r.sx) for r in eng.sql(
+            "SELECT id, s.x AS sx FROM glue.db.t ORDER BY id"
+        ).collect()
+    ] == [(2, 20)]
+    # UPDATE (file rewrite): nested values survive untouched
+    eng.sql("UPDATE glue.db.t SET id = 3 WHERE s.y = 'twenty'")
+    eng.invalidate_table("db", "t")
+    got = eng.sql(
+        "SELECT id, s.x AS sx, s.y AS sy, items[0].q AS q0 "
+        "FROM glue.db.t"
+    ).collect()
+    assert [(r.id, r.sx, r.sy, r.q0) for r in got] == [
+        (3, 20, "twenty", 200)
+    ]
+    # MERGE (whole-row): matched update + unmatched insert, nested
+    # struct/array values flowing both ways
+    src = spark.createDataFrame(
+        [
+            (3, (33, "thirty-three"), [(300,)]),
+            (9, (90, "ninety"), [(900,), (901,)]),
+        ],
+        "id long, s struct<x: long, y: string>, "
+        "items array<struct<q: long>>",
     )
+    merge_into_delta(spark, str(base), src, on="id")
+    # append with a logical-named batch
+    write_delta_append(
+        spark.createDataFrame(
+            [(4, (40, "forty"), [(400,)])],
+            "id long, s struct<x: long, y: string>, "
+            "items array<struct<q: long>>",
+        ),
+        str(base),
+    )
+    eng.invalidate_table("db", "t")
+    got = eng.sql(
+        "SELECT id, s.x AS sx, s.y AS sy, items[0].q AS q0 "
+        "FROM glue.db.t ORDER BY id"
+    ).collect()
+    assert [(r.id, r.sx, r.sy, r.q0) for r in got] == [
+        (3, 33, "thirty-three", 300),
+        (4, 40, "forty", 400),
+        (9, 90, "ninety", 900),
+    ]
+    # on-disk contract: every live file spells PHYSICAL names at
+    # every level
+    entries, _r, _ls, _ps = delta_scan_info(
+        str(base), with_schema=True, allow_nested_mapping=True,
+        with_physical_schema=True,
+    )
+    for p, _pv, _dv in entries:
+        sch = pq.read_schema(p)
+        assert "col-a" in sch.names and "col-s" in sch.names
+        s_type = sch.field("col-s").type
+        assert [s_type.field(i).name for i in range(2)] == [
+            "col-x", "col-y",
+        ]
+        q_struct = sch.field("col-l").type.value_type
+        assert q_struct.field(0).name == "col-q"
+
+
+def test_nested_mapped_optimize_preserves_values(spark, tmp_path):
+    """OPTIMIZE on a (nested) column-mapped table rewrites under
+    PHYSICAL spellings end to end — values survive byte-for-byte and
+    the rewritten files never get silently re-keyed to logical names
+    (the r11 Iceberg OPTIMIZE data-loss shape)."""
+    import pyarrow.parquet as pq
+
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+    )
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    base = tmp_path / "nmopt"
+    _nested_mapped_table(spark, base)
+    # a second file so compaction has something to merge
+    write_delta_append(
+        spark.createDataFrame(
+            [(5, (50, "fifty"), [(500,)])],
+            "id long, s struct<x: long, y: string>, "
+            "items array<struct<q: long>>",
+        ),
+        str(base),
+    )
+    before = sorted(
+        (r.id, r.s.x, r.s.y, tuple(i.q for i in r.items))
+        for r in _engine(spark, base)
+        .sql("SELECT * FROM glue.db.t")
+        .collect()
+    )
+    v = optimize_delta(spark, str(base), min_files_per_partition=2)
+    assert v is not None
+    eng = _engine(spark, base)
+    after = sorted(
+        (r.id, r.s.x, r.s.y, tuple(i.q for i in r.items))
+        for r in eng.sql("SELECT * FROM glue.db.t").collect()
+    )
+    assert after == before
+    entries, _r, _ls, _ps = delta_scan_info(
+        str(base), with_schema=True, allow_nested_mapping=True,
+        with_physical_schema=True,
+    )
+    assert len(entries) == 1  # compacted
+    sch = pq.read_schema(entries[0][0])
+    assert "col-a" in sch.names
+    s_type = sch.field("col-s").type
+    assert [s_type.field(i).name for i in range(2)] == [
+        "col-x", "col-y",
+    ]
+
+
+def test_nested_mapped_dml_with_cdf(spark, tmp_path):
+    """CDF-enabled nested-mapped table: the cdc files a DELETE writes
+    spell physical names (the data files' contract) and the CDF read
+    maps them back to the logical schema, nested levels included."""
+    import json as _json
+
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    base = tmp_path / "nmcdf"
+    _nested_mapped_table(spark, base)
+    v0 = base / "_delta_log" / f"{0:020d}.json"
+    lines = v0.read_text().splitlines()
+    patched = []
+    for ln in lines:
+        a = _json.loads(ln)
+        if a.get("metaData"):
+            a["metaData"]["configuration"][
+                "delta.enableChangeDataFeed"
+            ] = "true"
+        patched.append(_json.dumps(a))
+    v0.write_text("\n".join(patched) + "\n")
+    eng = _engine(spark, base)
+    eng.sql("DELETE FROM glue.db.t WHERE s.x = 10")
+    changes = delta_cdf(spark, str(base), since_version=0)
+    dels = changes.where("_change_type = 'delete'").collect()
+    assert [(r.id, r.s.x, r.s.y) for r in dels] == [(1, 10, "ten")]
