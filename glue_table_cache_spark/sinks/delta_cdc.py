@@ -113,16 +113,9 @@ def to_physical(
     apply_column_mapping)."""
     if not renames:
         return changes
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    def complex_(t) -> bool:
-        if isinstance(t, StructType):
-            return True
-        if isinstance(t, ArrayType):
-            return complex_(t.elementType)
-        if isinstance(t, MapType):
-            return complex_(t.keyType) or complex_(t.valueType)
-        return False
+    from glue_table_cache_spark.sources.delta import (
+        has_complex_type as complex_,
+    )
 
     ptypes = (
         {f.name: f.dataType for f in physical_schema.fields}

@@ -277,8 +277,8 @@ def optimize_delta(
         # untouched.
         version = _next_version(log_dir)
         fresh, _r = delta_scan_info(
-        location, allow_nested_mapping=True
-    )
+            location, allow_nested_mapping=True
+        )
         active_rel = {
             log_action_path(location, p) for p, _pv, _dv in fresh
         }

@@ -958,6 +958,24 @@ def generated_partition_fields(meta: dict | None) -> list[dict]:
     return uniq
 
 
+def has_complex_type(dt) -> bool:
+    """True when a Spark type contains a struct at any depth — the
+    types whose positional cast performs the nested rename in BOTH
+    column-mapping directions (:func:`apply_column_mapping` reading,
+    ``sinks.delta_cdc.to_physical`` writing)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, StructType):
+        return True
+    if isinstance(dt, ArrayType):
+        return has_complex_type(dt.elementType)
+    if isinstance(dt, MapType):
+        return has_complex_type(dt.keyType) or has_complex_type(
+            dt.valueType
+        )
+    return False
+
+
 def apply_column_mapping(
     df, renames: dict[str, str] | None, logical_schema=None
 ):
@@ -973,19 +991,11 @@ def apply_column_mapping(
     so the cast is a pure rename at every level, arrays and maps
     included)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, MapType, StructType
 
     if not renames:
         return df
 
-    def complex_(t) -> bool:
-        if isinstance(t, StructType):
-            return True
-        if isinstance(t, ArrayType):
-            return complex_(t.elementType)
-        if isinstance(t, MapType):
-            return complex_(t.keyType) or complex_(t.valueType)
-        return False
+    complex_ = has_complex_type
 
     logical_types = (
         {f.name: f.dataType for f in logical_schema.fields}

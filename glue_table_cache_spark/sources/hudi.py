@@ -568,7 +568,13 @@ def hudi_instant_for_wallclock(
     (Hudi's own ``as.of.instant`` posture).  Instant spellings that
     are not ``yyyyMMddHHmmss[SSS]`` wall clocks (external timelines
     with bare counters) refuse rather than guess; so does an instant
-    predating the whole retained timeline."""
+    predating the whole retained timeline.
+
+    The resolved REQUEST instant drives a request-keyed replay, so a
+    CONCURRENT commit whose request predates the target but whose
+    completion postdates ``ts_ms`` would leak not-yet-visible rows
+    into the snapshot — that non-linearizable overlap refuses
+    loudly (use ``VERSION AS OF`` to pick the exact instant)."""
     names = _timeline_files(location, fs=fs)
     found: list[tuple[int, int]] = []  # (completion, request)
     for p in names:
@@ -590,6 +596,20 @@ def hudi_instant_for_wallclock(
             f"No completed Hudi instant of {location!r} at or "
             f"before timestamp {ts_ms} — the oldest retained "
             "completion postdates it"
+        )
+    overlapping = sorted(
+        req
+        for comp, req in found
+        if req <= target and _instant_ms(comp) > ts_ms
+    )
+    if overlapping:
+        raise GlueSparkError(
+            f"Hudi TIMESTAMP AS OF over {location!r}: concurrent "
+            f"commit(s) {overlapping} were requested before instant "
+            f"{target} but completed after the asked wall clock — "
+            "the request-keyed replay cannot exclude them, so the "
+            "snapshot at that timestamp is not reconstructible; "
+            "use VERSION AS OF"
         )
     return target
 
@@ -701,12 +721,12 @@ def _deltacommit_change_rows(
     # after .log.1) folds in version order; no window
     raw = raw.withColumn(
         "__ver",
-        F.coalesce(
+        F.when(
+            F.col("__src").rlike(r"\.log\.\d+"),
             F.regexp_extract(
                 F.col("__src"), r"\.log\.(\d+)", 1
             ).cast("int"),
-            F.lit(0),
-        ),
+        ).otherwise(F.lit(0)),  # ANSI: '' won't cast, guard first
     )
     last = raw.groupBy("__key").agg(
         F.max_by(

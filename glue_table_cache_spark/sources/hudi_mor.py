@@ -267,8 +267,18 @@ def hudi_mor_read(
             "__op",
         )
 
+    # NUMERIC log version before the path string: a same-instant
+    # rollover past version 9 ('.log.10' vs '.log.9') would misorder
+    # lexicographically; base rows ('' source) sort as version -1
+    ver = F.when(
+        F.col("__src").rlike(r"\.log\.\d+"),
+        F.regexp_extract(F.col("__src"), r"\.log\.(\d+)", 1).cast(
+            "int"
+        ),
+    ).otherwise(F.lit(-1))  # ANSI: '' won't cast, guard first
     w = Window.partitionBy("__key").orderBy(
         F.col("__commit").desc(),
+        ver.desc(),
         F.col("__src").desc(),
         F.col("__blk").desc(),
         F.col("__rec").desc(),

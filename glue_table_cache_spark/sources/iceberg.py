@@ -1250,129 +1250,70 @@ def _position_deleted_rows(
     )
 
 
-def _equality_deleted_rows(
-    spark,
-    location: str,
-    prev_e: list,
-    prev_pos: list[str],
-    prev_eq: list[dict],
-    new_eq: list[dict],
-    new_pos: list[str] | None = None,
-):
-    """The rows a snapshot's NEW equality-delete files removed: the
-    PRIOR state's LIVE rows (its own position and equality deletes
-    applied first — a row dies once) matching any new delete file's
-    values null-safely on its equality columns.  The spec's sequence
-    scoping rides free here: every prior-state data file's sequence
-    number is strictly less than the new delete's, so the delete
-    applies to all of them — and to none of the SAME snapshot's adds,
-    which is why the caller never feeds those in.  Files grouped by
-    their column tuple kill iteratively (a row matching two groups
-    emits once).  Rows the SAME snapshot's new position-delete files
-    target (``new_pos`` — the Flink upsert-sink pattern commits both
-    kinds at once) are masked out first: those rows already surface
-    once through :func:`_position_deleted_rows`, so re-emitting them
-    here would double-delete.  Returns ``None`` when the prior state
-    is empty."""
-    from functools import reduce
-
+def _tagged_prior_scan(spark, location: str, entries: list):
+    """Prior-state data rows tagged ONCE with their scan identity:
+    ``__rf`` (scheme-stripped, URI-encoded file path), ``__rp`` (row
+    index) and ``__data_seq`` (the entry's v2 sequence number).
+    ``_metadata`` resolves only on the raw scan relation — a second
+    reference after any join fails analysis — so every downstream
+    mask and kill joins on these MATERIALIZED columns instead."""
     from pyspark.sql import functions as F
 
-    if not prev_e:
-        return None
-    live = spark.read.option("basePath", location).parquet(
-        *[p for p, _pv, _s in prev_e]
+    from glue_table_cache_spark.sources.delta import (
+        hadoop_uri_encode,
     )
-    if new_pos:
-        live = _mask_position_pairs(
-            live, _pos_pairs(spark, list(new_pos))
-        )
-    if prev_pos:
-        live = apply_position_deletes(live, list(prev_pos))
-    if prev_eq:
-        live = apply_equality_deletes(live, prev_e, prev_eq)
-    by_cols: dict[tuple[str, ...], list[dict]] = {}
-    for d in new_eq:
-        by_cols.setdefault(tuple(d["columns"]), []).append(d)
-    remaining = live
-    kills = []
-    for cols, dels in sorted(by_cols.items()):
-        missing = [c for c in cols if c not in live.columns]
-        if missing:
-            raise GlueSparkError(
-                f"Iceberg equality delete columns {missing} are not "
-                "in the scan schema — cannot synthesize the "
-                "changelog window"
-            )
-        vals = None
-        for d in dels:
-            v = spark.read.parquet(d["path"]).select(*cols)
-            vals = v if vals is None else vals.unionByName(v)
-        vals = vals.dropDuplicates(list(cols)).select(
-            *[F.col(c).alias(f"__ek_{c}") for c in cols]
-        )
-        cond = reduce(
-            lambda a, b: a & b,
-            [
-                F.col(c).eqNullSafe(F.col(f"__ek_{c}"))
-                for c in cols
-            ],
-        )
-        kills.append(remaining.join(vals, cond, "left_semi"))
-        remaining = remaining.join(vals, cond, "left_anti")
-    out = kills[0]
-    for k in kills[1:]:
-        out = out.unionByName(k)
-    return out
 
-
-def _resurrected_equality_rows(
-    spark,
-    location: str,
-    kept_e: list,
-    cur_pos: list[str],
-    removed_eq: list[dict],
-):
-    """The rows an equality-delete file's REMOVAL (outside a replace
-    snapshot — external maintenance) made visible again: rows of the
-    KEPT data files matching the removed file's values null-safely
-    with the spec's sequence scoping (data seq strictly less than the
-    delete's), minus rows the CURRENT position deletes still mask.
-    Files grouped by (column tuple, seq) resurrect iteratively — a
-    row matching two removed files emits once.  A dangling removed
-    delete (no surviving targets) yields nothing.  The caller has
-    already refused when equality deletes REMAIN active (their
-    value-based kills would make "still masked" unanswerable here).
-    Returns ``None`` when nothing can match."""
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
-    if not kept_e or not removed_eq:
-        return None
-    live = spark.read.option("basePath", location).parquet(
-        *[p for p, _pv, _s in kept_e]
+    df = spark.read.option("basePath", location).parquet(
+        *[p for p, _pv, _s in entries]
     )
-    if cur_pos:
-        live = apply_position_deletes(live, list(cur_pos))
     seq_df = spark.createDataFrame(
-        [(_strip_path(p), int(s)) for p, _pv, s in kept_e],
+        [
+            (_strip_path(hadoop_uri_encode(p)), int(s))
+            for p, _pv, s in entries
+        ],
         "__rf string, __data_seq long",
     )
-    live = (
-        live.withColumn(
+    return (
+        df.withColumn(
             "__rf", _strip_scheme(F.col("_metadata.file_path"))
         )
+        .withColumn("__rp", F.col("_metadata.row_index"))
         .join(F.broadcast(seq_df), "__rf", "left")
-        .drop("__rf")
     )
+
+
+def _mask_pairs_tagged(df, pairs):
+    """Drop the rows of a TAGGED frame that position-delete ``pairs``
+    target — anti-join on the materialized ``(__rf, __rp)``
+    identity, safe any number of joins deep."""
+    return df.join(
+        pairs.withColumnRenamed("__df", "__rf").withColumnRenamed(
+            "__dp", "__rp"
+        ),
+        ["__rf", "__rp"],
+        "left_anti",
+    )
+
+
+def _eq_kill_tagged(spark, live, eq_deletes: list[dict]):
+    """``(kills, remaining)`` of a TAGGED frame against equality
+    delete files: rows whose values null-safe match any delete row
+    under the spec's strictly-less sequence scoping
+    (``__data_seq < delete seq``).  Files grouped by (column tuple,
+    seq) kill iteratively, so a row matching several groups lands in
+    ``kills`` exactly once.  ``kills`` is ``None`` when the delete
+    list is empty."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     by_group: dict[tuple, list[dict]] = {}
-    for d in removed_eq:
+    for d in eq_deletes:
         by_group.setdefault(
             (tuple(d["columns"]), int(d["seq"])), []
         ).append(d)
     remaining = live
-    kills = []
+    kills = None
     for (cols, dseq), dels in sorted(by_group.items()):
         missing = [c for c in cols if c not in live.columns]
         if missing:
@@ -1395,12 +1336,95 @@ def _resurrected_equality_rows(
                 for c in cols
             ],
         ) & (F.col("__data_seq") < F.lit(dseq))
-        kills.append(remaining.join(vals, cond, "left_semi"))
+        k = remaining.join(vals, cond, "left_semi")
+        kills = k if kills is None else kills.unionByName(k)
         remaining = remaining.join(vals, cond, "left_anti")
-    out = kills[0]
-    for k in kills[1:]:
-        out = out.unionByName(k)
-    return out.drop("__data_seq")
+    return kills, remaining
+
+
+_TAG_COLS = ("__rf", "__rp", "__data_seq")
+
+
+def _equality_deleted_rows(
+    spark,
+    location: str,
+    prev_e: list,
+    prev_pos: list[str],
+    prev_eq: list[dict],
+    new_eq: list[dict],
+    new_pos: list[str] | None = None,
+):
+    """The rows a snapshot's NEW equality-delete files removed: the
+    PRIOR state's LIVE rows (its own position and equality deletes
+    applied first — a row dies once) matching any new delete file's
+    values null-safely on its equality columns with the spec's
+    strictly-less sequence scoping (which also exempts the SAME
+    snapshot's adds — the caller never feeds those in).  Files
+    grouped by (column tuple, seq) kill iteratively (a row matching
+    two groups emits once).  Rows the SAME snapshot's new
+    position-delete files target (``new_pos`` — the Flink
+    upsert-sink pattern commits both kinds at once) are masked out
+    first: those rows already surface once through
+    :func:`_position_deleted_rows`, so re-emitting them here would
+    double-delete.  Returns ``None`` when the prior state is
+    empty."""
+    if not prev_e:
+        return None
+    live = _tagged_prior_scan(spark, location, prev_e)
+    if new_pos:
+        live = _mask_pairs_tagged(
+            live, _pos_pairs(spark, list(new_pos))
+        )
+    if prev_pos:
+        live = _mask_pairs_tagged(
+            live, _pos_pairs(spark, list(prev_pos))
+        )
+    if prev_eq:
+        _k, live = _eq_kill_tagged(spark, live, prev_eq)
+    kills, _rem = _eq_kill_tagged(spark, live, new_eq)
+    if kills is None:
+        return None
+    return kills.drop(*_TAG_COLS)
+
+
+def _resurrected_equality_rows(
+    spark,
+    location: str,
+    kept_e: list,
+    cur_pos: list[str],
+    removed_eq: list[dict],
+    removed_pos: list[str] | None = None,
+):
+    """The rows an equality-delete file's REMOVAL (outside a replace
+    snapshot — external maintenance) made visible again: rows of the
+    KEPT data files matching the removed file's values null-safely
+    with the spec's sequence scoping (data seq strictly less than the
+    delete's), minus rows the CURRENT position deletes still mask
+    AND minus rows the snapshot's REMOVED position-delete files
+    targeted (``removed_pos`` — those resurrect once through
+    :func:`_position_deleted_rows` reversed; re-emitting them here
+    would double-insert a dual-kind-masked row).  Files grouped by
+    (column tuple, seq) resurrect iteratively — a row matching two
+    removed files emits once.  A dangling removed delete (no
+    surviving targets) yields nothing.  The caller has already
+    refused when equality deletes REMAIN active (their value-based
+    kills would make "still masked" unanswerable here).  Returns
+    ``None`` when nothing can match."""
+    if not kept_e or not removed_eq:
+        return None
+    live = _tagged_prior_scan(spark, location, kept_e)
+    if removed_pos:
+        live = _mask_pairs_tagged(
+            live, _pos_pairs(spark, list(removed_pos))
+        )
+    if cur_pos:
+        live = _mask_pairs_tagged(
+            live, _pos_pairs(spark, list(cur_pos))
+        )
+    kills, _rem = _eq_kill_tagged(spark, live, removed_eq)
+    if kills is None:
+        return None
+    return kills.drop(*_TAG_COLS)
 
 
 def iceberg_seq_for_timestamp(
@@ -1613,8 +1637,6 @@ def iceberg_table_changes(
                     e for e in prev_e if e[0] in cur
                 ],
                 "cur_pos": list(cur_pos),
-                "prev_e": list(prev_e),
-                "prev_paths": [p for p, _pv, _s in prev_e],
                 "prior_pos": list(prev_pos),
                 "prior_eq": list(prev_eq),
             }
@@ -1656,10 +1678,14 @@ def iceberg_table_changes(
                 )
             pieces.append(_tag(dels, "delete"))
         if u["new_pos"]:
+            # KEPT files only: rows of a data file REMOVED in the
+            # same snapshot die via the file-removal branch above —
+            # synthesizing them here too would emit a duplicate
+            # delete (the dual-channel hazard)
             rows = _position_deleted_rows(
                 spark,
                 location,
-                u["prev_paths"],
+                [p for p, _pv, _s in u["kept_e"]],
                 u["new_pos"],
                 u["prior_pos"],
             )
@@ -1669,7 +1695,7 @@ def iceberg_table_changes(
             rows = _equality_deleted_rows(
                 spark,
                 location,
-                u["prev_e"],
+                u["kept_e"],
                 u["prior_pos"],
                 u["prior_eq"],
                 u["new_eq"],
@@ -1698,6 +1724,7 @@ def iceberg_table_changes(
                 u["kept_e"],
                 u["cur_pos"],
                 u["removed_eq"],
+                removed_pos=u["removed_pos"],
             )
             if rows is not None:
                 pieces.append(_tag(rows, "insert"))

@@ -316,6 +316,8 @@ def read_mor_delete_partition(
     )
     from glue_table_cache_spark.sources.iceberg import _read_bytes
 
+    from glue_table_cache_spark.sources.hudi import _log_version
+
     base_path, base_pv, base_ts = base_entry
     tbl = pq.read_table(io.BytesIO(_read_bytes(base_path)))
     if record_key_field not in tbl.schema.names:
@@ -324,11 +326,16 @@ def read_mor_delete_partition(
             f"Hudi base file {base_path!r}"
         )
     # key -> (order, op, record, source_pv); order mirrors the MOR
-    # window sort (commit, src, blk, rec) — newest wins
+    # window sort (commit, NUMERIC log version, src, blk, rec) —
+    # newest wins, and '.log.10' folds after '.log.9' (the
+    # lexicographic path string alone would misorder a rollover
+    # past version 9)
     state: dict[str, tuple] = {}
     for rec in tbl.to_pylist():
         k = str(rec[record_key_field])
-        state[k] = ((str(base_ts), "", -1, -1), "U", rec, base_pv)
+        state[k] = (
+            (str(base_ts), -1, "", -1, -1), "U", rec, base_pv,
+        )
     for lpath, lts, lpv in log_entries:
         blocks = read_log_blocks(_read_bytes(lpath), name=lpath)
         rolled = {
@@ -340,6 +347,7 @@ def read_mor_delete_partition(
             if b["instant"] in rolled:
                 continue
             commit = b["instant"] or str(lts)
+            ver = _log_version(lpath)
             for ri, rec in enumerate(b["records"]):
                 if record_key_field not in rec:
                     raise ValueError(
@@ -347,12 +355,12 @@ def read_mor_delete_partition(
                         f"field {record_key_field!r}"
                     )
                 k = str(rec[record_key_field])
-                order = (commit, lpath, bi, ri)
+                order = (commit, ver, lpath, bi, ri)
                 if k not in state or order > state[k][0]:
                     state[k] = (order, "U", rec, lpv)
             for ri, (k, _part) in enumerate(b["deletes"]):
                 k = str(k)
-                order = (commit, lpath, bi, ri)
+                order = (commit, ver, lpath, bi, ri)
                 if k not in state or order > state[k][0]:
                     state[k] = (order, "D", None, lpv)
     rows = [

@@ -389,7 +389,10 @@ def _stream_changes(
                     ("posdel", p, pv, new_pos, prior_pos, seq)
                 )
         if new_eq:
-            for path in sorted(prev_data):
+            # KEPT files only: rows of a data file REMOVED in this
+            # snapshot die once via its full-file delete unit above —
+            # an eqdel unit over it would stream a duplicate delete
+            for path in sorted(set(prev_data) & set(cur_data)):
                 pv, fseq = prev_data[path]
                 if not any(fseq < d["seq"] for d in new_eq):
                     continue  # strictly-less scoping: nothing to kill
@@ -544,13 +547,33 @@ def _eq_match_positions(
     for cols, dels in by_cols.items():
         kill: set[tuple] = set()
         for d in dels:
-            t = pq.read_table(d["path"], columns=list(cols))
+            # a delete file written BEFORE a rename spells the old
+            # physical name; one written after (or on an unmapped
+            # table) the logical one — resolve per file against its
+            # own schema
+            avail = set(pq.read_schema(d["path"]).names)
+            pick = []
+            for c in cols:
+                phys = (phys_of or {}).get(c, c)
+                if c in avail:
+                    pick.append(c)
+                elif phys in avail:
+                    pick.append(phys)
+                else:
+                    raise ValueError(
+                        f"equality delete file {d['path']!r} "
+                        f"carries neither {c!r} nor its physical "
+                        f"spelling {phys!r}"
+                    )
+            t = pq.read_table(d["path"], columns=pick)
             kill |= set(
-                zip(*(t.column(c).to_pylist() for c in cols))
+                zip(*(t.column(c).to_pylist() for c in pick))
             )
-        pcols = [
-            (phys_of or {}).get(c, c) for c in cols
-        ]
+        davail = set(pq.read_schema(path).names)
+        pcols = []
+        for c in cols:
+            phys = (phys_of or {}).get(c, c)
+            pcols.append(phys if phys in davail else c)
         data = pq.read_table(path, columns=pcols)
         for i, tup in enumerate(
             zip(*(data.column(c).to_pylist() for c in pcols))

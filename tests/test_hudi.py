@@ -1359,6 +1359,155 @@ def test_table_changes_replacecommit_over_live_logs(
     assert state == {2: "b2", 3: "c"}
 
 
+def test_mor_deletes_fold_rollover_past_nine_numerically(
+    spark, tmp_path
+):
+    """A retired live-log group whose instant rolled over past
+    version 9 folds '.log.10' AFTER '.log.9' (numeric, not
+    lexicographic): the pre-state a clustering replacecommit emits
+    must honor the later version's delete, not resurrect the earlier
+    upsert."""
+    import json as _json
+
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_table_changes
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        delete_block,
+        write_log_file,
+    )
+
+    loc = tmp_path / "roll10"
+    i1 = int(
+        write_hudi_append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ).coalesce(1),
+            str(loc),
+            table_type="MERGE_ON_READ",
+        )
+    )
+    commit1 = _json.loads(
+        (loc / ".hoodie" / f"{i1}.commit").read_text()
+    )
+    fid = next(
+        st["fileId"]
+        for stats in commit1["partitionToWriteStats"].values()
+        for st in stats
+    )
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    i2 = i1 + 1
+    log9 = f".{fid}_{i2}.log.9_0-0-0"
+    log10 = f".{fid}_{i2}.log.10_0-0-0"
+    write_log_file(
+        loc / log9,
+        [data_block(str(i2), schema, [{"id": 2, "v": "b9"}])],
+    )
+    write_log_file(
+        loc / log10, [delete_block(str(i2), [("2", "")])]
+    )
+    (loc / ".hoodie" / f"{i2}.deltacommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": fid, "path": log9,
+                         "partitionPath": ""},
+                        {"fileId": fid, "path": log10,
+                         "partitionPath": ""},
+                    ]
+                }
+            }
+        )
+    )
+    # merged pre-state: (1, a) only — key 2 died in .log.10
+    i3 = i2 + 1
+    new_base = f"clustered-0_0-0-0_{i3}.parquet"
+    _stage_parquet(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        loc / new_base,
+    )
+    (loc / ".hoodie" / f"{i3}.replacecommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "clustered-0", "path": new_base,
+                         "partitionPath": ""}
+                    ]
+                },
+                "partitionToReplaceFileIds": {"": [fid]},
+            }
+        )
+    )
+    w = hudi_table_changes(
+        spark, str(loc), i3, i3, record_key_field="id"
+    )
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w.collect()
+    ) == [(1, "a", "delete"), (1, "a", "insert")]
+
+
+def test_hudi_wallclock_travel_refuses_overlapping_completion(
+    spark, tmp_path
+):
+    """TIMESTAMP AS OF refuses when a concurrent commit's request
+    predates the target but its completion postdates the asked wall
+    clock — the request-keyed replay cannot exclude its
+    not-yet-visible rows."""
+    import datetime as _dt
+
+    import pytest as _p
+
+    from glue_table_cache_spark.errors import GlueSparkError
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import (
+        hudi_instant_for_wallclock,
+    )
+
+    loc = tmp_path / "overlap"
+    i1 = int(
+        write_hudi_append(
+            spark.createDataFrame([(1,)], "id long").coalesce(1),
+            str(loc),
+        )
+    )
+    i2 = int(
+        write_hudi_append(
+            spark.createDataFrame([(2,)], "id long").coalesce(1),
+            str(loc),
+        )
+    )
+    # c1 requested FIRST but completed well after c2
+    late = (
+        _dt.datetime.strptime(str(i2)[:14], "%Y%m%d%H%M%S")
+        + _dt.timedelta(minutes=5)
+    ).strftime("%Y%m%d%H%M%S")
+    hoodie = loc / ".hoodie"
+    (hoodie / f"{i1}.commit").rename(
+        hoodie / f"{i1}_{late}.commit"
+    )
+    ts_ms = int(
+        _dt.datetime.strptime(str(i2)[:14], "%Y%m%d%H%M%S")
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    with _p.raises(GlueSparkError, match="not reconstructible"):
+        hudi_instant_for_wallclock(str(loc), ts_ms)
+
+
 def test_table_changes_scopes_blocks_to_their_instant(
     spark, tmp_path
 ):

@@ -1102,6 +1102,51 @@ def test_distributed_manifest_decode_matches_driver(
     assert dist[2], "fixture should have equality deletes"
 
 
+def test_table_changes_eq_window_with_prior_pos_and_eq(
+    spark, tmp_path
+):
+    """An equality-delete window whose PRIOR state already carries
+    both position AND equality deletes synthesizes correctly: the
+    prior kills mask (each at most one _metadata reference deep —
+    the tag-once identity columns make the chain join-safe), and
+    only the still-live matching row emits."""
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_table_changes,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    base = build_iceberg_table(
+        tmp_path / "priorboth",
+        [
+            a,  # seq 1
+            {   # seq 2: position-delete id=1
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 1
+                },
+            },
+            {   # seq 3: equality-delete id=2
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {   # seq 4: equality-delete ids {1,2,3} — 1 and 2 are
+                # already dead, only 3 emits
+                "add": None,
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 1}, {"id": 2}, {"id": 3}],
+                },
+            },
+        ],
+    )
+    w = iceberg_table_changes(spark, str(base), 4, 4)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w.collect()
+    ) == [(3, "c", "delete")]
+
+
 def test_table_changes_dual_kind_delete_emits_once(spark, tmp_path):
     """A snapshot committing BOTH a position delete and an equality
     delete targeting the same row (the Flink upsert-sink pattern)
@@ -1206,6 +1251,51 @@ def test_table_changes_delete_file_removal_resurrects(
     assert sorted(
         (r.id, r.v, r._change_type) for r in w3.collect()
     ) == [(1, "a", "delete"), (3, "c", "delete")]
+    # dual-kind removal: a row masked by BOTH a removed position
+    # delete and a removed equality delete resurrects exactly ONCE
+    # (the position direction owns it)
+    base5 = build_iceberg_table(
+        tmp_path / "resurrect_dual",
+        [
+            a,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {"add": None, "drop_deletes": True},
+        ],
+    )
+    w5 = iceberg_table_changes(spark, str(base5), 3, 3)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w5.collect()
+    ) == [(2, "b", "insert")]
+    # a snapshot REMOVING a data file while adding an equality
+    # delete matching its rows: the rows die once via the file
+    # removal — the eq synthesis must not re-emit them
+    b_df = spark.createDataFrame([(4, "d")], "id long, v string")
+    base6 = build_iceberg_table(
+        tmp_path / "removal_plus_eq",
+        [
+            a,       # part-1: ids 1-3
+            b_df,    # part-2: id 4
+            {
+                "add": None,
+                "delete": ["part-1.parquet"],
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 1}]},
+            },
+        ],
+    )
+    w6 = iceberg_table_changes(spark, str(base6), 3, 3)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w6.collect()
+    ) == [
+        (1, "a", "delete"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+    ]
     # removal while OTHER equality deletes remain active: refuse
     base4 = build_iceberg_table(
         tmp_path / "resurrect_refuse",

@@ -3822,6 +3822,62 @@ def test_iceberg_stream_cdf_equality_delete_windows(
     ]
 
 
+def test_iceberg_stream_cdf_removal_plus_eq_emits_once(
+    spark, tmp_path
+):
+    """A snapshot REMOVING a data file while adding an equality
+    delete matching its rows streams each dead row exactly once: the
+    removed file's rows via its full-file delete unit, the KEPT
+    files' matches via the eqdel synthesis — never both."""
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        build_iceberg_table,
+    )
+    from glue_table_cache_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    base = build_iceberg_table(
+        tmp_path / "rmeq",
+        [
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ),  # part-1
+            spark.createDataFrame(
+                [(3, "c")], "id long, v string"
+            ),  # part-2
+            {   # seq 3: retire part-1 AND eq-delete ids {1, 3}
+                "add": None,
+                "delete": ["part-1.parquet"],
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 1}, {"id": 3}],
+                },
+            },
+        ],
+    )
+    seen: list = []
+    q = (
+        read_iceberg_stream(spark, str(base), read_change_feed=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    win = [
+        (r.id, r.v, r._change_type)
+        for r in seen
+        if r._commit_version == 3
+    ]
+    assert sorted(win) == [
+        (1, "a", "delete"),
+        (2, "b", "delete"),
+        (3, "c", "delete"),
+    ]
+
+
 def test_iceberg_stream_append_mode_refuses_overwrite(
     spark, tmp_path
 ):
@@ -4018,6 +4074,84 @@ def test_hudi_stream_cdf_replacecommit_over_live_logs(
         (3, "c", "insert"),
     ]
     assert {r._commit_version for r in seen} == {i3}
+
+
+def test_read_mor_delete_partition_orders_rollover_numerically(
+    spark, tmp_path
+):
+    """The per-group executor merge folds '.log.10' AFTER '.log.9'
+    (numeric version, not the lexicographic path string): a key
+    upserted in .log.9 and deleted in .log.10 at one instant is DEAD
+    in the pre-state and must not re-emit."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        delete_block,
+        write_log_file,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        _stream_schema,
+        read_mor_delete_partition,
+    )
+
+    loc = tmp_path / "roll10s"
+    i1 = int(
+        write_hudi_append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "id long, v string"
+            ).coalesce(1),
+            str(loc),
+            table_type="MERGE_ON_READ",
+        )
+    )
+    commit1 = _json.loads(
+        (loc / ".hoodie" / f"{i1}.commit").read_text()
+    )
+    st = next(
+        st
+        for stats in commit1["partitionToWriteStats"].values()
+        for st in stats
+    )
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    i2 = i1 + 1
+    log9 = loc / f".{st['fileId']}_{i2}.log.9_0-0-0"
+    log10 = loc / f".{st['fileId']}_{i2}.log.10_0-0-0"
+    write_log_file(
+        log9, [data_block(str(i2), schema, [{"id": 2, "v": "b9"}])]
+    )
+    write_log_file(log10, [delete_block(str(i2), [("2", "")])])
+    out_schema = (
+        _stream_schema(str(loc))
+        .add(StructField("_change_type", StringType()))
+        .add(StructField("_commit_version", LongType()))
+    )
+    rows = [
+        r
+        for b in read_mor_delete_partition(
+            (str(loc / st["path"]), {}, i1),
+            [(str(log9), i2, {}), (str(log10), i2, {})],
+            out_schema,
+            i2 + 1,
+            "id",
+        )
+        for r in b.to_pylist()
+    ]
+    assert sorted(
+        (r["id"], r["v"], r["_change_type"]) for r in rows
+    ) == [(1, "a", "delete")]
 
 
 def test_hudi_stream_cdf_nets_per_group_across_log_files(
