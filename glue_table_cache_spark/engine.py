@@ -99,11 +99,13 @@ class GlueSparkEngine:
             ttl_ms=cfg.s3_listing_ttl_ms,
             **retry,
         )
-        # table key → listing key, recorded whenever a listing is
-        # cached: invalidate_table must find the listing even after the
-        # metadata entry was LRU-evicted or TTL-expired (peek() would
-        # miss and the stale listing would keep serving)
-        self._listing_keys: dict[str, str] = {}
+        # table key → listing keys, recorded whenever a listing is
+        # cached: invalidate_table must find the listings even after
+        # the metadata entry was LRU-evicted or TTL-expired (peek()
+        # would miss and the stale listing would keep serving).  A SET
+        # per table (r13): predicate-scoped format-scan entries mean
+        # one table can own several cache keys at once
+        self._listing_keys: dict[str, set[str]] = {}
         if cfg.credentials is not None or cfg.region is not None:
             self._apply_credentials(cfg.credentials, cfg.region)
 
@@ -2365,7 +2367,9 @@ class GlueSparkEngine:
             raise NoStorageLocationError(table.database, table.name)
         keys = [k.name for k in table.partition_keys]
         lkey = listing_cache_key(table.location, keys)
-        self._listing_keys[table_cache_key(table.database, table.name)] = lkey
+        self._listing_keys.setdefault(
+            table_cache_key(table.database, table.name), set()
+        ).add(lkey)
         return self._listing_cache.get_or_load(
             lkey, lambda: self._list_files(table)
         )
@@ -2385,8 +2389,7 @@ class GlueSparkEngine:
         to the cached metadata's location, plus the substring sweep for
         parity with any location that does embed the table name."""
         meta_key = table_cache_key(database, table)
-        lkey = self._listing_keys.pop(meta_key, None)
-        if lkey is not None:
+        for lkey in self._listing_keys.pop(meta_key, set()):
             self._listing_cache.invalidate(lkey)
         cached = self._metadata_cache.peek(meta_key)
         if cached is not None and cached.location:
@@ -2423,7 +2426,9 @@ class GlueSparkEngine:
         df = self._dataframe_for(tbl, query, travel)
         df.createOrReplaceTempView(view_name)
 
-    def _format_scan_cached(self, tbl: CatalogTable, load: Callable):
+    def _format_scan_cached(
+        self, tbl: CatalogTable, load: Callable, key_suffix: str = ""
+    ):
         """Table-format metadata walks (Delta log replay, Iceberg
         manifest walk, Hudi timeline walk) through the LISTING cache —
         the same LRU+TTL+single-flight treatment the reference gives
@@ -2432,12 +2437,53 @@ class GlueSparkEngine:
         file listing.  ``s3_listing_ttl_ms`` bounds staleness; a new
         commit/snapshot is visible after TTL expiry or an explicit
         ``invalidate_table``.  Cached values are treated as immutable
-        — every consumer rebuilds its own filtered lists."""
-        key = f"format-scan:{tbl.location}"
-        self._listing_keys[
-            table_cache_key(tbl.database, tbl.name)
-        ] = key
+        — every consumer rebuilds its own filtered lists.
+
+        ``key_suffix`` (r13) scopes the entry to a pushed-down
+        predicate: a walk whose distributed decode pre-pruned by the
+        query's WHERE clause caches under a predicate fingerprint, so
+        a different query never serves from a narrower active set.
+        All of a table's keys are recorded for invalidation."""
+        key = f"format-scan:{tbl.location}{key_suffix}"
+        self._listing_keys.setdefault(
+            table_cache_key(tbl.database, tbl.name), set()
+        ).add(key)
         return self._listing_cache.get_or_load(key, load)
+
+    def _format_scan_cached_pruned(
+        self, tbl: CatalogTable, load: Callable, factory
+    ):
+        """Predicate-aware caching for walks whose distributed decode
+        can pre-prune by the query's WHERE clause (r13).  Below the
+        distribution gate pushdown never engages and the walk caches
+        under the bare key exactly as before (full cache sharing
+        across queries); when the decode DID pre-prune (huge
+        checkpoint / manifest set), the narrower result is cached
+        under a predicate-fingerprint key so no other query ever
+        serves from it.  A fresh bare-key entry is always preferred —
+        it answers every predicate."""
+        if factory is None:
+            return self._format_scan_cached(tbl, load)
+        tkey = table_cache_key(tbl.database, tbl.name)
+        bare = f"format-scan:{tbl.location}"
+        hit = self._listing_cache.peek(bare)
+        if hit is not None:
+            self._listing_keys.setdefault(tkey, set()).add(bare)
+            return hit
+        skey = f"{bare}#w:{factory.fingerprint}"
+        hit = self._listing_cache.peek(skey)
+        if hit is not None:
+            self._listing_keys.setdefault(tkey, set()).add(skey)
+            return hit
+        factory.applied = False
+        value = load()
+        return self._format_scan_cached(
+            tbl,
+            lambda: value,
+            key_suffix=(
+                f"#w:{factory.fingerprint}" if factory.applied else ""
+            ),
+        )
 
     @staticmethod
     def _travel_timestamp_ms(literal: str) -> int:
@@ -2764,6 +2810,22 @@ class GlueSparkEngine:
                 delta_scan_info,
             )
 
+            # r13: push the query's partition/stats predicates INTO
+            # the distributed checkpoint decode — above the
+            # distribution gate the driver collects only surviving
+            # adds instead of the full active set.  The driver prunes
+            # below still run (idempotent over survivors) so the
+            # final kept set is identical with or without pushdown.
+            from glue_table_cache_spark.meta_prune import (
+                delta_prune_factory,
+            )
+
+            prune_factory = delta_prune_factory(
+                query,
+                [k.name for k in tbl.partition_keys],
+                {tbl.name, tbl.qualified_name},
+                self.config.stats_skipping,
+            )
             if travel is not None:
                 # travel states bypass the current-state cache
                 entries, renames, log_schema, gen_fields = (
@@ -2771,6 +2833,7 @@ class GlueSparkEngine:
                         tbl.location, fs=self._fs, with_schema=True,
                         with_stats=True, with_partition_fields=True,
                         allow_nested_mapping=True,
+                        prune_factory=prune_factory,
                         **self._delta_travel_kwargs(
                             tbl.location, travel
                         ),
@@ -2778,14 +2841,16 @@ class GlueSparkEngine:
                 )
             else:
                 entries, renames, log_schema, gen_fields = (
-                    self._format_scan_cached(
+                    self._format_scan_cached_pruned(
                         tbl,
                         lambda: delta_scan_info(
                             tbl.location, fs=self._fs,
                             with_schema=True, with_stats=True,
                             with_partition_fields=True,
                             allow_nested_mapping=True,
+                            prune_factory=prune_factory,
                         ),
+                        prune_factory,
                     )
                 )
             stats_by_path = {p: s for p, _pv, _dv, s in entries}
@@ -2934,6 +2999,20 @@ class GlueSparkEngine:
                 iceberg_scan_details,
             )
 
+            # r13: same predicate pushdown as the Delta branch — the
+            # distributed manifest decode drops data-manifest entries
+            # the query's partition/stats predicates disprove before
+            # they ever reach the driver
+            from glue_table_cache_spark.meta_prune import (
+                iceberg_prune_factory,
+            )
+
+            ice_prune = iceberg_prune_factory(
+                query,
+                [k.name for k in tbl.partition_keys],
+                {tbl.name, tbl.qualified_name},
+                self.config.stats_skipping,
+            )
             if travel is not None:
                 entries, dels, eq_dels, ice_schema, ice_spec, (
                     ice_renames, ice_dead
@@ -2941,6 +3020,7 @@ class GlueSparkEngine:
                     tbl.location, fs=self._fs, with_stats=True,
                     with_schema=True, with_spec=True,
                     with_mapping=True,
+                    prune_factory=ice_prune,
                     **self._iceberg_travel_kwargs(
                         tbl.location, travel
                     ),
@@ -2948,13 +3028,15 @@ class GlueSparkEngine:
             else:
                 entries, dels, eq_dels, ice_schema, ice_spec, (
                     ice_renames, ice_dead
-                ) = self._format_scan_cached(
+                ) = self._format_scan_cached_pruned(
                     tbl,
                     lambda: iceberg_scan_details(
                         tbl.location, fs=self._fs, with_stats=True,
                         with_schema=True, with_spec=True,
                         with_mapping=True,
+                        prune_factory=ice_prune,
                     ),
+                    ice_prune,
                 )
             iceberg_stats = {p: s for p, _pv, _seq, s in entries}
             entries = [(p, pv, seq) for p, pv, seq, _s in entries]

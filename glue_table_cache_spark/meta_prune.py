@@ -1,0 +1,325 @@
+"""Executor-side metadata pruning for the distributed decode (r13).
+
+The r12 distributed metadata walk moved the checkpoint/manifest DECODE
+to the executors but still collected EVERY add / manifest entry to the
+driver, where :func:`~glue_table_cache_spark.pruning.prune_files` ran a
+Python loop over all of them — at 10M+ files the collected list itself
+is the scale wall (driver memory + a driver-side prune pass), even for
+a one-partition query.  This module pushes the engine's three prunes
+(catalog-key partition predicate, generated/hidden-partitioning
+transform predicate, zone-map stats skipping) INTO the executor-side
+decode as a per-file ``keep`` callable, so the driver collects only
+SURVIVING files.
+
+Soundness contract — identical to the driver prunes, because the keep
+callable runs the SAME code: :meth:`Predicate.evaluate` keeps on True
+and Unknown (only a definite False drops), and
+:func:`~glue_table_cache_spark.skipping.may_match` drops only when the
+stats PROVE no row can match.  The engine's driver-side prunes still
+run afterwards over the (already reduced) survivors, so the final kept
+set is the intersection of two sound over-approximations — sound.
+
+Refusal parity: a file that would make the driver path REFUSE (e.g. an
+unsupported Delta deletion-vector shape) is always kept, so the driver
+still sees it and raises the same error the undistributed path raises.
+
+Factories late-bind against the format's own metadata (the Delta
+``metaData`` action lives in the same checkpoint being decoded; the
+Iceberg schema/spec in the metadata JSON), and return ``None`` —
+meaning "collect everything, prune driver-side as before" — whenever
+pruning could change any OBSERVABLE behavior beyond dropped files:
+
+* Delta column-mapped tables (``renames`` not None): the engine skips
+  partition pruning there anyway, and the all-files-pruned empty-scan
+  fallback samples a file footer that executor pruning could remove.
+* A Delta log with no usable ``schemaString`` (same fallback reason).
+* No predicate survives extraction (nothing to push down).
+
+Everything here is pure Python over picklable predicate trees —
+cloudpickle ships the closure to the executors inside the existing
+``mapInPandas`` decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any, Callable
+
+from glue_table_cache_spark.pruning import (
+    Predicate,
+    TruePredicate,
+    extract_partition_predicate,
+    parse_where_clause,
+)
+
+
+def _fingerprint(
+    query: str, catalog_keys: list[str], idents: set[str], stats: bool
+) -> str | None:
+    """Stable digest of everything a keep callable can depend on, for
+    predicate-scoped cache keys.  ``None`` when the query has no
+    parseable WHERE clause — then there is nothing to push down and
+    callers should not build a factory at all."""
+    where = parse_where_clause(query)
+    if where is None:
+        return None
+    blob = json.dumps(
+        {
+            "where": where,
+            "keys": sorted(k.lower() for k in catalog_keys),
+            "idents": sorted(i.lower() for i in idents),
+            "stats": stats,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
+
+def _live_predicates(preds: list[Predicate]) -> list[Predicate]:
+    return [p for p in preds if not isinstance(p, TruePredicate)]
+
+
+class _DeltaPruneFactory:
+    """``callable(replay_state) -> keep(path, pv, dv, stats) | None``.
+
+    Built once per scan (driver-side, cheap); invoked inside
+    ``_read_checkpoint_distributed`` AFTER the ``metaData`` rows are
+    collected, so the generated-column fields and column-mapping mode
+    come from the very checkpoint being decoded."""
+
+    def __init__(
+        self,
+        query: str,
+        catalog_keys: list[str],
+        idents: set[str],
+        stats_skipping: bool,
+        fingerprint: str,
+    ) -> None:
+        self.query = query
+        self.catalog_keys = list(catalog_keys)
+        self.idents = set(idents)
+        self.stats_skipping = stats_skipping
+        self.fingerprint = fingerprint
+        # set True by the decode when pushdown actually engaged (gate
+        # crossed AND a keep callable was produced) — the engine's
+        # cache layer keys the result by predicate only then
+        self.applied = False
+
+    def __call__(self, state: dict) -> Callable[..., bool] | None:
+        from glue_table_cache_spark.sources.delta import (
+            _check_dv_supported,
+            column_mapping_renames,
+            generated_partition_fields,
+            logical_schema,
+        )
+
+        meta = state.get("metaData")
+        if not meta:
+            return None
+        renames = column_mapping_renames(meta, allow_nested=True)
+        if renames is not None:
+            # engine skips partition pruning for column-mapped tables
+            # (partitionValues key on PHYSICAL names), and the
+            # empty-scan footer-sample fallback needs the full path
+            # list — keep the driver-prune behavior wholesale
+            return None
+        schema = logical_schema(meta)
+        if schema is None:
+            return None
+
+        preds: list[Predicate] = []
+        if self.catalog_keys:
+            preds.append(
+                extract_partition_predicate(
+                    self.query, self.catalog_keys, self.idents
+                )
+            )
+        gen_fields = generated_partition_fields(meta)
+        if gen_fields:
+            from glue_table_cache_spark.sources.iceberg_partitioning import (  # noqa: E501
+                transform_partition_predicate,
+            )
+
+            srcs = sorted(
+                {f["source"] for f in gen_fields if f["source"]}
+            )
+            preds.append(
+                transform_partition_predicate(
+                    extract_partition_predicate(
+                        self.query, srcs, self.idents
+                    ),
+                    gen_fields,
+                )
+            )
+        preds = _live_predicates(preds)
+        stats_pred: Predicate | None = None
+        if self.stats_skipping:
+            cols = [f.name for f in schema.fields]
+            p = extract_partition_predicate(
+                self.query, cols, self.idents
+            )
+            if not isinstance(p, TruePredicate):
+                stats_pred = p
+        if not preds and stats_pred is None:
+            return None
+
+        from glue_table_cache_spark.skipping import (
+            delta_file_stats,
+            may_match,
+        )
+
+        def keep(
+            path: str, pv: dict | None, dv: Any, stats: str | None
+        ) -> bool:
+            try:
+                _check_dv_supported(
+                    {"path": path, "deletionVector": dv}
+                )
+            except Exception:
+                return True  # driver must see it to refuse
+            pv = pv or {}
+            for p in preds:
+                if p.evaluate(pv) is False:
+                    return False
+            if stats_pred is not None and stats:
+                st = delta_file_stats(stats, renames=None)
+                if st is not None and not may_match(stats_pred, st):
+                    return False
+            return True
+
+        return keep
+
+
+class _IcebergPruneFactory:
+    """``callable(table_metadata) -> keep(raw_manifest_entry) | None``.
+
+    The keep callable runs over RAW data-manifest Avro entries on the
+    executors (delete manifests always pass through untouched — their
+    validation and sequence scoping stay driver-side), reproducing the
+    walk's partition-tuple stringification and
+    :func:`~glue_table_cache_spark.skipping.iceberg_entry_stats`
+    decode so the surviving entries are byte-identical to what the
+    driver path would have pruned to."""
+
+    def __init__(
+        self,
+        query: str,
+        catalog_keys: list[str],
+        idents: set[str],
+        stats_skipping: bool,
+        fingerprint: str,
+    ) -> None:
+        self.query = query
+        self.catalog_keys = list(catalog_keys)
+        self.idents = set(idents)
+        self.stats_skipping = stats_skipping
+        self.fingerprint = fingerprint
+        self.applied = False  # same contract as the Delta factory
+
+    def __call__(self, meta: dict) -> Callable[[dict], bool] | None:
+        from glue_table_cache_spark.sources.iceberg import (
+            _field_types_by_id,
+            iceberg_spark_schema,
+        )
+        from glue_table_cache_spark.sources.iceberg_partitioning import (
+            iceberg_partition_fields,
+            transform_partition_predicate,
+        )
+
+        schema = iceberg_spark_schema(meta)
+        if schema is None:
+            # the engine's empty-scan fallback would need a sample
+            # path; keep the full list so it always has one
+            return None
+        preds: list[Predicate] = []
+        if self.catalog_keys:
+            preds.append(
+                extract_partition_predicate(
+                    self.query, self.catalog_keys, self.idents
+                )
+            )
+        spec = iceberg_partition_fields(meta)
+        if spec:
+            srcs = sorted({f["source"] for f in spec if f["source"]})
+            preds.append(
+                transform_partition_predicate(
+                    extract_partition_predicate(
+                        self.query, srcs, self.idents
+                    ),
+                    spec,
+                )
+            )
+        preds = _live_predicates(preds)
+        stats_pred: Predicate | None = None
+        types_by_id: dict = {}
+        if self.stats_skipping:
+            cols = [f.name for f in schema.fields]
+            p = extract_partition_predicate(
+                self.query, cols, self.idents
+            )
+            if not isinstance(p, TruePredicate):
+                stats_pred = p
+                types_by_id = _field_types_by_id(meta)
+        if not preds and stats_pred is None:
+            return None
+
+        from glue_table_cache_spark.skipping import (
+            iceberg_entry_stats,
+            may_match,
+        )
+
+        def keep(entry: dict) -> bool:
+            if entry.get("status") == 2:
+                return True  # the walk skips DELETED entries itself
+            rec = entry.get("data_file") or {}
+            pv = {
+                k: None if v is None else str(v)
+                for k, v in (rec.get("partition") or {}).items()
+            }
+            for p in preds:
+                if p.evaluate(pv) is False:
+                    return False
+            if stats_pred is not None:
+                st = iceberg_entry_stats(rec, types_by_id)
+                if st is not None and not may_match(stats_pred, st):
+                    return False
+            return True
+
+        return keep
+
+
+def delta_prune_factory(
+    query: str | None,
+    catalog_keys: list[str],
+    idents: set[str],
+    stats_skipping: bool,
+) -> _DeltaPruneFactory | None:
+    """Factory for the Delta distributed-checkpoint decode, or ``None``
+    when the query carries no parseable WHERE (nothing to push)."""
+    if not query:
+        return None
+    fp = _fingerprint(query, catalog_keys, idents, stats_skipping)
+    if fp is None:
+        return None
+    return _DeltaPruneFactory(
+        query, catalog_keys, idents, stats_skipping, fp
+    )
+
+
+def iceberg_prune_factory(
+    query: str | None,
+    catalog_keys: list[str],
+    idents: set[str],
+    stats_skipping: bool,
+) -> _IcebergPruneFactory | None:
+    """Factory for the Iceberg distributed-manifest decode, or
+    ``None`` when the query carries no parseable WHERE."""
+    if not query:
+        return None
+    fp = _fingerprint(query, catalog_keys, idents, stats_skipping)
+    if fp is None:
+        return None
+    return _IcebergPruneFactory(
+        query, catalog_keys, idents, stats_skipping, fp
+    )

@@ -348,7 +348,10 @@ def _checkpoint_total_bytes(paths: list[str]) -> int | None:
 
 
 def _read_checkpoint_distributed(
-    spark, paths: list[str], state: dict | None = None
+    spark,
+    paths: list[str],
+    state: dict | None = None,
+    keep_factory=None,
 ) -> dict:
     """:func:`_read_checkpoint` semantics with the parquet decode on
     the EXECUTORS: one ``spark.read.parquet`` over the parts,
@@ -356,7 +359,17 @@ def _read_checkpoint_distributed(
     only ``(path, partitionValues, deletionVector, stats)`` per add
     plus the handful of ``metaData``/``protocol``/``txn`` rows.  The
     protocol/DV gates run driver-side on the collected rows, exactly
-    like the driver decoder, so refusals are identical."""
+    like the driver decoder, so refusals are identical.
+
+    ``keep_factory`` (r13,
+    :class:`glue_table_cache_spark.meta_prune._DeltaPruneFactory`) is
+    invoked with the replay ``state`` AFTER the metaData rows are
+    collected; when it yields a keep callable, the adds are filtered
+    EXECUTOR-side before collection, so the driver holds only files
+    the query's partition/stats predicates cannot disprove — the
+    difference between collecting 10M adds and the one partition's
+    worth.  A ``None`` keep (no predicate, column-mapped table, …)
+    keeps the collect-everything path."""
     from pyspark.sql import functions as F
 
     state = state if state is not None else {}
@@ -401,20 +414,65 @@ def _read_checkpoint_distributed(
                 return F.col(f"add.{name}").alias(name)
             return F.lit(None).alias(name)
 
+        sel = df.where(F.col("add.path").isNotNull()).select(
+            F.col("add.path").alias("path"),
+            _sub("partitionValues"),
+            _sub("deletionVector"),
+            _sub("stats"),
+        )
+        keep = keep_factory(state) if keep_factory is not None else None
+        if keep is not None:
+            # tell the caching layer the collected set is
+            # predicate-narrowed (keys the cache entry by predicate)
+            keep_factory.applied = True
+            # predicate pushdown into the decode: each executor batch
+            # evaluates the SAME three-valued keep the driver prune
+            # would (True/Unknown keep; only a proven False drops) and
+            # ships one pickled blob of survivors — the driver never
+            # materializes the pruned-away adds at all.  Entries that
+            # would make the driver path refuse (unsupported DV shape)
+            # are always kept so the refusal below still fires.
+            import pickle
+
+            def _filter(iterator):
+                import pandas as pd
+
+                for pdf in iterator:
+                    out = []
+                    for path, pv, dv, st in zip(
+                        pdf["path"],
+                        pdf["partitionValues"],
+                        pdf["deletionVector"],
+                        pdf["stats"],
+                    ):
+                        if isinstance(pv, list):
+                            pv = dict(pv)
+                        if dv is not None and not isinstance(dv, dict):
+                            dv = None if dv != dv else dict(dv)
+                        if st is not None and not isinstance(st, str):
+                            st = None
+                        if keep(path, pv, dv, st):
+                            out.append((path, pv, dv, st))
+                    yield pd.DataFrame(
+                        {"blob": [pickle.dumps(out, protocol=4)]}
+                    )
+
+            for r in sel.mapInPandas(
+                _filter, schema="blob binary"
+            ).collect():
+                for path, pv, dv, st in pickle.loads(
+                    bytes(r["blob"])
+                ):
+                    _check_dv_supported(
+                        {"path": path, "deletionVector": dv}
+                    )
+                    active[unquote(path)] = (pv or {}, dv, st)
+            return active
         # toArrow, not collect(): the adds come back as Arrow columns
         # (same C++ materialization the driver pyarrow path uses) —
         # per-Row object creation at 10^5-10^6 adds would eat the
         # distributed decode's win
-        tbl = (
-            df.where(F.col("add.path").isNotNull())
-            .select(
-                F.col("add.path").alias("path"),
-                _sub("partitionValues"),
-                _sub("deletionVector"),
-                _sub("stats"),
-            )
-            .toArrow()
-        )
+        tbl = sel.toArrow()
         for path, pv, dv, st in zip(
             tbl.column("path").to_pylist(),
             tbl.column("partitionValues").to_pylist(),
@@ -606,6 +664,7 @@ def _replay(
     s3_client=None,
     fs=None,
     as_of_timestamp_ms: int | None = None,
+    prune_factory=None,
 ) -> tuple[dict, dict]:
     """Reconstruct ``(active_files, table_state)`` at the target
     version: checkpoint bootstrap + JSON commit tail.  ``table_state``
@@ -740,7 +799,8 @@ def _replay(
                 and size >= DISTRIBUTED_CHECKPOINT_MIN_BYTES
             ):
                 active = _read_checkpoint_distributed(
-                    spark_sess, cp_paths, state
+                    spark_sess, cp_paths, state,
+                    keep_factory=prune_factory,
                 )
             else:
                 active = _read_checkpoint(cp_paths, s3_client, state)
@@ -793,6 +853,7 @@ def delta_scan_info(
     with_protocol: bool = False,
     allow_nested_mapping: bool = False,
     with_physical_schema: bool = False,
+    prune_factory=None,
 ) -> tuple:
     """Everything a correct raw-parquet scan needs:
     ``(entries, renames)`` where ``entries`` are ``(path,
@@ -817,9 +878,18 @@ def delta_scan_info(
     reader for evolved tables (only when ``renames`` is None: a
     column-mapped table's files carry PHYSICAL names, so the logical
     schema must be applied after the rename projection, not at the
-    scan)."""
+    scan).
+
+    ``prune_factory`` (r13,
+    :func:`glue_table_cache_spark.meta_prune.delta_prune_factory`)
+    pushes the query's partition/stats predicates INTO the distributed
+    checkpoint decode, so above the distribution gate the returned
+    ``entries`` hold only files the predicates cannot disprove — the
+    driver never materializes the rest.  Callers that need the FULL
+    active set (CDF, DML, OPTIMIZE) must not pass one."""
     active, state = _replay(
-        location, version_offset, s3_client, fs, as_of_timestamp_ms
+        location, version_offset, s3_client, fs, as_of_timestamp_ms,
+        prune_factory=prune_factory,
     )
     renames = column_mapping_renames(
         state.get("metaData"), allow_nested=allow_nested_mapping

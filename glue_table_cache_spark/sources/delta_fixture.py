@@ -102,6 +102,8 @@ def build_delta_table(
 
     active: dict[str, dict] = {}
     active_dv: dict[str, dict] = {}
+    active_stats: dict[str, str] = {}
+    current_meta: dict | None = None
     protocol_upgraded = False
     physical: dict[str, str] = {}  # logical -> physical (column_mapping)
     for version, commit in enumerate(commits):
@@ -140,6 +142,7 @@ def build_delta_table(
                     "delta.columnMapping.maxColumnId": str(len(physical)),
                 }
             actions.append({"metaData": meta})
+            current_meta = meta
             actions.append(
                 {
                     "protocol": {
@@ -152,23 +155,21 @@ def build_delta_table(
             # schema evolution: a new metaData action whose
             # schemaString is the given DataFrame's schema (include
             # partition columns in it, as real writers do)
-            actions.append(
-                {
-                    "metaData": {
-                        "id": "00000000-0000-0000-0000-000000000000",
-                        "format": {
-                            "provider": "parquet", "options": {},
-                        },
-                        "partitionColumns": list(
-                            (commit.get("partition") or {})
-                        ),
-                        "schemaString": json.dumps(
-                            commit["metadata_schema"].schema.jsonValue()
-                        ),
-                        "configuration": {},
-                    }
-                }
-            )
+            evolved_meta = {
+                "id": "00000000-0000-0000-0000-000000000000",
+                "format": {
+                    "provider": "parquet", "options": {},
+                },
+                "partitionColumns": list(
+                    (commit.get("partition") or {})
+                ),
+                "schemaString": json.dumps(
+                    commit["metadata_schema"].schema.jsonValue()
+                ),
+                "configuration": {},
+            }
+            actions.append({"metaData": evolved_meta})
+            current_meta = evolved_meta
         pv = commit.get("partition") or {}
         part_dir = "/".join(f"{k}={v}" for k, v in pv.items())
         for j, df in enumerate(commit.get("add", [])):
@@ -192,6 +193,7 @@ def build_delta_table(
             add["stats"] = _stats_json(df)
             actions.append({"add": add})
             active[name] = dict(pv)
+            active_stats[name] = add["stats"]
         for name, mask_fn in commit.get("dv", {}).items():
             if not protocol_upgraded:
                 actions.insert(
@@ -238,6 +240,7 @@ def build_delta_table(
                 }
             )
             active.pop(name, None)
+            active_stats.pop(name, None)
         _commit_path(log_dir, version).write_text(
             "\n".join(json.dumps(a) for a in actions) + "\n"
         )
@@ -252,6 +255,8 @@ def build_delta_table(
             else:
                 _write_checkpoint(
                     log_dir, version, active, active_dv=active_dv,
+                    metadata=current_meta,
+                    active_stats=active_stats,
                     **ckw,
                 )
                 if ckw.get("num_parts"):
@@ -312,6 +317,8 @@ def _write_checkpoint(
     drop_parts: set[int] | None = None,
     active_dv: dict[str, dict] | None = None,
     txns: dict[str, int] | None = None,
+    metadata: dict | None = None,
+    active_stats: dict[str, str] | None = None,
 ) -> None:
     """Write a ``<version>.checkpoint.parquet`` (or, with ``num_parts``,
     the multi-part ``<version>.checkpoint.<part>.<numParts>.parquet``
@@ -338,12 +345,19 @@ def _write_checkpoint(
             ("path", pa.string()),
             ("partitionValues", pa.map_(pa.string(), pa.string())),
             ("size", pa.int64()),
+            ("stats", pa.string()),
             ("deletionVector", dv_type),
         ]
     )
+    # real checkpoints persist the FULL metaData action (after log
+    # cleanup the checkpoint is its only home) — schemaString and
+    # partitionColumns included, which the r13 predicate pushdown
+    # late-binds against
     meta_type = pa.struct(
         [
             ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
             ("configuration", pa.map_(pa.string(), pa.string())),
         ]
     )
@@ -359,13 +373,22 @@ def _write_checkpoint(
             "path": p,
             "partitionValues": list(pv.items()),
             "size": 0,
+            "stats": (active_stats or {}).get(p),
             "deletionVector": (active_dv or {}).get(p),
         }
         for p, pv in sorted(active.items())
     ]
     meta_row = {
         "id": "00000000-0000-0000-0000-000000000000",
-        "configuration": list((metadata_configuration or {}).items()),
+        "schemaString": (metadata or {}).get("schemaString"),
+        "partitionColumns": (metadata or {}).get("partitionColumns"),
+        "configuration": list(
+            (
+                metadata_configuration
+                or (metadata or {}).get("configuration")
+                or {}
+            ).items()
+        ),
     }
     proto_row = protocol or {
         "minReaderVersion": 1,

@@ -956,17 +956,6 @@ def hudi_window_units(
                 for fid in ids
             }
             live_retired = sorted(replaced & prev_live)
-            log_born = [
-                f for f in live_retired if f not in prev_slices
-            ]
-            if log_born:
-                raise GlueSparkError(
-                    f"Hudi replacecommit {ts} of {location!r} "
-                    f"retires LOG-BORN file group(s) {log_born} "
-                    "(live logs, no base slice) — their pre-state "
-                    "needs a base-less log merge; compact_hudi() "
-                    "before replacing, or window past this instant"
-                )
             if live_retired:
                 # the retired groups' pre-state is base + live logs
                 # MERGED (the snapshot view) — emit one
@@ -975,18 +964,25 @@ def hudi_window_units(
                 # is Hudi's bounded merge unit and its keys are
                 # disjoint from every other group's); their base
                 # files must then NOT also flow through the raw
-                # file diff
+                # file diff.  A LOG-BORN group (live logs, no base
+                # slice — insert-routed-to-logs writers) emits
+                # base_entry=None: its pre-state is the same fold
+                # minus the base seed (r13; previously refused)
                 groups = []
                 for fid in live_retired:
-                    bts, bpath, bpart = prev_slices[fid]
-                    skip_removed.add(bpath)
+                    if fid in prev_slices:
+                        bts, bpath, bpart = prev_slices[fid]
+                        skip_removed.add(bpath)
+                        base_entry = (
+                            _resolve_path(location, bpath),
+                            _pv_from_partition_path(bpart),
+                            bts,
+                        )
+                    else:
+                        base_entry = None
                     groups.append(
                         (
-                            (
-                                _resolve_path(location, bpath),
-                                _pv_from_partition_path(bpart),
-                                bts,
-                            ),
+                            base_entry,
                             sorted(
                                 (
                                     lpath,
@@ -1134,7 +1130,9 @@ def hudi_table_changes(
                 hudi_mor_read,
             )
 
-            base_entries = [b for b, _logs in payload]
+            base_entries = [
+                b for b, _logs in payload if b is not None
+            ]
             log_entries = [
                 e for _b, logs in payload for e in logs
             ]
@@ -1144,6 +1142,7 @@ def hudi_table_changes(
                 log_entries,
                 record_key_field=record_key_field,
                 base_path=location,
+                schema=schema,  # types a base-less (log-born) merge
             )
             pieces.append(
                 pre.withColumn(

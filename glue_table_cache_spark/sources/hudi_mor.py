@@ -129,6 +129,7 @@ def hudi_mor_read(
     log_entries: list[tuple[str, int]],
     record_key_field: str = DEFAULT_RECORD_KEY,
     base_path: str | None = None,
+    schema=None,
 ):
     """Snapshot view of a MOR table as a DataFrame.
 
@@ -164,7 +165,20 @@ def hudi_mor_read(
     reader = spark.read
     if base_path:
         reader = reader.option("basePath", base_path)
-    base = reader.parquet(*[p for p, _pv, _ts in base_entries])
+    if base_entries:
+        base = reader.parquet(*[p for p, _pv, _ts in base_entries])
+    else:
+        # LOG-BORN merge (r13): every group is live logs with no base
+        # slice, so the payload type authority is the caller-supplied
+        # schema (the timeline's recorded extraMetadata.schema) and
+        # the base leg is an empty seed
+        if schema is None:
+            raise GlueSparkError(
+                "MOR merge of log-born file groups (no base slice) "
+                "needs a schema to type the log payloads — pass the "
+                "timeline's recorded extraMetadata.schema"
+            )
+        base = spark.createDataFrame([], schema)
     if record_key_field not in base.columns:
         raise GlueSparkError(
             f"record key field {record_key_field!r} is not in the "
@@ -180,22 +194,41 @@ def hudi_mor_read(
             )
     data_cols = base.columns
 
-    instant_map = spark.createDataFrame(
-        [(_strip_path(p), str(ts)) for p, _pv, ts in base_entries],
-        "__file string, __commit string",
-    )
-    base_tagged = (
-        base.withColumn(
-            "__file", _strip_scheme(F.col("_metadata.file_path"))
+    if base_entries:
+        instant_map = spark.createDataFrame(
+            [
+                (_strip_path(p), str(ts))
+                for p, _pv, ts in base_entries
+            ],
+            "__file string, __commit string",
         )
-        .join(F.broadcast(instant_map), "__file", "left")
-        .drop("__file")
-        .withColumn("__key", F.col(record_key_field).cast("string"))
-        .withColumn("__src", F.lit(""))  # sorts before any log path
-        .withColumn("__blk", F.lit(-1))
-        .withColumn("__rec", F.lit(-1))
-        .withColumn("__op", F.lit("U"))
-    )
+        base_tagged = (
+            base.withColumn(
+                "__file", _strip_scheme(F.col("_metadata.file_path"))
+            )
+            .join(F.broadcast(instant_map), "__file", "left")
+            .drop("__file")
+            .withColumn(
+                "__key", F.col(record_key_field).cast("string")
+            )
+            .withColumn("__src", F.lit(""))  # sorts before log paths
+            .withColumn("__blk", F.lit(-1))
+            .withColumn("__rec", F.lit(-1))
+            .withColumn("__op", F.lit("U"))
+        )
+    else:
+        # empty seed: no _metadata on a local relation, and no
+        # instants to attach anyway
+        base_tagged = (
+            base.withColumn("__commit", F.lit(None).cast("string"))
+            .withColumn(
+                "__key", F.col(record_key_field).cast("string")
+            )
+            .withColumn("__src", F.lit(""))
+            .withColumn("__blk", F.lit(-1))
+            .withColumn("__rec", F.lit(-1))
+            .withColumn("__op", F.lit("U"))
+        )
 
     if log_entries:
         paths_df = spark.createDataFrame(

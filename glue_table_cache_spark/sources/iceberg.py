@@ -76,14 +76,26 @@ DISTRIBUTED_MANIFEST_MIN_COUNT = 64
 
 
 def _decode_manifests_distributed(
-    spark, paths: list[str]
+    spark,
+    paths: list[str],
+    keep_fn=None,
+    data_paths: set[str] | None = None,
 ) -> dict[str, list[dict]]:
     """Decode manifest Avro files executor-side: each worker runs
     :func:`~glue_table_cache_spark.sources.avro_lite.read_avro_bytes`
     on its share of the paths and returns one pickled entry-list blob
     per manifest; the driver unpickles into exactly the per-entry
     dicts the driver-side codec yields, so downstream validation,
-    sequence inheritance, and path resolution are byte-identical."""
+    sequence inheritance, and path resolution are byte-identical.
+
+    ``keep_fn`` (r13, from
+    :class:`glue_table_cache_spark.meta_prune._IcebergPruneFactory`)
+    filters entries of DATA manifests (``data_paths`` membership)
+    EXECUTOR-side before pickling, so the driver collects only files
+    the query's partition/stats predicates cannot disprove.  Delete
+    manifests always ship whole — their validation, sequence scoping,
+    and refusal semantics stay exactly where the driver path has
+    them."""
     import pickle
 
     def _decode(iterator):
@@ -99,10 +111,15 @@ def _decode_manifests_distributed(
         for pdf in iterator:
             out_p, out_b = [], []
             for p in pdf["path"]:
+                entries = _rab(_rb(p), name=p)
+                if (
+                    keep_fn is not None
+                    and data_paths is not None
+                    and p in data_paths
+                ):
+                    entries = [e for e in entries if keep_fn(e)]
                 out_p.append(p)
-                out_b.append(
-                    pickle.dumps(_rab(_rb(p), name=p), protocol=4)
-                )
+                out_b.append(pickle.dumps(entries, protocol=4))
             yield pd.DataFrame({"path": out_p, "blob": out_b})
 
     uniq = sorted(set(paths))
@@ -118,12 +135,21 @@ def _decode_manifests_distributed(
 
 
 def _manifest_reader(
-    manifest_paths: list[str], s3_client=None
+    manifest_paths: list[str],
+    s3_client=None,
+    keep_fn=None,
+    data_paths: set[str] | None = None,
+    applied: list | None = None,
 ):
     """``callable(resolved_path) -> entries`` for a snapshot's
     manifests: executor-side bulk decode at or above
     :data:`DISTRIBUTED_MANIFEST_MIN_COUNT` (active session, no
-    injected client), else the driver codec per call."""
+    injected client), else the driver codec per call.  ``keep_fn`` /
+    ``data_paths`` push query predicates into the distributed decode
+    (see :func:`_decode_manifests_distributed`); the driver fallback
+    ignores them — the engine's driver-side prune still runs over
+    whatever this returns, so both paths converge on the same kept
+    set."""
     if (
         s3_client is None
         and len(set(manifest_paths)) >= DISTRIBUTED_MANIFEST_MIN_COUNT
@@ -132,8 +158,13 @@ def _manifest_reader(
 
         spark = SparkSession.getActiveSession()
         if spark is not None:
+            if keep_fn is not None and applied is not None:
+                applied.append(True)
             decoded = _decode_manifests_distributed(
-                spark, manifest_paths
+                spark,
+                manifest_paths,
+                keep_fn=keep_fn,
+                data_paths=data_paths,
             )
             return decoded.__getitem__
     return lambda p: read_avro_bytes(
@@ -470,6 +501,7 @@ def iceberg_scan_details(
     with_spec: bool = False,
     as_of_ref: str | None = None,
     with_mapping: bool = False,
+    prune_factory=None,
 ) -> tuple[list, list[str], list[dict]]:
     """Full current-snapshot scan state:
     ``(entries, position_delete_files, equality_deletes)`` where
@@ -597,13 +629,34 @@ def iceberg_scan_details(
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
     list_rows = avro(manifest_list)
+    # r13 predicate pushdown: data-manifest entries the query's
+    # partition/stats predicates disprove are dropped EXECUTOR-side
+    # inside the distributed decode (delete manifests always ship
+    # whole).  The engine's driver prune still runs over the
+    # survivors, so final kept sets match the unpruned path; callers
+    # needing the full set (CDC, DML) pass no factory.
+    keep_fn = (
+        prune_factory(meta) if prune_factory is not None else None
+    )
+    data_manifest_paths = {
+        _resolve_path(location, r["manifest_path"])
+        for r in list_rows
+        if r.get("content", 0) == 0
+    }
+    pushdown_applied: list = []
     read_manifest = _manifest_reader(
         [
             _resolve_path(location, r["manifest_path"])
             for r in list_rows
         ],
         s3_client,
+        keep_fn=keep_fn,
+        data_paths=data_manifest_paths,
+        applied=pushdown_applied,
     )
+    if pushdown_applied and prune_factory is not None:
+        # the caching layer keys this walk's result by predicate
+        prune_factory.applied = True
     for r in list_rows:
         # content=1 marks a DELETE manifest: its entries are delete
         # FILES, not data files
@@ -1387,6 +1440,43 @@ def _equality_deleted_rows(
     return kills.drop(*_TAG_COLS)
 
 
+def _resurrected_position_rows(
+    spark,
+    location: str,
+    kept_e: list,
+    removed_pos: list[str],
+    cur_pos: list[str],
+    cur_eq: list[dict],
+):
+    """Position-delete-file REMOVAL while equality deletes remain
+    active (r13): the resurrected set is the removed files' targeted
+    rows of the KEPT data files, minus pairs the CURRENT position
+    deletes still target, minus rows the surviving equality deletes
+    still kill under their sequence scoping — the tagged-scan twin of
+    :func:`_position_deleted_rows` reversed, needed because the
+    value-based survivors require ``__data_seq``."""
+    if not kept_e or not removed_pos:
+        return None
+    live = _tagged_prior_scan(spark, location, kept_e)
+    pairs = _pos_pairs(spark, list(removed_pos))
+    if cur_pos:
+        pairs = pairs.join(
+            _pos_pairs(spark, list(cur_pos)),
+            ["__df", "__dp"],
+            "left_anti",
+        )
+    cand = live.join(
+        pairs.withColumnRenamed("__df", "__rf").withColumnRenamed(
+            "__dp", "__rp"
+        ),
+        ["__rf", "__rp"],
+        "semi",
+    )
+    if cur_eq:
+        _k, cand = _eq_kill_tagged(spark, cand, cur_eq)
+    return cand.drop(*_TAG_COLS)
+
+
 def _resurrected_equality_rows(
     spark,
     location: str,
@@ -1394,6 +1484,7 @@ def _resurrected_equality_rows(
     cur_pos: list[str],
     removed_eq: list[dict],
     removed_pos: list[str] | None = None,
+    cur_eq: list[dict] | None = None,
 ):
     """The rows an equality-delete file's REMOVAL (outside a replace
     snapshot — external maintenance) made visible again: rows of the
@@ -1406,9 +1497,10 @@ def _resurrected_equality_rows(
     would double-insert a dual-kind-masked row).  Files grouped by
     (column tuple, seq) resurrect iteratively — a row matching two
     removed files emits once.  A dangling removed delete (no
-    surviving targets) yields nothing.  The caller has already
-    refused when equality deletes REMAIN active (their value-based
-    kills would make "still masked" unanswerable here).  Returns
+    surviving targets) yields nothing.  Equality deletes that REMAIN
+    active (``cur_eq``, r13 — previously refused) subtract their
+    seq-scoped kills from the candidates: a row the surviving files
+    still mask never became visible and must not emit.  Returns
     ``None`` when nothing can match."""
     if not kept_e or not removed_eq:
         return None
@@ -1424,6 +1516,8 @@ def _resurrected_equality_rows(
     kills, _rem = _eq_kill_tagged(spark, live, removed_eq)
     if kills is None:
         return None
+    if cur_eq:
+        _k2, kills = _eq_kill_tagged(spark, kills, cur_eq)
     return kills.drop(*_TAG_COLS)
 
 
@@ -1595,25 +1689,16 @@ def iceberg_table_changes(
         # reconstructible as inserts — prior-state masked rows (of
         # data files KEPT across the pair) minus rows the remaining
         # deletes still mask.  A dangling removed delete (targets
-        # all gone) synthesizes an empty set and emits nothing.  The
-        # one shape that stays refused: removal alongside REMAINING
-        # equality deletes, whose value-based kills make "still
-        # masked" not file-diff-expressible here.
+        # all gone) synthesizes an empty set and emits nothing.
+        # SURVIVING equality deletes (r13; previously refused) apply
+        # their value-based kills to the resurrection candidates via
+        # the same seq-scoped _eq_kill_tagged the delete direction
+        # uses, so only rows NOTHING still masks come back.
         removed_pos = sorted(set(prev_pos) - set(cur_pos))
         removed_eq = [
             d for d in prev_eq
             if d["path"] not in {x["path"] for x in cur_eq}
         ]
-        if (removed_pos or removed_eq) and cur_eq:
-            raise GlueSparkError(
-                f"Iceberg changelog window for {location!r} removes "
-                "delete files at sequence number "
-                f"{seqs[idx]} outside a replace snapshot while "
-                "equality-delete files remain active — the "
-                "resurrected-row set is not file-diff-expressible "
-                "under value-based kills; use an Iceberg runtime's "
-                "changelog read"
-            )
         new_pos = sorted(set(cur_pos) - set(prev_pos))
         new_eq = [
             d for d in cur_eq if d["path"] not in prev_eq_paths
@@ -1637,6 +1722,7 @@ def iceberg_table_changes(
                     e for e in prev_e if e[0] in cur
                 ],
                 "cur_pos": list(cur_pos),
+                "cur_eq": list(cur_eq),
                 "prior_pos": list(prev_pos),
                 "prior_eq": list(prev_eq),
             }
@@ -1707,14 +1793,26 @@ def iceberg_table_changes(
             # delete-file removal outside replace: previously-masked
             # rows of the KEPT data files, minus pairs the remaining
             # position deletes still target, come back as inserts —
-            # the same pair-diff synthesis as the delete direction
-            rows = _position_deleted_rows(
-                spark,
-                location,
-                [p for p, _pv, _s in u["kept_e"]],
-                u["removed_pos"],
-                u["cur_pos"],
-            )
+            # the same pair-diff synthesis as the delete direction.
+            # With equality deletes still active (r13), the tagged
+            # variant additionally subtracts their seq-scoped kills.
+            if u["cur_eq"]:
+                rows = _resurrected_position_rows(
+                    spark,
+                    location,
+                    u["kept_e"],
+                    u["removed_pos"],
+                    u["cur_pos"],
+                    u["cur_eq"],
+                )
+            else:
+                rows = _position_deleted_rows(
+                    spark,
+                    location,
+                    [p for p, _pv, _s in u["kept_e"]],
+                    u["removed_pos"],
+                    u["cur_pos"],
+                )
             if rows is not None:
                 pieces.append(_tag(rows, "insert"))
         if u["removed_eq"]:
@@ -1725,6 +1823,7 @@ def iceberg_table_changes(
                 u["cur_pos"],
                 u["removed_eq"],
                 removed_pos=u["removed_pos"],
+                cur_eq=u["cur_eq"],
             )
             if rows is not None:
                 pieces.append(_tag(rows, "insert"))

@@ -303,12 +303,22 @@ def build_iceberg_table(
             )
 
         if change.get("drop_deletes"):
-            # external-maintenance shape: the snapshot REMOVES every
-            # delete manifest (keeping data manifests) — the
-            # "remove dangling deletes" / partial-rewrite case a
-            # changelog reader must synthesize resurrections for
+            # external-maintenance shape: the snapshot REMOVES delete
+            # manifests (keeping data manifests) — the "remove
+            # dangling deletes" / partial-rewrite case a changelog
+            # reader must synthesize resurrections for.  ``True``
+            # drops every delete manifest; a list of substrings drops
+            # only matching ones (partial maintenance — the
+            # surviving-equality-deletes shape)
+            dd = change["drop_deletes"]
             manifest_rows = [
-                (p, c, sq) for p, c, sq in manifest_rows if c == 0
+                (p, c, sq)
+                for p, c, sq in manifest_rows
+                if c == 0
+                or (
+                    dd is not True
+                    and not any(s in p for s in dd)
+                )
             ]
         for j, (name, mask_fn) in enumerate(
             (change.get("pos_delete") or {}).items()

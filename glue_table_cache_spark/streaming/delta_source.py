@@ -97,6 +97,49 @@ def read_file_partition(
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    def _graft_names(at, lt):
+        """The file's arrow type with the LOGICAL type's field names
+        grafted on positionally, every level (nested column mapping
+        renames names, never structure or order) — the zero-copy
+        ``view`` target that relabels a physical-named nested column.
+        A structural mismatch (nested evolution under mapping) keeps
+        the file type; the name-based cast below then refuses loudly
+        instead of mislabeling fields."""
+        if (
+            pa.types.is_struct(at)
+            and pa.types.is_struct(lt)
+            and at.num_fields == lt.num_fields
+        ):
+            return pa.struct(
+                [
+                    pa.field(
+                        lt.field(i).name,
+                        _graft_names(
+                            at.field(i).type, lt.field(i).type
+                        ),
+                        at.field(i).nullable,
+                    )
+                    for i in range(at.num_fields)
+                ]
+            )
+        if (
+            pa.types.is_list(at) or pa.types.is_large_list(at)
+        ) and (
+            pa.types.is_list(lt) or pa.types.is_large_list(lt)
+        ):
+            inner = _graft_names(at.value_type, lt.value_type)
+            return (
+                pa.large_list(inner)
+                if pa.types.is_large_list(at)
+                else pa.list_(inner)
+            )
+        if pa.types.is_map(at) and pa.types.is_map(lt):
+            return pa.map_(
+                _graft_names(at.key_type, lt.key_type),
+                _graft_names(at.item_type, lt.item_type),
+            )
+        return at
+
     target = to_arrow_schema(schema)
     table = pq.read_table(path)
     if row_indices is not None:
@@ -120,7 +163,20 @@ def read_file_partition(
                 pa.array([constants[field.name]] * n).cast(field.type)
             )
         elif fname in table.column_names:
-            cols.append(table.column(fname).cast(field.type))
+            col = table.column(fname)
+            if (
+                physical_names
+                and pa.types.is_nested(field.type)
+                and col.type != field.type
+            ):
+                # nested column mapping: relabel the physical field
+                # names to the logical ones positionally (zero-copy
+                # view — same layout, different names), then the
+                # name-matched cast handles any leaf-type promotion
+                col = col.combine_chunks().view(
+                    _graft_names(col.type, field.type)
+                )
+            cols.append(col.cast(field.type))
         elif partition_values and (
             fname in partition_values
             or field.name in partition_values
@@ -342,7 +398,9 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         )
 
         _active, state = _replay(self._location)
-        renames = column_mapping_renames(state.get("metaData"))
+        renames = column_mapping_renames(
+            state.get("metaData"), allow_nested=True
+        )
         self._phys_of = (
             {v: k for k, v in renames.items()} if renames else None
         )
@@ -416,8 +474,10 @@ class DeltaLiteDataSource(DataSource):
     The schema is the table log's authoritative ``schemaString``
     (evolved columns surface as nulls for pre-evolution files).
     Column-mapped tables stream fine: each logical field reads its
-    PHYSICAL column spelling (stable across renames); nested-mapped
-    schemas still refuse loudly in the schema resolution."""
+    PHYSICAL column spelling (stable across renames), and nested
+    mapping (r13) relabels struct/array/map levels positionally at
+    read time — the streaming twin of the batch scan's
+    ``apply_column_mapping``."""
 
     @classmethod
     def name(cls) -> str:
@@ -435,7 +495,7 @@ class DeltaLiteDataSource(DataSource):
                 ".option('location', ...) or .load(path)"
             )
         _entries, _renames, schema = delta_scan_info(
-            location, with_schema=True
+            location, with_schema=True, allow_nested_mapping=True
         )
         if schema is None:
             raise GlueSparkError(

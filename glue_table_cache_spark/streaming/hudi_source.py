@@ -318,24 +318,26 @@ def read_mor_delete_partition(
 
     from glue_table_cache_spark.sources.hudi import _log_version
 
-    base_path, base_pv, base_ts = base_entry
-    tbl = pq.read_table(io.BytesIO(_read_bytes(base_path)))
-    if record_key_field not in tbl.schema.names:
-        raise ValueError(
-            f"record key field {record_key_field!r} is not in the "
-            f"Hudi base file {base_path!r}"
-        )
     # key -> (order, op, record, source_pv); order mirrors the MOR
     # window sort (commit, NUMERIC log version, src, blk, rec) —
     # newest wins, and '.log.10' folds after '.log.9' (the
     # lexicographic path string alone would misorder a rollover
-    # past version 9)
+    # past version 9).  base_entry=None is a LOG-BORN group (r13):
+    # the fold runs without a base seed.
     state: dict[str, tuple] = {}
-    for rec in tbl.to_pylist():
-        k = str(rec[record_key_field])
-        state[k] = (
-            (str(base_ts), -1, "", -1, -1), "U", rec, base_pv,
-        )
+    if base_entry is not None:
+        base_path, base_pv, base_ts = base_entry
+        tbl = pq.read_table(io.BytesIO(_read_bytes(base_path)))
+        if record_key_field not in tbl.schema.names:
+            raise ValueError(
+                f"record key field {record_key_field!r} is not in "
+                f"the Hudi base file {base_path!r}"
+            )
+        for rec in tbl.to_pylist():
+            k = str(rec[record_key_field])
+            state[k] = (
+                (str(base_ts), -1, "", -1, -1), "U", rec, base_pv,
+            )
     for lpath, lts, lpv in log_entries:
         blocks = read_log_blocks(_read_bytes(lpath), name=lpath)
         rolled = {

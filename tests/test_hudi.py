@@ -1581,3 +1581,88 @@ def test_table_changes_scopes_blocks_to_their_instant(
     assert [(r.id, r.v, r._commit_version) for r in w2.collect()] == [
         (3, "y", 20240101000002)
     ]
+
+
+def test_table_changes_replacecommit_retires_log_born_group(
+    spark, tmp_path
+):
+    """A replacecommit retiring a LOG-BORN file group (live logs, no
+    base slice — insert-routed-to-logs writers) emits the group's
+    merged pre-state as deletes via a base-less log fold (r13;
+    previously refused): upserted-then-reupserted keys emit their
+    NEWEST payload, keys whose last action was a delete block do not
+    re-emit."""
+    import json as _json
+
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.sources.hudi import hudi_table_changes
+
+    loc = tmp_path / "logbornclust"
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        str(loc),
+        table_type="MERGE_ON_READ",
+    )
+    # log-born inserts: keys 2 and 3 exist only in log blocks
+    i2 = int(
+        write_hudi_log(
+            spark, str(loc), "id",
+            upserts=spark.createDataFrame(
+                [(2, "b"), (3, "c")], "id long, v string"
+            ),
+        )
+    )
+    # re-upsert 3 (fold must keep the newest) and delete 2 (must not
+    # re-emit as a clustering delete)
+    i3 = int(
+        write_hudi_log(
+            spark, str(loc), "id",
+            upserts=spark.createDataFrame(
+                [(3, "C2")], "id long, v string"
+            ),
+            delete_keys=[2],
+        )
+    )
+    dc = _json.loads(
+        (loc / ".hoodie" / f"{i2}.deltacommit").read_text()
+    )
+    fid = next(
+        st["fileId"]
+        for stats in dc["partitionToWriteStats"].values()
+        for st in stats
+        if st.get("fileId")
+    )
+    i4 = i3 + 1
+    new_base = f"clustered-0_0-0-0_{i4}.parquet"
+    _stage_parquet(
+        spark.createDataFrame([(3, "C2")], "id long, v string"),
+        loc / new_base,
+    )
+    (loc / ".hoodie" / f"{i4}.replacecommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "clustered-0", "path": new_base,
+                         "partitionPath": ""}
+                    ]
+                },
+                "partitionToReplaceFileIds": {"": [fid]},
+            }
+        )
+    )
+    w = hudi_table_changes(
+        spark, str(loc), i4, i4, record_key_field="id"
+    )
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w.collect()
+    ) == [
+        (3, "C2", "delete"),
+        (3, "C2", "insert"),
+    ]
+    assert {r._commit_version for r in w.collect()} == {i4}

@@ -1296,9 +1296,12 @@ def test_table_changes_delete_file_removal_resurrects(
         (2, "b", "delete"),
         (3, "c", "delete"),
     ]
-    # removal while OTHER equality deletes remain active: refuse
+    # removal while OTHER equality deletes remain active (r13;
+    # previously refused): the pos-deleted row resurrects because the
+    # new eq file does not mask it, and the new eq file's own kill
+    # emits as a delete
     base4 = build_iceberg_table(
-        tmp_path / "resurrect_refuse",
+        tmp_path / "resurrect_surviving",
         [
             a,
             {
@@ -1314,8 +1317,90 @@ def test_table_changes_delete_file_removal_resurrects(
             },
         ],
     )
-    with pytest.raises(GlueSparkError, match="remain active"):
-        iceberg_table_changes(spark, str(base4), 3, 3).collect()
+    w4 = iceberg_table_changes(spark, str(base4), 3, 3)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w4.collect()
+    ) == [(2, "b", "insert"), (3, "c", "delete")]
+
+
+def test_table_changes_removal_with_surviving_eq_deletes(
+    spark, tmp_path
+):
+    """Two equality-delete files, one removed (r13; previously
+    refused): the window emits only rows the REMAINING file does not
+    still mask — surviving seq-scoped kills subtract from the
+    resurrection candidates in both the eq and pos removal
+    directions."""
+    from glue_table_cache_spark.sources.iceberg import (
+        iceberg_table_changes,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    # remaining file masks a DIFFERENT row: the candidate resurrects
+    base = build_iceberg_table(
+        tmp_path / "eq_partial_drop",
+        [
+            a,  # seq 1
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },  # seq 2 (eq-manifest-2)
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 3}]},
+            },  # seq 3 (eq-manifest-3)
+            {"add": None, "drop_deletes": ["eq-manifest-2"]},  # seq 4
+        ],
+    )
+    w = iceberg_table_changes(spark, str(base), 4, 4)
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in w.collect()
+    ) == [(2, "b", "insert")]
+    # remaining file masks the SAME row: nothing became visible,
+    # nothing emits
+    base2 = build_iceberg_table(
+        tmp_path / "eq_still_masked",
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {
+                "add": None,
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 2}, {"id": 3}],
+                },
+            },
+            {"add": None, "drop_deletes": ["eq-manifest-2"]},
+        ],
+    )
+    w2 = iceberg_table_changes(spark, str(base2), 4, 4)
+    assert w2.count() == 0
+    # position removal under a surviving eq file that masks the
+    # targeted row: still masked, still invisible
+    base3 = build_iceberg_table(
+        tmp_path / "pos_under_eq",
+        [
+            a,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+            },
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {"add": None, "drop_deletes": ["pos-delete", "delete-manifest"]},
+        ],
+    )
+    w3 = iceberg_table_changes(spark, str(base3), 4, 4)
+    assert w3.count() == 0
 
 
 def test_table_changes_synthesizes_equality_delete_windows(

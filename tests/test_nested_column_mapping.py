@@ -337,3 +337,68 @@ def test_nested_mapped_dml_with_cdf(spark, tmp_path):
     changes = delta_cdf(spark, str(base), since_version=0)
     dels = changes.where("_change_type = 'delete'").collect()
     assert [(r.id, r.s.x, r.s.y) for r in dels] == [(1, 10, "ten")]
+
+
+def test_nested_mapped_streaming(spark, tmp_path):
+    """delta_lite streams a NESTED column-mapped table (r13): the
+    last batch/stream asymmetry.  Rows arrive under the logical
+    schema (struct/array levels relabeled positionally from the
+    physical spellings), a mid-stream append flows, and
+    readChangeFeed delivers logical-named change rows."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    base = tmp_path / "nstream"
+    _nested_mapped_table(spark, base)
+
+    seen: list = []
+    q = (
+        read_delta_stream(spark, str(base))
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert sorted(
+        (r.id, r.s.x, r.s.y, [e.q for e in r.items]) for r in seen
+    ) == [(1, 10, "ten", [100, 101]), (2, 20, "twenty", [200])]
+
+    # mid-stream append through the nested-mapped writer (logical
+    # names in, physical names on disk)
+    write_delta_append(
+        spark.createDataFrame(
+            [(3, (30, "thirty"), [(300,)])],
+            "id long, s struct<x: long, y: string>, "
+            "items array<struct<q: long>>",
+        ),
+        str(base),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.id for r in seen) == [1, 2, 3]
+    assert [
+        (r.s.x, [e.q for e in r.items]) for r in seen if r.id == 3
+    ] == [(30, [300])]
+
+    # CDF mode: logical-named change rows with the change metadata
+    changes: list = []
+    q2 = (
+        read_delta_stream(spark, str(base), read_change_feed=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: changes.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert {r._change_type for r in changes} == {"insert"}
+    assert sorted((r.id, r.s.y) for r in changes) == [
+        (1, "ten"), (2, "twenty"), (3, "thirty"),
+    ]

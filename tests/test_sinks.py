@@ -5011,3 +5011,97 @@ def test_streaming_scd2_mirror(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert hist() == expect
+
+
+def test_hudi_stream_cdf_retired_log_born_group(spark, tmp_path):
+    """Streaming twin of the batch log-born clustering window (r13):
+    a replacecommit retiring a group that exists only as log blocks
+    emits its base-less merged pre-state as delete change rows."""
+    import json as _json
+
+    from glue_table_cache_spark.sinks.hudi_log_write import (
+        write_hudi_log,
+    )
+    from glue_table_cache_spark.sinks.hudi_write import (
+        write_hudi_append,
+    )
+    from glue_table_cache_spark.streaming.hudi_source import (
+        read_hudi_stream,
+    )
+    from tests.test_hudi import _stage_parquet
+
+    loc = tmp_path / "slogborn"
+    write_hudi_append(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        str(loc),
+        table_type="MERGE_ON_READ",
+    )
+    i2 = int(
+        write_hudi_log(
+            spark, str(loc), "id",
+            upserts=spark.createDataFrame(
+                [(2, "b"), (3, "c")], "id long, v string"
+            ),
+        )
+    )
+    i3 = int(
+        write_hudi_log(
+            spark, str(loc), "id",
+            upserts=spark.createDataFrame(
+                [(3, "C2")], "id long, v string"
+            ),
+            delete_keys=[2],
+        )
+    )
+    dc = _json.loads(
+        (loc / ".hoodie" / f"{i2}.deltacommit").read_text()
+    )
+    fid = next(
+        st["fileId"]
+        for stats in dc["partitionToWriteStats"].values()
+        for st in stats
+        if st.get("fileId")
+    )
+    i4 = i3 + 1
+    new_base = f"clustered-0_0-0-0_{i4}.parquet"
+    _stage_parquet(
+        spark.createDataFrame([(3, "C2")], "id long, v string"),
+        loc / new_base,
+    )
+    (loc / ".hoodie" / f"{i4}.replacecommit").write_text(
+        _json.dumps(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "clustered-0", "path": new_base,
+                         "partitionPath": ""}
+                    ]
+                },
+                "partitionToReplaceFileIds": {"": [fid]},
+            }
+        )
+    )
+    seen: list = []
+    q = (
+        read_hudi_stream(
+            spark,
+            str(loc),
+            starting_instant=i3,  # only the replacecommit window
+            read_change_feed=True,
+            record_key_field="id",
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(
+        (r.id, r.v, r._change_type) for r in seen
+    ) == [
+        (3, "C2", "delete"),
+        (3, "C2", "insert"),
+    ]
+    assert {r._commit_version for r in seen} == {i4}
