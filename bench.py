@@ -360,10 +360,11 @@ def _log_replay(spark, sf):
 
 
 _meta_warmed = False
-_META_DIR = "/tmp/gtc_meta_walk_v2"
+_META_DIR = "/tmp/gtc_meta_walk_v3"  # v3: partitioned (prune labels)
 _META_DELTA_ADDS = 300_000
 _META_ICE_MANIFESTS = 512
 _META_ICE_ENTRIES = 400
+_META_PARTS = 16  # files spread across p=0..15; prune asks for one
 
 
 def _ensure_meta_walk(spark) -> tuple[str, str]:
@@ -418,8 +419,30 @@ def _ensure_meta_walk(spark) -> tuple[str, str]:
     _write_checkpoint(
         log_dir,
         0,
-        {f"part-{i:06d}.parquet": {} for i in range(_META_DELTA_ADDS)},
+        {
+            f"p={i % _META_PARTS}/part-{i:06d}.parquet": {
+                "p": str(i % _META_PARTS)
+            }
+            for i in range(_META_DELTA_ADDS)
+        },
         num_parts=8,
+        # real checkpoints carry the full metaData action — the r13
+        # predicate pushdown late-binds against its schemaString and
+        # partitionColumns
+        metadata={
+            "schemaString": _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "long",
+                         "nullable": True, "metadata": {}},
+                        {"name": "p", "type": "string",
+                         "nullable": True, "metadata": {}},
+                    ],
+                }
+            ),
+            "partitionColumns": ["p"],
+        },
     )
     meta_dir = ice_tbl / "metadata"
     meta_dir.mkdir(parents=True)
@@ -440,7 +463,7 @@ def _ensure_meta_walk(spark) -> tuple[str, str]:
                             f"data/part-{m}-{e}.parquet"
                         ),
                         "file_format": "PARQUET",
-                        "partition": None,
+                        "partition": {"p": str(m % _META_PARTS)},
                         "record_count": 100,
                         "file_size_in_bytes": 1000,
                         "equality_ids": None,
@@ -478,10 +501,22 @@ def _ensure_meta_walk(spark) -> tuple[str, str]:
                         "type": "struct",
                         "fields": [
                             {"id": 1, "name": "id",
-                             "required": False, "type": "long"}
+                             "required": False, "type": "long"},
+                            {"id": 2, "name": "p",
+                             "required": False, "type": "string"},
                         ],
                     }
                 ],
+                "partition-specs": [
+                    {
+                        "spec-id": 0,
+                        "fields": [
+                            {"name": "p", "transform": "identity",
+                             "source-id": 2, "field-id": 1000}
+                        ],
+                    }
+                ],
+                "default-spec-id": 0,
                 "snapshots": [
                     {
                         "snapshot-id": 1001,
@@ -528,6 +563,61 @@ def _meta_walk(fmt: str, distributed: bool):
                 n = len(entries)
             finally:
                 ice.DISTRIBUTED_MANIFEST_MIN_COUNT = old
+        return spark.createDataFrame([(n,)], "n long")
+
+    return run
+
+
+def _meta_prune(fmt: str):
+    """r13 predicate pushdown over the many-file fixtures: the same
+    forced-distributed walk as the meta_walk labels, but with a
+    one-of-16-partitions predicate pushed INTO the executor decode —
+    the driver collects only the surviving 1/16th of the adds /
+    manifest entries, and the label ASSERTS that count so a silent
+    pushdown regression reads as a failure, not a slow run."""
+
+    def run(spark, sf):
+        import glue_table_cache_spark.sources.delta as d
+        import glue_table_cache_spark.sources.iceberg as ice
+        from glue_table_cache_spark.meta_prune import (
+            delta_prune_factory,
+            iceberg_prune_factory,
+        )
+
+        delta_loc, ice_loc = _ensure_meta_walk(spark)
+        q = "SELECT * FROM t WHERE p = '7'"
+        if fmt == "delta":
+            old = d.DISTRIBUTED_CHECKPOINT_MIN_BYTES
+            d.DISTRIBUTED_CHECKPOINT_MIN_BYTES = 0
+            try:
+                factory = delta_prune_factory(
+                    q, ["p"], {"t"}, False
+                )
+                entries, _r = d.delta_scan_info(
+                    delta_loc, prune_factory=factory
+                )
+            finally:
+                d.DISTRIBUTED_CHECKPOINT_MIN_BYTES = old
+            assert factory.applied
+            want = _META_DELTA_ADDS // _META_PARTS
+        else:
+            old = ice.DISTRIBUTED_MANIFEST_MIN_COUNT
+            ice.DISTRIBUTED_MANIFEST_MIN_COUNT = 1
+            try:
+                factory = iceberg_prune_factory(
+                    q, ["p"], {"t"}, False
+                )
+                entries, _pos, _eq = ice.iceberg_scan_details(
+                    ice_loc, prune_factory=factory
+                )
+            finally:
+                ice.DISTRIBUTED_MANIFEST_MIN_COUNT = old
+            assert factory.applied
+            want = (
+                _META_ICE_MANIFESTS * _META_ICE_ENTRIES
+            ) // _META_PARTS
+        n = len(entries)
+        assert n == want, f"pushdown collected {n}, wanted {want}"
         return spark.createDataFrame([(n,)], "n long")
 
     return run
@@ -819,6 +909,12 @@ BENCH_QUERIES = [
     ("meta_walk_delta_dist", _meta_walk("delta", True)),
     ("meta_walk_iceberg_driver", _meta_walk("iceberg", False)),
     ("meta_walk_iceberg_dist", _meta_walk("iceberg", True)),
+    # r13 pushdown: same walks with a 1-of-16-partitions predicate in
+    # the executor decode — the driver collects 1/16th of the entries
+    # (asserted).  Read against the _dist legs: the pruned walk should
+    # be at-or-below them, and its driver_cpu a fraction of wall.
+    ("meta_prune_delta", _meta_prune("delta")),
+    ("meta_prune_iceberg", _meta_prune("iceberg")),
 ]
 
 #: labels timed with fewer repeats: the Delta metadata-walk pair
@@ -829,6 +925,8 @@ BENCH_QUERIES = [
 _RUNS_OVERRIDE = {
     "meta_walk_delta_driver": 1,
     "meta_walk_delta_dist": 1,
+    "meta_prune_delta": 1,
+    "meta_prune_iceberg": 1,
 }
 
 
@@ -876,6 +974,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     envelope: dict[str, list[float]] = {}
+    driver_cpu: dict[str, float] = {}
     total = 0.0
     for label, fn in BENCH_QUERIES:
         # NOTE: a forced System.gc() between labels was tried and made
@@ -885,15 +984,24 @@ def main() -> None:
         # heavy dedup pipelines pays ~7s of whole-stage-codegen
         # compilation (measured: 10.6s, 3.6s, 3.1s, 2.8s consecutively)
         # — a fixed cost amortized to nothing over a real workload.
-        runs, n = [], 0
+        runs, cpus, n = [], [], 0
         for _ in range(_RUNS_OVERRIDE.get(label, 3)):
             t0 = time.time()
+            c0 = time.process_time()
             n = len(fn(spark, sf_dir).collect())
+            cpus.append(time.process_time() - c0)
             runs.append(time.time() - t0)
+        cpus = [c for _r, c in sorted(zip(runs, cpus))]
         runs.sort()
         dt = round(runs[0], 3)
         timings[label] = dt
         envelope[label] = [round(r, 3) for r in runs]
+        # driver-process CPU of the best run: the object-store
+        # evidence for the metadata-walk pairs — the driver legs burn
+        # ~their whole wall as driver CPU (serial decode), the
+        # distributed/pruned legs a fraction (the decode happened in
+        # workers/JVM) — measured, not asserted
+        driver_cpu[label] = round(cpus[0], 3)
         total += dt
         print(f"# {label}: {dt}s ({n} rows)", file=sys.stderr)
 
@@ -910,6 +1018,7 @@ def main() -> None:
         # ratios and treats runs whose own envelope spans 2x+ as
         # host noise, no worktree A/B needed
         "envelope": envelope,
+        "driver_cpu": driver_cpu,
         "calibration": {
             "query": "fixed lineitem agg (r12, never changes)",
             "start_sec": cal_start,

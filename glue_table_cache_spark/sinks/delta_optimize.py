@@ -35,9 +35,10 @@ logical one — projecting logically and writing that back would
 silently re-key every file, the exact data-loss shape the r11
 Iceberg OPTIMIZE fix closed), ``zorder_by`` names map logical →
 physical, and footer stats key physically per the protocol's
-convention for mapped tables.  Only PARTITIONED mapped tables still
-refuse (partition directories and log partitionValues key on
-physical names while the maintenance surface speaks logical).
+convention for mapped tables.  PARTITIONED mapped tables compact too
+(r13): the per-partition groups carry the log's physical-keyed
+partitionValues verbatim into the staged directories and the new
+adds, and only the ``WHERE`` predicate (logical names) translates.
 """
 
 from __future__ import annotations
@@ -56,6 +57,9 @@ from glue_table_cache_spark.sinks.delta_write import (
     _footer_stats_json,
     _next_version,
     serialize_actions,
+)
+from glue_table_cache_spark.sinks.hive_paths import (
+    escape_partition_value,
 )
 
 
@@ -109,17 +113,16 @@ def optimize_delta(
         with_physical_schema=True,
     )
     if renames is not None:
-        if any(pv for _p, pv, _dv in entries):
-            raise GlueSparkError(
-                "optimize_delta on a table that is both PARTITIONED "
-                "and column-mapped: partition directories key on "
-                "physical names; use a Delta runtime for this "
-                "combination"
-            )
         # mapped rewrite stays PHYSICAL end to end: scan with the
         # fully-physical schema (files lacking a later-added column
         # surface nulls, like the logical path), zorder names map
-        # below — the logical schema never touches the bytes
+        # below — the logical schema never touches the bytes.
+        # Partitioned + mapped (r13; previously refused): the log's
+        # partitionValues and the staging directories both key on
+        # PHYSICAL names, which is exactly what the per-partition
+        # groups below carry, so the rewrite preserves them verbatim;
+        # only the WHERE predicate speaks logical, translated at the
+        # prune
         log_schema = phys_schema
         zorder_by = [
             {v: k for k, v in renames.items()}.get(c, c)
@@ -139,7 +142,12 @@ def optimize_delta(
             prune_files,
         )
 
-        keys = sorted({k for key in groups for k, _v in key})
+        # the WHERE clause speaks LOGICAL names; mapped tables' group
+        # keys are physical — prune over the logical translation
+        logical_of = renames or {}
+        keys = sorted(
+            {logical_of.get(k, k) for key in groups for k, _v in key}
+        )
         if not keys:
             raise GlueSparkError(
                 "OPTIMIZE ... WHERE on an unpartitioned table: "
@@ -155,8 +163,13 @@ def optimize_delta(
             f.path
             for f in prune_files(
                 [
-                    FileInfo("/".join(str(v) for _k, v in key) or ".",
-                             dict(key))
+                    FileInfo(
+                        "/".join(str(v) for _k, v in key) or ".",
+                        {
+                            logical_of.get(k, k): v
+                            for k, v in key
+                        },
+                    )
                     for key in groups
                 ],
                 pred,
@@ -236,10 +249,18 @@ def optimize_delta(
         else:
             df = df.repartition(n)
         stage = base / f"_staging_{batch}" / (
-            "-".join(f"{k}={v}" for k, v in key) or "root"
+            "-".join(
+                f"{k}={escape_partition_value(v)}" for k, v in key
+            )
+            or "root"
         )
         df.write.mode("overwrite").parquet(str(stage))
-        part_dir = "/".join(f"{k}={v}" for k, v in key)
+        # the destination keeps the writers' escaped directory
+        # spelling (partitionValues carries the raw value) — the
+        # hive_paths round-trip Spark's discovery expects
+        part_dir = "/".join(
+            f"{k}={escape_partition_value(v)}" for k, v in key
+        )
         for p in sorted(stage.rglob("part-*.parquet")):
             name = f"part-{batch}-{len(adds):05d}.parquet"
             rel = f"{part_dir}/{name}" if part_dir else name

@@ -402,3 +402,138 @@ def test_nested_mapped_streaming(spark, tmp_path):
     assert sorted((r.id, r.s.y) for r in changes) == [
         (1, "ten"), (2, "twenty"), (3, "thirty"),
     ]
+
+
+def _partitioned_mapped_table(spark, base):
+    """A flat column-mapped PARTITIONED table: logical (id, v, p) with
+    physical (col-1, col-2, col-p); data files under physical
+    ``col-p=<v>`` dirs, add partitionValues keyed physically — the
+    shape real mapped writers produce."""
+    base.mkdir(parents=True)
+    files = []
+    for i, (pval, rows) in enumerate(
+        [
+            ("a", [(1, "x")]),
+            ("a", [(2, "y")]),
+            ("b", [(3, "z")]),
+            ("b", [(4, "w")]),
+        ]
+    ):
+        df = spark.createDataFrame(
+            rows, "`col-1` long, `col-2` string"
+        )
+        stage = base / f"_s{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        rel = f"col-p={pval}/part-{i}.parquet"
+        (base / f"col-p={pval}").mkdir(exist_ok=True)
+        next(stage.glob("part-*.parquet")).rename(base / rel)
+        import shutil
+
+        shutil.rmtree(stage)
+        files.append((rel, pval))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id", "type": "long", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-1",
+                },
+            },
+            {
+                "name": "v", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-2",
+                },
+            },
+            {
+                "name": "p", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-p",
+                },
+            },
+        ],
+    }
+    log = base / "_delta_log"
+    log.mkdir()
+    actions = [
+        {
+            "metaData": {
+                "id": "m",
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["p"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "format": {"provider": "parquet", "options": {}},
+            }
+        },
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+    ] + [
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {"col-p": pval},
+                "size": (base / rel).stat().st_size,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for rel, pval in files
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+
+def test_partitioned_mapped_optimize(spark, tmp_path):
+    """OPTIMIZE on a table that is both PARTITIONED and column-mapped
+    (r13; previously refused): each partition compacts under its
+    physical ``k=v`` directory, the new adds preserve the
+    physical-keyed partition tuples, values survive, and a WHERE
+    predicate (logical names) scopes the rewrite."""
+    from glue_table_cache_spark.sinks.delta_optimize import (
+        optimize_delta,
+    )
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    base = tmp_path / "pmopt"
+    _partitioned_mapped_table(spark, base)
+
+    def state():
+        entries, renames = delta_scan_info(
+            str(base), allow_nested_mapping=True
+        )
+        assert renames == {"col-1": "id", "col-2": "v", "col-p": "p"}
+        rows = []
+        for path, pv, _dv in entries:
+            for r in spark.read.parquet(path).collect():
+                rows.append((r["col-1"], r["col-2"], pv["col-p"]))
+        return entries, sorted(rows)
+
+    entries0, rows0 = state()
+    assert len(entries0) == 4
+    # scoped rewrite: only partition a compacts
+    v = optimize_delta(
+        spark, str(base), partition_predicate="p = 'a'"
+    )
+    assert v is not None
+    entries1, rows1 = state()
+    assert rows1 == rows0
+    by_part: dict = {}
+    for path, pv, _dv in entries1:
+        by_part.setdefault(pv["col-p"], []).append(path)
+    assert len(by_part["a"]) == 1 and len(by_part["b"]) == 2
+    assert "col-p=a/" in by_part["a"][0]
+    # full rewrite compacts the rest
+    v2 = optimize_delta(spark, str(base))
+    assert v2 is not None
+    entries2, rows2 = state()
+    assert rows2 == rows0
+    assert len(entries2) == 2
+    for path, pv, _dv in entries2:
+        assert f"col-p={pv['col-p']}/" in path
