@@ -25,8 +25,10 @@ prior state's files at their ``(file_path, pos)`` targets,
 executor-side); a snapshot that ADDS equality-delete files
 synthesizes too (r12 — per prior-state file, null-safe value match
 under the spec's strictly-less sequence scoping, executor-side).
-What still refuses: un-compacted delete-file REMOVAL (batch
-``iceberg_table_changes`` synthesizes resurrections).  Metadata-only
+Delete-file REMOVAL outside a replace synthesizes the resurrected
+rows as inserts (r13 — per kept data file, minus what the current
+deletes still mask), so the batch/stream refusal matrix stays
+identical.  Metadata-only
 commits (snapshot expiry bumps the sequence number without adding a
 snapshot) are legitimate gaps in the sequence axis and stream as
 empty batches.
@@ -294,9 +296,11 @@ def _stream_changes(
       commit) already killed;
     * a ``replace`` snapshot (compaction) is content-preserving by
       definition and emits nothing;
-    * what still refuses: delete-file REMOVAL outside a replace
-      (process the window in batch — iceberg_table_changes
-      synthesizes resurrections)."""
+    * delete-file REMOVAL outside a replace (r13) → one ``("respos",
+      …)`` / ``("reseq", …)`` partition per kept data file the
+      removed files had masked: the executor resurrects those rows
+      as inserts, minus what the current deletes still mask —
+      mirroring the batch ``_resurrected_*_rows`` synthesis."""
     from glue_table_cache_spark.sources.iceberg import (
         _field_names_by_id,
         _strip_path,
@@ -338,14 +342,16 @@ def _stream_changes(
                 )
             prev_data, prev_pos, prev_eq = cur_data, cur_pos, cur_eq
             continue
-        if set(prev_eq) - set(cur_eq) or prev_pos - cur_pos:
-            raise GlueSparkError(
-                f"Iceberg snapshot seq {seq} of {location!r} "
-                "removes row-level delete files outside a replace "
-                "— process the window in batch: "
-                "iceberg_table_changes() synthesizes the "
-                "resurrected rows"
-            )
+        # delete-file REMOVAL outside a replace (r13: previously
+        # refused toward batch): previously-masked rows of the KEPT
+        # data files resurrect as inserts, minus whatever the CURRENT
+        # deletes still mask — one executor partition per kept file,
+        # the streaming twin of the batch resurrection synthesis
+        removed_pos = sorted(prev_pos - cur_pos)
+        removed_eq = [
+            prev_eq[p]
+            for p in sorted(set(prev_eq) - set(cur_eq))
+        ]
         new_pos = sorted(cur_pos - prev_pos)
         prior_pos = sorted(prev_pos)
         new_eq = [
@@ -400,6 +406,41 @@ def _stream_changes(
                     (
                         "eqdel", path, pv, fseq, list(new_eq),
                         list(prior_eq), prior_pos, new_pos, seq,
+                    )
+                )
+        kept = sorted(set(prev_data) & set(cur_data))
+        cur_eq_list = [cur_eq[p] for p in sorted(cur_eq)]
+        cur_pos_list = sorted(cur_pos)
+        if removed_pos and kept:
+            from glue_table_cache_spark.sources.delta import (
+                hadoop_uri_encode,
+            )
+
+            targets = _posdel_targets(removed_pos)
+            by_stripped = {
+                _strip_path(hadoop_uri_encode(p)): p for p in kept
+            }
+            for stripped in sorted(targets):
+                p = by_stripped.get(stripped)
+                if p is None:
+                    continue  # dangling: target gone, nothing emits
+                pv, fseq = prev_data[p]
+                out.append(
+                    (
+                        "respos", p, pv, fseq, removed_pos,
+                        cur_pos_list, cur_eq_list, seq,
+                    )
+                )
+        if removed_eq and kept:
+            for p in kept:
+                pv, fseq = prev_data[p]
+                if not any(fseq < d["seq"] for d in removed_eq):
+                    continue  # scoping: the removed file never
+                    # applied to this data file
+                out.append(
+                    (
+                        "reseq", p, pv, fseq, removed_eq,
+                        removed_pos, cur_pos_list, cur_eq_list, seq,
                     )
                 )
         prev_data, prev_pos, prev_eq = cur_data, cur_pos, cur_eq
@@ -462,6 +503,40 @@ class IcebergEqDeletePartition(InputPartition):
         self.prior_eq = prior_eq
         self.prior_pos = prior_pos
         self.new_pos = new_pos
+        self.sequence_number = sequence_number
+
+
+class IcebergResurrectPartition(InputPartition):
+    """One delete-file-REMOVAL synthesis partition (r13): the rows of
+    ``path`` the removed delete files had masked — position targets
+    for ``kind='pos'``, seq-scoped value matches for ``kind='eq'`` —
+    minus whatever the CURRENT position/equality deletes still mask,
+    emit as ``insert`` change rows: the streaming side of the batch
+    ``_resurrected_position_rows`` / ``_resurrected_equality_rows``
+    synthesis.  Dual-kind removals stay emit-once: the eq direction
+    subtracts the removed position files' targets (the pos direction
+    owns those rows)."""
+
+    def __init__(
+        self,
+        kind: str,
+        path: str,
+        partition_values: dict[str, str],
+        fseq: int,
+        removed: list,
+        removed_pos: list[str],
+        cur_pos: list[str],
+        cur_eq: list[dict],
+        sequence_number: int,
+    ):
+        self.kind = kind
+        self.path = path
+        self.partition_values = partition_values
+        self.fseq = fseq
+        self.removed = removed
+        self.removed_pos = removed_pos
+        self.cur_pos = cur_pos
+        self.cur_eq = cur_eq
         self.sequence_number = sequence_number
 
 
@@ -650,6 +725,28 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                             prior_pos, new_pos, seq,
                         )
                     )
+                elif unit[0] == "respos":
+                    (
+                        _k, path, pv, fseq, removed_pos,
+                        cur_pos, cur_eq, seq,
+                    ) = unit
+                    parts.append(
+                        IcebergResurrectPartition(
+                            "pos", path, pv, fseq, removed_pos,
+                            removed_pos, cur_pos, cur_eq, seq,
+                        )
+                    )
+                elif unit[0] == "reseq":
+                    (
+                        _k, path, pv, fseq, removed_eq,
+                        removed_pos, cur_pos, cur_eq, seq,
+                    ) = unit
+                    parts.append(
+                        IcebergResurrectPartition(
+                            "eq", path, pv, fseq, removed_eq,
+                            removed_pos, cur_pos, cur_eq, seq,
+                        )
+                    )
                 else:
                     _k, path, pv, ct, seq, mask = unit
                     parts.append(
@@ -666,6 +763,54 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition) -> Iterator:
+        if isinstance(partition, IcebergResurrectPartition):
+            if partition.kind == "pos":
+                keep = set(
+                    _positions_for(
+                        partition.path,
+                        partition.removed,
+                        minus=partition.cur_pos,
+                    )
+                )
+            else:
+                keep = _eq_match_positions(
+                    partition.path,
+                    partition.fseq,
+                    partition.removed,
+                    phys_of=self._phys_of,
+                )
+                if keep:
+                    # the pos direction owns dual-kind-masked rows,
+                    # and rows current position deletes still target
+                    # never became visible
+                    keep -= set(
+                        _positions_for(
+                            partition.path,
+                            list(partition.removed_pos)
+                            + list(partition.cur_pos),
+                        )
+                    )
+            if keep and partition.cur_eq:
+                # surviving equality deletes still mask these
+                keep -= _eq_match_positions(
+                    partition.path,
+                    partition.fseq,
+                    partition.cur_eq,
+                    phys_of=self._phys_of,
+                )
+            if keep:
+                yield from read_file_partition(
+                    partition.path,
+                    partition.partition_values,
+                    self._schema,
+                    constants={
+                        "_change_type": "insert",
+                        "_commit_version": partition.sequence_number,
+                    },
+                    row_indices=sorted(keep),
+                    physical_names=self._phys_of,
+                )
+            return
         if isinstance(partition, IcebergEqDeletePartition):
             matched = _eq_match_positions(
                 partition.path,
@@ -805,10 +950,10 @@ def read_iceberg_stream(
     the table's columns plus ``_change_type`` (insert / delete,
     synthesized from consecutive-snapshot file diffs along the
     sequence axis) and ``_commit_version`` (the sequence number), so
-    a mid-stream overwrite arrives as change rows and a row-level
-    DELETE (position deletes) as its SYNTHESIZED deleted rows;
-    compaction (``replace``) emits nothing; equality-delete changes
-    refuse."""
+    a mid-stream overwrite arrives as change rows, a row-level
+    DELETE (position or equality deletes) as its SYNTHESIZED deleted
+    rows, and a delete-file removal as its resurrected inserts;
+    compaction (``replace``) emits nothing."""
     spark.dataSource.register(IcebergLiteDataSource)
     reader = spark.readStream.format("iceberg_lite").option(
         "location", location

@@ -174,27 +174,44 @@ def _gen_op(rng: random.Random, next_id: list[int]) -> _Op:
     )
 
 
-@pytest.mark.parametrize("seed", SEEDS)
-def test_dml_fuzz_matches_duckdb(spark, tmp_path, seed):
-    from glue_table_cache_spark.sinks.delta_write import (
-        write_delta_append,
-    )
-
+def _run_fuzz_seq(spark, tmp_path, seed, fmt):
+    """One seeded sequence against one target format — the engine's
+    SQL DML dispatches on the catalog's format markers, so the same
+    statements drive the Delta DV/rewrite paths, the Iceberg
+    position-delete/replacement-snapshot paths, and the Hudi COW
+    replacecommit paths."""
     rng = random.Random(1000 + seed)
     rows = _seed_rows(rng)
     df = spark.createDataFrame(rows, "id long, cat string, val long")
-    loc = tmp_path / f"fuzz{seed}"
-    partitioned = seed % 2 == 1  # odd seeds: partition-aware DML
-    write_delta_append(
-        df.coalesce(2),
-        str(loc),
-        partition_by=["cat"] if partitioned else None,
-    )
+    loc = tmp_path / f"fuzz{fmt}{seed}"
+    partitioned = fmt == "delta" and seed % 2 == 1
+    if fmt == "delta":
+        from glue_table_cache_spark.sinks.delta_write import (
+            write_delta_append,
+        )
+
+        write_delta_append(
+            df.coalesce(2),
+            str(loc),
+            partition_by=["cat"] if partitioned else None,
+        )
+        params = {"spark.sql.sources.provider": "delta"}
+    elif fmt == "iceberg":
+        from glue_table_cache_spark.sinks.iceberg_write import (
+            write_iceberg_append,
+        )
+
+        write_iceberg_append(df.coalesce(2), str(loc))
+        params = {"table_type": "ICEBERG"}
+    else:
+        from glue_table_cache_spark.sinks.hudi_write import (
+            write_hudi_append,
+        )
+
+        write_hudi_append(df.coalesce(2), str(loc))
+        params = {"hoodie.table.name": "t"}
     store = LocalMetadataStore()
-    store.register_parquet_dir(
-        "db", "t", str(loc),
-        parameters={"spark.sql.sources.provider": "delta"},
-    )
+    store.register_parquet_dir("db", "t", str(loc), parameters=params)
     eng = GlueSparkEngine(spark, store)
     duck = duckdb.connect()
     duck.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, val BIGINT)")
@@ -221,7 +238,92 @@ def test_dml_fuzz_matches_duckdb(spark, tmp_path, seed):
             ).fetchall())
         )
         assert got == want, (
-            f"seed={seed} partitioned={partitioned} diverged at "
-            f"step {step}: {history}\nspark={got[:20]}...\n"
-            f"duck={want[:20]}..."
+            f"fmt={fmt} seed={seed} partitioned={partitioned} "
+            f"diverged at step {step}: {history}\n"
+            f"spark={got[:20]}...\nduck={want[:20]}..."
         )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dml_fuzz_delta_matches_duckdb(spark, tmp_path, seed):
+    _run_fuzz_seq(spark, tmp_path, seed, "delta")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dml_fuzz_iceberg_matches_duckdb(spark, tmp_path, seed):
+    _run_fuzz_seq(spark, tmp_path, seed, "iceberg")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dml_fuzz_hudi_matches_duckdb(spark, tmp_path, seed):
+    _run_fuzz_seq(spark, tmp_path, seed, "hudi")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dml_fuzz_cdf_replay_reconstructs_state(
+    spark, tmp_path, seed
+):
+    """CDC-synthesis differential: the same fuzzed sequences on a
+    CDF-ENABLED Delta table, then the change feed from version 0
+    replays (per version: delete/update_preimage keys out, insert/
+    update_postimage rows in) to EXACTLY the final table — every cdc
+    file the DML writers emitted and every synthesized window agrees
+    with the state the statements actually produced."""
+    from glue_table_cache_spark.sinks.delta_write import (
+        write_delta_append,
+    )
+    from glue_table_cache_spark.sources.delta import delta_cdf
+
+    rng = random.Random(7000 + seed)
+    rows = _seed_rows(rng)
+    df = spark.createDataFrame(rows, "id long, cat string, val long")
+    loc = tmp_path / f"cdffuzz{seed}"
+    write_delta_append(df.coalesce(2), str(loc))
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "t", str(loc),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    eng.sql(
+        "ALTER TABLE glue.db.t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed'='true')"
+    )
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, val BIGINT)")
+    duck.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    next_id = [N_ROWS]
+    for _step in range(OPS_PER_SEQ):
+        op = _gen_op(rng, next_id)
+        for s in op.spark_stmts:
+            eng.sql(s).collect()
+        for s in op.duck_stmts:
+            duck.execute(s)
+    final = sorted(
+        (r.id, r.cat, r.val)
+        for r in eng.sql(
+            "SELECT id, cat, val FROM glue.db.t"
+        ).collect()
+    )
+    assert final == sorted(
+        map(tuple, duck.execute(
+            "SELECT id, cat, val FROM t"
+        ).fetchall())
+    )
+    # since_version is EXCLUSIVE (the engine's commit-window
+    # convention) — seed the replay with version 0's rows
+    changes = delta_cdf(spark, str(loc), since_version=0).collect()
+    by_ver: dict = {}
+    for r in changes:
+        by_ver.setdefault(r._commit_version, []).append(r)
+    state: dict = {i: (i, c, v) for i, c, v in rows}
+    for ver in sorted(by_ver):
+        for r in by_ver[ver]:
+            if r._change_type in ("delete", "update_preimage"):
+                state.pop(r.id, None)
+        for r in by_ver[ver]:
+            if r._change_type in ("insert", "update_postimage"):
+                state[r.id] = (r.id, r.cat, r.val)
+    assert sorted(state.values()) == final, (
+        f"seed={seed}: CDF replay diverged from the final table"
+    )

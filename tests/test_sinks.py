@@ -5105,3 +5105,121 @@ def test_hudi_stream_cdf_retired_log_born_group(spark, tmp_path):
         (3, "C2", "insert"),
     ]
     assert {r._commit_version for r in seen} == {i4}
+
+
+def test_iceberg_stream_cdf_delete_file_removal_resurrects(
+    spark, tmp_path
+):
+    """The CDF stream synthesizes delete-file REMOVAL windows (r13;
+    previously refused toward batch): removing a position-delete
+    file streams the rows it had masked as inserts, a removal under
+    a SURVIVING equality delete emits only what nothing still masks,
+    and a dual-kind removal emits each row once — mirroring the
+    batch resurrection synthesis."""
+    from glue_table_cache_spark.sources.iceberg_fixture import (
+        build_iceberg_table,
+    )
+    from glue_table_cache_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    # pos removal resurrects the masked row
+    base = build_iceberg_table(
+        tmp_path / "sres_pos",
+        [
+            a,  # seq 1
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+            },  # seq 2
+            {"add": None, "drop_deletes": True},  # seq 3
+        ],
+    )
+
+    def window(loc, start):
+        seen: list = []
+        q = (
+            read_iceberg_stream(
+                spark, str(loc),
+                starting_sequence=start,
+                read_change_feed=True,
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: seen.extend(df.collect())
+            )
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck{loc.name}{start}"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in seen
+        )
+
+    assert window(base, 3) == [(2, "b", "insert", 3)]
+
+    # eq removal under a surviving eq file masking a DIFFERENT row
+    base2 = build_iceberg_table(
+        tmp_path / "sres_eq",
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },  # seq 2 (eq-manifest-2)
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 3}]},
+            },  # seq 3
+            {"add": None, "drop_deletes": ["eq-manifest-2"]},  # seq 4
+        ],
+    )
+    assert window(base2, 4) == [(2, "b", "insert", 4)]
+
+    # surviving eq file still masks the SAME row: nothing emits
+    base3 = build_iceberg_table(
+        tmp_path / "sres_masked",
+        [
+            a,
+            {
+                "add": None,
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {
+                "add": None,
+                "eq_delete": {
+                    "columns": ["id"],
+                    "rows": [{"id": 2}, {"id": 3}],
+                },
+            },
+            {"add": None, "drop_deletes": ["eq-manifest-2"]},
+        ],
+    )
+    assert window(base3, 4) == []
+
+    # dual-kind removal: a row masked by BOTH a removed position
+    # delete and a removed equality delete resurrects exactly once
+    base4 = build_iceberg_table(
+        tmp_path / "sres_dual",
+        [
+            a,
+            {
+                "add": None,
+                "pos_delete": {
+                    "part-1.parquet": lambda pdf: pdf["id"] == 2
+                },
+                "eq_delete": {"columns": ["id"], "rows": [{"id": 2}]},
+            },
+            {"add": None, "drop_deletes": True},
+        ],
+    )
+    assert window(base4, 3) == [(2, "b", "insert", 3)]
