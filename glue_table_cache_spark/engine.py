@@ -2367,9 +2367,7 @@ class GlueSparkEngine:
             raise NoStorageLocationError(table.database, table.name)
         keys = [k.name for k in table.partition_keys]
         lkey = listing_cache_key(table.location, keys)
-        self._listing_keys.setdefault(
-            table_cache_key(table.database, table.name), set()
-        ).add(lkey)
+        self._track_listing_key(table, lkey)
         return self._listing_cache.get_or_load(
             lkey, lambda: self._list_files(table)
         )
@@ -2445,10 +2443,28 @@ class GlueSparkEngine:
         a different query never serves from a narrower active set.
         All of a table's keys are recorded for invalidation."""
         key = f"format-scan:{tbl.location}{key_suffix}"
-        self._listing_keys.setdefault(
-            table_cache_key(tbl.database, tbl.name), set()
-        ).add(key)
+        self._track_listing_key(tbl, key)
         return self._listing_cache.get_or_load(key, load)
+
+    #: bound on tracked cache keys per table: each distinct pushed
+    #: predicate adds one fingerprint key, and a long-lived engine
+    #: serving ad-hoc WHEREs must not grow the side-map forever
+    _MAX_TRACKED_KEYS = 64
+
+    def _track_listing_key(self, tbl: CatalogTable, key: str) -> None:
+        """Record ``key`` for invalidate_table.  At the cap, an
+        arbitrary tracked predicate-scoped key is evicted from the
+        CACHE before being dropped from the map — the invariant that
+        every live cache entry has an invalidation record survives."""
+        keys = self._listing_keys.setdefault(
+            table_cache_key(tbl.database, tbl.name), set()
+        )
+        if key not in keys and len(keys) >= self._MAX_TRACKED_KEYS:
+            victim = next((k for k in keys if "#w:" in k), None)
+            if victim is not None:
+                self._listing_cache.invalidate(victim)
+                keys.discard(victim)
+        keys.add(key)
 
     def _format_scan_cached_pruned(
         self, tbl: CatalogTable, load: Callable, factory
@@ -2461,29 +2477,40 @@ class GlueSparkEngine:
         checkpoint / manifest set), the narrower result is cached
         under a predicate-fingerprint key so no other query ever
         serves from it.  A fresh bare-key entry is always preferred —
-        it answers every predicate."""
+        it answers every predicate.
+
+        The walk itself runs INSIDE ``get_or_load`` on the
+        fingerprint key, keeping the per-key single-flight and
+        retry/backoff every other format-scan load gets (two threads
+        with the same predicate walk once; different predicates on a
+        cold table each walk — their pruned sets differ anyway).
+        When the load comes back un-pruned (below the gate), the full
+        set is mirrored under the bare key so every other query
+        shares it."""
         if factory is None:
             return self._format_scan_cached(tbl, load)
-        tkey = table_cache_key(tbl.database, tbl.name)
         bare = f"format-scan:{tbl.location}"
         hit = self._listing_cache.peek(bare)
         if hit is not None:
-            self._listing_keys.setdefault(tkey, set()).add(bare)
+            self._track_listing_key(tbl, bare)
             return hit
         skey = f"{bare}#w:{factory.fingerprint}"
-        hit = self._listing_cache.peek(skey)
-        if hit is not None:
-            self._listing_keys.setdefault(tkey, set()).add(skey)
-            return hit
-        factory.applied = False
-        value = load()
-        return self._format_scan_cached(
-            tbl,
-            lambda: value,
-            key_suffix=(
-                f"#w:{factory.fingerprint}" if factory.applied else ""
-            ),
-        )
+        loaded: list = []
+
+        def loader():
+            loaded.append(True)
+            factory.applied = False
+            return load()
+
+        value = self._listing_cache.get_or_load(skey, loader)
+        self._track_listing_key(tbl, skey)
+        if loaded and not factory.applied:
+            # gate never crossed: this IS the full active set — share
+            # it under the bare key (a cache hit there means no other
+            # predicate ever re-walks this table)
+            self._listing_cache.get_or_load(bare, lambda: value)
+            self._track_listing_key(tbl, bare)
+        return value
 
     @staticmethod
     def _travel_timestamp_ms(literal: str) -> int:

@@ -80,6 +80,48 @@ def _live_predicates(preds: list[Predicate]) -> list[Predicate]:
     return [p for p in preds if not isinstance(p, TruePredicate)]
 
 
+def _assemble_predicates(
+    query: str,
+    catalog_keys: list[str],
+    idents: set[str],
+    stats_skipping: bool,
+    transform_fields: list[dict],
+    schema_cols: list[str],
+) -> tuple[list[Predicate], Predicate | None]:
+    """The SHARED prune-predicate assembly both formats run —
+    identical by construction so the Delta and Iceberg pushdowns can
+    never silently diverge: (1) the catalog partition-key predicate,
+    (2) the transform rewrite over the spec/generated fields' source
+    columns, (3) the zone-map stats predicate over the schema's
+    top-level columns.  Returns ``(partition_preds, stats_pred)``
+    with TruePredicates filtered out / None-ed."""
+    preds: list[Predicate] = []
+    if catalog_keys:
+        preds.append(
+            extract_partition_predicate(query, catalog_keys, idents)
+        )
+    if transform_fields:
+        from glue_table_cache_spark.sources.iceberg_partitioning import (  # noqa: E501
+            transform_partition_predicate,
+        )
+
+        srcs = sorted(
+            {f["source"] for f in transform_fields if f["source"]}
+        )
+        preds.append(
+            transform_partition_predicate(
+                extract_partition_predicate(query, srcs, idents),
+                transform_fields,
+            )
+        )
+    stats_pred: Predicate | None = None
+    if stats_skipping and schema_cols:
+        p = extract_partition_predicate(query, schema_cols, idents)
+        if not isinstance(p, TruePredicate):
+            stats_pred = p
+    return _live_predicates(preds), stats_pred
+
+
 class _DeltaPruneFactory:
     """``callable(replay_state) -> keep(path, pv, dv, stats) | None``.
 
@@ -128,39 +170,14 @@ class _DeltaPruneFactory:
         if schema is None:
             return None
 
-        preds: list[Predicate] = []
-        if self.catalog_keys:
-            preds.append(
-                extract_partition_predicate(
-                    self.query, self.catalog_keys, self.idents
-                )
-            )
-        gen_fields = generated_partition_fields(meta)
-        if gen_fields:
-            from glue_table_cache_spark.sources.iceberg_partitioning import (  # noqa: E501
-                transform_partition_predicate,
-            )
-
-            srcs = sorted(
-                {f["source"] for f in gen_fields if f["source"]}
-            )
-            preds.append(
-                transform_partition_predicate(
-                    extract_partition_predicate(
-                        self.query, srcs, self.idents
-                    ),
-                    gen_fields,
-                )
-            )
-        preds = _live_predicates(preds)
-        stats_pred: Predicate | None = None
-        if self.stats_skipping:
-            cols = [f.name for f in schema.fields]
-            p = extract_partition_predicate(
-                self.query, cols, self.idents
-            )
-            if not isinstance(p, TruePredicate):
-                stats_pred = p
+        preds, stats_pred = _assemble_predicates(
+            self.query,
+            self.catalog_keys,
+            self.idents,
+            self.stats_skipping,
+            generated_partition_fields(meta),
+            [f.name for f in schema.fields],
+        )
         if not preds and stats_pred is None:
             return None
 
@@ -224,7 +241,6 @@ class _IcebergPruneFactory:
         )
         from glue_table_cache_spark.sources.iceberg_partitioning import (
             iceberg_partition_fields,
-            transform_partition_predicate,
         )
 
         schema = iceberg_spark_schema(meta)
@@ -232,35 +248,17 @@ class _IcebergPruneFactory:
             # the engine's empty-scan fallback would need a sample
             # path; keep the full list so it always has one
             return None
-        preds: list[Predicate] = []
-        if self.catalog_keys:
-            preds.append(
-                extract_partition_predicate(
-                    self.query, self.catalog_keys, self.idents
-                )
-            )
-        spec = iceberg_partition_fields(meta)
-        if spec:
-            srcs = sorted({f["source"] for f in spec if f["source"]})
-            preds.append(
-                transform_partition_predicate(
-                    extract_partition_predicate(
-                        self.query, srcs, self.idents
-                    ),
-                    spec,
-                )
-            )
-        preds = _live_predicates(preds)
-        stats_pred: Predicate | None = None
-        types_by_id: dict = {}
-        if self.stats_skipping:
-            cols = [f.name for f in schema.fields]
-            p = extract_partition_predicate(
-                self.query, cols, self.idents
-            )
-            if not isinstance(p, TruePredicate):
-                stats_pred = p
-                types_by_id = _field_types_by_id(meta)
+        preds, stats_pred = _assemble_predicates(
+            self.query,
+            self.catalog_keys,
+            self.idents,
+            self.stats_skipping,
+            iceberg_partition_fields(meta),
+            [f.name for f in schema.fields],
+        )
+        types_by_id: dict = (
+            _field_types_by_id(meta) if stats_pred is not None else {}
+        )
         if not preds and stats_pred is None:
             return None
 
