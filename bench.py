@@ -1,8 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": X}
+Prints TWO JSON lines: first a ``headline_detail`` line carrying the
+bulky evidence (per-label run envelopes, driver-process CPU, the sf1
+scale probe), then — LAST, so a tail-truncating artifact capture always
+keeps it intact — the compact headline line:
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {...}, "sf": X, "calibration": {...}}
 
 The headline set spans the engine's main cost centers: the flagship CTE
 (reference integration shape), a full lineitem aggregation, a
@@ -1006,34 +1010,53 @@ def main() -> None:
         print(f"# {label}: {dt}s ({n} rows)", file=sys.stderr)
 
     cal_end = _calibrate()
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
+    # one measured decade of scaling (sf0.1 → synthetic sf1.0) for the
+    # heaviest labels; skip with SPARK_GRAFT_SF1_PROBE=0 or when the
+    # bench itself runs at a different scale factor
+    sf1_probe: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0" and sf == 0.1:
+        try:
+            sf1_probe = _sf1_probe(spark, sf_dir, timings)
+        except Exception as exc:  # noqa: BLE001 - probe must not kill bench
+            sf1_probe = {"error": str(exc)[:200]}
+    # r14 artifact contract: the driver records only the TAIL of
+    # stdout, so the bulky evidence (per-label envelopes, driver CPU,
+    # the sf1 probe) goes on an EARLIER line and the compact headline
+    # map is printed LAST — whatever tail window the driver keeps,
+    # the per-label times always survive in full
+    detail = {
+        "metric": "headline_detail",
         "sf": sf,
-        # r12 noise protocol: per-label [min, med, max] of the 3 runs
+        # r12 noise protocol: per-label sorted times of the 3 runs
         # plus the fixed calibration query timed before and after the
         # suite — a judge reads regressions as label/calibration
         # ratios and treats runs whose own envelope spans 2x+ as
         # host noise, no worktree A/B needed
         "envelope": envelope,
         "driver_cpu": driver_cpu,
+    }
+    if sf1_probe is not None:
+        detail["sf1_probe"] = sf1_probe
+    print(json.dumps(detail))
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
         "calibration": {
             "query": "fixed lineitem agg (r12, never changes)",
             "start_sec": cal_start,
             "end_sec": cal_end,
         },
     }
-    # one measured decade of scaling (sf0.1 → synthetic sf1.0) for the
-    # heaviest labels; skip with SPARK_GRAFT_SF1_PROBE=0 or when the
-    # bench itself runs at a different scale factor
-    if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0" and sf == 0.1:
-        try:
-            out["sf1_probe"] = _sf1_probe(spark, sf_dir, timings)
-        except Exception as exc:  # noqa: BLE001 - probe must not kill bench
-            out["sf1_probe"] = {"error": str(exc)[:200]}
-    print(json.dumps(out))
+    if sf1_probe is not None:
+        out["sf1_note"] = str(sf1_probe.get("note", sf1_probe.get("error", "")))[:160]
+    line = json.dumps(out)
+    if len(line) > 1400:  # keep the tail-captured line well inside 2000B
+        out.pop("sf1_note", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

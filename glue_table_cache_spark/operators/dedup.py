@@ -188,6 +188,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) that share ≥1 LSH band bucket.
 
@@ -195,6 +196,21 @@ def lsh_candidate_pairs(
     hash(band, sig-slice); self-join on the bucket key is a
     hash-partitioned equi-join over buckets — cost ∝ Σ bucket², never
     n².  With 16 bands × 4 rows the S-curve threshold is ≈ 0.5 Jaccard.
+
+    ``max_bucket_size`` (r14) is the hot-bucket guard the inverted
+    -index families already carry (``max_shingle_df``): a bucket with
+    more members than the cap — by construction a near-dup clique
+    (its members agree on a whole minhash band) — switches from
+    all-pairs to LINK-TO-FIRST: every member pairs with the bucket's
+    minimum id only, m−1 candidate rows instead of m(m−1)/2.  Capped
+    candidates are a strict SUBSET of the uncapped ones, and the
+    connected-components grouping downstream reconnects the clique
+    through its hub, so transitive dedup keeps the same groups.
+    Recall semantics: only DIRECT pair output between two non-hub
+    members of an oversized bucket can be lost (when they fail
+    verification against the hub but pass against each other —
+    boilerplate cliques, where oversized buckets come from, verify
+    uniformly).  ``None`` disables the guard.
 
     ``portable=True`` uses a ``concat_ws`` string bucket key (equality
     of the key ⟺ equality of the slice tuple) instead of ``xxhash64``
@@ -225,14 +241,43 @@ def lsh_candidate_pairs(
     buckets = sig_df.select(
         F.col("id"), F.posexplode(band_keys).alias("band", "bucket")
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
+    if max_bucket_size is None:
+        left = buckets.alias("l")
+        right = buckets.alias("r")
+        return (
+            left.join(right, ["band", "bucket"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+    # hot-bucket guard: bucket sizes + hub (min id) in one extra agg on
+    # the SAME (band, bucket) shuffle key the join needs, so AQE/reuse
+    # keeps it one exchange of the postings; all-pairs only below the
+    # cap, link-to-hub above it (linear in bucket size)
+    meta = buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("bsz"), F.min("id").alias("first_id")
+    )
+    keyed = buckets.join(meta, ["band", "bucket"])
+    small = keyed.where(F.col("bsz") <= max_bucket_size).select(
+        "band", "bucket", "id"
+    )
+    left, right = small.alias("l"), small.alias("r")
+    pairs_small = (
         left.join(right, ["band", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    pairs_big = (
+        keyed.where(
+            (F.col("bsz") > max_bucket_size)
+            & (F.col("id") != F.col("first_id"))
+        )
+        # first_id = min(id) of the bucket, so id_a < id_b holds
+        .select(
+            F.col("first_id").alias("id_a"), F.col("id").alias("id_b")
+        )
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def jaccard_verify(
@@ -267,8 +312,17 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     portable: bool = False,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs, exact-verified.
+
+    ``max_bucket_size`` defaults ON (64): at 100 TB a boilerplate
+    near-dup clique of m documents lands in one LSH bucket and an
+    uncapped self-join emits m² candidates — the guard caps that at
+    linear cost (see :func:`lsh_candidate_pairs` for the exact
+    link-to-hub recall semantics).  Buckets this size never occur in
+    the correctness fixtures, so the capped and uncapped outputs are
+    identical there (property-tested).
 
     The signature frame feeds four plan branches (both sides of the
     bucket self-join, both sides of the verify join); the expensive
@@ -280,7 +334,8 @@ def minhash_dedup_pairs(
         df, text_col, id_col, num_hashes, shingle_k, portable=portable
     )
     candidates = lsh_candidate_pairs(
-        sig, bands, num_hashes // bands, portable=portable
+        sig, bands, num_hashes // bands, portable=portable,
+        max_bucket_size=max_bucket_size,
     )
     return jaccard_verify(candidates, sig, threshold)
 
@@ -450,6 +505,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -457,7 +513,18 @@ def simhash_near_pairs(
     signature into ``max_hamming + 1`` bands — any pair within
     the distance budget must agree exactly on ≥1 band, so a bucket
     equi-join on (band, band_bits) finds all of them without an
-    all-pairs comparison; popcount(xor) then verifies exactly."""
+    all-pairs comparison; popcount(xor) then verifies exactly.
+
+    ``max_bucket_size`` (r14, default 64) is the same hot-bucket
+    guard as :func:`lsh_candidate_pairs`: a bucket over the cap —
+    a clique agreeing on a whole 15/16-bit signature band, i.e.
+    boilerplate — pairs each member with the bucket's min-id hub
+    only (linear) instead of all-pairs (quadratic).  Capped pairs ⊆
+    uncapped pairs; a lost pair is only possible between two non-hub
+    members whose mutual Hamming passes while both hub distances
+    fail — for the near-identical cliques that produce oversized
+    buckets, the hub edges keep the transitive groups intact.
+    ``None`` disables the guard."""
     bits = 60 if portable else 64
     sigs = simhash(df, text_col, id_col, bits=bits, portable=portable)
     n_bands = max_hamming + 1
@@ -473,6 +540,48 @@ def simhash_near_pairs(
     buckets = sigs.select(
         "id", "simhash", F.posexplode(bands).alias("band", "bits")
     )
+    if max_bucket_size is not None:
+        # bucket size + hub (min id, and the hub's signature for the
+        # hamming verify) in one agg on the join's own shuffle key
+        meta = buckets.groupBy("band", "bits").agg(
+            F.count("*").alias("bsz"),
+            F.min("id").alias("first_id"),
+            F.min_by("simhash", "id").alias("first_sig"),
+        )
+        keyed = buckets.join(meta, ["band", "bits"])
+        small = keyed.where(F.col("bsz") <= max_bucket_size).select(
+            "band", "bits", "id", "simhash"
+        )
+        left, right = small.alias("l"), small.alias("r")
+        pairs_small = (
+            left.join(right, ["band", "bits"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.bit_count(
+                    F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                ).alias("hamming"),
+            )
+        )
+        pairs_big = (
+            keyed.where(
+                (F.col("bsz") > max_bucket_size)
+                & (F.col("id") != F.col("first_id"))
+            )
+            .select(
+                F.col("first_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.bit_count(
+                    F.col("first_sig").bitwiseXOR(F.col("simhash"))
+                ).alias("hamming"),
+            )
+        )
+        return (
+            pairs_small.unionByName(pairs_big)
+            .distinct()
+            .where(F.col("hamming") <= max_hamming)
+        )
     left, right = buckets.alias("l"), buckets.alias("r")
     return (
         left.join(right, ["band", "bits"])

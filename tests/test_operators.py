@@ -148,6 +148,79 @@ def test_simhash_near_pairs_find_near_dups(docs_with_dups):
     assert all((i, i + 10000) in got for i in range(20))  # exact: dist 0
 
 
+@pytest.fixture(scope="module")
+def clique_corpus(spark, documents):
+    """documents ∪ a 12-member boilerplate clique (near-identical
+    copies of one doc, one distinct trailing word each) — the shape
+    that lands in a single LSH/simhash bucket and, uncapped, costs
+    m² candidate rows."""
+    base = documents.limit(20)
+    seed = documents.where(F.col("doc_id") == 0)
+    out = base
+    for j in range(12):
+        out = out.unionByName(
+            seed.select(
+                F.lit(50000 + j).cast("long").alias("doc_id"),
+                F.concat("text", F.lit(f" tail{j}")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    return out
+
+
+def test_lsh_bucket_cap_pairs_subset_groups_identical(clique_corpus):
+    """r14 hot-bucket guard property (VERDICT r13 #2): capped
+    candidate pairs are a strict subset of the uncapped ones, and the
+    transitive (connected-components) dedup keeps exactly the same
+    groups — link-to-hub reconnects the clique at linear cost."""
+    uncapped = D.minhash_dedup_pairs(
+        clique_corpus, threshold=0.5, max_bucket_size=None
+    )
+    capped = D.minhash_dedup_pairs(
+        clique_corpus, threshold=0.5, max_bucket_size=4
+    )
+    pu = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    pc = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pc <= pu
+    assert len(pc) < len(pu)  # the cap actually engaged on the clique
+    # the clique still links through its hub (doc 0 — the seed the
+    # clique copies — is the bucket minimum): every member survives
+    # in at least one capped pair
+    linked = {i for p in pc for i in p}
+    assert all(50000 + j in linked for j in range(12))
+    comps_u = {
+        (r.id, r.component)
+        for r in D.connected_components(uncapped).collect()
+    }
+    comps_c = {
+        (r.id, r.component)
+        for r in D.connected_components(capped).collect()
+    }
+    assert comps_c == comps_u
+
+
+def test_simhash_bucket_cap_subset_groups_identical(clique_corpus):
+    uncapped = D.simhash_near_pairs(
+        clique_corpus, max_hamming=3, max_bucket_size=None
+    )
+    capped = D.simhash_near_pairs(
+        clique_corpus, max_hamming=3, max_bucket_size=4
+    )
+    pu = {(r.id_a, r.id_b, r.hamming) for r in uncapped.collect()}
+    pc = {(r.id_a, r.id_b, r.hamming) for r in capped.collect()}
+    assert pc <= pu
+    assert len(pc) < len(pu)
+    comps_u = {
+        (r.id, r.component)
+        for r in D.connected_components(uncapped).collect()
+    }
+    comps_c = {
+        (r.id, r.component)
+        for r in D.connected_components(capped).collect()
+    }
+    assert comps_c == comps_u
+
+
 # -- similarity -------------------------------------------------------------
 
 
