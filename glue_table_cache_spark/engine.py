@@ -2444,7 +2444,20 @@ class GlueSparkEngine:
         All of a table's keys are recorded for invalidation."""
         key = f"format-scan:{tbl.location}{key_suffix}"
         self._track_listing_key(tbl, key)
-        return self._listing_cache.get_or_load(key, load)
+        if key_suffix:
+            return self._listing_cache.get_or_load(key, load)
+        loaded: list = []
+
+        def loader():
+            loaded.append(True)
+            return load()
+
+        value = self._listing_cache.get_or_load(key, loader)
+        if loaded:
+            # a fresh FULL walk: predicate-scoped entries from before
+            # it must not outlive it (see _drop_pruned_keys)
+            self._drop_pruned_keys(tbl, key)
+        return value
 
     #: bound on tracked cache keys per table: each distinct pushed
     #: predicate adds one fingerprint key, and a long-lived engine
@@ -2493,6 +2506,12 @@ class GlueSparkEngine:
         hit = self._listing_cache.peek(bare)
         if hit is not None:
             self._track_listing_key(tbl, bare)
+            # a live bare entry answers every predicate — predicate
+            # -scoped entries must never OUTLIVE it (if the bare entry
+            # later evicts/expires while an older #w: entry survives,
+            # the same query's view of the table would move BACKWARD
+            # within one TTL window), so retire them now
+            self._drop_pruned_keys(tbl, bare)
             return hit
         skey = f"{bare}#w:{factory.fingerprint}"
         loaded: list = []
@@ -2507,10 +2526,29 @@ class GlueSparkEngine:
         if loaded and not factory.applied:
             # gate never crossed: this IS the full active set — share
             # it under the bare key (a cache hit there means no other
-            # predicate ever re-walks this table)
+            # predicate ever re-walks this table), and retire every
+            # OLDER predicate-scoped entry so none can serve a stale
+            # narrower snapshot after this fresher full walk
             self._listing_cache.get_or_load(bare, lambda: value)
             self._track_listing_key(tbl, bare)
+            self._drop_pruned_keys(tbl, bare, keep=skey)
         return value
+
+    def _drop_pruned_keys(
+        self, tbl: CatalogTable, bare: str, keep: str | None = None
+    ) -> None:
+        """Invalidate every tracked predicate-fingerprint entry under
+        ``bare`` (except ``keep``): called whenever a full-set bare
+        entry is freshly loaded or served, so a ``#w:`` entry can
+        never outlive a newer full walk and time-travel a repeat
+        query backward."""
+        keys = self._listing_keys.get(
+            table_cache_key(tbl.database, tbl.name), set()
+        )
+        prefix = f"{bare}#w:"
+        for k in [k for k in keys if k.startswith(prefix) and k != keep]:
+            self._listing_cache.invalidate(k)
+            keys.discard(k)
 
     @staticmethod
     def _travel_timestamp_ms(literal: str) -> int:

@@ -368,3 +368,45 @@ def test_factory_gates(spark, tmp_path, frames, monkeypatch):
     assert renames is not None
     assert len(entries) == 2  # declined: full set, driver prunes
     assert not factory.applied
+
+
+def test_pruned_entries_retired_by_full_walk(
+    spark, tmp_path, frames, monkeypatch
+):
+    """r14 (ADVICE r13): a predicate-fingerprint cache entry must not
+    OUTLIVE a newer full walk — once a bare (full active set) entry is
+    loaded or served, the table's ``#w:`` entries are invalidated, so
+    a repeat of the pruned query can never read an older snapshot than
+    the full walk it just observed."""
+    import glue_table_cache_spark.sources.delta as d
+
+    from glue_table_cache_spark.cache import table_cache_key
+
+    base = _partitioned_delta(tmp_path, frames)
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "pt", str(base),
+        partition_keys=[PartitionKey("year", "string")],
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    monkeypatch.setattr(d, "DISTRIBUTED_CHECKPOINT_MIN_BYTES", 0)
+    eng = GlueSparkEngine(spark, store)
+    eng.sql("SELECT id FROM glue.db.pt WHERE year = '1997'").collect()
+    tkey = table_cache_key("db", "pt")
+    wkeys = [k for k in eng._listing_keys[tkey] if "#w:" in k]
+    assert wkeys, "pruned walk should cache under a fingerprint key"
+    # a predicate-less query loads the BARE full-set entry — every
+    # predicate-scoped entry must be retired with it
+    assert [
+        r.id
+        for r in eng.sql(
+            "SELECT id FROM glue.db.pt ORDER BY id"
+        ).collect()
+    ] == [1, 2, 3, 4, 5]
+    assert not [k for k in eng._listing_keys[tkey] if "#w:" in k]
+    for k in wkeys:
+        assert eng._listing_cache.peek(k) is None
+    # the repeat pruned query now serves from the bare entry (peek
+    # hit) and still answers correctly
+    out = eng.sql("SELECT id FROM glue.db.pt WHERE year = '1997'")
+    assert [r.id for r in out.collect()] == [3]
