@@ -169,6 +169,51 @@ def column_mapping_renames(
     return renames
 
 
+def column_mapping_name_tree(meta: dict | None) -> dict | None:
+    """Per-level ``physical → (logical, subtree)`` name pairs from the
+    schemaString's ``delta.columnMapping.physicalName`` metadata, or
+    ``None`` when the table is unmapped / records no schema.
+
+    Node shapes mirror the type they describe so a consumer can walk
+    an Arrow/Spark type alongside: ``{"struct": {phys: (logical,
+    node|None)}}``, ``{"array": node}``, ``{"map": (key_node,
+    value_node)}``.  This is what lets the streaming file reader
+    relabel a nested physical-named column BY NAME (r14, ADVICE r13):
+    a purely positional graft silently mislabels a struct whose file
+    schema dropped one field and added another at the same arity —
+    with the tree, only a field whose physical name matches is
+    renamed, and any unmatched field keeps its file name so the
+    name-matched cast refuses loudly instead of surfacing the wrong
+    column's data."""
+    if _mapping_mode(meta) == "none" or not (meta or {}).get(
+        "schemaString"
+    ):
+        return None
+
+    def node(t):
+        if not isinstance(t, dict):
+            return None
+        kind = t.get("type")
+        if kind == "struct":
+            out = {}
+            for f in t.get("fields", []):
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                ) or f["name"]
+                out[phys] = (f["name"], node(f.get("type")))
+            return {"struct": out}
+        if kind == "array":
+            sub = node(t.get("elementType"))
+            return {"array": sub} if sub is not None else None
+        if kind == "map":
+            k = node(t.get("keyType"))
+            v = node(t.get("valueType"))
+            return {"map": (k, v)} if (k or v) else None
+        return None
+
+    return node(json.loads(meta["schemaString"]))
+
+
 def physical_schema(meta: dict | None):
     """The table schema as a Spark ``StructType`` with EVERY level
     renamed to its recorded ``delta.columnMapping.physicalName`` —

@@ -79,6 +79,7 @@ class DeltaChangePartition(InputPartition):
 def read_file_partition(
     path, partition_values, schema, constants=None,
     physical_names=None, row_indices=None, skip_positions=None,
+    name_tree=None,
 ) -> "Iterator":
     """Executor-side file read shared by the table-format streaming
     sources: one parquet file → Arrow record batches cast to the
@@ -89,6 +90,13 @@ def read_file_partition(
     that take precedence over file columns of the same name.
     ``physical_names`` maps logical field name → the PHYSICAL column
     spelling column-mapped files carry (``None`` = unmapped).
+    ``name_tree`` (r14) is
+    :func:`..sources.delta.column_mapping_name_tree` — the per-level
+    physical→logical pairs; when given, nested renames match BY
+    PHYSICAL NAME instead of position, so a file whose struct dropped
+    one field and added another at the same arity keeps the unmatched
+    file names and the name-matched cast refuses loudly rather than
+    surfacing the wrong column's data.
     ``row_indices`` restricts delivery to those row positions;
     ``skip_positions`` drops them instead (vectorized boolean mask —
     the position-delete masking input, no per-row Python)."""
@@ -104,7 +112,9 @@ def read_file_partition(
         ``view`` target that relabels a physical-named nested column.
         A structural mismatch (nested evolution under mapping) keeps
         the file type; the name-based cast below then refuses loudly
-        instead of mislabeling fields."""
+        instead of mislabeling fields.  Positional fallback for
+        callers that pass no ``name_tree`` (the Iceberg source, whose
+        schema authority is field ids)."""
         if (
             pa.types.is_struct(at)
             and pa.types.is_struct(lt)
@@ -140,6 +150,48 @@ def read_file_partition(
             )
         return at
 
+    def _graft_by_tree(at, node):
+        """The file's arrow type with logical names grafted on by
+        PHYSICAL-NAME match against the schemaString's mapping tree
+        (r14).  A file field with no tree entry keeps its file name —
+        the cast below then refuses loudly on the missing logical
+        field instead of mislabeling."""
+        if node is None:
+            return at
+        if pa.types.is_struct(at) and "struct" in node:
+            fields = []
+            for i in range(at.num_fields):
+                f = at.field(i)
+                ent = node["struct"].get(f.name)
+                if ent is None:
+                    fields.append(f)
+                else:
+                    logical, sub = ent
+                    fields.append(
+                        pa.field(
+                            logical,
+                            _graft_by_tree(f.type, sub),
+                            f.nullable,
+                        )
+                    )
+            return pa.struct(fields)
+        if (
+            pa.types.is_list(at) or pa.types.is_large_list(at)
+        ) and "array" in node:
+            inner = _graft_by_tree(at.value_type, node["array"])
+            return (
+                pa.large_list(inner)
+                if pa.types.is_large_list(at)
+                else pa.list_(inner)
+            )
+        if pa.types.is_map(at) and "map" in node:
+            k, v = node["map"]
+            return pa.map_(
+                _graft_by_tree(at.key_type, k),
+                _graft_by_tree(at.item_type, v),
+            )
+        return at
+
     target = to_arrow_schema(schema)
     table = pq.read_table(path)
     if row_indices is not None:
@@ -170,12 +222,22 @@ def read_file_partition(
                 and col.type != field.type
             ):
                 # nested column mapping: relabel the physical field
-                # names to the logical ones positionally (zero-copy
-                # view — same layout, different names), then the
-                # name-matched cast handles any leaf-type promotion
-                col = col.combine_chunks().view(
-                    _graft_names(col.type, field.type)
-                )
+                # names to the logical ones (zero-copy view — same
+                # layout, different names), then the name-matched
+                # cast handles any leaf-type promotion.  With a
+                # name_tree the relabel matches by physical name;
+                # positional only for tree-less callers
+                if name_tree is not None:
+                    ent = (name_tree.get("struct") or {}).get(fname)
+                    col = col.combine_chunks().view(
+                        _graft_by_tree(
+                            col.type, ent[1] if ent else None
+                        )
+                    )
+                else:
+                    col = col.combine_chunks().view(
+                        _graft_names(col.type, field.type)
+                    )
             cols.append(col.cast(field.type))
         elif partition_values and (
             fname in partition_values
@@ -394,6 +456,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         # after an ALTER keeps reading the same columns.
         from glue_table_cache_spark.sources.delta import (
             _replay,
+            column_mapping_name_tree,
             column_mapping_renames,
         )
 
@@ -403,6 +466,11 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         )
         self._phys_of = (
             {v: k for k, v in renames.items()} if renames else None
+        )
+        # nested physical→logical pairs: the by-name graft input (a
+        # plain dict tree, pickled to executors with the reader)
+        self._name_tree = column_mapping_name_tree(
+            state.get("metaData")
         )
         self._ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
@@ -455,6 +523,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                 self._schema,
                 constants=constants,
                 physical_names=self._phys_of,
+                name_tree=self._name_tree,
             )
             return
         yield from read_file_partition(
@@ -462,6 +531,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
             partition.partition_values,
             self._schema,
             physical_names=self._phys_of,
+            name_tree=self._name_tree,
         )
 
     def commit(self, end: dict) -> None:

@@ -537,3 +537,127 @@ def test_partitioned_mapped_optimize(spark, tmp_path):
     assert len(entries2) == 2
     for path, pv, _dv in entries2:
         assert f"col-p={pv['col-p']}/" in path
+
+
+def test_streaming_graft_refuses_nested_field_drift(spark, tmp_path):
+    """r14 (ADVICE r13): the streaming reader's nested relabel matches
+    by PHYSICAL NAME from the schemaString mapping tree — a file whose
+    struct dropped one mapped field and added another at the SAME
+    arity must fail loudly, not silently serve the new field's data
+    under the dropped field's logical name."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from glue_table_cache_spark.sources.delta import (
+        column_mapping_name_tree,
+    )
+    from glue_table_cache_spark.streaming.delta_source import (
+        read_file_partition,
+    )
+
+    base = tmp_path / "drift"
+    base.mkdir()
+    # the FILE: same arity as the mapped schema, but physical col-x
+    # was dropped and col-z added in its place
+    df = spark.createDataFrame(
+        [(1, (99, "ten"))],
+        "`col-a` long, "
+        "`col-s` struct<`col-z`: long, `col-y`: string>",
+    )
+    stage = base / "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    path = str(next(stage.glob("part-*.parquet")))
+    meta = {
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "schemaString": json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "id", "type": "long",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.physicalName": "col-a"
+                        },
+                    },
+                    {
+                        "name": "s",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "x", "type": "long",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.columnMapping.physicalName": "col-x"  # noqa: E501
+                                    },
+                                },
+                                {
+                                    "name": "y", "type": "string",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.columnMapping.physicalName": "col-y"  # noqa: E501
+                                    },
+                                },
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.physicalName": "col-s"
+                        },
+                    },
+                ],
+            }
+        ),
+    }
+    tree = column_mapping_name_tree(meta)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField(
+                "s",
+                StructType(
+                    [
+                        StructField("x", LongType()),
+                        StructField("y", StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    with _pytest.raises(Exception):
+        list(
+            read_file_partition(
+                path,
+                {},
+                schema,
+                physical_names={"id": "col-a", "s": "col-s"},
+                name_tree=tree,
+            )
+        )
+    # sanity: a MATCHING file under the same tree relabels cleanly
+    ok = spark.createDataFrame(
+        [(1, (10, "ten"))],
+        "`col-a` long, "
+        "`col-s` struct<`col-x`: long, `col-y`: string>",
+    )
+    stage2 = base / "_stage2"
+    ok.coalesce(1).write.mode("overwrite").parquet(str(stage2))
+    path2 = str(next(stage2.glob("part-*.parquet")))
+    batches = list(
+        read_file_partition(
+            path2,
+            {},
+            schema,
+            physical_names={"id": "col-a", "s": "col-s"},
+            name_tree=tree,
+        )
+    )
+    rows = [r for b in batches for r in b.to_pylist()]
+    assert rows == [{"id": 1, "s": {"x": 10, "y": "ten"}}]
