@@ -364,7 +364,7 @@ def _log_replay(spark, sf):
 
 
 _meta_warmed = False
-_META_DIR = "/tmp/gtc_meta_walk_v3"  # v3: partitioned (prune labels)
+_META_DIR = "/tmp/gtc_meta_walk_v4"  # v4: + column-mapped delta twin
 _META_DELTA_ADDS = 300_000
 _META_ICE_MANIFESTS = 512
 _META_ICE_ENTRIES = 400
@@ -446,6 +446,56 @@ def _ensure_meta_walk(spark) -> tuple[str, str]:
                 }
             ),
             "partitionColumns": ["p"],
+        },
+    )
+    # COLUMN-MAPPED twin (r14): same 300k adds, but the log keys
+    # partitionValues by the PHYSICAL spelling and the schemaString
+    # carries the physicalName metadata — the pushdown must translate
+    # physical→logical to prune (VERDICT r13 #5)
+    mlog_dir = root / "delta_mapped" / "_delta_log"
+    mlog_dir.mkdir(parents=True)
+    _write_checkpoint(
+        mlog_dir,
+        0,
+        {
+            f"col-p={i % _META_PARTS}/part-{i:06d}.parquet": {
+                "col-p": str(i % _META_PARTS)
+            }
+            for i in range(_META_DELTA_ADDS)
+        },
+        num_parts=8,
+        metadata={
+            "schemaString": _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "long",
+                         "nullable": True,
+                         "metadata": {
+                             "delta.columnMapping.id": 1,
+                             "delta.columnMapping.physicalName":
+                                 "col-1",
+                         }},
+                        {"name": "p", "type": "string",
+                         "nullable": True,
+                         "metadata": {
+                             "delta.columnMapping.id": 2,
+                             "delta.columnMapping.physicalName":
+                                 "col-p",
+                         }},
+                    ],
+                }
+            ),
+            "partitionColumns": ["p"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+        },
+        protocol={
+            "minReaderVersion": 2,
+            "minWriterVersion": 5,
+            "readerFeatures": None,
         },
     )
     meta_dir = ice_tbl / "metadata"
@@ -590,7 +640,12 @@ def _meta_prune(fmt: str):
 
         delta_loc, ice_loc = _ensure_meta_walk(spark)
         q = "SELECT * FROM t WHERE p = '7'"
-        if fmt == "delta":
+        if fmt.startswith("delta"):
+            loc = (
+                delta_loc
+                if fmt == "delta"
+                else str(Path(delta_loc).parent / "delta_mapped")
+            )
             old = d.DISTRIBUTED_CHECKPOINT_MIN_BYTES
             d.DISTRIBUTED_CHECKPOINT_MIN_BYTES = 0
             try:
@@ -598,7 +653,7 @@ def _meta_prune(fmt: str):
                     q, ["p"], {"t"}, False
                 )
                 entries, _r = d.delta_scan_info(
-                    delta_loc, prune_factory=factory
+                    loc, prune_factory=factory
                 )
             finally:
                 d.DISTRIBUTED_CHECKPOINT_MIN_BYTES = old
@@ -622,6 +677,77 @@ def _meta_prune(fmt: str):
             ) // _META_PARTS
         n = len(entries)
         assert n == want, f"pushdown collected {n}, wanted {want}"
+        return spark.createDataFrame([(n,)], "n long")
+
+    return run
+
+
+_HIVE_LIST_DIR = "/tmp/gtc_hive_list_v1"
+_HIVE_LIST_PARTS = 16
+_HIVE_LIST_FILES = 2000  # per partition → 32k objects total
+
+
+def _ensure_hive_list() -> str:
+    """A plain-hive table directory with 16 partitions × 2,000 data
+    objects (touched empty — the labels LIST, they never read).  The
+    flat/pruned label pair shows the r14 prefix-pruned walk listing
+    1/16th of the objects for a one-partition query, with the counts
+    ASSERTED like the meta_prune labels."""
+    root = Path(_HIVE_LIST_DIR)
+    tbl = root / "t"
+    if (root / "_BUILT").exists():
+        return str(tbl)
+    import shutil as _shutil
+
+    _shutil.rmtree(root, ignore_errors=True)
+    for p in range(_HIVE_LIST_PARTS):
+        d = tbl / f"p={p}"
+        d.mkdir(parents=True)
+        for i in range(_HIVE_LIST_FILES):
+            (d / f"part-{i:05d}.parquet").touch()
+    (root / "_BUILT").touch()
+    return str(tbl)
+
+
+def _hive_listing(pruned: bool):
+    """Timed listing of the 32k-object hive fixture: flat (the
+    reference's whole-prefix walk, /root/reference/src/util/s3.ts:34)
+    vs prefix-pruned for a 1-of-16-partitions predicate — the pruned
+    leg must LIST exactly one partition's objects (asserted), so a
+    silent pruning regression fails instead of reading as a slow
+    run."""
+
+    def run(spark, sf):
+        from glue_table_cache_spark.listing import (
+            ListingStats,
+            list_table_files,
+            list_table_files_pruned,
+        )
+        from glue_table_cache_spark.projection import hive_extractor
+        from glue_table_cache_spark.pruning import (
+            extract_partition_predicate,
+        )
+
+        loc = _ensure_hive_list()
+        ex = [hive_extractor("p")]
+        if not pruned:
+            files = list_table_files(loc, ex)
+            n = len(files)
+            want = _HIVE_LIST_PARTS * _HIVE_LIST_FILES
+        else:
+            pred = extract_partition_predicate(
+                "SELECT * FROM t WHERE p = '7'", ["p"], {"t"}
+            )
+            stats = ListingStats()
+            files = list_table_files_pruned(
+                loc, ex, pred, stats=stats
+            )
+            n = stats.files_listed
+            want = _HIVE_LIST_FILES
+            assert (
+                stats.prefixes_pruned == _HIVE_LIST_PARTS - 1
+            ), f"pruned {stats.prefixes_pruned} prefixes"
+        assert n == want, f"listed {n} objects, wanted {want}"
         return spark.createDataFrame([(n,)], "n long")
 
     return run
@@ -919,6 +1045,15 @@ BENCH_QUERIES = [
     # be at-or-below them, and its driver_cpu a fraction of wall.
     ("meta_prune_delta", _meta_prune("delta")),
     ("meta_prune_iceberg", _meta_prune("iceberg")),
+    # r14: the column-mapped twin — the same 1-of-16 predicate prunes
+    # through the physical→logical partitionValues translation
+    # (asserted 300k→18,750 collected, like the unmapped label)
+    ("meta_prune_delta_mapped", _meta_prune("delta_mapped")),
+    # r14: plain-HIVE listing pair over 32k objects — flat whole-prefix
+    # walk (the reference's shape) vs prefix-pruned 1-of-16 partitions
+    # (asserts 32,000→2,000 objects listed and 15 prefixes pruned)
+    ("hive_listing_flat", _hive_listing(False)),
+    ("hive_listing_pruned", _hive_listing(True)),
 ]
 
 #: labels timed with fewer repeats: the Delta metadata-walk pair
@@ -931,6 +1066,7 @@ _RUNS_OVERRIDE = {
     "meta_walk_delta_dist": 1,
     "meta_prune_delta": 1,
     "meta_prune_iceberg": 1,
+    "meta_prune_delta_mapped": 1,
 }
 
 
@@ -959,6 +1095,7 @@ def main() -> None:
     _ensure_manylog(spark)
     _ensure_dml(spark, sf_dir)
     _ensure_meta_walk(spark)
+    _ensure_hive_list()
 
     def _calibrate() -> float:
         # fixed reference query (unchanged across rounds): its

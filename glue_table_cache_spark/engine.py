@@ -52,11 +52,14 @@ from glue_table_cache_spark.errors import (
 from glue_table_cache_spark.listing import (
     FileInfo,
     FileSystem,
+    ListingStats,
     filesystem_for,
     list_table_files,
+    list_table_files_pruned,
 )
 from glue_table_cache_spark.projection import extractors_for
 from glue_table_cache_spark.pruning import (
+    TruePredicate,
     extract_partition_predicate,
     predicate_to_column,
     prune_files,
@@ -2368,9 +2371,66 @@ class GlueSparkEngine:
         keys = [k.name for k in table.partition_keys]
         lkey = listing_cache_key(table.location, keys)
         self._track_listing_key(table, lkey)
-        return self._listing_cache.get_or_load(
-            lkey, lambda: self._list_files(table)
+        loaded: list = []
+
+        def loader():
+            loaded.append(True)
+            return self._list_files(table)
+
+        value = self._listing_cache.get_or_load(lkey, loader)
+        if loaded:
+            # a fresh FULL listing: predicate-scoped (#w:) entries
+            # from before it must not outlive it (r14, same contract
+            # as the format-scan cache — see _drop_pruned_keys)
+            self._drop_pruned_keys(table, lkey)
+        return value
+
+    def _list_files_maybe_pruned(
+        self, tbl: CatalogTable, query: str | None, predicate
+    ) -> tuple[list[FileInfo], "ListingStats | None"]:
+        """The r14 prefix-pruned listing behind the same
+        predicate-fingerprint caching as the table-format walks
+        (:meth:`_format_scan_cached_pruned`): a fresh bare (full)
+        listing is always preferred and retires predicate-scoped
+        entries; a pruned listing caches under its fingerprint so no
+        other query ever serves from the narrowed set; a walk that
+        pruned nothing IS the full listing and is mirrored under the
+        bare key.  Returns ``(files, stats)`` — ``stats`` is ``None``
+        on the flat path (then an empty list means a truly empty
+        table)."""
+        if predicate is None or not tbl.location:
+            return self.list_table_files_cached(tbl), None
+        keys = [k.name for k in tbl.partition_keys]
+        bare = listing_cache_key(tbl.location, keys)
+        hit = self._listing_cache.peek(bare)
+        if hit is not None:
+            self._track_listing_key(tbl, bare)
+            self._drop_pruned_keys(tbl, bare)
+            return hit, None
+        from glue_table_cache_spark.meta_prune import _fingerprint
+
+        fp = _fingerprint(
+            query, keys, {tbl.name, tbl.qualified_name}, False
         )
+        if fp is None:
+            return self.list_table_files_cached(tbl), None
+        skey = f"{bare}#w:{fp}"
+        loaded: list = []
+
+        def loader():
+            loaded.append(True)
+            stats = ListingStats()
+            return self._list_files(tbl, predicate, stats), stats
+
+        files, stats = self._listing_cache.get_or_load(skey, loader)
+        self._track_listing_key(tbl, skey)
+        if loaded and not stats.prefixes_pruned:
+            # nothing was pruned: this IS the full listing — share it
+            # under the bare key and retire other predicate entries
+            self._listing_cache.get_or_load(bare, lambda: files)
+            self._track_listing_key(tbl, bare)
+            self._drop_pruned_keys(tbl, bare, keep=skey)
+        return files, stats
 
     def invalidate_table(self, database: str, table: str) -> None:
         """Reference ``invalidateTable``
@@ -2926,20 +2986,31 @@ class GlueSparkEngine:
             # paths — at large file counts this is the difference
             # between handing Spark 10k paths and 1M (driver memory,
             # file-index build, task planning), on top of whatever
-            # partition pruning Catalyst repeats later.  Skipped for
-            # column-mapped tables (the log keys partitionValues by
-            # PHYSICAL name; Catalyst still prunes from the k=v dirs).
+            # partition pruning Catalyst repeats later.  Column-mapped
+            # tables (r14) key partitionValues by PHYSICAL name —
+            # translated physical→logical through `renames` so the
+            # same logical-name predicates prune them too.
+            def _log_infos() -> list[FileInfo]:
+                if renames is None:
+                    return [FileInfo(p, pv) for p, pv, _dv in entries]
+                return [
+                    FileInfo(
+                        p,
+                        {
+                            renames.get(k, k): v
+                            for k, v in (pv or {}).items()
+                        },
+                    )
+                    for p, pv, _dv in entries
+                ]
+
             keys = [k.name for k in tbl.partition_keys]
-            if query and keys and renames is None and entries:
+            if query and keys and entries:
                 predicate = extract_partition_predicate(
                     query, keys, {tbl.name, tbl.qualified_name}
                 )
                 kept = {
-                    f.path
-                    for f in prune_files(
-                        [FileInfo(p, pv) for p, pv, _dv in entries],
-                        predicate,
-                    )
+                    f.path for f in prune_files(_log_infos(), predicate)
                 }
                 entries = [e for e in entries if e[0] in kept]
             # GENERATED-COLUMN + log-driven partition pruning: the
@@ -2949,9 +3020,10 @@ class GlueSparkEngine:
             # — CAST(ts AS DATE), YEAR(ts), DATE_FORMAT, DATE_TRUNC)
             # prunes from predicates on the SOURCE column through the
             # same sound transform rewrite the Iceberg hidden
-            # partitioning uses.  Skipped for column-mapped tables
-            # (partitionValues key on PHYSICAL names).
-            if query and entries and renames is None and gen_fields:
+            # partitioning uses.  gen_fields carry LOGICAL names, so
+            # the physical→logical pv translation (r14) covers mapped
+            # tables here too.
+            if query and entries and gen_fields:
                 from glue_table_cache_spark.sources.iceberg_partitioning import (  # noqa: E501
                     transform_partition_predicate,
                 )
@@ -2966,11 +3038,7 @@ class GlueSparkEngine:
                     src_pred, gen_fields
                 )
                 kept = {
-                    f.path
-                    for f in prune_files(
-                        [FileInfo(p, pv) for p, pv, _dv in entries],
-                        pv_pred,
-                    )
+                    f.path for f in prune_files(_log_infos(), pv_pred)
                 }
                 entries = [e for e in entries if e[0] in kept]
             # LOG-STATS zone-map skipping: the add actions' stats JSON
@@ -3001,7 +3069,12 @@ class GlueSparkEngine:
             raw_paths = [p for p, _pv, _dv in entries]
             paths = self._proxy(raw_paths)
             if not paths:
-                if renames is None and log_schema is not None:
+                # pruned-to-zero keeps the REAL user-visible schema:
+                # the log's logical schema covers mapped and unmapped
+                # tables alike (r14 — previously a mapped table
+                # footer-sampled a surviving path, which an
+                # executor-pruned walk may not have collected)
+                if log_schema is not None:
                     return self._empty_scan(schema=log_schema)
                 first = next(iter(stats_by_path), None)
                 df0 = self._empty_scan(
@@ -3329,19 +3402,47 @@ class GlueSparkEngine:
     def _explicit_list_dataframe(
         self, tbl: CatalogTable, query: str | None
     ) -> DataFrame:
-        """Reference-style scan: pre-listed, pruned explicit file list."""
-        files = self.list_table_files_cached(tbl)
-        if not files:
-            # view over an empty relation, as the reference emits
-            # ``SELECT NULL LIMIT 0``
-            # (/root/reference/src/sql-transformer.ts:320-322)
-            return self.spark.range(0).select(F.lit(None).alias("null"))
+        """Reference-style scan: pre-listed, pruned explicit file list.
+
+        r14: when the query carries a partition predicate, the LISTING
+        itself is prefix-pruned and parallel
+        (:func:`~glue_table_cache_spark.listing.list_table_files_pruned`)
+        — a disproved ``year=2023/`` prefix is never paged at all,
+        removing the reference's sequential whole-prefix wall
+        (/root/reference/src/util/s3.ts:34-58) for huge hive tables."""
         keys = [k.name for k in tbl.partition_keys]
-        pruned = files
+        predicate = None
         if query and keys:
             predicate = extract_partition_predicate(
                 query, keys, {tbl.name, tbl.qualified_name}
             )
+            if isinstance(predicate, TruePredicate):
+                predicate = None
+        files, lstats = self._list_files_maybe_pruned(
+            tbl, query, predicate
+        )
+        if not files:
+            if lstats is not None and lstats.prefixes_pruned:
+                # pruned-to-zero, not an empty table: empty relation
+                # with the REAL schema, sampled from a pruned prefix
+                from glue_table_cache_spark.listing import (
+                    first_file_under,
+                )
+
+                sample = first_file_under(
+                    lstats.first_pruned, fs=self._fs
+                )
+                if sample is not None:
+                    df = self._format_read(
+                        self.spark.read, tbl, sample
+                    ).limit(0)
+                    return self._attach_partition_columns(df, tbl)
+            # view over an empty relation, as the reference emits
+            # ``SELECT NULL LIMIT 0``
+            # (/root/reference/src/sql-transformer.ts:320-322)
+            return self.spark.range(0).select(F.lit(None).alias("null"))
+        pruned = files
+        if predicate is not None:
             if len(files) >= self.config.listing_df_threshold:
                 pruned = self._prune_distributed(files, keys, predicate)
             else:
@@ -3693,7 +3794,18 @@ class GlueSparkEngine:
             return paths
         return [p.replace("s3://", proxy, 1) for p in paths]
 
-    def _list_files(self, tbl: CatalogTable) -> list[FileInfo]:
+    def _list_files(
+        self, tbl: CatalogTable, predicate=None, stats=None
+    ) -> list[FileInfo]:
         fs = self._fs or filesystem_for(tbl.location)
         extractors = extractors_for(tbl.partition_keys, tbl.projection)
-        return list_table_files(tbl.location, extractors, fs)
+        if predicate is None:
+            return list_table_files(tbl.location, extractors, fs)
+        return list_table_files_pruned(
+            tbl.location,
+            extractors,
+            predicate,
+            fs,
+            stats=stats,
+            spark=self.spark,
+        )

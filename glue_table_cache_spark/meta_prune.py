@@ -122,6 +122,24 @@ def _assemble_predicates(
     return _live_predicates(preds), stats_pred
 
 
+def delta_gate_basis(meta: dict | None) -> tuple:
+    """The metaData facts a Delta keep callable binds — column-mapping
+    mode, schemaString (renames, generated fields, stats columns) and
+    partitionColumns.  ``_replay`` compares the checkpoint-time basis
+    a factory gated on against the FINAL replayed state; divergence
+    (a post-checkpoint commit changed any of them) re-runs the walk
+    unpruned so pruning decisions never bind stale metadata."""
+    m = meta or {}
+    conf = m.get("configuration") or {}
+    if isinstance(conf, list):  # pyarrow map -> list of pairs
+        conf = dict(conf)
+    return (
+        conf.get("delta.columnMapping.mode", "none") or "none",
+        m.get("schemaString"),
+        tuple(m.get("partitionColumns") or ()),
+    )
+
+
 class _DeltaPruneFactory:
     """``callable(replay_state) -> keep(path, pv, dv, stats) | None``.
 
@@ -147,6 +165,9 @@ class _DeltaPruneFactory:
         # crossed AND a keep callable was produced) — the engine's
         # cache layer keys the result by predicate only then
         self.applied = False
+        # checkpoint-time metaData basis (set by __call__) — _replay's
+        # divergence check input
+        self.gate_basis: tuple | None = None
 
     def __call__(self, state: dict) -> Callable[..., bool] | None:
         from glue_table_cache_spark.sources.delta import (
@@ -159,16 +180,24 @@ class _DeltaPruneFactory:
         meta = state.get("metaData")
         if not meta:
             return None
-        renames = column_mapping_renames(meta, allow_nested=True)
-        if renames is not None:
-            # engine skips partition pruning for column-mapped tables
-            # (partitionValues key on PHYSICAL names), and the
-            # empty-scan footer-sample fallback needs the full path
-            # list — keep the driver-prune behavior wholesale
-            return None
         schema = logical_schema(meta)
         if schema is None:
+            # the engine's empty-scan fallback would need a sample
+            # path footer; keep the full list so it always has one
             return None
+        # column-mapped tables (r14): partitionValues and stats key on
+        # PHYSICAL names — translate physical→logical through the
+        # rename map so the SAME logical-name predicates prune them
+        # (parity with the engine's driver prunes, which translate
+        # identically); the pruned-to-zero fallback builds its empty
+        # relation from the log's logical schema, so no footer sample
+        # is needed
+        renames = column_mapping_renames(meta, allow_nested=True)
+        # everything the keep callable binds from the checkpoint-time
+        # metaData — _replay compares it against the FINAL replayed
+        # state and re-runs unpruned on divergence (ADVICE r13: a
+        # post-checkpoint commit may change mapping/schema)
+        self.gate_basis = delta_gate_basis(meta)
 
         preds, stats_pred = _assemble_predicates(
             self.query,
@@ -196,11 +225,13 @@ class _DeltaPruneFactory:
             except Exception:
                 return True  # driver must see it to refuse
             pv = pv or {}
+            if renames is not None:
+                pv = {renames.get(k, k): v for k, v in pv.items()}
             for p in preds:
                 if p.evaluate(pv) is False:
                     return False
             if stats_pred is not None and stats:
-                st = delta_file_stats(stats, renames=None)
+                st = delta_file_stats(stats, renames=renames)
                 if st is not None and not may_match(stats_pred, st):
                     return False
             return True

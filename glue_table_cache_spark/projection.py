@@ -50,6 +50,17 @@ class PartitionExtractor:
     pattern: str
     #: spark cast target for the extracted string ("int" or None)
     cast: str | None = None
+    #: a value extracted from a DIRECTORY PREFIX (ending in ``/``) is
+    #: guaranteed identical for every file below it, so prefix-level
+    #: pruning may trust it (r14).  True for the hive/date/integer
+    #: patterns: they are fixed-length or ``/``-bounded, and a regex
+    #: match completed inside a ``/``-terminated prefix stays the
+    #: leftmost match under right-extension (an earlier spanning match
+    #: would have to both start before and end after it — impossible
+    #: when the earlier position already fit inside the prefix).
+    #: False for end-anchored patterns (projection ``enum``: the LAST
+    #: path component changes as the walk descends).
+    prefix_stable: bool = True
 
     def extract(self, path: str) -> str | None:
         m = re.search(self.pattern, path)
@@ -98,7 +109,8 @@ def projection_extractor(pattern: ProjectionPattern) -> PartitionExtractor:
         )
     if pattern.type == "enum":
         return PartitionExtractor(
-            column=pattern.column, pattern=r"/([^/]+)/[^/]*$"
+            column=pattern.column, pattern=r"/([^/]+)/[^/]*$",
+            prefix_stable=False,
         )
     raise UnsupportedProjectionError(
         f"Projection type {pattern.type!r} for column "

@@ -866,6 +866,32 @@ def _replay(
             line = line.strip()
             if line:
                 _apply_action(active, json.loads(line), state)
+    if (
+        prune_factory is not None
+        and getattr(prune_factory, "applied", False)
+        and getattr(prune_factory, "gate_basis", None) is not None
+    ):
+        from glue_table_cache_spark.meta_prune import delta_gate_basis
+
+        if (
+            delta_gate_basis(state.get("metaData"))
+            != prune_factory.gate_basis
+        ):
+            # a JSON commit AFTER the checkpoint changed the
+            # column-mapping mode / schemaString / partitionColumns
+            # the executor-side keep was gated on (ADVICE r13): the
+            # pruned set may be wrong for the FINAL state — redo the
+            # whole walk unpruned (rare: requires a metadata change
+            # racing the scan within one checkpoint interval)
+            prune_factory.applied = False
+            return _replay(
+                location,
+                version_offset,
+                s3_client,
+                fs,
+                as_of_timestamp_ms,
+                prune_factory=None,
+            )
     return active, state
 
 

@@ -342,9 +342,9 @@ def test_iceberg_pushdown_keeps_delete_files(
 
 
 def test_factory_gates(spark, tmp_path, frames, monkeypatch):
-    """No-WHERE queries build no factory; column-mapped Delta tables
-    and metaData-less states decline pushdown (keep driver behavior
-    wholesale)."""
+    """No-WHERE queries build no factory; metaData-less states decline
+    pushdown (keep driver behavior wholesale); column-mapped tables
+    (r14) prune via the physical→logical translation."""
     import glue_table_cache_spark.sources.delta as d
 
     assert delta_prune_factory(None, ["p"], {"t"}, True) is None
@@ -357,6 +357,7 @@ def test_factory_gates(spark, tmp_path, frames, monkeypatch):
         tmp_path / "cm",
         [{"add": [a]}, {"add": [b]}],
         column_mapping=True,
+        checkpoint_at=1,
     )
     monkeypatch.setattr(d, "DISTRIBUTED_CHECKPOINT_MIN_BYTES", 0)
     factory = delta_prune_factory(
@@ -366,8 +367,11 @@ def test_factory_gates(spark, tmp_path, frames, monkeypatch):
         str(mapped), prune_factory=factory
     )
     assert renames is not None
-    assert len(entries) == 2  # declined: full set, driver prunes
-    assert not factory.applied
+    # r14: mapped tables prune too — the keep callable translates the
+    # PHYSICAL stats keys through the rename map, so the id=3 zone-map
+    # predicate drops the (1,2) file executor-side
+    assert len(entries) == 1
+    assert factory.applied
 
 
 def test_pruned_entries_retired_by_full_walk(
@@ -410,3 +414,96 @@ def test_pruned_entries_retired_by_full_walk(
     # hit) and still answers correctly
     out = eng.sql("SELECT id FROM glue.db.pt WHERE year = '1997'")
     assert [r.id for r in out.collect()] == [3]
+
+
+def test_mapped_partition_pushdown_and_engine_parity(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 #5): column-mapped tables get BOTH engine
+    file-list partition pruning and executor-side meta-pruning — the
+    physical-keyed partitionValues translate through the rename map.
+    Pruned-to-zero keeps the real logical schema without a footer
+    sample."""
+    import glue_table_cache_spark.sources.delta as d
+
+    from tests.test_nested_column_mapping import (
+        _partitioned_mapped_table,
+    )
+
+    base = tmp_path / "pmprune"
+    _partitioned_mapped_table(spark, base)
+    # executor-side: walk with the factory, collect only col-p=b adds
+    monkeypatch.setattr(d, "DISTRIBUTED_CHECKPOINT_MIN_BYTES", 0)
+    from glue_table_cache_spark.sinks.delta_checkpoint import (
+        write_delta_checkpoint,
+    )
+
+    write_delta_checkpoint(str(base), 0)
+    factory = delta_prune_factory(
+        "SELECT * FROM t WHERE p = 'b'", ["p"], {"t"}, False
+    )
+    entries, renames = d.delta_scan_info(
+        str(base), allow_nested_mapping=True, prune_factory=factory
+    )
+    assert renames is not None
+    assert factory.applied
+    assert sorted(pv["col-p"] for _p, pv, _dv in entries) == ["b", "b"]
+    # engine parity: the file-list prune hands Spark only the matching
+    # partition's files, and the result matches
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "pm", str(base),
+        partition_keys=[PartitionKey("p", "string")],
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    out = eng.sql(
+        "SELECT id, v FROM glue.db.pm WHERE p = 'b' ORDER BY id"
+    )
+    assert [(r.id, r.v) for r in out.collect()] == [(3, "z"), (4, "w")]
+    files = [f for f in out.inputFiles() if f.endswith(".parquet")]
+    assert files and all("col-p=b" in f for f in files)
+    # pruned-to-zero: empty RESULT with the logical schema, not an
+    # analysis error (and no footer sample needed)
+    empty = eng.sql("SELECT id, v FROM glue.db.pm WHERE p = 'zzz'")
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v"]
+
+
+def test_mapped_pushdown_divergent_tail_reruns_unpruned(
+    spark, tmp_path, frames, monkeypatch
+):
+    """r14 (ADVICE r13): the keep callable binds the CHECKPOINT-time
+    metaData; when a JSON commit after the checkpoint changes the
+    schema/mapping the gate was based on, the walk re-runs unpruned
+    instead of trusting stale pruning decisions."""
+    import glue_table_cache_spark.sources.delta as d
+
+    a, b, c = frames
+    evolved = spark.createDataFrame(
+        [(9, "n", 1.5)], "id long, v string, w double"
+    )
+    base = build_delta_table(
+        tmp_path / "dvg",
+        [
+            {"add": [a]},
+            {"add": [b], "metadata_schema": a},
+            # post-checkpoint commit REPLACES the schema (adds w) —
+            # the checkpoint at version 1 gated on the old basis
+            {"add": [evolved], "metadata_schema": evolved},
+        ],
+        checkpoint_at=1,
+    )
+    monkeypatch.setattr(d, "DISTRIBUTED_CHECKPOINT_MIN_BYTES", 0)
+    factory = delta_prune_factory(
+        "SELECT * FROM t WHERE id = 3", [], {"t"}, True
+    )
+    entries, _renames = d.delta_scan_info(
+        str(base), prune_factory=factory
+    )
+    # divergence detected → full unpruned set (driver prunes later)
+    assert not factory.applied
+    plain, _r = d.delta_scan_info(str(base))
+    assert sorted(p for p, _pv, _dv in entries) == sorted(
+        p for p, _pv, _dv in plain
+    )
