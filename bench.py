@@ -27,6 +27,12 @@ A/B of the unchanged ann_lsh label on the r10 tree vs r11 tree gave
 r10: 9.5s, 3.3s and r11: 2.6s, 4.3s consecutive best-of-3 runs) —
 when a label regresses, replay the PRIOR round's bench from a git
 worktree on the same machine first; only a same-host gap is real.
+r14 data point: the r13 artifact's decontamination 5.095s (4.8x over
+r12's 1.053s, zero operator-code change) re-measured at 1.056s
+best-of-5 under 0.2-0.3s calibration — the full 5-run envelope was
+[4.04, 1.53, 1.06, 1.09, 1.11], i.e. one cold/noisy run can dominate
+even a best-of-3 window; treat single-label multi-x jumps whose code
+is untouched as noise until a pinned re-measure says otherwise.
 """
 
 from __future__ import annotations

@@ -301,6 +301,147 @@ def _pv_from_partition_path(part: str) -> dict[str, str]:
     return pv
 
 
+_ARCHIVE_SEG_RE = re.compile(r"\.archive\.(\d+)")
+
+
+def _archived_segment_files(
+    location: str, s3_client=None
+) -> list[str]:
+    """Files under ``.hoodie/archived/`` in segment order.  They are
+    dot-named (``.commits_.archive.N_…``), which the data-file
+    listers rightly hide — so they are enumerated directly here."""
+    arch = posixpath.join(
+        location.rstrip("/"), ".hoodie", "archived"
+    )
+    if arch.startswith("s3://"):  # pragma: no cover - mirrors lister
+        from glue_table_cache_spark.listing import parse_s3_path
+
+        client = s3_client
+        if client is None:
+            import boto3
+
+            client = boto3.client("s3")
+        bucket, prefix = parse_s3_path(arch)
+        paths: list[str] = []
+        token = None
+        while True:
+            kwargs = {"Bucket": bucket, "Prefix": prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = client.list_objects_v2(**kwargs)
+            paths += [
+                f"s3://{bucket}/{o['Key']}"
+                for o in resp.get("Contents", [])
+            ]
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+    else:
+        from pathlib import Path
+
+        p = Path(arch)
+        paths = (
+            [str(f) for f in p.rglob("*") if f.is_file()]
+            if p.is_dir()
+            else []
+        )
+
+    def seg(path: str) -> tuple[int, str]:
+        m = _ARCHIVE_SEG_RE.search(path.rsplit("/", 1)[-1])
+        return (int(m.group(1)) if m else 0, path)
+
+    return [p for _n, p in sorted(seg(p) for p in paths)]
+
+
+def _strip_nones(value):
+    """Avro null-union branches decode to ``None`` dict entries where
+    the active timeline's JSON simply OMITS the key — normalize so
+    ``st.get("partitionPath", part)`` picks the same default either
+    way."""
+    if isinstance(value, dict):
+        return {
+            k: _strip_nones(v)
+            for k, v in value.items()
+            if v is not None
+        }
+    if isinstance(value, list):
+        return [_strip_nones(v) for v in value]
+    return value
+
+
+def read_archived_timeline(
+    location: str, s3_client=None
+) -> list[tuple[int, str, dict]]:
+    """Completed instants recovered from the ``.hoodie/archived/``
+    segments as ``(request_ts, kind, commit-metadata dict)`` in
+    replay order (r14, VERDICT r13 #6).
+
+    Archived segments are plain HoodieLogFormat files whose
+    AVRO_DATA_BLOCK records are ``HoodieArchivedMetaEntry`` rows
+    (https://hudi.apache.org/tech-specs/ — the same public framing
+    :mod:`glue_table_cache_spark.sources.hudi_log` reads for MOR
+    logs); each block header carries its writer schema, so the
+    decode is schema-driven, not hardcoded.  Only commit /
+    deltacommit / replacecommit entries carry ``partitionToWrite
+    Stats`` and participate in replay; clean/rollback/savepoint
+    entries contribute nothing and are skipped.
+
+    A segment that cannot be decoded REFUSES the scan loudly: a
+    replay missing the archive's write stats would silently drop
+    every file recorded only there."""
+    out: list[tuple[int, int, str, dict]] = []
+    for path in _archived_segment_files(location, s3_client):
+        try:
+            from glue_table_cache_spark.sources.hudi_log import (
+                read_log_blocks,
+            )
+
+            blocks = read_log_blocks(
+                _read_bytes(path, s3_client), path
+            )
+        except Exception as exc:
+            raise GlueSparkError(
+                f"Hudi archived-timeline segment {path!r} could not "
+                f"be decoded ({exc}); refusing the scan — replaying "
+                "without the archive would silently drop every file "
+                "recorded only there"
+            ) from exc
+        for blk in blocks:
+            for rec in blk.get("records") or []:
+                state = rec.get("actionState")
+                if state not in (None, "COMPLETED"):
+                    continue
+                kind = rec.get("actionType") or "commit"
+                md = rec.get("hoodieCommitMetadata")
+                if md is None:
+                    md = rec.get("hoodieReplaceCommitMetadata")
+                if md is None:
+                    continue  # clean/rollback/savepoint: no replay
+                if isinstance(md, str):
+                    md = json.loads(md)
+                ts_raw = rec.get("commitTime")
+                if ts_raw is None:
+                    continue
+                try:
+                    ts = int(str(ts_raw))
+                except ValueError as exc:
+                    raise GlueSparkError(
+                        f"Hudi archived entry in {path!r} carries "
+                        f"non-numeric commitTime {ts_raw!r}"
+                    ) from exc
+                out.append(
+                    (
+                        ts,
+                        0 if kind == "commit" else 1,
+                        kind,
+                        _strip_nones(md),
+                    )
+                )
+    return [(ts, kind, md) for ts, _k, kind, md in sorted(
+        out, key=lambda x: (x[0], x[1])
+    )]
+
+
 def _table_type(names: list[str], s3_client=None) -> str:
     props = [p for p in names if p.endswith("hoodie.properties")]
     if props:
@@ -325,20 +466,41 @@ def _walk_timeline(
     logs (clustering rewrote the group's full content).
     ``as_of_instant`` stops the replay there (time travel) — cleaned
     file slices make the result unreadable, which surfaces loudly at
-    read, never silently."""
+    read, never silently.
+
+    r14: the walk PREPENDS the ``.hoodie/archived/`` timeline
+    (:func:`read_archived_timeline`).  Archival moves old instants'
+    JSON out of the active dir while their data files stay live, so
+    a replay of the active timeline alone would silently drop every
+    file whose only write stats live in the archive; with the
+    archive decoded, current-state reads stay complete and time
+    travel reaches archived instants.  Cost bound: linear in TOTAL
+    retained instants (active JSON reads + one sequential decode of
+    each archive segment), cached behind the engine's listing cache
+    like every other walk; an undecodable segment refuses loudly."""
     instants = _completed_instants(names, location)
+    archived = read_archived_timeline(location, s3_client)
+    merged: list[tuple[int, str, object]] = [
+        (ts, kind, md)
+        for ts, kind, md in archived
+        if ts < instants[0][0]  # archive never overlaps active
+    ] + [(ts, kind, p) for ts, kind, p in instants]
     if as_of_instant is not None:
-        instants = [x for x in instants if x[0] <= as_of_instant]
-        if not instants:
+        merged = [x for x in merged if x[0] <= as_of_instant]
+        if not merged:
             raise GlueSparkError(
                 f"Hudi instant {as_of_instant} predates the retained "
-                f"timeline of {location!r} — no completed instant at "
-                "or before it"
+                f"timeline of {location!r} — no completed or archived "
+                "instant at or before it"
             )
     slices: dict[str, tuple[int, str, str]] = {}
     logs: list[tuple[int, str, str, str]] = []
-    for ts, kind, p in instants:
-        data = json.loads(_read_bytes(p, s3_client))
+    for ts, kind, src in merged:
+        data = (
+            src
+            if isinstance(src, dict)
+            else json.loads(_read_bytes(src, s3_client))
+        )
         if kind == "replacecommit":
             for ids in (data.get("partitionToReplaceFileIds") or {}).values():
                 for fid in ids:
@@ -460,12 +622,23 @@ def hudi_history(spark, location: str, s3_client=None, fs=None):
     ``yyyyMMddHHmmss[SSS]`` stamp (null otherwise — fixtures may use
     bare integers), operation = the instant kind (commit /
     deltacommit / replacecommit).  Cleaned instants are gone by
-    definition of retention, exactly like the Delta variant."""
+    definition of retention, exactly like the Delta variant;
+    ARCHIVED instants (r14) still appear — archival relocates the
+    history, it does not erase it."""
     from datetime import datetime, timezone
 
     names = _timeline_files(location, fs=fs)
     rows = []
-    for ts, kind, _p in _completed_instants(names, location):
+    merged = [
+        (ts, kind)
+        for ts, kind, _md in read_archived_timeline(
+            location, s3_client
+        )
+    ] + [
+        (ts, kind)
+        for ts, kind, _p in _completed_instants(names, location)
+    ]
+    for ts, kind in merged:
         epoch_ms = None
         digits = str(ts)
         try:
@@ -505,10 +678,21 @@ def hudi_changes(
     instants = _completed_instants(names, location)
     latest = max(ts for ts, _k, _p in instants)
     written: list[str] = []
-    for ts, _kind, p in instants:
+    merged: list[tuple[int, object]] = [
+        (ts, md)
+        for ts, _kind, md in read_archived_timeline(
+            location, s3_client
+        )
+        if ts < instants[0][0]  # r14: archived instants feed too
+    ] + [(ts, p) for ts, _kind, p in instants]
+    for ts, src in merged:
         if ts <= since_instant:
             continue
-        data = json.loads(_read_bytes(p, s3_client))
+        data = (
+            src
+            if isinstance(src, dict)
+            else json.loads(_read_bytes(src, s3_client))
+        )
         for stats in (data.get("partitionToWriteStats") or {}).values():
             for st in stats:
                 if st.get("path"):
@@ -583,6 +767,10 @@ def hudi_instant_for_wallclock(
             req = int(m.group(1))
             comp = int(m.group(2)) if m.group(2) else req
             found.append((comp, req))
+    # archived instants (r14) resolve too: archival preserves only the
+    # request instant, which is also the legacy completion fallback
+    for ts, _kind, _md in read_archived_timeline(location):
+        found.append((ts, ts))
     if not found:
         raise GlueSparkError(
             f"No completed Hudi instants under {location!r}/.hoodie"
@@ -627,7 +815,10 @@ def hudi_instant_for_timestamp(
         raise GlueSparkError(
             f"No completed Hudi instants under {location!r}/.hoodie"
         )
-    pairs = sorted((_instant_ms(ts), ts) for ts, _k, _p in instants)
+    all_ts = [ts for ts, _k, _p in instants] + [
+        ts for ts, _k, _md in read_archived_timeline(location)
+    ]
+    pairs = sorted((_instant_ms(ts), ts) for ts in all_ts)
     if mode == "start":
         for ms, inst in pairs:
             if ms >= ts_ms:
@@ -836,6 +1027,17 @@ def hudi_window_units(
     if names is None:
         names = _timeline_files(location, fs=fs)
     instants = _completed_instants(names, location)
+    # r14: archived instants deliver change windows too — archival
+    # preserves each instant's write stats, which is all a COW diff
+    # or deltacommit unit needs (a window whose files clean later
+    # removed surfaces loudly at read, the time-travel posture)
+    merged_instants: list[tuple[int, str, object]] = [
+        (ts, kind, md)
+        for ts, kind, md in read_archived_timeline(
+            location, s3_client
+        )
+        if ts < instants[0][0]
+    ] + [(ts, kind, p) for ts, kind, p in instants]
 
     def _base_state(ts: int | None):
         """State at ``ts``: ``slices`` (fid → (instant, raw_path,
@@ -859,12 +1061,16 @@ def hudi_window_units(
         _base_state(since) if since else ({}, set(), {})
     )
     units: list[tuple[int, str, object]] = []
-    for ts, kind, p in instants:
+    for ts, kind, src in merged_instants:
         if ts > until:
             break
         if ts <= since:
             continue
-        data = json.loads(_read_bytes(p, s3_client))
+        data = (
+            src
+            if isinstance(src, dict)
+            else json.loads(_read_bytes(src, s3_client))
+        )
         prev_files = {
             path: part for _t, path, part in prev_slices.values()
         }
@@ -1084,9 +1290,20 @@ def hudi_table_changes(
             f"newest completed Hudi instant {all_ts[-1]} of "
             f"{location!r}"
         )
-    # a start at or before the oldest instant means "from genesis"
+    # a start at or before the oldest KNOWN instant (archived
+    # included, r14 — a mid-archive start must not widen to genesis)
+    # means "from genesis"
+    oldest_known = min(
+        all_ts
+        + [
+            ts
+            for ts, _k, _md in read_archived_timeline(
+                location, s3_client
+            )
+        ]
+    )
     since = start_instant - 1
-    if since < all_ts[0]:
+    if since < oldest_known:
         since = 0
     units = hudi_window_units(
         location, since, end_instant, s3_client=s3_client, names=names

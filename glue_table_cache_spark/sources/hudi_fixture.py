@@ -95,3 +95,147 @@ def build_hudi_table(
     if orphan is not None:
         _write_data_file(base, orphan, "p0/orphan.parquet")
     return base
+
+
+# -- archived timeline (r14) ------------------------------------------------
+
+#: HoodieArchivedMetaEntry (subset of the public Avro model — the
+#: reader is schema-driven off each block header, so a real archive's
+#: fuller schema decodes the same way; only these fields are consumed)
+_WRITE_STAT_SCHEMA = {
+    "type": "record",
+    "name": "HoodieWriteStat",
+    "fields": [
+        {"name": "fileId", "type": ["null", "string"]},
+        {"name": "path", "type": ["null", "string"]},
+        {"name": "partitionPath", "type": ["null", "string"]},
+    ],
+}
+
+
+def _md_schema(name: str, with_replace: bool) -> dict:
+    fields = [
+        {
+            "name": "partitionToWriteStats",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": {
+                        "type": "array",
+                        "items": dict(
+                            _WRITE_STAT_SCHEMA,
+                            name=f"{name}WriteStat",
+                        ),
+                    },
+                },
+            ],
+        }
+    ]
+    if with_replace:
+        fields.append(
+            {
+                "name": "partitionToReplaceFileIds",
+                "type": [
+                    "null",
+                    {
+                        "type": "map",
+                        "values": {"type": "array", "items": "string"},
+                    },
+                ],
+            }
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+ARCHIVED_META_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "HoodieArchivedMetaEntry",
+    "fields": [
+        {"name": "commitTime", "type": ["null", "string"]},
+        {"name": "actionState", "type": ["null", "string"]},
+        {"name": "actionType", "type": ["null", "string"]},
+        {
+            "name": "hoodieCommitMetadata",
+            "type": ["null", _md_schema("HoodieCommitMetadata", False)],
+        },
+        {
+            "name": "hoodieReplaceCommitMetadata",
+            "type": [
+                "null",
+                _md_schema("HoodieReplaceCommitMetadata", True),
+            ],
+        },
+    ],
+}
+
+
+def archive_hudi_commits(base: str | Path, keep_last: int = 1) -> Path:
+    """Move all but the newest ``keep_last`` completed instants into a
+    ``.hoodie/archived/.commits_.archive.1_1-0-1`` HoodieLogFormat
+    segment — the real archival shape: the active JSON disappears,
+    the data files stay on disk, and only the archive remembers the
+    old instants' write stats."""
+    import re
+
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        write_log_file,
+    )
+
+    base = Path(base)
+    hoodie = base / ".hoodie"
+    completed: list[tuple[int, str, Path]] = []
+    pat = re.compile(
+        r"^(\d+)(?:_\d+)?\.(commit|deltacommit|replacecommit)$"
+    )
+    for p in sorted(hoodie.iterdir()):
+        m = pat.match(p.name)
+        if m:
+            completed.append((int(m.group(1)), m.group(2), p))
+    completed.sort()
+    to_arch = completed[: len(completed) - keep_last]
+    records = []
+    for ts, kind, p in to_arch:
+        payload = json.loads(p.read_text())
+        stats_md = {
+            part: [
+                {
+                    "fileId": st.get("fileId"),
+                    "path": st.get("path"),
+                    "partitionPath": st.get("partitionPath"),
+                }
+                for st in sts
+            ]
+            for part, sts in (
+                payload.get("partitionToWriteStats") or {}
+            ).items()
+        }
+        rec = {
+            "commitTime": str(ts),
+            "actionState": "COMPLETED",
+            "actionType": kind,
+            "hoodieCommitMetadata": None,
+            "hoodieReplaceCommitMetadata": None,
+        }
+        if kind == "replacecommit":
+            rec["hoodieReplaceCommitMetadata"] = {
+                "partitionToWriteStats": stats_md,
+                "partitionToReplaceFileIds": payload.get(
+                    "partitionToReplaceFileIds"
+                )
+                or {},
+            }
+        else:
+            rec["hoodieCommitMetadata"] = {
+                "partitionToWriteStats": stats_md
+            }
+        records.append(rec)
+        p.unlink()
+    arch = hoodie / "archived"
+    arch.mkdir(exist_ok=True)
+    write_log_file(
+        arch / ".commits_.archive.1_1-0-1",
+        [data_block("0", ARCHIVED_META_ENTRY_SCHEMA, records)],
+    )
+    return arch

@@ -1666,3 +1666,202 @@ def test_table_changes_replacecommit_retires_log_born_group(
         (3, "C2", "insert"),
     ]
     assert {r._commit_version for r in w.collect()} == {i4}
+
+
+# -- archived timeline (r14) ------------------------------------------------
+
+
+def test_archived_timeline_scan_stays_complete(spark, tmp_path, frames):
+    """Archival moves old instants' JSON into .hoodie/archived while
+    their data files stay live — a replay of the active timeline
+    alone would silently drop them.  The walk decodes the archive,
+    so the scanned set is identical before and after archival."""
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        archive_hudi_commits,
+    )
+
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "arch",
+        [
+            {"write": {"fg1": a}},
+            {"write": {"fg2": b}},
+            {"write": {"fg1": a2}},  # rewrite of fg1
+        ],
+    )
+    before = set(hudi_data_files(str(base)))
+    archive_hudi_commits(base, keep_last=1)
+    # active dir now holds one completed instant; data set unchanged
+    after = set(hudi_data_files(str(base)))
+    assert after == before
+    rows = {(r.id, r.v) for r in spark.read.parquet(*after).collect()}
+    assert rows == {(1, "A"), (2, "B"), (3, "c")}
+    # engine read parity over the archived table
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "arch", str(base),
+        parameters={"spark.sql.sources.provider": "hudi"},
+    )
+    eng = GlueSparkEngine(spark, store)
+    got = {
+        (r.id, r.v)
+        for r in eng.sql("SELECT id, v FROM glue.db.arch").collect()
+    }
+    assert got == rows
+
+
+def test_archived_timeline_time_travel(spark, tmp_path, frames):
+    """Time travel reaches ARCHIVED instants; an instant predating
+    even the archive refuses loudly."""
+    from glue_table_cache_spark.sources.hudi import hudi_scan_info
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        archive_hudi_commits,
+    )
+
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "archtt",
+        [
+            {"write": {"fg1": a}},
+            {"write": {"fg2": b}},
+            {"write": {"fg1": a2}},
+        ],
+    )
+    archive_hudi_commits(base, keep_last=1)
+    entries = hudi_scan_info(
+        str(base), as_of_instant=20240101000001
+    )
+    names = {p.rsplit("/", 1)[1] for p, _pv in entries}
+    assert names == {
+        "fg1_0-0-0_20240101000000.parquet",
+        "fg2_0-0-0_20240101000001.parquet",
+    }
+    with pytest.raises(GlueSparkError, match="predates"):
+        hudi_scan_info(str(base), as_of_instant=20240101000000 - 1)
+
+
+def test_archived_timeline_replacecommit(spark, tmp_path, frames):
+    """A replacecommit living in the ARCHIVE still retires its file
+    groups in the replay."""
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        archive_hudi_commits,
+    )
+
+    a, b, _a2 = frames
+    base = build_hudi_table(
+        tmp_path / "archrc",
+        [
+            {"write": {"fg1": a}},
+            {"write": {"fg3": b}, "replace": ["fg1"]},
+            {"write": {"fg4": a}},
+        ],
+    )
+    before = set(hudi_data_files(str(base)))
+    archive_hudi_commits(base, keep_last=1)
+    assert set(hudi_data_files(str(base))) == before
+    assert not any("fg1_" in p for p in before)
+
+
+def test_corrupt_archive_segment_refuses(spark, tmp_path, frames):
+    a, b, _a2 = frames
+    base = build_hudi_table(
+        tmp_path / "archbad",
+        [{"write": {"fg1": a}}, {"write": {"fg2": b}}],
+    )
+    arch = base / ".hoodie" / "archived"
+    arch.mkdir()
+    (arch / ".commits_.archive.1_1-0-1").write_bytes(b"not a log")
+    with pytest.raises(GlueSparkError, match="could not be decoded"):
+        hudi_data_files(str(base))
+
+
+def test_archived_timestamp_travel_and_history(spark, tmp_path, frames):
+    """TIMESTAMP AS OF resolution and DESCRIBE HISTORY both reach
+    archived instants — archival relocates history, it does not
+    erase it."""
+    from glue_table_cache_spark.sources.hudi import (
+        hudi_history,
+        hudi_instant_for_wallclock,
+    )
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        archive_hudi_commits,
+    )
+
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "archts",
+        [
+            {"write": {"fg1": a}},
+            {"write": {"fg2": b}},
+            {"write": {"fg1": a2}},
+        ],
+    )
+    archive_hudi_commits(base, keep_last=1)
+    # wall clock just after the SECOND (archived) instant
+    import datetime as dt
+
+    ts_ms = int(
+        dt.datetime(
+            2024, 1, 1, 0, 0, 1, tzinfo=dt.timezone.utc
+        ).timestamp()
+        * 1000
+    )
+    assert (
+        hudi_instant_for_wallclock(str(base), ts_ms)
+        == 20240101000001
+    )
+    hist = hudi_history(spark, str(base))
+    assert [r.version for r in hist.collect()] == [
+        20240101000000, 20240101000001, 20240101000002,
+    ]
+    assert [r.operation for r in hist.collect()] == [
+        "commit", "commit", "commit",
+    ]
+
+
+def test_archived_change_windows_delivered(spark, tmp_path, frames):
+    """File-level and row-level change feeds reach ARCHIVED instants:
+    archival preserves each instant's write stats — exactly what a
+    COW window diff needs — so `hudi_changes` and `table_changes`
+    deliver the archived commits instead of silently skipping them;
+    a mid-archive start does not widen to genesis."""
+    from glue_table_cache_spark.sources.hudi import (
+        hudi_changes,
+        hudi_table_changes,
+    )
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        archive_hudi_commits,
+    )
+
+    a, b, a2 = frames
+    base = build_hudi_table(
+        tmp_path / "archcdc",
+        [
+            {"write": {"fg1": a}},
+            {"write": {"fg2": b}},
+            {"write": {"fg1": a2}},
+        ],
+    )
+    latest0, written0 = hudi_changes(str(base), 0)
+    archive_hudi_commits(base, keep_last=1)
+    latest1, written1 = hudi_changes(str(base), 0)
+    assert (latest1, written1) == (latest0, written0)
+    # mid-archive incremental: only instants AFTER the bound
+    _l, after_first = hudi_changes(str(base), 20240101000000)
+    assert all("_20240101000000" not in p for p in after_first)
+    assert len(after_first) == len(written0) - 1
+    # row-level TVF from genesis over the archived table
+    rows = hudi_table_changes(
+        spark, str(base), 0
+    ).collect()
+    by_ver = {}
+    for r in rows:
+        by_ver.setdefault(r._commit_version, set()).add(
+            (r.id, r.v, r._change_type)
+        )
+    assert by_ver[20240101000000] == {
+        (1, "a", "insert"), (2, "b", "insert"),
+    }
+    assert by_ver[20240101000001] == {(3, "c", "insert")}
+    # the active rewrite of fg1 emits delete+insert pairs
+    assert (1, "A", "insert") in by_ver[20240101000002]
