@@ -3797,15 +3797,18 @@ class GlueSparkEngine:
     def _list_files(
         self, tbl: CatalogTable, predicate=None, stats=None
     ) -> list[FileInfo]:
-        fs = self._fs or filesystem_for(tbl.location)
         extractors = extractors_for(tbl.partition_keys, tbl.projection)
         if predicate is None:
+            fs = self._fs or filesystem_for(tbl.location)
             return list_table_files(tbl.location, extractors, fs)
+        # pass the INJECTED fs only (None = default): the pruned walk
+        # must know whether it may rebuild the filesystem on the
+        # executors (default) or keep every stage on the caller's fs
         return list_table_files_pruned(
             tbl.location,
             extractors,
             predicate,
-            fs,
+            self._fs,
             stats=stats,
             spark=self.spark,
         )

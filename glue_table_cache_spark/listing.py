@@ -72,6 +72,11 @@ class LocalFileSystem:
         p = Path(location)
         if p.is_file():
             return [], [str(p)] if _is_data_file(str(p)) else []
+        if not p.is_dir():
+            # parity with list_files: rglob over a missing location
+            # yields [] (the engine emits its empty view), never a
+            # FileNotFoundError
+            return [], []
         dirs: list[str] = []
         files: list[str] = []
         for child in p.iterdir():
@@ -255,13 +260,15 @@ def _walk_prefix(
     prefix: str,
     extractors: list[PartitionExtractor],
     predicate,
-) -> tuple[list[str], int, int]:
+    fs: FileSystem | None = None,
+) -> tuple[list[str], int, int, str | None]:
     """Sequential pruned walk of one prefix: ``(file paths, prefixes
     listed, prefixes pruned, first pruned prefix)``.  Runs on the
-    driver pool AND as the executor task body (everything it closes
-    over — frozen predicate trees, extractor dataclasses —
-    pickles)."""
-    fs = filesystem_for(prefix)
+    driver pool (with the caller's ``fs``) AND as the executor task
+    body (``fs=None`` — rebuilt per task, since an injected
+    filesystem need not pickle; everything else it closes over —
+    frozen predicate trees, extractor dataclasses — pickles)."""
+    fs = fs or filesystem_for(prefix)
     out: list[str] = []
     listed = pruned = 0
     first_pruned: str | None = None
@@ -315,7 +322,10 @@ def list_table_files_pruned(
     runs over the survivors (idempotent).
 
     A custom ``fs`` without ``list_dir`` falls back to the flat
-    listing."""
+    listing; an INJECTED fs keeps every stage on the driver pool
+    (its IO identity must not be swapped for a default filesystem on
+    the executors)."""
+    injected = fs is not None
     fs = fs or filesystem_for(location)
     if predicate is None or not hasattr(fs, "list_dir"):
         return list_table_files(location, extractors, fs)
@@ -352,6 +362,7 @@ def list_table_files_pruned(
     if frontier:
         if (
             spark is not None
+            and not injected
             and len(frontier) >= DISTRIBUTED_LISTING_MIN_PREFIXES
         ):
             stats.distributed = True
@@ -370,7 +381,7 @@ def list_table_files_pruned(
                 results = list(
                     pool.map(
                         lambda d: _walk_prefix(
-                            d, extractors, predicate
+                            d, extractors, predicate, fs
                         ),
                         frontier,
                     )

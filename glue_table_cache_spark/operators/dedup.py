@@ -515,16 +515,19 @@ def simhash_near_pairs(
     equi-join on (band, band_bits) finds all of them without an
     all-pairs comparison; popcount(xor) then verifies exactly.
 
-    ``max_bucket_size`` (r14, default 64) is the same hot-bucket
-    guard as :func:`lsh_candidate_pairs`: a bucket over the cap —
-    a clique agreeing on a whole 15/16-bit signature band, i.e.
-    boilerplate — pairs each member with the bucket's min-id hub
-    only (linear) instead of all-pairs (quadratic).  Capped pairs ⊆
-    uncapped pairs; a lost pair is only possible between two non-hub
-    members whose mutual Hamming passes while both hub distances
-    fail — for the near-identical cliques that produce oversized
-    buckets, the hub edges keep the transitive groups intact.
-    ``None`` disables the guard."""
+    ``max_bucket_size`` (r14, default 64) is the hot-bucket guard of
+    :func:`lsh_candidate_pairs`, adapted to simhash's weaker bucket
+    key: a 15/16-bit band value can collide UNRELATED documents (it
+    is not the near-certain clique a 256-bit minhash band is), so a
+    bucket over the cap emits hub links (every member × the min-id
+    member) PLUS Manku-style sorted-neighbor links — members sorted
+    by full signature, each paired with its next ``4`` neighbors;
+    near-identical signatures are adjacent in that order, so real
+    near-dups inside a mixed bucket still surface.  Cost is linear
+    in bucket size (≤ 5 pairs per member vs m²/2).  Capped pairs
+    are a strict SUBSET of uncapped; the documented recall cost is
+    a pair of docs >4 apart in signature order whose hub distances
+    also fail.  ``None`` disables the guard."""
     bits = 60 if portable else 64
     sigs = simhash(df, text_col, id_col, bits=bits, portable=portable)
     n_bands = max_hamming + 1
@@ -564,24 +567,49 @@ def simhash_near_pairs(
                 ).alias("hamming"),
             )
         )
-        pairs_big = (
-            keyed.where(
-                (F.col("bsz") > max_bucket_size)
-                & (F.col("id") != F.col("first_id"))
-            )
-            .select(
-                F.col("first_id").alias("id_a"),
-                F.col("id").alias("id_b"),
-                F.bit_count(
-                    F.col("first_sig").bitwiseXOR(F.col("simhash"))
-                ).alias("hamming"),
-            )
+        big = keyed.where(F.col("bsz") > max_bucket_size)
+        pairs_hub = big.where(F.col("id") != F.col("first_id")).select(
+            F.col("first_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.bit_count(
+                F.col("first_sig").bitwiseXOR(F.col("simhash"))
+            ).alias("hamming"),
         )
-        return (
-            pairs_small.unionByName(pairs_big)
-            .distinct()
-            .where(F.col("hamming") <= max_hamming)
+        # sorted-neighbor links: signature order clusters near-dups
+        # together even in a MIXED bucket; the window sorts on the
+        # same (band, bits) key the join shuffled on
+        from pyspark.sql.window import Window
+
+        n_neighbors = 4
+        w = Window.partitionBy("band", "bits").orderBy(
+            "simhash", "id"
         )
+        big_n = big.select(
+            "id",
+            "simhash",
+            *[
+                F.lead("id", k).over(w).alias(f"nid{k}")
+                for k in range(1, n_neighbors + 1)
+            ],
+            *[
+                F.lead("simhash", k).over(w).alias(f"nsig{k}")
+                for k in range(1, n_neighbors + 1)
+            ],
+        )
+        pairs = pairs_small.unionByName(pairs_hub)
+        for k in range(1, n_neighbors + 1):
+            pairs = pairs.unionByName(
+                big_n.where(F.col(f"nid{k}").isNotNull()).select(
+                    F.least("id", F.col(f"nid{k}")).alias("id_a"),
+                    F.greatest("id", F.col(f"nid{k}")).alias("id_b"),
+                    F.bit_count(
+                        F.col("simhash").bitwiseXOR(
+                            F.col(f"nsig{k}")
+                        )
+                    ).alias("hamming"),
+                )
+            )
+        return pairs.distinct().where(F.col("hamming") <= max_hamming)
     left, right = buckets.alias("l"), buckets.alias("r")
     return (
         left.join(right, ["band", "bits"])

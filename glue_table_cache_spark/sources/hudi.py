@@ -305,15 +305,21 @@ _ARCHIVE_SEG_RE = re.compile(r"\.archive\.(\d+)")
 
 
 def _archived_segment_files(
-    location: str, s3_client=None
+    location: str, s3_client=None, fs=None
 ) -> list[str]:
     """Files under ``.hoodie/archived/`` in segment order.  They are
     dot-named (``.commits_.archive.N_…``), which the data-file
-    listers rightly hide — so they are enumerated directly here."""
+    listers rightly hide — so they are enumerated directly here.
+    An s3 table driven through an INJECTED filesystem with no
+    s3_client skips archive discovery entirely (the caller owns all
+    IO; forcing a default boto3 client would change its identity —
+    and fail outright without ambient credentials)."""
     arch = posixpath.join(
         location.rstrip("/"), ".hoodie", "archived"
     )
     if arch.startswith("s3://"):  # pragma: no cover - mirrors lister
+        if s3_client is None and fs is not None:
+            return []
         from glue_table_cache_spark.listing import parse_s3_path
 
         client = s3_client
@@ -369,8 +375,17 @@ def _strip_nones(value):
     return value
 
 
+#: decoded-archive memo: location → (segment-path signature, result).
+#: One timeline operation consults the archive several times (walk
+#: base states, window enumeration, travel resolution) — the segment
+#: LIST re-runs per call (cheap, and the validity token: archival
+#: only ever appends new segment names), the Avro DECODE does not.
+_ARCHIVE_CACHE: dict[str, tuple[tuple, list]] = {}
+_ARCHIVE_CACHE_MAX = 32
+
+
 def read_archived_timeline(
-    location: str, s3_client=None
+    location: str, s3_client=None, fs=None
 ) -> list[tuple[int, str, dict]]:
     """Completed instants recovered from the ``.hoodie/archived/``
     segments as ``(request_ts, kind, commit-metadata dict)`` in
@@ -389,8 +404,13 @@ def read_archived_timeline(
     A segment that cannot be decoded REFUSES the scan loudly: a
     replay missing the archive's write stats would silently drop
     every file recorded only there."""
+    segments = _archived_segment_files(location, s3_client, fs)
+    sig = tuple(segments)
+    hit = _ARCHIVE_CACHE.get(location)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     out: list[tuple[int, int, str, dict]] = []
-    for path in _archived_segment_files(location, s3_client):
+    for path in segments:
         try:
             from glue_table_cache_spark.sources.hudi_log import (
                 read_log_blocks,
@@ -437,9 +457,13 @@ def read_archived_timeline(
                         _strip_nones(md),
                     )
                 )
-    return [(ts, kind, md) for ts, _k, kind, md in sorted(
+    result = [(ts, kind, md) for ts, _k, kind, md in sorted(
         out, key=lambda x: (x[0], x[1])
     )]
+    if len(_ARCHIVE_CACHE) >= _ARCHIVE_CACHE_MAX:
+        _ARCHIVE_CACHE.pop(next(iter(_ARCHIVE_CACHE)))
+    _ARCHIVE_CACHE[location] = (sig, result)
+    return result
 
 
 def _table_type(names: list[str], s3_client=None) -> str:
@@ -457,6 +481,7 @@ def _walk_timeline(
     names: list[str],
     s3_client=None,
     as_of_instant: int | None = None,
+    fs=None,
 ) -> tuple[dict, list]:
     """Replay the completed timeline: ``(slices, logs)`` where
     ``slices`` maps fileId → ``(instant, base_path, partition)`` for
@@ -479,7 +504,7 @@ def _walk_timeline(
     each archive segment), cached behind the engine's listing cache
     like every other walk; an undecodable segment refuses loudly."""
     instants = _completed_instants(names, location)
-    archived = read_archived_timeline(location, s3_client)
+    archived = read_archived_timeline(location, s3_client, fs)
     merged: list[tuple[int, str, object]] = [
         (ts, kind, md)
         for ts, kind, md in archived
@@ -560,7 +585,7 @@ def hudi_scan_info(
                 "invisible)"
             )
     slices, _logs = _walk_timeline(
-        location, names, s3_client, as_of_instant
+        location, names, s3_client, as_of_instant, fs=fs
     )
     return sorted(
         (
@@ -591,7 +616,7 @@ def hudi_mor_scan_info(
     too (``log_entries`` comes back empty)."""
     names = _timeline_files(location, fs=fs)
     slices, logs = _walk_timeline(
-        location, names, s3_client, as_of_instant
+        location, names, s3_client, as_of_instant, fs=fs
     )
     base_entries = sorted(
         (
@@ -629,15 +654,16 @@ def hudi_history(spark, location: str, s3_client=None, fs=None):
 
     names = _timeline_files(location, fs=fs)
     rows = []
+    active = _completed_instants(names, location)
     merged = [
         (ts, kind)
         for ts, kind, _md in read_archived_timeline(
-            location, s3_client
+            location, s3_client, fs
         )
-    ] + [
-        (ts, kind)
-        for ts, kind, _p in _completed_instants(names, location)
-    ]
+        # a crash between archival's copy and delete can leave an
+        # instant in BOTH places — active wins, no duplicate row
+        if not active or ts < active[0][0]
+    ] + [(ts, kind) for ts, kind, _p in active]
     for ts, kind in merged:
         epoch_ms = None
         digits = str(ts)
@@ -681,7 +707,7 @@ def hudi_changes(
     merged: list[tuple[int, object]] = [
         (ts, md)
         for ts, _kind, md in read_archived_timeline(
-            location, s3_client
+            location, s3_client, fs
         )
         if ts < instants[0][0]  # r14: archived instants feed too
     ] + [(ts, p) for ts, _kind, p in instants]
@@ -769,7 +795,7 @@ def hudi_instant_for_wallclock(
             found.append((comp, req))
     # archived instants (r14) resolve too: archival preserves only the
     # request instant, which is also the legacy completion fallback
-    for ts, _kind, _md in read_archived_timeline(location):
+    for ts, _kind, _md in read_archived_timeline(location, fs=fs):
         found.append((ts, ts))
     if not found:
         raise GlueSparkError(
@@ -816,7 +842,7 @@ def hudi_instant_for_timestamp(
             f"No completed Hudi instants under {location!r}/.hoodie"
         )
     all_ts = [ts for ts, _k, _p in instants] + [
-        ts for ts, _k, _md in read_archived_timeline(location)
+        ts for ts, _k, _md in read_archived_timeline(location, fs=fs)
     ]
     pairs = sorted((_instant_ms(ts), ts) for ts in all_ts)
     if mode == "start":
@@ -1034,7 +1060,7 @@ def hudi_window_units(
     merged_instants: list[tuple[int, str, object]] = [
         (ts, kind, md)
         for ts, kind, md in read_archived_timeline(
-            location, s3_client
+            location, s3_client, fs
         )
         if ts < instants[0][0]
     ] + [(ts, kind, p) for ts, kind, p in instants]
@@ -1045,7 +1071,7 @@ def hudi_window_units(
         live-log entries (fid → [(instant, resolved_path,
         partition)])."""
         slices, logs = _walk_timeline(
-            location, names, s3_client, as_of_instant=ts
+            location, names, s3_client, as_of_instant=ts, fs=fs
         )
         live: set[str] = set()
         logs_by_fid: dict[str, list] = {}
@@ -1298,7 +1324,7 @@ def hudi_table_changes(
         + [
             ts
             for ts, _k, _md in read_archived_timeline(
-                location, s3_client
+                location, s3_client, fs
             )
         ]
     )

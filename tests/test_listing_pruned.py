@@ -230,3 +230,69 @@ def test_fs_without_list_dir_falls_back_flat(hive_orders_dir):
     )
     flat = list_table_files(str(hive_orders_dir), _extractors())
     assert {f.path for f in got} == {f.path for f in flat}
+
+
+def test_missing_location_parity_returns_empty(spark, tmp_path):
+    """A registered-but-absent location: the flat lister returns []
+    (reference empty view); the pruned walk must too, not raise
+    FileNotFoundError (r14 review fix)."""
+    missing = str(tmp_path / "never_written")
+    pred = _predicate(
+        "SELECT * FROM orders_part WHERE year = '1996'"
+    )
+    assert (
+        list_table_files_pruned(missing, _extractors(), pred) == []
+    )
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "absent", missing, partition_keys=[PartitionKey("year")]
+    )
+    eng = GlueSparkEngine(
+        spark, store, EngineConfig(explicit_file_lists=True)
+    )
+    # never-held-a-file parity: both the filtered and unfiltered
+    # query get the reference's SELECT NULL LIMIT 0 view — a WHERE
+    # on it is the same UNRESOLVED_COLUMN analysis error the flat
+    # path has always produced, never a raw FileNotFoundError
+    out = eng.sql("SELECT * FROM glue.db.absent")
+    assert out.count() == 0 and out.columns == ["null"]
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "SELECT * FROM glue.db.absent WHERE year = '1996'"
+        ).collect()
+
+
+def test_injected_fs_used_for_fanout_stage(hive_orders_dir, monkeypatch):
+    """An injected filesystem must serve EVERY stage of the pruned
+    walk — the whole-subtree fan-out included (r14 review fix: it
+    previously rebuilt a default filesystem per prefix)."""
+    import glue_table_cache_spark.listing as L
+
+    calls = {"n": 0}
+
+    class Counting(L.LocalFileSystem):
+        def list_dir(self, location):
+            calls["n"] += 1
+            return super().list_dir(location)
+
+    # force the fan-out stage immediately
+    monkeypatch.setattr(L, "LISTING_POOL_WORKERS", 1)
+    pred = _predicate("SELECT * FROM orders_part WHERE month = '07'")
+    fs = Counting()
+    files = list_table_files_pruned(
+        str(hive_orders_dir), _extractors(), pred, fs=fs
+    )
+    flat = list_table_files(str(hive_orders_dir), _extractors())
+    # month=07 cannot prune at the year level, so every object lists
+    # — and every list_dir went through the injected fs (root + each
+    # year dir + each month dir)
+    assert {f.path for f in prune_files(files, pred)} == {
+        f.path for f in prune_files(flat, pred)
+    }
+    years = {f.partition_values["year"] for f in flat}
+    # with LISTING_POOL_WORKERS=1 the BFS stage is skipped entirely,
+    # so EVERY list_dir of the walk (root + each year + each
+    # surviving month=07 dir) went through the injected fs
+    assert calls["n"] == 1 + len(years) * 2
