@@ -179,13 +179,12 @@ def merge_into_delta(
         )
         or []
     )
-    if pcols and renames is not None:
-        raise GlueSparkError(
-            "MERGE on a table that is both PARTITIONED and "
-            "column-mapped: partition directories key on physical "
-            "names while this rewrite plans on logical ones — "
-            "refusing; use a Delta runtime for this combination"
-        )
+    # PARTITIONED + column-mapped works (r14, same contract as the
+    # r13 OPTIMIZE lift): the rewrite plans on logical names, then
+    # to_physical renames every level and the stage writes through
+    # the PHYSICAL partition columns, so the staged k=v directories
+    # and the parsed add partitionValues keep the on-disk spelling
+    phys_pcols = [inverse.get(c, c) for c in pcols]
     from glue_table_cache_spark.dml import resolve_source_keys
 
     keys = resolve_source_keys(source, keys)
@@ -343,7 +342,7 @@ def merge_into_delta(
         # write back under PHYSICAL names (every level), the on-disk
         # contract
         merged = to_physical(merged, renames, phys_schema)
-    _write_rewrite_stage(merged, stage, n_files, pcols)
+    _write_rewrite_stage(merged, stage, n_files, phys_pcols)
     adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -484,13 +483,12 @@ def merge_general_delta(
         )
         or []
     )
-    if pcols and renames is not None:
-        raise GlueSparkError(
-            "MERGE on a table that is both PARTITIONED and "
-            "column-mapped: partition directories key on physical "
-            "names while this rewrite plans on logical ones — "
-            "refusing; use a Delta runtime for this combination"
-        )
+    # PARTITIONED + column-mapped works (r14, same contract as the
+    # r13 OPTIMIZE lift): the rewrite plans on logical names, then
+    # to_physical renames every level and the stage writes through
+    # the PHYSICAL partition columns, so the staged k=v directories
+    # and the parsed add partitionValues keep the on-disk spelling
+    phys_pcols = [inverse.get(c, c) for c in pcols]
     from glue_table_cache_spark.dml import resolve_source_keys
 
     keys = resolve_source_keys(source, keys)
@@ -657,7 +655,7 @@ def merge_general_delta(
     )
     if renames is not None:
         merged = to_physical(merged, renames, phys_schema)
-    _write_rewrite_stage(merged, stage, n_files, pcols)
+    _write_rewrite_stage(merged, stage, n_files, phys_pcols)
     adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -774,13 +772,8 @@ def update_delta(
         )
         or []
     )
-    if pcols and renames is not None:
-        raise GlueSparkError(
-            "UPDATE on a table that is both PARTITIONED and "
-            "column-mapped: partition directories key on physical "
-            "names while this rewrite plans on logical ones — "
-            "refusing; use a Delta runtime for this combination"
-        )
+    # PARTITIONED + column-mapped works (r14): see merge_into_delta
+    phys_pcols = [inverse.get(c, c) for c in pcols]
     by_path = {p: (pv, dv) for p, pv, dv in entries}
     if not by_path:
         return None, 0
@@ -931,7 +924,7 @@ def update_delta(
         # write back under PHYSICAL names (every level), the on-disk
         # contract
         updated = to_physical(updated, renames, phys_schema)
-    _write_rewrite_stage(updated, stage, n_files, pcols)
+    _write_rewrite_stage(updated, stage, n_files, phys_pcols)
     adds = _collect_staged_adds(stage, base, batch, now)
     shutil.rmtree(stage, ignore_errors=True)
 

@@ -1130,7 +1130,12 @@ def apply_column_mapping(
     which renames every nested physical field in one expression
     (column mapping preserves field order and never changes types,
     so the cast is a pure rename at every level, arrays and maps
-    included)."""
+    included) — and the TOP-LEVEL columns come back in the logical
+    schema's order (r14): the file order puts basePath partition
+    columns last, but the Delta contract (and positional INSERT)
+    binds to schemaString order, exactly what unmapped scans already
+    present.  Caller-added helper columns (``__f``/``__p`` tags)
+    keep their values and follow after the schema columns."""
     from pyspark.sql import functions as F
 
     if not renames:
@@ -1160,8 +1165,13 @@ def apply_column_mapping(
         lt = logical_types.get(tgt)
         if lt is not None and complex_(lt):
             col = col.cast(lt)
-        out.append(col.alias(tgt))
-    return df.select(*out)
+        out.append((tgt, col.alias(tgt)))
+    if logical_schema is not None:
+        order = {
+            f.name: i for i, f in enumerate(logical_schema.fields)
+        }
+        out.sort(key=lambda t: order.get(t[0], len(order)))
+    return df.select(*[c for _n, c in out])
 
 
 def delta_data_files(

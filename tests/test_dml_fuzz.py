@@ -184,8 +184,27 @@ def _run_fuzz_seq(spark, tmp_path, seed, fmt):
     rows = _seed_rows(rng)
     df = spark.createDataFrame(rows, "id long, cat string, val long")
     loc = tmp_path / f"fuzz{fmt}{seed}"
-    partitioned = fmt == "delta" and seed % 2 == 1
-    if fmt == "delta":
+    partitioned = (
+        fmt == "delta" and seed % 2 == 1
+    ) or fmt == "delta_mapped"
+    if fmt == "delta_mapped":
+        # r14: a COLUMN-MAPPED partitioned target — the table is
+        # written under physical column `valx`, then renamed to the
+        # logical `val` every statement uses, so logical ≠ physical
+        # for the whole sequence: the merge planner, DV writer,
+        # rewrite staging, and the engine's physical→logical
+        # partitionValues pruning all run through the rename map
+        from glue_table_cache_spark.sinks.delta_write import (
+            write_delta_append,
+        )
+
+        write_delta_append(
+            df.withColumnRenamed("val", "valx").coalesce(2),
+            str(loc),
+            partition_by=["cat"],
+        )
+        params = {"spark.sql.sources.provider": "delta"}
+    elif fmt == "delta":
         from glue_table_cache_spark.sinks.delta_write import (
             write_delta_append,
         )
@@ -213,6 +232,12 @@ def _run_fuzz_seq(spark, tmp_path, seed, fmt):
     store = LocalMetadataStore()
     store.register_parquet_dir("db", "t", str(loc), parameters=params)
     eng = GlueSparkEngine(spark, store)
+    if fmt == "delta_mapped":
+        # metadata-only rename: enables column mapping, pins the
+        # physical spelling to valx, logical becomes val
+        eng.sql(
+            "ALTER TABLE glue.db.t RENAME COLUMN valx TO val"
+        ).collect()
     duck = duckdb.connect()
     duck.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, val BIGINT)")
     duck.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
@@ -247,6 +272,11 @@ def _run_fuzz_seq(spark, tmp_path, seed, fmt):
 @pytest.mark.parametrize("seed", SEEDS)
 def test_dml_fuzz_delta_matches_duckdb(spark, tmp_path, seed):
     _run_fuzz_seq(spark, tmp_path, seed, "delta")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dml_fuzz_delta_mapped_matches_duckdb(spark, tmp_path, seed):
+    _run_fuzz_seq(spark, tmp_path, seed, "delta_mapped")
 
 
 @pytest.mark.parametrize("seed", range(4))

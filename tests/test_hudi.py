@@ -1865,3 +1865,53 @@ def test_archived_change_windows_delivered(spark, tmp_path, frames):
     assert by_ver[20240101000001] == {(3, "c", "insert")}
     # the active rewrite of fg1 emits delete+insert pairs
     assert (1, "A", "insert") in by_ver[20240101000002]
+
+
+def test_archived_deltacommits_mor_snapshot(spark, tmp_path):
+    """MOR: archiving the deltacommit that recorded a file group's
+    LOG write must not lose the log from the snapshot merge — the
+    archived write stats drive the same slices/logs fold."""
+    from glue_table_cache_spark.sources.hudi import hudi_mor_scan_info
+    from glue_table_cache_spark.sources.hudi_fixture import (
+        archive_hudi_commits,
+        build_hudi_table,
+    )
+    from glue_table_cache_spark.sources.hudi_log import (
+        data_block,
+        write_log_file,
+    )
+    import io
+
+    base_df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    blk = data_block(
+        "20240101000001", schema, [{"id": 2, "v": "B"}]
+    )
+    base = build_hudi_table(
+        tmp_path / "archmor",
+        [
+            {"write": {"fg1": base_df}},
+            {"log": {"fg1": blk}},
+            {"write": {"fg2": base_df.where("id = 1")}},
+        ],
+        table_type="MERGE_ON_READ",
+    )
+    def snapshot():
+        bases, logs = hudi_mor_scan_info(str(base))
+        return (
+            sorted(p.rsplit("/", 1)[1] for p, _pv, _i in bases),
+            sorted(p.rsplit("/", 1)[1] for p, _i, _pv in logs),
+        )
+    before = snapshot()
+    archive_hudi_commits(base, keep_last=1)
+    assert snapshot() == before
+    assert any(".log." in n for n in before[1])

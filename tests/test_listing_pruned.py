@@ -296,3 +296,63 @@ def test_injected_fs_used_for_fanout_stage(hive_orders_dir, monkeypatch):
     # so EVERY list_dir of the walk (root + each year + each
     # surviving month=07 dir) went through the injected fs
     assert calls["n"] == 1 + len(years) * 2
+
+
+def test_projection_date_prefix_pruning(spark, tmp_path):
+    """A single-component date projection (yyyy-MM-dd) prunes at its
+    directory level; a SLASHED format (yyyy/MM/dd) cannot match a
+    shallow prefix (fixed-length regex spans levels) so the walk
+    descends safely and prunes only where the full pattern resolves."""
+    from glue_table_cache_spark.catalog import ProjectionPattern
+    from glue_table_cache_spark.projection import (
+        projection_extractor,
+    )
+
+    base = tmp_path / "dated"
+    for d in ("2024-01-01", "2024-01-02", "2024-02-01"):
+        (base / d).mkdir(parents=True)
+        (base / d / "part-0.parquet").touch()
+    ex = [
+        projection_extractor(
+            ProjectionPattern(
+                column="dt", type="date", format="yyyy-MM-dd"
+            )
+        )
+    ]
+    pred = extract_partition_predicate(
+        "SELECT * FROM t WHERE dt = '2024-01-02'", ["dt"], {"t"}
+    )
+    stats = ListingStats()
+    got = list_table_files_pruned(str(base), ex, pred, stats=stats)
+    assert [f.partition_values["dt"] for f in got] == ["2024-01-02"]
+    assert stats.prefixes_pruned == 2
+    # slashed format: shallow prefixes yield no value (Unknown) —
+    # every level descends, the leaf-level values still extract
+    base2 = tmp_path / "slashed"
+    for y, m in (("2024", "01"), ("2024", "02"), ("2023", "12")):
+        (base2 / y / m).mkdir(parents=True)
+        (base2 / y / m / "part-0.parquet").touch()
+    ex2 = [
+        projection_extractor(
+            ProjectionPattern(
+                column="dt", type="date", format="yyyy/MM"
+            )
+        )
+    ]
+    pred2 = extract_partition_predicate(
+        "SELECT * FROM t WHERE dt = '2024/02'", ["dt"], {"t"}
+    )
+    stats2 = ListingStats()
+    got2 = list_table_files_pruned(
+        str(base2), ex2, pred2, stats=stats2
+    )
+    flat2 = list_table_files(str(base2), ex2)
+    # parity with flat + engine prune; the month level DID prune
+    # (the full yyyy/MM pattern resolves there)
+    assert {f.path for f in prune_files(got2, pred2)} == {
+        f.path for f in prune_files(flat2, pred2)
+    }
+    assert [
+        f.partition_values["dt"] for f in prune_files(got2, pred2)
+    ] == ["2024/02"]
+    assert stats2.prefixes_pruned >= 1

@@ -661,3 +661,72 @@ def test_streaming_graft_refuses_nested_field_drift(spark, tmp_path):
     )
     rows = [r for b in batches for r in b.to_pylist()]
     assert rows == [{"id": 1, "s": {"x": 10, "y": "ten"}}]
+
+
+def test_partitioned_mapped_update_and_merge(spark, tmp_path):
+    """UPDATE and column-level MERGE on a table that is both
+    PARTITIONED and column-mapped (r14; previously refused): the
+    rewrite plans logically, stages under PHYSICAL k=v directories,
+    and the new adds carry physical-keyed partition tuples — the r13
+    OPTIMIZE contract extended to the DML rewrites."""
+    from glue_table_cache_spark.catalog import LocalMetadataStore
+    from glue_table_cache_spark.engine import GlueSparkEngine
+    from glue_table_cache_spark.sources.delta import delta_scan_info
+
+    base = tmp_path / "pmdml"
+    _partitioned_mapped_table(spark, base)
+    store = LocalMetadataStore()
+    store.register_parquet_dir(
+        "db", "pm", str(base),
+        parameters={"spark.sql.sources.provider": "delta"},
+    )
+    eng = GlueSparkEngine(spark, store)
+
+    def rows():
+        return sorted(
+            (r.id, r.v, r.p)
+            for r in eng.sql(
+                "SELECT id, v, p FROM glue.db.pm"
+            ).collect()
+        )
+
+    assert rows() == [
+        (1, "x", "a"), (2, "y", "a"), (3, "z", "b"), (4, "w", "b"),
+    ]
+    out = eng.sql(
+        "UPDATE glue.db.pm SET v = 'X' WHERE id = 1"
+    ).collect()
+    assert out[0].rows_updated == 1
+    assert rows() == [
+        (1, "X", "a"), (2, "y", "a"), (3, "z", "b"), (4, "w", "b"),
+    ]
+    # the rewrite landed under the PHYSICAL partition dir with a
+    # physical-keyed partition tuple
+    entries, renames = delta_scan_info(
+        str(base), allow_nested_mapping=True
+    )
+    assert renames is not None
+    new = [e for e in entries if "_staging" not in e[0]]
+    assert all("col-p=" in p for p, _pv, _dv in new)
+    assert all(set(pv) == {"col-p"} for _p, pv, _dv in new)
+    # column-level MERGE: update one partition, insert into another
+    eng.sql(
+        """
+        MERGE INTO glue.db.pm t
+        USING (SELECT 4 AS id, 'W2' AS v, 'b' AS p
+               UNION ALL SELECT 9, 'n', 'c') s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)
+        """
+    ).collect()
+    assert rows() == [
+        (1, "X", "a"), (2, "y", "a"), (3, "z", "b"),
+        (4, "W2", "b"), (9, "n", "c"),
+    ]
+    entries2, _r = delta_scan_info(
+        str(base), allow_nested_mapping=True
+    )
+    assert any(
+        pv.get("col-p") == "c" for _p, pv, _dv in entries2
+    )
