@@ -250,17 +250,17 @@ def lsh_candidate_pairs(
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
-    # hot-bucket guard: bucket sizes + hub (min id) in one extra agg on
-    # the SAME (band, bucket) shuffle key the join needs, so AQE/reuse
-    # keeps it one exchange of the postings; all-pairs only below the
-    # cap, link-to-hub above it (linear in bucket size)
-    meta = buckets.groupBy("band", "bucket").agg(
-        F.count("*").alias("bsz"), F.min("id").alias("first_id")
+    # hot-bucket guard: one aggregate finds ONLY the oversized
+    # buckets (rare by construction — they are boilerplate cliques),
+    # so the per-row cost is a join against a tiny hot-key set (AQE
+    # broadcasts it) instead of a join-back of every bucket's meta;
+    # all-pairs below the cap, link-to-hub above it (linear)
+    hot = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsz"), F.min("id").alias("first_id"))
+        .where(F.col("bsz") > max_bucket_size)
     )
-    keyed = buckets.join(meta, ["band", "bucket"])
-    small = keyed.where(F.col("bsz") <= max_bucket_size).select(
-        "band", "bucket", "id"
-    )
+    small = buckets.join(hot, ["band", "bucket"], "left_anti")
     left, right = small.alias("l"), small.alias("r")
     pairs_small = (
         left.join(right, ["band", "bucket"])
@@ -268,10 +268,8 @@ def lsh_candidate_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
     pairs_big = (
-        keyed.where(
-            (F.col("bsz") > max_bucket_size)
-            & (F.col("id") != F.col("first_id"))
-        )
+        buckets.join(hot, ["band", "bucket"])
+        .where(F.col("id") != F.col("first_id"))
         # first_id = min(id) of the bucket, so id_a < id_b holds
         .select(
             F.col("first_id").alias("id_a"), F.col("id").alias("id_b")
@@ -505,7 +503,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
-    max_bucket_size: int | None = 64,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -515,7 +513,7 @@ def simhash_near_pairs(
     equi-join on (band, band_bits) finds all of them without an
     all-pairs comparison; popcount(xor) then verifies exactly.
 
-    ``max_bucket_size`` (r14, default 64) is the hot-bucket guard of
+    ``max_bucket_size`` (r14, default 512) is the hot-bucket guard of
     :func:`lsh_candidate_pairs`, adapted to simhash's weaker bucket
     key: a 15/16-bit band value can collide UNRELATED documents (it
     is not the near-certain clique a 256-bit minhash band is), so a
@@ -527,7 +525,11 @@ def simhash_near_pairs(
     in bucket size (≤ 5 pairs per member vs m²/2).  Capped pairs
     are a strict SUBSET of uncapped; the documented recall cost is
     a pair of docs >4 apart in signature order whose hub distances
-    also fail.  ``None`` disables the guard."""
+    also fail — which is why the default is 512, well above the
+    natural mixed-bucket sizes the synthetic sf0.1 corpus produces
+    (max observed 269; all-pairs there costs ≤ m²/2 ≈ 131k rows per
+    bucket, fine), so the guard only rewrites genuine boilerplate
+    explosions.  ``None`` disables the guard."""
     bits = 60 if portable else 64
     sigs = simhash(df, text_col, id_col, bits=bits, portable=portable)
     n_bands = max_hamming + 1
@@ -544,17 +546,19 @@ def simhash_near_pairs(
         "id", "simhash", F.posexplode(bands).alias("band", "bits")
     )
     if max_bucket_size is not None:
-        # bucket size + hub (min id, and the hub's signature for the
-        # hamming verify) in one agg on the join's own shuffle key
-        meta = buckets.groupBy("band", "bits").agg(
-            F.count("*").alias("bsz"),
-            F.min("id").alias("first_id"),
-            F.min_by("simhash", "id").alias("first_sig"),
+        # ONLY the oversized buckets aggregate out (rare; AQE
+        # broadcasts the hot-key set into the anti-join and the hub
+        # join), with the hub's min id + signature for the verify
+        hot = (
+            buckets.groupBy("band", "bits")
+            .agg(
+                F.count("*").alias("bsz"),
+                F.min("id").alias("first_id"),
+                F.min_by("simhash", "id").alias("first_sig"),
+            )
+            .where(F.col("bsz") > max_bucket_size)
         )
-        keyed = buckets.join(meta, ["band", "bits"])
-        small = keyed.where(F.col("bsz") <= max_bucket_size).select(
-            "band", "bits", "id", "simhash"
-        )
+        small = buckets.join(hot, ["band", "bits"], "left_anti")
         left, right = small.alias("l"), small.alias("r")
         pairs_small = (
             left.join(right, ["band", "bits"])
@@ -567,7 +571,7 @@ def simhash_near_pairs(
                 ).alias("hamming"),
             )
         )
-        big = keyed.where(F.col("bsz") > max_bucket_size)
+        big = buckets.join(hot, ["band", "bits"])
         pairs_hub = big.where(F.col("id") != F.col("first_id")).select(
             F.col("first_id").alias("id_a"),
             F.col("id").alias("id_b"),
