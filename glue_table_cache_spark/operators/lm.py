@@ -97,16 +97,29 @@ def train_ngram_lm(
     ``(model, contexts, vocab_size)`` where ``model`` has rows
     ``(prev, w, c)`` (bigram counts, plus unigram counts under the
     ``""`` context) and ``contexts`` has ``(prev, cc)`` (context
-    totals; ``""`` row carries the corpus token count).  Both are
-    unevaluated DataFrames — persist them when scoring many corpora
-    against one model.  ``vocab_size`` is the reference's distinct
-    token count (a driver-side scalar; one job)."""
+    totals; ``""`` row carries the corpus token count).
+    ``vocab_size`` is the reference's distinct token count.
+
+    One tokenize→explode→aggregate pass over the reference builds the
+    model, which is then MATERIALIZED (``localCheckpoint``); contexts
+    and vocabulary are pure algebra over the aggregated counts —
+    ``cc(prev) = Σ_w c(prev, w)`` and ``V = |distinct w|`` — so
+    neither re-tokenizes the corpus (guide §2.3 aggregate-before-
+    shuffle / §1.2 fewest passes: the r13 shape ran the tokenizer
+    explode 4× per train+score — contexts, vocab, and the score plan's
+    model each re-derived it; this shape runs it twice, once to train
+    and once to score).  Training was already eager (the vocab count);
+    the checkpoint makes the same action persist the model instead of
+    throwing it away.  The model table is bigram-count-sized (≪
+    corpus); at 100 TB train on a curated reference, not the corpus."""
     trans = _exploded_transitions(reference, text_col, [])
-    model = trans.groupBy("prev", "w").agg(F.count("*").alias("c"))
-    contexts = trans.groupBy("prev").agg(F.count("*").alias("cc"))
-    vocab = (
-        trans.select("w").distinct().count()
+    model = (
+        trans.groupBy("prev", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
+    contexts = model.groupBy("prev").agg(F.sum("c").alias("cc"))
+    vocab = model.select("w").distinct().count()
     return model, contexts, vocab
 
 

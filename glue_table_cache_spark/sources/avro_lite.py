@@ -185,6 +185,161 @@ def _matches(branch: Any, value: Any) -> bool:
     return True
 
 
+def _compile_decoder(schema: Any):
+    """Compile the schema into a closure tree ``fn(data, pos) ->
+    (value, pos)`` over a flat ``bytes`` buffer.
+
+    The schema-interpreting :func:`decode_value` dispatches on the
+    schema node and calls ``BytesIO.read`` per varint byte — measured
+    (cProfile, 512 manifests × 400 entries) that interpretation is
+    ~70% of the Iceberg driver metadata walk.  Compiling once per
+    file removes the per-value type dispatch and the stream-object
+    overhead (direct byte indexing); same supported subset, same
+    values (guide §1.2: per-task work, after the distributed shape)."""
+    t = _type_name(schema)
+    if t == "union":
+        branches = tuple(_compile_decoder(b) for b in schema)
+
+        def d_union(data, pos, _b=branches):
+            acc = 0
+            shift = 0
+            while True:
+                byte = data[pos]
+                pos += 1
+                acc |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            return _b[(acc >> 1) ^ -(acc & 1)](data, pos)
+
+        return d_union
+    if t == "null":
+        return lambda data, pos: (None, pos)
+    if t == "boolean":
+        def d_bool(data, pos):
+            return data[pos] == 1, pos + 1
+
+        return d_bool
+    if t in ("int", "long"):
+        def d_long(data, pos):
+            acc = 0
+            shift = 0
+            while True:
+                byte = data[pos]
+                pos += 1
+                acc |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            return (acc >> 1) ^ -(acc & 1), pos
+
+        return d_long
+    if t == "float":
+        unpack_f = struct.Struct("<f").unpack_from
+
+        def d_float(data, pos):
+            return unpack_f(data, pos)[0], pos + 4
+
+        return d_float
+    if t == "double":
+        unpack_d = struct.Struct("<d").unpack_from
+
+        def d_double(data, pos):
+            return unpack_d(data, pos)[0], pos + 8
+
+        return d_double
+    if t in ("bytes", "string"):
+        as_str = t == "string"
+
+        def d_bytes(data, pos, _s=as_str):
+            acc = 0
+            shift = 0
+            while True:
+                byte = data[pos]
+                pos += 1
+                acc |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            n = (acc >> 1) ^ -(acc & 1)
+            raw = data[pos:pos + n]
+            return (raw.decode("utf-8") if _s else raw), pos + n
+
+        return d_bytes
+    if t == "fixed":
+        size = schema["size"]
+
+        def d_fixed(data, pos, _n=size):
+            return data[pos:pos + _n], pos + _n
+
+        return d_fixed
+    if t == "record":
+        fields = tuple(
+            (f["name"], _compile_decoder(f["type"]))
+            for f in schema["fields"]
+        )
+
+        def d_record(data, pos, _f=fields):
+            out = {}
+            for name, dec in _f:
+                out[name], pos = dec(data, pos)
+            return out, pos
+
+        return d_record
+    if t in ("array", "map"):
+        is_map = t == "map"
+        item = _compile_decoder(schema["values" if is_map else "items"])
+
+        def d_coll(data, pos, _item=item, _m=is_map):
+            out = {} if _m else []
+            while True:
+                acc = 0
+                shift = 0
+                while True:
+                    byte = data[pos]
+                    pos += 1
+                    acc |= (byte & 0x7F) << shift
+                    if not byte & 0x80:
+                        break
+                    shift += 7
+                count = (acc >> 1) ^ -(acc & 1)
+                if count == 0:
+                    return out, pos
+                if count < 0:  # block with byte-size prefix
+                    acc = 0
+                    shift = 0
+                    while True:
+                        byte = data[pos]
+                        pos += 1
+                        acc |= (byte & 0x7F) << shift
+                        if not byte & 0x80:
+                            break
+                        shift += 7
+                    count = -count
+                if _m:
+                    for _ in range(count):
+                        acc = 0
+                        shift = 0
+                        while True:
+                            byte = data[pos]
+                            pos += 1
+                            acc |= (byte & 0x7F) << shift
+                            if not byte & 0x80:
+                                break
+                            shift += 7
+                        n = (acc >> 1) ^ -(acc & 1)
+                        k = data[pos:pos + n].decode("utf-8")
+                        pos += n
+                        out[k], pos = _item(data, pos)
+                else:
+                    for _ in range(count):
+                        v, pos = _item(data, pos)
+                        out.append(v)
+
+        return d_coll
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
 def decode_value(schema: Any, buf: BinaryIO) -> Any:
     t = _type_name(schema)
     if t == "union":
@@ -293,6 +448,7 @@ def read_avro_bytes(data: bytes, name: str = "<bytes>") -> list[dict]:
     codec = meta.get("avro.codec", b"null")
     schema = json.loads(meta["avro.schema"])
     sync = buf.read(16)
+    decoder = _compile_decoder(schema)
     records: list[dict] = []
     while buf.tell() < len(data):
         count = _decode_long(buf)
@@ -304,9 +460,11 @@ def read_avro_bytes(data: bytes, name: str = "<bytes>") -> list[dict]:
             block = zlib.decompress(block, -15)
         elif codec != b"null":
             raise ValueError(f"unsupported avro codec {codec!r}")
-        bbuf = io.BytesIO(block)
+        pos = 0
+        append = records.append
         for _ in range(count):
-            records.append(decode_value(schema, bbuf))
+            rec, pos = decoder(block, pos)
+            append(rec)
         if buf.read(16) != sync:
             raise ValueError(f"{name}: sync marker mismatch")
     return records

@@ -187,6 +187,21 @@ def _resolve_path(location: str, path: str) -> str:
     return posixpath.join(location.rstrip("/"), path)
 
 
+def _path_resolver(location: str):
+    """:func:`_resolve_path` with the base join hoisted out of the
+    per-path call — the resolver runs once per data file, and at
+    10^5-10^6 metadata entries the ``posixpath.join`` + ``rstrip``
+    per call is measured driver time (guide §1)."""
+    base = location.rstrip("/") + "/"
+
+    def resolve(path: str) -> str:
+        if "://" in path or path.startswith("/"):
+            return path
+        return base + path
+
+    return resolve
+
+
 def iceberg_data_files(
     location: str,
     version_offset: int = 0,
@@ -638,17 +653,15 @@ def iceberg_scan_details(
     keep_fn = (
         prune_factory(meta) if prune_factory is not None else None
     )
+    _res = _path_resolver(location)
     data_manifest_paths = {
-        _resolve_path(location, r["manifest_path"])
+        _res(r["manifest_path"])
         for r in list_rows
         if r.get("content", 0) == 0
     }
     pushdown_applied: list = []
     read_manifest = _manifest_reader(
-        [
-            _resolve_path(location, r["manifest_path"])
-            for r in list_rows
-        ],
+        [_res(r["manifest_path"]) for r in list_rows],
         s3_client,
         keep_fn=keep_fn,
         data_paths=data_manifest_paths,
@@ -662,7 +675,7 @@ def iceberg_scan_details(
         # FILES, not data files
         is_delete = r.get("content", 0) == 1
         manifest_seq = r.get("sequence_number", snap_seq)
-        m = _resolve_path(location, r["manifest_path"])
+        m = _res(r["manifest_path"])
         for entry in read_manifest(m):
             # status=2 is a DELETED entry: the file left the table in
             # this snapshot and must not be scanned (the reference's
@@ -677,7 +690,7 @@ def iceberg_scan_details(
             if seq is None:
                 seq = manifest_seq
             df_rec = entry["data_file"]
-            path = _resolve_path(location, df_rec["file_path"])
+            path = _res(df_rec["file_path"])
             if not is_delete:
                 pv = df_rec.get("partition") or {}
                 row = (
