@@ -753,9 +753,17 @@ def connected_components(
     in the large-star/small-star algorithm (Kiveris et al.,
     "Connected Components in MapReduce", SOCC'14) — same DataFrame
     shape, fewer rounds on high-diameter graphs."""
+    # checkpoint the RAW pair list first: the pair pipeline feeding
+    # this (LSH candidates + exact verify) is by far the most
+    # expensive subtree in a dedup flow, and the edge construction
+    # below references it three times (forward, reversed, node set) —
+    # materializing it once caps the pipeline at ONE evaluation (the
+    # r14 first cut unioned three references inside a single
+    # checkpoint action and re-ran the pair pipeline per reference:
+    # curate's sf1 probe went 27 s → 91 s; this shape restores it)
     fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
+    ).localCheckpoint()
     nodes = (
         fwd.select(F.col("src").alias("id"))
         .union(fwd.select(F.col("dst").alias("id")))
@@ -763,7 +771,9 @@ def connected_components(
     )
     # duplicate input pairs are harmless to a min aggregate, so no
     # distinct() pass over the edge list — the self-loops double as
-    # the node set (every id appears as a src)
+    # the node set (every id appears as a src).  This checkpoint
+    # only re-reads the materialized pair list, so it is one cheap
+    # pass over |edges|, and the per-round join reads a flat scan.
     edges = (
         fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -299,35 +299,87 @@ def ivf_train(
     return cents
 
 
+def _py_l2_norm(vec: list[float]) -> float:
+    """Driver-side twin of :func:`l2_norm`: the same sequential
+    left-fold over IEEE doubles (Python floats ARE doubles and ``+=``
+    folds in element order), so a norm computed here is bit-equal to
+    the Catalyst fold over the same values."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _nearest_centroid_struct(
+    centroids: list[tuple[int, list[float]]],
+    vn_col: str,
+    vec_col: str = "v",
+    round_sim: bool = False,
+):
+    """Map-only argmax over the centroid list: one ``greatest`` of
+    ``named_struct(sim, -cluster, cluster)`` branches, each scoring
+    the row's vector against ONE literal centroid (norms precomputed
+    on the driver, bit-equal to the Catalyst fold — see
+    :func:`_py_l2_norm`).
+
+    This replaces the crossJoin(k-row broadcast) → per-id argmax
+    aggregate shape (guide §2.4 — remove shuffles outright): the k×
+    row blowup and the corpus-wide hash aggregate (a full shuffle of
+    the id+vector payload) become a single projection.  Same dots in
+    the same fold order, same (sim DESC, cluster ASC) lexicographic
+    tie-break (struct comparison ranks NaN the way the max_by struct
+    ordering did), so the assignment and similarity are bit-equal to
+    the joined shape.  ``round_sim`` applies the 6-decimal round
+    BEFORE the comparison — :func:`assign_embedding_clusters`
+    semantics.
+
+    The whole expression is rendered as ONE SQL string and parsed
+    JVM-side by a single ``F.expr`` call: building k branches of
+    higher-order-function Column trees from Python costs a py4j round
+    trip per node (measured ~2.3 s of driver CPU for k=16, d=64 — and
+    it is rebuilt per Lloyd iteration), while one ``expr`` parse of
+    the same tree is milliseconds.  ``repr(float)`` round-trips IEEE
+    doubles exactly and the ``D`` suffix makes Spark parse them as
+    doubles, so the literals are the same values the Column path
+    would embed."""
+    branches = []
+    for cid, vec in centroids:
+        cent = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(cast(`{vec_col}` as array<double>), "
+            f"{cent}, (x, y) -> x * y), cast(0.0 as double), "
+            f"(acc, x) -> acc + x)"
+        )
+        sim = f"({dot_sql}) / (`{vn_col}` * {_py_l2_norm(vec)!r}D)"
+        if round_sim:
+            sim = f"round({sim}, 6)"
+        branches.append(
+            f"named_struct('s', {sim}, 'nc', {-cid}, 'c', {cid})"
+        )
+    if len(branches) == 1:
+        return F.expr(branches[0])
+    return F.expr("greatest(" + ",".join(branches) + ")")
+
+
 def _ivf_assign(
     v: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """(id, v, cluster): nearest centroid by cosine, via a broadcast
-    join against the k×d centroid table — the corpus never shuffles."""
-    spark = v.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            _centroid_rows(centroids), "cluster int, centroid array<double>"
-        ).withColumn("cn", l2_norm(F.col("centroid")))
-    )
-    scored = v.withColumn("vn", l2_norm(F.col("v"))).crossJoin(
-        cent_df
-    ).select(
-        "id", "v", "cluster",
-        cosine_n(
-            F.col("v"), F.col("centroid"), F.col("vn"), F.col("cn")
-        ).alias("sim"),
-    )
-    # per-id argmax as a HASH AGGREGATE, not a row_number window: a
-    # window means a sort shuffle of corpus×k rows; max_by folds
-    # map-side.  Tie-break matches the former (sim DESC, cluster ASC)
-    # ordering via lexicographic struct comparison on (sim, -cluster).
-    return scored.groupBy("id").agg(
-        F.max_by(
-            F.struct("cluster", "v"),
-            F.struct(F.col("sim"), -F.col("cluster")),
-        ).alias("__best")
-    ).select("id", "__best.v", "__best.cluster")
+    """(id, v, cluster): nearest centroid by cosine — MAP-ONLY (one
+    projection against literal centroids; no join, no aggregate, no
+    shuffle).  One output row per input row; ids are assumed unique
+    (every caller's corpus contract)."""
+    if not centroids:
+        return v.select(
+            "id", "v", F.lit(0).alias("cluster")
+        ).where(F.lit(False))
+    # project the vector norm FIRST so the k sim branches share one
+    # fold (CollapseProject keeps a multiply-referenced non-trivial
+    # alias materialized instead of inlining it k times)
+    vn = v.withColumn("__vn", l2_norm(F.col("v")))
+    best = _nearest_centroid_struct(centroids, "__vn")
+    return vn.select("id", "v", best["c"].alias("cluster"))
 
 
 def ivf_topk(
@@ -539,41 +591,32 @@ def assign_embedding_clusters(
     only wide stage is the per-id argmax window.  Persist/checkpoint
     the result when feeding ``semantic_dedup(assigned=...)`` so the
     cross join runs once instead of once per plan reference."""
-    spark = df.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            _centroid_rows(centroids),
-            "cluster int, centroid array<double>",
-        ).withColumn("cn", l2_norm(F.col("centroid")))
-    )
+    if not centroids:
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            F.lit(0).alias("cluster"),
+            F.lit(0.0).alias("centroid_sim"),
+        ).where(F.lit(False))
+    # MAP-ONLY argmax against literal centroids (see
+    # _nearest_centroid_struct): the former crossJoin(k) → per-id
+    # max_by aggregate shuffled the full id+vector payload; this is
+    # one projection.  Rounding to 6 decimals happens INSIDE each
+    # branch, before the comparison — exactly what the aggregate
+    # compared, so assignment, tie-breaks, and the emitted
+    # centroid_sim are bit-equal.
     v = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     ).withColumn("__vn", l2_norm(F.col(vec_col)))
-    scored = v.crossJoin(cent_df).select(
-        id_col, vec_col, "cluster",
-        F.round(
-            cosine_n(
-                F.col(vec_col), F.col("centroid"),
-                F.col("__vn"), F.col("cn"),
-            ),
-            6,
-        ).alias("centroid_sim"),
+    best = _nearest_centroid_struct(
+        centroids, "__vn", vec_col=vec_col, round_sim=True
     )
-    # per-id argmax via max_by (hash aggregate, map-side partials)
-    # instead of a row_number window (sort shuffle); the struct
-    # tie-break reproduces (centroid_sim DESC, cluster ASC) exactly —
-    # including on the ROUNDED sims the oracle compares
-    return scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct("cluster", vec_col, "centroid_sim"),
-            F.struct(F.col("centroid_sim"), -F.col("cluster")),
-        ).alias("__best")
-    ).select(
+    return v.select(
         id_col,
-        f"__best.{vec_col}",
-        "__best.cluster",
-        "__best.centroid_sim",
+        vec_col,
+        best["c"].alias("cluster"),
+        best["s"].alias("centroid_sim"),
     )
 
 

@@ -131,7 +131,23 @@ def _decode_manifests_distributed(
         .mapInPandas(_decode, schema="path string, blob binary")
         .collect()
     )
-    return {r["path"]: pickle.loads(bytes(r["blob"])) for r in rows}
+    # bulk-unpickling 10^5-10^6 entry dicts crosses the cyclic-GC
+    # allocation threshold thousands of times, and each gen-2 pass
+    # scans the WHOLE live heap — in a long session (the bench by this
+    # label, a real driver after hours of queries) that multiplied the
+    # unpickle CPU several-fold.  The entries are acyclic; pause
+    # collection for the loop (refcounting still frees everything).
+    import gc
+
+    gc_was = gc.isenabled()
+    gc.disable()
+    try:
+        return {
+            r["path"]: pickle.loads(bytes(r["blob"])) for r in rows
+        }
+    finally:
+        if gc_was:
+            gc.enable()
 
 
 def _manifest_reader(
