@@ -163,23 +163,35 @@ def minhash_signatures(
     # they take no part in near-dup detection (exact_dedup still
     # catches byte-identical text)
     postings = postings.where(F.col("shingle") != "")
+    # the num_hashes min-aggregates are rendered as SQL text and
+    # parsed JVM-side in one F.expr call each: building them as
+    # Column trees costs a py4j round trip per node (~0.5 s of driver
+    # CPU per plan construction at 64 families — guide §5, the driver
+    # should do almost no work).  The SQL spells the IDENTICAL
+    # expressions (same functions, same int literals), so the parsed
+    # trees — and the signatures — are unchanged.
     if portable:
-        def fam(i: int) -> Column:
-            return portable_hash60(F.col("shingle"), seed=i)
+        def fam_sql(i: int) -> str:
+            return (
+                f"cast(conv(substring(md5(concat('{i}:', shingle)), "
+                f"1, 15), 16, 10) as bigint)"
+            )
     else:
         postings = postings.withColumn("h", F.xxhash64("shingle"))
 
-        def fam(i: int) -> Column:
-            return _family_hash(i)(F.col("h"))
+        def fam_sql(i: int) -> str:
+            return f"xxhash64({i}, h)"
 
     aggs = [F.collect_list("shingle").alias("shingles")]
     for i in range(num_hashes):
-        aggs.append(F.min(fam(i)).alias(f"_m{i}"))
+        aggs.append(F.expr(f"min({fam_sql(i)}) AS _m{i}"))
     agged = postings.groupBy("id").agg(*aggs)
     return agged.select(
         "id",
         "shingles",
-        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ") AS sig"
+        ),
     )
 
 
@@ -481,28 +493,29 @@ def simhash(
         F.explode_outer(tokens(text_col, "[a-z0-9]+")).alias("tok"),
     ).withColumn("h", tok_hash)
     collapsed = toks.groupBy("id", "h").agg(F.count("*").alias("c"))
+    # the per-bit vote aggregates and the bit-assembly chain are
+    # rendered as SQL text (one JVM parse each) instead of Column
+    # trees: at 64 bits the Python-side construction was ~700 py4j
+    # round trips ≈ 1.0 s of driver CPU per plan build (guide §5).
+    # The SQL spells the IDENTICAL integer expressions — exact
+    # arithmetic, so the signatures are unchanged.
     votes = collapsed.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1,
-                    F.col("c"),
-                ).otherwise(-F.col("c"))
-            ).alias(f"v{j}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 "
+                f"THEN c ELSE -c END) AS v{j}"
+            )
             for j in range(bits)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        sig = sig.bitwiseOR(
-            F.shiftleft(
-                F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast(
-                    "long"
-                ),
-                j,
-            )
-        )
-    return votes.select("id", sig.alias("simhash"))
+    sig_sql = " | ".join(
+        f"shiftleft(cast(CASE WHEN v{j} > 0 THEN 1 ELSE 0 END "
+        f"as bigint), {j})"
+        for j in range(bits)
+    )
+    return votes.select(
+        "id", F.expr(f"cast(0 as bigint) | {sig_sql} AS simhash")
+    )
 
 
 def simhash_near_pairs(
