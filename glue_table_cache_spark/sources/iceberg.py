@@ -131,23 +131,42 @@ def _decode_manifests_distributed(
         .mapInPandas(_decode, schema="path string, blob binary")
         .collect()
     )
-    # bulk-unpickling 10^5-10^6 entry dicts crosses the cyclic-GC
-    # allocation threshold thousands of times, and each gen-2 pass
-    # scans the WHOLE live heap — in a long session (the bench by this
-    # label, a real driver after hours of queries) that multiplied the
-    # unpickle CPU several-fold.  The entries are acyclic; pause
-    # collection for the loop (refcounting still frees everything).
-    import gc
+    # LAZY per-manifest unpickle: both scan loops read each manifest
+    # exactly once, so holding 10^5-10^6 decoded entry dicts alive at
+    # once buys nothing and costs a lot — `bytes` blobs carry no
+    # cyclic-GC header, while a bulk-decoded dict-of-dict-lists makes
+    # every later gen-2 GC pass (triggered thousands of times by the
+    # decode itself) scan the whole heap; in a long driver session
+    # that multiplied this label's driver CPU several-fold.  Decoding
+    # 400 entries per access keeps peak tracked objects ~500× smaller
+    # and lets each manifest's dicts die young (guide §5: the driver
+    # should hold metadata, not churn it).
+    return _LazyManifests(
+        {r["path"]: bytes(r["blob"]) for r in rows}
+    )
 
-    gc_was = gc.isenabled()
-    gc.disable()
-    try:
-        return {
-            r["path"]: pickle.loads(bytes(r["blob"])) for r in rows
-        }
-    finally:
-        if gc_was:
-            gc.enable()
+
+class _LazyManifests:
+    """Mapping-shaped view over pickled per-manifest entry blobs:
+    ``[path]`` unpickles that ONE manifest's entries on access (each
+    scan loop touches a manifest once — see
+    :func:`_decode_manifests_distributed`)."""
+
+    __slots__ = ("_blobs",)
+
+    def __init__(self, blobs: dict[str, bytes]):
+        self._blobs = blobs
+
+    def __getitem__(self, path: str) -> list[dict]:
+        import pickle
+
+        return pickle.loads(self._blobs[path])
+
+    def __len__(self) -> int:
+        return len(self._blobs)
+
+    def __contains__(self, path: str) -> bool:
+        return path in self._blobs
 
 
 def _manifest_reader(
