@@ -278,7 +278,16 @@ def lsh_candidate_pairs(
         F.count("*").over(w_part).alias("bsz"),
         F.min("id").over(w_part).alias("first_id"),
     )
-    small = ann.where(F.col("bsz") <= max_bucket_size)
+    # bsz > 1: a singleton bucket cannot produce a pair (the self-join
+    # would only match the row to itself, dropped by id < id), and
+    # singletons are the vast majority of buckets — the window's
+    # bucket size lets the capped path feed the join a fraction of the
+    # rows the uncapped shape must (measured at the synthetic sf1:
+    # 800k bucket rows → the join branches shrink to just the
+    # multi-member buckets).  Output identical by construction.
+    small = ann.where(
+        (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)
+    ).drop("first_id")
     left, right = small.alias("l"), small.alias("r")
     pairs_small = (
         left.join(right, ["band", "bucket"])
@@ -601,7 +610,12 @@ def simhash_near_pairs(
                 ]
             ).alias("nbrs"),
         )
-        small = ann.where(F.col("bsz") <= max_bucket_size)
+        # bsz > 1: singleton buckets (the vast majority) cannot
+        # produce a pair — dropping them here shrinks both self-join
+        # branches to just the multi-member buckets; identical output
+        small = ann.where(
+            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)
+        ).select("id", "simhash", "band", "bits")
         left, right = small.alias("l"), small.alias("r")
         pairs_small = (
             left.join(right, ["band", "bits"])

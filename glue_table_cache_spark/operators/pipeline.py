@@ -101,6 +101,18 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
             threshold=cfg.decontamination_threshold,
         )
     if cfg.dedup_threshold is not None:
+        # materialize the filtered+annotated frame ONCE before dedup:
+        # the near-dup stage reads it from two independent subtrees
+        # (the signature pipeline and the keep-side of the anti-join),
+        # and Catalyst cannot share a repeated subtree across a join —
+        # without this, the quality/language expression stack (regex
+        # passes over every document) runs twice per action (guide
+        # §1.2 fewest passes; same eager-localCheckpoint posture as
+        # connected_components and semantic_dedup).  At cluster scale
+        # this trades one executor-local write of the filtered corpus
+        # for a full re-read + re-scoring of the raw input — the right
+        # trade whenever ≥2 passes follow, which dedup guarantees.
+        out = out.localCheckpoint()
         out = D.minhash_dedup(
             out,
             text_col=cfg.text_col,
