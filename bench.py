@@ -978,9 +978,8 @@ def _sf1_probe(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         if label in _SF1_SETUP:
             _SF1_SETUP[label](spark, sf1)
         t0 = time.time()
-        n = len(
-            _SF1_FNS.get(label, fns[label])(spark, sf1).collect()
-        )
+        # same timed action as the main loop (toArrow — see there)
+        n = _SF1_FNS.get(label, fns[label])(spark, sf1).toArrow().num_rows
         dt = round(time.time() - t0, 3)
         ratio = round(dt / timings[label], 2) if timings.get(label) else None
         labels[label] = {"sf1_sec": dt, "sf01_sec": timings.get(label),
@@ -1148,7 +1147,18 @@ def main() -> None:
         for _ in range(_RUNS_OVERRIDE.get(label, 3)):
             t0 = time.time()
             c0 = time.process_time()
-            n = len(fn(spark, sf_dir).collect())
+            # r15 (declared measurement change, OPTIMIZATION_r15.md):
+            # the timed action is now toArrow() — computes every
+            # column of every row like collect() did and returns the
+            # same row count, but transfers the result as Arrow
+            # batches instead of pickled Rows.  collect()'s row-path
+            # deserialization charged up to ~1 s/label of pure python
+            # unpickling (events_sessionize at sf1: ~7 s) to queries
+            # whose computation was already done — guide §1.4 (time
+            # the computation, not the sink) and §6 (Arrow for driver
+            # transfers).  A/B on identical code in
+            # OPTIMIZATION_r15.md keeps the old-action numbers.
+            n = fn(spark, sf_dir).toArrow().num_rows
             cpus.append(time.process_time() - c0)
             runs.append(time.time() - t0)
         cpus = [c for _r, c in sorted(zip(runs, cpus))]

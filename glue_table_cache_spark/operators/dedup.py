@@ -373,6 +373,7 @@ def minhash_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     transitive: bool = False,
+    materialize: str = "localCheckpoint",
     **kw,
 ) -> DataFrame:
     """Drop near-duplicate documents, keeping one representative.
@@ -385,7 +386,7 @@ def minhash_dedup(
     cluster — the policy a training corpus wants."""
     pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
     if transitive:
-        comp = connected_components(pairs)
+        comp = connected_components(pairs, materialize=materialize)
         dup_ids = (
             comp.where(F.col("id") != F.col("component"))
             .select(F.col("id").alias(id_col))
@@ -752,6 +753,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``, where
     ``component`` is the minimum id reachable through the pair graph —
@@ -787,10 +789,21 @@ def connected_components(
     # materializing it once caps the pipeline at ONE evaluation (the
     # r14 first cut unioned three references inside a single
     # checkpoint action and re-ran the pair pipeline per reference:
-    # curate's sf1 probe went 27 s → 91 s; this shape restores it)
-    fwd = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint()
+    # curate's sf1 probe went 27 s → 91 s; this shape restores it).
+    # ``materialize`` picks the mechanism (localCheckpoint | persist |
+    # off — see operators/materialize.py for the executor-loss /
+    # local-disk trade at cluster scale); the ITERATION state below
+    # always materializes (mode "off" falls back to localCheckpoint
+    # there — unbounded lineage growth across rounds is never valid).
+    from glue_table_cache_spark.operators.materialize import (
+        materialize_frame,
+    )
+
+    iter_mode = materialize if materialize != "off" else "localCheckpoint"
+    fwd = materialize_frame(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        materialize,
+    )
     nodes = (
         fwd.select(F.col("src").alias("id"))
         .union(fwd.select(F.col("dst").alias("id")))
@@ -801,21 +814,25 @@ def connected_components(
     # the node set (every id appears as a src).  This checkpoint
     # only re-reads the materialized pair list, so it is one cheap
     # pass over |edges|, and the per-round join reads a flat scan.
-    edges = (
+    edges = materialize_frame(
         fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .union(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst")))
-        .localCheckpoint()
+        .union(nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))),
+        iter_mode,
     )
     # the self-loops are exactly one row per node, already
     # materialized — label init reads the checkpoint, never the
     # (potentially expensive) pair pipeline again
-    labels = edges.where(F.col("src") == F.col("dst")).select(
-        "src", F.col("src").alias("component")
-    ).localCheckpoint()
+    labels = materialize_frame(
+        edges.where(F.col("src") == F.col("dst")).select(
+            "src", F.col("src").alias("component")
+        ),
+        iter_mode,
+    )
+    prev_cached = labels  # the frame materialize_frame actually cached
     for _ in range(max_iterations):
-        new_labels = (
+        new_labels = materialize_frame(
             edges.join(
                 labels.withColumnsRenamed(
                     {"src": "dst", "component": "nbr_component"}
@@ -834,10 +851,16 @@ def connected_components(
                 ).alias("__own"),
             )
             .withColumn("__chg", F.col("component") < F.col("__own"))
-            .drop("__own")
-            .localCheckpoint()
+            .drop("__own"),
+            iter_mode,
         )
         changed = new_labels.where("__chg").limit(1).count()
+        if iter_mode == "persist":
+            # retire the previous round's cached labels so persist
+            # mode does not accumulate one cached frame per round
+            # (unpersist must target the exact frame that was cached)
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels.drop("__chg")
         if changed == 0:
             break

@@ -79,9 +79,14 @@ def _exploded_transitions(
     token array is materialized in its own projection so the regex
     runs once per document; Catalyst keeps the split because the alias
     is referenced more than once (CollapseProject only inlines
-    single-use or cheap expressions)."""
+    single-use or cheap expressions).  ``_widen`` first: the tokenizer
+    regex + explode inherit the scan's partitioning, and a single
+    small parquet file would run them on one core (guide §2.5) — no-op
+    when the scan is already wide."""
+    from glue_table_cache_spark.operators.dedup import _widen
+
     return (
-        df.select(*extra, tokens(F.col(text_col)).alias("__toks"))
+        _widen(df).select(*extra, tokens(F.col(text_col)).alias("__toks"))
         .select(
             *extra,
             F.explode(_transitions(F.col("__toks"))).alias("t"),
@@ -91,7 +96,9 @@ def _exploded_transitions(
 
 
 def train_ngram_lm(
-    reference: DataFrame, text_col: str = "text"
+    reference: DataFrame,
+    text_col: str = "text",
+    materialize: str = "localCheckpoint",
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train the bigram LM on a reference corpus: returns
     ``(model, contexts, vocab_size)`` where ``model`` has rows
@@ -111,12 +118,18 @@ def train_ngram_lm(
     and once to score).  Training was already eager (the vocab count);
     the checkpoint makes the same action persist the model instead of
     throwing it away.  The model table is bigram-count-sized (≪
-    corpus); at 100 TB train on a curated reference, not the corpus."""
+    corpus); at 100 TB train on a curated reference, not the corpus.
+    ``materialize`` picks the mechanism (localCheckpoint | persist |
+    off — see :mod:`..operators.materialize` for the executor-loss /
+    local-disk trade at cluster scale)."""
+    from glue_table_cache_spark.operators.materialize import (
+        materialize_frame,
+    )
+
     trans = _exploded_transitions(reference, text_col, [])
-    model = (
-        trans.groupBy("prev", "w")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+    model = materialize_frame(
+        trans.groupBy("prev", "w").agg(F.count("*").alias("c")),
+        materialize,
     )
     contexts = model.groupBy("prev").agg(F.sum("c").alias("cc"))
     vocab = model.select("w").distinct().count()

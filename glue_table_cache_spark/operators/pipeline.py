@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from glue_table_cache_spark.functions import text as T
 from glue_table_cache_spark.operators import dedup as D
+from glue_table_cache_spark.operators.materialize import materialize_frame
 from glue_table_cache_spark.operators import decontamination as DC
 from glue_table_cache_spark.operators import packing as P
 from glue_table_cache_spark.operators import sampling as SM
@@ -62,6 +63,13 @@ class CurationConfig:
     # oracle can reproduce the EXACT kept set.  xxhash64 stays the
     # at-scale default (faster, JVM-codegen).
     portable: bool = False
+    # how the quality/language-annotated frame is materialized before
+    # the dedup stage (it feeds ≥2 plan subtrees): "localCheckpoint"
+    # (default — cheapest, but executor-local and NOT recoverable on
+    # executor loss at cluster scale), "persist" (DISK_ONLY, lineage
+    # kept — survives executor loss), "off" (recompute per reference).
+    # See operators/materialize.py for the 100 TB implications.
+    materialize: str = "localCheckpoint"
 
 
 def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
@@ -70,6 +78,21 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
     ``pack_id`` / ``pack_offset`` when packing is on."""
     cfg = config or CurationConfig()
     t = F.col(cfg.text_col)
+
+    # Widen a narrow small-file scan up to the session parallelism
+    # BEFORE the per-document expression stack (guide §2.5 input skew:
+    # one small file = one input split = every downstream map runs on
+    # one core).  The lazy localCheckpoint is a plan barrier, not a
+    # cache: Catalyst pushes deterministic filters through both Project
+    # and Repartition, so without it the quality filter's regex stack
+    # sinks below the exchange and scores the whole corpus on the
+    # narrow scan side (measured at the synthetic sf1: the entire
+    # scoring + minhash map side ran serially — 70 s vs 16 s).  At
+    # real scale the scan has more files than cores, ``_widen`` is a
+    # no-op, and no barrier or extra materialization is introduced.
+    wide = D._widen(docs)
+    if wide is not docs:
+        docs = wide.localCheckpoint(eager=False)
 
     if cfg.line_dedup_min_len is not None:
         docs = D.line_dedup(
@@ -112,7 +135,10 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
         # this trades one executor-local write of the filtered corpus
         # for a full re-read + re-scoring of the raw input — the right
         # trade whenever ≥2 passes follow, which dedup guarantees.
-        out = out.localCheckpoint()
+        # cfg.materialize picks the mechanism (localCheckpoint |
+        # persist | off — see operators/materialize.py for the
+        # executor-loss / local-disk trade at cluster scale).
+        out = materialize_frame(out, cfg.materialize)
         out = D.minhash_dedup(
             out,
             text_col=cfg.text_col,
@@ -120,6 +146,7 @@ def curate(docs: DataFrame, config: CurationConfig | None = None) -> DataFrame:
             threshold=cfg.dedup_threshold,
             transitive=cfg.dedup_transitive,
             portable=cfg.portable,
+            materialize=cfg.materialize,
         )
     # one tokenizer for every token-denominated stage: mixture budgets
     # and pack sizes must be measured in the same units

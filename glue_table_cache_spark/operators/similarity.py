@@ -98,7 +98,11 @@ def cosine_topk(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ).withColumn("qn", l2_norm(F.col("qv")))
     )
-    c = corpus.select(
+    from glue_table_cache_spark.operators.dedup import _widen
+
+    # widen a narrow scan before the |corpus|×|Q| map-side scoring
+    # (guide §2.5) — no-op when the scan is already wide
+    c = _widen(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
@@ -191,8 +195,13 @@ def ann_topk_lsh(
     within Hamming distance 1 of the query's bucket (multi-probe).
     Recall is tunable via ``planes`` (fewer planes → bigger buckets →
     higher recall, more compute)."""
+    from glue_table_cache_spark.operators.dedup import _widen
+
     c = (
-        corpus.select(
+        # widen a narrow scan before the per-row SRP bucket + norm
+        # projection (guide §2.5) — no-op when the scan is already wide
+        _widen(corpus)
+        .select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
         )
         .withColumn("bucket", srp_bucket(F.col("cv"), planes, portable))
@@ -268,11 +277,19 @@ def ivf_train(
     matrix ever reaches the driver.  At 100 TB train on a sample
     (``sample_fraction``) — the quantizer needs representative
     centroids, not every row."""
+    from glue_table_cache_spark.operators.dedup import _widen
+
     v = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if sample_fraction:
         v = v.sample(fraction=sample_fraction, seed=7)
+    # widen a narrow small-file scan before the per-row assignment
+    # passes (guide §2.5): the map-only ``_ivf_assign`` inherits the
+    # scan's partitioning, and one small parquet file = one split =
+    # every Lloyd iteration's k×N dot products on one core.  No-op at
+    # real scale (scan already has ≥ parallelism files).
+    v = _widen(v)
     cents = [
         (i, list(r.v))
         for i, r in enumerate(v.orderBy("id").limit(nlist).collect())
@@ -423,9 +440,12 @@ def ivf_topk(
     correct for self-search (queries drawn from the corpus); set it
     False when the query set has its own id space, where an id
     collision is NOT the same vector."""
+    from glue_table_cache_spark.operators.dedup import _widen
+
     if centroids is None:
         centroids = ivf_train(corpus, nlist, iters, vec_col, id_col)
-    v = corpus.select(
+    # widen before the map-only assignment — see _ivf_assign's note
+    v = _widen(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -526,8 +546,13 @@ def embedding_near_pairs(
             f"on_hot_bucket must be 'raise' or 'skip', "
             f"got {on_hot_bucket!r}"
         )
+    from glue_table_cache_spark.operators.dedup import _widen
+
+    # widen a narrow scan before the per-row SRP projection + norm
+    # (map-heavy; guide §2.5) — no-op when the scan is already wide
     v = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        _widen(df)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("bucket", srp_bucket(F.col("v"), planes, portable))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
@@ -598,14 +623,20 @@ def assign_embedding_clusters(
             F.lit(0).alias("cluster"),
             F.lit(0.0).alias("centroid_sim"),
         ).where(F.lit(False))
+    from glue_table_cache_spark.operators.dedup import _widen
+
     # MAP-ONLY argmax against literal centroids (see
     # _nearest_centroid_struct): the former crossJoin(k) → per-id
     # max_by aggregate shuffled the full id+vector payload; this is
     # one projection.  Rounding to 6 decimals happens INSIDE each
     # branch, before the comparison — exactly what the aggregate
     # compared, so assignment, tie-breaks, and the emitted
-    # centroid_sim are bit-equal.
-    v = df.select(
+    # centroid_sim are bit-equal.  ``_widen`` first: map-only means
+    # the k×N similarity work inherits the scan's partitioning, and a
+    # single small parquet file would run it all on one core (the
+    # crossJoin shape this replaced was accidentally saved by its own
+    # shuffle; guide §2.5).  No-op when the scan is already wide.
+    v = _widen(df).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     ).withColumn("__vn", l2_norm(F.col(vec_col)))
@@ -632,6 +663,7 @@ def semantic_dedup(
     on_hot_cluster: str = "raise",
     sample_fraction: float | None = None,
     assigned: DataFrame | None = None,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): cluster the embedding space with
@@ -686,13 +718,23 @@ def semantic_dedup(
             f"got {on_hot_cluster!r}"
         )
     if assigned is None:
+        from glue_table_cache_spark.operators.materialize import (
+            materialize_frame,
+        )
+
         cents = centroids or ivf_train(
             df, nlist=nlist, iters=iters, vec_col=vec_col,
             id_col=id_col, sample_fraction=sample_fraction,
         )
-        assigned = assign_embedding_clusters(
-            df, cents, vec_col=vec_col, id_col=id_col
-        ).localCheckpoint()
+        # ``materialize`` picks the mechanism (localCheckpoint |
+        # persist | off — see operators/materialize.py for the
+        # executor-loss / local-disk trade at cluster scale)
+        assigned = materialize_frame(
+            assign_embedding_clusters(
+                df, cents, vec_col=vec_col, id_col=id_col
+            ),
+            materialize,
+        )
     assigned = assigned.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -488,16 +488,20 @@ def compact_hudi(
             ],
             record_key_field=record_key_field,
         )
-        stage = base / f"_staging_{batch}" / fid
-        merged.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        parts = sorted(stage.rglob("part-*.parquet"))
         name = f"{fid}_0-0-0_{instant_tag}.parquet"
         rel = f"{part}/{name}" if part else name
         dest = base / rel
-        dest.parent.mkdir(parents=True, exist_ok=True)
-        parts[0].rename(dest)
+        # single pyarrow write (see sources/fixture_io): the merged
+        # slice is one file group — per-group frames are small by MOR
+        # design, and the coalesce(1) Spark-write shape paid a full
+        # job (plus sequential Python-slice round-trips when log rows
+        # ride a createDataFrame lineage) per file group
+        from glue_table_cache_spark.sources.fixture_io import (
+            write_single_parquet,
+        )
+
+        write_single_parquet(merged, dest)
         staged.append((fid, part, rel))
-    shutil.rmtree(base / f"_staging_{batch}", ignore_errors=True)
 
     hoodie = base / ".hoodie"
     compacted = set(live_by_fid)

@@ -19,37 +19,41 @@ Action field names match what
 from __future__ import annotations
 
 import json
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame
 
+from glue_table_cache_spark.sources.fixture_io import (
+    arrow_rows,
+    write_single_parquet,
+)
 
-def _write_data_file(base: Path, df: DataFrame, name: str) -> Path:
-    stage = base / ("_stage_" + name.replace("/", "_"))
-    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+
+def _write_data_file(base: Path, df: DataFrame, name: str):
+    """Write ``df`` as the single file ``base/name``; returns
+    ``(path, arrow_table)`` so stats derive without a second action
+    (see fixture_io — the coalesce(1) Spark-write shape cost ~6 s per
+    tiny fixture file)."""
     out = base / name
-    out.parent.mkdir(parents=True, exist_ok=True)
-    next(stage.glob("part-*.parquet")).rename(out)
-    shutil.rmtree(stage, ignore_errors=True)
-    return out
+    tbl = write_single_parquet(df, out)
+    return out, tbl
 
 
 def _commit_path(log_dir: Path, version: int) -> Path:
     return log_dir / f"{version:020d}.json"
 
 
-def _stats_json(df: DataFrame) -> str:
+def _stats_json(columns: list[str], rows: list[dict]) -> str:
     """``add.stats`` JSON the way Delta writers emit it: numRecords +
     per-scalar-column minValues/maxValues/nullCount, temporals as ISO
-    strings.  Driver-side collect — fixture frames are tiny."""
+    strings.  ``rows`` come from the write's own Arrow table
+    (fixture_io.arrow_rows) — no second collect action."""
     import datetime
 
-    rows = df.collect()
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
-    for c in df.columns:
+    for c in columns:
         vals = [r[c] for r in rows if r[c] is not None]
         nulls[c] = len(rows) - len(vals)
         if not vals or isinstance(vals[0], (list, dict, bytes, bytearray)):
@@ -178,7 +182,7 @@ def build_delta_table(
                 name = f"{part_dir}/{name}"
             if physical:
                 df = df.withColumnsRenamed(physical)
-            data_file = _write_data_file(base, df, name)
+            data_file, tbl = _write_data_file(base, df, name)
             add = {
                 "path": name,
                 "partitionValues": dict(pv),
@@ -190,7 +194,7 @@ def build_delta_table(
             # names under column mapping — `df` is already renamed, so
             # _stats_json emits exactly that; the scan path translates
             # physical→logical through the rename map
-            add["stats"] = _stats_json(df)
+            add["stats"] = _stats_json(df.columns, arrow_rows(tbl))
             actions.append({"add": add})
             active[name] = dict(pv)
             active_stats[name] = add["stats"]

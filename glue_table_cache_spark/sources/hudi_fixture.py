@@ -27,12 +27,14 @@ from pyspark.sql import DataFrame
 
 
 def _write_data_file(base: Path, df: DataFrame, rel: str) -> Path:
-    stage = base / ("_stage_" + rel.replace("/", "_"))
-    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    # single pyarrow write — see fixture_io (the coalesce(1)
+    # Spark-write shape cost ~6 s per tiny fixture file)
+    from glue_table_cache_spark.sources.fixture_io import (
+        write_single_parquet,
+    )
+
     out = base / rel
-    out.parent.mkdir(parents=True, exist_ok=True)
-    next(stage.glob("part-*.parquet")).rename(out)
-    shutil.rmtree(stage, ignore_errors=True)
+    write_single_parquet(df, out)
     return out
 
 

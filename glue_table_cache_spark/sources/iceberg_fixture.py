@@ -213,16 +213,17 @@ def build_iceberg_table(
             },
         }
 
-    def compute_stats(df: DataFrame) -> dict:
+    def compute_stats(columns: list[str], rows: list[dict]) -> dict:
         """Per-file zone maps the way real writers record them:
-        field-id keyed bounds in the spec's binary serialization."""
+        field-id keyed bounds in the spec's binary serialization.
+        ``rows`` come from the write's own Arrow table — no second
+        collect action."""
         from glue_table_cache_spark.skipping import encode_iceberg_bound
 
-        rows = df.collect()
         lower: dict[str, bytes] = {}
         upper: dict[str, bytes] = {}
         nulls: dict[str, int] = {}
-        for c in df.columns:
+        for c in columns:
             fid = str(field_ids[c])
             vals = [r[c] for r in rows if r[c] is not None]
             nulls[fid] = len(rows) - len(vals)
@@ -251,21 +252,25 @@ def build_iceberg_table(
             change = {"add": change}
         added: Path | None = None
         if change.get("add") is not None:
-            part_dir = base / f"_stage{i}"
-            change["add"].coalesce(1).write.mode("overwrite").parquet(
-                str(part_dir)
+            from glue_table_cache_spark.sources.fixture_io import (
+                arrow_rows,
+                write_single_parquet,
             )
+
             for col, f in zip(
                 change["add"].columns, change["add"].schema.fields
             ):
                 field_ids.setdefault(col, len(field_ids) + 1)
                 field_types.setdefault(col, _iceberg_type(f.dataType))
-            part_file = next(part_dir.glob("part-*.parquet"))
             added = data_dir / f"part-{i}.parquet"
-            part_file.rename(added)
-            shutil.rmtree(part_dir, ignore_errors=True)
+            # single pyarrow write + stats off the same Arrow table —
+            # see fixture_io (the coalesce(1) Spark-write shape cost
+            # ~6 s per tiny fixture file, plus a collect per stats)
+            tbl = write_single_parquet(change["add"], added)
             live[added.name] = (added, change.get("partition"), i)
-            file_stats[added.name] = compute_stats(change["add"])
+            file_stats[added.name] = compute_stats(
+                change["add"].columns, arrow_rows(tbl)
+            )
 
         manifest = meta_dir / f"manifest-{i}.avro"
         deletes = change.get("delete") or []
@@ -453,10 +458,9 @@ def build_iceberg_table(
         )
 
     if orphan is not None:
-        stage = base / "_stage_orphan"
-        orphan.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        next(stage.glob("part-*.parquet")).rename(data_dir / "orphan.parquet")
-        import shutil
+        from glue_table_cache_spark.sources.fixture_io import (
+            write_single_parquet,
+        )
 
-        shutil.rmtree(stage, ignore_errors=True)
+        write_single_parquet(orphan, data_dir / "orphan.parquet")
     return base

@@ -22,7 +22,18 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = build_session(app_name="gtc-spark-tests", shuffle_partitions=8)
+    spark = build_session(
+        app_name="gtc-spark-tests",
+        shuffle_partitions=8,
+        # tests build hundreds of tiny createDataFrame frames; each
+        # becomes a Python `parallelize` RDD with defaultParallelism
+        # slices, and every action on it pays one Python-worker
+        # round-trip per slice (32 on this host).  4 slices keeps the
+        # suite's fixed per-action overhead ~8x lower without touching
+        # any DataFrame-level parallelism (joins/aggregates use
+        # spark.sql.shuffle.partitions).  Test-session-only knob.
+        extra_conf={"spark.default.parallelism": "4"},
+    )
     yield spark
     spark.stop()
 
