@@ -64,6 +64,31 @@ def cosine_n(a: Column, b: Column, an: Column, bn: Column) -> Column:
     return dot(a, b) / (an * bn)
 
 
+def _dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """Flat-sum dot product for a KNOWN vector dimension —
+    ``0.0 + a[0]*b[0] + a[1]*b[1] + …`` — bit-equal to :func:`dot`
+    (identical left-associative IEEE order; ``try_element_at`` yields
+    NULL past a short array exactly where ``zip_with`` pads NULL).
+
+    KEPT ONLY AS A MEASURED NEGATIVE RESULT (r15): replacing the
+    per-pair ``aggregate(zip_with(...))`` fold with this in
+    ``semantic_dedup``'s pair join ran 3× SLOWER at the synthetic sf1
+    (4.7-5.4 s vs 1.5-3.3 s, interleaved same-session) — at d=64 the
+    single generated method exceeds the JIT's per-method budget and
+    runs as uncompiled bytecode, while at k×d (nearest-centroid
+    argmax) it exceeds Janino's hard 64 KB limit outright and kills
+    whole-stage codegen for the stage (measured: ivf_train 2 s →
+    16 s).  No production caller; exercised by tests as the
+    equivalence witness for the fold."""
+    terms = " + ".join(
+        f"try_element_at(cast(`{a}` as array<double>), {i + 1}) * "
+        f"try_element_at(cast(`{b}` as array<double>), {i + 1})"
+        for i in range(dim)
+    )
+    sql = "cast(0.0 as double)" + (f" + {terms}" if terms else "")
+    return F.expr(sql)
+
+
 def embedding_stats(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -363,6 +388,13 @@ def _nearest_centroid_struct(
     would embed."""
     branches = []
     for cid, vec in centroids:
+        # the per-branch dot stays the aggregate(zip_with(...)) fold
+        # DELIBERATELY: an unrolled k×d flat sum was tried in r15 and
+        # the generated projection method exceeded Janino's 64 KB
+        # limit at k=16,d=64 — whole-stage codegen then fails for the
+        # ENTIRE stage (plus ~1 s per failed compile attempt; measured
+        # ivf_train 2 s → 16 s).  The fold is CodegenFallback for the
+        # expression alone but keeps the stage compiled.
         cent = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
         dot_sql = (
             f"aggregate(zip_with(cast(`{vec_col}` as array<double>), "
@@ -792,6 +824,15 @@ def semantic_dedup(
         (F.col("l_sim") == F.col("r_sim"))
         & (F.col("l_id") < F.col("r_id"))
     )
+    # the per-pair dot stays the aggregate(zip_with(...)) fold
+    # DELIBERATELY (r15): an unrolled 64-term flat sum was tried for
+    # the pair stage and measured 3× SLOWER at the synthetic sf1
+    # (4.7-5.4 s vs 1.5-3.3 s interleaved) — a 64-term expression
+    # exceeds the JIT's per-method budget, so the "codegen-friendly"
+    # form runs as uncompiled bytecode while the fold's interpreted
+    # lambda loop is comparatively tight.  Measured, not assumed
+    # (guide §1.1: a fresh "ideal" implementation is usually slower
+    # at first — this one stayed slower).
     dups = (
         left.join(right, "cluster")
         .where(precedes)
